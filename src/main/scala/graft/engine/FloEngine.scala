@@ -1,0 +1,286 @@
+package graft.engine
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.ns_glob
+import graft.model.{FloSchema, VersionVector}
+
+/**
+ * Embedded event-stream engine: the Spark rendering of flo's server core
+ * (reference: flo-server/src/engine; embedded mode flo-server/src/embedded/mod.rs:21-78).
+ *
+ * A stream is a directory of partition subdirs of parquet files:
+ * {{{ <root>/<stream>/partition=<p>/&#42;.parquet }}}
+ * The `partition=` layout makes Spark's partition pruning replace flo's
+ * per-partition readers (SURVEY §1.5), and parquet min/max stats on
+ * `event_counter` replace flo's in-memory counter→offset index
+ * (partition/index.rs:24-36): a consume with a version-vector start skips
+ * whole files below the requested counters.
+ *
+ * Scale notes (designed for a real cluster, tested on local):
+ *  - produce appends are `repartition(col("partition"))`-ed so one task owns
+ *    one partition's files per batch — flo's single-writer-per-partition
+ *    discipline (partition/mod.rs:245-278) without any global lock;
+ *  - consume is a declarative scan: vv + glob predicates push into the
+ *    parquet reader (pruning + row-group skipping), ordering is only added
+ *    at the egress edge where the caller requires total order;
+ *  - the stream-wide highest counter (flo's HighestCounter CAS,
+ *    engine/event_stream/highest_counter.rs:7-67) is an engine-local
+ *    AtomicLong recovered from file stats on open; producing to one stream
+ *    from multiple engines concurrently is out of contract, same as flo's
+ *    single-server model.
+ */
+final class FloEngine(val spark: SparkSession, val root: String) {
+  import FloEngine._
+
+  private val highest = new ConcurrentHashMap[String, AtomicLong]()
+
+  private def streamDir(stream: String): String = s"$root/$stream"
+
+  private def fs(path: String) = new Path(path)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  // ---------------------------------------------------------------- catalog
+
+  /** Create a stream (dirs + default "system" stream analog is the caller's
+    * choice; reference: engine/event_stream/mod.rs:47-99). Idempotent. */
+  def createStream(options: EventStreamOptions): Unit = {
+    val dir = fs(root)
+    (1 to options.numPartitions).foreach { p =>
+      dir.mkdirs(new Path(s"${streamDir(options.name)}/partition=$p"))
+    }
+    val meta = new Path(s"${streamDir(options.name)}/_stream.json")
+    if (!dir.exists(meta)) {
+      val out = dir.create(meta, true)
+      out.write(options.toJson.getBytes("UTF-8"))
+      out.close()
+    }
+  }
+
+  def streamExists(stream: String): Boolean =
+    fs(root).exists(new Path(streamDir(stream)))
+
+  /** Named streams under the root (reference: engine/mod.rs:40-44). */
+  def listStreams(): Seq[String] = {
+    val p = new Path(root)
+    val f = fs(root)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).filter(_.isDirectory).map(_.getPath.getName).toSeq.sorted
+  }
+
+  /** Per-partition head counters — `EventStreamStatus` (S7; reference:
+    * connection_handler/connection_state.rs:94-114). Partitions with no
+    * events report head 0. */
+  def status(stream: String): Map[Int, Long] = {
+    val declared = declaredPartitions(stream)
+    val observed =
+      if (isEmpty(stream)) Map.empty[Int, Long]
+      else
+        read(stream).groupBy(col("partition")).agg(max("event_counter").as("head"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    declared.map(p => p -> observed.getOrElse(p, 0L)).toMap ++ observed
+  }
+
+  private def declaredPartitions(stream: String): Seq[Int] = {
+    val p = new Path(streamDir(stream))
+    val f = fs(root)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).map(_.getPath.getName).collect {
+      case n if n.startsWith("partition=") => n.stripPrefix("partition=").toInt
+    }.toSeq.sorted
+  }
+
+  private def isEmpty(stream: String): Boolean = {
+    val f = fs(root)
+    !declaredPartitions(stream).exists { p =>
+      f.listStatus(new Path(s"${streamDir(stream)}/partition=$p"))
+        .exists(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    }
+  }
+
+  // ---------------------------------------------------------------- produce
+
+  /**
+   * Append events (S1): assign the next contiguous counter range, stamp the
+   * server timestamp (ms precision), append parquet, ack after commit.
+   * The Spark rendering of `PartitionImpl::append_all`
+   * (partition/controller/mod.rs:180-274).
+   *
+   * Counter assignment uses `zipWithIndex` — distributed, gap-free and
+   * order-preserving without a global sort (a window over the whole batch
+   * would funnel everything through one task at 100 TB).
+   *
+   * Returns the acked events (with ids and timestamps), like flo's
+   * `AckEvent{op_id, event_id}` carries the assigned id.
+   */
+  def produce(stream: String, requests: DataFrame): DataFrame = {
+    val counter = highestCounter(stream)
+    val base = counter.get()
+    // server-assigned timestamp, ms precision (flo-event/src/lib.rs:51-53)
+    val now = new java.sql.Timestamp(System.currentTimeMillis())
+
+    val in = requests.select(
+      col("partition").cast("int").as("partition"),
+      col("namespace").cast("string").as("namespace"),
+      col("parent_counter").cast("long").as("parent_counter"),
+      col("parent_partition").cast("int").as("parent_partition"),
+      col("data").cast("binary").as("data"))
+
+    val schema = org.apache.spark.sql.types.StructType(
+      in.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "event_counter", org.apache.spark.sql.types.LongType, nullable = false))
+    val withIds = spark.createDataFrame(
+      in.rdd.zipWithIndex().map { case (row, idx) =>
+        Row.fromSeq(row.toSeq :+ (base + idx + 1L))
+      }, schema)
+
+    val events = withIds.select(
+      col("event_counter"),
+      col("partition"),
+      lit(now).as("timestamp"),
+      col("parent_counter"),
+      col("parent_partition"),
+      col("namespace"),
+      col("data"))
+
+    val n = events.count()
+    // one writer task per partition per batch (single-writer discipline)
+    events.repartition(col("partition"))
+      .write.mode(SaveMode.Append).partitionBy("partition")
+      .parquet(streamDir(stream))
+    // ack only after the file commit (SURVEY §7.3 hard part 1): the id range
+    // becomes visible to highestCounter only now
+    counter.addAndGet(n)
+    consumeRange(stream, base + 1, base + n)
+  }
+
+  /** Convenience single-partition produce of string payloads. */
+  def produceStrings(stream: String, partition: Int, events: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    val df = events.toDF("namespace", "payload").select(
+      lit(partition).as("partition"), col("namespace"),
+      lit(null).cast("long").as("parent_counter"),
+      lit(null).cast("int").as("parent_partition"),
+      encode(col("payload"), "UTF-8").as("data"))
+    produce(stream, df)
+  }
+
+  private def consumeRange(stream: String, from: Long, to: Long): DataFrame =
+    read(stream).filter(col("event_counter").between(from, to))
+
+  private def highestCounter(stream: String): AtomicLong =
+    highest.computeIfAbsent(stream, _ => {
+      // recovery scan (S5): parquet stats make this a metadata-only max
+      val init =
+        if (isEmpty(stream)) 0L
+        else read(stream).agg(max("event_counter")).collect().head match {
+          case r if r.isNullAt(0) => 0L
+          case r => r.getLong(0)
+        }
+      new AtomicLong(init)
+    })
+
+  // ---------------------------------------------------------------- consume
+
+  /** The raw batch view of a stream (S2/S3: all segments, all partitions). */
+  def read(stream: String): DataFrame =
+    spark.read.schema(FloSchema.eventType).parquet(streamDir(stream))
+
+  /**
+   * Batch consume (the reference's consume lifecycle, SURVEY §3.2): glob
+   * filter + version-vector seek + global (counter, partition) order +
+   * optional limit. `vv` partitions are read exclusively after their counter;
+   * absent partitions are not read at all
+   * (connection_handler/consumer/mod.rs:91-107).
+   *
+   * The returned plan pushes both predicates into the scan: `partition`
+   * pruning from the dir layout, `event_counter` row-group skipping from
+   * parquet stats — the flo index seek (S4) for free.
+   */
+  def consume(
+      stream: String,
+      namespaceGlob: String = "/**/*",
+      vv: VersionVector,
+      maxEvents: Option[Long] = None): DataFrame = {
+    val base = read(stream)
+      .filter(vv.toPredicate(col("partition"), col("event_counter")))
+      .filter(ns_glob(col("namespace"), namespaceGlob))
+      .orderBy(col("event_counter"), col("partition"))
+    maxEvents.filter(_ > 0).fold(base)(n => base.limit(n.toInt))
+  }
+
+  /** Consume everything from the beginning of the given partitions. */
+  def consumeAll(stream: String, namespaceGlob: String = "/**/*",
+      maxEvents: Option[Long] = None): DataFrame =
+    consume(stream, namespaceGlob,
+      VersionVector.zero(declaredPartitions(stream)), maxEvents)
+
+  // -------------------------------------------------------------- streaming
+
+  /**
+   * Streaming consume (T1-T4): a Structured Streaming view of the stream with
+   * the same glob + vv predicates. File-source offsets give replayable
+   * resume; `Trigger.AvailableNow` reproduces `await_new=false` (T2), the
+   * default trigger is tail mode (T1). Strict cross-partition emission order
+   * within a micro-batch is the egress `foreachBatch`'s job
+   * (sort by (event_counter, partition)); cross-batch order holds because
+   * counters are assigned batch-monotonically (SURVEY §7.3 hard part 2).
+   */
+  def consumeStream(
+      stream: String,
+      namespaceGlob: String = "/**/*",
+      vv: VersionVector = VersionVector.empty,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream.schema(FloSchema.eventType)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val df = reader.parquet(streamDir(stream))
+    val seek =
+      if (vv.entries.isEmpty) df // empty vv on a stream = read all partitions
+      else df.filter(vv.toPredicate(col("partition"), col("event_counter")))
+    seek.filter(ns_glob(col("namespace"), namespaceGlob))
+  }
+
+  // -------------------------------------------------------------- retention
+
+  /**
+   * Retention janitor (S6): drop whole files whose events are ALL older than
+   * the cutoff — flo's whole-segment expiry (controller/mod.rs:151-178;
+   * intended semantics, not the reference's inverted-sign bug, see SURVEY
+   * §2.1 S6). File granularity keeps deletes O(#files) with no rewrite.
+   * Returns the deleted file paths.
+   */
+  def expireOldEvents(stream: String, cutoff: java.sql.Timestamp): Seq[String] = {
+    if (isEmpty(stream)) return Seq.empty
+    val perFile = read(stream)
+      .groupBy(input_file_name().as("file"))
+      .agg(max("timestamp").as("newest"))
+      .filter(col("newest") < lit(cutoff))
+      .collect().map(_.getString(0))
+    val f = fs(root)
+    perFile.foreach { uri => f.delete(new Path(new java.net.URI(uri)), false) }
+    perFile.toSeq
+  }
+}
+
+object FloEngine {
+  /** Stream options (reference: engine/event_stream/mod.rs:17-37, defaults
+    * {"default", 1, forever, 1 day, 1 GiB}). Segment rotation is delegated
+    * to parquet file rolling; sizes kept for parity of the API surface. */
+  final case class EventStreamOptions(
+      name: String = "default",
+      numPartitions: Int = 1,
+      eventRetentionMillis: Option[Long] = None,
+      maxSegmentDurationMillis: Long = 24L * 3600 * 1000,
+      segmentMaxSizeBytes: Long = 1L << 30) {
+    def toJson: String =
+      s"""{"name":"$name","numPartitions":$numPartitions,""" +
+        s""""eventRetentionMillis":${eventRetentionMillis.getOrElse(-1L)},""" +
+        s""""maxSegmentDurationMillis":$maxSegmentDurationMillis,""" +
+        s""""segmentMaxSizeBytes":$segmentMaxSizeBytes}"""
+  }
+}

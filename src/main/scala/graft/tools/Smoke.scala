@@ -42,6 +42,31 @@ object Smoke {
     println("LITERAL=" + ev.filter(ns_glob($"namespace", "/events/purchase")).count())
     println("LITERAL_PLAN=" + ev.filter(ns_glob($"namespace", "/events/purchase"))
       .queryExecution.optimizedPlan.toString.linesIterator.take(2).mkString(" | "))
+
+    // ---- engine drive: produce -> consume -> tail -> expire on a temp log
+    import graft.engine.FloEngine
+    import graft.model.VersionVector
+    val root = java.nio.file.Files.createTempDirectory("smoke-engine").toString
+    val engine = new FloEngine(spark, root)
+    engine.createStream(FloEngine.EventStreamOptions("default", numPartitions = 2))
+    engine.produceStrings("default", 1, Seq("/meals/breakfast/drinks/coffee" -> "c"))
+    engine.produceStrings("default", 2, Seq("/meals/lunch/drinks/soda" -> "s", "/meals/lunch" -> "l"))
+    println("ENGINE_STATUS=" + engine.status("default").toSeq.sorted.mkString(","))
+    val drinks = engine.consumeAll("default", "/**/drinks/*").collect()
+    println("ENGINE_DRINKS=" + drinks.map(r =>
+      r.getAs[String]("namespace") + "@" + r.getAs[Long]("event_counter")).mkString(","))
+    val q = engine.consumeStream("default", "/**/*", VersionVector(1 -> 0L, 2 -> 1L))
+      .writeStream.format("memory").queryName("smoketail").start()
+    q.processAllAvailable()
+    engine.produceStrings("default", 1, Seq("/late/event" -> "x"))
+    q.processAllAvailable()
+    q.stop()
+    println("ENGINE_TAIL=" + spark.table("smoketail").orderBy("event_counter")
+      .select("namespace").collect().map(_.getString(0)).mkString(","))
+    println("ENGINE_CONSUME_PLAN=" + engine.consume("default", "/late/*", VersionVector(1 -> 0L))
+      .queryExecution.executedPlan.toString.linesIterator
+      .filter(l => l.contains("PushedFilters") || l.contains("PartitionFilters"))
+      .mkString(" | ").take(400))
     spark.stop()
   }
 }

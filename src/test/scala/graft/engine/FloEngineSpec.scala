@@ -1,0 +1,205 @@
+package graft.engine
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.engine.FloEngine.EventStreamOptions
+import graft.model.VersionVector
+
+/**
+ * End-to-end engine parity tests mirroring the reference's embedded suite
+ * (flo-server/tests/embedded_tests.rs) and sync-client suite
+ * (flo-server/tests/sync_client_tests.rs).
+ */
+class FloEngineSpec extends SparkSuite {
+
+  private def newEngine(partitions: Int = 1): (FloEngine, String) = {
+    val root = tempDir("flo-engine")
+    val e = new FloEngine(spark, root)
+    e.createStream(EventStreamOptions(name = "default", numPartitions = partitions))
+    (e, root)
+  }
+
+  private def namespaces(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.orderBy("event_counter").select("namespace").collect().map(_.getString(0)).toSeq
+
+  test("produce then consume round-trips events in order (embedded_tests.rs:319-338,293-317)") {
+    val (e, _) = newEngine()
+    val acked = e.produceStrings("default", 1, (1 to 20).map(i => (s"/events/$i", s"payload-$i")))
+    assert(acked.count() == 20)
+
+    val out = e.consumeAll("default").collect()
+    assert(out.map(_.getAs[Long]("event_counter")).toSeq == (1L to 20L))
+    assert(out.map(_.getAs[String]("namespace")).toSeq == (1 to 20).map(i => s"/events/$i"))
+    // payload round-trip
+    assert(new String(out.head.getAs[Array[Byte]]("data"), "UTF-8") == "payload-1")
+  }
+
+  test("counters continue across produce batches (gap-free, contiguous)") {
+    val (e, _) = newEngine()
+    e.produceStrings("default", 1, Seq("/a" -> "1", "/b" -> "2"))
+    val second = e.produceStrings("default", 1, Seq("/c" -> "3"))
+    assert(second.collect().map(_.getAs[Long]("event_counter")).toSeq == Seq(3L))
+    assert(e.status("default") == Map(1 -> 3L))
+  }
+
+  test("engine recovers the highest counter from an existing log (S5 recovery)") {
+    val (e, root) = newEngine()
+    e.produceStrings("default", 1, Seq("/a" -> "1", "/b" -> "2"))
+    // a fresh engine over the same root must continue, not restart, the sequence
+    val e2 = new FloEngine(spark, root)
+    val acked = e2.produceStrings("default", 1, Seq("/c" -> "3"))
+    assert(acked.collect().map(_.getAs[Long]("event_counter")).toSeq == Seq(3L))
+  }
+
+  test("glob routing fixture (sync_client_tests.rs:179-206)") {
+    val (e, _) = newEngine()
+    e.produceStrings("default", 1, Seq(
+      "/meals" -> "", "/meals/breakfast" -> "",
+      "/meals/breakfast/foods/bacon" -> "", "/meals/breakfast/foods/eggs" -> "",
+      "/meals/breakfast/drinks/coffee" -> "", "/meals/lunch" -> "",
+      "/meals/lunch/foods/hamburgers" -> "", "/meals/lunch/drinks/soda" -> "").map {
+      case (ns, p) => (ns, p)
+    })
+    assert(namespaces(e.consumeAll("default", "/meals/breakfast/foods/*")) ==
+      Seq("/meals/breakfast/foods/bacon", "/meals/breakfast/foods/eggs"))
+    assert(namespaces(e.consumeAll("default", "/**/drinks/*")) ==
+      Seq("/meals/breakfast/drinks/coffee", "/meals/lunch/drinks/soda"))
+    assert(namespaces(e.consumeAll("default", "/meals/breakfast")) ==
+      Seq("/meals/breakfast"))
+  }
+
+  test("mid-path glob with limit (embedded_tests.rs:222-251)") {
+    val (e, _) = newEngine()
+    e.produceStrings("default", 1, Seq(
+      "/foo" -> "", "/bar" -> "", "/foo/bar/baz" -> "", "/foo/bar" -> "",
+      "/who/bar/qux" -> ""))
+    assert(namespaces(e.consumeAll("default", "/**/bar/*", maxEvents = Some(2))) ==
+      Seq("/foo/bar/baz", "/who/bar/qux"))
+  }
+
+  test("version-vector seek is exclusive and absent partitions are unread (F3/F4)") {
+    val (e, _) = newEngine(partitions = 2)
+    e.produceStrings("default", 1, (1 to 3).map(i => (s"/p1/$i", "")))
+    e.produceStrings("default", 2, (1 to 3).map(i => (s"/p2/$i", "")))
+
+    // exclusive start: from {1 -> counter-of-/p1/1} we get /p1/2, /p1/3 only
+    val firstP1 = e.consumeAll("default", "/p1/*").collect().head.getAs[Long]("event_counter")
+    val resumed = e.consume("default", "/**/*", VersionVector(1 -> firstP1))
+    assert(namespaces(resumed) == Seq("/p1/2", "/p1/3"))
+
+    // re-consume from zero re-delivers event 1 (sync_client_tests.rs:58-81)
+    val again = e.consume("default", "/p1/*", VersionVector(1 -> 0L))
+    assert(namespaces(again).head == "/p1/1")
+
+    // empty vv reads nothing
+    assert(e.consume("default", "/**/*", VersionVector.empty).count() == 0)
+  }
+
+  test("multi-partition consume returns global counter order (embedded_tests.rs:168-200)") {
+    val (e, _) = newEngine(partitions = 3)
+    // round-robin 50 events over partitions 1..3, one produce per event so
+    // counters interleave across partitions like flo's shared HighestCounter
+    (1 to 50).foreach { i => e.produceStrings("default", 1 + (i % 3), Seq(s"/n/$i" -> "")) }
+    val out = e.consume("default", "/**/*", VersionVector.zero(Seq(1, 2, 3))).collect()
+    assert(out.map(_.getAs[Long]("event_counter")).toSeq == (1L to 50L))
+    assert(out.map(_.getAs[String]("namespace")).toSeq == (1 to 50).map(i => s"/n/$i"))
+  }
+
+  test("limit caps the consumed events (consumer max_events, O2)") {
+    val (e, _) = newEngine()
+    e.produceStrings("default", 1, (1 to 30).map(i => (s"/e/$i", "")))
+    assert(e.consumeAll("default", maxEvents = Some(10)).count() == 10)
+    // 0 = unlimited (CONSUME_UNLIMITED, client.rs:147)
+    assert(e.consumeAll("default", maxEvents = Some(0)).count() == 30)
+  }
+
+  test("large payload round-trips intact (sync_client_tests.rs:83-100)") {
+    val (e, _) = newEngine()
+    val big = Array.fill[Byte](1 << 20)(42)
+    import spark.implicits._
+    val req = Seq((1, "/big", null.asInstanceOf[java.lang.Long], null.asInstanceOf[java.lang.Integer], big))
+      .toDF("partition", "namespace", "parent_counter", "parent_partition", "data")
+    e.produce("default", req)
+    val got = e.consumeAll("default").collect().head.getAs[Array[Byte]]("data")
+    assert(got.length == (1 << 20) && got.forall(_ == 42))
+  }
+
+  test("parent id links survive the round trip (causality, §2.3)") {
+    val (e, _) = newEngine()
+    e.produceStrings("default", 1, Seq("/root" -> ""))
+    import spark.implicits._
+    val child = Seq((1, "/child", java.lang.Long.valueOf(1L), java.lang.Integer.valueOf(1), Array.empty[Byte]))
+      .toDF("partition", "namespace", "parent_counter", "parent_partition", "data")
+    e.produce("default", child)
+    val events = e.read("default")
+    val joined = events.as("c").join(events.as("p"),
+      col("c.parent_counter") === col("p.event_counter") &&
+        col("c.parent_partition") === col("p.partition"))
+      .select(col("c.namespace"), col("p.namespace"))
+      .collect()
+    assert(joined.map(r => (r.getString(0), r.getString(1))).toSeq == Seq(("/child", "/root")))
+  }
+
+  test("retention janitor drops whole expired files only (S6, embedded_tests.rs:104-146)") {
+    val (e, _) = newEngine()
+    e.produceStrings("default", 1, Seq("/old/1" -> "", "/old/2" -> ""))
+    Thread.sleep(50)
+    val cutoff = new java.sql.Timestamp(System.currentTimeMillis())
+    Thread.sleep(50)
+    e.produceStrings("default", 1, Seq("/new/3" -> ""))
+
+    val deleted = e.expireOldEvents("default", cutoff)
+    assert(deleted.nonEmpty)
+    assert(namespaces(e.consumeAll("default")) == Seq("/new/3"))
+    // counters keep advancing after expiry
+    val after = e.produceStrings("default", 1, Seq("/new/4" -> ""))
+    assert(after.collect().map(_.getAs[Long]("event_counter")).toSeq == Seq(4L))
+  }
+
+  test("status reports heads for empty and populated partitions (S7)") {
+    val (e, _) = newEngine(partitions = 2)
+    e.produceStrings("default", 1, Seq("/a" -> ""))
+    assert(e.status("default") == Map(1 -> 1L, 2 -> 0L))
+    assert(e.listStreams() == Seq("default"))
+  }
+
+  test("streaming consume with AvailableNow drains and terminates (T2)") {
+    val (e, _) = newEngine()
+    e.produceStrings("default", 1, (1 to 15).map(i => (s"/s/$i", "")))
+    val q = e.consumeStream("default", "/s/*")
+      .writeStream.format("memory").queryName("drain1")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    assert(spark.table("drain1").count() == 15)
+  }
+
+  test("streaming tail picks up new produces across micro-batches (T1/T3)") {
+    val (e, _) = newEngine()
+    e.produceStrings("default", 1, Seq("/t/1" -> ""))
+    val q = e.consumeStream("default", "/t/*")
+      .writeStream.format("memory").queryName("tail1").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("tail1").count() == 1)
+      e.produceStrings("default", 1, Seq("/t/2" -> "", "/t/3" -> ""))
+      q.processAllAvailable()
+      val got = spark.table("tail1").orderBy("event_counter")
+        .select("namespace").collect().map(_.getString(0)).toSeq
+      assert(got == Seq("/t/1", "/t/2", "/t/3"))
+    } finally q.stop()
+  }
+
+  test("streaming consume honors the version-vector start (T3)") {
+    val (e, _) = newEngine()
+    e.produceStrings("default", 1, (1 to 10).map(i => (s"/v/$i", "")))
+    val q = e.consumeStream("default", "/v/*", VersionVector(1 -> 7L))
+      .writeStream.format("memory").queryName("vvseek")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    assert(spark.table("vvseek").orderBy("event_counter")
+      .collect().map(_.getAs[Long]("event_counter")).toSeq == Seq(8L, 9L, 10L))
+  }
+}
