@@ -1,0 +1,292 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/**
+ * The analytics surface (SURVEY §2.3-§2.8 north star): joins, aggregations,
+ * window functions, sorts/limits, set ops, rollup, event-time bucketing and
+ * sessionization over the TPC-H-ish tables.
+ *
+ * Numeric discipline for oracle (DuckDB) hash-equality: every aggregated
+ * double goes through an exact DECIMAL sum first and is cast to DOUBLE at
+ * the end — decimal addition is associative, so Spark's partial aggregation
+ * order and DuckDB's single-threaded order produce bit-identical results.
+ * Plain double SUM would differ in the last ulp between engines.
+ */
+object AnalyticsQueries {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  /** Exact decimal sum of a 2-decimal column, surfaced as double. */
+  private def dsum(c: String): org.apache.spark.sql.Column =
+    sum(col(c).cast("decimal(18,2)")).cast("double")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1-style pricing summary: the canonical wide aggregation
+    "q1_pricing_summary" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= expr("TIMESTAMP'2000-12-31 00:00:00'"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum("l_quantity").as("sum_qty"),
+          dsum("l_extendedprice").as("sum_base_price"),
+          sum(expr("CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"))
+            .cast("double").as("sum_disc_price"),
+          (sum(col("l_quantity").cast("decimal(18,2)")).cast("double") / count(lit(1))).as("avg_qty"),
+          (sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double") / count(lit(1))).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // TPC-H Q3-style: selective dim filter, broadcast join, top-k by revenue
+    "q3_shipping_priority" -> ((s, d) => {
+      val cust = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, d, "orders").filter(col("o_orderdate") < expr("TIMESTAMP'1998-06-30 00:00:00'"))
+      val li = t(s, d, "lineitem").filter(col("l_shipdate") > expr("TIMESTAMP'1998-06-30 00:00:00'"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(sum(expr("CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"))
+          .cast("double").as("revenue"))
+        .select(col("o_orderkey"), cast_date(col("o_orderdate")).as("o_orderdate"),
+          col("o_orderpriority"), col("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q5-style: 6-way join, small dims broadcast, group by nation
+    "q5_region_revenue" -> ((s, d) => {
+      val region = t(s, d, "region").filter(col("r_name") === "ASIA")
+      val nation = t(s, d, "nation")
+      val cust = t(s, d, "customer")
+      val ord = t(s, d, "orders")
+        .filter(col("o_orderdate") >= expr("TIMESTAMP'1996-01-01 00:00:00'") &&
+          col("o_orderdate") < expr("TIMESTAMP'1997-01-01 00:00:00'"))
+      val li = t(s, d, "lineitem")
+      val supp = t(s, d, "supplier")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(sum(expr("CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // §2.5: ranking + running aggregate windows
+    "q_window_running" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      t(s, d, "orders")
+        .filter(pmod(col("o_custkey"), lit(100)) === 0)
+        .select(col("o_custkey"), col("o_orderkey"),
+          row_number().over(w).as("rk"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double").as("running_spend"))
+        .orderBy("o_custkey", "rk")
+    }),
+
+    // §2.6 top-k per group via ranking window
+    "q_topk_per_group" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 3)
+        .orderBy("o_orderpriority", "rn")
+    }),
+
+    // §2.4: rollup with subtotal rows
+    "q_rollup" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum("l_quantity").as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("sum_qty"))
+        .orderBy("rf", "ls")
+    }),
+
+    // §2.7: EXCEPT / INTERSECT / UNION ALL
+    "q_setops" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+      val buyers = t(s, d, "orders").select(col("o_custkey").as("custkey"))
+      val rich = cust.filter(col("c_acctbal") > 7000).select(col("c_custkey").as("custkey"))
+      val debt = cust.filter(col("c_acctbal") < 0).select(col("c_custkey").as("custkey"))
+      rich.except(buyers).withColumn("tag", lit("rich_no_orders"))
+        .unionAll(debt.intersect(buyers).withColumn("tag", lit("debt_buyer")))
+        .select("tag", "custkey")
+        .orderBy("tag", "custkey")
+    }),
+
+    // §2.3: semi/anti joins
+    "q_semi_anti" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+      val ord = t(s, d, "orders")
+      val cond = col("c_custkey") === col("o_custkey")
+      val withO = cust.join(ord, cond, "left_semi").agg(count(lit(1)).as("with_orders"))
+      val withoutO = cust.join(ord, cond, "left_anti").agg(count(lit(1)).as("without_orders"))
+      withO.crossJoin(withoutO)
+    }),
+
+    // T5 north star: event-time tumbling hour buckets
+    "q_events_hourly" -> ((s, d) => {
+      t(s, d, "events")
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          dsum("value").as("sum_value"),
+          countDistinct("user_id").as("users"))
+        .orderBy("hour", "event_type")
+    }),
+
+    // gaps-and-islands sessionization (30-minute inactivity gap), ms precision
+    "q_sessionize" -> ((s, d) => {
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val marked = t(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          when(lag("ts", 1).over(byUser).isNull ||
+            unix_millis(col("ts")) - unix_millis(lag("ts", 1).over(byUser)) > 1800000L, 1)
+            .otherwise(0).as("is_new"))
+      val sess = marked.select(col("user_id"),
+        sum("is_new").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("session_id"))
+      sess.groupBy("user_id")
+        .agg(max("session_id").as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
+
+    // §2.4: multi-column distinct aggregation
+    "q_distinct_stats" -> ((s, d) => {
+      t(s, d, "lineitem").agg(
+        countDistinct("l_partkey").as("parts"),
+        countDistinct("l_suppkey").as("supps"),
+        countDistinct("l_orderkey").as("orders_cnt"),
+        count(lit(1)).as("rows_cnt"))
+    }))
+
+  private def cast_date(c: org.apache.spark.sql.Column) = c.cast("date")
+
+  private val revenueSql =
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-12-31 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_shipping_priority" ->
+      s"""SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority,
+         |  $revenueSql AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-06-30 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '1998-06-30 00:00:00'
+         |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q5_region_revenue" ->
+      s"""SELECT n_name, $revenueSql AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         |GROUP BY n_name
+         |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  ROW_NUMBER() OVER w AS rk,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+        |FROM orders
+        |WHERE o_custkey % 100 = 0
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, rk""".stripMargin,
+
+    "q_topk_per_group" ->
+      """SELECT * FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3
+        |ORDER BY o_orderpriority, rn""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+        |  COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+
+    "q_setops" ->
+      """SELECT 'rich_no_orders' AS tag, custkey FROM (
+        |  SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 7000
+        |  EXCEPT SELECT o_custkey FROM orders)
+        |UNION ALL
+        |SELECT 'debt_buyer' AS tag, custkey FROM (
+        |  SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0
+        |  INTERSECT SELECT o_custkey FROM orders)
+        |ORDER BY tag, custkey""".stripMargin,
+
+    "q_semi_anti" ->
+      """SELECT
+        |  (SELECT COUNT(*) FROM customer c
+        |    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS with_orders,
+        |  (SELECT COUNT(*) FROM customer c
+        |    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS without_orders""".stripMargin,
+
+    "q_events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  COUNT(DISTINCT user_id) AS users
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000 THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        |  SELECT user_id,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM marked)
+        |SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+        |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_distinct_stats" ->
+      """SELECT COUNT(DISTINCT l_partkey) AS parts, COUNT(DISTINCT l_suppkey) AS supps,
+        |  COUNT(DISTINCT l_orderkey) AS orders_cnt, COUNT(*) AS rows_cnt
+        |FROM lineitem""".stripMargin)
+}

@@ -1,0 +1,145 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions._
+import graft.model.VersionVector
+
+/**
+ * The flo operator surface (SURVEY §2.1/§2.2/§2.6/§2.7) expressed as
+ * oracle-checkable queries over the bridged `events` table (FIXTURES.md §3:
+ * event_counter=event_id, partition=1+(user_id%3), namespace=/events/<type>).
+ *
+ * Every query has a deterministic total order so the DuckDB compare is
+ * stable, and pushes its predicates into the parquet scan.
+ */
+object FloQueries {
+
+  /** DuckDB CTE mirroring [[Tables.floEvents]]. */
+  private val floCte =
+    """WITH flo AS (
+      |  SELECT event_id AS event_counter,
+      |         CAST(1 + (user_id % 3) AS INT) AS "partition",
+      |         ts AS timestamp,
+      |         '/events/' || event_type AS namespace,
+      |         props
+      |  FROM events
+      |)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // F1/F2: glob filter consume from the zero vector (S2/S3 scan + F1 glob)
+    "flo_consume_glob" -> ((s, d) => {
+      Tables.floEvents(s, d)
+        .filter(VersionVector.zero(Seq(1, 2, 3)).toPredicate(col("partition"), col("event_counter")))
+        .filter(ns_glob(col("namespace"), "/events/p*"))
+        .select("event_counter", "partition", "namespace")
+        .orderBy("event_counter")
+    }),
+
+    // F3/F4 + S4: version-vector seek (exclusive start, absent partition unread)
+    "flo_consume_vv_seek" -> ((s, d) => {
+      Tables.floEvents(s, d)
+        .filter(VersionVector(1 -> 9000L, 3 -> 9500L)
+          .toPredicate(col("partition"), col("event_counter")))
+        .select("event_counter", "partition", "namespace")
+        .orderBy("event_counter", "partition")
+        .limit(200)
+    }),
+
+    // S7/A1: per-partition head counters
+    "flo_head_status" -> ((s, d) => {
+      Tables.floEvents(s, d)
+        .groupBy("partition").agg(max("event_counter").as("head"))
+        .orderBy("partition")
+    }),
+
+    // O1/O3 + C2: newest-first ordering with the id display form
+    "flo_event_ids" -> ((s, d) => {
+      Tables.floEvents(s, d)
+        .orderBy(col("event_counter").desc)
+        .limit(100)
+        .select(event_id_str(col("event_counter"), col("partition")).as("id"),
+          col("event_counter"), col("namespace"))
+    }),
+
+    // §2.3: parent/child causality self-join (successor event on same partition)
+    "flo_parent_join" -> ((s, d) => {
+      val flo = Tables.floEvents(s, d)
+      flo.as("c").join(flo.as("p"),
+          col("c.event_counter") === col("p.event_counter") + 1 &&
+            col("c.partition") === col("p.partition"))
+        .select(col("c.event_counter").as("child_counter"),
+          col("p.event_counter").as("parent_counter"),
+          col("c.namespace").as("child_ns"),
+          col("p.namespace").as("parent_ns"))
+        .orderBy("child_counter")
+        .limit(500)
+    }),
+
+    // C4: payload JSON decode (SerdeJsonCodec equivalent) + aggregation
+    "flo_payload_k" -> ((s, d) => {
+      Tables.floEvents(s, d)
+        .select(payload_json(col("data"), "$.k").cast("long").as("k"))
+        .groupBy(pmod(col("k"), lit(10)).as("k_bucket"))
+        .agg(count("*").as("n"))
+        .orderBy("k_bucket")
+    }),
+
+    // §2.7: union of two consumer globs (overlap dedup via set semantics)
+    "flo_union_globs" -> ((s, d) => {
+      val flo = Tables.floEvents(s, d)
+      val a = flo.filter(ns_glob(col("namespace"), "/events/p*"))
+      val b = flo.filter(ns_glob(col("namespace"), "/events/error"))
+      a.select("event_counter", "namespace")
+        .union(b.select("event_counter", "namespace"))
+        .distinct()
+        .orderBy("event_counter")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "flo_consume_glob" ->
+      s"""$floCte
+         |SELECT event_counter, "partition", namespace FROM flo
+         |WHERE namespace LIKE '/events/p%'
+         |ORDER BY event_counter""".stripMargin,
+
+    "flo_consume_vv_seek" ->
+      s"""$floCte
+         |SELECT event_counter, "partition", namespace FROM flo
+         |WHERE ("partition" = 1 AND event_counter > 9000)
+         |   OR ("partition" = 3 AND event_counter > 9500)
+         |ORDER BY event_counter, "partition" LIMIT 200""".stripMargin,
+
+    "flo_head_status" ->
+      s"""$floCte
+         |SELECT "partition", MAX(event_counter) AS head FROM flo
+         |GROUP BY "partition" ORDER BY "partition"""".stripMargin,
+
+    "flo_event_ids" ->
+      s"""$floCte
+         |SELECT CAST(event_counter AS VARCHAR) || '.' || CAST("partition" AS VARCHAR) AS id,
+         |       event_counter, namespace
+         |FROM flo ORDER BY event_counter DESC LIMIT 100""".stripMargin,
+
+    "flo_parent_join" ->
+      s"""$floCte
+         |SELECT c.event_counter AS child_counter, p.event_counter AS parent_counter,
+         |       c.namespace AS child_ns, p.namespace AS parent_ns
+         |FROM flo c JOIN flo p
+         |  ON c.event_counter = p.event_counter + 1 AND c."partition" = p."partition"
+         |ORDER BY child_counter LIMIT 500""".stripMargin,
+
+    "flo_payload_k" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+        |       COUNT(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "flo_union_globs" ->
+      s"""$floCte
+         |SELECT event_counter, namespace FROM flo WHERE namespace LIKE '/events/p%'
+         |UNION
+         |SELECT event_counter, namespace FROM flo WHERE namespace = '/events/error'
+         |ORDER BY event_counter""".stripMargin)
+}
