@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/**
+ * Deduplication operators for the training-data pipeline surface: exact
+ * (hash group-by), normalized, MinHash+LSH, SimHash, and embedding-cosine
+ * near-dup. Exact/normalized are DuckDB-oracle-checked; the sketch-based
+ * ones are deterministic (xxhash64, fixed seeds) but not SQL-expressible,
+ * so they get rows-only checks plus scalatest invariants.
+ *
+ * Scale design: every variant is one shuffle per logical stage
+ * (shingle-explode → per-doc agg → band-join), no driver-side loops, no
+ * cross join except on LSH-candidate pairs (bounded by band collisions).
+ */
+object DedupQueries {
+
+  private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
+
+  /** Char 5-gram shingles of a text column (deterministic, order-free set). */
+  private def shingles(text: Column): Column =
+    array_distinct(expr(
+      "transform(sequence(0, greatest(length(text) - 5, 0)), i -> substring(text, i + 1, 5))"))
+
+  private val H = 32 // minhash signature length
+  private val B = 8  // bands
+  private val R = H / B
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact dedup: content-hash group-by (the 100 TB workhorse — one shuffle)
+    "dedup_exact" -> ((s, d) => {
+      docs(s, d)
+        .groupBy(md5(col("text")).as("text_hash"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("text_hash")
+    }),
+
+    // normalized dedup: case/punctuation/whitespace-insensitive content hash
+    "dedup_norm" -> ((s, d) => {
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+      docs(s, d)
+        .groupBy(md5(norm).as("norm_hash"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("norm_hash")
+    }),
+
+    // MinHash + LSH banding: candidate pairs from band collisions, then
+    // exact Jaccard verification on the candidates only
+    "dedup_minhash_lsh" -> ((s, d) => {
+      val sh = docs(s, d).select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+
+      val sigCols = (0 until H).map(h => min(xxhash64(lit(h), col("sh"))).as(s"h$h"))
+      val sigs = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+
+      val bandStructs = (0 until B).map { b =>
+        struct(lit(b).as("band_idx"),
+          xxhash64((b * R until (b + 1) * R).map(i => col(s"h$i")): _*).as("band_val"))
+      }
+      val bands = sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
+        .select(col("doc_id"), col("band.band_idx"), col("band.band_val"))
+
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_val") === col("b.band_val") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+
+      val sets = sh.groupBy("doc_id").agg(collect_set("sh").as("shs"))
+      cand
+        .join(sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shs", "sa"), "doc_a")
+        .join(sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shs", "sb"), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          (size(array_intersect(col("sa"), col("sb"))).cast("double") /
+            size(array_union(col("sa"), col("sb")))).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 3).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // SimHash: 64-bit sketch from token hashes; near-dup candidates via
+    // 16-bit band collisions, kept if hamming distance <= 8
+    "dedup_simhash" -> ((s, d) => {
+      val toks = docs(s, d)
+        .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+
+      val bitSums = (0 until 64).map(j =>
+        sum(expr(s"CAST((shiftright(h, $j) & 1) AS INT) * 2 - 1")).as(s"b$j"))
+      val sums = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      val sim = sums.select(col("doc_id"),
+        (0 until 64).map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
+
+      val bandCols = (0 until 4).map(b =>
+        struct(lit(b).as("band_idx"),
+          expr(s"shiftright(simhash, ${16 * b}) & 65535").as("band_val")))
+      val bands = sim.select(col("doc_id"), col("simhash"),
+          explode(array(bandCols: _*)).as("band"))
+        .select(col("doc_id"), col("simhash"), col("band.band_idx"), col("band.band_val"))
+
+      bands.as("a").join(bands.as("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_val") === col("b.band_val") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 8)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // embedding-space near-dup: brute-force cosine >= 0.4 pairs (baseline;
+    // the LSH-bucketed scale path is sim_knn_lsh in SimilarityQueries)
+    "dedup_embedding_cosine" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+        .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      val dot = expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+      val na = expr("sqrt(aggregate(transform(a.v, x -> x * x), CAST(0 AS DOUBLE), (acc, x) -> acc + x))")
+      val nb = expr("sqrt(aggregate(transform(b.v, x -> x * x), CAST(0 AS DOUBLE), (acc, x) -> acc + x))")
+      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          (dot / (na * nb)).as("cos"))
+        .filter(col("cos") >= 0.4)
+        .select("vec_a", "vec_b")
+        .orderBy("vec_a", "vec_b")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "dedup_norm" ->
+      """SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_hash,
+        |       MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "dedup_embedding_cosine" ->
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+        |ORDER BY vec_a, vec_b""".stripMargin)
+}

@@ -41,7 +41,7 @@ object FloQueries {
     // F3/F4 + S4: version-vector seek (exclusive start, absent partition unread)
     "flo_consume_vv_seek" -> ((s, d) => {
       Tables.floEvents(s, d)
-        .filter(VersionVector(1 -> 9000L, 3 -> 9500L)
+        .filter(VersionVector(1 -> 300L, 3 -> 600L)
           .toPredicate(col("partition"), col("event_counter")))
         .select("event_counter", "partition", "namespace")
         .orderBy("event_counter", "partition")
@@ -108,8 +108,8 @@ object FloQueries {
     "flo_consume_vv_seek" ->
       s"""$floCte
          |SELECT event_counter, "partition", namespace FROM flo
-         |WHERE ("partition" = 1 AND event_counter > 9000)
-         |   OR ("partition" = 3 AND event_counter > 9500)
+         |WHERE ("partition" = 1 AND event_counter > 300)
+         |   OR ("partition" = 3 AND event_counter > 600)
          |ORDER BY event_counter, "partition" LIMIT 200""".stripMargin,
 
     "flo_head_status" ->

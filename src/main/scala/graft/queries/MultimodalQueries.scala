@@ -1,0 +1,42 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.multimodal.Multimodal
+
+/**
+ * Multimodal-column queries: binary payload metadata (oracle-checked — byte
+ * lengths are engine-independent) and the stub-decode feature pipeline
+ * (deterministic but not SQL-expressible -> rows-only check + spec).
+ */
+object MultimodalQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // binary-column metadata over the opaque payload
+    "mm_meta" -> ((s, d) => {
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          octet_length(encode(col("text"), "UTF-8")).as("n_bytes"),
+          pmod(octet_length(encode(col("text"), "UTF-8")), lit(251)).as("shard_bucket"))
+        .orderBy("doc_id")
+    }),
+
+    // decode (STUB) -> featurize pipeline; emits per-doc feature norms
+    "mm_decode_features" -> ((s, d) => {
+      val feats = Multimodal.featurize(Multimodal.documentsAsMedia(s, d))
+      feats.toDF()
+        .select(col("doc_id"), col("feature_dim"),
+          (floor(expr(
+            "aggregate(transform(features, x -> CAST(x AS DOUBLE) * x), CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+            * 10000) / 10000).as("feature_energy"))
+        .orderBy("doc_id")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "mm_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        |       octet_length(encode(text)) % 251 AS shard_bucket
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/**
+ * Text-analysis operators for the training-data pipeline: quality scoring,
+ * n-gram-heuristic language ID, BPE-ish token counting, and content
+ * fingerprinting — all as codegen'd column expressions (no UDFs), all
+ * DuckDB-oracle-checked.
+ *
+ * Ratio discipline: ratios are floored at fixed precision
+ * (`floor(10000 * a / b) / 10000`) instead of round() — Spark rounds
+ * HALF_UP, DuckDB half-away-from-zero on doubles, and floor sidesteps the
+ * half-way cases entirely (both engines do the same IEEE double division).
+ */
+object TextQueries {
+
+  private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
+
+  private def ratio4(a: Column, b: Column): Column =
+    floor(a.cast("double") * 10000 / b) / 10000
+
+  /** Language stopword alternations (tiny n-gram heuristic). */
+  private val langPatterns = Seq(
+    "en" -> "\\b(the|and|of|to|in|is|for|with)\\b",
+    "es" -> "\\b(el|la|de|que|los|las|una|por)\\b",
+    "de" -> "\\b(der|die|das|und|ist|nicht|mit|ein)\\b")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // quality scoring: length, token stats, stopword ratio
+    "text_quality" -> ((s, d) => {
+      val nTokens = size(split(trim(col("text")), " +"))
+      val nStop = regexp_count(lower(col("text")), lit(langPatterns.head._2))
+      docs(s, d).select(
+          col("doc_id"),
+          length(col("text")).as("n_chars_m"),
+          nTokens.as("n_tokens"),
+          ratio4(length(regexp_replace(col("text"), " ", "")), nTokens).as("avg_token_len"),
+          ratio4(nStop, nTokens).as("stopword_ratio"),
+          (nTokens < 5).as("too_short"))
+        .orderBy("doc_id")
+    }),
+
+    // n-gram-heuristic language ID: argmax of per-language stopword hits
+    "text_langid" -> ((s, d) => {
+      val scores = langPatterns.map { case (lang, pat) =>
+        lang -> regexp_count(lower(col("text")), lit(pat))
+      }
+      val Seq(en, es, de) = scores.map(_._2)
+      docs(s, d).select(
+          col("doc_id"), col("lang").as("labeled_lang"),
+          when(en >= es && en >= de && en > 0, "en")
+            .when(es >= de && es > 0, "es")
+            .when(de > 0, "de")
+            .otherwise("und").as("guessed_lang"))
+        .orderBy("doc_id")
+    }),
+
+    // BPE-ish token counting: letter-runs | digit-runs | single symbols
+    "text_token_count" -> ((s, d) => {
+      val bpeish = regexp_count(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"))
+      docs(s, d)
+        .select(col("source"), bpeish.as("n_bpe"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("docs"), sum("n_bpe").as("total_tokens"),
+          (floor(sum("n_bpe") * lit(10000) / count(lit(1))) / 10000).as("avg_tokens"))
+        .orderBy("source")
+    }),
+
+    // content fingerprint: digest of the normalized text (stable doc identity)
+    "text_fingerprint" -> ((s, d) => {
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+      docs(s, d)
+        .select(col("doc_id"), substring(md5(norm), 1, 16).as("fp"))
+        .orderBy("doc_id")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "text_quality" ->
+      s"""SELECT doc_id,
+         |  LENGTH(text) AS n_chars_m,
+         |  LEN(string_split_regex(TRIM(text), ' +')) AS n_tokens,
+         |  FLOOR(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE) * 10000
+         |        / LEN(string_split_regex(TRIM(text), ' +'))) / 10000 AS avg_token_len,
+         |  FLOOR(CAST(LEN(regexp_extract_all(LOWER(text), '${langPatterns.head._2}')) AS DOUBLE) * 10000
+         |        / LEN(string_split_regex(TRIM(text), ' +'))) / 10000 AS stopword_ratio,
+         |  LEN(string_split_regex(TRIM(text), ' +')) < 5 AS too_short
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_langid" ->
+      s"""SELECT doc_id, lang AS labeled_lang,
+         |  CASE
+         |    WHEN len(regexp_extract_all(lower(text), '${langPatterns(0)._2}')) >= len(regexp_extract_all(lower(text), '${langPatterns(1)._2}'))
+         |     AND len(regexp_extract_all(lower(text), '${langPatterns(0)._2}')) >= len(regexp_extract_all(lower(text), '${langPatterns(2)._2}'))
+         |     AND len(regexp_extract_all(lower(text), '${langPatterns(0)._2}')) > 0 THEN 'en'
+         |    WHEN len(regexp_extract_all(lower(text), '${langPatterns(1)._2}')) >= len(regexp_extract_all(lower(text), '${langPatterns(2)._2}'))
+         |     AND len(regexp_extract_all(lower(text), '${langPatterns(1)._2}')) > 0 THEN 'es'
+         |    WHEN len(regexp_extract_all(lower(text), '${langPatterns(2)._2}')) > 0 THEN 'de'
+         |    ELSE 'und' END AS guessed_lang
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_token_count" ->
+      """SELECT source, COUNT(*) AS docs,
+        |  CAST(SUM(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS BIGINT) AS total_tokens,
+        |  FLOOR(CAST(SUM(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS DOUBLE) * 10000 / COUNT(*)) / 10000 AS avg_tokens
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  SUBSTRING(md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))), 1, 16) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}
