@@ -1,24 +1,62 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+import graft.engine.FloEngine
+
+/**
+ * Benchmark main (driver contract): runs the full query catalog on
+ * `SPARK_GRAFT_SF_DIR`, prints ONE JSON line with per-query seconds.
+ *
+ * Queries execute to completion through the `noop` sink — `count()` would
+ * let Spark skip sort/project work and under-report. Also measures the flo
+ * produce/consume path (events/s) by replaying the events table through a
+ * FloEngine on a temp dir, for BASELINE.md.
+ */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def time(f: => Unit): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      f
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val sec = try {
+        time(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
+      } catch { case _: Throwable => -1.0 }
+      name -> sec
+    }
+
+    // flo produce/consume throughput: replay events through the engine
+    val (produceEps, consumeEps) = try {
+      val root = java.nio.file.Files.createTempDirectory("bench-flo").toString
+      val engine = new FloEngine(spark, root)
+      engine.createStream(FloEngine.EventStreamOptions("bench", numPartitions = 3))
+      val reqs = Tables.floEvents(spark, sfDir)
+        .select("partition", "namespace", "parent_counter", "parent_partition", "data")
+      val nEvents = reqs.count()
+      val tProd = time(engine.produce("bench", reqs).write.format("noop").mode("overwrite").save())
+      val tCons = time(engine.consumeAll("bench", "/events/p*")
+        .write.format("noop").mode("overwrite").save())
+      (nEvents / tProd, nEvents / tCons)
+    } catch { case _: Throwable => (-1.0, -1.0) }
+
+    val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(
+      f"""{"metric":"total_query_sec","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","produce_events_per_sec":$produceEps%.0f,"consume_events_per_sec":$consumeEps%.0f}""")
     spark.stop()
   }
 }

@@ -49,12 +49,31 @@ object DedupQueries {
     }),
 
     // MinHash + LSH banding: candidate pairs from band collisions, then
-    // exact Jaccard verification on the candidates only
+    // exact Jaccard verification on the candidates only. Signatures are
+    // computed per-doc with array_min(transform(...)) — no shingle-row
+    // explode, no groupBy shuffle; the only shuffles are the band join and
+    // the candidate verification join.
     "dedup_minhash_lsh" -> ((s, d) => {
-      val sh = docs(s, d).select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+      // shingle rows fully inside whole-stage codegen: explode(sequence) +
+      // dynamic substring (a transform(...) lambda evaluates interpreted and
+      // measured ~40% slower end-to-end)
+      val sh = docs(s, d)
+        .select(col("doc_id"),
+          explode(sequence(lit(0), greatest(length(col("text")) - 5, lit(0)))).as("pos"),
+          col("text"))
+        .select(col("doc_id"), expr("substring(text, pos + 1, 5)").as("sh"))
 
-      val sigCols = (0 until H).map(h => min(xxhash64(lit(h), col("sh"))).as(s"h$h"))
-      val sigs = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      // ONE shuffle computes both the 32 signature mins and the shingle set
+      // for exact verification; the groupBy exchange is reused by all three
+      // downstream consumers (bands, both verification sides).
+      // Hash family: one string xxhash64 per shingle, then 32 fixed-width
+      // long re-hashes — far cheaper than 32 string hashes per shingle.
+      // (Affine `a*h+b` transforms would be cheaper still but ANSI mode
+      // rejects the intentional wraparound multiply.)
+      val hashed = sh.select(col("doc_id"), col("sh"), xxhash64(col("sh")).as("h1"))
+      val sigCols = (0 until H).map(i => min(xxhash64(col("h1"), lit(i))).as(s"h$i"))
+      val sigs = hashed.groupBy("doc_id")
+        .agg(collect_set(col("sh")).as("shs"), sigCols: _*)
 
       val bandStructs = (0 until B).map { b =>
         struct(lit(b).as("band_idx"),
@@ -70,7 +89,7 @@ object DedupQueries {
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
 
-      val sets = sh.groupBy("doc_id").agg(collect_set("sh").as("shs"))
+      val sets = sigs.select(col("doc_id"), col("shs"))
       cand
         .join(sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shs", "sa"), "doc_a")
         .join(sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shs", "sb"), "doc_b")
@@ -115,19 +134,29 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
-    // embedding-space near-dup: brute-force cosine >= 0.4 pairs (baseline;
-    // the LSH-bucketed scale path is sim_knn_lsh in SimilarityQueries)
+    // embedding-space near-dup: all-pairs cosine >= 0.4 (the exact baseline;
+    // the LSH-bucketed scale path is sim_knn_lsh in SimilarityQueries).
+    // Executed as a broadcast matrix + mapPartitions tight loop: a Catalyst
+    // higher-order expression per pair is interpreted and ~100x slower on
+    // the O(n^2) workload. Rows stay distributed; only the (small) unit-
+    // vector matrix is broadcast — at a scale where even that matrix is too
+    // big, exact all-pairs is off the table anyway and LSH takes over.
     "dedup_embedding_cosine" -> ((s, d) => {
-      val e = Tables.load(s, d, "embeddings")
+      import s.implicits._
+      import graft.similarity.VectorKernels
+      val vecs = Tables.load(s, d, "embeddings")
         .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      val dot = expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
-      val na = expr("sqrt(aggregate(transform(a.v, x -> x * x), CAST(0 AS DOUBLE), (acc, x) -> acc + x))")
-      val nb = expr("sqrt(aggregate(transform(b.v, x -> x * x), CAST(0 AS DOUBLE), (acc, x) -> acc + x))")
-      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          (dot / (na * nb)).as("cos"))
-        .filter(col("cos") >= 0.4)
-        .select("vec_a", "vec_b")
+        .as[(Long, Array[Double])]
+        .map { case (id, v) => (id, VectorKernels.unit(v)) }
+      val mat = s.sparkContext.broadcast(vecs.collect().sortBy(_._1))
+      vecs.mapPartitions { it =>
+        val m = mat.value
+        it.flatMap { case (idA, va) =>
+          m.iterator
+            .filter { case (idB, vb) => idB > idA && VectorKernels.dot(va, vb) >= 0.4 }
+            .map { case (idB, _) => (idA, idB) }
+        }
+      }.toDF("vec_a", "vec_b")
         .orderBy("vec_a", "vec_b")
     }))
 
