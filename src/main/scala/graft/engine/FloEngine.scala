@@ -245,6 +245,57 @@ final class FloEngine(val spark: SparkSession, val root: String) {
     seek.filter(ns_glob(col("namespace"), namespaceGlob))
   }
 
+  /**
+   * Tail a stream with STRICT cross-partition emission order per micro-batch
+   * (O1/O3: the K-way merge by counter,
+   * consumer_stream/multi_partition_reader.rs:27-47). Each batch is handed
+   * to `handler` as a single sorted partition — the egress edge is the only
+   * place the global order is materialized, everything upstream stays
+   * parallel. Cross-batch order holds because counters are assigned
+   * batch-monotonically (SURVEY §7.3 hard part 2).
+   */
+  def consumeStreamOrdered(
+      stream: String,
+      namespaceGlob: String = "/**/*",
+      vv: VersionVector = VersionVector.empty)(
+      handler: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    consumeStream(stream, namespaceGlob, vv)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        handler(batch.coalesce(1)
+          .sortWithinPartitions(col("event_counter"), col("partition")))
+      }
+      .start()
+
+  /**
+   * Event-time tumbling-window counts over a consumed stream with a
+   * watermark for late data (T5 — absent in the reference, required by the
+   * north star; Spark built-ins do the state management).
+   */
+  def consumeWindowed(
+      stream: String,
+      namespaceGlob: String = "/**/*",
+      windowDuration: String = "10 minutes",
+      watermarkDelay: String = "1 minute"): DataFrame =
+    consumeStream(stream, namespaceGlob)
+      .withWatermark("timestamp", watermarkDelay)
+      .groupBy(window(col("timestamp"), windowDuration), col("namespace"))
+      .count()
+
+  /** At-least-once redelivery dedup (T7): id-based exact dedup. Batch form;
+    * for streams compose with a watermark + dropDuplicatesWithinWatermark. */
+  def dedupRedelivered(events: DataFrame): DataFrame =
+    events.dropDuplicates("partition", "event_counter")
+
+  /** Streaming consume with redelivery dedup inside the watermark horizon. */
+  def consumeStreamDeduped(
+      stream: String,
+      namespaceGlob: String = "/**/*",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    consumeStream(stream, namespaceGlob)
+      .withWatermark("timestamp", watermarkDelay)
+      .dropDuplicatesWithinWatermark("partition", "event_counter")
+
   // -------------------------------------------------------------- retention
 
   /**

@@ -67,6 +67,23 @@ object Smoke {
       .queryExecution.executedPlan.toString.linesIterator
       .filter(l => l.contains("PushedFilters") || l.contains("PartitionFilters"))
       .mkString(" | ").take(400))
+
+    // ordered egress + watermark windows + vv aggregator
+    val ordered = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val oq = engine.consumeStreamOrdered("default") { b =>
+      ordered ++= b.collect().map(_.getAs[Long]("event_counter"))
+    }
+    oq.processAllAvailable(); oq.stop()
+    println("ORDERED_EGRESS=" + ordered.mkString(","))
+    val wq = engine.consumeWindowed("default", "/**/*", "1 hour")
+      .writeStream.format("memory").queryName("smokewin").outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    wq.awaitTermination(60000)
+    println("WINDOWED_NS=" + spark.table("smokewin").count())
+    import spark.implicits._
+    val vvAgg = engine.consumeAll("default").select($"partition", $"event_counter")
+      .as[(Int, Long)].select(graft.model.VersionVectorAggregator.column).first()
+    println("VV_AGG=" + vvAgg.toSeq.sorted.mkString(","))
     spark.stop()
   }
 }

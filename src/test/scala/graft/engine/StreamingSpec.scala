@@ -1,0 +1,104 @@
+package graft.engine
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.engine.FloEngine.EventStreamOptions
+import graft.model.{VersionVector, VersionVectorAggregator}
+
+/** Streaming semantics (SURVEY §2.9) beyond the basic tail tests. */
+class StreamingSpec extends SparkSuite {
+
+  private def newEngine(partitions: Int = 1): (FloEngine, String) = {
+    val root = tempDir("flo-streaming")
+    val e = new FloEngine(spark, root)
+    e.createStream(EventStreamOptions(name = "default", numPartitions = partitions))
+    (e, root)
+  }
+
+  test("ordered egress emits strict (counter, partition) order per batch (O1)") {
+    val (e, _) = newEngine(partitions = 3)
+    (1 to 30).foreach { i => e.produceStrings("default", 1 + (i % 3), Seq(s"/o/$i" -> "")) }
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = e.consumeStreamOrdered("default") { batch =>
+      val counters = batch.collect().map(_.getAs[Long]("event_counter"))
+      seen.synchronized { seen ++= counters }
+    }
+    try q.processAllAvailable() finally q.stop()
+    assert(seen.toSeq == (1L to 30L), "events must arrive in global counter order")
+  }
+
+  test("watermarked tumbling windows aggregate event time (T5)") {
+    val (e, _) = newEngine()
+    e.produceStrings("default", 1, (1 to 12).map(i => (s"/w/${i % 2}", "")))
+    val q = e.consumeWindowed("default", "/w/*", windowDuration = "1 hour")
+      .writeStream.format("memory").queryName("windowed")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val rows = spark.table("windowed").collect()
+    // all events share one produce timestamp -> one window per namespace
+    assert(rows.map(_.getAs[Long]("count")).sum == 12)
+    assert(rows.length == 2)
+  }
+
+  test("redelivered events are deduplicated by id (T7)") {
+    val (e, root) = newEngine()
+    e.produceStrings("default", 1, (1 to 5).map(i => (s"/r/$i", "")))
+    // simulate at-least-once redelivery: duplicate a segment file on disk
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = new Path(s"$root/default/partition=1")
+    val file = fs.listStatus(dir).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).head
+    org.apache.hadoop.fs.FileUtil.copy(fs, file, fs,
+      new Path(dir, "redelivered-" + file.getName), false,
+      spark.sparkContext.hadoopConfiguration)
+
+    val raw = e.consumeAll("default")
+    assert(raw.count() == 10, "duplicate segment should double-deliver")
+    val deduped = e.dedupRedelivered(raw)
+    assert(deduped.count() == 5)
+
+    // streaming variant drops duplicates within the watermark horizon
+    val q = e.consumeStreamDeduped("default")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    assert(spark.table("dedup_stream").count() == 5)
+  }
+
+  test("stream-static dimension join enriches consumed events (§2.3)") {
+    val (e, _) = newEngine(partitions = 2)
+    e.produceStrings("default", 1, Seq("/j/a" -> ""))
+    e.produceStrings("default", 2, Seq("/j/b" -> ""))
+    import spark.implicits._
+    val dims = Seq((1, "alpha"), (2, "beta")).toDF("partition_key", "region_name")
+    val joined = e.consumeStream("default", "/j/*")
+      .join(dims, col("partition") === col("partition_key"))
+    val q = joined.writeStream.format("memory").queryName("enriched")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("enriched").orderBy("event_counter")
+      .select("namespace", "region_name").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got == Seq(("/j/a", "alpha"), ("/j/b", "beta")))
+  }
+
+  test("version-vector aggregator folds consumed positions (A2)") {
+    val (e, _) = newEngine(partitions = 3)
+    (1 to 9).foreach { i => e.produceStrings("default", 1 + (i % 3), Seq(s"/v/$i" -> "")) }
+    import spark.implicits._
+    val vv = e.consumeAll("default")
+      .select(col("partition"), col("event_counter"))
+      .as[(Int, Long)]
+      .select(VersionVectorAggregator.column)
+      .first()
+    assert(vv == e.status("default"))
+    // the aggregated vector resumes consumption exactly at the head
+    assert(e.consume("default", "/**/*", VersionVector(vv)).count() == 0)
+  }
+}
