@@ -15,10 +15,12 @@ object SparkEntry {
     AnalyticsQueries.queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    FloQueries.queries ++ AnalyticsQueries.queries ++ DedupQueries.queries ++
-      SimilarityQueries.queries ++ TextQueries.queries ++ MultimodalQueries.queries
+    FloQueries.queries ++ AnalyticsQueries.queries ++ ScalarQueries.queries ++
+      DedupQueries.queries ++ SimilarityQueries.queries ++ TextQueries.queries ++
+      MultimodalQueries.queries
 
   def oracleSql: Map[String, String] =
-    FloQueries.oracles ++ AnalyticsQueries.oracles ++ DedupQueries.oracles ++
-      SimilarityQueries.oracles ++ TextQueries.oracles ++ MultimodalQueries.oracles
+    FloQueries.oracles ++ AnalyticsQueries.oracles ++ ScalarQueries.oracles ++
+      DedupQueries.oracles ++ SimilarityQueries.oracles ++ TextQueries.oracles ++
+      MultimodalQueries.oracles
 }

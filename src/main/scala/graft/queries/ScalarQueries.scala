@@ -1,0 +1,71 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Scalar-function surface (§2.8 north star: string/date/math) and the
+  * remaining grouping-set shapes (§2.4 cube), plus approx distinct
+  * (sketch-based — engine-specific, so spec-checked not oracle-checked). */
+object ScalarQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // string/date/math scalar suite over orders
+    "q_scalar_suite" -> ((s, d) => {
+      Tables.load(s, d, "orders")
+        .filter(col("o_orderkey") < 1000)
+        .select(
+          col("o_orderkey"),
+          expr("extract(YEAR FROM o_orderdate)").cast("long").as("yr"),
+          expr("extract(MONTH FROM o_orderdate)").cast("long").as("mo"),
+          upper(col("o_orderpriority")).as("prio_upper"),
+          substring(col("o_orderstatus"), 1, 1).as("status_c"),
+          (floor(sqrt(col("o_totalprice")) * 100) / 100).as("sqrt_price"),
+          (floor(abs(col("o_totalprice") - 1000.0) * 100) / 100).as("abs_diff"),
+          greatest(col("o_totalprice"), lit(500.0)).as("floor_500"),
+          concat_ws("-", col("o_orderstatus"), col("o_orderpriority")).as("tag"),
+          coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("status_or_open"))
+        .orderBy("o_orderkey")
+    }),
+
+    // full cube over two dimensions with subtotals
+    "q_cube" -> ((s, d) => {
+      Tables.load(s, d, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+          col("n"), col("sum_price"))
+        .orderBy("st", "prio")
+    }),
+
+    // HLL approx distinct next to the exact count (sketches are
+    // engine-specific: QueriesSpec asserts the <5% error bound instead)
+    "q_approx_distinct" -> ((s, d) => {
+      Tables.load(s, d, "lineitem").agg(
+        approx_count_distinct("l_partkey").as("approx_parts"),
+        countDistinct("l_partkey").as("exact_parts"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q_scalar_suite" ->
+      """SELECT o_orderkey,
+        |  CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+        |  CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS mo,
+        |  UPPER(o_orderpriority) AS prio_upper,
+        |  SUBSTRING(o_orderstatus, 1, 1) AS status_c,
+        |  FLOOR(SQRT(o_totalprice) * 100) / 100 AS sqrt_price,
+        |  FLOOR(ABS(o_totalprice - 1000.0) * 100) / 100 AS abs_diff,
+        |  GREATEST(o_totalprice, 500.0) AS floor_500,
+        |  CONCAT_WS('-', o_orderstatus, o_orderpriority) AS tag,
+        |  COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_or_open
+        |FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""".stripMargin,
+
+    "q_cube" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS st, COALESCE(o_orderpriority, 'ALL') AS prio,
+        |  COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY st, prio""".stripMargin)
+}

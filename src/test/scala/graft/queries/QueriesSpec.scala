@@ -72,6 +72,13 @@ class QueriesSpec extends SparkSuite {
     assert(lsh.nonEmpty)
   }
 
+  test("approx_count_distinct is within 5% of exact") {
+    val r = ScalarQueries.queries("q_approx_distinct")(spark, sf).collect().head
+    val approx = r.getAs[Long]("approx_parts").toDouble
+    val exact = r.getAs[Long]("exact_parts").toDouble
+    assert(math.abs(approx - exact) / exact < 0.05, s"approx=$approx exact=$exact")
+  }
+
   test("text quality ratios are sane") {
     val rows = TextQueries.queries("text_quality")(spark, sf).collect()
     rows.foreach { r =>
