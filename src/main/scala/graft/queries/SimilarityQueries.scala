@@ -21,16 +21,16 @@ import graft.Tables
  */
 object SimilarityQueries {
 
-  private def emb(s: SparkSession, d: String): DataFrame =
+  private def emb(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.GraftExtensions.register(s)
     Tables.load(s, d, "embeddings")
       .select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+  }
 
-  /** cosine(a.v, b.v) as a codegen'd expression chain. */
+  /** cosine(a.v, b.v) via the native codegen'd dot expression. */
   private def cosine: Column =
-    expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)") /
-      (expr("sqrt(aggregate(transform(a.v, x -> x * x), CAST(0 AS DOUBLE), (acc, x) -> acc + x))") *
-        expr("sqrt(aggregate(transform(b.v, x -> x * x), CAST(0 AS DOUBLE), (acc, x) -> acc + x))"))
+    expr("graft_dot(a.v, b.v) / (sqrt(graft_dot(a.v, a.v)) * sqrt(graft_dot(b.v, b.v)))")
 
   private val Dim = 64
   private val NumPlanes = 16
@@ -88,9 +88,7 @@ object SimilarityQueries {
         .select(col("qa.vec_id").as("query_id"), col("qa.v").as("qv"),
           col("cb.vec_id").as("neighbor_id"), col("cb.v").as("nv"))
         .distinct()
-      val cos = expr("aggregate(zip_with(qv, nv, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)") /
-        (expr("sqrt(aggregate(transform(qv, x -> x * x), CAST(0 AS DOUBLE), (acc, x) -> acc + x))") *
-          expr("sqrt(aggregate(transform(nv, x -> x * x), CAST(0 AS DOUBLE), (acc, x) -> acc + x))"))
+      val cos = expr("graft_dot(qv, nv) / (sqrt(graft_dot(qv, qv)) * sqrt(graft_dot(nv, nv)))")
       val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
       cand.withColumn("cos", cos)
         .withColumn("rank", row_number().over(w))

@@ -1,0 +1,52 @@
+package graft.expressions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.similarity.VectorKernels
+
+class DotProductSpec extends SparkSuite {
+
+  private def registered() = { GraftExtensions.register(spark); spark }
+
+  test("graft_dot matches the JVM kernel exactly") {
+    val s = registered()
+    import s.implicits._
+    val rnd = new scala.util.Random(3)
+    val rows = Seq.fill(50)((Array.fill(64)(rnd.nextGaussian()), Array.fill(64)(rnd.nextGaussian())))
+    val df = rows.toDF("a", "b").select(expr("graft_dot(a, b)").as("d"))
+    val got = df.collect().map(_.getDouble(0))
+    val want = rows.map { case (a, b) => VectorKernels.dot(a, b) }
+    got.zip(want).foreach { case (g, w) => assert(g == w, s"$g != $w") }
+  }
+
+  test("graft_dot participates in whole-stage codegen") {
+    val s = registered()
+    val df = graft.Tables.load(s, "/root/testdata/sf0.001", "embeddings")
+      .selectExpr("transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .selectExpr("graft_dot(v, v) AS d")
+    // in the simple plan string a whole-stage-codegen'd operator is marked
+    // with a "*(stageId)" prefix; the graft_dot projection must carry it
+    val plan = df.queryExecution.executedPlan.toString
+    val dotLine = plan.linesIterator.find(_.contains("graft_dot")).get
+    assert(dotLine.trim.startsWith("*("), s"graft_dot not codegen'd:\n$plan")
+    val norms = df.collect().map(_.getDouble(0))
+    assert(norms.length == 500 && norms.forall(_ > 0.0))
+  }
+
+  test("graft_dot handles nulls and length mismatch") {
+    val s = registered()
+    val df = s.sql(
+      "SELECT graft_dot(CAST(NULL AS ARRAY<DOUBLE>), array(1.0D)) AS n, " +
+        "graft_dot(array(1.0D, 2.0D, 99.0D), array(3.0D, 4.0D)) AS m")
+    val r = df.collect().head
+    assert(r.isNullAt(0))
+    assert(r.getDouble(1) == 11.0) // min-length semantics
+  }
+
+  test("registration is idempotent and works via spark.sql.extensions") {
+    GraftExtensions.register(spark)
+    GraftExtensions.register(spark)
+    assert(spark.sql("SELECT graft_dot(array(2.0D), array(3.0D))").collect().head.getDouble(0) == 6.0)
+  }
+}
