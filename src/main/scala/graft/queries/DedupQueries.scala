@@ -134,6 +134,38 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // exact word-trigram Jaccard near-dup via inverted-index join: candidate
+    // pairs come from shared trigrams only (sum over df^2 postings, NOT an
+    // all-pairs cross join), then jaccard = common / (|a| + |b| - common).
+    // Exact: every pair with jaccard >= 0.5 shares >= 1 trigram by definition.
+    "dedup_ngram_jaccard" -> ((s, d) => {
+      val words = docs(s, d)
+        .select(col("doc_id"), split(trim(col("text")), " +").as("w"))
+        .filter(size(col("w")) >= 3)
+      // trigram rows fully codegen'd (explode positions + concat — a
+      // transform(...) lambda evaluates interpreted and dominated the query)
+      val gramRows = words
+        .select(col("doc_id"),
+          explode(sequence(lit(0), size(col("w")) - 3)).as("i"), col("w"))
+        .select(col("doc_id"), expr("concat(w[i], ' ', w[i+1], ' ', w[i+2])").as("gram"))
+        .dropDuplicates("doc_id", "gram")
+      val inv = gramRows.withColumn("sz",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+      inv.as("a").join(inv.as("b"),
+          col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.sz").as("sa"), col("b.sz").as("sb"))
+        .agg(count(lit(1)).as("common"))
+        // integer threshold (2*common >= union) and integer-first scaling
+        // (1000*common/union) — both exact, immune to fp rounding-path
+        // differences between engines
+        .withColumn("union_sz", col("sa") + col("sb") - col("common"))
+        .filter(col("common") * 2 >= col("union_sz"))
+        .select(col("doc_a"), col("doc_b"),
+          (floor(col("common") * lit(1000) / col("union_sz")) / 1000).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // embedding-space near-dup: all-pairs cosine >= 0.4 (the exact baseline;
     // the LSH-bucketed scale path is sim_knn_lsh in SimilarityQueries).
     // Executed as a broadcast matrix + mapPartitions tight loop: a Catalyst
@@ -169,6 +201,23 @@ object DedupQueries {
       """SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_hash,
         |       MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), ' +') AS w FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                   FOR i IN generate_series(1, len(w) - 2)]) AS grams
+        |  FROM t WHERE len(w) >= 3)
+        |SELECT doc_a, doc_b, FLOOR(common * 1000 / union_sz) / 1000 AS jaccard
+        |FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    len(list_intersect(a.grams, b.grams)) AS common,
+        |    len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) AS union_sz
+        |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
+        |WHERE common * 2 >= union_sz
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_embedding_cosine" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b

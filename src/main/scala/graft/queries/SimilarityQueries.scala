@@ -97,6 +97,43 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF-style ANN: vectors bucketed into cells by nearest "centroid"
+    // (deterministic seed vectors stand in for a k-means pass), queries
+    // probe only the nearest 4 cells, exact rerank on candidates. The
+    // assignment and probe joins broadcast the tiny centroid set — no
+    // all-pairs work anywhere.
+    "sim_knn_ivf" -> ((s, d) => {
+      val e = emb(s, d)
+      val cents = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+      val simToCent = expr("graft_dot(v, cv) / (sqrt(graft_dot(v, v)) * sqrt(graft_dot(cv, cv)))")
+      val wAssign = Window.partitionBy("vec_id").orderBy(col("cs").desc, col("cent_id"))
+      val assigned = e.crossJoin(broadcast(cents))
+        .withColumn("cs", simToCent)
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
+      val probes = assigned.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+        .crossJoin(broadcast(cents))
+        .withColumn("cs", expr("graft_dot(qv, cv) / (sqrt(graft_dot(qv, qv)) * sqrt(graft_dot(cv, cv)))"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("cs").desc, col("cent_id"))))
+        .filter(col("rn") <= 4)
+        .select(col("query_id"), col("qv"), col("cent_id").as("probe_cell"))
+      val cand = probes.join(assigned,
+          col("probe_cell") === col("cell") && col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("qv"), col("vec_id").as("neighbor_id"), col("v").as("nv"))
+        .distinct()
+      val cos = expr("graft_dot(qv, nv) / (sqrt(graft_dot(qv, qv)) * sqrt(graft_dot(nv, nv)))")
+      val wRank = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+      cand.withColumn("cos", cos)
+        .withColumn("rank", row_number().over(wRank))
+        .filter(col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    }),
+
     // per-label centroid similarity: group embeddings by label, average the
     // vectors (element-wise), report each label's centroid norm — exercises
     // vector aggregation without a UDAF

@@ -60,6 +60,25 @@ class QueriesSpec extends SparkSuite {
     }
   }
 
+  test("ngram jaccard pairs agree with minhash-found near-dups") {
+    val jac = DedupQueries.queries("dedup_ngram_jaccard")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(jac.nonEmpty)
+    // near-dup docs found by char-shingle minhash should overlap word-trigram dups
+    val mh = DedupQueries.queries("dedup_minhash_lsh")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert((jac & mh).nonEmpty, s"jac=$jac mh=$mh")
+  }
+
+  test("IVF ANN achieves reasonable recall vs brute force") {
+    val brute = SimilarityQueries.queries("sim_knn_brute")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ivf = SimilarityQueries.queries("sim_knn_ivf")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.2, s"IVF recall@5 too low: $recall")
+  }
+
   test("LSH ANN achieves reasonable recall vs brute force") {
     val brute = SimilarityQueries.queries("sim_knn_brute")(spark, sf).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
