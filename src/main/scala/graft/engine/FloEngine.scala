@@ -148,15 +148,20 @@ final class FloEngine(val spark: SparkSession, val root: String) {
       col("namespace"),
       col("data"))
 
-    val n = events.count()
-    // one writer task per partition per batch (single-writer discipline)
-    events.repartition(col("partition"))
-      .write.mode(SaveMode.Append).partitionBy("partition")
-      .parquet(streamDir(stream))
-    // ack only after the file commit (SURVEY §7.3 hard part 1): the id range
-    // becomes visible to highestCounter only now
-    counter.addAndGet(n)
-    consumeRange(stream, base + 1, base + n)
+    // cache across the count + write actions — without it the whole input
+    // (incl. the zipWithIndex pass) is recomputed per action
+    events.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = events.count()
+      // one writer task per partition per batch (single-writer discipline)
+      events.repartition(col("partition"))
+        .write.mode(SaveMode.Append).partitionBy("partition")
+        .parquet(streamDir(stream))
+      // ack only after the file commit (SURVEY §7.3 hard part 1): the id
+      // range becomes visible to highestCounter only now
+      counter.addAndGet(n)
+      consumeRange(stream, base + 1, base + n)
+    } finally events.unpersist(false)
   }
 
   /** Convenience single-partition produce of string payloads. */
@@ -295,6 +300,44 @@ final class FloEngine(val spark: SparkSession, val root: String) {
     consumeStream(stream, namespaceGlob)
       .withWatermark("timestamp", watermarkDelay)
       .dropDuplicatesWithinWatermark("partition", "event_counter")
+
+  // ------------------------------------------------------------- compaction
+
+  /**
+   * Compact a stream's partitions: rewrite each `partition=<p>` dir into
+   * `filesPerPartition` counter-sorted files. The produce path appends a
+   * file per batch (flo's segment-per-rotation, segment/mod.rs:65-74);
+   * compaction restores large sorted files so parquet min/max stats give
+   * tight counter-range pruning — the operational job any log-structured
+   * store needs at scale. Safe against concurrent readers the same way
+   * retention is (files swap atomically per partition via temp dir + move).
+   */
+  def compact(stream: String, filesPerPartition: Int = 1): Unit = {
+    val f = fs(root)
+    declaredPartitions(stream).foreach { p =>
+      val dir = s"${streamDir(stream)}/partition=$p"
+      val files = f.listStatus(new Path(dir))
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      if (files.length > filesPerPartition) {
+        val tmp = s"${streamDir(stream)}/.compact-partition=$p"
+        // inside a partition dir the files do NOT carry the partition column
+        // (it lives in the dir name) — read and rewrite without it
+        val innerSchema = org.apache.spark.sql.types.StructType(
+          FloSchema.eventType.filterNot(_.name == "partition"))
+        spark.read.schema(innerSchema).parquet(dir)
+          .sort("event_counter")
+          .coalesce(filesPerPartition)
+          .write.mode(SaveMode.Overwrite).parquet(tmp)
+        files.foreach(s => f.delete(s.getPath, false))
+        f.listStatus(new Path(tmp))
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .zipWithIndex.foreach { case (s, i) =>
+            f.rename(s.getPath, new Path(dir, s"compacted-$i-${s.getPath.getName}"))
+          }
+        f.delete(new Path(tmp), true)
+      }
+    }
+  }
 
   // -------------------------------------------------------------- retention
 

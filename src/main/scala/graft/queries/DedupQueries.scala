@@ -63,17 +63,13 @@ object DedupQueries {
           col("text"))
         .select(col("doc_id"), expr("substring(text, pos + 1, 5)").as("sh"))
 
-      // ONE shuffle computes both the 32 signature mins and the shingle set
-      // for exact verification; the groupBy exchange is reused by all three
-      // downstream consumers (bands, both verification sides).
       // Hash family: one string xxhash64 per shingle, then 32 fixed-width
       // long re-hashes — far cheaper than 32 string hashes per shingle.
       // (Affine `a*h+b` transforms would be cheaper still but ANSI mode
       // rejects the intentional wraparound multiply.)
       val hashed = sh.select(col("doc_id"), col("sh"), xxhash64(col("sh")).as("h1"))
       val sigCols = (0 until H).map(i => min(xxhash64(col("h1"), lit(i))).as(s"h$i"))
-      val sigs = hashed.groupBy("doc_id")
-        .agg(collect_set(col("sh")).as("shs"), sigCols: _*)
+      val sigs = hashed.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
 
       val bandStructs = (0 until B).map { b =>
         struct(lit(b).as("band_idx"),
@@ -89,7 +85,13 @@ object DedupQueries {
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
 
-      val sets = sigs.select(col("doc_id"), col("shs"))
+      // exact-jaccard verification builds shingle sets ONLY for docs that
+      // appear in a candidate pair (a left-semi join prunes the rest) —
+      // collect_set over the full corpus was the top remaining cost
+      val candDocs = cand.select(col("doc_a").as("doc_id"))
+        .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+      val sets = sh.join(broadcast(candDocs), "doc_id")
+        .groupBy("doc_id").agg(collect_set(col("sh")).as("shs"))
       cand
         .join(sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shs", "sa"), "doc_a")
         .join(sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shs", "sb"), "doc_b")

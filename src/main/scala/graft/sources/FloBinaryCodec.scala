@@ -1,0 +1,114 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+import graft.model.FloEvent
+
+/**
+ * flo's on-disk/wire event record format, implemented from the reference's
+ * documented layout (flo-server/.../segment/persistent_event.rs:20-35,178-209;
+ * wire form flo-protocol/src/client.rs:561-572) so the engine can exchange
+ * data with an actual flo log:
+ *
+ * {{{
+ * u32 total_len | b"FLO_EVT\n" | u16 actor | u64 counter | u16 parent_actor
+ * | u64 parent_counter | u64 ts_millis | u32 ns_len | ns | u32 data_len | data
+ * }}}
+ *
+ * Big-endian throughout; a null parent id is the all-zero id on the wire
+ * (flo-protocol/src/client.rs:116-118, parse at :335-347). `total_len` counts
+ * everything after the length field itself (8-byte magic + 28 bytes of fixed
+ * fields + ns + data), matching `PersistentEvent::total_repr_len` = 48 + ns +
+ * data for the whole record.
+ */
+object FloBinaryCodec {
+
+  val Magic: Array[Byte] = "FLO_EVT\n".getBytes("ASCII")
+  private val FixedAfterLen = 8 + 2 + 8 + 2 + 8 + 8 + 4 + 4 // magic..data_len
+
+  /** Serialize one event to its binary record. */
+  def encode(e: FloEvent): Array[Byte] = {
+    val ns = e.namespace.getBytes("UTF-8")
+    val data = if (e.data == null) Array.empty[Byte] else e.data
+    val totalAfterLen = FixedAfterLen + ns.length + data.length
+    val buf = ByteBuffer.allocate(4 + totalAfterLen).order(ByteOrder.BIG_ENDIAN)
+    buf.putInt(totalAfterLen)
+    buf.put(Magic)
+    buf.putShort(e.partition.toShort)
+    buf.putLong(e.event_counter)
+    buf.putShort(e.parent_partition.getOrElse(0).toShort)
+    buf.putLong(e.parent_counter.getOrElse(0L))
+    buf.putLong(e.timestamp.getTime)
+    buf.putInt(ns.length)
+    buf.put(ns)
+    buf.putInt(data.length)
+    buf.put(data)
+    buf.array()
+  }
+
+  /** Parse one record starting at `offset`; returns the event and the next
+    * offset, or None on truncation/bad magic (the reference's reader stops
+    * at the first invalid record — segment/mod.rs:153-183). */
+  def decode(bytes: Array[Byte], offset: Int): Option[(FloEvent, Int)] = {
+    if (offset + 4 > bytes.length) return None
+    val buf = ByteBuffer.wrap(bytes, offset, bytes.length - offset).order(ByteOrder.BIG_ENDIAN)
+    val totalAfterLen = buf.getInt
+    if (totalAfterLen < FixedAfterLen || offset + 4 + totalAfterLen > bytes.length) return None
+    val magic = new Array[Byte](8)
+    buf.get(magic)
+    if (!java.util.Arrays.equals(magic, Magic)) return None
+    val partition = buf.getShort & 0xFFFF
+    val counter = buf.getLong
+    val parentPartition = buf.getShort & 0xFFFF
+    val parentCounter = buf.getLong
+    val tsMillis = buf.getLong
+    val nsLen = buf.getInt
+    val ns = new Array[Byte](nsLen)
+    buf.get(ns)
+    val dataLen = buf.getInt
+    val data = new Array[Byte](dataLen)
+    buf.get(data)
+    // all-zero parent id means null
+    val (pc, pp) =
+      if (parentCounter == 0L && parentPartition == 0) (None, None)
+      else (Some(parentCounter), Some(parentPartition))
+    Some((FloEvent(counter, partition, new Timestamp(tsMillis), pc, pp,
+      new String(ns, "UTF-8"), data), offset + 4 + totalAfterLen))
+  }
+
+  /** Parse a whole segment buffer (back-to-back records). */
+  def decodeAll(bytes: Array[Byte], offset: Int = 0): Seq[FloEvent] = {
+    val out = Seq.newBuilder[FloEvent]
+    var pos = offset
+    var continue = true
+    while (continue) decode(bytes, pos) match {
+      case Some((e, next)) => out += e; pos = next
+      case None => continue = false
+    }
+    out.result()
+  }
+
+  /** Distributed encode: events → binary records (one per row). */
+  def encodeDataset(events: Dataset[FloEvent]): Dataset[Array[Byte]] = {
+    import events.sparkSession.implicits._
+    events.mapPartitions(_.map(encode))
+  }
+
+  /** Distributed decode: binary records → events. */
+  def decodeDataset(spark: SparkSession, records: Dataset[Array[Byte]]): Dataset[FloEvent] = {
+    import spark.implicits._
+    records.mapPartitions(_.flatMap(b => decode(b, 0).map(_._1)))
+  }
+
+  /** Read raw flo segment files (`<n>.events`, 16-byte header of create/end
+    * timestamps then records — segment/header.rs:9-59) into a DataFrame. */
+  def readSegmentFiles(spark: SparkSession, glob: String): DataFrame = {
+    import spark.implicits._
+    spark.sparkContext.binaryFiles(glob)
+      .flatMap { case (_, pds) => decodeAll(pds.toArray(), offset = 16) }
+      .toDF()
+  }
+}

@@ -84,6 +84,18 @@ object Smoke {
     val vvAgg = engine.consumeAll("default").select($"partition", $"event_counter")
       .as[(Int, Long)].select(graft.model.VersionVectorAggregator.column).first()
     println("VV_AGG=" + vvAgg.toSeq.sorted.mkString(","))
+
+    // compaction + flo binary segment round-trip
+    engine.compact("default")
+    println("COMPACTED_CONSUME=" + engine.consumeAll("default").count())
+    import graft.sources.FloBinaryCodec
+    val evs = engine.consumeAll("default").as[graft.model.FloEvent].collect()
+    val segDir = java.nio.file.Files.createTempDirectory("smoke-seg")
+    java.nio.file.Files.write(segDir.resolve("1.events"),
+      new Array[Byte](16) ++ evs.flatMap(FloBinaryCodec.encode))
+    val back = FloBinaryCodec.readSegmentFiles(spark, s"$segDir/*.events")
+    println("SEGMENT_READBACK=" + back.orderBy("event_counter")
+      .select("namespace").collect().map(_.getString(0)).mkString(","))
     spark.stop()
   }
 }

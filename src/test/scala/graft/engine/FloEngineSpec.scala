@@ -157,6 +157,26 @@ class FloEngineSpec extends SparkSuite {
     assert(after.collect().map(_.getAs[Long]("event_counter")).toSeq == Seq(4L))
   }
 
+  test("compaction merges small files, preserves data, keeps pruning tight") {
+    val (e, root) = newEngine(partitions = 2)
+    (1 to 10).foreach { i => e.produceStrings("default", 1 + (i % 2), Seq(s"/k/$i" -> s"v$i")) }
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def fileCount(p: Int): Int = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$root/default/partition=$p"))
+      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    assert(fileCount(1) == 5 && fileCount(2) == 5)
+
+    val before = e.consumeAll("default").collect().map(_.getAs[Long]("event_counter")).toSeq
+    e.compact("default")
+    assert(fileCount(1) == 1 && fileCount(2) == 1)
+    val after = e.consumeAll("default").collect().map(_.getAs[Long]("event_counter")).toSeq
+    assert(after == before && after == (1L to 10L))
+    // counters keep advancing after compaction
+    assert(e.produceStrings("default", 1, Seq("/k/next" -> ""))
+      .collect().head.getAs[Long]("event_counter") == 11L)
+  }
+
   test("status reports heads for empty and populated partitions (S7)") {
     val (e, _) = newEngine(partitions = 2)
     e.produceStrings("default", 1, Seq("/a" -> ""))

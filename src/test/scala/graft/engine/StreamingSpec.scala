@@ -70,6 +70,31 @@ class StreamingSpec extends SparkSuite {
     assert(spark.table("dedup_stream").count() == 5)
   }
 
+  test("checkpointed streaming consume resumes without redelivery (T3)") {
+    val (e, _) = newEngine()
+    val ckpt = tempDir("flo-ckpt")
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def run(): Unit = {
+      val q = e.consumeStream("default")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          out.synchronized { out ++= b.collect().map(_.getAs[Long]("event_counter")) }
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+    }
+    e.produceStrings("default", 1, (1 to 5).map(i => (s"/c/$i", "")))
+    run()
+    assert(out.sorted.toSeq == (1L to 5L))
+    // second incarnation of the query must pick up ONLY the new events
+    e.produceStrings("default", 1, (6 to 8).map(i => (s"/c/$i", "")))
+    run()
+    assert(out.sorted.toSeq == (1L to 8L), s"redelivery or loss: ${out.sorted}")
+  }
+
   test("stream-static dimension join enriches consumed events (§2.3)") {
     val (e, _) = newEngine(partitions = 2)
     e.produceStrings("default", 1, Seq("/j/a" -> ""))
