@@ -192,9 +192,13 @@ final class FloEngine(val spark: SparkSession, val root: String) {
 
   // ---------------------------------------------------------------- consume
 
-  /** The raw batch view of a stream (S2/S3: all segments, all partitions). */
-  def read(stream: String): DataFrame =
+  /** The raw batch view of a stream (S2/S3: all segments, all partitions).
+    * Unknown stream names error like the reference's `NoSuchStream`
+    * (engine/mod.rs:69-82). */
+  def read(stream: String): DataFrame = {
+    if (!streamExists(stream)) throw new NoSuchStream(stream)
     spark.read.schema(FloSchema.eventType).parquet(streamDir(stream))
+  }
 
   /**
    * Batch consume (the reference's consume lifecycle, SURVEY §3.2): glob
@@ -360,6 +364,11 @@ final class FloEngine(val spark: SparkSession, val root: String) {
     perFile.toSeq
   }
 }
+
+/** Mirrors the reference's `NoSuchStream` connection error
+  * (flo-server/src/engine/mod.rs:69-82). */
+final class NoSuchStream(val stream: String)
+    extends IllegalArgumentException(s"No such event stream: `$stream`")
 
 object FloEngine {
   /** Stream options (reference: engine/event_stream/mod.rs:17-37, defaults

@@ -184,6 +184,11 @@ class FloEngineSpec extends SparkSuite {
     assert(e.listStreams() == Seq("default"))
   }
 
+  test("consuming an unknown stream errors like NoSuchStream (engine/mod.rs:69-82)") {
+    val (e, _) = newEngine()
+    intercept[NoSuchStream](e.consumeAll("nope"))
+  }
+
   test("streaming consume with AvailableNow drains and terminates (T2)") {
     val (e, _) = newEngine()
     e.produceStrings("default", 1, (1 to 15).map(i => (s"/s/$i", "")))
