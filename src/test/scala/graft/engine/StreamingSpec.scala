@@ -70,6 +70,23 @@ class StreamingSpec extends SparkSuite {
     assert(spark.table("dedup_stream").count() == 5)
   }
 
+  test("batch flow control paces consumption by files per trigger (T4)") {
+    val (e, _) = newEngine()
+    (1 to 3).foreach { i => e.produceStrings("default", 1, Seq(s"/f/$i" -> "")) }
+    var batches = 0
+    val q = e.consumeStream("default", maxFilesPerTrigger = Some(1))
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (b.count() > 0) batches += 1
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    // 3 produce batches = 3 files; 1 file per trigger = 3 non-empty batches
+    assert(batches == 3, s"expected 3 paced batches, got $batches")
+  }
+
   test("checkpointed streaming consume resumes without redelivery (T3)") {
     val (e, _) = newEngine()
     val ckpt = tempDir("flo-ckpt")
