@@ -305,6 +305,38 @@ final class FloEngine(val spark: SparkSession, val root: String) {
       .withWatermark("timestamp", watermarkDelay)
       .dropDuplicatesWithinWatermark("partition", "event_counter")
 
+  /**
+   * Recover a consumer's position as a [[VersionVector]] from a Structured
+   * Streaming checkpoint — flo's cursor introspection (the vv a client
+   * would pass to resume, sync/mod.rs:116-144). Reads the file-source log
+   * (`sources/0/`), collects every processed file, and folds their max
+   * counters per partition. Bridges the streaming and batch APIs: a batch
+   * `consume(stream, glob, consumerPosition(ckpt))` picks up exactly where
+   * the streaming query left off.
+   */
+  def consumerPosition(checkpointDir: String): VersionVector = {
+    val f = fs(checkpointDir)
+    val srcDir = new Path(checkpointDir, "sources/0")
+    if (!f.exists(srcDir)) return VersionVector.empty
+    val pathRe = """"path":"([^"]+)"""".r
+    val processed = f.listStatus(srcDir).filter(_.isFile).flatMap { st =>
+      val in = f.open(st.getPath)
+      val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      pathRe.findAllMatchIn(content).map(_.group(1)).toSeq
+    }.distinct.filter(_.endsWith(".parquet"))
+    if (processed.isEmpty) return VersionVector.empty
+    // explicit file paths drop dir-derived partition values unless basePath
+    // anchors the partition discovery at the stream root
+    val basePath = processed.head.replaceAll("/partition=\\d+/[^/]+$", "")
+    val heads = spark.read.schema(FloSchema.eventType)
+      .option("basePath", basePath)
+      .parquet(processed.toSeq: _*)
+      .groupBy(col("partition")).agg(max("event_counter").as("head"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    VersionVector(heads)
+  }
+
   // ------------------------------------------------------------- compaction
 
   /**

@@ -43,13 +43,30 @@ object NamespaceGlob {
   private val Seg = "[^/.][^/]*"
 
   /** Translate a flo glob into an anchored Java regex (Left = invalid pattern,
-    * matching the reference's `InvalidNamespaceGlob` cases). */
+    * matching the reference's `InvalidNamespaceGlob` cases).
+    *
+    * The leading-dot rule is dynamic (it applies to whichever atom ends up
+    * consuming a component's FIRST char), but compiles statically: at each
+    * component start, look past any single `*`s (which may match empty) to
+    * the first other atom — if that atom is a wildcard (`?`/class), the
+    * component as a whole may not start with `.`, emitted as one `(?!\.)`
+    * lookahead. A leading literal needs no guard (it only matches itself),
+    * and a bare `*`-run is handled by its own dot-free first-char form. */
   def toRegex(pattern: String): Either[String, String] = {
     val sb = new StringBuilder("^")
     val n = pattern.length
     var i = 0
     var componentStart = true // at string start or right after '/'
+    var dotGuarded = false // current component already carries (?!\.)
     while (i < n) {
+      if (componentStart) {
+        // scan past single '*'s to the first decisive atom of the component
+        var k = i
+        while (k < n && pattern.charAt(k) == '*' &&
+          !(k + 1 < n && pattern.charAt(k + 1) == '*')) k += 1
+        dotGuarded = k < n && (pattern.charAt(k) == '?' || pattern.charAt(k) == '[')
+        if (dotGuarded) sb.append("(?!\\.)")
+      }
       pattern.charAt(i) match {
         case '*' =>
           var j = i
@@ -76,12 +93,13 @@ object NamespaceGlob {
               componentStart = false
             }
           } else {
-            sb.append(if (componentStart) s"(?:$Seg)?" else "[^/]*")
+            sb.append(
+              if (componentStart && !dotGuarded) s"(?:$Seg)?" else "[^/]*")
             i = j
             componentStart = false
           }
         case '?' =>
-          sb.append(if (componentStart) "[^/.]" else "[^/]")
+          sb.append(if (componentStart && !dotGuarded) "[^/.]" else "[^/]")
           i += 1
           componentStart = false
         case '[' =>
@@ -99,7 +117,8 @@ object NamespaceGlob {
             case c => c.toString
           }
           // classes never match '/'; nor a leading '.' at a component start
-          val guard = if (componentStart) "(?![/.])" else "(?!/)"
+          // (the component-level (?!\.) already covers the guarded case)
+          val guard = if (componentStart && !dotGuarded) "(?![/.])" else "(?!/)"
           sb.append(guard).append('[')
           if (negated) sb.append('^')
           sb.append(escaped).append(']')

@@ -112,6 +112,29 @@ class StreamingSpec extends SparkSuite {
     assert(out.sorted.toSeq == (1L to 8L), s"redelivery or loss: ${out.sorted}")
   }
 
+  test("consumerPosition recovers the vv from a checkpoint; batch resume continues it") {
+    val (e, _) = newEngine(partitions = 2)
+    val ckpt = tempDir("flo-pos")
+    e.produceStrings("default", 1, (1 to 3).map(i => (s"/p/$i", "")))
+    e.produceStrings("default", 2, (1 to 2).map(i => (s"/q/$i", "")))
+    val q = e.consumeStream("default")
+      .writeStream.format("memory").queryName("postrack")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+
+    val vv = e.consumerPosition(ckpt)
+    assert(vv.entries == e.status("default"),
+      s"checkpoint position ${vv.entries} != heads ${e.status("default")}")
+
+    // produce more, then batch-consume FROM the recovered position:
+    // exactly the new events, none of the old
+    e.produceStrings("default", 1, Seq("/p/new" -> ""))
+    val resumed = e.consume("default", "/**/*", vv).collect()
+    assert(resumed.map(_.getAs[String]("namespace")).toSeq == Seq("/p/new"))
+  }
+
   test("stream-static dimension join enriches consumed events (§2.3)") {
     val (e, _) = newEngine(partitions = 2)
     e.produceStrings("default", 1, Seq("/j/a" -> ""))
