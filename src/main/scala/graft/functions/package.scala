@@ -30,7 +30,16 @@ package object functions {
       case EventFilter.All => lit(true)
       case EventFilter.Glob(g) =>
         if (NamespaceGlob.isLiteral(pattern)) namespace === lit(pattern)
-        else namespace.rlike(g.regex)
+        else {
+          // any literal prefix before the first metacharacter becomes an
+          // extra startsWith conjunct: RLIKE is not usable for parquet
+          // row-group pruning but StringStartsWith is, so prefix globs
+          // (the common namespace-hierarchy case) skip files via min/max
+          // stats; the anchored regex keeps exactness
+          val prefix = pattern.takeWhile(c => c != '*' && c != '?' && c != '[')
+          val rx = namespace.rlike(g.regex)
+          if (prefix.nonEmpty) namespace.startsWith(prefix) && rx else rx
+        }
     }
 
   /** Event id rendered as the reference's `"counter.partition"` display form

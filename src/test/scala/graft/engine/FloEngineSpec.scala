@@ -189,6 +189,20 @@ class FloEngineSpec extends SparkSuite {
     intercept[NoSuchStream](e.consumeAll("nope"))
   }
 
+  test("prefix globs push a StartsWith filter into the parquet scan") {
+    val (e, _) = newEngine()
+    e.produceStrings("default", 1, Seq("/meals/breakfast/eggs" -> "", "/other" -> ""))
+    val df = e.consumeAll("default", "/meals/*/eggs")
+    // (the simple plan string truncates long filter lists — match the prefix)
+    val scanLine = df.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("PushedFilters")).get
+    assert(scanLine.substring(scanLine.indexOf("PushedFilters"))
+      .contains("StringStartsWith(n"), scanLine)
+    // exactness preserved: the regex conjunct still applies
+    assert(df.collect().map(_.getAs[String]("namespace")).toSeq ==
+      Seq("/meals/breakfast/eggs"))
+  }
+
   test("streaming consume with AvailableNow drains and terminates (T2)") {
     val (e, _) = newEngine()
     e.produceStrings("default", 1, (1 to 15).map(i => (s"/s/$i", "")))
