@@ -96,6 +96,9 @@ object Smoke {
     val back = FloBinaryCodec.readSegmentFiles(spark, s"$segDir/*.events")
     println("SEGMENT_READBACK=" + back.orderBy("event_counter")
       .select("namespace").collect().map(_.getString(0)).mkString(","))
+    val viaSource = spark.read.format("flo-segments").load(segDir.toString)
+    println("DSV2_SEGMENTS=" + viaSource.orderBy("event_counter")
+      .select("event_counter").collect().map(_.getLong(0)).mkString(","))
     try { engine.consumeAll("no-such-stream"); println("NOSUCH=MISSED (BUG)") }
     catch { case e: graft.engine.NoSuchStream => println("NOSUCH=" + e.getMessage) }
     spark.stop()
