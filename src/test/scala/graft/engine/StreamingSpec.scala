@@ -153,6 +153,24 @@ class StreamingSpec extends SparkSuite {
     assert(got == Seq(("/j/a", "alpha"), ("/j/b", "beta")))
   }
 
+  test("session_window builtin sessionizes a consumed stream (T5)") {
+    val (e, _) = newEngine()
+    e.produceStrings("default", 1, (1 to 6).map(i => (s"/sw/$i", "")))
+    import org.apache.spark.sql.functions._
+    val q = e.consumeStream("default", "/sw/*")
+      .withWatermark("timestamp", "10 seconds")
+      .groupBy(session_window(col("timestamp"), "5 minutes"), col("partition"))
+      .count()
+      .writeStream.format("memory").queryName("sesswin")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val rows = spark.table("sesswin").collect()
+    // one produce batch -> one timestamp -> a single session holding all 6
+    assert(rows.length == 1 && rows.head.getAs[Long]("count") == 6)
+  }
+
   test("version-vector aggregator folds consumed positions (A2)") {
     val (e, _) = newEngine(partitions = 3)
     (1 to 9).foreach { i => e.produceStrings("default", 1 + (i % 3), Seq(s"/v/$i" -> "")) }

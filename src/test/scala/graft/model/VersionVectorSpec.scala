@@ -60,6 +60,26 @@ class VersionVectorSpec extends AnyFunSuite {
     assert(VersionVector.zero(Seq(1, 2)).entries == Map(1 -> 0L, 2 -> 0L))
   }
 
+  test("property: toPredicate equals the model rule on random vectors (SURVEY §7.3 #4)") {
+    // model: read (p, c) iff p ∈ vv AND c > vv(p); absent partition unread
+    val spark = graft.SparkSuite.session
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(77)
+    val rows = Seq.fill(400)((rnd.nextInt(5), rnd.nextLong(20).abs))
+    val df = rows.toDF("partition", "event_counter")
+    (1 to 20).foreach { _ =>
+      val vv = VersionVector(
+        Seq.fill(rnd.nextInt(5))(rnd.nextInt(5) -> rnd.nextLong(20).abs).toMap)
+      val got = df.filter(vv.toPredicate(col("partition"), col("event_counter")))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq.sorted
+      val want = rows.filter { case (p, c) =>
+        vv.contains(p) && c > vv.entries(p)
+      }.sorted
+      assert(got == want, s"vv=${vv.entries}")
+    }
+  }
+
   test("property: merge is commutative and idempotent") {
     val rnd = new scala.util.Random(42)
     def gen(): VersionVector = VersionVector(
