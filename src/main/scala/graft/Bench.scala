@@ -31,11 +31,18 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val sec = try {
-        time(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
-      } catch { case _: Throwable => -1.0 }
-      name -> sec
+    // two passes, min per query: the first pass absorbs JIT/IO warm-up and
+    // GC noise that otherwise dominates sub-second queries
+    def pass(): Seq[(String, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val sec = try {
+          time(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
+        } catch { case _: Throwable => -1.0 }
+        name -> sec
+      }
+    val (p1, p2) = (pass(), pass())
+    val results = p1.zip(p2).map { case ((name, a), (_, b)) =>
+      name -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
     }
 
     // flo produce/consume throughput: replay events through the engine
