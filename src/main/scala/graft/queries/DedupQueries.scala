@@ -49,34 +49,22 @@ object DedupQueries {
     }),
 
     // MinHash + LSH banding: candidate pairs from band collisions, then
-    // exact Jaccard verification on the candidates only. Signatures are
-    // computed per-doc with array_min(transform(...)) — no shingle-row
-    // explode, no groupBy shuffle; the only shuffles are the band join and
-    // the candidate verification join.
+    // exact Jaccard verification on the candidates only. Signatures come
+    // from a single-pass JVM kernel (one loop per document) — the explode +
+    // 32-column min-agg formulation shuffled ~2M shingle rows and was the
+    // slowest query in the catalog; the kernel removes that stage entirely.
     "dedup_minhash_lsh" -> ((s, d) => {
-      // shingle rows fully inside whole-stage codegen: explode(sequence) +
-      // dynamic substring (a transform(...) lambda evaluates interpreted and
-      // measured ~40% slower end-to-end)
-      val sh = docs(s, d)
-        .select(col("doc_id"),
-          explode(sequence(lit(0), greatest(length(col("text")) - 5, lit(0)))).as("pos"),
-          col("text"))
-        .select(col("doc_id"), expr("substring(text, pos + 1, 5)").as("sh"))
-
-      // Hash family: one string xxhash64 per shingle, then 32 fixed-width
-      // long re-hashes — far cheaper than 32 string hashes per shingle.
-      // (Affine `a*h+b` transforms would be cheaper still but ANSI mode
-      // rejects the intentional wraparound multiply.)
-      val hashed = sh.select(col("doc_id"), col("sh"), xxhash64(col("sh")).as("h1"))
-      val sigCols = (0 until H).map(i => min(xxhash64(col("h1"), lit(i))).as(s"h$i"))
-      val sigs = hashed.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-
-      val bandStructs = (0 until B).map { b =>
-        struct(lit(b).as("band_idx"),
-          xxhash64((b * R until (b + 1) * R).map(i => col(s"h$i")): _*).as("band_val"))
-      }
-      val bands = sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
-        .select(col("doc_id"), col("band.band_idx"), col("band.band_val"))
+      import s.implicits._
+      import graft.similarity.MinHashKernel
+      val bands = docs(s, d).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.flatMap { case (id, text) =>
+          val sig = MinHashKernel.signature(text, k = 5, h = H)
+          MinHashKernel.bands(sig, B, R).zipWithIndex.map {
+            case (bv, bi) => (id, bi, bv)
+          }
+        })
+        .toDF("doc_id", "band_idx", "band_val")
 
       val cand = bands.as("a").join(bands.as("b"),
           col("a.band_idx") === col("b.band_idx") &&
@@ -90,16 +78,26 @@ object DedupQueries {
       // collect_set over the full corpus was the top remaining cost
       val candDocs = cand.select(col("doc_a").as("doc_id"))
         .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-      val sets = sh.join(broadcast(candDocs), "doc_id")
-        .groupBy("doc_id").agg(collect_set(col("sh")).as("shs"))
-      cand
+      // shingle sets (sorted, distinct) for candidate docs only, built from
+      // codegen'd shingle rows; the jaccard itself runs in a two-pointer JVM
+      // kernel — Catalyst array_intersect is interpreted per pair and
+      // dominates when band collisions number in the tens of thousands
+      val sets = docs(s, d).join(broadcast(candDocs), "doc_id")
+        .select(col("doc_id"),
+          explode(sequence(lit(0), greatest(length(col("text")) - 5, lit(0)))).as("pos"),
+          col("text"))
+        .select(col("doc_id"), expr("substring(text, pos + 1, 5)").as("sh"))
+        .groupBy("doc_id").agg(sort_array(collect_set(col("sh"))).as("shs"))
+      val paired = cand
         .join(sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shs", "sa"), "doc_a")
         .join(sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shs", "sb"), "doc_b")
-        .select(col("doc_a"), col("doc_b"),
-          (size(array_intersect(col("sa"), col("sb"))).cast("double") /
-            size(array_union(col("sa"), col("sb")))).as("jaccard"))
-        .filter(col("jaccard") >= 0.5)
-        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 3).as("jaccard"))
+        .select(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
+        .as[(Long, Long, IndexedSeq[String], IndexedSeq[String])]
+      paired.mapPartitions(_.flatMap { case (a, b, sa, sb) =>
+          val jac = MinHashKernel.jaccardSorted(sa, sb)
+          if (jac >= 0.5) Some((a, b, math.round(jac * 1000).toDouble / 1000)) else None
+        })
+        .toDF("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
     }),
 

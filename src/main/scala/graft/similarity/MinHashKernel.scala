@@ -1,0 +1,89 @@
+package graft.similarity
+
+/**
+ * Single-pass MinHash signatures over char shingles — a JVM kernel for the
+ * signature stage of LSH dedup. Replaces explode(2M shingle rows) + a
+ * 32-column min aggregation (one full shuffle) with one tight loop per
+ * document: hash each shingle once (FNV-1a 64), derive the H signature
+ * lanes with a splitmix64 mix per lane, keep running minima.
+ *
+ * The hash family only needs to be uniform and deterministic — candidate
+ * pairs are verified against EXACT Jaccard afterwards, so family choice
+ * affects recall, not correctness.
+ */
+object MinHashKernel {
+
+  /** splitmix64 finalizer — mixes (shingle hash, lane) into a lane value. */
+  @inline private def mix(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** FNV-1a 64 over a char window [from, from+len). */
+  @inline private def shingleHash(text: String, from: Int, len: Int): Long = {
+    var h = 0xCBF29CE484222325L
+    var i = from
+    val end = from + len
+    while (i < end) {
+      h ^= text.charAt(i).toLong
+      h *= 0x100000001B3L
+      i += 1
+    }
+    h
+  }
+
+  /** H-lane minhash signature of `text` over `k`-char shingles. */
+  def signature(text: String, k: Int, h: Int): Array[Long] = {
+    val sig = Array.fill(h)(Long.MaxValue)
+    val nShingles = math.max(text.length - k + 1, 1)
+    var s = 0
+    while (s < nShingles) {
+      val len = math.min(k, text.length - s)
+      val base = shingleHash(text, s, len)
+      var lane = 0
+      while (lane < h) {
+        val v = mix(base + lane * 0xD6E8FEB86659FD93L)
+        if (v < sig(lane)) sig(lane) = v
+        lane += 1
+      }
+      s += 1
+    }
+    sig
+  }
+
+  /** Exact Jaccard of two SORTED distinct sequences via two-pointer merge —
+    * the verification kernel (Catalyst's array_intersect/array_union are
+    * interpreted per pair and dominate when candidates number in the 10k+). */
+  def jaccardSorted(a: IndexedSeq[String], b: IndexedSeq[String]): Double = {
+    var i = 0
+    var j = 0
+    var common = 0
+    while (i < a.length && j < b.length) {
+      val c = a(i).compareTo(b(j))
+      if (c == 0) { common += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    val union = a.length + b.length - common
+    if (union == 0) 0.0 else common.toDouble / union
+  }
+
+  /** Band values: one hash per band of `r` consecutive lanes. */
+  def bands(sig: Array[Long], b: Int, r: Int): Array[Long] = {
+    val out = new Array[Long](b)
+    var i = 0
+    while (i < b) {
+      var acc = 0xCBF29CE484222325L ^ i
+      var j = 0
+      while (j < r) {
+        acc = mix(acc ^ sig(i * r + j))
+        j += 1
+      }
+      out(i) = acc
+      i += 1
+    }
+    out
+  }
+}
