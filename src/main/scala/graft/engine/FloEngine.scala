@@ -197,7 +197,13 @@ final class FloEngine(val spark: SparkSession, val root: String) {
     * (engine/mod.rs:69-82). */
   def read(stream: String): DataFrame = {
     if (!streamExists(stream)) throw new NoSuchStream(stream)
-    spark.read.schema(FloSchema.eventType).parquet(streamDir(stream))
+    // readers race the retention janitor (SURVEY §7.3 hard part 3): a file
+    // listed at plan time may be expired before the task reads it — skip it
+    // (flo's equivalent: dropped segments release on mmap refcount,
+    // mmap.rs:73-84; readers holding no segment just see it gone)
+    spark.read.schema(FloSchema.eventType)
+      .option("ignoreMissingFiles", "true")
+      .parquet(streamDir(stream))
   }
 
   /**
@@ -246,6 +252,7 @@ final class FloEngine(val spark: SparkSession, val root: String) {
       vv: VersionVector = VersionVector.empty,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val reader = spark.readStream.schema(FloSchema.eventType)
+      .option("ignoreMissingFiles", "true")
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     val df = reader.parquet(streamDir(stream))
     val seek =

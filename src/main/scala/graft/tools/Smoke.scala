@@ -101,6 +101,13 @@ object Smoke {
       .select("event_counter").collect().map(_.getLong(0)).mkString(","))
     try { engine.consumeAll("no-such-stream"); println("NOSUCH=MISSED (BUG)") }
     catch { case e: graft.engine.NoSuchStream => println("NOSUCH=" + e.getMessage) }
+
+    // janitor racing a planned reader: plan, expire, then run
+    val planned = engine.consumeAll("default")
+    val cutoffNow = new java.sql.Timestamp(System.currentTimeMillis() + 1000)
+    val dropped = engine.expireOldEvents("default", cutoffNow)
+    println("JANITOR_RACE=" + dropped.size + " dropped, reader sees " +
+      planned.count() + " rows (no FileNotFound)")
     spark.stop()
   }
 }

@@ -157,6 +157,20 @@ class FloEngineSpec extends SparkSuite {
     assert(after.collect().map(_.getAs[Long]("event_counter")).toSeq == Seq(4L))
   }
 
+  test("readers survive the janitor deleting files under a planned query (§7.3 #3)") {
+    val (e, _) = newEngine()
+    e.produceStrings("default", 1, Seq("/race/old" -> ""))
+    Thread.sleep(30)
+    val cutoff = new java.sql.Timestamp(System.currentTimeMillis())
+    Thread.sleep(30)
+    e.produceStrings("default", 1, Seq("/race/new" -> ""))
+    // plan FIRST (file listing happens here), delete UNDER the plan, then run
+    val planned = e.consumeAll("default")
+    assert(e.expireOldEvents("default", cutoff).nonEmpty)
+    val got = planned.collect().map(_.getAs[String]("namespace")).toSeq
+    assert(got == Seq("/race/new"), s"reader should skip expired files, got $got")
+  }
+
   test("compaction merges small files, preserves data, keeps pruning tight") {
     val (e, root) = newEngine(partitions = 2)
     (1 to 10).foreach { i => e.produceStrings("default", 1 + (i % 2), Seq(s"/k/$i" -> s"v$i")) }
