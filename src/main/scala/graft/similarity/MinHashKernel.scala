@@ -70,6 +70,43 @@ object MinHashKernel {
     if (union == 0) 0.0 else common.toDouble / union
   }
 
+  /** 64-bit SimHash over whitespace tokens: per token one FNV hash, each of
+    * the 64 bits votes +1/-1, sign of the vote is the sketch bit. Single
+    * pass per document — the dataframe formulation (explode + 64 sum
+    * aggregates) shuffles every token row. */
+  def simhash(text: String): Long = {
+    val votes = new Array[Int](64)
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      while (i < n && Character.isWhitespace(text.charAt(i))) i += 1
+      val start = i
+      while (i < n && !Character.isWhitespace(text.charAt(i))) i += 1
+      if (i > start) {
+        // FNV-1a over the lowercased token
+        var h = 0xCBF29CE484222325L
+        var j = start
+        while (j < i) {
+          h ^= Character.toLowerCase(text.charAt(j)).toLong
+          h *= 0x100000001B3L
+          j += 1
+        }
+        var bit = 0
+        while (bit < 64) {
+          if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
+          bit += 1
+        }
+      }
+    }
+    var sketch = 0L
+    var bit = 0
+    while (bit < 64) {
+      if (votes(bit) > 0) sketch |= (1L << bit)
+      bit += 1
+    }
+    sketch
+  }
+
   /** Band values: one hash per band of `r` consecutive lanes. */
   def bands(sig: Array[Long], b: Int, r: Int): Array[Long] = {
     val out = new Array[Long](b)

@@ -203,6 +203,17 @@ class FloEngineSpec extends SparkSuite {
     intercept[NoSuchStream](e.consumeAll("nope"))
   }
 
+  test("streams have independent counter sequences (engine/mod.rs:40-44)") {
+    val (e, _) = newEngine()
+    e.createStream(EventStreamOptions(name = "other", numPartitions = 1))
+    e.produceStrings("default", 1, Seq("/a" -> "", "/b" -> ""))
+    val acked = e.produceStrings("other", 1, Seq("/x" -> ""))
+    // "other" starts its own sequence at 1, unaffected by "default"
+    assert(acked.collect().map(_.getAs[Long]("event_counter")).toSeq == Seq(1L))
+    assert(e.listStreams().sorted == Seq("default", "other"))
+    assert(e.status("default") == Map(1 -> 2L) && e.status("other") == Map(1 -> 1L))
+  }
+
   test("prefix globs push a StartsWith filter into the parquet scan") {
     val (e, _) = newEngine()
     e.produceStrings("default", 1, Seq("/meals/breakfast/eggs" -> "", "/other" -> ""))

@@ -56,7 +56,7 @@ class QueriesSpec extends SparkSuite {
     assert(rows.nonEmpty)
     rows.foreach { r =>
       assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
-      assert(r.getAs[Number]("hamming").longValue <= 8)
+      assert(r.getAs[Number]("hamming").longValue <= 3)
     }
   }
 
