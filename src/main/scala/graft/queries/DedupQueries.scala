@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -19,11 +19,6 @@ import graft.Tables
 object DedupQueries {
 
   private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
-
-  /** Char 5-gram shingles of a text column (deterministic, order-free set). */
-  private def shingles(text: Column): Column =
-    array_distinct(expr(
-      "transform(sequence(0, greatest(length(text) - 5, 0)), i -> substring(text, i + 1, 5))"))
 
   private val H = 32 // minhash signature length
   private val B = 8  // bands

@@ -45,7 +45,7 @@ object SimilarityQueries {
 
   /** Sign-bit LSH code of vector column `v` for plane `p`. */
   private def planeBit(v: Column, p: Int): Column = {
-    val plane = array(planes(p).map(lit): _*)
+    val plane = array(planes(p).toIndexedSeq.map(lit): _*)
     val dot = aggregate(zip_with(v, plane, (x, w) => x * w), lit(0.0), (acc, x) => acc + x)
     when(dot > 0, lit(1)).otherwise(lit(0))
   }
