@@ -344,6 +344,27 @@ final class FloEngine(val spark: SparkSession, val root: String) {
     VersionVector(heads)
   }
 
+  /**
+   * Migration path from the reference: import a directory of raw flo
+   * segment files (`<n>.events`) into this engine's parquet log, PRESERVING
+   * original event ids and timestamps (unlike `produce`, which assigns new
+   * ones). After import the counter sequence continues above the imported
+   * maximum. Returns the number of events imported.
+   */
+  def importSegments(stream: String, segmentsDir: String): Long = {
+    val df = spark.read.format("flo-segments").load(segmentsDir)
+    val partitions = df.select("partition").distinct()
+      .collect().map(_.getInt(0))
+    createStream(FloEngine.EventStreamOptions(stream,
+      numPartitions = if (partitions.isEmpty) 1 else partitions.max))
+    val n = df.count()
+    df.repartition(col("partition"))
+      .write.mode(SaveMode.Append).partitionBy("partition")
+      .parquet(streamDir(stream))
+    highest.remove(stream) // recover the new max lazily on next produce
+    n
+  }
+
   // ------------------------------------------------------------- compaction
 
   /**

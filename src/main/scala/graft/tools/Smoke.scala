@@ -22,6 +22,7 @@ object Smoke {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
+    println("ENTRY_ROWS=" + graft.SparkEntry.entry(spark).count())
     val ev = graft.Tables.floEvents(spark, sfDir)
     println("TOTAL=" + ev.count())
 
@@ -101,6 +102,12 @@ object Smoke {
       .select("event_counter").collect().map(_.getLong(0)).mkString(","))
     try { engine.consumeAll("no-such-stream"); println("NOSUCH=MISSED (BUG)") }
     catch { case e: graft.engine.NoSuchStream => println("NOSUCH=" + e.getMessage) }
+
+    // migration: import the raw segment dir we just wrote into a new stream
+    val migrated = new FloEngine(spark,
+      java.nio.file.Files.createTempDirectory("smoke-migrate").toString)
+    println("IMPORTED=" + migrated.importSegments("fromflo", segDir.toString) +
+      " events, heads=" + migrated.status("fromflo").toSeq.sorted.mkString(","))
 
     // janitor racing a planned reader: plan, expire, then run
     val planned = engine.consumeAll("default")

@@ -88,6 +88,20 @@ class FloSegmentsSourceSpec extends SparkSuite {
     assert(SegmentsOffset.fromJson(SegmentsOffset(Map.empty).json()).positions.isEmpty)
   }
 
+  test("importSegments migrates a flo data dir into the engine, ids preserved") {
+    val segDir = tempDir("segsrc-import")
+    writeSegment(segDir, "1.events", (1L to 12L).map(i => event(i, s"/m/$i")))
+    val root = tempDir("segsrc-import-engine")
+    val engine = new graft.engine.FloEngine(spark, root)
+    assert(engine.importSegments("migrated", segDir) == 12L)
+    // original ids and namespaces survive; glob consume works over them
+    val got = engine.consumeAll("migrated", "/m/*").collect()
+    assert(got.map(_.getAs[Long]("event_counter")).toSeq == (1L to 12L))
+    // the counter sequence continues above the imported maximum
+    val acked = engine.produceStrings("migrated", 1, Seq("/m/new" -> ""))
+    assert(acked.collect().head.getAs[Long]("event_counter") == 13L)
+  }
+
   test("glob + vv predicates compose on the segment source") {
     import org.apache.spark.sql.functions.col
     val dir = tempDir("segsrc-pred")
