@@ -41,6 +41,20 @@ object ScalarQueries {
         .orderBy("st", "prio")
     }),
 
+    // explicit GROUPING SETS through the SQL entry path (no DataFrame API
+    // exists for arbitrary grouping sets; spark.sql over a temp view)
+    "q_grouping_sets" -> ((s, d) => {
+      Tables.load(s, d, "orders").createOrReplaceTempView("orders_gs")
+      s.sql(
+        """SELECT COALESCE(o_orderstatus, 'ALL') AS st,
+          |       COALESCE(o_orderpriority, 'ALL') AS prio,
+          |       COUNT(*) AS n,
+          |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+          |FROM orders_gs
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY st, prio""".stripMargin)
+    }),
+
     // HLL approx distinct next to the exact count (sketches are
     // engine-specific: QueriesSpec asserts the <5% error bound instead)
     "q_approx_distinct" -> ((s, d) => {
@@ -62,6 +76,15 @@ object ScalarQueries {
         |  CONCAT_WS('-', o_orderstatus, o_orderpriority) AS tag,
         |  COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_or_open
         |FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS st,
+        |       COALESCE(o_orderpriority, 'ALL') AS prio,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY st, prio""".stripMargin,
 
     "q_cube" ->
       """SELECT COALESCE(o_orderstatus, 'ALL') AS st, COALESCE(o_orderpriority, 'ALL') AS prio,
