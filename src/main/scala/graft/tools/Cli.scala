@@ -1,0 +1,76 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.engine.FloEngine
+import graft.model.VersionVector
+
+/**
+ * CLI verbs over the engine — the Spark rendering of the reference's
+ * `FloCliCommand` surface (flo-client-cli/src/client_cli/mod.rs:10-15:
+ * produce/consume plus admin verbs).
+ *
+ * {{{
+ * sbt "runMain graft.tools.Cli <root> produce <stream> <partition> <ns> <payload>"
+ * sbt "runMain graft.tools.Cli <root> consume <stream> [glob] [limit]"
+ * sbt "runMain graft.tools.Cli <root> status  <stream>"
+ * sbt "runMain graft.tools.Cli <root> streams"
+ * sbt "runMain graft.tools.Cli <root> compact <stream>"
+ * sbt "runMain graft.tools.Cli <root> expire  <stream> <cutoff-millis>"
+ * sbt "runMain graft.tools.Cli <root> import  <stream> <segmentsDir>"
+ * }}}
+ */
+object Cli {
+  def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println("usage: Cli <root> <verb> [args...] (see scaladoc)")
+      sys.exit(2)
+    }
+    val root = args(0)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val engine = new FloEngine(spark, root)
+
+    args(1) match {
+      case "produce" =>
+        val Array(_, _, stream, partition, ns, payload) = args.take(6)
+        engine.createStream(FloEngine.EventStreamOptions(stream, partition.toInt))
+        val acked = engine.produceStrings(stream, partition.toInt, Seq(ns -> payload))
+        acked.collect().foreach { r =>
+          println(s"acked ${r.getAs[Long]("event_counter")}.${r.getAs[Int]("partition")}")
+        }
+      case "consume" =>
+        val stream = args(2)
+        val glob = if (args.length > 3) args(3) else "/**/*"
+        val limit = if (args.length > 4) Some(args(4).toLong) else None
+        engine.consumeAll(stream, glob, limit).collect().foreach { r =>
+          println(s"${r.getAs[Long]("event_counter")}.${r.getAs[Int]("partition")} " +
+            s"${r.getAs[String]("namespace")} " +
+            new String(Option(r.getAs[Array[Byte]]("data")).getOrElse(Array.empty), "UTF-8"))
+        }
+      case "status" =>
+        engine.status(args(2)).toSeq.sorted.foreach { case (p, h) =>
+          println(s"partition=$p head=$h")
+        }
+      case "streams" =>
+        engine.listStreams().foreach(println)
+      case "compact" =>
+        engine.compact(args(2)); println("compacted")
+      case "expire" =>
+        val dropped = engine.expireOldEvents(args(2),
+          new java.sql.Timestamp(args(3).toLong))
+        println(s"dropped ${dropped.size} files")
+      case "import" =>
+        println(s"imported ${engine.importSegments(args(2), args(3))} events")
+      case other =>
+        System.err.println(s"unknown verb: $other")
+        sys.exit(2)
+    }
+    spark.stop()
+  }
+}
