@@ -171,6 +171,37 @@ class StreamingSpec extends SparkSuite {
     assert(rows.length == 1 && rows.head.getAs[Long]("count") == 6)
   }
 
+  test("StreamingQueryListener observes consumer progress (ConsumerNotifier analog, §2.10)") {
+    val (e, _) = newEngine()
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val rowsSeen = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          event: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          event: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+        batches.incrementAndGet()
+        rowsSeen.addAndGet(event.progress.numInputRows)
+      }
+      override def onQueryTerminated(
+          event: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    try {
+      e.produceStrings("default", 1, (1 to 7).map(i => (s"/l/$i", "")))
+      val q = e.consumeStream("default", "/l/*")
+        .writeStream.format("memory").queryName("listened")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      // listener events are delivered asynchronously
+      var waited = 0
+      while (rowsSeen.get() < 7 && waited < 100) { Thread.sleep(100); waited += 1 }
+      assert(rowsSeen.get() == 7, s"listener saw ${rowsSeen.get()} rows")
+      assert(batches.get() >= 1)
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("version-vector aggregator folds consumed positions (A2)") {
     val (e, _) = newEngine(partitions = 3)
     (1 to 9).foreach { i => e.produceStrings("default", 1 + (i % 3), Seq(s"/v/$i" -> "")) }
