@@ -81,15 +81,15 @@ object DedupQueries {
         .select(col("doc_id"),
           explode(sequence(lit(0), greatest(length(col("text")) - 5, lit(0)))).as("pos"),
           col("text"))
-        .select(col("doc_id"), expr("substring(text, pos + 1, 5)").as("sh"))
+        .select(col("doc_id"), xxhash64(expr("substring(text, pos + 1, 5)")).as("sh"))
         .groupBy("doc_id").agg(sort_array(collect_set(col("sh"))).as("shs"))
       val paired = cand
         .join(sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shs", "sa"), "doc_a")
         .join(sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shs", "sb"), "doc_b")
         .select(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
-        .as[(Long, Long, IndexedSeq[String], IndexedSeq[String])]
+        .as[(Long, Long, IndexedSeq[Long], IndexedSeq[Long])]
       paired.mapPartitions(_.flatMap { case (a, b, sa, sb) =>
-          val jac = MinHashKernel.jaccardSorted(sa, sb)
+          val jac = MinHashKernel.jaccardSortedLongs(sa, sb)
           if (jac >= 0.5) Some((a, b, math.round(jac * 1000).toDouble / 1000)) else None
         })
         .toDF("doc_a", "doc_b", "jaccard")

@@ -70,6 +70,24 @@ object MinHashKernel {
     if (union == 0) 0.0 else common.toDouble / union
   }
 
+  /** Same over sorted distinct 64-bit shingle hashes — ~4x less data per
+    * pair than the string sets; jaccard over hashed distinct shingles equals
+    * jaccard over the shingles themselves up to 64-bit collisions. */
+  def jaccardSortedLongs(a: IndexedSeq[Long], b: IndexedSeq[Long]): Double = {
+    var i = 0
+    var j = 0
+    var common = 0
+    while (i < a.length && j < b.length) {
+      val x = a(i)
+      val y = b(j)
+      if (x == y) { common += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val union = a.length + b.length - common
+    if (union == 0) 0.0 else common.toDouble / union
+  }
+
   /** 64-bit SimHash over whitespace tokens: per token one FNV hash, each of
     * the 64 bits votes +1/-1, sign of the vote is the sketch bit. Single
     * pass per document — the dataframe formulation (explode + 64 sum
