@@ -203,6 +203,41 @@ class FloEngineSpec extends SparkSuite {
     intercept[NoSuchStream](e.consumeAll("nope"))
   }
 
+  test("one produce batch can span partitions; counters stay contiguous") {
+    val (e, _) = newEngine(partitions = 3)
+    import spark.implicits._
+    val reqs = (1 to 30).map(i => (1 + (i % 3), s"/mix/$i",
+        null.asInstanceOf[java.lang.Long], null.asInstanceOf[java.lang.Integer],
+        s"p$i".getBytes("UTF-8")))
+      .toDF("partition", "namespace", "parent_counter", "parent_partition", "data")
+    val acked = e.produce("default", reqs)
+    assert(acked.collect().map(_.getAs[Long]("event_counter")).sorted.toSeq == (1L to 30L))
+    // each event landed in the partition the request named
+    val byPartition = e.consumeAll("default").collect()
+      .map(r => r.getAs[String]("namespace") -> r.getAs[Int]("partition")).toMap
+    (1 to 30).foreach { i => assert(byPartition(s"/mix/$i") == 1 + (i % 3)) }
+  }
+
+  test("unicode namespaces round-trip and glob-match correctly") {
+    val (e, _) = newEngine()
+    e.produceStrings("default", 1, Seq(
+      "/café/croissant" -> "买", "/café/日本/ラーメン" -> "",
+      "/plain/x" -> ""))
+    assert(namespaces(e.consumeAll("default", "/café/*")) == Seq("/café/croissant"))
+    assert(namespaces(e.consumeAll("default", "/café/**/*")) ==
+      Seq("/café/croissant", "/café/日本/ラーメン"))
+    val payload = e.consumeAll("default", "/café/croissant").collect()
+      .head.getAs[Array[Byte]]("data")
+    assert(new String(payload, "UTF-8") == "买")
+    // and through the binary codec too (u32 ns_len is BYTES, not chars)
+    val ev = graft.model.FloEvent(1L, 1, new java.sql.Timestamp(0), None, None,
+      "/café/日本", "買い物".getBytes("UTF-8"))
+    val decoded = graft.sources.FloBinaryCodec.decode(
+      graft.sources.FloBinaryCodec.encode(ev), 0).get._1
+    assert(decoded.namespace == "/café/日本")
+    assert(new String(decoded.data, "UTF-8") == "買い物")
+  }
+
   test("streams have independent counter sequences (engine/mod.rs:40-44)") {
     val (e, _) = newEngine()
     e.createStream(EventStreamOptions(name = "other", numPartitions = 1))
