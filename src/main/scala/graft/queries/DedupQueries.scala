@@ -145,13 +145,23 @@ object DedupQueries {
           explode(sequence(lit(0), size(col("w")) - 3)).as("i"), col("w"))
         .select(col("doc_id"), expr("concat(w[i], ' ', w[i+1], ' ', w[i+2])").as("gram"))
         .dropDuplicates("doc_id", "gram")
-      val inv = gramRows.withColumn("sz",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
-      inv.as("a").join(inv.as("b"),
-          col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          col("a.sz").as("sa"), col("b.sz").as("sb"))
-        .agg(count(lit(1)).as("common"))
+      // per-gram posting lists -> pair emission in one pass (a gram⋈gram
+      // self-join evaluated the whole gram pipeline once per side); per-doc
+      // set sizes are a tiny broadcast
+      import s.implicits._
+      val sizes = gramRows.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val pairRows = gramRows
+        .groupBy("gram").agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        .filter(size(col("ds")) > 1)
+        .select(col("ds")).as[Seq[Long]]
+        .mapPartitions(_.flatMap { ds =>
+          for (i <- ds.indices.iterator; j <- (i + 1) until ds.size)
+            yield (ds(i), ds(j))
+        })
+        .toDF("doc_a", "doc_b")
+      pairRows.groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+        .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sa"))), "doc_a")
+        .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sb"))), "doc_b")
         // integer threshold (2*common >= union) and integer-first scaling
         // (1000*common/union) — both exact, immune to fp rounding-path
         // differences between engines
