@@ -3,6 +3,8 @@ package graft.engine
 import java.util.concurrent.ConcurrentHashMap
 import java.util.concurrent.atomic.AtomicLong
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
@@ -78,12 +80,39 @@ final class FloEngine(val spark: SparkSession, val root: String) {
     * events report head 0. */
   def status(stream: String): Map[Int, Long] = {
     val declared = declaredPartitions(stream)
-    val observed =
-      if (isEmpty(stream)) Map.empty[Int, Long]
-      else
-        read(stream).groupBy(col("partition")).agg(max("event_counter").as("head"))
-          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val observed = footerHeads(stream)
     declared.map(p => p -> observed.getOrElse(p, 0L)).toMap ++ observed
+  }
+
+  /** Per-partition max event_counter from parquet FOOTER statistics only —
+    * no column scan. This is flo's index-recovery equivalent (S5,
+    * partition/index.rs rebuilt from segment metadata): the footers are the
+    * index. Spark's own aggregate pushdown would do the same but only on
+    * the v2 parquet path, which is not the default. */
+  private def footerHeads(stream: String): Map[Int, Long] = {
+    val f = fs(root)
+    val conf = spark.sparkContext.hadoopConfiguration
+    declaredPartitions(stream).flatMap { p =>
+      val dir = new Path(s"${streamDir(stream)}/partition=$p")
+      val maxes = f.listStatus(dir)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .flatMap { st =>
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(st.getPath, conf))
+          try {
+            reader.getFooter.getBlocks.asScala.flatMap { block =>
+              block.getColumns.asScala
+                .find(_.getPath.toDotString == "event_counter")
+                .flatMap { c =>
+                  val stats = c.getStatistics
+                  if (stats == null || !stats.hasNonNullValue) None
+                  else Some(stats.genericGetMax.asInstanceOf[Number].longValue)
+                }
+            }
+          } finally reader.close()
+        }
+      if (maxes.isEmpty) None else Some(p -> maxes.max)
+    }.toMap
   }
 
   private def declaredPartitions(stream: String): Seq[Int] = {
@@ -180,14 +209,9 @@ final class FloEngine(val spark: SparkSession, val root: String) {
 
   private def highestCounter(stream: String): AtomicLong =
     highest.computeIfAbsent(stream, _ => {
-      // recovery scan (S5): parquet stats make this a metadata-only max
-      val init =
-        if (isEmpty(stream)) 0L
-        else read(stream).agg(max("event_counter")).collect().head match {
-          case r if r.isNullAt(0) => 0L
-          case r => r.getLong(0)
-        }
-      new AtomicLong(init)
+      // recovery (S5): footer stats only, no data scan
+      val heads = footerHeads(stream)
+      new AtomicLong(if (heads.isEmpty) 0L else heads.values.max)
     })
 
   // ---------------------------------------------------------------- consume
