@@ -40,6 +40,11 @@ import graft.model.{FloSchema, VersionVector}
 final class FloEngine(val spark: SparkSession, val root: String) {
   import FloEngine._
 
+  // write INT64-micros timestamps (not legacy INT96): INT96 carries no
+  // footer statistics, and the retention janitor prunes whole files from
+  // footer max-timestamp alone
+  spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+
   private val highest = new ConcurrentHashMap[String, AtomicLong]()
 
   private def streamDir(stream: String): String = s"$root/$stream"
@@ -91,26 +96,10 @@ final class FloEngine(val spark: SparkSession, val root: String) {
     * the v2 parquet path, which is not the default. */
   private def footerHeads(stream: String): Map[Int, Long] = {
     val f = fs(root)
-    val conf = spark.sparkContext.hadoopConfiguration
     declaredPartitions(stream).flatMap { p =>
-      val dir = new Path(s"${streamDir(stream)}/partition=$p")
-      val maxes = f.listStatus(dir)
+      val maxes = f.listStatus(new Path(s"${streamDir(stream)}/partition=$p"))
         .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-        .flatMap { st =>
-          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(st.getPath, conf))
-          try {
-            reader.getFooter.getBlocks.asScala.flatMap { block =>
-              block.getColumns.asScala
-                .find(_.getPath.toDotString == "event_counter")
-                .flatMap { c =>
-                  val stats = c.getStatistics
-                  if (stats == null || !stats.hasNonNullValue) None
-                  else Some(stats.genericGetMax.asInstanceOf[Number].longValue)
-                }
-            }
-          } finally reader.close()
-        }
+        .flatMap(st => footerColumnMax(st.getPath, "event_counter"))
       if (maxes.isEmpty) None else Some(p -> maxes.max)
     }.toMap
   }
@@ -437,15 +426,51 @@ final class FloEngine(val spark: SparkSession, val root: String) {
    * Returns the deleted file paths.
    */
   def expireOldEvents(stream: String, cutoff: java.sql.Timestamp): Seq[String] = {
-    if (isEmpty(stream)) return Seq.empty
-    val perFile = read(stream)
-      .groupBy(input_file_name().as("file"))
-      .agg(max("timestamp").as("newest"))
-      .filter(col("newest") < lit(cutoff))
-      .collect().map(_.getString(0))
     val f = fs(root)
-    perFile.foreach { uri => f.delete(new Path(new java.net.URI(uri)), false) }
-    perFile.toSeq
+    val cutoffMicros = cutoff.getTime * 1000L
+    val expired = declaredPartitions(stream).flatMap { p =>
+      f.listStatus(new Path(s"${streamDir(stream)}/partition=$p"))
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .filter { st =>
+          footerColumnMax(st.getPath, "timestamp") match {
+            case Some(maxMicros) => maxMicros < cutoffMicros
+            // no stats (legacy INT96 files): scan just that file
+            case None =>
+              spark.read.parquet(st.getPath.toString)
+                .agg(max("timestamp")).collect().head match {
+                case r if r.isNullAt(0) => true // empty file: expired
+                case r => r.getTimestamp(0).before(cutoff)
+              }
+          }
+        }
+        .map(_.getPath)
+    }
+    expired.foreach(f.delete(_, false))
+    expired.map(_.toString)
+  }
+
+  /** Footer-statistics max of a long-encoded column (counter, micros
+    * timestamp) for one file; None when any row group lacks stats. */
+  private def footerColumnMax(file: Path, column: String): Option[Long] = {
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        file, spark.sparkContext.hadoopConfiguration))
+    try {
+      val perBlock = reader.getFooter.getBlocks.asScala.map { block =>
+        block.getColumns.asScala
+          .find(_.getPath.toDotString == column)
+          .flatMap { c =>
+            val stats = c.getStatistics
+            if (stats == null || !stats.hasNonNullValue) None
+            else stats.genericGetMax match {
+              case n: Number => Some(n.longValue)
+              case _ => None
+            }
+          }
+      }
+      if (perBlock.isEmpty || perBlock.exists(_.isEmpty)) None
+      else Some(perBlock.flatten.max)
+    } finally reader.close()
   }
 }
 
