@@ -3,7 +3,8 @@ package graft.expressions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.unsafe.types.UTF8String
 
 /**
  * Engine extensions: registers the custom expressions with Catalyst.
@@ -15,8 +16,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
  *    the caller didn't build — used by the query catalog.
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotFunction)
+    ext.injectFunction(GraftExtensions.nsGlobFunction)
+  }
 }
 
 object GraftExtensions {
@@ -29,11 +32,43 @@ object GraftExtensions {
       DotProduct(children.head, children(1))
     })
 
+  /** `ns_glob(namespace, 'pattern')` in SQL: the pattern must be a string
+    * literal (it compiles at plan time, like the Column API); expands to the
+    * same literal-equality / startsWith+RLIKE expression tree that
+    * [[graft.functions.ns_glob]] builds at the Column level (kept in sync —
+    * DotProductSpec asserts the two paths agree). */
+  private val nsGlobFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("ns_glob"),
+    new ExpressionInfo("graft.functions", "ns_glob"),
+    { (children: Seq[Expression]) =>
+      import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Literal => Lit, RLike, StartsWith}
+      import graft.model.{EventFilter, NamespaceGlob}
+      children match {
+        case Seq(ns, Literal(p: UTF8String, org.apache.spark.sql.types.StringType)) =>
+          val pattern = p.toString
+          EventFilter.parseOrThrow(pattern) match {
+            case EventFilter.All => Lit.TrueLiteral
+            case EventFilter.Glob(g) =>
+              if (NamespaceGlob.isLiteral(pattern)) EqualTo(ns, Lit(pattern))
+              else {
+                val prefix = pattern.takeWhile(c => c != '*' && c != '?' && c != '[')
+                val rx = RLike(ns, Lit(g.regex))
+                if (prefix.nonEmpty) And(StartsWith(ns, Lit(prefix)), rx) else rx
+              }
+          }
+        case _ =>
+          throw new IllegalArgumentException(
+            "ns_glob expects (column, string-literal pattern)")
+      }
+    })
+
   /** Runtime registration into an existing session (idempotent). */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    if (!registry.functionExists(dotFunction._1)) {
-      registry.registerFunction(dotFunction._1, dotFunction._2, dotFunction._3)
+    Seq(dotFunction, nsGlobFunction).foreach { fn =>
+      if (!registry.functionExists(fn._1)) {
+        registry.registerFunction(fn._1, fn._2, fn._3)
+      }
     }
   }
 }

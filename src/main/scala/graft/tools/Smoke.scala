@@ -40,6 +40,11 @@ object Smoke {
     try { ev.filter(ns_glob($"namespace", "/foo**")); println("ERR=NONE (BUG)") }
     catch { case e: Exception => println("ERR=" + e.getMessage) }
 
+    graft.expressions.GraftExtensions.register(spark)
+    ev.createOrReplaceTempView("flo_smoke")
+    println("SQL_NSGLOB=" + spark.sql(
+      "SELECT count(*) FROM flo_smoke WHERE ns_glob(namespace, '/events/p*')")
+      .collect().head.getLong(0))
     println("LITERAL=" + ev.filter(ns_glob($"namespace", "/events/purchase")).count())
     println("LITERAL_PLAN=" + ev.filter(ns_glob($"namespace", "/events/purchase"))
       .queryExecution.optimizedPlan.toString.linesIterator.take(2).mkString(" | "))

@@ -44,6 +44,23 @@ class DotProductSpec extends SparkSuite {
     assert(r.getDouble(1) == 11.0) // min-length semantics
   }
 
+  test("SQL ns_glob agrees with the Column-level ns_glob") {
+    val s = registered()
+    val docs = graft.Tables.floEvents(s, "/root/testdata/sf0.001")
+    docs.createOrReplaceTempView("flo_sql_test")
+    for (pattern <- Seq("/events/p*", "/events/error", "/**/*", "/ev[ae]nts/*")) {
+      val viaSql = s.sql(
+        s"SELECT count(*) FROM flo_sql_test WHERE ns_glob(namespace, '$pattern')")
+        .collect().head.getLong(0)
+      val viaColumn = docs.filter(
+        graft.functions.ns_glob(org.apache.spark.sql.functions.col("namespace"), pattern)).count()
+      assert(viaSql == viaColumn, s"pattern $pattern: sql=$viaSql column=$viaColumn")
+    }
+    // invalid patterns error at analysis time through SQL too
+    intercept[Exception](s.sql(
+      "SELECT ns_glob(namespace, '/foo**') FROM flo_sql_test").collect())
+  }
+
   test("registration is idempotent and works via spark.sql.extensions") {
     GraftExtensions.register(spark)
     GraftExtensions.register(spark)
