@@ -87,6 +87,20 @@ object FloQueries {
         .orderBy("k_bucket")
     }),
 
+    // C4: structured payload decode via from_json (full-schema variant of
+    // the SerdeJsonCodec; payload_json covers the single-path form)
+    "flo_payload_struct" -> ((s, d) => {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType)))
+      Tables.floEvents(s, d)
+        .select(col("event_counter"),
+          from_json(col("data").cast("string"), schema).as("payload"))
+        .select(col("event_counter"), col("payload.k").as("k"))
+        .filter(col("event_counter") < 500)
+        .orderBy("event_counter")
+    }),
+
     // §2.7: union of two consumer globs (overlap dedup via set semantics)
     "flo_union_globs" -> ((s, d) => {
       val flo = Tables.floEvents(s, d)
@@ -135,6 +149,11 @@ object FloQueries {
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
         |       COUNT(*) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "flo_payload_struct" ->
+      """SELECT event_id AS event_counter,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events WHERE event_id < 500 ORDER BY event_counter""".stripMargin,
 
     "flo_union_globs" ->
       s"""$floCte
