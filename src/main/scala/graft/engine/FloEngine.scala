@@ -72,6 +72,37 @@ final class FloEngine(val spark: SparkSession, val root: String) {
   def streamExists(stream: String): Boolean =
     fs(root).exists(new Path(streamDir(stream)))
 
+  /** Read back a stream's persisted options (engine/event_stream/mod.rs
+    * defaults); None when the stream or its metadata file is missing. */
+  def streamOptions(stream: String): Option[EventStreamOptions] = {
+    val meta = new Path(s"${streamDir(stream)}/_stream.json")
+    val f = fs(root)
+    if (!f.exists(meta)) None
+    else {
+      val in = f.open(meta)
+      val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      def field(name: String): Option[Long] =
+        s""""$name":(-?\\d+)""".r.findFirstMatchIn(json).map(_.group(1).toLong)
+      Some(EventStreamOptions(
+        name = stream,
+        numPartitions = field("numPartitions").map(_.toInt).getOrElse(1),
+        eventRetentionMillis = field("eventRetentionMillis").filter(_ >= 0),
+        maxSegmentDurationMillis = field("maxSegmentDurationMillis").getOrElse(24L * 3600 * 1000),
+        segmentMaxSizeBytes = field("segmentMaxSizeBytes").getOrElse(1L << 30)))
+    }
+  }
+
+  /** Tick-driven retention using the stream's configured policy (the
+    * reference's eviction timer, event_stream/mod.rs:160-195): no-op when
+    * retention is "forever". Returns dropped files. */
+  def runRetention(stream: String, now: Long = System.currentTimeMillis()): Seq[String] =
+    streamOptions(stream).flatMap(_.eventRetentionMillis) match {
+      case Some(retention) =>
+        expireOldEvents(stream, new java.sql.Timestamp(now - retention))
+      case None => Seq.empty
+    }
+
   /** Named streams under the root (reference: engine/mod.rs:40-44). */
   def listStreams(): Seq[String] = {
     val p = new Path(root)

@@ -141,6 +141,23 @@ class FloEngineSpec extends SparkSuite {
     assert(joined.map(r => (r.getString(0), r.getString(1))).toSeq == Seq(("/child", "/root")))
   }
 
+  test("configured retention drives the tick janitor (S6 policy wiring)") {
+    val root = tempDir("flo-retention")
+    val e = new FloEngine(spark, root)
+    e.createStream(EventStreamOptions("default", 1, eventRetentionMillis = Some(60000)))
+    assert(e.streamOptions("default").get.eventRetentionMillis.contains(60000L))
+    e.produceStrings("default", 1, Seq("/r/keep" -> ""))
+    // everything is younger than 60s: no-op
+    assert(e.runRetention("default").isEmpty)
+    // pretend the clock jumped 2 minutes: the file expires
+    assert(e.runRetention("default", System.currentTimeMillis() + 120000).nonEmpty)
+    assert(e.consumeAll("default").count() == 0)
+    // forever-retention stream: always a no-op
+    e.createStream(EventStreamOptions("forever", 1))
+    e.produceStrings("forever", 1, Seq("/f/x" -> ""))
+    assert(e.runRetention("forever", System.currentTimeMillis() + 999999999L).isEmpty)
+  }
+
   test("retention janitor drops whole expired files only (S6, embedded_tests.rs:104-146)") {
     val (e, _) = newEngine()
     e.produceStrings("default", 1, Seq("/old/1" -> "", "/old/2" -> ""))
