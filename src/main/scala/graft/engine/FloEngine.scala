@@ -144,14 +144,6 @@ final class FloEngine(val spark: SparkSession, val root: String) {
     }.toSeq.sorted
   }
 
-  private def isEmpty(stream: String): Boolean = {
-    val f = fs(root)
-    !declaredPartitions(stream).exists { p =>
-      f.listStatus(new Path(s"${streamDir(stream)}/partition=$p"))
-        .exists(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-    }
-  }
-
   // ---------------------------------------------------------------- produce
 
   /**
