@@ -242,6 +242,13 @@ final class FloEngine(val spark: SparkSession, val root: String) {
       .parquet(streamDir(stream))
   }
 
+  /** Typed view of a stream (SURVEY §1.5: case-class envelope with
+    * Encoder-preserved nullability of the parent id). */
+  def readTyped(stream: String): org.apache.spark.sql.Dataset[graft.model.FloEvent] = {
+    import spark.implicits._
+    read(stream).as[graft.model.FloEvent]
+  }
+
   /**
    * Batch consume (the reference's consume lifecycle, SURVEY §3.2): glob
    * filter + version-vector seek + global (counter, partition) order +

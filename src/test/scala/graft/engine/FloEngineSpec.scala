@@ -125,6 +125,16 @@ class FloEngineSpec extends SparkSuite {
     assert(got.length == (1 << 20) && got.forall(_ == 42))
   }
 
+  test("typed Dataset[FloEvent] view preserves the envelope (SURVEY §1.5)") {
+    val (e, _) = newEngine()
+    e.produceStrings("default", 1, Seq("/typed/x" -> "payload"))
+    val ev = e.readTyped("default").collect().head
+    assert(ev.event_counter == 1L && ev.partition == 1)
+    assert(ev.namespace == "/typed/x")
+    assert(ev.parent_counter.isEmpty && ev.parent_partition.isEmpty)
+    assert(new String(ev.data, "UTF-8") == "payload")
+  }
+
   test("parent id links survive the round trip (causality, §2.3)") {
     val (e, _) = newEngine()
     e.produceStrings("default", 1, Seq("/root" -> ""))
