@@ -47,6 +47,18 @@ final class FloEngine(val spark: SparkSession, val root: String) {
 
   private val highest = new ConcurrentHashMap[String, AtomicLong]()
 
+  // per-stream commit lock: concurrent Spark append jobs to one path share
+  // the _temporary staging dir (FileOutputCommitter), so file commits must
+  // serialize per stream. Id RESERVATION stays lock-free (getAndAdd below) —
+  // this is flo's single-writer-per-partition discipline at the file edge.
+  private val commitLocks = new ConcurrentHashMap[String, Object]()
+  private def commitLock(stream: String): Object =
+    commitLocks.computeIfAbsent(stream, _ => new Object)
+
+  // a flo server always hosts a "system" stream (engine/mod.rs:34-38,
+  // controller/mod.rs:41-53) — create it at engine construction, idempotent
+  createStream(EventStreamOptions("system"))
+
   private def streamDir(stream: String): String = s"$root/$stream"
 
   private def fs(path: String) = new Path(path)
@@ -103,6 +115,40 @@ final class FloEngine(val spark: SparkSession, val root: String) {
       case None => Seq.empty
     }
 
+  // ---------------------------------------------------------------- janitor
+
+  @volatile private var janitor: Option[java.util.concurrent.ScheduledExecutorService] = None
+
+  /**
+   * Scheduled eviction timer — the reference ticks retention at
+   * `max_segment_duration / 3` (event_stream/mod.rs:39-43). Every tick runs
+   * each stream's configured retention policy. Idempotent; daemon thread;
+   * `stopJanitor()` cancels. `tickMillis` overrides the derived interval
+   * (tests use a short tick).
+   */
+  def startJanitor(tickMillis: Option[Long] = None): Unit = synchronized {
+    if (janitor.isEmpty) {
+      val tick = tickMillis.getOrElse {
+        val durations = listStreams().flatMap(streamOptions(_)).map(_.maxSegmentDurationMillis)
+        (if (durations.isEmpty) 24L * 3600 * 1000 else durations.min) / 3
+      }.max(1L)
+      val exec = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+        (r: Runnable) => {
+          val t = new Thread(r, "graft-retention-janitor"); t.setDaemon(true); t
+        })
+      exec.scheduleWithFixedDelay(
+        () => try listStreams().foreach(s => runRetention(s))
+              catch { case scala.util.control.NonFatal(_) => () },
+        tick, tick, java.util.concurrent.TimeUnit.MILLISECONDS)
+      janitor = Some(exec)
+    }
+  }
+
+  def stopJanitor(): Unit = synchronized {
+    janitor.foreach(_.shutdownNow())
+    janitor = None
+  }
+
   /** Named streams under the root (reference: engine/mod.rs:40-44). */
   def listStreams(): Seq[String] = {
     val p = new Path(root)
@@ -156,12 +202,27 @@ final class FloEngine(val spark: SparkSession, val root: String) {
    * order-preserving without a global sort (a window over the whole batch
    * would funnel everything through one task at 100 TB).
    *
+   * The id range is reserved ATOMICALLY (`getAndAdd`) BEFORE the write —
+   * flo's `HighestCounter::increment_and_get` CAS reservation
+   * (highest_counter.rs:7-67, partition/controller/mod.rs:192-215) — so
+   * concurrent `produce` calls on one engine get disjoint ranges.
+   * Ack-after-commit applies to VISIBILITY (the returned frame reads the
+   * committed files), not to id assignment; a crash between reservation and
+   * commit leaves a counter gap, which the total order tolerates.
+   *
+   * Segment rotation: `segmentMaxSizeBytes` is enforced per batch by
+   * deriving `maxRecordsPerFile` from the batch's average row size — one
+   * oversized produce rolls into multiple files per partition, giving the
+   * retention janitor its whole-file drop granularity (the reference rolls
+   * at segment_max_size_bytes, segment/mod.rs:65-74). `maxSegmentDuration`
+   * holds structurally: appends never reopen a committed file, so a file's
+   * time span is bounded by its batch.
+   *
    * Returns the acked events (with ids and timestamps), like flo's
    * `AckEvent{op_id, event_id}` carries the assigned id.
    */
   def produce(stream: String, requests: DataFrame): DataFrame = {
     val counter = highestCounter(stream)
-    val base = counter.get()
     // server-assigned timestamp, ms precision (flo-event/src/lib.rs:51-53)
     val now = new java.sql.Timestamp(System.currentTimeMillis())
 
@@ -172,37 +233,45 @@ final class FloEngine(val spark: SparkSession, val root: String) {
       col("parent_partition").cast("int").as("parent_partition"),
       col("data").cast("binary").as("data"))
 
-    val schema = org.apache.spark.sql.types.StructType(
-      in.schema.fields :+ org.apache.spark.sql.types.StructField(
-        "event_counter", org.apache.spark.sql.types.LongType, nullable = false))
-    val withIds = spark.createDataFrame(
-      in.rdd.zipWithIndex().map { case (row, idx) =>
-        Row.fromSeq(row.toSeq :+ (base + idx + 1L))
-      }, schema)
-
-    val events = withIds.select(
-      col("event_counter"),
-      col("partition"),
-      lit(now).as("timestamp"),
-      col("parent_counter"),
-      col("parent_partition"),
-      col("namespace"),
-      col("data"))
-
-    // cache across the count + write actions — without it the whole input
-    // (incl. the zipWithIndex pass) is recomputed per action
-    events.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // cache across the stats action + zipWithIndex's size job + the write
+    in.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val n = events.count()
+      // one pass for both the batch size and the avg encoded row size
+      val stats = in.agg(
+        count(lit(1)),
+        avg(coalesce(length(col("data")), lit(0)) +
+          coalesce(length(col("namespace")), lit(0)) + lit(48))).collect().head
+      val n = stats.getLong(0)
+      val base = counter.getAndAdd(n)
+
+      val schema = org.apache.spark.sql.types.StructType(
+        in.schema.fields :+ org.apache.spark.sql.types.StructField(
+          "event_counter", org.apache.spark.sql.types.LongType, nullable = false))
+      val withIds = spark.createDataFrame(
+        in.rdd.zipWithIndex().map { case (row, idx) =>
+          Row.fromSeq(row.toSeq :+ (base + idx + 1L))
+        }, schema)
+
+      val events = withIds.select(
+        col("event_counter"),
+        col("partition"),
+        lit(now).as("timestamp"),
+        col("parent_counter"),
+        col("parent_partition"),
+        col("namespace"),
+        col("data"))
+
+      val avgRowBytes = if (stats.isNullAt(1)) 48.0 else math.max(1.0, stats.getDouble(1))
+      val maxRecordsPerFile = streamOptions(stream)
+        .map(o => math.max(1L, (o.segmentMaxSizeBytes / avgRowBytes).toLong))
+
       // one writer task per partition per batch (single-writer discipline)
-      events.repartition(col("partition"))
+      val writer = events.repartition(col("partition"))
         .write.mode(SaveMode.Append).partitionBy("partition")
-        .parquet(streamDir(stream))
-      // ack only after the file commit (SURVEY §7.3 hard part 1): the id
-      // range becomes visible to highestCounter only now
-      counter.addAndGet(n)
+      maxRecordsPerFile.foreach(m => writer.option("maxRecordsPerFile", m))
+      commitLock(stream).synchronized { writer.parquet(streamDir(stream)) }
       consumeRange(stream, base + 1, base + n)
-    } finally events.unpersist(false)
+    } finally in.unpersist(false)
   }
 
   /** Convenience single-partition produce of string payloads. */
@@ -269,7 +338,10 @@ final class FloEngine(val spark: SparkSession, val root: String) {
       .filter(vv.toPredicate(col("partition"), col("event_counter")))
       .filter(ns_glob(col("namespace"), namespaceGlob))
       .orderBy(col("event_counter"), col("partition"))
-    maxEvents.filter(_ > 0).fold(base)(n => base.limit(n.toInt))
+    // clamp: a Long budget above Int.MaxValue means "no effective limit",
+    // not a silent 32-bit truncation
+    maxEvents.filter(_ > 0).fold(base)(n =>
+      base.limit(math.min(n, Int.MaxValue.toLong).toInt))
   }
 
   /** Consume everything from the beginning of the given partitions. */
@@ -312,19 +384,56 @@ final class FloEngine(val spark: SparkSession, val root: String) {
    * place the global order is materialized, everything upstream stays
    * parallel. Cross-batch order holds because counters are assigned
    * batch-monotonically (SURVEY §7.3 hard part 2).
+   *
+   * `maxEvents` is the CUMULATIVE consume budget across micro-batches
+   * (O2/CONSUME_UNLIMITED parity): the driver counts the budget down batch
+   * by batch and stops the query once it is exhausted, mirroring the
+   * reference's `total_events_remaining` countdown in its consumer stream
+   * (connection_handler/consumer/consumer_stream/mod.rs:21,65-88). Exactly
+   * `maxEvents` events are delivered, in counter order, even when the
+   * budget boundary falls mid-batch.
    */
   def consumeStreamOrdered(
       stream: String,
       namespaceGlob: String = "/**/*",
-      vv: VersionVector = VersionVector.empty)(
-      handler: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
-    consumeStream(stream, namespaceGlob, vv)
+      vv: VersionVector = VersionVector.empty,
+      maxEvents: Option[Long] = None,
+      maxFilesPerTrigger: Option[Int] = None)(
+      handler: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val remaining = new AtomicLong(maxEvents.getOrElse(Long.MaxValue))
+    @volatile var self: org.apache.spark.sql.streaming.StreamingQuery = null
+    val q = consumeStream(stream, namespaceGlob, vv, maxFilesPerTrigger)
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        handler(batch.coalesce(1)
-          .sortWithinPartitions(col("event_counter"), col("partition")))
+        val budget = remaining.get()
+        if (budget > 0L) {
+          val ordered = batch.coalesce(1)
+            .sortWithinPartitions(col("event_counter"), col("partition"))
+          if (maxEvents.isEmpty) handler(ordered)
+          else {
+            val limited = ordered.limit(math.min(budget, Int.MaxValue.toLong).toInt)
+            limited.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              val delivered = limited.count()
+              handler(limited)
+              if (remaining.addAndGet(-delivered) <= 0L) {
+                // stop from OUTSIDE the micro-batch thread: stop() joins the
+                // stream execution thread, so calling it inline deadlocks
+                val stopper = new Thread(() => {
+                  while (self == null) Thread.sleep(10)
+                  self.stop()
+                }, "graft-consume-budget-stop")
+                stopper.setDaemon(true)
+                stopper.start()
+              }
+            } finally limited.unpersist(false)
+          }
+        }
       }
       .start()
+    self = q
+    q
+  }
 
   /**
    * Event-time tumbling-window counts over a consumed stream with a
@@ -416,8 +525,14 @@ final class FloEngine(val spark: SparkSession, val root: String) {
    * file per batch (flo's segment-per-rotation, segment/mod.rs:65-74);
    * compaction restores large sorted files so parquet min/max stats give
    * tight counter-range pruning — the operational job any log-structured
-   * store needs at scale. Safe against concurrent readers the same way
-   * retention is (files swap atomically per partition via temp dir + move).
+   * store needs at scale.
+   *
+   * Swap order is rename-IN-then-delete: the rewritten files move into the
+   * partition dir BEFORE the originals are deleted, so a concurrent reader
+   * planned mid-swap sees transient DUPLICATES (consistent with the
+   * documented at-least-once + id-dedup model) rather than a silently empty
+   * partition, and a crash mid-swap leaves all data visible in the
+   * partition dir instead of stranded in the hidden temp dir.
    */
   def compact(stream: String, filesPerPartition: Int = 1): Unit = {
     val f = fs(root)
@@ -435,12 +550,12 @@ final class FloEngine(val spark: SparkSession, val root: String) {
           .sort("event_counter")
           .coalesce(filesPerPartition)
           .write.mode(SaveMode.Overwrite).parquet(tmp)
-        files.foreach(s => f.delete(s.getPath, false))
         f.listStatus(new Path(tmp))
           .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
           .zipWithIndex.foreach { case (s, i) =>
             f.rename(s.getPath, new Path(dir, s"compacted-$i-${s.getPath.getName}"))
           }
+        files.foreach(s => f.delete(s.getPath, false))
         f.delete(new Path(tmp), true)
       }
     }
@@ -511,8 +626,10 @@ final class NoSuchStream(val stream: String)
 
 object FloEngine {
   /** Stream options (reference: engine/event_stream/mod.rs:17-37, defaults
-    * {"default", 1, forever, 1 day, 1 GiB}). Segment rotation is delegated
-    * to parquet file rolling; sizes kept for parity of the API surface. */
+    * {"default", 1, forever, 1 day, 1 GiB}). `segmentMaxSizeBytes` drives
+    * per-batch parquet file rolling in `produce` (maxRecordsPerFile derived
+    * from avg row size); `maxSegmentDurationMillis` drives the janitor tick
+    * (duration/3) and holds structurally for files (append never reopens). */
   final case class EventStreamOptions(
       name: String = "default",
       numPartitions: Int = 1,

@@ -14,10 +14,12 @@ import org.apache.spark.sql.functions._
  */
 final case class VersionVector(entries: Map[Int, Long]) {
 
-  /** Strictly-increasing insert; error on regress (version_vec.rs:47-55). */
+  /** Strictly-increasing insert; error on ANY regress including 0 <= 0,
+    * matching version_vec.rs:47-55 and its tests. Use `set`/`zero` for the
+    * explicit read-from-start position. */
   def update(partition: Int, counter: Long): Either[String, VersionVector] = {
     val current = get(partition)
-    if (counter <= current && !(counter == 0 && current == 0))
+    if (counter <= current)
       Left(s"Cannot update partition $partition to counter $counter (current: $current)")
     else Right(set(partition, counter))
   }

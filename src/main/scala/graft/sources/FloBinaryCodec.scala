@@ -20,22 +20,25 @@ import graft.model.FloEvent
  *
  * Big-endian throughout; a null parent id is the all-zero id on the wire
  * (flo-protocol/src/client.rs:116-118, parse at :335-347). `total_len` counts
- * everything after the length field itself (8-byte magic + 28 bytes of fixed
- * fields + ns + data), matching `PersistentEvent::total_repr_len` = 48 + ns +
- * data for the whole record.
+ * the WHOLE record INCLUDING the 4-byte length field itself:
+ * `PersistentEvent::get_repr_length` = 48 + ns_len + data_len
+ * (persistent_event.rs:20-34) and `validate` rejects any record where
+ * `total_len != 48 + ns_len + data_len` (persistent_event.rs:97). The next
+ * record therefore starts at `offset + total_len`.
  */
 object FloBinaryCodec {
 
   val Magic: Array[Byte] = "FLO_EVT\n".getBytes("ASCII")
-  private val FixedAfterLen = 8 + 2 + 8 + 2 + 8 + 8 + 4 + 4 // magic..data_len
+  /** 4(len) + 8(magic) + 2 + 8 + 2 + 8 + 8 + 4 + 4 = 48 fixed bytes. */
+  private val FixedLen = 4 + 8 + 2 + 8 + 2 + 8 + 8 + 4 + 4
 
   /** Serialize one event to its binary record. */
   def encode(e: FloEvent): Array[Byte] = {
     val ns = e.namespace.getBytes("UTF-8")
     val data = if (e.data == null) Array.empty[Byte] else e.data
-    val totalAfterLen = FixedAfterLen + ns.length + data.length
-    val buf = ByteBuffer.allocate(4 + totalAfterLen).order(ByteOrder.BIG_ENDIAN)
-    buf.putInt(totalAfterLen)
+    val totalLen = FixedLen + ns.length + data.length
+    val buf = ByteBuffer.allocate(totalLen).order(ByteOrder.BIG_ENDIAN)
+    buf.putInt(totalLen)
     buf.put(Magic)
     buf.putShort(e.partition.toShort)
     buf.putLong(e.event_counter)
@@ -55,8 +58,8 @@ object FloBinaryCodec {
   def decode(bytes: Array[Byte], offset: Int): Option[(FloEvent, Int)] = {
     if (offset + 4 > bytes.length) return None
     val buf = ByteBuffer.wrap(bytes, offset, bytes.length - offset).order(ByteOrder.BIG_ENDIAN)
-    val totalAfterLen = buf.getInt
-    if (totalAfterLen < FixedAfterLen || offset + 4 + totalAfterLen > bytes.length) return None
+    val totalLen = buf.getInt
+    if (totalLen < FixedLen || offset + totalLen > bytes.length) return None
     val magic = new Array[Byte](8)
     buf.get(magic)
     if (!java.util.Arrays.equals(magic, Magic)) return None
@@ -66,9 +69,13 @@ object FloBinaryCodec {
     val parentCounter = buf.getLong
     val tsMillis = buf.getLong
     val nsLen = buf.getInt
+    if (nsLen < 0 || FixedLen + nsLen > totalLen) return None
     val ns = new Array[Byte](nsLen)
     buf.get(ns)
     val dataLen = buf.getInt
+    // mirror the reference's validate(): total_len must equal 48 + ns + data
+    // (persistent_event.rs:97) — reject mismatched lengths rather than drift.
+    if (dataLen < 0 || totalLen != FixedLen + nsLen + dataLen) return None
     val data = new Array[Byte](dataLen)
     buf.get(data)
     // all-zero parent id means null
@@ -76,7 +83,7 @@ object FloBinaryCodec {
       if (parentCounter == 0L && parentPartition == 0) (None, None)
       else (Some(parentCounter), Some(parentPartition))
     Some((FloEvent(counter, partition, new Timestamp(tsMillis), pc, pp,
-      new String(ns, "UTF-8"), data), offset + 4 + totalAfterLen))
+      new String(ns, "UTF-8"), data), offset + totalLen))
   }
 
   /** Parse a whole segment buffer (back-to-back records). */

@@ -222,7 +222,7 @@ class FloEngineSpec extends SparkSuite {
     val (e, _) = newEngine(partitions = 2)
     e.produceStrings("default", 1, Seq("/a" -> ""))
     assert(e.status("default") == Map(1 -> 1L, 2 -> 0L))
-    assert(e.listStreams() == Seq("default"))
+    assert(e.listStreams() == Seq("default", "system"))
   }
 
   test("consuming an unknown stream errors like NoSuchStream (engine/mod.rs:69-82)") {
@@ -272,7 +272,7 @@ class FloEngineSpec extends SparkSuite {
     val acked = e.produceStrings("other", 1, Seq("/x" -> ""))
     // "other" starts its own sequence at 1, unaffected by "default"
     assert(acked.collect().map(_.getAs[Long]("event_counter")).toSeq == Seq(1L))
-    assert(e.listStreams().sorted == Seq("default", "other"))
+    assert(e.listStreams().sorted == Seq("default", "other", "system"))
     assert(e.status("default") == Map(1 -> 2L) && e.status("other") == Map(1 -> 1L))
   }
 
@@ -315,6 +315,69 @@ class FloEngineSpec extends SparkSuite {
         .select("namespace").collect().map(_.getString(0)).toSeq
       assert(got == Seq("/t/1", "/t/2", "/t/3"))
     } finally q.stop()
+  }
+
+  test("a fresh engine always hosts the system stream (engine/mod.rs:34-38)") {
+    val root = tempDir("flo-system")
+    val e = new FloEngine(spark, root)
+    assert(e.listStreams() == Seq("system"))
+    assert(e.streamExists("system"))
+    // idempotent on re-open over the same root
+    val e2 = new FloEngine(spark, root)
+    assert(e2.listStreams() == Seq("system"))
+  }
+
+  test("scheduled janitor drops expired files without an explicit runRetention call") {
+    val root = tempDir("flo-janitor")
+    val e = new FloEngine(spark, root)
+    // 1 ms retention: everything expires immediately
+    e.createStream(EventStreamOptions("default", 1, eventRetentionMillis = Some(1L)))
+    e.produceStrings("default", 1, Seq("/j/1" -> ""))
+    Thread.sleep(20)
+    e.startJanitor(tickMillis = Some(50L))
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      while (e.consumeAll("default").count() > 0 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(e.consumeAll("default").count() == 0, "janitor never dropped the expired file")
+    } finally e.stopJanitor()
+  }
+
+  test("segmentMaxSizeBytes rolls one oversized produce into multiple files (segment/mod.rs:65-74)") {
+    val root = tempDir("flo-rotate")
+    val e = new FloEngine(spark, root)
+    // ~58-byte rows, 600-byte segments -> ~10 rows per file, 100 rows -> ~10 files
+    e.createStream(EventStreamOptions("default", 1, segmentMaxSizeBytes = 600L))
+    e.produceStrings("default", 1, (1 to 100).map(i => (f"/seg/$i%03d", "x" * 40)))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/default/partition=1"))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    assert(files.length >= 5, s"expected rotation into >=5 files, got ${files.length}")
+    // data intact and ordered
+    assert(e.consumeAll("default").collect()
+      .map(_.getAs[Long]("event_counter")).toSeq == (1L to 100L))
+    // retention granularity: a cutoff after commit drops ALL those files but a
+    // later batch survives — whole-file drops now operate on rolled segments
+    Thread.sleep(30)
+    val cutoff = new java.sql.Timestamp(System.currentTimeMillis())
+    Thread.sleep(30)
+    e.produceStrings("default", 1, Seq("/seg/new" -> ""))
+    val dropped = e.expireOldEvents("default", cutoff)
+    assert(dropped.size >= 5 && namespaces(e.consumeAll("default")) == Seq("/seg/new"))
+  }
+
+  test("concurrent produce calls reserve disjoint counter ranges (highest_counter.rs CAS)") {
+    val (e, _) = newEngine()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext = scala.concurrent.ExecutionContext.global
+    val futures = (1 to 4).map { t =>
+      Future(e.produceStrings("default", 1, (1 to 25).map(i => (s"/c/$t/$i", ""))))
+    }
+    Await.result(Future.sequence(futures), 120.seconds)
+    val ids = e.consumeAll("default").collect().map(_.getAs[Long]("event_counter")).toSeq
+    assert(ids.sorted == (1L to 100L), s"overlapping/gapped id ranges: ${ids.sorted.take(20)}...")
   }
 
   test("streaming consume honors the version-vector start (T3)") {

@@ -29,6 +29,27 @@ class StreamingSpec extends SparkSuite {
     assert(seen.toSeq == (1L to 30L), "events must arrive in global counter order")
   }
 
+  test("cumulative maxEvents stops the ordered stream at the budget (O2, consumer_stream/mod.rs:65-88)") {
+    val (e, _) = newEngine()
+    // 5 produce batches of 20 -> 5 files; 1 file per trigger would give 5
+    // micro-batches, but the budget of 30 must cut delivery mid-batch-2
+    (1 to 5).foreach { b =>
+      e.produceStrings("default", 1, (1 to 20).map(i => (s"/lim/$b/$i", "")))
+    }
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var batches = 0
+    val q = e.consumeStreamOrdered("default", maxEvents = Some(30L),
+        maxFilesPerTrigger = Some(1)) { batch =>
+      val counters = batch.collect().map(_.getAs[Long]("event_counter"))
+      seen.synchronized { seen ++= counters; if (counters.nonEmpty) batches += 1 }
+    }
+    q.awaitTermination(120000)
+    assert(seen.toSeq == (1L to 30L),
+      s"expected exactly events 1..30 in order, got ${seen.take(40)}")
+    assert(batches >= 2, s"budget should span >=2 micro-batches, got $batches")
+    assert(!q.isActive, "query must stop itself once the budget is exhausted")
+  }
+
   test("watermarked tumbling windows aggregate event time (T5)") {
     val (e, _) = newEngine()
     e.produceStrings("default", 1, (1 to 12).map(i => (s"/w/${i % 2}", "")))

@@ -13,6 +13,9 @@ class VersionVectorSpec extends AnyFunSuite {
     assert(v1.update(1, 5).isLeft)
     assert(v1.update(1, 4).isLeft)
     assert(v1.update(1, 6).isRight)
+    // 0 <= 0 is a regress too (covered by the reference's own tests);
+    // read-from-start is expressed with set()/zero(), not update()
+    assert(vv.update(2, 0).isLeft)
   }
 
   test("get returns 0 for absent partitions (version_vec.rs:76-78)") {

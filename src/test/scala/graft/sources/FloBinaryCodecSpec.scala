@@ -23,9 +23,49 @@ class FloBinaryCodecSpec extends SparkSuite {
     // persistent_event.rs: total record size = 48 + namespace + data
     assert(bytes.length == 48 + "/meals/breakfast".length + "bacon".length)
     assert(new String(bytes.slice(4, 12), "ASCII") == "FLO_EVT\n")
-    // big-endian u32 total_len counts everything after itself
+    // big-endian u32 total_len counts the WHOLE record, length field included
+    // (persistent_event.rs:20-34 get_repr_length = 48 + ns + data; :97 validate)
     val len = java.nio.ByteBuffer.wrap(bytes, 0, 4).getInt
-    assert(len == bytes.length - 4)
+    assert(len == bytes.length)
+  }
+
+  test("decodes a hand-built byte-literal record from the reference layout") {
+    // Built independently of encode(): persistent_event.rs:178-209 layout,
+    // ns = "/a" (2 bytes), data = 0xCAFE (2 bytes) -> total_len = 52.
+    val buf = java.nio.ByteBuffer.allocate(52).order(java.nio.ByteOrder.BIG_ENDIAN)
+    buf.putInt(52)                               // u32 total_len (incl. itself)
+    buf.put("FLO_EVT\n".getBytes("ASCII"))       // 8-byte magic
+    buf.putShort(7)                              // u16 actor (partition)
+    buf.putLong(99L)                             // u64 event_counter
+    buf.putShort(0)                              // u16 parent actor (zero id)
+    buf.putLong(0L)                              // u64 parent counter
+    buf.putLong(1700000000123L)                  // u64 ts millis
+    buf.putInt(2)                                // u32 ns_len
+    buf.put("/a".getBytes("UTF-8"))
+    buf.putInt(2)                                // u32 data_len
+    buf.put(Array(0xCA.toByte, 0xFE.toByte))
+    val bytes = buf.array()
+    val Some((d, next)) = FloBinaryCodec.decode(bytes, 0)
+    assert(next == 52)
+    assert(d.event_counter == 99L && d.partition == 7 && d.namespace == "/a")
+    assert(d.parent_counter.isEmpty && d.parent_partition.isEmpty)
+    assert(d.timestamp.getTime == 1700000000123L)
+    assert(d.data.toSeq == Seq(0xCA.toByte, 0xFE.toByte))
+    // two back-to-back literal records decode as two events (the r1 bug
+    // yielded only the first: next-offset was computed 4 bytes long)
+    assert(FloBinaryCodec.decodeAll(bytes ++ bytes).map(_.event_counter) == Seq(99L, 99L))
+    // encode() reproduces the literal byte-for-byte
+    val enc = FloBinaryCodec.encode(d)
+    assert(enc.toSeq == bytes.toSeq)
+  }
+
+  test("rejects mismatched total_len like the reference's validate") {
+    val good = FloBinaryCodec.encode(ev)
+    val bad = good.clone()
+    // inflate total_len by 4 (the r1 off-by-len self-consistent form)
+    val buf = java.nio.ByteBuffer.wrap(bad, 0, 4)
+    buf.putInt(good.length + 4)
+    assert(FloBinaryCodec.decode(bad ++ new Array[Byte](4), 0).isEmpty)
   }
 
   test("null parent encodes as the all-zero id (client.rs:116-118)") {
