@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotFunction)
     ext.injectFunction(GraftExtensions.nsGlobFunction)
+    ext.injectFunction(GraftExtensions.lshBandsFunction)
   }
 }
 
@@ -62,10 +63,32 @@ object GraftExtensions {
       }
     })
 
+  /** `graft_lsh_bands(v, seed, numPlanes, bands, dim)`: banded sign-bit LSH
+    * codes; the four parameters must be integer literals (the hyperplanes
+    * expand deterministically from the seed at plan time). */
+  private val lshBandsFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_lsh_bands"),
+    new ExpressionInfo(classOf[HyperplaneBands].getName, "graft_lsh_bands"),
+    { (children: Seq[Expression]) =>
+      def intLit(e: Expression, name: String): Long = e match {
+        case Literal(v: Int, _) => v.toLong
+        case Literal(v: Long, _) => v
+        case _ => throw new IllegalArgumentException(
+          s"graft_lsh_bands: $name must be an integer literal, got $e")
+      }
+      children match {
+        case Seq(v, seed, planes, bands, dim) =>
+          HyperplaneBands(v, intLit(seed, "seed"), intLit(planes, "numPlanes").toInt,
+            intLit(bands, "bands").toInt, intLit(dim, "dim").toInt)
+        case _ => throw new IllegalArgumentException(
+          "graft_lsh_bands expects (vector, seed, numPlanes, bands, dim)")
+      }
+    })
+
   /** Runtime registration into an existing session (idempotent). */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    Seq(dotFunction, nsGlobFunction).foreach { fn =>
+    Seq(dotFunction, nsGlobFunction, lshBandsFunction).foreach { fn =>
       if (!registry.functionExists(fn._1)) {
         registry.registerFunction(fn._1, fn._2, fn._3)
       }

@@ -7,14 +7,17 @@ import graft.Tables
 
 /**
  * Deduplication operators for the training-data pipeline surface: exact
- * (hash group-by), normalized, MinHash+LSH, SimHash, and embedding-cosine
- * near-dup. Exact/normalized are DuckDB-oracle-checked; the sketch-based
+ * (hash group-by), normalized, MinHash+LSH, SimHash, n-gram Jaccard, and
+ * embedding near-dup (exact-cosine baseline + LSH-bucketed scale path).
+ * Exact/normalized/ngram/cosine are DuckDB-oracle-checked; the sketch-based
  * ones are deterministic (xxhash64, fixed seeds) but not SQL-expressible,
  * so they get rows-only checks plus scalatest invariants.
  *
  * Scale design: every variant is one shuffle per logical stage
- * (shingle-explode → per-doc agg → band-join), no driver-side loops, no
- * cross join except on LSH-candidate pairs (bounded by band collisions).
+ * (shingle-explode → per-doc agg → band-join), no driver-side collects or
+ * loops anywhere, no cross join except the declared O(n^2) exact-cosine
+ * baseline; LSH-candidate pairs are bounded by band collisions and the
+ * ngram pair emission is df-capped.
  */
 object DedupQueries {
 
@@ -23,6 +26,16 @@ object DedupQueries {
   private val H = 32 // minhash signature length
   private val B = 8  // bands
   private val R = H / B
+
+  /** df cap for trigram pair emission (see dedup_ngram_jaccard). */
+  private[queries] val MaxGramDf = 1000
+
+  /** Banding for embedding near-dup LSH: 128 planes / 32 bands of 4 bits —
+    * tuned on the real testdata for recall >= 0.95 of cosine>=0.4 pairs
+    * (these synthetic vectors are near-uniform, the hardest case; DedupSpec
+    * asserts the bar at sf0.001). Shares `graft_lsh_bands` with the ANN
+    * queries (same seed -> same hyperplanes). */
+  private val EmbBands = 32
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup: content-hash group-by (the 100 TB workhorse — one shuffle)
@@ -153,6 +166,16 @@ object DedupQueries {
       val pairRows = gramRows
         .groupBy("gram").agg(sort_array(collect_list(col("doc_id"))).as("ds"))
         .filter(size(col("ds")) > 1)
+        // document-frequency cap: a gram shared by > MaxDf docs emits no
+        // pairs. On a web corpus stop-phrases ("one of the") have df ~ 10^6
+        // and C(df,2) pair emission explodes quadratically; such grams are
+        // also uninformative for jaccard >= 0.5 (two docs half-alike share
+        // many RARE grams too, so recall at the threshold is unaffected
+        // unless docs are near-dups ONLY in boilerplate). Cap far above any
+        // df in the oracle-checked sf (max df at sf0.01 is < 500 docs), so
+        // the DuckDB hash-match still holds; DedupSpec exercises a synthetic
+        // corpus where the cap does fire.
+        .filter(size(col("ds")) <= MaxGramDf)
         .select(col("ds")).as[Seq[Long]]
         .mapPartitions(_.flatMap { ds =>
           for (i <- ds.indices.iterator; j <- (i + 1) until ds.size)
@@ -172,29 +195,56 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
-    // embedding-space near-dup: all-pairs cosine >= 0.4 (the exact baseline;
-    // the LSH-bucketed scale path is sim_knn_lsh in SimilarityQueries).
-    // Executed as a broadcast matrix + mapPartitions tight loop: a Catalyst
-    // higher-order expression per pair is interpreted and ~100x slower on
-    // the O(n^2) workload. Rows stay distributed; only the (small) unit-
-    // vector matrix is broadcast — at a scale where even that matrix is too
-    // big, exact all-pairs is off the table anyway and LSH takes over.
+    // embedding-space near-dup, exact baseline: all-pairs cosine >= 0.4 as
+    // a declarative broadcast-nested-loop join with the codegen'd graft_dot
+    // in the join condition — NO driver-side collect (Spark manages the
+    // broadcast, the pair loop runs distributed with a compiled predicate).
+    // Unit-normalize once per ROW (n transforms), dot once per PAIR (n^2
+    // codegen'd loops). O(n^2) is inherent to the exact formulation — the
+    // scale path is dedup_embedding_lsh below; this one is the small-sf
+    // oracle baseline.
     "dedup_embedding_cosine" -> ((s, d) => {
-      import s.implicits._
-      import graft.similarity.VectorKernels
-      val vecs = Tables.load(s, d, "embeddings")
+      graft.expressions.GraftExtensions.register(s)
+      val u = Tables.load(s, d, "embeddings")
         .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-        .as[(Long, Array[Double])]
-        .map { case (id, v) => (id, VectorKernels.unit(v)) }
-      val mat = s.sparkContext.broadcast(vecs.collect().sortBy(_._1))
-      vecs.mapPartitions { it =>
-        val m = mat.value
-        it.flatMap { case (idA, va) =>
-          m.iterator
-            .filter { case (idB, vb) => idB > idA && VectorKernels.dot(va, vb) >= 0.4 }
-            .map { case (idB, _) => (idA, idB) }
-        }
-      }.toDF("vec_a", "vec_b")
+        .select(col("vec_id"), expr("transform(v, x -> x / sqrt(graft_dot(v, v)))").as("u"))
+      u.as("a").join(broadcast(u.as("b")),
+          col("a.vec_id") < col("b.vec_id") &&
+            expr("graft_dot(a.u, b.u)") >= 0.4)
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+        .orderBy("vec_a", "vec_b")
+    }),
+
+    // embedding-space near-dup, scale path: LSH-bucketed candidates + exact
+    // cosine verify >= 0.4. Corpus vectors key on their banded sign-bit
+    // codes (one codegen'd graft_lsh_bands pass), candidate pairs come from
+    // band-code collisions via a shuffle hash join on (band, code) — never
+    // an all-pairs cross join, no broadcast of the corpus, no driver
+    // collect. Output is exact on candidates (verify is exact cosine), so
+    // results are a high-recall subset of dedup_embedding_cosine — DedupSpec
+    // asserts subset + recall >= 0.9 at sf0.001. Not SQL-expressible
+    // (hyperplanes) -> rows-only driver check.
+    "dedup_embedding_lsh" -> ((s, d) => {
+      // unit-normalize per ROW (same fp path as the exact baseline, so the
+      // verified output is an exact subset of dedup_embedding_cosine); the
+      // sign-bit codes of a unit vector equal those of the raw vector
+      val u = SimilarityQueries.emb(s, d)
+        .select(col("vec_id"), expr("transform(v, x -> x / sqrt(graft_dot(v, v)))").as("v"))
+      // band join + distinct carry ONLY the 16-byte id pair — the vectors
+      // rejoin after dedup, so the wide arrays never ride the heavy shuffle
+      val coded = SimilarityQueries.bandedCodes(u, EmbBands)
+        .select("vec_id", "band_idx", "code")
+      val candIds = coded.as("a").join(coded.as("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.code") === col("b.code") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+        .distinct()
+      candIds
+        .join(u.select(col("vec_id").as("vec_a"), col("v").as("va")), "vec_a")
+        .join(u.select(col("vec_id").as("vec_b"), col("v").as("vb")), "vec_b")
+        .filter(expr("graft_dot(va, vb)") >= 0.4)
+        .select(col("vec_a"), col("vec_b"))
         .orderBy("vec_a", "vec_b")
     }))
 

@@ -12,16 +12,26 @@ import graft.Tables
  *  - `sim_knn_brute`: exact top-k cosine (the correctness baseline,
  *    oracle-checked against DuckDB's list_cosine_similarity).
  *  - `sim_knn_lsh`: random-hyperplane LSH — banded sign-bit codes bucket
- *    the vectors, candidates come from bucket collisions only, exact
- *    rerank on candidates. This is the 100 TB path: the candidate join is
- *    a hash join on (band, code) instead of an all-pairs cross join.
+ *    the vectors (one codegen'd `graft_lsh_bands` pass over the corpus),
+ *    query-side multi-probe (each band code plus its hamming-1 neighbors),
+ *    candidates from bucket collisions only, exact `graft_dot` rerank.
+ *  - `sim_knn_ivf`: k-means cells (deterministic init + one distributed
+ *    Lloyd iteration), 6-probe, exact rerank.
  *
- * All randomness is a fixed-seed PRNG expanded at plan time into literal
- * hyperplane arrays, so results are deterministic across runs/partitions.
+ * Parameters were tuned against the real testdata (recall@5 vs brute at
+ * sf0.001/sf0.1 — see SimilaritySpec's 0.8 bar): 128 planes / 16 bands /
+ * hamming-1 probes give ~0.90 recall at ~45% candidate fraction on these
+ * near-uniform synthetic vectors; on clustered real-world embeddings the
+ * same plan yields far smaller buckets (candidate volume is data-dependent,
+ * the plan shape is not: broadcast the tiny probe side, hash-join on
+ * (band, code), never an all-pairs cross join of the corpus).
+ *
+ * All randomness is a fixed-seed PRNG expanded at plan time, so results are
+ * deterministic across runs/partitions.
  */
 object SimilarityQueries {
 
-  private def emb(s: SparkSession, d: String): DataFrame = {
+  private[queries] def emb(s: SparkSession, d: String): DataFrame = {
     graft.expressions.GraftExtensions.register(s)
     Tables.load(s, d, "embeddings")
       .select(col("vec_id"), col("label"),
@@ -33,29 +43,16 @@ object SimilarityQueries {
     expr("graft_dot(a.v, b.v) / (sqrt(graft_dot(a.v, a.v)) * sqrt(graft_dot(b.v, b.v)))")
 
   private val Dim = 64
-  private val NumPlanes = 16
-  private val Bands = 4
-  private val BitsPerBand = NumPlanes / Bands
+  private val Seed = 7
+  private val NumPlanes = 128
+  private val KnnBands = 16 // r = 8 bits/band
+  private val KnnBits = NumPlanes / KnnBands
 
-  /** Deterministic hyperplanes: fixed-seed gaussians, expanded as literals. */
-  private lazy val planes: Array[Array[Double]] = {
-    val rnd = new scala.util.Random(7)
-    Array.fill(NumPlanes, Dim)(rnd.nextGaussian())
-  }
-
-  /** Sign-bit LSH code of vector column `v` for plane `p`. */
-  private def planeBit(v: Column, p: Int): Column = {
-    val plane = array(planes(p).toIndexedSeq.map(lit): _*)
-    val dot = aggregate(zip_with(v, plane, (x, w) => x * w), lit(0.0), (acc, x) => acc + x)
-    when(dot > 0, lit(1)).otherwise(lit(0))
-  }
-
-  /** (band_idx, band_code) structs for vector column `v`. */
-  private def bandCodes(v: Column): Seq[Column] =
-    (0 until Bands).map { b =>
-      val bits = (0 until BitsPerBand).map(i => planeBit(v, b * BitsPerBand + i) * lit(1 << i))
-      struct(lit(b).as("band_idx"), bits.reduce(_ + _).as("band_code"))
-    }
+  /** Corpus-side exact band codes: (vec_id, v, band_idx, code). */
+  private[queries] def bandedCodes(e: DataFrame, bands: Int): DataFrame =
+    e.select(col("vec_id"), col("v"),
+        posexplode(expr(s"graft_lsh_bands(v, $Seed, $NumPlanes, $bands, $Dim)"))
+          .as(Seq("band_idx", "code")))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact top-5 cosine neighbors for the first 10 vectors (baseline)
@@ -72,21 +69,26 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
-    // LSH-bucketed ANN: candidates from band-code collisions, exact rerank.
+    // LSH-bucketed ANN with query-side multi-probe: corpus vectors key on
+    // their exact band codes; each query probes its own code plus all
+    // hamming-1 variants per band. The probe side (queries x bands x (r+1))
+    // is tiny and broadcast — the corpus is hash-joined, never crossed.
     // Not SQL-expressible (hyperplane literals) -> rows-only check; recall
-    // vs the brute-force baseline is asserted in SimilarityQueriesSpec.
+    // >= 0.8 vs the brute baseline is asserted in SimilaritySpec.
     "sim_knn_lsh" -> ((s, d) => {
       val e = emb(s, d)
-      val buckets = e.select(col("vec_id"), col("v"),
-          explode(array(bandCodes(col("v")): _*)).as("bc"))
-        .select(col("vec_id"), col("v"), col("bc.band_idx"), col("bc.band_code"))
-      val q = buckets.filter(col("vec_id") < 10)
-      val cand = q.as("qa").join(buckets.as("cb"),
-          col("qa.band_idx") === col("cb.band_idx") &&
-            col("qa.band_code") === col("cb.band_code") &&
-            col("qa.vec_id") =!= col("cb.vec_id"))
-        .select(col("qa.vec_id").as("query_id"), col("qa.v").as("qv"),
-          col("cb.vec_id").as("neighbor_id"), col("cb.v").as("nv"))
+      val corpus = bandedCodes(e, KnnBands)
+      val probeArr = array(
+        (col("code") +: (0 until KnnBits).map(j =>
+          col("code").bitwiseXOR(lit(1L << j)))): _*)
+      val probes = bandedCodes(e.filter(col("vec_id") < 10), KnnBands)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("band_idx"), explode(probeArr).as("code"))
+      val cand = broadcast(probes).join(corpus,
+          Seq("band_idx", "code"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("qv"), col("vec_id").as("neighbor_id"),
+          col("v").as("nv"))
         .distinct()
       val cos = expr("graft_dot(qv, nv) / (sqrt(graft_dot(qv, qv)) * sqrt(graft_dot(nv, nv)))")
       val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
@@ -97,37 +99,58 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
-    // IVF-style ANN: vectors bucketed into cells by nearest "centroid"
-    // (deterministic seed vectors stand in for a k-means pass), queries
-    // probe only the nearest 4 cells, exact rerank on candidates. The
-    // assignment and probe joins broadcast the tiny centroid set — no
-    // all-pairs work anywhere.
+    // IVF ANN: k-means cells from a deterministic init (16 lowest vec_ids)
+    // refined by ONE distributed Lloyd iteration (assign via broadcast
+    // centroids -> per-dimension mean -> renormalize), then 6-probe + exact
+    // rerank. Every centroid join broadcasts a 16-row side; the corpus is
+    // never crossed with itself.
     "sim_knn_ivf" -> ((s, d) => {
-      val e = emb(s, d)
-      val cents = e.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("cent_id"), col("v").as("cv"))
-      val simToCent = expr("graft_dot(v, cv) / (sqrt(graft_dot(v, v)) * sqrt(graft_dot(cv, cv)))")
+      val u = emb(s, d).select(col("vec_id"),
+        expr("transform(v, x -> x / sqrt(graft_dot(v, v)))").as("uv"))
+      val cs = expr("graft_dot(uv, cv)") // unit x unit = cosine
+
+      val init = u.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cent_id"), col("uv").as("cv"))
+
+      // one Lloyd iteration: hard-assign, per-dimension mean, renormalize
       val wAssign = Window.partitionBy("vec_id").orderBy(col("cs").desc, col("cent_id"))
-      val assigned = e.crossJoin(broadcast(cents))
-        .withColumn("cs", simToCent)
+      val assign0 = u.crossJoin(broadcast(init))
+        .withColumn("cs", cs)
         .withColumn("rn", row_number().over(wAssign))
         .filter(col("rn") === 1)
-        .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
-      val probes = assigned.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"))
-        .crossJoin(broadcast(cents))
-        .withColumn("cs", expr("graft_dot(qv, cv) / (sqrt(graft_dot(qv, qv)) * sqrt(graft_dot(cv, cv)))"))
+        .select(col("vec_id"), col("uv"), col("cent_id").as("cell"))
+      val cents = assign0
+        .select(col("cell"), posexplode(col("uv")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(avg("x").as("m"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell").as("cent_id"),
+          expr("transform(pm, e -> e.m)").as("mv"))
+        .select(col("cent_id"),
+          expr("transform(mv, x -> x / sqrt(graft_dot(mv, mv)))").as("cv"))
+
+      val assigned = u.crossJoin(broadcast(cents))
+        .withColumn("cs", cs)
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("uv"), col("cent_id").as("cell"))
+
+      val probes = u.filter(col("vec_id") < 10).crossJoin(broadcast(cents))
+        .withColumn("cs", cs)
         .withColumn("rn", row_number().over(
-          Window.partitionBy("query_id").orderBy(col("cs").desc, col("cent_id"))))
-        .filter(col("rn") <= 4)
-        .select(col("query_id"), col("qv"), col("cent_id").as("probe_cell"))
+          Window.partitionBy("vec_id").orderBy(col("cs").desc, col("cent_id"))))
+        .filter(col("rn") <= 6)
+        .select(col("vec_id").as("query_id"), col("uv").as("qv"),
+          col("cent_id").as("probe_cell"))
+
       val cand = probes.join(assigned,
           col("probe_cell") === col("cell") && col("query_id") =!= col("vec_id"))
-        .select(col("query_id"), col("qv"), col("vec_id").as("neighbor_id"), col("v").as("nv"))
+        .select(col("query_id"), col("qv"), col("vec_id").as("neighbor_id"),
+          col("uv").as("nv"))
         .distinct()
-      val cos = expr("graft_dot(qv, nv) / (sqrt(graft_dot(qv, qv)) * sqrt(graft_dot(nv, nv)))")
+      // qv/nv are unit vectors: dot = cosine
       val wRank = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-      cand.withColumn("cos", cos)
+      cand.withColumn("cos", expr("graft_dot(qv, nv)"))
         .withColumn("rank", row_number().over(wRank))
         .filter(col("rank") <= 5)
         .select("query_id", "neighbor_id", "rank")
