@@ -517,6 +517,15 @@ final class FloEngine(val spark: SparkSession, val root: String) {
     n
   }
 
+  /**
+   * The inverse migration: export a stream back to raw flo segment files
+   * (`<n>.events`, header + binary records) that a real flo server can
+   * serve — completes the importSegments round trip. Returns the number of
+   * events exported.
+   */
+  def exportSegments(stream: String, segmentsDir: String): Long =
+    graft.sources.FloBinaryCodec.writeSegmentFiles(readTyped(stream), segmentsDir)
+
   // ------------------------------------------------------------- compaction
 
   /**

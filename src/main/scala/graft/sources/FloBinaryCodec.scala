@@ -118,4 +118,79 @@ object FloBinaryCodec {
       .flatMap { case (_, pds) => decodeAll(pds.toArray(), offset = 16) }
       .toDF()
   }
+
+  /** The 16-byte segment header: big-endian u64 create/end millis
+    * (segment/header.rs:9-59). */
+  def encodeHeader(createMillis: Long, endMillis: Long): Array[Byte] = {
+    val buf = ByteBuffer.allocate(16).order(ByteOrder.BIG_ENDIAN)
+    buf.putLong(createMillis)
+    buf.putLong(endMillis)
+    buf.array()
+  }
+
+  /**
+   * Write a dataset of events as VALID flo segment files — the inverse of
+   * [[readSegmentFiles]] and the missing half of the migration path: data
+   * processed here can round-trip back to a live flo server's storage
+   * format. One `<n>.events` file per Spark partition (events repartitioned
+   * by flo partition and counter-sorted within, so each file is a
+   * contiguous ordered run like a real segment); the header's create/end
+   * timestamps are the file's min/max event times. Executor-side streaming
+   * writes — no driver collect, task heap bounded by one record.
+   *
+   * Returns the number of events written.
+   */
+  def writeSegmentFiles(events: Dataset[FloEvent], dir: String): Long = {
+    import events.sparkSession.implicits._
+    val spark = events.sparkSession
+    val fsForDir = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsForDir.mkdirs(new org.apache.hadoop.fs.Path(dir))
+
+    val written = events
+      .repartition(org.apache.spark.sql.functions.col("partition"))
+      .sortWithinPartitions("event_counter")
+      .mapPartitions { it =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          val taskId = org.apache.spark.TaskContext.getPartitionId()
+          val conf = new org.apache.hadoop.conf.Configuration()
+          val tmp = new org.apache.hadoop.fs.Path(dir, s".${taskId + 1}.events.tmp")
+          val dst = new org.apache.hadoop.fs.Path(dir, s"${taskId + 1}.events")
+          val fs = tmp.getFileSystem(conf)
+          // records stream to a temp body file while min/max times accrue;
+          // the final file is header + body (headers are not seekable on
+          // every FileSystem, so the body cannot be written in place first)
+          var minTs = Long.MaxValue
+          var maxTs = Long.MinValue
+          var n = 0L
+          val body = fs.create(tmp, true)
+          try {
+            it.foreach { e =>
+              val ts = e.timestamp.getTime
+              if (ts < minTs) minTs = ts
+              if (ts > maxTs) maxTs = ts
+              body.write(encode(e))
+              n += 1
+            }
+          } finally body.close()
+          val out = fs.create(dst, true)
+          try {
+            out.write(encodeHeader(minTs, maxTs))
+            val in = fs.open(tmp)
+            try {
+              val buf = new Array[Byte](64 * 1024)
+              var read = in.read(buf)
+              while (read >= 0) {
+                if (read > 0) out.write(buf, 0, read)
+                read = in.read(buf)
+              }
+            } finally in.close()
+          } finally out.close()
+          fs.delete(tmp, false)
+          Iterator.single(n)
+        }
+      }
+    written.collect().sum
+  }
 }

@@ -58,11 +58,12 @@ final class FloSegmentsTable(path: String) extends Table with SupportsRead {
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
-      override def build(): Scan = new FloSegmentsScan(path)
+      override def build(): Scan = new FloSegmentsScan(path,
+        Option(options.get("maxEventsPerTrigger")).map(_.toLong))
     }
 }
 
-final class FloSegmentsScan(path: String) extends Scan {
+final class FloSegmentsScan(path: String, maxEventsPerTrigger: Option[Long]) extends Scan {
   override def readSchema(): StructType = FloSchema.eventType
 
   override def toBatch: Batch = new Batch {
@@ -75,7 +76,7 @@ final class FloSegmentsScan(path: String) extends Scan {
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new FloSegmentsMicroBatchStream(path)
+    new FloSegmentsMicroBatchStream(path, maxEventsPerTrigger)
 }
 
 /** Per-file byte positions — the streaming offset. */
@@ -94,8 +95,87 @@ object SegmentsOffset {
     }.toMap)
 }
 
-final class FloSegmentsMicroBatchStream(path: String) extends MicroBatchStream {
+/**
+ * Event-count flow control (T4): with `maxEventsPerTrigger` set, each
+ * micro-batch admits at most that many events — the Spark rendering of the
+ * reference's negotiated consume batch budget (default 10,000 server-side,
+ * connection_handler/connection_state.rs:11; client re-ups at
+ * flo-client-lib/src/async/mod.rs:33). Admission walks record length
+ * headers forward from the start offset (4-byte reads on a buffered
+ * stream, no payload decode) so the admitted end offset always lands on a
+ * record boundary.
+ *
+ * Implements `SupportsTriggerAvailableNow` so `Trigger.AvailableNow` drains
+ * to a CAPTURED end target while still honoring the per-batch budget —
+ * Spark's fallback wrapper for plain streams ignores read limits entirely
+ * (one giant batch) for sources that don't.
+ */
+final class FloSegmentsMicroBatchStream(path: String, maxEventsPerTrigger: Option[Long])
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
   override def initialOffset(): Offset = SegmentsOffset(Map.empty)
+
+  /** With AvailableNow, the (file -> length) universe is frozen at query
+    * start; tail mode re-lists on every trigger. */
+  @volatile private var frozenUniverse: Option[Map[String, Long]] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    frozenUniverse = Some(FloSegments.listSegments(path).toMap)
+
+  private def universe: Map[String, Long] =
+    frozenUniverse.getOrElse(FloSegments.listSegments(path).toMap)
+
+  override def getDefaultReadLimit: org.apache.spark.sql.connector.read.streaming.ReadLimit = {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    maxEventsPerTrigger.map(n => ReadLimit.maxRows(n)).getOrElse(ReadLimit.allAvailable())
+  }
+
+  override def reportLatestOffset(): Offset = SegmentsOffset(universe)
+
+  override def latestOffset(
+      start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    import org.apache.spark.sql.connector.read.streaming.ReadMaxRows
+    val s = start.asInstanceOf[SegmentsOffset].positions
+    limit match {
+      case r: ReadMaxRows => admit(s, r.maxRows())
+      case _ => SegmentsOffset(universe)
+    }
+  }
+
+  /** Advance each file's offset by whole records until `budget` events are
+    * admitted; files are visited in name order so admission is stable. */
+  private def admit(start: Map[String, Long], budget: Long): SegmentsOffset = {
+    val out = scala.collection.mutable.Map[String, Long]() ++ start
+    var remaining = budget
+    universe.toSeq.sorted.foreach { case (file, len) =>
+      var pos = math.max(start.getOrElse(file, 0L), FloSegments.HeaderLen.toLong)
+      if (remaining > 0 && len > pos) {
+        val p = new Path(file)
+        val in = p.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(p)
+        try {
+          in.seek(pos)
+          val lenBuf = new Array[Byte](4)
+          var continue = true
+          while (continue && remaining > 0 && pos + 4 <= len) {
+            in.readFully(lenBuf)
+            val totalLen = java.nio.ByteBuffer.wrap(lenBuf).getInt
+            if (totalLen < 48 || pos + totalLen > len) continue = false
+            else {
+              var toSkip = (totalLen - 4).toLong
+              while (toSkip > 0) toSkip -= in.skip(toSkip)
+              pos += totalLen
+              remaining -= 1
+            }
+          }
+        } finally in.close()
+      }
+      out(file) = pos
+    }
+    SegmentsOffset(out.toMap)
+  }
 
   override def latestOffset(): Offset =
     SegmentsOffset(FloSegments.listSegments(path).toMap)
@@ -128,29 +208,39 @@ final class FloSegmentReaderFactory extends PartitionReaderFactory {
   }
 }
 
+/**
+ * Streams records incrementally off the open input stream — task heap is
+ * bounded by ONE record (length header first, then exactly that record's
+ * bytes), not the whole byte range: a 1 GiB segment no longer materializes
+ * a 1 GiB array per task. Mirrors how the reference's readers walk the
+ * mmap record by record (segment/mod.rs:153-183).
+ */
 final class FloSegmentPartitionReader(range: FloSegmentRange)
     extends PartitionReader[InternalRow] {
 
-  private val bytes: Array[Byte] = {
+  private val in = {
     val p = new Path(range.file)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-    val in = fs.open(p)
-    try {
-      val len = (range.endByte - range.startByte).toInt
-      val buf = new Array[Byte](len)
-      in.seek(range.startByte)
-      in.readFully(buf)
-      buf
-    } finally in.close()
+    val stream = p.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(p)
+    stream.seek(range.startByte)
+    stream
   }
 
-  private var pos = 0
+  private var pos = range.startByte
   private var current: InternalRow = _
+  private val lenBuf = new Array[Byte](4)
 
-  override def next(): Boolean =
-    FloBinaryCodec.decode(bytes, pos) match {
-      case Some((e, nextPos)) =>
-        pos = nextPos
+  override def next(): Boolean = {
+    if (pos + 4 > range.endByte) return false
+    in.readFully(lenBuf)
+    val totalLen = java.nio.ByteBuffer.wrap(lenBuf).getInt
+    // stop at the first invalid/truncated record, like the reference reader
+    if (totalLen < 48 || pos + totalLen > range.endByte) return false
+    val rec = new Array[Byte](totalLen)
+    System.arraycopy(lenBuf, 0, rec, 0, 4)
+    in.readFully(rec, 4, totalLen - 4)
+    FloBinaryCodec.decode(rec, 0) match {
+      case Some((e, _)) =>
+        pos += totalLen
         current = new GenericInternalRow(Array[Any](
           e.event_counter,
           e.partition,
@@ -162,9 +252,10 @@ final class FloSegmentPartitionReader(range: FloSegmentRange)
         true
       case None => false
     }
+  }
 
   override def get(): InternalRow = current
-  override def close(): Unit = ()
+  override def close(): Unit = in.close()
 }
 
 private[flosegments] object FloSegments {
