@@ -198,9 +198,12 @@ final class FloEngine(val spark: SparkSession, val root: String) {
    * The Spark rendering of `PartitionImpl::append_all`
    * (partition/controller/mod.rs:180-274).
    *
-   * Counter assignment uses `zipWithIndex` — distributed, gap-free and
-   * order-preserving without a global sort (a window over the whole batch
-   * would funnel everything through one task at 100 TB).
+   * Counter assignment is distributed, gap-free and order-preserving
+   * without a global sort (a window over the whole batch would funnel
+   * everything through one task at 100 TB): a counting pass collects
+   * per-Spark-partition sizes (fused with the rotation byte stats), then
+   * the write pass stamps ids from per-partition prefix-sum offsets —
+   * zipWithIndex's mechanism, minus its separate count job.
    *
    * The id range is reserved ATOMICALLY (`getAndAdd`) BEFORE the write —
    * flo's `HighestCounter::increment_and_get` CAS reservation
@@ -233,23 +236,40 @@ final class FloEngine(val spark: SparkSession, val root: String) {
       col("parent_partition").cast("int").as("parent_partition"),
       col("data").cast("binary").as("data"))
 
-    // cache across the stats action + zipWithIndex's size job + the write
+    // exactly TWO passes over the cached input (the minimum for gap-free
+    // contiguous ids): one fused counting pass (per-Spark-partition sizes
+    // AND encoded byte totals — what zipWithIndex's internal count job does,
+    // plus the rotation stats for free), then the id-stamping write pass
     in.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // one pass for both the batch size and the avg encoded row size
-      val stats = in.agg(
-        count(lit(1)),
-        avg(coalesce(length(col("data")), lit(0)) +
-          coalesce(length(col("namespace")), lit(0)) + lit(48))).collect().head
-      val n = stats.getLong(0)
+      val rdd = in.rdd
+      val perPart = rdd.mapPartitionsWithIndex { (i, it) =>
+        var cnt = 0L
+        var bytes = 0L
+        it.foreach { r =>
+          cnt += 1
+          val ns = r.getAs[String]("namespace")
+          val data = r.getAs[Array[Byte]]("data")
+          bytes += 48L + (if (ns == null) 0 else ns.length) +
+            (if (data == null) 0 else data.length)
+        }
+        Iterator.single((i, cnt, bytes))
+      }.collect().sortBy(_._1)
+
+      val n = perPart.map(_._2).sum
+      val totalBytes = perPart.map(_._3).sum
       val base = counter.getAndAdd(n)
+      // exclusive prefix sums: Spark partition i stamps ids
+      // (base + starts(i), base + starts(i) + cnt(i)]
+      val starts = perPart.map(_._2).scanLeft(0L)(_ + _)
 
       val schema = org.apache.spark.sql.types.StructType(
         in.schema.fields :+ org.apache.spark.sql.types.StructField(
           "event_counter", org.apache.spark.sql.types.LongType, nullable = false))
       val withIds = spark.createDataFrame(
-        in.rdd.zipWithIndex().map { case (row, idx) =>
-          Row.fromSeq(row.toSeq :+ (base + idx + 1L))
+        rdd.mapPartitionsWithIndex { (i, it) =>
+          var c = base + starts(i)
+          it.map { row => c += 1; Row.fromSeq(row.toSeq :+ c) }
         }, schema)
 
       val events = withIds.select(
@@ -261,7 +281,7 @@ final class FloEngine(val spark: SparkSession, val root: String) {
         col("namespace"),
         col("data"))
 
-      val avgRowBytes = if (stats.isNullAt(1)) 48.0 else math.max(1.0, stats.getDouble(1))
+      val avgRowBytes = if (n == 0) 48.0 else math.max(1.0, totalBytes.toDouble / n)
       val maxRecordsPerFile = streamOptions(stream)
         .map(o => math.max(1L, (o.segmentMaxSizeBytes / avgRowBytes).toLong))
 

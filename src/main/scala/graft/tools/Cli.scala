@@ -18,6 +18,8 @@ import graft.model.VersionVector
  * sbt "runMain graft.tools.Cli <root> compact <stream>"
  * sbt "runMain graft.tools.Cli <root> expire  <stream> <cutoff-millis>"
  * sbt "runMain graft.tools.Cli <root> import  <stream> <segmentsDir>"
+ * sbt "runMain graft.tools.Cli <root> export  <stream> <segmentsDir>"
+ * sbt "runMain graft.tools.Cli <root> janitor <tick-millis> <run-millis>"
  * }}}
  */
 object Cli {
@@ -67,6 +69,15 @@ object Cli {
         println(s"dropped ${dropped.size} files")
       case "import" =>
         println(s"imported ${engine.importSegments(args(2), args(3))} events")
+      case "export" =>
+        println(s"exported ${engine.exportSegments(args(2), args(3))} events")
+      case "janitor" =>
+        // run the scheduled retention janitor for a bounded window (a real
+        // deployment calls startJanitor() and leaves it running)
+        engine.startJanitor(Some(args(2).toLong))
+        Thread.sleep(args(3).toLong)
+        engine.stopJanitor()
+        println("janitor stopped")
       case other =>
         System.err.println(s"unknown verb: $other")
         sys.exit(2)

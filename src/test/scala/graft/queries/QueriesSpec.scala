@@ -74,8 +74,11 @@ class QueriesSpec extends SparkSuite {
     SimilarityQueries.queries(name)(spark, dir).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
 
-  test("IVF ANN recall@5 >= 0.8 vs brute force (sf0.001 and sf0.01)") {
-    Seq(sf, "/root/testdata/sf0.01").foreach { dir =>
+  private val recallDirs =
+    Seq(sf, "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+
+  test("IVF ANN recall@5 >= 0.8 vs brute force (sf0.001, sf0.01, sf0.1)") {
+    recallDirs.foreach { dir =>
       val brute = knnPairs("sim_knn_brute", dir)
       val ivf = knnPairs("sim_knn_ivf", dir)
       val recall = (brute & ivf).size.toDouble / brute.size
@@ -83,8 +86,8 @@ class QueriesSpec extends SparkSuite {
     }
   }
 
-  test("LSH ANN recall@5 >= 0.8 vs brute force (sf0.001 and sf0.01)") {
-    Seq(sf, "/root/testdata/sf0.01").foreach { dir =>
+  test("LSH ANN recall@5 >= 0.8 vs brute force (sf0.001, sf0.01, sf0.1)") {
+    recallDirs.foreach { dir =>
       val brute = knnPairs("sim_knn_brute", dir)
       val lsh = knnPairs("sim_knn_lsh", dir)
       val recall = (brute & lsh).size.toDouble / brute.size
@@ -128,6 +131,28 @@ class QueriesSpec extends SparkSuite {
     // each of the 7 grams emits C(40,2) = 780 pairs
     assert(posting.filter(size(col("ds")) <= 30).count() == 0)
     assert(posting.count() == 7)
+  }
+
+  test("similarity plans have the shapes PLANS.md claims") {
+    def plan(q: String, m: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] = DedupQueries.queries) =
+      m(q)(spark, sf).queryExecution.executedPlan.toString
+
+    // exact baseline: broadcast nested loop with the codegen dot in the
+    // condition — no driver-side collect anywhere in the plan
+    val cosine = plan("dedup_embedding_cosine")
+    assert(cosine.contains("BroadcastNestedLoopJoin"), cosine.take(800))
+    assert(cosine.contains("graft_dot"), "verify must use the codegen expression")
+
+    // LSH dedup: band join is an equi-join (hash/sort-merge), NEVER a
+    // nested loop; bucketing happens in the single graft_lsh_bands node
+    val lsh = plan("dedup_embedding_lsh")
+    assert(!lsh.contains("BroadcastNestedLoopJoin"), lsh.take(800))
+    assert(lsh.contains("graft_lsh_bands"))
+
+    // kNN LSH: the probe side broadcasts, the corpus is hash-joined
+    val knn = plan("sim_knn_lsh", SimilarityQueries.queries)
+    assert(knn.contains("BroadcastHashJoin"), knn.take(800))
+    assert(knn.contains("graft_lsh_bands"))
   }
 
   test("approx_count_distinct is within 5% of exact") {
