@@ -385,10 +385,15 @@ final class FloEngine(val spark: SparkSession, val root: String) {
       stream: String,
       namespaceGlob: String = "/**/*",
       vv: VersionVector = VersionVector.empty,
-      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+      maxFilesPerTrigger: Option[Int] = None,
+      maxBytesPerTrigger: Option[Long] = None): DataFrame = {
     val reader = spark.readStream.schema(FloSchema.eventType)
       .option("ignoreMissingFiles", "true")
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    // byte-budget pacing on the parquet path (closest file-source analog of
+    // the reference's event budget; exact event-count pacing lives on the
+    // flo-segments source via maxEventsPerTrigger)
+    maxBytesPerTrigger.foreach(n => reader.option("maxBytesPerTrigger", n))
     val df = reader.parquet(streamDir(stream))
     val seek =
       if (vv.entries.isEmpty) df // empty vv on a stream = read all partitions
@@ -530,9 +535,11 @@ final class FloEngine(val spark: SparkSession, val root: String) {
     createStream(FloEngine.EventStreamOptions(stream,
       numPartitions = if (partitions.isEmpty) 1 else partitions.max))
     val n = df.count()
-    df.repartition(col("partition"))
-      .write.mode(SaveMode.Append).partitionBy("partition")
-      .parquet(streamDir(stream))
+    commitLock(stream).synchronized {
+      df.repartition(col("partition"))
+        .write.mode(SaveMode.Append).partitionBy("partition")
+        .parquet(streamDir(stream))
+    }
     highest.remove(stream) // recover the new max lazily on next produce
     n
   }
@@ -563,7 +570,7 @@ final class FloEngine(val spark: SparkSession, val root: String) {
    * partition, and a crash mid-swap leaves all data visible in the
    * partition dir instead of stranded in the hidden temp dir.
    */
-  def compact(stream: String, filesPerPartition: Int = 1): Unit = {
+  def compact(stream: String, filesPerPartition: Int = 1): Unit = commitLock(stream).synchronized {
     val f = fs(root)
     declaredPartitions(stream).foreach { p =>
       val dir = s"${streamDir(stream)}/partition=$p"

@@ -108,6 +108,23 @@ class StreamingSpec extends SparkSuite {
     assert(batches == 3, s"expected 3 paced batches, got $batches")
   }
 
+  test("byte-budget flow control paces the parquet stream (T4 analog)") {
+    val (e, _) = newEngine()
+    (1 to 4).foreach { i => e.produceStrings("default", 1, Seq(s"/byte/$i" -> ("x" * 100))) }
+    var batches = 0
+    // 1-byte budget admits at least one file per trigger but never several
+    val q = e.consumeStream("default", maxBytesPerTrigger = Some(1L))
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (b.count() > 0) batches += 1
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    assert(batches == 4, s"expected 4 byte-paced batches, got $batches")
+  }
+
   test("checkpointed streaming consume resumes without redelivery (T3)") {
     val (e, _) = newEngine()
     val ckpt = tempDir("flo-ckpt")

@@ -89,6 +89,33 @@ class FloBinaryCodecSpec extends SparkSuite {
     assert(d.partition == 65535 && d.data.isEmpty)
   }
 
+  test("property: random events round-trip and concatenations decode completely") {
+    val rnd = new scala.util.Random(99)
+    (1 to 200).foreach { _ =>
+      val n = 1 + rnd.nextInt(5)
+      val events = (1 to n).map { i =>
+        val nsLen = rnd.nextInt(40)
+        val ns = "/" + rnd.alphanumeric.take(nsLen).mkString
+        val data = new Array[Byte](rnd.nextInt(200))
+        rnd.nextBytes(data)
+        val parent = if (rnd.nextBoolean()) (Some(rnd.nextLong().abs.max(1L)), Some(1 + rnd.nextInt(65534)))
+                     else (None, None)
+        FloEvent(rnd.nextLong().abs, rnd.nextInt(65536),
+          new Timestamp(rnd.nextLong().abs % 4102444800000L),
+          parent._1, parent._2, ns, data)
+      }
+      val buf = events.flatMap(FloBinaryCodec.encode).toArray
+      val back = FloBinaryCodec.decodeAll(buf)
+      assert(back.size == n, s"decoded ${back.size} of $n")
+      back.zip(events).foreach { case (d, e) =>
+        assert(d.event_counter == e.event_counter && d.partition == e.partition)
+        assert(d.namespace == e.namespace && d.data.toSeq == e.data.toSeq)
+        assert(d.timestamp == e.timestamp)
+        assert(d.parent_counter == e.parent_counter && d.parent_partition == e.parent_partition)
+      }
+    }
+  }
+
   test("distributed encode/decode round-trip + raw segment file read") {
     import spark.implicits._
     val events = (1 to 100).map(i =>
