@@ -64,6 +64,34 @@ object Multimodal {
     }.toSeq
 
   /**
+   * Nearest-neighbor resize over a decoded pixel array — a REAL resampling
+   * algorithm (codec-independent), not a stub: only the pixels feeding it
+   * come from the stub decoder. The source is treated as a row-major
+   * `ceil(sqrt(n)) x rows` raster (payload length rarely matches the fake
+   * metadata dims); total and deterministic for every input, including
+   * empty.
+   */
+  def resizeNearest(pixels: Array[Int], targetW: Int, targetH: Int): Array[Int] = {
+    require(targetW > 0 && targetH > 0, "target dims must be positive")
+    val out = new Array[Int](targetW * targetH)
+    if (pixels.isEmpty) return out
+    val w = math.max(1, math.ceil(math.sqrt(pixels.length.toDouble)).toInt)
+    val h = (pixels.length + w - 1) / w
+    var y = 0
+    while (y < targetH) {
+      val sy = (y.toLong * h / targetH).toInt
+      var x = 0
+      while (x < targetW) {
+        val sx = (x.toLong * w / targetW).toInt
+        out(y * targetW + x) = pixels(math.min(pixels.length - 1, sy * w + sx))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /**
    * The distributed pipeline: decode + featurize per partition, batch-shaped
    * (one iterator pass, no per-row task overhead), schema preserved by
    * Encoders. This is where `mapInPandas`-style batch processing lives in
@@ -74,6 +102,44 @@ object Multimodal {
     items.mapPartitions { it =>
       it.map { item =>
         val feats = extractFeatures(decodeImageStub(item.data))
+        MediaFeatures(item.doc_id, feats, feats.length)
+      }
+    }
+  }
+
+  final case class FrameFeatures(
+      doc_id: Long, frame_idx: Int, features: Array[Float], feature_dim: Int)
+
+  /**
+   * Video-shaped pipeline: sample every k-th frame per item, decode and
+   * featurize each sampled frame — one flatMap iterator pass per partition
+   * (rows fan OUT inside the task, no shuffle until the caller aggregates).
+   */
+  def frameFeaturize(
+      items: Dataset[MediaItem], frameSize: Int, everyK: Int): Dataset[FrameFeatures] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions { it =>
+      it.flatMap { item =>
+        sampleFrames(item.data, frameSize, everyK).zipWithIndex.map {
+          case (frame, idx) =>
+            val feats = extractFeatures(decodeImageStub(frame))
+            FrameFeatures(item.doc_id, idx, feats, feats.length)
+        }
+      }
+    }
+  }
+
+  /**
+   * Thumbnail pipeline: decode, resize to `side x side` (real nearest-
+   * neighbor resampling), featurize the thumbnail. Same batch shape as
+   * [[featurize]].
+   */
+  def thumbnailFeaturize(items: Dataset[MediaItem], side: Int): Dataset[MediaFeatures] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions { it =>
+      it.map { item =>
+        val thumb = resizeNearest(decodeImageStub(item.data), side, side)
+        val feats = extractFeatures(thumb)
         MediaFeatures(item.doc_id, feats, feats.length)
       }
     }

@@ -32,6 +32,36 @@ object MultimodalQueries {
             "aggregate(transform(features, x -> CAST(x AS DOUBLE) * x), CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
             * 10000) / 10000).as("feature_energy"))
         .orderBy("doc_id")
+    }),
+
+    // video-shaped pipeline: sample every 4th 256-byte "frame", per-frame
+    // stub-decode + featurize, then per-doc frame stats — the fan-out
+    // happens inside the task (flatMap), aggregation is the only shuffle
+    "mm_frame_features" -> ((s, d) => {
+      val frames = Multimodal.frameFeaturize(
+        Multimodal.documentsAsMedia(s, d), frameSize = 256, everyK = 4)
+      frames.toDF()
+        .select(col("doc_id"), col("frame_idx"),
+          (floor(expr(
+            "aggregate(transform(features, x -> CAST(x AS DOUBLE) * x), CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+            * 10000) / 10000).as("frame_energy"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_frames"),
+          (floor(avg(col("frame_energy")) * 10000) / 10000).as("avg_frame_energy"))
+        .orderBy("doc_id")
+    }),
+
+    // decode -> REAL nearest-neighbor resize to an 8x8 thumbnail ->
+    // featurize; deterministic end to end
+    "mm_thumbnail_features" -> ((s, d) => {
+      val feats = Multimodal.thumbnailFeaturize(
+        Multimodal.documentsAsMedia(s, d), side = 8)
+      feats.toDF()
+        .select(col("doc_id"), col("feature_dim"),
+          (floor(expr(
+            "aggregate(transform(features, x -> CAST(x AS DOUBLE) * x), CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+            * 10000) / 10000).as("thumb_energy"))
+        .orderBy("doc_id")
     }))
 
   val oracles: Map[String, String] = Map(

@@ -29,6 +29,41 @@ class MultimodalSpec extends SparkSuite {
     assert(frames(1).toSeq == data.slice(30, 40).toSeq)
   }
 
+  test("nearest-neighbor resize is total, deterministic, and hits target dims") {
+    val px = decodeImageStub("a raster made of text bytes, long enough to resample".getBytes)
+    val small = resizeNearest(px, 4, 4)
+    assert(small.length == 16)
+    assert(small.toSeq == resizeNearest(px, 4, 4).toSeq)
+    // upscale beyond source size replicates pixels, never crashes
+    val up = resizeNearest(Array(7), 3, 3)
+    assert(up.toSeq == Seq.fill(9)(7))
+    assert(resizeNearest(Array.empty[Int], 2, 2).toSeq == Seq(0, 0, 0, 0))
+    // resized pixels are a subset of the source values (nearest = no blending)
+    assert(small.forall(px.contains))
+  }
+
+  test("frame featurize fans out every k-th frame with normalized features") {
+    import spark.implicits._
+    val data = Array.tabulate[Byte](1000)(i => (i % 251).toByte)
+    val items = Seq(MediaItem(1L, "video", data, 0, 0)).toDS()
+    val frames = frameFeaturize(items, frameSize = 100, everyK = 3).collect()
+    assert(frames.map(_.frame_idx).sorted.toSeq == Seq(0, 1, 2, 3)) // blocks 0,3,6,9
+    frames.foreach { f =>
+      assert(f.feature_dim == 16)
+      assert(math.abs(f.features.sum - 1.0f) < 1e-5)
+    }
+  }
+
+  test("thumbnail featurize = decode -> resize -> histogram, deterministic") {
+    import spark.implicits._
+    val items = documentsAsMedia(spark, "/root/testdata/sf0.001").limit(20)
+    val a = thumbnailFeaturize(items, side = 8).collect().map(f => f.doc_id -> f.features.toSeq).toMap
+    val b = thumbnailFeaturize(items, side = 8).collect().map(f => f.doc_id -> f.features.toSeq).toMap
+    assert(a == b && a.nonEmpty)
+    // 64 thumbnail pixels -> histogram still sums to 1
+    a.values.foreach(f => assert(math.abs(f.sum - 1.0f) < 1e-5))
+  }
+
   test("distributed featurize pipeline preserves schema and determinism") {
     val items = documentsAsMedia(spark, "/root/testdata/sf0.001")
     val out1 = featurize(items).collect().map(f => f.doc_id -> f.features.toSeq).toMap
