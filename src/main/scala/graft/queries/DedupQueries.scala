@@ -86,16 +86,18 @@ object DedupQueries {
       // collect_set over the full corpus was the top remaining cost
       val candDocs = cand.select(col("doc_a").as("doc_id"))
         .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-      // shingle sets (sorted, distinct) for candidate docs only, built from
-      // codegen'd shingle rows; the jaccard itself runs in a two-pointer JVM
-      // kernel — Catalyst array_intersect is interpreted per pair and
-      // dominates when band collisions number in the tens of thousands
+      // sorted distinct shingle hashes per candidate doc from the SAME
+      // kernel hash family as the signatures, in one pass per doc — the r1
+      // explode(substring) + collect_set formulation shuffled ~|text| rows
+      // per doc; the jaccard itself runs in a two-pointer JVM kernel
+      // (Catalyst array_intersect is interpreted per pair and dominates
+      // when band collisions number in the tens of thousands)
       val sets = docs(s, d).join(broadcast(candDocs), "doc_id")
-        .select(col("doc_id"),
-          explode(sequence(lit(0), greatest(length(col("text")) - 5, lit(0)))).as("pos"),
-          col("text"))
-        .select(col("doc_id"), xxhash64(expr("substring(text, pos + 1, 5)")).as("sh"))
-        .groupBy("doc_id").agg(sort_array(collect_set(col("sh"))).as("shs"))
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          (id, MinHashKernel.shingleHashes(text, k = 5))
+        })
+        .toDF("doc_id", "shs")
       val paired = cand
         .join(sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shs", "sa"), "doc_a")
         .join(sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shs", "sb"), "doc_b")

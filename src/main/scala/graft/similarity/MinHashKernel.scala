@@ -34,6 +34,29 @@ object MinHashKernel {
     h
   }
 
+  /** SORTED DISTINCT 64-bit hashes of all `k`-char shingles of `text` —
+    * the exact-verify side of LSH dedup in one pass per document (replaces
+    * an explode + groupBy/collect_set shuffle of ~|text| rows per doc).
+    * Shingle positions and the FNV family match [[signature]] exactly, so
+    * the candidate and verify stages see the same shingle universe. */
+  def shingleHashes(text: String, k: Int): Array[Long] = {
+    val n = math.max(text.length - k + 1, 1)
+    val arr = new Array[Long](n)
+    var s = 0
+    while (s < n) {
+      arr(s) = shingleHash(text, s, math.min(k, text.length - s))
+      s += 1
+    }
+    java.util.Arrays.sort(arr)
+    var w = 0
+    var i = 0
+    while (i < arr.length) {
+      if (w == 0 || arr(w - 1) != arr(i)) { arr(w) = arr(i); w += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOf(arr, w)
+  }
+
   /** H-lane minhash signature of `text` over `k`-char shingles. */
   def signature(text: String, k: Int, h: Int): Array[Long] = {
     val sig = Array.fill(h)(Long.MaxValue)
