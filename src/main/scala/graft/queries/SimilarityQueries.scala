@@ -103,7 +103,10 @@ object SimilarityQueries {
     // refined by ONE distributed Lloyd iteration (assign via broadcast
     // centroids -> per-dimension mean -> renormalize), then 6-probe + exact
     // rerank. Every centroid join broadcasts a 16-row side; the corpus is
-    // never crossed with itself.
+    // never crossed with itself. Cell assignment is an ARGMAX hash
+    // aggregate (max of a (cs, -cent_id, uv) struct) — partial aggregation
+    // combines the 16 candidate rows map-side, where a window would
+    // shuffle-and-sort all n x 16 rows.
     "sim_knn_ivf" -> ((s, d) => {
       val u = emb(s, d).select(col("vec_id"),
         expr("transform(v, x -> x / sqrt(graft_dot(v, v)))").as("uv"))
@@ -112,14 +115,16 @@ object SimilarityQueries {
       val init = u.filter(col("vec_id") < 16)
         .select(col("vec_id").as("cent_id"), col("uv").as("cv"))
 
+      // argmax-by-struct: highest cosine, ties to the LOWEST cent_id
+      def assignCells(cents: DataFrame): DataFrame =
+        u.crossJoin(broadcast(cents))
+          .withColumn("cs", cs)
+          .groupBy(col("vec_id"))
+          .agg(max(struct(col("cs"), (-col("cent_id")).as("nc"), col("uv"))).as("best"))
+          .select(col("vec_id"), col("best.uv").as("uv"), (-col("best.nc")).as("cell"))
+
       // one Lloyd iteration: hard-assign, per-dimension mean, renormalize
-      val wAssign = Window.partitionBy("vec_id").orderBy(col("cs").desc, col("cent_id"))
-      val assign0 = u.crossJoin(broadcast(init))
-        .withColumn("cs", cs)
-        .withColumn("rn", row_number().over(wAssign))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("uv"), col("cent_id").as("cell"))
-      val cents = assign0
+      val cents = assignCells(init)
         .select(col("cell"), posexplode(col("uv")).as(Seq("pos", "x")))
         .groupBy("cell", "pos").agg(avg("x").as("m"))
         .groupBy("cell")
@@ -129,11 +134,7 @@ object SimilarityQueries {
         .select(col("cent_id"),
           expr("transform(mv, x -> x / sqrt(graft_dot(mv, mv)))").as("cv"))
 
-      val assigned = u.crossJoin(broadcast(cents))
-        .withColumn("cs", cs)
-        .withColumn("rn", row_number().over(wAssign))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("uv"), col("cent_id").as("cell"))
+      val assigned = assignCells(cents)
 
       val probes = u.filter(col("vec_id") < 10).crossJoin(broadcast(cents))
         .withColumn("cs", cs)
