@@ -173,13 +173,33 @@ final class FloEngine(val spark: SparkSession, val root: String) {
     * the v2 parquet path, which is not the default. */
   private def footerHeads(stream: String): Map[Int, Long] = {
     val f = fs(root)
-    declaredPartitions(stream).flatMap { p =>
-      val maxes = f.listStatus(new Path(s"${streamDir(stream)}/partition=$p"))
+    val byPartition = declaredPartitions(stream).flatMap { p =>
+      f.listStatus(new Path(s"${streamDir(stream)}/partition=$p"))
         .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-        .flatMap(st => footerColumnMax(st.getPath, "event_counter"))
-      if (maxes.isEmpty) None else Some(p -> maxes.max)
-    }.toMap
+        .map(st => p -> st.getPath)
+    }
+    val maxes = footerMaxes(byPartition.map(_._2), "event_counter")
+    byPartition
+      .flatMap { case (p, path) => maxes(path.toString).map(p -> _) }
+      .groupMapReduce(_._1)(_._2)(math.max)
   }
+
+  /** Footer-stats maxima for many files: a driver loop for small streams, a
+    * Spark job (executor-side footer reads) past the threshold — recovery
+    * and retention stay metadata-only but parallel on 100k-file streams. */
+  private def footerMaxes(files: Seq[Path], column: String): Map[String, Option[Long]] =
+    if (files.isEmpty) Map.empty
+    else if (files.length <= FloEngine.DriverFooterThreshold) {
+      val conf = spark.sparkContext.hadoopConfiguration
+      files.map(p => p.toString -> FloEngine.footerColumnMax(p, conf, column)).toMap
+    } else {
+      val paths = files.map(_.toString)
+      spark.sparkContext.parallelize(paths, math.min(paths.size, 64))
+        .mapPartitions { it =>
+          val conf = new org.apache.hadoop.conf.Configuration()
+          it.map(p => p -> FloEngine.footerColumnMax(new Path(p), conf, column))
+        }.collect().toMap
+    }
 
   private def declaredPartitions(stream: String): Seq[Int] = {
     val p = new Path(streamDir(stream))
@@ -609,33 +629,49 @@ final class FloEngine(val spark: SparkSession, val root: String) {
   def expireOldEvents(stream: String, cutoff: java.sql.Timestamp): Seq[String] = {
     val f = fs(root)
     val cutoffMicros = cutoff.getTime * 1000L
-    val expired = declaredPartitions(stream).flatMap { p =>
+    val candidates = declaredPartitions(stream).flatMap { p =>
       f.listStatus(new Path(s"${streamDir(stream)}/partition=$p"))
         .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-        .filter { st =>
-          footerColumnMax(st.getPath, "timestamp") match {
-            case Some(maxMicros) => maxMicros < cutoffMicros
-            // no stats (legacy INT96 files): scan just that file
-            case None =>
-              spark.read.parquet(st.getPath.toString)
-                .agg(max("timestamp")).collect().head match {
-                case r if r.isNullAt(0) => true // empty file: expired
-                case r => r.getTimestamp(0).before(cutoff)
-              }
-          }
-        }
         .map(_.getPath)
+    }
+    val maxes = footerMaxes(candidates, "timestamp")
+    val expired = candidates.filter { path =>
+      maxes(path.toString) match {
+        case Some(maxMicros) => maxMicros < cutoffMicros
+        // no stats (legacy INT96 files): scan just that file
+        case None =>
+          spark.read.parquet(path.toString)
+            .agg(max("timestamp")).collect().head match {
+            case r if r.isNullAt(0) => true // empty file: expired
+            case r => r.getTimestamp(0).before(cutoff)
+          }
+      }
     }
     expired.foreach(f.delete(_, false))
     expired.map(_.toString)
   }
+}
+
+/** Mirrors the reference's `NoSuchStream` connection error
+  * (flo-server/src/engine/mod.rs:69-82). */
+final class NoSuchStream(val stream: String)
+    extends IllegalArgumentException(s"No such event stream: `$stream`")
+
+object FloEngine {
+
+  /** Above this many files, footer-stats reads fan out as a Spark job. */
+  private[engine] val DriverFooterThreshold = 64
 
   /** Footer-statistics max of a long-encoded column (counter, micros
-    * timestamp) for one file; None when any row group lacks stats. */
-  private def footerColumnMax(file: Path, column: String): Option[Long] = {
+    * timestamp) for one file; None when any row group lacks stats.
+    * Static (conf passed in) so executor tasks can call it. */
+  private[engine] def footerColumnMax(
+      file: Path,
+      conf: org.apache.hadoop.conf.Configuration,
+      column: String): Option[Long] = {
+    import scala.jdk.CollectionConverters._
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        file, spark.sparkContext.hadoopConfiguration))
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
     try {
       val perBlock = reader.getFooter.getBlocks.asScala.map { block =>
         block.getColumns.asScala
@@ -653,14 +689,7 @@ final class FloEngine(val spark: SparkSession, val root: String) {
       else Some(perBlock.flatten.max)
     } finally reader.close()
   }
-}
 
-/** Mirrors the reference's `NoSuchStream` connection error
-  * (flo-server/src/engine/mod.rs:69-82). */
-final class NoSuchStream(val stream: String)
-    extends IllegalArgumentException(s"No such event stream: `$stream`")
-
-object FloEngine {
   /** Stream options (reference: engine/event_stream/mod.rs:17-37, defaults
     * {"default", 1, forever, 1 day, 1 GiB}). `segmentMaxSizeBytes` drives
     * per-batch parquet file rolling in `produce` (maxRecordsPerFile derived

@@ -367,6 +367,27 @@ class FloEngineSpec extends SparkSuite {
     assert(dropped.size >= 5 && namespaces(e.consumeAll("default")) == Seq("/seg/new"))
   }
 
+  test("footer-stats recovery takes the distributed path on many-file streams") {
+    val root = tempDir("flo-manyfiles")
+    val e = new FloEngine(spark, root)
+    // tiny segments: one produce of 300 rows rolls into ~100 files, past
+    // the 64-file threshold where footer reads fan out as a Spark job
+    e.createStream(EventStreamOptions("default", 1, segmentMaxSizeBytes = 180L))
+    e.produceStrings("default", 1, (1 to 300).map(i => (f"/mf/$i%03d", "x" * 10)))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nFiles = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/default/partition=1"))
+      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    assert(nFiles > FloEngine.DriverFooterThreshold, s"only $nFiles files — raise the row count")
+    // status + recovery + retention all ride the bulk footer path
+    assert(e.status("default") == Map(1 -> 300L))
+    val e2 = new FloEngine(spark, root)
+    assert(e2.produceStrings("default", 1, Seq("/mf/next" -> ""))
+      .collect().head.getAs[Long]("event_counter") == 301L)
+    assert(e2.expireOldEvents("default",
+      new java.sql.Timestamp(System.currentTimeMillis() + 60000)).size >= nFiles)
+  }
+
   test("concurrent produce calls reserve disjoint counter ranges (highest_counter.rs CAS)") {
     val (e, _) = newEngine()
     import scala.concurrent.{Await, Future}
