@@ -500,6 +500,14 @@ final class FloEngine(val spark: SparkSession, val root: String) {
   def dedupRedelivered(events: DataFrame): DataFrame =
     events.dropDuplicates("partition", "event_counter")
 
+  /** Streaming consumer-position progress: per-partition head + cumulative
+    * count maintained as flatMapGroupsWithState custom state (the streaming
+    * VersionVector cursor — see [[graft.streaming.VvProgress]]). */
+  def consumeProgress(
+      stream: String,
+      namespaceGlob: String = "/**/*"): org.apache.spark.sql.Dataset[graft.streaming.VvProgress.PartitionProgress] =
+    graft.streaming.VvProgress.track(consumeStream(stream, namespaceGlob))
+
   /** Streaming consume with redelivery dedup inside the watermark horizon. */
   def consumeStreamDeduped(
       stream: String,

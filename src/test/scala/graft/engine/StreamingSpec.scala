@@ -240,6 +240,41 @@ class StreamingSpec extends SparkSuite {
     } finally spark.streams.removeListener(listener)
   }
 
+  test("flatMapGroupsWithState tracks the vv cursor across batches and restarts") {
+    val (e, _) = newEngine(partitions = 2)
+    val ckpt = tempDir("flo-vvprog")
+    def drain(): Seq[graft.streaming.VvProgress.PartitionProgress] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[graft.streaming.VvProgress.PartitionProgress]
+      val q = e.consumeProgress("default")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[graft.streaming.VvProgress.PartitionProgress],
+           _: Long) =>
+            out.synchronized { out ++= b.collect() }
+            ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      out.toSeq
+    }
+
+    e.produceStrings("default", 1, (1 to 3).map(i => (s"/vp/$i", "")))
+    e.produceStrings("default", 2, (1 to 2).map(i => (s"/vq/$i", "")))
+    val first = drain()
+    assert(first.map(p => p.partition -> p.head).toMap == e.status("default"))
+    assert(first.map(p => p.partition -> p.events_total).toMap == Map(1 -> 3L, 2 -> 2L))
+
+    // STATE survives the restart: totals accumulate, heads advance
+    e.produceStrings("default", 1, Seq("/vp/4" -> ""))
+    val second = drain()
+    assert(second.map(p => p.partition -> p.events_total).toMap == Map(1 -> 4L),
+      s"state lost or duplicated across restart: $second")
+    assert(second.head.head == e.status("default")(1))
+    assert(second.head.batch_events == 1L)
+  }
+
   test("version-vector aggregator folds consumed positions (A2)") {
     val (e, _) = newEngine(partitions = 3)
     (1 to 9).foreach { i => e.produceStrings("default", 1 + (i % 3), Seq(s"/v/$i" -> "")) }
