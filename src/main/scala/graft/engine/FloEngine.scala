@@ -56,8 +56,15 @@ final class FloEngine(val spark: SparkSession, val root: String) {
     commitLocks.computeIfAbsent(stream, _ => new Object)
 
   // a flo server always hosts a "system" stream (engine/mod.rs:34-38,
-  // controller/mod.rs:41-53) — create it at engine construction, idempotent
-  createStream(EventStreamOptions("system"))
+  // controller/mod.rs:41-53) — create it at engine construction, idempotent.
+  // Tolerate failure (e.g. a read-only root used purely for consumption):
+  // an engine over a root it cannot write to is still a valid reader.
+  try createStream(EventStreamOptions("system"))
+  catch {
+    case scala.util.control.NonFatal(e) =>
+      FloEngine.log.warn(s"could not create the system stream under $root " +
+        s"(read-only root? continuing as a reader): $e")
+  }
 
   private def streamDir(stream: String): String = s"$root/$stream"
 
@@ -138,7 +145,12 @@ final class FloEngine(val spark: SparkSession, val root: String) {
         })
       exec.scheduleWithFixedDelay(
         () => try listStreams().foreach(s => runRetention(s))
-              catch { case scala.util.control.NonFatal(_) => () },
+              catch {
+                // keep ticking, but make the failure observable — a silently
+                // dead janitor means unbounded expired data
+                case scala.util.control.NonFatal(e) =>
+                  FloEngine.log.warn(s"retention janitor tick failed: $e")
+              },
         tick, tick, java.util.concurrent.TimeUnit.MILLISECONDS)
       janitor = Some(exec)
     }
@@ -194,9 +206,13 @@ final class FloEngine(val spark: SparkSession, val root: String) {
       files.map(p => p.toString -> FloEngine.footerColumnMax(p, conf, column)).toMap
     } else {
       val paths = files.map(_.toString)
+      // ship the session's hadoop conf (spark.hadoop.* settings, credentials)
+      // to the executor-side footer reads
+      val confBc = spark.sparkContext.broadcast(
+        new graft.util.SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
       spark.sparkContext.parallelize(paths, math.min(paths.size, 64))
         .mapPartitions { it =>
-          val conf = new org.apache.hadoop.conf.Configuration()
+          val conf = confBc.value.value
           it.map(p => p -> FloEngine.footerColumnMax(new Path(p), conf, column))
         }.collect().toMap
     }
@@ -610,7 +626,9 @@ final class FloEngine(val spark: SparkSession, val root: String) {
         // (it lives in the dir name) — read and rewrite without it
         val innerSchema = org.apache.spark.sql.types.StructType(
           FloSchema.eventType.filterNot(_.name == "partition"))
-        spark.read.schema(innerSchema).parquet(dir)
+        spark.read.schema(innerSchema)
+          .option("ignoreMissingFiles", "true") // tolerate a racing janitor
+          .parquet(dir)
           .sort("event_counter")
           .coalesce(filesPerPartition)
           .write.mode(SaveMode.Overwrite).parquet(tmp)
@@ -634,7 +652,7 @@ final class FloEngine(val spark: SparkSession, val root: String) {
    * §2.1 S6). File granularity keeps deletes O(#files) with no rewrite.
    * Returns the deleted file paths.
    */
-  def expireOldEvents(stream: String, cutoff: java.sql.Timestamp): Seq[String] = {
+  def expireOldEvents(stream: String, cutoff: java.sql.Timestamp): Seq[String] = commitLock(stream).synchronized {
     val f = fs(root)
     val cutoffMicros = cutoff.getTime * 1000L
     val candidates = declaredPartitions(stream).flatMap { p =>
@@ -646,13 +664,14 @@ final class FloEngine(val spark: SparkSession, val root: String) {
     val expired = candidates.filter { path =>
       maxes(path.toString) match {
         case Some(maxMicros) => maxMicros < cutoffMicros
-        // no stats (legacy INT96 files): scan just that file
+        // no stats (legacy INT96 files): scan just that file; a file that
+        // vanished since listing is nobody's to delete — skip it
         case None =>
-          spark.read.parquet(path.toString)
+          try spark.read.parquet(path.toString)
             .agg(max("timestamp")).collect().head match {
             case r if r.isNullAt(0) => true // empty file: expired
             case r => r.getTimestamp(0).before(cutoff)
-          }
+          } catch { case scala.util.control.NonFatal(_) => false }
       }
     }
     expired.foreach(f.delete(_, false))
@@ -670,13 +689,17 @@ object FloEngine {
   /** Above this many files, footer-stats reads fan out as a Spark job. */
   private[engine] val DriverFooterThreshold = 64
 
+  private[engine] val log = org.slf4j.LoggerFactory.getLogger(classOf[FloEngine])
+
   /** Footer-statistics max of a long-encoded column (counter, micros
-    * timestamp) for one file; None when any row group lacks stats.
+    * timestamp) for one file; None when any row group lacks stats OR the
+    * file vanished under us (a racing janitor delete — status() readers
+    * must not crash on it, mirroring ignoreMissingFiles on the scan path).
     * Static (conf passed in) so executor tasks can call it. */
   private[engine] def footerColumnMax(
       file: Path,
       conf: org.apache.hadoop.conf.Configuration,
-      column: String): Option[Long] = {
+      column: String): Option[Long] = try {
     import scala.jdk.CollectionConverters._
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
@@ -696,6 +719,8 @@ object FloEngine {
       if (perBlock.isEmpty || perBlock.exists(_.isEmpty)) None
       else Some(perBlock.flatten.max)
     } finally reader.close()
+  } catch {
+    case _: java.io.FileNotFoundException => None
   }
 
   /** Stream options (reference: engine/event_stream/mod.rs:17-37, defaults

@@ -69,13 +69,14 @@ object FloBinaryCodec {
     val parentCounter = buf.getLong
     val tsMillis = buf.getLong
     val nsLen = buf.getInt
-    if (nsLen < 0 || FixedLen + nsLen > totalLen) return None
+    // overflow-safe: nsLen near Int.MaxValue must not wrap the sum negative
+    if (nsLen < 0 || nsLen > totalLen - FixedLen) return None
     val ns = new Array[Byte](nsLen)
     buf.get(ns)
     val dataLen = buf.getInt
     // mirror the reference's validate(): total_len must equal 48 + ns + data
     // (persistent_event.rs:97) — reject mismatched lengths rather than drift.
-    if (dataLen < 0 || totalLen != FixedLen + nsLen + dataLen) return None
+    if (dataLen < 0 || dataLen != totalLen - FixedLen - nsLen) return None
     val data = new Array[Byte](dataLen)
     buf.get(data)
     // all-zero parent id means null
@@ -153,9 +154,17 @@ object FloBinaryCodec {
       .mapPartitions { it =>
         if (!it.hasNext) Iterator.empty
         else {
-          val taskId = org.apache.spark.TaskContext.getPartitionId()
+          // attempt-unique staging names: speculative/retried attempts of
+          // this partition each write their own files, then atomically
+          // rename into the final name — concurrent attempts can never
+          // interleave bytes in one file (their contents are identical, so
+          // whichever rename wins, the segment is whole)
+          val ctx = org.apache.spark.TaskContext.get()
+          val taskId = ctx.partitionId()
+          val attempt = ctx.taskAttemptId()
           val conf = new org.apache.hadoop.conf.Configuration()
-          val tmp = new org.apache.hadoop.fs.Path(dir, s".${taskId + 1}.events.tmp")
+          val tmp = new org.apache.hadoop.fs.Path(dir, s".${taskId + 1}.events.body-$attempt")
+          val staged = new org.apache.hadoop.fs.Path(dir, s".${taskId + 1}.events.attempt-$attempt")
           val dst = new org.apache.hadoop.fs.Path(dir, s"${taskId + 1}.events")
           val fs = tmp.getFileSystem(conf)
           // records stream to a temp body file while min/max times accrue;
@@ -174,7 +183,7 @@ object FloBinaryCodec {
               n += 1
             }
           } finally body.close()
-          val out = fs.create(dst, true)
+          val out = fs.create(staged, true)
           try {
             out.write(encodeHeader(minTs, maxTs))
             val in = fs.open(tmp)
@@ -188,6 +197,16 @@ object FloBinaryCodec {
             } finally in.close()
           } finally out.close()
           fs.delete(tmp, false)
+          if (!fs.rename(staged, dst)) {
+            // dst may be a stale file from a previous export — replace it;
+            // if a sibling attempt wins the race instead, its content is
+            // identical, so either way the final segment is whole
+            fs.delete(dst, false)
+            if (!fs.rename(staged, dst)) {
+              if (fs.exists(dst)) fs.delete(staged, false)
+              else throw new java.io.IOException(s"could not commit $staged -> $dst")
+            }
+          }
           Iterator.single(n)
         }
       }

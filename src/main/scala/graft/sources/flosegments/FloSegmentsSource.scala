@@ -67,10 +67,12 @@ final class FloSegmentsScan(path: String, maxEventsPerTrigger: Option[Long]) ext
   override def readSchema(): StructType = FloSchema.eventType
 
   override def toBatch: Batch = new Batch {
-    override def planInputPartitions(): Array[InputPartition] =
+    override def planInputPartitions(): Array[InputPartition] = {
+      val conf = new graft.util.SerializableHadoopConf(FloSegments.hadoopConf())
       FloSegments.listSegments(path).map { case (file, len) =>
-        FloSegmentRange(file, FloSegments.HeaderLen, len): InputPartition
+        FloSegmentRange(file, FloSegments.HeaderLen, len, conf): InputPartition
       }.toArray
+    }
     override def createReaderFactory(): PartitionReaderFactory =
       new FloSegmentReaderFactory
   }
@@ -146,15 +148,16 @@ final class FloSegmentsMicroBatchStream(path: String, maxEventsPerTrigger: Optio
   }
 
   /** Advance each file's offset by whole records until `budget` events are
-    * admitted; files are visited in name order so admission is stable. */
+    * admitted; files are visited in SEGMENT order (numeric, not
+    * lexicographic) so older segments drain before newer ones. */
   private def admit(start: Map[String, Long], budget: Long): SegmentsOffset = {
     val out = scala.collection.mutable.Map[String, Long]() ++ start
     var remaining = budget
-    universe.toSeq.sorted.foreach { case (file, len) =>
+    universe.toSeq.sortBy(s => FloSegments.segmentOrder(s._1)).foreach { case (file, len) =>
       var pos = math.max(start.getOrElse(file, 0L), FloSegments.HeaderLen.toLong)
       if (remaining > 0 && len > pos) {
         val p = new Path(file)
-        val in = p.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(p)
+        val in = p.getFileSystem(FloSegments.hadoopConf()).open(p)
         try {
           in.seek(pos)
           val lenBuf = new Array[Byte](4)
@@ -185,9 +188,10 @@ final class FloSegmentsMicroBatchStream(path: String, maxEventsPerTrigger: Optio
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[SegmentsOffset].positions
     val e = end.asInstanceOf[SegmentsOffset].positions
+    val conf = new graft.util.SerializableHadoopConf(FloSegments.hadoopConf())
     e.toSeq.sorted.flatMap { case (file, endPos) =>
       val startPos = math.max(s.getOrElse(file, 0L), FloSegments.HeaderLen.toLong)
-      if (endPos > startPos) Some(FloSegmentRange(file, startPos, endPos): InputPartition)
+      if (endPos > startPos) Some(FloSegmentRange(file, startPos, endPos, conf): InputPartition)
       else None
     }.toArray
   }
@@ -198,7 +202,11 @@ final class FloSegmentsMicroBatchStream(path: String, maxEventsPerTrigger: Optio
   override def stop(): Unit = ()
 }
 
-final case class FloSegmentRange(file: String, startByte: Long, endByte: Long)
+final case class FloSegmentRange(
+    file: String,
+    startByte: Long,
+    endByte: Long,
+    conf: graft.util.SerializableHadoopConf)
     extends InputPartition
 
 final class FloSegmentReaderFactory extends PartitionReaderFactory {
@@ -220,7 +228,7 @@ final class FloSegmentPartitionReader(range: FloSegmentRange)
 
   private val in = {
     val p = new Path(range.file)
-    val stream = p.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(p)
+    val stream = p.getFileSystem(range.conf.value).open(p)
     stream.seek(range.startByte)
     stream
   }
@@ -261,15 +269,37 @@ final class FloSegmentPartitionReader(range: FloSegmentRange)
 private[flosegments] object FloSegments {
   val HeaderLen = 16 // segment header: create/end timestamps (header.rs:9-59)
 
-  /** (file, length) for every `*.events` segment under `path`, sorted. */
+  /** Numeric-aware segment ordering: flo names segments `<n>.events`, and
+    * lexicographic order would visit 10.events before 2.events — budgeted
+    * admission would then deliver newer counters before older ones across
+    * micro-batches. Sort by parsed segment number first, name second. */
+  def segmentOrder(file: String): (Long, String) = {
+    val name = file.substring(file.lastIndexOf('/') + 1)
+    val num = name.stripSuffix(".events")
+    val parsed = if (num.nonEmpty && num.forall(_.isDigit))
+      try num.toLong catch { case _: NumberFormatException => Long.MaxValue }
+    else Long.MaxValue
+    (parsed, file)
+  }
+
+  /** (file, length) for every `*.events` segment under `path`, in segment
+    * order. */
   def listSegments(path: String): Seq[(String, Long)] = {
     val p = new Path(path)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(hadoopConf())
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".events"))
       .map(s => s.getPath.toString -> s.getLen)
-      .sortBy(_._1)
+      .sortBy(s => segmentOrder(s._1))
       .toSeq
   }
+
+  /** Driver-side hadoop conf: the active session's (spark.hadoop.* settings
+    * included) when one exists, a default otherwise. */
+  def hadoopConf(): org.apache.hadoop.conf.Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
 }

@@ -59,6 +59,15 @@ class FloBinaryCodecSpec extends SparkSuite {
     assert(enc.toSeq == bytes.toSeq)
   }
 
+  test("rejects an overflowing ns_len instead of crashing (corrupt record)") {
+    val good = FloBinaryCodec.encode(ev)
+    val bad = good.clone()
+    // valid magic + total_len, ns_len = 0x7FFFFFF0: the naive 48 + ns_len
+    // sum wraps negative — decode must return None, not throw/allocate 2 GB
+    java.nio.ByteBuffer.wrap(bad, 40, 4).putInt(0x7FFFFFF0)
+    assert(FloBinaryCodec.decode(bad, 0).isEmpty)
+  }
+
   test("rejects mismatched total_len like the reference's validate") {
     val good = FloBinaryCodec.encode(ev)
     val bad = good.clone()

@@ -124,6 +124,32 @@ class FloSegmentsSourceSpec extends SparkSuite {
     assert(nonEmpty.length == 4, s"expected 4 full batches of 10, got $sizes")
   }
 
+  test("admission drains 10+ segments in NUMERIC order, not lexicographic") {
+    val dir = tempDir("segsrc-numorder")
+    // 12 segments of 5 events each; lexicographic order would visit
+    // 1,10,11,12,2,... and deliver counters out of order across batches
+    (0 until 12).foreach { s =>
+      writeSegment(dir, s"${s + 1}.events",
+        (1L to 5L).map(i => event(s * 5 + i, s"/n/${s * 5 + i}")))
+    }
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("flo-segments")
+      .option("maxEventsPerTrigger", "5")
+      .load(dir)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen.synchronized {
+          seen ++= b.orderBy("event_counter").collect().map(_.getAs[Long]("event_counter"))
+        }
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(seen.toSeq == (1L to 60L),
+      s"cross-batch delivery order broken: ${seen.take(20)}")
+  }
+
   test("writeSegmentFiles round-trips: engine -> .events -> flo-segments source") {
     val root = tempDir("segsrc-export-engine")
     val engine = new graft.engine.FloEngine(spark, root)
