@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.dotFunction)
     ext.injectFunction(GraftExtensions.nsGlobFunction)
     ext.injectFunction(GraftExtensions.lshBandsFunction)
+    ext.injectFunction(GraftExtensions.unitFunction)
   }
 }
 
@@ -85,10 +86,18 @@ object GraftExtensions {
       }
     })
 
+  private val unitFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_unit"),
+    new ExpressionInfo(classOf[UnitVector].getName, "graft_unit"),
+    { (children: Seq[Expression]) =>
+      require(children.size == 1, "graft_unit expects exactly 1 argument")
+      UnitVector(children.head)
+    })
+
   /** Runtime registration into an existing session (idempotent). */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    Seq(dotFunction, nsGlobFunction, lshBandsFunction).foreach { fn =>
+    Seq(dotFunction, nsGlobFunction, lshBandsFunction, unitFunction).foreach { fn =>
       if (!registry.functionExists(fn._1)) {
         registry.registerFunction(fn._1, fn._2, fn._3)
       }

@@ -208,8 +208,8 @@ object DedupQueries {
     "dedup_embedding_cosine" -> ((s, d) => {
       graft.expressions.GraftExtensions.register(s)
       val u = Tables.load(s, d, "embeddings")
-        .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-        .select(col("vec_id"), expr("transform(v, x -> x / sqrt(graft_dot(v, v)))").as("u"))
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .select(col("vec_id"), expr("graft_unit(v)").as("u"))
       u.as("a").join(broadcast(u.as("b")),
           col("a.vec_id") < col("b.vec_id") &&
             expr("graft_dot(a.u, b.u)") >= 0.4)
@@ -231,7 +231,7 @@ object DedupQueries {
       // verified output is an exact subset of dedup_embedding_cosine); the
       // sign-bit codes of a unit vector equal those of the raw vector
       val u = SimilarityQueries.emb(s, d)
-        .select(col("vec_id"), expr("transform(v, x -> x / sqrt(graft_dot(v, v)))").as("v"))
+        .select(col("vec_id"), expr("graft_unit(v)").as("v"))
       // band join + distinct carry ONLY the 16-byte id pair — the vectors
       // rejoin after dedup, so the wide arrays never ride the heavy shuffle
       val coded = SimilarityQueries.bandedCodes(u, EmbBands)

@@ -33,9 +33,12 @@ object SimilarityQueries {
 
   private[queries] def emb(s: SparkSession, d: String): DataFrame = {
     graft.expressions.GraftExtensions.register(s)
+    // native array cast, NOT transform(x -> cast(x)): a higher-order lambda
+    // is CodegenFallback and knocks the whole collapsed projection (incl.
+    // graft_lsh_bands / graft_dot downstream) out of whole-stage codegen
     Tables.load(s, d, "embeddings")
       .select(col("vec_id"), col("label"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        col("embedding").cast("array<double>").as("v"))
   }
 
   /** cosine(a.v, b.v) via the native codegen'd dot expression. */
@@ -108,8 +111,7 @@ object SimilarityQueries {
     // combines the 16 candidate rows map-side, where a window would
     // shuffle-and-sort all n x 16 rows.
     "sim_knn_ivf" -> ((s, d) => {
-      val u = emb(s, d).select(col("vec_id"),
-        expr("transform(v, x -> x / sqrt(graft_dot(v, v)))").as("uv"))
+      val u = emb(s, d).select(col("vec_id"), expr("graft_unit(v)").as("uv"))
       val cs = expr("graft_dot(uv, cv)") // unit x unit = cosine
 
       val init = u.filter(col("vec_id") < 16)
@@ -130,9 +132,8 @@ object SimilarityQueries {
         .groupBy("cell")
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cell").as("cent_id"),
-          expr("transform(pm, e -> e.m)").as("mv"))
-        .select(col("cent_id"),
-          expr("transform(mv, x -> x / sqrt(graft_dot(mv, mv)))").as("cv"))
+          expr("transform(pm, e -> e.m)").as("mv")) // 16 rows — HOF harmless
+        .select(col("cent_id"), expr("graft_unit(mv)").as("cv"))
 
       val assigned = assignCells(cents)
 

@@ -34,6 +34,41 @@ class DotProductSpec extends SparkSuite {
     assert(norms.length == 500 && norms.forall(_ > 0.0))
   }
 
+  test("graft_lsh_bands: codegen agrees with interpreted eval, codes are stable") {
+    val s = registered()
+    // parquet-backed (a local Seq relation gets constant-folded at plan
+    // time, bypassing both codegen paths entirely)
+    val base = graft.Tables.load(s, "/root/testdata/sf0.001", "embeddings")
+      .selectExpr("vec_id AS id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+    val df = base.selectExpr("id", "graft_lsh_bands(v, 7, 128, 16, 64) AS codes")
+
+    // compiled vs interpreted expression evaluation must agree bit-for-bit
+    def run(mode: String): Map[Long, Seq[Long]] = {
+      s.conf.set("spark.sql.codegen.factoryMode", mode)
+      try df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+      finally s.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    val compiled = run("CODEGEN_ONLY")
+    val interpreted = run("NO_CODEGEN")
+    assert(compiled == interpreted)
+
+    // structural invariants: 16 bands of 8-bit codes
+    compiled.values.foreach { codes =>
+      assert(codes.length == 16)
+      assert(codes.forall(c => c >= 0 && c < 256))
+    }
+    // scale invariance: positive scaling (incl. graft_unit) preserves every
+    // sign bit, so unit-normalized vectors bucket identically to raw ones
+    val scaled = base.selectExpr("id",
+        "graft_lsh_bands(graft_unit(v), 7, 128, 16, 64) AS codes")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(scaled == compiled)
+    // the projection sits inside whole-stage codegen
+    val plan = df.queryExecution.executedPlan.toString
+    val line = plan.linesIterator.find(_.contains("graft_lsh_bands")).get
+    assert(line.trim.startsWith("*("), s"graft_lsh_bands not codegen'd:\n$plan")
+  }
+
   test("graft_dot handles nulls and length mismatch") {
     val s = registered()
     val df = s.sql(
