@@ -24,12 +24,15 @@ object MultimodalQueries {
     }),
 
     // decode (STUB) -> featurize pipeline; emits per-doc feature norms
+    // (feature energy = graft_dot(f, f) — same fp sequence as the lambda
+    // aggregate it replaces, one codegen node instead of a HOF chain)
     "mm_decode_features" -> ((s, d) => {
+      graft.expressions.GraftExtensions.register(s)
       val feats = Multimodal.featurize(Multimodal.documentsAsMedia(s, d))
       feats.toDF()
         .select(col("doc_id"), col("feature_dim"),
           (floor(expr(
-            "aggregate(transform(features, x -> CAST(x AS DOUBLE) * x), CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+            "graft_dot(CAST(features AS ARRAY<DOUBLE>), CAST(features AS ARRAY<DOUBLE>))")
             * 10000) / 10000).as("feature_energy"))
         .orderBy("doc_id")
     }),
@@ -38,12 +41,13 @@ object MultimodalQueries {
     // stub-decode + featurize, then per-doc frame stats — the fan-out
     // happens inside the task (flatMap), aggregation is the only shuffle
     "mm_frame_features" -> ((s, d) => {
+      graft.expressions.GraftExtensions.register(s)
       val frames = Multimodal.frameFeaturize(
         Multimodal.documentsAsMedia(s, d), frameSize = 256, everyK = 4)
       frames.toDF()
         .select(col("doc_id"), col("frame_idx"),
           (floor(expr(
-            "aggregate(transform(features, x -> CAST(x AS DOUBLE) * x), CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+            "graft_dot(CAST(features AS ARRAY<DOUBLE>), CAST(features AS ARRAY<DOUBLE>))")
             * 10000) / 10000).as("frame_energy"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_frames"),
@@ -54,12 +58,13 @@ object MultimodalQueries {
     // decode -> REAL nearest-neighbor resize to an 8x8 thumbnail ->
     // featurize; deterministic end to end
     "mm_thumbnail_features" -> ((s, d) => {
+      graft.expressions.GraftExtensions.register(s)
       val feats = Multimodal.thumbnailFeaturize(
         Multimodal.documentsAsMedia(s, d), side = 8)
       feats.toDF()
         .select(col("doc_id"), col("feature_dim"),
           (floor(expr(
-            "aggregate(transform(features, x -> CAST(x AS DOUBLE) * x), CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+            "graft_dot(CAST(features AS ARRAY<DOUBLE>), CAST(features AS ARRAY<DOUBLE>))")
             * 10000) / 10000).as("thumb_energy"))
         .orderBy("doc_id")
     }))
