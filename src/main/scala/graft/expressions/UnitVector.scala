@@ -16,10 +16,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
  * every codegen-capable expression sharing it (measured on the LSH
  * bucketing stage; DotProductSpec pins the codegen'd plan shape).
  *
- * FP sequence matches the lambda form exactly — norm = sqrt of the
- * sequential left-to-right self-dot, then one divide per element — so
- * oracle-checked results are bit-identical. A zero (or empty) vector
- * normalizes to itself rather than NaN-ing: norm 0 divides are mapped to 0.
+ * FP sequence matches the lambda form EXACTLY — norm = sqrt of the
+ * sequential left-to-right self-dot, then one IEEE divide per element — so
+ * oracle-checked results are bit-identical, including the degenerate
+ * cases: a zero vector divides by 0.0 and yields NaN elements (NaN
+ * compares largest in both Spark and DuckDB, preserving the baseline's
+ * ordering/threshold behavior), and a null element stays null in the
+ * output (its slot reads as 0.0 for the norm, like the lambda's
+ * `graft_dot` self-product did).
  */
 case class UnitVector(child: Expression) extends UnaryExpression {
 
@@ -29,21 +33,38 @@ case class UnitVector(child: Expression) extends UnaryExpression {
       s"graft_unit expects array<double>, got ${other.simpleString}")
   }
 
-  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  private def elementsNullable: Boolean = child.dataType match {
+    case ArrayType(_, n) => n
+    case _ => true
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = elementsNullable)
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val n = v.numElements()
+    val nullable = elementsNullable
     var s = 0.0
     var i = 0
-    while (i < n) { val x = v.getDouble(i); s += x * x; i += 1 }
+    while (i < n) {
+      if (!nullable || !v.isNullAt(i)) { val x = v.getDouble(i); s += x * x }
+      i += 1
+    }
     val norm = math.sqrt(s)
-    val out = new Array[Double](n)
-    if (norm != 0.0) {
+    if (!nullable) {
+      val out = new Array[Double](n)
       i = 0
       while (i < n) { out(i) = v.getDouble(i) / norm; i += 1 }
+      new GenericArrayData(out)
+    } else {
+      val out = new Array[Any](n)
+      i = 0
+      while (i < n) {
+        out(i) = if (v.isNullAt(i)) null else Double.box(v.getDouble(i) / norm)
+        i += 1
+      }
+      new GenericArrayData(out)
     }
-    new GenericArrayData(out)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -54,22 +75,38 @@ case class UnitVector(child: Expression) extends UnaryExpression {
       val norm = ctx.freshName("norm")
       val out = ctx.freshName("out")
       val x = ctx.freshName("x")
-      s"""
-         |int $n = $v.numElements();
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $x = $v.getDouble($i);
-         |  $s += $x * $x;
-         |}
-         |double $norm = java.lang.Math.sqrt($s);
-         |double[] $out = new double[$n];
-         |if ($norm != 0.0) {
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    $out[$i] = $v.getDouble($i) / $norm;
-         |  }
-         |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
-       """.stripMargin
+      if (!elementsNullable)
+        s"""
+           |int $n = $v.numElements();
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $x = $v.getDouble($i);
+           |  $s += $x * $x;
+           |}
+           |double $norm = java.lang.Math.sqrt($s);
+           |double[] $out = new double[$n];
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $out[$i] = $v.getDouble($i) / $norm;
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         """.stripMargin
+      else
+        s"""
+           |int $n = $v.numElements();
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  if (!$v.isNullAt($i)) {
+           |    double $x = $v.getDouble($i);
+           |    $s += $x * $x;
+           |  }
+           |}
+           |double $norm = java.lang.Math.sqrt($s);
+           |Object[] $out = new Object[$n];
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $out[$i] = $v.isNullAt($i) ? null : (Object) ($v.getDouble($i) / $norm);
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         """.stripMargin
     })
 
   override protected def withNewChildInternal(newChild: Expression): UnitVector =

@@ -206,9 +206,7 @@ object DedupQueries {
     // scale path is dedup_embedding_lsh below; this one is the small-sf
     // oracle baseline.
     "dedup_embedding_cosine" -> ((s, d) => {
-      graft.expressions.GraftExtensions.register(s)
-      val u = Tables.load(s, d, "embeddings")
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val u = SimilarityQueries.emb(s, d)
         .select(col("vec_id"), expr("graft_unit(v)").as("u"))
       u.as("a").join(broadcast(u.as("b")),
           col("a.vec_id") < col("b.vec_id") &&

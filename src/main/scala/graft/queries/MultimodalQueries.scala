@@ -30,10 +30,9 @@ object MultimodalQueries {
       graft.expressions.GraftExtensions.register(s)
       val feats = Multimodal.featurize(Multimodal.documentsAsMedia(s, d))
       feats.toDF()
+        .withColumn("f", col("features").cast("array<double>"))
         .select(col("doc_id"), col("feature_dim"),
-          (floor(expr(
-            "graft_dot(CAST(features AS ARRAY<DOUBLE>), CAST(features AS ARRAY<DOUBLE>))")
-            * 10000) / 10000).as("feature_energy"))
+          (floor(expr("graft_dot(f, f)") * 10000) / 10000).as("feature_energy"))
         .orderBy("doc_id")
     }),
 
@@ -45,10 +44,9 @@ object MultimodalQueries {
       val frames = Multimodal.frameFeaturize(
         Multimodal.documentsAsMedia(s, d), frameSize = 256, everyK = 4)
       frames.toDF()
+        .withColumn("f", col("features").cast("array<double>"))
         .select(col("doc_id"), col("frame_idx"),
-          (floor(expr(
-            "graft_dot(CAST(features AS ARRAY<DOUBLE>), CAST(features AS ARRAY<DOUBLE>))")
-            * 10000) / 10000).as("frame_energy"))
+          (floor(expr("graft_dot(f, f)") * 10000) / 10000).as("frame_energy"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_frames"),
           (floor(avg(col("frame_energy")) * 10000) / 10000).as("avg_frame_energy"))
@@ -62,10 +60,9 @@ object MultimodalQueries {
       val feats = Multimodal.thumbnailFeaturize(
         Multimodal.documentsAsMedia(s, d), side = 8)
       feats.toDF()
+        .withColumn("f", col("features").cast("array<double>"))
         .select(col("doc_id"), col("feature_dim"),
-          (floor(expr(
-            "graft_dot(CAST(features AS ARRAY<DOUBLE>), CAST(features AS ARRAY<DOUBLE>))")
-            * 10000) / 10000).as("thumb_energy"))
+          (floor(expr("graft_dot(f, f)") * 10000) / 10000).as("thumb_energy"))
         .orderBy("doc_id")
     }))
 

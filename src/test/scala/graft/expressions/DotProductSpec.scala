@@ -38,18 +38,26 @@ class DotProductSpec extends SparkSuite {
     val s = registered()
     // parquet-backed (a local Seq relation gets constant-folded at plan
     // time, bypassing both codegen paths entirely)
-    val base = graft.Tables.load(s, "/root/testdata/sf0.001", "embeddings")
+    def base = graft.Tables.load(s, "/root/testdata/sf0.001", "embeddings")
       .selectExpr("vec_id AS id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
-    val df = base.selectExpr("id", "graft_lsh_bands(v, 7, 128, 16, 64) AS codes")
+    def df = base.selectExpr("id", "graft_lsh_bands(v, 7, 128, 16, 64) AS codes")
 
-    // compiled vs interpreted expression evaluation must agree bit-for-bit
-    def run(mode: String): Map[Long, Seq[Long]] = {
+    // compiled vs interpreted expression evaluation must agree bit-for-bit.
+    // BOTH knobs matter: wholeStage=false alone still uses generated
+    // (non-whole-stage) projections, and factoryMode alone doesn't disable
+    // whole-stage codegen; the DataFrame is REBUILT per run because
+    // executedPlan caches on first collect.
+    def run(wholeStage: Boolean, mode: String): Map[Long, Seq[Long]] = {
+      s.conf.set("spark.sql.codegen.wholeStage", wholeStage.toString)
       s.conf.set("spark.sql.codegen.factoryMode", mode)
       try df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
-      finally s.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      finally {
+        s.conf.set("spark.sql.codegen.wholeStage", "true")
+        s.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      }
     }
-    val compiled = run("CODEGEN_ONLY")
-    val interpreted = run("NO_CODEGEN")
+    val compiled = run(wholeStage = true, "CODEGEN_ONLY")
+    val interpreted = run(wholeStage = false, "NO_CODEGEN")
     assert(compiled == interpreted)
 
     // structural invariants: 16 bands of 8-bit codes
@@ -67,6 +75,26 @@ class DotProductSpec extends SparkSuite {
     val plan = df.queryExecution.executedPlan.toString
     val line = plan.linesIterator.find(_.contains("graft_lsh_bands")).get
     assert(line.trim.startsWith("*("), s"graft_lsh_bands not codegen'd:\n$plan")
+  }
+
+  test("graft_unit keeps the lambda form's degenerate semantics (NaN, null elements)") {
+    val s = registered()
+    // zero vector -> 0/0 = NaN elements, exactly like x / sqrt(0) did;
+    // NaN compares largest in Spark AND DuckDB, so thresholds/orderings
+    // over the cosine stay oracle-identical on degenerate inputs
+    val zero = s.sql("SELECT graft_unit(array(0.0D, 0.0D)) AS u").collect().head
+      .getSeq[Double](0)
+    assert(zero.forall(_.isNaN))
+    // null elements stay null; non-null elements normalize over the
+    // null-as-zero norm (matching graft_dot's treatment of the self-product)
+    val withNull = s.sql(
+      "SELECT graft_unit(array(3.0D, CAST(NULL AS DOUBLE), 4.0D)) AS u")
+      .collect().head.getSeq[java.lang.Double](0)
+    assert(withNull(1) == null)
+    assert(withNull(0) == 3.0 / 5.0 && withNull(2) == 4.0 / 5.0)
+    // null input -> null output
+    assert(s.sql("SELECT graft_unit(CAST(NULL AS ARRAY<DOUBLE>)) AS u")
+      .collect().head.isNullAt(0))
   }
 
   test("graft_dot handles nulls and length mismatch") {
