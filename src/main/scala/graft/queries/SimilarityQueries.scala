@@ -31,7 +31,7 @@ import graft.Tables
  */
 object SimilarityQueries {
 
-  private[queries] def emb(s: SparkSession, d: String): DataFrame = {
+  private[graft] def emb(s: SparkSession, d: String): DataFrame = {
     graft.expressions.GraftExtensions.register(s)
     // native array cast, NOT transform(x -> cast(x)): a higher-order lambda
     // is CodegenFallback and knocks the whole collapsed projection (incl.
@@ -52,7 +52,7 @@ object SimilarityQueries {
   private val KnnBits = NumPlanes / KnnBands
 
   /** Corpus-side exact band codes: (vec_id, v, band_idx, code). */
-  private[queries] def bandedCodes(e: DataFrame, bands: Int): DataFrame =
+  private[graft] def bandedCodes(e: DataFrame, bands: Int): DataFrame =
     e.select(col("vec_id"), col("v"),
         posexplode(expr(s"graft_lsh_bands(v, $Seed, $NumPlanes, $bands, $Dim)"))
           .as(Seq("band_idx", "code")))
