@@ -330,6 +330,31 @@ final class FloEngine(val spark: SparkSession, val root: String) {
     } finally in.unpersist(false)
   }
 
+  /**
+   * Streaming produce (the reference's async producer client,
+   * flo-client-lib/src/async: a long-lived connection appending as events
+   * arrive): each micro-batch of `requests` appends through [[produce]],
+   * so id assignment, rotation, and ack-after-commit semantics are
+   * identical to batch produce, and counters stay contiguous across
+   * batches. With a checkpoint this is at-least-once — a replayed batch
+   * re-produces with NEW ids (flo producer retries behave the same); use
+   * parent ids or payload dedup downstream when exactly-once matters.
+   *
+   * Composes with [[consumeStream]] for engine-to-engine replication:
+   * `b.produceStream("s", a.consumeStream("s"), ckpt)`.
+   */
+  def produceStream(
+      stream: String,
+      requests: DataFrame,
+      checkpointDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = requests.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) { produce(stream, batch); () }
+      }
+    checkpointDir.foreach(writer.option("checkpointLocation", _))
+    writer.start()
+  }
+
   /** Convenience single-partition produce of string payloads. */
   def produceStrings(stream: String, partition: Int, events: Seq[(String, String)]): DataFrame = {
     import spark.implicits._

@@ -275,6 +275,31 @@ class StreamingSpec extends SparkSuite {
     assert(second.head.batch_events == 1L)
   }
 
+  test("produceStream replicates one engine's stream into another (async producer parity)") {
+    val (a, _) = newEngine()
+    val rootB = tempDir("flo-replica")
+    val b = new FloEngine(spark, rootB)
+    b.createStream(EventStreamOptions("replica", numPartitions = 1))
+
+    a.produceStrings("default", 1, (1 to 5).map(i => (s"/r/$i", s"v$i")))
+    val q = b.produceStream("replica",
+      a.consumeStream("default").drop("event_counter", "timestamp"),
+      checkpointDir = Some(tempDir("flo-replica-ckpt")))
+    try {
+      q.processAllAvailable()
+      assert(b.consumeAll("replica").count() == 5)
+      // live tail: new events on A flow into B in the next micro-batch,
+      // counters stay contiguous on the replica
+      a.produceStrings("default", 1, (6 to 8).map(i => (s"/r/$i", s"v$i")))
+      q.processAllAvailable()
+      val got = b.consumeAll("replica").orderBy("event_counter").collect()
+      assert(got.map(_.getAs[Long]("event_counter")).toSeq == (1L to 8L))
+      // payloads and namespaces survive the hop; ids are B's own sequence
+      assert(got.map(_.getAs[String]("namespace")).sorted.toSeq ==
+        (1 to 8).map(i => s"/r/$i").sorted)
+    } finally q.stop()
+  }
+
   test("version-vector aggregator folds consumed positions (A2)") {
     val (e, _) = newEngine(partitions = 3)
     (1 to 9).foreach { i => e.produceStrings("default", 1 + (i % 3), Seq(s"/v/$i" -> "")) }
