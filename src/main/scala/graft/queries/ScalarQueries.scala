@@ -61,6 +61,51 @@ object ScalarQueries {
       Tables.load(s, d, "lineitem").agg(
         approx_count_distinct("l_partkey").as("approx_parts"),
         countDistinct("l_partkey").as("exact_parts"))
+    }),
+
+    // array scalar suite (§2.8): split / size / element access (first,
+    // last) / sort / slice / contains, each with an exact DuckDB
+    // list-function counterpart
+    "q_array_suite" -> ((s, d) => {
+      Tables.load(s, d, "documents")
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"), split(trim(col("text")), " +").as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(
+          col("doc_id"),
+          size(col("w")).cast("long").as("n_words"),
+          element_at(col("w"), 1).as("first_word"),
+          element_at(col("w"), -1).as("last_word"),
+          concat_ws(" ", slice(sort_array(col("w")), 1, 3)).as("sorted_head"),
+          array_contains(col("w"), "the").cast("int").as("has_the"))
+        .orderBy("doc_id")
+    }),
+
+    // json scalar suite (§2.8): path extraction from the events props
+    // column + integer-exact aggregation of the extracted values
+    "q_json_extract" -> ((s, d) => {
+      Tables.load(s, d, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), min("k").as("min_k"),
+          max("k").as("max_k"), sum("k").as("sum_k"))
+        .orderBy("event_type")
+    }),
+
+    // map scalar suite (§2.8): map_from_entries -> map_keys/values ->
+    // explode round-trip; the driver hashes the (re-flattened) result, so
+    // any map-op divergence breaks the exact group-by oracle
+    "q_map_suite" -> ((s, d) => {
+      val counts = Tables.load(s, d, "events")
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+      counts
+        .agg(map_from_entries(sort_array(collect_list(
+          struct(col("event_type"), col("n"))))).as("m"))
+        .select(explode(col("m")).as(Seq("event_type", "n")))
+        .select(col("event_type"), col("n"),
+          lit(1).as("via_map")) // marks the map round-trip path
+        .orderBy("event_type")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -90,5 +135,25 @@ object ScalarQueries {
       """SELECT COALESCE(o_orderstatus, 'ALL') AS st, COALESCE(o_orderpriority, 'ALL') AS prio,
         |  COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
-        |ORDER BY st, prio""".stripMargin)
+        |ORDER BY st, prio""".stripMargin,
+
+    "q_array_suite" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), ' +') AS w
+        |  FROM documents WHERE doc_id < 200)
+        |SELECT doc_id, len(w) AS n_words, w[1] AS first_word, w[len(w)] AS last_word,
+        |  array_to_string(list_sort(w)[1:3], ' ') AS sorted_head,
+        |  CAST(list_contains(w, 'the') AS INT) AS has_the
+        |FROM t WHERE len(w) >= 3 ORDER BY doc_id""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_map_suite" ->
+      """SELECT event_type, COUNT(*) AS n, 1 AS via_map
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
 }
