@@ -55,15 +55,16 @@ object Bench {
       val reqs = Tables.floEvents(spark, sfDir)
         .select("partition", "namespace", "parent_counter", "parent_partition", "data")
       val nEvents = reqs.count()
-      val tProd = (1 to 2).map { _ =>
+      val produceRounds = 2
+      val tProd = (1 to produceRounds).map { _ =>
         time(engine.produce("bench", reqs).write.format("noop").mode("overwrite").save())
       }.min
       val tCons = (1 to 2).map { _ =>
-        // consume scans BOTH produce rounds' files — rate is rows-scanned/s
+        // consume scans ALL produce rounds' files — rate is rows-scanned/s
         time(engine.consumeAll("bench", "/events/p*")
           .write.format("noop").mode("overwrite").save())
       }.min
-      (nEvents / tProd, 2.0 * nEvents / tCons)
+      (nEvents / tProd, produceRounds.toDouble * nEvents / tCons)
     } catch { case _: Throwable => (-1.0, -1.0) }
 
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }

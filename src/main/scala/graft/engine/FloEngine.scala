@@ -341,15 +341,28 @@ final class FloEngine(val spark: SparkSession, val root: String) {
    * parent ids or payload dedup downstream when exactly-once matters.
    *
    * Composes with [[consumeStream]] for engine-to-engine replication:
-   * `b.produceStream("s", a.consumeStream("s"), ckpt)`.
+   * `b.produceStream("s", a.consumeStream("s"), Some(ckpt))`. When the
+   * incoming frame carries source `event_counter`/`partition` columns
+   * (any consume view does), each batch is sorted by them before the
+   * append so replica ids preserve SOURCE counter order even when a
+   * micro-batch spans several source files (file order within a batch is
+   * otherwise arbitrary).
    */
   def produceStream(
       stream: String,
       requests: DataFrame,
       checkpointDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val hasSourceOrder = Seq("event_counter", "partition")
+      .forall(requests.columns.contains)
     val writer = requests.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) { produce(stream, batch); () }
+        if (!batch.isEmpty) {
+          val ordered =
+            if (hasSourceOrder) batch.orderBy(col("event_counter"), col("partition"))
+            else batch
+          produce(stream, ordered)
+          ()
+        }
       }
     checkpointDir.foreach(writer.option("checkpointLocation", _))
     writer.start()

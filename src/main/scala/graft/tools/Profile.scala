@@ -16,9 +16,10 @@ import graft.similarity.MinHashKernel
 object Profile {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32") // match Bench's parallelism
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -60,6 +61,9 @@ object Profile {
     val paired = cand
       .join(sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shs", "sa"), "doc_a")
       .join(sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shs", "sb"), "doc_b")
+      // using-column joins reorder columns (doc_b first) — re-select before
+      // the positional tuple encoder, same as DedupQueries does
+      .select(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
       .as[(Long, Long, IndexedSeq[Long], IndexedSeq[Long])]
     time("mh: verify joins+jaccard")(paired.mapPartitions(_.flatMap { case (a, b, sa, sb) =>
       val j = MinHashKernel.jaccardSortedLongs(sa, sb)

@@ -281,22 +281,26 @@ class StreamingSpec extends SparkSuite {
     val b = new FloEngine(spark, rootB)
     b.createStream(EventStreamOptions("replica", numPartitions = 1))
 
+    // THREE produce batches (= three source files) land before the first
+    // trigger: the replicating batch must sort by source counter, because
+    // file order within a micro-batch is arbitrary
     a.produceStrings("default", 1, (1 to 5).map(i => (s"/r/$i", s"v$i")))
-    val q = b.produceStream("replica",
-      a.consumeStream("default").drop("event_counter", "timestamp"),
+    a.produceStrings("default", 1, (6 to 9).map(i => (s"/r/$i", s"v$i")))
+    a.produceStrings("default", 1, (10 to 12).map(i => (s"/r/$i", s"v$i")))
+    val q = b.produceStream("replica", a.consumeStream("default"),
       checkpointDir = Some(tempDir("flo-replica-ckpt")))
     try {
       q.processAllAvailable()
-      assert(b.consumeAll("replica").count() == 5)
+      assert(b.consumeAll("replica").count() == 12)
       // live tail: new events on A flow into B in the next micro-batch,
       // counters stay contiguous on the replica
-      a.produceStrings("default", 1, (6 to 8).map(i => (s"/r/$i", s"v$i")))
+      a.produceStrings("default", 1, (13 to 15).map(i => (s"/r/$i", s"v$i")))
       q.processAllAvailable()
       val got = b.consumeAll("replica").orderBy("event_counter").collect()
-      assert(got.map(_.getAs[Long]("event_counter")).toSeq == (1L to 8L))
-      // payloads and namespaces survive the hop; ids are B's own sequence
-      assert(got.map(_.getAs[String]("namespace")).sorted.toSeq ==
-        (1 to 8).map(i => s"/r/$i").sorted)
+      assert(got.map(_.getAs[Long]("event_counter")).toSeq == (1L to 15L))
+      // replica counter order REPRODUCES source counter order exactly
+      assert(got.map(_.getAs[String]("namespace")).toSeq ==
+        (1 to 15).map(i => s"/r/$i"))
     } finally q.stop()
   }
 
