@@ -77,6 +77,46 @@ object TextQueries {
       docs(s, d)
         .select(col("doc_id"), substring(md5(norm), 1, 16).as("fp"))
         .orderBy("doc_id")
+    }),
+
+    // vocabulary building: top-50 most frequent lowercased letter-tokens
+    // across the corpus with document frequency — explode is the only
+    // fan-out, the count is one shuffle (the classic first step of any
+    // tokenizer/vocab pipeline)
+    "text_vocab_topk" -> ((s, d) => {
+      val tokens = docs(s, d)
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), "[^a-z]+")).as("tok"))
+        .filter(length(col("tok")) >= 2)
+      tokens.groupBy("tok")
+        .agg(count(lit(1)).as("tf"), countDistinct("doc_id").as("df"))
+        .orderBy(col("tf").desc, col("tok"))
+        .limit(50)
+    }),
+
+    // composed cleaning pipeline (the realistic end-to-end use): quality
+    // gate (>= 5 tokens) -> normalized exact-dedup keep-lowest-id ->
+    // English-only gate -> surviving doc ids. Each stage is an operator
+    // proven above; this query proves they COMPOSE in one plan (one
+    // window shuffle + codegen'd filters, no materialization between
+    // stages).
+    "pipe_clean_corpus" -> ((s, d) => {
+      val nTokens = size(split(trim(col("text")), " +"))
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+      val Seq(en, es, de) = langPatterns.map { case (_, pat) =>
+        regexp_count(lower(col("text")), lit(pat))
+      }
+      val isEnglish = en >= es && en >= de && en > 0
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("norm_hash").orderBy("doc_id")
+      docs(s, d)
+        .filter(nTokens >= 5)
+        .select(col("doc_id"), md5(norm).as("norm_hash"), isEnglish.as("is_en"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("is_en"))
+        .select(col("doc_id"), col("norm_hash"))
+        .orderBy("doc_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -112,5 +152,29 @@ object TextQueries {
     "text_fingerprint" ->
       """SELECT doc_id,
         |  SUBSTRING(md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))), 1, 16) AS fp
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_vocab_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS tok
+        |  FROM documents)
+        |SELECT tok, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+        |FROM toks WHERE LENGTH(tok) >= 2
+        |GROUP BY tok ORDER BY tf DESC, tok LIMIT 50""".stripMargin,
+
+    "pipe_clean_corpus" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id,
+         |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_hash,
+         |    (len(regexp_extract_all(lower(text), '${langPatterns(0)._2}')) >= len(regexp_extract_all(lower(text), '${langPatterns(1)._2}'))
+         |     AND len(regexp_extract_all(lower(text), '${langPatterns(0)._2}')) >= len(regexp_extract_all(lower(text), '${langPatterns(2)._2}'))
+         |     AND len(regexp_extract_all(lower(text), '${langPatterns(0)._2}')) > 0) AS is_en
+         |  FROM documents
+         |  WHERE len(string_split_regex(trim(text), ' +')) >= 5),
+         |ranked AS (
+         |  SELECT doc_id, norm_hash, is_en,
+         |    ROW_NUMBER() OVER (PARTITION BY norm_hash ORDER BY doc_id) AS rn
+         |  FROM scored)
+         |SELECT doc_id, norm_hash FROM ranked
+         |WHERE rn = 1 AND is_en ORDER BY doc_id""".stripMargin)
 }
