@@ -30,6 +30,71 @@ object DedupQueries {
   /** df cap for trigram pair emission (see dedup_ngram_jaccard). */
   private[queries] val MaxGramDf = 1000
 
+  // ---- dedup_minhash_lsh stage builders (shared with tools.Profile) ----
+
+  /** (doc_id, band_idx, band_val) rows from the single-pass JVM signature
+    * kernel — one loop per document, zero shuffle. */
+  private[graft] def minhashBands(documents: DataFrame): DataFrame = {
+    val s = documents.sparkSession
+    import s.implicits._
+    import graft.similarity.MinHashKernel
+    documents.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val sig = MinHashKernel.signature(text, k = 5, h = H)
+        MinHashKernel.bands(sig, B, R).zipWithIndex.map {
+          case (bv, bi) => (id, bi, bv)
+        }
+      })
+      .toDF("doc_id", "band_idx", "band_val")
+  }
+
+  /** Distinct (doc_a < doc_b) pairs sharing at least one band value. */
+  private[graft] def minhashCandidates(bands: DataFrame): DataFrame =
+    bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+  /** Sorted distinct shingle hashes for CANDIDATE docs only (a semi join
+    * prunes the rest), from the SAME kernel hash family as the signatures,
+    * one pass per doc — the r1 explode(substring) + collect_set formulation
+    * shuffled ~|text| rows per doc. */
+  private[graft] def minhashShingleSets(documents: DataFrame, cand: DataFrame): DataFrame = {
+    val s = documents.sparkSession
+    import s.implicits._
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    documents.join(broadcast(candDocs), "doc_id")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        (id, graft.similarity.MinHashKernel.shingleHashes(text, k = 5))
+      })
+      .toDF("doc_id", "shs")
+  }
+
+  /** Exact-jaccard verify (two-pointer JVM kernel — Catalyst
+    * array_intersect is interpreted per pair and dominates when band
+    * collisions number in the tens of thousands); keeps jaccard >= 0.5. */
+  private[graft] def minhashVerify(cand: DataFrame, sets: DataFrame): DataFrame = {
+    val s = cand.sparkSession
+    import s.implicits._
+    cand
+      .join(sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shs", "sa"), "doc_a")
+      .join(sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shs", "sb"), "doc_b")
+      // using-column joins reorder columns — re-select before the
+      // positional tuple encoder
+      .select(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
+      .as[(Long, Long, IndexedSeq[Long], IndexedSeq[Long])]
+      .mapPartitions(_.flatMap { case (a, b, sa, sb) =>
+        val jac = graft.similarity.MinHashKernel.jaccardSortedLongs(sa, sb)
+        if (jac >= 0.5) Some((a, b, math.round(jac * 1000).toDouble / 1000)) else None
+      })
+      .toDF("doc_a", "doc_b", "jaccard")
+  }
+
   /** Banding for embedding near-dup LSH: 128 planes / 32 bands of 4 bits —
     * tuned on the real testdata for recall >= 0.95 of cosine>=0.4 pairs
     * (these synthetic vectors are near-uniform, the hardest case; DedupSpec
@@ -61,53 +126,13 @@ object DedupQueries {
     // from a single-pass JVM kernel (one loop per document) — the explode +
     // 32-column min-agg formulation shuffled ~2M shingle rows and was the
     // slowest query in the catalog; the kernel removes that stage entirely.
+    // (Stage builders below are shared with graft.tools.Profile so the
+    // profiler can never drift from the real plan.)
     "dedup_minhash_lsh" -> ((s, d) => {
-      import s.implicits._
-      import graft.similarity.MinHashKernel
-      val bands = docs(s, d).select(col("doc_id"), col("text"))
-        .as[(Long, String)]
-        .mapPartitions(_.flatMap { case (id, text) =>
-          val sig = MinHashKernel.signature(text, k = 5, h = H)
-          MinHashKernel.bands(sig, B, R).zipWithIndex.map {
-            case (bv, bi) => (id, bi, bv)
-          }
-        })
-        .toDF("doc_id", "band_idx", "band_val")
-
-      val cand = bands.as("a").join(bands.as("b"),
-          col("a.band_idx") === col("b.band_idx") &&
-            col("a.band_val") === col("b.band_val") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-
-      // exact-jaccard verification builds shingle sets ONLY for docs that
-      // appear in a candidate pair (a left-semi join prunes the rest) —
-      // collect_set over the full corpus was the top remaining cost
-      val candDocs = cand.select(col("doc_a").as("doc_id"))
-        .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-      // sorted distinct shingle hashes per candidate doc from the SAME
-      // kernel hash family as the signatures, in one pass per doc — the r1
-      // explode(substring) + collect_set formulation shuffled ~|text| rows
-      // per doc; the jaccard itself runs in a two-pointer JVM kernel
-      // (Catalyst array_intersect is interpreted per pair and dominates
-      // when band collisions number in the tens of thousands)
-      val sets = docs(s, d).join(broadcast(candDocs), "doc_id")
-        .select(col("doc_id"), col("text")).as[(Long, String)]
-        .mapPartitions(_.map { case (id, text) =>
-          (id, MinHashKernel.shingleHashes(text, k = 5))
-        })
-        .toDF("doc_id", "shs")
-      val paired = cand
-        .join(sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shs", "sa"), "doc_a")
-        .join(sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shs", "sb"), "doc_b")
-        .select(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
-        .as[(Long, Long, IndexedSeq[Long], IndexedSeq[Long])]
-      paired.mapPartitions(_.flatMap { case (a, b, sa, sb) =>
-          val jac = MinHashKernel.jaccardSortedLongs(sa, sb)
-          if (jac >= 0.5) Some((a, b, math.round(jac * 1000).toDouble / 1000)) else None
-        })
-        .toDF("doc_a", "doc_b", "jaccard")
+      val bands = minhashBands(docs(s, d))
+      val cand = minhashCandidates(bands)
+      val sets = minhashShingleSets(docs(s, d), cand)
+      minhashVerify(cand, sets)
         .orderBy("doc_a", "doc_b")
     }),
 

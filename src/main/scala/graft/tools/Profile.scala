@@ -4,7 +4,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.similarity.MinHashKernel
 
 /**
  * Dev profiler: times the internal stages of the heaviest catalog queries
@@ -32,43 +31,17 @@ object Profile {
       println(f"PROFILE $label%-28s ${(System.nanoTime() - t0) / 1e9}%7.2f s  rows=$n")
     }
 
-    val H = 32; val B = 8; val R = H / B
-
-    // --- dedup_minhash_lsh stages
+    // --- dedup_minhash_lsh stages (the REAL builders from DedupQueries —
+    // the profiler cannot drift from the production plan)
     val docs = Tables.load(spark, sfDir, "documents")
-    val bands = docs.select(col("doc_id"), col("text"))
-      .as[(Long, String)]
-      .mapPartitions(_.flatMap { case (id, text) =>
-        val sig = MinHashKernel.signature(text, k = 5, h = H)
-        MinHashKernel.bands(sig, B, R).zipWithIndex.map { case (bv, bi) => (id, bi, bv) }
-      })
-      .toDF("doc_id", "band_idx", "band_val")
+    val bands = graft.queries.DedupQueries.minhashBands(docs)
     time("mh: band rows")(bands.count())
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_val") === col("b.band_val") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    val cand = graft.queries.DedupQueries.minhashCandidates(bands)
     time("mh: candidates")(cand.count())
-    val candDocs = cand.select(col("doc_a").as("doc_id"))
-      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-    val sets = docs.join(broadcast(candDocs), "doc_id")
-      .select(col("doc_id"), col("text")).as[(Long, String)]
-      .mapPartitions(_.map { case (id, text) => (id, MinHashKernel.shingleHashes(text, 5)) })
-      .toDF("doc_id", "shs")
+    val sets = graft.queries.DedupQueries.minhashShingleSets(docs, cand)
     time("mh: shingle sets")(sets.count())
-    val paired = cand
-      .join(sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shs", "sa"), "doc_a")
-      .join(sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shs", "sb"), "doc_b")
-      // using-column joins reorder columns (doc_b first) — re-select before
-      // the positional tuple encoder, same as DedupQueries does
-      .select(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
-      .as[(Long, Long, IndexedSeq[Long], IndexedSeq[Long])]
-    time("mh: verify joins+jaccard")(paired.mapPartitions(_.flatMap { case (a, b, sa, sb) =>
-      val j = MinHashKernel.jaccardSortedLongs(sa, sb)
-      if (j >= 0.5) Some((a, b)) else None
-    }).count())
+    time("mh: verify joins+jaccard")(
+      graft.queries.DedupQueries.minhashVerify(cand, sets).count())
 
     // --- dedup_embedding_lsh stages
     val u = graft.queries.SimilarityQueries.emb(spark, sfDir)
