@@ -347,6 +347,13 @@ final class FloEngine(val spark: SparkSession, val root: String) {
    * append so replica ids preserve SOURCE counter order even when a
    * micro-batch spans several source files (file order within a batch is
    * otherwise arbitrary).
+   *
+   * With a checkpoint, re-delivered batch ids (a retried epoch after a
+   * mid-batch failure) are SKIPPED via a per-(stream, checkpoint) commit
+   * marker persisted next to the stream — Spark's documented
+   * foreachBatch-idempotence recipe. The remaining duplicate window is a
+   * crash between the parquet commit and the marker write; flo's own
+   * producer retries have the same at-least-once edge.
    */
   def produceStream(
       stream: String,
@@ -354,18 +361,30 @@ final class FloEngine(val spark: SparkSession, val root: String) {
       checkpointDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     val hasSourceOrder = Seq("event_counter", "partition")
       .forall(requests.columns.contains)
+    val tracker = checkpointDir.map(ckpt => batchTracker(stream, ckpt))
     val writer = requests.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty && tracker.forall(_.lastCommitted < batchId)) {
           val ordered =
             if (hasSourceOrder) batch.orderBy(col("event_counter"), col("partition"))
             else batch
           produce(stream, ordered)
+          tracker.foreach(_.commit(batchId))
           ()
         }
       }
     checkpointDir.foreach(writer.option("checkpointLocation", _))
     writer.start()
+  }
+
+  /** Batch-id commit marker for idempotent foreachBatch produce; keyed by
+    * the checkpoint location so independent replication queries into one
+    * stream track independently. */
+  private[engine] def batchTracker(stream: String, checkpointDir: String): BatchCommitTracker = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpointDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    new BatchCommitTracker(fs(root),
+      new Path(s"${streamDir(stream)}/_produce_commits/$key"))
   }
 
   /** Convenience single-partition produce of string payloads. */
@@ -714,6 +733,38 @@ final class FloEngine(val spark: SparkSession, val root: String) {
     }
     expired.foreach(f.delete(_, false))
     expired.map(_.toString)
+  }
+}
+
+/**
+ * Persisted highest-committed micro-batch id for idempotent streaming
+ * produce (Spark's foreachBatch-idempotence recipe): a retried batch id
+ * <= `lastCommitted` is skipped instead of re-appended. Writes are
+ * tmp-then-rename so a torn marker is never read.
+ */
+private[engine] final class BatchCommitTracker(
+    fs: org.apache.hadoop.fs.FileSystem,
+    marker: Path) {
+
+  def lastCommitted: Long =
+    if (!fs.exists(marker)) -1L
+    else {
+      val in = fs.open(marker)
+      val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+      try content.toLong catch { case _: NumberFormatException => -1L }
+    }
+
+  def commit(batchId: Long): Unit = {
+    val tmp = new Path(marker.getParent, s".${marker.getName}.tmp")
+    fs.mkdirs(marker.getParent)
+    val out = fs.create(tmp, true)
+    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, marker)) {
+      fs.delete(marker, false)
+      if (!fs.rename(tmp, marker))
+        throw new java.io.IOException(s"could not commit batch marker $marker")
+    }
   }
 }
 

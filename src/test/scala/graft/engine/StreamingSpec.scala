@@ -304,6 +304,34 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("produceStream skips re-delivered batch ids (idempotent retry marker)") {
+    val (a, _) = newEngine()
+    val rootB = tempDir("flo-idem")
+    val b = new FloEngine(spark, rootB)
+    b.createStream(EventStreamOptions("replica", numPartitions = 1))
+    a.produceStrings("default", 1, (1 to 5).map(i => (s"/i/$i", "")))
+
+    // prime the marker as if batches <= 1000 already committed: the fresh
+    // query's batch 0 must be SKIPPED (the retried-epoch path)
+    val ckpt = tempDir("flo-idem-ckpt")
+    b.batchTracker("replica", ckpt).commit(1000L)
+    val q = b.produceStream("replica", a.consumeStream("default"), Some(ckpt))
+    try q.processAllAvailable() finally q.stop()
+    assert(b.consumeAll("replica").count() == 0, "replayed batch must not re-append")
+    assert(b.batchTracker("replica", ckpt).lastCommitted == 1000L)
+
+    // an independent checkpoint tracks independently and produces normally
+    val q2 = b.produceStream("replica", a.consumeStream("default"),
+      Some(tempDir("flo-idem-ckpt2")))
+    try q2.processAllAvailable() finally q2.stop()
+    assert(b.consumeAll("replica").count() == 5)
+    // marker writes are atomic (tmp+rename) and re-commit advances
+    val t = b.batchTracker("replica", "another")
+    assert(t.lastCommitted == -1L)
+    t.commit(0L); t.commit(7L)
+    assert(t.lastCommitted == 7L)
+  }
+
   test("version-vector aggregator folds consumed positions (A2)") {
     val (e, _) = newEngine(partitions = 3)
     (1 to 9).foreach { i => e.produceStrings("default", 1 + (i % 3), Seq(s"/v/$i" -> "")) }
