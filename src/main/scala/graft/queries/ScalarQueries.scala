@@ -93,6 +93,24 @@ object ScalarQueries {
         .orderBy("event_type")
     }),
 
+    // statistical aggregates (§2.4): corr / covar / stddev / variance and
+    // EXACT interpolated percentiles, floored to absorb last-ulp
+    // accumulation-order differences between engines
+    "q_stats_suite" -> ((s, d) => {
+      def f4(c: org.apache.spark.sql.Column) = floor(c * 10000) / 10000
+      Tables.load(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          f4(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qp"),
+          f4(stddev_samp(col("l_quantity"))).as("sd_q"),
+          f4(var_samp(col("l_quantity"))).as("var_q"),
+          (floor(covar_samp(col("l_quantity"), col("l_extendedprice")) * 100) / 100).as("cov_qp"),
+          f4(expr("percentile(l_extendedprice, 0.25)")).as("p25"),
+          f4(expr("percentile(l_extendedprice, 0.5)")).as("p50"),
+          f4(expr("percentile(l_extendedprice, 0.75)")).as("p75"))
+        .orderBy("l_returnflag")
+    }),
+
     // map scalar suite (§2.8): map_from_entries -> map_keys/values ->
     // explode round-trip; the driver hashes the (re-flattened) result, so
     // any map-op divergence breaks the exact group-by oracle
@@ -155,5 +173,16 @@ object ScalarQueries {
 
     "q_map_suite" ->
       """SELECT event_type, COUNT(*) AS n, 1 AS via_map
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_stats_suite" ->
+      """SELECT l_returnflag,
+        |  FLOOR(corr(l_quantity, l_extendedprice)*10000)/10000 AS corr_qp,
+        |  FLOOR(stddev_samp(l_quantity)*10000)/10000 AS sd_q,
+        |  FLOOR(var_samp(l_quantity)*10000)/10000 AS var_q,
+        |  FLOOR(covar_samp(l_quantity, l_extendedprice)*100)/100 AS cov_qp,
+        |  FLOOR(quantile_cont(l_extendedprice, 0.25)*10000)/10000 AS p25,
+        |  FLOOR(quantile_cont(l_extendedprice, 0.5)*10000)/10000 AS p50,
+        |  FLOOR(quantile_cont(l_extendedprice, 0.75)*10000)/10000 AS p75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
 }
