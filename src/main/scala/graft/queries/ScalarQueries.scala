@@ -105,9 +105,13 @@ object ScalarQueries {
           f4(stddev_samp(col("l_quantity"))).as("sd_q"),
           f4(var_samp(col("l_quantity"))).as("var_q"),
           (floor(covar_samp(col("l_quantity"), col("l_extendedprice")) * 100) / 100).as("cov_qp"),
-          f4(expr("percentile(l_extendedprice, 0.25)")).as("p25"),
-          f4(expr("percentile(l_extendedprice, 0.5)")).as("p50"),
-          f4(expr("percentile(l_extendedprice, 0.75)")).as("p75"))
+          // ONE exact-percentile aggregate (one per-group buffer), split after
+          expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))").as("ps"))
+        .select(col("l_returnflag"), col("corr_qp"), col("sd_q"), col("var_q"),
+          col("cov_qp"),
+          f4(element_at(col("ps"), 1)).as("p25"),
+          f4(element_at(col("ps"), 2)).as("p50"),
+          f4(element_at(col("ps"), 3)).as("p75"))
         .orderBy("l_returnflag")
     }),
 
