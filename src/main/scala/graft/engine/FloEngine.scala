@@ -349,11 +349,14 @@ final class FloEngine(val spark: SparkSession, val root: String) {
    * otherwise arbitrary).
    *
    * With a checkpoint, re-delivered batch ids (a retried epoch after a
-   * mid-batch failure) are SKIPPED via a per-(stream, checkpoint) commit
-   * marker persisted next to the stream — Spark's documented
-   * foreachBatch-idempotence recipe. The remaining duplicate window is a
-   * crash between the parquet commit and the marker write; flo's own
-   * producer retries have the same at-least-once edge.
+   * mid-batch failure) are SKIPPED via a commit marker stored INSIDE the
+   * checkpoint directory — Spark's documented foreachBatch-idempotence
+   * recipe. Living in the checkpoint ties the marker's lifetime to the
+   * batch-id sequence it guards: deleting the checkpoint to reprocess
+   * from scratch also resets the marker (a marker that outlived its
+   * checkpoint would silently skip real data). The remaining duplicate
+   * window is a crash between the parquet commit and the marker write;
+   * flo's own producer retries have the same at-least-once edge.
    */
   def produceStream(
       stream: String,
@@ -361,10 +364,11 @@ final class FloEngine(val spark: SparkSession, val root: String) {
       checkpointDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     val hasSourceOrder = Seq("event_counter", "partition")
       .forall(requests.columns.contains)
-    val tracker = checkpointDir.map(ckpt => batchTracker(stream, ckpt))
+    val tracker = checkpointDir.map(batchTracker)
     val writer = requests.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty && tracker.forall(_.lastCommitted < batchId)) {
+        // marker check FIRST: a skipped retry must not even scan the batch
+        if (tracker.forall(_.lastCommitted < batchId) && !batch.isEmpty) {
           val ordered =
             if (hasSourceOrder) batch.orderBy(col("event_counter"), col("partition"))
             else batch
@@ -377,14 +381,12 @@ final class FloEngine(val spark: SparkSession, val root: String) {
     writer.start()
   }
 
-  /** Batch-id commit marker for idempotent foreachBatch produce; keyed by
-    * the checkpoint location so independent replication queries into one
-    * stream track independently. */
-  private[engine] def batchTracker(stream: String, checkpointDir: String): BatchCommitTracker = {
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(checkpointDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
-    new BatchCommitTracker(fs(root),
-      new Path(s"${streamDir(stream)}/_produce_commits/$key"))
+  /** Commit marker inside the checkpoint dir (same filesystem, qualified
+    * path — equivalent spellings of the checkpoint resolve to one file). */
+  private[engine] def batchTracker(checkpointDir: String): BatchCommitTracker = {
+    val p = new Path(checkpointDir)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    new BatchCommitTracker(f, new Path(f.makeQualified(p), "_graft_produce_commit"))
   }
 
   /** Convenience single-partition produce of string payloads. */
@@ -740,20 +742,35 @@ final class FloEngine(val spark: SparkSession, val root: String) {
  * Persisted highest-committed micro-batch id for idempotent streaming
  * produce (Spark's foreachBatch-idempotence recipe): a retried batch id
  * <= `lastCommitted` is skipped instead of re-appended. Writes are
- * tmp-then-rename so a torn marker is never read.
+ * tmp-then-rename so a torn marker is never read on rename-atomic
+ * filesystems; a marker that is nevertheless unreadable logs a warning
+ * and degrades to at-least-once (re-append) rather than data loss (skip).
+ * The filesystem is read once; subsequent batches use the cached value
+ * (this tracker is the file's only writer).
  */
 private[engine] final class BatchCommitTracker(
     fs: org.apache.hadoop.fs.FileSystem,
     marker: Path) {
 
-  def lastCommitted: Long =
-    if (!fs.exists(marker)) -1L
-    else {
-      val in = fs.open(marker)
-      val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-      finally in.close()
-      try content.toLong catch { case _: NumberFormatException => -1L }
-    }
+  @volatile private var cached: Option[Long] = None
+
+  def lastCommitted: Long = cached.getOrElse {
+    val v =
+      if (!fs.exists(marker)) -1L
+      else {
+        val in = fs.open(marker)
+        val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+        try content.toLong catch {
+          case _: NumberFormatException =>
+            FloEngine.log.warn(s"unreadable produce-commit marker $marker " +
+              s"('${content.take(40)}') — treating as none; retried batches may re-append")
+            -1L
+        }
+      }
+    cached = Some(v)
+    v
+  }
 
   def commit(batchId: Long): Unit = {
     val tmp = new Path(marker.getParent, s".${marker.getName}.tmp")
@@ -765,6 +782,7 @@ private[engine] final class BatchCommitTracker(
       if (!fs.rename(tmp, marker))
         throw new java.io.IOException(s"could not commit batch marker $marker")
     }
+    cached = Some(batchId)
   }
 }
 

@@ -44,11 +44,11 @@ object ScaleSmoke {
 
     val root = java.nio.file.Files.createTempDirectory("scale-smoke").toString
     val numPartitions = 3
+    try {
     val engine = new FloEngine(spark, root)
     // ~4 MiB segments so 1M events rotate into dozens of files
     engine.createStream(FloEngine.EventStreamOptions("big", numPartitions = numPartitions,
       segmentMaxSizeBytes = 4L << 20))
-    try {
 
     val reqs = Tables.floEvents(spark, sfDir)
       .select("partition", "namespace", "parent_counter", "parent_partition", "data")

@@ -314,19 +314,26 @@ class StreamingSpec extends SparkSuite {
     // prime the marker as if batches <= 1000 already committed: the fresh
     // query's batch 0 must be SKIPPED (the retried-epoch path)
     val ckpt = tempDir("flo-idem-ckpt")
-    b.batchTracker("replica", ckpt).commit(1000L)
+    b.batchTracker(ckpt).commit(1000L)
     val q = b.produceStream("replica", a.consumeStream("default"), Some(ckpt))
     try q.processAllAvailable() finally q.stop()
     assert(b.consumeAll("replica").count() == 0, "replayed batch must not re-append")
-    assert(b.batchTracker("replica", ckpt).lastCommitted == 1000L)
+    assert(b.batchTracker(ckpt).lastCommitted == 1000L)
+
+    // the marker LIVES IN the checkpoint: deleting the checkpoint to
+    // reprocess from scratch resets it too (no stale-skip data loss)
+    val fs = new Path(ckpt).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(ckpt), true)
+    assert(b.batchTracker(ckpt).lastCommitted == -1L)
 
     // an independent checkpoint tracks independently and produces normally
     val q2 = b.produceStream("replica", a.consumeStream("default"),
       Some(tempDir("flo-idem-ckpt2")))
     try q2.processAllAvailable() finally q2.stop()
     assert(b.consumeAll("replica").count() == 5)
-    // marker writes are atomic (tmp+rename) and re-commit advances
-    val t = b.batchTracker("replica", "another")
+    // marker writes are atomic (tmp+rename), re-commit advances, and the
+    // cached value matches a fresh read
+    val t = b.batchTracker(tempDir("flo-idem-ckpt3"))
     assert(t.lastCommitted == -1L)
     t.commit(0L); t.commit(7L)
     assert(t.lastCommitted == 7L)
