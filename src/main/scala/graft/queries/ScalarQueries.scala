@@ -93,6 +93,22 @@ object ScalarQueries {
         .orderBy("event_type")
     }),
 
+    // date arithmetic suite (§2.8): add / diff / trunc / last_day /
+    // day-of-week, aligned to DuckDB's conventions (dow 0 = Sunday)
+    "q_date_suite" -> ((s, d) => {
+      val od = to_date(col("o_orderdate"))
+      Tables.load(s, d, "orders")
+        .filter(col("o_orderkey") < 500)
+        .select(
+          col("o_orderkey"),
+          date_add(od, 30).as("plus30"),
+          datediff(lit(java.sql.Date.valueOf("1998-01-01")), od).cast("long").as("days_to_98"),
+          trunc(od, "month").as("mon"),
+          last_day(od).as("eom"),
+          (dayofweek(od) - 1).cast("long").as("dow"))
+        .orderBy("o_orderkey")
+    }),
+
     // statistical aggregates (§2.4): corr / covar / stddev / variance and
     // EXACT interpolated percentiles, floored to absorb last-ulp
     // accumulation-order differences between engines
@@ -178,6 +194,15 @@ object ScalarQueries {
     "q_map_suite" ->
       """SELECT event_type, COUNT(*) AS n, 1 AS via_map
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_date_suite" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS plus30,
+        |  datediff('day', o_orderdate, DATE '1998-01-01') AS days_to_98,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+        |  last_day(o_orderdate) AS eom,
+        |  CAST(dayofweek(o_orderdate) AS BIGINT) AS dow
+        |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin,
 
     "q_stats_suite" ->
       """SELECT l_returnflag,
