@@ -93,6 +93,19 @@ object ScalarQueries {
         .orderBy("event_type")
     }),
 
+    // pivot (§2.4): events per type per day — the DataFrame-only pivot op
+    // with a FIXED value list (dynamic pivots need two passes; pinning the
+    // columns keeps one pass AND a stable schema for the oracle)
+    "q_pivot" -> ((s, d) => {
+      Tables.load(s, d, "events")
+        .select(to_date(col("ts")).as("day"), col("event_type"))
+        .groupBy("day")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("day")
+    }),
+
     // date arithmetic suite (§2.8): add / diff / trunc / last_day /
     // day-of-week, aligned to DuckDB's conventions (dow 0 = Sunday)
     "q_date_suite" -> ((s, d) => {
@@ -194,6 +207,15 @@ object ScalarQueries {
     "q_map_suite" ->
       """SELECT event_type, COUNT(*) AS n, 1 AS via_map
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |  COUNT(*) FILTER (event_type = 'click') AS click,
+        |  COUNT(*) FILTER (event_type = 'error') AS error,
+        |  COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+        |  COUNT(*) FILTER (event_type = 'signup') AS signup,
+        |  COUNT(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_date_suite" ->
       """SELECT o_orderkey,
