@@ -106,6 +106,23 @@ object ScalarQueries {
         .orderBy("day")
     }),
 
+    // unpivot (§2.4): the inverse — wide per-day counts back to long form
+    // via the DataFrame unpivot API (melt); oracle is a UNION ALL
+    "q_unpivot" -> ((s, d) => {
+      val wide = Tables.load(s, d, "events")
+        .select(to_date(col("ts")).as("day"), col("event_type"))
+        .groupBy("day")
+        .pivot("event_type", Seq("click", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+      wide.unpivot(
+          ids = Array(col("day")),
+          values = Array(col("click"), col("view")),
+          variableColumnName = "event_type",
+          valueColumnName = "n")
+        .orderBy("day", "event_type")
+    }),
+
     // date arithmetic suite (§2.8): add / diff / trunc / last_day /
     // day-of-week, aligned to DuckDB's conventions (dow 0 = Sunday)
     "q_date_suite" -> ((s, d) => {
@@ -216,6 +233,17 @@ object ScalarQueries {
         |  COUNT(*) FILTER (event_type = 'signup') AS signup,
         |  COUNT(*) FILTER (event_type = 'view') AS view
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_unpivot" ->
+      """WITH wide AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    COUNT(*) FILTER (event_type = 'click') AS click,
+        |    COUNT(*) FILTER (event_type = 'view') AS view
+        |  FROM events GROUP BY 1)
+        |SELECT day, 'click' AS event_type, click AS n FROM wide
+        |UNION ALL
+        |SELECT day, 'view' AS event_type, view AS n FROM wide
+        |ORDER BY day, event_type""".stripMargin,
 
     "q_date_suite" ->
       """SELECT o_orderkey,
