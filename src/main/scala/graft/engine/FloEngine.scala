@@ -520,7 +520,10 @@ final class FloEngine(val spark: SparkSession, val root: String) {
       maxEvents: Option[Long] = None,
       maxFilesPerTrigger: Option[Int] = None)(
       handler: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
-    val remaining = new AtomicLong(maxEvents.getOrElse(Long.MaxValue))
+    // 0 = unlimited, matching batch consume()'s CONSUME_UNLIMITED convention —
+    // otherwise a 0 budget would no-op every batch while the query never stops
+    val budgetOpt = maxEvents.filter(_ > 0)
+    val remaining = new AtomicLong(budgetOpt.getOrElse(Long.MaxValue))
     @volatile var self: org.apache.spark.sql.streaming.StreamingQuery = null
     val q = consumeStream(stream, namespaceGlob, vv, maxFilesPerTrigger)
       .writeStream
@@ -529,7 +532,7 @@ final class FloEngine(val spark: SparkSession, val root: String) {
         if (budget > 0L) {
           val ordered = batch.coalesce(1)
             .sortWithinPartitions(col("event_counter"), col("partition"))
-          if (maxEvents.isEmpty) handler(ordered)
+          if (budgetOpt.isEmpty) handler(ordered)
           else {
             val limited = ordered.limit(math.min(budget, Int.MaxValue.toLong).toInt)
             limited.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -688,6 +691,10 @@ final class FloEngine(val spark: SparkSession, val root: String) {
         spark.read.schema(innerSchema)
           .option("ignoreMissingFiles", "true") // tolerate a racing janitor
           .parquet(dir)
+          // counters are unique within a partition, so duplicates can only be
+          // leftovers of a torn rename-in/delete swap from a crashed compact —
+          // re-running compact self-heals instead of preserving them forever
+          .dropDuplicates("event_counter")
           .sort("event_counter")
           .coalesce(filesPerPartition)
           .write.mode(SaveMode.Overwrite).parquet(tmp)

@@ -147,6 +147,8 @@ object FloBinaryCodec {
     val fsForDir = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fsForDir.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    val shippedConf =
+      new graft.util.SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
 
     val written = events
       .repartition(org.apache.spark.sql.functions.col("partition"))
@@ -162,7 +164,7 @@ object FloBinaryCodec {
           val ctx = org.apache.spark.TaskContext.get()
           val taskId = ctx.partitionId()
           val attempt = ctx.taskAttemptId()
-          val conf = new org.apache.hadoop.conf.Configuration()
+          val conf = shippedConf.value
           val tmp = new org.apache.hadoop.fs.Path(dir, s".${taskId + 1}.events.body-$attempt")
           val staged = new org.apache.hadoop.fs.Path(dir, s".${taskId + 1}.events.attempt-$attempt")
           val dst = new org.apache.hadoop.fs.Path(dir, s"${taskId + 1}.events")

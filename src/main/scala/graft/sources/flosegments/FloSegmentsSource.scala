@@ -167,8 +167,9 @@ final class FloSegmentsMicroBatchStream(path: String, maxEventsPerTrigger: Optio
             val totalLen = java.nio.ByteBuffer.wrap(lenBuf).getInt
             if (totalLen < 48 || pos + totalLen > len) continue = false
             else {
-              var toSkip = (totalLen - 4).toLong
-              while (toSkip > 0) toSkip -= in.skip(toSkip)
+              // seek, not skip(): skip() may legally return 0 (e.g. a segment
+              // truncated after listing), which would spin this loop forever
+              in.seek(pos + totalLen)
               pos += totalLen
               remaining -= 1
             }

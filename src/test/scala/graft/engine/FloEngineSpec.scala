@@ -218,6 +218,25 @@ class FloEngineSpec extends SparkSuite {
       .collect().head.getAs[Long]("event_counter") == 11L)
   }
 
+  test("compaction self-heals duplicates left by a torn rename/delete swap") {
+    val (e, root) = newEngine()
+    (1 to 6).foreach { i => e.produceStrings("default", 1, Seq(s"/h/$i" -> s"v$i")) }
+    // simulate a compact that crashed between rename-in and delete-originals:
+    // the same counters exist in two files of one partition dir
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(s"$root/default/partition=1")
+    val file = fs.listStatus(dir).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).head
+    org.apache.hadoop.fs.FileUtil.copy(fs, file, fs,
+      new org.apache.hadoop.fs.Path(dir, s"compacted-dup-${file.getName}"),
+      false, spark.sparkContext.hadoopConfiguration)
+    assert(e.consumeAll("default").count() == 7, "precondition: duplicate visible")
+    e.compact("default")
+    val after = e.consumeAll("default").collect().map(_.getAs[Long]("event_counter")).toSeq.sorted
+    assert(after == (1L to 6L), s"compact must drop torn-swap duplicates, got $after")
+  }
+
   test("status reports heads for empty and populated partitions (S7)") {
     val (e, _) = newEngine(partitions = 2)
     e.produceStrings("default", 1, Seq("/a" -> ""))

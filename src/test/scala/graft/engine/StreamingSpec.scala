@@ -50,6 +50,22 @@ class StreamingSpec extends SparkSuite {
     assert(!q.isActive, "query must stop itself once the budget is exhausted")
   }
 
+  test("maxEvents = 0 means CONSUME_UNLIMITED on the stream path too (O2)") {
+    val (e, _) = newEngine()
+    e.produceStrings("default", 1, (1 to 15).map(i => (s"/u/$i", "")))
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = e.consumeStreamOrdered("default", maxEvents = Some(0L)) { batch =>
+      val counters = batch.collect().map(_.getAs[Long]("event_counter"))
+      seen.synchronized { seen ++= counters }
+    }
+    try {
+      q.processAllAvailable()
+      assert(seen.toSeq == (1L to 15L),
+        s"0 budget must deliver everything (unlimited), got ${seen.toSeq}")
+      assert(q.isActive, "unlimited stream keeps tailing; it must not self-stop")
+    } finally q.stop()
+  }
+
   test("watermarked tumbling windows aggregate event time (T5)") {
     val (e, _) = newEngine()
     e.produceStrings("default", 1, (1 to 12).map(i => (s"/w/${i % 2}", "")))
