@@ -171,6 +171,67 @@ object AnalyticsQueries {
         countDistinct("l_suppkey").as("supps"),
         countDistinct("l_orderkey").as("orders_cnt"),
         count(lit(1)).as("rows_cnt"))
+    }),
+
+    // AS-OF join (an operator Spark lacks natively): for each 'view' event,
+    // the same user's most recent 'purchase' at-or-before it (second
+    // granularity; ties break purchase-before-view, then highest event_id).
+    // Scale-first formulation: tag both sides, UNION, and take the last
+    // non-null purchase over a per-user time window — ONE shuffle on
+    // user_id and a linear merge per user, with no per-row range probe and
+    // no broadcast requirement on either side (a correlated max-ts<=t
+    // subquery would rescan the right side per left row; a theta join would
+    // explode before aggregating back down).
+    "q_asof_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("event_id"), col("user_id"),
+          date_trunc("second", col("ts")).as("t"), col("event_type"), col("value"))
+      val tagged = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("t"), lit(0).as("side"), col("event_id"),
+            col("event_id").as("p_id"), col("value").as("p_value"))
+        .unionAll(ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("t"), lit(1).as("side"), col("event_id"),
+            lit(null).cast("long").as("p_id"), lit(null).cast("double").as("p_value")))
+      val w = Window.partitionBy("user_id").orderBy("t", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        // the when(...) leaves view rows as a NULL struct so ignoreNulls
+        // skips them; among equal-(t, side) purchases, event_id-ascending
+        // order makes last() pick the highest id — the documented tie-break
+        .withColumn("asof", last(
+          when(col("side") === 0, struct(col("p_id"), col("p_value"))),
+          ignoreNulls = true).over(w))
+        .filter(col("side") === 1)
+        .select(col("event_id"), col("user_id"),
+          col("asof.p_id").as("asof_purchase_id"),
+          col("asof.p_value").as("asof_purchase_value"))
+        .orderBy("event_id")
+    }),
+
+    // Range join without an equi-key (interval containment): events.value
+    // against 20 OVERLAPPING bands [b*25, b*25+60). Scale path: quantize
+    // values to width-25 buckets and explode each band to the 3 buckets it
+    // covers, turning the interval predicate into an equi-join on bucket
+    // plus an exact residual filter — candidates are bounded by rows ×
+    // bands-per-bucket instead of the |events| × |bands| cross product a
+    // naive theta join plans (at 100 TB the band table may itself be large;
+    // the bucket trick keeps it a hash join either way).
+    "q_range_join" -> ((s, d) => {
+      val bands = s.range(0, 20).select(
+        col("id").cast("int").as("band_id"),
+        (col("id") * lit(25.0)).as("lo"),
+        (col("id") * lit(25.0) + lit(60.0)).as("hi"))
+      // width-25 buckets b..b+2 cover [b*25, b*25+75) ⊇ [lo, hi); the
+      // residual value < hi trims the partial third bucket
+      val bandBuckets = bands.select(col("band_id"), col("lo"), col("hi"),
+        explode(sequence(col("band_id"), col("band_id") + lit(2))).as("bucket"))
+      val ev = t(s, d, "events").select(col("event_id"), col("value"),
+        floor(col("value") / 25).cast("int").as("bucket"))
+      ev.join(broadcast(bandBuckets), "bucket")
+        .filter(col("value") >= col("lo") && col("value") < col("hi"))
+        .groupBy("band_id")
+        .agg(count(lit(1)).as("n_events"), dsum("value").as("sum_value"))
+        .orderBy("band_id")
     }))
 
   private def cast_date(c: org.apache.spark.sql.Column) = c.cast("date")
@@ -288,5 +349,26 @@ object AnalyticsQueries {
     "q_distinct_stats" ->
       """SELECT COUNT(DISTINCT l_partkey) AS parts, COUNT(DISTINCT l_suppkey) AS supps,
         |  COUNT(DISTINCT l_orderkey) AS orders_cnt, COUNT(*) AS rows_cnt
-        |FROM lineitem""".stripMargin)
+        |FROM lineitem""".stripMargin,
+
+    "q_asof_join" ->
+      """SELECT a.event_id, a.user_id,
+        |  p.event_id AS asof_purchase_id, p.value AS asof_purchase_value
+        |FROM (SELECT * FROM events WHERE event_type = 'view') a
+        |LEFT JOIN LATERAL (
+        |  SELECT event_id, value FROM events b
+        |  WHERE b.event_type = 'purchase' AND b.user_id = a.user_id
+        |    AND date_trunc('second', b.ts) <= date_trunc('second', a.ts)
+        |  ORDER BY date_trunc('second', b.ts) DESC, event_id DESC LIMIT 1
+        |) p ON TRUE
+        |ORDER BY a.event_id""".stripMargin,
+
+    "q_range_join" ->
+      """WITH bands AS (
+        |  SELECT CAST(b AS INTEGER) AS band_id, b * 25.0 AS lo, b * 25.0 + 60.0 AS hi
+        |  FROM range(0, 20) t(b))
+        |SELECT band_id, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events JOIN bands ON value >= lo AND value < hi
+        |GROUP BY band_id ORDER BY band_id""".stripMargin)
 }

@@ -95,6 +95,57 @@ object DedupQueries {
       .toDF("doc_a", "doc_b", "jaccard")
   }
 
+  /** (doc_a < doc_b, jaccard) pairs with exact word-trigram jaccard >= 0.5,
+    * via the inverted-index join (shared by dedup_ngram_jaccard and the
+    * dedup_components clustering; unordered — callers sort). */
+  private[graft] def ngramJaccardPairs(documents: DataFrame): DataFrame = {
+    val s = documents.sparkSession
+    val words = documents
+      .select(col("doc_id"), split(trim(col("text")), " +").as("w"))
+      .filter(size(col("w")) >= 3)
+    // trigram rows fully codegen'd (explode positions + concat — a
+    // transform(...) lambda evaluates interpreted and dominated the query)
+    val gramRows = words
+      .select(col("doc_id"),
+        explode(sequence(lit(0), size(col("w")) - 3)).as("i"), col("w"))
+      .select(col("doc_id"), expr("concat(w[i], ' ', w[i+1], ' ', w[i+2])").as("gram"))
+      .dropDuplicates("doc_id", "gram")
+    // per-gram posting lists -> pair emission in one pass (a gram⋈gram
+    // self-join evaluated the whole gram pipeline once per side); per-doc
+    // set sizes are a tiny broadcast
+    import s.implicits._
+    val sizes = gramRows.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val pairRows = gramRows
+      .groupBy("gram").agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      // document-frequency cap: a gram shared by > MaxDf docs emits no
+      // pairs. On a web corpus stop-phrases ("one of the") have df ~ 10^6
+      // and C(df,2) pair emission explodes quadratically; such grams are
+      // also uninformative for jaccard >= 0.5 (two docs half-alike share
+      // many RARE grams too, so recall at the threshold is unaffected
+      // unless docs are near-dups ONLY in boilerplate). Cap far above any
+      // df in the oracle-checked sf (max df at sf0.01 is < 500 docs), so
+      // the DuckDB hash-match still holds; DedupSpec exercises a synthetic
+      // corpus where the cap does fire.
+      .filter(size(col("ds")) <= MaxGramDf)
+      .select(col("ds")).as[Seq[Long]]
+      .mapPartitions(_.flatMap { ds =>
+        for (i <- ds.indices.iterator; j <- (i + 1) until ds.size)
+          yield (ds(i), ds(j))
+      })
+      .toDF("doc_a", "doc_b")
+    pairRows.groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sa"))), "doc_a")
+      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sb"))), "doc_b")
+      // integer threshold (2*common >= union) and integer-first scaling
+      // (1000*common/union) — both exact, immune to fp rounding-path
+      // differences between engines
+      .withColumn("union_sz", col("sa") + col("sb") - col("common"))
+      .filter(col("common") * 2 >= col("union_sz"))
+      .select(col("doc_a"), col("doc_b"),
+        (floor(col("common") * lit(1000) / col("union_sz")) / 1000).as("jaccard"))
+  }
+
   /** Banding for embedding near-dup LSH: 128 planes / 32 bands of 4 bits —
     * tuned on the real testdata for recall >= 0.95 of cosine>=0.4 pairs
     * (these synthetic vectors are near-uniform, the hardest case; DedupSpec
@@ -174,52 +225,45 @@ object DedupQueries {
     // pairs come from shared trigrams only (sum over df^2 postings, NOT an
     // all-pairs cross join), then jaccard = common / (|a| + |b| - common).
     // Exact: every pair with jaccard >= 0.5 shares >= 1 trigram by definition.
-    "dedup_ngram_jaccard" -> ((s, d) => {
-      val words = docs(s, d)
-        .select(col("doc_id"), split(trim(col("text")), " +").as("w"))
-        .filter(size(col("w")) >= 3)
-      // trigram rows fully codegen'd (explode positions + concat — a
-      // transform(...) lambda evaluates interpreted and dominated the query)
-      val gramRows = words
-        .select(col("doc_id"),
-          explode(sequence(lit(0), size(col("w")) - 3)).as("i"), col("w"))
-        .select(col("doc_id"), expr("concat(w[i], ' ', w[i+1], ' ', w[i+2])").as("gram"))
-        .dropDuplicates("doc_id", "gram")
-      // per-gram posting lists -> pair emission in one pass (a gram⋈gram
-      // self-join evaluated the whole gram pipeline once per side); per-doc
-      // set sizes are a tiny broadcast
-      import s.implicits._
-      val sizes = gramRows.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val pairRows = gramRows
-        .groupBy("gram").agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-        .filter(size(col("ds")) > 1)
-        // document-frequency cap: a gram shared by > MaxDf docs emits no
-        // pairs. On a web corpus stop-phrases ("one of the") have df ~ 10^6
-        // and C(df,2) pair emission explodes quadratically; such grams are
-        // also uninformative for jaccard >= 0.5 (two docs half-alike share
-        // many RARE grams too, so recall at the threshold is unaffected
-        // unless docs are near-dups ONLY in boilerplate). Cap far above any
-        // df in the oracle-checked sf (max df at sf0.01 is < 500 docs), so
-        // the DuckDB hash-match still holds; DedupSpec exercises a synthetic
-        // corpus where the cap does fire.
-        .filter(size(col("ds")) <= MaxGramDf)
-        .select(col("ds")).as[Seq[Long]]
-        .mapPartitions(_.flatMap { ds =>
-          for (i <- ds.indices.iterator; j <- (i + 1) until ds.size)
-            yield (ds(i), ds(j))
-        })
-        .toDF("doc_a", "doc_b")
-      pairRows.groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
-        .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sa"))), "doc_a")
-        .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sb"))), "doc_b")
-        // integer threshold (2*common >= union) and integer-first scaling
-        // (1000*common/union) — both exact, immune to fp rounding-path
-        // differences between engines
-        .withColumn("union_sz", col("sa") + col("sb") - col("common"))
-        .filter(col("common") * 2 >= col("union_sz"))
-        .select(col("doc_a"), col("doc_b"),
-          (floor(col("common") * lit(1000) / col("union_sz")) / 1000).as("jaccard"))
-        .orderBy("doc_a", "doc_b")
+    "dedup_ngram_jaccard" -> ((s, d) =>
+      ngramJaccardPairs(docs(s, d)).orderBy("doc_a", "doc_b")),
+
+    // connected-components clustering of the near-dup pairs: turns pairwise
+    // "A ~ B" verdicts into dedup GROUPS so a pipeline keeps exactly one
+    // canonical doc per cluster — the step after any pairwise dedup at
+    // corpus scale (pairs alone over-delete when A~B and B~C but A!~C).
+    // Hash-min label propagation: each round is one distributed join+agg
+    // pushing the smallest known label across edges; the driver loop tests
+    // only a scalar convergence flag and runs O(cluster diameter) rounds
+    // (near-dup clusters are shallow — single digits even on web corpora).
+    // localCheckpoint truncates lineage so round N never replays 1..N-1.
+    "dedup_components" -> ((s, d) => {
+      val edges = ngramJaccardPairs(docs(s, d)).select(col("doc_a"), col("doc_b"))
+      val und = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionAll(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .persist()
+      var labels = und.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("comp"))
+        .localCheckpoint(true)
+      var converged = false
+      while (!converged) {
+        val prop = und.join(labels, col("src") === col("id"))
+          .groupBy(col("dst")).agg(min(col("comp")).as("p"))
+        val next = labels
+          .join(prop, col("id") === col("dst"), "left")
+          .select(col("id"), least(col("comp"), coalesce(col("p"), col("comp"))).as("comp"))
+          .localCheckpoint(true)
+        converged = next.as("n")
+          .join(labels.as("o"), col("n.id") === col("o.id"))
+          .filter(col("n.comp") =!= col("o.comp"))
+          .isEmpty
+        labels = next
+      }
+      und.unpersist()
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("comp")
+      labels.select(col("id").as("doc_id"), col("comp").as("component"),
+          count(lit(1)).over(w).as("n_members"))
+        .orderBy("doc_id")
     }),
 
     // embedding-space near-dup, exact baseline: all-pairs cosine >= 0.4 as
@@ -304,5 +348,34 @@ object DedupQueries {
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
-        |ORDER BY vec_a, vec_b""".stripMargin)
+        |ORDER BY vec_a, vec_b""".stripMargin,
+
+    // same pair definition as dedup_ngram_jaccard, then transitive closure
+    // (recursive CTE) -> per-node min reachable id = the component label
+    "dedup_components" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), ' +') AS w FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                   FOR i IN generate_series(1, len(w) - 2)]) AS grams
+        |  FROM t WHERE len(w) >= 3
+        |), pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.grams, b.grams)) * 2
+        |        >= len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))
+        |), und AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION
+        |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+        |), reach(src, dst) AS (
+        |  SELECT src, src FROM und
+        |  UNION
+        |  SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src
+        |), comp AS (
+        |  SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY src
+        |)
+        |SELECT doc_id, component, COUNT(*) OVER (PARTITION BY component) AS n_members
+        |FROM comp ORDER BY doc_id""".stripMargin)
 }

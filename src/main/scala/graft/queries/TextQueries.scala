@@ -117,6 +117,76 @@ object TextQueries {
         .filter(col("rn") === 1 && col("is_en"))
         .select(col("doc_id"), col("norm_hash"))
         .orderBy("doc_id")
+    }),
+
+    // PII scrubbing: emails and phone numbers replaced by typed
+    // placeholders, plus detection counts. The corpus is synthetic and
+    // PII-free, so the query first STAMPS deterministic PII into each doc
+    // (the oracle does the identical construction) — what's under test is
+    // the scrub operator: regex semantics, global replacement, and
+    // counting, all codegen'd (regexp_replace/regexp_count, no UDF), with
+    // the hash compare proving Spark and DuckDB agree byte-for-byte on the
+    // scrubbed text.
+    "text_pii_scrub" -> ((s, d) => {
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phoneRe = "555-[0-9]{3}-[0-9]{4}"
+      val stamped = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com call 555-123-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+      docs(s, d)
+        .select(col("doc_id"),
+          regexp_count(stamped, lit(emailRe)).cast("long").as("n_emails"),
+          regexp_count(stamped, lit(phoneRe)).cast("long").as("n_phones"),
+          md5(regexp_replace(regexp_replace(stamped, emailRe, "<EMAIL>"),
+            phoneRe, "<PHONE>")).as("scrubbed_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // repetition-based quality signals (Gopher-style): the duplicated-word
+    // fraction and the dominance of the single most frequent word — high
+    // values flag boilerplate/spam for the quality gate. One explode + a
+    // two-level aggregation (word counts, then per-doc stats); every
+    // counter is integer-exact and ratios are floor-scaled.
+    "text_repetition" -> ((s, d) => {
+      docs(s, d)
+        .select(col("doc_id"), explode(split(trim(col("text")), " +")).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_words"), count(lit(1)).as("n_distinct"),
+          max("c").as("top_c"))
+        .select(col("doc_id"), col("n_words"), col("n_distinct"),
+          (floor((col("n_words") - col("n_distinct")) * lit(1000) / col("n_words")) / 1000)
+            .as("dup_frac"),
+          (floor(col("top_c") * lit(1000) / col("n_words")) / 1000).as("top_word_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // deterministic hash sampling: a stable ~10% Bernoulli sample keyed on
+    // md5 of a salted doc_id — reproducible across runs, engines, and
+    // cluster sizes, with no RNG state to coordinate; the standard way to
+    // cut eval slices from a 100 TB corpus (rand() samples are neither
+    // reproducible nor pushdown-friendly). Hex digits compare
+    // lexicographically, so the threshold is a plain string bound.
+    "pipe_sample_hash" -> ((s, d) =>
+      docs(s, d)
+        .withColumn("h", md5(concat(lit("graft:"), col("doc_id").cast("string"))))
+        .filter(substring(col("h"), 1, 4) < "199a") // 0x0000..0x1999 ~ 10%
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id")),
+
+    // deterministic train/valid/test split (12/2/2 sixteenths) from the
+    // first hex nibble of a salted hash: membership is a pure function of
+    // doc_id, so the split is stable under repartitioning and incremental
+    // corpus growth — a new doc never moves an old one between splits.
+    "pipe_train_split" -> ((s, d) => {
+      val nib = substring(
+        md5(concat(lit("graft-split:"), col("doc_id").cast("string"))), 1, 1)
+      docs(s, d)
+        .select(col("doc_id"),
+          when(nib <= "b", "train").when(nib <= "d", "valid")
+            .otherwise("test").as("split"))
+        .orderBy("doc_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -176,5 +246,47 @@ object TextQueries {
          |    ROW_NUMBER() OVER (PARTITION BY norm_hash ORDER BY doc_id) AS rn
          |  FROM scored)
          |SELECT doc_id, norm_hash FROM ranked
-         |WHERE rn = 1 AND is_en ORDER BY doc_id""".stripMargin)
+         |WHERE rn = 1 AND is_en ORDER BY doc_id""".stripMargin,
+
+    "text_pii_scrub" ->
+      """WITH stamped AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |         || '@example.com call 555-123-'
+        |         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS st
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(st, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(st, '555-[0-9]{3}-[0-9]{4}')) AS n_phones,
+        |  md5(regexp_replace(
+        |        regexp_replace(st, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |        '555-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS scrubbed_md5
+        |FROM stamped ORDER BY doc_id""".stripMargin,
+
+    "text_repetition" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS word
+        |  FROM documents
+        |), wc AS (
+        |  SELECT doc_id, word, COUNT(*) AS c FROM tok GROUP BY doc_id, word
+        |), st AS (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+        |    COUNT(*) AS n_distinct, CAST(MAX(c) AS BIGINT) AS top_c
+        |  FROM wc GROUP BY doc_id)
+        |SELECT doc_id, n_words, n_distinct,
+        |  FLOOR((n_words - n_distinct) * 1000 / n_words) / 1000 AS dup_frac,
+        |  FLOOR(top_c * 1000 / n_words) / 1000 AS top_word_frac
+        |FROM st ORDER BY doc_id""".stripMargin,
+
+    "pipe_sample_hash" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE substring(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 4) < '199a'
+        |ORDER BY doc_id""".stripMargin,
+
+    "pipe_train_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN substring(md5('graft-split:' || CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+        |       WHEN substring(md5('graft-split:' || CAST(doc_id AS VARCHAR)), 1, 1) <= 'd' THEN 'valid'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin)
 }

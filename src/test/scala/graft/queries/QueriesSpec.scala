@@ -177,4 +177,84 @@ class QueriesSpec extends SparkSuite {
       .select("guessed_lang").distinct().collect().map(_.getString(0)).toSet
     assert(langs.subsetOf(Set("en", "es", "de", "und")))
   }
+
+  test("as-of join matches a per-user replay of the event log") {
+    import java.sql.Timestamp
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("user_id"),
+        date_trunc("second", col("ts")).as("t"), col("event_type"), col("value"))
+      .collect()
+    // independent model: per user, sort (sec, purchase-first, id) and scan
+    val byUser = ev.groupBy(_.getAs[Long]("user_id")).map { case (u, rows) =>
+      u -> rows.sortBy(r => (r.getAs[Timestamp]("t").getTime,
+        if (r.getAs[String]("event_type") == "purchase") 0 else 1,
+        r.getAs[Long]("event_id")))
+    }
+    val expect = scala.collection.mutable.Map.empty[Long, Option[Long]]
+    byUser.foreach { case (_, rows) =>
+      var lastPurchase: Option[Long] = None
+      rows.foreach { r =>
+        r.getAs[String]("event_type") match {
+          case "purchase" => lastPurchase = Some(r.getAs[Long]("event_id"))
+          case "view"     => expect(r.getAs[Long]("event_id")) = lastPurchase
+          case _          =>
+        }
+      }
+    }
+    val got = AnalyticsQueries.queries("q_asof_join")(spark, sf).collect()
+    assert(got.length == expect.size)
+    got.foreach { r =>
+      val id = r.getAs[Long]("event_id")
+      val asof = Option(r.getAs[java.lang.Long]("asof_purchase_id")).map(_.toLong)
+      assert(asof == expect(id), s"event $id: got $asof expected ${expect(id)}")
+    }
+  }
+
+  test("range join bands cover each event value the right number of times") {
+    val rows = AnalyticsQueries.queries("q_range_join")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n_events")).sum
+    // each value in [0, 440) lies in ceil(60/25)=3 overlapping bands, edge
+    // bands cover fewer; totals must be between 1x and 3x the event count
+    val n = Tables.load(spark, sf, "events").count()
+    assert(total >= n && total <= 3 * n, s"band total $total vs events $n")
+  }
+
+  test("dedup components are consistent with the pairwise edges") {
+    val edges = DedupQueries.queries("dedup_ngram_jaccard")(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val comp = DedupQueries.queries("dedup_components")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("component")).toMap
+    assert(comp.nonEmpty)
+    // every edge endpoint is labeled, both ends share a component, and the
+    // label is the component's minimum member id
+    edges.foreach { case (a, b) =>
+      assert(comp(a) == comp(b), s"edge ($a,$b) split across components")
+    }
+    comp.groupBy(_._2).foreach { case (label, members) =>
+      assert(members.keys.min == label, s"component $label not labeled by min member")
+    }
+  }
+
+  test("hash sample and split are deterministic and complete") {
+    val s1 = TextQueries.queries("pipe_sample_hash")(spark, sf).collect().map(_.getLong(0))
+    val s2 = TextQueries.queries("pipe_sample_hash")(spark, sf).collect().map(_.getLong(0))
+    assert(s1.sameElements(s2), "sample must be run-to-run identical")
+    val n = Tables.load(spark, sf, "documents").count()
+    assert(s1.length > 0 && s1.length < n, "sample is a strict non-empty subset")
+    val split = TextQueries.queries("pipe_train_split")(spark, sf).collect()
+    assert(split.length == n, "every doc gets a split")
+    val bySplit = split.groupBy(_.getAs[String]("split")).view.mapValues(_.length).toMap
+    assert(bySplit.keySet.subsetOf(Set("train", "valid", "test")))
+    assert(bySplit("train") > bySplit.getOrElse("valid", 0))
+  }
+
+  test("pii scrub removes every stamped email and phone") {
+    val rows = TextQueries.queries("text_pii_scrub")(spark, sf).collect()
+    // each doc gets exactly one stamped email and one stamped phone
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_emails") == 1L, s"doc ${r.getLong(0)} emails")
+      assert(r.getAs[Long]("n_phones") == 1L, s"doc ${r.getLong(0)} phones")
+    }
+  }
 }
