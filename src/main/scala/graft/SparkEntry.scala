@@ -17,10 +17,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     FloQueries.queries ++ AnalyticsQueries.queries ++ ScalarQueries.queries ++
       DedupQueries.queries ++ SimilarityQueries.queries ++ TextQueries.queries ++
-      MultimodalQueries.queries
+      MultimodalQueries.queries ++ PipelineQueries.queries
 
   def oracleSql: Map[String, String] =
     FloQueries.oracles ++ AnalyticsQueries.oracles ++ ScalarQueries.oracles ++
       DedupQueries.oracles ++ SimilarityQueries.oracles ++ TextQueries.oracles ++
-      MultimodalQueries.oracles
+      MultimodalQueries.oracles ++ PipelineQueries.oracles
 }

@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.nsGlobFunction)
     ext.injectFunction(GraftExtensions.lshBandsFunction)
     ext.injectFunction(GraftExtensions.unitFunction)
+    ext.injectFunction(GraftExtensions.int8StatsFunction)
   }
 }
 
@@ -94,10 +95,19 @@ object GraftExtensions {
       UnitVector(children.head)
     })
 
+  private val int8StatsFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_int8_stats"),
+    new ExpressionInfo(classOf[Int8Stats].getName, "graft_int8_stats"),
+    { (children: Seq[Expression]) =>
+      require(children.size == 1, "graft_int8_stats expects exactly 1 argument")
+      Int8Stats(children.head)
+    })
+
   /** Runtime registration into an existing session (idempotent). */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    Seq(dotFunction, nsGlobFunction, lshBandsFunction, unitFunction).foreach { fn =>
+    Seq(dotFunction, nsGlobFunction, lshBandsFunction, unitFunction,
+        int8StatsFunction).foreach { fn =>
       if (!registry.functionExists(fn._1)) {
         registry.registerFunction(fn._1, fn._2, fn._3)
       }

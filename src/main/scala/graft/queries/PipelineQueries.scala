@@ -1,0 +1,300 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/**
+ * Corpus-preparation operators a large-scale training-data pipeline runs
+ * between "raw crawl" and "training shards" — the steps that sit downstream
+ * of the dedup/quality operators in [[DedupQueries]]/[[TextQueries]]:
+ *
+ *  - benchmark decontamination (n-gram overlap against an eval set)
+ *  - cross-document chunk dedup (the "duplicated line removal" of web
+ *    pipelines, re-expressed over whitespace corpora as fixed 10-word chunks)
+ *  - deterministic stratified sampling (N docs per language)
+ *  - temperature resampling (α = 0.5 language rebalancing)
+ *  - size-balanced shard packing (stratified round-robin, no global sort)
+ *  - corpus length histogram + one-row dataset card
+ *  - int8 embedding quantization statistics (native codegen expression)
+ *
+ * All queries are DuckDB-oracle-checked. Determinism discipline: sampling
+ * and shard assignment key on md5 of a salted doc_id (reproducible across
+ * engines, runs, and cluster sizes — no RNG state); ratios are floor-scaled
+ * (see TextQueries' scaladoc for the HALF_UP-vs-away-from-zero rationale);
+ * quantization truncates toward zero (Spark's double→long cast and DuckDB's
+ * `trunc` agree; `round` tie-breaking differs for negative halves).
+ */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
+
+  /** Word 5-grams per doc, distinct, 0-based positions (mirrors the trigram
+    * construction in [[DedupQueries.ngramJaccardPairs]]). */
+  private[queries] def fiveGrams(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), split(trim(col("text")), " +").as("w"))
+      .filter(size(col("w")) >= 5)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), size(col("w")) - 5)).as("i"), col("w"))
+      .select(col("doc_id"),
+        expr("concat(w[i],' ',w[i+1],' ',w[i+2],' ',w[i+3],' ',w[i+4])").as("gram"))
+      .dropDuplicates("doc_id", "gram")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // benchmark decontamination: training docs sharing any word 5-gram with
+    // the held-out benchmark slice (doc_id % 20 == 0 stands in for the eval
+    // set) are flagged with their distinct-hit count. Scale shape: the
+    // benchmark gram set is small by construction (eval sets are MBs, the
+    // corpus is TBs) -> broadcast hash join against it; the corpus-side gram
+    // stream never shuffles.
+    "pipe_decontaminate" -> ((s, d) => {
+      val grams = fiveGrams(docs(s, d))
+      val benchGrams = grams.filter(pmod(col("doc_id"), lit(20)) === 0)
+        .select("gram").distinct()
+      grams.filter(pmod(col("doc_id"), lit(20)) =!= 0)
+        .join(broadcast(benchGrams), "gram")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+        .orderBy("doc_id")
+    }),
+
+    // cross-document chunk dedup (duplicated-"line" removal for corpora
+    // without newlines): docs are cut into fixed non-overlapping 10-word
+    // chunks; a chunk appearing in >1 distinct doc is duplicated; each doc
+    // reports its duplicated-chunk fraction (the pipeline's removal signal).
+    // One shuffle keyed on the chunk hash — exactly the RefinedWeb/Gopher
+    // line-dedup plan, where the dup-line table is orders of magnitude
+    // smaller than the corpus.
+    "pipe_chunk_dedup" -> ((s, d) => chunkDedup(docs(s, d))),
+
+    // deterministic stratified sample: the first 20 docs per language in
+    // salted-hash order — a reproducible fixed-size eval slice per stratum.
+    // The per-lang window is a shuffle on lang; at 100 TB the dominant
+    // language skews one partition, so the scale variant pre-filters with a
+    // permissive hash bound (hash < N/count_l * fudge) before ranking —
+    // noted here, unnecessary at catalog scale.
+    "pipe_sample_stratified" -> ((s, d) => {
+      val h = md5(concat(lit("graft-strat:"), col("doc_id").cast("string")))
+      val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+      docs(s, d).select(col("doc_id"), col("lang"), h.as("h"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 20)
+        .select(col("doc_id"), col("lang"), col("rn"))
+        .orderBy("doc_id")
+    }),
+
+    // temperature resampling (α = 0.5): per-language keep probability
+    // ∝ sqrt(min_count / count_l), so over-represented languages are
+    // downsampled toward balance (the multilingual-training rebalancing
+    // move). Membership = salted-hash-prefix integer under a per-lang
+    // integer threshold — deterministic, no RNG. Plan: tiny per-lang count
+    // agg broadcast back onto the corpus scan; one shuffle total.
+    "pipe_sample_temperature" -> ((s, d) => {
+      val counts = docs(s, d).groupBy("lang").agg(count(lit(1)).as("cnt"))
+      val thr = counts.crossJoin(counts.agg(min(col("cnt")).as("minc")))
+        .select(col("lang"),
+          floor(lit(65536) * sqrt(col("minc").cast("double") / col("cnt"))).as("thr"))
+      val hexInt = conv(substring(
+        md5(concat(lit("graft-temp:"), col("doc_id").cast("string"))), 1, 4),
+        16, 10).cast("long")
+      docs(s, d).join(broadcast(thr), "lang")
+        .filter(hexInt < col("thr"))
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }),
+
+    // size-balanced shard packing: docs are stratified into token-count
+    // buckets (integer math), then round-robined into 8 bins by salted-hash
+    // rank WITHIN each bucket — per-bin token totals balance to within one
+    // bucket-width per stratum without any global sort (a global
+    // size-ordered row_number would single-partition the corpus; this
+    // shuffles once on the 16-value bucket key).
+    "pipe_pack_bins" -> ((s, d) => {
+      val nTok = size(split(trim(col("text")), " +"))
+      val h = md5(concat(lit("graft-pack:"), col("doc_id").cast("string")))
+      val base = docs(s, d).select(col("doc_id"), nTok.as("n_tokens"), h.as("h"))
+        .withColumn("bucket", least(floor(col("n_tokens") / 8), lit(15)))
+      val w = Window.partitionBy("bucket").orderBy(col("h"), col("doc_id"))
+      // rotate the round-robin start by bucket: otherwise every bucket's
+      // remainder docs land in bin 0,1,... and the bias accumulates across
+      // the 16 strata (measured ~18% token skew at 500 docs; rotated < 10%)
+      base.withColumn("bin",
+          pmod(row_number().over(w) - 1 + col("bucket"), lit(8)).cast("long"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens").cast("long")).as("total_tokens"))
+        .orderBy("bin")
+    }),
+
+    // corpus length histogram: fixed-width integer buckets (50 chars, open
+    // top bucket) — the first plot of any dataset audit. Pure integer math
+    // end to end; one shuffle on a 12-value key.
+    "text_len_histogram" -> ((s, d) => {
+      val len = length(col("text")).cast("long")
+      docs(s, d)
+        .select(least(floor(len / 50), lit(11)).as("bucket"), len.as("len"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"), min("len").as("min_len"),
+          max("len").as("max_len"), sum("len").as("sum_len"))
+        .orderBy("bucket")
+    }),
+
+    // one-row dataset card: the header numbers of a corpus datasheet
+    // (docs, languages, sources, tokens, exact-dup count) in a single
+    // aggregation pass over the corpus.
+    "pipe_dataset_card" -> ((s, d) => {
+      val nTok = size(split(trim(col("text")), " +")).cast("long")
+      docs(s, d).agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct("lang").as("n_langs"),
+        countDistinct("source").as("n_sources"),
+        sum(nTok).as("total_tokens"),
+        (floor(sum(nTok) * lit(10000) / count(lit(1))) / 10000).as("avg_tokens"),
+        (count(lit(1)) - countDistinct(md5(col("text")))).as("n_exact_dups"))
+    }),
+
+    // int8 scalar quantization audit: per-vector max-abs scale, quantized
+    // checksums, and worst-case reconstruction error — the report a pipeline
+    // runs before shipping embeddings to an int8 ANN index. One pass, one
+    // tight codegen'd loop per row (graft_int8_stats), no shuffle at all
+    // until the final order for the oracle.
+    "sim_quantize_int8" -> ((s, d) => {
+      SimilarityQueries.emb(s, d)
+        .select(col("vec_id"), expr("graft_int8_stats(v)").as("st"))
+        .select(col("vec_id"),
+          (floor(col("st")(0) * 1000000) / 1000000).as("scale_mx"),
+          col("st")(1).cast("long").as("sum_q"),
+          col("st")(2).cast("long").as("sum_abs_q"),
+          col("st")(3).cast("long").as("n_nonzero"),
+          (floor(col("st")(4) * 10000000) / 10000000).as("max_err"))
+        .orderBy("vec_id")
+    }))
+
+  /** Non-overlapping 10-word chunks per doc (the "lines" of a corpus whose
+    * docs carry no newlines). */
+  private[queries] def docChunks(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), split(trim(col("text")), " +").as("w"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0),
+          floor((size(col("w")) - 1) / 10).cast("int"))).as("i"), col("w"))
+      .select(col("doc_id"),
+        expr("array_join(slice(w, 1 + 10*i, 10), ' ')").as("chunk"))
+
+  /** Per-doc duplicated-chunk stats (see `pipe_chunk_dedup`). */
+  private[queries] def chunkDedup(documents: DataFrame): DataFrame = {
+    val chunks = docChunks(documents)
+    val shared = chunks.groupBy("chunk")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") > 1)
+      .select(col("chunk"), lit(1L).as("is_dup"))
+    chunks.join(shared, Seq("chunk"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup"))
+      .select(col("doc_id"), col("n_chunks"), col("n_dup"),
+        (floor(col("n_dup") * lit(1000) / col("n_chunks")) / 1000).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "pipe_decontaminate" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), ' +') AS w FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]
+        |                   FOR i IN generate_series(1, len(w) - 4)]) AS grams
+        |  FROM t WHERE len(w) >= 5
+        |), ge AS (
+        |  SELECT doc_id, unnest(grams) AS gram FROM g
+        |), bench AS (
+        |  SELECT DISTINCT gram FROM ge WHERE doc_id % 20 = 0)
+        |SELECT doc_id, COUNT(*) AS n_hits
+        |FROM ge JOIN bench USING (gram)
+        |WHERE doc_id % 20 <> 0
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "pipe_chunk_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), ' +') AS w FROM documents
+        |), c AS (
+        |  SELECT doc_id,
+        |    unnest([array_to_string(w[1+10*i : 10+10*i], ' ')
+        |            FOR i IN generate_series(0, CAST(floor((len(w)-1)/10) AS INT))]) AS chunk
+        |  FROM t
+        |), s AS (
+        |  SELECT chunk, 1 AS is_dup FROM c GROUP BY chunk HAVING COUNT(DISTINCT doc_id) > 1)
+        |SELECT doc_id, COUNT(*) AS n_chunks,
+        |  CAST(SUM(COALESCE(is_dup, 0)) AS BIGINT) AS n_dup,
+        |  FLOOR(CAST(SUM(COALESCE(is_dup, 0)) AS BIGINT) * 1000 / COUNT(*)) / 1000 AS dup_frac
+        |FROM c LEFT JOIN s USING (chunk)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "pipe_sample_stratified" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5('graft-strat:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, lang, rn FROM r WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
+
+    "pipe_sample_temperature" ->
+      """WITH c AS (
+        |  SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang
+        |), m AS (SELECT MIN(cnt) AS minc FROM c),
+        |t AS (
+        |  SELECT lang, FLOOR(65536 * sqrt(CAST(minc AS DOUBLE) / cnt)) AS thr FROM c, m)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN t USING (lang)
+        |WHERE CAST('0x' || substring(md5('graft-temp:' || CAST(d.doc_id AS VARCHAR)), 1, 4) AS INTEGER) < thr
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "pipe_pack_bins" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    len(string_split_regex(trim(text), ' +')) AS n_tokens,
+        |    md5('graft-pack:' || CAST(doc_id AS VARCHAR)) AS h,
+        |    least(floor(len(string_split_regex(trim(text), ' +')) / 8), 15) AS bucket
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY h, doc_id) - 1 + bucket AS BIGINT) % 8 AS bin
+        |  FROM b)
+        |SELECT bin, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        |FROM r GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "text_len_histogram" ->
+      """SELECT least(CAST(floor(length(text) / 50) AS BIGINT), 11) AS bucket,
+        |  COUNT(*) AS n_docs,
+        |  MIN(length(text)) AS min_len, MAX(length(text)) AS max_len,
+        |  CAST(SUM(length(text)) AS BIGINT) AS sum_len
+        |FROM documents GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "pipe_dataset_card" ->
+      """SELECT COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT lang) AS n_langs,
+        |  COUNT(DISTINCT source) AS n_sources,
+        |  CAST(SUM(len(string_split_regex(trim(text), ' +'))) AS BIGINT) AS total_tokens,
+        |  FLOOR(CAST(SUM(len(string_split_regex(trim(text), ' +'))) AS BIGINT) * 10000 / COUNT(*)) / 10000 AS avg_tokens,
+        |  COUNT(*) - COUNT(DISTINCT md5(text)) AS n_exact_dups
+        |FROM documents""".stripMargin,
+
+    "sim_quantize_int8" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), m AS (
+        |  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM e
+        |), q AS (
+        |  SELECT vec_id, v, mx, list_transform(v, x -> trunc(x * 127 / mx)) AS qs FROM m)
+        |SELECT vec_id,
+        |  FLOOR(mx * 1000000) / 1000000 AS scale_mx,
+        |  CAST(list_sum(qs) AS BIGINT) AS sum_q,
+        |  CAST(list_sum(list_transform(qs, y -> abs(y))) AS BIGINT) AS sum_abs_q,
+        |  CAST(len(list_filter(qs, y -> y <> 0)) AS BIGINT) AS n_nonzero,
+        |  FLOOR(list_max([abs(v[i] - (qs[i] * mx) / 127)
+        |                  FOR i IN generate_series(1, len(v))]) * 10000000) / 10000000 AS max_err
+        |FROM q ORDER BY vec_id""".stripMargin)
+}

@@ -77,6 +77,50 @@ class DotProductSpec extends SparkSuite {
     assert(line.trim.startsWith("*("), s"graft_lsh_bands not codegen'd:\n$plan")
   }
 
+  test("graft_int8_stats: codegen agrees with interpreted eval, stats are sane") {
+    val s = registered()
+    def base = graft.Tables.load(s, "/root/testdata/sf0.001", "embeddings")
+      .selectExpr("vec_id AS id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+    def df = base.selectExpr("id", "graft_int8_stats(v) AS st")
+
+    def run(wholeStage: Boolean, mode: String): Map[Long, Seq[Double]] = {
+      s.conf.set("spark.sql.codegen.wholeStage", wholeStage.toString)
+      s.conf.set("spark.sql.codegen.factoryMode", mode)
+      try df.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+      finally {
+        s.conf.set("spark.sql.codegen.wholeStage", "true")
+        s.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      }
+    }
+    val compiled = run(wholeStage = true, "CODEGEN_ONLY")
+    val interpreted = run(wholeStage = false, "NO_CODEGEN")
+    assert(compiled == interpreted)
+    compiled.values.foreach { st =>
+      val Seq(mx, sumQ, sumAbsQ, nz, maxErr) = st
+      assert(mx > 0.0)
+      assert(sumQ == sumQ.floor && sumAbsQ == sumAbsQ.floor) // integer-valued
+      assert(math.abs(sumQ) <= sumAbsQ && sumAbsQ <= 127.0 * 64)
+      assert(nz >= 0.0 && nz <= 64.0)
+      assert(maxErr >= 0.0 && maxErr < mx / 127 + 1e-12)
+    }
+    // the projection sits inside whole-stage codegen
+    val plan = df.queryExecution.executedPlan.toString
+    val line = plan.linesIterator.find(_.contains("graft_int8_stats")).get
+    assert(line.trim.startsWith("*("), s"graft_int8_stats not codegen'd:\n$plan")
+  }
+
+  test("graft_int8_stats degenerate inputs: zero vector, empty array, null") {
+    val s = registered()
+    val zero = s.sql("SELECT graft_int8_stats(array(0.0D, 0.0D)) AS st")
+      .collect().head.getSeq[Double](0)
+    assert(zero == Seq(0.0, 0.0, 0.0, 0.0, 0.0))
+    val empty = s.sql("SELECT graft_int8_stats(CAST(array() AS ARRAY<DOUBLE>)) AS st")
+      .collect().head.getSeq[Double](0)
+    assert(empty == Seq(0.0, 0.0, 0.0, 0.0, 0.0))
+    assert(s.sql("SELECT graft_int8_stats(CAST(NULL AS ARRAY<DOUBLE>)) AS st")
+      .collect().head.isNullAt(0))
+  }
+
   test("graft_unit keeps the lambda form's degenerate semantics (NaN, null elements)") {
     val s = registered()
     // zero vector -> 0/0 = NaN elements, exactly like x / sqrt(0) did;

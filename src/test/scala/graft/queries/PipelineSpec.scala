@@ -1,0 +1,160 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSuite, Tables}
+
+/** Invariant tests for the round-3 corpus-preparation operators (the
+  * driver's DuckDB compare covers value correctness; these pin the operator
+  * semantics — split coverage, balance, error bounds — and exercise the
+  * synthetic edge cases the real corpus doesn't contain). */
+class PipelineSpec extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+  private val sfMid = "/root/testdata/sf0.01"
+
+  test("decontaminate flags only non-benchmark docs, and every exact copy of a benchmark doc") {
+    val flagged = PipelineQueries.queries("pipe_decontaminate")(spark, sf).collect()
+    assert(flagged.nonEmpty)
+    flagged.foreach { r =>
+      assert(r.getAs[Long]("doc_id") % 20 != 0, "benchmark doc in flag list")
+      assert(r.getAs[Long]("n_hits") >= 1)
+    }
+    // completeness on the strongest signal: a training doc whose text is an
+    // exact duplicate of a benchmark doc shares all its 5-grams and MUST be
+    // flagged (if the corpus has no such pair at this sf the check is
+    // vacuous for data pairs — the synthetic test below always exercises it)
+    val docs = Tables.load(spark, sf, "documents")
+    val exactCross = docs.as("a").join(docs.as("b"),
+        col("a.text") === col("b.text") &&
+          pmod(col("a.doc_id"), lit(20)) === 0 &&
+          pmod(col("b.doc_id"), lit(20)) =!= 0)
+      .select(col("b.doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val flaggedIds = flagged.map(_.getAs[Long]("doc_id")).toSet
+    assert(exactCross.subsetOf(flaggedIds),
+      s"exact benchmark copies not flagged: ${exactCross -- flaggedIds}")
+  }
+
+  test("decontaminate flags a synthetic verbatim copy of a benchmark doc") {
+    // same operator body over a tiny synthetic corpus where doc 0 (benchmark)
+    // and doc 1 (train) are verbatim copies and doc 3 is disjoint
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six seven")).toDF("doc_id", "text")
+    val grams = PipelineQueries.fiveGrams(docs)
+    val bench = grams.filter(pmod(col("doc_id"), lit(20)) === 0).select("gram").distinct()
+    val hits = grams.filter(pmod(col("doc_id"), lit(20)) =!= 0)
+      .join(broadcast(bench), "gram").groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits.keySet == Set(1L), s"expected only doc 1 flagged, got $hits")
+    assert(hits(1L) == 2) // 6 words -> two 5-grams, both contaminated
+  }
+
+  test("chunk dedup: identical docs reach dup_frac 1.0, disjoint docs stay 0") {
+    import spark.implicits._
+    val twelve = (1 to 12).map(i => s"w$i").mkString(" ")
+    val other = (1 to 12).map(i => s"x$i").mkString(" ")
+    val docs = Seq((1L, twelve), (2L, twelve), (3L, other)).toDF("doc_id", "text")
+    val stats = PipelineQueries.chunkDedup(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // 12 words -> 2 chunks (10 + 2)
+    assert(stats(1L) == ((2L, 2L, 1.0)))
+    assert(stats(2L) == ((2L, 2L, 1.0)))
+    assert(stats(3L) == ((2L, 0L, 0.0)))
+  }
+
+  test("chunk dedup covers every doc and bounds the fraction") {
+    val docs = Tables.load(spark, sf, "documents")
+    val stats = PipelineQueries.queries("pipe_chunk_dedup")(spark, sf).collect()
+    assert(stats.length == docs.count())
+    stats.foreach { r =>
+      val (n, d, f) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(d <= n && f >= 0.0 && f <= 1.0)
+    }
+  }
+
+  test("stratified sample takes min(20, |lang|) docs per language") {
+    val docs = Tables.load(spark, sf, "documents")
+    val langCounts = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = PipelineQueries.queries("pipe_sample_stratified")(spark, sf)
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sampled.keySet == langCounts.keySet)
+    sampled.foreach { case (lang, n) =>
+      assert(n == math.min(20L, langCounts(lang)), s"$lang: $n")
+    }
+  }
+
+  test("temperature resampling keeps the rarest language whole and downsamples the rest monotonically") {
+    val docs = Tables.load(spark, sfMid, "documents")
+    val counts = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = PipelineQueries.queries("pipe_sample_temperature")(spark, sfMid)
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val minLang = counts.minBy(_._2)._1
+    // thr(min lang) = 65536 -> every 16-bit hash prefix passes
+    assert(kept(minLang) == counts(minLang))
+    // directional: the most over-represented language keeps the smallest share
+    val maxLang = counts.maxBy(_._2)._1
+    val shareMax = kept(maxLang).toDouble / counts(maxLang)
+    val shareMin = kept(minLang).toDouble / counts(minLang)
+    assert(shareMax < shareMin)
+    // and the realized share tracks sqrt(minc/cnt) within sampling noise
+    val expected = math.sqrt(counts(minLang).toDouble / counts(maxLang))
+    assert(math.abs(shareMax - expected) < 0.15, s"share $shareMax vs expected $expected")
+  }
+
+  test("pack_bins partitions every doc once into 8 size-balanced bins") {
+    val total = Tables.load(spark, sfMid, "documents").count()
+    val bins = PipelineQueries.queries("pipe_pack_bins")(spark, sfMid).collect()
+    assert(bins.map(_.getLong(0)).toSet == (0L to 7L).toSet)
+    assert(bins.map(_.getLong(1)).sum == total)
+    val tokens = bins.map(_.getLong(2))
+    // stratified round-robin: per-bin token totals within 15% of each other
+    // at 500 docs (the bound tightens as the corpus grows)
+    assert(tokens.max.toDouble / tokens.min < 1.15,
+      s"imbalanced bins: ${tokens.mkString(",")}")
+  }
+
+  test("length histogram buckets are disjoint, exhaustive, and label-consistent") {
+    val total = Tables.load(spark, sf, "documents").count()
+    val rows = PipelineQueries.queries("text_len_histogram")(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum == total)
+    rows.foreach { r =>
+      val (b, minL, maxL) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      assert(b >= 0 && b <= 11)
+      assert(minL >= b * 50)
+      if (b < 11) assert(maxL < (b + 1) * 50)
+    }
+  }
+
+  test("dataset card aggregates are internally consistent") {
+    val r = PipelineQueries.queries("pipe_dataset_card")(spark, sf).collect().head
+    val nDocs = r.getAs[Long]("n_docs")
+    assert(nDocs == Tables.load(spark, sf, "documents").count())
+    assert(r.getAs[Long]("n_langs") == 5)
+    assert(r.getAs[Long]("total_tokens") > nDocs) // > 1 token/doc
+    val avg = r.getAs[Double]("avg_tokens")
+    assert(avg == math.floor(r.getAs[Long]("total_tokens") * 10000.0 / nDocs) / 10000)
+    assert(r.getAs[Long]("n_exact_dups") >= 0)
+  }
+
+  test("int8 quantization stats respect the truncation error bound") {
+    val rows = PipelineQueries.queries("sim_quantize_int8")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val mx = r.getAs[Double]("scale_mx")
+      assert(mx > 0.0)
+      assert(r.getAs[Long]("sum_abs_q") <= 127L * 64)
+      assert(r.getAs[Long]("n_nonzero") <= 64)
+      // truncation toward zero: |x - q*mx/127| < one step = mx/127
+      assert(r.getAs[Double]("max_err") < mx / 127 + 1e-9,
+        s"err ${r.getAs[Double]("max_err")} vs step ${mx / 127}")
+    }
+  }
+}
