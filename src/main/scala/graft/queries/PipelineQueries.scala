@@ -31,8 +31,9 @@ object PipelineQueries {
 
   private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
 
-  /** Word 5-grams per doc, distinct, 0-based positions (mirrors the trigram
-    * construction in [[DedupQueries.ngramJaccardPairs]]). */
+  /** Word 5-gram rows per doc, 0-based positions, NOT deduplicated (mirrors
+    * the trigram construction in [[DedupQueries.ngramJaccardPairs]]; callers
+    * dedupe where — and only where — the plan needs it). */
   private[queries] def fiveGrams(documents: DataFrame): DataFrame =
     documents
       .select(col("doc_id"), split(trim(col("text")), " +").as("w"))
@@ -41,7 +42,6 @@ object PipelineQueries {
         explode(sequence(lit(0), size(col("w")) - 5)).as("i"), col("w"))
       .select(col("doc_id"),
         expr("concat(w[i],' ',w[i+1],' ',w[i+2],' ',w[i+3],' ',w[i+4])").as("gram"))
-      .dropDuplicates("doc_id", "gram")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // benchmark decontamination: training docs sharing any word 5-gram with
@@ -54,8 +54,12 @@ object PipelineQueries {
       val grams = fiveGrams(docs(s, d))
       val benchGrams = grams.filter(pmod(col("doc_id"), lit(20)) === 0)
         .select("gram").distinct()
+      // join raw gram rows FIRST (the broadcast filter drops the clean
+      // ~everything), dedupe (doc_id, gram) only on the rare survivors —
+      // deduping before the join would shuffle the whole corpus gram stream
       grams.filter(pmod(col("doc_id"), lit(20)) =!= 0)
         .join(broadcast(benchGrams), "gram")
+        .dropDuplicates("doc_id", "gram")
         .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
         .orderBy("doc_id")
     }),
