@@ -521,7 +521,9 @@ final class FloEngine(val spark: SparkSession, val root: String) {
       maxFilesPerTrigger: Option[Int] = None)(
       handler: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     // 0 = unlimited, matching batch consume()'s CONSUME_UNLIMITED convention —
-    // otherwise a 0 budget would no-op every batch while the query never stops
+    // otherwise a 0 budget would no-op every batch while the query never stops;
+    // negatives fail fast rather than silently consuming forever
+    require(maxEvents.forall(_ >= 0), s"maxEvents must be >= 0 (0 = unlimited), got ${maxEvents.get}")
     val budgetOpt = maxEvents.filter(_ > 0)
     val remaining = new AtomicLong(budgetOpt.getOrElse(Long.MaxValue))
     @volatile var self: org.apache.spark.sql.streaming.StreamingQuery = null

@@ -23,7 +23,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
  *   [4] max_err    — max_i |x_i − q_i·mx/127| (reconstruction error; the
  *                    dequantize fp op order is fixed: multiply, then divide)
  *
- * A zero or empty vector yields [0, 0, 0, 0, 0] (no division happens).
+ * A zero or empty vector yields [0, 0, 0, 0, 0] (no division happens). Null
+ * ELEMENTS are defined as 0.0 in both the interpreted and codegen paths (the
+ * parquet embedding schema carries containsNull=true even though the data has
+ * no nulls; leaving the slot undefined would let the two paths diverge —
+ * GenericArrayData NPEs on getDouble of a null slot, UnsafeArrayData reads
+ * 0.0).
  *
  * Like [[DotProduct]], this exists because the higher-order-function
  * formulation (`aggregate(transform(...))`) evaluates its lambda interpreted
@@ -46,13 +51,14 @@ case class Int8Stats(child: Expression) extends UnaryExpression {
     var mx = 0.0
     var i = 0
     while (i < n) {
-      val a = math.abs(v.getDouble(i)); if (a > mx) mx = a; i += 1
+      val a = math.abs(if (v.isNullAt(i)) 0.0 else v.getDouble(i))
+      if (a > mx) mx = a; i += 1
     }
     var sumQ = 0.0; var sumAbsQ = 0.0; var nz = 0.0; var maxErr = 0.0
     if (mx > 0.0) {
       i = 0
       while (i < n) {
-        val x = v.getDouble(i)
+        val x = if (v.isNullAt(i)) 0.0 else v.getDouble(i)
         val q = (x * 127.0 / mx).toLong
         sumQ += q; sumAbsQ += math.abs(q); if (q != 0L) nz += 1.0
         val err = math.abs(x - q * mx / 127.0)
@@ -80,14 +86,14 @@ case class Int8Stats(child: Expression) extends UnaryExpression {
          |int $n = $v.numElements();
          |double $mx = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $a = java.lang.Math.abs($v.getDouble($i));
+         |  double $a = java.lang.Math.abs($v.isNullAt($i) ? 0.0 : $v.getDouble($i));
          |  if ($a > $mx) $mx = $a;
          |}
          |double $sumQ = 0.0; double $sumAbsQ = 0.0;
          |double $nz = 0.0; double $maxErr = 0.0;
          |if ($mx > 0.0) {
          |  for (int $i = 0; $i < $n; $i++) {
-         |    double $x = $v.getDouble($i);
+         |    double $x = $v.isNullAt($i) ? 0.0 : $v.getDouble($i);
          |    long $q = (long) ($x * 127.0 / $mx);
          |    $sumQ += $q; $sumAbsQ += java.lang.Math.abs($q);
          |    if ($q != 0L) $nz += 1.0;

@@ -176,59 +176,41 @@ object AnalyticsQueries {
     // AS-OF join (an operator Spark lacks natively): for each 'view' event,
     // the same user's most recent 'purchase' at-or-before it (second
     // granularity; ties break purchase-before-view, then highest event_id).
-    // Scale-first formulation: tag both sides, UNION, and take the last
-    // non-null purchase over a per-user time window — ONE shuffle on
-    // user_id and a linear merge per user, with no per-row range probe and
-    // no broadcast requirement on either side (a correlated max-ts<=t
-    // subquery would rescan the right side per left row; a theta join would
-    // explode before aggregating back down).
+    // Runs through the library operator [[graft.operators.AsofJoin]] — the
+    // union+window linear merge: ONE shuffle on user_id, no per-row range
+    // probe, no broadcast requirement on either side.
     "q_asof_join" -> ((s, d) => {
       val ev = t(s, d, "events")
         .select(col("event_id"), col("user_id"),
           date_trunc("second", col("ts")).as("t"), col("event_type"), col("value"))
-      val tagged = ev.filter(col("event_type") === "purchase")
-          .select(col("user_id"), col("t"), lit(0).as("side"), col("event_id"),
-            col("event_id").as("p_id"), col("value").as("p_value"))
-        .unionAll(ev.filter(col("event_type") === "view")
-          .select(col("user_id"), col("t"), lit(1).as("side"), col("event_id"),
-            lit(null).cast("long").as("p_id"), lit(null).cast("double").as("p_value")))
-      val w = Window.partitionBy("user_id").orderBy("t", "side", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      tagged
-        // the when(...) leaves view rows as a NULL struct so ignoreNulls
-        // skips them; among equal-(t, side) purchases, event_id-ascending
-        // order makes last() pick the highest id — the documented tie-break
-        .withColumn("asof", last(
-          when(col("side") === 0, struct(col("p_id"), col("p_value"))),
-          ignoreNulls = true).over(w))
-        .filter(col("side") === 1)
+      val views = ev.filter(col("event_type") === "view")
+        .select("event_id", "user_id", "t")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("t"), col("event_id"),
+          col("event_id").as("p_id"), col("value").as("p_value"))
+      graft.operators.AsofJoin.asof(views, purchases,
+          leftTime = "t", rightTime = "t", by = Seq("user_id"),
+          valueCols = Seq("p_id", "p_value"), rightOrder = Seq("event_id"))
         .select(col("event_id"), col("user_id"),
-          col("asof.p_id").as("asof_purchase_id"),
-          col("asof.p_value").as("asof_purchase_value"))
+          col("asof_p_id").as("asof_purchase_id"),
+          col("asof_p_value").as("asof_purchase_value"))
         .orderBy("event_id")
     }),
 
     // Range join without an equi-key (interval containment): events.value
-    // against 20 OVERLAPPING bands [b*25, b*25+60). Scale path: quantize
-    // values to width-25 buckets and explode each band to the 3 buckets it
-    // covers, turning the interval predicate into an equi-join on bucket
-    // plus an exact residual filter — candidates are bounded by rows ×
-    // bands-per-bucket instead of the |events| × |bands| cross product a
-    // naive theta join plans (at 100 TB the band table may itself be large;
-    // the bucket trick keeps it a hash join either way).
+    // against 20 OVERLAPPING bands [b*25, b*25+60), through the library
+    // operator [[graft.operators.RangeJoin]] — bucket quantization turns the
+    // interval predicate into an equi-join on bucket plus an exact residual
+    // filter, bounding candidates by rows × bands-per-bucket instead of the
+    // |events| × |bands| cross product a naive theta join plans.
     "q_range_join" -> ((s, d) => {
       val bands = s.range(0, 20).select(
         col("id").cast("int").as("band_id"),
         (col("id") * lit(25.0)).as("lo"),
         (col("id") * lit(25.0) + lit(60.0)).as("hi"))
-      // width-25 buckets b..b+2 cover [b*25, b*25+75) ⊇ [lo, hi); the
-      // residual value < hi trims the partial third bucket
-      val bandBuckets = bands.select(col("band_id"), col("lo"), col("hi"),
-        explode(sequence(col("band_id"), col("band_id") + lit(2))).as("bucket"))
-      val ev = t(s, d, "events").select(col("event_id"), col("value"),
-        floor(col("value") / 25).cast("int").as("bucket"))
-      ev.join(broadcast(bandBuckets), "bucket")
-        .filter(col("value") >= col("lo") && col("value") < col("hi"))
+      val ev = t(s, d, "events").select(col("event_id"), col("value"))
+      graft.operators.RangeJoin.pointInInterval(
+          ev, "value", bands, "lo", "hi", bucketWidth = 25.0)
         .groupBy("band_id")
         .agg(count(lit(1)).as("n_events"), dsum("value").as("sum_value"))
         .orderBy("band_id")

@@ -232,32 +232,50 @@ object DedupQueries {
     // "A ~ B" verdicts into dedup GROUPS so a pipeline keeps exactly one
     // canonical doc per cluster — the step after any pairwise dedup at
     // corpus scale (pairs alone over-delete when A~B and B~C but A!~C).
-    // Hash-min label propagation: each round is one distributed join+agg
+    // Hash-min label propagation: each round is ONE distributed join+agg
     // pushing the smallest known label across edges; the driver loop tests
     // only a scalar convergence flag and runs O(cluster diameter) rounds
     // (near-dup clusters are shallow — single digits even on web corpora).
-    // localCheckpoint truncates lineage so round N never replays 1..N-1.
+    // localCheckpoint truncates lineage so round N never replays 1..N-1;
+    // convergence rides a `changed` flag carried THROUGH the checkpoint, so
+    // testing it is a filter over the already-materialized blocks (a cheap
+    // cached scan) instead of a second labels-vs-labels join job per round.
+    // Each round frees the PRIOR round's checkpoint blocks — without that,
+    // block-manager storage grows linearly with cluster diameter.
     "dedup_components" -> ((s, d) => {
       val edges = ngramJaccardPairs(docs(s, d)).select(col("doc_a"), col("doc_b"))
       val und = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .unionAll(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
         .persist()
-      var labels = und.select(col("src").as("id")).distinct()
-        .select(col("id"), col("id").as("comp"))
-        .localCheckpoint(true)
+      val sc = s.sparkContext
+      // Dataset.localCheckpoint persists its materialized RDD internally;
+      // the handle to that RDD is not public API, so track it by diffing the
+      // persistent-RDD registry around the (eager) checkpoint call
+      def checkpointed(df: DataFrame): (DataFrame, Set[Int]) = {
+        val before = sc.getPersistentRDDs.keySet.toSet
+        val out = df.localCheckpoint(true)
+        (out, sc.getPersistentRDDs.keySet.toSet -- before)
+      }
+      def free(ids: Set[Int]): Unit =
+        ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      var (labels, liveIds) = checkpointed(
+        und.select(col("src").as("id")).distinct()
+          .select(col("id"), col("id").as("comp")))
       var converged = false
       while (!converged) {
         val prop = und.join(labels, col("src") === col("id"))
           .groupBy(col("dst")).agg(min(col("comp")).as("p"))
-        val next = labels
+        // labels only ever decrease, so "this round changed something"
+        // ⟺ some propagated min undercuts the current label (p < comp)
+        val (next, nextIds) = checkpointed(labels
           .join(prop, col("id") === col("dst"), "left")
-          .select(col("id"), least(col("comp"), coalesce(col("p"), col("comp"))).as("comp"))
-          .localCheckpoint(true)
-        converged = next.as("n")
-          .join(labels.as("o"), col("n.id") === col("o.id"))
-          .filter(col("n.comp") =!= col("o.comp"))
-          .isEmpty
-        labels = next
+          .select(col("id"),
+            least(col("comp"), coalesce(col("p"), col("comp"))).as("comp"),
+            (coalesce(col("p"), col("comp")) < col("comp")).as("changed")))
+        converged = next.filter(col("changed")).isEmpty
+        free(liveIds)
+        labels = next.drop("changed")
+        liveIds = nextIds
       }
       und.unpersist()
       val w = org.apache.spark.sql.expressions.Window.partitionBy("comp")

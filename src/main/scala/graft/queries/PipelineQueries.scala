@@ -50,19 +50,7 @@ object PipelineQueries {
     // benchmark gram set is small by construction (eval sets are MBs, the
     // corpus is TBs) -> broadcast hash join against it; the corpus-side gram
     // stream never shuffles.
-    "pipe_decontaminate" -> ((s, d) => {
-      val grams = fiveGrams(docs(s, d))
-      val benchGrams = grams.filter(pmod(col("doc_id"), lit(20)) === 0)
-        .select("gram").distinct()
-      // join raw gram rows FIRST (the broadcast filter drops the clean
-      // ~everything), dedupe (doc_id, gram) only on the rare survivors —
-      // deduping before the join would shuffle the whole corpus gram stream
-      grams.filter(pmod(col("doc_id"), lit(20)) =!= 0)
-        .join(broadcast(benchGrams), "gram")
-        .dropDuplicates("doc_id", "gram")
-        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
-        .orderBy("doc_id")
-    }),
+    "pipe_decontaminate" -> ((s, d) => decontaminate(docs(s, d))),
 
     // cross-document chunk dedup (duplicated-"line" removal for corpora
     // without newlines): docs are cut into fixed non-overlapping 10-word
@@ -75,15 +63,17 @@ object PipelineQueries {
 
     // deterministic stratified sample: the first 20 docs per language in
     // salted-hash order — a reproducible fixed-size eval slice per stratum.
-    // The per-lang window is a shuffle on lang; at 100 TB the dominant
-    // language skews one partition, so the scale variant pre-filters with a
-    // permissive hash bound (hash < N/count_l * fudge) before ranking —
-    // noted here, unnecessary at catalog scale.
+    // Skew guard: a naive per-lang window puts the dominant language (60%+
+    // of any real web corpus) on ONE task; instead, rank first within
+    // (lang, salt) — 32-way fan-out of the heavy shuffle — and keep only
+    // local rank <= 20. PROVABLY recall-complete: a row in the per-lang
+    // global top 20 is necessarily in the top 20 of its own salt group, so
+    // the final per-lang window ranks <= 20*32 survivor rows per language
+    // and its output is identical to the unfiltered single-window rank.
     "pipe_sample_stratified" -> ((s, d) => {
-      val h = md5(concat(lit("graft-strat:"), col("doc_id").cast("string")))
+      val surv = stratifiedSurvivors(docs(s, d), k = 20, salts = StratSalts)
       val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
-      docs(s, d).select(col("doc_id"), col("lang"), h.as("h"))
-        .withColumn("rn", row_number().over(w).cast("long"))
+      surv.withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= 20)
         .select(col("doc_id"), col("lang"), col("rn"))
         .orderBy("doc_id")
@@ -112,24 +102,12 @@ object PipelineQueries {
     // size-balanced shard packing: docs are stratified into token-count
     // buckets (integer math), then round-robined into 8 bins by salted-hash
     // rank WITHIN each bucket — per-bin token totals balance to within one
-    // bucket-width per stratum without any global sort (a global
-    // size-ordered row_number would single-partition the corpus; this
-    // shuffles once on the 16-value bucket key).
-    "pipe_pack_bins" -> ((s, d) => {
-      val nTok = size(split(trim(col("text")), " +"))
-      val h = md5(concat(lit("graft-pack:"), col("doc_id").cast("string")))
-      val base = docs(s, d).select(col("doc_id"), nTok.as("n_tokens"), h.as("h"))
-        .withColumn("bucket", least(floor(col("n_tokens") / 8), lit(15)))
-      val w = Window.partitionBy("bucket").orderBy(col("h"), col("doc_id"))
-      // rotate the round-robin start by bucket: otherwise every bucket's
-      // remainder docs land in bin 0,1,... and the bias accumulates across
-      // the 16 strata (measured ~18% token skew at 500 docs; rotated < 10%)
-      base.withColumn("bin",
-          pmod(row_number().over(w) - 1 + col("bucket"), lit(8)).cast("long"))
-        .groupBy("bin")
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens").cast("long")).as("total_tokens"))
-        .orderBy("bin")
-    }),
+    // bucket-width per stratum without any global sort. The round-robin rank
+    // is realized as a salted TWO-LEVEL ranking (see packBins): the heavy
+    // shuffle runs on (bucket, salt) = up to 16*32 groups, not the 16-task
+    // funnel a plain per-bucket window would be (~6 TB sorted per task at
+    // 100 TB).
+    "pipe_pack_bins" -> ((s, d) => packBins(docs(s, d))),
 
     // corpus length histogram: fixed-width integer buckets (50 chars, open
     // top bucket) — the first plot of any dataset audit. Pure integer math
@@ -174,6 +152,92 @@ object PipelineQueries {
           (floor(col("st")(4) * 10000000) / 10000000).as("max_err"))
         .orderBy("vec_id")
     }))
+
+  /** Salt-group fan-out for the two-level window rewrites below: 32 groups
+    * turn one hot key into 32 shuffle partitions. */
+  private[queries] val StratSalts = 32
+
+  /** Broadcast budget for the decontamination eval-gram set: ~50 MB at
+    * ~50 B/gram — comfortably broadcastable; beyond it the join falls back
+    * to a shuffle (eval sets are MBs in practice, but nothing enforces it). */
+  private[queries] val MaxBroadcastGrams = 1000000L
+
+  /** Deterministic salt in [0, salts) carved from the TAIL of the md5 hex
+    * (the rank ORDER uses the hash from position 1, so head and tail stay
+    * independent-ish; both engines read the same lowercase hex). */
+  private def saltCol(h: org.apache.spark.sql.Column, salts: Int) =
+    pmod(conv(substring(h, 29, 4), 16, 10).cast("long"), lit(salts))
+
+  /**
+   * Benchmark decontamination with a guarded build side: the eval 5-gram set
+   * is SIZED first (the count's doc_id predicate pushes below the gram
+   * explode, so it scans only eval docs) and broadcast only when it fits the
+   * budget — past that the join degrades gracefully to a shuffle hash join
+   * instead of OOMing the driver/executors on an oversized broadcast.
+   */
+  private[queries] def decontaminate(
+      documents: DataFrame,
+      maxBroadcastGrams: Long = MaxBroadcastGrams): DataFrame = {
+    val grams = fiveGrams(documents)
+    val benchGrams = grams.filter(pmod(col("doc_id"), lit(20)) === 0)
+      .select("gram").distinct()
+    val evalSide =
+      if (benchGrams.count() <= maxBroadcastGrams) broadcast(benchGrams) else benchGrams
+    // join raw gram rows FIRST (the filter drops the clean ~everything),
+    // dedupe (doc_id, gram) only on the rare survivors — deduping before
+    // the join would shuffle the whole corpus gram stream
+    grams.filter(pmod(col("doc_id"), lit(20)) =!= 0)
+      .join(evalSide, "gram")
+      .dropDuplicates("doc_id", "gram")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      .orderBy("doc_id")
+  }
+
+  /** Stage 1 of the stratified sample: per-(lang, salt) top-k survivors —
+    * a provably recall-complete skew pre-filter for the per-lang top-k
+    * (any global top-k row is in its salt group's top k). Returns
+    * (doc_id, lang, h) with at most k*salts rows per language. */
+  private[queries] def stratifiedSurvivors(
+      documents: DataFrame, k: Int, salts: Int): DataFrame = {
+    val h = md5(concat(lit("graft-strat:"), col("doc_id").cast("string")))
+    val base = documents.select(col("doc_id"), col("lang"), h.as("h"))
+      .withColumn("salt", saltCol(col("h"), salts))
+    val wLocal = Window.partitionBy("lang", "salt").orderBy(col("h"), col("doc_id"))
+    base.withColumn("rs", row_number().over(wLocal))
+      .filter(col("rs") <= k)
+      .select("doc_id", "lang", "h")
+  }
+
+  /**
+   * Shard packing via salted two-level ranking. The per-bucket round-robin
+   * rank is `row_number() over (partition by bucket ORDER BY salt, h,
+   * doc_id)`, realized scalably as: rank within (bucket, salt) — the only
+   * corpus-sized shuffle, fanned out over salts*buckets groups — plus an
+   * exclusive running offset of the tiny per-(bucket, salt) counts
+   * (<= 16*32 rows, broadcast back). The bucket-rotated mod-8 bin keeps the
+   * remainder docs from piling into bin 0 across strata (measured ~18%
+   * token skew unrotated at 500 docs; rotated < 10%).
+   */
+  private[queries] def packBins(
+      documents: DataFrame, nBins: Int = 8, salts: Int = StratSalts): DataFrame = {
+    val nTok = size(split(trim(col("text")), " +"))
+    val h = md5(concat(lit("graft-pack:"), col("doc_id").cast("string")))
+    val base = documents.select(col("doc_id"), nTok.as("n_tokens"), h.as("h"))
+      .withColumn("bucket", least(floor(col("n_tokens") / 8), lit(15)))
+      .withColumn("salt", saltCol(col("h"), salts))
+    val wLocal = Window.partitionBy("bucket", "salt").orderBy(col("h"), col("doc_id"))
+    val ranked = base.withColumn("rs", row_number().over(wLocal).cast("long"))
+    val wOff = Window.partitionBy("bucket").orderBy("salt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy("bucket", "salt").agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
+      .select("bucket", "salt", "off")
+    ranked.join(broadcast(offsets), Seq("bucket", "salt"))
+      .withColumn("bin", pmod(col("off") + col("rs") - 1 + col("bucket"), lit(nBins)).cast("long"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens").cast("long")).as("total_tokens"))
+      .orderBy("bin")
+  }
 
   /** Non-overlapping 10-word chunks per doc (the "lines" of a corpus whose
     * docs carry no newlines). */
@@ -255,6 +319,9 @@ object PipelineQueries {
         |WHERE CAST('0x' || substring(md5('graft-temp:' || CAST(d.doc_id AS VARCHAR)), 1, 4) AS INTEGER) < thr
         |ORDER BY d.doc_id""".stripMargin,
 
+    // the oracle states the two-level scheme's rank as its equivalent single
+    // window: ORDER BY (salt, h, doc_id) — the engine realizes the same
+    // order via local-rank + offset composition (see packBins)
     "pipe_pack_bins" ->
       """WITH b AS (
         |  SELECT doc_id,
@@ -262,10 +329,12 @@ object PipelineQueries {
         |    md5('graft-pack:' || CAST(doc_id AS VARCHAR)) AS h,
         |    least(floor(len(string_split_regex(trim(text), ' +')) / 8), 15) AS bucket
         |  FROM documents
+        |), s AS (
+        |  SELECT *, CAST('0x' || substring(h, 29, 4) AS INTEGER) % 32 AS salt FROM b
         |), r AS (
         |  SELECT doc_id, n_tokens,
-        |    CAST(ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY h, doc_id) - 1 + bucket AS BIGINT) % 8 AS bin
-        |  FROM b)
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY salt, h, doc_id) - 1 + bucket AS BIGINT) % 8 AS bin
+        |  FROM s)
         |SELECT bin, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
         |FROM r GROUP BY bin ORDER BY bin""".stripMargin,
 
@@ -285,20 +354,26 @@ object PipelineQueries {
         |  COUNT(*) - COUNT(DISTINCT md5(text)) AS n_exact_dups
         |FROM documents""".stripMargin,
 
+    // zero/empty-vector guard mirrors the native expression's semantics
+    // ([0,0,0,0,0], no division): if(mx > 0, ...) on the quantize step and
+    // COALESCE on the empty-list aggregates, so a degenerate vector in a
+    // future corpus hashes identically instead of going NULL in DuckDB only
     "sim_quantize_int8" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings
         |), m AS (
-        |  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM e
+        |  SELECT vec_id, v,
+        |    COALESCE(list_max(list_transform(v, x -> abs(x))), 0) AS mx FROM e
         |), q AS (
-        |  SELECT vec_id, v, mx, list_transform(v, x -> trunc(x * 127 / mx)) AS qs FROM m)
+        |  SELECT vec_id, v, mx,
+        |    list_transform(v, x -> if(mx > 0, trunc(x * 127 / mx), 0)) AS qs FROM m)
         |SELECT vec_id,
         |  FLOOR(mx * 1000000) / 1000000 AS scale_mx,
-        |  CAST(list_sum(qs) AS BIGINT) AS sum_q,
-        |  CAST(list_sum(list_transform(qs, y -> abs(y))) AS BIGINT) AS sum_abs_q,
+        |  CAST(COALESCE(list_sum(qs), 0) AS BIGINT) AS sum_q,
+        |  CAST(COALESCE(list_sum(list_transform(qs, y -> abs(y))), 0) AS BIGINT) AS sum_abs_q,
         |  CAST(len(list_filter(qs, y -> y <> 0)) AS BIGINT) AS n_nonzero,
-        |  FLOOR(list_max([abs(v[i] - (qs[i] * mx) / 127)
-        |                  FOR i IN generate_series(1, len(v))]) * 10000000) / 10000000 AS max_err
+        |  FLOOR(COALESCE(list_max([abs(v[i] - (qs[i] * mx) / 127)
+        |                  FOR i IN generate_series(1, len(v))]), 0) * 10000000) / 10000000 AS max_err
         |FROM q ORDER BY vec_id""".stripMargin)
 }

@@ -4,8 +4,80 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSuite
 
-/** Scale techniques: salted skew joins and bucketed co-located joins. */
+/** Scale techniques: salted skew joins, bucketed co-located joins, and the
+  * as-of / range join library operators (exercised here on table pairs the
+  * catalog queries never touch, the way the reference's embedded tests drive
+  * the client API surface — flo-server/tests/embedded_tests.rs:168-200). */
 class ScaleOpsSpec extends SparkSuite {
+
+  test("asof join: at-or-before semantics, tie-breaks, and null on no-match") {
+    import spark.implicits._
+    // sensors (left) against calibrations (right) — a second table pair
+    val readings = Seq(
+      (1L, "a", 5L), (2L, "a", 10L), (3L, "a", 15L),
+      (4L, "b", 10L), (5L, "c", 3L)).toDF("reading_id", "sensor", "t")
+    val cals = Seq(
+      (100L, "a", 5L, 1.5), (101L, "a", 12L, 2.5),
+      (102L, "a", 12L, 3.5), // same instant as 101: higher cal_id must win
+      (103L, "b", 11L, 9.9)  // after b's only reading: no match
+    ).toDF("cal_id", "sensor", "t", "gain")
+
+    val got = AsofJoin.asof(readings, cals, "t", "t", by = Seq("sensor"),
+        valueCols = Seq("cal_id", "gain"), rightOrder = Seq("cal_id"))
+      .collect().map(r => r.getAs[Long]("reading_id") ->
+        (Option(r.getAs[java.lang.Long]("asof_cal_id")).map(_.toLong),
+          Option(r.getAs[java.lang.Double]("asof_gain")).map(_.toDouble))).toMap
+
+    assert(got(1L) == ((Some(100L), Some(1.5)))) // exactly-at counts
+    assert(got(2L) == ((Some(100L), Some(1.5)))) // most recent before
+    assert(got(3L) == ((Some(102L), Some(3.5)))) // equal-time tie -> last by cal_id
+    assert(got(4L) == ((None, None)))            // calibration only after
+    assert(got(5L) == ((None, None)))            // sensor never calibrated
+    // every left row survives, with all its columns intact
+    assert(got.size == 5)
+  }
+
+  test("asof join matches a brute-force reference on a generated pair") {
+    import spark.implicits._
+    // deterministic pseudo-random pair; brute-force the expected answer
+    def h(i: Int, salt: Int) = math.abs((i * 2654435761L + salt) % 97)
+    val lefts = (1 to 300).map(i => (i.toLong, (i % 7).toString, h(i, 13)))
+    val rights = (1 to 120).map(i => (1000L + i, (i % 7).toString, h(i, 41), i * 0.5))
+    val expected = lefts.map { case (id, k, t) =>
+      val cands = rights.filter(r => r._2 == k && r._3 <= t)
+      id -> (if (cands.isEmpty) None
+             else Some(cands.maxBy(r => (r._3, r._1))._1))
+    }.toMap
+    val got = AsofJoin.asof(
+        lefts.toDF("id", "k", "t"), rights.toDF("rid", "k", "t", "v"),
+        "t", "t", by = Seq("k"), valueCols = Seq("rid", "v"),
+        rightOrder = Seq("rid"))
+      .collect()
+      .map(r => r.getAs[Long]("id") ->
+        Option(r.getAs[java.lang.Long]("asof_rid")).map(_.toLong)).toMap
+    assert(got == expected)
+  }
+
+  test("range join: boundary semantics, negatives, and shuffle fallback parity") {
+    import spark.implicits._
+    val points = Seq((1L, -30.0), (2L, 0.0), (3L, 9.99), (4L, 10.0), (5L, 25.0))
+      .toDF("pid", "x")
+    val intervals = Seq(
+      (10L, -40.0, -20.0), // catches the negative point
+      (11L, 0.0, 10.0),    // lo inclusive, hi exclusive
+      (12L, 5.0, 30.0)     // overlaps 11
+    ).toDF("iv_id", "lo", "hi")
+
+    def pairs(broadcastIv: Boolean) = RangeJoin.pointInInterval(
+        points, "x", intervals, "lo", "hi", bucketWidth = 10.0,
+        broadcastIntervals = broadcastIv)
+      .select("pid", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val expected = Set((1L, 10L), (2L, 11L), (3L, 11L), (3L, 12L), (4L, 12L), (5L, 12L))
+    assert(pairs(broadcastIv = true) == expected)
+    // the non-broadcast (shuffle) path returns the identical pair set
+    assert(pairs(broadcastIv = false) == expected)
+  }
 
   test("salted join produces identical results to a plain join") {
     import spark.implicits._

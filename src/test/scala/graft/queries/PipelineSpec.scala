@@ -89,6 +89,68 @@ class PipelineSpec extends SparkSuite {
     }
   }
 
+  test("stratified pre-filter bounds the final window's input on a 90/10 skewed corpus") {
+    import spark.implicits._
+    // 900 docs of one dominant language, 100 of another — the shape that
+    // funnels a naive per-lang window onto one task
+    val docs = (1 to 1000)
+      .map(i => (i.toLong, if (i <= 900) "dom" else "rare"))
+      .toDF("doc_id", "lang")
+    val surv = PipelineQueries.stratifiedSurvivors(docs, k = 20, salts = 32)
+    val byLang = surv.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // per-lang survivor count is bounded by k*salts regardless of skew
+    assert(byLang("dom") <= 20L * 32, s"dom survivors ${byLang("dom")}")
+    assert(byLang("rare") <= 20L * 32)
+    // and recall-complete: composing the final window over survivors yields
+    // exactly the naive single-window top 20 per language
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(concat(lit("graft-strat:"), col("doc_id").cast("string")))
+    val naive = docs.select(col("doc_id"), col("lang"), h.as("h"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))))
+      .filter(col("rn") <= 20).select("doc_id", "rn")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val twoLevel = surv
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))))
+      .filter(col("rn") <= 20).select("doc_id", "rn")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(twoLevel == naive)
+  }
+
+  test("decontaminate shuffle fallback (tiny broadcast budget) matches the broadcast path") {
+    val s = spark
+    val docs = Tables.load(s, sf, "documents")
+    // lowered budget forces the non-broadcast join; results must not move.
+    // Disable auto-broadcast so the planner can't silently re-broadcast the
+    // small side and turn the fallback assertion vacuous.
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val rows =
+      try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        PipelineQueries.decontaminate(docs, maxBroadcastGrams = 1)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    val broadcastRows = PipelineQueries.decontaminate(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows == broadcastRows)
+    assert(rows.nonEmpty)
+  }
+
+  test("pack_bins two-level ranking fans the corpus shuffle beyond the 16 buckets") {
+    // the corpus-sized window runs on (bucket, salt): with 32 salts the
+    // ranking exchange hash-partitions on two keys -> the plan must show a
+    // window partitioned by both, not by bucket alone
+    val plan = PipelineQueries.queries("pipe_pack_bins")(spark, sfMid)
+      .queryExecution.executedPlan.toString
+    val windowSpecs = "Window \\[row_number".r.findAllIn(plan).size
+    assert(plan.contains("bucket"), plan)
+    val rankedOnSalt = plan.linesIterator.exists(l =>
+      l.contains("row_number") && l.contains("salt"))
+    assert(rankedOnSalt, s"corpus ranking window not salted:\n$plan")
+  }
+
   test("temperature resampling keeps the rarest language whole and downsamples the rest monotonically") {
     val docs = Tables.load(spark, sfMid, "documents")
     val counts = docs.groupBy("lang").count()

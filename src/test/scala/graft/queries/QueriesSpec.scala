@@ -236,6 +236,17 @@ class QueriesSpec extends SparkSuite {
     }
   }
 
+  test("dedup components frees each round's checkpoint blocks (storage stays bounded)") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.size
+    DedupQueries.queries("dedup_components")(spark, sf).collect()
+    val after = sc.getPersistentRDDs.size
+    // only the FINAL round's checkpoint (the returned plan reads it) may
+    // remain; every earlier round's blocks and the edge cache must be gone —
+    // pre-fix this grew by one checkpoint per propagation round
+    assert(after <= before + 2, s"leaked persistent RDDs: $before -> $after")
+  }
+
   test("hash sample and split are deterministic and complete") {
     val s1 = TextQueries.queries("pipe_sample_hash")(spark, sf).collect().map(_.getLong(0))
     val s2 = TextQueries.queries("pipe_sample_hash")(spark, sf).collect().map(_.getLong(0))
