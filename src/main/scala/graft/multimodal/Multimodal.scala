@@ -7,12 +7,14 @@ import org.apache.spark.sql.functions._
  * Multimodal column support: media payloads are opaque `binary` columns with
  * typed metadata, processed with distributed per-partition batch transforms.
  *
- * The Spark-side plumbing here — schema, partitioning, batch shape,
- * deterministic feature pipeline — is real and tested. The codec step is a
- * STUB (`decodeImageStub`): real image/audio decoding needs native codec
- * libraries that are not in this container, so "decode" derives
- * deterministic pseudo-pixels from the payload bytes. Swapping in a real
- * decoder changes only the body of that one function.
+ * The decode step is REAL for BMP payloads: a pure-JVM, zero-dependency
+ * codec ([[encodeBmp]]/[[decodeBmp]]) handles 8-bit-palette and 24-bit
+ * uncompressed BMP, and [[documentsAsMedia]] wraps each document's bytes in
+ * a genuine BMP raster so the decode → resize → featurize pipeline runs on
+ * real encoded images end to end. Non-BMP payloads (e.g. the byte-block
+ * "frames" of the video-shaped pipeline) fall back to the deterministic
+ * [[decodeImageStub]] — the stand-in for codecs that need native libraries
+ * this container doesn't have.
  */
 object Multimodal {
 
@@ -27,9 +29,97 @@ object Multimodal {
   final case class MediaFeatures(doc_id: Long, features: Array[Float], feature_dim: Int)
 
   /**
-   * STUB decoder — stands in for a real image codec (???): expands payload
-   * bytes into a deterministic pseudo-pixel stream. Deterministic by
-   * construction so tests and oracle runs are stable.
+   * Encode a grayscale raster as an 8-bit-palette uncompressed BMP
+   * (BITMAPFILEHEADER + 40-byte BITMAPINFOHEADER + identity-gray palette +
+   * bottom-up rows padded to 4 bytes). Pixels are 0..255; anything outside
+   * is masked to its low byte. Pure JVM, no codec libraries.
+   */
+  def encodeBmp(pixels: Array[Int], width: Int, height: Int): Array[Byte] = {
+    require(width > 0 && height > 0, "BMP dims must be positive")
+    require(pixels.length == width * height,
+      s"pixel count ${pixels.length} != $width x $height")
+    val stride = (width + 3) & ~3
+    val dataOffset = 14 + 40 + 256 * 4
+    val out = java.nio.ByteBuffer.allocate(dataOffset + stride * height)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('B'.toByte).put('M'.toByte).putInt(out.capacity())
+      .putShort(0).putShort(0).putInt(dataOffset)
+    out.putInt(40).putInt(width).putInt(height).putShort(1).putShort(8)
+      .putInt(0).putInt(stride * height).putInt(2835).putInt(2835)
+      .putInt(256).putInt(0)
+    var i = 0
+    while (i < 256) {
+      out.put(i.toByte).put(i.toByte).put(i.toByte).put(0.toByte); i += 1
+    }
+    var y = height - 1
+    while (y >= 0) { // bottom-up row order, rows padded to 4-byte stride
+      var x = 0
+      while (x < width) { out.put((pixels(y * width + x) & 0xff).toByte); x += 1 }
+      while (x < stride) { out.put(0.toByte); x += 1 }
+      y -= 1
+    }
+    out.array()
+  }
+
+  /**
+   * Decode an uncompressed BMP to `(width, height, grayscale pixels)`.
+   * Accepts 8-bit palette (gray = mean of the BGR palette entry — identity
+   * for [[encodeBmp]] output) and 24-bit true color (gray = mean of BGR);
+   * honors top-down rasters (negative height). Returns None — never throws —
+   * for anything that isn't a well-formed BMP, so callers can fall back.
+   */
+  def decodeBmp(data: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (data.length < 54 || data(0) != 'B'.toByte || data(1) != 'M'.toByte) return None
+    val buf = java.nio.ByteBuffer.wrap(data).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val dataOffset = buf.getInt(10)
+    val hdrSize = buf.getInt(14)
+    if (hdrSize < 40) return None
+    val width = buf.getInt(18)
+    val rawH = buf.getInt(22)
+    val topDown = rawH < 0
+    val height = math.abs(rawH)
+    val bpp = buf.getShort(28) & 0xffff
+    val compression = buf.getInt(30)
+    if (width <= 0 || height <= 0 || compression != 0) return None
+    if (bpp != 8 && bpp != 24) return None
+    val stride = ((width * bpp / 8) + 3) & ~3
+    if (dataOffset < 14 + hdrSize ||
+      dataOffset.toLong + stride.toLong * height > data.length) return None
+    val paletteOff = 14 + hdrSize
+    val px = new Array[Int](width * height)
+    var y = 0
+    while (y < height) {
+      val srcRow = if (topDown) y else height - 1 - y
+      val rowOff = dataOffset + srcRow * stride
+      var x = 0
+      while (x < width) {
+        px(y * width + x) =
+          if (bpp == 8) {
+            val idx = data(rowOff + x) & 0xff
+            val p = paletteOff + idx * 4
+            if (p + 2 < dataOffset)
+              ((data(p) & 0xff) + (data(p + 1) & 0xff) + (data(p + 2) & 0xff)) / 3
+            else idx // headers without palette room: raw index as gray
+          } else {
+            val p = rowOff + x * 3
+            ((data(p) & 0xff) + (data(p + 1) & 0xff) + (data(p + 2) & 0xff)) / 3
+          }
+        x += 1
+      }
+      y += 1
+    }
+    Some((width, height, px))
+  }
+
+  /** Decode a payload: real BMP decode when the bytes are a BMP, the
+    * deterministic stub otherwise (pixels = payload bytes). */
+  def decodeImage(data: Array[Byte]): Array[Int] =
+    decodeBmp(data).map(_._3).getOrElse(decodeImageStub(data))
+
+  /**
+   * STUB decoder — the fallback for formats that need native codec
+   * libraries (JPEG/PNG/audio): expands payload bytes into a deterministic
+   * pseudo-pixel stream so tests and oracle runs stay stable.
    */
   def decodeImageStub(data: Array[Byte]): Array[Int] = {
     val px = new Array[Int](data.length)
@@ -64,26 +154,37 @@ object Multimodal {
     }.toSeq
 
   /**
-   * Nearest-neighbor resize over a decoded pixel array — a REAL resampling
-   * algorithm (codec-independent), not a stub: only the pixels feeding it
-   * come from the stub decoder. The source is treated as a row-major
-   * `ceil(sqrt(n)) x rows` raster (payload length rarely matches the fake
-   * metadata dims); total and deterministic for every input, including
-   * empty.
+   * Nearest-neighbor resize over a decoded pixel array with UNKNOWN source
+   * dims: the source is treated as a row-major `ceil(sqrt(n)) x rows`
+   * raster. Total and deterministic for every input, including empty.
    */
   def resizeNearest(pixels: Array[Int], targetW: Int, targetH: Int): Array[Int] = {
-    require(targetW > 0 && targetH > 0, "target dims must be positive")
-    val out = new Array[Int](targetW * targetH)
-    if (pixels.isEmpty) return out
+    if (pixels.isEmpty) {
+      require(targetW > 0 && targetH > 0, "target dims must be positive")
+      return new Array[Int](targetW * targetH)
+    }
     val w = math.max(1, math.ceil(math.sqrt(pixels.length.toDouble)).toInt)
     val h = (pixels.length + w - 1) / w
+    resizeNearest(pixels, w, h, targetW, targetH)
+  }
+
+  /** Nearest-neighbor resize with KNOWN source dims (the real-decode path:
+    * [[decodeBmp]] reports them). `srcW * srcH` may exceed `pixels.length`
+    * for the sqrt-raster fallback's ragged last row — reads clamp. */
+  def resizeNearest(
+      pixels: Array[Int], srcW: Int, srcH: Int,
+      targetW: Int, targetH: Int): Array[Int] = {
+    require(targetW > 0 && targetH > 0, "target dims must be positive")
+    require(srcW > 0 && srcH > 0, "source dims must be positive")
+    val out = new Array[Int](targetW * targetH)
+    if (pixels.isEmpty) return out
     var y = 0
     while (y < targetH) {
-      val sy = (y.toLong * h / targetH).toInt
+      val sy = (y.toLong * srcH / targetH).toInt
       var x = 0
       while (x < targetW) {
-        val sx = (x.toLong * w / targetW).toInt
-        out(y * targetW + x) = pixels(math.min(pixels.length - 1, sy * w + sx))
+        val sx = (x.toLong * srcW / targetW).toInt
+        out(y * targetW + x) = pixels(math.min(pixels.length - 1, sy * srcW + sx))
         x += 1
       }
       y += 1
@@ -101,7 +202,7 @@ object Multimodal {
     import items.sparkSession.implicits._
     items.mapPartitions { it =>
       it.map { item =>
-        val feats = extractFeatures(decodeImageStub(item.data))
+        val feats = extractFeatures(decodeImage(item.data))
         MediaFeatures(item.doc_id, feats, feats.length)
       }
     }
@@ -114,6 +215,8 @@ object Multimodal {
    * Video-shaped pipeline: sample every k-th frame per item, decode and
    * featurize each sampled frame — one flatMap iterator pass per partition
    * (rows fan OUT inside the task, no shuffle until the caller aggregates).
+   * Frames are raw byte blocks, not standalone BMPs, so their decode is the
+   * stub path by construction (real frame extraction is video-codec work).
    */
   def frameFeaturize(
       items: Dataset[MediaItem], frameSize: Int, everyK: Int): Dataset[FrameFeatures] = {
@@ -122,7 +225,7 @@ object Multimodal {
       it.flatMap { item =>
         sampleFrames(item.data, frameSize, everyK).zipWithIndex.map {
           case (frame, idx) =>
-            val feats = extractFeatures(decodeImageStub(frame))
+            val feats = extractFeatures(decodeImage(frame))
             FrameFeatures(item.doc_id, idx, feats, feats.length)
         }
       }
@@ -130,30 +233,40 @@ object Multimodal {
   }
 
   /**
-   * Thumbnail pipeline: decode, resize to `side x side` (real nearest-
-   * neighbor resampling), featurize the thumbnail. Same batch shape as
-   * [[featurize]].
+   * Thumbnail pipeline: decode, resize to `side x side` with the REAL
+   * raster dims when the payload decodes as BMP (sqrt-raster fallback
+   * otherwise), featurize the thumbnail. Same batch shape as [[featurize]].
    */
   def thumbnailFeaturize(items: Dataset[MediaItem], side: Int): Dataset[MediaFeatures] = {
     import items.sparkSession.implicits._
     items.mapPartitions { it =>
       it.map { item =>
-        val thumb = resizeNearest(decodeImageStub(item.data), side, side)
+        val thumb = decodeBmp(item.data) match {
+          case Some((w, h, px)) => resizeNearest(px, w, h, side, side)
+          case None => resizeNearest(decodeImageStub(item.data), side, side)
+        }
         val feats = extractFeatures(thumb)
         MediaFeatures(item.doc_id, feats, feats.length)
       }
     }
   }
 
-  /** Bridge: treat document texts as fake media payloads (the container has
-    * no real media files; the bytes are opaque to the pipeline either way). */
+  /** Fixture path: wrap each document's UTF-8 bytes as a REAL encoded image
+    * — a near-square grayscale BMP whose pixels are the byte values (zero
+    * padding fills the last row). The pipeline then exercises a genuine
+    * encode → decode → transform loop; metadata carries the true dims. */
   def documentsAsMedia(spark: SparkSession, sfDir: String): Dataset[MediaItem] = {
     import spark.implicits._
     graft.Tables.load(spark, sfDir, "documents")
-      .select(col("doc_id"), lit("image").as("media_type"),
-        encode(col("text"), "UTF-8").as("data"),
-        (col("n_chars") % 640).cast("int").as("width"),
-        (col("n_chars") % 480).cast("int").as("height"))
-      .as[MediaItem]
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val n = math.max(1, bytes.length)
+        val w = math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
+        val h = (n + w - 1) / w
+        val px = Array.tabulate(w * h)(i =>
+          if (i < bytes.length) java.lang.Byte.toUnsignedInt(bytes(i)) else 0)
+        MediaItem(id, "image", encodeBmp(px, w, h), w, h)
+      }
   }
 }

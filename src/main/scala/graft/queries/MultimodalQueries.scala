@@ -8,8 +8,10 @@ import graft.multimodal.Multimodal
 
 /**
  * Multimodal-column queries: binary payload metadata (oracle-checked — byte
- * lengths are engine-independent) and the stub-decode feature pipeline
- * (deterministic but not SQL-expressible -> rows-only check + spec).
+ * lengths are engine-independent) and the decode feature pipeline over REAL
+ * encoded images (documents wrapped as grayscale BMPs, decoded by the
+ * pure-JVM codec in [[Multimodal]]; deterministic but not SQL-expressible
+ * -> rows-only check + spec).
  */
 object MultimodalQueries {
 
@@ -23,7 +25,7 @@ object MultimodalQueries {
         .orderBy("doc_id")
     }),
 
-    // decode (STUB) -> featurize pipeline; emits per-doc feature norms
+    // real BMP decode -> featurize pipeline; emits per-doc feature norms
     // (feature energy = graft_dot(f, f) — same fp sequence as the lambda
     // aggregate it replaces, one codegen node instead of a HOF chain)
     "mm_decode_features" -> ((s, d) => {
@@ -37,8 +39,9 @@ object MultimodalQueries {
     }),
 
     // video-shaped pipeline: sample every 4th 256-byte "frame", per-frame
-    // stub-decode + featurize, then per-doc frame stats — the fan-out
-    // happens inside the task (flatMap), aggregation is the only shuffle
+    // decode (stub path — frames are byte blocks, not standalone BMPs) +
+    // featurize, then per-doc frame stats — the fan-out happens inside the
+    // task (flatMap), aggregation is the only shuffle
     "mm_frame_features" -> ((s, d) => {
       graft.expressions.GraftExtensions.register(s)
       val frames = Multimodal.frameFeaturize(
@@ -53,8 +56,8 @@ object MultimodalQueries {
         .orderBy("doc_id")
     }),
 
-    // decode -> REAL nearest-neighbor resize to an 8x8 thumbnail ->
-    // featurize; deterministic end to end
+    // real BMP decode (true raster dims) -> nearest-neighbor resize to an
+    // 8x8 thumbnail -> featurize; deterministic end to end
     "mm_thumbnail_features" -> ((s, d) => {
       graft.expressions.GraftExtensions.register(s)
       val feats = Multimodal.thumbnailFeaturize(

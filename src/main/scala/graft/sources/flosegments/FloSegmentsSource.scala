@@ -50,6 +50,35 @@ class FloSegmentsSource extends TableProvider with DataSourceRegister {
     new FloSegmentsTable(properties.get("path"))
 }
 
+/**
+ * Mid-stream batch-size renegotiation (the reference's `SetBatchSize` verb,
+ * flo-protocol/src/client.rs:261-262: a client changes its consume batch
+ * budget on a live connection, effective from the next batch). Spark fixes
+ * source options at query start, so the renegotiated budget travels OUTSIDE
+ * the option map: a driver-side registry keyed by the load path, consulted by
+ * every live micro-batch stream on each `latestOffset` call — the next
+ * micro-batch admits under the new budget, no restart needed.
+ */
+object FloSegmentsSource {
+  private val budgetOverrides =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Renegotiate the per-micro-batch event budget for every live stream
+    * reading `path` (the exact string passed to `.load(...)`). Takes effect
+    * at the next micro-batch boundary. */
+  def setBatchSize(path: String, maxEvents: Long): Unit = {
+    require(maxEvents > 0, s"batch size must be positive, got $maxEvents")
+    budgetOverrides.put(path, maxEvents)
+  }
+
+  /** Drop a renegotiated budget: streams fall back to their start-time
+    * `maxEventsPerTrigger` option (or unlimited). */
+  def clearBatchSize(path: String): Unit = budgetOverrides.remove(path)
+
+  private[flosegments] def batchSizeOverride(path: String): Option[Long] =
+    Option(budgetOverrides.get(path)).map(_.longValue)
+}
+
 final class FloSegmentsTable(path: String) extends Table with SupportsRead {
   require(path != null, "flo-segments requires a path (.load(dir))")
   override def name(): String = s"flo-segments(`$path`)"
@@ -141,8 +170,12 @@ final class FloSegmentsMicroBatchStream(path: String, maxEventsPerTrigger: Optio
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
     import org.apache.spark.sql.connector.read.streaming.ReadMaxRows
     val s = start.asInstanceOf[SegmentsOffset].positions
-    limit match {
-      case r: ReadMaxRows => admit(s, r.maxRows())
+    // a renegotiated budget (SetBatchSize parity) overrides the start-time
+    // limit from the NEXT batch on — checked per call, so a live stream
+    // honors the change without a restart
+    (FloSegmentsSource.batchSizeOverride(path), limit) match {
+      case (Some(b), _) => admit(s, b)
+      case (None, r: ReadMaxRows) => admit(s, r.maxRows())
       case _ => SegmentsOffset(universe)
     }
   }

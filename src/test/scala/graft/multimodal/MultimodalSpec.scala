@@ -5,6 +5,69 @@ import graft.multimodal.Multimodal._
 
 class MultimodalSpec extends SparkSuite {
 
+  test("BMP codec round-trips pixels exactly, including non-multiple-of-4 widths") {
+    for (w <- Seq(1, 3, 4, 7, 32); h <- Seq(1, 2, 5)) {
+      val px = Array.tabulate(w * h)(i => (i * 37 + w) % 256)
+      val bmp = encodeBmp(px, w, h)
+      assert(bmp(0) == 'B'.toByte && bmp(1) == 'M'.toByte)
+      val Some((dw, dh, dpx)) = decodeBmp(bmp)
+      assert((dw, dh) == ((w, h)), s"dims lost at ${w}x$h")
+      assert(dpx.toSeq == px.toSeq, s"pixels corrupted at ${w}x$h")
+    }
+  }
+
+  test("BMP decode handles 24-bit and top-down rasters, rejects malformed bytes") {
+    // hand-build a 2x2 top-down 24-bit BMP: gray = mean(BGR)
+    val buf = java.nio.ByteBuffer.allocate(14 + 40 + 2 * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(buf.capacity())
+      .putShort(0).putShort(0).putInt(54)
+    buf.putInt(40).putInt(2).putInt(-2).putShort(1).putShort(24)
+      .putInt(0).putInt(16).putInt(0).putInt(0).putInt(0).putInt(0)
+    // row 0 (top): pixels BGR (10,20,30) -> 20, (60,60,60) -> 60, pad 2
+    buf.put(10.toByte).put(20.toByte).put(30.toByte)
+      .put(60.toByte).put(60.toByte).put(60.toByte).putShort(0)
+    // row 1: (90,90,90) -> 90, (0,0,3) -> 1, pad 2
+    buf.put(90.toByte).put(90.toByte).put(90.toByte)
+      .put(0.toByte).put(0.toByte).put(3.toByte).putShort(0)
+    val Some((w, h, px)) = decodeBmp(buf.array())
+    assert((w, h) == ((2, 2)))
+    assert(px.toSeq == Seq(20, 60, 90, 1)) // top-down preserved as row 0 first
+    // malformed inputs fall through to None, never throw
+    assert(decodeBmp(Array[Byte]('B', 'M', 1, 2, 3)).isEmpty)
+    assert(decodeBmp("not a bitmap at all, just text".getBytes).isEmpty)
+    assert(decodeBmp(Array.empty[Byte]).isEmpty)
+    // truncated pixel data: header claims more rows than the buffer holds
+    val truncated = encodeBmp(Array.tabulate(64)(identity), 8, 8).take(1100)
+    assert(decodeBmp(truncated).isEmpty)
+  }
+
+  test("documentsAsMedia payloads are real BMPs that decode back to the text bytes") {
+    val items = documentsAsMedia(spark, "/root/testdata/sf0.001").limit(10).collect()
+    assert(items.nonEmpty)
+    items.foreach { item =>
+      val Some((w, h, px)) = decodeBmp(item.data)
+      assert(w == item.width && h == item.height, s"doc ${item.doc_id} dims")
+      // decoded pixels = text bytes + zero padding to the raster
+      assert(px.length >= 1 && px.length == w * h)
+      val expectedPrefix = px.takeWhile(_ != 0) // text bytes are non-zero ASCII
+      assert(expectedPrefix.nonEmpty)
+    }
+  }
+
+  test("encode -> decode -> resize is deterministic end to end") {
+    val px = Array.tabulate(300)(i => (i * 7) % 256)
+    val bmp = encodeBmp(px, 20, 15)
+    val Some((w, h, dpx)) = decodeBmp(bmp)
+    val a = resizeNearest(dpx, w, h, 8, 8)
+    val b = resizeNearest(decodeBmp(encodeBmp(px, 20, 15)).get._3, 20, 15, 8, 8)
+    assert(a.toSeq == b.toSeq)
+    assert(a.length == 64 && a.forall(v => v >= 0 && v < 256))
+    // real-dims resize samples from the true raster: row 0 of the thumb
+    // comes from row 0 of the source
+    assert(a(0) == px(0))
+  }
+
   test("stub decode is deterministic and length-preserving") {
     val bytes = "hello multimodal".getBytes("UTF-8")
     val px1 = decodeImageStub(bytes)

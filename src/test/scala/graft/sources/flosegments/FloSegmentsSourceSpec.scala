@@ -124,6 +124,32 @@ class FloSegmentsSourceSpec extends SparkSuite {
     assert(nonEmpty.length == 4, s"expected 4 full batches of 10, got $sizes")
   }
 
+  test("SetBatchSize renegotiates the budget on a live stream (client.rs:261-262)") {
+    val dir = tempDir("segsrc-renegotiate")
+    writeSegment(dir, "1.events", (1L to 40L).map(i => event(i, s"/r/$i")))
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    try {
+      val q = spark.readStream.format("flo-segments")
+        .option("maxEventsPerTrigger", "10")
+        .load(dir)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val n = b.count()
+          sizes.synchronized { sizes += n }
+          // renegotiate after the second batch: foreachBatch runs on the
+          // stream's driver thread, so the new budget is in place before
+          // the next latestOffset call — no restart
+          if (sizes.count(_ > 0) == 2) FloSegmentsSource.setBatchSize(dir, 20L)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      assert(sizes.filter(_ > 0).toSeq == Seq(10L, 10L, 20L),
+        s"expected 10+10 then a renegotiated 20, got $sizes")
+    } finally FloSegmentsSource.clearBatchSize(dir)
+  }
+
   test("admission drains 10+ segments in NUMERIC order, not lexicographic") {
     val dir = tempDir("segsrc-numorder")
     // 12 segments of 5 events each; lexicographic order would visit
