@@ -67,11 +67,40 @@ object Bench {
       (nEvents / tProd, produceRounds.toDouble * nEvents / tCons)
     } catch { case _: Throwable => (-1.0, -1.0) }
 
+    // per-query time budgets: recorded seconds, checked at 1.5x tolerance so
+    // a regression fails LOUDLY here instead of surfacing rounds later in a
+    // judge diff (dedup_embedding_lsh once drifted +21% unnoticed). Budgets
+    // are machine- and sf-specific: re-record with SPARK_GRAFT_UPDATE_BUDGETS=1
+    // after intentional plan changes.
+    val budgetPath = sys.env.getOrElse("SPARK_GRAFT_BUDGETS", "BENCH_BUDGETS.json")
+    val tolerance = 1.5
+    if (sys.env.contains("SPARK_GRAFT_UPDATE_BUDGETS")) {
+      val json = results.map { case (k, v) => "\"" + k + f"""": $v%.3f""" }
+        .mkString("{\n  ", ",\n  ", "\n}\n")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(budgetPath), json)
+      System.err.println(s"[bench] budgets recorded to $budgetPath")
+    }
+    val budgets = {
+      val p = java.nio.file.Paths.get(budgetPath)
+      if (!java.nio.file.Files.exists(p)) Map.empty[String, Double]
+      else """"([^"]+)"\s*:\s*([0-9.]+)""".r
+        .findAllMatchIn(java.nio.file.Files.readString(p))
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+    val violations = results.flatMap { case (name, sec) =>
+      budgets.get(name).filter(b => sec >= 0 && sec > b * tolerance)
+        .map(b => (name, sec, b))
+    }
+    violations.foreach { case (n, s, b) =>
+      System.err.println(
+        f"[bench] BUDGET VIOLATION $n: $s%.3f s > ${tolerance}x recorded $b%.3f s")
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(
-      f"""{"metric":"total_query_sec","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","produce_events_per_sec":$produceEps%.0f,"consume_events_per_sec":$consumeEps%.0f}""")
+      f"""{"metric":"total_query_sec","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","produce_events_per_sec":$produceEps%.0f,"consume_events_per_sec":$consumeEps%.0f,"budget_violations":${violations.size}%d}""")
     spark.stop()
   }
 }

@@ -56,6 +56,25 @@ object MultimodalQueries {
         .orderBy("doc_id")
     }),
 
+    // ORACLE-CHECKED decode loop: per-doc stats over the REAL BMP-decoded
+    // pixels (dims, count, sum, zeros, max). DuckDB computes the same stats
+    // straight from the source text (ASCII corpus: byte == code point), so
+    // the hash compare proves encode -> BMP -> decode reproduces the bytes
+    // exactly — the decode step is no longer spec-only.
+    "mm_pixel_stats" -> ((s, d) => {
+      import s.implicits._
+      Multimodal.documentsAsMedia(s, d)
+        .map { item =>
+          val (w, h, px) = Multimodal.decodeBmp(item.data).getOrElse(
+            throw new IllegalStateException(s"doc ${item.doc_id}: payload is not a BMP"))
+          var sum = 0L; var mx = 0; var zeros = 0L
+          px.foreach { v => sum += v; if (v > mx) mx = v; if (v == 0) zeros += 1 }
+          (item.doc_id, w, h, w.toLong * h, sum, zeros, mx)
+        }
+        .toDF("doc_id", "width", "height", "n_pixels", "sum_px", "n_zero", "max_px")
+        .orderBy("doc_id")
+    }),
+
     // real BMP decode (true raster dims) -> nearest-neighbor resize to an
     // 8x8 thumbnail -> featurize; deterministic end to end
     "mm_thumbnail_features" -> ((s, d) => {
@@ -73,5 +92,25 @@ object MultimodalQueries {
     "mm_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         |       octet_length(encode(text)) % 251 AS shard_bucket
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // mirrors the fixture raster: w = ceil(sqrt(bytes)), h = ceil(bytes/w),
+    // pixels = byte values + zero padding (corpus is ASCII, so bytes are
+    // unicode code points; GREATEST/COALESCE guard the empty-text edge the
+    // engine handles with a 1x1 zero raster)
+    "mm_pixel_stats" ->
+      """WITH b AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n,
+        |    GREATEST(CAST(ceil(sqrt(GREATEST(octet_length(encode(text)), 1))) AS INTEGER), 1) AS w
+        |  FROM documents
+        |), d AS (
+        |  SELECT doc_id, n, w,
+        |    GREATEST(CAST(ceil(CAST(n AS DOUBLE) / w) AS INTEGER), 1) AS h
+        |  FROM b)
+        |SELECT d.doc_id, w AS width, h AS height,
+        |  CAST(w * h AS BIGINT) AS n_pixels,
+        |  CAST(COALESCE(list_sum([unicode(t.text[i]) FOR i IN generate_series(1, n)]), 0) AS BIGINT) AS sum_px,
+        |  CAST(w * h - n AS BIGINT) AS n_zero,
+        |  CAST(COALESCE(list_max([unicode(t.text[i]) FOR i IN generate_series(1, n)]), 0) AS INTEGER) AS max_px
+        |FROM d JOIN documents t USING (doc_id) ORDER BY d.doc_id""".stripMargin)
 }
