@@ -109,6 +109,17 @@ object PipelineQueries {
     // 100 TB).
     "pipe_pack_bins" -> ((s, d) => packBins(docs(s, d))),
 
+    // sequence packing (the training-prep step after cleaning: concatenate
+    // docs into fixed token windows, here 512): docs are hash-assigned to 64
+    // UNIFORM shards (no skew by construction — unlike lang/bucket keys) and
+    // packed greedily in salted-hash order; a doc belongs to the sequence its
+    // cumulative token offset falls in (the standard pack-then-split
+    // approximation, where a straddling doc is cut at the boundary). Output
+    // is the per-sequence audit (doc count, token fill). Scale: the heavy
+    // window is a per-shard running sum — linear merge per shard, shard
+    // count is a free parallelism knob independent of any data property.
+    "pipe_seq_pack" -> ((s, d) => seqPack(docs(s, d))),
+
     // corpus length histogram: fixed-width integer buckets (50 chars, open
     // top bucket) — the first plot of any dataset audit. Pure integer math
     // end to end; one shuffle on a 12-value key.
@@ -239,6 +250,24 @@ object PipelineQueries {
       .orderBy("bin")
   }
 
+  /** Sequence packing audit (see `pipe_seq_pack`): per-(shard, seq) doc and
+    * token counts at `window` tokens per training sequence. */
+  private[queries] def seqPack(
+      documents: DataFrame, window: Int = 512, shards: Int = 64): DataFrame = {
+    val nTok = size(split(trim(col("text")), " +"))
+    val h = md5(concat(lit("graft-seq:"), col("doc_id").cast("string")))
+    val base = documents.select(col("doc_id"), nTok.as("n_tokens"), h.as("h"))
+      .withColumn("shard", saltCol(col("h"), shards))
+    val wCum = Window.partitionBy("shard").orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(wCum), lit(0)))
+      .withColumn("seq_id", floor(col("cum_before") / window))
+      .groupBy("shard", "seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens").cast("long")).as("total_tokens"))
+      .orderBy("shard", "seq_id")
+  }
+
   /** Non-overlapping 10-word chunks per doc (the "lines" of a corpus whose
     * docs carry no newlines). */
   private[queries] def docChunks(documents: DataFrame): DataFrame =
@@ -337,6 +366,26 @@ object PipelineQueries {
         |  FROM s)
         |SELECT bin, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
         |FROM r GROUP BY bin ORDER BY bin""".stripMargin,
+
+    // NB window=512 is a power of two, so cum/512 divides exactly in both
+    // engines' double arithmetic — floor never sits on a rounding edge
+    "pipe_seq_pack" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    len(string_split_regex(trim(text), ' +')) AS n_tokens,
+        |    md5('graft-seq:' || CAST(doc_id AS VARCHAR)) AS h,
+        |    CAST('0x' || substring(md5('graft-seq:' || CAST(doc_id AS VARCHAR)), 29, 4) AS INTEGER) % 64 AS shard
+        |  FROM documents
+        |), c AS (
+        |  SELECT shard, doc_id, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM b
+        |), s AS (
+        |  SELECT shard, CAST(floor(cum_before / 512) AS BIGINT) AS seq_id, n_tokens FROM c)
+        |SELECT shard, seq_id, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        |FROM s GROUP BY shard, seq_id ORDER BY shard, seq_id""".stripMargin,
 
     "text_len_histogram" ->
       """SELECT least(CAST(floor(length(text) / 50) AS BIGINT), 11) AS bucket,

@@ -183,6 +183,31 @@ class PipelineSpec extends SparkSuite {
       s"imbalanced bins: ${tokens.mkString(",")}")
   }
 
+  test("seq_pack conserves docs and tokens with contiguous sequence ids per shard") {
+    val docs = Tables.load(spark, sfMid, "documents")
+    val nDocs = docs.count()
+    val totalTokens = docs
+      .select(size(split(trim(col("text")), " +")).cast("long").as("n"))
+      .agg(sum("n")).collect().head.getLong(0)
+    val rows = PipelineQueries.queries("pipe_seq_pack")(spark, sfMid).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    assert(rows.map(_.getAs[Long]("total_tokens")).sum == totalTokens)
+    // contiguity below relies on no doc spanning two whole windows — true
+    // for this corpus (docs cap around ~120 tokens); assert the precondition
+    // so the check can't silently go vacuous on future fixtures
+    val maxTok = docs.select(max(size(split(trim(col("text")), " +"))))
+      .collect().head.getInt(0)
+    assert(maxTok <= 512, s"fixture changed: max doc tokens $maxTok > window")
+    // per shard: sequence ids are contiguous from 0 (greedy packing leaves
+    // no holes — a sequence exists iff some doc's cumulative offset lands in it)
+    rows.groupBy(_.getAs[Long]("shard")).foreach { case (shard, rs) =>
+      val ids = rs.map(_.getAs[Long]("seq_id")).sorted
+      assert(ids.head == 0L, s"shard $shard starts at ${ids.head}")
+      assert(ids.zipWithIndex.forall { case (id, i) => id == i },
+        s"shard $shard has sequence holes: ${ids.mkString(",")}")
+    }
+  }
+
   test("length histogram buckets are disjoint, exhaustive, and label-consistent") {
     val total = Tables.load(spark, sf, "documents").count()
     val rows = PipelineQueries.queries("text_len_histogram")(spark, sf).collect()
