@@ -154,23 +154,14 @@ object DedupQueries {
   private val EmbBands = 32
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // exact dedup: content-hash group-by (the 100 TB workhorse — one shuffle)
-    "dedup_exact" -> ((s, d) => {
-      docs(s, d)
-        .groupBy(md5(col("text")).as("text_hash"))
-        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
-        .orderBy("text_hash")
-    }),
+    // exact dedup: content-hash group-by (the 100 TB workhorse — one
+    // shuffle), via the public library operator
+    "dedup_exact" -> ((s, d) =>
+      graft.operators.CorpusOps.exactDedup(docs(s, d)).orderBy("text_hash")),
 
     // normalized dedup: case/punctuation/whitespace-insensitive content hash
-    "dedup_norm" -> ((s, d) => {
-      val norm = trim(regexp_replace(
-        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
-      docs(s, d)
-        .groupBy(md5(norm).as("norm_hash"))
-        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
-        .orderBy("norm_hash")
-    }),
+    "dedup_norm" -> ((s, d) =>
+      graft.operators.CorpusOps.normalizedDedup(docs(s, d)).orderBy("norm_hash")),
 
     // MinHash + LSH banding: candidate pairs from band collisions, then
     // exact Jaccard verification on the candidates only. Signatures come
@@ -232,57 +223,14 @@ object DedupQueries {
     // "A ~ B" verdicts into dedup GROUPS so a pipeline keeps exactly one
     // canonical doc per cluster — the step after any pairwise dedup at
     // corpus scale (pairs alone over-delete when A~B and B~C but A!~C).
-    // Hash-min label propagation: each round is ONE distributed join+agg
-    // pushing the smallest known label across edges; the driver loop tests
-    // only a scalar convergence flag and runs O(cluster diameter) rounds
-    // (near-dup clusters are shallow — single digits even on web corpora).
-    // localCheckpoint truncates lineage so round N never replays 1..N-1;
-    // convergence rides a `changed` flag carried THROUGH the checkpoint, so
-    // testing it is a filter over the already-materialized blocks (a cheap
-    // cached scan) instead of a second labels-vs-labels join job per round.
-    // Each round frees the PRIOR round's checkpoint blocks — without that,
-    // block-manager storage grows linearly with cluster diameter.
-    "dedup_components" -> ((s, d) => {
-      val edges = ngramJaccardPairs(docs(s, d)).select(col("doc_a"), col("doc_b"))
-      val und = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .unionAll(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-        .persist()
-      val sc = s.sparkContext
-      // Dataset.localCheckpoint persists its materialized RDD internally;
-      // the handle to that RDD is not public API, so track it by diffing the
-      // persistent-RDD registry around the (eager) checkpoint call
-      def checkpointed(df: DataFrame): (DataFrame, Set[Int]) = {
-        val before = sc.getPersistentRDDs.keySet.toSet
-        val out = df.localCheckpoint(true)
-        (out, sc.getPersistentRDDs.keySet.toSet -- before)
-      }
-      def free(ids: Set[Int]): Unit =
-        ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
-      var (labels, liveIds) = checkpointed(
-        und.select(col("src").as("id")).distinct()
-          .select(col("id"), col("id").as("comp")))
-      var converged = false
-      while (!converged) {
-        val prop = und.join(labels, col("src") === col("id"))
-          .groupBy(col("dst")).agg(min(col("comp")).as("p"))
-        // labels only ever decrease, so "this round changed something"
-        // ⟺ some propagated min undercuts the current label (p < comp)
-        val (next, nextIds) = checkpointed(labels
-          .join(prop, col("id") === col("dst"), "left")
-          .select(col("id"),
-            least(col("comp"), coalesce(col("p"), col("comp"))).as("comp"),
-            (coalesce(col("p"), col("comp")) < col("comp")).as("changed")))
-        converged = next.filter(col("changed")).isEmpty
-        free(liveIds)
-        labels = next.drop("changed")
-        liveIds = nextIds
-      }
-      und.unpersist()
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("comp")
-      labels.select(col("id").as("doc_id"), col("comp").as("component"),
-          count(lit(1)).over(w).as("n_members"))
-        .orderBy("doc_id")
-    }),
+    // Hash-min label propagation via the public library operator
+    // [[graft.operators.CorpusOps.connectedComponents]]: one join+agg per
+    // round, O(cluster diameter) rounds, convergence off a `changed` flag
+    // carried through each round's checkpoint, prior rounds' blocks freed.
+    "dedup_components" -> ((s, d) =>
+      graft.operators.CorpusOps.connectedComponents(
+          ngramJaccardPairs(docs(s, d)).select(col("doc_a"), col("doc_b")))
+        .orderBy("doc_id")),
 
     // embedding-space near-dup, exact baseline: all-pairs cosine >= 0.4 as
     // a declarative broadcast-nested-loop join with the codegen'd graft_dot

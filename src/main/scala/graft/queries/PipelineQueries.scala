@@ -34,7 +34,7 @@ object PipelineQueries {
   /** Word 5-gram rows per doc, 0-based positions, NOT deduplicated (mirrors
     * the trigram construction in [[DedupQueries.ngramJaccardPairs]]; callers
     * dedupe where — and only where — the plan needs it). */
-  private[queries] def fiveGrams(documents: DataFrame): DataFrame =
+  private[graft] def fiveGrams(documents: DataFrame): DataFrame =
     documents
       .select(col("doc_id"), split(trim(col("text")), " +").as("w"))
       .filter(size(col("w")) >= 5)
@@ -166,12 +166,12 @@ object PipelineQueries {
 
   /** Salt-group fan-out for the two-level window rewrites below: 32 groups
     * turn one hot key into 32 shuffle partitions. */
-  private[queries] val StratSalts = 32
+  private[graft] val StratSalts = 32
 
   /** Broadcast budget for the decontamination eval-gram set: ~50 MB at
     * ~50 B/gram — comfortably broadcastable; beyond it the join falls back
     * to a shuffle (eval sets are MBs in practice, but nothing enforces it). */
-  private[queries] val MaxBroadcastGrams = 1000000L
+  private[graft] val MaxBroadcastGrams = 1000000L
 
   /** Deterministic salt in [0, salts) carved from the TAIL of the md5 hex
     * (the rank ORDER uses the hash from position 1, so head and tail stay
@@ -179,36 +179,24 @@ object PipelineQueries {
   private def saltCol(h: org.apache.spark.sql.Column, salts: Int) =
     pmod(conv(substring(h, 29, 4), 16, 10).cast("long"), lit(salts))
 
-  /**
-   * Benchmark decontamination with a guarded build side: the eval 5-gram set
-   * is SIZED first (the count's doc_id predicate pushes below the gram
-   * explode, so it scans only eval docs) and broadcast only when it fits the
-   * budget — past that the join degrades gracefully to a shuffle hash join
-   * instead of OOMing the driver/executors on an oversized broadcast.
-   */
+  /** Catalog rendering of [[graft.operators.CorpusOps.decontaminate]]: the
+    * eval corpus is the doc_id % 20 == 0 slice (the stand-in for a real
+    * held-out benchmark), the rest is training. The broadcast guard and the
+    * join-before-dedupe ordering live in the library operator. */
   private[queries] def decontaminate(
       documents: DataFrame,
-      maxBroadcastGrams: Long = MaxBroadcastGrams): DataFrame = {
-    val grams = fiveGrams(documents)
-    val benchGrams = grams.filter(pmod(col("doc_id"), lit(20)) === 0)
-      .select("gram").distinct()
-    val evalSide =
-      if (benchGrams.count() <= maxBroadcastGrams) broadcast(benchGrams) else benchGrams
-    // join raw gram rows FIRST (the filter drops the clean ~everything),
-    // dedupe (doc_id, gram) only on the rare survivors — deduping before
-    // the join would shuffle the whole corpus gram stream
-    grams.filter(pmod(col("doc_id"), lit(20)) =!= 0)
-      .join(evalSide, "gram")
-      .dropDuplicates("doc_id", "gram")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      maxBroadcastGrams: Long = MaxBroadcastGrams): DataFrame =
+    graft.operators.CorpusOps.decontaminate(
+        train = documents.filter(pmod(col("doc_id"), lit(20)) =!= 0),
+        eval = documents.filter(pmod(col("doc_id"), lit(20)) === 0),
+        maxBroadcastGrams = maxBroadcastGrams)
       .orderBy("doc_id")
-  }
 
   /** Stage 1 of the stratified sample: per-(lang, salt) top-k survivors —
     * a provably recall-complete skew pre-filter for the per-lang top-k
     * (any global top-k row is in its salt group's top k). Returns
     * (doc_id, lang, h) with at most k*salts rows per language. */
-  private[queries] def stratifiedSurvivors(
+  private[graft] def stratifiedSurvivors(
       documents: DataFrame, k: Int, salts: Int): DataFrame = {
     val h = md5(concat(lit("graft-strat:"), col("doc_id").cast("string")))
     val base = documents.select(col("doc_id"), col("lang"), h.as("h"))
@@ -229,7 +217,7 @@ object PipelineQueries {
    * remainder docs from piling into bin 0 across strata (measured ~18%
    * token skew unrotated at 500 docs; rotated < 10%).
    */
-  private[queries] def packBins(
+  private[graft] def packBins(
       documents: DataFrame, nBins: Int = 8, salts: Int = StratSalts): DataFrame = {
     val nTok = size(split(trim(col("text")), " +"))
     val h = md5(concat(lit("graft-pack:"), col("doc_id").cast("string")))
@@ -252,7 +240,7 @@ object PipelineQueries {
 
   /** Sequence packing audit (see `pipe_seq_pack`): per-(shard, seq) doc and
     * token counts at `window` tokens per training sequence. */
-  private[queries] def seqPack(
+  private[graft] def seqPack(
       documents: DataFrame, window: Int = 512, shards: Int = 64): DataFrame = {
     val nTok = size(split(trim(col("text")), " +"))
     val h = md5(concat(lit("graft-seq:"), col("doc_id").cast("string")))
@@ -270,7 +258,7 @@ object PipelineQueries {
 
   /** Non-overlapping 10-word chunks per doc (the "lines" of a corpus whose
     * docs carry no newlines). */
-  private[queries] def docChunks(documents: DataFrame): DataFrame =
+  private[graft] def docChunks(documents: DataFrame): DataFrame =
     documents
       .select(col("doc_id"), split(trim(col("text")), " +").as("w"))
       .select(col("doc_id"),
@@ -280,7 +268,7 @@ object PipelineQueries {
         expr("array_join(slice(w, 1 + 10*i, 10), ' ')").as("chunk"))
 
   /** Per-doc duplicated-chunk stats (see `pipe_chunk_dedup`). */
-  private[queries] def chunkDedup(documents: DataFrame): DataFrame = {
+  private[graft] def chunkDedup(documents: DataFrame): DataFrame = {
     val chunks = docChunks(documents)
     val shared = chunks.groupBy("chunk")
       .agg(countDistinct("doc_id").as("nd"))

@@ -79,6 +79,47 @@ class ScaleOpsSpec extends SparkSuite {
     assert(pairs(broadcastIv = false) == expected)
   }
 
+  test("connectedComponents labels chains and singleton-free pairs correctly") {
+    import spark.implicits._
+    // two components: a 4-node chain (1-2-3-4) and a 2-node pair (10-11);
+    // the chain forces multiple propagation rounds (diameter 3)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val got = CorpusOps.connectedComponents(pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("component"), r.getAs[Long]("n_members"))).toMap
+    assert(got == Map(
+      1L -> (1L, 4L), 2L -> (1L, 4L), 3L -> (1L, 4L), 4L -> (1L, 4L),
+      10L -> (10L, 2L), 11L -> (10L, 2L)))
+  }
+
+  test("decontaminate flags overlap against a SEPARATE eval table") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // shares both eval 5-grams
+      (2L, "one two three four five six"),         // clean
+      (3L, "zz alpha beta gamma delta epsilon")    // shares one
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val hits = CorpusOps.decontaminate(train, eval)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits == Map(1L -> 2L, 3L -> 1L), s"got $hits")
+  }
+
+  test("exactDedup and normalizedDedup group copies under the minimum id") {
+    import spark.implicits._
+    val docs = Seq(
+      (5L, "Hello, World!"), (2L, "Hello, World!"), (9L, "hello world"),
+      (7L, "unique text here")).toDF("doc_id", "text")
+    val exact = CorpusOps.exactDedup(docs).collect()
+      .map(r => r.getAs[Long]("keep_id") -> r.getAs[Long]("n_copies")).toMap
+    assert(exact == Map(2L -> 2L, 9L -> 1L, 7L -> 1L))
+    // normalization folds punctuation/case: all three hellos collapse
+    val norm = CorpusOps.normalizedDedup(docs).collect()
+      .map(r => r.getAs[Long]("keep_id") -> r.getAs[Long]("n_copies")).toMap
+    assert(norm == Map(2L -> 3L, 7L -> 1L))
+  }
+
   test("salted join produces identical results to a plain join") {
     import spark.implicits._
     // heavily skewed big side: 90% of rows share key 1
