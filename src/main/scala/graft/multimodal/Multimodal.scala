@@ -73,17 +73,22 @@ object Multimodal {
     val buf = java.nio.ByteBuffer.wrap(data).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     val dataOffset = buf.getInt(10)
     val hdrSize = buf.getInt(14)
-    if (hdrSize < 40) return None
+    // header fields are attacker-controlled ints: validate in Long space and
+    // cap dimensions, or a crafted header overflows stride/pixel-count math
+    // and throws through the documented never-throws contract
+    if (hdrSize < 40 || hdrSize.toLong > data.length - 14L) return None
     val width = buf.getInt(18)
     val rawH = buf.getInt(22)
     val topDown = rawH < 0
-    val height = math.abs(rawH)
+    val height = if (rawH == Int.MinValue) return None else math.abs(rawH)
     val bpp = buf.getShort(28) & 0xffff
     val compression = buf.getInt(30)
-    if (width <= 0 || height <= 0 || compression != 0) return None
+    if (width <= 0 || width > MaxBmpDim || height <= 0 || height > MaxBmpDim ||
+      compression != 0) return None
     if (bpp != 8 && bpp != 24) return None
-    val stride = ((width * bpp / 8) + 3) & ~3
-    if (dataOffset < 14 + hdrSize ||
+    if (width.toLong * height > MaxBmpPixels) return None
+    val stride = (((width.toLong * bpp / 8) + 3) & ~3L).toInt
+    if (dataOffset.toLong < 14L + hdrSize ||
       dataOffset.toLong + stride.toLong * height > data.length) return None
     val paletteOff = 14 + hdrSize
     val px = new Array[Int](width * height)
@@ -110,6 +115,12 @@ object Multimodal {
     }
     Some((width, height, px))
   }
+
+  /** Decode caps: 16384 px per side, 16M pixels total (a 64 MiB int raster)
+    * — far above any fixture, small enough that a crafted header cannot
+    * allocate executor-killing arrays. */
+  private val MaxBmpDim = 1 << 14
+  private val MaxBmpPixels = 1L << 24
 
   /** Decode a payload: real BMP decode when the bytes are a BMP, the
     * deterministic stub otherwise (pixels = payload bytes). */

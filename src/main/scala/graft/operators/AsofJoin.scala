@@ -33,6 +33,11 @@ object AsofJoin {
    * with equal time, the last by `rightOrder` ascending wins — pass the
    * right table's unique id to pin a deterministic winner (with `rightOrder`
    * empty and duplicate right times, the winner is plan-dependent).
+   *
+   * NULL times follow SQL comparison semantics: a right row with NULL
+   * `rightTime` matches nothing (it is dropped — without that it would sort
+   * NULLS FIRST and read as "before everything"), and a left row with NULL
+   * `leftTime` gets a null match.
    */
   def asof(
       left: DataFrame,
@@ -56,7 +61,7 @@ object AsofJoin {
     val vType = StructType(valueCols.map(c => right.schema(c)))
     val oTypes = rightOrder.map(c => right.schema(c).dataType)
 
-    val rightLeg = right.select(
+    val rightLeg = right.where(col(rightTime).isNotNull).select(
       byCols ++ Seq(col(rightTime).as("__t"), lit(0).as("__side"))
         ++ rightOrder.zipWithIndex.map { case (c, i) => col(c).as(s"__o$i") }
         ++ Seq(lit(null).cast(lRowType).as("__lrow"),

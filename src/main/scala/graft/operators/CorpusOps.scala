@@ -12,13 +12,53 @@ import org.apache.spark.sql.functions._
  * discipline as [[AsofJoin]]/[[RangeJoin]]; the reference exposes its
  * operations to embedders the same way, flo-server/tests/embedded_tests.rs).
  *
- * Every operator here keeps the catalog's scale shape: one corpus-sized
- * shuffle on a high-cardinality or salted key, tiny side tables broadcast,
- * id-only pairs on heavy joins. The catalog queries delegate to these (or
- * to the same `private[graft]` kernels), so the DuckDB oracle checks cover
- * this surface too.
+ * The reusable kernels (gram/chunk explosion, salted two-level ranking)
+ * LIVE here; the catalog queries in `graft.queries` delegate to this
+ * object, so the DuckDB oracle checks cover the library path and the
+ * dependency points one way (queries -> operators, never back).
+ *
+ * Every operator keeps the catalog's scale shape: one corpus-sized shuffle
+ * on a high-cardinality or salted key, tiny side tables broadcast, id-only
+ * pairs on heavy joins.
  */
 object CorpusOps {
+
+  /** Salt-group fan-out for the two-level window rewrites: 32 groups turn
+    * one hot key into 32 shuffle partitions. */
+  val DefaultSalts = 32
+
+  /** Broadcast budget for the decontamination eval-gram set: ~50 MB at
+    * ~50 B/gram — comfortably broadcastable; beyond it the join falls back
+    * to a shuffle (eval sets are MBs in practice, but nothing enforces it). */
+  val DefaultMaxBroadcastGrams = 1000000L
+
+  /** Deterministic salt in [0, salts) carved from the TAIL of the md5 hex
+    * (rank ORDER uses the hash from position 1, so head and tail stay
+    * independent-ish; DuckDB oracles read the same lowercase hex). */
+  private[graft] def saltCol(h: org.apache.spark.sql.Column, salts: Int) =
+    pmod(conv(substring(h, 29, 4), 16, 10).cast("long"), lit(salts))
+
+  /** Word 5-gram rows per doc, NOT deduplicated (callers dedupe where — and
+    * only where — the plan needs it). */
+  private[graft] def fiveGrams(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), split(trim(col("text")), " +").as("w"))
+      .filter(size(col("w")) >= 5)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), size(col("w")) - 5)).as("i"), col("w"))
+      .select(col("doc_id"),
+        expr("concat(w[i],' ',w[i+1],' ',w[i+2],' ',w[i+3],' ',w[i+4])").as("gram"))
+
+  /** Non-overlapping 10-word chunks per doc (the "lines" of a corpus whose
+    * docs carry no newlines). */
+  private[graft] def docChunks(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), split(trim(col("text")), " +").as("w"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0),
+          floor((size(col("w")) - 1) / 10).cast("int"))).as("i"), col("w"))
+      .select(col("doc_id"),
+        expr("array_join(slice(w, 1 + 10*i, 10), ' ')").as("chunk"))
 
   /** Exact-duplicate groups: one hash shuffle on the content hash.
     * Returns (text_hash, keep_id = min doc_id, n_copies). */
@@ -36,21 +76,30 @@ object CorpusOps {
 
   /**
    * Benchmark decontamination: training docs sharing at least one word
-   * 5-gram with the eval corpus, with their distinct-hit counts. The eval
-   * gram set is SIZED first and broadcast only when it fits
-   * `maxBroadcastGrams` (~50 MB at the default); past that the join
-   * degrades to a shuffle instead of OOMing on an oversized broadcast. The
-   * corpus-side gram stream never shuffles before the join filter.
+   * 5-gram with the eval corpus, with their distinct-hit counts.
+   *
+   * Broadcast guard without double work: the eval side is sized by its RAW
+   * gram count (Σ max(tokens−4, 0) — one cheap no-explode aggregate), an
+   * upper bound on the distinct gram count. Conservative by construction:
+   * the guard can only fall back to a shuffle early, never broadcast an
+   * oversized set — and the distinct gram set itself is built exactly once,
+   * in the join. The corpus-side gram stream never shuffles before the join
+   * filter drops the clean ~everything; (doc_id, gram) dedupe runs on the
+   * rare survivors only.
    */
   def decontaminate(
       train: DataFrame,
       eval: DataFrame,
-      maxBroadcastGrams: Long = graft.queries.PipelineQueries.MaxBroadcastGrams): DataFrame = {
-    val evalGrams = graft.queries.PipelineQueries.fiveGrams(eval)
-      .select("gram").distinct()
+      maxBroadcastGrams: Long = DefaultMaxBroadcastGrams): DataFrame = {
+    val evalGramsUpper = eval
+      .select(greatest(size(split(trim(col("text")), " +")) - 4, lit(0))
+        .cast("long").as("n"))
+      .agg(coalesce(sum("n"), lit(0L)))
+      .collect().head.getLong(0)
+    val evalGrams = fiveGrams(eval).select("gram").distinct()
     val evalSide =
-      if (evalGrams.count() <= maxBroadcastGrams) broadcast(evalGrams) else evalGrams
-    graft.queries.PipelineQueries.fiveGrams(train)
+      if (evalGramsUpper <= maxBroadcastGrams) broadcast(evalGrams) else evalGrams
+    fiveGrams(train)
       .join(evalSide, "gram")
       .dropDuplicates("doc_id", "gram")
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
@@ -65,13 +114,19 @@ object CorpusOps {
    * each round's localCheckpoint (a cached scan, not a second join), and
    * each round frees the previous round's checkpoint blocks so block
    * storage stays O(1) in rounds. Returns (doc_id, component = min member
-   * id, n_members).
+   * id, n_members). Drives Spark jobs eagerly; call from one thread.
    */
   def connectedComponents(pairs: DataFrame): DataFrame = {
     val sc = pairs.sparkSession.sparkContext
     val und = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
+    // materialize the edge cache BEFORE the first registry snapshot: its
+    // internal cached RDD registers in sc.getPersistentRDDs only at first
+    // materialization, and it must never land in a checkpoint id-diff below
+    // (it would be freed after round 1 and every later round would rebuild
+    // the whole edge pipeline from source)
+    und.count()
     // Dataset.localCheckpoint persists its materialized RDD internally; the
     // handle isn't public API, so track it by diffing the persistent-RDD
     // registry around the (eager) checkpoint call
@@ -108,30 +163,109 @@ object CorpusOps {
   }
 
   /** Per-doc duplicated-chunk stats (cross-document "line" dedup signal):
-    * returns (doc_id, n_chunks, n_dup, dup_frac). One shuffle on the chunk
-    * hash. */
-  def chunkDedupStats(docs: DataFrame): DataFrame =
-    graft.queries.PipelineQueries.chunkDedup(docs)
+    * (doc_id, n_chunks, n_dup, dup_frac). One shuffle on the chunk hash —
+    * the RefinedWeb/Gopher line-dedup plan. */
+  def chunkDedupStats(documents: DataFrame): DataFrame = {
+    val chunks = docChunks(documents)
+    val shared = chunks.groupBy("chunk")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") > 1)
+      .select(col("chunk"), lit(1L).as("is_dup"))
+    chunks.join(shared, Seq("chunk"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup"))
+      .select(col("doc_id"), col("n_chunks"), col("n_dup"),
+        (floor(col("n_dup") * lit(1000) / col("n_chunks")) / 1000).as("dup_frac"))
+  }
 
-  /** Deterministic per-language top-k sample (skew-guarded: per-(lang,
-    * salt) pre-filter, provably recall-complete — see PLANS.md). Returns
-    * (doc_id, lang, rn <= k). */
-  def stratifiedSample(docs: DataFrame, k: Int = 20, salts: Int = 32): DataFrame = {
-    val surv = graft.queries.PipelineQueries.stratifiedSurvivors(docs, k, salts)
+  /** Stage 1 of the stratified sample: per-(lang, salt) top-k survivors —
+    * a provably recall-complete skew pre-filter for the per-lang top-k
+    * (any global top-k row is in its salt group's top k). Returns
+    * (doc_id, lang, h) with at most k*salts rows per language. */
+  private[graft] def stratifiedSurvivors(
+      documents: DataFrame, k: Int, salts: Int): DataFrame = {
+    val h = md5(concat(lit("graft-strat:"), col("doc_id").cast("string")))
+    val base = documents.select(col("doc_id"), col("lang"), h.as("h"))
+      .withColumn("salt", saltCol(col("h"), salts))
+    val wLocal = Window.partitionBy("lang", "salt").orderBy(col("h"), col("doc_id"))
+    base.withColumn("rs", row_number().over(wLocal))
+      .filter(col("rs") <= k)
+      .select("doc_id", "lang", "h")
+  }
+
+  /** Deterministic per-language top-k sample (skew-guarded — see
+    * [[stratifiedSurvivors]] and PLANS.md). Returns (doc_id, lang, rn <= k). */
+  def stratifiedSample(
+      docs: DataFrame, k: Int = 20, salts: Int = DefaultSalts): DataFrame = {
+    val surv = stratifiedSurvivors(docs, k, salts)
     val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
     surv.withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
       .select(col("doc_id"), col("lang"), col("rn"))
   }
 
-  /** Size-balanced shard packing audit via salted two-level ranking.
-    * Returns (bin, n_docs, total_tokens). */
-  def packBins(docs: DataFrame, nBins: Int = 8, salts: Int = 32): DataFrame =
-    graft.queries.PipelineQueries.packBins(docs, nBins, salts)
+  /**
+   * Size-balanced shard packing via salted two-level ranking. The
+   * per-bucket round-robin rank is `row_number() over (partition by bucket
+   * ORDER BY salt, h, doc_id)`, realized scalably as: rank within
+   * (bucket, salt) — the only corpus-sized shuffle, fanned out over
+   * salts*buckets groups — plus an exclusive running offset of the tiny
+   * per-(bucket, salt) counts. The bucket-rotated mod-`nBins` bin keeps
+   * remainder docs from piling into bin 0 across strata. Returns
+   * (bin, n_docs, total_tokens).
+   *
+   * The counts branch is a map-side partial aggregation straight off the
+   * (2-column, pruned) source scan — the corpus is read twice but shuffled
+   * and window-sorted ONCE. Deriving the counts from the ranked output
+   * instead would dedupe the scan only if AQE reused the ranking exchange,
+   * and it measurably does not: column pruning gives the two consumers
+   * different projections (the counts don't need n_tokens), so the
+   * exchanges never canonicalize equal and the window+sort runs twice —
+   * a second pruned scan is strictly cheaper than a second corpus sort.
+   * Caching `base` trades a corpus-sized cache for the extra scan and is
+   * the wrong default at 100 TB.
+   */
+  def packBins(
+      documents: DataFrame, nBins: Int = 8, salts: Int = DefaultSalts): DataFrame = {
+    val nTok = size(split(trim(col("text")), " +"))
+    val h = md5(concat(lit("graft-pack:"), col("doc_id").cast("string")))
+    val base = documents.select(col("doc_id"), nTok.as("n_tokens"), h.as("h"))
+      .withColumn("bucket", least(floor(col("n_tokens") / 8), lit(15)))
+      .withColumn("salt", saltCol(col("h"), salts))
+    val wLocal = Window.partitionBy("bucket", "salt").orderBy(col("h"), col("doc_id"))
+    val ranked = base.withColumn("rs", row_number().over(wLocal).cast("long"))
+    val wOff = Window.partitionBy("bucket").orderBy("salt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy("bucket", "salt").agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
+      .select("bucket", "salt", "off")
+    ranked.join(broadcast(offsets), Seq("bucket", "salt"))
+      .withColumn("bin",
+        pmod(col("off") + col("rs") - 1 + col("bucket"), lit(nBins)).cast("long"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("total_tokens"))
+  }
 
   /** Fixed-window sequence-packing audit (training sequences of `window`
-    * tokens, greedy in salted-hash order within uniformly-hashed shards).
-    * Returns (shard, seq_id, n_docs, total_tokens). */
-  def seqPack(docs: DataFrame, window: Int = 512, shards: Int = 64): DataFrame =
-    graft.queries.PipelineQueries.seqPack(docs, window, shards)
+    * tokens, greedy in salted-hash order within uniformly-hashed shards —
+    * shard count is a free parallelism knob on an unskewable key). Returns
+    * (shard, seq_id, n_docs, total_tokens). Powers of two make the
+    * cumulative-offset division fp-exact; prefer them for `window`. */
+  def seqPack(
+      documents: DataFrame, window: Int = 512, shards: Int = 64): DataFrame = {
+    val nTok = size(split(trim(col("text")), " +"))
+    val h = md5(concat(lit("graft-seq:"), col("doc_id").cast("string")))
+    val base = documents.select(col("doc_id"), nTok.as("n_tokens"), h.as("h"))
+      .withColumn("shard", saltCol(col("h"), shards))
+    val wCum = Window.partitionBy("shard").orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(wCum), lit(0)))
+      .withColumn("seq_id", floor(col("cum_before") / window))
+      .groupBy("shard", "seq_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("total_tokens"))
+  }
 }

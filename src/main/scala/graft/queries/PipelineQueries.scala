@@ -31,17 +31,7 @@ object PipelineQueries {
 
   private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
 
-  /** Word 5-gram rows per doc, 0-based positions, NOT deduplicated (mirrors
-    * the trigram construction in [[DedupQueries.ngramJaccardPairs]]; callers
-    * dedupe where — and only where — the plan needs it). */
-  private[graft] def fiveGrams(documents: DataFrame): DataFrame =
-    documents
-      .select(col("doc_id"), split(trim(col("text")), " +").as("w"))
-      .filter(size(col("w")) >= 5)
-      .select(col("doc_id"),
-        explode(sequence(lit(0), size(col("w")) - 5)).as("i"), col("w"))
-      .select(col("doc_id"),
-        expr("concat(w[i],' ',w[i+1],' ',w[i+2],' ',w[i+3],' ',w[i+4])").as("gram"))
+  private val Ops = graft.operators.CorpusOps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // benchmark decontamination: training docs sharing any word 5-gram with
@@ -59,7 +49,8 @@ object PipelineQueries {
     // One shuffle keyed on the chunk hash — exactly the RefinedWeb/Gopher
     // line-dedup plan, where the dup-line table is orders of magnitude
     // smaller than the corpus.
-    "pipe_chunk_dedup" -> ((s, d) => chunkDedup(docs(s, d))),
+    "pipe_chunk_dedup" -> ((s, d) =>
+      Ops.chunkDedupStats(docs(s, d)).orderBy("doc_id")),
 
     // deterministic stratified sample: the first 20 docs per language in
     // salted-hash order — a reproducible fixed-size eval slice per stratum.
@@ -70,14 +61,8 @@ object PipelineQueries {
     // global top 20 is necessarily in the top 20 of its own salt group, so
     // the final per-lang window ranks <= 20*32 survivor rows per language
     // and its output is identical to the unfiltered single-window rank.
-    "pipe_sample_stratified" -> ((s, d) => {
-      val surv = stratifiedSurvivors(docs(s, d), k = 20, salts = StratSalts)
-      val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
-      surv.withColumn("rn", row_number().over(w).cast("long"))
-        .filter(col("rn") <= 20)
-        .select(col("doc_id"), col("lang"), col("rn"))
-        .orderBy("doc_id")
-    }),
+    "pipe_sample_stratified" -> ((s, d) =>
+      Ops.stratifiedSample(docs(s, d), k = 20).orderBy("doc_id")),
 
     // temperature resampling (α = 0.5): per-language keep probability
     // ∝ sqrt(min_count / count_l), so over-represented languages are
@@ -107,7 +92,7 @@ object PipelineQueries {
     // shuffle runs on (bucket, salt) = up to 16*32 groups, not the 16-task
     // funnel a plain per-bucket window would be (~6 TB sorted per task at
     // 100 TB).
-    "pipe_pack_bins" -> ((s, d) => packBins(docs(s, d))),
+    "pipe_pack_bins" -> ((s, d) => Ops.packBins(docs(s, d)).orderBy("bin")),
 
     // sequence packing (the training-prep step after cleaning: concatenate
     // docs into fixed token windows, here 512): docs are hash-assigned to 64
@@ -118,7 +103,8 @@ object PipelineQueries {
     // is the per-sequence audit (doc count, token fill). Scale: the heavy
     // window is a per-shard running sum — linear merge per shard, shard
     // count is a free parallelism knob independent of any data property.
-    "pipe_seq_pack" -> ((s, d) => seqPack(docs(s, d))),
+    "pipe_seq_pack" -> ((s, d) =>
+      Ops.seqPack(docs(s, d)).orderBy("shard", "seq_id")),
 
     // corpus length histogram: fixed-width integer buckets (50 chars, open
     // top bucket) — the first plot of any dataset audit. Pure integer math
@@ -164,124 +150,18 @@ object PipelineQueries {
         .orderBy("vec_id")
     }))
 
-  /** Salt-group fan-out for the two-level window rewrites below: 32 groups
-    * turn one hot key into 32 shuffle partitions. */
-  private[graft] val StratSalts = 32
-
-  /** Broadcast budget for the decontamination eval-gram set: ~50 MB at
-    * ~50 B/gram — comfortably broadcastable; beyond it the join falls back
-    * to a shuffle (eval sets are MBs in practice, but nothing enforces it). */
-  private[graft] val MaxBroadcastGrams = 1000000L
-
-  /** Deterministic salt in [0, salts) carved from the TAIL of the md5 hex
-    * (the rank ORDER uses the hash from position 1, so head and tail stay
-    * independent-ish; both engines read the same lowercase hex). */
-  private def saltCol(h: org.apache.spark.sql.Column, salts: Int) =
-    pmod(conv(substring(h, 29, 4), 16, 10).cast("long"), lit(salts))
-
   /** Catalog rendering of [[graft.operators.CorpusOps.decontaminate]]: the
     * eval corpus is the doc_id % 20 == 0 slice (the stand-in for a real
     * held-out benchmark), the rest is training. The broadcast guard and the
     * join-before-dedupe ordering live in the library operator. */
   private[queries] def decontaminate(
       documents: DataFrame,
-      maxBroadcastGrams: Long = MaxBroadcastGrams): DataFrame =
-    graft.operators.CorpusOps.decontaminate(
+      maxBroadcastGrams: Long = Ops.DefaultMaxBroadcastGrams): DataFrame =
+    Ops.decontaminate(
         train = documents.filter(pmod(col("doc_id"), lit(20)) =!= 0),
         eval = documents.filter(pmod(col("doc_id"), lit(20)) === 0),
         maxBroadcastGrams = maxBroadcastGrams)
       .orderBy("doc_id")
-
-  /** Stage 1 of the stratified sample: per-(lang, salt) top-k survivors —
-    * a provably recall-complete skew pre-filter for the per-lang top-k
-    * (any global top-k row is in its salt group's top k). Returns
-    * (doc_id, lang, h) with at most k*salts rows per language. */
-  private[graft] def stratifiedSurvivors(
-      documents: DataFrame, k: Int, salts: Int): DataFrame = {
-    val h = md5(concat(lit("graft-strat:"), col("doc_id").cast("string")))
-    val base = documents.select(col("doc_id"), col("lang"), h.as("h"))
-      .withColumn("salt", saltCol(col("h"), salts))
-    val wLocal = Window.partitionBy("lang", "salt").orderBy(col("h"), col("doc_id"))
-    base.withColumn("rs", row_number().over(wLocal))
-      .filter(col("rs") <= k)
-      .select("doc_id", "lang", "h")
-  }
-
-  /**
-   * Shard packing via salted two-level ranking. The per-bucket round-robin
-   * rank is `row_number() over (partition by bucket ORDER BY salt, h,
-   * doc_id)`, realized scalably as: rank within (bucket, salt) — the only
-   * corpus-sized shuffle, fanned out over salts*buckets groups — plus an
-   * exclusive running offset of the tiny per-(bucket, salt) counts
-   * (<= 16*32 rows, broadcast back). The bucket-rotated mod-8 bin keeps the
-   * remainder docs from piling into bin 0 across strata (measured ~18%
-   * token skew unrotated at 500 docs; rotated < 10%).
-   */
-  private[graft] def packBins(
-      documents: DataFrame, nBins: Int = 8, salts: Int = StratSalts): DataFrame = {
-    val nTok = size(split(trim(col("text")), " +"))
-    val h = md5(concat(lit("graft-pack:"), col("doc_id").cast("string")))
-    val base = documents.select(col("doc_id"), nTok.as("n_tokens"), h.as("h"))
-      .withColumn("bucket", least(floor(col("n_tokens") / 8), lit(15)))
-      .withColumn("salt", saltCol(col("h"), salts))
-    val wLocal = Window.partitionBy("bucket", "salt").orderBy(col("h"), col("doc_id"))
-    val ranked = base.withColumn("rs", row_number().over(wLocal).cast("long"))
-    val wOff = Window.partitionBy("bucket").orderBy("salt")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = base.groupBy("bucket", "salt").agg(count(lit(1)).as("c"))
-      .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
-      .select("bucket", "salt", "off")
-    ranked.join(broadcast(offsets), Seq("bucket", "salt"))
-      .withColumn("bin", pmod(col("off") + col("rs") - 1 + col("bucket"), lit(nBins)).cast("long"))
-      .groupBy("bin")
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens").cast("long")).as("total_tokens"))
-      .orderBy("bin")
-  }
-
-  /** Sequence packing audit (see `pipe_seq_pack`): per-(shard, seq) doc and
-    * token counts at `window` tokens per training sequence. */
-  private[graft] def seqPack(
-      documents: DataFrame, window: Int = 512, shards: Int = 64): DataFrame = {
-    val nTok = size(split(trim(col("text")), " +"))
-    val h = md5(concat(lit("graft-seq:"), col("doc_id").cast("string")))
-    val base = documents.select(col("doc_id"), nTok.as("n_tokens"), h.as("h"))
-      .withColumn("shard", saltCol(col("h"), shards))
-    val wCum = Window.partitionBy("shard").orderBy(col("h"), col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    base
-      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(wCum), lit(0)))
-      .withColumn("seq_id", floor(col("cum_before") / window))
-      .groupBy("shard", "seq_id")
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens").cast("long")).as("total_tokens"))
-      .orderBy("shard", "seq_id")
-  }
-
-  /** Non-overlapping 10-word chunks per doc (the "lines" of a corpus whose
-    * docs carry no newlines). */
-  private[graft] def docChunks(documents: DataFrame): DataFrame =
-    documents
-      .select(col("doc_id"), split(trim(col("text")), " +").as("w"))
-      .select(col("doc_id"),
-        explode(sequence(lit(0),
-          floor((size(col("w")) - 1) / 10).cast("int"))).as("i"), col("w"))
-      .select(col("doc_id"),
-        expr("array_join(slice(w, 1 + 10*i, 10), ' ')").as("chunk"))
-
-  /** Per-doc duplicated-chunk stats (see `pipe_chunk_dedup`). */
-  private[graft] def chunkDedup(documents: DataFrame): DataFrame = {
-    val chunks = docChunks(documents)
-    val shared = chunks.groupBy("chunk")
-      .agg(countDistinct("doc_id").as("nd"))
-      .filter(col("nd") > 1)
-      .select(col("chunk"), lit(1L).as("is_dup"))
-    chunks.join(shared, Seq("chunk"), "left")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_chunks"),
-        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup"))
-      .select(col("doc_id"), col("n_chunks"), col("n_dup"),
-        (floor(col("n_dup") * lit(1000) / col("n_chunks")) / 1000).as("dup_frac"))
-      .orderBy("doc_id")
-  }
 
   val oracles: Map[String, String] = Map(
     "pipe_decontaminate" ->

@@ -40,6 +40,19 @@ class MultimodalSpec extends SparkSuite {
     // truncated pixel data: header claims more rows than the buffer holds
     val truncated = encodeBmp(Array.tabulate(64)(identity), 8, 8).take(1100)
     assert(decodeBmp(truncated).isEmpty)
+    // int-overflow-crafted headers: width*bpp or width*height overflowing Int
+    // must return None, not throw through the never-throws contract
+    def crafted(width: Int, height: Int, hdrSize: Int = 40, bpp: Short = 8) = {
+      val b = java.nio.ByteBuffer.allocate(64).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte).put('M'.toByte).putInt(64).putShort(0).putShort(0).putInt(54)
+      b.putInt(hdrSize).putInt(width).putInt(height).putShort(1).putShort(bpp)
+        .putInt(0).putInt(0).putInt(0).putInt(0).putInt(0).putInt(0)
+      b.array()
+    }
+    assert(decodeBmp(crafted(0x10000000, 8)).isEmpty)          // stride overflow
+    assert(decodeBmp(crafted(0x7fffffff, 0x7fffffff)).isEmpty) // pixel-count overflow
+    assert(decodeBmp(crafted(4, Int.MinValue)).isEmpty)        // abs(MinValue) < 0
+    assert(decodeBmp(crafted(4, 4, hdrSize = Int.MaxValue)).isEmpty) // paletteOff overflow
   }
 
   test("documentsAsMedia payloads are real BMPs that decode back to the text bytes") {

@@ -37,6 +37,22 @@ class ScaleOpsSpec extends SparkSuite {
     assert(got.size == 5)
   }
 
+  test("asof join: NULL right times match nothing (SQL comparison semantics)") {
+    import spark.implicits._
+    val readings = Seq((1L, "a", 5L)).toDF("reading_id", "sensor", "t")
+    // one NULL-time calibration and one later real one: the reading must get
+    // a null match, not the NULLS-FIRST row masquerading as "before everything"
+    val cals = Seq(
+      (100L, "a", Option.empty[Long], 9.9),
+      (101L, "a", Option(7L), 1.0)).toDF("cal_id", "sensor", "t", "gain")
+    val got = AsofJoin.asof(readings, cals, "t", "t", by = Seq("sensor"),
+        valueCols = Seq("cal_id", "gain"), rightOrder = Seq("cal_id"))
+      .collect()
+    assert(got.length == 1)
+    assert(got.head.isNullAt(got.head.fieldIndex("asof_cal_id")),
+      s"NULL-time right row matched: ${got.head}")
+  }
+
   test("asof join matches a brute-force reference on a generated pair") {
     import spark.implicits._
     // deterministic pseudo-random pair; brute-force the expected answer

@@ -44,7 +44,7 @@ class PipelineSpec extends SparkSuite {
       (0L, "alpha beta gamma delta epsilon zeta"),
       (1L, "alpha beta gamma delta epsilon zeta"),
       (3L, "one two three four five six seven")).toDF("doc_id", "text")
-    val grams = PipelineQueries.fiveGrams(docs)
+    val grams = graft.operators.CorpusOps.fiveGrams(docs)
     val bench = grams.filter(pmod(col("doc_id"), lit(20)) === 0).select("gram").distinct()
     val hits = grams.filter(pmod(col("doc_id"), lit(20)) =!= 0)
       .join(broadcast(bench), "gram").groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
@@ -58,7 +58,7 @@ class PipelineSpec extends SparkSuite {
     val twelve = (1 to 12).map(i => s"w$i").mkString(" ")
     val other = (1 to 12).map(i => s"x$i").mkString(" ")
     val docs = Seq((1L, twelve), (2L, twelve), (3L, other)).toDF("doc_id", "text")
-    val stats = PipelineQueries.chunkDedup(docs).collect()
+    val stats = graft.operators.CorpusOps.chunkDedupStats(docs).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
     // 12 words -> 2 chunks (10 + 2)
     assert(stats(1L) == ((2L, 2L, 1.0)))
@@ -96,7 +96,7 @@ class PipelineSpec extends SparkSuite {
     val docs = (1 to 1000)
       .map(i => (i.toLong, if (i <= 900) "dom" else "rare"))
       .toDF("doc_id", "lang")
-    val surv = PipelineQueries.stratifiedSurvivors(docs, k = 20, salts = 32)
+    val surv = graft.operators.CorpusOps.stratifiedSurvivors(docs, k = 20, salts = 32)
     val byLang = surv.groupBy("lang").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     // per-lang survivor count is bounded by k*salts regardless of skew
@@ -144,11 +144,16 @@ class PipelineSpec extends SparkSuite {
     // window partitioned by both, not by bucket alone
     val plan = PipelineQueries.queries("pipe_pack_bins")(spark, sfMid)
       .queryExecution.executedPlan.toString
-    val windowSpecs = "Window \\[row_number".r.findAllIn(plan).size
     assert(plan.contains("bucket"), plan)
     val rankedOnSalt = plan.linesIterator.exists(l =>
       l.contains("row_number") && l.contains("salt"))
     assert(rankedOnSalt, s"corpus ranking window not salted:\n$plan")
+    // the corpus-sized ranking window runs exactly ONCE (the offsets branch
+    // is a partial aggregation off the pruned scan, not a second ranking —
+    // see the packBins scaladoc for why scan-twice beats sort-twice here)
+    val rankingWindows = "row_number\\(\\) windowspecdefinition".r.findAllIn(plan).size
+    assert(rankingWindows == 1,
+      s"expected one ranking window, found $rankingWindows:\n$plan")
   }
 
   test("temperature resampling keeps the rarest language whole and downsamples the rest monotonically") {
