@@ -162,6 +162,20 @@ object CorpusOps {
       count(lit(1)).over(w).as("n_members"))
   }
 
+  /** The dedup APPLY step: given the corpus and its near-dup pair table,
+    * mark each doc kept or dropped — one canonical doc (the min id) per
+    * connected component survives; docs in no component survive untouched.
+    * Exact duplicates share all their shingles, so they land in components
+    * too: this single rule is the whole keep-set. Returns
+    * (doc_id, component = nullable cluster label, kept). */
+  def dedupKeepSet(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val comp = connectedComponents(pairs).select(col("doc_id"), col("component"))
+    docs.select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("component"),
+        (col("component").isNull || col("component") === col("doc_id")).as("kept"))
+  }
+
   /** Per-doc duplicated-chunk stats (cross-document "line" dedup signal):
     * (doc_id, n_chunks, n_dup, dup_frac). One shuffle on the chunk hash —
     * the RefinedWeb/Gopher line-dedup plan. */

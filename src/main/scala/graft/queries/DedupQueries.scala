@@ -232,6 +232,14 @@ object DedupQueries {
           ngramJaccardPairs(docs(s, d)).select(col("doc_a"), col("doc_b")))
         .orderBy("doc_id")),
 
+    // the dedup APPLY step closing the loop: per-doc keep/drop verdict,
+    // one canonical doc (min id) per near-dup cluster — what a pipeline
+    // actually writes out after pairwise detection + clustering
+    "dedup_keep" -> ((s, d) =>
+      graft.operators.CorpusOps.dedupKeepSet(docs(s, d),
+          ngramJaccardPairs(docs(s, d)).select(col("doc_a"), col("doc_b")))
+        .orderBy("doc_id")),
+
     // embedding-space near-dup, exact baseline: all-pairs cosine >= 0.4 as
     // a declarative broadcast-nested-loop join with the codegen'd graft_dot
     // in the join condition — NO driver-side collect (Spark manages the
@@ -343,5 +351,36 @@ object DedupQueries {
         |  SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY src
         |)
         |SELECT doc_id, component, COUNT(*) OVER (PARTITION BY component) AS n_members
-        |FROM comp ORDER BY doc_id""".stripMargin)
+        |FROM comp ORDER BY doc_id""".stripMargin,
+
+    // same recursive closure as dedup_components, joined back onto the full
+    // corpus for the per-doc keep verdict
+    "dedup_keep" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), ' +') AS w FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                   FOR i IN generate_series(1, len(w) - 2)]) AS grams
+        |  FROM t WHERE len(w) >= 3
+        |), pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.grams, b.grams)) * 2
+        |        >= len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))
+        |), und AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION
+        |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+        |), reach(src, dst) AS (
+        |  SELECT src, src FROM und
+        |  UNION
+        |  SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src
+        |), comp AS (
+        |  SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY src
+        |)
+        |SELECT d.doc_id, c.component,
+        |  (c.component IS NULL OR c.component = d.doc_id) AS kept
+        |FROM documents d LEFT JOIN comp c USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin)
 }

@@ -108,6 +108,15 @@ class ScaleOpsSpec extends SparkSuite {
       10L -> (10L, 2L), 11L -> (10L, 2L)))
   }
 
+  test("dedupKeepSet keeps the cluster minimum and every unpaired doc") {
+    import spark.implicits._
+    val docs = (1L to 5L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val got = CorpusOps.dedupKeepSet(docs, pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("kept")).toMap
+    assert(got == Map(1L -> true, 2L -> false, 3L -> false, 4L -> true, 5L -> true))
+  }
+
   test("decontaminate flags overlap against a SEPARATE eval table") {
     import spark.implicits._
     val train = Seq(
