@@ -434,6 +434,20 @@ final class FloEngine(val spark: SparkSession, val root: String) {
   }
 
   /**
+   * SQL surface for a stream: registers the batch view as a temp view named
+   * `viewName` (default: the stream name) and the glob/id helper functions,
+   * so `spark.sql("SELECT ... WHERE ns_glob(namespace, glob)")` works
+   * against the log — the reference's query surface re-expressed as plain
+   * SQL over the catalog (stream selection S8 meets Spark's SQL front end).
+   */
+  def registerView(stream: String, viewName: String = ""): String = {
+    val name = if (viewName.nonEmpty) viewName else stream
+    graft.expressions.GraftExtensions.register(spark)
+    read(stream).createOrReplaceTempView(name)
+    name
+  }
+
+  /**
    * Batch consume (the reference's consume lifecycle, SURVEY §3.2): glob
    * filter + version-vector seek + global (counter, partition) order +
    * optional limit. `vv` partitions are read exclusively after their counter;

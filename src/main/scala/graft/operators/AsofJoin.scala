@@ -53,6 +53,10 @@ object AsofJoin {
     require(left.schema(leftTime).dataType == right.schema(rightTime).dataType,
       s"time columns must share a type, got ${left.schema(leftTime).dataType} " +
         s"vs ${right.schema(rightTime).dataType}")
+    val reserved = left.columns.filter(c => c.startsWith("__"))
+    require(reserved.isEmpty,
+      s"left columns ${reserved.mkString(", ")} collide with the operator's " +
+        "internal __-prefixed union columns; rename them first")
 
     val byCols = by.map(col)
     // both union legs carry: by..., __t, __side, rightOrder..., __lrow, __v —

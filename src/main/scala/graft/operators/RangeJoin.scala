@@ -36,6 +36,11 @@ object RangeJoin {
       bucketWidth: Double,
       broadcastIntervals: Boolean = true): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    val shared = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(shared.isEmpty,
+      s"column names ${shared.mkString(", ")} appear on both sides; rename before joining")
+    require(!points.columns.contains("__bucket") && !intervals.columns.contains("__bucket"),
+      "__bucket is reserved by the operator")
     val p = points.withColumn("__bucket",
       floor(col(pointCol) / bucketWidth).cast("long"))
     // floor(hi/w) is included even though hi is exclusive — when hi lands

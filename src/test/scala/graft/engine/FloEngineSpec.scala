@@ -336,6 +336,21 @@ class FloEngineSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("registerView exposes a stream to plain SQL with ns_glob available") {
+    val root = tempDir("flo-sqlview")
+    val e = new FloEngine(spark, root)
+    e.createStream(graft.engine.FloEngine.EventStreamOptions("default", numPartitions = 2))
+    e.produceStrings("default", 1, Seq("/a/x" -> "1", "/a/y" -> "2", "/b/z" -> "3"))
+    val view = e.registerView("default", "flo_default")
+    assert(view == "flo_default")
+    val rows = spark.sql(
+      s"""SELECT event_counter, namespace FROM $view
+         |WHERE ns_glob(namespace, '/a/*') AND event_counter > 1
+         |ORDER BY event_counter""".stripMargin).collect()
+    assert(rows.map(_.getString(1)).toSeq == Seq("/a/y"))
+    spark.catalog.dropTempView(view)
+  }
+
   test("a fresh engine always hosts the system stream (engine/mod.rs:34-38)") {
     val root = tempDir("flo-system")
     val e = new FloEngine(spark, root)
