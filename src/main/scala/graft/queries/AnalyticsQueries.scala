@@ -197,6 +197,53 @@ object AnalyticsQueries {
         .orderBy("event_id")
     }),
 
+    // §2.5 completion: the analytic window family beyond ranking/running —
+    // offsets (lag/lead), equal-width bucketing (ntile), frame navigation
+    // (first/nth value) over a TOTAL order, plus the tie-aware distribution
+    // family (rank/dense_rank/percent_rank/cume_dist) over a date-only order
+    // where ties are real. Two window specs, same partition key, so the plan
+    // pays ONE shuffle and two in-partition sorts.
+    "q_window_analytics" -> ((s, d) => {
+      val wSeq = Window.partitionBy("o_orderpriority").orderBy("o_orderdate", "o_orderkey")
+      val wTie = Window.partitionBy("o_orderpriority").orderBy("o_orderdate")
+      t(s, d, "orders")
+        .filter(pmod(col("o_custkey"), lit(50)) === 0)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+          lag("o_totalprice", 1).over(wSeq).as("prev_price"),
+          lead("o_totalprice", 1).over(wSeq).as("next_price"),
+          ntile(4).over(wSeq).as("quartile"),
+          first("o_orderkey").over(wSeq).as("first_key"),
+          nth_value(col("o_orderkey"), 2).over(wSeq).as("second_key"),
+          rank().over(wTie).as("date_rank"),
+          dense_rank().over(wTie).as("date_dense_rank"),
+          percent_rank().over(wTie).as("date_percent_rank"),
+          cume_dist().over(wTie).as("date_cume_dist"))
+        .orderBy("o_orderpriority", "o_orderkey")
+    }),
+
+    // §2.3/§2.4: the subquery surface through the SQL entry path — correlated
+    // scalar aggregates (COUNT / MAX per outer row), an uncorrelated scalar
+    // threshold, EXISTS, and NOT IN. Catalyst decorrelates all four into
+    // joins (aggregate-then-join for the scalars, left-semi for EXISTS,
+    // left-anti for NOT IN) — no per-row re-execution anywhere, which is the
+    // whole 100 TB story for subqueries. MAX (order-stable) instead of SUM on
+    // the double column keeps the oracle hash exact without a decimal detour.
+    "q_subqueries" -> ((s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("customer_sq")
+      t(s, d, "orders").createOrReplaceTempView("orders_sq")
+      t(s, d, "supplier").createOrReplaceTempView("supplier_sq")
+      s.sql(
+        """SELECT c_custkey, c_acctbal,
+          |  (SELECT COUNT(*) FROM orders_sq o WHERE o.o_custkey = c.c_custkey) AS n_orders,
+          |  (SELECT MAX(o_totalprice) FROM orders_sq o WHERE o.o_custkey = c.c_custkey) AS max_order
+          |FROM customer_sq c
+          |WHERE c.c_acctbal > (SELECT MAX(c_acctbal) FROM customer_sq) / 2
+          |  AND EXISTS (SELECT 1 FROM orders_sq o
+          |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+          |  AND c.c_custkey NOT IN (SELECT s_suppkey FROM supplier_sq)
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
     // Range join without an equi-key (interval containment): events.value
     // against 20 OVERLAPPING bands [b*25, b*25+60), through the library
     // operator [[graft.operators.RangeJoin]] — bucket quantization turns the
@@ -344,6 +391,34 @@ object AnalyticsQueries {
         |  ORDER BY date_trunc('second', b.ts) DESC, event_id DESC LIMIT 1
         |) p ON TRUE
         |ORDER BY a.event_id""".stripMargin,
+
+    "q_window_analytics" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  lag(o_totalprice) OVER wseq AS prev_price,
+        |  lead(o_totalprice) OVER wseq AS next_price,
+        |  ntile(4) OVER wseq AS quartile,
+        |  first_value(o_orderkey) OVER wseq AS first_key,
+        |  nth_value(o_orderkey, 2) OVER wseq AS second_key,
+        |  rank() OVER wtie AS date_rank,
+        |  dense_rank() OVER wtie AS date_dense_rank,
+        |  percent_rank() OVER wtie AS date_percent_rank,
+        |  cume_dist() OVER wtie AS date_cume_dist
+        |FROM orders
+        |WHERE o_custkey % 50 = 0
+        |WINDOW wseq AS (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey),
+        |       wtie AS (PARTITION BY o_orderpriority ORDER BY o_orderdate)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+
+    "q_subqueries" ->
+      """SELECT c_custkey, c_acctbal,
+        |  (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders,
+        |  (SELECT MAX(o_totalprice) FROM orders o WHERE o.o_custkey = c.c_custkey) AS max_order
+        |FROM customer c
+        |WHERE c.c_acctbal > (SELECT MAX(c_acctbal) FROM customer) / 2
+        |  AND EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+        |  AND c.c_custkey NOT IN (SELECT s_suppkey FROM supplier)
+        |ORDER BY c_custkey""".stripMargin,
 
     "q_range_join" ->
       """WITH bands AS (
