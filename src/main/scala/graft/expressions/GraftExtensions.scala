@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.lshBandsFunction)
     ext.injectFunction(GraftExtensions.unitFunction)
     ext.injectFunction(GraftExtensions.int8StatsFunction)
+    ext.injectPlannerStrategy(_ => graft.plans.GraftStrategies)
   }
 }
 

@@ -92,4 +92,66 @@ object AsofJoin {
       .select(col("__lrow.*") +:
         valueCols.map(c => col(s"__asof.$c").as(prefix + c)): _*)
   }
+
+  /**
+   * The same as-of join through the NATIVE Catalyst operator
+   * ([[graft.plans.AsofMergeJoinNode]] / [[graft.plans.AsofMergeJoinExec]]):
+   * identical semantics and signature to [[asof]] (AsofMergeJoinSpec pins
+   * the two paths equal on randomized inputs), different physical plan —
+   * a one-pass co-partitioned merge with O(1) per-partition state instead
+   * of a union + window sort. Prefer this when the union legs' widened
+   * null-struct columns or the window buffer show up in the profile; prefer
+   * [[asof]] when plan portability matters (it is pure DataFrame API).
+   *
+   * Registers the planner strategy on the DataFrame's session (idempotent).
+   */
+  def asofMerge(
+      left: DataFrame,
+      right: DataFrame,
+      leftTime: String,
+      rightTime: String,
+      by: Seq[String],
+      valueCols: Seq[String],
+      rightOrder: Seq[String] = Nil,
+      prefix: String = "asof_"): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+    import org.apache.spark.sql.graftshim.PlanShim
+    import graft.plans.{AsofMergeJoinNode, GraftStrategies}
+
+    require(by.nonEmpty, "asof join needs at least one 'by' key column")
+    require(valueCols.nonEmpty, "asof join needs at least one right value column")
+    require(left.schema(leftTime).dataType == right.schema(rightTime).dataType,
+      s"time columns must share a type, got ${left.schema(leftTime).dataType} " +
+        s"vs ${right.schema(rightTime).dataType}")
+    val collisions = valueCols.map(prefix + _).filter(left.columns.contains)
+    require(collisions.isEmpty,
+      s"output columns ${collisions.mkString(", ")} collide with left columns; " +
+        "pass a different prefix")
+
+    val spark = left.sparkSession
+    PlanShim.withStrategy(spark, GraftStrategies)
+
+    val lPlan = PlanShim.analyzed(left)
+    val rPlan0 = PlanShim.analyzed(right)
+    def attr(p: LogicalPlan, n: String, side: String) =
+      p.output.find(_.name == n).getOrElse(throw new IllegalArgumentException(
+        s"$side column '$n' not found among ${p.output.map(_.name).mkString(", ")}"))
+
+    // re-alias the right side's needed columns under FRESH exprIds: a self
+    // as-of (left and right derived from the same table) must not present
+    // one attribute id on both sides of the binary node
+    val needed = (by ++ Seq(rightTime) ++ rightOrder ++ valueCols).distinct
+    val aliases = needed.map(n => Alias(attr(rPlan0, n, "right"), n)())
+    val rPlan = Project(aliases, rPlan0)
+    val rMap = aliases.map(a => a.name -> a.toAttribute).toMap
+
+    val valueOutput = valueCols.map(c =>
+      AttributeReference(prefix + c, rMap(c).dataType, nullable = true)())
+    PlanShim.ofRows(spark, AsofMergeJoinNode(
+      by.map(attr(lPlan, _, "left")), by.map(rMap),
+      attr(lPlan, leftTime, "left"), rMap(rightTime),
+      valueCols.map(rMap), rightOrder.map(rMap),
+      valueOutput, lPlan, rPlan))
+  }
 }

@@ -197,6 +197,30 @@ object AnalyticsQueries {
         .orderBy("event_id")
     }),
 
+    // The SAME as-of join through the native Catalyst operator
+    // ([[graft.plans.AsofMergeJoinExec]] — custom LogicalPlan + Strategy +
+    // one-pass merge SparkPlan): both sides shuffle once on user_id and
+    // merge with O(1) per-partition state; no union legs, no window buffer.
+    // Same oracle as q_asof_join, so the driver hash-checks the custom
+    // operator's row-level output against DuckDB directly.
+    "q_asof_native" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("event_id"), col("user_id"),
+          date_trunc("second", col("ts")).as("t"), col("event_type"), col("value"))
+      val views = ev.filter(col("event_type") === "view")
+        .select("event_id", "user_id", "t")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("t"), col("event_id"),
+          col("event_id").as("p_id"), col("value").as("p_value"))
+      graft.operators.AsofJoin.asofMerge(views, purchases,
+          leftTime = "t", rightTime = "t", by = Seq("user_id"),
+          valueCols = Seq("p_id", "p_value"), rightOrder = Seq("event_id"))
+        .select(col("event_id"), col("user_id"),
+          col("asof_p_id").as("asof_purchase_id"),
+          col("asof_p_value").as("asof_purchase_value"))
+        .orderBy("event_id")
+    }),
+
     // §2.5 completion: the analytic window family beyond ranking/running —
     // offsets (lag/lead), equal-width bucketing (ntile), frame navigation
     // (first/nth value) over a TOTAL order, plus the tie-aware distribution
@@ -381,6 +405,18 @@ object AnalyticsQueries {
         |FROM lineitem""".stripMargin,
 
     "q_asof_join" ->
+      """SELECT a.event_id, a.user_id,
+        |  p.event_id AS asof_purchase_id, p.value AS asof_purchase_value
+        |FROM (SELECT * FROM events WHERE event_type = 'view') a
+        |LEFT JOIN LATERAL (
+        |  SELECT event_id, value FROM events b
+        |  WHERE b.event_type = 'purchase' AND b.user_id = a.user_id
+        |    AND date_trunc('second', b.ts) <= date_trunc('second', a.ts)
+        |  ORDER BY date_trunc('second', b.ts) DESC, event_id DESC LIMIT 1
+        |) p ON TRUE
+        |ORDER BY a.event_id""".stripMargin,
+
+    "q_asof_native" ->
       """SELECT a.event_id, a.user_id,
         |  p.event_id AS asof_purchase_id, p.value AS asof_purchase_value
         |FROM (SELECT * FROM events WHERE event_type = 'view') a
