@@ -175,6 +175,42 @@ object TextQueries {
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy("doc_id")),
 
+    // BM25 relevance ranking of the corpus against a term query — the
+    // retrieval step of a dedup-then-retrieve pipeline. One scan computes
+    // per-doc term frequencies and length (codegen regexp, no explode); the
+    // corpus stats (N, avgdl, per-term df) are ONE aggregate row broadcast
+    // back, so at 100 TB the plan is scan + tiny broadcast + top-k, no
+    // shuffle of document rows at all. The idf uses the log-free rational
+    // form (N - df + 0.5)/(df + 0.5) — same ranking as the log form, but
+    // every operation is a plain IEEE +,*,/ on integer-derived doubles, so
+    // Spark and DuckDB produce bit-identical scores (ln differs in the last
+    // ulp across libm implementations, which would break the hash oracle).
+    "text_bm25" -> ((s, d) => {
+      val terms = Seq("spark", "window", "merge")
+      val base = docs(s, d).select(
+        col("doc_id") +:
+          terms.map(t =>
+            regexp_count(col("text"), lit("\\b" + t + "\\b")).cast("long").as(s"tf_$t")) :+
+          size(split(trim(col("text")), " +")).cast("long").as("dl"): _*)
+      val stats = base.agg(
+        count(lit(1)).as("n_docs"),
+        (sum("dl").cast("double") / count(lit(1))).as("avgdl") +:
+          terms.map(t => sum(when(col(s"tf_$t") > 0, 1).otherwise(0)).as(s"df_$t")): _*)
+      def termScore(t: String): Column = {
+        val tf = col(s"tf_$t").cast("double")
+        val df = col(s"df_$t").cast("double")
+        val idf = (col("n_docs").cast("double") - df + lit(0.5)) / (df + lit(0.5))
+        idf * (tf * lit(2.2)) /
+          (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / col("avgdl")))
+      }
+      base.crossJoin(broadcast(stats))
+        .select(col("doc_id") +: terms.map(t => col(s"tf_$t")) :+ col("dl") :+
+          (termScore("spark") + termScore("window") + termScore("merge")).as("score"): _*)
+        .filter(col("score") > 0)
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(50)
+    }),
+
     // deterministic train/valid/test split (12/2/2 sixteenths) from the
     // first hex nibble of a salted hash: membership is a pure function of
     // doc_id, so the split is stable under repartitioning and incremental
@@ -282,6 +318,36 @@ object TextQueries {
       """SELECT doc_id, lang, source FROM documents
         |WHERE substring(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 4) < '199a'
         |ORDER BY doc_id""".stripMargin,
+
+    "text_bm25" ->
+      """WITH scored AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\bspark\b')) AS BIGINT) AS tf_spark,
+        |    CAST(len(regexp_extract_all(text, '\bwindow\b')) AS BIGINT) AS tf_window,
+        |    CAST(len(regexp_extract_all(text, '\bmerge\b')) AS BIGINT) AS tf_merge,
+        |    CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS dl
+        |  FROM documents),
+        |stats AS (
+        |  SELECT COUNT(*) AS n_docs,
+        |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+        |    SUM(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS df_spark,
+        |    SUM(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS df_window,
+        |    SUM(CASE WHEN tf_merge > 0 THEN 1 ELSE 0 END) AS df_merge
+        |  FROM scored),
+        |ranked AS (
+        |  SELECT doc_id, tf_spark, tf_window, tf_merge, dl,
+        |    (CAST(n_docs AS DOUBLE) - CAST(df_spark AS DOUBLE) + 0.5) / (CAST(df_spark AS DOUBLE) + 0.5)
+        |      * (CAST(tf_spark AS DOUBLE) * 2.2)
+        |      / (CAST(tf_spark AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+        |    + (CAST(n_docs AS DOUBLE) - CAST(df_window AS DOUBLE) + 0.5) / (CAST(df_window AS DOUBLE) + 0.5)
+        |      * (CAST(tf_window AS DOUBLE) * 2.2)
+        |      / (CAST(tf_window AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+        |    + (CAST(n_docs AS DOUBLE) - CAST(df_merge AS DOUBLE) + 0.5) / (CAST(df_merge AS DOUBLE) + 0.5)
+        |      * (CAST(tf_merge AS DOUBLE) * 2.2)
+        |      / (CAST(tf_merge AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)) AS score
+        |  FROM scored, stats)
+        |SELECT * FROM ranked WHERE score > 0
+        |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin,
 
     "pipe_train_split" ->
       """SELECT doc_id,
