@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.lshBandsFunction)
     ext.injectFunction(GraftExtensions.unitFunction)
     ext.injectFunction(GraftExtensions.int8StatsFunction)
+    ext.injectFunction(GraftExtensions.topKFunction)
     ext.injectPlannerStrategy(_ => graft.plans.GraftStrategies)
   }
 }
@@ -104,11 +105,25 @@ object GraftExtensions {
       Int8Stats(children.head)
     })
 
+  /** `graft_topk(sort, value, k)`: bounded top-k aggregate — k must be an
+    * integer literal (it sizes the heap at plan time). */
+  private val topKFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_topk"),
+    new ExpressionInfo(classOf[TopKRows].getName, "graft_topk"),
+    { (children: Seq[Expression]) =>
+      children match {
+        case Seq(sort, value, Literal(k: Int, org.apache.spark.sql.types.IntegerType)) =>
+          TopKRows(sort, value, k)
+        case _ => throw new IllegalArgumentException(
+          "graft_topk expects (sort, value, integer-literal k)")
+      }
+    })
+
   /** Runtime registration into an existing session (idempotent). */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     Seq(dotFunction, nsGlobFunction, lshBandsFunction, unitFunction,
-        int8StatsFunction).foreach { fn =>
+        int8StatsFunction, topKFunction).foreach { fn =>
       if (!registry.functionExists(fn._1)) {
         registry.registerFunction(fn._1, fn._2, fn._3)
       }

@@ -104,6 +104,19 @@ object AnalyticsQueries {
         .orderBy("o_orderpriority", "rn")
     }),
 
+    // The SAME top-3-per-priority through the bounded-heap native aggregate
+    // ([[graft.expressions.TopKRows]] via [[graft.operators.TopK]]): map-side
+    // partial aggregation bounds the shuffle at k rows per key per input
+    // partition and replaces the window's in-partition sort with an O(k)
+    // heap. Same oracle as q_topk_per_group — the driver hash-checks the
+    // custom aggregate's output against DuckDB's window ranking.
+    "q_topk_agg" -> ((s, d) =>
+      graft.operators.TopK.topKPerKey(
+          t(s, d, "orders"), Seq("o_orderpriority"),
+          struct(col("o_totalprice"), -col("o_orderkey")),
+          Seq("o_orderkey", "o_totalprice"), 3)
+        .orderBy("o_orderpriority", "rn")),
+
     // §2.4: rollup with subtotal rows
     "q_rollup" -> ((s, d) => {
       t(s, d, "lineitem")
@@ -344,6 +357,15 @@ object AnalyticsQueries {
         |ORDER BY o_custkey, rk""".stripMargin,
 
     "q_topk_per_group" ->
+      """SELECT * FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3
+        |ORDER BY o_orderpriority, rn""".stripMargin,
+
+    "q_topk_agg" ->
       """SELECT * FROM (
         |  SELECT o_orderpriority, o_orderkey, o_totalprice,
         |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
