@@ -220,6 +220,23 @@ object CorpusOps {
   }
 
   /**
+   * Exactly-k-per-language sampling through the bounded-heap aggregate
+   * ([[TopK.topKPerKey]] / `graft_topk`): no window, no skew pre-filter —
+   * a language holding 60% of the corpus costs the same O(k) heap per task
+   * as a rare one, so the plan is skew-immune by construction where the
+   * window variant needs [[stratifiedSurvivors]]'s pre-filter. Rank is the
+   * salted md5 DESCENDING (a different but equally arbitrary deterministic
+   * order than [[stratifiedSample]]'s ascending rank — both are stable
+   * under repartitioning and corpus growth of OTHER languages).
+   */
+  def stratifiedSampleTopK(docs: DataFrame, k: Int = 20): DataFrame = {
+    val h = md5(concat(lit("graft-strat:"), col("doc_id").cast("string")))
+    TopK.topKPerKey(docs.select(col("doc_id"), col("lang"), h.as("h")),
+        Seq("lang"), col("h"), Seq("doc_id"), k)
+      .select(col("doc_id"), col("lang"), col("rn").cast("long").as("rn"))
+  }
+
+  /**
    * Size-balanced shard packing via salted two-level ranking. The
    * per-bucket round-robin rank is `row_number() over (partition by bucket
    * ORDER BY salt, h, doc_id)`, realized scalably as: rank within

@@ -80,6 +80,22 @@ object AnalyticsQueries {
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
+    // TPC-H Q6-style forecast-revenue: the canonical selective-scan
+    // aggregate — every predicate reaches the parquet scan as PushedFilters
+    // (timestamp range, double range, quantity bound), so at 100 TB this
+    // reads only row groups whose min/max stats overlap the window. No
+    // join, no shuffle: partial agg per scan task + one 1-row merge.
+    "q6_forecast_revenue" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= expr("TIMESTAMP'1997-01-01 00:00:00'") &&
+          col("l_shipdate") < expr("TIMESTAMP'1998-01-01 00:00:00'") &&
+          col("l_discount") >= 0.03 && col("l_discount") <= 0.05 &&
+          col("l_quantity") < 24)
+        .agg(
+          sum(expr("CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))"))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))),
+
     // §2.5: ranking + running aggregate windows
     "q_window_running" -> ((s, d) => {
       val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
@@ -344,6 +360,16 @@ object AnalyticsQueries {
          |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
          |GROUP BY n_name
          |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q6_forecast_revenue" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_discount >= 0.03 AND l_discount <= 0.05
+        |  AND l_quantity < 24""".stripMargin,
 
     "q_window_running" ->
       """SELECT o_custkey, o_orderkey,

@@ -64,6 +64,12 @@ object PipelineQueries {
     "pipe_sample_stratified" -> ((s, d) =>
       Ops.stratifiedSample(docs(s, d), k = 20).orderBy("doc_id")),
 
+    // the same exactly-k-per-language sample through the bounded-heap
+    // aggregate (graft_topk): no window, no skew pre-filter — a dominant
+    // language costs the same O(k) heap per task as a rare one
+    "pipe_sample_stratified_agg" -> ((s, d) =>
+      Ops.stratifiedSampleTopK(docs(s, d), k = 20).orderBy("doc_id")),
+
     // temperature resampling (α = 0.5): per-language keep probability
     // ∝ sqrt(min_count / count_l), so over-represented languages are
     // downsampled toward balance (the multilingual-training rebalancing
@@ -202,6 +208,14 @@ object PipelineQueries {
         |  SELECT doc_id, lang,
         |    ROW_NUMBER() OVER (PARTITION BY lang
         |      ORDER BY md5('graft-strat:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, lang, rn FROM r WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
+
+    "pipe_sample_stratified_agg" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5('graft-strat:' || CAST(doc_id AS VARCHAR)) DESC) AS rn
         |  FROM documents)
         |SELECT doc_id, lang, rn FROM r WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
 
