@@ -51,6 +51,42 @@ object SimilarityQueries {
   private val KnnBands = 16 // r = 8 bits/band
   private val KnnBits = NumPlanes / KnnBands
 
+  private[graft] val PqSubs = 8
+  private[graft] val PqSubDim = Dim / PqSubs // 8
+  private[graft] val PqCodes = 16
+
+  /** Split each vector into PqSubs contiguous subvectors:
+    * (vec_id, sub_idx, sv). */
+  private[graft] def pqSubvectors(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), explode(array((0 until PqSubs).map(m =>
+        struct(lit(m).as("sub_idx"),
+          slice(col("v"), m * PqSubDim + 1, PqSubDim).as("sv"))): _*)).as("p"))
+      .select(col("vec_id"), col("p.sub_idx").as("sub_idx"), col("p.sv").as("sv"))
+
+  /** Nearest-codebook-entry assignment per (vector, subspace): broadcast the
+    * tiny codebook, argmin squared L2 as a min-of-struct hash aggregate
+    * (ties to the lowest code). Returns (vec_id, sub_idx, code, d2, sv). */
+  private[graft] def pqAssign(sub: DataFrame, cb: DataFrame): DataFrame =
+    sub.join(broadcast(cb), "sub_idx")
+      .withColumn("d2",
+        expr("graft_dot(sv, sv) - 2 * graft_dot(sv, cv) + graft_dot(cv, cv)"))
+      .groupBy("vec_id", "sub_idx")
+      .agg(min(struct(col("d2"), col("code"), col("sv"))).as("best"))
+      .select(col("vec_id"), col("sub_idx"),
+        col("best.code").as("code"), col("best.d2").as("d2"),
+        col("best.sv").as("sv"))
+
+  /** One Lloyd iteration per subspace: per-dimension mean of the assigned
+    * subvectors becomes the refined codebook. */
+  private[graft] def pqLloyd(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("sub_idx"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+      .groupBy("sub_idx", "code", "pos").agg(avg("x").as("m"))
+      .groupBy("sub_idx", "code")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("sub_idx"), col("code"),
+        expr("transform(pm, e -> e.m)").as("cv")) // 128 rows — HOF harmless
+
   /** Corpus-side exact band codes: (vec_id, v, band_idx, code). */
   private[graft] def bandedCodes(e: DataFrame, bands: Int): DataFrame =
     e.select(col("vec_id"), col("v"),
@@ -157,6 +193,35 @@ object SimilarityQueries {
         .filter(col("rank") <= 5)
         .select("query_id", "neighbor_id", "rank")
         .orderBy("query_id", "rank")
+    }),
+
+    // Product-quantization audit — the codebook half of the IVF-PQ design
+    // that makes billion-vector ANN fit in memory (PQ stores each 64-dim
+    // float vector as 8 one-byte codes, a 32x compression). The 64-dim
+    // space splits into 8 subspaces of 8 dims; each subspace trains a
+    // 16-centroid codebook (deterministic init from the 16 lowest vec_ids +
+    // ONE distributed Lloyd iteration, mirroring sim_knn_ivf) and every
+    // vector quantizes to its nearest centroid per subspace. The audit
+    // reports per-subspace codebook usage and mean squared distortion —
+    // the accept/reject evidence before swapping exact vectors for codes.
+    // Plan shape: codebooks are 16-row broadcasts; the argmin is a
+    // min-of-struct hash aggregate (map-side combine of the 16 candidate
+    // rows, no window); the corpus is never self-joined. Not
+    // SQL-expressible (iterative k-means) -> rows-only check; QueriesSpec
+    // asserts distortion beats a rank-0 baseline and assignments are
+    // deterministic.
+    "sim_pq_audit" -> ((s, d) => {
+      val sub = pqSubvectors(emb(s, d))
+      val init = sub.filter(col("vec_id") < PqCodes)
+        .select(col("sub_idx"), col("vec_id").cast("int").as("code"),
+          col("sv").as("cv"))
+      val cb1 = pqLloyd(pqAssign(sub, init))
+      pqAssign(sub, cb1)
+        .groupBy("sub_idx")
+        .agg(countDistinct("code").as("codes_used"),
+          (floor(avg("d2") * 10000) / 10000).as("avg_distortion"),
+          count(lit(1)).as("n_subvectors"))
+        .orderBy("sub_idx")
     }),
 
     // per-label centroid similarity: group embeddings by label, average the

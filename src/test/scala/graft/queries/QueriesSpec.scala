@@ -86,6 +86,37 @@ class QueriesSpec extends SparkSuite {
     }
   }
 
+  test("PQ audit: every subspace quantizes, beats the rank-0 (single-centroid) baseline, deterministic") {
+    val rows = SimilarityQueries.queries("sim_pq_audit")(spark, sf).collect()
+    assert(rows.length == 8, "one audit row per subspace")
+    // the codebook must actually discriminate: >= 2 codes in use everywhere
+    rows.foreach { r =>
+      assert(r.getAs[Long]("codes_used") >= 2, s"degenerate codebook: $r")
+      assert(r.getAs[Double]("avg_distortion") >= 0.0)
+    }
+    // rank-0 baseline: quantizing every subvector to the subspace MEAN.
+    // PQ with 16 codes + one Lloyd round must do strictly better overall.
+    val sub = SimilarityQueries.pqSubvectors(
+      SimilarityQueries.emb(spark, sf))
+    val baseline = sub
+      .select(col("sub_idx"), posexplode(col("sv")).as(Seq("pos", "x")))
+      .groupBy("sub_idx", "pos").agg(avg("x").as("m"))
+      .groupBy("sub_idx")
+      .agg(sum(col("m") * col("m")).as("m2"))
+      .join(sub.select(col("sub_idx"),
+          expr("graft_dot(sv, sv)").as("s2"), col("sv"))
+        .groupBy("sub_idx").agg(avg("s2").as("e2")), "sub_idx")
+      .select(col("sub_idx"), (col("e2") - col("m2")).as("var_d2"))
+      .collect().map(r => r.getAs[Int]("sub_idx") -> r.getAs[Double]("var_d2")).toMap
+    val pqTotal = rows.map(_.getAs[Double]("avg_distortion")).sum
+    val baseTotal = baseline.values.sum
+    assert(pqTotal < baseTotal,
+      s"PQ distortion $pqTotal must beat single-centroid baseline $baseTotal")
+    // deterministic end to end (fixed init, argmin ties to lowest code)
+    val again = SimilarityQueries.queries("sim_pq_audit")(spark, sf).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("LSH ANN recall@5 >= 0.8 vs brute force (sf0.001, sf0.01, sf0.1)") {
     recallDirs.foreach { dir =>
       val brute = knnPairs("sim_knn_brute", dir)
