@@ -11,10 +11,13 @@ import org.apache.spark.sql.functions._
  * codec ([[encodeBmp]]/[[decodeBmp]]) handles 8-bit-palette and 24-bit
  * uncompressed BMP, and [[documentsAsMedia]] wraps each document's bytes in
  * a genuine BMP raster so the decode → resize → featurize pipeline runs on
- * real encoded images end to end. Non-BMP payloads (e.g. the byte-block
- * "frames" of the video-shaped pipeline) fall back to the deterministic
- * [[decodeImageStub]] — the stand-in for codecs that need native libraries
- * this container doesn't have.
+ * real encoded images end to end. AUDIO is real too:
+ * [[encodeWavPcm16]]/[[decodeWavPcm16]] implement RIFF/WAVE PCM16 mono, and
+ * [[documentsAsAudio]] → [[audioFeaturize]] runs a genuine encode → decode →
+ * feature loop (oracle-checked by `mm_audio_features`). Non-BMP image
+ * payloads (e.g. the byte-block "frames" of the video-shaped pipeline) fall
+ * back to the deterministic [[decodeImageStub]] — the stand-in for codecs
+ * that need native libraries this container doesn't have (JPEG/PNG/H.264).
  */
 object Multimodal {
 
@@ -258,6 +261,143 @@ object Multimodal {
         }
         val feats = extractFeatures(thumb)
         MediaFeatures(item.doc_id, feats, feats.length)
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------- audio
+
+  /** An audio item: opaque payload + typed metadata. */
+  final case class AudioItem(
+      doc_id: Long,
+      media_type: String, // "audio"
+      data: Array[Byte],
+      sample_rate: Int,
+      n_samples: Int)
+
+  final case class AudioFeatures(
+      doc_id: Long,
+      n_samples: Long,
+      duration_ms: Long,
+      peak: Long,
+      zero_crossings: Long,
+      rms: Double)
+
+  /** Encode PCM16 mono samples as a REAL RIFF/WAVE file (44-byte canonical
+    * header + little-endian samples). Pure JVM, no codec libraries. */
+  def encodeWavPcm16(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    require(sampleRate > 0, "sample rate must be positive")
+    val dataLen = samples.length * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+    out.put("fmt ".getBytes).putInt(16)
+      .putShort(1)             // PCM
+      .putShort(1)             // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2)  // byte rate
+      .putShort(2)             // block align
+      .putShort(16)            // bits per sample
+    out.put("data".getBytes).putInt(dataLen)
+    samples.foreach(out.putShort)
+    out.array()
+  }
+
+  /** Decode a RIFF/WAVE payload to `(sampleRate, PCM16 samples)`. Walks the
+    * chunk list (tolerates extra chunks before fmt/data), accepts only
+    * uncompressed PCM16 mono, validates every length in Long space, and
+    * returns None — never throws — for anything malformed, so callers can
+    * fall back the way [[decodeBmp]] callers do. */
+  def decodeWavPcm16(data: Array[Byte]): Option[(Int, Array[Short])] = {
+    def tag(off: Int): String =
+      if (off + 4 > data.length) "" else new String(data, off, 4, "US-ASCII")
+    if (data.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    val buf = java.nio.ByteBuffer.wrap(data).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var off = 12L
+    var rate = -1
+    var samples: Array[Short] = null
+    while (off + 8 <= data.length && (rate < 0 || samples == null)) {
+      val id = tag(off.toInt)
+      val len = buf.getInt(off.toInt + 4).toLong & 0xffffffffL
+      val body = off + 8
+      if (body + len > data.length) return None
+      id match {
+        case "fmt " =>
+          if (len < 16) return None
+          val codec = buf.getShort(body.toInt) & 0xffff
+          val channels = buf.getShort(body.toInt + 2) & 0xffff
+          val bits = buf.getShort(body.toInt + 14) & 0xffff
+          if (codec != 1 || channels != 1 || bits != 16) return None
+          rate = buf.getInt(body.toInt + 4)
+          if (rate <= 0) return None
+        case "data" =>
+          val n = len / 2
+          if (len % 2 != 0 || n > MaxWavSamples) return None
+          samples = new Array[Short](n.toInt)
+          var i = 0
+          while (i < samples.length) {
+            samples(i) = buf.getShort(body.toInt + i * 2); i += 1
+          }
+        case _ => // skip unknown chunks
+      }
+      off = body + len + (len & 1) // chunks are word-aligned
+    }
+    if (rate > 0 && samples != null) Some((rate, samples)) else None
+  }
+
+  /** Decode cap: 16M samples (32 MiB PCM) — far above any fixture, small
+    * enough that a crafted length cannot allocate executor-killing arrays. */
+  private val MaxWavSamples = 1L << 24
+
+  private val AudioRate = 8000
+
+  /**
+   * Audio fixture path: a deterministic integer SAWTOOTH per document —
+   * `n = 400 + doc_id % 400` samples of period `p = 50 + doc_id % 50` and
+   * even amplitude `amp = 2 * (500 + n_chars % 4500)`:
+   * `s_i = (amp * (i mod p)) / p - amp / 2` (all non-negative integer
+   * division, so DuckDB's floor `//` reproduces the EXACT samples — a sine
+   * would differ in the last ulp across libm implementations and flip
+   * rounding boundaries). Each waveform ships as a genuine RIFF/WAVE file,
+   * so the pipeline exercises a real encode → decode → featurize loop.
+   */
+  def documentsAsAudio(spark: SparkSession, sfDir: String): Dataset[AudioItem] = {
+    import spark.implicits._
+    graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .map { case (id, nChars) =>
+        val n = (400 + id % 400).toInt
+        val p = (50 + id % 50).toInt
+        val amp = (2 * (500 + nChars % 4500)).toInt
+        val samples = Array.tabulate(n)(i => ((amp * (i % p)) / p - amp / 2).toShort)
+        AudioItem(id, "audio", encodeWavPcm16(samples, AudioRate), AudioRate, n)
+      }
+  }
+
+  /** Decode + featurize per partition (the audio twin of [[featurize]]):
+    * sample count, duration, peak |amplitude|, zero crossings (strict sign
+    * flips), and floor-scaled RMS. Throws on undecodable payloads — the
+    * fixture writes only valid WAVs; a lenient variant would fall back. */
+  def audioFeaturize(items: Dataset[AudioItem]): Dataset[AudioFeatures] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions { it =>
+      it.map { item =>
+        val (rate, s) = decodeWavPcm16(item.data).getOrElse(
+          throw new IllegalStateException(s"doc ${item.doc_id}: payload is not PCM16 WAV"))
+        var sumSq = 0L; var peak = 0L; var crossings = 0L
+        var i = 0
+        while (i < s.length) {
+          val v = s(i).toLong
+          sumSq += v * v
+          if (math.abs(v) > peak) peak = math.abs(v)
+          if (i > 0 && v * s(i - 1) < 0) crossings += 1
+          i += 1
+        }
+        val n = s.length.toLong
+        val rms =
+          if (n == 0) 0.0
+          else math.floor(math.sqrt(sumSq.toDouble / n) * 100) / 100
+        AudioFeatures(item.doc_id, n, n * 1000 / rate, peak, crossings, rms)
       }
     }
   }

@@ -75,6 +75,18 @@ object MultimodalQueries {
         .orderBy("doc_id")
     }),
 
+    // AUDIO modality end to end: each document becomes a REAL RIFF/WAVE
+    // payload (deterministic integer-sawtooth PCM16 — integer math only, so
+    // the oracle recomputes the exact samples), decoded and featurized per
+    // partition. The DuckDB hash compare proves the encode → decode →
+    // feature loop byte-exact: peak, zero crossings, integer duration, and
+    // floor-scaled RMS all reconstruct from (doc_id, n_chars) alone.
+    "mm_audio_features" -> ((s, d) => {
+      Multimodal.audioFeaturize(Multimodal.documentsAsAudio(s, d))
+        .toDF()
+        .orderBy("doc_id")
+    }),
+
     // real BMP decode (true raster dims) -> nearest-neighbor resize to an
     // 8x8 thumbnail -> featurize; deterministic end to end
     "mm_thumbnail_features" -> ((s, d) => {
@@ -93,6 +105,35 @@ object MultimodalQueries {
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         |       octet_length(encode(text)) % 251 AS shard_bucket
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // mirrors the audio fixture: n = 400 + doc_id % 400 sawtooth samples of
+    // period p = 50 + doc_id % 50 and even amplitude amp = 2*(500 + n_chars
+    // % 4500); s_i = (amp * (i % p)) // p - amp // 2 — all non-negative
+    // integer division, so DuckDB's floor `//` reproduces the engine's
+    // samples bit-for-bit and the features hash-match
+    "mm_audio_features" ->
+      """WITH params AS (
+        |  SELECT doc_id,
+        |    400 + doc_id % 400 AS n,
+        |    50 + doc_id % 50 AS p,
+        |    2 * (500 + n_chars % 4500) AS amp
+        |  FROM documents),
+        |wave AS (
+        |  SELECT doc_id, n,
+        |    [ (amp * (i % p)) // p - amp // 2
+        |      FOR i IN generate_series(0, CAST(n - 1 AS BIGINT)) ] AS vs
+        |  FROM params)
+        |SELECT doc_id,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST((n * 1000) // 8000 AS BIGINT) AS duration_ms,
+        |  CAST(list_max(list_transform(vs, x -> abs(x))) AS BIGINT) AS peak,
+        |  CAST(COALESCE(list_sum(
+        |    [ CASE WHEN vs[i] * vs[i + 1] < 0 THEN 1 ELSE 0 END
+        |      FOR i IN generate_series(1, CAST(n - 1 AS BIGINT)) ]), 0) AS BIGINT)
+        |    AS zero_crossings,
+        |  FLOOR(SQRT(CAST(list_sum(list_transform(vs, x -> x * x)) AS DOUBLE) / n) * 100) / 100
+        |    AS rms
+        |FROM wave ORDER BY doc_id""".stripMargin,
 
     // mirrors the fixture raster: w = ceil(sqrt(bytes)), h = ceil(bytes/w),
     // pixels = byte values + zero padding (corpus is ASCII, so bytes are

@@ -148,4 +148,52 @@ class MultimodalSpec extends SparkSuite {
     assert(out1.nonEmpty)
     assert(out1.values.forall(_.length == 16))
   }
+
+  test("WAV codec round-trips PCM16 samples exactly, including empty and negative") {
+    val samples = Array[Short](0, 1, -1, 32767, -32768, 12345, -12345)
+    val bytes = Multimodal.encodeWavPcm16(samples, 8000)
+    val Some((rate, back)) = Multimodal.decodeWavPcm16(bytes)
+    assert(rate == 8000)
+    assert(back.toSeq == samples.toSeq)
+    val Some((_, empty)) = Multimodal.decodeWavPcm16(
+      Multimodal.encodeWavPcm16(Array.empty[Short], 44100))
+    assert(empty.isEmpty)
+  }
+
+  test("WAV decode walks extra chunks and rejects malformed payloads without throwing") {
+    val good = Multimodal.encodeWavPcm16(Array[Short](5, -5, 7), 8000)
+    // splice an unknown chunk between WAVE and fmt: decoder must skip it
+    val extra = java.nio.ByteBuffer.allocate(good.length + 12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    extra.put(good, 0, 12)
+    extra.put("LIST".getBytes).putInt(4).put("INFO".getBytes)
+    extra.put(good, 12, good.length - 12)
+    assert(Multimodal.decodeWavPcm16(extra.array()).map(_._2.toSeq)
+      .contains(Seq[Short](5, -5, 7)))
+    // malformed inputs: truncated, wrong magic, stereo, odd data length,
+    // chunk length past the buffer — all None, never a throw
+    assert(Multimodal.decodeWavPcm16(good.take(30)).isEmpty)
+    assert(Multimodal.decodeWavPcm16("RIFFxxxxNOPE".getBytes ++ good.drop(12)).isEmpty)
+    val stereo = good.clone(); stereo(22) = 2 // channels field
+    assert(Multimodal.decodeWavPcm16(stereo).isEmpty)
+    val oddLen = good.clone(); oddLen(40) = 5 // data length = 5 (odd)
+    assert(Multimodal.decodeWavPcm16(oddLen).isEmpty)
+    val overLen = good.clone(); overLen(43) = 0x7f.toByte // huge data length
+    assert(Multimodal.decodeWavPcm16(overLen).isEmpty)
+  }
+
+  test("audio features match the closed form on a known waveform") {
+    // square-ish alternation: +10, -10, ... -> every step is a crossing
+    val s = Array.tabulate(8)(i => if (i % 2 == 0) 10 else -10).map(_.toShort)
+    val bytes = Multimodal.encodeWavPcm16(s, 1000)
+    val Some((rate, back)) = Multimodal.decodeWavPcm16(bytes)
+    assert(rate == 1000 && back.length == 8)
+    var sumSq = 0L; var crossings = 0
+    back.indices.foreach { i =>
+      sumSq += back(i).toLong * back(i)
+      if (i > 0 && back(i) * back(i - 1) < 0) crossings += 1
+    }
+    assert(sumSq == 800L)     // 8 * 100
+    assert(crossings == 7)    // strict alternation
+  }
 }
