@@ -14,10 +14,14 @@ import org.apache.spark.sql.functions._
  * real encoded images end to end. AUDIO is real too:
  * [[encodeWavPcm16]]/[[decodeWavPcm16]] implement RIFF/WAVE PCM16 mono, and
  * [[documentsAsAudio]] → [[audioFeaturize]] runs a genuine encode → decode →
- * feature loop (oracle-checked by `mm_audio_features`). Non-BMP image
- * payloads (e.g. the byte-block "frames" of the video-shaped pipeline) fall
- * back to the deterministic [[decodeImageStub]] — the stand-in for codecs
- * that need native libraries this container doesn't have (JPEG/PNG/H.264).
+ * feature loop (oracle-checked by `mm_audio_features`). VIDEO is a real
+ * CONTAINER: [[encodeAviRawFrames]]/[[decodeAviFrames]] implement RIFF/AVI
+ * with raw-DIB frames, and [[documentsAsVideo]] ships genuine multi-frame
+ * files whose demux is oracle-checked by `mm_video_frames`. Non-BMP image
+ * payloads (e.g. the byte-block "frames" of the legacy frame-sample
+ * pipeline) fall back to the deterministic [[decodeImageStub]] — the
+ * stand-in for COMPRESSED codecs that need native libraries this container
+ * doesn't have (JPEG/PNG/H.264).
  */
 object Multimodal {
 
@@ -400,6 +404,173 @@ object Multimodal {
         AudioFeatures(item.doc_id, n, n * 1000 / rate, peak, crossings, rms)
       }
     }
+  }
+
+  // ---------------------------------------------------------------- video
+
+  final case class VideoItem(
+      doc_id: Long,
+      media_type: String, // "video"
+      data: Array[Byte],
+      width: Int,
+      height: Int,
+      n_frames: Int)
+
+  /**
+   * Encode grayscale frames as a REAL RIFF/AVI container: `hdrl` LIST
+   * (avih + one vids stream with an 8-bpp BITMAPINFOHEADER and identity
+   * gray palette) followed by a `movi` LIST of `00db` (uncompressed DIB)
+   * chunks — bottom-up rows padded to 4 bytes, the standard raw-video AVI
+   * layout. Pure JVM, no codec libraries.
+   */
+  def encodeAviRawFrames(
+      frames: Seq[Array[Int]], width: Int, height: Int, fps: Int = 10): Array[Byte] = {
+    require(width > 0 && height > 0, "frame dims must be positive")
+    require(frames.forall(_.length == width * height),
+      "every frame must be width x height pixels")
+    val stride = (width + 3) & ~3
+    val frameLen = stride * height
+    val strfLen = 40 + 256 * 4
+    val strlLen = 4 + (8 + 56) + (8 + strfLen)
+    val hdrlLen = 4 + (8 + 56) + (8 + strlLen)
+    val moviLen = 4 + frames.length * (8 + frameLen)
+    val riffLen = 4 + (8 + hdrlLen) + (8 + moviLen)
+    val out = java.nio.ByteBuffer.allocate(8 + riffLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes).putInt(riffLen).put("AVI ".getBytes)
+    out.put("LIST".getBytes).putInt(hdrlLen).put("hdrl".getBytes)
+    out.put("avih".getBytes).putInt(56)
+      .putInt(1000000 / fps).putInt(frameLen * fps).putInt(0).putInt(0x10)
+      .putInt(frames.length).putInt(0).putInt(1).putInt(frameLen)
+      .putInt(width).putInt(height).putInt(0).putInt(0).putInt(0).putInt(0)
+    out.put("LIST".getBytes).putInt(strlLen).put("strl".getBytes)
+    out.put("strh".getBytes).putInt(56)
+      .put("vids".getBytes).put("DIB ".getBytes).putInt(0)
+      .putShort(0).putShort(0).putInt(0)
+      .putInt(1).putInt(fps) // rate = fps/1
+      .putInt(0).putInt(frames.length).putInt(frameLen)
+      .putInt(-1).putInt(0).putShort(0).putShort(0).putShort(width.toShort)
+      .putShort(height.toShort)
+    out.put("strf".getBytes).putInt(strfLen)
+      .putInt(40).putInt(width).putInt(height).putShort(1).putShort(8)
+      .putInt(0).putInt(frameLen).putInt(2835).putInt(2835).putInt(256).putInt(0)
+    var i = 0
+    while (i < 256) {
+      out.put(i.toByte).put(i.toByte).put(i.toByte).put(0.toByte); i += 1
+    }
+    out.put("LIST".getBytes).putInt(moviLen).put("movi".getBytes)
+    frames.foreach { px =>
+      out.put("00db".getBytes).putInt(frameLen)
+      var y = height - 1
+      while (y >= 0) { // bottom-up, padded rows — the DIB layout
+        var x = 0
+        while (x < width) { out.put((px(y * width + x) & 0xff).toByte); x += 1 }
+        while (x < stride) { out.put(0.toByte); x += 1 }
+        y -= 1
+      }
+    }
+    out.array()
+  }
+
+  /**
+   * Demux a RIFF/AVI payload to `(width, height, frames)` of grayscale
+   * pixels. Walks the chunk tree (recursing only into `hdrl`/`strl`/`movi`
+   * LISTs, skipping everything unknown), reads dims from the stream's
+   * BITMAPINFOHEADER (8 bpp uncompressed only), and decodes each
+   * `00db`/`00dc` chunk's bottom-up padded rows. Length-validated in Long
+   * space with the BMP decoder's caps; returns None — never throws — on
+   * anything malformed.
+   */
+  def decodeAviFrames(data: Array[Byte]): Option[(Int, Int, Seq[Array[Int]])] = {
+    def tag(off: Long): String =
+      if (off < 0 || off + 4 > data.length) ""
+      else new String(data, off.toInt, 4, "US-ASCII")
+    if (data.length < 24 || tag(0) != "RIFF" || tag(8) != "AVI ") return None
+    val buf = java.nio.ByteBuffer.wrap(data).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var width = -1
+    var height = -1
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+    var bad = false
+
+    def walk(from: Long, to: Long): Unit = {
+      var off = from
+      while (!bad && off + 8 <= to) {
+        val id = tag(off)
+        val len = buf.getInt(off.toInt + 4).toLong & 0xffffffffL
+        val body = off + 8
+        if (body + len > to) { bad = true; return }
+        id match {
+          case "LIST" =>
+            val kind = tag(body)
+            if (kind == "hdrl" || kind == "strl" || kind == "movi")
+              walk(body + 4, body + len)
+          case "strf" =>
+            if (len >= 40) {
+              val w = buf.getInt(body.toInt + 4)
+              val h = buf.getInt(body.toInt + 8)
+              val bpp = buf.getShort(body.toInt + 14) & 0xffff
+              val compression = buf.getInt(body.toInt + 16)
+              if (w <= 0 || w > MaxBmpDim || h <= 0 || h > MaxBmpDim ||
+                bpp != 8 || compression != 0) bad = true
+              else { width = w; height = h }
+            }
+          case "00db" | "00dc" =>
+            if (width <= 0 || frames.length >= MaxAviFrames) { bad = true }
+            else {
+              val stride = (width + 3) & ~3
+              if (len < stride.toLong * height) { bad = true }
+              else {
+                val px = new Array[Int](width * height)
+                var y = 0
+                while (y < height) {
+                  val rowOff = body + (height - 1 - y).toLong * stride
+                  var x = 0
+                  while (x < width) {
+                    px(y * width + x) = data((rowOff + x).toInt) & 0xff; x += 1
+                  }
+                  y += 1
+                }
+                frames += px
+              }
+            }
+          case _ => // skip unknown chunks
+        }
+        off = body + len + (len & 1) // word alignment
+      }
+    }
+    walk(12, data.length.toLong)
+    if (!bad && width > 0 && frames.nonEmpty) Some((width, height, frames.toSeq))
+    else None
+  }
+
+  private val MaxAviFrames = 4096
+
+  /**
+   * Video fixture path: each document becomes a REAL multi-frame AVI. The
+   * text bytes split into `F = 2 + doc_id % 4` consecutive slices of
+   * `L = ceil(n / F)` bytes (zero-padded), each slice laid out as a
+   * near-square raster — so every frame's pixel sum equals its byte-slice
+   * sum, which the DuckDB oracle recomputes from the text directly.
+   */
+  def documentsAsVideo(spark: SparkSession, sfDir: String): Dataset[VideoItem] = {
+    import spark.implicits._
+    graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val f = (2 + id % 4).toInt
+        val l = math.max(1, (bytes.length + f - 1) / f)
+        val w = math.max(1, math.ceil(math.sqrt(l.toDouble)).toInt)
+        val h = (l + w - 1) / w
+        val frames = (0 until f).map { fi =>
+          Array.tabulate(w * h) { i =>
+            val src = fi * l + i
+            if (i < l && src < bytes.length) java.lang.Byte.toUnsignedInt(bytes(src))
+            else 0
+          }
+        }
+        VideoItem(id, "video", encodeAviRawFrames(frames, w, h), w, h, f)
+      }
   }
 
   /** Fixture path: wrap each document's UTF-8 bytes as a REAL encoded image

@@ -87,6 +87,25 @@ object MultimodalQueries {
         .orderBy("doc_id")
     }),
 
+    // VIDEO modality end to end: each document becomes a REAL multi-frame
+    // RIFF/AVI (8-bpp raw-DIB frames), demuxed by the pure-JVM container
+    // parser and featurized per frame. The DuckDB oracle recomputes every
+    // frame's pixel sum from the text's byte slices, so the mux -> demux ->
+    // per-frame-decode loop is hash-verified, not just spec'd.
+    "mm_video_frames" -> ((s, d) => {
+      import s.implicits._
+      Multimodal.documentsAsVideo(s, d)
+        .map { item =>
+          val (w, h, frames) = Multimodal.decodeAviFrames(item.data).getOrElse(
+            throw new IllegalStateException(s"doc ${item.doc_id}: payload is not AVI"))
+          val sums = frames.map(px => px.map(_.toLong).sum)
+          (item.doc_id, frames.length.toLong, w, h, sums.head, sums.max, sums.sum)
+        }
+        .toDF("doc_id", "n_frames", "width", "height",
+          "first_frame_sum", "max_frame_sum", "total_sum")
+        .orderBy("doc_id")
+    }),
+
     // real BMP decode (true raster dims) -> nearest-neighbor resize to an
     // 8x8 thumbnail -> featurize; deterministic end to end
     "mm_thumbnail_features" -> ((s, d) => {
@@ -134,6 +153,38 @@ object MultimodalQueries {
         |  FLOOR(SQRT(CAST(list_sum(list_transform(vs, x -> x * x)) AS DOUBLE) / n) * 100) / 100
         |    AS rms
         |FROM wave ORDER BY doc_id""".stripMargin,
+
+    // mirrors the video fixture: F = 2 + doc_id % 4 frames over byte slices
+    // of length L = ceil(n / F) (zero-padded) — each decoded frame's pixel
+    // sum equals its byte-slice sum, recomputed here via list slicing
+    "mm_video_frames" ->
+      """WITH p AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n,
+        |    CAST(2 + doc_id % 4 AS INTEGER) AS f
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, n, f, GREATEST((n + f - 1) // f, 1) AS l FROM p),
+        |r AS (
+        |  SELECT doc_id, n, f, l,
+        |    GREATEST(CAST(ceil(sqrt(CAST(l AS DOUBLE))) AS INTEGER), 1) AS w
+        |  FROM q),
+        |s AS (
+        |  SELECT doc_id, n, f, l, w,
+        |    CAST(ceil(CAST(l AS DOUBLE) / w) AS INTEGER) AS h
+        |  FROM r),
+        |fs AS (
+        |  SELECT s.doc_id, f, w, h,
+        |    [ CAST(COALESCE(list_sum(bl[fi * l + 1 : least((fi + 1) * l, n)]), 0) AS BIGINT)
+        |      FOR fi IN generate_series(0, CAST(f - 1 AS BIGINT)) ] AS sums
+        |  FROM s JOIN (
+        |    SELECT doc_id,
+        |      [ unicode(text[i]) FOR i IN generate_series(1, octet_length(encode(text))) ] AS bl
+        |    FROM documents) b USING (doc_id))
+        |SELECT doc_id, CAST(f AS BIGINT) AS n_frames, w AS width, h AS height,
+        |  sums[1] AS first_frame_sum,
+        |  CAST(list_max(sums) AS BIGINT) AS max_frame_sum,
+        |  CAST(list_sum(sums) AS BIGINT) AS total_sum
+        |FROM fs ORDER BY doc_id""".stripMargin,
 
     // mirrors the fixture raster: w = ceil(sqrt(bytes)), h = ceil(bytes/w),
     // pixels = byte values + zero padding (corpus is ASCII, so bytes are

@@ -1,5 +1,7 @@
 package graft.multimodal
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkSuite
 import graft.multimodal.Multimodal._
 
@@ -180,6 +182,49 @@ class MultimodalSpec extends SparkSuite {
     assert(Multimodal.decodeWavPcm16(oddLen).isEmpty)
     val overLen = good.clone(); overLen(43) = 0x7f.toByte // huge data length
     assert(Multimodal.decodeWavPcm16(overLen).isEmpty)
+  }
+
+  test("AVI container round-trips frames exactly, including padded strides") {
+    val w = 5; val h = 3 // stride 8 > width: padding exercised
+    val frames = Seq(
+      Array.tabulate(w * h)(i => i * 7 % 256),
+      Array.tabulate(w * h)(i => 255 - i),
+      Array.fill(w * h)(0))
+    val avi = Multimodal.encodeAviRawFrames(frames, w, h)
+    val Some((dw, dh, back)) = Multimodal.decodeAviFrames(avi)
+    assert(dw == w && dh == h && back.length == 3)
+    back.zip(frames).foreach { case (got, want) => assert(got.toSeq == want.toSeq) }
+  }
+
+  test("AVI demux skips unknown chunks and rejects malformed containers without throwing") {
+    val avi = Multimodal.encodeAviRawFrames(Seq(Array.tabulate(4)(_ * 9)), 2, 2)
+    // junk chunk spliced right after the RIFF type: must be skipped
+    val extra = java.nio.ByteBuffer.allocate(avi.length + 12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    extra.put(avi, 0, 12)
+    extra.put("JUNK".getBytes).putInt(4).putInt(0xdeadbeef)
+    extra.put(avi, 12, avi.length - 12)
+    assert(Multimodal.decodeAviFrames(extra.array()).exists(_._3.length == 1))
+    // malformed: truncated, wrong magic, frame chunk shorter than a frame
+    assert(Multimodal.decodeAviFrames(avi.take(40)).isEmpty)
+    assert(Multimodal.decodeAviFrames("RIFF0000NOPE".getBytes ++ avi.drop(12)).isEmpty)
+    val short = avi.clone()
+    // find the 00db chunk and shrink its declared length below one frame
+    val idx = short.sliding(4).indexWhere(_.sameElements("00db".getBytes))
+    short(idx + 4) = 1; short(idx + 5) = 0; short(idx + 6) = 0; short(idx + 7) = 0
+    assert(Multimodal.decodeAviFrames(short).isEmpty)
+  }
+
+  test("documentsAsVideo payloads demux to the text's byte slices") {
+    val items = Multimodal.documentsAsVideo(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") < 5).collect()
+    assert(items.nonEmpty)
+    items.foreach { item =>
+      val Some((w, h, frames)) = Multimodal.decodeAviFrames(item.data)
+      assert(w == item.width && h == item.height)
+      assert(frames.length == item.n_frames)
+      assert(frames.length == (2 + item.doc_id % 4).toInt)
+    }
   }
 
   test("audio features match the closed form on a known waveform") {
