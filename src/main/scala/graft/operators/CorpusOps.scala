@@ -220,6 +220,52 @@ object CorpusOps {
   }
 
   /**
+   * BM25 relevance ranking of a documents-shaped table (`doc_id`, `text`)
+   * against a fixed bag of lowercase terms: one corpus scan computes
+   * per-document term frequencies (codegen regexp, word-boundary match)
+   * and length; the corpus statistics (N, avgdl, per-term df) are ONE
+   * aggregate row broadcast back — document rows never shuffle; the top-k
+   * is a TakeOrderedAndProject. The idf is the log-free rational form
+   * `(N - df + 0.5) / (df + 0.5)` — same ranking as the log form, built
+   * from plain IEEE arithmetic on integer-derived doubles, so results are
+   * bit-reproducible across engines (the `text_bm25` oracle relies on it).
+   * Returns (doc_id, tf_<term>..., dl, score) for the k best score > 0
+   * docs, score descending, doc_id tiebreak.
+   */
+  def bm25(
+      docs: DataFrame,
+      terms: Seq[String],
+      k: Int = 50,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    require(terms.forall(_.matches("[a-z0-9]+")),
+      s"terms must be lowercase alphanumeric words, got: ${terms.mkString(", ")}")
+    val base = docs.select(
+      col("doc_id") +:
+        terms.map(t =>
+          regexp_count(col("text"), lit("\\b" + t + "\\b")).cast("long").as(s"tf_$t")) :+
+        size(split(trim(col("text")), " +")).cast("long").as("dl"): _*)
+    val stats = base.agg(
+      count(lit(1)).as("n_docs"),
+      (sum("dl").cast("double") / count(lit(1))).as("avgdl") +:
+        terms.map(t => sum(when(col(s"tf_$t") > 0, 1).otherwise(0)).as(s"df_$t")): _*)
+    def termScore(t: String): org.apache.spark.sql.Column = {
+      val tf = col(s"tf_$t").cast("double")
+      val df = col(s"df_$t").cast("double")
+      val idf = (col("n_docs").cast("double") - df + lit(0.5)) / (df + lit(0.5))
+      idf * (tf * lit(k1 + 1)) /
+        (tf + lit(k1) * (lit(1 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))
+    }
+    base.crossJoin(broadcast(stats))
+      .select(col("doc_id") +: terms.map(t => col(s"tf_$t")) :+ col("dl") :+
+        terms.map(termScore).reduce(_ + _).as("score"): _*)
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /**
    * Exactly-k-per-language sampling through the bounded-heap aggregate
    * ([[TopK.topKPerKey]] / `graft_topk`): no window, no skew pre-filter —
    * a language holding 60% of the corpus costs the same O(k) heap per task

@@ -185,31 +185,13 @@ object TextQueries {
     // every operation is a plain IEEE +,*,/ on integer-derived doubles, so
     // Spark and DuckDB produce bit-identical scores (ln differs in the last
     // ulp across libm implementations, which would break the hash oracle).
-    "text_bm25" -> ((s, d) => {
-      val terms = Seq("spark", "window", "merge")
-      val base = docs(s, d).select(
-        col("doc_id") +:
-          terms.map(t =>
-            regexp_count(col("text"), lit("\\b" + t + "\\b")).cast("long").as(s"tf_$t")) :+
-          size(split(trim(col("text")), " +")).cast("long").as("dl"): _*)
-      val stats = base.agg(
-        count(lit(1)).as("n_docs"),
-        (sum("dl").cast("double") / count(lit(1))).as("avgdl") +:
-          terms.map(t => sum(when(col(s"tf_$t") > 0, 1).otherwise(0)).as(s"df_$t")): _*)
-      def termScore(t: String): Column = {
-        val tf = col(s"tf_$t").cast("double")
-        val df = col(s"df_$t").cast("double")
-        val idf = (col("n_docs").cast("double") - df + lit(0.5)) / (df + lit(0.5))
-        idf * (tf * lit(2.2)) /
-          (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / col("avgdl")))
-      }
-      base.crossJoin(broadcast(stats))
-        .select(col("doc_id") +: terms.map(t => col(s"tf_$t")) :+ col("dl") :+
-          (termScore("spark") + termScore("window") + termScore("merge")).as("score"): _*)
-        .filter(col("score") > 0)
-        .orderBy(col("score").desc, col("doc_id"))
-        .limit(50)
-    }),
+    // Runs through the library operator [[graft.operators.CorpusOps.bm25]]
+    // (k1 = 1.2, b = 0.75 defaults — `1.2 + 1` and `1 - 0.75` are
+    // bit-identical to the oracle's 2.2 / 0.25 literals in IEEE doubles),
+    // so the driver's hash compare covers the public API path.
+    "text_bm25" -> ((s, d) =>
+      graft.operators.CorpusOps.bm25(
+        docs(s, d), terms = Seq("spark", "window", "merge"), k = 50)),
 
     // deterministic train/valid/test split (12/2/2 sixteenths) from the
     // first hex nibble of a salted hash: membership is a pure function of

@@ -190,4 +190,29 @@ class ScaleOpsSpec extends SparkSuite {
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
     }
   }
+
+  test("bm25 operator: rare terms outrank common ones, termless docs drop, tf columns surface") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta beta beta"), // common term only
+      (2L, "alpha zebra"),          // one rare term
+      (3L, "beta"),
+      (4L, "nothing here"),         // no query terms -> excluded
+      (5L, "zebra zebra beta")      // rare term twice + common
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.bm25(docs, Seq("beta", "zebra"), k = 10).collect()
+    val ids = got.map(_.getAs[Long]("doc_id")).toSeq
+    assert(!ids.contains(4L) && ids.length == 4)
+    // zebra df=2/5 vs beta df=4/5: doc 5 (zebra x2 + beta) must rank first
+    assert(ids.head == 5L)
+    val scores = got.map(_.getAs[Double]("score"))
+    assert(scores.forall(_ > 0))
+    assert(scores.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    assert(got.head.schema.fieldNames.toSet ==
+      Set("doc_id", "tf_beta", "tf_zebra", "dl", "score"))
+    // guard: non-word terms would silently break the \b regex — rejected
+    assertThrows[IllegalArgumentException] {
+      CorpusOps.bm25(docs, Seq("Beta"))
+    }
+  }
 }
