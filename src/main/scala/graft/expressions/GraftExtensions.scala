@@ -24,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.int8StatsFunction)
     ext.injectFunction(GraftExtensions.topKFunction)
     ext.injectPlannerStrategy(_ => graft.plans.GraftStrategies)
+    ext.injectOptimizerRule(_ => graft.plans.PruneAsofMergeJoin)
   }
 }
 

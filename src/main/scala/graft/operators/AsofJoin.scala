@@ -131,6 +131,7 @@ object AsofJoin {
 
     val spark = left.sparkSession
     PlanShim.withStrategy(spark, GraftStrategies)
+    PlanShim.withOptimizerRule(spark, graft.plans.PruneAsofMergeJoin)
 
     val lPlan = PlanShim.analyzed(left)
     val rPlan0 = PlanShim.analyzed(right)

@@ -54,6 +54,32 @@ case class AsofMergeJoinNode(
     copy(left = newLeft, right = newRight)
 }
 
+/**
+ * Column pruning THROUGH the custom node: Catalyst's built-in
+ * `ColumnPruning` cannot see into unknown plan nodes, so without this rule
+ * every left column rides the shuffle even when the query projects a
+ * subset away right above the join (`q_asof_native` drops the join time
+ * from its final select, for example). The rule pushes the projection's
+ * column set into the left child, keeping the join's own `by`/time
+ * attributes — at 100 TB, unread columns dropped before an exchange are
+ * the cheapest bytes in the plan. Injected via
+ * `SparkSessionExtensions.injectOptimizerRule` (plugin path) or
+ * `PlanShim.withOptimizerRule` (runtime path); a fixed point is reached
+ * after one application (the second pass finds nothing to drop).
+ */
+object PruneAsofMergeJoin
+  extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.Project
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case p @ Project(_, j: AsofMergeJoinNode) =>
+      val keep = AttributeSet(j.leftBy :+ j.leftTime) ++ p.references
+      val kept = j.left.output.filter(keep.contains)
+      if (kept.length == j.left.output.length) p
+      else p.copy(child = j.copy(left = Project(kept, j.left)))
+  }
+}
+
 /** Plans [[AsofMergeJoinNode]] — injected via
   * `SparkSessionExtensions.injectPlannerStrategy` (plugin path) or
   * `PlanShim.withStrategy` (runtime path). */

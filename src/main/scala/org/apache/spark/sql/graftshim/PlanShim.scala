@@ -31,4 +31,16 @@ object PlanShim {
       exp.extraStrategies = strategy +: exp.extraStrategies
     }
   }
+
+  /** Idempotently add an optimizer rule to a LIVE session — the runtime
+    * twin of `SparkSessionExtensions.injectOptimizerRule` (the rule lands
+    * in the optimizer's "User Provided Optimizers" batch). */
+  def withOptimizerRule(
+      spark: SparkSession,
+      rule: org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]): Unit = {
+    val exp = spark.asInstanceOf[classic.SparkSession].experimental
+    if (!exp.extraOptimizations.contains(rule)) {
+      exp.extraOptimizations = rule +: exp.extraOptimizations
+    }
+  }
 }

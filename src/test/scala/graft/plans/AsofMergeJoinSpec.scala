@@ -99,6 +99,30 @@ class AsofMergeJoinSpec extends SparkSuite {
     assert(canon(native) == canon(recipe))
   }
 
+  test("optimizer rule prunes unread left columns through the custom node") {
+    import spark.implicits._
+    val left = (1 to 50).map(i =>
+      (i.toLong, "k" + i % 3, i.toLong, "wide_payload_" * 4 + i)) // droppable col
+      .toDF("lid", "k", "t", "bulk")
+    val right = (1 to 50).map(i => (i.toLong, "k" + i % 3, i.toLong, i * 1.0))
+      .toDF("rid", "k", "t", "v")
+    val joinedAll = AsofJoin.asofMerge(left, right, "t", "t", Seq("k"), Seq("v"))
+    // project away `bulk` AND the join time right above the node
+    val slim = joinedAll.select("lid", "k", "asof_v")
+    slim.collect()
+    val optimized = slim.queryExecution.optimizedPlan
+    val node = optimized.collect { case n: AsofMergeJoinNode => n }.head
+    val leftCols = node.left.output.map(_.name).toSet
+    assert(!leftCols.contains("bulk"),
+      s"unread left column must not reach the join: $leftCols")
+    assert(leftCols == Set("lid", "k", "t"), // t survives: it is the join time
+      s"got $leftCols")
+    // results are unchanged by the pruning
+    val expected = AsofJoin.asof(left, right, "t", "t", Seq("k"), Seq("v"))
+      .select("lid", "k", "asof_v")
+    assert(canon(slim) == canon(expected))
+  }
+
   test("value-column prefix collision on the left is rejected") {
     import spark.implicits._
     val left = Seq((1L, "a", 5L, 9.9)).toDF("lid", "k", "t", "asof_v")
