@@ -94,17 +94,20 @@ object SimilarityQueries {
           .as(Seq("band_idx", "code")))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // exact top-5 cosine neighbors for the first 10 vectors (baseline)
+    // exact top-5 cosine neighbors for the first 10 vectors (baseline).
+    // The rerank is the bounded-heap graft_topk aggregate, not a window:
+    // map-side partials cut the shuffle to k ids per query per partition
+    // and nothing sorts the full candidate set — the shape that matters
+    // when "10 queries" becomes a 100M-row query table.
     "sim_knn_brute" -> ((s, d) => {
       val e = emb(s, d)
       val q = e.filter(col("vec_id") < 10)
-      val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-      q.as("a").join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      val scored = q.as("a").join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
         .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"),
           cosine.as("cos"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
-        .select("query_id", "neighbor_id", "rank")
+      graft.operators.TopK.topKPerKey(scored, Seq("query_id"),
+          struct(col("cos"), -col("neighbor_id")), Seq("neighbor_id"), 5)
+        .select(col("query_id"), col("neighbor_id"), col("rn").as("rank"))
         .orderBy("query_id", "rank")
     }),
 
@@ -130,11 +133,12 @@ object SimilarityQueries {
           col("v").as("nv"))
         .distinct()
       val cos = expr("graft_dot(qv, nv) / (sqrt(graft_dot(qv, qv)) * sqrt(graft_dot(nv, nv)))")
-      val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-      cand.withColumn("cos", cos)
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
-        .select("query_id", "neighbor_id", "rank")
+      // bounded-heap rerank: the candidate vectors stop at the aggregate
+      // instead of riding a window shuffle (see sim_knn_brute)
+      graft.operators.TopK.topKPerKey(cand.withColumn("cos", cos),
+          Seq("query_id"), struct(col("cos"), -col("neighbor_id")),
+          Seq("neighbor_id"), 5)
+        .select(col("query_id"), col("neighbor_id"), col("rn").as("rank"))
         .orderBy("query_id", "rank")
     }),
 
@@ -186,12 +190,13 @@ object SimilarityQueries {
         .select(col("query_id"), col("qv"), col("vec_id").as("neighbor_id"),
           col("uv").as("nv"))
         .distinct()
-      // qv/nv are unit vectors: dot = cosine
-      val wRank = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-      cand.withColumn("cos", expr("graft_dot(qv, nv)"))
-        .withColumn("rank", row_number().over(wRank))
-        .filter(col("rank") <= 5)
-        .select("query_id", "neighbor_id", "rank")
+      // qv/nv are unit vectors: dot = cosine; bounded-heap rerank as in
+      // sim_knn_brute
+      graft.operators.TopK.topKPerKey(
+          cand.withColumn("cos", expr("graft_dot(qv, nv)")),
+          Seq("query_id"), struct(col("cos"), -col("neighbor_id")),
+          Seq("neighbor_id"), 5)
+        .select(col("query_id"), col("neighbor_id"), col("rn").as("rank"))
         .orderBy("query_id", "rank")
     }),
 
