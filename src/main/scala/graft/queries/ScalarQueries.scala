@@ -63,6 +63,23 @@ object ScalarQueries {
         countDistinct("l_partkey").as("exact_parts"))
     }),
 
+    // quantile sketch next to the exact percentiles (q_stats_suite): a
+    // GK-style approx_percentile with accuracy 10000 (rank error <= n/1e4)
+    // per group. Mergeable sketch = one map-side-combinable pass at any
+    // scale where the exact single-buffer percentile must hold a group's
+    // full column. Sketch internals are engine-specific -> rows-only check;
+    // QueriesSpec asserts each value within 1% relative error of exact.
+    "q_approx_percentile" -> ((s, d) =>
+      Tables.load(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr(
+          "approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.95), 10000)")
+          .as("pcts"), count(lit(1)).as("n"))
+        .select(col("l_returnflag"),
+          col("pcts")(0).as("p25"), col("pcts")(1).as("p50"),
+          col("pcts")(2).as("p75"), col("pcts")(3).as("p95"), col("n"))
+        .orderBy("l_returnflag")),
+
     // array scalar suite (§2.8): split / size / element access (first,
     // last) / sort / slice / contains, each with an exact DuckDB
     // list-function counterpart

@@ -86,6 +86,26 @@ class QueriesSpec extends SparkSuite {
     }
   }
 
+  test("approx percentiles land within 1% relative error of exact (sketch bar)") {
+    val approx = ScalarQueries.queries("q_approx_percentile")(spark, sf).collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        Seq(r.getAs[Double]("p25"), r.getAs[Double]("p50"),
+          r.getAs[Double]("p75"), r.getAs[Double]("p95"))).toMap
+    val exact = Tables.load(spark, sf, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.95))").as("p"))
+      .collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        r.getSeq[Double](1)).toMap
+    assert(approx.keySet == exact.keySet && approx.nonEmpty)
+    approx.foreach { case (flag, aps) =>
+      aps.zip(exact(flag)).foreach { case (a, e) =>
+        assert(math.abs(a - e) <= 0.01 * math.abs(e),
+          s"$flag: approx $a vs exact $e drifts > 1%")
+      }
+    }
+  }
+
   test("PQ audit: every subspace quantizes, beats the rank-0 (single-centroid) baseline, deterministic") {
     val rows = SimilarityQueries.queries("sim_pq_audit")(spark, sf).collect()
     assert(rows.length == 8, "one audit row per subspace")
