@@ -221,11 +221,15 @@ object CorpusOps {
 
   /**
    * BM25 relevance ranking of a documents-shaped table (`doc_id`, `text`)
-   * against a fixed bag of lowercase terms: one corpus scan computes
-   * per-document term frequencies (codegen regexp, word-boundary match)
-   * and length; the corpus statistics (N, avgdl, per-term df) are ONE
-   * aggregate row broadcast back — document rows never shuffle; the top-k
-   * is a TakeOrderedAndProject. The idf is the log-free rational form
+   * against a fixed bag of lowercase terms. Per-document term frequencies
+   * (codegen regexp, word-boundary match) and length feed both the corpus
+   * statistics (N, avgdl, per-term df — ONE aggregate row broadcast back)
+   * and the scoring pass, so the pruned projection is scanned TWICE (the
+   * regexp tf work runs in both passes): document rows never shuffle, the
+   * top-k is a TakeOrderedAndProject, and scan-twice beats a corpus-sized
+   * cache at the 100 TB target (same trade as packBins — persist `base`
+   * yourself only when the corpus fits a storage tier). The idf is the
+   * log-free rational form
    * `(N - df + 0.5) / (df + 0.5)` — same ranking as the log form, built
    * from plain IEEE arithmetic on integer-derived doubles, so results are
    * bit-reproducible across engines (the `text_bm25` oracle relies on it).

@@ -65,16 +65,28 @@ object SimilarityQueries {
 
   /** Nearest-codebook-entry assignment per (vector, subspace): broadcast the
     * tiny codebook, argmin squared L2 as a min-of-struct hash aggregate
-    * (ties to the lowest code). Returns (vec_id, sub_idx, code, d2, sv). */
-  private[graft] def pqAssign(sub: DataFrame, cb: DataFrame): DataFrame =
-    sub.join(broadcast(cb), "sub_idx")
+    * (ties to the lowest code). Returns (vec_id, sub_idx, code, d2[, sv]).
+    * Pass `carrySubvectors = false` when the caller only needs code/d2 —
+    * the 8-double array otherwise rides every partial aggregation buffer
+    * for nothing (the Lloyd caller is the only one that needs it). */
+  private[graft] def pqAssign(
+      sub: DataFrame, cb: DataFrame, carrySubvectors: Boolean = true): DataFrame = {
+    val scored = sub.join(broadcast(cb), "sub_idx")
       .withColumn("d2",
         expr("graft_dot(sv, sv) - 2 * graft_dot(sv, cv) + graft_dot(cv, cv)"))
-      .groupBy("vec_id", "sub_idx")
-      .agg(min(struct(col("d2"), col("code"), col("sv"))).as("best"))
-      .select(col("vec_id"), col("sub_idx"),
-        col("best.code").as("code"), col("best.d2").as("d2"),
-        col("best.sv").as("sv"))
+    if (carrySubvectors) {
+      scored.groupBy("vec_id", "sub_idx")
+        .agg(min(struct(col("d2"), col("code"), col("sv"))).as("best"))
+        .select(col("vec_id"), col("sub_idx"),
+          col("best.code").as("code"), col("best.d2").as("d2"),
+          col("best.sv").as("sv"))
+    } else {
+      scored.groupBy("vec_id", "sub_idx")
+        .agg(min(struct(col("d2"), col("code"))).as("best"))
+        .select(col("vec_id"), col("sub_idx"),
+          col("best.code").as("code"), col("best.d2").as("d2"))
+    }
+  }
 
   /** One Lloyd iteration per subspace: per-dimension mean of the assigned
     * subvectors becomes the refined codebook. */
@@ -221,7 +233,7 @@ object SimilarityQueries {
         .select(col("sub_idx"), col("vec_id").cast("int").as("code"),
           col("sv").as("cv"))
       val cb1 = pqLloyd(pqAssign(sub, init))
-      pqAssign(sub, cb1)
+      pqAssign(sub, cb1, carrySubvectors = false)
         .groupBy("sub_idx")
         .agg(countDistinct("code").as("codes_used"),
           (floor(avg("d2") * 10000) / 10000).as("avg_distortion"),

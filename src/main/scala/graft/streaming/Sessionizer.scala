@@ -6,18 +6,24 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 
 /**
  * Streaming sessionization as CUSTOM STATE — the live twin of the batch
- * `q_sessionize` gaps-and-islands window. Each key holds its one OPEN
- * session `(start, last, count)` in the state store; a session closes and
- * emits either when a same-batch event lands beyond the inactivity gap
- * (intra-batch split) or when the EVENT-TIME timeout fires (the watermark
- * passed `last + gap`), so emissions are final and append-mode safe across
- * checkpointed restarts.
+ * `q_sessionize` gaps-and-islands window. Each key holds its not-yet-final
+ * sessions in the state store; an event merges into any session within the
+ * inactivity gap (BRIDGING two sessions when it lands between them, and
+ * extending a session backwards when it arrives late-but-allowed), and a
+ * session emits ONLY once the event-time watermark passes `end + gap` —
+ * no earlier event can still change it, so every emission is final
+ * (append-mode safe across checkpointed restarts) and equals the batch
+ * window over the same in-watermark data.
  *
- * Scale: state is one small entry per ACTIVE key — closed sessions leave
- * the store via timeout, so state is bounded by concurrently-active keys,
- * not by history. Late events inside the watermark merge into the open
- * session (extending it backwards if needed); events later than the
- * watermark are dropped by Spark upstream, the standard trade.
+ * Scale: state is the list of not-yet-final sessions per ACTIVE key —
+ * bounded by the watermark delay over the gap, not by history; finalized
+ * sessions leave the store. Events later than the watermark are dropped by
+ * Spark upstream, the standard trade.
+ *
+ * On a BATCH frame the same call degenerates correctly: each key's full
+ * data arrives in one group, every session is closed by definition, and
+ * everything emits (no state, no timeouts — Spark's batch GroupState has
+ * no watermark to consult).
  */
 object Sessionizer {
 
@@ -27,15 +33,30 @@ object Sessionizer {
       session_end_ms: Long,
       n_events: Long)
 
-  /** The per-key state-store entry (public: the state Encoder's generated
-    * code must be able to construct it). */
+  /** A not-yet-final session held in the state store (public: the state
+    * Encoder's generated code must be able to construct it). */
   final case class Open(startMs: Long, lastMs: Long, n: Long)
 
+  /** Merge sorted event times into a sorted session list: each time joins
+    * every session within `gapMs` (bridging neighbors), else opens one. */
+  private def fold(sessions: List[Open], times: Array[Long], gapMs: Long): List[Open] = {
+    var acc = sessions
+    times.foreach { t =>
+      val (near, far) = acc.partition(s =>
+        t >= s.startMs - gapMs && t <= s.lastMs + gapMs)
+      val merged = near.foldLeft(Open(t, t, 1)) { (m, s) =>
+        Open(math.min(m.startMs, s.startMs), math.max(m.lastMs, s.lastMs), m.n + s.n)
+      }
+      acc = (merged :: far).sortBy(_.startMs)
+    }
+    acc
+  }
+
   /**
-   * Sessionize a streaming (or batch-test) frame with an inactivity gap.
-   * Input needs a long key column and a timestamp column; a watermark of
-   * `watermarkDelay` is applied to the timestamp (late-arrival budget —
-   * it also sets how long after quiescence a session takes to close).
+   * Sessionize a streaming (or batch) frame with an inactivity gap. Input
+   * needs a long key column and a timestamp column; a watermark of
+   * `watermarkDelay` is applied to the timestamp (the late-arrival budget —
+   * it also sets how long after quiescence a session takes to finalize).
    */
   def sessionize(
       events: DataFrame,
@@ -44,45 +65,35 @@ object Sessionizer {
       keyCol: String = "user_id",
       watermarkDelay: String = "0 seconds"): Dataset[Session] = {
     require(gapMs > 0, "inactivity gap must be positive")
+    val streaming = events.isStreaming
     import events.sparkSession.implicits._
     events
       .select(col(keyCol).cast("long").as("k"), col(tsCol).cast("timestamp").as("ts"))
       .withWatermark("ts", watermarkDelay)
       .as[(Long, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[Open, Session](
+      .flatMapGroupsWithState[List[Open], Session](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (k: Long, batch: Iterator[(Long, java.sql.Timestamp)], state: GroupState[Open]) =>
-          if (state.hasTimedOut) {
-            // watermark passed last + gap with no new events: close and emit
-            val open = state.get
-            state.remove()
-            Iterator.single(Session(k, open.startMs, open.lastMs, open.n))
+        (k: Long, batch: Iterator[(Long, java.sql.Timestamp)], state: GroupState[List[Open]]) =>
+          val times = batch.map(_._2.getTime).toArray
+          java.util.Arrays.sort(times)
+          val all = fold(state.getOption.getOrElse(Nil), times, gapMs)
+          if (!streaming) {
+            // batch degenerate case: the group is complete, emit everything
+            // (GroupState has no watermark in batch execution — don't touch
+            // timeouts, they'd throw)
+            all.iterator.map(s => Session(k, s.startMs, s.lastMs, s.n))
           } else {
-            val times = batch.map(_._2.getTime).toArray
-            java.util.Arrays.sort(times)
-            var closed = List.empty[Session]
-            var cur = state.getOption
-            times.foreach { t =>
-              cur match {
-                case Some(o) if t - o.lastMs <= gapMs =>
-                  // merge (a late event may extend the session backwards)
-                  cur = Some(Open(math.min(o.startMs, t), math.max(o.lastMs, t), o.n + 1))
-                case Some(o) =>
-                  closed ::= Session(k, o.startMs, o.lastMs, o.n) // intra-batch split
-                  cur = Some(Open(t, t, 1))
-                case None =>
-                  cur = Some(Open(t, t, 1))
-              }
-            }
-            cur.foreach { o =>
-              state.update(o)
-              // the timeout must sit beyond the current watermark; for a
-              // session fed only by allowed-late events, clamp forward
+            // final = no in-watermark event can still reach the session
+            val wm = state.getCurrentWatermarkMs()
+            val (closed, open) = all.partition(_.lastMs + gapMs <= wm)
+            if (open.isEmpty) state.remove()
+            else {
+              state.update(open)
               state.setTimeoutTimestamp(
-                math.max(o.lastMs + gapMs, state.getCurrentWatermarkMs() + 1))
+                math.max(open.map(_.lastMs + gapMs).min, wm + 1))
             }
-            closed.reverse.iterator
+            closed.iterator.map(s => Session(k, s.startMs, s.lastMs, s.n))
           }
       }
   }

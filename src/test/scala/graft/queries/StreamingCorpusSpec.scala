@@ -20,17 +20,17 @@ import graft.functions.payload_utf8
 class StreamingCorpusSpec extends SparkSuite {
 
   /** The shared pipeline: decode, gate docs under 5 tokens, fingerprint the
-    * normalized text, keep a deterministic ~50% hash sample, dedup on the
-    * fingerprint. Works on any flo-envelope DataFrame, batch or streaming. */
+    * normalized text, keep a deterministic ~75% hash sample (first hex
+    * nibble < 'c' = 12/16), dedup on the fingerprint. Works on any
+    * flo-envelope DataFrame, batch or streaming. */
   private def prep(df: DataFrame): DataFrame = {
-    val text = payload_utf8(col("data"))
     val norm = trim(regexp_replace(
-      regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
-    df.select(col("event_counter").as("doc_id"), text.as("text"))
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    df.select(col("event_counter").as("doc_id"),
+        payload_utf8(col("data")).as("text"))
       .filter(size(split(trim(col("text")), " +")) >= 5)
-      .withColumn("fp", md5(trim(regexp_replace(
-        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))))
-      .filter(substring(md5(concat(lit("graft:"), col("fp"))), 1, 1) < "c") // ~75%
+      .withColumn("fp", md5(norm))
+      .filter(substring(md5(concat(lit("graft:"), col("fp"))), 1, 1) < "c")
       .dropDuplicates("fp")
   }
 

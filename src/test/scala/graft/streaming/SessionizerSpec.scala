@@ -27,12 +27,12 @@ class SessionizerSpec extends SparkSuite {
     val (input, q) = startQuery("sess_out", gapMs = 30000)
     try {
       // u1: two events inside the gap; u2: one event; u3: two events farther
-      // apart than the gap IN ONE BATCH -> first session must emit at once
+      // apart than the gap in one batch (an intra-batch split)
       input.addData((1L, 1000L), (1L, 2000L), (2L, 5000L), (3L, 1000L), (3L, 60000L))
       q.processAllAvailable()
       val after1 = spark.table("sess_out").as[Session].collect().toSet
-      // the intra-batch split emits immediately; u1/u2 close when the
-      // watermark (60000, delay 0) passes their last+gap timeouts
+      // delay 0 -> the watermark lands at 60000 and finalizes every session
+      // whose last+gap it passed (u1, u2, and u3's first)
       assert(after1 == Set(
         Session(3L, 1000L, 1000L, 1L),
         Session(1L, 1000L, 2000L, 2L),
@@ -77,6 +77,40 @@ class SessionizerSpec extends SparkSuite {
       val got = spark.table("sess_late").as[Session].collect().toSet
       assert(got.contains(Session(5L, 95000L, 100000L, 2L)), s"got $got")
     } finally q.stop()
+  }
+
+  test("a late event BRIDGES two held sessions instead of violating the gap invariant") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // gap 30s, delay 60s: t=0 and t=40000 form two held sessions; the late
+    // t=10000 is within the gap of both -> ONE session [0, 40000] n=3,
+    // exactly what the batch window computes over {0, 10000, 40000}
+    val (input, q) = startQuery("sess_bridge", gapMs = 30000, delay = "1 minute")
+    try {
+      input.addData((7L, 1000L), (7L, 41000L))
+      q.processAllAvailable()
+      assert(spark.table("sess_bridge").isEmpty,
+        "nothing may emit while a late event could still reshape the sessions")
+      input.addData((7L, 11000L))
+      q.processAllAvailable()
+      input.addData((9L, 1000000L)) // push the watermark, finalize
+      q.processAllAvailable()
+      val got = spark.table("sess_bridge").as[Session]
+        .collect().filter(_.user_id == 7L).toSet
+      assert(got == Set(Session(7L, 1000L, 41000L, 3L)), s"got $got")
+    } finally q.stop()
+  }
+
+  test("batch mode: the same call sessionizes a static frame completely") {
+    import spark.implicits._
+    val batch = Seq((1L, 1000L), (1L, 2000L), (1L, 60000L), (2L, 5000L))
+      .toDF("user_id", "ms")
+      .select(col("user_id"), timestamp_millis(col("ms")).as("ts"))
+    val got = Sessionizer.sessionize(batch, gapMs = 30000).collect().toSet
+    assert(got == Set(
+      Session(1L, 1000L, 2000L, 2L),
+      Session(1L, 60000L, 60000L, 1L),
+      Session(2L, 5000L, 5000L, 1L)), s"got $got")
   }
 
   test("rejects a non-positive gap") {
