@@ -193,6 +193,20 @@ object AnalyticsQueries {
         .orderBy("user_id")
     }),
 
+    // the CUSTOM-STATE sessionizer ([[graft.streaming.Sessionizer]]) on its
+    // batch path, hash-checked against DuckDB's gaps-and-islands window —
+    // the same flatMapGroupsWithState logic that runs live with event-time
+    // timeouts is what produces these rows, so the state-machine semantics
+    // (merge, bridge, split) are oracle-verified, not just spec'd.
+    // Timestamps compare at ms precision on both sides (java getTime and
+    // DuckDB epoch_ms both floor), 30-minute gap like q_sessionize.
+    "q_sessionize_state" -> ((s, d) =>
+      graft.streaming.Sessionizer.sessionize(
+          t(s, d, "events").select(col("user_id"), col("ts")),
+          gapMs = 1800000L)
+        .toDF()
+        .orderBy("user_id", "session_start_ms")),
+
     // §2.4: multi-column distinct aggregation
     "q_distinct_stats" -> ((s, d) => {
       t(s, d, "lineitem").agg(
@@ -446,6 +460,23 @@ object AnalyticsQueries {
         |  FROM marked)
         |SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
         |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_sessionize_state" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id, epoch_ms(ts) AS ms,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000 THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        |  SELECT user_id, ms,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked)
+        |SELECT user_id, MIN(ms) AS session_start_ms, MAX(ms) AS session_end_ms,
+        |  COUNT(*) AS n_events
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_ms""".stripMargin,
 
     "q_distinct_stats" ->
       """SELECT COUNT(DISTINCT l_partkey) AS parts, COUNT(DISTINCT l_suppkey) AS supps,
