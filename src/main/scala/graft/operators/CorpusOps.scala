@@ -219,6 +219,94 @@ object CorpusOps {
       .select(col("doc_id"), col("lang"), col("rn"))
   }
 
+  // ---- MinHash+LSH near-dup stages (moved from the query catalog so the
+  // operator is a public API; `dedup_minhash_lsh` and tools.Profile drive
+  // these exact builders) ----
+
+  private[graft] val MinhashH = 32 // signature length
+  private[graft] val MinhashB = 8  // bands
+  private[graft] val MinhashR = MinhashH / MinhashB
+
+  /** (doc_id, band_idx, band_val) rows from the single-pass JVM signature
+    * kernel — one loop per document, zero shuffle. */
+  private[graft] def minhashBands(documents: DataFrame): DataFrame = {
+    val s = documents.sparkSession
+    import s.implicits._
+    import graft.similarity.MinHashKernel
+    documents.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val sig = MinHashKernel.signature(text, k = 5, h = MinhashH)
+        MinHashKernel.bands(sig, MinhashB, MinhashR).zipWithIndex.map {
+          case (bv, bi) => (id, bi, bv)
+        }
+      })
+      .toDF("doc_id", "band_idx", "band_val")
+  }
+
+  /** Distinct (doc_a < doc_b) pairs sharing at least one band value. */
+  private[graft] def minhashCandidates(bands: DataFrame): DataFrame =
+    bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+  /** Sorted distinct shingle hashes for CANDIDATE docs only (a semi join
+    * prunes the rest), from the SAME kernel hash family as the signatures,
+    * one pass per doc. */
+  private[graft] def minhashShingleSets(documents: DataFrame, cand: DataFrame): DataFrame = {
+    val s = documents.sparkSession
+    import s.implicits._
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    documents.join(broadcast(candDocs), "doc_id")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        (id, graft.similarity.MinHashKernel.shingleHashes(text, k = 5))
+      })
+      .toDF("doc_id", "shs")
+  }
+
+  /** Exact-jaccard verify (two-pointer JVM kernel — Catalyst
+    * array_intersect is interpreted per pair and dominates when band
+    * collisions number in the tens of thousands); keeps
+    * jaccard >= threshold, rounded to 3 decimals. */
+  private[graft] def minhashVerify(
+      cand: DataFrame, sets: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val s = cand.sparkSession
+    import s.implicits._
+    cand
+      .join(sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shs", "sa"), "doc_a")
+      .join(sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shs", "sb"), "doc_b")
+      // using-column joins reorder columns — re-select before the
+      // positional tuple encoder
+      .select(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
+      .as[(Long, Long, IndexedSeq[Long], IndexedSeq[Long])]
+      .mapPartitions(_.flatMap { case (a, b, sa, sb) =>
+        val jac = graft.similarity.MinHashKernel.jaccardSortedLongs(sa, sb)
+        if (jac >= threshold) Some((a, b, math.round(jac * 1000).toDouble / 1000))
+        else None
+      })
+      .toDF("doc_a", "doc_b", "jaccard")
+  }
+
+  /**
+   * MinHash+LSH near-duplicate pairs over any documents-shaped table
+   * (`doc_id`, `text`): zero-shuffle JVM signature kernel (32 hashes /
+   * 8 bands over 5-shingles), band self-join carrying only id pairs,
+   * exact-jaccard verify on semi-join-pruned candidates. Returns
+   * (doc_a < doc_b, jaccard >= threshold). The candidate stage recalls
+   * any pair agreeing on a full band; the verify makes precision exact.
+   */
+  def nearDupPairsMinhash(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
+    val bands = minhashBands(docs)
+    val cand = minhashCandidates(bands)
+    minhashVerify(cand, minhashShingleSets(docs, cand), threshold)
+  }
+
   /**
    * BM25 relevance ranking of a documents-shaped table (`doc_id`, `text`)
    * against a fixed bag of lowercase terms. Per-document term frequencies

@@ -23,77 +23,8 @@ object DedupQueries {
 
   private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
 
-  private val H = 32 // minhash signature length
-  private val B = 8  // bands
-  private val R = H / B
-
   /** df cap for trigram pair emission (see dedup_ngram_jaccard). */
   private[queries] val MaxGramDf = 1000
-
-  // ---- dedup_minhash_lsh stage builders (shared with tools.Profile) ----
-
-  /** (doc_id, band_idx, band_val) rows from the single-pass JVM signature
-    * kernel — one loop per document, zero shuffle. */
-  private[graft] def minhashBands(documents: DataFrame): DataFrame = {
-    val s = documents.sparkSession
-    import s.implicits._
-    import graft.similarity.MinHashKernel
-    documents.select(col("doc_id"), col("text"))
-      .as[(Long, String)]
-      .mapPartitions(_.flatMap { case (id, text) =>
-        val sig = MinHashKernel.signature(text, k = 5, h = H)
-        MinHashKernel.bands(sig, B, R).zipWithIndex.map {
-          case (bv, bi) => (id, bi, bv)
-        }
-      })
-      .toDF("doc_id", "band_idx", "band_val")
-  }
-
-  /** Distinct (doc_a < doc_b) pairs sharing at least one band value. */
-  private[graft] def minhashCandidates(bands: DataFrame): DataFrame =
-    bands.as("a").join(bands.as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_val") === col("b.band_val") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-
-  /** Sorted distinct shingle hashes for CANDIDATE docs only (a semi join
-    * prunes the rest), from the SAME kernel hash family as the signatures,
-    * one pass per doc — the r1 explode(substring) + collect_set formulation
-    * shuffled ~|text| rows per doc. */
-  private[graft] def minhashShingleSets(documents: DataFrame, cand: DataFrame): DataFrame = {
-    val s = documents.sparkSession
-    import s.implicits._
-    val candDocs = cand.select(col("doc_a").as("doc_id"))
-      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-    documents.join(broadcast(candDocs), "doc_id")
-      .select(col("doc_id"), col("text")).as[(Long, String)]
-      .mapPartitions(_.map { case (id, text) =>
-        (id, graft.similarity.MinHashKernel.shingleHashes(text, k = 5))
-      })
-      .toDF("doc_id", "shs")
-  }
-
-  /** Exact-jaccard verify (two-pointer JVM kernel — Catalyst
-    * array_intersect is interpreted per pair and dominates when band
-    * collisions number in the tens of thousands); keeps jaccard >= 0.5. */
-  private[graft] def minhashVerify(cand: DataFrame, sets: DataFrame): DataFrame = {
-    val s = cand.sparkSession
-    import s.implicits._
-    cand
-      .join(sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shs", "sa"), "doc_a")
-      .join(sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shs", "sb"), "doc_b")
-      // using-column joins reorder columns — re-select before the
-      // positional tuple encoder
-      .select(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
-      .as[(Long, Long, IndexedSeq[Long], IndexedSeq[Long])]
-      .mapPartitions(_.flatMap { case (a, b, sa, sb) =>
-        val jac = graft.similarity.MinHashKernel.jaccardSortedLongs(sa, sb)
-        if (jac >= 0.5) Some((a, b, math.round(jac * 1000).toDouble / 1000)) else None
-      })
-      .toDF("doc_a", "doc_b", "jaccard")
-  }
 
   /** (doc_a < doc_b, jaccard) pairs with exact word-trigram jaccard >= 0.5,
     * via the inverted-index join (shared by dedup_ngram_jaccard and the
@@ -168,15 +99,12 @@ object DedupQueries {
     // from a single-pass JVM kernel (one loop per document) — the explode +
     // 32-column min-agg formulation shuffled ~2M shingle rows and was the
     // slowest query in the catalog; the kernel removes that stage entirely.
-    // (Stage builders below are shared with graft.tools.Profile so the
-    // profiler can never drift from the real plan.)
-    "dedup_minhash_lsh" -> ((s, d) => {
-      val bands = minhashBands(docs(s, d))
-      val cand = minhashCandidates(bands)
-      val sets = minhashShingleSets(docs(s, d), cand)
-      minhashVerify(cand, sets)
-        .orderBy("doc_a", "doc_b")
-    }),
+    // Runs through the public operator [[graft.operators.CorpusOps
+    // .nearDupPairsMinhash]] (whose stage builders tools.Profile also
+    // drives, so the profiler can never drift from the real plan).
+    "dedup_minhash_lsh" -> ((s, d) =>
+      graft.operators.CorpusOps.nearDupPairsMinhash(docs(s, d), threshold = 0.5)
+        .orderBy("doc_a", "doc_b")),
 
     // SimHash: 64-bit sketch from token hashes; near-dup candidates via
     // 16-bit band collisions, kept if hamming distance <= 3 (the classic
@@ -267,29 +195,18 @@ object DedupQueries {
     // results are a high-recall subset of dedup_embedding_cosine — DedupSpec
     // asserts subset + recall >= 0.9 at sf0.001. Not SQL-expressible
     // (hyperplanes) -> rows-only driver check.
-    "dedup_embedding_lsh" -> ((s, d) => {
-      // unit-normalize per ROW (same fp path as the exact baseline, so the
-      // verified output is an exact subset of dedup_embedding_cosine); the
-      // sign-bit codes of a unit vector equal those of the raw vector
-      val u = SimilarityQueries.emb(s, d)
-        .select(col("vec_id"), expr("graft_unit(v)").as("v"))
-      // band join + distinct carry ONLY the 16-byte id pair — the vectors
-      // rejoin after dedup, so the wide arrays never ride the heavy shuffle
-      val coded = SimilarityQueries.bandedCodes(u, EmbBands)
-        .select("vec_id", "band_idx", "code")
-      val candIds = coded.as("a").join(coded.as("b"),
-          col("a.band_idx") === col("b.band_idx") &&
-            col("a.code") === col("b.code") &&
-            col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-        .distinct()
-      candIds
-        .join(u.select(col("vec_id").as("vec_a"), col("v").as("va")), "vec_a")
-        .join(u.select(col("vec_id").as("vec_b"), col("v").as("vb")), "vec_b")
-        .filter(expr("graft_dot(va, vb)") >= 0.4)
-        .select(col("vec_a"), col("vec_b"))
-        .orderBy("vec_a", "vec_b")
-    }))
+    // Runs through the public operator [[graft.operators.Ann
+    // .nearDupPairsCosine]]: unit-normalize per ROW (same fp path as the
+    // exact baseline, so the verified output is an exact subset of
+    // dedup_embedding_cosine); the band join + distinct carry ONLY the
+    // 16-byte id pair — vectors rejoin after dedup, so the wide arrays
+    // never ride the heavy shuffle.
+    "dedup_embedding_lsh" -> ((s, d) =>
+      graft.operators.Ann.nearDupPairsCosine(
+          SimilarityQueries.emb(s, d).select(col("vec_id").as("id"), col("v")),
+          dim = 64, threshold = 0.4, bands = EmbBands)
+        .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"))
+        .orderBy("vec_a", "vec_b")))
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->

@@ -41,15 +41,10 @@ object SimilarityQueries {
         col("embedding").cast("array<double>").as("v"))
   }
 
-  /** cosine(a.v, b.v) via the native codegen'd dot expression. */
-  private def cosine: Column =
-    expr("graft_dot(a.v, b.v) / (sqrt(graft_dot(a.v, a.v)) * sqrt(graft_dot(b.v, b.v)))")
-
   private val Dim = 64
   private val Seed = 7
   private val NumPlanes = 128
   private val KnnBands = 16 // r = 8 bits/band
-  private val KnnBits = NumPlanes / KnnBands
 
   private[graft] val PqSubs = 8
   private[graft] val PqSubDim = Dim / PqSubs // 8
@@ -99,58 +94,30 @@ object SimilarityQueries {
       .select(col("sub_idx"), col("code"),
         expr("transform(pm, e -> e.m)").as("cv")) // 128 rows — HOF harmless
 
-  /** Corpus-side exact band codes: (vec_id, v, band_idx, code). */
-  private[graft] def bandedCodes(e: DataFrame, bands: Int): DataFrame =
-    e.select(col("vec_id"), col("v"),
-        posexplode(expr(s"graft_lsh_bands(v, $Seed, $NumPlanes, $bands, $Dim)"))
-          .as(Seq("band_idx", "code")))
-
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // exact top-5 cosine neighbors for the first 10 vectors (baseline).
-    // The rerank is the bounded-heap graft_topk aggregate, not a window:
+    // exact top-5 cosine neighbors for the first 10 vectors (baseline),
+    // through the public operator [[graft.operators.Ann.knnBrute]]. The
+    // rerank is the bounded-heap graft_topk aggregate, not a window:
     // map-side partials cut the shuffle to k ids per query per partition
     // and nothing sorts the full candidate set — the shape that matters
     // when "10 queries" becomes a 100M-row query table.
     "sim_knn_brute" -> ((s, d) => {
-      val e = emb(s, d)
-      val q = e.filter(col("vec_id") < 10)
-      val scored = q.as("a").join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
-        .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"),
-          cosine.as("cos"))
-      graft.operators.TopK.topKPerKey(scored, Seq("query_id"),
-          struct(col("cos"), -col("neighbor_id")), Seq("neighbor_id"), 5)
-        .select(col("query_id"), col("neighbor_id"), col("rn").as("rank"))
+      val e = emb(s, d).select(col("vec_id").as("id"), col("v"))
+      graft.operators.Ann.knnBrute(e, e.filter(col("id") < 10), k = 5)
         .orderBy("query_id", "rank")
     }),
 
-    // LSH-bucketed ANN with query-side multi-probe: corpus vectors key on
-    // their exact band codes; each query probes its own code plus all
-    // hamming-1 variants per band. The probe side (queries x bands x (r+1))
-    // is tiny and broadcast — the corpus is hash-joined, never crossed.
-    // Not SQL-expressible (hyperplane literals) -> rows-only check; recall
-    // >= 0.8 vs the brute baseline is asserted in SimilaritySpec.
+    // LSH-bucketed ANN with query-side multi-probe, through the public
+    // operator [[graft.operators.Ann.knnLsh]]: corpus vectors key on their
+    // exact band codes; each query probes its own code plus all hamming-1
+    // variants per band. The probe side (queries x bands x (r+1)) is tiny
+    // and broadcast — the corpus is hash-joined, never crossed. Not
+    // SQL-expressible (hyperplane literals) -> rows-only check; recall
+    // >= 0.8 vs the brute baseline is asserted in QueriesSpec.
     "sim_knn_lsh" -> ((s, d) => {
-      val e = emb(s, d)
-      val corpus = bandedCodes(e, KnnBands)
-      val probeArr = array(
-        (col("code") +: (0 until KnnBits).map(j =>
-          col("code").bitwiseXOR(lit(1L << j)))): _*)
-      val probes = bandedCodes(e.filter(col("vec_id") < 10), KnnBands)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"),
-          col("band_idx"), explode(probeArr).as("code"))
-      val cand = broadcast(probes).join(corpus,
-          Seq("band_idx", "code"))
-        .filter(col("query_id") =!= col("vec_id"))
-        .select(col("query_id"), col("qv"), col("vec_id").as("neighbor_id"),
-          col("v").as("nv"))
-        .distinct()
-      val cos = expr("graft_dot(qv, nv) / (sqrt(graft_dot(qv, qv)) * sqrt(graft_dot(nv, nv)))")
-      // bounded-heap rerank: the candidate vectors stop at the aggregate
-      // instead of riding a window shuffle (see sim_knn_brute)
-      graft.operators.TopK.topKPerKey(cand.withColumn("cos", cos),
-          Seq("query_id"), struct(col("cos"), -col("neighbor_id")),
-          Seq("neighbor_id"), 5)
-        .select(col("query_id"), col("neighbor_id"), col("rn").as("rank"))
+      val e = emb(s, d).select(col("vec_id").as("id"), col("v"))
+      graft.operators.Ann.knnLsh(e, e.filter(col("id") < 10), k = 5,
+          dim = Dim, seed = Seed, planes = NumPlanes, bands = KnnBands)
         .orderBy("query_id", "rank")
     }),
 

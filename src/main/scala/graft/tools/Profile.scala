@@ -31,34 +31,35 @@ object Profile {
       println(f"PROFILE $label%-28s ${(System.nanoTime() - t0) / 1e9}%7.2f s  rows=$n")
     }
 
-    // --- dedup_minhash_lsh stages (the REAL builders from DedupQueries —
+    // --- dedup_minhash_lsh stages (the REAL builders from CorpusOps —
     // the profiler cannot drift from the production plan)
+    import graft.operators.{Ann, CorpusOps}
     val docs = Tables.load(spark, sfDir, "documents")
-    val bands = graft.queries.DedupQueries.minhashBands(docs)
+    val bands = CorpusOps.minhashBands(docs)
     time("mh: band rows")(bands.count())
-    val cand = graft.queries.DedupQueries.minhashCandidates(bands)
+    val cand = CorpusOps.minhashCandidates(bands)
     time("mh: candidates")(cand.count())
-    val sets = graft.queries.DedupQueries.minhashShingleSets(docs, cand)
+    val sets = CorpusOps.minhashShingleSets(docs, cand)
     time("mh: shingle sets")(sets.count())
     time("mh: verify joins+jaccard")(
-      graft.queries.DedupQueries.minhashVerify(cand, sets).count())
+      CorpusOps.minhashVerify(cand, sets).count())
 
-    // --- dedup_embedding_lsh stages
+    // --- dedup_embedding_lsh stages (Ann builders)
     val u = graft.queries.SimilarityQueries.emb(spark, sfDir)
-      .select(col("vec_id"), expr("graft_unit(v)").as("v"))
-    val coded = graft.queries.SimilarityQueries.bandedCodes(u, 32)
-      .select("vec_id", "band_idx", "code")
+      .select(col("vec_id").as("id"), expr("graft_unit(v)").as("v"))
+    val coded = Ann.bandedCodes(u, seed = 7, planes = 128, bands = 32, dim = 64)
+      .select("id", "band_idx", "code")
     time("emb: coded rows")(coded.count())
     val candIds = coded.as("a").join(coded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.code") === col("b.code") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     time("emb: candidate ids")(candIds.count())
     time("emb: verify")(candIds
-      .join(u.select(col("vec_id").as("vec_a"), col("v").as("va")), "vec_a")
-      .join(u.select(col("vec_id").as("vec_b"), col("v").as("vb")), "vec_b")
+      .join(u.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+      .join(u.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
       .filter(expr("graft_dot(va, vb)") >= 0.4)
       .count())
 

@@ -191,6 +191,44 @@ class ScaleOpsSpec extends SparkSuite {
     }
   }
 
+  test("nearDupPairsMinhash finds planted near-dups on a fresh table and honors the threshold") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (1L, base),
+      (2L, base),                        // exact dup of 1
+      (3L, base + " ok"),                // near dup of 1
+      (4L, "completely different words about spark shuffles and parquet files")
+    ).toDF("doc_id", "text")
+    val pairs = CorpusOps.nearDupPairsMinhash(docs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs.contains((1L, 2L)), s"exact dup must surface: $pairs")
+    assert(pairs.forall { case (a, b) => a < b })
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), s"4 is no near-dup: $pairs")
+    // a 1.0 threshold keeps only the exact dup
+    val strict = CorpusOps.nearDupPairsMinhash(docs, threshold = 1.0).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(strict == Set((1L, 2L)), s"got $strict")
+  }
+
+  test("Ann operators on a fresh table: brute is exact, LSH finds planted twins, pairs verify") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // 40 random vectors plus a planted twin of vector 0 (id 99)
+    val vs = (0L until 40L).map(i => (i, Array.fill(64)(rnd.nextGaussian())))
+    val twin = (99L, vs.head._2.map(x => x * 1.0001))
+    val emb = (vs :+ twin).toDF("id", "v")
+    val brute = Ann.knnBrute(emb, emb.filter($"id" === 0), k = 3).collect()
+    assert(brute.head.getAs[Long]("neighbor_id") == 99L, "the twin must rank first")
+    assert(brute.map(_.getAs[Int]("rank")).toSeq.sorted == Seq(1, 2, 3))
+    val lsh = Ann.knnLsh(emb, emb.filter($"id" === 0), k = 3, dim = 64).collect()
+    assert(lsh.head.getAs[Long]("neighbor_id") == 99L,
+      "a 1.0001-scaled twin shares every sign bit: LSH must find it at rank 1")
+    val pairs = Ann.nearDupPairsCosine(emb, dim = 64, threshold = 0.99).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs == Set((0L, 99L)), s"got $pairs")
+  }
+
   test("bm25 operator: rare terms outrank common ones, termless docs drop, tf columns surface") {
     import spark.implicits._
     val docs = Seq(
