@@ -85,6 +85,67 @@ object Ann {
   }
 
   /**
+   * IVF top-k cosine neighbors: k-means cells from a deterministic init
+   * (the `cells` lowest ids) refined by ONE distributed Lloyd iteration
+   * (assign via broadcast centroids -> per-dimension mean -> renormalize),
+   * then `probe`-cell search + exact rerank. Every centroid join
+   * broadcasts a `cells`-row side; the corpus is never crossed with
+   * itself. Cell assignment is an ARGMAX hash aggregate (max of a
+   * (cos, -cent_id, uv) struct) — partial aggregation combines the
+   * candidate rows map-side, where a window would shuffle-and-sort all
+   * n x cells rows.
+   */
+  def knnIvf(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      cells: Int = 16,
+      probe: Int = 6): DataFrame = {
+    require(probe <= cells, s"cannot probe $probe of $cells cells")
+    graft.expressions.GraftExtensions.register(corpus.sparkSession)
+    val u = corpus.select(col("id"), expr("graft_unit(v)").as("uv"))
+    val cs = expr("graft_dot(uv, cv)") // unit x unit = cosine
+
+    val init = u.orderBy("id").limit(cells)
+      .select(col("id").as("cent_id"), col("uv").as("cv"))
+
+    // argmax-by-struct: highest cosine, ties to the LOWEST cent_id
+    def assignCells(cents: DataFrame): DataFrame =
+      u.crossJoin(broadcast(cents))
+        .withColumn("cs", cs)
+        .groupBy(col("id"))
+        .agg(max(struct(col("cs"), (-col("cent_id")).as("nc"), col("uv"))).as("best"))
+        .select(col("id"), col("best.uv").as("uv"), (-col("best.nc")).as("cell"))
+
+    // one Lloyd iteration: hard-assign, per-dimension mean, renormalize
+    val cents = assignCells(init)
+      .select(col("cell"), posexplode(col("uv")).as(Seq("pos", "x")))
+      .groupBy("cell", "pos").agg(avg("x").as("m"))
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cell").as("cent_id"),
+        expr("transform(pm, e -> e.m)").as("mv")) // `cells` rows — HOF harmless
+      .select(col("cent_id"), expr("graft_unit(mv)").as("cv"))
+
+    val assigned = assignCells(cents)
+
+    val probes = TopK.topKPerKey(
+        queries.select(col("id"), expr("graft_unit(v)").as("uv"))
+          .crossJoin(broadcast(cents)).withColumn("cs", cs),
+        Seq("id"), struct(col("cs"), -col("cent_id")), Seq("cent_id", "uv"), probe)
+      .select(col("id").as("query_id"), col("uv").as("qv"),
+        col("cent_id").as("probe_cell"))
+
+    val cand = probes.join(assigned,
+        col("probe_cell") === col("cell") && col("query_id") =!= col("id"))
+      .select(col("query_id"), col("qv"), col("id").as("neighbor_id"),
+        col("uv").as("nv"))
+      .distinct()
+    // qv/nv are unit vectors: dot = cosine
+    cosRerank(cand.withColumn("cos", expr("graft_dot(qv, nv)")), k)
+  }
+
+  /**
    * Near-duplicate `(id_a < id_b)` pairs by embedding cosine, LSH-bucketed:
    * band codes of the UNIT vectors hash-join carrying only the id pair (the
    * wide arrays rejoin after the distinct), exact `graft_dot` verify at

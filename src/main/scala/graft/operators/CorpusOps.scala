@@ -293,6 +293,42 @@ object CorpusOps {
   }
 
   /**
+   * SimHash near-duplicate pairs over any documents-shaped table
+   * (`doc_id`, `text`): one 64-bit sketch per document (single-pass JVM
+   * kernel), candidates from 16-bit band collisions (a pair within hamming
+   * distance 3 must agree on at least one of the 4 bands — pigeonhole),
+   * kept when `bit_count(a ^ b) <= maxHamming`. Returns
+   * (doc_a < doc_b, hamming). Candidates carry only (id, sketch) — 16
+   * bytes — through the band self-join.
+   */
+  def nearDupPairsSimhash(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 16,
+      s"maxHamming must be in [0, 16) for 4x16-bit band recall, got $maxHamming")
+    val s = docs.sparkSession
+    import s.implicits._
+    val sim = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        (id, graft.similarity.MinHashKernel.simhash(text))
+      })
+      .toDF("doc_id", "simhash")
+    val bandCols = (0 until 4).map(b =>
+      struct(lit(b).as("band_idx"),
+        expr(s"shiftright(simhash, ${16 * b}) & 65535").as("band_val")))
+    val bands = sim.select(col("doc_id"), col("simhash"),
+        explode(array(bandCols: _*)).as("band"))
+      .select(col("doc_id"), col("simhash"), col("band.band_idx"), col("band.band_val"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /**
    * MinHash+LSH near-duplicate pairs over any documents-shaped table
    * (`doc_id`, `text`): zero-shuffle JVM signature kernel (32 hashes /
    * 8 bands over 5-shingles), band self-join carrying only id pairs,

@@ -113,32 +113,11 @@ object DedupQueries {
     // noise explodes from 5 up). The sketch is
     // a single-pass JVM kernel per document (the dataframe formulation
     // shuffled every token row through 64 sum aggregates).
-    "dedup_simhash" -> ((s, d) => {
-      import s.implicits._
-      val sim = docs(s, d).select(col("doc_id"), col("text"))
-        .as[(Long, String)]
-        .mapPartitions(_.map { case (id, text) =>
-          (id, graft.similarity.MinHashKernel.simhash(text))
-        })
-        .toDF("doc_id", "simhash")
-
-      val bandCols = (0 until 4).map(b =>
-        struct(lit(b).as("band_idx"),
-          expr(s"shiftright(simhash, ${16 * b}) & 65535").as("band_val")))
-      val bands = sim.select(col("doc_id"), col("simhash"),
-          explode(array(bandCols: _*)).as("band"))
-        .select(col("doc_id"), col("simhash"), col("band.band_idx"), col("band.band_val"))
-
-      bands.as("a").join(bands.as("b"),
-          col("a.band_idx") === col("b.band_idx") &&
-            col("a.band_val") === col("b.band_val") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
-        .distinct()
-        .filter(col("hamming") <= 3)
-        .orderBy("doc_a", "doc_b")
-    }),
+    // Runs through the public operator
+    // [[graft.operators.CorpusOps.nearDupPairsSimhash]].
+    "dedup_simhash" -> ((s, d) =>
+      graft.operators.CorpusOps.nearDupPairsSimhash(docs(s, d), maxHamming = 3)
+        .orderBy("doc_a", "doc_b")),
 
     // exact word-trigram Jaccard near-dup via inverted-index join: candidate
     // pairs come from shared trigrams only (sum over df^2 postings, NOT an

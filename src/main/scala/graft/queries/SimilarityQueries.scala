@@ -130,52 +130,9 @@ object SimilarityQueries {
     // combines the 16 candidate rows map-side, where a window would
     // shuffle-and-sort all n x 16 rows.
     "sim_knn_ivf" -> ((s, d) => {
-      val u = emb(s, d).select(col("vec_id"), expr("graft_unit(v)").as("uv"))
-      val cs = expr("graft_dot(uv, cv)") // unit x unit = cosine
-
-      val init = u.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("cent_id"), col("uv").as("cv"))
-
-      // argmax-by-struct: highest cosine, ties to the LOWEST cent_id
-      def assignCells(cents: DataFrame): DataFrame =
-        u.crossJoin(broadcast(cents))
-          .withColumn("cs", cs)
-          .groupBy(col("vec_id"))
-          .agg(max(struct(col("cs"), (-col("cent_id")).as("nc"), col("uv"))).as("best"))
-          .select(col("vec_id"), col("best.uv").as("uv"), (-col("best.nc")).as("cell"))
-
-      // one Lloyd iteration: hard-assign, per-dimension mean, renormalize
-      val cents = assignCells(init)
-        .select(col("cell"), posexplode(col("uv")).as(Seq("pos", "x")))
-        .groupBy("cell", "pos").agg(avg("x").as("m"))
-        .groupBy("cell")
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cell").as("cent_id"),
-          expr("transform(pm, e -> e.m)").as("mv")) // 16 rows — HOF harmless
-        .select(col("cent_id"), expr("graft_unit(mv)").as("cv"))
-
-      val assigned = assignCells(cents)
-
-      val probes = u.filter(col("vec_id") < 10).crossJoin(broadcast(cents))
-        .withColumn("cs", cs)
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("vec_id").orderBy(col("cs").desc, col("cent_id"))))
-        .filter(col("rn") <= 6)
-        .select(col("vec_id").as("query_id"), col("uv").as("qv"),
-          col("cent_id").as("probe_cell"))
-
-      val cand = probes.join(assigned,
-          col("probe_cell") === col("cell") && col("query_id") =!= col("vec_id"))
-        .select(col("query_id"), col("qv"), col("vec_id").as("neighbor_id"),
-          col("uv").as("nv"))
-        .distinct()
-      // qv/nv are unit vectors: dot = cosine; bounded-heap rerank as in
-      // sim_knn_brute
-      graft.operators.TopK.topKPerKey(
-          cand.withColumn("cos", expr("graft_dot(qv, nv)")),
-          Seq("query_id"), struct(col("cos"), -col("neighbor_id")),
-          Seq("neighbor_id"), 5)
-        .select(col("query_id"), col("neighbor_id"), col("rn").as("rank"))
+      val e = emb(s, d).select(col("vec_id").as("id"), col("v"))
+      graft.operators.Ann.knnIvf(e, e.filter(col("id") < 10), k = 5,
+          cells = 16, probe = 6)
         .orderBy("query_id", "rank")
     }),
 
