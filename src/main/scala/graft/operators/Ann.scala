@@ -84,50 +84,128 @@ object Ann {
     cosRerank(cand.withColumn("cos", cosine), k)
   }
 
+  // ---- product-quantization stages (shared by sim_pq_audit and knnIvfPq) ----
+
+  /** Split each vector into `subs` contiguous subvectors: (id, sub_idx, sv).
+    * `vecCol` selects which vector column to split. */
+  private[graft] def pqSubvectors(
+      e: DataFrame, dim: Int, subs: Int, vecCol: String = "v"): DataFrame = {
+    require(dim % subs == 0, s"dim $dim must split evenly into $subs subspaces")
+    val subDim = dim / subs
+    e.select(col("id"), explode(array((0 until subs).map(m =>
+        struct(lit(m).as("sub_idx"),
+          slice(col(vecCol), m * subDim + 1, subDim).as("sv"))): _*)).as("p"))
+      .select(col("id"), col("p.sub_idx").as("sub_idx"), col("p.sv").as("sv"))
+  }
+
+  /** Nearest-codebook-entry assignment per (vector, subspace): broadcast the
+    * tiny codebook, argmin squared L2 as a min-of-struct hash aggregate
+    * (ties to the lowest code). Returns (id, sub_idx, code, d2[, sv]).
+    * Pass `carrySubvectors = false` when the caller only needs code/d2 —
+    * the subvector array otherwise rides every partial aggregation buffer
+    * for nothing (the Lloyd caller is the only one that needs it). */
+  private[graft] def pqAssign(
+      sub: DataFrame, cb: DataFrame, carrySubvectors: Boolean = true): DataFrame = {
+    val scored = sub.join(broadcast(cb), "sub_idx")
+      .withColumn("d2",
+        expr("graft_dot(sv, sv) - 2 * graft_dot(sv, cv) + graft_dot(cv, cv)"))
+    if (carrySubvectors) {
+      scored.groupBy("id", "sub_idx")
+        .agg(min(struct(col("d2"), col("code"), col("sv"))).as("best"))
+        .select(col("id"), col("sub_idx"),
+          col("best.code").as("code"), col("best.d2").as("d2"),
+          col("best.sv").as("sv"))
+    } else {
+      scored.groupBy("id", "sub_idx")
+        .agg(min(struct(col("d2"), col("code"))).as("best"))
+        .select(col("id"), col("sub_idx"),
+          col("best.code").as("code"), col("best.d2").as("d2"))
+    }
+  }
+
+  /** One Lloyd iteration per subspace: per-dimension mean of the assigned
+    * subvectors becomes the refined codebook (sub_idx, code, cv). */
+  private[graft] def pqLloyd(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("sub_idx"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+      .groupBy("sub_idx", "code", "pos").agg(avg("x").as("m"))
+      .groupBy("sub_idx", "code")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("sub_idx"), col("code"),
+        expr("transform(pm, e -> e.m)").as("cv")) // subs x codes rows — HOF harmless
+
+  /** Per-subspace codebooks: deterministic init (subvectors of the `codes`
+    * lowest ids, code = rank of the id) + one Lloyd round. The init-id
+    * ranking window runs on a `codes`-row side — single-task by design. */
+  private[graft] def pqCodebooks(sub: DataFrame, codes: Int): DataFrame = {
+    val initIds = sub.select("id").distinct().orderBy("id").limit(codes)
+      .withColumn("code",
+        (row_number().over(org.apache.spark.sql.expressions.Window.orderBy("id")) - 1)
+          .cast("int"))
+    val initCb = sub.join(broadcast(initIds), "id")
+      .select(col("sub_idx"), col("code"), col("sv").as("cv"))
+    pqLloyd(pqAssign(sub, initCb))
+  }
+
+  /** Hard cell assignment against broadcast centroids: (id, uv, cell, cs).
+    * Argmax-by-struct — highest cosine, ties to the LOWEST cent_id; a hash
+    * aggregate with map-side partials, where a window would shuffle-and-
+    * sort all n x cells rows. */
+  private[graft] def ivfAssign(u: DataFrame, cents: DataFrame): DataFrame =
+    u.crossJoin(broadcast(cents))
+      .withColumn("cs", expr("graft_dot(uv, cv)"))
+      .groupBy(col("id"))
+      .agg(max(struct(col("cs"), (-col("cent_id")).as("nc"), col("uv"))).as("best"))
+      .select(col("id"), col("best.uv").as("uv"), (-col("best.nc")).as("cell"),
+        col("best.cs").as("cs"))
+
+  /** Spherical k-means centroids: deterministic init (the `cells` lowest
+    * ids) refined by `iters` distributed Lloyd rounds (hard-assign ->
+    * per-dimension mean -> renormalize). Each round is one broadcast
+    * crossJoin + two aggregations; the objective (mean assigned cosine) is
+    * non-decreasing per round — ScaleOpsSpec asserts it. Rounds compose
+    * lazily: past a handful of iterations, localCheckpoint the running
+    * centroids yourself to truncate the replayed lineage. */
+  private[graft] def ivfCentroids(u: DataFrame, cells: Int, iters: Int): DataFrame = {
+    require(iters >= 0, s"lloydIters must be >= 0, got $iters")
+    var cents = u.orderBy("id").limit(cells)
+      .select(col("id").as("cent_id"), col("uv").as("cv"))
+    var i = 0
+    while (i < iters) {
+      cents = ivfAssign(u, cents)
+        .select(col("cell"), posexplode(col("uv")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(avg("x").as("m"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell").as("cent_id"),
+          expr("transform(pm, e -> e.m)").as("mv")) // `cells` rows — HOF harmless
+        .select(col("cent_id"), expr("graft_unit(mv)").as("cv"))
+      i += 1
+    }
+    cents
+  }
+
   /**
-   * IVF top-k cosine neighbors: k-means cells from a deterministic init
-   * (the `cells` lowest ids) refined by ONE distributed Lloyd iteration
-   * (assign via broadcast centroids -> per-dimension mean -> renormalize),
-   * then `probe`-cell search + exact rerank. Every centroid join
+   * IVF top-k cosine neighbors: spherical k-means cells
+   * ([[ivfCentroids]]: deterministic init + `lloydIters` distributed Lloyd
+   * rounds), then `probe`-cell search + exact rerank. Every centroid join
    * broadcasts a `cells`-row side; the corpus is never crossed with
-   * itself. Cell assignment is an ARGMAX hash aggregate (max of a
-   * (cos, -cent_id, uv) struct) — partial aggregation combines the
-   * candidate rows map-side, where a window would shuffle-and-sort all
-   * n x cells rows.
+   * itself.
    */
   def knnIvf(
       corpus: DataFrame,
       queries: DataFrame,
       k: Int,
       cells: Int = 16,
-      probe: Int = 6): DataFrame = {
+      probe: Int = 6,
+      lloydIters: Int = 1): DataFrame = {
     require(probe <= cells, s"cannot probe $probe of $cells cells")
     graft.expressions.GraftExtensions.register(corpus.sparkSession)
     val u = corpus.select(col("id"), expr("graft_unit(v)").as("uv"))
     val cs = expr("graft_dot(uv, cv)") // unit x unit = cosine
 
-    val init = u.orderBy("id").limit(cells)
-      .select(col("id").as("cent_id"), col("uv").as("cv"))
-
-    // argmax-by-struct: highest cosine, ties to the LOWEST cent_id
-    def assignCells(cents: DataFrame): DataFrame =
-      u.crossJoin(broadcast(cents))
-        .withColumn("cs", cs)
-        .groupBy(col("id"))
-        .agg(max(struct(col("cs"), (-col("cent_id")).as("nc"), col("uv"))).as("best"))
-        .select(col("id"), col("best.uv").as("uv"), (-col("best.nc")).as("cell"))
-
-    // one Lloyd iteration: hard-assign, per-dimension mean, renormalize
-    val cents = assignCells(init)
-      .select(col("cell"), posexplode(col("uv")).as(Seq("pos", "x")))
-      .groupBy("cell", "pos").agg(avg("x").as("m"))
-      .groupBy("cell")
-      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-      .select(col("cell").as("cent_id"),
-        expr("transform(pm, e -> e.m)").as("mv")) // `cells` rows — HOF harmless
-      .select(col("cent_id"), expr("graft_unit(mv)").as("cv"))
-
-    val assigned = assignCells(cents)
+    val cents = ivfCentroids(u, cells, lloydIters)
+    val assigned = ivfAssign(u, cents).drop("cs")
 
     val probes = TopK.topKPerKey(
         queries.select(col("id"), expr("graft_unit(v)").as("uv"))
@@ -143,6 +221,79 @@ object Ann {
       .distinct()
     // qv/nv are unit vectors: dot = cosine
     cosRerank(cand.withColumn("cos", expr("graft_dot(qv, nv)")), k)
+  }
+
+  /**
+   * IVF-PQ top-k cosine neighbors — the composed billion-vector design:
+   * IVF cells route each query to `probe` cells; within them, candidates
+   * are ordered by ASYMMETRIC DISTANCE COMPUTATION (the query's exact
+   * subvectors against each candidate's product-quantization codes, a
+   * per-(query, subspace, code) lookup table of `graft_dot`s); only the
+   * ADC top-`rerank` rejoin their true vectors for the exact final top-k.
+   *
+   * The scale contract this buys: candidate scoring touches NO vectors —
+   * the heavy stage carries (query_id, neighbor_id, sub_idx, code) rows
+   * against a broadcast LUT (queries x subs x codes rows), exactly how a
+   * disk-resident PQ index avoids reading raw vectors. Exact vectors are
+   * read for `rerank` rows per query, period.
+   */
+  def knnIvfPq(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      dim: Int,
+      cells: Int = 16,
+      probe: Int = 6,
+      subs: Int = 8,
+      codes: Int = 16,
+      rerank: Int = 20): DataFrame = {
+    require(rerank >= k, s"rerank window $rerank must cover k=$k")
+    graft.expressions.GraftExtensions.register(corpus.sparkSession)
+    val u = corpus.select(col("id"), expr("graft_unit(v)").as("uv"))
+    val qu = queries.select(col("id"), expr("graft_unit(v)").as("uv"))
+
+    // coarse index: cells + assignments (vectors stop here)
+    val cents = ivfCentroids(u, cells, iters = 1)
+    val assigned = ivfAssign(u, cents).select(col("id"), col("cell"))
+
+    // fine index: per-subspace codebooks + one byte-ish code per subspace
+    val sub = pqSubvectors(u, dim, subs, vecCol = "uv")
+    val cb = pqCodebooks(sub, codes)
+    val pqCodes = pqAssign(sub, cb, carrySubvectors = false)
+      .select(col("id").as("neighbor_id"), col("sub_idx"), col("code"))
+
+    // ADC lookup table: exact query subvector x codebook entry dots (tiny)
+    val lut = pqSubvectors(qu, dim, subs, vecCol = "uv")
+      .join(broadcast(cb), "sub_idx")
+      .select(col("id").as("query_id"), col("sub_idx"), col("code"),
+        expr("graft_dot(sv, cv)").as("pdot"))
+
+    val probes = TopK.topKPerKey(
+        qu.crossJoin(broadcast(cents))
+          .withColumn("cs", expr("graft_dot(uv, cv)")),
+        Seq("id"), struct(col("cs"), -col("cent_id")), Seq("cent_id"), probe)
+      .select(col("id").as("query_id"), col("cent_id").as("probe_cell"))
+
+    val candIds = probes.join(assigned, col("probe_cell") === col("cell"))
+      .filter(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("neighbor_id"))
+      .distinct()
+
+    // approximate scores from codes alone; prune to the rerank window
+    val adc = candIds
+      .join(pqCodes, "neighbor_id")
+      .join(broadcast(lut), Seq("query_id", "sub_idx", "code"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum("pdot").as("adc"))
+    val pruned = TopK.topKPerKey(adc, Seq("query_id"),
+        struct(col("adc"), -col("neighbor_id")), Seq("neighbor_id"), rerank)
+      .select("query_id", "neighbor_id")
+
+    // exact rerank on the surviving few
+    val withVecs = pruned
+      .join(u.select(col("id").as("neighbor_id"), col("uv").as("nv")), "neighbor_id")
+      .join(qu.select(col("id").as("query_id"), col("uv").as("qv")), "query_id")
+    cosRerank(withVecs.withColumn("cos", expr("graft_dot(qv, nv)")), k)
   }
 
   /**

@@ -47,52 +47,7 @@ object SimilarityQueries {
   private val KnnBands = 16 // r = 8 bits/band
 
   private[graft] val PqSubs = 8
-  private[graft] val PqSubDim = Dim / PqSubs // 8
   private[graft] val PqCodes = 16
-
-  /** Split each vector into PqSubs contiguous subvectors:
-    * (vec_id, sub_idx, sv). */
-  private[graft] def pqSubvectors(e: DataFrame): DataFrame =
-    e.select(col("vec_id"), explode(array((0 until PqSubs).map(m =>
-        struct(lit(m).as("sub_idx"),
-          slice(col("v"), m * PqSubDim + 1, PqSubDim).as("sv"))): _*)).as("p"))
-      .select(col("vec_id"), col("p.sub_idx").as("sub_idx"), col("p.sv").as("sv"))
-
-  /** Nearest-codebook-entry assignment per (vector, subspace): broadcast the
-    * tiny codebook, argmin squared L2 as a min-of-struct hash aggregate
-    * (ties to the lowest code). Returns (vec_id, sub_idx, code, d2[, sv]).
-    * Pass `carrySubvectors = false` when the caller only needs code/d2 —
-    * the 8-double array otherwise rides every partial aggregation buffer
-    * for nothing (the Lloyd caller is the only one that needs it). */
-  private[graft] def pqAssign(
-      sub: DataFrame, cb: DataFrame, carrySubvectors: Boolean = true): DataFrame = {
-    val scored = sub.join(broadcast(cb), "sub_idx")
-      .withColumn("d2",
-        expr("graft_dot(sv, sv) - 2 * graft_dot(sv, cv) + graft_dot(cv, cv)"))
-    if (carrySubvectors) {
-      scored.groupBy("vec_id", "sub_idx")
-        .agg(min(struct(col("d2"), col("code"), col("sv"))).as("best"))
-        .select(col("vec_id"), col("sub_idx"),
-          col("best.code").as("code"), col("best.d2").as("d2"),
-          col("best.sv").as("sv"))
-    } else {
-      scored.groupBy("vec_id", "sub_idx")
-        .agg(min(struct(col("d2"), col("code"))).as("best"))
-        .select(col("vec_id"), col("sub_idx"),
-          col("best.code").as("code"), col("best.d2").as("d2"))
-    }
-  }
-
-  /** One Lloyd iteration per subspace: per-dimension mean of the assigned
-    * subvectors becomes the refined codebook. */
-  private[graft] def pqLloyd(assigned: DataFrame): DataFrame =
-    assigned
-      .select(col("sub_idx"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
-      .groupBy("sub_idx", "code", "pos").agg(avg("x").as("m"))
-      .groupBy("sub_idx", "code")
-      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-      .select(col("sub_idx"), col("code"),
-        expr("transform(pm, e -> e.m)").as("cv")) // 128 rows — HOF harmless
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact top-5 cosine neighbors for the first 10 vectors (baseline),
@@ -152,17 +107,28 @@ object SimilarityQueries {
     // asserts distortion beats a rank-0 baseline and assignments are
     // deterministic.
     "sim_pq_audit" -> ((s, d) => {
-      val sub = pqSubvectors(emb(s, d))
-      val init = sub.filter(col("vec_id") < PqCodes)
-        .select(col("sub_idx"), col("vec_id").cast("int").as("code"),
-          col("sv").as("cv"))
-      val cb1 = pqLloyd(pqAssign(sub, init))
-      pqAssign(sub, cb1, carrySubvectors = false)
+      val sub = graft.operators.Ann.pqSubvectors(
+        emb(s, d).select(col("vec_id").as("id"), col("v")),
+        dim = Dim, subs = PqSubs)
+      val cb1 = graft.operators.Ann.pqCodebooks(sub, PqCodes)
+      graft.operators.Ann.pqAssign(sub, cb1, carrySubvectors = false)
         .groupBy("sub_idx")
         .agg(countDistinct("code").as("codes_used"),
           (floor(avg("d2") * 10000) / 10000).as("avg_distortion"),
           count(lit(1)).as("n_subvectors"))
         .orderBy("sub_idx")
+    }),
+
+    // IVF-PQ composed ANN ([[graft.operators.Ann.knnIvfPq]]): coarse cells
+    // route queries, asymmetric-distance computation over PQ codes orders
+    // the candidates WITHOUT touching vectors, exact rerank on the ADC
+    // top-20. Not SQL-expressible -> rows-only check; QueriesSpec holds the
+    // recall bar vs brute.
+    "sim_knn_ivfpq" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id").as("id"), col("v"))
+      graft.operators.Ann.knnIvfPq(e, e.filter(col("id") < 10), k = 5, dim = Dim,
+          codes = 64, rerank = 100)
+        .orderBy("query_id", "rank")
     }),
 
     // per-label centroid similarity: group embeddings by label, average the

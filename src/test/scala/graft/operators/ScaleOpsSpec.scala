@@ -229,6 +229,20 @@ class ScaleOpsSpec extends SparkSuite {
     assert(pairs == Set((0L, 99L)), s"got $pairs")
   }
 
+  test("IVF Lloyd rounds are monotone: mean assigned cosine never decreases") {
+    graft.expressions.GraftExtensions.register(spark)
+    val u = graft.queries.SimilarityQueries.emb(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id").as("id"), expr("graft_unit(v)").as("uv"))
+    def objective(iters: Int): Double =
+      Ann.ivfAssign(u, Ann.ivfCentroids(u, cells = 16, iters = iters))
+        .agg(avg("cs")).head.getDouble(0)
+    val objs = (0 to 2).map(objective)
+    // spherical k-means: both Lloyd half-steps improve the objective
+    assert(objs(1) >= objs(0) - 1e-9, s"round 1 regressed: $objs")
+    assert(objs(2) >= objs(1) - 1e-9, s"round 2 regressed: $objs")
+    assert(objs(2) > objs(0), s"two rounds must actually move: $objs")
+  }
+
   test("bm25 operator: rare terms outrank common ones, termless docs drop, tf columns surface") {
     import spark.implicits._
     val docs = Seq(

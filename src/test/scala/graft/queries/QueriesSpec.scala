@@ -116,8 +116,9 @@ class QueriesSpec extends SparkSuite {
     }
     // rank-0 baseline: quantizing every subvector to the subspace MEAN.
     // PQ with 16 codes + one Lloyd round must do strictly better overall.
-    val sub = SimilarityQueries.pqSubvectors(
-      SimilarityQueries.emb(spark, sf))
+    val sub = graft.operators.Ann.pqSubvectors(
+      SimilarityQueries.emb(spark, sf).select(col("vec_id").as("id"), col("v")),
+      dim = 64, subs = 8)
     val baseline = sub
       .select(col("sub_idx"), posexplode(col("sv")).as(Seq("pos", "x")))
       .groupBy("sub_idx", "pos").agg(avg("x").as("m"))
@@ -135,6 +136,18 @@ class QueriesSpec extends SparkSuite {
     // deterministic end to end (fixed init, argmin ties to lowest code)
     val again = SimilarityQueries.queries("sim_pq_audit")(spark, sf).collect()
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("IVF-PQ ANN recall@5 >= 0.8 vs brute force (sf0.001, sf0.01, sf0.1)") {
+    recallDirs.foreach { dir =>
+      val brute = knnPairs("sim_knn_brute", dir)
+      val ivfpq = knnPairs("sim_knn_ivfpq", dir)
+      val recall = (brute & ivfpq).size.toDouble / brute.size
+      // 64 codes / 8 subspaces / rerank 100, measured 0.92-0.98 across SFs
+      // on these near-uniform vectors (rerank must scale with cell size —
+      // the fixed-20 variant read 0.48 at sf0.1)
+      assert(recall >= 0.8, s"IVF-PQ recall@5 too low at $dir: $recall")
+    }
   }
 
   test("LSH ANN recall@5 >= 0.8 vs brute force (sf0.001, sf0.01, sf0.1)") {
