@@ -40,12 +40,21 @@ object Ann {
    * (query, corpus) pair scored — O(|queries| x |corpus|) by definition,
    * use for oracles and small probe sets; [[knnLsh]] is the scale path.
    * Returns (query_id, neighbor_id, rank 1..k).
+   *
+   * `excludeSelf` (default true, here and in [[knnLsh]]/[[knnIvf]]/
+   * [[knnIvfPq]]) drops corpus rows whose id equals the query id — correct
+   * when queries are drawn FROM the corpus (the self-search case); pass
+   * false when corpus and queries are distinct tables whose id spaces
+   * merely overlap, or a query's true neighbor that happens to share its
+   * id is silently lost.
    */
-  def knnBrute(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+  def knnBrute(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
     graft.expressions.GraftExtensions.register(corpus.sparkSession)
     val scored = queries.select(col("id").as("query_id"), col("v").as("qv"))
       .join(corpus.select(col("id").as("neighbor_id"), col("v").as("nv")),
-        col("query_id") =!= col("neighbor_id"))
+        if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
       .select(col("query_id"), col("neighbor_id"), cosine.as("cos"))
     cosRerank(scored, k)
   }
@@ -65,7 +74,8 @@ object Ann {
       dim: Int,
       seed: Int = 7,
       planes: Int = 128,
-      bands: Int = 16): DataFrame = {
+      bands: Int = 16,
+      excludeSelf: Boolean = true): DataFrame = {
     require(planes % bands == 0, "planes must divide evenly into bands")
     val r = planes / bands
     val corpusCodes = bandedCodes(corpus.select(col("id"), col("v")),
@@ -77,7 +87,7 @@ object Ann {
       .select(col("id").as("query_id"), col("v").as("qv"),
         col("band_idx"), explode(probeArr).as("code"))
     val cand = broadcast(probes).join(corpusCodes, Seq("band_idx", "code"))
-      .filter(col("query_id") =!= col("id"))
+      .filter(if (excludeSelf) col("query_id") =!= col("id") else lit(true))
       .select(col("query_id"), col("qv"), col("id").as("neighbor_id"),
         col("v").as("nv"))
       .distinct()
@@ -198,7 +208,8 @@ object Ann {
       k: Int,
       cells: Int = 16,
       probe: Int = 6,
-      lloydIters: Int = 1): DataFrame = {
+      lloydIters: Int = 1,
+      excludeSelf: Boolean = true): DataFrame = {
     require(probe <= cells, s"cannot probe $probe of $cells cells")
     graft.expressions.GraftExtensions.register(corpus.sparkSession)
     val u = corpus.select(col("id"), expr("graft_unit(v)").as("uv"))
@@ -215,7 +226,8 @@ object Ann {
         col("cent_id").as("probe_cell"))
 
     val cand = probes.join(assigned,
-        col("probe_cell") === col("cell") && col("query_id") =!= col("id"))
+        col("probe_cell") === col("cell") &&
+          (if (excludeSelf) col("query_id") =!= col("id") else lit(true)))
       .select(col("query_id"), col("qv"), col("id").as("neighbor_id"),
         col("uv").as("nv"))
       .distinct()
@@ -246,7 +258,8 @@ object Ann {
       probe: Int = 6,
       subs: Int = 8,
       codes: Int = 16,
-      rerank: Int = 20): DataFrame = {
+      rerank: Int = 20,
+      excludeSelf: Boolean = true): DataFrame = {
     require(rerank >= k, s"rerank window $rerank must cover k=$k")
     graft.expressions.GraftExtensions.register(corpus.sparkSession)
     val u = corpus.select(col("id"), expr("graft_unit(v)").as("uv"))
@@ -275,7 +288,7 @@ object Ann {
       .select(col("id").as("query_id"), col("cent_id").as("probe_cell"))
 
     val candIds = probes.join(assigned, col("probe_cell") === col("cell"))
-      .filter(col("query_id") =!= col("id"))
+      .filter(if (excludeSelf) col("query_id") =!= col("id") else lit(true))
       .select(col("query_id"), col("id").as("neighbor_id"))
       .distinct()
 
@@ -312,18 +325,28 @@ object Ann {
       bands: Int = 32): DataFrame = {
     graft.expressions.GraftExtensions.register(embeddings.sparkSession)
     val u = embeddings.select(col("id"), expr("graft_unit(v)").as("v"))
-    val coded = bandedCodes(u, seed, planes, bands, dim)
-      .select("id", "band_idx", "code")
-    val candIds = coded.as("a").join(coded.as("b"),
+    val candIds = cosineCandidatePairs(
+      bandedCodes(u, seed, planes, bands, dim).select("id", "band_idx", "code"))
+    cosineVerifyPairs(candIds, u, threshold)
+  }
+
+  /** Stage builder (shared with tools.Profile so the profiler drives the
+    * production plan): distinct (id_a < id_b) pairs colliding on any band. */
+  private[graft] def cosineCandidatePairs(coded: DataFrame): DataFrame =
+    coded.as("a").join(coded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.code") === col("b.code") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+
+  /** Stage builder: exact-cosine verify of candidate id pairs against the
+    * unit vectors (the arrays rejoin only here, after the distinct). */
+  private[graft] def cosineVerifyPairs(
+      candIds: DataFrame, u: DataFrame, threshold: Double): DataFrame =
     candIds
       .join(u.select(col("id").as("id_a"), col("v").as("va")), "id_a")
       .join(u.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
       .filter(expr("graft_dot(va, vb)") >= threshold)
       .select(col("id_a"), col("id_b"))
-  }
 }

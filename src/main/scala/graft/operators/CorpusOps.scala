@@ -302,8 +302,11 @@ object CorpusOps {
    * bytes — through the band self-join.
    */
   def nearDupPairsSimhash(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 16,
-      s"maxHamming must be in [0, 16) for 4x16-bit band recall, got $maxHamming")
+    // pigeonhole over 4 bands covers hamming <= 3 ONLY: 4+ differing bits
+    // can spread across all four bands and never collide — reject rather
+    // than silently under-recall
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4x16-bit bands guarantee recall only for maxHamming <= 3, got $maxHamming")
     val s = docs.sparkSession
     import s.implicits._
     val sim = docs.select(col("doc_id"), col("text"))

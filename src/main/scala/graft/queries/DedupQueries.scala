@@ -183,7 +183,9 @@ object DedupQueries {
     "dedup_embedding_lsh" -> ((s, d) =>
       graft.operators.Ann.nearDupPairsCosine(
           SimilarityQueries.emb(s, d).select(col("vec_id").as("id"), col("v")),
-          dim = 64, threshold = 0.4, bands = EmbBands)
+          dim = SimilarityQueries.Dim, threshold = 0.4,
+          seed = SimilarityQueries.Seed, planes = SimilarityQueries.NumPlanes,
+          bands = EmbBands)
         .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"))
         .orderBy("vec_a", "vec_b")))
 

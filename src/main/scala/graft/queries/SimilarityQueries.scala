@@ -41,9 +41,12 @@ object SimilarityQueries {
         col("embedding").cast("array<double>").as("v"))
   }
 
-  private val Dim = 64
-  private val Seed = 7
-  private val NumPlanes = 128
+  // authoritative hashing/layout constants for the embeddings fixture —
+  // every caller (incl. DedupQueries' embedding dedup) must reference these
+  // rather than re-assert the values
+  private[graft] val Dim = 64
+  private[graft] val Seed = 7
+  private[graft] val NumPlanes = 128
   private val KnnBands = 16 // r = 8 bits/band
 
   private[graft] val PqSubs = 8

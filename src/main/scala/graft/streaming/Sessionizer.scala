@@ -37,19 +37,34 @@ object Sessionizer {
     * Encoder's generated code must be able to construct it). */
   final case class Open(startMs: Long, lastMs: Long, n: Long)
 
-  /** Merge sorted event times into a sorted session list: each time joins
-    * every session within `gapMs` (bridging neighbors), else opens one. */
+  /** Merge sorted event times into a SORTED session list: a linear
+    * two-pointer walk (O(sessions + events) per invocation — a hot key's
+    * full batch history costs one pass, not per-event list scans).
+    * Emitting items in start order and gap-merging each into the running
+    * session yields exactly the gap-connected components: an event between
+    * two held sessions bridges them, a late event ahead of a session
+    * extends it backwards. */
   private def fold(sessions: List[Open], times: Array[Long], gapMs: Long): List[Open] = {
-    var acc = sessions
-    times.foreach { t =>
-      val (near, far) = acc.partition(s =>
-        t >= s.startMs - gapMs && t <= s.lastMs + gapMs)
-      val merged = near.foldLeft(Open(t, t, 1)) { (m, s) =>
-        Open(math.min(m.startMs, s.startMs), math.max(m.lastMs, s.lastMs), m.n + s.n)
-      }
-      acc = (merged :: far).sortBy(_.startMs)
+    val ss = sessions.toArray // sorted by startMs (invariant of this fn)
+    val out = scala.collection.mutable.ListBuffer.empty[Open]
+    var cur: Open = null
+    def push(o: Open): Unit = {
+      if (cur == null) cur = o
+      else if (o.startMs <= cur.lastMs + gapMs) {
+        cur = Open(cur.startMs, math.max(cur.lastMs, o.lastMs), cur.n + o.n)
+      } else { out += cur; cur = o }
     }
-    acc
+    var si = 0
+    var ti = 0
+    while (si < ss.length || ti < times.length) {
+      if (ti >= times.length || (si < ss.length && ss(si).startMs <= times(ti))) {
+        push(ss(si)); si += 1
+      } else {
+        push(Open(times(ti), times(ti), 1)); ti += 1
+      }
+    }
+    if (cur != null) out += cur
+    out.toList
   }
 
   /**

@@ -50,18 +50,9 @@ object Profile {
     val coded = Ann.bandedCodes(u, seed = 7, planes = 128, bands = 32, dim = 64)
       .select("id", "band_idx", "code")
     time("emb: coded rows")(coded.count())
-    val candIds = coded.as("a").join(coded.as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.code") === col("b.code") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+    val candIds = Ann.cosineCandidatePairs(coded)
     time("emb: candidate ids")(candIds.count())
-    time("emb: verify")(candIds
-      .join(u.select(col("id").as("id_a"), col("v").as("va")), "id_a")
-      .join(u.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
-      .filter(expr("graft_dot(va, vb)") >= 0.4)
-      .count())
+    time("emb: verify")(Ann.cosineVerifyPairs(candIds, u, 0.4).count())
 
     spark.stop()
   }
