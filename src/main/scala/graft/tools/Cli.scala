@@ -20,7 +20,13 @@ import graft.model.VersionVector
  * sbt "runMain graft.tools.Cli <root> import  <stream> <segmentsDir>"
  * sbt "runMain graft.tools.Cli <root> export  <stream> <segmentsDir>"
  * sbt "runMain graft.tools.Cli <root> janitor <tick-millis> <run-millis>"
+ * sbt "runMain graft.tools.Cli <root> dedup   <docsParquet> [threshold]"
+ * sbt "runMain graft.tools.Cli <root> bm25    <docsParquet> <term> [term...]"
  * }}}
+ *
+ * The corpus verbs (`dedup`, `bm25`) run the public
+ * [[graft.operators.CorpusOps]] surface over any (doc_id, text) parquet —
+ * `<root>` is still required (an engine is constructed) but unused by them.
  */
 object Cli {
   def main(args: Array[String]): Unit = {
@@ -78,6 +84,22 @@ object Cli {
         Thread.sleep(args(3).toLong)
         engine.stopJanitor()
         println("janitor stopped")
+      case "dedup" =>
+        // corpus-prep verb: near-dup pairs over a documents parquet
+        // (doc_id, text) via the public operator surface
+        val docs = spark.read.parquet(args(2))
+        val threshold = if (args.length > 3) args(3).toDouble else 0.5
+        graft.operators.CorpusOps.nearDupPairsMinhash(docs, threshold)
+          .orderBy("doc_a", "doc_b")
+          .collect()
+          .foreach(r => println(s"${r.getAs[Long]("doc_a")}\t${r.getAs[Long]("doc_b")}\t${r.getAs[Double]("jaccard")}"))
+      case "bm25" =>
+        // corpus-prep verb: rank a documents parquet against query terms
+        val docs = spark.read.parquet(args(2))
+        val terms = args.drop(3).toSeq
+        graft.operators.CorpusOps.bm25(docs, terms, k = 20)
+          .collect()
+          .foreach(r => println(s"${r.getAs[Long]("doc_id")}\t${r.getAs[Double]("score")}"))
       case other =>
         System.err.println(s"unknown verb: $other")
         sys.exit(2)

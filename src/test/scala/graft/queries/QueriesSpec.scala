@@ -86,6 +86,23 @@ class QueriesSpec extends SparkSuite {
     }
   }
 
+  test("q_asof_native's plan: custom exec planned, pruning rule fired on the catalog query") {
+    val df = AnalyticsQueries.queries("q_asof_native")(spark, sf)
+    val node = df.queryExecution.optimizedPlan.collect {
+      case n: graft.plans.AsofMergeJoinNode => n
+    }
+    assert(node.nonEmpty, "the catalog query must plan through the custom node")
+    // the final select drops the join time 't' and keeps only 4 columns, so
+    // PruneAsofMergeJoin must have narrowed the node's left side to exactly
+    // the referenced + join attributes (PLANS.md claims this; pin it here)
+    val leftCols = node.head.left.output.map(_.name).toSet
+    assert(leftCols == Set("event_id", "user_id", "t"), s"got $leftCols")
+    df.collect()
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("AsofMergeJoin"), physical)
+    assert(!physical.contains("Window"), physical)
+  }
+
   test("approx percentiles land within 1% relative error of exact (sketch bar)") {
     val approx = ScalarQueries.queries("q_approx_percentile")(spark, sf).collect()
       .map(r => r.getAs[String]("l_returnflag") ->
