@@ -290,11 +290,16 @@ object AnalyticsQueries {
 
     // §2.3/§2.4: the subquery surface through the SQL entry path — correlated
     // scalar aggregates (COUNT / MAX per outer row), an uncorrelated scalar
-    // threshold, EXISTS, and NOT IN. Catalyst decorrelates all four into
+    // threshold, EXISTS, and NOT EXISTS. Catalyst decorrelates all four into
     // joins (aggregate-then-join for the scalars, left-semi for EXISTS,
-    // left-anti for NOT IN) — no per-row re-execution anywhere, which is the
-    // whole 100 TB story for subqueries. MAX (order-stable) instead of SUM on
-    // the double column keeps the oracle hash exact without a decimal detour.
+    // left-anti for NOT EXISTS) — no per-row re-execution anywhere, which is
+    // the whole 100 TB story for subqueries. NOT EXISTS deliberately, not
+    // NOT IN: with possibly-null keys NOT IN needs a null-aware anti join,
+    // which Spark can only execute as a BROADCAST — a silent scale cliff
+    // when the subquery side grows. Both keys here are non-null, so the
+    // plain (shuffle-capable) left-anti is the same answer with no cliff.
+    // MAX (order-stable) instead of SUM on the double column keeps the
+    // oracle hash exact without a decimal detour.
     "q_subqueries" -> ((s, d) => {
       t(s, d, "customer").createOrReplaceTempView("customer_sq")
       t(s, d, "orders").createOrReplaceTempView("orders_sq")
@@ -307,7 +312,8 @@ object AnalyticsQueries {
           |WHERE c.c_acctbal > (SELECT MAX(c_acctbal) FROM customer_sq) / 2
           |  AND EXISTS (SELECT 1 FROM orders_sq o
           |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
-          |  AND c.c_custkey NOT IN (SELECT s_suppkey FROM supplier_sq)
+          |  AND NOT EXISTS (SELECT 1 FROM supplier_sq s
+          |                  WHERE s.s_suppkey = c.c_custkey)
           |ORDER BY c_custkey""".stripMargin)
     }),
 

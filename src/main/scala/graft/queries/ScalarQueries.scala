@@ -158,23 +158,53 @@ object ScalarQueries {
 
     // statistical aggregates (§2.4): corr / covar / stddev / variance and
     // EXACT interpolated percentiles, floored to absorb last-ulp
-    // accumulation-order differences between engines
+    // accumulation-order differences between engines.
+    //
+    // The percentiles deliberately avoid percentile(): that aggregate holds
+    // EVERY group value in one buffer (O(group rows), serialized whole
+    // between partial and final agg — the round-4 bench's 7.3x outlier and
+    // an OOM at scale). Instead: pass 1 collapses to (group, value, freq) —
+    // a mergeable hash aggregate with map-side combine — and pass 2 ranks
+    // the distinct values with a running count (sort-based window: spills,
+    // memory bounded) and interpolates at rank p*(n-1), the same
+    // continuous-quantile definition as percentile()/quantile_cont.
     "q_stats_suite" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
       def f4(c: org.apache.spark.sql.Column) = floor(c * 10000) / 10000
-      Tables.load(s, d, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-          f4(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qp"),
-          f4(stddev_samp(col("l_quantity"))).as("sd_q"),
-          f4(var_samp(col("l_quantity"))).as("var_q"),
-          (floor(covar_samp(col("l_quantity"), col("l_extendedprice")) * 100) / 100).as("cov_qp"),
-          // ONE exact-percentile aggregate (one per-group buffer), split after
-          expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))").as("ps"))
+      val li = Tables.load(s, d, "lineitem")
+      // moment stats: constant-size buffers, one hash aggregate
+      val moments = li.groupBy("l_returnflag").agg(
+        f4(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qp"),
+        f4(stddev_samp(col("l_quantity"))).as("sd_q"),
+        f4(var_samp(col("l_quantity"))).as("var_q"),
+        (floor(covar_samp(col("l_quantity"), col("l_extendedprice")) * 100) / 100).as("cov_qp"))
+      val vf = li.groupBy(col("l_returnflag"), col("l_extendedprice").as("v"))
+        .agg(count(lit(1)).as("cnt"))
+      val ranked = vf
+        .withColumn("cum", sum("cnt").over(
+          Window.partitionBy("l_returnflag").orderBy("v")))
+        .withColumn("n", sum("cnt").over(Window.partitionBy("l_returnflag")))
+      // value at 0-indexed rank k = first distinct value with cum >= k+1;
+      // continuous quantile at p sits between ranks floor(r) and floor(r)+1
+      // where r = p*(n-1), with fraction g = r - floor(r)
+      def sel(p: Double, out: String) = {
+        val r = lit(p) * (col("n") - 1).cast("double")
+        val lo = floor(r)
+        Seq(
+          min(when(col("cum") >= lo + 1, col("v"))).as(s"${out}_lo"),
+          min(when(col("cum") >= lo + 2, col("v"))).as(s"${out}_hi"),
+          max(r - lo).as(s"${out}_g"))
+      }
+      val aggs = sel(0.25, "p25") ++ sel(0.5, "p50") ++ sel(0.75, "p75")
+      val pcts = ranked.groupBy("l_returnflag").agg(aggs.head, aggs.tail: _*)
+      // (1-g)*lo + g*hi in exactly that order — the same IEEE evaluation
+      // order percentile()/quantile_cont use, so the 1e-4 floor stays exact
+      def interp(out: String) =
+        f4((lit(1.0) - col(s"${out}_g")) * col(s"${out}_lo") +
+          col(s"${out}_g") * coalesce(col(s"${out}_hi"), col(s"${out}_lo"))).as(out)
+      moments.join(pcts, "l_returnflag")
         .select(col("l_returnflag"), col("corr_qp"), col("sd_q"), col("var_q"),
-          col("cov_qp"),
-          f4(element_at(col("ps"), 1)).as("p25"),
-          f4(element_at(col("ps"), 2)).as("p50"),
-          f4(element_at(col("ps"), 3)).as("p75"))
+          col("cov_qp"), interp("p25"), interp("p50"), interp("p75"))
         .orderBy("l_returnflag")
     }),
 

@@ -236,6 +236,42 @@ class QueriesSpec extends SparkSuite {
     assert(knn.contains("graft_lsh_bands"))
   }
 
+  test("q_subqueries anti join is shuffle-capable (no null-aware broadcast, no nested loop)") {
+    val df = AnalyticsQueries.queries("q_subqueries")(spark, sf)
+    df.collect()
+    val phys = df.queryExecution.executedPlan.toString
+    // NOT EXISTS must plan as a plain left-anti: a null-aware anti join
+    // (what NOT IN requires) can ONLY broadcast — a silent scale cliff if
+    // the subquery side grows past the broadcast threshold
+    assert(!phys.contains("NullAware"), phys.take(1200))
+    assert(!phys.contains("BroadcastNestedLoopJoin"), phys.take(1200))
+    assert(phys.contains("LeftAnti"), phys.take(1200))
+  }
+
+  test("q_stats_suite quantiles: mergeable two-pass plan, no O(group rows) percentile buffer") {
+    val df = ScalarQueries.queries("q_stats_suite")(spark, sf)
+    // the exact-percentile aggregate (single unbounded buffer) must be gone
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(!opt.toLowerCase.contains("percentile"), opt.take(1200))
+    // pass 2 is the running-count window (sort-based, spillable)
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("Window"), phys.take(800))
+    // semantics unchanged: the rank-select interpolation must equal the
+    // percentile() definition value-for-value (both floored at 1e-4)
+    val got = df.collect().map(r => r.getAs[String]("l_returnflag") ->
+      Seq(r.getAs[Double]("p25"), r.getAs[Double]("p50"), r.getAs[Double]("p75"))).toMap
+    val expect = Tables.load(spark, sf, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))").as("ps"))
+      .select(col("l_returnflag"),
+        (floor(element_at(col("ps"), 1) * 10000) / 10000).as("p25"),
+        (floor(element_at(col("ps"), 2) * 10000) / 10000).as("p50"),
+        (floor(element_at(col("ps"), 3) * 10000) / 10000).as("p75"))
+      .collect().map(r => r.getAs[String]("l_returnflag") ->
+        Seq(r.getAs[Double]("p25"), r.getAs[Double]("p50"), r.getAs[Double]("p75"))).toMap
+    assert(got == expect, s"got $got expected $expect")
+  }
+
   test("approx_count_distinct is within 5% of exact") {
     val r = ScalarQueries.queries("q_approx_distinct")(spark, sf).collect().head
     val approx = r.getAs[Long]("approx_parts").toDouble
