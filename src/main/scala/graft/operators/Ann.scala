@@ -27,7 +27,7 @@ object Ann {
         .as(Seq("band_idx", "code")))
   }
 
-  private def cosRerank(scored: DataFrame, k: Int): DataFrame =
+  private[operators] def cosRerank(scored: DataFrame, k: Int): DataFrame =
     TopK.topKPerKey(scored, Seq("query_id"),
         struct(col("cos"), -col("neighbor_id")), Seq("neighbor_id"), k)
       .select(col("query_id"), col("neighbor_id"), col("rn").as("rank"))
@@ -133,12 +133,34 @@ object Ann {
     }
   }
 
+  /** Bit-reproducible per-key mean of a double column. A plain `avg` merges
+    * partial sums in shuffle-arrival order — nondeterministic float
+    * addition, which would poison a persisted index ([[AnnIndex]]): two
+    * builds of the same corpus could disagree in the last ulp and route
+    * borderline vectors to different cells. Instead: one partial sum per
+    * (key, input-partition) — computed in deterministic row order within
+    * its partition, and arriving at the final aggregate as a SINGLE row so
+    * merge order cannot matter — then a linear fold in ascending
+    * partition-id order. The fold buffer is bounded by the number of input
+    * partitions (not rows); the aggregate() lambda runs on keys-row output,
+    * not the corpus scan. */
+  private[graft] def detMean(
+      df: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
+    df.groupBy((keys.map(col) :+ spark_partition_id().as("pid")): _*)
+      .agg(sum(col(valueCol)).as("ps"), count(col(valueCol)).as("pc"))
+      .groupBy(keys.map(col): _*)
+      .agg(array_sort(collect_list(struct(col("pid"), col("ps"), col("pc")))).as("parts"))
+      .select((keys.map(col) :+
+        (expr("aggregate(parts, 0.0D, (acc, p) -> acc + p.ps)") /
+          expr("aggregate(parts, 0.0D, (acc, p) -> acc + p.pc)")).as("m")): _*)
+
   /** One Lloyd iteration per subspace: per-dimension mean of the assigned
-    * subvectors becomes the refined codebook (sub_idx, code, cv). */
+    * subvectors becomes the refined codebook (sub_idx, code, cv). Means go
+    * through [[detMean]] so codebooks are bit-identical across builds. */
   private[graft] def pqLloyd(assigned: DataFrame): DataFrame =
-    assigned
-      .select(col("sub_idx"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
-      .groupBy("sub_idx", "code", "pos").agg(avg("x").as("m"))
+    detMean(assigned
+        .select(col("sub_idx"), col("code"), posexplode(col("sv")).as(Seq("pos", "x"))),
+        Seq("sub_idx", "code", "pos"), "x")
       .groupBy("sub_idx", "code")
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("sub_idx"), col("code"),
@@ -182,9 +204,9 @@ object Ann {
       .select(col("id").as("cent_id"), col("uv").as("cv"))
     var i = 0
     while (i < iters) {
-      cents = ivfAssign(u, cents)
-        .select(col("cell"), posexplode(col("uv")).as(Seq("pos", "x")))
-        .groupBy("cell", "pos").agg(avg("x").as("m"))
+      cents = detMean(ivfAssign(u, cents)
+          .select(col("cell"), posexplode(col("uv")).as(Seq("pos", "x"))),
+          Seq("cell", "pos"), "x")
         .groupBy("cell")
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cell").as("cent_id"),

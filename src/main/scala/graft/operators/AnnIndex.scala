@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Persisted ANN index: build ONCE, search MANY — the amortization a real
+ * deployment needs. The ephemeral [[Ann.knnIvf]]/[[Ann.knnIvfPq]] re-train
+ * cells and codebooks inside every query; at 100 TB an index build per
+ * query is a non-starter. This mirrors the reference's treatment of its
+ * seek index — persisted next to the data and rebuilt only on recovery,
+ * not per read (flo-server/src/engine/event_stream/partition/index.rs:24-36,
+ * recovery scan segment/mmap.rs:111-134) — applied to the vector index.
+ *
+ * Layout under `path` (all Spark-readable parquet tables):
+ *  - `centroids`  (cent_id, cv)                      — coarse cells, tiny
+ *  - `vectors`    (cell, id, uv)  PARTITIONED BY cell — unit vectors, the
+ *    rerank working set; cell partitioning means a `probe`-cell search
+ *    reads only the probed partitions (partition pruning, not a full scan)
+ *  - `codebooks`  (sub_idx, code, cv)                — PQ codebooks, tiny
+ *  - `codes`      (cell, id, sub_idx, code) PARTITIONED BY cell — one
+ *    small int per (vector, subspace): the ADC candidate-scoring set that
+ *    replaces raw vectors (the 32x compression that makes billion-vector
+ *    search memory-feasible)
+ *  - `meta`       one row of build parameters — written LAST, so a
+ *    half-written index (crashed build) is never mistaken for a valid one
+ *
+ * Every artifact is written, read BACK, and only the read-back copy feeds
+ * later stages — searches see exactly the persisted bits, and
+ * [[Ann.detMean]] makes repeated builds of the same corpus bit-identical
+ * (ScaleOpsSpec pins both).
+ */
+object AnnIndex {
+
+  /** True iff a completed build exists at `path` (meta is written last). */
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(s"$path/meta")
+    FileSystem.get(p.toUri, spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** One-row build-parameter table; also the build's commit marker. */
+  def meta(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/meta")
+
+  /**
+   * Build and persist the full IVF-PQ index for an `(id, v)` corpus:
+   * spherical k-means cells, hard assignments, per-subspace PQ codebooks
+   * and codes. A pure-IVF search ([[searchIvf]]) uses the same index and
+   * just ignores the PQ tables, so one build serves both search modes.
+   */
+  def buildIvfPq(
+      corpus: DataFrame,
+      dim: Int,
+      path: String,
+      cells: Int = 16,
+      subs: Int = 8,
+      codes: Int = 16,
+      lloydIters: Int = 1): Unit = {
+    val s = corpus.sparkSession
+    graft.expressions.GraftExtensions.register(s)
+    val u = corpus.select(col("id"), expr("graft_unit(v)").as("uv"))
+
+    Ann.ivfCentroids(u, cells, lloydIters)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    val cents = s.read.parquet(s"$path/centroids")
+
+    Ann.ivfAssign(u, cents)
+      .select(col("cell").cast("int").as("cell"), col("id"), col("uv"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
+    val vecs = s.read.parquet(s"$path/vectors")
+
+    val sub = Ann.pqSubvectors(vecs.select(col("id"), col("uv")),
+      dim, subs, vecCol = "uv")
+    Ann.pqCodebooks(sub, codes)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    val cb = s.read.parquet(s"$path/codebooks")
+
+    Ann.pqAssign(sub, cb, carrySubvectors = false)
+      .join(vecs.select("id", "cell"), "id")
+      .select(col("cell"), col("id"), col("sub_idx"), col("code"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+
+    val n = vecs.count()
+    import s.implicits._
+    Seq((dim, cells, subs, codes, lloydIters, n))
+      .toDF("dim", "cells", "subs", "codes", "lloyd_iters", "n_vectors")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /**
+   * Search-only IVF top-k cosine over a prebuilt index: route each query
+   * to its `probe` best cells (broadcast centroids), read ONLY those cells'
+   * vector partitions, exact rerank. No training, no corpus-wide pass.
+   */
+  def searchIvf(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame,
+      k: Int,
+      probe: Int = 6,
+      excludeSelf: Boolean = true): DataFrame = {
+    graft.expressions.GraftExtensions.register(spark)
+    val cents = spark.read.parquet(s"$path/centroids")
+    val vecs = spark.read.parquet(s"$path/vectors")
+    val probes = probeCells(queries, cents, probe, carryVec = true)
+    // hard assignment: a neighbor appears in exactly one cell, so the
+    // (query, neighbor) pairs are already distinct — no dedup stage
+    val cand = broadcast(probes).join(vecs,
+        col("probe_cell") === col("cell") &&
+          (if (excludeSelf) col("query_id") =!= col("id") else lit(true)))
+      .select(col("query_id"), col("qv"), col("id").as("neighbor_id"),
+        col("uv").as("nv"))
+    Ann.cosRerank(cand.withColumn("cos", expr("graft_dot(qv, nv)")), k)
+  }
+
+  /**
+   * Search-only IVF-PQ top-k cosine over a prebuilt index: probe cells,
+   * score candidates by asymmetric distance over their persisted PQ codes
+   * (broadcast LUT of query-subvector x codebook-entry dots — the scoring
+   * stage touches NO vectors), then exact rerank on the ADC top-`rerank`
+   * only. `dim`/`subs` come from the index's meta, not the caller.
+   */
+  def searchIvfPq(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame,
+      k: Int,
+      probe: Int = 6,
+      rerank: Int = 100,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(rerank >= k, s"rerank window $rerank must cover k=$k")
+    graft.expressions.GraftExtensions.register(spark)
+    val m = meta(spark, path).head()
+    val (dim, subs) = (m.getAs[Int]("dim"), m.getAs[Int]("subs"))
+    val cents = spark.read.parquet(s"$path/centroids")
+    val cb = spark.read.parquet(s"$path/codebooks")
+    val pqCodes = spark.read.parquet(s"$path/codes")
+    val vecs = spark.read.parquet(s"$path/vectors")
+    val qu = queries.select(col("id"), expr("graft_unit(v)").as("uv"))
+
+    val probes = probeCells(queries, cents, probe, carryVec = false)
+    val lut = Ann.pqSubvectors(qu, dim, subs, vecCol = "uv")
+      .join(broadcast(cb), "sub_idx")
+      .select(col("id").as("query_id"), col("sub_idx"), col("code"),
+        expr("graft_dot(sv, cv)").as("pdot"))
+
+    // candidate scoring from persisted codes alone (8 small-int rows per
+    // candidate), pruned to the rerank window per query
+    val adc = broadcast(probes).join(pqCodes,
+        col("probe_cell") === col("cell") &&
+          (if (excludeSelf) col("query_id") =!= col("id") else lit(true)))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        col("sub_idx"), col("code"))
+      .join(broadcast(lut), Seq("query_id", "sub_idx", "code"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum("pdot").as("adc"))
+    val pruned = TopK.topKPerKey(adc, Seq("query_id"),
+        struct(col("adc"), -col("neighbor_id")), Seq("neighbor_id"), rerank)
+      .select("query_id", "neighbor_id")
+
+    // exact vectors are read for `rerank` rows per query, period
+    val withVecs = pruned
+      .join(vecs.select(col("id").as("neighbor_id"), col("uv").as("nv")), "neighbor_id")
+      .join(qu.select(col("id").as("query_id"), col("uv").as("qv")), "query_id")
+    Ann.cosRerank(withVecs.withColumn("cos", expr("graft_dot(qv, nv)")), k)
+  }
+
+  /** Route queries to their `probe` highest-cosine cells via the broadcast
+    * centroid table: (query_id, probe_cell[, qv]). */
+  private def probeCells(
+      queries: DataFrame, cents: DataFrame, probe: Int,
+      carryVec: Boolean): DataFrame = {
+    val qu = queries.select(col("id"), expr("graft_unit(v)").as("uv"))
+    val carry = if (carryVec) Seq("cent_id", "uv") else Seq("cent_id")
+    val top = TopK.topKPerKey(
+      qu.crossJoin(broadcast(cents))
+        .withColumn("cs", expr("graft_dot(uv, cv)")),
+      Seq("id"), struct(col("cs"), -col("cent_id")), carry, probe)
+    val base = top.select(col("id").as("query_id"),
+      col("cent_id").cast("int").as("probe_cell"))
+    if (carryVec) top.select(col("id").as("query_id"),
+      col("cent_id").cast("int").as("probe_cell"), col("uv").as("qv"))
+    else base
+  }
+}

@@ -51,6 +51,31 @@ object SimilarityQueries {
 
   private[graft] val PqSubs = 8
   private[graft] val PqCodes = 16
+  // the persisted-index configuration (sim_knn_ivfpq / sim_knn_ivf_indexed)
+  private[graft] val IdxCells = 16
+  private[graft] val IdxCodes = 64
+
+  /** Deterministic on-disk location for the persisted ANN index of one
+    * testdata dir: keyed by corpus dir + every build parameter + a format
+    * version, so a parameter change can never read a stale layout. */
+  private[graft] def indexPath(d: String): String = {
+    val tag = d.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${sys.props("java.io.tmpdir")}/graft_ann/v1_${tag}_c${IdxCells}_s${PqSubs}_cb${IdxCodes}_i1"
+  }
+
+  /** Build the index iff no completed build exists (meta is the commit
+    * marker) — the build-once/search-many amortization. The testdata dirs
+    * are immutable, so dir + params fully identify the corpus version; a
+    * mutable corpus would key this by snapshot/version id instead. */
+  private[graft] def ensureIndex(s: SparkSession, d: String): String = {
+    val p = indexPath(d)
+    if (!graft.operators.AnnIndex.exists(s, p))
+      graft.operators.AnnIndex.buildIvfPq(
+        emb(s, d).select(col("vec_id").as("id"), col("v")),
+        dim = Dim, path = p, cells = IdxCells, subs = PqSubs,
+        codes = IdxCodes, lloydIters = 1)
+    p
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact top-5 cosine neighbors for the first 10 vectors (baseline),
@@ -122,15 +147,32 @@ object SimilarityQueries {
         .orderBy("sub_idx")
     }),
 
-    // IVF-PQ composed ANN ([[graft.operators.Ann.knnIvfPq]]): coarse cells
-    // route queries, asymmetric-distance computation over PQ codes orders
-    // the candidates WITHOUT touching vectors, exact rerank on the ADC
-    // top-20. Not SQL-expressible -> rows-only check; QueriesSpec holds the
-    // recall bar vs brute.
+    // IVF-PQ composed ANN over the PERSISTED index ([[graft.operators
+    // .AnnIndex]]): the index (cells, assignments, codebooks, codes) is
+    // built once per corpus version and reused by every search — the
+    // amortization a real deployment needs (the r4 ephemeral variant spent
+    // ~90% of its time re-training inside the query). The search itself:
+    // coarse cells route queries, asymmetric-distance computation over the
+    // persisted PQ codes orders candidates WITHOUT touching vectors
+    // (cell-partitioned parquet -> probed cells only), exact rerank on the
+    // ADC top-100. Not SQL-expressible -> rows-only check; QueriesSpec
+    // holds the recall bar vs brute.
     "sim_knn_ivfpq" -> ((s, d) => {
       val e = emb(s, d).select(col("vec_id").as("id"), col("v"))
-      graft.operators.Ann.knnIvfPq(e, e.filter(col("id") < 10), k = 5, dim = Dim,
-          codes = 64, rerank = 100)
+      graft.operators.AnnIndex.searchIvfPq(s, ensureIndex(s, d),
+          e.filter(col("id") < 10), k = 5, rerank = 100)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Pure-IVF search over the SAME persisted index (one build serves both
+    // search modes — PQ tables simply unused): probe 6 cells, read only
+    // those cells' vector partitions, exact rerank. The head-to-head with
+    // the ephemeral sim_knn_ivf (identical cells/probe) is the build-vs-
+    // search amortization, isolated. Recall bar in QueriesSpec.
+    "sim_knn_ivf_indexed" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id").as("id"), col("v"))
+      graft.operators.AnnIndex.searchIvf(s, ensureIndex(s, d),
+          e.filter(col("id") < 10), k = 5, probe = 6)
         .orderBy("query_id", "rank")
     }),
 

@@ -243,6 +243,66 @@ class ScaleOpsSpec extends SparkSuite {
     assert(objs(2) > objs(0), s"two rounds must actually move: $objs")
   }
 
+  test("AnnIndex round-trip: persisted search matches the ephemeral operator exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("annidx").toString
+    val e = graft.queries.SimilarityQueries.emb(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id").as("id"), col("v"))
+    AnnIndex.buildIvfPq(e, dim = 64, path = dir, cells = 16, subs = 8,
+      codes = 16, lloydIters = 1)
+    assert(AnnIndex.exists(spark, dir))
+    val m = AnnIndex.meta(spark, dir).head()
+    assert(m.getAs[Long]("n_vectors") == e.count())
+    assert(m.getAs[Int]("cells") == 16 && m.getAs[Int]("subs") == 8)
+
+    val q = e.filter(col("id") < 10)
+    def triples(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Int]("rank"))).toSet
+    // the persisted IVF search and the ephemeral operator share every
+    // parameter and a deterministic build, so results must be IDENTICAL —
+    // the guarantee that makes swapping in the cached index safe
+    val persisted = triples(AnnIndex.searchIvf(spark, dir, q, k = 5, probe = 6))
+    val ephemeral = triples(Ann.knnIvf(e, q, k = 5, cells = 16, probe = 6,
+      lloydIters = 1))
+    assert(persisted == ephemeral,
+      s"diff: ${(persisted diff ephemeral) ++ (ephemeral diff persisted)}")
+
+    // the PQ search path: full rank sets per query, self excluded
+    val pq = AnnIndex.searchIvfPq(spark, dir, q, k = 5, rerank = 50).collect()
+    val byQuery = pq.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.size == 10)
+    byQuery.values.foreach { rows =>
+      assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq == Seq(1, 2, 3, 4, 5))
+      rows.foreach(r =>
+        assert(r.getAs[Long]("query_id") != r.getAs[Long]("neighbor_id")))
+    }
+  }
+
+  test("index builds are bit-identical across runs at two SFs (no nondeterministic reduce order)") {
+    graft.expressions.GraftExtensions.register(spark)
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { dir =>
+      val u = graft.queries.SimilarityQueries.emb(spark, dir)
+        .select(col("vec_id").as("id"), expr("graft_unit(v)").as("uv"))
+      // raw IEEE bits, not ==: a last-ulp drift between two builds would
+      // route borderline vectors to different cells and silently poison a
+      // persisted index reused across sessions
+      def centBits(): Seq[(Long, Seq[Long])] =
+        Ann.ivfCentroids(u, cells = 16, iters = 1).collect()
+          .map(r => r.getAs[Long]("cent_id") ->
+            r.getSeq[Double](r.fieldIndex("cv")).map(java.lang.Double.doubleToRawLongBits))
+          .sortBy(_._1).toSeq
+      assert(centBits() == centBits(), s"centroid bits differ across builds at $dir")
+      val sub = Ann.pqSubvectors(u.select(col("id"), col("uv")), dim = 64,
+        subs = 8, vecCol = "uv")
+      def cbBits(): Seq[((Int, Int), Seq[Long])] =
+        Ann.pqCodebooks(sub, codes = 16).collect()
+          .map(r => (r.getAs[Int]("sub_idx"), r.getAs[Int]("code")) ->
+            r.getSeq[Double](r.fieldIndex("cv")).map(java.lang.Double.doubleToRawLongBits))
+          .sortBy(_._1).toSeq
+      assert(cbBits() == cbBits(), s"codebook bits differ across builds at $dir")
+    }
+  }
+
   test("bm25 operator: rare terms outrank common ones, termless docs drop, tf columns surface") {
     import spark.implicits._
     val docs = Seq(

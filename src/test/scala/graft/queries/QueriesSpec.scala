@@ -167,6 +167,15 @@ class QueriesSpec extends SparkSuite {
     }
   }
 
+  test("persisted-index IVF search recall@5 >= 0.8 vs brute force (sf0.001, sf0.01, sf0.1)") {
+    recallDirs.foreach { dir =>
+      val brute = knnPairs("sim_knn_brute", dir)
+      val idx = knnPairs("sim_knn_ivf_indexed", dir)
+      val recall = (brute & idx).size.toDouble / brute.size
+      assert(recall >= 0.8, s"indexed IVF recall@5 too low at $dir: $recall")
+    }
+  }
+
   test("LSH ANN recall@5 >= 0.8 vs brute force (sf0.001, sf0.01, sf0.1)") {
     recallDirs.foreach { dir =>
       val brute = knnPairs("sim_knn_brute", dir)
