@@ -49,6 +49,72 @@ object CorpusOps {
       .select(col("doc_id"),
         expr("concat(w[i],' ',w[i+1],' ',w[i+2],' ',w[i+3],' ',w[i+4])").as("gram"))
 
+  /** Word g-gram rows WITH word positions: (doc_id, pos, gram), pos
+    * 0-based, not deduplicated — [[substringDedup]] needs every occurrence
+    * to extend runs through repeated text. */
+  private[graft] def posGrams(documents: DataFrame, g: Int): DataFrame =
+    documents
+      .select(col("doc_id"), split(trim(col("text")), " +").as("w"))
+      .filter(size(col("w")) >= g)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), size(col("w")) - g)).as("pos"), col("w"))
+      .select(col("doc_id"), col("pos"),
+        expr(s"concat_ws(' ', slice(w, pos + 1, $g))").as("gram"))
+
+  /**
+   * Substring-level exact dedup — the training-data-canonical "two docs
+   * share a contiguous overlap of >= `minTokens` tokens" detector (doc- and
+   * chunk-level hashing miss overlaps that straddle chunk boundaries or sit
+   * inside otherwise-different docs). Seed-and-extend over word g-grams,
+   * fully declarative: a shared substring of L tokens is EXACTLY a run of
+   * L-g+1 consecutive shared g-grams on one (doc pair, pos_a - pos_b)
+   * diagonal, so per-gram posting lists emit (pair, pos_a, diagonal) match
+   * seeds and a gaps-and-islands pass per diagonal measures each run — no
+   * per-pair alignment loop, no suffix array.
+   *
+   * Scale shape: the only corpus-sized shuffle groups gram occurrences;
+   * pair emission is bounded by the per-gram occurrence cap (`maxGramOcc`,
+   * the same quadratic-explosion guard as the n-gram Jaccard posting join
+   * — a boilerplate gram in 10^6 docs emits nothing, and any overlap
+   * that ALSO contains a sub-cap gram is still found seeded there); the
+   * island windows partition by (pair, diagonal) — many small partitions,
+   * never a per-doc or global sort.
+   *
+   * Returns (doc_a < doc_b, overlap_tokens = longest shared run) for pairs
+   * at or above `minTokens`.
+   */
+  def substringDedup(
+      docs: DataFrame,
+      minTokens: Int,
+      g: Int = 5,
+      maxGramOcc: Int = 1000): DataFrame = {
+    require(minTokens >= g, s"minTokens $minTokens must be >= gram size $g")
+    val s = docs.sparkSession
+    import s.implicits._
+    val pairRows = posGrams(docs, g)
+      .groupBy("gram").agg(collect_list(struct(col("doc_id"), col("pos"))).as("ps"))
+      .filter(size(col("ps")) > 1 && size(col("ps")) <= maxGramOcc)
+      .select("ps").as[Seq[(Long, Int)]]
+      .mapPartitions(_.flatMap { ps =>
+        for {
+          i <- ps.indices.iterator
+          j <- ps.indices
+          if ps(i)._1 < ps(j)._1
+        } yield (ps(i)._1, ps(j)._1, ps(i)._2, ps(i)._2 - ps(j)._2)
+      })
+      .toDF("doc_a", "doc_b", "pos_a", "diag")
+    // one row per (pair, pos_a, diag) by construction (a position holds one
+    // gram), so consecutive pos_a on a diagonal = one contiguous run
+    val w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    pairRows
+      .withColumn("island", col("pos_a") - row_number().over(w))
+      .groupBy("doc_a", "doc_b", "diag", "island")
+      .agg(count(lit(1)).as("run"))
+      .groupBy("doc_a", "doc_b")
+      .agg((max(col("run")) + lit(g - 1)).cast("long").as("overlap_tokens"))
+      .filter(col("overlap_tokens") >= minTokens)
+  }
+
   /** Non-overlapping 10-word chunks per doc (the "lines" of a corpus whose
     * docs carry no newlines). */
   private[graft] def docChunks(documents: DataFrame): DataFrame =

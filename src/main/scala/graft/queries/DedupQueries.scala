@@ -119,6 +119,17 @@ object DedupQueries {
       graft.operators.CorpusOps.nearDupPairsSimhash(docs(s, d), maxHamming = 3)
         .orderBy("doc_a", "doc_b")),
 
+    // substring-level exact dedup: pairs sharing a contiguous run of >= 10
+    // tokens, the overlap measured exactly — catches shared passages inside
+    // otherwise-different docs, which doc-hash and chunk-hash dedup both
+    // miss. Seed-and-extend over positional 5-grams via the public operator
+    // [[graft.operators.CorpusOps.substringDedup]]: posting-list seeds
+    // (occurrence-capped like the trigram join below), then gaps-and-islands
+    // per (pair, diagonal) measures each run declaratively.
+    "dedup_substring" -> ((s, d) =>
+      graft.operators.CorpusOps.substringDedup(docs(s, d), minTokens = 10)
+        .orderBy("doc_a", "doc_b")),
+
     // exact word-trigram Jaccard near-dup via inverted-index join: candidate
     // pairs come from shared trigrams only (sum over df^2 postings, NOT an
     // all-pairs cross join), then jaccard = common / (|a| + |b| - common).
@@ -214,6 +225,36 @@ object DedupQueries {
         |    len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) AS union_sz
         |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
         |WHERE common * 2 >= union_sz
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // same seed-and-extend definition: positional 5-grams, occurrence cap,
+    // longest consecutive-gram run per (pair, diagonal), + g - 1 tokens
+    "dedup_substring" ->
+      """WITH wds AS (
+        |  SELECT doc_id, string_split_regex(trim(text), ' +') AS w FROM documents
+        |), grams AS (
+        |  SELECT doc_id, u.pos AS pos, u.gram AS gram FROM (
+        |    SELECT doc_id,
+        |      unnest([{'pos': i - 1, 'gram': array_to_string(w[i:i+4], ' ')}
+        |              FOR i IN generate_series(1, len(w) - 4)]) AS u
+        |    FROM wds WHERE len(w) >= 5)
+        |), freq AS (
+        |  SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) > 1 AND COUNT(*) <= 1000
+        |), kept AS (
+        |  SELECT g.* FROM grams g JOIN freq USING (gram)
+        |), m AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a, a.pos - b.pos AS diag
+        |  FROM kept a JOIN kept b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |), isl AS (
+        |  SELECT doc_a, doc_b, diag, pos_a,
+        |         pos_a - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS island
+        |  FROM m
+        |), runs AS (
+        |  SELECT doc_a, doc_b, diag, island, COUNT(*) AS run FROM isl GROUP BY 1,2,3,4
+        |)
+        |SELECT doc_a, doc_b, CAST(MAX(run) + 4 AS BIGINT) AS overlap_tokens
+        |FROM runs GROUP BY 1, 2
+        |HAVING MAX(run) + 4 >= 10
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_embedding_cosine" ->

@@ -243,6 +243,41 @@ class ScaleOpsSpec extends SparkSuite {
     assert(objs(2) > objs(0), s"two rounds must actually move: $objs")
   }
 
+  test("substringDedup measures planted overlaps exactly and honors cap/threshold") {
+    import spark.implicits._
+    def words(prefix: String, n: Int) = (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val shared12 = words("s", 12)   // planted 12-token overlap
+    val shared7 = words("x", 7)     // planted 7-token overlap (below minTokens=10)
+    val docs = Seq(
+      (1L, s"${words("a", 20)} $shared12 ${words("b", 9)}"),
+      (2L, s"${words("c", 5)} $shared12 ${words("d", 30)}"),
+      (3L, s"${words("e", 8)} $shared7 ${words("f", 11)}"),
+      (4L, s"$shared7 ${words("g", 25)}"),
+      (5L, words("h", 40))).toDF("doc_id", "text")
+    val got = CorpusOps.substringDedup(docs, minTokens = 10).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Long]("overlap_tokens")).toMap
+    // the 12-token overlap is measured EXACTLY; the 7-token one is under bar
+    assert(got == Map((1L, 2L) -> 12L), s"got $got")
+    // lowering the bar surfaces the 7-token overlap, exactly measured
+    val low = CorpusOps.substringDedup(docs, minTokens = 7).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Long]("overlap_tokens")).toMap
+    assert(low == Map((1L, 2L) -> 12L, (3L, 4L) -> 7L), s"got $low")
+    // an overlap split by one divergent token reports the LONGER side only
+    val split = Seq(
+      (10L, s"${words("p", 6)} DIFF ${words("q", 11)}"),
+      (11L, s"${words("p", 6)} OTHER ${words("q", 11)}")).toDF("doc_id", "text")
+    val sp = CorpusOps.substringDedup(split, minTokens = 10).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Long]("overlap_tokens")).toMap
+    assert(sp == Map((10L, 11L) -> 11L), s"got $sp")
+    // occurrence cap: a gram over the cap seeds nothing -> no pairs
+    val capped = CorpusOps.substringDedup(docs, minTokens = 10, maxGramOcc = 1)
+      .collect()
+    assert(capped.isEmpty, s"cap must drop all seeds: ${capped.toSeq}")
+  }
+
   test("AnnIndex round-trip: persisted search matches the ephemeral operator exactly") {
     val dir = java.nio.file.Files.createTempDirectory("annidx").toString
     val e = graft.queries.SimilarityQueries.emb(spark, "/root/testdata/sf0.001")
