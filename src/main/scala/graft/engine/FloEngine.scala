@@ -496,7 +496,18 @@ final class FloEngine(val spark: SparkSession, val root: String) {
       vv: VersionVector = VersionVector.empty,
       maxFilesPerTrigger: Option[Int] = None,
       maxBytesPerTrigger: Option[Long] = None): DataFrame = {
-    val reader = spark.readStream.schema(FloSchema.eventType)
+    // the reader schema puts the `partition` DIRECTORY column LAST — the
+    // physical layout of a partitioned scan. Declaring it mid-schema
+    // (envelope order) works only when files exist at query start; a query
+    // started over a still-empty stream infers "unpartitioned", and every
+    // later micro-batch's rows bind POSITIONALLY shifted from the declared
+    // schema (namespace reads data's bytes, partition reads timestamp
+    // micros). Canonical envelope order is restored by the select below,
+    // AFTER alignment is correct.
+    val readerSchema = org.apache.spark.sql.types.StructType(
+      FloSchema.eventType.filterNot(_.name == "partition") ++
+        FloSchema.eventType.filter(_.name == "partition"))
+    val reader = spark.readStream.schema(readerSchema)
       .option("ignoreMissingFiles", "true")
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     // byte-budget pacing on the parquet path (closest file-source analog of
@@ -508,6 +519,9 @@ final class FloEngine(val spark: SparkSession, val root: String) {
       if (vv.entries.isEmpty) df // empty vv on a stream = read all partitions
       else df.filter(vv.toPredicate(col("partition"), col("event_counter")))
     seek.filter(ns_glob(col("namespace"), namespaceGlob))
+      // restore the canonical envelope order (partition second) on top of
+      // the partition-last reader schema
+      .select(FloSchema.eventType.fieldNames.toIndexedSeq.map(col): _*)
   }
 
   /**

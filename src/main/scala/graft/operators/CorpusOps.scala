@@ -319,33 +319,39 @@ object CorpusOps {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
 
-  /** Sorted distinct shingle hashes for CANDIDATE docs only (a semi join
-    * prunes the rest), from the SAME kernel hash family as the signatures,
-    * one pass per doc. */
-  private[graft] def minhashShingleSets(documents: DataFrame, cand: DataFrame): DataFrame = {
+  /** Sorted distinct shingle hashes per doc (same kernel hash family as
+    * the signatures, one pass per doc): (doc_id, shs). */
+  private[graft] def shingleSets(documents: DataFrame): DataFrame = {
     val s = documents.sparkSession
     import s.implicits._
-    val candDocs = cand.select(col("doc_a").as("doc_id"))
-      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-    documents.join(broadcast(candDocs), "doc_id")
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         (id, graft.similarity.MinHashKernel.shingleHashes(text, k = 5))
       })
       .toDF("doc_id", "shs")
   }
 
+  /** Shingle sets for CANDIDATE docs only (a semi join prunes the rest). */
+  private[graft] def minhashShingleSets(documents: DataFrame, cand: DataFrame): DataFrame = {
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    shingleSets(documents.join(broadcast(candDocs), "doc_id"))
+  }
+
   /** Exact-jaccard verify (two-pointer JVM kernel — Catalyst
     * array_intersect is interpreted per pair and dominates when band
     * collisions number in the tens of thousands); keeps
-    * jaccard >= threshold, rounded to 3 decimals. */
+    * jaccard >= threshold, rounded to 3 decimals. `setsA`/`setsB` supply
+    * the two sides' shingle sets — the same table for the self-join dedup,
+    * index vs batch tables for [[incrementalNearDup]]. */
   private[graft] def minhashVerify(
-      cand: DataFrame, sets: DataFrame, threshold: Double = 0.5): DataFrame = {
+      cand: DataFrame, setsA: DataFrame, setsB: DataFrame,
+      threshold: Double): DataFrame = {
     val s = cand.sparkSession
     import s.implicits._
     cand
-      .join(sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shs", "sa"), "doc_a")
-      .join(sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shs", "sb"), "doc_b")
+      .join(setsA.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shs", "sa"), "doc_a")
+      .join(setsB.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shs", "sb"), "doc_b")
       // using-column joins reorder columns — re-select before the
       // positional tuple encoder
       .select(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
@@ -409,7 +415,48 @@ object CorpusOps {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
     val bands = minhashBands(docs)
     val cand = minhashCandidates(bands)
-    minhashVerify(cand, minhashShingleSets(docs, cand), threshold)
+    val sets = minhashShingleSets(docs, cand)
+    minhashVerify(cand, sets, sets, threshold)
+  }
+
+  /** The two index tables behind [[incrementalNearDup]] for one doc set:
+    * (bands = (doc_id, band_idx, band_val), sets = (doc_id, shs)). A
+    * continuous-ingestion pipeline persists these once for the historical
+    * corpus and APPENDS each accepted micro-batch's tables — the index
+    * grows with the stream instead of being rebuilt. */
+  def minhashIndexTables(docs: DataFrame): (DataFrame, DataFrame) =
+    (minhashBands(docs), shingleSets(docs))
+
+  /**
+   * Incremental near-dup for continuous ingestion — the streaming twin of
+   * [[nearDupPairsMinhash]]. New docs (a micro-batch) LSH-probe the
+   * ACCUMULATED band index via a stream-static hash join on
+   * (band_idx, band_val): each new doc touches only its own band buckets,
+   * never rescanning history, and the exact-jaccard verify reads historical
+   * shingle sets for the COLLIDING candidates only. In-batch pairs (both
+   * docs new) come from the same band self-join as the batch operator, so
+   * replaying a corpus through micro-batches flags exactly the batch
+   * operator's pairs — StreamingCorpusSpec pins that parity.
+   *
+   * Returns (doc_a = historical or earlier-in-batch id, doc_b = new id,
+   * jaccard). The caller appends [[minhashIndexTables]] of each processed
+   * batch to the index afterwards (typically from `foreachBatch`).
+   */
+  def incrementalNearDup(
+      newDocs: DataFrame,
+      indexBands: DataFrame,
+      indexSets: DataFrame,
+      threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
+    val nb = minhashBands(newDocs)
+    val histCand = nb.as("n").join(indexBands.as("h"),
+        col("n.band_idx") === col("h.band_idx") &&
+          col("n.band_val") === col("h.band_val"))
+      .select(col("h.doc_id").as("doc_a"), col("n.doc_id").as("doc_b"))
+      .distinct()
+    val newSets = shingleSets(newDocs)
+    val histPairs = minhashVerify(histCand, indexSets, newSets, threshold)
+    histPairs.unionAll(nearDupPairsMinhash(newDocs, threshold))
   }
 
   /**

@@ -42,7 +42,7 @@ object Profile {
     val sets = CorpusOps.minhashShingleSets(docs, cand)
     time("mh: shingle sets")(sets.count())
     time("mh: verify joins+jaccard")(
-      CorpusOps.minhashVerify(cand, sets).count())
+      CorpusOps.minhashVerify(cand, sets, sets, threshold = 0.5).count())
 
     // --- dedup_embedding_lsh stages (Ann builders)
     val u = graft.queries.SimilarityQueries.emb(spark, sfDir)

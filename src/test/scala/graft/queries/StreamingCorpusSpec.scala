@@ -70,4 +70,82 @@ class StreamingCorpusSpec extends SparkSuite {
         "no fingerprint may be emitted twice across micro-batches")
     } finally q.stop()
   }
+
+  test("incremental near-dup over the accumulated band index matches the batch operator on a planted-dup replay") {
+    import graft.operators.CorpusOps
+    val root = tempDir("flo-neardup-stream")
+    val idxDir = s"$root/index"
+    val e = new FloEngine(spark, root)
+    e.createStream(EventStreamOptions(name = "docs", numPartitions = 1))
+
+    // 1..10 historical; 11..30 streamed in two micro-batches. Planted:
+    // 12 ~ 3 (stream vs HISTORY), 14 ~ 11 (both in batch 1), 22 ~ 13
+    // (batch 2 vs batch 1 — only visible if the index actually ACCUMULATES).
+    // Docs draw from DISJOINT vocabulary slices of 4-letter words (minhash
+    // shingles are character-level: numeric suffixes like doc "1" vs "11"
+    // share most shingles and read as accidental near-dups)
+    val W: IndexedSeq[String] = (0 until 800).map { n =>
+      Integer.toString(n + 18000, 26).map { c =>
+        if (c.isDigit) ('q' + (c - '0')).toChar else c }.mkString
+    }
+    def doc(i: Int) = (0 until 12).map(k => W(i * 12 + k)).mkString(" ")
+    def dupOf(i: Int) = doc(i) + " extra"
+    val history = (1 to 10).map(i => i.toLong -> doc(i))
+    val batch1 = Seq(11 -> doc(11), 12 -> dupOf(3), 13 -> doc(13), 14 -> dupOf(11))
+      .map { case (i, t) => i.toLong -> t }
+    val batch2 = Seq(21 -> doc(21), 22 -> dupOf(13), 23 -> doc(23))
+      .map { case (i, t) => i.toLong -> t }
+
+    val s = spark
+    import s.implicits._
+    def toDf(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    // seed the index with the historical corpus (the batch-built backfill)
+    val (hb, hs) = CorpusOps.minhashIndexTables(toDf(history))
+    hb.write.mode("overwrite").parquet(s"$idxDir/bands")
+    hs.write.mode("overwrite").parquet(s"$idxDir/sets")
+
+    val flagged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = e.consumeStream("docs")
+      .select(col("namespace"), payload_utf8(col("data")).as("text"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // the doc id rides the namespace (/docs/<id>) — event counters are
+        // per-stream, not per-corpus. localCheckpoint cuts the micro-batch
+        // plan before the operator's band SELF-join re-references it (a
+        // foreachBatch DF's plan cannot be safely self-joined) and caches
+        // the batch for its three passes (bands, sets, index append)
+        val docsB = batch.select(
+            substring_index(col("namespace"), "/", -1).cast("long").as("doc_id"),
+            col("text"))
+          .localCheckpoint(true)
+        val pairs = CorpusOps.incrementalNearDup(docsB,
+            s.read.parquet(s"$idxDir/bands"), s.read.parquet(s"$idxDir/sets"))
+          .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+        flagged.synchronized { flagged ++= pairs }
+        // accept the batch into the index: APPEND, never rebuild
+        val (bb, bs) = CorpusOps.minhashIndexTables(docsB)
+        bb.write.mode("append").parquet(s"$idxDir/bands")
+        bs.write.mode("append").parquet(s"$idxDir/sets")
+        ()
+      }
+      .start()
+    try {
+      // doc_id rides the event counter: produce in arrival order
+      e.produceStrings("docs", 1, batch1.map { case (i, t) => s"/docs/$i" -> t })
+      q.processAllAvailable()
+      e.produceStrings("docs", 1, batch2.map { case (i, t) => s"/docs/$i" -> t })
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // batch-parity: the one-shot operator over the full corpus must agree
+    // on every pair whose LATER doc was streamed
+    val all = toDf(history ++ batch1 ++ batch2)
+    val expected = CorpusOps.nearDupPairsMinhash(all).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+      .filter(_._2 >= 11L).toSet
+    assert(expected == Set((3L, 12L), (11L, 14L), (13L, 22L)),
+      s"planted dups must be what the batch operator finds: $expected")
+    assert(flagged.toSet == expected,
+      s"stream flagged ${flagged.toSet}, batch found $expected")
+  }
 }
