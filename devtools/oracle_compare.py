@@ -18,7 +18,10 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 con = duckdb.connect()
 for t in TABLES:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+    # relational API, not SQL interpolation: a quote in sfdir must not
+    # break (or inject into) the view definition (CREATE VIEW cannot be
+    # a prepared statement, so ? binding is unavailable here)
+    con.read_parquet(f"{sfdir}/{t}.parquet").create_view(t)
 
 def norm(v):
     if isinstance(v, float):
@@ -37,7 +40,7 @@ for name, sql in sorted(oracle.items()):
     except Exception as e:
         print(f"{name}: ORACLE ERR {e}"); fail += 1; continue
     s = duckdb.connect().execute(
-        f"SELECT * FROM read_parquet({files!r})").fetch_arrow_table()
+        "SELECT * FROM read_parquet(?)", [files]).fetch_arrow_table()
     ocols, scols = sorted(o.column_names), sorted(s.column_names)
     if ocols != scols:
         print(f"{name}: SCHEMA MISMATCH oracle={ocols} spark={scols}"); fail += 1; continue

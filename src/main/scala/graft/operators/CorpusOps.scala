@@ -469,10 +469,14 @@ object CorpusOps {
    * top-k is a TakeOrderedAndProject, and scan-twice beats a corpus-sized
    * cache at the 100 TB target (same trade as packBins — persist `base`
    * yourself only when the corpus fits a storage tier). The idf is the
-   * log-free rational form
-   * `(N - df + 0.5) / (df + 0.5)` — same ranking as the log form, built
-   * from plain IEEE arithmetic on integer-derived doubles, so results are
-   * bit-reproducible across engines (the `text_bm25` oracle relies on it).
+   * log-free rational form `(N - df + 0.5) / (df + 0.5)` — a MONOTONE
+   * per-term transform of the classic idf, built from plain IEEE
+   * arithmetic on integer-derived doubles so results are bit-reproducible
+   * across engines (the `text_bm25` oracle relies on it). Note the
+   * caveat: per-term order is preserved, but MULTI-term totals can order
+   * documents differently than log-form BM25 (the rational form weights
+   * rare terms more heavily) — scores here are self-consistent and
+   * reproducible, not standard-BM25-comparable.
    * Returns (doc_id, tf_<term>..., dl, score) for the k best score > 0
    * docs, score descending, doc_id tiebreak.
    */

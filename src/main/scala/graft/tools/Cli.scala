@@ -86,15 +86,23 @@ object Cli {
         println("janitor stopped")
       case "dedup" =>
         // corpus-prep verb: near-dup pairs over a documents parquet
-        // (doc_id, text) via the public operator surface
+        // (doc_id, text) via the public operator surface. Results stream
+        // through toLocalIterator — one partition on the driver at a time,
+        // not a full collect (a web corpus's pair set would OOM the driver);
+        // pass an output path as the 4th arg to skip stdout entirely
         val docs = spark.read.parquet(args(2))
         val threshold = if (args.length > 3) args(3).toDouble else 0.5
-        graft.operators.CorpusOps.nearDupPairsMinhash(docs, threshold)
+        val pairs = graft.operators.CorpusOps.nearDupPairsMinhash(docs, threshold)
           .orderBy("doc_a", "doc_b")
-          .collect()
-          .foreach(r => println(s"${r.getAs[Long]("doc_a")}\t${r.getAs[Long]("doc_b")}\t${r.getAs[Double]("jaccard")}"))
+        if (args.length > 4) {
+          pairs.write.mode("overwrite").parquet(args(4))
+          println(s"wrote ${spark.read.parquet(args(4)).count()} pairs to ${args(4)}")
+        } else pairs.toLocalIterator().forEachRemaining { r =>
+          println(s"${r.getAs[Long]("doc_a")}\t${r.getAs[Long]("doc_b")}\t${r.getAs[Double]("jaccard")}")
+        }
       case "bm25" =>
         // corpus-prep verb: rank a documents parquet against query terms
+        // (bounded: top-k only, so the collect is k rows by construction)
         val docs = spark.read.parquet(args(2))
         val terms = args.drop(3).toSeq
         graft.operators.CorpusOps.bm25(docs, terms, k = 20)
