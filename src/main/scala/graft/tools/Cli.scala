@@ -20,13 +20,19 @@ import graft.model.VersionVector
  * sbt "runMain graft.tools.Cli <root> import  <stream> <segmentsDir>"
  * sbt "runMain graft.tools.Cli <root> export  <stream> <segmentsDir>"
  * sbt "runMain graft.tools.Cli <root> janitor <tick-millis> <run-millis>"
- * sbt "runMain graft.tools.Cli <root> dedup   <docsParquet> [threshold]"
+ * sbt "runMain graft.tools.Cli <root> dedup   <docsParquet> [threshold] [outParquet]"
  * sbt "runMain graft.tools.Cli <root> bm25    <docsParquet> <term> [term...]"
+ * sbt "runMain graft.tools.Cli <root> index-build  <embParquet> <indexPath> [cells] [codes]"
+ * sbt "runMain graft.tools.Cli <root> index-status <indexPath>"
+ * sbt "runMain graft.tools.Cli <root> index-search <indexPath> <embParquet> <k> [ids...]"
  * }}}
  *
  * The corpus verbs (`dedup`, `bm25`) run the public
- * [[graft.operators.CorpusOps]] surface over any (doc_id, text) parquet —
- * `<root>` is still required (an engine is constructed) but unused by them.
+ * [[graft.operators.CorpusOps]] surface over any (doc_id, text) parquet;
+ * the `index-*` verbs run [[graft.operators.AnnIndex]] over any
+ * (id, v: array&lt;double&gt;) parquet (a `vec_id`/`embedding` layout like the
+ * testdata's is adapted automatically) — `<root>` is still required (an
+ * engine is constructed) but unused by them.
  */
 object Cli {
   def main(args: Array[String]): Unit = {
@@ -108,10 +114,59 @@ object Cli {
         graft.operators.CorpusOps.bm25(docs, terms, k = 20)
           .collect()
           .foreach(r => println(s"${r.getAs[Long]("doc_id")}\t${r.getAs[Double]("score")}"))
+      case "index-build" =>
+        // build the persisted ANN index once for an embeddings parquet;
+        // dim read off the first row (all vectors must share it)
+        val emb = embTable(spark, args(2))
+        val dim = emb.select(org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.col("v"))).head().getInt(0)
+        val cells = if (args.length > 4) args(4).toInt else 16
+        val codes = if (args.length > 5) args(5).toInt else 64
+        graft.operators.AnnIndex.buildIvfPq(emb, dim, args(3),
+          cells = cells, codes = codes)
+        println(s"built index at ${args(3)} (dim=$dim cells=$cells codes=$codes)")
+      case "index-status" =>
+        graft.operators.AnnIndex.meta(spark, args(2)).collect().foreach { m =>
+          println(m.schema.fieldNames.map(n => s"$n=${m.getAs[Any](n)}").mkString(" "))
+        }
+      case "index-search" =>
+        // top-k neighbors for the given query ids (default: first 5 ids)
+        val emb = embTable(spark, args(3))
+        val k = args(4).toInt
+        val queries =
+          if (args.length > 5) {
+            val ids = args.drop(5).map(_.toLong)
+            emb.filter(org.apache.spark.sql.functions.col("id").isin(ids: _*))
+          } else emb.orderBy("id").limit(5)
+        graft.operators.AnnIndex.searchIvfPq(spark, args(2), queries, k)
+          .orderBy("query_id", "rank")
+          .collect()
+          .foreach(r => println(s"${r.getAs[Long]("query_id")}\t" +
+            s"${r.getAs[Int]("rank")}\t${r.getAs[Long]("neighbor_id")}"))
       case other =>
         System.err.println(s"unknown verb: $other")
         sys.exit(2)
     }
     spark.stop()
+  }
+
+  /** Adapt any embeddings parquet to the (id: long, v: array<double>)
+    * shape the Ann operators take; accepts the testdata's
+    * (vec_id, embedding) layout directly. */
+  private def embTable(spark: SparkSession, path: String) = {
+    import org.apache.spark.sql.functions.col
+    val df = spark.read.parquet(path)
+    val cols = df.columns.toSet
+    val base =
+      if (cols.contains("id") && cols.contains("v")) df
+      else if (cols.contains("vec_id") && cols.contains("embedding"))
+        df.select(col("vec_id").as("id"), col("embedding").as("v"))
+      else {
+        System.err.println(
+          s"expected (id, v) or (vec_id, embedding) columns, got ${df.columns.mkString(",")}")
+        sys.exit(2)
+      }
+    base.select(col("id").cast("long").as("id"),
+      col("v").cast("array<double>").as("v"))
   }
 }
