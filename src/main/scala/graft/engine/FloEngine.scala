@@ -739,6 +739,55 @@ final class FloEngine(val spark: SparkSession, val root: String) {
     }
   }
 
+  /**
+   * Incremental compaction: fold only the small segment files (the
+   * per-append parquet commits) into full-size segments, leaving mature
+   * segments untouched. Full [[compact]] rewrites the whole log — the
+   * right tool after retention churn, but its cost is O(stream length)
+   * (159 s at 100M events in the round-5 drive); the STEADY-STATE need is
+   * only to merge the tail of small appends, and this does exactly that at
+   * O(small bytes) regardless of history size. Output segments target the
+   * stream's `segmentMaxSizeBytes`. Same crash discipline as [[compact]]:
+   * write aside, rename in, delete originals (readers see transient
+   * duplicates, never a gap; a torn swap self-heals on the next run via
+   * the counter dedup). Returns per-partition merged-file counts.
+   */
+  def compactSmall(
+      stream: String,
+      minFileBytes: Long = 1L << 20): Map[Int, Int] = commitLock(stream).synchronized {
+    val f = fs(root)
+    val segBytes = streamOptions(stream)
+      .map(_.segmentMaxSizeBytes).getOrElse(1L << 30)
+    declaredPartitions(stream).map { p =>
+      val dir = s"${streamDir(stream)}/partition=$p"
+      val small = f.listStatus(new Path(dir))
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet") &&
+          s.getLen < minFileBytes)
+      if (small.length > 1) {
+        val tmp = s"${streamDir(stream)}/.compact-small-partition=$p"
+        val innerSchema = org.apache.spark.sql.types.StructType(
+          FloSchema.eventType.filterNot(_.name == "partition"))
+        val nOut = math.max(1,
+          math.ceil(small.map(_.getLen).sum.toDouble / segBytes).toInt)
+        spark.read.schema(innerSchema)
+          .option("ignoreMissingFiles", "true")
+          .parquet(small.map(_.getPath.toString).toIndexedSeq: _*)
+          .dropDuplicates("event_counter")
+          .sort("event_counter")
+          .coalesce(nOut)
+          .write.mode(SaveMode.Overwrite).parquet(tmp)
+        f.listStatus(new Path(tmp))
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .zipWithIndex.foreach { case (s, i) =>
+            f.rename(s.getPath, new Path(dir, s"compacted-s$i-${s.getPath.getName}"))
+          }
+        small.foreach(s => f.delete(s.getPath, false))
+        f.delete(new Path(tmp), true)
+        p -> small.length
+      } else p -> 0
+    }.toMap
+  }
+
   // -------------------------------------------------------------- retention
 
   /**

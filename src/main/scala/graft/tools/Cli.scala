@@ -16,6 +16,7 @@ import graft.model.VersionVector
  * sbt "runMain graft.tools.Cli <root> status  <stream>"
  * sbt "runMain graft.tools.Cli <root> streams"
  * sbt "runMain graft.tools.Cli <root> compact <stream>"
+ * sbt "runMain graft.tools.Cli <root> compact-small <stream> [minFileBytes]"
  * sbt "runMain graft.tools.Cli <root> expire  <stream> <cutoff-millis>"
  * sbt "runMain graft.tools.Cli <root> import  <stream> <segmentsDir>"
  * sbt "runMain graft.tools.Cli <root> export  <stream> <segmentsDir>"
@@ -75,6 +76,12 @@ object Cli {
         engine.listStreams().foreach(println)
       case "compact" =>
         engine.compact(args(2)); println("compacted")
+      case "compact-small" =>
+        // steady-state maintenance: fold only small tail segments
+        val minBytes = if (args.length > 3) args(3).toLong else 1L << 20
+        val merged = engine.compactSmall(args(2), minBytes)
+        println(merged.toSeq.sorted
+          .map { case (p, n) => s"partition=$p merged=$n" }.mkString("\n"))
       case "expire" =>
         val dropped = engine.expireOldEvents(args(2),
           new java.sql.Timestamp(args(3).toLong))

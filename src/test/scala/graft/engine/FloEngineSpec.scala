@@ -218,6 +218,41 @@ class FloEngineSpec extends SparkSuite {
       .collect().head.getAs[Long]("event_counter") == 11L)
   }
 
+  test("incremental compaction folds only the small tail, mature segments untouched") {
+    val (e, root) = newEngine()
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(s"$root/default/partition=1")
+    def files() = fs.listStatus(dir)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    // one "mature" segment (a padded batch producing a larger file), then a
+    // tail of 6 tiny per-append files
+    e.produceStrings("default", 1,
+      (1 to 50).map(i => s"/big/$i" -> ("x" * 2000)))
+    val mature = files().map(_.getPath.getName).toSet
+    val matureMax = files().map(_.getLen).max
+    (1 to 6).foreach(i => e.produceStrings("default", 1, Seq(s"/small/$i" -> s"v$i")))
+    assert(files().length == mature.size + 6)
+
+    val before = e.consumeAll("default").collect()
+      .map(_.getAs[Long]("event_counter")).toSeq
+    // threshold sits between the tiny files and the mature segment
+    val merged = e.compactSmall("default", minFileBytes = matureMax)
+    assert(merged(1) == 6, s"must fold exactly the 6 small files: $merged")
+    val now = files().map(_.getPath.getName).toSet
+    assert(mature.subsetOf(now), "mature segments must not be rewritten")
+    assert(now.size == mature.size + 1, s"tail folded to one segment, got $now")
+    // data parity, order preserved
+    val after = e.consumeAll("default").collect()
+      .map(_.getAs[Long]("event_counter")).toSeq
+    assert(after == before)
+    // idempotent: a single folded file is never re-merged with itself
+    assert(e.compactSmall("default", minFileBytes = matureMax)(1) == 0)
+    // counters keep advancing
+    assert(e.produceStrings("default", 1, Seq("/k/next" -> ""))
+      .collect().head.getAs[Long]("event_counter") == before.max + 1)
+  }
+
   test("compaction self-heals duplicates left by a torn rename/delete swap") {
     val (e, root) = newEngine()
     (1 to 6).foreach { i => e.produceStrings("default", 1, Seq(s"/h/$i" -> s"v$i")) }
