@@ -115,6 +115,46 @@ object CorpusOps {
       .filter(col("overlap_tokens") >= minTokens)
   }
 
+  /**
+   * Span-level benchmark decontamination — the canonical strong form:
+   * training docs sharing a CONTIGUOUS run of >= `minTokens` tokens with
+   * any eval doc, with the longest shared span measured exactly. The
+   * gram-hit form ([[decontaminate]]) counts shared 5-grams and is the
+   * cheap screen; this one answers "how much verbatim eval text leaked",
+   * the evidence an actual removal decision wants. Same seed-and-extend
+   * plan as [[substringDedup]], across two tables: positional eval grams
+   * (occurrence-capped — boilerplate grams seed nothing) hash-join the
+   * train gram stream, and gaps-and-islands per (train doc, eval doc,
+   * diagonal) measures each run. The eval side is small by nature, so
+   * Spark broadcasts it; train-side rows never shuffle before the join
+   * drops the clean ~everything.
+   *
+   * Returns (doc_id = train doc, eval_id, overlap_tokens >= minTokens).
+   */
+  def decontaminateSpans(
+      train: DataFrame,
+      eval: DataFrame,
+      minTokens: Int,
+      g: Int = 5,
+      maxEvalGramOcc: Int = 1000): DataFrame = {
+    require(minTokens >= g, s"minTokens $minTokens must be >= gram size $g")
+    val ge = posGrams(eval, g)
+      .select(col("doc_id").as("eval_id"), col("pos").as("pos_e"), col("gram"))
+    val keptE = ge.join(
+      ge.groupBy("gram").agg(count(lit(1)).as("occ_e"))
+        .filter(col("occ_e") <= maxEvalGramOcc).select("gram"), "gram")
+    val m = posGrams(train, g).join(keptE, "gram")
+      .select(col("doc_id"), col("eval_id"), col("pos").as("pos_t"),
+        (col("pos") - col("pos_e")).as("diag"))
+    val w = Window.partitionBy("doc_id", "eval_id", "diag").orderBy("pos_t")
+    m.withColumn("island", col("pos_t") - row_number().over(w))
+      .groupBy("doc_id", "eval_id", "diag", "island")
+      .agg(count(lit(1)).as("run"))
+      .groupBy("doc_id", "eval_id")
+      .agg((max(col("run")) + lit(g - 1)).cast("long").as("overlap_tokens"))
+      .filter(col("overlap_tokens") >= minTokens)
+  }
+
   /** Non-overlapping 10-word chunks per doc (the "lines" of a corpus whose
     * docs carry no newlines). */
   private[graft] def docChunks(documents: DataFrame): DataFrame =

@@ -42,6 +42,21 @@ object PipelineQueries {
     // stream never shuffles.
     "pipe_decontaminate" -> ((s, d) => decontaminate(docs(s, d))),
 
+    // span-level decontamination (the strong form): train docs sharing a
+    // CONTIGUOUS >= 8-token run with the eval slice, longest run measured
+    // exactly — "how much verbatim eval text leaked", not just gram hits.
+    // Same eval split as pipe_decontaminate; seed-and-extend machinery
+    // shared with dedup_substring via [[graft.operators.CorpusOps
+    // .decontaminateSpans]].
+    "pipe_decontaminate_spans" -> ((s, d) => {
+      val all = docs(s, d)
+      Ops.decontaminateSpans(
+          train = all.filter(pmod(col("doc_id"), lit(20)) =!= 0),
+          eval = all.filter(pmod(col("doc_id"), lit(20)) === 0),
+          minTokens = 8)
+        .orderBy("doc_id", "eval_id")
+    }),
+
     // cross-document chunk dedup (duplicated-"line" removal for corpora
     // without newlines): docs are cut into fixed non-overlapping 10-word
     // chunks; a chunk appearing in >1 distinct doc is duplicated; each doc
@@ -186,6 +201,37 @@ object PipelineQueries {
         |FROM ge JOIN bench USING (gram)
         |WHERE doc_id % 20 <> 0
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // two-table rendering of the dedup_substring seed-and-extend SQL
+    "pipe_decontaminate_spans" ->
+      """WITH wds AS (
+        |  SELECT doc_id, string_split_regex(trim(text), ' +') AS w FROM documents
+        |), grams AS (
+        |  SELECT doc_id, u.pos AS pos, u.gram AS gram FROM (
+        |    SELECT doc_id,
+        |      unnest([{'pos': i - 1, 'gram': array_to_string(w[i:i+4], ' ')}
+        |              FOR i IN generate_series(1, len(w) - 4)]) AS u
+        |    FROM wds WHERE len(w) >= 5)
+        |), ge AS (
+        |  SELECT doc_id AS eval_id, pos AS pos_e, gram FROM grams WHERE doc_id % 20 = 0
+        |), keptE AS (
+        |  SELECT g.* FROM ge g JOIN (
+        |    SELECT gram FROM ge GROUP BY gram HAVING COUNT(*) <= 1000) f USING (gram)
+        |), gt AS (
+        |  SELECT doc_id, pos AS pos_t, gram FROM grams WHERE doc_id % 20 <> 0
+        |), m AS (
+        |  SELECT t.doc_id, e.eval_id, t.pos_t, t.pos_t - e.pos_e AS diag
+        |  FROM gt t JOIN keptE e USING (gram)
+        |), isl AS (
+        |  SELECT doc_id, eval_id, diag, pos_t,
+        |         pos_t - ROW_NUMBER() OVER (PARTITION BY doc_id, eval_id, diag ORDER BY pos_t) AS island
+        |  FROM m
+        |), runs AS (
+        |  SELECT doc_id, eval_id, diag, island, COUNT(*) AS run FROM isl GROUP BY 1,2,3,4
+        |)
+        |SELECT doc_id, eval_id, CAST(MAX(run) + 4 AS BIGINT) AS overlap_tokens
+        |FROM runs GROUP BY 1, 2 HAVING MAX(run) + 4 >= 8
+        |ORDER BY doc_id, eval_id""".stripMargin,
 
     "pipe_chunk_dedup" ->
       """WITH t AS (

@@ -278,6 +278,29 @@ class ScaleOpsSpec extends SparkSuite {
     assert(capped.isEmpty, s"cap must drop all seeds: ${capped.toSeq}")
   }
 
+  test("decontaminateSpans measures verbatim leaks across tables, ignores sub-threshold echoes") {
+    import spark.implicits._
+    def words(prefix: String, n: Int) = (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val leak = words("s", 11)
+    val echo = words("x", 6) // shared, but under the 8-token bar
+    val train = Seq(
+      (1L, s"${words("a", 10)} $leak ${words("b", 5)}"),
+      (2L, s"${words("c", 9)} $echo ${words("d", 14)}"),
+      (3L, words("e", 30))).toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, s"${words("f", 4)} $leak ${words("g", 7)}"),
+      (101L, s"$echo ${words("h", 20)}")).toDF("doc_id", "text")
+    val got = CorpusOps.decontaminateSpans(train, eval, minTokens = 8).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("eval_id")) ->
+        r.getAs[Long]("overlap_tokens")).toMap
+    assert(got == Map((1L, 100L) -> 11L), s"got $got")
+    // the 6-token echo surfaces once the bar drops to the gram size
+    val low = CorpusOps.decontaminateSpans(train, eval, minTokens = 5).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("eval_id")) ->
+        r.getAs[Long]("overlap_tokens")).toMap
+    assert(low == Map((1L, 100L) -> 11L, (2L, 101L) -> 6L), s"got $low")
+  }
+
   test("AnnIndex round-trip: persisted search matches the ephemeral operator exactly") {
     val dir = java.nio.file.Files.createTempDirectory("annidx").toString
     val e = graft.queries.SimilarityQueries.emb(spark, "/root/testdata/sf0.001")
