@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.nsGlobFunction)
     ext.injectFunction(GraftExtensions.lshBandsFunction)
     ext.injectFunction(GraftExtensions.unitFunction)
+    ext.injectFunction(GraftExtensions.subFunction)
     ext.injectFunction(GraftExtensions.int8StatsFunction)
     ext.injectFunction(GraftExtensions.topKFunction)
     ext.injectPlannerStrategy(_ => graft.plans.GraftStrategies)
@@ -98,6 +99,14 @@ object GraftExtensions {
       UnitVector(children.head)
     })
 
+  private val subFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_sub"),
+    new ExpressionInfo(classOf[VectorSubtract].getName, "graft_sub"),
+    { (children: Seq[Expression]) =>
+      require(children.size == 2, "graft_sub expects exactly 2 arguments")
+      VectorSubtract(children.head, children(1))
+    })
+
   private val int8StatsFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_int8_stats"),
     new ExpressionInfo(classOf[Int8Stats].getName, "graft_int8_stats"),
@@ -124,7 +133,7 @@ object GraftExtensions {
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     Seq(dotFunction, nsGlobFunction, lshBandsFunction, unitFunction,
-        int8StatsFunction, topKFunction).foreach { fn =>
+        subFunction, int8StatsFunction, topKFunction).foreach { fn =>
       if (!registry.functionExists(fn._1)) {
         registry.registerFunction(fn._1, fn._2, fn._3)
       }

@@ -48,6 +48,15 @@ object AnnIndex {
    * spherical k-means cells, hard assignments, per-subspace PQ codebooks
    * and codes. A pure-IVF search ([[searchIvf]]) uses the same index and
    * just ignores the PQ tables, so one build serves both search modes.
+   *
+   * PQ codes quantize the RESIDUAL `uv - centroid(cell)` (IVFADC), not the
+   * raw vector: the coarse quantizer already explains the centroid
+   * component, so the codebooks spend their 4 bits/subspace on what's left
+   * — strictly more fidelity at the same code budget. Search reconstructs
+   * `cos ~ <q, centroid> + <q, residual>` ([[searchIvfPq]] adds the probed
+   * cell's exact centroid dot to the ADC sum). The residual subtraction is
+   * the codegen `graft_sub` (a zip_with lambda would knock the whole build
+   * projection out of whole-stage codegen).
    */
   def buildIvfPq(
       corpus: DataFrame,
@@ -70,8 +79,11 @@ object AnnIndex {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
     val vecs = s.read.parquet(s"$path/vectors")
 
-    val sub = Ann.pqSubvectors(vecs.select(col("id"), col("uv")),
-      dim, subs, vecCol = "uv")
+    val resid = vecs
+      .join(broadcast(cents.select(col("cent_id").cast("int").as("cell"),
+        col("cv"))), "cell")
+      .select(col("id"), expr("graft_sub(uv, cv)").as("rv"))
+    val sub = Ann.pqSubvectors(resid, dim, subs, vecCol = "rv")
     Ann.pqCodebooks(sub, codes)
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
     val cb = s.read.parquet(s"$path/codebooks")
@@ -83,8 +95,9 @@ object AnnIndex {
 
     val n = vecs.count()
     import s.implicits._
-    Seq((dim, cells, subs, codes, lloydIters, n))
-      .toDF("dim", "cells", "subs", "codes", "lloyd_iters", "n_vectors")
+    Seq((dim, cells, subs, codes, lloydIters, n, true))
+      .toDF("dim", "cells", "subs", "codes", "lloyd_iters", "n_vectors",
+        "residual_coding")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
@@ -117,9 +130,11 @@ object AnnIndex {
   /**
    * Search-only IVF-PQ top-k cosine over a prebuilt index: probe cells,
    * score candidates by asymmetric distance over their persisted PQ codes
-   * (broadcast LUT of query-subvector x codebook-entry dots — the scoring
-   * stage touches NO vectors), then exact rerank on the ADC top-`rerank`
-   * only. `dim`/`subs` come from the index's meta, not the caller.
+   * (broadcast LUT of query-subvector x RESIDUAL-codebook dots, plus the
+   * probed cell's exact centroid dot — reconstructing
+   * `cos ~ <q, centroid> + <q, residual>`; the scoring stage touches NO
+   * vectors), then exact rerank on the ADC top-`rerank` only.
+   * `dim`/`subs` come from the index's meta, not the caller.
    */
   def searchIvfPq(
       spark: SparkSession,
@@ -150,11 +165,13 @@ object AnnIndex {
     val adc = broadcast(probes).join(pqCodes,
         col("probe_cell") === col("cell") &&
           (if (excludeSelf) col("query_id") =!= col("id") else lit(true)))
-      .select(col("query_id"), col("id").as("neighbor_id"),
+      .select(col("query_id"), col("id").as("neighbor_id"), col("cs"),
         col("sub_idx"), col("code"))
       .join(broadcast(lut), Seq("query_id", "sub_idx", "code"))
       .groupBy("query_id", "neighbor_id")
-      .agg(sum("pdot").as("adc"))
+      // a candidate lives in exactly one cell, so cs (the query x centroid
+      // dot of that cell) is constant within the group
+      .agg((max("cs") + sum("pdot")).as("adc"))
     val pruned = TopK.topKPerKey(adc, Seq("query_id"),
         struct(col("adc"), -col("neighbor_id")), Seq("neighbor_id"), rerank)
       .select("query_id", "neighbor_id")
@@ -167,20 +184,19 @@ object AnnIndex {
   }
 
   /** Route queries to their `probe` highest-cosine cells via the broadcast
-    * centroid table: (query_id, probe_cell[, qv]). */
+    * centroid table: (query_id, probe_cell, cs[, qv]) — `cs` is the exact
+    * query x centroid dot the residual ADC adds back. */
   private def probeCells(
       queries: DataFrame, cents: DataFrame, probe: Int,
       carryVec: Boolean): DataFrame = {
     val qu = queries.select(col("id"), expr("graft_unit(v)").as("uv"))
-    val carry = if (carryVec) Seq("cent_id", "uv") else Seq("cent_id")
+    val carry = if (carryVec) Seq("cent_id", "cs", "uv") else Seq("cent_id", "cs")
     val top = TopK.topKPerKey(
       qu.crossJoin(broadcast(cents))
         .withColumn("cs", expr("graft_dot(uv, cv)")),
       Seq("id"), struct(col("cs"), -col("cent_id")), carry, probe)
-    val base = top.select(col("id").as("query_id"),
-      col("cent_id").cast("int").as("probe_cell"))
-    if (carryVec) top.select(col("id").as("query_id"),
-      col("cent_id").cast("int").as("probe_cell"), col("uv").as("qv"))
-    else base
+    val base = Seq(col("id").as("query_id"),
+      col("cent_id").cast("int").as("probe_cell"), col("cs"))
+    top.select((if (carryVec) base :+ col("uv").as("qv") else base): _*)
   }
 }

@@ -60,7 +60,9 @@ object SimilarityQueries {
     * version, so a parameter change can never read a stale layout. */
   private[graft] def indexPath(d: String): String = {
     val tag = d.replaceAll("[^A-Za-z0-9._-]", "_")
-    s"${sys.props("java.io.tmpdir")}/graft_ann/v1_${tag}_c${IdxCells}_s${PqSubs}_cb${IdxCodes}_i1"
+    // v2 = residual-coded PQ (IVFADC); the version tag prevents a search
+    // from ever reading a stale pre-residual layout
+    s"${sys.props("java.io.tmpdir")}/graft_ann/v2_${tag}_c${IdxCells}_s${PqSubs}_cb${IdxCodes}_i1"
   }
 
   /** Build the index iff no completed build exists (meta is the commit
