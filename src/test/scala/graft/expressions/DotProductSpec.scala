@@ -173,4 +173,48 @@ class DotProductSpec extends SparkSuite {
     GraftExtensions.register(spark)
     assert(spark.sql("SELECT graft_dot(array(2.0D), array(3.0D))").collect().head.getDouble(0) == 6.0)
   }
+  test("graft_sub: codegen agrees with interpreted eval and with plain arithmetic") {
+    val s = registered()
+    // parquet-backed (a local Seq relation constant-folds at plan time)
+    def base = graft.Tables.load(s, "/root/testdata/sf0.001", "embeddings")
+      .selectExpr("vec_id AS id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+    def df = base.selectExpr("id", "graft_sub(v, graft_unit(v)) AS d")
+
+    def run(wholeStage: Boolean, mode: String): Map[Long, Seq[Double]] = {
+      s.conf.set("spark.sql.codegen.wholeStage", wholeStage.toString)
+      s.conf.set("spark.sql.codegen.factoryMode", mode)
+      try df.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+      finally {
+        s.conf.set("spark.sql.codegen.wholeStage", "true")
+        s.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      }
+    }
+    val compiled = run(wholeStage = true, "CODEGEN_ONLY")
+    val interpreted = run(wholeStage = false, "NO_CODEGEN")
+    assert(compiled == interpreted)
+
+    // element-wise semantics vs independently computed values
+    val expect = base.collect().map { r =>
+      val v = r.getSeq[Double](1)
+      val norm = math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
+      r.getLong(0) -> v.map(x => x - x / norm).toSeq
+    }.toMap
+    assert(compiled == expect)
+
+    // stays inside whole-stage codegen
+    val plan = df.queryExecution.executedPlan.toString
+    val line = plan.linesIterator.find(_.contains("graft_sub")).get
+    assert(line.trim.startsWith("*("), s"graft_sub not codegen'd:\n$plan")
+
+    // residual identity the index build relies on: sub then dot reconstructs
+    // <q, uv> = <q, cv> + <q, uv - cv> up to IEEE reassociation
+    val recon = base.limit(50).selectExpr("id",
+        "graft_dot(v, v) AS full",
+        "graft_dot(v, graft_unit(v)) + graft_dot(v, graft_sub(v, graft_unit(v))) AS sum2")
+      .collect()
+    recon.foreach { r =>
+      assert(math.abs(r.getDouble(1) - r.getDouble(2)) < 1e-9 * math.abs(r.getDouble(1)),
+        s"reconstruction drifted: $r")
+    }
+  }
 }
