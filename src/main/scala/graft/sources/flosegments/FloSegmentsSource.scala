@@ -7,7 +7,8 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
@@ -79,17 +80,21 @@ object FloSegmentsSource {
     Option(budgetOverrides.get(path)).map(_.longValue)
 }
 
-final class FloSegmentsTable(path: String) extends Table with SupportsRead {
+final class FloSegmentsTable(path: String)
+    extends Table with SupportsRead with SupportsWrite {
   require(path != null, "flo-segments requires a path (.load(dir))")
   override def name(): String = s"flo-segments(`$path`)"
   override def schema(): StructType = FloSchema.eventType
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.STREAMING_WRITE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new FloSegmentsScan(path,
         Option(options.get("maxEventsPerTrigger")).map(_.toLong))
     }
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new FloSegmentsWriteBuilder(path, info)
 }
 
 final class FloSegmentsScan(path: String, maxEventsPerTrigger: Option[Long]) extends Scan {

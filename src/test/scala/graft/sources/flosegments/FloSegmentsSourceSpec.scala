@@ -241,4 +241,55 @@ class FloSegmentsSourceSpec extends SparkSuite {
     assert(got.forall { case (c, p) => (p == 1 && c > 3) || (p == 2 && c > 0) })
     assert(got.nonEmpty)
   }
+
+  test("DSv2 streaming WRITE: segments stream out as valid .events files, epochs commit by rename") {
+    val srcDir = tempDir("segsink-src")
+    val outDir = tempDir("segsink-out")
+    val ckpt = tempDir("segsink-ckpt")
+    // source: native segments streamed IN via the DSv2 source, OUT via the
+    // DSv2 sink — a pure flo-format relay with a Spark plan in the middle
+    writeSegment(srcDir, "1.events", (1L to 30L).map(i => event(i, s"/w/$i")))
+    val q = spark.readStream.format("flo-segments").load(srcDir)
+      .writeStream.format("flo-segments")
+      .option("checkpointLocation", ckpt)
+      .start(outDir)
+    try {
+      q.processAllAvailable()
+      // epoch 2: more records into the same source segment
+      appendTo(srcDir, "1.events", (31L to 45L).map(i => event(i, s"/w/$i")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // every emitted file is a valid committed segment: final names only
+    // (hidden files = local-FS .crc checksum sidecars, not ours)
+    val files = new java.io.File(outDir).listFiles().map(_.getName).toSeq
+      .filterNot(_.startsWith("."))
+    assert(files.nonEmpty && files.forall(_.matches("e\\d+\\.p\\d+\\.events")),
+      s"unexpected sink files: $files")
+
+    // the written log round-trips through the batch reader with full parity
+    val back = spark.read.format("flo-segments").load(outDir)
+    val got = back.orderBy("event_counter").collect()
+    assert(got.map(_.getAs[Long]("event_counter")).toSeq == (1L to 45L))
+    assert(got.head.getAs[String]("namespace") == "/w/1")
+    assert(new String(got.last.getAs[Array[Byte]]("data"), "UTF-8") == "d45")
+    assert(got.head.getAs[Timestamp]("timestamp") == new Timestamp(1700000000001L))
+    // null parents survive the round trip
+    assert(got.forall(_.isNullAt(got.head.fieldIndex("parent_counter"))))
+
+    // the declared (partition, event_counter) ordering was honored: each
+    // file's records are counter-sorted (valid contiguous runs, like real
+    // segments), and each file holds exactly one flo partition
+    files.foreach { f =>
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(outDir, f))
+      val evs = FloBinaryCodec.decodeAll(bytes, offset = 16)
+      assert(evs.nonEmpty, s"$f decoded empty")
+      assert(evs.map(_.partition).distinct.size == 1, s"$f mixes partitions")
+      assert(evs.map(_.event_counter) == evs.map(_.event_counter).sorted, s"$f unsorted")
+      // header min/max match the contained records
+      val buf = java.nio.ByteBuffer.wrap(bytes, 0, 16)
+      assert(buf.getLong == evs.map(_.timestamp.getTime).min, s"$f header min")
+      assert(buf.getLong == evs.map(_.timestamp.getTime).max, s"$f header max")
+    }
+  }
 }
