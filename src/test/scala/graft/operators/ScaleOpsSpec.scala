@@ -336,6 +336,50 @@ class ScaleOpsSpec extends SparkSuite {
     }
   }
 
+  test("streaming queries probe the persisted ANN index per micro-batch (continuous ingestion)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val idxPath = graft.queries.SimilarityQueries.ensureIndex(spark, dir)
+    val e = graft.queries.SimilarityQueries.emb(spark, dir)
+      .select(col("vec_id").as("id"), col("v"))
+    val queries = e.filter(col("id") < 10).as[(Long, Seq[Double])].collect()
+    val brute = Ann.knnBrute(e, e.filter(col("id") < 10), k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = input.toDF().toDF("id", "v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // search references the batch in three subtrees (probes, LUT,
+        // rerank) — checkpoint before multi-pass use, as with any
+        // foreachBatch DF
+        val got = AnnIndex.searchIvfPq(spark, idxPath,
+            batch.localCheckpoint(true), k = 5, rerank = 100)
+          .collect().map(r => (r.getAs[Long]("query_id"),
+            r.getAs[Long]("neighbor_id"), r.getAs[Int]("rank")))
+        results.synchronized { results ++= got }
+        ()
+      }.start()
+    try {
+      input.addData(queries.take(5).toIndexedSeq)
+      q.processAllAvailable()
+      // second batch: the rest, plus a REPEAT of query 0 — the persisted
+      // index must answer it identically across micro-batches
+      input.addData((queries.drop(5) :+ queries.head).toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val pairs = results.map(t => (t._1, t._2)).toSet
+    val recall = (brute & pairs).size.toDouble / brute.size
+    assert(recall >= 0.8, s"streaming probe recall too low: $recall")
+    // the repeated query's two answers are identical (stable index)
+    val q0 = results.filter(_._1 == queries.head._1)
+    assert(q0.size == 10, s"query 0 must be answered twice: ${q0.size}")
+    assert(q0.toSet.size == 5, s"re-answer differs: ${q0.sorted}")
+  }
+
   test("index builds are bit-identical across runs at two SFs (no nondeterministic reduce order)") {
     graft.expressions.GraftExtensions.register(spark)
     Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { dir =>
