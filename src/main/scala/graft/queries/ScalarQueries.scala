@@ -208,6 +208,24 @@ object ScalarQueries {
         .orderBy("l_returnflag")
     }),
 
+    // EXACT quantiles through the sketch-guided library operator
+    // [[graft.operators.Quantiles.exactQuantiles]] — the 100 TB formulation:
+    // GK brackets around each target (one mergeable agg), absolute-rank
+    // anchors (conditional sums), rank-select confined to the bracketed
+    // rows (~2*slack*n/accuracy ranks per target regardless of n). Same
+    // values as percentile()/quantile_cont, no unbounded buffer AND no
+    // per-group full sort (q_stats_suite's remaining parallelism floor).
+    "q_exact_quantiles" -> ((s, d) => {
+      def f4(c: org.apache.spark.sql.Column) = floor(c * 10000) / 10000
+      graft.operators.Quantiles.exactQuantiles(
+          Tables.load(s, d, "lineitem"), Seq("l_returnflag"), "l_extendedprice",
+          Seq(0.25, 0.5, 0.75, 0.95))
+        .select(col("l_returnflag"), f4(col("q_0")).as("p25"),
+          f4(col("q_1")).as("p50"), f4(col("q_2")).as("p75"),
+          f4(col("q_3")).as("p95"))
+        .orderBy("l_returnflag")
+    }),
+
     // map scalar suite (§2.8): map_from_entries -> map_keys/values ->
     // explode round-trip; the driver hashes the (re-flattened) result, so
     // any map-op divergence breaks the exact group-by oracle
@@ -300,6 +318,14 @@ object ScalarQueries {
         |  last_day(o_orderdate) AS eom,
         |  CAST(dayofweek(o_orderdate) AS BIGINT) AS dow
         |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin,
+
+    "q_exact_quantiles" ->
+      """SELECT l_returnflag,
+        |  FLOOR(quantile_cont(l_extendedprice, 0.25)*10000)/10000 AS p25,
+        |  FLOOR(quantile_cont(l_extendedprice, 0.5)*10000)/10000 AS p50,
+        |  FLOOR(quantile_cont(l_extendedprice, 0.75)*10000)/10000 AS p75,
+        |  FLOOR(quantile_cont(l_extendedprice, 0.95)*10000)/10000 AS p95
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_stats_suite" ->
       """SELECT l_returnflag,
