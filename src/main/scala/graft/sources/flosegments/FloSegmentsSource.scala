@@ -87,7 +87,7 @@ final class FloSegmentsTable(path: String)
   override def schema(): StructType = FloSchema.eventType
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.STREAMING_WRITE).asJava
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new FloSegmentsScan(path,

@@ -43,10 +43,11 @@ import graft.util.SerializableHadoopConf
  */
 final class FloSegmentsWriteBuilder(path: String, info: LogicalWriteInfo)
     extends WriteBuilder {
-  override def build(): Write = new FloSegmentsWrite(path, info.schema())
+  override def build(): Write =
+    new FloSegmentsWrite(path, info.schema(), info.queryId())
 }
 
-final class FloSegmentsWrite(path: String, schema: StructType)
+final class FloSegmentsWrite(path: String, schema: StructType, queryId: String)
     extends Write with RequiresDistributionAndOrdering {
 
   override def requiredDistribution(): Distribution =
@@ -57,21 +58,45 @@ final class FloSegmentsWrite(path: String, schema: StructType)
     Expressions.sort(Expressions.identity("event_counter"), SortDirection.ASCENDING))
 
   override def toStreaming: StreamingWrite = new FloSegmentsStreamingWrite(path, schema)
+
+  /** Batch rendering: same writers and rename-commit, one deterministic
+    * file set per (query, flo partition) — `b<queryId>.p<part>.events` —
+    * so a retried task attempt can never double-commit and distinct jobs
+    * appending to one dir never collide. */
+  override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+    new FloSegmentsBatchWrite(path, schema, queryId.take(8))
 }
 
-final class FloSegmentsStreamingWrite(path: String, schema: StructType)
-    extends StreamingWrite {
+final class FloSegmentsBatchWrite(path: String, schema: StructType, tag: String)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
 
   private val conf = new SerializableHadoopConf(
     org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
 
-  override def createStreamingWriterFactory(
-      info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new FloSegmentsWriterFactory(path, schema, conf)
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.DataWriterFactory =
+    new FloSegmentsBatchWriterFactory(path, schema, conf, tag)
 
-  /** Rename staged files to their deterministic final names; a final file
-    * already present (retried epoch) wins and the stage is discarded. */
-  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    FloSegmentsCommit.commit(path, conf, messages)
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    FloSegmentsCommit.abort(path, conf, messages)
+}
+
+/** Standalone serializable factory: the write object itself holds a live
+  * SparkSession reference and must never ship to executors. */
+final class FloSegmentsBatchWriterFactory(
+    path: String, schema: StructType, conf: SerializableHadoopConf, tag: String)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new FloSegmentsDataWriter(path, schema, conf, partitionId, taskId, s"b$tag")
+}
+
+/** Rename-as-commit shared by the batch and streaming writes. */
+private[flosegments] object FloSegmentsCommit {
+  def commit(path: String, conf: SerializableHadoopConf,
+      messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(path).getFileSystem(conf.value)
     messages.foreach {
       case FloSegmentsCommitMessage(files) => files.foreach { case (staged, finalName) =>
@@ -87,7 +112,8 @@ final class FloSegmentsStreamingWrite(path: String, schema: StructType)
     }
   }
 
-  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+  def abort(path: String, conf: SerializableHadoopConf,
+      messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(path).getFileSystem(conf.value)
     messages.foreach {
       case FloSegmentsCommitMessage(files) =>
@@ -95,6 +121,25 @@ final class FloSegmentsStreamingWrite(path: String, schema: StructType)
       case _ =>
     }
   }
+}
+
+final class FloSegmentsStreamingWrite(path: String, schema: StructType)
+    extends StreamingWrite {
+
+  private val conf = new SerializableHadoopConf(
+    org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new FloSegmentsWriterFactory(path, schema, conf)
+
+  /** Rename staged files to their deterministic final names; a final file
+    * already present (retried epoch) wins and the stage is discarded. */
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    FloSegmentsCommit.commit(path, conf, messages)
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    FloSegmentsCommit.abort(path, conf, messages)
 }
 
 final case class FloSegmentsCommitMessage(files: Seq[(String, String)])
@@ -105,7 +150,7 @@ final class FloSegmentsWriterFactory(
     extends StreamingDataWriterFactory {
   override def createWriter(
       partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
-    new FloSegmentsDataWriter(path, schema, conf, partitionId, taskId, epochId)
+    new FloSegmentsDataWriter(path, schema, conf, partitionId, taskId, s"e$epochId")
 }
 
 /**
@@ -117,7 +162,7 @@ final class FloSegmentsWriterFactory(
  */
 final class FloSegmentsDataWriter(
     dir: String, schema: StructType, conf: SerializableHadoopConf,
-    partitionId: Int, taskId: Long, epochId: Long)
+    partitionId: Int, taskId: Long, tag: String)
     extends DataWriter[InternalRow] {
 
   private val fs = new Path(dir).getFileSystem(conf.value)
@@ -135,7 +180,7 @@ final class FloSegmentsDataWriter(
   private val iData = idx("data")
 
   private final class OpenSeg(val part: Int) {
-    val body = new Path(dir, s".e$epochId.p$part.t$taskId.body")
+    val body = new Path(dir, s".$tag.p$part.t$taskId.body")
     val out = fs.create(body, true)
     var minTs = Long.MaxValue
     var maxTs = Long.MinValue
@@ -161,7 +206,7 @@ final class FloSegmentsDataWriter(
   override def commit(): WriterCommitMessage = {
     val files = open.values.map { seg =>
       seg.out.close()
-      val staged = new Path(dir, s".e$epochId.p${seg.part}.t$taskId.staged")
+      val staged = new Path(dir, s".$tag.p${seg.part}.t$taskId.staged")
       val out = fs.create(staged, true)
       try {
         out.write(FloBinaryCodec.encodeHeader(seg.minTs, seg.maxTs))
@@ -176,7 +221,7 @@ final class FloSegmentsDataWriter(
         } finally in.close()
       } finally out.close()
       fs.delete(seg.body, false)
-      (staged.toString, s"e$epochId.p${seg.part}.events")
+      (staged.toString, s"$tag.p${seg.part}.events")
     }.toSeq
     open.clear()
     FloSegmentsCommitMessage(files)

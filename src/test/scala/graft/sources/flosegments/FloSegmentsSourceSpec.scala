@@ -292,4 +292,29 @@ class FloSegmentsSourceSpec extends SparkSuite {
       assert(buf.getLong == evs.map(_.timestamp.getTime).max, s"$f header max")
     }
   }
+
+  test("DSv2 batch WRITE: df.write.format(flo-segments) appends committed segment files") {
+    val outDir = tempDir("segsink-batch")
+    import spark.implicits._
+    val df = (1L to 40L).map(i => event(i, s"/bw/$i")).toDF()
+    df.write.format("flo-segments").mode("append").save(outDir)
+    // a second job appends WITHOUT colliding (query-unique file tags)
+    (41L to 60L).map(i => event(i, s"/bw/$i")).toDF()
+      .write.format("flo-segments").mode("append").save(outDir)
+
+    val files = new java.io.File(outDir).listFiles().map(_.getName).toSeq
+      .filterNot(_.startsWith("."))
+    assert(files.nonEmpty && files.forall(_.matches("b[0-9a-f-]+\\.p\\d+\\.events")),
+      s"unexpected sink files: $files")
+    val back = spark.read.format("flo-segments").load(outDir)
+    val got = back.orderBy("event_counter").collect()
+    assert(got.map(_.getAs[Long]("event_counter")).toSeq == (1L to 60L))
+    // declared ordering honored per file
+    files.foreach { f =>
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(outDir, f))
+      val evs = FloBinaryCodec.decodeAll(bytes, offset = 16)
+      assert(evs.map(_.partition).distinct.size == 1, s"$f mixes partitions")
+      assert(evs.map(_.event_counter) == evs.map(_.event_counter).sorted, s"$f unsorted")
+    }
+  }
 }
