@@ -709,34 +709,49 @@ final class FloEngine(val spark: SparkSession, val root: String) {
   def compact(stream: String, filesPerPartition: Int = 1): Unit = commitLock(stream).synchronized {
     val f = fs(root)
     declaredPartitions(stream).foreach { p =>
-      val dir = s"${streamDir(stream)}/partition=$p"
-      val files = f.listStatus(new Path(dir))
+      val files = f.listStatus(new Path(s"${streamDir(stream)}/partition=$p"))
         .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      if (files.length > filesPerPartition) {
-        val tmp = s"${streamDir(stream)}/.compact-partition=$p"
-        // inside a partition dir the files do NOT carry the partition column
-        // (it lives in the dir name) — read and rewrite without it
-        val innerSchema = org.apache.spark.sql.types.StructType(
-          FloSchema.eventType.filterNot(_.name == "partition"))
-        spark.read.schema(innerSchema)
-          .option("ignoreMissingFiles", "true") // tolerate a racing janitor
-          .parquet(dir)
-          // counters are unique within a partition, so duplicates can only be
-          // leftovers of a torn rename-in/delete swap from a crashed compact —
-          // re-running compact self-heals instead of preserving them forever
-          .dropDuplicates("event_counter")
-          .sort("event_counter")
-          .coalesce(filesPerPartition)
-          .write.mode(SaveMode.Overwrite).parquet(tmp)
-        f.listStatus(new Path(tmp))
-          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-          .zipWithIndex.foreach { case (s, i) =>
-            f.rename(s.getPath, new Path(dir, s"compacted-$i-${s.getPath.getName}"))
-          }
-        files.foreach(s => f.delete(s.getPath, false))
-        f.delete(new Path(tmp), true)
-      }
+      if (files.length > filesPerPartition)
+        foldSegmentFiles(stream, p, files, filesPerPartition, tag = "c")
     }
+  }
+
+  /** The shared rewrite-and-swap core of [[compact]]/[[compactSmall]]:
+    * rewrite `files` into `nOut` counter-sorted files beside them, rename
+    * the rewrites IN, delete the originals. Rename-in-then-delete keeps a
+    * crash or concurrent reader seeing transient duplicates, never a gap,
+    * and the counter dedup on the next fold self-heals a torn swap. A
+    * failed rename-in aborts BEFORE any original is deleted. */
+  private def foldSegmentFiles(
+      stream: String, p: Int, files: Array[org.apache.hadoop.fs.FileStatus],
+      nOut: Int, tag: String): Unit = {
+    val f = fs(root)
+    val dir = s"${streamDir(stream)}/partition=$p"
+    val tmp = s"${streamDir(stream)}/.compact-$tag-partition=$p"
+    // inside a partition dir the files do NOT carry the partition column
+    // (it lives in the dir name) — read and rewrite without it
+    val innerSchema = org.apache.spark.sql.types.StructType(
+      FloSchema.eventType.filterNot(_.name == "partition"))
+    spark.read.schema(innerSchema)
+      .option("ignoreMissingFiles", "true") // tolerate a racing janitor
+      .parquet(files.map(_.getPath.toString).toIndexedSeq: _*)
+      // counters are unique within a partition, so duplicates can only be
+      // leftovers of a torn rename-in/delete swap from a crashed fold —
+      // re-running self-heals instead of preserving them forever
+      .dropDuplicates("event_counter")
+      .sort("event_counter")
+      .coalesce(nOut)
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    f.listStatus(new Path(tmp))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .zipWithIndex.foreach { case (s, i) =>
+        val dst = new Path(dir, s"compacted-$tag$i-${s.getPath.getName}")
+        if (!f.rename(s.getPath, dst))
+          throw new java.io.IOException(
+            s"compaction could not swap ${s.getPath} -> $dst (originals kept)")
+      }
+    files.foreach(s => f.delete(s.getPath, false))
+    f.delete(new Path(tmp), true)
   }
 
   /**
@@ -759,30 +774,13 @@ final class FloEngine(val spark: SparkSession, val root: String) {
     val segBytes = streamOptions(stream)
       .map(_.segmentMaxSizeBytes).getOrElse(1L << 30)
     declaredPartitions(stream).map { p =>
-      val dir = s"${streamDir(stream)}/partition=$p"
-      val small = f.listStatus(new Path(dir))
+      val small = f.listStatus(new Path(s"${streamDir(stream)}/partition=$p"))
         .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet") &&
           s.getLen < minFileBytes)
       if (small.length > 1) {
-        val tmp = s"${streamDir(stream)}/.compact-small-partition=$p"
-        val innerSchema = org.apache.spark.sql.types.StructType(
-          FloSchema.eventType.filterNot(_.name == "partition"))
         val nOut = math.max(1,
           math.ceil(small.map(_.getLen).sum.toDouble / segBytes).toInt)
-        spark.read.schema(innerSchema)
-          .option("ignoreMissingFiles", "true")
-          .parquet(small.map(_.getPath.toString).toIndexedSeq: _*)
-          .dropDuplicates("event_counter")
-          .sort("event_counter")
-          .coalesce(nOut)
-          .write.mode(SaveMode.Overwrite).parquet(tmp)
-        f.listStatus(new Path(tmp))
-          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-          .zipWithIndex.foreach { case (s, i) =>
-            f.rename(s.getPath, new Path(dir, s"compacted-s$i-${s.getPath.getName}"))
-          }
-        small.foreach(s => f.delete(s.getPath, false))
-        f.delete(new Path(tmp), true)
+        foldSegmentFiles(stream, p, small, nOut, tag = "s")
         p -> small.length
       } else p -> 0
     }.toMap

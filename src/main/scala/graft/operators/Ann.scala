@@ -143,7 +143,16 @@ object Ann {
     * merge order cannot matter — then a linear fold in ascending
     * partition-id order. The fold buffer is bounded by the number of input
     * partitions (not rows); the aggregate() lambda runs on keys-row output,
-    * not the corpus scan. */
+    * not the corpus scan.
+    *
+    * Scope of the guarantee: bit-identity holds across builds under the
+    * SAME partitioning configuration (input splits, shuffle partitions) —
+    * the partial grouping keys on `spark_partition_id()`. Rebuilding on a
+    * differently-configured cluster may differ in the last ulp; a
+    * deployment pinning strict cross-config identity should rebuild and
+    * RE-PERSIST rather than compare indexes across configs (the persisted
+    * index, not the builder, is the source of truth — searches always see
+    * the stored bits). */
   private[graft] def detMean(
       df: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
     df.groupBy((keys.map(col) :+ spark_partition_id().as("pid")): _*)

@@ -33,9 +33,12 @@ import org.apache.spark.sql.functions._
  */
 object AnnIndex {
 
-  /** True iff a completed build exists at `path` (meta is written last). */
+  /** True iff a COMPLETED build exists at `path`. Checks meta's _SUCCESS
+    * marker, not the directory: Spark's committer creates the directory at
+    * job setup, so a build crashed mid-meta-write would otherwise read as
+    * complete and wedge every later search on an unreadable index. */
   def exists(spark: SparkSession, path: String): Boolean = {
-    val p = new Path(s"$path/meta")
+    val p = new Path(s"$path/meta/_SUCCESS")
     FileSystem.get(p.toUri, spark.sparkContext.hadoopConfiguration).exists(p)
   }
 

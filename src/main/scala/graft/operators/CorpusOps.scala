@@ -74,11 +74,17 @@ object CorpusOps {
    *
    * Scale shape: the only corpus-sized shuffle groups gram occurrences;
    * pair emission is bounded by the per-gram occurrence cap (`maxGramOcc`,
-   * the same quadratic-explosion guard as the n-gram Jaccard posting join
-   * — a boilerplate gram in 10^6 docs emits nothing, and any overlap
-   * that ALSO contains a sub-cap gram is still found seeded there); the
-   * island windows partition by (pair, diagonal) — many small partitions,
-   * never a per-doc or global sort.
+   * the same quadratic-explosion guard as the n-gram Jaccard posting
+   * join); the island windows partition by (pair, diagonal) — many small
+   * partitions, never a per-doc or global sort.
+   *
+   * Cap semantics, stated honestly: an over-cap gram contributes NO match
+   * rows, so a run that CONTAINS one splits at that point and the pair
+   * reports the longest capped sub-run (conservative under-measurement; a
+   * run made entirely of boilerplate reports nothing). The DuckDB oracle
+   * applies the identical cap, so measured values still hash-match; raise
+   * `maxGramOcc` when exact lengths through ultra-common grams matter
+   * more than bounding the posting join.
    *
    * Returns (doc_a < doc_b, overlap_tokens = longest shared run) for pairs
    * at or above `minTokens`.
@@ -123,11 +129,13 @@ object CorpusOps {
    * cheap screen; this one answers "how much verbatim eval text leaked",
    * the evidence an actual removal decision wants. Same seed-and-extend
    * plan as [[substringDedup]], across two tables: positional eval grams
-   * (occurrence-capped — boilerplate grams seed nothing) hash-join the
-   * train gram stream, and gaps-and-islands per (train doc, eval doc,
-   * diagonal) measures each run. The eval side is small by nature, so
-   * Spark broadcasts it; train-side rows never shuffle before the join
-   * drops the clean ~everything.
+   * (occurrence-capped — boilerplate grams seed nothing; same cap
+   * semantics as [[substringDedup]]: a run containing an over-cap gram
+   * splits there and reports the longest sub-run) hash-join the train
+   * gram stream, and gaps-and-islands per (train doc, eval doc, diagonal)
+   * measures each run. The eval side is small by nature, so Spark
+   * broadcasts it; train-side rows never shuffle before the join drops
+   * the clean ~everything.
    *
    * Returns (doc_id = train doc, eval_id, overlap_tokens >= minTokens).
    */
@@ -478,9 +486,11 @@ object CorpusOps {
    * replaying a corpus through micro-batches flags exactly the batch
    * operator's pairs — StreamingCorpusSpec pins that parity.
    *
-   * Returns (doc_a = historical or earlier-in-batch id, doc_b = new id,
-   * jaccard). The caller appends [[minhashIndexTables]] of each processed
-   * batch to the index afterwards (typically from `foreachBatch`).
+   * Returns (doc_a < doc_b, jaccard) — the SAME orientation as the batch
+   * operator, so replay output unions/compares cleanly even when a
+   * historical id is larger than a new one. The caller appends
+   * [[minhashIndexTables]] of each processed batch to the index afterwards
+   * (typically from `foreachBatch`).
    */
   def incrementalNearDup(
       newDocs: DataFrame,
@@ -491,11 +501,17 @@ object CorpusOps {
     val nb = minhashBands(newDocs)
     val histCand = nb.as("n").join(indexBands.as("h"),
         col("n.band_idx") === col("h.band_idx") &&
-          col("n.band_val") === col("h.band_val"))
+          col("n.band_val") === col("h.band_val") &&
+          // a re-delivered doc must not near-dup itself
+          col("h.doc_id") =!= col("n.doc_id"))
       .select(col("h.doc_id").as("doc_a"), col("n.doc_id").as("doc_b"))
       .distinct()
     val newSets = shingleSets(newDocs)
+    // re-orient to doc_a < doc_b AFTER the verify (whose set joins key
+    // doc_a = index side, doc_b = batch side)
     val histPairs = minhashVerify(histCand, indexSets, newSets, threshold)
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"), col("jaccard"))
     histPairs.unionAll(nearDupPairsMinhash(newDocs, threshold))
   }
 

@@ -55,13 +55,15 @@ object Quantiles {
     val delta = slack.toDouble / accuracy
 
     // stage 1: per-group n + sketch brackets for every target (one agg row
-    // per group; the GK sketch is mergeable, memory O(accuracy))
+    // per group; the GK sketch is mergeable, memory O(accuracy)). Column
+    // API, not an interpolated SQL string — a column name needing
+    // backticks must not break (or misparse into) the sketch stage
     val lows = ps.map(p => math.max(0.0, p - delta))
     val highs = ps.map(p => math.min(1.0, p + delta))
-    val qStr = (lows ++ highs).mkString("array(", ", ", ")")
     val brackets = df.groupBy(k: _*).agg(
       count(v).as("n"),
-      expr(s"approx_percentile($valueCol, $qStr, $accuracy)").as("bs"))
+      percentile_approx(v, array((lows ++ highs).map(lit): _*),
+        lit(accuracy)).as("bs"))
     val bCols = ps.indices.flatMap(i => Seq(
       element_at(col("bs"), i + 1).as(s"blo_$i"),
       element_at(col("bs"), ps.size + i + 1).as(s"bhi_$i")))
@@ -114,11 +116,17 @@ object Quantiles {
       // loud failure on a broken bracket instead of a silent wrong answer
       val covered = (lo >= col(s"first_$i")) &&
         when(needHi, lo + 2 <= col(s"last1_$i")).otherwise(lo + 1 <= col(s"last1_$i"))
-      when(assert_true(covered).isNull,
-        (lit(1.0) - col(s"g_$i")) * col(s"vlo_$i") +
-          col(s"g_$i") * coalesce(col(s"vhi_$i"), col(s"vlo_$i"))).as(s"q_$i")
+      // an all-NULL group (n = 0) has no bracket rows; keep the group with
+      // NULL quantiles (percentile()/quantile_cont semantics), don't drop it
+      when(col("n") === 0, lit(null).cast("double"))
+        .otherwise(when(assert_true(covered).isNull,
+          (lit(1.0) - col(s"g_$i")) * col(s"vlo_$i") +
+            col(s"g_$i") * coalesce(col(s"vhi_$i"), col(s"vlo_$i"))))
+        .as(s"q_$i")
     }
-    sel.join(broadcast(b.select((k :+ col("n")): _*)), keys)
+    // base on the bracket table (one row per group even when empty/all-NULL)
+    b.select((k :+ col("n")): _*)
+      .join(broadcast(sel), keys, "left")
       .select(k ++ outCols: _*)
   }
 }

@@ -57,7 +57,8 @@ final class FloSegmentsWrite(path: String, schema: StructType, queryId: String)
     Expressions.sort(Expressions.identity("partition"), SortDirection.ASCENDING),
     Expressions.sort(Expressions.identity("event_counter"), SortDirection.ASCENDING))
 
-  override def toStreaming: StreamingWrite = new FloSegmentsStreamingWrite(path, schema)
+  override def toStreaming: StreamingWrite =
+    new FloSegmentsStreamingWrite(path, schema, queryId.take(8))
 
   /** Batch rendering: same writers and rename-commit, one deterministic
     * file set per (query, flo partition) — `b<queryId>.p<part>.events` —
@@ -123,7 +124,14 @@ private[flosegments] object FloSegmentsCommit {
   }
 }
 
-final class FloSegmentsStreamingWrite(path: String, schema: StructType)
+/** `tag` = the query id: epoch numbers restart at 0 for every fresh
+  * checkpoint, so untagged `e<epoch>` names would let a SECOND query
+  * writing to the same dir collide with the first's epochs — and the
+  * commit-side duplicate check would silently discard the new data as a
+  * "retried epoch". The query id is stable across restarts from one
+  * checkpoint (epoch retry dedup still works) and distinct across
+  * queries (no collision). */
+final class FloSegmentsStreamingWrite(path: String, schema: StructType, tag: String)
     extends StreamingWrite {
 
   private val conf = new SerializableHadoopConf(
@@ -131,7 +139,7 @@ final class FloSegmentsStreamingWrite(path: String, schema: StructType)
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new FloSegmentsWriterFactory(path, schema, conf)
+    new FloSegmentsWriterFactory(path, schema, conf, tag)
 
   /** Rename staged files to their deterministic final names; a final file
     * already present (retried epoch) wins and the stage is discarded. */
@@ -146,11 +154,12 @@ final case class FloSegmentsCommitMessage(files: Seq[(String, String)])
     extends WriterCommitMessage
 
 final class FloSegmentsWriterFactory(
-    path: String, schema: StructType, conf: SerializableHadoopConf)
+    path: String, schema: StructType, conf: SerializableHadoopConf, tag: String)
     extends StreamingDataWriterFactory {
   override def createWriter(
       partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
-    new FloSegmentsDataWriter(path, schema, conf, partitionId, taskId, s"e$epochId")
+    new FloSegmentsDataWriter(path, schema, conf, partitionId, taskId,
+      s"e$epochId-$tag")
 }
 
 /**

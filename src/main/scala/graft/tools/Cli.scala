@@ -145,7 +145,8 @@ object Cli {
             val ids = args.drop(5).map(_.toLong)
             emb.filter(org.apache.spark.sql.functions.col("id").isin(ids: _*))
           } else emb.orderBy("id").limit(5)
-        graft.operators.AnnIndex.searchIvfPq(spark, args(2), queries, k)
+        graft.operators.AnnIndex.searchIvfPq(spark, args(2), queries, k,
+            rerank = math.max(100, 2 * k))
           .orderBy("query_id", "rank")
           .collect()
           .foreach(r => println(s"${r.getAs[Long]("query_id")}\t" +

@@ -57,7 +57,8 @@ class QuantilesSpec extends SparkSuite {
     val opt = q.queryExecution.optimizedPlan.toString
     assert(!"(?<!approx_)percentile\\(".r.findFirstIn(opt).isDefined,
       "the exact Percentile aggregate (O(group rows) buffer) must not appear")
-    assert(opt.contains("approx_percentile"), "the sketch stage must exist")
+    assert(opt.contains("percentile_approx") || opt.contains("approx_percentile"),
+      "the sketch stage must exist")
     val phys = q.queryExecution.executedPlan.toString
     assert(phys.contains("BroadcastHashJoin"), phys.take(800))
     q.collect()

@@ -264,7 +264,7 @@ class FloSegmentsSourceSpec extends SparkSuite {
     // (hidden files = local-FS .crc checksum sidecars, not ours)
     val files = new java.io.File(outDir).listFiles().map(_.getName).toSeq
       .filterNot(_.startsWith("."))
-    assert(files.nonEmpty && files.forall(_.matches("e\\d+\\.p\\d+\\.events")),
+    assert(files.nonEmpty && files.forall(_.matches("e\\d+-[0-9a-f-]+\\.p\\d+\\.events")),
       s"unexpected sink files: $files")
 
     // the written log round-trips through the batch reader with full parity
