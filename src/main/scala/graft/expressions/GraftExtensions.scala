@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.topKFunction)
     ext.injectPlannerStrategy(_ => graft.plans.GraftStrategies)
     ext.injectOptimizerRule(_ => graft.plans.PruneAsofMergeJoin)
+    ext.injectOptimizerRule(_ => graft.plans.PruneIntervalMergeJoin)
   }
 }
 

@@ -54,4 +54,78 @@ object RangeJoin {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop("__bucket")
   }
+
+  /**
+   * KEYED interval containment through the NATIVE Catalyst operator
+   * ([[graft.plans.IntervalMergeJoinNode]] /
+   * [[graft.plans.IntervalMergeJoinExec]]): each `points` row pairs with
+   * every `intervals` row sharing its `by` key columns (same names on both
+   * sides) whose `[loCol, hiCol)` contains `pointCol` — inner-join
+   * semantics, so unmatched points emit nothing. Returns every `points`
+   * column unchanged plus, for each name in `valueCols`, a `prefix`-ed
+   * column with the interval row's value.
+   *
+   * Versus [[pointInInterval]]: no bucket-width knob to tune, no
+   * one-row-per-covered-bucket interval explosion, and both sides can be
+   * corpus-sized — each shuffles ONCE on the `by` keys and a single sweep
+   * pass joins them with O(max concurrent interval overlap) state per
+   * partition. Prefer the bucket recipe when there is no usable key and the
+   * interval side is small; prefer this when both sides are large and keyed
+   * (events x session windows per user, readings x calibration ranges per
+   * sensor).
+   *
+   * Null semantics (IntervalMergeJoinSpec pins them): null point, null lo,
+   * or null hi matches nothing; null `by` keys group together.
+   */
+  def pointInIntervalMerge(
+      points: DataFrame,
+      pointCol: String,
+      intervals: DataFrame,
+      loCol: String,
+      hiCol: String,
+      by: Seq[String],
+      valueCols: Seq[String],
+      prefix: String = "iv_"): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+    import org.apache.spark.sql.graftshim.PlanShim
+    import graft.plans.{GraftStrategies, IntervalMergeJoinNode}
+
+    require(by.nonEmpty, "interval merge join needs at least one 'by' key column")
+    require(valueCols.nonEmpty, "interval merge join needs at least one value column")
+    val ptType = points.schema(pointCol).dataType
+    require(intervals.schema(loCol).dataType == ptType &&
+      intervals.schema(hiCol).dataType == ptType,
+      s"point/lo/hi must share a type, got $ptType vs " +
+        s"${intervals.schema(loCol).dataType}/${intervals.schema(hiCol).dataType}")
+    val collisions = valueCols.map(prefix + _).filter(points.columns.contains)
+    require(collisions.isEmpty,
+      s"output columns ${collisions.mkString(", ")} collide with point columns; " +
+        "pass a different prefix")
+
+    val spark = points.sparkSession
+    PlanShim.withStrategy(spark, GraftStrategies)
+    PlanShim.withOptimizerRule(spark, graft.plans.PruneIntervalMergeJoin)
+
+    val lPlan = PlanShim.analyzed(points)
+    val rPlan0 = PlanShim.analyzed(intervals)
+    def attr(p: LogicalPlan, n: String, side: String) =
+      p.output.find(_.name == n).getOrElse(throw new IllegalArgumentException(
+        s"$side column '$n' not found among ${p.output.map(_.name).mkString(", ")}"))
+
+    // re-alias the interval side's needed columns under FRESH exprIds: a
+    // self join (both sides derived from the same table) must not present
+    // one attribute id on both sides of the binary node
+    val needed = (by ++ Seq(loCol, hiCol) ++ valueCols).distinct
+    val aliases = needed.map(n => Alias(attr(rPlan0, n, "intervals"), n)())
+    val rPlan = Project(aliases, rPlan0)
+    val rMap = aliases.map(a => a.name -> a.toAttribute).toMap
+
+    val valueOutput = valueCols.map(c =>
+      AttributeReference(prefix + c, rMap(c).dataType, nullable = true)())
+    PlanShim.ofRows(spark, IntervalMergeJoinNode(
+      by.map(attr(lPlan, _, "points")), by.map(rMap),
+      attr(lPlan, pointCol, "points"), rMap(loCol), rMap(hiCol),
+      valueCols.map(rMap), valueOutput, lPlan, rPlan))
+  }
 }

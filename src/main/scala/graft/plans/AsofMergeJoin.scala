@@ -80,7 +80,8 @@ object PruneAsofMergeJoin
   }
 }
 
-/** Plans [[AsofMergeJoinNode]] — injected via
+/** Plans the graft native nodes ([[AsofMergeJoinNode]],
+  * [[IntervalMergeJoinNode]]) — injected via
   * `SparkSessionExtensions.injectPlannerStrategy` (plugin path) or
   * `PlanShim.withStrategy` (runtime path). */
 object GraftStrategies extends SparkStrategy {
@@ -88,6 +89,10 @@ object GraftStrategies extends SparkStrategy {
     case n: AsofMergeJoinNode =>
       AsofMergeJoinExec(n.leftBy, n.rightBy, n.leftTime, n.rightTime,
         n.rightValues, n.rightOrder, n.valueOutput,
+        planLater(n.left), planLater(n.right)) :: Nil
+    case n: IntervalMergeJoinNode =>
+      IntervalMergeJoinExec(n.leftBy, n.rightBy, n.point, n.lo, n.hi,
+        n.rightValues, n.valueOutput,
         planLater(n.left), planLater(n.right)) :: Nil
     case _ => Nil
   }

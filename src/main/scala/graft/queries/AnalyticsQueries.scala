@@ -334,6 +334,28 @@ object AnalyticsQueries {
         .groupBy("band_id")
         .agg(count(lit(1)).as("n_events"), dsum("value").as("sum_value"))
         .orderBy("band_id")
+    }),
+
+    // KEYED interval containment through the NATIVE operator
+    // ([[graft.plans.IntervalMergeJoinExec]]): per-user 4-hour purchase
+    // attribution windows, joined against that user's click/view stream.
+    // Both sides derive from `events` (self-lineage through the node's
+    // fresh-exprId re-alias) and both can be corpus-sized: each shuffles
+    // once on user_id and one sweep pass joins them with O(concurrent
+    // windows) state — no bucket-width knob, no interval explosion.
+    "q_interval_merge" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val windows = ev.filter(col("event_type") === "purchase").select(
+        col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("lo"), (col("ts") + expr("INTERVAL 4 HOURS")).as("hi"))
+      val clicks = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.operators.RangeJoin.pointInIntervalMerge(
+          clicks, "ts", windows, "lo", "hi",
+          by = Seq("user_id"), valueCols = Seq("purchase_id"))
+        .groupBy(col("iv_purchase_id").as("purchase_id"))
+        .agg(count(lit(1)).as("n_in_window"), dsum("value").as("sum_value"))
+        .orderBy("purchase_id")
     }))
 
   private def cast_date(c: org.apache.spark.sql.Column) = c.cast("date")
@@ -548,5 +570,18 @@ object AnalyticsQueries {
         |SELECT band_id, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events JOIN bands ON value >= lo AND value < hi
-        |GROUP BY band_id ORDER BY band_id""".stripMargin)
+        |GROUP BY band_id ORDER BY band_id""".stripMargin,
+
+    "q_interval_merge" ->
+      """WITH w AS (
+        |  SELECT user_id, event_id AS purchase_id, ts AS lo,
+        |         ts + INTERVAL 4 HOUR AS hi
+        |  FROM events WHERE event_type = 'purchase'),
+        |p AS (
+        |  SELECT user_id, ts, value FROM events
+        |  WHERE event_type IN ('click', 'view'))
+        |SELECT purchase_id, COUNT(*) AS n_in_window,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM p JOIN w ON p.user_id = w.user_id AND p.ts >= w.lo AND p.ts < w.hi
+        |GROUP BY purchase_id ORDER BY purchase_id""".stripMargin)
 }

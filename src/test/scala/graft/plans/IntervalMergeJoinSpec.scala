@@ -1,0 +1,176 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.operators.RangeJoin
+
+/** The native keyed interval-containment operator (custom LogicalPlan +
+  * Strategy + sweep-scan SparkPlan) against the declarative null-safe theta
+  * join: same semantics, different physical plan — the native exec keeps
+  * O(max concurrent overlap) state instead of planning a cross-ish join. */
+class IntervalMergeJoinSpec extends SparkSuite {
+
+  private def canon(df: DataFrame): Seq[String] =
+    df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+
+  /** Reference semantics: null-safe key equality (null keys group together,
+    * matching window-partitioning semantics), strict [lo, hi) containment
+    * (null point/lo/hi match nothing under SQL three-valued logic). */
+  private def recipe(
+      points: DataFrame, pointCol: String, intervals: DataFrame,
+      loCol: String, hiCol: String, by: Seq[String], valueCols: Seq[String],
+      prefix: String = "iv_"): DataFrame = {
+    val iv = intervals.select(
+      by.map(c => intervals(c).as("__r_" + c)) ++
+        Seq(intervals(loCol).as("__r_lo"), intervals(hiCol).as("__r_hi")) ++
+        valueCols.map(c => intervals(c).as(prefix + c)): _*)
+    val cond = by.map(c => points(c) <=> iv("__r_" + c))
+      .reduce(_ && _) && points(pointCol) >= iv("__r_lo") &&
+      points(pointCol) < iv("__r_hi")
+    points.join(iv, cond, "inner")
+      .select(points.columns.map(points(_)) ++ valueCols.map(c => iv(prefix + c)): _*)
+  }
+
+  test("semantics: [lo,hi) containment, overlap fan-out, inner drop, null point/lo/hi") {
+    import spark.implicits._
+    val points = Seq(
+      (1L, "a", 10L), (2L, "a", 20L), (3L, "a", 30L), // 30 == hi: excluded
+      (4L, "b", 5L),                                  // no b interval covers 5
+      (5L, "c", 7L),                                  // null-hi interval: no match
+      (6L, "a", 15L)                                  // inside BOTH a-intervals
+    ).toDF("pid", "k", "x")
+    val nullPt = Seq(("a", 7L)).toDF("k", "iv")
+      .select(lit(7L).as("pid"), col("k"), lit(null).cast("long").as("x"))
+    val intervals = Seq(
+      (100L, "a", 5L, 30L), (101L, "a", 12L, 22L),
+      (102L, "b", 10L, 20L), (104L, "d", 0L, 100L) // d: no points at all
+    ).toDF("ivid", "k", "lo", "hi")
+    val nullIv = Seq(1).toDF("one").select(lit(103L).as("ivid"),
+      lit("c").as("k"), lit(0L).as("lo"), lit(null).cast("long").as("hi"))
+
+    val got = RangeJoin.pointInIntervalMerge(
+        points.union(nullPt), "x", intervals.union(nullIv), "lo", "hi",
+        by = Seq("k"), valueCols = Seq("ivid"))
+      .collect().map(r => (r.getAs[Long]("pid"), r.getAs[Long]("iv_ivid")))
+      .sorted.toSeq
+    assert(got == Seq((1L, 100L), (2L, 100L), (2L, 101L), (6L, 100L), (6L, 101L)))
+  }
+
+  test("matches the declarative theta join on randomized input with nulls and duplicates") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def key(): Option[String] =
+      if (rnd.nextInt(10) == 0) None else Some("k" + rnd.nextInt(6))
+    def num(bound: Int): Option[Long] =
+      if (rnd.nextInt(12) == 0) None else Some(rnd.nextInt(bound).toLong)
+    val points = (1 to 400).map(i => (i.toLong, key(), num(60)))
+      .toDF("pid", "k", "x")
+    val intervals = (1 to 250).map { i =>
+      val lo = num(60)
+      (i.toLong, key(), lo, lo.map(_ + rnd.nextInt(15).toLong), rnd.nextDouble())
+    }.toDF("ivid", "k", "lo", "hi", "w")
+
+    val native = RangeJoin.pointInIntervalMerge(points, "x", intervals,
+      "lo", "hi", by = Seq("k"), valueCols = Seq("ivid", "w"))
+    val expected = recipe(points, "x", intervals, "lo", "hi",
+      Seq("k"), Seq("ivid", "w"))
+    assert(native.columns.toSeq == expected.columns.toSeq)
+    assert(canon(native) == canon(expected))
+  }
+
+  test("plan shape: IntervalMergeJoinExec, shuffles both sides, no nested-loop join") {
+    import spark.implicits._
+    val points = (1 to 100).map(i => (i.toLong, "k" + i % 5, i.toLong)).toDF("pid", "k", "x")
+    val intervals = (1 to 40).map(i => (i.toLong, "k" + i % 5, i.toLong, i.toLong + 10))
+      .toDF("ivid", "k", "lo", "hi")
+    val df = RangeJoin.pointInIntervalMerge(points, "x", intervals, "lo", "hi",
+      Seq("k"), Seq("ivid"))
+    df.collect() // materialize so AQE finalizes the physical plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("IntervalMergeJoin"), s"expected the custom exec in:\n$plan")
+    assert(!plan.contains("NestedLoop"), s"must not fall back to a nested loop:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("sweep state is the active set: maxActiveIntervals metric stays at the overlap bound") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // 600 intervals on ONE key (one task carries the data — the metric
+      // sums per-task maxima across tasks), but at most 3 ever overlap one
+      // point: interval j covers [3j, 3j+9) => any x lies in at most 3
+      val intervals = (0 until 600).map(j =>
+          (j.toLong, "k", (j * 3).toLong, (j * 3).toLong + 9))
+        .toDF("ivid", "k", "lo", "hi")
+      val points = (0 until 400).map(i => (i.toLong, "k", (i * 4).toLong))
+        .toDF("pid", "k", "x")
+      val df = RangeJoin.pointInIntervalMerge(points, "x", intervals, "lo", "hi",
+        Seq("k"), Seq("ivid"))
+      df.collect()
+      val exec = df.queryExecution.executedPlan
+        .collectFirst { case e: IntervalMergeJoinExec => e }.get
+      val maxActive = exec.metrics("maxActiveIntervals").value
+      assert(maxActive > 0 && maxActive <= 3,
+        s"state must track overlap (<=3), not interval count (600/key): $maxActive")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("optimizer rule prunes unread left columns through the custom node") {
+    import spark.implicits._
+    val points = (1 to 50).map(i =>
+        (i.toLong, "k" + i % 3, i.toLong, "wide_payload_" * 4 + i))
+      .toDF("pid", "k", "x", "bulk")
+    val intervals = (1 to 30).map(i => (i.toLong, "k" + i % 3, i.toLong, i.toLong + 5))
+      .toDF("ivid", "k", "lo", "hi")
+    val joined = RangeJoin.pointInIntervalMerge(points, "x", intervals, "lo", "hi",
+      Seq("k"), Seq("ivid"))
+    val slim = joined.select("pid", "iv_ivid")
+    slim.collect()
+    val node = slim.queryExecution.optimizedPlan
+      .collect { case n: IntervalMergeJoinNode => n }.head
+    val leftCols = node.left.output.map(_.name).toSet
+    assert(!leftCols.contains("bulk"), s"unread left column must not reach the join: $leftCols")
+    assert(leftCols == Set("pid", "k", "x"), s"got $leftCols") // k, x survive: join inputs
+    val expected = recipe(points, "x", intervals, "lo", "hi", Seq("k"), Seq("ivid"))
+      .select("pid", "iv_ivid")
+    assert(canon(slim) == canon(expected))
+  }
+
+  test("self interval join (both sides carved from one table) resolves despite shared lineage") {
+    import spark.implicits._
+    val ev = (1 to 120).map(i =>
+        (i.toLong, "u" + i % 4, i.toLong, if (i % 5 == 0) "w" else "p"))
+      .toDF("id", "u", "t", "typ")
+    val points = ev.filter($"typ" === "p").select("id", "u", "t")
+    val windows = ev.filter($"typ" === "w")
+      .select($"id".as("wid"), $"u", $"t".as("lo"), ($"t" + 8L).as("hi"))
+    val native = RangeJoin.pointInIntervalMerge(points, "t", windows, "lo", "hi",
+      Seq("u"), Seq("wid"))
+    val expected = recipe(points, "t", windows, "lo", "hi", Seq("u"), Seq("wid"))
+    assert(canon(native) == canon(expected))
+  }
+
+  test("empty sides and input validation") {
+    import spark.implicits._
+    val points = Seq((1L, "a", 5L)).toDF("pid", "k", "x")
+    val none = Seq.empty[(Long, String, Long, Long)].toDF("ivid", "k", "lo", "hi")
+    assert(RangeJoin.pointInIntervalMerge(points, "x", none, "lo", "hi",
+      Seq("k"), Seq("ivid")).count() == 0)
+    val iv = Seq((1L, "a", 0L, 9L)).toDF("ivid", "k", "lo", "hi")
+    assert(RangeJoin.pointInIntervalMerge(points.limit(0), "x", iv, "lo", "hi",
+      Seq("k"), Seq("ivid")).count() == 0)
+
+    val collide = points.withColumn("iv_ivid", lit(1))
+    assert(intercept[IllegalArgumentException] {
+      RangeJoin.pointInIntervalMerge(collide, "x", iv, "lo", "hi", Seq("k"), Seq("ivid"))
+    }.getMessage.contains("collide"))
+    assert(intercept[IllegalArgumentException] {
+      RangeJoin.pointInIntervalMerge(points, "k", iv, "lo", "hi", Seq("k"), Seq("ivid"))
+    }.getMessage.contains("share a type"))
+    assert(intercept[IllegalArgumentException] {
+      RangeJoin.pointInIntervalMerge(points, "x", iv, "lo", "hi", Nil, Seq("ivid"))
+    }.getMessage.contains("by"))
+  }
+}
