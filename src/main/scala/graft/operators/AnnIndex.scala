@@ -14,10 +14,13 @@ import org.apache.spark.sql.functions._
  * recovery scan segment/mmap.rs:111-134) — applied to the vector index.
  *
  * Layout under `path` (all Spark-readable parquet tables):
- *  - `centroids`  (cent_id, cv)                      — coarse cells, tiny
+ *  - `centroids`  (cent_id, cv)                      — coarse cells, tiny;
+ *    `cv` is UNIT-normalized (spherical k-means) and used for ROUTING only
  *  - `vectors`    (cell, id, uv)  PARTITIONED BY cell — unit vectors, the
  *    rerank working set; cell partitioning means a `probe`-cell search
  *    reads only the probed partitions (partition pruning, not a full scan)
+ *  - `means`      (cell, mv)                         — UN-normalized cell
+ *    means, the residual-coding reference points (see [[buildIvfPq]])
  *  - `codebooks`  (sub_idx, code, cv)                — PQ codebooks, tiny
  *  - `codes`      (cell, id, sub_idx, code) PARTITIONED BY cell — one
  *    small int per (vector, subspace): the ADC candidate-scoring set that
@@ -52,14 +55,22 @@ object AnnIndex {
    * and codes. A pure-IVF search ([[searchIvf]]) uses the same index and
    * just ignores the PQ tables, so one build serves both search modes.
    *
-   * PQ codes quantize the RESIDUAL `uv - centroid(cell)` (IVFADC), not the
-   * raw vector: the coarse quantizer already explains the centroid
-   * component, so the codebooks spend their 4 bits/subspace on what's left
-   * — strictly more fidelity at the same code budget. Search reconstructs
-   * `cos ~ <q, centroid> + <q, residual>` ([[searchIvfPq]] adds the probed
-   * cell's exact centroid dot to the ADC sum). The residual subtraction is
-   * the codegen `graft_sub` (a zip_with lambda would knock the whole build
-   * projection out of whole-stage codegen).
+   * PQ codes quantize the RESIDUAL `uv - mean(cell)` (IVFADC), not the raw
+   * vector — against the UN-normalized cell mean, not the unit routing
+   * centroid. The distinction is load-bearing: the mean is the L2-optimal
+   * reference (`E||uv - mv||^2 = 1 - ||mv||^2 <= E||uv||^2`, ALWAYS at or
+   * below raw-vector energy), while subtracting the renormalized centroid
+   * gives `E||uv - cv||^2 = 2 - 2 E[cos]`, which EXCEEDS raw energy
+   * whenever mean within-cell cosine < 0.5 — i.e. exactly on weakly
+   * clustered corpora, where a unit-centroid residual scheme measures
+   * WORSE than no residual at all (`sim_pq_distortion` measured 0.48 vs
+   * 0.36 raw on the near-uniform testdata; the mean residual reads 0.33).
+   * Search reconstructs `cos ~ <q, mean> + <q, residual>` ([[searchIvfPq]]
+   * adds the probed cell's exact mean dot to the ADC sum — exact because
+   * `<q, uv> = <q, mv> + <q, uv - mv>` for ANY reference point). The
+   * residual subtraction is the codegen `graft_sub` (a zip_with lambda
+   * would knock the whole build projection out of whole-stage codegen);
+   * the means go through [[Ann.detMean]] so builds stay bit-identical.
    */
   def buildIvfPq(
       corpus: DataFrame,
@@ -82,10 +93,17 @@ object AnnIndex {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
     val vecs = s.read.parquet(s"$path/vectors")
 
+    Ann.detMean(vecs.select(col("cell"), posexplode(col("uv")).as(Seq("pos", "x"))),
+        Seq("cell", "pos"), "x")
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cell"), expr("transform(pm, e -> e.m)").as("mv")) // cells rows
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/means")
+    val means = s.read.parquet(s"$path/means")
+
     val resid = vecs
-      .join(broadcast(cents.select(col("cent_id").cast("int").as("cell"),
-        col("cv"))), "cell")
-      .select(col("id"), expr("graft_sub(uv, cv)").as("rv"))
+      .join(broadcast(means), "cell")
+      .select(col("id"), expr("graft_sub(uv, mv)").as("rv"))
     val sub = Ann.pqSubvectors(resid, dim, subs, vecCol = "rv")
     Ann.pqCodebooks(sub, codes)
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
@@ -98,7 +116,7 @@ object AnnIndex {
 
     val n = vecs.count()
     import s.implicits._
-    Seq((dim, cells, subs, codes, lloydIters, n, true))
+    Seq((dim, cells, subs, codes, lloydIters, n, "cell_mean"))
       .toDF("dim", "cells", "subs", "codes", "lloyd_iters", "n_vectors",
         "residual_coding")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
@@ -134,8 +152,8 @@ object AnnIndex {
    * Search-only IVF-PQ top-k cosine over a prebuilt index: probe cells,
    * score candidates by asymmetric distance over their persisted PQ codes
    * (broadcast LUT of query-subvector x RESIDUAL-codebook dots, plus the
-   * probed cell's exact centroid dot — reconstructing
-   * `cos ~ <q, centroid> + <q, residual>`; the scoring stage touches NO
+   * probed cell's exact mean dot — reconstructing
+   * `cos ~ <q, mean> + <q, residual>`; the scoring stage touches NO
    * vectors), then exact rerank on the ADC top-`rerank` only.
    * `dim`/`subs` come from the index's meta, not the caller.
    */
@@ -152,12 +170,22 @@ object AnnIndex {
     val m = meta(spark, path).head()
     val (dim, subs) = (m.getAs[Int]("dim"), m.getAs[Int]("subs"))
     val cents = spark.read.parquet(s"$path/centroids")
+    val means = spark.read.parquet(s"$path/means")
     val cb = spark.read.parquet(s"$path/codebooks")
     val pqCodes = spark.read.parquet(s"$path/codes")
     val vecs = spark.read.parquet(s"$path/vectors")
     val qu = queries.select(col("id"), expr("graft_unit(v)").as("uv"))
 
-    val probes = probeCells(queries, cents, probe, carryVec = false)
+    // route by unit centroid (cosine), reconstruct from the cell MEAN:
+    // ms = <q, mv(probe_cell)> is the exact component the residual ADC adds
+    // back. A cell can be mean-less only if EMPTY (no assigned vectors) —
+    // it then yields no candidates either, so the left-join null never
+    // reaches the aggregate.
+    val probes = probeCells(queries, cents, probe, carryVec = true)
+      .join(broadcast(means.withColumnRenamed("cell", "probe_cell")),
+        Seq("probe_cell"), "left")
+      .select(col("query_id"), col("probe_cell"),
+        expr("graft_dot(qv, mv)").as("ms"))
     val lut = Ann.pqSubvectors(qu, dim, subs, vecCol = "uv")
       .join(broadcast(cb), "sub_idx")
       .select(col("id").as("query_id"), col("sub_idx"), col("code"),
@@ -168,13 +196,13 @@ object AnnIndex {
     val adc = broadcast(probes).join(pqCodes,
         col("probe_cell") === col("cell") &&
           (if (excludeSelf) col("query_id") =!= col("id") else lit(true)))
-      .select(col("query_id"), col("id").as("neighbor_id"), col("cs"),
+      .select(col("query_id"), col("id").as("neighbor_id"), col("ms"),
         col("sub_idx"), col("code"))
       .join(broadcast(lut), Seq("query_id", "sub_idx", "code"))
       .groupBy("query_id", "neighbor_id")
-      // a candidate lives in exactly one cell, so cs (the query x centroid
+      // a candidate lives in exactly one cell, so ms (the query x cell-mean
       // dot of that cell) is constant within the group
-      .agg((max("cs") + sum("pdot")).as("adc"))
+      .agg((max("ms") + sum("pdot")).as("adc"))
     val pruned = TopK.topKPerKey(adc, Seq("query_id"),
         struct(col("adc"), -col("neighbor_id")), Seq("neighbor_id"), rerank)
       .select("query_id", "neighbor_id")
@@ -187,8 +215,8 @@ object AnnIndex {
   }
 
   /** Route queries to their `probe` highest-cosine cells via the broadcast
-    * centroid table: (query_id, probe_cell, cs[, qv]) — `cs` is the exact
-    * query x centroid dot the residual ADC adds back. */
+    * centroid table: (query_id, probe_cell, cs[, qv]) — routing is by the
+    * UNIT centroids; the residual ADC separately adds the cell-MEAN dot. */
   private def probeCells(
       queries: DataFrame, cents: DataFrame, probe: Int,
       carryVec: Boolean): DataFrame = {

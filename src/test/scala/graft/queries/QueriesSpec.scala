@@ -155,6 +155,26 @@ class QueriesSpec extends SparkSuite {
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("mean-residual coding beats raw PQ at the same bit budget (the v3 index's justification)") {
+    Seq(sf, "/root/testdata/sf0.01").foreach { dir =>
+      val rows = SimilarityQueries.queries("sim_pq_distortion")(spark, dir).collect()
+        .map(r => r.getAs[String]("variant") ->
+          (r.getAs[Double]("mse_per_vector"), r.getAs[Long]("n_vectors"))).toMap
+      assert(rows.keySet == Set("residual_ivfadc", "raw_pq"))
+      val (resid, raw) = (rows("residual_ivfadc")._1, rows("raw_pq")._1)
+      assert(resid > 0 && raw > 0 && rows.values.map(_._2).toSet.size == 1)
+      // the cell-mean reference removes energy (1 - ||mv||^2 <= 1), so the
+      // same codebook budget must reconstruct strictly better; the
+      // unit-centroid v2 scheme FAILED this bar (0.48 vs 0.36 at sf0.01)
+      assert(resid < raw,
+        s"$dir: residual mse $resid must beat raw $raw at the same budget")
+      // deterministic end to end (detMean build + fixed init + argmin ties)
+      val again = SimilarityQueries.queries("sim_pq_distortion")(spark, dir).collect()
+        .map(r => r.getAs[String]("variant") -> r.getAs[Double]("mse_per_vector")).toMap
+      assert(again("residual_ivfadc") == resid && again("raw_pq") == raw)
+    }
+  }
+
   test("IVF-PQ ANN recall@5 >= 0.8 vs brute force (sf0.001, sf0.01, sf0.1)") {
     recallDirs.foreach { dir =>
       val brute = knnPairs("sim_knn_brute", dir)
