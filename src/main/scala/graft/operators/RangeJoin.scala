@@ -128,4 +128,64 @@ object RangeJoin {
       attr(lPlan, pointCol, "points"), rMap(loCol), rMap(hiCol),
       valueCols.map(rMap), valueOutput, lPlan, rPlan))
   }
+
+  /**
+   * KEYED interval OVERLAP join — the third classic temporal-join shape
+   * after as-of ([[AsofJoin.asofMerge]]) and point-in-interval
+   * ([[pointInIntervalMerge]]): each `left` row's `[lLo, lHi)` pairs with
+   * every `right` row sharing its `by` keys whose `[rLo, rHi)` overlaps it
+   * (`max(lLo, rLo) < min(lHi, rHi)`). Returns every `left` column plus a
+   * `prefix`-ed column per `valueCols` name, one output row per
+   * overlapping pair; empty (`lo >= hi`) and null-endpoint intervals on
+   * either side match nothing (three-valued-strict — note Spark's own
+   * `greatest()`/`least()` IGNORE nulls, so a declarative
+   * `greatest(...) < least(...)` recipe would treat a null endpoint as
+   * absent instead; the strict equivalent is the four-conjunct form
+   * `lLo < lHi AND rLo < rHi AND lLo < rHi AND rLo < lHi`).
+   *
+   * Physical shape: the overlap predicate decomposes EXACTLY into two
+   * disjoint containment cases by which interval starts later —
+   * `rLo <= lLo < rHi` (left starts inside right, ties here) or
+   * `lLo < rLo < lHi` (right starts strictly inside left) — so two passes
+   * of the native sweep operator cover it with no duplicates and no theta
+   * join: each pass shuffles both sides once on the `by` keys and keeps
+   * O(max concurrent overlap) state. The same decomposition is how a
+   * 100 TB overlap join stays a pair of merge sweeps instead of a
+   * per-key cross product.
+   */
+  def intervalOverlapMerge(
+      left: DataFrame,
+      lLo: String,
+      lHi: String,
+      right: DataFrame,
+      rLo: String,
+      rHi: String,
+      by: Seq[String],
+      valueCols: Seq[String],
+      prefix: String = "iv_"): DataFrame = {
+    val reserved = "__l_"
+    require(!(left.columns ++ right.columns).exists(_.startsWith(reserved)),
+      s"column names starting with $reserved are reserved by the operator")
+    val leftLive = left.filter(col(lLo) < col(lHi)) // drops empty + null-endpoint
+    val rightSlim = right.select(
+      (by ++ Seq(rLo, rHi) ++ valueCols).distinct.map(col): _*)
+      .filter(col(rLo) < col(rHi))
+
+    // case 1 — right starts at-or-before left: lLo in [rLo, rHi)
+    val case1 = pointInIntervalMerge(leftLive, lLo, rightSlim, rLo, rHi,
+      by, valueCols, prefix)
+
+    // case 2 — right starts strictly inside left: rLo in (lLo, lHi).
+    // Swapped sweep (right rows are the points), left rides as the interval
+    // side with ALL its columns as values; the strict filter excludes the
+    // rLo == lLo tie case 1 already emitted.
+    val case2Raw = pointInIntervalMerge(rightSlim, rLo, leftLive, lLo, lHi,
+      by, valueCols = left.columns.toSeq, prefix = reserved)
+      .filter(col(rLo) > col(reserved + lLo))
+    val case2 = case2Raw.select(
+      left.columns.map(c => col(reserved + c).as(c)) ++
+        valueCols.map(c => col(c).as(prefix + c)): _*)
+
+    case1.unionByName(case2)
+  }
 }

@@ -356,6 +356,27 @@ object AnalyticsQueries {
         .groupBy(col("iv_purchase_id").as("purchase_id"))
         .agg(count(lit(1)).as("n_in_window"), dsum("value").as("sum_value"))
         .orderBy("purchase_id")
+    }),
+
+    // Interval OVERLAP join (the third temporal-join shape): per-user
+    // 4-hour purchase windows x 4-hour error windows that overlap — which
+    // purchases happened while errors were live. Through
+    // [[graft.operators.RangeJoin.intervalOverlapMerge]]: the overlap
+    // predicate decomposes into two disjoint containment sweeps of the
+    // native operator (by which window starts later), so the plan is two
+    // keyed merge passes — never a per-user cross product of windows.
+    "q_interval_overlap" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      def windows(typ: String, id: String, lo: String, hi: String) =
+        ev.filter(col("event_type") === typ).select(
+          col("user_id"), col("event_id").as(id),
+          col("ts").as(lo), (col("ts") + expr("INTERVAL 4 HOURS")).as(hi))
+      graft.operators.RangeJoin.intervalOverlapMerge(
+          windows("purchase", "purchase_id", "plo", "phi"), "plo", "phi",
+          windows("error", "error_id", "elo", "ehi"), "elo", "ehi",
+          by = Seq("user_id"), valueCols = Seq("error_id"))
+        .select(col("purchase_id"), col("iv_error_id").as("error_id"))
+        .orderBy("purchase_id", "error_id")
     }))
 
   private def cast_date(c: org.apache.spark.sql.Column) = c.cast("date")
@@ -583,5 +604,19 @@ object AnalyticsQueries {
         |SELECT purchase_id, COUNT(*) AS n_in_window,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM p JOIN w ON p.user_id = w.user_id AND p.ts >= w.lo AND p.ts < w.hi
-        |GROUP BY purchase_id ORDER BY purchase_id""".stripMargin)
+        |GROUP BY purchase_id ORDER BY purchase_id""".stripMargin,
+
+    "q_interval_overlap" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id AS purchase_id, ts AS plo,
+        |         ts + INTERVAL 4 HOUR AS phi
+        |  FROM events WHERE event_type = 'purchase'),
+        |e AS (
+        |  SELECT user_id, event_id AS error_id, ts AS elo,
+        |         ts + INTERVAL 4 HOUR AS ehi
+        |  FROM events WHERE event_type = 'error')
+        |SELECT purchase_id, error_id
+        |FROM p JOIN e ON p.user_id = e.user_id
+        |  AND GREATEST(plo, elo) < LEAST(phi, ehi)
+        |ORDER BY purchase_id, error_id""".stripMargin)
 }

@@ -152,6 +152,67 @@ class IntervalMergeJoinSpec extends SparkSuite {
     assert(canon(native) == canon(expected))
   }
 
+  test("overlap join: tie starts once, nesting, touching excluded, empty intervals drop") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, "a", 10L, 20L),
+      (2L, "a", 30L, 30L), // empty: matches nothing
+      (3L, "b", 0L, 100L)  // nests several b intervals
+    ).toDF("lid", "k", "llo", "lhi")
+    val right = Seq(
+      (100L, "a", 10L, 12L),  // tie start with lid=1: exactly one pair
+      (101L, "a", 19L, 40L),  // tail overlap with lid=1
+      (102L, "a", 20L, 25L),  // touches lid=1 at hi: NO overlap ([10,20) vs [20,25))
+      (103L, "b", 40L, 50L),  // nested in lid=3
+      (104L, "b", 90L, 200L), // straddles lid=3's hi
+      (105L, "b", 7L, 7L)     // empty right: matches nothing
+    ).toDF("rid", "k", "rlo", "rhi")
+    val got = RangeJoin.intervalOverlapMerge(left, "llo", "lhi",
+        right, "rlo", "rhi", by = Seq("k"), valueCols = Seq("rid"))
+      .collect().map(r => (r.getAs[Long]("lid"), r.getAs[Long]("iv_rid")))
+      .sorted.toSeq
+    assert(got == Seq((1L, 100L), (1L, 101L), (3L, 103L), (3L, 104L)))
+  }
+
+  test("overlap join matches the declarative GREATEST/LEAST theta join on randomized input") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def key(): Option[String] =
+      if (rnd.nextInt(10) == 0) None else Some("k" + rnd.nextInt(5))
+    def iv(bound: Int): (Option[Long], Option[Long]) = {
+      val lo = if (rnd.nextInt(12) == 0) None else Some(rnd.nextInt(bound).toLong)
+      // mix empty (len 0), unit and long intervals
+      (lo, lo.map(_ + rnd.nextInt(12).toLong))
+    }
+    val left = (1 to 250).map { i => val (lo, hi) = iv(50); (i.toLong, key(), lo, hi) }
+      .toDF("lid", "k", "llo", "lhi")
+    val right = (1 to 250).map { i => val (lo, hi) = iv(50); (i.toLong, key(), lo, hi) }
+      .toDF("rid", "k", "rlo", "rhi")
+
+    val native = RangeJoin.intervalOverlapMerge(left, "llo", "lhi",
+      right, "rlo", "rhi", by = Seq("k"), valueCols = Seq("rid", "rlo"))
+    val r = right.select(col("k").as("__rk"), col("rlo"), col("rhi"), col("rid"))
+    // strict overlap written as four conjuncts: equivalent to
+    // max(lo) < min(hi) for non-empty intervals, and — unlike Spark's
+    // greatest()/least(), which IGNORE nulls — three-valued-false on any
+    // null endpoint, matching the operator's pinned null semantics
+    val expected = left.join(r,
+        col("k") <=> col("__rk") &&
+          col("llo") < col("lhi") && col("rlo") < col("rhi") &&
+          col("llo") < col("rhi") && col("rlo") < col("lhi"))
+      .select(left.columns.map(col) ++
+        Seq(col("rid").as("iv_rid"), col("rlo").as("iv_rlo")): _*)
+    assert(native.columns.toSeq == expected.columns.toSeq)
+    val (n, e) = (canon(native), canon(expected))
+    if (n != e) {
+      val (ns, es) = (n.groupBy(identity).view.mapValues(_.size).toMap,
+        e.groupBy(identity).view.mapValues(_.size).toMap)
+      val extra = ns.collect { case (k, c) if c > es.getOrElse(k, 0) => k -> (c, es.getOrElse(k, 0)) }
+      val miss = es.collect { case (k, c) if c > ns.getOrElse(k, 0) => k -> (ns.getOrElse(k, 0), c) }
+      fail(s"native-extra=${extra.take(10)}\nnative-missing=${miss.take(10)}")
+    }
+  }
+
   test("empty sides and input validation") {
     import spark.implicits._
     val points = Seq((1L, "a", 5L)).toDF("pid", "k", "x")
