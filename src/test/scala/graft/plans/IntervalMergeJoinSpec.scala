@@ -213,6 +213,44 @@ class IntervalMergeJoinSpec extends SparkSuite {
     }
   }
 
+  test("streaming points probe a static interval table per micro-batch (batch parity)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // static per-key calibration windows; a point stream enriches against
+    // them — the stream-static shape of the native interval join (each
+    // micro-batch is a batch DF inside foreachBatch, so the sweep exec
+    // applies unchanged)
+    val intervals = (1 to 60).map(i =>
+        (i.toLong, "k" + i % 3, (i * 5).toLong, (i * 5 + 12).toLong))
+      .toDF("ivid", "k", "lo", "hi").localCheckpoint(true)
+    val pts = (1 to 90).map(i => (i.toLong, "k" + i % 3, (i * 3).toLong))
+    val expected = RangeJoin.pointInIntervalMerge(
+        pts.toDF("pid", "k", "x"), "x", intervals, "lo", "hi",
+        Seq("k"), Seq("ivid"))
+      .collect().map(r => (r.getAs[Long]("pid"), r.getAs[Long]("iv_ivid"))).toSet
+
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val input = MemoryStream[(Long, String, Long)]
+    val q = input.toDF().toDF("pid", "k", "x").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val got = RangeJoin.pointInIntervalMerge(
+            batch.localCheckpoint(true), "x", intervals, "lo", "hi",
+            Seq("k"), Seq("ivid"))
+          .collect().map(r => (r.getAs[Long]("pid"), r.getAs[Long]("iv_ivid")))
+        results.synchronized { results ++= got }
+        ()
+      }.start()
+    try {
+      input.addData(pts.take(40))
+      q.processAllAvailable()
+      input.addData(pts.drop(40))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(results.toSet == expected && results.size == expected.size,
+      s"streaming result diverged: ${results.size} vs ${expected.size}")
+  }
+
   test("empty sides and input validation") {
     import spark.implicits._
     val points = Seq((1L, "a", 5L)).toDF("pid", "k", "x")
