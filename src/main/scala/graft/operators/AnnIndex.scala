@@ -169,6 +169,17 @@ object AnnIndex {
     graft.expressions.GraftExtensions.register(spark)
     val m = meta(spark, path).head()
     val (dim, subs) = (m.getAs[Int]("dim"), m.getAs[Int]("subs"))
+    // layout guard: a pre-mean-residual index (meta carries a boolean or a
+    // different tag) has no `means` table and its codes quantize a
+    // different residual — failing here with the remedy beats the raw
+    // path-not-found (or silently wrong ADC scores) a stale index would
+    // otherwise produce
+    val coding = if (m.schema.fieldNames.contains("residual_coding"))
+      String.valueOf(m.getAs[Any]("residual_coding")) else "unknown"
+    if (coding != "cell_mean") throw new IllegalStateException(
+      s"index at $path has residual_coding=$coding, but this search " +
+        "requires the cell_mean layout — rebuild the index with " +
+        "AnnIndex.buildIvfPq (old layouts quantize a different residual)")
     val cents = spark.read.parquet(s"$path/centroids")
     val means = spark.read.parquet(s"$path/means")
     val cb = spark.read.parquet(s"$path/codebooks")

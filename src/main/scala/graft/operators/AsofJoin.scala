@@ -114,45 +114,17 @@ object AsofJoin {
       valueCols: Seq[String],
       rightOrder: Seq[String] = Nil,
       prefix: String = "asof_"): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
-    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
     import org.apache.spark.sql.graftshim.PlanShim
-    import graft.plans.{AsofMergeJoinNode, GraftStrategies}
+    import graft.plans.{AsofMergeJoinNode, KeyedMergeBuild}
 
-    require(by.nonEmpty, "asof join needs at least one 'by' key column")
-    require(valueCols.nonEmpty, "asof join needs at least one right value column")
-    require(left.schema(leftTime).dataType == right.schema(rightTime).dataType,
-      s"time columns must share a type, got ${left.schema(leftTime).dataType} " +
-        s"vs ${right.schema(rightTime).dataType}")
-    val collisions = valueCols.map(prefix + _).filter(left.columns.contains)
-    require(collisions.isEmpty,
-      s"output columns ${collisions.mkString(", ")} collide with left columns; " +
-        "pass a different prefix")
-
-    val spark = left.sparkSession
-    PlanShim.withStrategy(spark, GraftStrategies)
-    PlanShim.withOptimizerRule(spark, graft.plans.PruneAsofMergeJoin)
-
-    val lPlan = PlanShim.analyzed(left)
-    val rPlan0 = PlanShim.analyzed(right)
-    def attr(p: LogicalPlan, n: String, side: String) =
-      p.output.find(_.name == n).getOrElse(throw new IllegalArgumentException(
-        s"$side column '$n' not found among ${p.output.map(_.name).mkString(", ")}"))
-
-    // re-alias the right side's needed columns under FRESH exprIds: a self
-    // as-of (left and right derived from the same table) must not present
-    // one attribute id on both sides of the binary node
-    val needed = (by ++ Seq(rightTime) ++ rightOrder ++ valueCols).distinct
-    val aliases = needed.map(n => Alias(attr(rPlan0, n, "right"), n)())
-    val rPlan = Project(aliases, rPlan0)
-    val rMap = aliases.map(a => a.name -> a.toAttribute).toMap
-
-    val valueOutput = valueCols.map(c =>
-      AttributeReference(prefix + c, rMap(c).dataType, nullable = true)())
-    PlanShim.ofRows(spark, AsofMergeJoinNode(
-      by.map(attr(lPlan, _, "left")), by.map(rMap),
-      attr(lPlan, leftTime, "left"), rMap(rightTime),
-      valueCols.map(rMap), rightOrder.map(rMap),
-      valueOutput, lPlan, rPlan))
+    val b = KeyedMergeBuild.prepare("asof join", left, right, by,
+      rightExtra = rightTime +: rightOrder, valueCols, prefix,
+      typedPairs = Seq(leftTime -> rightTime),
+      rules = Seq(graft.plans.PruneAsofMergeJoin))
+    PlanShim.ofRows(left.sparkSession, AsofMergeJoinNode(
+      by.map(b.leftAttr), by.map(b.rMap),
+      b.leftAttr(leftTime), b.rMap(rightTime),
+      valueCols.map(b.rMap), rightOrder.map(b.rMap),
+      b.valueOutput, b.lPlan, b.rPlan))
   }
 }

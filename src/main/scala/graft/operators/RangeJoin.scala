@@ -86,47 +86,17 @@ object RangeJoin {
       by: Seq[String],
       valueCols: Seq[String],
       prefix: String = "iv_"): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
-    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
     import org.apache.spark.sql.graftshim.PlanShim
-    import graft.plans.{GraftStrategies, IntervalMergeJoinNode}
+    import graft.plans.{IntervalMergeJoinNode, KeyedMergeBuild}
 
-    require(by.nonEmpty, "interval merge join needs at least one 'by' key column")
-    require(valueCols.nonEmpty, "interval merge join needs at least one value column")
-    val ptType = points.schema(pointCol).dataType
-    require(intervals.schema(loCol).dataType == ptType &&
-      intervals.schema(hiCol).dataType == ptType,
-      s"point/lo/hi must share a type, got $ptType vs " +
-        s"${intervals.schema(loCol).dataType}/${intervals.schema(hiCol).dataType}")
-    val collisions = valueCols.map(prefix + _).filter(points.columns.contains)
-    require(collisions.isEmpty,
-      s"output columns ${collisions.mkString(", ")} collide with point columns; " +
-        "pass a different prefix")
-
-    val spark = points.sparkSession
-    PlanShim.withStrategy(spark, GraftStrategies)
-    PlanShim.withOptimizerRule(spark, graft.plans.PruneIntervalMergeJoin)
-
-    val lPlan = PlanShim.analyzed(points)
-    val rPlan0 = PlanShim.analyzed(intervals)
-    def attr(p: LogicalPlan, n: String, side: String) =
-      p.output.find(_.name == n).getOrElse(throw new IllegalArgumentException(
-        s"$side column '$n' not found among ${p.output.map(_.name).mkString(", ")}"))
-
-    // re-alias the interval side's needed columns under FRESH exprIds: a
-    // self join (both sides derived from the same table) must not present
-    // one attribute id on both sides of the binary node
-    val needed = (by ++ Seq(loCol, hiCol) ++ valueCols).distinct
-    val aliases = needed.map(n => Alias(attr(rPlan0, n, "intervals"), n)())
-    val rPlan = Project(aliases, rPlan0)
-    val rMap = aliases.map(a => a.name -> a.toAttribute).toMap
-
-    val valueOutput = valueCols.map(c =>
-      AttributeReference(prefix + c, rMap(c).dataType, nullable = true)())
-    PlanShim.ofRows(spark, IntervalMergeJoinNode(
-      by.map(attr(lPlan, _, "points")), by.map(rMap),
-      attr(lPlan, pointCol, "points"), rMap(loCol), rMap(hiCol),
-      valueCols.map(rMap), valueOutput, lPlan, rPlan))
+    val b = KeyedMergeBuild.prepare("interval merge join", points, intervals,
+      by, rightExtra = Seq(loCol, hiCol), valueCols, prefix,
+      typedPairs = Seq(pointCol -> loCol, pointCol -> hiCol),
+      rules = Seq(graft.plans.PruneIntervalMergeJoin))
+    PlanShim.ofRows(points.sparkSession, IntervalMergeJoinNode(
+      by.map(b.leftAttr), by.map(b.rMap),
+      b.leftAttr(pointCol), b.rMap(loCol), b.rMap(hiCol),
+      valueCols.map(b.rMap), b.valueOutput, b.lPlan, b.rPlan))
   }
 
   /**

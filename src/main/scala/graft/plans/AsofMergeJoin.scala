@@ -69,14 +69,38 @@ case class AsofMergeJoinNode(
  */
 object PruneAsofMergeJoin
   extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
-  import org.apache.spark.sql.catalyst.plans.logical.Project
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project}
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case p @ Project(_, j: AsofMergeJoinNode) =>
-      val keep = AttributeSet(j.leftBy :+ j.leftTime) ++ p.references
-      val kept = j.left.output.filter(keep.contains)
-      if (kept.length == j.left.output.length) p
-      else p.copy(child = j.copy(left = Project(kept, j.left)))
+      prune(j, p.references).map(n => p.copy(child = n)).getOrElse(p)
+    case p @ Project(_, f @ Filter(_, j: AsofMergeJoinNode)) =>
+      prune(j, p.references ++ f.references)
+        .map(n => p.copy(child = f.copy(child = n))).getOrElse(p)
+  }
+
+  /** Unread left columns and unread (rightValue, output) pairs dropped —
+    * the right child narrows to by/time/order + surviving values (same
+    * value-pruning shape as [[PruneIntervalMergeJoin]]); None when stable. */
+  private def prune(
+      j: AsofMergeJoinNode, refs: AttributeSet): Option[LogicalPlan] = {
+    val keepLeft = AttributeSet(j.leftBy :+ j.leftTime) ++ refs
+    val keptLeft = j.left.output.filter(keepLeft.contains)
+    val keptPairs = j.rightValues.zip(j.valueOutput)
+      .filter { case (_, out) => refs.contains(out) }
+    val prunedVals = keptPairs.length < j.valueOutput.length
+    if (keptLeft.length == j.left.output.length && !prunedVals) None
+    else {
+      val (rv, vo) = keptPairs.unzip
+      val keepRight =
+        AttributeSet((j.rightBy :+ j.rightTime) ++ j.rightOrder ++ rv)
+      val keptRight = j.right.output.filter(keepRight.contains)
+      Some(j.copy(
+        left = if (keptLeft.length == j.left.output.length) j.left
+               else Project(keptLeft, j.left),
+        right = if (!prunedVals) j.right else Project(keptRight, j.right),
+        rightValues = rv, valueOutput = vo))
+    }
   }
 }
 

@@ -60,21 +60,52 @@ case class IntervalMergeJoinNode(
 
 /**
  * Column pruning THROUGH the interval node, twin of [[PruneAsofMergeJoin]]:
- * pushes a parent projection's column set into the left child (keeping the
- * join's own `by`/point attributes) so unread left columns drop BEFORE the
- * exchange — at 100 TB, columns pruned ahead of a shuffle are the cheapest
- * bytes in the plan. One application reaches the fixed point.
+ * pushes a parent projection's column set into BOTH children so unread
+ * columns drop BEFORE the exchanges — at 100 TB, columns pruned ahead of a
+ * shuffle are the cheapest bytes in the plan. Left side: unread left
+ * columns (keeping the join's own `by`/point attributes). Right side:
+ * unread (rightValues, valueOutput) pairs drop from the node itself, which
+ * narrows the right child to `by`/lo/hi plus the surviving values — this is
+ * what keeps [[graft.operators.RangeJoin.intervalOverlapMerge]]'s swapped
+ * pass (which rides EVERY left column as a value) from shuffling the full
+ * left width when the caller projects a few columns. Matches a parent
+ * `Project` directly above the node or above an intervening `Filter` (the
+ * overlap join's strictness filter). Reaches its fixed point in one
+ * application per shape.
  */
 object PruneIntervalMergeJoin
   extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
-  import org.apache.spark.sql.catalyst.plans.logical.Project
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project}
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case p @ Project(_, j: IntervalMergeJoinNode) =>
-      val keep = AttributeSet(j.leftBy :+ j.point) ++ p.references
-      val kept = j.left.output.filter(keep.contains)
-      if (kept.length == j.left.output.length) p
-      else p.copy(child = j.copy(left = Project(kept, j.left)))
+      prune(j, p.references).map(n => p.copy(child = n)).getOrElse(p)
+    case p @ Project(_, f @ Filter(_, j: IntervalMergeJoinNode)) =>
+      prune(j, p.references ++ f.references)
+        .map(n => p.copy(child = f.copy(child = n))).getOrElse(p)
+  }
+
+  /** The node with unread left columns and unread value pairs dropped, or
+    * None when nothing prunes (so the caller keeps the plan `eq`-stable
+    * and the rule terminates). */
+  private def prune(
+      j: IntervalMergeJoinNode, refs: AttributeSet): Option[LogicalPlan] = {
+    val keepLeft = AttributeSet(j.leftBy :+ j.point) ++ refs
+    val keptLeft = j.left.output.filter(keepLeft.contains)
+    val keptPairs = j.rightValues.zip(j.valueOutput)
+      .filter { case (_, out) => refs.contains(out) }
+    val prunedVals = keptPairs.length < j.valueOutput.length
+    if (keptLeft.length == j.left.output.length && !prunedVals) None
+    else {
+      val (rv, vo) = keptPairs.unzip
+      val keepRight = AttributeSet((j.rightBy :+ j.lo :+ j.hi) ++ rv)
+      val keptRight = j.right.output.filter(keepRight.contains)
+      Some(j.copy(
+        left = if (keptLeft.length == j.left.output.length) j.left
+               else Project(keptLeft, j.left),
+        right = if (!prunedVals) j.right else Project(keptRight, j.right),
+        rightValues = rv, valueOutput = vo))
+    }
   }
 }
 

@@ -336,6 +336,27 @@ class ScaleOpsSpec extends SparkSuite {
     }
   }
 
+  test("a pre-cell-mean index fails searchIvfPq loudly with the rebuild remedy") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("annidx-v2").toString
+    val e = graft.queries.SimilarityQueries.emb(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id").as("id"), col("v"))
+    AnnIndex.buildIvfPq(e, dim = 64, path = dir, cells = 4, subs = 8,
+      codes = 4, lloydIters = 0)
+    // regress the meta to the v2 shape (boolean residual_coding, no mean
+    // layout contract) — searchIvfPq must refuse with the remedy instead
+    // of a raw path error or silently wrong ADC scores
+    Seq((64, 4, 8, 4, 0, e.count(), true))
+      .toDF("dim", "cells", "subs", "codes", "lloyd_iters", "n_vectors",
+        "residual_coding")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    val err = intercept[IllegalStateException] {
+      AnnIndex.searchIvfPq(spark, dir, e.filter(col("id") < 3), k = 2)
+    }
+    assert(err.getMessage.contains("rebuild") &&
+      err.getMessage.contains("residual_coding=true"), err.getMessage)
+  }
+
   test("streaming queries probe the persisted ANN index per micro-batch (continuous ingestion)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._

@@ -271,5 +271,63 @@ class IntervalMergeJoinSpec extends SparkSuite {
     assert(intercept[IllegalArgumentException] {
       RangeJoin.pointInIntervalMerge(points, "x", iv, "lo", "hi", Nil, Seq("ivid"))
     }.getMessage.contains("by"))
+    // mismatched BY-KEY types would hash equal keys to different partitions
+    // and mis-read row slots — silently wrong results, so it must throw
+    val intKey = points.withColumn("k", lit(1).cast("int"))
+    val longKey = iv.withColumn("k", lit(1L))
+    val e = intercept[IllegalArgumentException] {
+      RangeJoin.pointInIntervalMerge(intKey, "x", longKey, "lo", "hi",
+        Seq("k"), Seq("ivid"))
+    }
+    assert(e.getMessage.contains("'k' must share a type"), e.getMessage)
+    assert(intercept[IllegalArgumentException] {
+      graft.operators.AsofJoin.asofMerge(intKey, longKey
+          .withColumnRenamed("lo", "t2"), "x", "t2", Seq("k"), Seq("ivid"))
+    }.getMessage.contains("'k' must share a type"))
+  }
+
+  test("optimizer rule prunes unread VALUE pairs off the node (right side slims)") {
+    import spark.implicits._
+    val points = (1 to 50).map(i => (i.toLong, "k" + i % 3, i.toLong)).toDF("pid", "k", "x")
+    val intervals = (1 to 30).map(i =>
+        (i.toLong, "k" + i % 3, i.toLong, i.toLong + 5, "wide_" * 8 + i, i * 1.5))
+      .toDF("ivid", "k", "lo", "hi", "bulk", "w")
+    val joined = RangeJoin.pointInIntervalMerge(points, "x", intervals,
+      "lo", "hi", Seq("k"), valueCols = Seq("ivid", "bulk", "w"))
+    val slim = joined.select("pid", "iv_w")
+    slim.collect()
+    val node = slim.queryExecution.optimizedPlan
+      .collect { case n: IntervalMergeJoinNode => n }.head
+    assert(node.valueOutput.map(_.name) == Seq("iv_w"),
+      s"unused value pairs must prune: ${node.valueOutput.map(_.name)}")
+    assert(!node.right.output.map(_.name).contains("bulk"),
+      s"pruned value must leave the right child: ${node.right.output.map(_.name)}")
+    val expected = recipe(points, "x", intervals, "lo", "hi", Seq("k"),
+      Seq("ivid", "bulk", "w")).select("pid", "iv_w")
+    assert(canon(slim) == canon(expected))
+  }
+
+  test("overlap join's swapped pass slims its value shuffle under an outer projection") {
+    import spark.implicits._
+    val left = (1 to 40).map(i =>
+        (i.toLong, "k" + i % 3, i.toLong, i.toLong + 6, "bulky_" * 8 + i))
+      .toDF("lid", "k", "llo", "lhi", "payload")
+    val right = (1 to 40).map(i => (i.toLong, "k" + i % 3, i.toLong + 3, i.toLong + 9))
+      .toDF("rid", "k", "rlo", "rhi")
+    val slim = RangeJoin.intervalOverlapMerge(left, "llo", "lhi",
+        right, "rlo", "rhi", Seq("k"), Seq("rid"))
+      .select("lid", "iv_rid")
+    slim.collect()
+    // the case-2 node (right side = left table as intervals) must not carry
+    // `payload` as a value once the projection pushed through the union:
+    // llo survives (the strictness filter reads it), payload must not
+    val nodes = slim.queryExecution.optimizedPlan
+      .collect { case n: IntervalMergeJoinNode => n }
+    assert(nodes.size == 2)
+    val case2 = nodes.find(_.valueOutput.exists(_.name.startsWith("__l_"))).get
+    val vals = case2.valueOutput.map(_.name).toSet
+    assert(!vals.contains("__l_payload"),
+      s"unreferenced wide column must prune off the swapped pass: $vals")
+    assert(vals.contains("__l_llo"), s"filter-referenced value must survive: $vals")
   }
 }
