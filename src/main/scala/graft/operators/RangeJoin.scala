@@ -76,6 +76,10 @@ object RangeJoin {
    *
    * Null semantics (IntervalMergeJoinSpec pins them): null point, null lo,
    * or null hi matches nothing; null `by` keys group together.
+   *
+   * `joinType = "left_outer"` keeps unmatched points (including null-point
+   * rows) with null value columns — the enrichment contract
+   * [[AsofJoin.asofMerge]] has, for intervals. Default `"inner"`.
    */
   def pointInIntervalMerge(
       points: DataFrame,
@@ -85,10 +89,17 @@ object RangeJoin {
       hiCol: String,
       by: Seq[String],
       valueCols: Seq[String],
-      prefix: String = "iv_"): DataFrame = {
+      prefix: String = "iv_",
+      joinType: String = "inner"): DataFrame = {
     import org.apache.spark.sql.graftshim.PlanShim
     import graft.plans.{IntervalMergeJoinNode, KeyedMergeBuild}
 
+    val leftOuter = joinType match {
+      case "inner" => false
+      case "left_outer" => true
+      case other => throw new IllegalArgumentException(
+        s"joinType must be 'inner' or 'left_outer', got '$other'")
+    }
     val b = KeyedMergeBuild.prepare("interval merge join", points, intervals,
       by, rightExtra = Seq(loCol, hiCol), valueCols, prefix,
       typedPairs = Seq(pointCol -> loCol, pointCol -> hiCol),
@@ -96,7 +107,7 @@ object RangeJoin {
     PlanShim.ofRows(points.sparkSession, IntervalMergeJoinNode(
       by.map(b.leftAttr), by.map(b.rMap),
       b.leftAttr(pointCol), b.rMap(loCol), b.rMap(hiCol),
-      valueCols.map(b.rMap), b.valueOutput, b.lPlan, b.rPlan))
+      valueCols.map(b.rMap), b.valueOutput, leftOuter, b.lPlan, b.rPlan))
   }
 
   /**

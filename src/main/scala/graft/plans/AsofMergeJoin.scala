@@ -116,7 +116,7 @@ object GraftStrategies extends SparkStrategy {
         planLater(n.left), planLater(n.right)) :: Nil
     case n: IntervalMergeJoinNode =>
       IntervalMergeJoinExec(n.leftBy, n.rightBy, n.point, n.lo, n.hi,
-        n.rightValues, n.valueOutput,
+        n.rightValues, n.valueOutput, n.leftOuter,
         planLater(n.left), planLater(n.right)) :: Nil
     case _ => Nil
   }

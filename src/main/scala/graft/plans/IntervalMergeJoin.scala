@@ -35,6 +35,11 @@ import org.apache.spark.sql.execution.metric.SQLMetrics
  * nothing; an interval with null `lo` or null `hi` matches nothing; null
  * `by` keys group together (window-partitioning semantics, matching the
  * as-of node). `lo`/`hi`/point must share a data type.
+ *
+ * `leftOuter = true` switches to left-outer semantics: every left row
+ * survives at least once, with null value columns when no interval
+ * contains its point (including null-point rows) — the as-of operator's
+ * enrichment contract, for intervals.
  */
 case class IntervalMergeJoinNode(
     leftBy: Seq[Attribute],
@@ -44,6 +49,7 @@ case class IntervalMergeJoinNode(
     hi: Attribute,
     rightValues: Seq[Attribute],
     valueOutput: Seq[Attribute],
+    leftOuter: Boolean,
     left: LogicalPlan,
     right: LogicalPlan) extends BinaryNode {
 
@@ -128,6 +134,7 @@ case class IntervalMergeJoinExec(
     hi: Attribute,
     rightValues: Seq[Attribute],
     valueOutput: Seq[Attribute],
+    leftOuter: Boolean,
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -168,6 +175,8 @@ case class IntervalMergeJoinExec(
     val keyTypes = leftBy.map(_.dataType)
     val ptType = point.dataType
     val outAttrs = output
+    val outer = leftOuter
+    val nValues = valueOutput.length
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKey = UnsafeProjection.create(lByE, leftOut)
@@ -191,9 +200,12 @@ case class IntervalMergeJoinExec(
         private var leftRow: InternalRow = null
         private var nMatches = 0 // prefix of `active` matching the current left row
         private var mIdx = 0
+        private var emitOuter = false // left-outer: current left row unmatched
+        private val nullValues: InternalRow =
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(nValues)
 
         override def hasNext: Boolean = {
-          while (mIdx >= nMatches && lIter.hasNext) {
+          while (!emitOuter && mIdx >= nMatches && lIter.hasNext) {
             leftRow = lIter.next()
             mIdx = 0
             nMatches = 0
@@ -239,15 +251,23 @@ case class IntervalMergeJoinExec(
               nMatches = kept
               if (kept > maxActive.value) maxActive.set(kept)
             }
+            // left-outer: an unmatched left row (no containing interval, or
+            // a null point) still surfaces once, with null values
+            if (outer && nMatches == 0) emitOuter = true
           }
-          mIdx < nMatches
+          emitOuter || mIdx < nMatches
         }
 
         override def next(): InternalRow = {
-          val v = active(mIdx)._2
-          mIdx += 1
           numOut += 1
-          project(joined(leftRow, v))
+          if (emitOuter) {
+            emitOuter = false
+            project(joined(leftRow, nullValues))
+          } else {
+            val v = active(mIdx)._2
+            mIdx += 1
+            project(joined(leftRow, v))
+          }
         }
 
         private def advance(): Unit =

@@ -358,6 +358,25 @@ object AnalyticsQueries {
         .orderBy("purchase_id")
     }),
 
+    // The LEFT-OUTER leg of the native interval join: every click/view
+    // survives, tagged with its containing purchase window or null — the
+    // enrichment contract (row-level, so the oracle hash-checks the
+    // unmatched-null rows and the fan-out duplicates alike).
+    "q_interval_merge_outer" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val windows = ev.filter(col("event_type") === "purchase").select(
+        col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("lo"), (col("ts") + expr("INTERVAL 4 HOURS")).as("hi"))
+      val clicks = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id"), col("event_id"), col("ts"))
+      graft.operators.RangeJoin.pointInIntervalMerge(
+          clicks, "ts", windows, "lo", "hi",
+          by = Seq("user_id"), valueCols = Seq("purchase_id"),
+          joinType = "left_outer")
+        .select(col("event_id"), col("iv_purchase_id").as("purchase_id"))
+        .orderBy("event_id", "purchase_id")
+    }),
+
     // Interval OVERLAP join (the third temporal-join shape): per-user
     // 4-hour purchase windows x 4-hour error windows that overlap — which
     // purchases happened while errors were live. Through
@@ -605,6 +624,19 @@ object AnalyticsQueries {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM p JOIN w ON p.user_id = w.user_id AND p.ts >= w.lo AND p.ts < w.hi
         |GROUP BY purchase_id ORDER BY purchase_id""".stripMargin,
+
+    "q_interval_merge_outer" ->
+      """WITH w AS (
+        |  SELECT user_id, event_id AS purchase_id, ts AS lo,
+        |         ts + INTERVAL 4 HOUR AS hi
+        |  FROM events WHERE event_type = 'purchase'),
+        |p AS (
+        |  SELECT user_id, event_id, ts FROM events
+        |  WHERE event_type IN ('click', 'view'))
+        |SELECT p.event_id, w.purchase_id
+        |FROM p LEFT JOIN w ON p.user_id = w.user_id
+        |  AND p.ts >= w.lo AND p.ts < w.hi
+        |ORDER BY event_id, purchase_id""".stripMargin,
 
     "q_interval_overlap" ->
       """WITH p AS (

@@ -58,6 +58,54 @@ class IntervalMergeJoinSpec extends SparkSuite {
     assert(got == Seq((1L, 100L), (2L, 100L), (2L, 101L), (6L, 100L), (6L, 101L)))
   }
 
+  test("left-outer: unmatched and null-point rows survive once with null values") {
+    import spark.implicits._
+    val points = Seq(
+      (1L, "a", 10L),  // matched
+      (2L, "a", 99L),  // unmatched: survives with null
+      (3L, "z", 5L)    // key with no intervals at all
+    ).toDF("pid", "k", "x")
+    val nullPt = Seq(1).toDF("one").select(lit(4L).as("pid"), lit("a").as("k"),
+      lit(null).cast("long").as("x"))
+    val intervals = Seq((100L, "a", 5L, 30L)).toDF("ivid", "k", "lo", "hi")
+    val got = RangeJoin.pointInIntervalMerge(points.union(nullPt), "x",
+        intervals, "lo", "hi", Seq("k"), Seq("ivid"), joinType = "left_outer")
+      .collect().map(r => (r.getAs[Long]("pid"),
+        Option(r.getAs[java.lang.Long]("iv_ivid")).map(_.toLong)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq((1L, Some(100L)), (2L, None), (3L, None), (4L, None)))
+    assert(intercept[IllegalArgumentException] {
+      RangeJoin.pointInIntervalMerge(points, "x", intervals, "lo", "hi",
+        Seq("k"), Seq("ivid"), joinType = "full")
+    }.getMessage.contains("joinType"))
+  }
+
+  test("left-outer matches the declarative left theta join on randomized input") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    def key(): Option[String] =
+      if (rnd.nextInt(10) == 0) None else Some("k" + rnd.nextInt(6))
+    def num(bound: Int): Option[Long] =
+      if (rnd.nextInt(12) == 0) None else Some(rnd.nextInt(bound).toLong)
+    val points = (1 to 300).map(i => (i.toLong, key(), num(60))).toDF("pid", "k", "x")
+    val intervals = (1 to 200).map { i =>
+      val lo = num(60)
+      (i.toLong, key(), lo, lo.map(_ + rnd.nextInt(15).toLong))
+    }.toDF("ivid", "k", "lo", "hi")
+    val native = RangeJoin.pointInIntervalMerge(points, "x", intervals,
+      "lo", "hi", Seq("k"), Seq("ivid"), joinType = "left_outer")
+    val iv = intervals.select(col("k").as("__rk"), col("lo"), col("hi"),
+      col("ivid").as("iv_ivid"))
+    val expected = points.join(iv,
+        col("k") <=> col("__rk") && col("x") >= col("lo") && col("x") < col("hi"),
+        "left_outer")
+      .select(points.columns.map(col) :+ col("iv_ivid"): _*)
+    assert(native.columns.toSeq == expected.columns.toSeq)
+    assert(canon(native) == canon(expected))
+    // every left row survives at least once
+    assert(native.select("pid").distinct().count() == 300)
+  }
+
   test("matches the declarative theta join on randomized input with nulls and duplicates") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
