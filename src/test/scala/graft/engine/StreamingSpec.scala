@@ -225,6 +225,44 @@ class StreamingSpec extends SparkSuite {
     assert(rows.length == 1 && rows.head.getAs[Long]("count") == 6)
   }
 
+  test("stream-stream event-time range join holds state across micro-batches (T5 x J)") {
+    // both sides LIVE: clicks join purchases of the same user within the
+    // following hour — Structured Streaming's symmetric hash join with
+    // watermark-bounded state, the production shape when the enrichment
+    // side is itself a stream (stream-static covers the fixed-dim case
+    // above). The time-range condition + watermarks are what let Spark
+    // evict join state; without them state grows unboundedly.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, Long)] // (click_id, user, epoch-sec)
+    val buys = MemoryStream[(Long, Long, Long)]   // (buy_id, user, epoch-sec)
+    val c = clicks.toDF().toDF("click_id", "user", "cs")
+      .select(col("click_id"), col("user"), timestamp_seconds(col("cs")).as("cts"))
+      .withWatermark("cts", "1 minute")
+    val b = buys.toDF().toDF("buy_id", "buser", "bs")
+      .select(col("buy_id"), col("buser"), timestamp_seconds(col("bs")).as("bts"))
+      .withWatermark("bts", "1 minute")
+    val joined = c.join(b, col("user") === col("buser") &&
+      col("cts") >= col("bts") &&
+      col("cts") < col("bts") + expr("INTERVAL 1 HOUR"))
+    val q = joined.writeStream.format("memory").queryName("sstream_join").start()
+    try {
+      clicks.addData((1L, 1L, 100L), (2L, 1L, 4000L), (3L, 2L, 100L))
+      buys.addData((10L, 1L, 50L), (11L, 2L, 200L))
+      q.processAllAvailable()
+      // cross-batch: the buy arrives AFTER the click's micro-batch — the
+      // click must still match from retained state
+      buys.addData((12L, 1L, 3900L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sstream_join").collect()
+      .map(r => (r.getAs[Long]("click_id"), r.getAs[Long]("buy_id"))).toSet
+    // click1@100 in buy10's [50, 3650); click2@4000 only in buy12's
+    // [3900, 7500) (cross-batch); click3 (user 2) precedes buy11 - no match
+    assert(got == Set((1L, 10L), (2L, 12L)), s"got $got")
+  }
+
   test("StreamingQueryListener observes consumer progress (ConsumerNotifier analog, §2.10)") {
     val (e, _) = newEngine()
     val batches = new java.util.concurrent.atomic.AtomicInteger(0)
