@@ -166,6 +166,46 @@ object AnnIndex {
       rerank: Int = 100,
       excludeSelf: Boolean = true): DataFrame = {
     require(rerank >= k, s"rerank window $rerank must cover k=$k")
+    Ann.cosRerank(
+      scoredCandidates(spark, path, queries, probe, rerank, excludeSelf), k)
+  }
+
+  /**
+   * Embedding near-duplicate pairs through the PERSISTED index: the corpus
+   * searches itself (each vector probes its cells, ADC orders candidates
+   * from codes alone, exact cosine on the rerank window), pairs with
+   * verified `cos >= threshold` surface as canonical `(vec_a < vec_b)`
+   * rows. The index amortization applied to dedup: candidate generation
+   * costs code-joins, not an LSH re-hash of the corpus per run, and the
+   * verify stage is exact — results are a subset of the exact all-pairs
+   * baseline by construction (same `graft_unit`/`graft_dot` fp path), with
+   * recall bounded by cell probing + the ADC window (DedupSpec holds the
+   * measured bar).
+   */
+  def nearDupPairs(
+      spark: SparkSession,
+      path: String,
+      corpus: DataFrame,
+      threshold: Double,
+      probe: Int = 6,
+      rerank: Int = 100): DataFrame = {
+    import org.apache.spark.sql.functions.{greatest, least}
+    scoredCandidates(spark, path, corpus, probe, rerank, excludeSelf = true)
+      .filter(col("cos") >= threshold)
+      .select(least(col("query_id"), col("neighbor_id")).as("vec_a"),
+        greatest(col("query_id"), col("neighbor_id")).as("vec_b"))
+      .distinct()
+  }
+
+  /** The shared search pipeline up to exact scoring: (query_id,
+    * neighbor_id, cos) for the ADC top-`rerank` candidates per query. */
+  private def scoredCandidates(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame,
+      probe: Int,
+      rerank: Int,
+      excludeSelf: Boolean): DataFrame = {
     graft.expressions.GraftExtensions.register(spark)
     val m = meta(spark, path).head()
     val (dim, subs) = (m.getAs[Int]("dim"), m.getAs[Int]("subs"))
@@ -222,7 +262,8 @@ object AnnIndex {
     val withVecs = pruned
       .join(vecs.select(col("id").as("neighbor_id"), col("uv").as("nv")), "neighbor_id")
       .join(qu.select(col("id").as("query_id"), col("uv").as("qv")), "query_id")
-    Ann.cosRerank(withVecs.withColumn("cos", expr("graft_dot(qv, nv)")), k)
+    withVecs.withColumn("cos", expr("graft_dot(qv, nv)"))
+      .select("query_id", "neighbor_id", "cos")
   }
 
   /** Route queries to their `probe` highest-cosine cells via the broadcast

@@ -176,6 +176,22 @@ object DedupQueries {
         .orderBy("vec_a", "vec_b")
     }),
 
+    // Embedding near-dup through the PERSISTED ANN index: the corpus
+    // searches itself (probed cells -> ADC over stored codes -> exact
+    // cosine on the rerank window), verified pairs >= 0.4 surface as
+    // canonical (vec_a < vec_b) rows. Same verify fp path as the exact
+    // baseline, so output is a SUBSET of dedup_embedding_cosine by
+    // construction; candidate generation costs code-joins against the
+    // build-once index instead of re-hashing the corpus per run (the
+    // amortization the LSH variant below lacks). Not SQL-expressible
+    // (k-means index) -> rows-only check; DedupSpec pins subset + recall.
+    "dedup_embedding_indexed" -> ((s, d) =>
+      graft.operators.AnnIndex.nearDupPairs(s,
+          SimilarityQueries.ensureIndex(s, d),
+          SimilarityQueries.emb(s, d).select(col("vec_id").as("id"), col("v")),
+          threshold = 0.4)
+        .orderBy("vec_a", "vec_b")),
+
     // embedding-space near-dup, scale path: LSH-bucketed candidates + exact
     // cosine verify >= 0.4. Corpus vectors key on their banded sign-bit
     // codes (one codegen'd graft_lsh_bands pass), candidate pairs come from

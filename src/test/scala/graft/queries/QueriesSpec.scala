@@ -220,6 +220,23 @@ class QueriesSpec extends SparkSuite {
     assert(recall >= 0.9, s"embedding LSH recall too low: $recall")
   }
 
+  test("indexed embedding dedup (persisted ANN) is a subset of the cosine baseline, recall >= 0.9 at 2 SFs") {
+    Seq(sf, "/root/testdata/sf0.01").foreach { dir =>
+      def pairs(name: String): Set[(Long, Long)] =
+        DedupQueries.queries(name)(spark, dir).collect()
+          .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+      val exact = pairs("dedup_embedding_cosine")
+      val idx = pairs("dedup_embedding_indexed")
+      assert(exact.nonEmpty)
+      // verify is exact cosine on the same graft_unit/graft_dot fp path ->
+      // no false positives, ever
+      assert((idx -- exact).isEmpty,
+        s"$dir: indexed dedup emitted non-dup pairs: ${(idx -- exact).take(5)}")
+      val recall = (exact & idx).size.toDouble / exact.size
+      assert(recall >= 0.9, s"$dir: indexed dedup recall too low: $recall")
+    }
+  }
+
   test("ngram df cap drops pairs that share ONLY ultra-common grams") {
     // synthetic corpus on a temp dir: 40 docs sharing one boilerplate
     // sentence (gram df = 40 > cap when cap = 30 is simulated by checking
