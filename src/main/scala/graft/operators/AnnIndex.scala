@@ -123,6 +123,57 @@ object AnnIndex {
   }
 
   /**
+   * Append new `(id, v)` vectors to an EXISTING index without retraining —
+   * the incremental-maintenance half of build-once/search-many (the same
+   * shape as the streaming near-dup's appended band index): new vectors
+   * hard-assign to the EXISTING cells, code against the EXISTING means and
+   * codebooks, and land as appended rows in the cell-partitioned tables.
+   * Correctness does not drift: a code's residual reference (the cell mean
+   * at build time) only has to match what search adds back, and both read
+   * the same persisted `means`. What does drift as the distribution shifts
+   * is ROUTING quality (centroids stop being the data's centroids), which
+   * degrades recall, not precision — rebuild when appended volume rivals
+   * the built corpus.
+   *
+   * Write order is crash-safe for searches: vectors first (a vector
+   * without codes is invisible to the ADC candidate stage), codes second,
+   * meta (n_vectors) rewritten LAST. Ids must be new — the index does not
+   * dedup appends. Not safe under CONCURRENT appends to one index path.
+   */
+  def append(spark: SparkSession, path: String, vectors: DataFrame): Unit = {
+    graft.expressions.GraftExtensions.register(spark)
+    val m = meta(spark, path).head()
+    require(String.valueOf(m.getAs[Any]("residual_coding")) == "cell_mean",
+      s"index at $path predates the cell_mean layout — rebuild before appending")
+    val (dim, subs) = (m.getAs[Int]("dim"), m.getAs[Int]("subs"))
+    val cents = spark.read.parquet(s"$path/centroids")
+    val means = spark.read.parquet(s"$path/means")
+    val cb = spark.read.parquet(s"$path/codebooks")
+
+    val u = vectors.select(col("id"), expr("graft_unit(v)").as("uv"))
+    val assigned = Ann.ivfAssign(u, cents)
+      .select(col("cell").cast("int").as("cell"), col("id"), col("uv"))
+      .localCheckpoint(true) // assignment feeds three writes; plan it once
+    assigned.write.mode("append").partitionBy("cell").parquet(s"$path/vectors")
+
+    val resid = assigned.join(broadcast(means), "cell")
+      .select(col("id"), expr("graft_sub(uv, mv)").as("rv"))
+    Ann.pqAssign(Ann.pqSubvectors(resid, dim, subs, vecCol = "rv"), cb,
+        carrySubvectors = false)
+      .join(assigned.select("id", "cell"), "id")
+      .select(col("cell"), col("id"), col("sub_idx"), col("code"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+
+    import spark.implicits._
+    val n = spark.read.parquet(s"$path/vectors").count()
+    Seq((dim, m.getAs[Int]("cells"), subs, m.getAs[Int]("codes"),
+        m.getAs[Int]("lloyd_iters"), n, "cell_mean"))
+      .toDF("dim", "cells", "subs", "codes", "lloyd_iters", "n_vectors",
+        "residual_coding")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /**
    * Search-only IVF top-k cosine over a prebuilt index: route each query
    * to its `probe` best cells (broadcast centroids), read ONLY those cells'
    * vector partitions, exact rerank. No training, no corpus-wide pass.

@@ -24,6 +24,7 @@ import graft.model.VersionVector
  * sbt "runMain graft.tools.Cli <root> dedup   <docsParquet> [threshold] [outParquet]"
  * sbt "runMain graft.tools.Cli <root> bm25    <docsParquet> <term> [term...]"
  * sbt "runMain graft.tools.Cli <root> index-build  <embParquet> <indexPath> [cells] [codes]"
+ * sbt "runMain graft.tools.Cli <root> index-append <embParquet> <indexPath>"
  * sbt "runMain graft.tools.Cli <root> index-status <indexPath>"
  * sbt "runMain graft.tools.Cli <root> index-search <indexPath> <embParquet> <k> [ids...]"
  * }}}
@@ -132,6 +133,10 @@ object Cli {
         graft.operators.AnnIndex.buildIvfPq(emb, dim, args(3),
           cells = cells, codes = codes)
         println(s"built index at ${args(3)} (dim=$dim cells=$cells codes=$codes)")
+      case "index-append" =>
+        // append new vectors to an existing index without retraining
+        graft.operators.AnnIndex.append(spark, args(3), embTable(spark, args(2)))
+        println(s"appended ${args(2)} into ${args(3)}")
       case "index-status" =>
         graft.operators.AnnIndex.meta(spark, args(2)).collect().foreach { m =>
           println(m.schema.fieldNames.map(n => s"$n=${m.getAs[Any](n)}").mkString(" "))

@@ -336,6 +336,35 @@ class ScaleOpsSpec extends SparkSuite {
     }
   }
 
+  test("index append: new vectors search without a rebuild, recall bar holds on the grown index") {
+    val dir = java.nio.file.Files.createTempDirectory("annidx-app").toString
+    val e = graft.queries.SimilarityQueries.emb(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id").as("id"), col("v"))
+    val (seed, grown) = (e.filter(col("id") < 350), e.filter(col("id") >= 350))
+    AnnIndex.buildIvfPq(seed, dim = 64, path = dir, cells = 16, subs = 8,
+      codes = 16, lloydIters = 1)
+    AnnIndex.append(spark, dir, grown)
+    assert(AnnIndex.meta(spark, dir).head().getAs[Long]("n_vectors") == e.count())
+
+    val q = e.filter(col("id") < 10)
+    val pq = AnnIndex.searchIvfPq(spark, dir, q, k = 5, rerank = 100).collect()
+    // the grown index must surface APPENDED ids as neighbors where brute
+    // force ranks them: compare against the exact baseline
+    val brute = Ann.knnBrute(e, q, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val got = pq.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (brute & got).size.toDouble / brute.size
+    assert(recall >= 0.8, s"appended-index recall too low: $recall")
+    assert(brute.exists(_._2 >= 350),
+      "test premise: brute top-5 must involve appended ids")
+    assert(got.exists(_._2 >= 350),
+      s"appended vectors never surface: ${got.toSeq.sortBy(_._1).take(10)}")
+    // pure-IVF search over the same grown index sees appended vectors too
+    val ivf = AnnIndex.searchIvf(spark, dir, q, k = 5, probe = 6).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(((brute & ivf).size.toDouble / brute.size) >= 0.8)
+  }
+
   test("a pre-cell-mean index fails searchIvfPq loudly with the rebuild remedy") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("annidx-v2").toString
