@@ -536,6 +536,75 @@ object CorpusOps {
    * Returns (doc_id, tf_<term>..., dl, score) for the k best score > 0
    * docs, score descending, doc_id tiebreak.
    */
+  /**
+   * Distributed BPE merge training (the classic word-frequency
+   * formulation): learn `numMerges` byte-pair merge rules from the corpus.
+   * ONE corpus-sized pass builds the weighted distinct-word table — the
+   * only shuffle that touches the corpus; every merge round then runs on
+   * that VOCAB-sized side (weighted adjacent-pair counts -> argmax ->
+   * apply), so 100 TB of text costs one word-count aggregation plus
+   * `numMerges` jobs over a table bounded by |vocab|, not |corpus|. The
+   * per-round argmax collects ONE row to the driver (metadata-sized, like
+   * the engine's footer stats); ties break lexicographically so training
+   * is deterministic. Words carry the classic `</w>` end marker, so merges
+   * distinguish suffixes from mid-word pairs.
+   *
+   * The max pair count is non-increasing across rounds (a merge-created
+   * pair inherits at most its creator's count; existing pairs only lose) —
+   * PipelineSpec pins this invariant plus a hand-computed merge sequence.
+   * Returns (rank, left, right, merged, pair_count), rank 0-based in merge
+   * order; stops early when no pair repeats. The vocab-side symbol rewrite
+   * is a typed map on the distinct-word table — a Scala lambda confined to
+   * the vocab side, same discipline as the media codec kernels (never the
+   * corpus hot path).
+   */
+  def bpeTrain(docs: DataFrame, numMerges: Int): DataFrame = {
+    require(numMerges > 0, s"numMerges must be positive, got $numMerges")
+    val s = docs.sparkSession
+    import s.implicits._
+    val words = docs
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    var vocab: org.apache.spark.sql.Dataset[(Seq[String], Long)] =
+      words.as[(String, Long)]
+        .map { case (w, n) => ((w.map(_.toString) :+ "</w>"): Seq[String], n) }
+        .localCheckpoint(true)
+
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 0
+    var done = false
+    while (rank < numMerges && !done) {
+      val top = vocab.flatMap { case (syms, n) =>
+          if (syms.length < 2) Iterator.empty
+          else syms.iterator.zip(syms.iterator.drop(1)).map(p => (p._1, p._2, n)) }
+        .toDF("a", "b", "n")
+        .groupBy("a", "b").agg(sum("n").as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty || top.head.getAs[Long]("cnt") < 2) done = true
+      else {
+        val (a, b) = (top.head.getAs[String]("a"), top.head.getAs[String]("b"))
+        merges += ((rank, a, b, top.head.getAs[Long]("cnt")))
+        // greedy left-to-right merge application, the standard BPE rewrite
+        vocab = vocab.map { case (syms, n) =>
+          val out = Seq.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              out += a + b; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.result(), n)
+        }.localCheckpoint(true) // truncate the per-round lineage
+        rank += 1
+      }
+    }
+    merges.toSeq.toDF("rank", "left", "right", "pair_count")
+      .select(col("rank"), col("left"), col("right"),
+        concat(col("left"), col("right")).as("merged"), col("pair_count"))
+  }
+
   def bm25(
       docs: DataFrame,
       terms: Seq[String],

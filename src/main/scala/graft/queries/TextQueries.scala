@@ -30,6 +30,17 @@ object TextQueries {
     "de" -> "\\b(der|die|das|und|ist|nicht|mit|ein)\\b")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // BPE merge training on the corpus (tokenizer learning, the capability
+    // upstream of token counting): 12 merge rules from the word-frequency
+    // formulation — ONE corpus-sized word-count shuffle, then per-round
+    // pair-count jobs bounded by |vocab| not |corpus|, one driver row per
+    // round. Deterministic (lexicographic tie-break). Not SQL-expressible
+    // (iterative argmax chain) -> rows-only check; PipelineSpec pins a
+    // hand-computed merge sequence and the non-increasing-count invariant.
+    "text_bpe_merges" -> ((s, d) =>
+      graft.operators.CorpusOps.bpeTrain(docs(s, d), numMerges = 12)
+        .orderBy("rank")),
+
     // quality scoring: length, token stats, stopword ratio
     "text_quality" -> ((s, d) => {
       val nTokens = size(split(trim(col("text")), " +"))

@@ -236,6 +236,42 @@ class PipelineSpec extends SparkSuite {
     assert(r.getAs[Long]("n_exact_dups") >= 0)
   }
 
+  test("BPE training learns the hand-computable merge sequence and stops when nothing repeats") {
+    import spark.implicits._
+    // words: "aa" x8, "ab" x3. Symbols: [a a </w>] and [a b </w>].
+    // Round 0: (a,a) and (a,</w>) tie at 8 -> lexicographic: (a,</w>).
+    // Round 1: (a, a</w>) at 8. Round 2: (a,b)/(b,</w>) tie at 3 -> (a,b).
+    // Round 3: (ab, </w>) at 3. Then no pair repeats -> early stop.
+    val docs = Seq((1L, "aa aa aa aa"), (2L, "aa aa aa aa ab"), (3L, "ab ab"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.CorpusOps.bpeTrain(docs, numMerges = 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[String]("left"),
+        r.getAs[String]("right"), r.getAs[String]("merged"),
+        r.getAs[Long]("pair_count"))).toSeq
+    assert(got == Seq(
+      (0, "a", "</w>", "a</w>", 8L),
+      (1, "a", "a</w>", "aa</w>", 8L),
+      (2, "a", "b", "ab", 3L),
+      (3, "ab", "</w>", "ab</w>", 3L)), s"got $got")
+  }
+
+  test("BPE merge counts are non-increasing and deterministic on the real corpus") {
+    val run1 = TextQueries.queries("text_bpe_merges")(spark, sf).collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[String]("left"),
+        r.getAs[String]("right"), r.getAs[Long]("pair_count"))).toSeq
+    assert(run1.nonEmpty && run1.map(_._1) == run1.indices.toSeq)
+    // a merge-created pair inherits at most its creator's count; existing
+    // pairs only lose occurrences -> the argmax sequence cannot rise
+    val counts = run1.map(_._4)
+    assert(counts.zip(counts.tail).forall { case (x, y) => x >= y },
+      s"counts must be non-increasing: $counts")
+    val run2 = TextQueries.queries("text_bpe_merges")(spark, sf).collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[String]("left"),
+        r.getAs[String]("right"), r.getAs[Long]("pair_count"))).toSeq
+    assert(run1 == run2, "training must be deterministic")
+  }
+
   test("int8 quantization stats respect the truncation error bound") {
     val rows = PipelineQueries.queries("sim_quantize_int8")(spark, sf).collect()
     assert(rows.nonEmpty)
