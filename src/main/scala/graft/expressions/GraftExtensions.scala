@@ -27,6 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => graft.plans.GraftStrategies)
     ext.injectOptimizerRule(_ => graft.plans.PruneAsofMergeJoin)
     ext.injectOptimizerRule(_ => graft.plans.PruneIntervalMergeJoin)
+    ext.injectOptimizerRule(_ => graft.plans.PruneIntervalOverlapJoin)
   }
 }
 

@@ -124,17 +124,54 @@ object RangeJoin {
    * absent instead; the strict equivalent is the four-conjunct form
    * `lLo < lHi AND rLo < rHi AND lLo < rHi AND rLo < lHi`).
    *
-   * Physical shape: the overlap predicate decomposes EXACTLY into two
-   * disjoint containment cases by which interval starts later —
-   * `rLo <= lLo < rHi` (left starts inside right, ties here) or
-   * `lLo < rLo < lHi` (right starts strictly inside left) — so two passes
-   * of the native sweep operator cover it with no duplicates and no theta
-   * join: each pass shuffles both sides once on the `by` keys and keeps
-   * O(max concurrent overlap) state. The same decomposition is how a
-   * 100 TB overlap join stays a pair of merge sweeps instead of a
-   * per-key cross product.
+   * Physical shape: ONE merged plane sweep through the NATIVE
+   * [[graft.plans.IntervalOverlapJoinNode]] /
+   * [[graft.plans.IntervalOverlapJoinExec]] operator — both sides
+   * hash-partition on the `by` keys and sort by start ONCE, then a single
+   * pass walks the two streams together keeping an active set per side
+   * (O(max concurrent overlap) state, never a per-key cross product); each
+   * overlapping pair emits exactly once, at the later-starting interval.
+   * Versus [[intervalOverlapTwoPass]] (the same semantics composed from
+   * two containment sweeps): half the exchanges and sorts per side, and no
+   * union of two shuffled legs. That is how a 100 TB overlap join stays a
+   * single pair of sorted scans.
    */
   def intervalOverlapMerge(
+      left: DataFrame,
+      lLo: String,
+      lHi: String,
+      right: DataFrame,
+      rLo: String,
+      rHi: String,
+      by: Seq[String],
+      valueCols: Seq[String],
+      prefix: String = "iv_"): DataFrame = {
+    import org.apache.spark.sql.graftshim.PlanShim
+    import graft.plans.{IntervalOverlapJoinNode, KeyedMergeBuild}
+
+    val b = KeyedMergeBuild.prepare("interval overlap join", left, right,
+      by, rightExtra = Seq(rLo, rHi), valueCols, prefix,
+      typedPairs = Seq(lLo -> rLo, lHi -> rLo, lLo -> rHi),
+      rules = Seq(graft.plans.PruneIntervalOverlapJoin))
+    PlanShim.ofRows(left.sparkSession, IntervalOverlapJoinNode(
+      by.map(b.leftAttr), by.map(b.rMap),
+      b.leftAttr(lLo), b.leftAttr(lHi), b.rMap(rLo), b.rMap(rHi),
+      valueCols.map(b.rMap), b.valueOutput, b.lPlan, b.rPlan))
+  }
+
+  /**
+   * The same keyed interval-overlap semantics as [[intervalOverlapMerge]],
+   * composed from the CONTAINMENT operator instead of the dedicated
+   * single-pass exec — kept as the reference recipe (the spec cross-checks
+   * the two and the bench head-to-heads them). The overlap predicate
+   * decomposes EXACTLY into two disjoint containment cases by which
+   * interval starts later — `rLo <= lLo < rHi` (left starts inside right,
+   * ties here) or `lLo < rLo < lHi` (right starts strictly inside left) —
+   * so two passes of [[pointInIntervalMerge]] cover it with no duplicates
+   * and no theta join, at the cost of shuffling and sorting each side
+   * twice plus a union.
+   */
+  def intervalOverlapTwoPass(
       left: DataFrame,
       lLo: String,
       lHi: String,

@@ -118,6 +118,10 @@ object GraftStrategies extends SparkStrategy {
       IntervalMergeJoinExec(n.leftBy, n.rightBy, n.point, n.lo, n.hi,
         n.rightValues, n.valueOutput, n.leftOuter,
         planLater(n.left), planLater(n.right)) :: Nil
+    case n: IntervalOverlapJoinNode =>
+      IntervalOverlapJoinExec(n.leftBy, n.rightBy, n.lLo, n.lHi, n.rLo, n.rHi,
+        n.rightValues, n.valueOutput,
+        planLater(n.left), planLater(n.right)) :: Nil
     case _ => Nil
   }
 }

@@ -380,10 +380,11 @@ object AnalyticsQueries {
     // Interval OVERLAP join (the third temporal-join shape): per-user
     // 4-hour purchase windows x 4-hour error windows that overlap — which
     // purchases happened while errors were live. Through
-    // [[graft.operators.RangeJoin.intervalOverlapMerge]]: the overlap
-    // predicate decomposes into two disjoint containment sweeps of the
-    // native operator (by which window starts later), so the plan is two
-    // keyed merge passes — never a per-user cross product of windows.
+    // [[graft.operators.RangeJoin.intervalOverlapMerge]], the dedicated
+    // single-pass native operator ([[graft.plans.IntervalOverlapJoinExec]]):
+    // each side shuffles and sorts ONCE on user_id, one merged plane sweep
+    // pairs the two window streams with O(max concurrent overlap) state —
+    // never a per-user cross product of windows.
     "q_interval_overlap" -> ((s, d) => {
       val ev = t(s, d, "events")
       def windows(typ: String, id: String, lo: String, hi: String) =

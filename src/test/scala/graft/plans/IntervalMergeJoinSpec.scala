@@ -355,14 +355,14 @@ class IntervalMergeJoinSpec extends SparkSuite {
     assert(canon(slim) == canon(expected))
   }
 
-  test("overlap join's swapped pass slims its value shuffle under an outer projection") {
+  test("two-pass overlap's swapped pass slims its value shuffle under an outer projection") {
     import spark.implicits._
     val left = (1 to 40).map(i =>
         (i.toLong, "k" + i % 3, i.toLong, i.toLong + 6, "bulky_" * 8 + i))
       .toDF("lid", "k", "llo", "lhi", "payload")
     val right = (1 to 40).map(i => (i.toLong, "k" + i % 3, i.toLong + 3, i.toLong + 9))
       .toDF("rid", "k", "rlo", "rhi")
-    val slim = RangeJoin.intervalOverlapMerge(left, "llo", "lhi",
+    val slim = RangeJoin.intervalOverlapTwoPass(left, "llo", "lhi",
         right, "rlo", "rhi", Seq("k"), Seq("rid"))
       .select("lid", "iv_rid")
     slim.collect()
