@@ -586,23 +586,97 @@ object CorpusOps {
       else {
         val (a, b) = (top.head.getAs[String]("a"), top.head.getAs[String]("b"))
         merges += ((rank, a, b, top.head.getAs[Long]("cnt")))
-        // greedy left-to-right merge application, the standard BPE rewrite
-        vocab = vocab.map { case (syms, n) =>
-          val out = Seq.newBuilder[String]
-          var i = 0
-          while (i < syms.length) {
-            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
-              out += a + b; i += 2
-            } else { out += syms(i); i += 1 }
-          }
-          (out.result(), n)
-        }.localCheckpoint(true) // truncate the per-round lineage
+        vocab = vocab.map { case (syms, n) => (applyMerge(syms, a, b), n) }
+          .localCheckpoint(true) // truncate the per-round lineage
         rank += 1
       }
     }
     merges.toSeq.toDF("rank", "left", "right", "pair_count")
       .select(col("rank"), col("left"), col("right"),
         concat(col("left"), col("right")).as("merged"), col("pair_count"))
+  }
+
+  /** Greedy left-to-right single-pass rewrite of one merge rule — the
+    * standard BPE step, shared verbatim between training ([[bpeTrain]]'s
+    * per-round vocab rewrite) and encoding ([[bpeEncode]]) so the two can
+    * never drift: an encoder applying a different pass discipline than the
+    * trainer produces tokens the learned vocabulary doesn't contain. */
+  private[graft] def applyMerge(
+      syms: Seq[String], a: String, b: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += a + b; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** One word through the full rank-ordered merge list (chars + `</w>`,
+    * then each rule once in training order — [[applyMerge]] discipline). */
+  private[graft] def encodeWord(
+      w: String, rules: Seq[(String, String)]): Seq[String] = {
+    var syms: Seq[String] = w.map(_.toString) :+ "</w>"
+    rules.foreach { case (a, b) => syms = applyMerge(syms, a, b) }
+    syms
+  }
+
+  /**
+   * The APPLY step of the tokenizer pair — encode every distinct word with
+   * the rank-ordered merge table [[bpeTrain]] learned, weighted by corpus
+   * frequency. Returns the encoded VOCABULARY (word, n, tokens): one row
+   * per distinct word with its corpus count and its BPE token sequence —
+   * the table every downstream tokenizer consumer (token frequencies,
+   * per-doc lengths) joins against, so the corpus-sized pass stays a
+   * word-count aggregation and the iterative merge rewrite runs once per
+   * DISTINCT word, not once per occurrence.
+   *
+   * The merge table is `numMerges` rows — metadata-sized, collected to the
+   * driver in rank order and shipped in the task closure (same discipline
+   * as bpeTrain's per-round argmax row). The per-word encode is a Scala
+   * lambda confined to the vocab-sized side, never the corpus hot path.
+   *
+   * PipelineSpec pins: a hand-computed encode, the round-trip property
+   * (tokens concatenate back to `word</w>`), and the no-residual-pair
+   * invariant (no adjacent token pair in any encoded word equals a learned
+   * merge — every rule was applied to exhaustion in rank order, and later
+   * merges cannot re-create an earlier rule's adjacency because merging
+   * two symbols into a NEW symbol never makes two pre-existing symbols
+   * adjacent).
+   */
+  def bpeEncode(docs: DataFrame, merges: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val rules: Seq[(String, String)] = merges.select("rank", "left", "right")
+      .collect().sortBy(_.getAs[Int]("rank"))
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
+    docs
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .as[(String, Long)]
+      .map { case (w, n) => (w, n, encodeWord(w, rules)) }
+      .toDF("w", "n", "tokens")
+  }
+
+  /**
+   * Per-document BPE token counts: each doc's word stream joined against
+   * the [[bpeEncode]] vocabulary's token LENGTHS. The vocab side carries
+   * (word, token_count) only — at natural-language scale it is millions of
+   * short rows, so the join broadcasts (AQE would pick the same plan; the
+   * hint makes it deliberate). Returns (doc_id, n_words, n_tokens).
+   */
+  def bpeDocLengths(docs: DataFrame, merges: DataFrame): DataFrame = {
+    val vocab = bpeEncode(docs, merges)
+      .select(col("w"), size(col("tokens")).cast("long").as("word_tokens"))
+    docs
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(broadcast(vocab), "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("word_tokens").as("n_tokens"))
   }
 
   def bm25(

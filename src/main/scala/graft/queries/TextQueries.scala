@@ -41,6 +41,39 @@ object TextQueries {
       graft.operators.CorpusOps.bpeTrain(docs(s, d), numMerges = 12)
         .orderBy("rank")),
 
+    // The tokenizer's APPLY step: encode the corpus with the merges just
+    // learned, surface the 25 most frequent BPE tokens. The iterative
+    // rewrite runs once per DISTINCT word (vocab-sized side); the corpus
+    // pays one word-count shuffle. Not SQL-expressible (rank-ordered merge
+    // chain) -> rows-only check; PipelineSpec pins a hand-computed encode,
+    // the round-trip property, and the no-residual-pair invariant.
+    "text_bpe_encode" -> ((s, d) => {
+      val corpus = docs(s, d)
+      val merges = graft.operators.CorpusOps.bpeTrain(corpus, numMerges = 12)
+      graft.operators.CorpusOps.bpeEncode(corpus, merges)
+        .select(explode(col("tokens")).as("token"), col("n"))
+        .groupBy("token").agg(sum("n").as("freq"))
+        .orderBy(col("freq").desc, col("token")).limit(25)
+    }),
+
+    // Per-doc token budget under the LEARNED tokenizer (what sequence
+    // packing at 100 TB actually keys on): doc word streams join the
+    // broadcast vocab->token-length table, aggregated per source. Same
+    // rows-only check rationale as text_bpe_encode.
+    "text_bpe_doclen" -> ((s, d) => {
+      val corpus = docs(s, d)
+      val merges = graft.operators.CorpusOps.bpeTrain(corpus, numMerges = 12)
+      graft.operators.CorpusOps.bpeDocLengths(corpus, merges)
+        .join(corpus.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("docs"),
+          sum("n_words").as("total_words"),
+          sum("n_tokens").as("total_tokens"),
+          (floor(sum("n_tokens") * lit(10000) / sum("n_words")) / 10000)
+            .as("tokens_per_word"))
+        .orderBy("source")
+    }),
+
     // quality scoring: length, token stats, stopword ratio
     "text_quality" -> ((s, d) => {
       val nTokens = size(split(trim(col("text")), " +"))

@@ -272,6 +272,53 @@ class PipelineSpec extends SparkSuite {
     assert(run1 == run2, "training must be deterministic")
   }
 
+  test("BPE encode applies the learned merges: hand-computed tokens, round-trip, no residual pair") {
+    import spark.implicits._
+    val docs = Seq((1L, "aa aa aa aa"), (2L, "aa aa aa aa ab"), (3L, "ab ab"))
+      .toDF("doc_id", "text")
+    val merges = graft.operators.CorpusOps.bpeTrain(docs, numMerges = 10)
+    val vocab = graft.operators.CorpusOps.bpeEncode(docs, merges)
+      .collect().map(r => (r.getAs[String]("w"), r.getAs[Long]("n"),
+        r.getAs[scala.collection.Seq[String]]("tokens").toSeq)).toSeq.sortBy(_._1)
+    // merges learned: (a,</w>) (a,a</w>) (a,b) (ab,</w>) — hand-apply:
+    // "aa" = [a a </w>] -> [a a</w>] -> [aa</w>]; "ab" -> [ab</w>]
+    assert(vocab == Seq(("aa", 8L, Seq("aa</w>")), ("ab", 3L, Seq("ab</w>"))),
+      s"got $vocab")
+  }
+
+  test("BPE encode invariants hold on the real corpus against the learned rules") {
+    val corpus = Tables.load(spark, sf, "documents")
+    val merges = graft.operators.CorpusOps.bpeTrain(corpus, numMerges = 12)
+    val rules = merges.orderBy("rank").collect()
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
+    assert(rules.nonEmpty)
+    val vocab = graft.operators.CorpusOps.bpeEncode(corpus, merges).collect()
+      .map(r => (r.getAs[String]("w"),
+        r.getAs[scala.collection.Seq[String]]("tokens").toSeq))
+    assert(vocab.nonEmpty)
+    val ruleSet = rules.toSet
+    vocab.foreach { case (w, tokens) =>
+      // round-trip: tokens concatenate back to the word + end marker
+      assert(tokens.mkString == w + "</w>", s"round-trip broke for '$w': $tokens")
+      assert(tokens.length <= w.length + 1)
+      // exhaustion: no adjacent pair equals any learned merge (later merges
+      // cannot re-create an earlier rule's adjacency — merging two symbols
+      // into a NEW symbol never makes two pre-existing symbols adjacent)
+      tokens.zip(tokens.tail).foreach { p =>
+        assert(!ruleSet.contains(p), s"residual mergeable pair $p in '$w'")
+      }
+    }
+    // doc lengths are conserved sums of the vocab word lengths
+    val lens = graft.operators.CorpusOps.bpeDocLengths(corpus, merges)
+    val totals = lens.agg(sum("n_words"), sum("n_tokens")).collect().head
+    val vocabTotals = graft.operators.CorpusOps.bpeEncode(corpus, merges)
+      .select(sum(col("n")), sum(size(col("tokens")) * col("n")))
+      .collect().head
+    assert(totals.getLong(0) == vocabTotals.getLong(0))
+    assert(totals.getLong(1) == vocabTotals.getLong(1))
+    assert(totals.getLong(1) <= vocabTotals.getLong(0) * 1000) // sanity
+  }
+
   test("int8 quantization stats respect the truncation error bound") {
     val rows = PipelineQueries.queries("sim_quantize_int8")(spark, sf).collect()
     assert(rows.nonEmpty)
