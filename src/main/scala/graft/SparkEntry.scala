@@ -15,12 +15,14 @@ object SparkEntry {
     AnalyticsQueries.queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    FloQueries.queries ++ AnalyticsQueries.queries ++ ScalarQueries.queries ++
+    FloQueries.queries ++ AnalyticsQueries.queries ++ TpchQueries.queries ++
+      ScalarQueries.queries ++
       DedupQueries.queries ++ SimilarityQueries.queries ++ TextQueries.queries ++
       MultimodalQueries.queries ++ PipelineQueries.queries
 
   def oracleSql: Map[String, String] =
-    FloQueries.oracles ++ AnalyticsQueries.oracles ++ ScalarQueries.oracles ++
+    FloQueries.oracles ++ AnalyticsQueries.oracles ++ TpchQueries.oracles ++
+      ScalarQueries.oracles ++
       DedupQueries.oracles ++ SimilarityQueries.oracles ++ TextQueries.oracles ++
       MultimodalQueries.oracles ++ PipelineQueries.oracles
 }

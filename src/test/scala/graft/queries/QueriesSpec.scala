@@ -294,6 +294,42 @@ class QueriesSpec extends SparkSuite {
     assert(phys.contains("LeftAnti"), phys.take(1200))
   }
 
+  test("TPC-H breadth plans: shuffle-capable anti join, single-pass ratios, reused aggregates") {
+    // q22: the NOT-EXISTS leg must be a plain left-anti (shuffle-capable),
+    // never the broadcast-only null-aware variant or a nested loop
+    val q22 = TpchQueries.queries("q22_idle_customers")(spark, sf)
+    q22.collect()
+    val p22 = q22.queryExecution.executedPlan.toString
+    assert(!p22.contains("NullAware"), p22.take(1200))
+    assert(p22.contains("LeftAnti"), p22.take(1200))
+    // (an Inner BroadcastNestedLoopJoin IS expected here: the 1-row scalar
+    // avg_bal broadcast under a non-equi condition — only the ANTI join
+    // must not be nested-loop)
+    assert(!p22.contains("BroadcastNestedLoopJoin BuildRight, LeftAnti") &&
+      !p22.contains("BroadcastNestedLoopJoin BuildLeft, LeftAnti"), p22.take(1600))
+
+    // q14: numerator and denominator come out of ONE aggregation pass —
+    // exactly one lineitem scan in the physical plan (no self-join)
+    val q14 = TpchQueries.queries("q14_promo_revenue")(spark, sf)
+    val p14 = q14.queryExecution.executedPlan.toString
+    assert("lineitem\\.parquet".r.findAllIn(p14).size == 1, p14.take(1200))
+
+    // q8: same single-pass shape for the market-share ratio
+    val q8 = TpchQueries.queries("q8_market_share")(spark, sf)
+    val p8 = q8.queryExecution.executedPlan.toString
+    assert("lineitem\\.parquet".r.findAllIn(p8).size == 1, p8.take(1200))
+
+    // q15: the revenue aggregate feeds both the join and its own max —
+    // the per-suppkey shuffle must be REUSED, not recomputed (the AQE
+    // final plan carries a reused stage, not a second lineitem scan)
+    val q15 = TpchQueries.queries("q15_top_supplier")(spark, sf)
+    q15.collect() // AQE finalizes reuse at execution
+    val p15full = q15.queryExecution.executedPlan.toString
+    val p15 = p15full.split("== Initial Plan ==").head
+    assert("lineitem\\.parquet".r.findAllIn(p15).size <= 1, p15.take(1600))
+    assert(p15.contains("Reused"), p15.take(1600))
+  }
+
   test("q_stats_suite quantiles: mergeable two-pass plan, no O(group rows) percentile buffer") {
     val df = ScalarQueries.queries("q_stats_suite")(spark, sf)
     // the exact-percentile aggregate (single unbounded buffer) must be gone
