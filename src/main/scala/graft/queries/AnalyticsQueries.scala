@@ -397,6 +397,59 @@ object AnalyticsQueries {
           by = Seq("user_id"), valueCols = Seq("error_id"))
         .select(col("purchase_id"), col("iv_error_id").as("error_id"))
         .orderBy("purchase_id", "error_id")
+    }),
+
+    // Ordered funnel view → click → purchase (greedy: earliest view, then
+    // earliest click after it, then any purchase after that). Both
+    // step-2/step-3 anchors come from running-min windows over the SAME
+    // (user, ts) sort, so the whole funnel costs ONE shuffle: no
+    // self-joins of the event log, no per-step scans — the shape that
+    // survives a 100 TB event table. Raw-ts comparisons are oracle-safe:
+    // the data is microsecond-granular (nanos % 1000 == 0), so Spark's
+    // micros and DuckDB's nanos order identically.
+    "q_funnel" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val e1 = t(s, d, "events").select(
+        col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        min(when(col("event_type") === "view", col("ts"))).over(w)
+          .as("first_view"))
+      val e2 = e1.withColumn("first_click",
+        min(when(col("event_type") === "click" && col("ts") > col("first_view"),
+          col("ts"))).over(w))
+      e2.groupBy("user_id")
+        .agg(
+          max(when(col("event_type") === "view", 1).otherwise(0)).as("viewed"),
+          max(when(col("event_type") === "click" && col("ts") > col("first_view"), 1)
+            .otherwise(0)).as("clicked"),
+          max(when(col("event_type") === "purchase" && col("ts") > col("first_click"), 1)
+            .otherwise(0)).as("purchased"))
+        .agg(
+          count(lit(1)).as("users"),
+          sum("viewed").as("n_view"),
+          sum("clicked").as("n_view_click"),
+          sum("purchased").as("n_view_click_purchase"))
+        .select(col("users"), col("n_view"), col("n_view_click"),
+          col("n_view_click_purchase"),
+          (floor(col("n_view_click") * lit(10000) / col("n_view")) / 10000)
+            .as("cr_click"),
+          (floor(col("n_view_click_purchase") * lit(10000) / col("n_view_click")) / 10000)
+            .as("cr_purchase"))
+    }),
+
+    // Day-cohort retention matrix: cohort = each user's first active day
+    // (unordered running min — one window over the same user shuffle), then
+    // distinct (user, day) activity bucketed by day offset. Two shuffles
+    // total (user, then cohort×offset), both on bounded keys.
+    "q_cohort_retention" -> ((s, d) => {
+      val wu = Window.partitionBy("user_id")
+      t(s, d, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .withColumn("cohort_day", min("day").over(wu))
+        .withColumn("day_offset", datediff(col("day"), col("cohort_day")))
+        .groupBy("cohort_day", "day_offset")
+        .agg(countDistinct("user_id").as("active_users"))
+        .orderBy("cohort_day", "day_offset")
     }))
 
   private def cast_date(c: org.apache.spark.sql.Column) = c.cast("date")
@@ -651,5 +704,46 @@ object AnalyticsQueries {
         |SELECT purchase_id, error_id
         |FROM p JOIN e ON p.user_id = e.user_id
         |  AND GREATEST(plo, elo) < LEAST(phi, ehi)
-        |ORDER BY purchase_id, error_id""".stripMargin)
+        |ORDER BY purchase_id, error_id""".stripMargin,
+
+    "q_funnel" ->
+      """WITH e1 AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    MIN(CASE WHEN event_type = 'view' THEN ts END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS first_view
+        |  FROM events),
+        |e2 AS (
+        |  SELECT *,
+        |    MIN(CASE WHEN event_type = 'click' AND ts > first_view THEN ts END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS first_click
+        |  FROM e1),
+        |pu AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS viewed,
+        |    MAX(CASE WHEN event_type = 'click' AND ts > first_view THEN 1 ELSE 0 END) AS clicked,
+        |    MAX(CASE WHEN event_type = 'purchase' AND ts > first_click THEN 1 ELSE 0 END) AS purchased
+        |  FROM e2 GROUP BY 1),
+        |agg AS (
+        |  SELECT COUNT(*) AS users,
+        |    CAST(SUM(viewed) AS BIGINT) AS n_view,
+        |    CAST(SUM(clicked) AS BIGINT) AS n_view_click,
+        |    CAST(SUM(purchased) AS BIGINT) AS n_view_click_purchase
+        |  FROM pu)
+        |SELECT users, n_view, n_view_click, n_view_click_purchase,
+        |  FLOOR(n_view_click * 10000 / n_view) / 10000 AS cr_click,
+        |  FLOOR(n_view_click_purchase * 10000 / n_view_click) / 10000 AS cr_purchase
+        |FROM agg""".stripMargin,
+
+    "q_cohort_retention" ->
+      """WITH a AS (
+        |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, day, MIN(day) OVER (PARTITION BY user_id) AS cohort_day
+        |  FROM a)
+        |SELECT cohort_day, datediff('day', cohort_day, day) AS day_offset,
+        |  COUNT(DISTINCT user_id) AS active_users
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 }

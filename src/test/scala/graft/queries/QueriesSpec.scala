@@ -330,6 +330,17 @@ class QueriesSpec extends SparkSuite {
     assert(p15.contains("Reused"), p15.take(1600))
   }
 
+  test("q_funnel runs on ONE user shuffle: both window passes and the per-user agg share it") {
+    val df = AnalyticsQueries.queries("q_funnel")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // one events scan — no per-step self-joins of the log
+    assert("events\\.parquet".r.findAllIn(p).size == 1, p.take(1600))
+    // one hash exchange (user_id) feeds windows AND the per-user aggregate;
+    // the only other exchange is the final 1-row SinglePartition merge
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(1600))
+  }
+
   test("q_stats_suite quantiles: mergeable two-pass plan, no O(group rows) percentile buffer") {
     val df = ScalarQueries.queries("q_stats_suite")(spark, sf)
     // the exact-percentile aggregate (single unbounded buffer) must be gone
