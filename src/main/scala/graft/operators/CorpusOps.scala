@@ -163,16 +163,78 @@ object CorpusOps {
       .filter(col("overlap_tokens") >= minTokens)
   }
 
-  /** Non-overlapping 10-word chunks per doc (the "lines" of a corpus whose
-    * docs carry no newlines). */
-  private[graft] def docChunks(documents: DataFrame): DataFrame =
+  /** Non-overlapping n-word chunks per doc WITH their position index
+    * (doc_id, i, chunk) — the positional base for the rewrite operators
+    * ([[intraDocDedup]], [[boilerplateRemoval]]) that must reassemble
+    * text in order. */
+  private[graft] def docChunksPos(documents: DataFrame, n: Int): DataFrame =
     documents
       .select(col("doc_id"), split(trim(col("text")), " +").as("w"))
       .select(col("doc_id"),
         explode(sequence(lit(0),
-          floor((size(col("w")) - 1) / 10).cast("int"))).as("i"), col("w"))
-      .select(col("doc_id"),
-        expr("array_join(slice(w, 1 + 10*i, 10), ' ')").as("chunk"))
+          floor((size(col("w")) - 1) / n).cast("int"))).as("i"), col("w"))
+      .select(col("doc_id"), col("i"),
+        expr(s"array_join(slice(w, 1 + $n*i, $n), ' ')").as("chunk"))
+
+  /** Non-overlapping 10-word chunks per doc (the "lines" of a corpus whose
+    * docs carry no newlines). */
+  private[graft] def docChunks(documents: DataFrame): DataFrame =
+    docChunksPos(documents, 10).select("doc_id", "chunk")
+
+  /**
+   * C4-style intra-document repetition removal: within each doc, a
+   * repeated n-word chunk keeps only its FIRST occurrence, and the doc is
+   * reassembled from the survivors in original order. Returns
+   * (doc_id, n_chunks, n_kept, clean_text).
+   *
+   * One shuffle (doc_id, chunk) for the per-doc first-occurrence window,
+   * then the per-doc reassembly rides the doc_id side of the same sort —
+   * state is bounded by a single document everywhere, so the operator
+   * scales linearly in corpus size with no cross-doc traffic at all.
+   */
+  def intraDocDedup(documents: DataFrame, chunkWords: Int = 2): DataFrame = {
+    val w = Window.partitionBy("doc_id", "chunk").orderBy("i")
+    docChunksPos(documents, chunkWords)
+      .withColumn("rn", row_number().over(w))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        array_join(expr(
+          "transform(array_sort(collect_list(" +
+            "CASE WHEN rn = 1 THEN struct(i, chunk) END)), s -> s.chunk)"),
+          " ").as("clean_text"))
+  }
+
+  /**
+   * Cross-document boilerplate removal (the "shared line" C4 rule): an
+   * n-word chunk appearing in at least `minDocs` DISTINCT documents is
+   * boilerplate; every occurrence is dropped and each doc reassembled from
+   * what remains. Returns (doc_id, n_chunks, n_boiler, clean_text).
+   *
+   * Scale shape: one shuffle on the chunk for the document-frequency
+   * aggregate; the boilerplate set (df >= minDocs survivors) is tiny
+   * relative to the corpus, so the join back is AQE-broadcast at any
+   * realistic threshold — the corpus-sized chunk stream shuffles exactly
+   * once more, on doc_id, for reassembly.
+   */
+  def boilerplateRemoval(
+      documents: DataFrame, chunkWords: Int = 10, minDocs: Int = 2): DataFrame = {
+    val chunks = docChunksPos(documents, chunkWords)
+    val boiler = chunks.groupBy("chunk")
+      .agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") >= minDocs)
+      .select(col("chunk"), lit(true).as("is_boiler"))
+    chunks.join(boiler, Seq("chunk"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("is_boiler"), 1L).otherwise(0L)).as("n_boiler"),
+        array_join(expr(
+          "transform(array_sort(collect_list(" +
+            "CASE WHEN is_boiler IS NULL THEN struct(i, chunk) END)), s -> s.chunk)"),
+          " ").as("clean_text"))
+  }
 
   /** Exact-duplicate groups: one hash shuffle on the content hash.
     * Returns (text_hash, keep_id = min doc_id, n_copies). */

@@ -67,6 +67,27 @@ object PipelineQueries {
     "pipe_chunk_dedup" -> ((s, d) =>
       Ops.chunkDedupStats(docs(s, d)).orderBy("doc_id")),
 
+    // intra-document repetition REMOVAL (C4 rule, rewrite not just stats):
+    // repeated 2-word chunks within a doc keep their first occurrence and
+    // the doc is reassembled in order. clean_text is hashed so the oracle
+    // proves the rewritten CONTENT, not just the counts. Single
+    // (doc_id, chunk) shuffle; state bounded by one document everywhere.
+    "pipe_intradoc_dedup" -> ((s, d) =>
+      Ops.intraDocDedup(docs(s, d), chunkWords = 2)
+        .select(col("doc_id"), col("n_chunks"), col("n_kept"),
+          md5(col("clean_text")).as("clean_hash"))
+        .orderBy("doc_id")),
+
+    // cross-document boilerplate removal: 10-word chunks shared by >= 2
+    // distinct docs are dropped everywhere, docs reassembled. One chunk
+    // shuffle for the df aggregate, boilerplate set broadcast back, one
+    // doc_id shuffle to reassemble.
+    "pipe_boilerplate" -> ((s, d) =>
+      Ops.boilerplateRemoval(docs(s, d), chunkWords = 10, minDocs = 2)
+        .select(col("doc_id"), col("n_chunks"), col("n_boiler"),
+          md5(col("clean_text")).as("clean_hash"))
+        .orderBy("doc_id")),
+
     // deterministic stratified sample: the first 20 docs per language in
     // salted-hash order — a reproducible fixed-size eval slice per stratum.
     // Skew guard: a naive per-lang window puts the dominant language (60%+
@@ -247,6 +268,40 @@ object PipelineQueries {
         |  CAST(SUM(COALESCE(is_dup, 0)) AS BIGINT) AS n_dup,
         |  FLOOR(CAST(SUM(COALESCE(is_dup, 0)) AS BIGINT) * 1000 / COUNT(*)) / 1000 AS dup_frac
         |FROM c LEFT JOIN s USING (chunk)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // COALESCE on the reassembly: a fully-deduped doc must hash the empty
+    // string (Spark's empty collect_list -> array_join -> ""), not NULL
+    "pipe_intradoc_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), ' +') AS w FROM documents
+        |), c AS (
+        |  SELECT doc_id, CAST(u.i AS INT) AS i,
+        |    array_to_string(w[1+2*u.i : 2+2*u.i], ' ') AS chunk
+        |  FROM t, UNNEST(generate_series(0, CAST(floor((len(w)-1)/2) AS INT))) AS u(i)
+        |), r AS (
+        |  SELECT doc_id, i, chunk,
+        |    row_number() OVER (PARTITION BY doc_id, chunk ORDER BY i) AS rn
+        |  FROM c)
+        |SELECT doc_id, COUNT(*) AS n_chunks,
+        |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY i), '')) AS clean_hash
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "pipe_boilerplate" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), ' +') AS w FROM documents
+        |), c AS (
+        |  SELECT doc_id, CAST(u.i AS INT) AS i,
+        |    array_to_string(w[1+10*u.i : 10+10*u.i], ' ') AS chunk
+        |  FROM t, UNNEST(generate_series(0, CAST(floor((len(w)-1)/10) AS INT))) AS u(i)
+        |), b AS (
+        |  SELECT chunk, TRUE AS is_boiler FROM c
+        |  GROUP BY chunk HAVING COUNT(DISTINCT doc_id) >= 2)
+        |SELECT doc_id, COUNT(*) AS n_chunks,
+        |  CAST(SUM(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+        |  md5(COALESCE(string_agg(CASE WHEN is_boiler IS NULL THEN chunk END, ' ' ORDER BY i), '')) AS clean_hash
+        |FROM c LEFT JOIN b USING (chunk)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "pipe_sample_stratified" ->

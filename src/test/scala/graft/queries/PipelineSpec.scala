@@ -319,6 +319,41 @@ class PipelineSpec extends SparkSuite {
     assert(totals.getLong(1) <= vocabTotals.getLong(0) * 1000) // sanity
   }
 
+  test("intra-doc dedup keeps first occurrences and reassembles in order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x y x y a b"),        // chunks: [x y][x y][a b] -> keep 1st + [a b]
+      (2L, "a b c"),              // [a b][c] -> nothing repeated
+      (3L, "k k k k k")           // [k k][k k][k] -> [k k][k]
+    ).toDF("doc_id", "text")
+    val got = graft.operators.CorpusOps.intraDocDedup(docs, chunkWords = 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (1L, 3L, 2L, "x y a b"),
+      (2L, 2L, 2L, "a b c"),
+      (3L, 3L, 2L, "k k k")), got.toSeq.toString)
+  }
+
+  test("boilerplate removal drops cross-doc shared chunks everywhere, empty docs hash empty") {
+    import spark.implicits._
+    val shared = (1 to 10).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$shared only in one a b c d e f g h i j"),
+      (2L, s"$shared unique two x y z p q r s t u v"),
+      (3L, shared) // entirely boilerplate -> clean_text must be ""
+    ).toDF("doc_id", "text")
+    val got = graft.operators.CorpusOps
+      .boilerplateRemoval(docs, chunkWords = 10, minDocs = 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // 22 words -> 3 chunks each (10 + 10 + trailing 2)
+    assert(got.toSeq == Seq(
+      (1L, 3L, 1L, "only in one a b c d e f g h i j"),
+      (2L, 3L, 1L, "unique two x y z p q r s t u v"),
+      (3L, 1L, 1L, "")), got.toSeq.toString)
+  }
+
   test("int8 quantization stats respect the truncation error bound") {
     val rows = PipelineQueries.queries("sim_quantize_int8")(spark, sf).collect()
     assert(rows.nonEmpty)
