@@ -236,6 +236,48 @@ object CorpusOps {
           " ").as("clean_text"))
   }
 
+  /**
+   * Mixture rebalancing: deterministically sample each `source` down so
+   * the OUTPUT follows the target weight ratios. The achievable total is
+   * capped by the scarcest source (T = min over sources of n_s / w_s);
+   * each source keeps k_s = floor(w_s * T) docs, chosen by salted-hash
+   * rank so the sample is reproducible and shuffle-balanced. Sources
+   * absent from `weights` are excluded.
+   *
+   * Scale shape: one corpus-sized aggregate for the per-source counts
+   * (metadata-sized result), the k-table stays a broadcast join (never a
+   * collect), and the ranking uses the same two-level salted window as
+   * [[stratifiedSample]] — local rank within (source, salt) pre-filters
+   * to k_s survivors per salt group (provably recall-complete: a global
+   * top-k_s row is in its salt group's top k_s), so the dominant source
+   * of a skewed corpus fans out over `salts` tasks instead of one.
+   * Returns (doc_id, source, rn).
+   */
+  def mixtureSample(
+      documents: DataFrame,
+      weights: Map[String, Double],
+      salts: Int = DefaultSalts): DataFrame = {
+    val s = documents.sparkSession
+    import s.implicits._
+    val wts = weights.toSeq.toDF("source", "wt")
+    val cap = documents.groupBy("source").agg(count(lit(1)).as("n"))
+      .join(broadcast(wts), "source")
+      .agg(min(col("n") / col("wt")).as("cap"))
+    val ktab = wts.crossJoin(broadcast(cap))
+      .select(col("source"), floor(col("wt") * col("cap")).cast("long").as("k"))
+    val h = md5(concat(col("source"), lit("#"), col("doc_id").cast("string")))
+    val base = documents.select(col("doc_id"), col("source"), h.as("h"))
+      .join(broadcast(ktab), "source")
+      .withColumn("salt", saltCol(col("h"), salts))
+    val wLocal = Window.partitionBy("source", "salt").orderBy(col("h"), col("doc_id"))
+    val wGlobal = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+    base.withColumn("rs", row_number().over(wLocal))
+      .filter(col("rs") <= col("k"))
+      .withColumn("rn", row_number().over(wGlobal).cast("long"))
+      .filter(col("rn") <= col("k"))
+      .select(col("doc_id"), col("source"), col("rn"))
+  }
+
   /** Exact-duplicate groups: one hash shuffle on the content hash.
     * Returns (text_hash, keep_id = min doc_id, n_copies). */
   def exactDedup(docs: DataFrame): DataFrame =

@@ -437,6 +437,23 @@ object AnalyticsQueries {
             .as("cr_purchase"))
     }),
 
+    // RANGE-frame window: for every event, activity in the user's trailing
+    // hour — a VALUE-based frame (range on epoch micros), not a row count,
+    // so sparse and dense users get the same time semantics. One user
+    // shuffle; the frame is evaluated by a sliding two-pointer over the
+    // sorted partition, O(events) not O(events × frame).
+    "q_window_range" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+        .rangeBetween(-3600L * 1000000L, 0L)
+      t(s, d, "events")
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .select(col("user_id"), col("event_id"),
+          count(lit(1)).over(w).as("cnt_1h"),
+          sum(col("value").cast("decimal(18,2)")).over(w).cast("double")
+            .as("sum_1h"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // Day-cohort retention matrix: cohort = each user's first active day
     // (unordered running min — one window over the same user shuffle), then
     // distinct (user, day) activity bucketed by day offset. Two shuffles
@@ -735,6 +752,15 @@ object AnalyticsQueries {
         |  FLOOR(n_view_click * 10000 / n_view) / 10000 AS cr_click,
         |  FLOOR(n_view_click_purchase * 10000 / n_view_click) / 10000 AS cr_purchase
         |FROM agg""".stripMargin,
+
+    "q_window_range" ->
+      """SELECT user_id, event_id,
+        |  COUNT(*) OVER w AS cnt_1h,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
+        |FROM (SELECT user_id, event_id, value, epoch_us(ts) AS ts_us FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
 
     "q_cohort_retention" ->
       """WITH a AS (

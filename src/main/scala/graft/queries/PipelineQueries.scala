@@ -88,6 +88,15 @@ object PipelineQueries {
           md5(col("clean_text")).as("clean_hash"))
         .orderBy("doc_id")),
 
+    // mixture rebalancing to target source weights (ratio 1:2:3:4 cycling
+    // over the 20 sources): the scarcest source caps the total, every
+    // source keeps floor(w*T) docs by deterministic salted-hash rank.
+    // The k-table is computed distributed and broadcast — no collect.
+    "pipe_mixture_sample" -> ((s, d) =>
+      Ops.mixtureSample(docs(s, d),
+          (0 until 20).map(i => s"src$i" -> (i % 4 + 1).toDouble).toMap)
+        .orderBy("doc_id")),
+
     // deterministic stratified sample: the first 20 docs per language in
     // salted-hash order — a reproducible fixed-size eval slice per stratum.
     // Skew guard: a naive per-lang window puts the dominant language (60%+
@@ -303,6 +312,21 @@ object PipelineQueries {
         |  md5(COALESCE(string_agg(CASE WHEN is_boiler IS NULL THEN chunk END, ' ' ORDER BY i), '')) AS clean_hash
         |FROM c LEFT JOIN b USING (chunk)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "pipe_mixture_sample" -> {
+      val vals = (0 until 20).map(i => s"('src$i', ${i % 4 + 1}.0)").mkString(", ")
+      s"""WITH wts(source, wt) AS (VALUES $vals),
+         |cnt AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+         |cap AS (SELECT MIN(n / wt) AS cap FROM cnt JOIN wts USING (source)),
+         |k AS (SELECT source, CAST(FLOOR(wt * cap) AS BIGINT) AS k FROM wts, cap),
+         |r AS (
+         |  SELECT doc_id, source,
+         |    ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY md5(source || '#' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+         |  FROM documents)
+         |SELECT doc_id, source, rn FROM r JOIN k USING (source)
+         |WHERE rn <= k ORDER BY doc_id""".stripMargin
+    },
 
     "pipe_sample_stratified" ->
       """WITH r AS (

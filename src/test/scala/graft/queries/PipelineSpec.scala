@@ -319,6 +319,30 @@ class PipelineSpec extends SparkSuite {
     assert(totals.getLong(1) <= vocabTotals.getLong(0) * 1000) // sanity
   }
 
+  test("mixture sample hits the target ratios, capped by the scarcest source") {
+    import spark.implicits._
+    // A supplies 10 docs at weight 2 -> T = 5; B has 20 at weight 1 ->
+    // 20/1 = 20 doesn't bind. kA = floor(2*5) = 10, kB = floor(1*5) = 5.
+    // C is unlisted and must be excluded entirely.
+    val docs = ((1 to 10).map(i => (i.toLong, "A")) ++
+      (11 to 30).map(i => (i.toLong, "B")) ++
+      (31 to 35).map(i => (i.toLong, "C"))).toDF("doc_id", "source")
+    val weights = Map("A" -> 2.0, "B" -> 1.0)
+    val got = graft.operators.CorpusOps.mixtureSample(docs, weights)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got.count(_._2 == "A") == 10)
+    assert(got.count(_._2 == "B") == 5)
+    assert(!got.exists(_._2 == "C"))
+    // deterministic: a second run picks the identical sample
+    val again = graft.operators.CorpusOps.mixtureSample(docs, weights)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == again)
+    // salt pre-filter is recall-complete: 1 salt group == no pre-filter
+    val unsalted = graft.operators.CorpusOps.mixtureSample(docs, weights, salts = 1)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == unsalted)
+  }
+
   test("intra-doc dedup keeps first occurrences and reassembles in order") {
     import spark.implicits._
     val docs = Seq(
