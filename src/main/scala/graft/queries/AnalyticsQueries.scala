@@ -437,6 +437,21 @@ object AnalyticsQueries {
             .as("cr_purchase"))
     }),
 
+    // The streaming funnel operator on its batch-degenerate path: greedy
+    // anchors per (user, day window) through FunnelState.funnel — the SAME
+    // code that runs live with watermark finality (StreamingSpec has the
+    // replay-parity test). Oracle rebuilds the anchor chain as layered
+    // FILTER aggregates.
+    "q_funnel_state" -> ((s, d) =>
+      graft.streaming.FunnelState.funnel(
+          t(s, d, "events"), windowMs = 86400000L)
+        .toDF()
+        .select(col("user_id"), col("window_start_ms"), col("completed"),
+          try_element_at(col("step_ts_ms"), lit(1)).as("t0_ms"),
+          try_element_at(col("step_ts_ms"), lit(2)).as("t1_ms"),
+          try_element_at(col("step_ts_ms"), lit(3)).as("t2_ms"))
+        .orderBy("user_id", "window_start_ms")),
+
     // RANGE-frame window: for every event, activity in the user's trailing
     // hour — a VALUE-based frame (range on epoch micros), not a row count,
     // so sparse and dense users get the same time semantics. One user
@@ -752,6 +767,32 @@ object AnalyticsQueries {
         |  FLOOR(n_view_click * 10000 / n_view) / 10000 AS cr_click,
         |  FLOOR(n_view_click_purchase * 10000 / n_view_click) / 10000 AS cr_purchase
         |FROM agg""".stripMargin,
+
+    "q_funnel_state" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ms(ts) AS tms,
+        |    CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1
+        |      WHEN 'purchase' THEN 2 ELSE -1 END AS step,
+        |    (epoch_ms(ts) // 86400000) * 86400000 AS win
+        |  FROM events),
+        |f AS (SELECT * FROM e WHERE step >= 0),
+        |a0 AS (
+        |  SELECT user_id, win, MIN(tms) FILTER (step = 0) AS t0
+        |  FROM f GROUP BY 1, 2),
+        |a1 AS (
+        |  SELECT f.user_id, f.win, ANY_VALUE(t0) AS t0,
+        |    MIN(tms) FILTER (step = 1 AND tms > t0) AS t1
+        |  FROM f JOIN a0 USING (user_id, win) GROUP BY 1, 2),
+        |a2 AS (
+        |  SELECT f.user_id, f.win, ANY_VALUE(t0) AS t0, ANY_VALUE(t1) AS t1,
+        |    MIN(tms) FILTER (step = 2 AND t1 IS NOT NULL AND tms > t1) AS t2
+        |  FROM f JOIN a1 USING (user_id, win) GROUP BY 1, 2)
+        |SELECT user_id, win AS window_start_ms,
+        |  CASE WHEN t0 IS NULL THEN 0 WHEN t1 IS NULL THEN 1
+        |    WHEN t2 IS NULL THEN 2 ELSE 3 END AS completed,
+        |  t0 AS t0_ms, t1 AS t1_ms, t2 AS t2_ms
+        |FROM a2 WHERE t0 IS NOT NULL
+        |ORDER BY user_id, window_start_ms""".stripMargin,
 
     "q_window_range" ->
       """SELECT user_id, event_id,
