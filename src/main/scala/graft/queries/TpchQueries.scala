@@ -52,7 +52,9 @@ object TpchQueries {
     // each), the pair disjunction applies after — so the fact scan only
     // survives rows touching the two nations.
     "q7_nation_volume" -> ((s, d) => {
-      val pair = Seq("NATION_1", "NATION_2")
+      // NATION_18/19 rather than the classic FRANCE/GERMANY stand-ins:
+      // this pair trades in BOTH directions even at sf0.001 (rows>0 spec)
+      val pair = Seq("NATION_18", "NATION_19")
       val n1 = t(s, d, "nation").filter(col("n_name").isin(pair: _*))
         .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
       val n2 = t(s, d, "nation").filter(col("n_name").isin(pair: _*))
@@ -279,7 +281,7 @@ object TpchQueries {
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
-        |WHERE n1.n_name IN ('NATION_1','NATION_2') AND n2.n_name IN ('NATION_1','NATION_2')
+        |WHERE n1.n_name IN ('NATION_18','NATION_19') AND n2.n_name IN ('NATION_18','NATION_19')
         |  AND n1.n_name <> n2.n_name
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
