@@ -47,10 +47,13 @@ object TpchQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // Q7: volume shipped between a nation PAIR, by ship year. Both nation
-    // legs pre-filter to the two names BEFORE the join (25-row broadcast
-    // each), the pair disjunction applies after — so the fact scan only
-    // survives rows touching the two nations.
+    // Q7: volume shipped between a nation PAIR, by ship year. The
+    // supplier leg (supplier ⋈ 2-of-25 nations) is a BROADCAST — joining
+    // it FIRST cuts the fact to the pair's ~2/25 before any shuffle, so
+    // the orderkey exchange carries 12× fewer rows than the naive
+    // li⋈orders-first order (Catalyst keeps the written join order; CBO
+    // is off). The customer-side nation filter applies after the customer
+    // join, same effect on the aggregation input.
     "q7_nation_volume" -> ((s, d) => {
       // NATION_18/19 rather than the classic FRANCE/GERMANY stand-ins:
       // this pair trades in BOTH directions even at sf0.001 (rows>0 spec)
@@ -59,11 +62,13 @@ object TpchQueries {
         .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
       val n2 = t(s, d, "nation").filter(col("n_name").isin(pair: _*))
         .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      val suppSide = t(s, d, "supplier")
+        .join(n1, col("s_nationkey") === col("s_nk"))
+        .select(col("s_suppkey"), col("supp_nation"))
       t(s, d, "lineitem")
+        .join(broadcast(suppSide), col("l_suppkey") === col("s_suppkey"))
         .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
         .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
-        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
         .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
         .filter(col("supp_nation") =!= col("cust_nation"))
         .groupBy(col("supp_nation"), col("cust_nation"),

@@ -96,6 +96,47 @@ class FunnelStateSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("funnel state survives a checkpointed restart: anchors from before the stop still chain") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("funnel-ckpt").toString
+    val input = MemoryStream[(Long, Long, String)]
+    // foreachBatch, not the memory sink — the memory sink refuses to
+    // recover from a checkpoint; verdicts land in a shared buffer
+    val emitted = java.util.concurrent.ConcurrentHashMap.newKeySet[Verdict]()
+    def start() = {
+      val df = input.toDF().toDF("user_id", "ms", "event_type")
+        .select(col("user_id"), timestamp_millis(col("ms")).as("ts"),
+          col("event_type"))
+      FunnelState.funnel(df, windowMs = Win, watermarkDelay = "1 minute")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Verdict], _: Long) =>
+          batch.collect().foreach(emitted.add)
+        }
+        .start()
+    }
+    val q1 = start()
+    try {
+      input.addData((1L, 10000L, "view"), (1L, 20000L, "click"),
+        (2L, 15000L, "view"))
+      q1.processAllAvailable()
+      assert(emitted.isEmpty, "window 0 is not final yet")
+    } finally q1.stop()
+    // restart from the checkpoint: the held (step, ts) state must recover
+    val q2 = start()
+    try {
+      input.addData((1L, 30000L, "purchase"))
+      input.addData((9L, 1000000L, "view")) // finalize window 0
+      q2.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val got = emitted.asScala.filter(_.user_id != 9L).toSet
+      assert(got == Set(
+        Verdict(1L, 0L, 3, Seq(10000L, 20000L, 30000L)),
+        Verdict(2L, 0L, 1, Seq(15000L))), s"got $got")
+    } finally q2.stop()
+  }
+
   test("events split across windows anchor independently per window") {
     import spark.implicits._
     // view in window 0, click+purchase in window 1: window 0 is a
