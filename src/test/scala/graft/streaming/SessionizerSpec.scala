@@ -101,6 +101,41 @@ class SessionizerSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("open sessions survive a checkpointed restart and close correctly after it") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("sess-ckpt").toString
+    val input = MemoryStream[(Long, Long)]
+    val emitted = java.util.concurrent.ConcurrentHashMap.newKeySet[Session]()
+    def start() = {
+      val df = input.toDF().toDF("user_id", "ms")
+        .select(col("user_id"), timestamp_millis(col("ms")).as("ts"))
+      Sessionizer.sessionize(df, gapMs = 30000, watermarkDelay = "1 minute")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[Session], _: Long) =>
+          b.collect().foreach(emitted.add)
+        }
+        .start()
+    }
+    val q1 = start()
+    try {
+      input.addData((1L, 10000L), (1L, 20000L))
+      q1.processAllAvailable()
+      assert(emitted.isEmpty, "session still open — nothing may emit")
+    } finally q1.stop()
+    val q2 = start()
+    try {
+      // an in-gap event after the restart must EXTEND the recovered session
+      input.addData((1L, 40000L))
+      input.addData((9L, 1000000L)) // push the watermark, finalize
+      q2.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val got = emitted.asScala.filter(_.user_id == 1L).toSet
+      assert(got == Set(Session(1L, 10000L, 40000L, 3L)), s"got $got")
+    } finally q2.stop()
+  }
+
   test("batch mode: the same call sessionizes a static frame completely") {
     import spark.implicits._
     val batch = Seq((1L, 1000L), (1L, 2000L), (1L, 60000L), (2L, 5000L))
