@@ -24,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.subFunction)
     ext.injectFunction(GraftExtensions.int8StatsFunction)
     ext.injectFunction(GraftExtensions.topKFunction)
+    ext.injectFunction(GraftExtensions.heavyHittersFunction)
     ext.injectPlannerStrategy(_ => graft.plans.GraftStrategies)
     ext.injectOptimizerRule(_ => graft.plans.PruneAsofMergeJoin)
     ext.injectOptimizerRule(_ => graft.plans.PruneIntervalMergeJoin)
@@ -131,11 +132,25 @@ object GraftExtensions {
       }
     })
 
+  /** `graft_heavy_hitters(item, k)`: Misra–Gries frequent-items sketch —
+    * k (the counter budget) must be an integer literal. */
+  private val heavyHittersFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_heavy_hitters"),
+    new ExpressionInfo(classOf[MisraGries].getName, "graft_heavy_hitters"),
+    { (children: Seq[Expression]) =>
+      children match {
+        case Seq(item, Literal(k: Int, org.apache.spark.sql.types.IntegerType)) =>
+          MisraGries(item, k)
+        case _ => throw new IllegalArgumentException(
+          "graft_heavy_hitters expects (item, integer-literal k)")
+      }
+    })
+
   /** Runtime registration into an existing session (idempotent). */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     Seq(dotFunction, nsGlobFunction, lshBandsFunction, unitFunction,
-        subFunction, int8StatsFunction, topKFunction).foreach { fn =>
+        subFunction, int8StatsFunction, topKFunction, heavyHittersFunction).foreach { fn =>
       if (!registry.functionExists(fn._1)) {
         registry.registerFunction(fn._1, fn._2, fn._3)
       }

@@ -896,4 +896,44 @@ object CorpusOps {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens").cast("long")).as("total_tokens"))
   }
+
+  /**
+   * EXACT heavy hitters without shuffling the vocabulary: the classic
+   * two-pass sketch-then-recount plan. Pass 1 runs the Misra–Gries
+   * aggregate [[graft.expressions.MisraGries]] (`graft_heavy_hitters`)
+   * over the token stream — O(k) state per partition, at most k counters
+   * shipped to one reducer, the billions-of-keys vocabulary never
+   * shuffles — and counts n exactly in the same aggregate (one scan).
+   * Pass 2 recounts ONLY the sketch's candidates (a broadcast semi join,
+   * ≤ k keys in the shuffle) and filters `cnt * denom >= n`.
+   *
+   * Exactness argument: MG guarantees every item with true frequency
+   * > n/(k+1) is in the candidate set; with k+1 > denom the threshold
+   * n/denom is strictly above the guarantee line, so no qualifying token
+   * can be missed, and the exact recount removes any false positives.
+   * The result is bit-identical to the full-vocabulary GROUP BY plan at
+   * a fraction of its shuffle. Returns (tok, cnt) sorted by cnt desc.
+   */
+  def heavyHitters(
+      documents: DataFrame, k: Int = 1000, denom: Int = 500): DataFrame = {
+    require(k + 1 > denom,
+      s"heavyHitters: need k+1 > denom for the MG guarantee, got k=$k denom=$denom")
+    graft.expressions.GraftExtensions.register(documents.sparkSession)
+    val tokens = documents
+      .select(explode(split(lower(col("text")), "[^a-z]+")).as("tok"))
+      .filter(length(col("tok")) >= 2)
+    val sketch = tokens.agg(
+      call_function("graft_heavy_hitters", col("tok"), lit(k)).as("cand"),
+      count(lit(1)).as("n"))
+    val candidates = sketch
+      .select(explode(col("cand")).as("c"), col("n"))
+      .select(col("c.item").as("tok"), col("n"))
+    tokens
+      .join(broadcast(candidates.select("tok")), Seq("tok"), "left_semi")
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .join(broadcast(candidates), Seq("tok"))
+      .filter(col("cnt") * denom >= col("n"))
+      .select(col("tok"), col("cnt"))
+      .orderBy(col("cnt").desc, col("tok"))
+  }
 }

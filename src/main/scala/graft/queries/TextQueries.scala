@@ -249,7 +249,16 @@ object TextQueries {
           when(nib <= "b", "train").when(nib <= "d", "valid")
             .otherwise("test").as("split"))
         .orderBy("doc_id")
-    }))
+    }),
+
+    // EXACT heavy hitters (tokens holding >= 1/500 of the corpus) through
+    // the two-pass Misra-Gries plan: sketch candidates with the native
+    // bounded-memory aggregate, recount only those exactly. The oracle is
+    // the full-vocabulary GROUP BY ... HAVING — the sketch plan must match
+    // it bit-for-bit while never shuffling the vocabulary (the exactness
+    // guarantee is k+1 > denom; see CorpusOps.heavyHitters).
+    "text_heavy_hitters" -> ((s, d) =>
+      graft.operators.CorpusOps.heavyHitters(docs(s, d), k = 1000, denom = 500)))
 
   val oracles: Map[String, String] = Map(
     "text_quality" ->
@@ -293,6 +302,18 @@ object TextQueries {
         |SELECT tok, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
         |FROM toks WHERE LENGTH(tok) >= 2
         |GROUP BY tok ORDER BY tf DESC, tok LIMIT 50""".stripMargin,
+
+    "text_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS tok
+        |  FROM documents),
+        |tt AS (SELECT tok FROM toks WHERE LENGTH(tok) >= 2),
+        |total AS (SELECT COUNT(*) AS n FROM tt)
+        |SELECT tok, COUNT(*) AS cnt
+        |FROM tt, total
+        |GROUP BY tok, total.n
+        |HAVING COUNT(*) * 500 >= total.n
+        |ORDER BY cnt DESC, tok""".stripMargin,
 
     "pipe_clean_corpus" ->
       s"""WITH scored AS (
