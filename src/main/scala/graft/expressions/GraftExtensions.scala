@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.int8StatsFunction)
     ext.injectFunction(GraftExtensions.topKFunction)
     ext.injectFunction(GraftExtensions.heavyHittersFunction)
+    ext.injectFunction(GraftExtensions.bloomContainsFunction)
     ext.injectPlannerStrategy(_ => graft.plans.GraftStrategies)
     ext.injectOptimizerRule(_ => graft.plans.PruneAsofMergeJoin)
     ext.injectOptimizerRule(_ => graft.plans.PruneIntervalMergeJoin)
@@ -146,11 +147,26 @@ object GraftExtensions {
       }
     })
 
+  /** `graft_bloom_contains(key, bloomBytes)`: Bloom membership probe — the
+    * serialized filter must be a binary literal (it decodes once per plan). */
+  private val bloomContainsFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_bloom_contains"),
+    new ExpressionInfo(classOf[BloomMightContain].getName, "graft_bloom_contains"),
+    { (children: Seq[Expression]) =>
+      children match {
+        case Seq(key, Literal(bytes: Array[Byte], org.apache.spark.sql.types.BinaryType)) =>
+          BloomMightContain(key, bytes)
+        case _ => throw new IllegalArgumentException(
+          "graft_bloom_contains expects (key, binary-literal bloom)")
+      }
+    })
+
   /** Runtime registration into an existing session (idempotent). */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     Seq(dotFunction, nsGlobFunction, lshBandsFunction, unitFunction,
-        subFunction, int8StatsFunction, topKFunction, heavyHittersFunction).foreach { fn =>
+        subFunction, int8StatsFunction, topKFunction, heavyHittersFunction,
+        bloomContainsFunction).foreach { fn =>
       if (!registry.functionExists(fn._1)) {
         registry.registerFunction(fn._1, fn._2, fn._3)
       }

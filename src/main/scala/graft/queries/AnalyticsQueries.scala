@@ -80,6 +80,25 @@ object AnalyticsQueries {
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
+    // Bloom-prefiltered fact⋈dim join ([[graft.operators.BloomJoin]]): the
+    // urgent-priority orders slice (~1/5 of orders) stands in for a dim too
+    // big to broadcast as a hash relation but cheap to ship as a ~10-bit/key
+    // Bloom filter. The native graft_bloom_contains probe drops ~4/5 of
+    // lineitem inside its scan's codegen span BEFORE the orderkey shuffle;
+    // the hash join then removes the fpp false positives, so the oracle is
+    // the PLAIN join — bit-identical results, a fraction of the exchange.
+    "q_bloom_join" -> ((s, d) => {
+      val urgent = t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      graft.operators.BloomJoin
+        .prefilteredJoin(t(s, d, "lineitem"), "l_orderkey", urgent, "o_orderkey")
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          sum(expr("CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("o_year")
+    }),
+
     // TPC-H Q6-style forecast-revenue: the canonical selective-scan
     // aggregate — every predicate reaches the parquet scan as PushedFilters
     // (timestamp range, double range, quantity bound), so at 100 TB this
@@ -528,6 +547,13 @@ object AnalyticsQueries {
          |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
          |GROUP BY n_name
          |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_bloom_join" ->
+      s"""SELECT YEAR(o_orderdate) AS o_year, $revenueSql AS revenue, COUNT(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_orderpriority = '1-URGENT'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q6_forecast_revenue" ->
       """SELECT
