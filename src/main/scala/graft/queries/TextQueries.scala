@@ -258,7 +258,43 @@ object TextQueries {
     // it bit-for-bit while never shuffling the vocabulary (the exactness
     // guarantee is k+1 > denom; see CorpusOps.heavyHitters).
     "text_heavy_hitters" -> ((s, d) =>
-      graft.operators.CorpusOps.heavyHitters(docs(s, d), k = 1000, denom = 500)))
+      graft.operators.CorpusOps.heavyHitters(docs(s, d), k = 1000, denom = 500)),
+
+    // Gopher-style quality rule battery (Rae et al. 2021 §A1.1, adapted to
+    // the whitespace corpus): word-count bounds, mean word length, most-
+    // common-word frequency share, duplicate-word fraction, stopword
+    // presence — the standard pre-training doc filters. Two-level
+    // aggregation: one (doc_id, word) shuffle builds per-doc word counts
+    // with map-side partials, then a tiny per-doc rollup; state is bounded
+    // by a single document's vocabulary everywhere, so no doc can spill
+    // another's task. All ratios floor-scaled to 4 decimals (engine-exact).
+    "text_gopher_quality" -> ((s, d) => {
+      val stop = Seq("the", "a", "of", "and", "to", "in")
+      val toks = docs(s, d).select(col("doc_id"),
+        explode(split(trim(col("text")), " +")).as("tok"))
+      val wc = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      val agg = wc.groupBy("doc_id").agg(
+        sum("c").as("n_words"),
+        sum(length(col("tok")) * col("c")).as("sum_len"),
+        count(lit(1)).as("n_distinct"),
+        max("c").as("top_c"),
+        sum(when(col("tok").isin(stop: _*), col("c")).otherwise(0L)).as("n_stop"))
+      def fl4(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
+        floor(num.cast("double") * 10000 / den) / 10000
+      agg.select(
+          col("doc_id"), col("n_words"),
+          fl4(col("sum_len"), col("n_words")).as("mean_word_len"),
+          fl4(col("top_c"), col("n_words")).as("top_word_frac"),
+          fl4(col("n_words") - col("n_distinct"), col("n_words")).as("dup_word_frac"),
+          col("n_stop"))
+        .withColumn("passes",
+          col("n_words").between(20, 100000) &&
+            col("mean_word_len").between(3.0, 10.0) &&
+            col("top_word_frac") <= 0.2 &&
+            col("dup_word_frac") <= 0.5 &&
+            col("n_stop") >= 2)
+        .orderBy("doc_id")
+    }))
 
   val oracles: Map[String, String] = Map(
     "text_quality" ->
@@ -314,6 +350,30 @@ object TextQueries {
         |GROUP BY tok, total.n
         |HAVING COUNT(*) * 500 >= total.n
         |ORDER BY cnt DESC, tok""".stripMargin,
+
+    "text_gopher_quality" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS tok
+        |  FROM documents),
+        |wc AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+        |agg AS (SELECT doc_id,
+        |    CAST(SUM(c) AS BIGINT) AS n_words,
+        |    CAST(SUM(LENGTH(tok) * c) AS BIGINT) AS sum_len,
+        |    COUNT(*) AS n_distinct,
+        |    MAX(c) AS top_c,
+        |    CAST(SUM(CASE WHEN tok IN ('the','a','of','and','to','in') THEN c ELSE 0 END) AS BIGINT) AS n_stop
+        |  FROM wc GROUP BY 1)
+        |SELECT doc_id, n_words,
+        |  FLOOR(CAST(sum_len AS DOUBLE) * 10000 / n_words) / 10000 AS mean_word_len,
+        |  FLOOR(CAST(top_c AS DOUBLE) * 10000 / n_words) / 10000 AS top_word_frac,
+        |  FLOOR(CAST(n_words - n_distinct AS DOUBLE) * 10000 / n_words) / 10000 AS dup_word_frac,
+        |  n_stop,
+        |  (n_words BETWEEN 20 AND 100000)
+        |    AND (FLOOR(CAST(sum_len AS DOUBLE) * 10000 / n_words) / 10000 BETWEEN 3.0 AND 10.0)
+        |    AND (FLOOR(CAST(top_c AS DOUBLE) * 10000 / n_words) / 10000 <= 0.2)
+        |    AND (FLOOR(CAST(n_words - n_distinct AS DOUBLE) * 10000 / n_words) / 10000 <= 0.5)
+        |    AND (n_stop >= 2) AS passes
+        |FROM agg ORDER BY doc_id""".stripMargin,
 
     "pipe_clean_corpus" ->
       s"""WITH scored AS (
