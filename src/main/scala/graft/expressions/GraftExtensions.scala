@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.topKFunction)
     ext.injectFunction(GraftExtensions.heavyHittersFunction)
     ext.injectFunction(GraftExtensions.bloomContainsFunction)
+    ext.injectFunction(GraftExtensions.zorderFunction)
     ext.injectPlannerStrategy(_ => graft.plans.GraftStrategies)
     ext.injectOptimizerRule(_ => graft.plans.PruneAsofMergeJoin)
     ext.injectOptimizerRule(_ => graft.plans.PruneIntervalMergeJoin)
@@ -161,12 +162,21 @@ object GraftExtensions {
       }
     })
 
+  /** `graft_zorder(x, y)`: 64-bit Morton code of two integral keys. */
+  private val zorderFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_zorder"),
+    new ExpressionInfo(classOf[ZOrderCode].getName, "graft_zorder"),
+    { (children: Seq[Expression]) =>
+      require(children.size == 2, "graft_zorder expects exactly 2 arguments")
+      ZOrderCode(children.head, children(1))
+    })
+
   /** Runtime registration into an existing session (idempotent). */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     Seq(dotFunction, nsGlobFunction, lshBandsFunction, unitFunction,
         subFunction, int8StatsFunction, topKFunction, heavyHittersFunction,
-        bloomContainsFunction).foreach { fn =>
+        bloomContainsFunction, zorderFunction).foreach { fn =>
       if (!registry.functionExists(fn._1)) {
         registry.registerFunction(fn._1, fn._2, fn._3)
       }

@@ -30,6 +30,7 @@ import graft.Tables
 object PipelineQueries {
 
   private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
+  private def events(s: SparkSession, d: String) = Tables.load(s, d, "events")
 
   private val Ops = graft.operators.CorpusOps
 
@@ -199,6 +200,39 @@ object PipelineQueries {
           col("st")(3).cast("long").as("n_nonzero"),
           (floor(col("st")(4) * 10000000) / 10000000).as("max_err"))
         .orderBy("vec_id")
+    }),
+
+    // Z-order layout audit ([[graft.expressions.ZOrderCode]]): events are
+    // min-max-scaled to 16 bits on (user_id, event second), Morton-coded
+    // with the native graft_zorder expression, and cut into 32 equal-depth
+    // buckets in z order. The per-bucket min/max envelopes on BOTH
+    // dimensions are the min/max stats each parquet file would carry if
+    // written in this order — tight on both axes, where a linear sort
+    // leaves the second axis's envelope table-wide (ZOrderSpec measures the
+    // pruning difference). The production write path is
+    // repartitionByRange(zval) (sampled boundaries, cluster-scale); the
+    // catalog audit uses ntile for deterministic, oracle-checkable cuts.
+    "pipe_zorder" -> ((s, d) => {
+      graft.expressions.GraftExtensions.register(s)
+      val base = events(s, d).select(
+        col("event_id"), col("user_id").as("u"),
+        expr("unix_micros(ts) div 1000000").as("sec"))
+      val b = base.agg(
+        min("u").as("minu"), max("u").as("maxu"),
+        min("sec").as("mins"), max("sec").as("maxs"))
+      val scaled = base.crossJoin(broadcast(b)).select(
+        col("event_id"),
+        expr("(u - minu) * 65535 div greatest(maxu - minu, 1)").as("xs"),
+        expr("(sec - mins) * 65535 div greatest(maxs - mins, 1)").as("ys"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("zval", "event_id")
+      scaled
+        .withColumn("zval", call_function("graft_zorder", col("xs"), col("ys")))
+        .withColumn("bucket", ntile(32).over(w))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          min("xs").as("min_x"), max("xs").as("max_x"),
+          min("ys").as("min_y"), max("ys").as("max_y"))
+        .orderBy("bucket")
     }))
 
   /** Catalog rendering of [[graft.operators.CorpusOps.decontaminate]]: the
@@ -214,7 +248,29 @@ object PipelineQueries {
         maxBroadcastGrams = maxBroadcastGrams)
       .orderBy("doc_id")
 
+  /** 16-bit Morton bit-spread as portable SQL: the same mask-shift chain
+    * [[graft.expressions.ZOrderCodes.spread]] runs, specialized to 16-bit
+    * inputs (4 steps) — pure integer bit ops, so engine-exact. */
+  private def spreadSql(c: String): String =
+    Seq((8, 16711935L), (4, 252645135L), (2, 858993459L), (1, 1431655765L))
+      .foldLeft(c) { case (s, (sh, m)) => s"(($s | ($s << $sh)) & $m)" }
+
   val oracles: Map[String, String] = Map(
+
+    "pipe_zorder" ->
+      s"""WITH base AS (
+         |  SELECT event_id, user_id AS u, epoch_ms(ts) // 1000 AS sec FROM events),
+         |b AS (SELECT MIN(u) AS minu, MAX(u) AS maxu, MIN(sec) AS mins, MAX(sec) AS maxs FROM base),
+         |scaled AS (SELECT event_id,
+         |    (u - minu) * 65535 // GREATEST(maxu - minu, 1) AS xs,
+         |    (sec - mins) * 65535 // GREATEST(maxs - mins, 1) AS ys
+         |  FROM base, b),
+         |z AS (SELECT event_id, xs, ys,
+         |    (${spreadSql("xs")} | (${spreadSql("ys")} << 1)) AS zval FROM scaled),
+         |t AS (SELECT xs, ys, NTILE(32) OVER (ORDER BY zval, event_id) AS bucket FROM z)
+         |SELECT bucket, COUNT(*) AS n,
+         |  MIN(xs) AS min_x, MAX(xs) AS max_x, MIN(ys) AS min_y, MAX(ys) AS max_y
+         |FROM t GROUP BY bucket ORDER BY bucket""".stripMargin,
     "pipe_decontaminate" ->
       """WITH t AS (
         |  SELECT doc_id, string_split_regex(trim(text), ' +') AS w FROM documents

@@ -1,0 +1,79 @@
+package graft.expressions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** The Morton-code expression and the file-pruning payoff of writing in
+  * z order instead of a linear sort. */
+class ZOrderSpec extends SparkSuite {
+
+  private def naive(x: Long, y: Long): Long = {
+    var r = 0L
+    var i = 0
+    while (i < 32) {
+      r |= ((x >> i) & 1L) << (2 * i)
+      r |= ((y >> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    r
+  }
+
+  test("graft_zorder matches a bit-by-bit interleave, interpreted and codegen") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val rnd = new scala.util.Random(5)
+    val edge = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 65535L),
+      (0xffffffffL, 0L), (0L, 0xffffffffL), (0xffffffffL, 0xffffffffL))
+    val cases = edge ++ Seq.fill(200)(
+      (rnd.nextLong() & 0xffffffffL, rnd.nextLong() & 0xffffffffL))
+    cases.foreach { case (x, y) =>
+      assert(ZOrderCodes.interleave(x, y) == naive(x, y), s"($x, $y)")
+    }
+    val got = cases.toDF("x", "y").repartition(3)
+      .selectExpr("x", "y", "graft_zorder(x, y) AS z")
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, z) => assert(z == naive(x, y), s"($x, $y)") }
+  }
+
+  test("z-order files carry tight min/max envelopes on BOTH axes; linear sort on one") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val pts = (for { x <- 0 until 64; y <- 0 until 64 } yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+
+    def fileEnvelopes(dir: String): Seq[(Long, Long, Long, Long)] =
+      spark.read.parquet(dir)
+        .groupBy(input_file_name())
+        .agg(min("x"), max("x"), min("y"), max("y"))
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+
+    // how many of the 16 files a width-8 strip predicate on each axis
+    // would have to read, averaged over the 8 strips of that axis
+    def avgFilesRead(env: Seq[(Long, Long, Long, Long)]): (Double, Double) = {
+      val strips = (0 until 8).map(s => (s * 8L, s * 8L + 7L))
+      val xReads = strips.map { case (lo, hi) =>
+        env.count { case (mnx, mxx, _, _) => mnx <= hi && mxx >= lo } }
+      val yReads = strips.map { case (lo, hi) =>
+        env.count { case (_, _, mny, mxy) => mny <= hi && mxy >= lo } }
+      (xReads.sum.toDouble / 8, yReads.sum.toDouble / 8)
+    }
+
+    val zDir = tempDir("zorder")
+    pts.withColumn("z", call_function("graft_zorder", col("x"), col("y")))
+      .repartitionByRange(16, col("z")).sortWithinPartitions("z")
+      .drop("z").write.mode("overwrite").parquet(zDir)
+    val linDir = tempDir("linear")
+    pts.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(linDir)
+
+    val (zx, zy) = avgFilesRead(fileEnvelopes(zDir))
+    val (lx, ly) = avgFilesRead(fileEnvelopes(linDir))
+    // linear layout: x-strips prune hard but y-strips read every file
+    assert(lx <= 3.0, s"linear x reads $lx")
+    assert(ly >= 15.0, s"linear y reads $ly")
+    // z-order: BOTH axes prune to well under half the files
+    assert(zx <= 8.0, s"zorder x reads $zx")
+    assert(zy <= 8.0, s"zorder y reads $zy")
+  }
+}
