@@ -898,6 +898,59 @@ object CorpusOps {
   }
 
   /**
+   * PageRank over the co-chunk document graph, in 64-bit FIXED-POINT so
+   * every engine computes bit-identical ranks (floating-point PageRank is
+   * summation-order-dependent; integer sums are not). Ranks carry 1e9
+   * units = 1.0; each iteration is `pr' = 0.15 + 0.85 * Σ pr/outdeg`
+   * with integer division throughout (both engines truncate identically
+   * on non-negatives).
+   *
+   * Graph: docs are linked when they share a 10-word chunk (the dedup
+   * signal re-used as an authority signal — the web-graph analogue for a
+   * corpus with no hyperlinks; highly-replicated boilerplate is df-capped
+   * out at `maxChunkDocs`, the same guard as the n-gram dedup path, which
+   * also bounds pair fan-out to df² per chunk). Scale shape per
+   * iteration: ranks⋈edges on src (edges carry outdeg pre-joined, built
+   * once), one shuffle grouping contributions by dst, one node-sized left
+   * join — the corpus text is never touched after edge extraction. At
+   * cluster scale, checkpoint ranks every few iterations to cut lineage
+   * (same discipline as [[connectedComponents]]'s one-job-per-round).
+   *
+   * Dangling/isolated docs take the base rank 0.15 and contribute
+   * nothing, matching the usual convention. Returns (doc_id, pr).
+   */
+  def docGraphPageRank(
+      documents: DataFrame,
+      iterations: Int = 5,
+      maxChunkDocs: Int = 50): DataFrame = {
+    val Scale = 1000000000L
+    val Base = 150000000L // 0.15 * Scale
+    val chunks = docChunks(documents).distinct()
+    val keep = chunks.groupBy("chunk")
+      .agg(countDistinct("doc_id").as("df"))
+      .filter(col("df").between(2, maxChunkDocs))
+      .select("chunk")
+    val kept = chunks.join(keep, "chunk")
+    val pairs = kept.as("a").join(kept.as("b"), "chunk")
+      .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val edges = pairs.join(
+      pairs.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+    val nodes = documents.select("doc_id")
+    var ranks = nodes.withColumn("pr", lit(Scale))
+    for (_ <- 1 to iterations) {
+      val sums = edges.join(ranks, edges("src") === ranks("doc_id"))
+        .select(col("dst").as("doc_id"), expr("pr div outdeg").as("c"))
+        .groupBy("doc_id").agg(sum("c").as("s"))
+      ranks = nodes.join(sums, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (lit(Base) + expr("85 * coalesce(s, 0L) div 100")).as("pr"))
+    }
+    ranks.orderBy("doc_id")
+  }
+
+  /**
    * EXACT heavy hitters without shuffling the vocabulary: the classic
    * two-pass sketch-then-recount plan. Pass 1 runs the Misra–Gries
    * aggregate [[graft.expressions.MisraGries]] (`graft_heavy_hitters`)

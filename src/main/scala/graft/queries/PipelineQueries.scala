@@ -212,6 +212,15 @@ object PipelineQueries {
     // pruning difference). The production write path is
     // repartitionByRange(zval) (sampled boundaries, cluster-scale); the
     // catalog audit uses ntile for deterministic, oracle-checkable cuts.
+    // document authority via fixed-point PageRank over the co-chunk graph
+    // ([[graft.operators.CorpusOps.docGraphPageRank]]): the web pipelines'
+    // "rank the pages, weight the sample" step, runnable on a corpus with
+    // no hyperlinks. Integer fixed-point (1e9 = 1.0) makes 5 power
+    // iterations engine-exact — the oracle unrolls them as CTEs and must
+    // match every rank to the unit.
+    "pipe_pagerank" -> ((s, d) =>
+      Ops.docGraphPageRank(docs(s, d), iterations = 5, maxChunkDocs = 50)),
+
     "pipe_zorder" -> ((s, d) => {
       graft.expressions.GraftExtensions.register(s)
       val base = events(s, d).select(
@@ -255,7 +264,40 @@ object PipelineQueries {
     Seq((8, 16711935L), (4, 252645135L), (2, 858993459L), (1, 1431655765L))
       .foldLeft(c) { case (s, (sh, m)) => s"(($s | ($s << $sh)) & $m)" }
 
+  /** Unrolled fixed-point PageRank iterations as CTEs (pipe_pagerank). */
+  private def pagerankSql(iterations: Int): String = {
+    val iters = (1 to iterations).map { i =>
+      s"""r$i AS (SELECT n.doc_id,
+         |  150000000 + (85 * COALESCE(s.s, 0)) // 100 AS pr
+         |  FROM n LEFT JOIN (
+         |    SELECT ed.dst AS doc_id, CAST(SUM(r${i - 1}.pr // ed.outdeg) AS BIGINT) AS s
+         |    FROM ed JOIN r${i - 1} ON ed.src = r${i - 1}.doc_id GROUP BY ed.dst) s
+         |  USING (doc_id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(trim(text), ' +') AS w FROM documents
+       |), c AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest([array_to_string(w[1+10*i : 10+10*i], ' ')
+       |            FOR i IN generate_series(0, CAST(floor((len(w)-1)/10) AS INT))]) AS chunk
+       |  FROM t
+       |), keep AS (
+       |  SELECT chunk FROM c GROUP BY chunk HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 50
+       |), e AS (
+       |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+       |  FROM c a JOIN c b USING (chunk) JOIN keep USING (chunk)
+       |  WHERE a.doc_id <> b.doc_id
+       |), deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+       |ed AS (SELECT e.src, e.dst, deg.outdeg FROM e JOIN deg USING (src)),
+       |n AS (SELECT doc_id FROM documents),
+       |r0 AS (SELECT doc_id, CAST(1000000000 AS BIGINT) AS pr FROM n),
+       |$iters
+       |SELECT doc_id, pr FROM r$iterations ORDER BY doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+
+    "pipe_pagerank" -> pagerankSql(5),
 
     "pipe_zorder" ->
       s"""WITH base AS (

@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.SparkSuite
+
+/** Fixed-point PageRank against a driver-side reference of the same
+  * integer recurrence. */
+class PageRankSpec extends SparkSuite {
+
+  private val Scale = 1000000000L
+  private val Base = 150000000L
+
+  /** Reference: same edge derivation (shared chunk, df-capped) and the
+    * same integer recurrence, computed naively on the driver. */
+  private def reference(
+      docs: Seq[(Long, Seq[String])], iterations: Int): Map[Long, Long] = {
+    val byChunk = docs.flatMap { case (id, cs) => cs.distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+      .filter { case (_, ds) => ds.size >= 2 && ds.size <= 50 }
+    val edges = byChunk.values.flatMap { ds =>
+      for (a <- ds; b <- ds if a != b) yield (a, b)
+    }.toSet
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var pr = docs.map { case (id, _) => id -> Scale }.toMap
+    for (_ <- 1 to iterations) {
+      val sums = edges.toSeq
+        .map { case (s, d) => d -> pr(s) / outdeg(s) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      pr = docs.map { case (id, _) =>
+        id -> (Base + 85L * sums.getOrElse(id, 0L) / 100L)
+      }.toMap
+    }
+    pr
+  }
+
+  test("ranks match the reference recurrence; isolated docs hold the base rank") {
+    import spark.implicits._
+    def chunk(tag: String): String = (1 to 10).map(i => s"$tag$i").mkString(" ")
+    val (ca, cb, cc) = (chunk("a"), chunk("b"), chunk("c"))
+    // star-ish: 1-2 share ca; 2-3-4 share cb (2 is the hub); 4-5 share cc;
+    // 6 isolated
+    val docs = Seq(
+      1L -> Seq(ca), 2L -> Seq(ca, cb), 3L -> Seq(cb),
+      4L -> Seq(cb, cc), 5L -> Seq(cc), 6L -> Seq(chunk("z")))
+    val df = docs.map { case (id, cs) => (id, cs.mkString(" ")) }
+      .toDF("doc_id", "text").repartition(3)
+    val got = CorpusOps.docGraphPageRank(df, iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = reference(docs, 5)
+    assert(got == want)
+    assert(got(6L) == Base, "isolated doc must hold the base rank")
+    // the hub (degree 3) outranks the leaves; 2 and 4 mirror each other
+    // (degree 3 vs 2 — not symmetric), 1 and 5 do (leaf of hub/semi-hub)
+    assert(got(2L) > got(1L) && got(2L) > got(3L))
+    assert(got(4L) > got(5L))
+  }
+
+  test("deterministic across partitionings and repeated runs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val vocab = (1 to 40).map("w" + _)
+    val docs = (1L to 30L).map { id =>
+      (id, Seq.fill(20)(vocab(rnd.nextInt(40))).mkString(" "))
+    }
+    val a = CorpusOps.docGraphPageRank(docs.toDF("doc_id", "text").repartition(1))
+      .collect().toSeq
+    val b = CorpusOps.docGraphPageRank(docs.toDF("doc_id", "text").repartition(7))
+      .collect().toSeq
+    assert(a == b)
+  }
+}
