@@ -27,6 +27,9 @@ import graft.model.VersionVector
  * sbt "runMain graft.tools.Cli <root> index-append <embParquet> <indexPath>"
  * sbt "runMain graft.tools.Cli <root> index-status <indexPath>"
  * sbt "runMain graft.tools.Cli <root> index-search <indexPath> <embParquet> <k> [ids...]"
+ * sbt "runMain graft.tools.Cli <root> pagerank <docsParquet> [iterations] [topK]"
+ * sbt "runMain graft.tools.Cli <root> heavy-hitters <docsParquet> [k] [denom]"
+ * sbt "runMain graft.tools.Cli <root> zorder-write <inParquet> <outDir> <colA> <colB> [files]"
  * }}}
  *
  * The corpus verbs (`dedup`, `bm25`) run the public
@@ -156,6 +159,31 @@ object Cli {
           .collect()
           .foreach(r => println(s"${r.getAs[Long]("query_id")}\t" +
             s"${r.getAs[Int]("rank")}\t${r.getAs[Long]("neighbor_id")}"))
+      case "pagerank" =>
+        // authority scores over a documents parquet; output bounded to
+        // top-k so the collect is k rows by construction
+        val docs = spark.read.parquet(args(2))
+        val iters = if (args.length > 3) args(3).toInt else 5
+        val topK = if (args.length > 4) args(4).toInt else 25
+        graft.operators.CorpusOps.docGraphPageRank(docs, iters)
+          .orderBy(org.apache.spark.sql.functions.col("pr").desc,
+            org.apache.spark.sql.functions.col("doc_id"))
+          .limit(topK).collect()
+          .foreach(r => println(s"${r.getAs[Long]("doc_id")}\t${r.getAs[Long]("pr")}"))
+      case "heavy-hitters" =>
+        // exact tokens holding >= 1/denom of the corpus (two-pass
+        // Misra-Gries; at most denom rows can qualify, so collect is safe)
+        val docs = spark.read.parquet(args(2))
+        val k = if (args.length > 3) args(3).toInt else 1000
+        val denom = if (args.length > 4) args(4).toInt else 500
+        graft.operators.CorpusOps.heavyHitters(docs, k, denom).collect()
+          .foreach(r => println(s"${r.getAs[String]("tok")}\t${r.getAs[Long]("cnt")}"))
+      case "zorder-write" =>
+        // rewrite a parquet table z-clustered on two integral columns
+        val in = spark.read.parquet(args(2))
+        val files = if (args.length > 6) args(6).toInt else 16
+        graft.operators.ZOrderLayout.writeClustered(in, args(4), args(5), files, args(3))
+        println(s"wrote $files z-clustered files to ${args(3)}")
       case other =>
         System.err.println(s"unknown verb: $other")
         sys.exit(2)

@@ -60,9 +60,7 @@ class ZOrderSpec extends SparkSuite {
     }
 
     val zDir = tempDir("zorder")
-    pts.withColumn("z", call_function("graft_zorder", col("x"), col("y")))
-      .repartitionByRange(16, col("z")).sortWithinPartitions("z")
-      .drop("z").write.mode("overwrite").parquet(zDir)
+    graft.operators.ZOrderLayout.writeClustered(pts, "x", "y", 16, zDir)
     val linDir = tempDir("linear")
     pts.repartitionByRange(16, col("x")).sortWithinPartitions("x")
       .write.mode("overwrite").parquet(linDir)
