@@ -219,6 +219,24 @@ object TextQueries {
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy("doc_id")),
 
+    // WEIGHTED Bernoulli sampling: include doc with probability
+    // n_chars/1000 (longer docs proportionally likelier — the "sample by
+    // tokens, not by docs" correction that keeps a length-biased corpus
+    // from under-representing long documents). The coin is the first 28
+    // bits of a salted md5 compared against weight * 2^28 in INTEGER
+    // arithmetic — membership is a pure function of (doc_id, weight), so
+    // the sample is reproducible across engines, partitionings, and
+    // incremental corpus growth, and the whole operator is a codegen'd
+    // filter on the scan: no shuffle, no RNG state, embarrassingly
+    // parallel at any scale.
+    "pipe_sample_weighted" -> ((s, d) =>
+      docs(s, d)
+        .withColumn("h", md5(concat(lit("graft-wt:"), col("doc_id").cast("string"))))
+        .filter(expr("CAST(conv(substring(h, 1, 7), 16, 10) AS BIGINT) * 1000" +
+          " < n_chars * 268435456"))
+        .select(col("doc_id"), col("n_chars"), col("lang"))
+        .orderBy("doc_id")),
+
     // BM25 relevance ranking of the corpus against a term query — the
     // retrieval step of a dedup-then-retrieve pipeline. One scan computes
     // per-doc term frequencies and length (codegen regexp, no explode); the
@@ -424,6 +442,12 @@ object TextQueries {
     "pipe_sample_hash" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE substring(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 4) < '199a'
+        |ORDER BY doc_id""".stripMargin,
+
+    "pipe_sample_weighted" ->
+      """SELECT doc_id, n_chars, lang FROM documents
+        |WHERE ('0x' || substring(md5('graft-wt:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT * 1000
+        |      < n_chars * 268435456
         |ORDER BY doc_id""".stripMargin,
 
     "text_bm25" ->
