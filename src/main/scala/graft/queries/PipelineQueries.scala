@@ -212,6 +212,33 @@ object PipelineQueries {
     // pruning difference). The production write path is
     // repartitionByRange(zval) (sampled boundaries, cluster-scale); the
     // catalog audit uses ntile for deterministic, oracle-checkable cuts.
+    // file-level Bloom data skipping ([[graft.operators.BloomFileIndex]]):
+    // the corpus is laid out in 16 range-clustered files (build-once into
+    // tmp, meta-marker committed like the ANN index), a per-file Bloom
+    // index is built on doc_id, and a point lookup plans over only the
+    // files whose filter fires. Output carries the pruning evidence
+    // (files_read of files_total) next to the found row; no_oracle —
+    // BloomFileIndexSpec proves exactness vs the full scan and the
+    // lossless partial-merge.
+    "pipe_bloom_skip" -> ((s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9._-]", "_")
+      val base = s"${sys.props("java.io.tmpdir")}/graft_bloomidx/v1_$tag"
+      val (dataDir, idxDir) = (s"$base/data", s"$base/idx")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      val marker = new org.apache.hadoop.fs.Path(s"$idxDir/_SUCCESS")
+      if (!fs.exists(marker)) {
+        docs(s, d).repartitionByRange(16, col("doc_id"))
+          .write.mode("overwrite").parquet(dataDir)
+        graft.operators.BloomFileIndex.build(s, dataDir, "doc_id", idxDir)
+      }
+      val hit = graft.operators.BloomFileIndex
+        .lookup(s, dataDir, "doc_id", idxDir, 42L)
+      hit.select(col("doc_id"), col("lang"), col("source"))
+        .withColumn("files_total", lit(16))
+        .withColumn("files_read", lit(hit.inputFiles.length))
+    }),
+
     // document authority via fixed-point PageRank over the co-chunk graph
     // ([[graft.operators.CorpusOps.docGraphPageRank]]): the web pipelines'
     // "rank the pages, weight the sample" step, runnable on a corpus with

@@ -30,6 +30,8 @@ import graft.model.VersionVector
  * sbt "runMain graft.tools.Cli <root> pagerank <docsParquet> [iterations] [topK]"
  * sbt "runMain graft.tools.Cli <root> heavy-hitters <docsParquet> [k] [denom]"
  * sbt "runMain graft.tools.Cli <root> zorder-write <inParquet> <outDir> <colA> <colB> [files]"
+ * sbt "runMain graft.tools.Cli <root> bloom-index <tableDir> <indexDir> <column>"
+ * sbt "runMain graft.tools.Cli <root> bloom-lookup <tableDir> <indexDir> <column> <value>"
  * }}}
  *
  * The corpus verbs (`dedup`, `bm25`) run the public
@@ -184,6 +186,14 @@ object Cli {
         val files = if (args.length > 6) args(6).toInt else 16
         graft.operators.ZOrderLayout.writeClustered(in, args(4), args(5), files, args(3))
         println(s"wrote $files z-clustered files to ${args(3)}")
+      case "bloom-index" =>
+        graft.operators.BloomFileIndex.build(spark, args(2), args(4), args(3))
+        println(s"indexed ${args(2)} on ${args(4)} -> ${args(3)}")
+      case "bloom-lookup" =>
+        val hit = graft.operators.BloomFileIndex.lookup(
+          spark, args(2), args(4), args(3), args(5).toLong)
+        println(s"files_read=${hit.inputFiles.length}")
+        hit.collect().foreach(println)
       case other =>
         System.err.println(s"unknown verb: $other")
         sys.exit(2)
