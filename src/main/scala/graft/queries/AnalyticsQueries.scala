@@ -471,6 +471,21 @@ object AnalyticsQueries {
           try_element_at(col("step_ts_ms"), lit(3)).as("t2_ms"))
         .orderBy("user_id", "window_start_ms")),
 
+    // streaming frequent-items state machine on its batch-degenerate path
+    // ([[graft.streaming.HeavyHittersState]]): hourly tumbling windows over
+    // the event log, Misra-Gries counters per (window, shard) key. k=1024
+    // exceeds the event-type cardinality, so no counter ever decrements and
+    // the emission is EXACT hourly type counts — which is what lets an
+    // oracle check a sketch operator bit-for-bit. The small-k approximate
+    // regime (decrements, guarantee bar, watermark finality) is driven by
+    // HeavyHittersStateSpec on a live MemoryStream.
+    "q_heavy_hitters_state" -> ((s, d) =>
+      graft.streaming.HeavyHittersState.frequentItems(
+          t(s, d, "events"), itemCol = "event_type",
+          windowMs = 3600000L, k = 1024)
+        .toDF()
+        .orderBy("window_start_ms", "item")),
+
     // RANGE-frame window: for every event, activity in the user's trailing
     // hour — a VALUE-based frame (range on epoch micros), not a row count,
     // so sparse and dense users get the same time semantics. One user
@@ -819,6 +834,12 @@ object AnalyticsQueries {
         |  t0 AS t0_ms, t1 AS t1_ms, t2 AS t2_ms
         |FROM a2 WHERE t0 IS NOT NULL
         |ORDER BY user_id, window_start_ms""".stripMargin,
+
+    "q_heavy_hitters_state" ->
+      """SELECT (epoch_ms(ts) // 3600000) * 3600000 AS window_start_ms,
+        |  event_type AS item, COUNT(*) AS count_lb
+        |FROM events GROUP BY 1, 2
+        |ORDER BY window_start_ms, item""".stripMargin,
 
     "q_window_range" ->
       """SELECT user_id, event_id,
