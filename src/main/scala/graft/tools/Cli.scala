@@ -32,6 +32,7 @@ import graft.model.VersionVector
  * sbt "runMain graft.tools.Cli <root> zorder-write <inParquet> <outDir> <colA> <colB> [files]"
  * sbt "runMain graft.tools.Cli <root> bloom-index <tableDir> <indexDir> <column>"
  * sbt "runMain graft.tools.Cli <root> bloom-lookup <tableDir> <indexDir> <column> <value>"
+ * sbt "runMain graft.tools.Cli <root> compact-table <tableDir> [targetMB]"
  * }}}
  *
  * The corpus verbs (`dedup`, `bm25`) run the public
@@ -194,6 +195,11 @@ object Cli {
           spark, args(2), args(4), args(3), args(5).toLong)
         println(s"files_read=${hit.inputFiles.length}")
         hit.collect().foreach(println)
+      case "compact-table" =>
+        val targetMB = if (args.length > 3) args(3).toLong else 128L
+        val (b, a) = graft.operators.Compaction.compactInPlace(
+          spark, args(2), targetMB << 20)
+        println(s"compacted ${args(2)}: $b -> $a files")
       case other =>
         System.err.println(s"unknown verb: $other")
         sys.exit(2)
