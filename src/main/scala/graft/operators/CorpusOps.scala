@@ -935,8 +935,13 @@ object CorpusOps {
       .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
+    // the edge table feeds EVERY iteration; materialize it once or the
+    // final plan re-derives chunks + self-join + distinct per round
+    // (measured 4x on the bench query). Same lineage-truncation pattern
+    // as connectedComponents' per-round checkpoint.
     val edges = pairs.join(
-      pairs.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+        pairs.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      .localCheckpoint(true)
     val nodes = documents.select("doc_id")
     var ranks = nodes.withColumn("pr", lit(Scale))
     for (_ <- 1 to iterations) {
