@@ -479,6 +479,49 @@ final class FloEngine(val spark: SparkSession, val root: String) {
     consume(stream, namespaceGlob,
       VersionVector.zero(declaredPartitions(stream)), maxEvents)
 
+  private def nsIndexDir(stream: String): String =
+    s"${streamDir(stream)}/_ns_bloom" // _-prefixed: hidden from data scans
+
+  /**
+   * Build (or refresh) the per-segment-file namespace Bloom index — the
+   * unordered-key twin of the counter seek (S4): counters prune segments
+   * via parquet min/max because they're monotone; namespaces are
+   * arbitrary strings, so each segment file gets a Bloom filter instead
+   * ([[graft.operators.BloomFileIndex]]). Typically run after
+   * [[compact]]/[[compactSmall]], which is when the file set settles.
+   */
+  def indexNamespaces(stream: String, fpp: Double = 0.01): Unit = {
+    if (!streamExists(stream)) throw new NoSuchStream(stream)
+    graft.operators.BloomFileIndex.buildFrom(
+      read(stream), "namespace", nsIndexDir(stream), fpp)
+  }
+
+  /**
+   * Exact-namespace consume through the index: only segment files whose
+   * Bloom filter fires (plus any file produced after the last
+   * [[indexNamespaces]] — unindexed files are always scanned, so a stale
+   * index is slower, never wrong) are planned, then the usual vv seek,
+   * counter order, and limit apply. Falls back to a plain literal-glob
+   * consume when the index has never been built.
+   */
+  def consumeIndexed(
+      stream: String,
+      namespace: String,
+      vv: VersionVector = VersionVector.empty,
+      maxEvents: Option[Long] = None): DataFrame = {
+    if (!streamExists(stream)) throw new NoSuchStream(stream)
+    val effVv =
+      if (vv.entries.isEmpty) VersionVector.zero(declaredPartitions(stream)) else vv
+    val idxExists = fs(root).exists(new Path(s"${nsIndexDir(stream)}/_SUCCESS"))
+    if (!idxExists) return consume(stream, namespace, effVv, maxEvents)
+    val base = graft.operators.BloomFileIndex
+      .lookup(spark, streamDir(stream), "namespace", nsIndexDir(stream), namespace)
+      .filter(effVv.toPredicate(col("partition"), col("event_counter")))
+      .orderBy(col("event_counter"), col("partition"))
+    maxEvents.filter(_ > 0).fold(base)(n =>
+      base.limit(math.min(n, Int.MaxValue.toLong).toInt))
+  }
+
   // -------------------------------------------------------------- streaming
 
   /**

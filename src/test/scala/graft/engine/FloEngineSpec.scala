@@ -481,4 +481,35 @@ class FloEngineSpec extends SparkSuite {
     assert(spark.table("vvseek").orderBy("event_counter")
       .collect().map(_.getAs[Long]("event_counter")).toSeq == Seq(8L, 9L, 10L))
   }
+
+  test("namespace bloom index: pruned consume matches, appends stay visible") {
+    val (e, _) = newEngine(partitions = 2)
+    // 6 produce batches -> >= 6 segment files, each dominated by one namespace
+    for (b <- 1 to 6; p <- 1 to 2) {
+      e.produceStrings("default", p,
+        (1 to 10).map(i => (s"/topic/t$b", s"b$b-p$p-$i")))
+    }
+    e.indexNamespaces("default")
+
+    val viaIndex = e.consumeIndexed("default", "/topic/t3")
+    val viaGlob = e.consumeAll("default", "/topic/t3")
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("event_counter"), r.getAs[Int]("partition"),
+        r.getAs[String]("namespace"))).toSeq
+    assert(canon(viaIndex) == canon(viaGlob))
+    assert(viaIndex.count() == 20)
+    // the index pruned: only the files holding /topic/t3 are planned
+    val all = e.read("default").inputFiles.length
+    assert(viaIndex.inputFiles.length < all,
+      s"no pruning: ${viaIndex.inputFiles.length} of $all files")
+
+    // events produced AFTER the index build must still be found (stale
+    // index degrades to scanning the unindexed tail, never to a miss)
+    e.produceStrings("default", 1, Seq("/topic/t9" -> "late"))
+    assert(e.consumeIndexed("default", "/topic/t9").count() == 1)
+    // and a stream with no index at all falls back to the glob consume
+    val (e2, _) = newEngine()
+    e2.produceStrings("default", 1, Seq("/x" -> "1"))
+    assert(e2.consumeIndexed("default", "/x").count() == 1)
+  }
 }
