@@ -269,6 +269,66 @@ object Multimodal {
     }
   }
 
+  /**
+   * 64-bit average hash (aHash) of an image payload: resize the decoded
+   * raster to 8×8 (real dims when the payload is BMP), set bit i iff
+   * pixel i exceeds the integer mean. The classic perceptual fingerprint:
+   * stable under resize/brightness-preserving edits, so near-identical
+   * images land within a few bits of each other. All-integer math —
+   * deterministic across JVMs and partitionings.
+   */
+  def averageHash(data: Array[Byte]): Long = {
+    val px = decodeBmp(data) match {
+      case Some((w, h, p)) => resizeNearest(p, w, h, 8, 8)
+      case None => resizeNearest(decodeImageStub(data), 8, 8)
+    }
+    val mean = px.map(_.toLong).sum / 64
+    var hash = 0L
+    var i = 0
+    while (i < 64) {
+      if (px(i) > mean) hash |= (1L << i)
+      i += 1
+    }
+    hash
+  }
+
+  final case class ImageHash(doc_id: Long, ahash: Long)
+
+  /** Per-item aHash — one mapPartitions pass, same batch shape as
+    * [[featurize]]. */
+  def imageHashes(items: Dataset[MediaItem]): Dataset[ImageHash] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions(_.map(i => ImageHash(i.doc_id, averageHash(i.data))))
+  }
+
+  /**
+   * Image near-duplicate pairs by aHash hamming distance — the visual
+   * twin of the text SimHash path, same banded plan: the 64-bit hash
+   * splits into 4×16-bit bands; two hashes within hamming `maxHamming`
+   * ≤ 3 share at least one band (pigeonhole), so candidate generation is
+   * a band-value hash join on id+band rows — never an all-pairs product —
+   * and the exact `bit_count(xor)` verify runs only on band collisions.
+   * Returns (doc_a, doc_b, hamming), canonical a < b.
+   */
+  def imageNearDupPairs(
+      items: Dataset[MediaItem], maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      s"4 bands guarantee recall only to hamming 3, got $maxHamming")
+    val hashes = imageHashes(items).toDF()
+    val bands = hashes.select(col("doc_id"), col("ahash"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("band_val",
+        expr("shiftright(ahash, 16 * band) & 65535"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.ahash ^ b.ahash)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   // ---------------------------------------------------------------- audio
 
   /** An audio item: opaque payload + typed metadata. */

@@ -117,6 +117,28 @@ object MultimodalQueries {
         .select(col("doc_id"), col("feature_dim"),
           (floor(expr("graft_dot(f, f)") * 10000) / 10000).as("thumb_energy"))
         .orderBy("doc_id")
+    }),
+
+    // image near-dup by perceptual hash: every 10th doc's image gets a
+    // lightly-perturbed probe twin (one character case-flipped -> a few
+    // raster pixels shift), and the banded aHash join must recover each
+    // (original, probe) pair within hamming 3 — the visual dedup a crawl
+    // pipeline runs on figures/screenshots. no_oracle (the decode stack
+    // is JVM-side); MultimodalSpec pins hash stability, planted recall,
+    // and the no-all-pairs plan shape.
+    "mm_image_neardup" -> ((s, d) => {
+      import s.implicits._
+      val base = Multimodal.documentsAsMedia(s, d)
+      val probes = base.filter(_.doc_id % 10 == 0).map { m =>
+        val px = Multimodal.decodeBmp(m.data).get._3
+        // nudge one pixel: below-mean stays below (ascii letters ~97-122,
+        // +1 keeps the 8x8 block means effectively unchanged)
+        val px2 = px.clone(); px2(0) = math.min(255, px2(0) + 1)
+        m.copy(doc_id = m.doc_id + 10000000L,
+          data = Multimodal.encodeBmp(px2, m.width, m.height))
+      }
+      Multimodal.imageNearDupPairs(base.union(probes), maxHamming = 3)
+        .orderBy("doc_a", "doc_b")
     }))
 
   val oracles: Map[String, String] = Map(

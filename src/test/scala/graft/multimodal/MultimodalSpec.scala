@@ -241,4 +241,46 @@ class MultimodalSpec extends SparkSuite {
     assert(sumSq == 800L)     // 8 * 100
     assert(crossings == 7)    // strict alternation
   }
+
+  test("aHash: stable on identity, near on a 1-px nudge, far on unrelated rasters") {
+    val w = 20
+    val base = Array.tabulate(w * w)(i => (i * 7) % 256)
+    val bmp = Multimodal.encodeBmp(base, w, w)
+    assert(Multimodal.averageHash(bmp) == Multimodal.averageHash(bmp.clone()))
+    val nudged = base.clone(); nudged(0) = math.min(255, nudged(0) + 1)
+    val dNear = java.lang.Long.bitCount(
+      Multimodal.averageHash(bmp) ^
+        Multimodal.averageHash(Multimodal.encodeBmp(nudged, w, w)))
+    assert(dNear <= 3, s"1-px nudge moved $dNear bits")
+    val other = Array.tabulate(w * w)(i => ((i / w) * 37 + i * 13) % 256)
+    val dFar = java.lang.Long.bitCount(
+      Multimodal.averageHash(bmp) ^
+        Multimodal.averageHash(Multimodal.encodeBmp(other, w, w)))
+    assert(dFar > 3, s"unrelated rasters landed $dFar bits apart")
+  }
+
+  test("banded image near-dup recovers every planted probe pair, no all-pairs join") {
+    import spark.implicits._
+    val items = (1L to 60L).map { id =>
+      val px = Array.tabulate(144)(i => ((id * 31 + i * 17) % 256).toInt)
+      Multimodal.MediaItem(id, "image", Multimodal.encodeBmp(px, 12, 12), 12, 12)
+    }
+    val probes = items.filter(_.doc_id % 5 == 0).map { m =>
+      val px = Multimodal.decodeBmp(m.data).get._3
+      val px2 = px.clone(); px2(1) = math.min(255, px2(1) + 1)
+      m.copy(doc_id = m.doc_id + 1000L,
+        data = Multimodal.encodeBmp(px2, 12, 12))
+    }
+    val ds = spark.createDataset(items ++ probes)
+    val pairs = Multimodal.imageNearDupPairs(ds, maxHamming = 3)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    probes.foreach { p =>
+      assert(got.contains((p.doc_id - 1000L, p.doc_id)),
+        s"planted pair for ${p.doc_id - 1000L} missed")
+    }
+    // the plan generates candidates via the band join, not a cross product
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
