@@ -27,6 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.heavyHittersFunction)
     ext.injectFunction(GraftExtensions.bloomContainsFunction)
     ext.injectFunction(GraftExtensions.zorderFunction)
+    ext.injectTableFunction(GraftExtensions.consumeTableFunction)
     ext.injectPlannerStrategy(_ => graft.plans.GraftStrategies)
     ext.injectOptimizerRule(_ => graft.plans.PruneAsofMergeJoin)
     ext.injectOptimizerRule(_ => graft.plans.PruneIntervalMergeJoin)
@@ -171,6 +172,44 @@ object GraftExtensions {
       ZOrderCode(children.head, children(1))
     })
 
+  /**
+   * `graft_consume('root', 'stream'[, 'glob'[, maxEvents]])` as a TABLE
+   * function — the consume lifecycle surfaced to the SQL front end
+   * directly in FROM position:
+   * {{{ SELECT namespace FROM graft_consume('/data/flo', 'default', '/events/&#42;') }}}
+   * (where [[graft.engine.FloEngine.registerView]] names ONE stream as a
+   * view, the TVF reaches any stream of any root per query). Arguments
+   * must be literals: the engine path and glob compile into the scan at
+   * plan time — same pushdown as the programmatic consume.
+   */
+  private val consumeTableFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) = (
+    FunctionIdentifier("graft_consume"),
+    new ExpressionInfo(classOf[graft.engine.FloEngine].getName, "graft_consume"),
+    { (children: Seq[Expression]) =>
+      def str(e: Expression, name: String): String = e match {
+        case Literal(s: UTF8String, org.apache.spark.sql.types.StringType) => s.toString
+        case _ => throw new IllegalArgumentException(
+          s"graft_consume: $name must be a string literal, got $e")
+      }
+      def num(e: Expression): Long = e match {
+        case Literal(v: Int, _) => v.toLong
+        case Literal(v: Long, _) => v
+        case _ => throw new IllegalArgumentException(
+          s"graft_consume: maxEvents must be an integer literal, got $e")
+      }
+      val (root, stream, glob, limit) = children match {
+        case Seq(r, s) => (str(r, "root"), str(s, "stream"), "/**/*", None)
+        case Seq(r, s, g) => (str(r, "root"), str(s, "stream"), str(g, "glob"), None)
+        case Seq(r, s, g, n) =>
+          (str(r, "root"), str(s, "stream"), str(g, "glob"), Some(num(n)))
+        case _ => throw new IllegalArgumentException(
+          "graft_consume expects (root, stream[, glob[, maxEvents]])")
+      }
+      new graft.engine.FloEngine(SparkSession.active, root)
+        .consumeAll(stream, glob, limit)
+        .queryExecution.logical
+    })
+
   /** Runtime registration into an existing session (idempotent). */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -180,6 +219,11 @@ object GraftExtensions {
       if (!registry.functionExists(fn._1)) {
         registry.registerFunction(fn._1, fn._2, fn._3)
       }
+    }
+    val tvfRegistry = spark.sessionState.tableFunctionRegistry
+    if (!tvfRegistry.functionExists(consumeTableFunction._1)) {
+      tvfRegistry.registerFunction(
+        consumeTableFunction._1, consumeTableFunction._2, consumeTableFunction._3)
     }
   }
 }

@@ -386,6 +386,29 @@ class FloEngineSpec extends SparkSuite {
     spark.catalog.dropTempView(view)
   }
 
+  test("graft_consume table function: any stream in FROM position, pure SQL") {
+    val root = tempDir("flo-tvf")
+    val e = new FloEngine(spark, root)
+    e.createStream(graft.engine.FloEngine.EventStreamOptions("default", numPartitions = 1))
+    e.produceStrings("default", 1,
+      Seq("/a/x" -> "1", "/b/y" -> "2", "/a/z" -> "3"))
+    graft.expressions.GraftExtensions.register(spark)
+    val rows = spark.sql(
+      s"SELECT event_counter, namespace FROM graft_consume('$root', 'default', '/a/*')")
+      .collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "/a/x"), (3L, "/a/z")))
+    // limit argument + join against another relation in the same query
+    val joined = spark.sql(
+      s"""SELECT c.namespace FROM graft_consume('$root', 'default', '/**/*', 2) c
+         |JOIN (SELECT '/a/x' AS ns) probe ON c.namespace = probe.ns""".stripMargin)
+    assert(joined.collect().map(_.getString(0)).toSeq == Seq("/a/x"))
+    // non-literal / unknown-stream arguments fail loudly, not silently
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_consume('$root', 'nope')").collect()
+    }
+  }
+
   test("a fresh engine always hosts the system stream (engine/mod.rs:34-38)") {
     val root = tempDir("flo-system")
     val e = new FloEngine(spark, root)
