@@ -212,6 +212,34 @@ object PipelineQueries {
     // pruning difference). The production write path is
     // repartitionByRange(zval) (sampled boundaries, cluster-scale); the
     // catalog audit uses ntile for deterministic, oracle-checkable cuts.
+    // ANALYZE-style column statistics in ONE scan: per column, row count,
+    // nulls, exact distinct count, lexicographic min/max (string-cast so
+    // the 6-stat row shape is uniform across types and engine-exact).
+    // Multiple COUNT(DISTINCT)s in one aggregate plan via Expand (one
+    // pass over the data, rows x columns intermediate) — the right shape
+    // while ndv per column is shuffle-bounded; at petabyte scale swap the
+    // exact ndv for HLL partials per column and keep the same one-scan
+    // plan. The stats feed the planner's own CBO as well as pipeline
+    // data-quality gates (a column whose ndv or null rate drifts is the
+    // first sign of an upstream schema break).
+    "pipe_column_stats" -> ((s, d) => {
+      val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+      val base = docs(s, d)
+      val agg = base.agg(
+        count(lit(1)).as("n"),
+        cols.flatMap(c => Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"),
+          countDistinct(col(c)).as(s"ndv_$c"),
+          min(col(c).cast("string")).as(s"min_$c"),
+          max(col(c).cast("string")).as(s"max_$c"))): _*)
+      val stacked = cols.map { c =>
+        agg.select(lit(c).as("column"), col("n"),
+          col(s"nulls_$c").as("nulls"), col(s"ndv_$c").as("ndv"),
+          col(s"min_$c").as("min_s"), col(s"max_$c").as("max_s"))
+      }.reduce(_ unionAll _)
+      stacked.orderBy("column")
+    }),
+
     // file-level Bloom data skipping ([[graft.operators.BloomFileIndex]]):
     // the corpus is laid out in 16 range-clustered files (build-once into
     // tmp, meta-marker committed like the ANN index), a per-file Bloom
@@ -323,6 +351,15 @@ object PipelineQueries {
   }
 
   val oracles: Map[String, String] = Map(
+
+    "pipe_column_stats" -> Seq("doc_id", "text", "lang", "source", "n_chars")
+      .map { c =>
+        s"""SELECT '$c' AS "column", COUNT(*) AS n,
+           |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
+           |  COUNT(DISTINCT $c) AS ndv,
+           |  MIN(CAST($c AS VARCHAR)) AS min_s, MAX(CAST($c AS VARCHAR)) AS max_s
+           |FROM documents""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\""),
 
     "pipe_pagerank" -> pagerankSql(5),
 
