@@ -314,19 +314,7 @@ object Multimodal {
       items: Dataset[MediaItem], maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3,
       s"4 bands guarantee recall only to hamming 3, got $maxHamming")
-    val hashes = imageHashes(items).toDF()
-    val bands = hashes.select(col("doc_id"), col("ahash"),
-        explode(sequence(lit(0), lit(3))).as("band"))
-      .withColumn("band_val",
-        expr("shiftright(ahash, 16 * band) & 65535"))
-    bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") &&
-          col("a.band_val") === col("b.band_val") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        expr("bit_count(a.ahash ^ b.ahash)").as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
+    bandedHammingPairs(imageHashes(items).toDF(), maxHamming)
   }
 
   // ---------------------------------------------------------------- audio
@@ -425,6 +413,68 @@ object Multimodal {
    * rounding boundaries). Each waveform ships as a genuine RIFF/WAVE file,
    * so the pipeline exercises a real encode → decode → featurize loop.
    */
+  /**
+   * 64-bit audio fingerprint: the WAV decodes to PCM16, the waveform
+   * splits into 64 equal frames, each frame's mean |amplitude| is its
+   * integer energy, and bit i is set iff frame i's energy exceeds the
+   * integer mean of all 64 — the audio twin of [[averageHash]] (and the
+   * energy-profile reduction of landmark fingerprints): stable under
+   * small edits, all-integer, deterministic.
+   */
+  def audioFingerprint(data: Array[Byte]): Long = {
+    val samples = decodeWavPcm16(data).map(_._2).getOrElse(Array.empty[Short])
+    if (samples.isEmpty) return 0L
+    val energies = Array.tabulate(64) { f =>
+      val lo = (f.toLong * samples.length / 64).toInt
+      val hi = ((f + 1).toLong * samples.length / 64).toInt
+      if (hi <= lo) 0L
+      else {
+        var s = 0L
+        var i = lo
+        while (i < hi) { s += math.abs(samples(i).toLong); i += 1 }
+        s / (hi - lo)
+      }
+    }
+    val mean = energies.sum / 64
+    var hash = 0L
+    var i = 0
+    while (i < 64) {
+      if (energies(i) > mean) hash |= (1L << i)
+      i += 1
+    }
+    hash
+  }
+
+  /** Audio near-duplicate pairs by fingerprint hamming distance — the
+    * same 4×16-bit band pigeonhole plan as [[imageNearDupPairs]]. */
+  def audioNearDupPairs(
+      items: Dataset[AudioItem], maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      s"4 bands guarantee recall only to hamming 3, got $maxHamming")
+    import items.sparkSession.implicits._
+    val hashes = items
+      .mapPartitions(_.map(a => ImageHash(a.doc_id, audioFingerprint(a.data))))
+      .toDF()
+    bandedHammingPairs(hashes, maxHamming)
+  }
+
+  /** Shared banded hamming self-join over (doc_id, ahash) rows. */
+  private[multimodal] def bandedHammingPairs(
+      hashes: DataFrame, maxHamming: Int): DataFrame = {
+    val bands = hashes.select(col("doc_id"), col("ahash"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("band_val",
+        expr("shiftright(ahash, 16 * band) & 65535"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.ahash ^ b.ahash)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   def documentsAsAudio(spark: SparkSession, sfDir: String): Dataset[AudioItem] = {
     import spark.implicits._
     graft.Tables.load(spark, sfDir, "documents")

@@ -139,6 +139,24 @@ object MultimodalQueries {
       }
       Multimodal.imageNearDupPairs(base.union(probes), maxHamming = 3)
         .orderBy("doc_a", "doc_b")
+    }),
+
+    // audio near-dup by energy-profile fingerprint — same planted-probe
+    // protocol and banded plan as mm_image_neardup, over the WAV corpus
+    // (a one-sample amplitude nudge must stay within hamming 3; unrelated
+    // waveforms must not band-collide their way in). no_oracle; spec
+    // covers stability, recall, and the plan shape via the shared kernel.
+    "mm_audio_neardup" -> ((s, d) => {
+      import s.implicits._
+      val base = Multimodal.documentsAsAudio(s, d)
+      val probes = base.filter(_.doc_id % 10 == 0).map { a =>
+        val (rate, samples) = Multimodal.decodeWavPcm16(a.data).get
+        val s2 = samples.clone(); s2(0) = (s2(0) + 1).toShort
+        a.copy(doc_id = a.doc_id + 10000000L,
+          data = Multimodal.encodeWavPcm16(s2, rate))
+      }
+      Multimodal.audioNearDupPairs(base.union(probes), maxHamming = 3)
+        .orderBy("doc_a", "doc_b")
     }))
 
   val oracles: Map[String, String] = Map(

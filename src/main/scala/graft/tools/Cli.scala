@@ -33,6 +33,8 @@ import graft.model.VersionVector
  * sbt "runMain graft.tools.Cli <root> bloom-index <tableDir> <indexDir> <column>"
  * sbt "runMain graft.tools.Cli <root> bloom-lookup <tableDir> <indexDir> <column> <value>"
  * sbt "runMain graft.tools.Cli <root> compact-table <tableDir> [targetMB]"
+ * sbt "runMain graft.tools.Cli <root> ns-index <stream>"
+ * sbt "runMain graft.tools.Cli <root> consume-ns <stream> <namespace> [limit]"
  * }}}
  *
  * The corpus verbs (`dedup`, `bm25`) run the public
@@ -195,6 +197,18 @@ object Cli {
           spark, args(2), args(4), args(3), args(5).toLong)
         println(s"files_read=${hit.inputFiles.length}")
         hit.collect().foreach(println)
+      case "ns-index" =>
+        engine.indexNamespaces(args(2))
+        println(s"namespace index built for ${args(2)}")
+      case "consume-ns" =>
+        // exact-namespace consume through the segment Bloom index
+        val limit = if (args.length > 4) Some(args(4).toLong) else None
+        engine.consumeIndexed(args(2), args(3), maxEvents = limit)
+          .collect().foreach { r =>
+            println(s"${r.getAs[Long]("event_counter")}.${r.getAs[Int]("partition")} " +
+              s"${r.getAs[String]("namespace")} " +
+              new String(Option(r.getAs[Array[Byte]]("data")).getOrElse(Array.empty), "UTF-8"))
+          }
       case "compact-table" =>
         val targetMB = if (args.length > 3) args(3).toLong else 128L
         val (b, a) = graft.operators.Compaction.compactInPlace(

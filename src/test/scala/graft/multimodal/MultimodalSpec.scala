@@ -259,6 +259,48 @@ class MultimodalSpec extends SparkSuite {
     assert(dFar > 3, s"unrelated rasters landed $dFar bits apart")
   }
 
+  test("audio fingerprint: stable, near on a 1-sample nudge, far on a different waveform") {
+    val rate = 8000
+    val saw = Array.tabulate(800)(i => ((i % 50) * 40 - 1000).toShort)
+    val wav = Multimodal.encodeWavPcm16(saw, rate)
+    assert(Multimodal.audioFingerprint(wav) == Multimodal.audioFingerprint(wav.clone()))
+    val nudged = saw.clone(); nudged(0) = (nudged(0) + 1).toShort
+    val dNear = java.lang.Long.bitCount(
+      Multimodal.audioFingerprint(wav) ^
+        Multimodal.audioFingerprint(Multimodal.encodeWavPcm16(nudged, rate)))
+    assert(dNear <= 3, s"1-sample nudge moved $dNear bits")
+    // rising ramp vs periodic sawtooth: opposite energy profile
+    val ramp = Array.tabulate(800)(i => (i * 2 - 800).toShort)
+    val dFar = java.lang.Long.bitCount(
+      Multimodal.audioFingerprint(wav) ^
+        Multimodal.audioFingerprint(Multimodal.encodeWavPcm16(ramp, rate)))
+    assert(dFar > 3, s"unrelated waveforms landed $dFar bits apart")
+  }
+
+  test("banded audio near-dup recovers planted nudged twins") {
+    import spark.implicits._
+    val rate = 8000
+    val items = (1L to 40L).map { id =>
+      val n = 400 + (id % 7).toInt * 60
+      val p = 30 + (id % 11).toInt * 4
+      val samples = Array.tabulate(n)(i => (((i % p) * (20 + id % 9) - 500)).toShort)
+      Multimodal.AudioItem(id, "audio",
+        Multimodal.encodeWavPcm16(samples, rate), rate, n)
+    }
+    val probes = items.filter(_.doc_id % 4 == 0).map { a =>
+      val (r, s) = Multimodal.decodeWavPcm16(a.data).get
+      val s2 = s.clone(); s2(0) = (s2(0) + 1).toShort
+      a.copy(doc_id = a.doc_id + 1000L, data = Multimodal.encodeWavPcm16(s2, r))
+    }
+    val got = Multimodal.audioNearDupPairs(
+        spark.createDataset(items ++ probes), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    probes.foreach { p =>
+      assert(got.contains((p.doc_id - 1000L, p.doc_id)),
+        s"planted pair for ${p.doc_id - 1000L} missed")
+    }
+  }
+
   test("banded image near-dup recovers every planted probe pair, no all-pairs join") {
     import spark.implicits._
     val items = (1L to 60L).map { id =>
