@@ -35,6 +35,8 @@ import graft.model.VersionVector
  * sbt "runMain graft.tools.Cli <root> compact-table <tableDir> [targetMB]"
  * sbt "runMain graft.tools.Cli <root> ns-index <stream>"
  * sbt "runMain graft.tools.Cli <root> consume-ns <stream> <namespace> [limit]"
+ * sbt "runMain graft.tools.Cli <root> import-jsonl <jsonlDir> <outParquet>"
+ * sbt "runMain graft.tools.Cli <root> export-jsonl <docsParquet> <outDir> [files]"
  * }}}
  *
  * The corpus verbs (`dedup`, `bm25`) run the public
@@ -209,6 +211,18 @@ object Cli {
               s"${r.getAs[String]("namespace")} " +
               new String(Option(r.getAs[Array[Byte]]("data")).getOrElse(Array.empty), "UTF-8"))
           }
+      case "import-jsonl" =>
+        // JSONL -> parquet ingest with a corruption audit up front
+        val bad = graft.operators.CorpusIO.countCorrupt(spark, args(2))
+        graft.operators.CorpusIO.readJsonl(spark, args(2))
+          .write.mode("overwrite").parquet(args(3))
+        val n = spark.read.parquet(args(3)).count()
+        println(s"imported $n docs to ${args(3)} ($bad corrupt lines skipped)")
+      case "export-jsonl" =>
+        val files = if (args.length > 4) args(4).toInt else 0
+        graft.operators.CorpusIO.writeJsonl(
+          spark.read.parquet(args(2)), args(3), files)
+        println(s"exported ${args(2)} as jsonl to ${args(3)}")
       case "compact-table" =>
         val targetMB = if (args.length > 3) args(3).toLong else 128L
         val (b, a) = graft.operators.Compaction.compactInPlace(
