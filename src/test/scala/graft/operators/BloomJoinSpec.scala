@@ -45,6 +45,36 @@ class BloomJoinSpec extends SparkSuite {
     assert(surviving.size < 1200, s"filter barely pruned: ${surviving.size} rows survive")
   }
 
+  test("Spark's injected runtime bloom filter is the built-in twin (SPARK-32268)") {
+    import spark.implicits._
+    // parquet-backed so the optimizer sees scan sizes
+    val factDir = tempDir("rtbloom-fact")
+    val dimDir = tempDir("rtbloom-dim")
+    (1L to 20000L).map(i => (i % 1000, i)).toDF("fk", "payload")
+      .write.mode("overwrite").parquet(factDir)
+    (1L to 1000L).map(i => (i, s"d$i")).toDF("dk", "tag")
+      .write.mode("overwrite").parquet(dimDir)
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      // local test tables are far below the 10 GB application-side default
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = spark.read.parquet(factDir)
+      val dim = spark.read.parquet(dimDir).filter(col("tag") === "d7")
+      val joined = fact.join(dim, col("fk") === col("dk"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("bloom_filter") || plan.contains("BloomFilter"),
+        s"runtime filter did not inject:\n$plan")
+      assert(joined.count() == 20) // 20000/1000 occurrences of the one key
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("probe runs below the join in the executed plan (null keys drop, like inner join)") {
     import spark.implicits._
     // parquet-backed fact: over a LocalRelation the probe predicate is
