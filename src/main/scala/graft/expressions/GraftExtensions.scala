@@ -27,6 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.heavyHittersFunction)
     ext.injectFunction(GraftExtensions.bloomContainsFunction)
     ext.injectFunction(GraftExtensions.zorderFunction)
+    ext.injectFunction(GraftExtensions.zorder3Function)
     ext.injectTableFunction(GraftExtensions.consumeTableFunction)
     ext.injectPlannerStrategy(_ => graft.plans.GraftStrategies)
     ext.injectOptimizerRule(_ => graft.plans.PruneAsofMergeJoin)
@@ -172,6 +173,15 @@ object GraftExtensions {
       ZOrderCode(children.head, children(1))
     })
 
+  /** `graft_zorder3(x, y, z)`: 63-bit Morton code of three integral keys. */
+  private val zorder3Function: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_zorder3"),
+    new ExpressionInfo(classOf[ZOrderCode3].getName, "graft_zorder3"),
+    { (children: Seq[Expression]) =>
+      require(children.size == 3, "graft_zorder3 expects exactly 3 arguments")
+      ZOrderCode3(children.head, children(1), children(2))
+    })
+
   /**
    * `graft_consume('root', 'stream'[, 'glob'[, maxEvents]])` as a TABLE
    * function — the consume lifecycle surfaced to the SQL front end
@@ -215,7 +225,7 @@ object GraftExtensions {
     val registry = spark.sessionState.functionRegistry
     Seq(dotFunction, nsGlobFunction, lshBandsFunction, unitFunction,
         subFunction, int8StatsFunction, topKFunction, heavyHittersFunction,
-        bloomContainsFunction, zorderFunction).foreach { fn =>
+        bloomContainsFunction, zorderFunction, zorder3Function).foreach { fn =>
       if (!registry.functionExists(fn._1)) {
         registry.registerFunction(fn._1, fn._2, fn._3)
       }

@@ -51,6 +51,42 @@ case class ZOrderCode(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `graft_zorder3(x, y, z)` — 63-bit Morton code of three keys (21 bits
+  * each, stride 3): the 3-dimensional layout key for tables queried by
+  * three independent range predicates (e.g. user × time × value). Same
+  * design notes as [[ZOrderCode]]. */
+case class ZOrderCode3(first: Expression, second: Expression, third: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_zorder3"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(ByteType, ShortType, IntegerType, LongType)
+    if (Seq(first, second, third).forall(e => ok.contains(e.dataType))) {
+      TypeCheckResult.TypeCheckSuccess
+    } else {
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_zorder3: all keys must be integral, got " +
+          Seq(first, second, third).map(_.dataType).mkString(", "))
+    }
+  }
+
+  override def nullSafeEval(x: Any, y: Any, z: Any): Any =
+    ZOrderCodes.interleave3(
+      x.asInstanceOf[Number].longValue(),
+      y.asInstanceOf[Number].longValue(),
+      z.asInstanceOf[Number].longValue())
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, y, z) =>
+      s"graft.expressions.ZOrderCodes.interleave3((long) $x, (long) $y, (long) $z)")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): ZOrderCode3 =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 object ZOrderCodes {
 
   /** Spread the low 32 bits of v onto the even bit positions of a long. */
@@ -66,4 +102,19 @@ object ZOrderCodes {
 
   /** Morton code: x on even bits, y on odd. Inputs truncate to 32 bits. */
   def interleave(x: Long, y: Long): Long = spread(x) | (spread(y) << 1)
+
+  /** Spread the low 21 bits of v to every third bit position. */
+  def spread3(v: Long): Long = {
+    var x = v & 0x1fffffL
+    x = (x | (x << 32)) & 0x001f00000000ffffL
+    x = (x | (x << 16)) & 0x001f0000ff0000ffL
+    x = (x | (x << 8)) & 0x100f00f00f00f00fL
+    x = (x | (x << 4)) & 0x10c30c30c30c30c3L
+    x = (x | (x << 2)) & 0x1249249249249249L
+    x
+  }
+
+  /** 3-key Morton code, 21 bits per key, stride 3. */
+  def interleave3(x: Long, y: Long, z: Long): Long =
+    spread3(x) | (spread3(y) << 1) | (spread3(z) << 2)
 }

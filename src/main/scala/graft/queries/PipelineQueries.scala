@@ -267,6 +267,39 @@ object PipelineQueries {
         .withColumn("files_read", lit(hit.inputFiles.length))
     }),
 
+    // 3-key z-order ([[graft.expressions.ZOrderCode3]]): events clustered
+    // on (user, second, cent-value) — the user × time × amount layout a
+    // billing/event store actually serves range queries against on all
+    // three axes. Same ntile audit protocol as pipe_zorder; envelopes
+    // must tighten on ALL THREE dims per bucket.
+    "pipe_zorder3" -> ((s, d) => {
+      graft.expressions.GraftExtensions.register(s)
+      val base = events(s, d).select(
+        col("event_id"), col("user_id").as("u"),
+        expr("unix_micros(ts) div 1000000").as("sec"),
+        floor(col("value") * 100).cast("long").as("v100"))
+      val b = base.agg(
+        min("u").as("minu"), max("u").as("maxu"),
+        min("sec").as("mins"), max("sec").as("maxs"),
+        min("v100").as("minv"), max("v100").as("maxv"))
+      val scaled = base.crossJoin(broadcast(b)).select(
+        col("event_id"),
+        expr("(u - minu) * 65535 div greatest(maxu - minu, 1)").as("xs"),
+        expr("(sec - mins) * 65535 div greatest(maxs - mins, 1)").as("ys"),
+        expr("(v100 - minv) * 65535 div greatest(maxv - minv, 1)").as("zs"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("zval", "event_id")
+      scaled
+        .withColumn("zval",
+          call_function("graft_zorder3", col("xs"), col("ys"), col("zs")))
+        .withColumn("bucket", ntile(32).over(w))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          min("xs").as("min_x"), max("xs").as("max_x"),
+          min("ys").as("min_y"), max("ys").as("max_y"),
+          min("zs").as("min_z"), max("zs").as("max_z"))
+        .orderBy("bucket")
+    }),
+
     // document authority via fixed-point PageRank over the co-chunk graph
     // ([[graft.operators.CorpusOps.docGraphPageRank]]): the web pipelines'
     // "rank the pages, weight the sample" step, runnable on a corpus with
@@ -319,6 +352,14 @@ object PipelineQueries {
     Seq((8, 16711935L), (4, 252645135L), (2, 858993459L), (1, 1431655765L))
       .foldLeft(c) { case (s, (sh, m)) => s"(($s | ($s << $sh)) & $m)" }
 
+  /** Stride-3 (21-bit) Morton spread as portable SQL, mirroring
+    * [[graft.expressions.ZOrderCodes.spread3]]. */
+  private def spread3Sql(c: String): String =
+    Seq((32, 8725724278095871L), (16, 8725728556220671L),
+        (8, 1157144660301377551L), (4, 1207822528635744451L),
+        (2, 1317624576693539401L))
+      .foldLeft(s"($c & 2097151)") { case (s, (sh, m)) => s"(($s | ($s << $sh)) & $m)" }
+
   /** Unrolled fixed-point PageRank iterations as CTEs (pipe_pagerank). */
   private def pagerankSql(iterations: Int): String = {
     val iters = (1 to iterations).map { i =>
@@ -362,6 +403,27 @@ object PipelineQueries {
       }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\""),
 
     "pipe_pagerank" -> pagerankSql(5),
+
+    "pipe_zorder3" ->
+      s"""WITH base AS (
+         |  SELECT event_id, user_id AS u, epoch_ms(ts) // 1000 AS sec,
+         |    CAST(FLOOR(value * 100) AS BIGINT) AS v100
+         |  FROM events),
+         |b AS (SELECT MIN(u) AS minu, MAX(u) AS maxu, MIN(sec) AS mins,
+         |  MAX(sec) AS maxs, MIN(v100) AS minv, MAX(v100) AS maxv FROM base),
+         |scaled AS (SELECT event_id,
+         |    (u - minu) * 65535 // GREATEST(maxu - minu, 1) AS xs,
+         |    (sec - mins) * 65535 // GREATEST(maxs - mins, 1) AS ys,
+         |    (v100 - minv) * 65535 // GREATEST(maxv - minv, 1) AS zs
+         |  FROM base, b),
+         |z AS (SELECT event_id, xs, ys, zs,
+         |    (${spread3Sql("xs")} | (${spread3Sql("ys")} << 1) | (${spread3Sql("zs")} << 2)) AS zval
+         |  FROM scaled),
+         |t AS (SELECT xs, ys, zs, NTILE(32) OVER (ORDER BY zval, event_id) AS bucket FROM z)
+         |SELECT bucket, COUNT(*) AS n,
+         |  MIN(xs) AS min_x, MAX(xs) AS max_x, MIN(ys) AS min_y, MAX(ys) AS max_y,
+         |  MIN(zs) AS min_z, MAX(zs) AS max_z
+         |FROM t GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "pipe_zorder" ->
       s"""WITH base AS (

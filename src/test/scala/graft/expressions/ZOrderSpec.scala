@@ -36,6 +36,35 @@ class ZOrderSpec extends SparkSuite {
     got.foreach { case (x, y, z) => assert(z == naive(x, y), s"($x, $y)") }
   }
 
+  private def naive3(x: Long, y: Long, z: Long): Long = {
+    var r = 0L
+    var i = 0
+    while (i < 21) {
+      r |= ((x >> i) & 1L) << (3 * i)
+      r |= ((y >> i) & 1L) << (3 * i + 1)
+      r |= ((z >> i) & 1L) << (3 * i + 2)
+      i += 1
+    }
+    r
+  }
+
+  test("graft_zorder3 matches a bit-by-bit 3-way interleave, interpreted and codegen") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val rnd = new scala.util.Random(9)
+    val edge = Seq((0L, 0L, 0L), (1L, 0L, 0L), (0L, 1L, 0L), (0L, 0L, 1L),
+      (0x1fffffL, 0x1fffffL, 0x1fffffL), (65535L, 0L, 65535L))
+    val cases = edge ++ Seq.fill(200)((rnd.nextLong() & 0x1fffffL,
+      rnd.nextLong() & 0x1fffffL, rnd.nextLong() & 0x1fffffL))
+    cases.foreach { case (x, y, z) =>
+      assert(ZOrderCodes.interleave3(x, y, z) == naive3(x, y, z), s"($x,$y,$z)")
+    }
+    val got = cases.toDF("x", "y", "z").repartition(3)
+      .selectExpr("x", "y", "z", "graft_zorder3(x, y, z) AS m")
+      .as[(Long, Long, Long, Long)].collect()
+    got.foreach { case (x, y, z, m) => assert(m == naive3(x, y, z), s"($x,$y,$z)") }
+  }
+
   test("z-order files carry tight min/max envelopes on BOTH axes; linear sort on one") {
     import spark.implicits._
     GraftExtensions.register(spark)
