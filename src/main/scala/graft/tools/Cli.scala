@@ -37,6 +37,7 @@ import graft.model.VersionVector
  * sbt "runMain graft.tools.Cli <root> consume-ns <stream> <namespace> [limit]"
  * sbt "runMain graft.tools.Cli <root> import-jsonl <jsonlDir> <outParquet>"
  * sbt "runMain graft.tools.Cli <root> export-jsonl <docsParquet> <outDir> [files]"
+ * sbt "runMain graft.tools.Cli <root> explain <queryName> [sfDir]"
  * }}}
  *
  * The corpus verbs (`dedup`, `bm25`) run the public
@@ -211,6 +212,18 @@ object Cli {
               s"${r.getAs[String]("namespace")} " +
               new String(Option(r.getAs[Array[Byte]]("data")).getOrElse(Array.empty), "UTF-8"))
           }
+      case "explain" =>
+        // print the formatted physical plan of any catalog query — the
+        // evidence PLANS.md cites, on demand (plan shapes are the contract
+        // the scale claims rest on; this is how to audit one live)
+        val sfDir = if (args.length > 3) args(3) else "/root/testdata/sf0.001"
+        graft.SparkEntry.queries.get(args(2)) match {
+          case Some(fn) => fn(spark, sfDir).explain("formatted")
+          case None =>
+            System.err.println(s"unknown query '${args(2)}'; catalog has: " +
+              graft.SparkEntry.queries.keys.toSeq.sorted.mkString(", "))
+            sys.exit(2)
+        }
       case "import-jsonl" =>
         // JSONL -> parquet ingest with a corruption audit up front
         val bad = graft.operators.CorpusIO.countCorrupt(spark, args(2))
