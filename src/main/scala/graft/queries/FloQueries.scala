@@ -110,9 +110,43 @@ object FloQueries {
         .union(b.select("event_counter", "namespace"))
         .distinct()
         .orderBy("event_counter")
+    }),
+
+    // the graft_consume TABLE function end-to-end: the fixture events are
+    // PRODUCED into a real engine stream once (tmp, marker-committed like
+    // the ANN index), then consumed back through plain SQL in FROM
+    // position and aggregated. Counts per namespace are independent of
+    // the engine's counter assignment, so the oracle is the raw events
+    // table — this pins the whole produce → log → TVF consume loop
+    // against DuckDB, not just the TVF's parse path.
+    "flo_consume_sql" -> ((s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9._-]", "_")
+      val root = s"${sys.props("java.io.tmpdir")}/graft_tvf/v1_$tag"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      val marker = new org.apache.hadoop.fs.Path(s"$root/_produce_done")
+      if (!fs.exists(marker)) {
+        val engine = new graft.engine.FloEngine(s, root)
+        engine.createStream(
+          graft.engine.FloEngine.EventStreamOptions("default", numPartitions = 3))
+        engine.produce("default", Tables.floEvents(s, d)
+            .select("partition", "namespace", "parent_counter",
+              "parent_partition", "data"))
+          .write.format("noop").mode("overwrite").save()
+        fs.create(marker, true).close()
+      }
+      graft.expressions.GraftExtensions.register(s)
+      s.sql(
+        s"""SELECT namespace, COUNT(*) AS n
+           |FROM graft_consume('$root', 'default', '/events/*')
+           |GROUP BY namespace ORDER BY namespace""".stripMargin)
     }))
 
   val oracles: Map[String, String] = Map(
+    "flo_consume_sql" ->
+      """SELECT '/events/' || event_type AS namespace, COUNT(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "flo_consume_glob" ->
       s"""$floCte
          |SELECT event_counter, "partition", namespace FROM flo
