@@ -479,6 +479,29 @@ final class FloEngine(val spark: SparkSession, val root: String) {
     consume(stream, namespaceGlob,
       VersionVector.zero(declaredPartitions(stream)), maxEvents)
 
+  /**
+   * Changelog TABLE VIEW (the KTable reduction of the log): the latest
+   * event per namespace, "latest" = highest (counter, partition). One
+   * hash aggregate (max_by on the composite order, map-side partials) —
+   * no window sort, no per-consumer fold; the upsert-compacted state a
+   * stateful flo consumer would build by folding events, served
+   * declaratively. Compose with [[consume]] filters upstream for a keyed
+   * sub-view.
+   */
+  def tableView(stream: String): DataFrame = {
+    val ord = struct(col("event_counter"), col("partition"))
+    read(stream)
+      .groupBy("namespace")
+      .agg(
+        max_by(struct(col("event_counter"), col("partition"),
+          col("timestamp"), col("data")), ord).as("last"),
+        count(lit(1)).as("n_versions"))
+      .select(col("namespace"), col("last.event_counter").as("event_counter"),
+        col("last.partition").as("partition"),
+        col("last.timestamp").as("timestamp"), col("last.data").as("data"),
+        col("n_versions"))
+  }
+
   private def nsIndexDir(stream: String): String =
     s"${streamDir(stream)}/_ns_bloom" // _-prefixed: hidden from data scans
 

@@ -112,6 +112,27 @@ object FloQueries {
         .orderBy("event_counter")
     }),
 
+    // changelog TABLE VIEW (the KTable reduction of a log): latest event
+    // per key — here keyed by namespace, "latest" = highest (counter,
+    // partition). One hash aggregate via max_by with a single composite
+    // integer order key (counter*4 + partition: unique and monotone for
+    // 3 partitions), so the view is one shuffle with map-side partials
+    // and NO window sort — the upsert-compaction read a stateful consumer
+    // of the reference builds by folding events (flo consumers keep their
+    // own state; the engine serves the fold as a declarative aggregate).
+    "flo_table_view" -> ((s, d) => {
+      val flo = Tables.floEvents(s, d)
+        .withColumn("props", payload_utf8(col("data")))
+        .withColumn("ok", col("event_counter") * 4 + col("partition"))
+      flo.groupBy("namespace")
+        .agg(
+          expr("max_by(event_counter, ok)").as("last_counter"),
+          expr("max_by(partition, ok)").as("last_partition"),
+          expr("max_by(props, ok)").as("last_props"),
+          count(lit(1)).as("n_versions"))
+        .orderBy("namespace")
+    }),
+
     // the graft_consume TABLE function end-to-end: the fixture events are
     // PRODUCED into a real engine stream once (tmp, marker-committed like
     // the ANN index), then consumed back through plain SQL in FROM
@@ -143,6 +164,15 @@ object FloQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "flo_table_view" ->
+      s"""$floCte
+         |SELECT namespace,
+         |  arg_max(event_counter, event_counter * 4 + "partition") AS last_counter,
+         |  arg_max("partition", event_counter * 4 + "partition") AS last_partition,
+         |  arg_max(props, event_counter * 4 + "partition") AS last_props,
+         |  COUNT(*) AS n_versions
+         |FROM flo GROUP BY namespace ORDER BY namespace""".stripMargin,
+
     "flo_consume_sql" ->
       """SELECT '/events/' || event_type AS namespace, COUNT(*) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -386,6 +386,22 @@ class FloEngineSpec extends SparkSuite {
     spark.catalog.dropTempView(view)
   }
 
+  test("tableView compacts the log to the latest event per namespace") {
+    val (e, _) = newEngine(partitions = 2)
+    e.produceStrings("default", 1,
+      Seq("/k/a" -> "v1", "/k/b" -> "b1", "/k/a" -> "v2"))
+    e.produceStrings("default", 2, Seq("/k/a" -> "v3-p2"))
+    val view = e.tableView("default").collect()
+      .map(r => r.getAs[String]("namespace") ->
+        ((r.getAs[Long]("event_counter"), r.getAs[Int]("partition"),
+          new String(r.getAs[Array[Byte]]("data"), "UTF-8"),
+          r.getAs[Long]("n_versions")))).toMap
+    // counters are globally contiguous across partitions, so the p2
+    // produce (counter 4) is /k/a's latest of its 3 versions
+    assert(view("/k/a") == ((4L, 2, "v3-p2", 3L)))
+    assert(view("/k/b") == ((2L, 1, "b1", 1L)))
+  }
+
   test("graft_consume table function: any stream in FROM position, pure SQL") {
     val root = tempDir("flo-tvf")
     val e = new FloEngine(spark, root)
