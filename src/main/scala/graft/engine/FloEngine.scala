@@ -502,6 +502,29 @@ final class FloEngine(val spark: SparkSession, val root: String) {
         col("n_versions"))
   }
 
+  /**
+   * LIVE table view: the streaming materialization of [[tableView]] — a
+   * continuously-updated latest-event-per-namespace aggregate over the
+   * tailed log (write with `outputMode("update")` to emit only the keys a
+   * micro-batch changed, or "complete" for the full table each batch).
+   * State is one row per live namespace, the same bound as the batch
+   * aggregate's reducer, and updates are monotone in the (counter,
+   * partition) order, so restarts replay to the identical view.
+   */
+  def tableViewStream(stream: String, namespaceGlob: String = "/**/*"): DataFrame = {
+    val ord = struct(col("event_counter"), col("partition"))
+    consumeStream(stream, namespaceGlob)
+      .groupBy("namespace")
+      .agg(
+        max_by(struct(col("event_counter"), col("partition"),
+          col("timestamp"), col("data")), ord).as("last"),
+        count(lit(1)).as("n_versions"))
+      .select(col("namespace"), col("last.event_counter").as("event_counter"),
+        col("last.partition").as("partition"),
+        col("last.timestamp").as("timestamp"), col("last.data").as("data"),
+        col("n_versions"))
+  }
+
   private def nsIndexDir(stream: String): String =
     s"${streamDir(stream)}/_ns_bloom" // _-prefixed: hidden from data scans
 

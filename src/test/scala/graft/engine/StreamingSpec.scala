@@ -406,4 +406,44 @@ class StreamingSpec extends SparkSuite {
     // the aggregated vector resumes consumption exactly at the head
     assert(e.consume("default", "/**/*", VersionVector(vv)).count() == 0)
   }
+
+  test("live table view updates keys across micro-batches and matches the batch view") {
+    val (e, _) = newEngine(partitions = 1)
+    e.produceStrings("default", 1, Seq("/k/a" -> "v1", "/k/b" -> "b1"))
+    val q = e.tableViewStream("default")
+      .writeStream.format("memory").queryName("ktable")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    def view() = spark.table("ktable").collect()
+      .map(r => r.getAs[String]("namespace") ->
+        ((r.getAs[Long]("event_counter"),
+          new String(r.getAs[Array[Byte]]("data"), "UTF-8"),
+          r.getAs[Long]("n_versions")))).toMap
+    val v1 = view()
+    assert(v1("/k/a") == ((1L, "v1", 1L)) && v1("/k/b") == ((2L, "b1", 1L)))
+
+    // a later produce overwrites /k/a; a restarted AvailableNow run
+    // replays the whole log to the same state the batch view computes
+    e.produceStrings("default", 1, Seq("/k/a" -> "v2"))
+    val q2 = e.tableViewStream("default")
+      .writeStream.format("memory").queryName("ktable2")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination(60000)
+    val v2 = spark.table("ktable2").collect()
+      .map(r => r.getAs[String]("namespace") ->
+        ((r.getAs[Long]("event_counter"),
+          new String(r.getAs[Array[Byte]]("data"), "UTF-8"),
+          r.getAs[Long]("n_versions")))).toMap
+    assert(v2("/k/a") == ((3L, "v2", 2L)))
+    val batch = e.tableView("default").collect()
+      .map(r => r.getAs[String]("namespace") ->
+        ((r.getAs[Long]("event_counter"),
+          new String(r.getAs[Array[Byte]]("data"), "UTF-8"),
+          r.getAs[Long]("n_versions")))).toMap
+    assert(v2 == batch, "live view must equal the batch view on the same log")
+  }
 }
