@@ -559,7 +559,11 @@ final class FloEngine(val spark: SparkSession, val root: String) {
     val effVv =
       if (vv.entries.isEmpty) VersionVector.zero(declaredPartitions(stream)) else vv
     val idxExists = fs(root).exists(new Path(s"${nsIndexDir(stream)}/_SUCCESS"))
-    if (!idxExists) return consume(stream, namespace, effVv, maxEvents)
+    // a glob PATTERN can't probe the filter (and an equality filter on it
+    // would silently match nothing) — route wildcards to the glob consume
+    if (!idxExists || !graft.model.NamespaceGlob.isLiteral(namespace)) {
+      return consume(stream, namespace, effVv, maxEvents)
+    }
     val base = graft.operators.BloomFileIndex
       .lookup(spark, streamDir(stream), "namespace", nsIndexDir(stream), namespace)
       .filter(effVv.toPredicate(col("partition"), col("event_counter")))

@@ -550,5 +550,8 @@ class FloEngineSpec extends SparkSuite {
     val (e2, _) = newEngine()
     e2.produceStrings("default", 1, Seq("/x" -> "1"))
     assert(e2.consumeIndexed("default", "/x").count() == 1)
+    // a glob PATTERN routes to the glob path even when an index exists
+    // (an equality probe on the pattern text would match nothing)
+    assert(e.consumeIndexed("default", "/topic/t*").count() == 121)
   }
 }
