@@ -45,4 +45,30 @@ object ZOrderLayout {
       .sortWithinPartitions("zval")
       .drop("zval")
       .write.mode("overwrite").parquet(path)
+
+  /** Three-key variant ([[graft.expressions.ZOrderCode3]]): tight file
+    * envelopes on ALL THREE columns. */
+  def coded3(df: DataFrame, keyA: String, keyB: String, keyC: String): DataFrame = {
+    GraftExtensions.register(df.sparkSession)
+    val b = df.agg(
+      min(keyA).as("mina"), max(keyA).as("maxa"),
+      min(keyB).as("minb"), max(keyB).as("maxb"),
+      min(keyC).as("minc"), max(keyC).as("maxc"))
+    df.crossJoin(broadcast(b))
+      .withColumn("zval", call_function("graft_zorder3",
+        expr(s"($keyA - mina) * 65535 div greatest(maxa - mina, 1)"),
+        expr(s"($keyB - minb) * 65535 div greatest(maxb - minb, 1)"),
+        expr(s"($keyC - minc) * 65535 div greatest(maxc - minc, 1)")))
+      .drop("mina", "maxa", "minb", "maxb", "minc", "maxc")
+  }
+
+  /** Write `df` into `numFiles` files z-clustered on three keys. */
+  def writeClustered3(
+      df: DataFrame, keyA: String, keyB: String, keyC: String,
+      numFiles: Int, path: String): Unit =
+    coded3(df, keyA, keyB, keyC)
+      .repartitionByRange(numFiles, col("zval"))
+      .sortWithinPartitions("zval")
+      .drop("zval")
+      .write.mode("overwrite").parquet(path)
 }

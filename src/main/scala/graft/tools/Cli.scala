@@ -29,7 +29,7 @@ import graft.model.VersionVector
  * sbt "runMain graft.tools.Cli <root> index-search <indexPath> <embParquet> <k> [ids...]"
  * sbt "runMain graft.tools.Cli <root> pagerank <docsParquet> [iterations] [topK]"
  * sbt "runMain graft.tools.Cli <root> heavy-hitters <docsParquet> [k] [denom]"
- * sbt "runMain graft.tools.Cli <root> zorder-write <inParquet> <outDir> <colA> <colB> [files]"
+ * sbt "runMain graft.tools.Cli <root> zorder-write <inParquet> <outDir> <colA> <colB> [colC] [files]"
  * sbt "runMain graft.tools.Cli <root> bloom-index <tableDir> <indexDir> <column>"
  * sbt "runMain graft.tools.Cli <root> bloom-lookup <tableDir> <indexDir> <column> <value>"
  * sbt "runMain graft.tools.Cli <root> compact-table <tableDir> [targetMB]"
@@ -187,10 +187,21 @@ object Cli {
         graft.operators.CorpusOps.heavyHitters(docs, k, denom).collect()
           .foreach(r => println(s"${r.getAs[String]("tok")}\t${r.getAs[Long]("cnt")}"))
       case "zorder-write" =>
-        // rewrite a parquet table z-clustered on two integral columns
+        // rewrite a parquet table z-clustered on two or three integral
+        // columns: ... <colA> <colB> [colC] [files] (a numeric 6th arg is
+        // the file count, a name is the third key)
         val in = spark.read.parquet(args(2))
-        val files = if (args.length > 6) args(6).toInt else 16
-        graft.operators.ZOrderLayout.writeClustered(in, args(4), args(5), files, args(3))
+        val rest = args.drop(6)
+        val thirdKey = rest.headOption.filterNot(_.forall(_.isDigit))
+        val files = (rest.drop(thirdKey.size.toInt) ++ Seq("16")).head.toInt
+        thirdKey match {
+          case Some(c) =>
+            graft.operators.ZOrderLayout
+              .writeClustered3(in, args(4), args(5), c, files, args(3))
+          case None =>
+            graft.operators.ZOrderLayout
+              .writeClustered(in, args(4), args(5), files, args(3))
+        }
         println(s"wrote $files z-clustered files to ${args(3)}")
       case "bloom-index" =>
         graft.operators.BloomFileIndex.build(spark, args(2), args(4), args(3))

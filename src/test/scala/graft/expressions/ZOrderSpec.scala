@@ -65,6 +65,25 @@ class ZOrderSpec extends SparkSuite {
     got.foreach { case (x, y, z, m) => assert(m == naive3(x, y, z), s"($x,$y,$z)") }
   }
 
+  test("3-key clustered write tightens every axis's per-file envelope") {
+    import spark.implicits._
+    val pts = (for { x <- 0 until 16; y <- 0 until 16; z <- 0 until 16 }
+      yield (x.toLong, y.toLong, z.toLong)).toDF("x", "y", "z")
+    val dir = tempDir("zorder3")
+    graft.operators.ZOrderLayout.writeClustered3(pts, "x", "y", "z", 16, dir)
+    val env = spark.read.parquet(dir)
+      .groupBy(input_file_name())
+      .agg(max("x") - min("x"), max("y") - min("y"), max("z") - min("z"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // every axis's average per-file span must be well under the global 15
+    def avg(f: ((Long, Long, Long)) => Long) = env.map(f).sum.toDouble / env.length
+    assert(avg(_._1) <= 9.0, s"x spans ${env.map(_._1).toSeq}")
+    assert(avg(_._2) <= 9.0, s"y spans ${env.map(_._2).toSeq}")
+    assert(avg(_._3) <= 9.0, s"z spans ${env.map(_._3).toSeq}")
+    // and the rewrite lost nothing
+    assert(spark.read.parquet(dir).count() == 4096)
+  }
+
   test("z-order files carry tight min/max envelopes on BOTH axes; linear sort on one") {
     import spark.implicits._
     GraftExtensions.register(spark)
