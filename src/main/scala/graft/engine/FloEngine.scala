@@ -525,6 +525,22 @@ final class FloEngine(val spark: SparkSession, val root: String) {
         col("n_versions"))
   }
 
+  /**
+   * Which namespaces dominate the log: the Misra–Gries sketch
+   * ([[graft.expressions.MisraGries]]) over one scan — O(k) state per
+   * task, at most k counters to one reducer, the namespace universe never
+   * shuffles. Returns (namespace, count_lb) sorted by estimated count;
+   * every namespace holding more than 1/(k+1) of the stream is guaranteed
+   * present. The admin "what is filling my log" question at any scale.
+   */
+  def frequentNamespaces(stream: String, k: Int = 64): DataFrame = {
+    graft.expressions.GraftExtensions.register(spark)
+    read(stream)
+      .agg(call_function("graft_heavy_hitters", col("namespace"), lit(k)).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item").as("namespace"), col("e.count_lb").as("count_lb"))
+  }
+
   private def nsIndexDir(stream: String): String =
     s"${streamDir(stream)}/_ns_bloom" // _-prefixed: hidden from data scans
 

@@ -38,6 +38,8 @@ import graft.model.VersionVector
  * sbt "runMain graft.tools.Cli <root> import-jsonl <jsonlDir> <outParquet>"
  * sbt "runMain graft.tools.Cli <root> export-jsonl <docsParquet> <outDir> [files]"
  * sbt "runMain graft.tools.Cli <root> explain <queryName> [sfDir]"
+ * sbt "runMain graft.tools.Cli <root> table-view <stream>"
+ * sbt "runMain graft.tools.Cli <root> hot-namespaces <stream> [k]"
  * }}}
  *
  * The corpus verbs (`dedup`, `bm25`) run the public
@@ -223,6 +225,20 @@ object Cli {
               s"${r.getAs[String]("namespace")} " +
               new String(Option(r.getAs[Array[Byte]]("data")).getOrElse(Array.empty), "UTF-8"))
           }
+      case "table-view" =>
+        // latest event per namespace (the KTable view of the log)
+        engine.tableView(args(2)).orderBy("namespace").collect().foreach { r =>
+          println(s"${r.getAs[String]("namespace")}\t" +
+            s"${r.getAs[Long]("event_counter")}.${r.getAs[Int]("partition")}\t" +
+            s"v${r.getAs[Long]("n_versions")}\t" +
+            new String(Option(r.getAs[Array[Byte]]("data")).getOrElse(Array.empty), "UTF-8"))
+        }
+      case "hot-namespaces" =>
+        // bounded-memory frequent-namespaces sketch (at most k rows out)
+        val k = if (args.length > 3) args(3).toInt else 64
+        engine.frequentNamespaces(args(2), k).collect().foreach { r =>
+          println(s"${r.getAs[String]("namespace")}\t>=${r.getAs[Long]("count_lb")}")
+        }
       case "explain" =>
         // print the formatted physical plan of any catalog query — the
         // evidence PLANS.md cites, on demand (plan shapes are the contract

@@ -402,6 +402,20 @@ class FloEngineSpec extends SparkSuite {
     assert(view("/k/b") == ((2L, 1, "b1", 1L)))
   }
 
+  test("frequentNamespaces surfaces the dominant namespaces with true lower bounds") {
+    val (e, _) = newEngine()
+    e.produceStrings("default", 1,
+      (1 to 40).map(_ => "/hot/a" -> "x") ++
+        (1 to 10).map(_ => "/warm/b" -> "y") ++
+        (1 to 5).map(i => s"/cold/$i" -> "z"))
+    val got = e.frequentNamespaces("default", k = 4).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 40 > 55/(4+1): /hot/a is guaranteed, with a count at most the truth
+    assert(got.contains("/hot/a"))
+    assert(got("/hot/a") <= 40L && got("/hot/a") >= 40L - 55L / 5)
+    assert(got.size <= 4)
+  }
+
   test("graft_consume table function: any stream in FROM position, pure SQL") {
     val root = tempDir("flo-tvf")
     val e = new FloEngine(spark, root)
