@@ -65,14 +65,18 @@ object BloomFileIndex {
     // the counts map is index-sized, fine to hold on the driver)
     val counts = rows.groupBy("file").agg(count(lit(1)).as("n"))
       .as[(String, Long)].collect().toMap
+    // counts also rides into the closure below: keep it index-sized
     def partialsOf[T](ds: org.apache.spark.sql.Dataset[(String, T)])(
         put: (BloomFilter, T) => Unit): Array[(String, Array[Byte])] =
       ds.mapPartitions { it =>
         val blooms = scala.collection.mutable.HashMap.empty[String, BloomFilter]
         it.foreach { case (f, v) =>
           if (v != null) {
+            // a file appended between the sizing pass and this scan has no
+            // count — size it generously rather than fail the build (the
+            // filter is then looser than ideal, never wrong)
             val bf = blooms.getOrElseUpdate(f,
-              BloomFilter.create(math.max(counts(f), 1L), fpp))
+              BloomFilter.create(math.max(counts.getOrElse(f, 1L << 20), 1L), fpp))
             put(bf, v)
           }
         }

@@ -23,8 +23,19 @@ import graft.expressions.GraftExtensions
  */
 object ZOrderLayout {
 
+  private def checkCols(df: DataFrame, keys: Seq[String]): Unit = {
+    val reserved = Seq("zval", "mina", "maxa", "minb", "maxb", "minc", "maxc")
+    val clash = df.columns.intersect(reserved)
+    require(clash.isEmpty,
+      s"ZOrderLayout: input columns ${clash.mkString(", ")} collide with " +
+        "the layout's working columns — rename them first")
+    keys.foreach(k => require(df.columns.contains(k),
+      s"ZOrderLayout: no column '$k' in ${df.columns.mkString(", ")}"))
+  }
+
   /** The input extended with a `zval` Morton code of (keyA, keyB). */
   def coded(df: DataFrame, keyA: String, keyB: String): DataFrame = {
+    checkCols(df, Seq(keyA, keyB))
     GraftExtensions.register(df.sparkSession)
     val b = df.agg(
       min(keyA).as("mina"), max(keyA).as("maxa"),
@@ -49,6 +60,7 @@ object ZOrderLayout {
   /** Three-key variant ([[graft.expressions.ZOrderCode3]]): tight file
     * envelopes on ALL THREE columns. */
   def coded3(df: DataFrame, keyA: String, keyB: String, keyC: String): DataFrame = {
+    checkCols(df, Seq(keyA, keyB, keyC))
     GraftExtensions.register(df.sparkSession)
     val b = df.agg(
       min(keyA).as("mina"), max(keyA).as("maxa"),
