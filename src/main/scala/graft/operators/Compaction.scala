@@ -34,14 +34,17 @@ object Compaction {
       targetBytes: Long = 128L << 20): (Int, Int) = {
     val df = spark.read.parquet(srcDir)
     val fs = new Path(srcDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dataFiles = fs.listStatus(new Path(srcDir))
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-    val totalBytes = dataFiles.map(_.getLen).sum
+    // size from the scan's own leaf files (recursive — a dir-partitioned
+    // table's files live in subdirectories a flat listing would miss).
+    // NOTE the rewrite flattens `col=` partition dirs into plain columns;
+    // re-partition a partitioned table with its own writer instead.
+    val leafFiles = df.inputFiles
+    val totalBytes = leafFiles.map(f => fs.getFileStatus(new Path(f)).getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     df.coalesce(nOut).write.mode("overwrite").parquet(dstDir)
     val after = fs.listStatus(new Path(dstDir))
       .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-    (dataFiles.length, after)
+    (leafFiles.length, after)
   }
 
   /** Compact `dir` in place (stage + swap). Returns (before, after). */

@@ -37,12 +37,12 @@ object HeavyHittersState {
       case Some(c) => m.update(item, c + 1)
       case None if m.size < k => m.update(item, 1L)
       case None =>
-        val dead = scala.collection.mutable.ArrayBuffer.empty[String]
-        m.keysIterator.foreach { key =>
+        // materialize the key set before the decrement sweep — updating a
+        // scala HashMap while iterating its live keysIterator is undefined
+        m.keys.toArray.foreach { key =>
           val c = m(key)
-          if (c == 1L) dead += key else m.update(key, c - 1)
+          if (c == 1L) m.remove(key) else m.update(key, c - 1)
         }
-        dead.foreach(m.remove)
     }
   }
 
