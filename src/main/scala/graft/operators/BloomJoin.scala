@@ -54,6 +54,12 @@ object BloomJoin {
     val bloom = dim.stat.bloomFilter(dimKey, n, fpp)
     val bos = new java.io.ByteArrayOutputStream()
     bloom.writeTo(bos)
+    // the filter ships inside the plan; past ~256 MB that dominates task
+    // deserialization — raise fpp (bits/key shrinks log-linearly) or
+    // pre-aggregate the dim's key set before asking for a prefilter
+    require(bos.size() <= (256 << 20),
+      f"BloomJoin: serialized filter is ${bos.size() / 1048576}%d MB " +
+        f"(n=$n%d, fpp=$fpp%.3f) — raise fpp or reduce expectedItems")
     fact
       .filter(call_function("graft_bloom_contains", col(factKey), lit(bos.toByteArray)))
       .join(dim, col(factKey) === col(dimKey))
