@@ -286,33 +286,58 @@ object TextQueries {
     // with map-side partials, then a tiny per-doc rollup; state is bounded
     // by a single document's vocabulary everywhere, so no doc can spill
     // another's task. All ratios floor-scaled to 4 decimals (engine-exact).
-    "text_gopher_quality" -> ((s, d) => {
-      val stop = Seq("the", "a", "of", "and", "to", "in")
-      val toks = docs(s, d).select(col("doc_id"),
-        explode(split(trim(col("text")), " +")).as("tok"))
-      val wc = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
-      val agg = wc.groupBy("doc_id").agg(
-        sum("c").as("n_words"),
-        sum(length(col("tok")) * col("c")).as("sum_len"),
-        count(lit(1)).as("n_distinct"),
-        max("c").as("top_c"),
-        sum(when(col("tok").isin(stop: _*), col("c")).otherwise(0L)).as("n_stop"))
-      def fl4(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
-        floor(num.cast("double") * 10000 / den) / 10000
-      agg.select(
-          col("doc_id"), col("n_words"),
-          fl4(col("sum_len"), col("n_words")).as("mean_word_len"),
-          fl4(col("top_c"), col("n_words")).as("top_word_frac"),
-          fl4(col("n_words") - col("n_distinct"), col("n_words")).as("dup_word_frac"),
-          col("n_stop"))
-        .withColumn("passes",
-          col("n_words").between(20, 100000) &&
-            col("mean_word_len").between(3.0, 10.0) &&
-            col("top_word_frac") <= 0.2 &&
-            col("dup_word_frac") <= 0.5 &&
-            col("n_stop") >= 2)
-        .orderBy("doc_id")
+    "text_gopher_quality" -> ((s, d) =>
+      gopherScores(docs(s, d)).orderBy("doc_id")),
+
+    // the session's operators COMPOSE in one plan: Gopher quality gate ->
+    // weighted (by-length) Bernoulli sample -> per-language stats of the
+    // surviving corpus — the realistic "filter then sample then report"
+    // DAG. Each stage is oracle-proven alone above; this query's oracle
+    // is the combined predicate, so the composition itself is what's
+    // hash-checked. Plan shape: the gopher scores join back doc-keyed,
+    // the sample predicate is a codegen filter, one final tiny aggregate.
+    "pipe_quality_sample" -> ((s, d) => {
+      val base = docs(s, d)
+      base.join(gopherScores(base).select("doc_id", "passes"), "doc_id")
+        .filter(col("passes"))
+        .withColumn("h", md5(concat(lit("graft-wt:"), col("doc_id").cast("string"))))
+        .filter(expr("CAST(conv(substring(h, 1, 7), 16, 10) AS BIGINT) * 1000" +
+          " < n_chars * 268435456"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
+        .orderBy("lang")
     }))
+
+  /** Per-doc Gopher rule battery (word-count bounds, mean word length,
+    * top-word share, dup-word fraction, stopword presence) with the
+    * `passes` verdict — shared by text_gopher_quality and the composed
+    * pipe_quality_sample. */
+  private[queries] def gopherScores(documents: DataFrame): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "to", "in")
+    val toks = documents.select(col("doc_id"),
+      explode(split(trim(col("text")), " +")).as("tok"))
+    val wc = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    val agg = wc.groupBy("doc_id").agg(
+      sum("c").as("n_words"),
+      sum(length(col("tok")) * col("c")).as("sum_len"),
+      count(lit(1)).as("n_distinct"),
+      max("c").as("top_c"),
+      sum(when(col("tok").isin(stop: _*), col("c")).otherwise(0L)).as("n_stop"))
+    def fl4(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
+      floor(num.cast("double") * 10000 / den) / 10000
+    agg.select(
+        col("doc_id"), col("n_words"),
+        fl4(col("sum_len"), col("n_words")).as("mean_word_len"),
+        fl4(col("top_c"), col("n_words")).as("top_word_frac"),
+        fl4(col("n_words") - col("n_distinct"), col("n_words")).as("dup_word_frac"),
+        col("n_stop"))
+      .withColumn("passes",
+        col("n_words").between(20, 100000) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("top_word_frac") <= 0.2 &&
+          col("dup_word_frac") <= 0.5 &&
+          col("n_stop") >= 2)
+  }
 
   val oracles: Map[String, String] = Map(
     "text_quality" ->
@@ -392,6 +417,32 @@ object TextQueries {
         |    AND (FLOOR(CAST(n_words - n_distinct AS DOUBLE) * 10000 / n_words) / 10000 <= 0.5)
         |    AND (n_stop >= 2) AS passes
         |FROM agg ORDER BY doc_id""".stripMargin,
+
+    "pipe_quality_sample" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS tok
+        |  FROM documents),
+        |wc AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+        |agg AS (SELECT doc_id,
+        |    CAST(SUM(c) AS BIGINT) AS n_words,
+        |    CAST(SUM(LENGTH(tok) * c) AS BIGINT) AS sum_len,
+        |    COUNT(*) AS n_distinct,
+        |    MAX(c) AS top_c,
+        |    CAST(SUM(CASE WHEN tok IN ('the','a','of','and','to','in') THEN c ELSE 0 END) AS BIGINT) AS n_stop
+        |  FROM wc GROUP BY 1),
+        |g AS (SELECT doc_id,
+        |    (n_words BETWEEN 20 AND 100000)
+        |      AND (FLOOR(CAST(sum_len AS DOUBLE) * 10000 / n_words) / 10000 BETWEEN 3.0 AND 10.0)
+        |      AND (FLOOR(CAST(top_c AS DOUBLE) * 10000 / n_words) / 10000 <= 0.2)
+        |      AND (FLOOR(CAST(n_words - n_distinct AS DOUBLE) * 10000 / n_words) / 10000 <= 0.5)
+        |      AND (n_stop >= 2) AS passes
+        |  FROM agg)
+        |SELECT d.lang, COUNT(*) AS n, CAST(SUM(d.n_chars) AS BIGINT) AS chars
+        |FROM documents d JOIN g USING (doc_id)
+        |WHERE g.passes
+        |  AND ('0x' || substring(md5('graft-wt:' || CAST(d.doc_id AS VARCHAR)), 1, 7))::BIGINT * 1000
+        |      < d.n_chars * 268435456
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
 
     "pipe_clean_corpus" ->
       s"""WITH scored AS (
