@@ -28,6 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.bloomContainsFunction)
     ext.injectFunction(GraftExtensions.zorderFunction)
     ext.injectFunction(GraftExtensions.zorder3Function)
+    ext.injectFunction(GraftExtensions.hilbertFunction)
     ext.injectTableFunction(GraftExtensions.consumeTableFunction)
     ext.injectPlannerStrategy(_ => graft.plans.GraftStrategies)
     ext.injectOptimizerRule(_ => graft.plans.PruneAsofMergeJoin)
@@ -173,6 +174,15 @@ object GraftExtensions {
       ZOrderCode(children.head, children(1))
     })
 
+  /** `graft_hilbert(x, y)`: order-16 Hilbert curve distance of two keys. */
+  private val hilbertFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_hilbert"),
+    new ExpressionInfo(classOf[HilbertCode].getName, "graft_hilbert"),
+    { (children: Seq[Expression]) =>
+      require(children.size == 2, "graft_hilbert expects exactly 2 arguments")
+      HilbertCode(children.head, children(1))
+    })
+
   /** `graft_zorder3(x, y, z)`: 63-bit Morton code of three integral keys. */
   private val zorder3Function: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_zorder3"),
@@ -225,7 +235,8 @@ object GraftExtensions {
     val registry = spark.sessionState.functionRegistry
     Seq(dotFunction, nsGlobFunction, lshBandsFunction, unitFunction,
         subFunction, int8StatsFunction, topKFunction, heavyHittersFunction,
-        bloomContainsFunction, zorderFunction, zorder3Function).foreach { fn =>
+        bloomContainsFunction, zorderFunction, zorder3Function,
+        hilbertFunction).foreach { fn =>
       if (!registry.functionExists(fn._1)) {
         registry.registerFunction(fn._1, fn._2, fn._3)
       }

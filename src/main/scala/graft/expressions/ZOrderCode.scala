@@ -87,6 +87,41 @@ case class ZOrderCode3(first: Expression, second: Expression, third: Expression)
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** `graft_hilbert(x, y)` — distance along the order-16 Hilbert curve for
+  * two 16-bit keys. Hilbert ordering never takes the long diagonal jumps
+  * Morton does at power-of-two boundaries, so per-file envelopes come out
+  * tighter on average (ZOrderSpec measures both on the same grid) — the
+  * curve behind "liquid"-style clustering. Same usage as [[ZOrderCode]]:
+  * sort or range-partition by the code before writing. */
+case class HilbertCode(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_hilbert"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(ByteType, ShortType, IntegerType, LongType)
+    if (ok.contains(left.dataType) && ok.contains(right.dataType)) {
+      TypeCheckResult.TypeCheckSuccess
+    } else {
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_hilbert: both keys must be integral, got ${left.dataType}, ${right.dataType}")
+    }
+  }
+
+  override def nullSafeEval(x: Any, y: Any): Any =
+    ZOrderCodes.hilbert(
+      x.asInstanceOf[Number].longValue(), y.asInstanceOf[Number].longValue())
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, y) =>
+      s"graft.expressions.ZOrderCodes.hilbert((long) $x, (long) $y)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HilbertCode =
+    copy(left = newLeft, right = newRight)
+}
+
 object ZOrderCodes {
 
   /** Spread the low 32 bits of v onto the even bit positions of a long. */
@@ -117,4 +152,30 @@ object ZOrderCodes {
   /** 3-key Morton code, 21 bits per key, stride 3. */
   def interleave3(x: Long, y: Long, z: Long): Long =
     spread3(x) | (spread3(y) << 1) | (spread3(z) << 2)
+
+  /** Distance along the order-16 Hilbert curve (inputs truncate to 16
+    * bits) — the classic xy2d walk (Hamilton's convention, per the
+    * public-domain formulation): halve the quadrant size each step,
+    * accumulate the sub-square's offset, rotate/reflect into it. */
+  def hilbert(xIn: Long, yIn: Long): Long = {
+    var x = xIn & 0xffffL
+    var y = yIn & 0xffffL
+    var d = 0L
+    var s = 0x8000L // half of the 2^16 grid
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      // rotate the quadrant so the sub-curve is upright
+      if (ry == 0) {
+        if (rx == 1) {
+          x = s - 1 - x
+          y = s - 1 - y
+        }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
 }
