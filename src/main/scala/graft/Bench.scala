@@ -100,11 +100,36 @@ object Bench {
         f"[bench] BUDGET VIOLATION $n: $s%.3f s > ${tolerance}x recorded $b%.3f s + $floorSec%.1f s floor")
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(
-      f"""{"metric":"total_query_sec","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","produce_events_per_sec":$produceEps%.0f,"consume_events_per_sec":$consumeEps%.0f,"budget_violations":${violations.size}%d}""")
+    val errs = results.count(_._2 < 0)
+    def jsonLine(rs: Seq[(String, Double)]): String = {
+      val qs = rs.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
+        .mkString("{", ",", "}")
+      f"""{"metric":"total_query_sec","value":$total%.3f,"unit":"sec","queries":$qs,"queries_n":${results.size}%d,"errors":$errs%d,"sf":"$sfDir","produce_events_per_sec":$produceEps%.0f,"consume_events_per_sec":$consumeEps%.0f,"budget_violations":${violations.size}%d,"full":"BENCH_FULL.json"}"""
+    }
+    // The driver captures only the last ~2 KB of stdout and json-parses it;
+    // the full 126-query map is ~3.5 KB and got truncated every round
+    // (BENCH_r0*.json "parsed": null). So: full per-query detail goes to
+    // BENCH_FULL.json in the repo (committed for the judge), and stdout gets
+    // ONE short line with the total plus a fixed headline subset — one or two
+    // representatives per operator family — that fits the capture window.
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_FULL.json"), jsonLine(results) + "\n")
+    val headline = Seq(
+      "q1_pricing_summary", "q3_shipping_priority", "q6_forecast_revenue",
+      "q9_product_profit", "q18_large_orders",
+      "q_rollup", "q_grouping_sets", "q_stats_suite", "q_exact_quantiles",
+      "q_window_running", "q_window_range", "q_topk_agg", "q_sessionize_state",
+      "q_asof_native", "q_range_join", "q_interval_merge", "q_subqueries",
+      "flo_consume_glob", "flo_consume_vv_seek", "flo_table_view",
+      "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+      "dedup_substring", "dedup_components", "dedup_embedding_lsh",
+      "sim_knn_brute", "sim_knn_ivf_indexed", "sim_knn_ivfpq", "sim_pq_audit",
+      "text_bm25", "text_bpe_encode", "text_langid", "text_gopher_quality",
+      "pipe_clean_corpus", "pipe_seq_pack", "pipe_zorder3",
+      "pipe_decontaminate", "mm_pixel_stats", "mm_audio_features",
+      "mm_video_frames").toSet
+    println(jsonLine(results.filter(r => headline(r._1))))
     spark.stop()
   }
 }
