@@ -60,6 +60,26 @@ object Ann {
   }
 
   /**
+   * Hard-negative mining for contrastive training data: for every query
+   * vector, the top-k most-similar corpus vectors with a DIFFERENT label —
+   * the highest-value negatives precisely because the embedding thinks
+   * they're positives. Both inputs are (id, v, label); output is
+   * (query_id, neighbor_id, rank). Exact (brute) scoring with the same
+   * bounded-heap rerank as [[knnBrute]]: the shuffle carries at most k
+   * ids per query per partition, never the scored cross product.
+   */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    graft.expressions.GraftExtensions.register(corpus.sparkSession)
+    val scored = queries
+      .select(col("id").as("query_id"), col("v").as("qv"), col("label").as("ql"))
+      .join(corpus
+          .select(col("id").as("neighbor_id"), col("v").as("nv"), col("label").as("nl")),
+        col("query_id") =!= col("neighbor_id") && col("ql") =!= col("nl"))
+      .select(col("query_id"), col("neighbor_id"), cosine.as("cos"))
+    cosRerank(scored, k)
+  }
+
+  /**
    * LSH-bucketed top-k cosine neighbors with query-side hamming-1
    * multi-probe: corpus vectors key on their exact band codes, each query
    * probes its own code plus every 1-bit variant per band, candidates come

@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * N-gram language-model scoring for quality filtering — the CCNet /
+ * Wikipedia-LM recipe (Wenzek et al., "CCNet: Extracting High Quality
+ * Monolingual Datasets from Web Crawl Data", 2019): train a smoothed
+ * n-gram LM on the corpus, score every document by its average negative
+ * log-likelihood, and filter/bucket on the score (high NLL ≈ far from the
+ * corpus distribution ≈ boilerplate, gibberish, or rare-domain text).
+ *
+ * Model: bigram with add-one smoothing,
+ *   P(w2 | w1) = (c(w1 w2) + 1) / (c(w1 ·) + V)
+ * trained on the SAME corpus being scored (self-perplexity — the common
+ * first pass; scoring against a reference corpus is the same plan with the
+ * counts built from the other table).
+ *
+ * Determinism: per-bigram NLL is fixed-pointed to 1e4 (`round(-ln(p)*1e4)`
+ * as a LONG) before the per-doc aggregation, so the sum is an exact
+ * integer — immune to float summation order across partitions — and the
+ * only float sensitivity left is a last-ulp `ln` disagreement landing
+ * within 1e-11 relative of a rounding boundary. The final score divides
+ * two exact integers.
+ *
+ * Scale shape (100 TB): bigram extraction is shuffle-free (array slice +
+ * zip inside the row); model counts are two hash aggregates keyed on
+ * (w1, w2) / w1 — bounded by observed vocabulary, not corpus size; scoring
+ * joins doc bigrams to the counts with plain shuffle hash joins (the count
+ * tables can exceed broadcast size on a web corpus) and re-aggregates on
+ * doc_id. No collects, no windows, no per-group buffers.
+ */
+object LangModel {
+
+  /** Bigram rows (doc_id, w1, w2) with multiplicity — built from the word
+    * array in-row (slice + zip), no positional shuffle or window. */
+  private[graft] def bigrams(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(trim(col("text")), " +").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"),
+        explode(arrays_zip(
+          slice(col("w"), lit(1), size(col("w")) - 1),
+          slice(col("w"), lit(2), size(col("w")) - 1))).as("bg"))
+      .select(col("doc_id"), col("bg.0").as("w1"), col("bg.1").as("w2"))
+
+  /**
+   * Per-document bigram NLL under the corpus's own add-one-smoothed bigram
+   * LM. Output: (doc_id, n_bigrams, nll) where nll is the mean per-bigram
+   * negative log-likelihood (natural log), fixed-pointed at 1e-4 per
+   * bigram and rounded to 6 decimals. Documents with < 2 words are absent.
+   */
+  def bigramNll(docs: DataFrame): DataFrame = {
+    val (c12, c1, vocab) = trainCounts(docs)
+    scoreWith(docs, c12, c1, vocab)
+  }
+
+  /** The model's three count tables: c(w1 w2), c(w1 ·), and the 1-row
+    * vocabulary size V over ALL word occurrences. */
+  private[graft] def trainCounts(docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val bg = bigrams(docs)
+    (bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12")),
+      bg.groupBy("w1").agg(count(lit(1)).as("c1")),
+      docs.select(explode(split(trim(col("text")), " +")).as("w"))
+        .agg(count_distinct(col("w")).as("v")))
+  }
+
+  /**
+   * Score `docs` against a (possibly frozen) model. LEFT joins + coalesce
+   * handle bigrams/heads the model never saw — P = (0+1)/(0+V) in the
+   * worst case — so scoring NEW documents against a reference model is
+   * well-defined (self-scoring never misses, making this the exact same
+   * answer as training on the fly).
+   */
+  def scoreWith(
+      docs: DataFrame, c12: DataFrame, c1: DataFrame, vocab: DataFrame): DataFrame =
+    bigrams(docs)
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      // exact-integer fixed point: double division and ln are deterministic
+      // given identical long inputs; the long sum is order-independent
+      .withColumn("nll_fp",
+        round(-log((coalesce(col("c12"), lit(0L)) + lit(1).cast("double")) /
+          (coalesce(col("c1"), lit(0L)) + col("v").cast("double"))) * 1e4).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("nll_fp")).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("s") / col("n_bigrams") / 1e4, 6).as("nll"))
+
+  /**
+   * Persist the model (build once, score many — the same amortization
+   * split as [[AnnIndex]]): `c12/`, `c1/` parquet plus a 1-row `meta/`
+   * written LAST as the commit marker, so a crashed build is invisible to
+   * [[scoreAgainst]].
+   */
+  def writeModel(docs: DataFrame, path: String): Unit = {
+    val (c12, c1, vocab) = trainCounts(docs)
+    c12.write.mode("overwrite").parquet(s"$path/c12")
+    c1.write.mode("overwrite").parquet(s"$path/c1")
+    vocab.write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  def modelExists(spark: org.apache.spark.sql.SparkSession, path: String): Boolean =
+    try { spark.read.parquet(s"$path/meta").head(); true }
+    catch { case _: Throwable => false }
+
+  /** Score documents against the persisted model at `path` — the frozen
+    * reference-LM shape (and the streaming stream-static join side). */
+  def scoreAgainst(docs: DataFrame, path: String): DataFrame = {
+    val s = docs.sparkSession
+    scoreWith(docs,
+      s.read.parquet(s"$path/c12"), s.read.parquet(s"$path/c1"),
+      s.read.parquet(s"$path/meta"))
+  }
+}

@@ -214,9 +214,27 @@ object DedupQueries {
           seed = SimilarityQueries.Seed, planes = SimilarityQueries.NumPlanes,
           bands = EmbBands)
         .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"))
-        .orderBy("vec_a", "vec_b")))
+        .orderBy("vec_a", "vec_b")),
+
+    // fuzzy (edit-distance) near-dup on the 192-char text prefix: PassJoin
+    // segment-pigeonhole candidates (linear fan-out, hash join on segment
+    // bytes) + exact thresholded Levenshtein verify — the typo/OCR-noise
+    // dedup the shingle family can't see. DuckDB recomputes the FULL
+    // brute-force answer, so the hash match proves the banded plan's
+    // recall is complete on real data, not just on the spec fixtures.
+    "dedup_fuzzy_edit" -> ((s, d) =>
+      graft.operators.EditDistance.fuzzyPrefixPairs(
+          docs(s, d), prefixLen = 192, maxDist = 4)
+        .orderBy("doc_id_a", "doc_id_b")))
 
   val oracles: Map[String, String] = Map(
+    "dedup_fuzzy_edit" ->
+      """WITH k AS (SELECT doc_id, substr(text, 1, 192) AS key FROM documents)
+        |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+        |       levenshtein(a.key, b.key) AS dist
+        |FROM k a JOIN k b ON a.doc_id < b.doc_id
+        |WHERE levenshtein(a.key, b.key) <= 4
+        |ORDER BY 1, 2""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -94,6 +94,17 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // hard-negative mining for contrastive training: per probe vector, the
+    // top-5 most-similar vectors with a DIFFERENT label (the negatives the
+    // embedding confuses with positives). Same exact scoring + bounded-heap
+    // rerank as sim_knn_brute, label inequality in the join condition —
+    // oracle-checked against DuckDB's full recompute.
+    "sim_hard_negatives" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id").as("id"), col("v"), col("label"))
+      graft.operators.Ann.hardNegatives(e, e.filter(col("id") < 10), k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
     // LSH-bucketed ANN with query-side multi-probe, through the public
     // operator [[graft.operators.Ann.knnLsh]]: corpus vectors key on their
     // exact band codes; each query probes its own code plus all hamming-1
@@ -233,6 +244,16 @@ object SimilarityQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "sim_hard_negatives" ->
+      """SELECT query_id, neighbor_id, rank FROM (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |         ROW_NUMBER() OVER (PARTITION BY a.vec_id
+        |           ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id) AS rank
+        |  FROM embeddings a JOIN embeddings b
+        |    ON b.vec_id <> a.vec_id AND b.label <> a.label
+        |  WHERE a.vec_id < 10)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
     "sim_knn_brute" ->
       """SELECT query_id, neighbor_id, rank FROM (
         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,

@@ -138,6 +138,31 @@ object TextQueries {
         .limit(50)
     }),
 
+    // LM-based quality scoring (the CCNet recipe): every doc's mean
+    // bigram NLL under the corpus's own add-one-smoothed bigram model —
+    // high NLL = far from the corpus distribution. Bigrams are built
+    // in-row (slice+zip, shuffle-free); model counts are vocab-bounded
+    // hash aggregates; scoring is two shuffle hash joins. Per-bigram NLL
+    // is fixed-pointed to an exact LONG before the doc aggregation, so
+    // the result is immune to float summation order (see [[graft
+    // .operators.LangModel]]).
+    "text_perplexity" -> ((s, d) =>
+      graft.operators.LangModel.bigramNll(docs(s, d)).orderBy("doc_id")),
+
+    // same scores through the PERSISTED model (build once / score many —
+    // the amortization split: a reference LM is trained on one corpus
+    // snapshot and scores every later batch). Self-scoring against the
+    // frozen model is bit-identical to the on-the-fly path, so the same
+    // oracle hash must match — which also proves the persistence
+    // round-trip loses nothing.
+    "text_perplexity_model" -> ((s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9._-]", "_")
+      val path = s"${sys.props("java.io.tmpdir")}/graft_lm/v1_$tag"
+      if (!graft.operators.LangModel.modelExists(s, path))
+        graft.operators.LangModel.writeModel(docs(s, d), path)
+      graft.operators.LangModel.scoreAgainst(docs(s, d), path).orderBy("doc_id")
+    }),
+
     // composed cleaning pipeline (the realistic end-to-end use): quality
     // gate (>= 5 tokens) -> normalized exact-dedup keep-lowest-id ->
     // English-only gate -> surviving doc ids. Each stage is an operator
@@ -339,7 +364,31 @@ object TextQueries {
           col("n_stop") >= 2)
   }
 
+  /** Shared by text_perplexity and text_perplexity_model: the persisted-
+    * model self-scoring path is defined to be bit-identical. */
+  private val perplexitySql =
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), ' +') AS w FROM documents
+        |), bg0 AS (
+        |  SELECT doc_id, unnest([{'w1': w[i], 'w2': w[i+1]} FOR i IN generate_series(1, len(w) - 1)]) AS bg
+        |  FROM t WHERE len(w) >= 2
+        |), bg AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM bg0
+        |), c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2
+        |), c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1
+        |), v AS (
+        |  SELECT COUNT(DISTINCT x.uw) AS v
+        |  FROM (SELECT unnest(w) AS uw FROM t) x
+        |)
+        |SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+        |  ROUND(SUM(CAST(ROUND(-ln((c12.c12 + CAST(1 AS DOUBLE)) / (c1.c1 + CAST(v.v AS DOUBLE))) * 1e4) AS BIGINT))
+        |        / COUNT(*) / 1e4, 6) AS nll
+        |FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+        |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "text_perplexity" -> perplexitySql,
+    "text_perplexity_model" -> perplexitySql,
+
     "text_quality" ->
       s"""SELECT doc_id,
          |  LENGTH(text) AS n_chars_m,

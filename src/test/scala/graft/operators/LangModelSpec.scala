@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSuite, Tables}
+
+/**
+ * Bigram-LM scoring: the model math is pinned against a hand-computed
+ * fixture, the fixed-point aggregation against partitioning (summation
+ * order must not matter), and the score's discriminating power against a
+ * corpus-distribution outlier (the CCNet use case).
+ */
+class LangModelSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  test("hand-computed fixture: counts, smoothing, and the fixed-point mean") {
+    // corpus: "a b a b" + "a c" →
+    // bigrams: (a,b)x2 from doc1, (b,a)x1, (a,c)x1; c1(a)=3, c1(b)=1; V=3
+    val docs = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val out = LangModel.bigramNll(docs).orderBy("doc_id").collect()
+    val V = 3.0
+    def nllFp(c12: Long, c1: Long): Long =
+      math.round(-math.log((c12 + 1.0) / (c1 + V)) * 1e4)
+    // doc1: bigrams (a,b),(b,a),(a,b) → c12: ab=2, ba=1
+    val d1 = Seq(nllFp(2, 3), nllFp(1, 1), nllFp(2, 3))
+    val exp1 = BigDecimal(d1.sum.toDouble / d1.size / 1e4)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc2: one bigram (a,c), c12=1, c1(a)=3
+    val exp2 = BigDecimal(nllFp(1, 3).toDouble / 1e4)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(out(0).getLong(1) === 3L)
+    assert(out(0).getDouble(2) === exp1)
+    assert(out(1).getLong(1) === 1L)
+    assert(out(1).getDouble(2) === exp2)
+  }
+
+  test("scores are invariant to input partitioning (exact-integer aggregation)") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val a = LangModel.bigramNll(docs).orderBy("doc_id").collect().toSeq
+    val b = LangModel.bigramNll(docs.repartition(13)).orderBy("doc_id").collect().toSeq
+    assert(a === b)
+  }
+
+  test("an out-of-distribution document scores a higher NLL than in-distribution text") {
+    val real = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    // UNSEEN CONTINUATIONS of the corpus's most common heads — the bigrams
+    // add-one smoothing punishes hardest (P = 2/(c1_head + V) with a huge
+    // c1). A doc of purely fresh words would NOT work: singleton heads make
+    // 1/(1+V) look deceptively probable under add-one.
+    val weird = Seq((999999L,
+      "scan qx1 column qx2 window qx3 order qx4 sort qx5 part qx6 agg qx7 value qx8"))
+      .toDF("doc_id", "text")
+    val scored = LangModel.bigramNll(real.unionByName(weird))
+    val weirdNll = scored.filter(col("doc_id") === 999999L).head().getDouble(2)
+    val meanReal = scored.filter(col("doc_id") =!= 999999L)
+      .agg(avg("nll")).head().getDouble(0)
+    assert(weirdNll > meanReal + 0.5,
+      s"unseen-continuation nll $weirdNll should clear the corpus mean $meanReal")
+  }
+
+  test("frozen model: persistence round-trips bit-exactly and smooths unseen bigrams") {
+    val path = tempDir("graft-lm") + "/model"
+    val train = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    LangModel.writeModel(train, path)
+    assert(LangModel.modelExists(spark, path))
+    // self-scoring against the persisted model == the on-the-fly path
+    val live = LangModel.bigramNll(train).orderBy("doc_id").collect().toSeq
+    val frozen = LangModel.scoreAgainst(train, path).orderBy("doc_id").collect().toSeq
+    assert(frozen === live)
+    // a NEW doc with bigrams the model never saw still scores (worst-case
+    // smoothing P = 1/V), and scores WORSE than one made of seen bigrams
+    val fresh = Seq(
+      (1L, "totally unseen wordage everywhere believe me"),
+      (2L, "scan scan scan scan scan")).toDF("doc_id", "text")
+    val scored = LangModel.scoreAgainst(fresh, path).orderBy("doc_id").collect()
+    assert(scored.length === 2, "unseen bigrams must not drop rows")
+    assert(scored(0).getLong(1) === 5L)
+    assert(scored(0).getDouble(2) > scored(1).getDouble(2),
+      "all-unseen text must score a higher NLL than common-bigram text")
+  }
+
+  test("streaming scoring: micro-batches against the frozen model equal the batch scores") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val path = tempDir("graft-lm-stream") + "/model"
+    val train = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    LangModel.writeModel(train, path)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val q = in.toDF().toDF("doc_id", "text")
+      .writeStream.trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized {
+          got ++= LangModel.scoreAgainst(batch, path).collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        }
+        ()
+      }
+    val rows = train.limit(30).collect().map(r => (r.getLong(0), r.getString(1)))
+    in.addData(rows.take(15).toSeq)
+    in.addData(rows.drop(15).toSeq)
+    val query = q.start()
+    query.awaitTermination(60000)
+    val expected = LangModel.scoreAgainst(
+        spark.createDataFrame(rows.toSeq).toDF("doc_id", "text"), path)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got.toSet === expected)
+  }
+
+  test("hard negatives never share the query's label and rank densely from 1") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("v"), col("label"))
+    val out = Ann.hardNegatives(emb, emb.filter(col("id") < 5), k = 3)
+    val labels = emb.select(col("id"), col("label"))
+    val joined = out
+      .join(labels.select(col("id").as("query_id"), col("label").as("ql")), "query_id")
+      .join(labels.select(col("id").as("neighbor_id"), col("label").as("nl")), "neighbor_id")
+    assert(joined.filter(col("ql") === col("nl")).isEmpty,
+      "a hard negative shared its query's label")
+    val ranks = out.groupBy("query_id")
+      .agg(sort_array(collect_list("rank")).as("rs"))
+      .select("rs").collect().map(_.getSeq[Int](0))
+    assert(ranks.nonEmpty && ranks.forall(_ == Seq(1, 2, 3)))
+  }
+}
