@@ -361,6 +361,61 @@ object Ann {
   }
 
   /**
+   * SemDeDup-style cluster-confined semantic dedup (Abbas et al.,
+   * "SemDeDup: Data-efficient learning at web-scale through semantic
+   * deduplication", 2023): spherical k-means over the embeddings, exact
+   * pairwise cosine WITHIN each cluster only, pairs at or above
+   * `threshold` reported as semantic duplicates.
+   *
+   * This is the third embedding-dedup shape next to the LSH bucketing
+   * ([[nearDupPairsCosine]]) and the persisted-index probe
+   * ([[AnnIndex.nearDupPairs]]): candidates here are *semantic
+   * neighborhoods* (same cluster) rather than hash collisions, which is
+   * what lets the paper's recipe dedupe paraphrases that share no
+   * shingles and sit on opposite sides of an LSH hyperplane.
+   *
+   * Scale: cost is Σ(cell size²)·assign² — the `cells` parameter IS the
+   * knob (SemDeDup runs ~n/1000 clusters at web scale so cells stay
+   * ~10³). Both join sides shuffle once on `cell`; centroids ride a
+   * broadcast; the pair join carries (id, uv) only. Recall is
+   * cluster-confined by DESIGN (pairs split across every assigned cell
+   * are invisible) — `assign` > 1 multi-assigns each vector to its
+   * top-`assign` cells, the standard mitigation when the corpus has weak
+   * cluster structure (a pair is found if ANY assigned cell is shared);
+   * the spec MEASURES recall against the exact baseline rather than
+   * assuming it.
+   */
+  def semanticDedupPairs(
+      embeddings: DataFrame,
+      cells: Int = 16,
+      lloydIters: Int = 1,
+      threshold: Double = 0.4,
+      assign: Int = 3): DataFrame = {
+    require(assign >= 1 && assign <= cells, s"assign=$assign of $cells cells")
+    graft.expressions.GraftExtensions.register(embeddings.sparkSession)
+    val u = embeddings.select(col("id"), expr("graft_unit(v)").as("uv"))
+    val cents = ivfCentroids(u, cells, lloydIters)
+    val assigned = TopK.topKPerKey(
+        u.crossJoin(broadcast(cents))
+          .withColumn("cs", expr("graft_dot(uv, cv)")),
+        Seq("id"), struct(col("cs"), -col("cent_id")), Seq("cent_id", "uv"), assign)
+      .select(col("id"), col("uv"), col("cent_id").as("cell"))
+    assigned.alias("a")
+      .join(assigned.alias("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .withColumn("cos", expr("graft_dot(a.uv, b.uv)"))
+      .filter(col("cos") >= threshold)
+      // integer-first flooring (same discipline as the jaccard scores):
+      // the reported score is engine-stable at 3 decimals
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (floor(col("cos") * 1000) / 1000).as("cos"))
+      // a pair sharing several assigned cells emits once per shared cell —
+      // identical (id_a, id_b, cos) values, so the dedup keeps a
+      // deterministic row whichever survives
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /**
    * Near-duplicate `(id_a < id_b)` pairs by embedding cosine, LSH-bucketed:
    * band codes of the UNIT vectors hash-join carrying only the id pair (the
    * wide arrays rejoin after the distinct), exact `graft_dot` verify at

@@ -216,6 +216,20 @@ object DedupQueries {
         .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"))
         .orderBy("vec_a", "vec_b")),
 
+    // SemDeDup (cluster-confined semantic dedup): spherical k-means over
+    // the embeddings, exact pairwise cosine within each cluster only —
+    // the semantic-neighborhood candidate generator next to the LSH and
+    // persisted-index variants. Σ(cell²) cost is governed by the cells
+    // knob (~n/1000 at web scale). k-means isn't SQL-expressible →
+    // rows-only driver check; SemDedupSpec pins exactness of every
+    // reported pair and measures recall vs the exact baseline.
+    "dedup_semantic" -> ((s, d) =>
+      graft.operators.Ann.semanticDedupPairs(
+          SimilarityQueries.emb(s, d).select(col("vec_id").as("id"), col("v")),
+          cells = 16, lloydIters = 1, threshold = 0.4)
+        .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"), col("cos"))
+        .orderBy("vec_a", "vec_b")),
+
     // fuzzy (edit-distance) near-dup on the 192-char text prefix: PassJoin
     // segment-pigeonhole candidates (linear fan-out, hash join on segment
     // bytes) + exact thresholded Levenshtein verify — the typo/OCR-noise
