@@ -40,6 +40,10 @@ import graft.model.VersionVector
  * sbt "runMain graft.tools.Cli <root> explain <queryName> [sfDir]"
  * sbt "runMain graft.tools.Cli <root> table-view <stream>"
  * sbt "runMain graft.tools.Cli <root> hot-namespaces <stream> [k]"
+ * sbt "runMain graft.tools.Cli <root> fuzzy-dedup <docsParquet> [maxDist] [outParquet]"
+ * sbt "runMain graft.tools.Cli <root> sem-dedup <embParquet> [threshold] [outParquet]"
+ * sbt "runMain graft.tools.Cli <root> lm-train <docsParquet> <modelPath>"
+ * sbt "runMain graft.tools.Cli <root> lm-score <docsParquet> <modelPath> [outParquet]"
  * }}}
  *
  * The corpus verbs (`dedup`, `bm25`) run the public
@@ -268,6 +272,50 @@ object Cli {
         val (b, a) = graft.operators.Compaction.compactInPlace(
           spark, args(2), targetMB << 20)
         println(s"compacted ${args(2)}: $b -> $a files")
+      case "fuzzy-dedup" =>
+        // edit-distance near-dup pairs over a documents parquet; same
+        // bounded-output discipline as `dedup` (stream or write, no collect)
+        val docs = spark.read.parquet(args(2))
+        val maxDist = if (args.length > 3) args(3).toInt else 4
+        val pairs = graft.operators.EditDistance
+          .fuzzyPrefixPairs(docs, prefixLen = 192, maxDist = maxDist)
+          .orderBy("doc_id_a", "doc_id_b")
+        if (args.length > 4) {
+          pairs.write.mode("overwrite").parquet(args(4))
+          println(s"wrote ${spark.read.parquet(args(4)).count()} pairs to ${args(4)}")
+        } else pairs.toLocalIterator().forEachRemaining { r =>
+          println(s"${r.getAs[Long]("doc_id_a")}\t${r.getAs[Long]("doc_id_b")}\t${r.getAs[Long]("dist")}")
+        }
+      case "sem-dedup" =>
+        // SemDeDup pairs over an embeddings parquet
+        val emb = embTable(spark, args(2))
+        val threshold = if (args.length > 3) args(3).toDouble else 0.4
+        val pairs = graft.operators.Ann
+          .semanticDedupPairs(emb, threshold = threshold)
+          .orderBy("id_a", "id_b")
+        if (args.length > 4) {
+          pairs.write.mode("overwrite").parquet(args(4))
+          println(s"wrote ${spark.read.parquet(args(4)).count()} pairs to ${args(4)}")
+        } else pairs.toLocalIterator().forEachRemaining { r =>
+          println(s"${r.getAs[Long]("id_a")}\t${r.getAs[Long]("id_b")}\t${r.getAs[Double]("cos")}")
+        }
+      case "lm-train" =>
+        // persist the bigram LM of a documents parquet (build once)
+        graft.operators.LangModel.writeModel(spark.read.parquet(args(2)), args(3))
+        val c12 = spark.read.parquet(s"${args(3)}/c12").count()
+        println(s"trained LM at ${args(3)}: $c12 bigram types")
+      case "lm-score" =>
+        // score a documents parquet against a persisted LM (score many);
+        // output is doc-count-bounded — write to parquet or stream rows
+        val scored = graft.operators.LangModel
+          .scoreAgainst(spark.read.parquet(args(2)), args(3))
+          .orderBy("doc_id")
+        if (args.length > 4) {
+          scored.write.mode("overwrite").parquet(args(4))
+          println(s"wrote ${spark.read.parquet(args(4)).count()} scores to ${args(4)}")
+        } else scored.toLocalIterator().forEachRemaining { r =>
+          println(s"${r.getAs[Long]("doc_id")}\t${r.getAs[Double]("nll")}")
+        }
       case other =>
         System.err.println(s"unknown verb: $other")
         sys.exit(2)
