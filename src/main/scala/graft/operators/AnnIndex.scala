@@ -317,6 +317,41 @@ object AnnIndex {
       .select("query_id", "neighbor_id", "cos")
   }
 
+  /**
+   * Hard-negative mining over the prebuilt index (search-many: the mining
+   * runs per training epoch against a build-once index, the same
+   * amortization as [[searchIvf]]): per query, the top-k most-similar
+   * indexed vectors whose label DIFFERS. Labels live outside the index
+   * (id, label) — they join candidates by id AFTER cell probing, so the
+   * same index serves any labeling. Candidates come from the probed
+   * cells only; recall vs the exact [[Ann.hardNegatives]] baseline is
+   * measured in the spec, not assumed.
+   */
+  def searchHardNegatives(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame,
+      labels: DataFrame,
+      k: Int,
+      probe: Int = 6): DataFrame = {
+    graft.expressions.GraftExtensions.register(spark)
+    val cents = spark.read.parquet(s"$path/centroids")
+    val vecs = spark.read.parquet(s"$path/vectors")
+    val probes = probeCells(queries.select(col("id"), col("v")), cents, probe,
+      carryVec = true)
+    val qLabels = broadcast(
+      queries.select(col("id").as("query_id"), col("label").as("ql")))
+    val cand = broadcast(probes).join(vecs,
+        col("probe_cell") === col("cell") && col("query_id") =!= col("id"))
+      .select(col("query_id"), col("qv"), col("id").as("neighbor_id"),
+        col("uv").as("nv"))
+      .join(qLabels, "query_id")
+      .join(labels.select(col("id").as("neighbor_id"), col("label").as("nl")),
+        "neighbor_id")
+      .filter(col("ql") =!= col("nl"))
+    Ann.cosRerank(cand.withColumn("cos", expr("graft_dot(qv, nv)")), k)
+  }
+
   /** Route queries to their `probe` highest-cosine cells via the broadcast
     * centroid table: (query_id, probe_cell, cs[, qv]) — routing is by the
     * UNIT centroids; the residual ADC separately adds the cell-MEAN dot. */

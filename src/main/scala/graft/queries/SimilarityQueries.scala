@@ -105,6 +105,19 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // the same mining through the PERSISTED index (per-epoch mining against
+    // a build-once index): probed cells only, labels joined by id after
+    // probing so the unlabeled index serves any labeling. Index path not
+    // SQL-expressible -> rows-only; QueriesSpec measures recall >= 0.8 vs
+    // the exact baseline and label disjointness.
+    "sim_hard_negatives_indexed" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id").as("id"), col("v"), col("label"))
+      graft.operators.AnnIndex.searchHardNegatives(
+          s, ensureIndex(s, d), e.filter(col("id") < 10),
+          e.select(col("id"), col("label")), k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
     // LSH-bucketed ANN with query-side multi-probe, through the public
     // operator [[graft.operators.Ann.knnLsh]]: corpus vectors key on their
     // exact band codes; each query probes its own code plus all hamming-1

@@ -331,6 +331,26 @@ object TextQueries {
         .groupBy("lang")
         .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
         .orderBy("lang")
+    }),
+
+    // perplexity-gated pipeline (the CCNet composition): LM-score the
+    // corpus against its own bigram model, keep in-distribution docs
+    // (nll <= 3.4), take the deterministic 50% hash sample, report per
+    // language. min/max of the kept scores ride along (both order-
+    // independent, unlike a float avg) so the oracle hash also pins the
+    // gate's boundary behavior.
+    "pipe_perplexity_sample" -> ((s, d) => {
+      val base = docs(s, d)
+      base
+        .join(graft.operators.LangModel.bigramNll(base).select("doc_id", "nll"),
+          "doc_id")
+        .filter(col("nll") <= 3.4)
+        .withColumn("h", md5(concat(lit("graft-ppl:"), col("doc_id").cast("string"))))
+        .filter(substring(col("h"), 1, 1) < "8")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"),
+          min("nll").as("min_nll"), max("nll").as("max_nll"))
+        .orderBy("lang")
     }))
 
   /** Per-doc Gopher rule battery (word-count bounds, mean word length,
@@ -388,6 +408,15 @@ object TextQueries {
   val oracles: Map[String, String] = Map(
     "text_perplexity" -> perplexitySql,
     "text_perplexity_model" -> perplexitySql,
+
+    "pipe_perplexity_sample" ->
+      s"""WITH ppl AS ($perplexitySql)
+         |SELECT d.lang, COUNT(*) AS n, CAST(SUM(d.n_chars) AS BIGINT) AS chars,
+         |       MIN(p.nll) AS min_nll, MAX(p.nll) AS max_nll
+         |FROM documents d JOIN ppl p USING (doc_id)
+         |WHERE p.nll <= 3.4
+         |  AND substring(md5('graft-ppl:' || CAST(d.doc_id AS VARCHAR)), 1, 1) < '8'
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
 
     "text_quality" ->
       s"""SELECT doc_id,

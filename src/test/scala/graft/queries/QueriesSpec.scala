@@ -196,6 +196,21 @@ class QueriesSpec extends SparkSuite {
     }
   }
 
+  test("indexed hard negatives: recall >= 0.8 vs the exact baseline, labels disjoint") {
+    recallDirs.foreach { dir =>
+      val brute = knnPairs("sim_hard_negatives", dir)
+      val idx = knnPairs("sim_hard_negatives_indexed", dir)
+      val recall = (brute & idx).size.toDouble / brute.size
+      assert(recall >= 0.8, s"indexed hard-negative recall too low at $dir: $recall")
+      // no indexed negative may share its query's label
+      val labels = Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), col("label")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(idx.forall { case (q, n) => labels(q) != labels(n) },
+        s"same-label hard negative at $dir")
+    }
+  }
+
   test("LSH ANN recall@5 >= 0.8 vs brute force (sf0.001, sf0.01, sf0.1)") {
     recallDirs.foreach { dir =>
       val brute = knnPairs("sim_knn_brute", dir)
