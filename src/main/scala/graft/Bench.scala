@@ -31,13 +31,40 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // SPARK_GRAFT_ONLY=a,b,c restricts the catalog — the isolation half of
+    // the budget-violation protocol (run one query alone vs in-suite to
+    // split "the plan got slow" from "the suite state got heavy")
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val catalog = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+
+    // Between-query hygiene (OUTSIDE the timed region): queries that cache /
+    // localCheckpoint internally free their own blocks, but AQE-reused
+    // exchanges and orphaned RDDs leak into the block manager, and a 134-
+    // query suite accumulates shuffle files that only the ContextCleaner
+    // (GC-driven, so ~never on a 128 GiB heap) reclaims. Round 6 measured
+    // the cost: dedup_keep ran 3.3x its recorded budget IN-SUITE with
+    // unchanged code while its plan-sibling stayed green — suite state, not
+    // plan. Drop caches every query; nudge GC every 16 so shuffle/broadcast
+    // cleanup actually runs.
+    var sinceGc = 0
+    def hygiene(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      sinceGc += 1
+      if (sinceGc >= 16) { sinceGc = 0; System.gc() }
+    }
+
     // two passes, min per query: the first pass absorbs JIT/IO warm-up and
     // GC noise that otherwise dominates sub-second queries
     def pass(): Seq[(String, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      catalog.map { case (name, fn) =>
         val sec = try {
           time(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
         } catch { case _: Throwable => -1.0 }
+        hygiene()
         name -> sec
       }
     val (p1, p2) = (pass(), pass())
@@ -48,7 +75,7 @@ object Bench {
     // flo produce/consume throughput: replay events through the engine.
     // Two rounds, best-of (same min-of-two discipline as the queries —
     // single-shot numbers swung ±40% with machine load across rounds).
-    val (produceEps, consumeEps) = try {
+    val (produceEps, consumeEps) = if (only.isDefined) (-1.0, -1.0) else try {
       val root = java.nio.file.Files.createTempDirectory("bench-flo").toString
       val engine = new FloEngine(spark, root)
       engine.createStream(FloEngine.EventStreamOptions("bench", numPartitions = 3))
@@ -78,7 +105,7 @@ object Bench {
     // the 1.5x gate on pure machine noise (q_unpivot 2.6x in r4 = +0.25 s);
     // a real regression on a meaningful budget still clears +0.3 s easily
     val floorSec = 0.3
-    if (sys.env.contains("SPARK_GRAFT_UPDATE_BUDGETS")) {
+    if (sys.env.contains("SPARK_GRAFT_UPDATE_BUDGETS") && only.isEmpty) {
       val json = results.map { case (k, v) => "\"" + k + f"""": $v%.3f""" }
         .mkString("{\n  ", ",\n  ", "\n}\n")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(budgetPath), json)
@@ -113,7 +140,7 @@ object Bench {
     // BENCH_FULL.json in the repo (committed for the judge), and stdout gets
     // ONE short line with the total plus a fixed headline subset — one or two
     // representatives per operator family — that fits the capture window.
-    java.nio.file.Files.writeString(
+    if (only.isEmpty) java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_FULL.json"), jsonLine(results) + "\n")
     val headline = Seq(
       "q1_pricing_summary", "q3_shipping_priority", "q6_forecast_revenue",
@@ -129,7 +156,10 @@ object Bench {
       "pipe_clean_corpus", "pipe_seq_pack", "pipe_zorder3",
       "pipe_decontaminate", "mm_pixel_stats", "mm_audio_features",
       "mm_video_frames").toSet
-    println(jsonLine(results.filter(r => headline(r._1))))
+    // isolation runs are small — print everything; full runs print the
+    // fixed headline subset that fits the driver's capture window
+    println(jsonLine(
+      if (only.isDefined) results else results.filter(r => headline(r._1))))
     spark.stop()
   }
 }

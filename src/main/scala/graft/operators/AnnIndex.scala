@@ -322,10 +322,19 @@ object AnnIndex {
    * runs per training epoch against a build-once index, the same
    * amortization as [[searchIvf]]): per query, the top-k most-similar
    * indexed vectors whose label DIFFERS. Labels live outside the index
-   * (id, label) — they join candidates by id AFTER cell probing, so the
-   * same index serves any labeling. Candidates come from the probed
-   * cells only; recall vs the exact [[Ann.hardNegatives]] baseline is
-   * measured in the spec, not assumed.
+   * (id, label) — the same index serves any labeling. Scale shape for
+   * epoch-scale mining (queries = the whole training set): everything up
+   * to the label verdict is NARROW — the query's own label rides the
+   * probe rows (carried through [[probeCells]], no query-side label
+   * join), the neighbor labels join the vector table's (cell, id)
+   * projection (scalar columns only), and the label-inequality filter
+   * sits IN the cell-join condition. Exact vectors are re-attached ONLY
+   * to label-surviving candidates (the [[searchIvf]] rerank pattern), so
+   * no exchange carrying a label ever carries a float array, and nothing
+   * corpus-scale is broadcast (the cell join is a plain shuffle join;
+   * AQE may still choose broadcast when probes are small). Recall vs the
+   * exact [[Ann.hardNegatives]] baseline is measured in the spec, not
+   * assumed.
    */
   def searchHardNegatives(
       spark: SparkSession,
@@ -337,18 +346,21 @@ object AnnIndex {
     graft.expressions.GraftExtensions.register(spark)
     val cents = spark.read.parquet(s"$path/centroids")
     val vecs = spark.read.parquet(s"$path/vectors")
-    val probes = probeCells(queries.select(col("id"), col("v")), cents, probe,
-      carryVec = true)
-    val qLabels = broadcast(
-      queries.select(col("id").as("query_id"), col("label").as("ql")))
-    val cand = broadcast(probes).join(vecs,
-        col("probe_cell") === col("cell") && col("query_id") =!= col("id"))
-      .select(col("query_id"), col("qv"), col("id").as("neighbor_id"),
-        col("uv").as("nv"))
-      .join(qLabels, "query_id")
-      .join(labels.select(col("id").as("neighbor_id"), col("label").as("nl")),
+    val probes = probeCells(
+      queries.select(col("id"), col("v"), col("label").as("ql")), cents, probe,
+      carryVec = false, carryCols = Seq("ql"))
+    val nIds = vecs.select(col("cell"), col("id"))
+      .join(labels.select(col("id"), col("label").as("nl")), Seq("id"))
+    val candIds = probes.join(nIds,
+        col("probe_cell") === col("cell") && col("query_id") =!= col("id") &&
+          col("ql") =!= col("nl"))
+      .select(col("query_id"), col("id").as("neighbor_id"))
+    val qu = queries.select(col("id").as("query_id"),
+      expr("graft_unit(v)").as("qv"))
+    val cand = candIds
+      .join(vecs.select(col("id").as("neighbor_id"), col("uv").as("nv")),
         "neighbor_id")
-      .filter(col("ql") =!= col("nl"))
+      .join(qu, "query_id")
     Ann.cosRerank(cand.withColumn("cos", expr("graft_dot(qv, nv)")), k)
   }
 
@@ -357,15 +369,17 @@ object AnnIndex {
     * UNIT centroids; the residual ADC separately adds the cell-MEAN dot. */
   private def probeCells(
       queries: DataFrame, cents: DataFrame, probe: Int,
-      carryVec: Boolean): DataFrame = {
-    val qu = queries.select(col("id"), expr("graft_unit(v)").as("uv"))
-    val carry = if (carryVec) Seq("cent_id", "cs", "uv") else Seq("cent_id", "cs")
+      carryVec: Boolean, carryCols: Seq[String] = Nil): DataFrame = {
+    val qu = queries.select(
+      (Seq(col("id"), expr("graft_unit(v)").as("uv")) ++ carryCols.map(col)): _*)
+    val carry = (if (carryVec) Seq("cent_id", "cs", "uv") else Seq("cent_id", "cs")) ++
+      carryCols
     val top = TopK.topKPerKey(
       qu.crossJoin(broadcast(cents))
         .withColumn("cs", expr("graft_dot(uv, cv)")),
       Seq("id"), struct(col("cs"), -col("cent_id")), carry, probe)
     val base = Seq(col("id").as("query_id"),
-      col("cent_id").cast("int").as("probe_cell"), col("cs"))
+      col("cent_id").cast("int").as("probe_cell"), col("cs")) ++ carryCols.map(col)
     top.select((if (carryVec) base :+ col("uv").as("qv") else base): _*)
   }
 }

@@ -104,10 +104,29 @@ object EditDistance {
       .select(
         least(col("a.doc_id"), col("b.doc_id")).as("doc_id_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_id_b"))
-      .dropDuplicates("doc_id_a", "doc_id_b")
 
-    // Verify: exact thresholded Levenshtein on candidates only.
-    cand
+    // Short-key bucket: keys with len < d+1 have empty canonical segments
+    // (dropped by the e > s filter) and no probe rows toward partners
+    // shorter than d+1, so a short×short pair never meets in the main join.
+    // But two strings of length ≤ d are ALWAYS within edit distance d
+    // (replace the overlap, insert the rest), so the bucket's candidate set
+    // is simply all its pairs. Joined on a constant bucket key (pmod keeps
+    // it non-foldable so Catalyst can't rewrite the equi-join into a
+    // nested-loop) — quadratic only in the bucket, and a corpus where this
+    // bucket is large has a quadratic OUTPUT anyway: every pair qualifies.
+    val sk = withLen.filter(col("len") < n)
+      .select(col("doc_id"), pmod(col("doc_id"), lit(1L)).as("k"))
+    val shortCand = sk.select(col("doc_id").as("doc_id_a"), col("k"))
+      .join(sk.select(col("doc_id").as("doc_id_b"), col("k")), "k")
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .select(col("doc_id_a"), col("doc_id_b"))
+
+    // Verify: exact thresholded Levenshtein on candidates only. The
+    // dropDuplicates sits after the union because a short key CAN surface
+    // in the main join too (its probes target longer partners), so the two
+    // paths may emit the same pair.
+    cand.unionAll(shortCand)
+      .dropDuplicates("doc_id_a", "doc_id_b")
       .join(keys.select(col("doc_id").as("doc_id_a"), col("key").as("ka")), "doc_id_a")
       .join(keys.select(col("doc_id").as("doc_id_b"), col("key").as("kb")), "doc_id_b")
       .withColumn("dist", levenshtein(col("ka"), col("kb"), d).cast("long"))

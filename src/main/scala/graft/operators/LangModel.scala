@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -56,14 +56,19 @@ object LangModel {
     scoreWith(docs, c12, c1, vocab)
   }
 
+  /** The distinct-word table (one `w` column) — the vocabulary SET, which
+    * [[mergeModels]] needs (V of a union is NOT the sum of the parts'
+    * sizes; it is the size of the distinct union). */
+  private[graft] def vocabWords(docs: DataFrame): DataFrame =
+    docs.select(explode(split(trim(col("text")), " +")).as("w")).distinct()
+
   /** The model's three count tables: c(w1 w2), c(w1 ·), and the 1-row
     * vocabulary size V over ALL word occurrences. */
   private[graft] def trainCounts(docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val bg = bigrams(docs)
     (bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12")),
       bg.groupBy("w1").agg(count(lit(1)).as("c1")),
-      docs.select(explode(split(trim(col("text")), " +")).as("w"))
-        .agg(count_distinct(col("w")).as("v")))
+      vocabWords(docs).agg(count(lit(1)).as("v")))
   }
 
   /**
@@ -72,12 +77,34 @@ object LangModel {
    * worst case — so scoring NEW documents against a reference model is
    * well-defined (self-scoring never misses, making this the exact same
    * answer as training on the fly).
+   *
+   * Skew: bigram keys are Zipfian — "of the" alone can be a hot shuffle
+   * partition at web scale. The count lookup is therefore HYBRID: the
+   * top-`headK` rows of c12/c1 (the stop-bigram head — few and tiny) ride
+   * a broadcast hash join, and only the long tail shuffles, so no single
+   * reducer owns a stop-word's traffic. The split is invisible in the
+   * output (both paths compute the same coalesced count; which keys land
+   * in the head never changes a value — the exact-integer NLL makes that
+   * assertable bit-for-bit). `headK = 0` forces the pure shuffle plan.
    */
   def scoreWith(
-      docs: DataFrame, c12: DataFrame, c1: DataFrame, vocab: DataFrame): DataFrame =
-    bigrams(docs)
-      .join(c12, Seq("w1", "w2"), "left")
-      .join(c1, Seq("w1"), "left")
+      docs: DataFrame, c12: DataFrame, c1: DataFrame, vocab: DataFrame,
+      headK: Int = 4096): DataFrame = {
+    val bg = bigrams(docs)
+    def hybrid(rows: DataFrame, counts: DataFrame, keys: Seq[String],
+        ord: Column): DataFrame =
+      if (headK <= 0) rows.join(counts, keys, "left")
+      else {
+        val head = counts.orderBy(ord).limit(headK)
+        rows.join(broadcast(head), keys, "inner").unionByName(
+          rows.join(broadcast(head.select(keys.map(col): _*)), keys, "left_anti")
+            .join(counts, keys, "left"),
+          allowMissingColumns = true)
+      }
+    val with12 = hybrid(bg, c12, Seq("w1", "w2"),
+      col("c12").desc)
+    val with1 = hybrid(with12, c1, Seq("w1"), col("c1").desc)
+    with1
       .crossJoin(broadcast(vocab))
       // exact-integer fixed point: double division and ln are deterministic
       // given identical long inputs; the long sum is order-independent
@@ -88,6 +115,7 @@ object LangModel {
       .agg(count(lit(1)).as("n_bigrams"), sum(col("nll_fp")).as("s"))
       .select(col("doc_id"), col("n_bigrams"),
         round(col("s") / col("n_bigrams") / 1e4, 6).as("nll"))
+  }
 
   /**
    * Persist the model (build once, score many — the same amortization
@@ -99,12 +127,46 @@ object LangModel {
     val (c12, c1, vocab) = trainCounts(docs)
     c12.write.mode("overwrite").parquet(s"$path/c12")
     c1.write.mode("overwrite").parquet(s"$path/c1")
+    // the vocabulary SET rides along (vocab-bounded): counts alone can't
+    // merge models exactly — V(A ∪ B) is the distinct union's size, not
+    // V(A) + V(B)
+    vocabWords(docs).write.mode("overwrite").parquet(s"$path/vocab")
     vocab.write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /**
+   * Merge two persisted models into a third — incremental retrain without
+   * touching the original corpora. Count tables sum on their keys; the
+   * vocabulary is the distinct union; `meta/` (= V) is derived from the
+   * merged vocabulary and written LAST as the commit marker. Because every
+   * table is exact integers, `merge(train(A), train(B))` scores
+   * BIT-IDENTICALLY to `train(A ∪ B)` for disjoint corpora — the spec
+   * asserts that equality, not an approximation.
+   */
+  def mergeModels(
+      spark: org.apache.spark.sql.SparkSession,
+      a: String, b: String, out: String): Unit = {
+    require(out != a && out != b, "merge output must be a fresh path")
+    val c12 = spark.read.parquet(s"$a/c12")
+      .unionByName(spark.read.parquet(s"$b/c12"))
+      .groupBy("w1", "w2").agg(sum(col("c12")).as("c12"))
+    val c1 = spark.read.parquet(s"$a/c1")
+      .unionByName(spark.read.parquet(s"$b/c1"))
+      .groupBy("w1").agg(sum(col("c1")).as("c1"))
+    val vocab = spark.read.parquet(s"$a/vocab")
+      .unionByName(spark.read.parquet(s"$b/vocab")).distinct()
+    c12.write.mode("overwrite").parquet(s"$out/c12")
+    c1.write.mode("overwrite").parquet(s"$out/c1")
+    vocab.write.mode("overwrite").parquet(s"$out/vocab")
+    spark.read.parquet(s"$out/vocab").agg(count(lit(1)).as("v"))
+      .write.mode("overwrite").parquet(s"$out/meta")
   }
 
   def modelExists(spark: org.apache.spark.sql.SparkSession, path: String): Boolean =
     try { spark.read.parquet(s"$path/meta").head(); true }
-    catch { case _: Throwable => false }
+    // NonFatal only: an OOM or interrupt must surface, not masquerade as
+    // "model absent" and trigger a spurious retrain
+    catch { case scala.util.control.NonFatal(_) => false }
 
   /** Score documents against the persisted model at `path` — the frozen
     * reference-LM shape (and the streaming stream-static join side). */

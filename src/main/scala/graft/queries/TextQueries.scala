@@ -157,7 +157,18 @@ object TextQueries {
     // round-trip loses nothing.
     "text_perplexity_model" -> ((s, d) => {
       val tag = d.replaceAll("[^A-Za-z0-9._-]", "_")
-      val path = s"${sys.props("java.io.tmpdir")}/graft_lm/v1_$tag"
+      // the cache key carries a fingerprint of the source parquet's file
+      // metadata (name/size/mtime): driver testdata HAS been regenerated
+      // in place across rounds (the events.ts type change), and a
+      // path-only key would silently reuse a model trained on the old
+      // corpus — breaking the claimed bit-identity with text_perplexity
+      val fp = {
+        val f = new java.io.File(s"$d/documents.parquet")
+        val files = if (f.isDirectory) f.listFiles().sortBy(_.getName) else Array(f)
+        val sig = files.map(x => s"${x.getName}:${x.length}:${x.lastModified}").mkString("|")
+        f"${sig.hashCode & 0xffffffffL}%08x"
+      }
+      val path = s"${sys.props("java.io.tmpdir")}/graft_lm/v2_${tag}_$fp"
       if (!graft.operators.LangModel.modelExists(s, path))
         graft.operators.LangModel.writeModel(docs(s, d), path)
       graft.operators.LangModel.scoreAgainst(docs(s, d), path).orderBy("doc_id")

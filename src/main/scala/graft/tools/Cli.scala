@@ -43,6 +43,7 @@ import graft.model.VersionVector
  * sbt "runMain graft.tools.Cli <root> fuzzy-dedup <docsParquet> [maxDist] [outParquet]"
  * sbt "runMain graft.tools.Cli <root> sem-dedup <embParquet> [threshold] [outParquet]"
  * sbt "runMain graft.tools.Cli <root> lm-train <docsParquet> <modelPath>"
+ * sbt "runMain graft.tools.Cli <root> lm-merge <modelA> <modelB> <modelOut>"
  * sbt "runMain graft.tools.Cli <root> lm-score <docsParquet> <modelPath> [outParquet]"
  * }}}
  *
@@ -304,6 +305,13 @@ object Cli {
         graft.operators.LangModel.writeModel(spark.read.parquet(args(2)), args(3))
         val c12 = spark.read.parquet(s"${args(3)}/c12").count()
         println(s"trained LM at ${args(3)}: $c12 bigram types")
+      case "lm-merge" =>
+        // merge two persisted LMs (incremental retrain: sum counts, union
+        // vocab, commit marker last) — merge(train(A), train(B)) scores
+        // bit-identically to train(A ∪ B)
+        graft.operators.LangModel.mergeModels(spark, args(2), args(3), args(4))
+        val c12 = spark.read.parquet(s"${args(4)}/c12").count()
+        println(s"merged LM at ${args(4)}: $c12 bigram types")
       case "lm-score" =>
         // score a documents parquet against a persisted LM (score many);
         // output is doc-count-bounded — write to parquet or stream rows

@@ -95,6 +95,33 @@ class EditDistanceSpec extends SparkSuite {
     assert(brute.nonEmpty, "the perturbed corpus should contain close pairs")
   }
 
+  test("empty and sub-(d+1)-char docs: short bucket restores brute parity") {
+    // keys shorter than maxDist+1 chars have empty canonical segments and
+    // no probe rows toward equally-short partners — without the short
+    // bucket these pairs are silently dropped while brute force (and the
+    // DuckDB oracle) reports them
+    val base = "the quick brown fox jumps over the lazy dog " * 5
+    val rows = Seq(
+      1L -> "",                 // empty
+      2L -> "",                 // empty twin: dist 0 pair (1,2)
+      3L -> "a",                // 1-char: within d of both empties and of 4
+      4L -> "ab",
+      5L -> "abcd",             // == d chars at d=4: still short-bucket
+      6L -> "abcdef",           // len d+2: long path; within d of 5 (dist 2)
+      7L -> base,               // a normal long doc
+      8L -> ("X" + base))       // its near dup
+    val docs = docsDf(rows)
+    for (d <- Seq(1, 2, 4)) {
+      val fast = pairSet(EditDistance.fuzzyPrefixPairs(docs, 192, d))
+      val brute = pairSet(EditDistance.fuzzyPrefixPairsBrute(docs, 192, d))
+      assert(fast === brute, s"short-key parity failed at maxDist=$d")
+    }
+    val at4 = pairSet(EditDistance.fuzzyPrefixPairs(docs, 192, 4))
+    assert(at4.contains((1L, 2L, 0L)), "empty-empty pair missed")
+    assert(at4.contains((1L, 3L, 1L)), "empty-vs-1-char pair missed")
+    assert(at4.contains((5L, 6L, 2L)), "short-vs-long cross pair missed")
+  }
+
   test("the banded plan contains no cartesian or nested-loop join") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val plan = EditDistance.fuzzyPrefixPairs(docs, 192, 4)

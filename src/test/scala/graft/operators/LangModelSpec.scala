@@ -83,6 +83,46 @@ class LangModelSpec extends SparkSuite {
       "all-unseen text must score a higher NLL than common-bigram text")
   }
 
+  test("mergeModels: merge(train(A), train(B)) scores bit-identically to train(A ∪ B)") {
+    val root = tempDir("graft-lm-merge")
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 =!= 0)
+    LangModel.writeModel(a, s"$root/a")
+    LangModel.writeModel(b, s"$root/b")
+    LangModel.mergeModels(spark, s"$root/a", s"$root/b", s"$root/ab")
+    assert(LangModel.modelExists(spark, s"$root/ab"))
+    // exact integers all the way down: counts sum, vocab unions, so the
+    // merged model must reproduce the union-trained scores EXACTLY
+    val merged = LangModel.scoreAgainst(docs, s"$root/ab")
+      .orderBy("doc_id").collect().toSeq
+    val direct = LangModel.bigramNll(docs).orderBy("doc_id").collect().toSeq
+    assert(merged === direct)
+    // V sanity: merged V is the distinct union, NOT the sum of parts
+    val vA = spark.read.parquet(s"$root/a/meta").head().getLong(0)
+    val vB = spark.read.parquet(s"$root/b/meta").head().getLong(0)
+    val vAB = spark.read.parquet(s"$root/ab/meta").head().getLong(0)
+    assert(vAB < vA + vB, "shared vocabulary must collapse in the merge")
+    assert(vAB >= math.max(vA, vB))
+  }
+
+  test("hybrid head/tail count join: split changes no scores; head rides a broadcast") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    val (c12, c1, vocab) = LangModel.trainCounts(docs)
+    val pureShuffle = LangModel.scoreWith(docs, c12, c1, vocab, headK = 0)
+      .orderBy("doc_id").collect().toSeq
+    val hybrid = LangModel.scoreWith(docs, c12, c1, vocab, headK = 64)
+      .orderBy("doc_id").collect().toSeq
+    // which keys land in the head must never change a value — the
+    // exact-integer NLL makes this assertable bit-for-bit
+    assert(hybrid === pureShuffle)
+    val plan = LangModel.scoreWith(docs, c12, c1, vocab, headK = 64)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
   test("streaming scoring: micro-batches against the frozen model equal the batch scores") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger

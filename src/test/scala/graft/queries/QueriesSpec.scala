@@ -211,6 +211,25 @@ class QueriesSpec extends SparkSuite {
     }
   }
 
+  test("indexed hard negatives: no exchange carrying a label carries a float array") {
+    // epoch-scale mining shuffles labels for every candidate pair; if that
+    // exchange also drags the unit vectors, the narrow label verdict costs
+    // a vector-table's worth of network. The fix keeps candidate ids and
+    // labels together and re-attaches vectors only to survivors — pin it.
+    val df = SimilarityQueries.queries("sim_hard_negatives_indexed")(spark, sf)
+    val fmt = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // formatted explain: each node section carries "Input [n]: [cols]" /
+    // "Output [n]: [cols]"; check every Exchange section mentioning the
+    // neighbor-label column nl# for array columns riding along
+    val sections = fmt.split("\n\\(")
+    val offending = sections.filter { s =>
+      s.contains("Exchange") && s.contains("nl#") &&
+        Seq("uv#", "qv#", "nv#").exists(s.contains)
+    }
+    assert(offending.isEmpty, offending.mkString("\n---\n").take(2000))
+  }
+
   test("LSH ANN recall@5 >= 0.8 vs brute force (sf0.001, sf0.01, sf0.1)") {
     recallDirs.foreach { dir =>
       val brute = knnPairs("sim_knn_brute", dir)
