@@ -17,11 +17,14 @@ import org.apache.spark.sql.functions._
  * feature loop (oracle-checked by `mm_audio_features`). VIDEO is a real
  * CONTAINER: [[encodeAviRawFrames]]/[[decodeAviFrames]] implement RIFF/AVI
  * with raw-DIB frames, and [[documentsAsVideo]] ships genuine multi-frame
- * files whose demux is oracle-checked by `mm_video_frames`. Non-BMP image
- * payloads (e.g. the byte-block "frames" of the legacy frame-sample
- * pipeline) fall back to the deterministic [[decodeImageStub]] — the
- * stand-in for COMPRESSED codecs that need native libraries this container
- * doesn't have (JPEG/PNG/H.264).
+ * files whose demux is oracle-checked by `mm_video_frames`. COMPRESSED
+ * images (JPEG/PNG/GIF) decode for real too, through the JDK's own
+ * `javax.imageio` ([[decodeImageIO]] — no native libraries needed); PNG is
+ * lossless, so `mm_pixel_stats_png` hash-verifies that leg against the
+ * text-derived oracle exactly like the BMP one. Only payloads NO codec leg
+ * understands (unknown formats, the byte-block "frames" of the legacy
+ * frame-sample pipeline, codec-compressed video like H.264) fall back to
+ * the deterministic [[decodeImageStub]].
  */
 object Multimodal {
 
@@ -129,15 +132,107 @@ object Multimodal {
   private val MaxBmpDim = 1 << 14
   private val MaxBmpPixels = 1L << 24
 
-  /** Decode a payload: real BMP decode when the bytes are a BMP, the
-    * deterministic stub otherwise (pixels = payload bytes). */
-  def decodeImage(data: Array[Byte]): Array[Int] =
-    decodeBmp(data).map(_._3).getOrElse(decodeImageStub(data))
+  // ImageIO's default scratch space is a disk cache — pure overhead for the
+  // in-memory byte payloads a task iterates; keep it on-heap
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** Magic-byte sniff for the compressed formats [[decodeImageIO]] accepts:
+    * JPEG (FF D8 FF), PNG (89 'PNG'), GIF ('GIF8'). Cheap gate so garbage
+    * payloads never pay an ImageIO reader probe. */
+  private def looksCompressedImage(data: Array[Byte]): Boolean =
+    data.length >= 4 &&
+      (((data(0) & 0xff) == 0xff && (data(1) & 0xff) == 0xd8 && (data(2) & 0xff) == 0xff) ||
+        ((data(0) & 0xff) == 0x89 && data(1) == 'P'.toByte && data(2) == 'N'.toByte &&
+          data(3) == 'G'.toByte) ||
+        (data(0) == 'G'.toByte && data(1) == 'I'.toByte && data(2) == 'F'.toByte &&
+          data(3) == '8'.toByte))
 
   /**
-   * STUB decoder — the fallback for formats that need native codec
-   * libraries (JPEG/PNG/audio): expands payload bytes into a deterministic
-   * pseudo-pixel stream so tests and oracle runs stay stable.
+   * Compressed-image decode (JPEG/PNG/GIF) via the JDK's own
+   * `javax.imageio` — no native libraries, present in every JRE. Returns
+   * `(width, height, grayscale pixels)` with the SAME gray convention as
+   * [[decodeBmp]] (mean of RGB channels), the same dimension caps, and the
+   * same never-throws contract (None for undecodable/oversized payloads).
+   * The decode runs inside the task's `mapPartitions` iterator pass, so the
+   * plumbing — schema, partitioning, batch shape — is identical to the BMP
+   * leg; only the codec differs.
+   */
+  def decodeImageIO(data: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (!looksCompressedImage(data)) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data))
+      if (img == null) return None
+      val (w, h) = (img.getWidth, img.getHeight)
+      if (w <= 0 || w > MaxBmpDim || h <= 0 || h > MaxBmpDim ||
+        w.toLong * h > MaxBmpPixels) return None
+      val px = new Array[Int](w * h)
+      if (img.getRaster.getNumBands == 1) {
+        // single-band (grayscale) images: read raw samples — getRGB would
+        // push linear gray through the sRGB transfer curve and corrupt the
+        // values (gray 1 comes back as 13)
+        img.getRaster.getSamples(0, 0, w, h, 0, px)
+        var i = 0
+        while (i < px.length) { px(i) = px(i) & 0xff; i += 1 }
+      } else {
+        val rgb = img.getRGB(0, 0, w, h, null, 0, w)
+        var i = 0
+        while (i < px.length) {
+          val v = rgb(i)
+          px(i) = (((v >> 16) & 0xff) + ((v >> 8) & 0xff) + (v & 0xff)) / 3
+          i += 1
+        }
+      }
+      Some((w, h, px))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Encode a grayscale raster as a PNG (lossless — decode reproduces the
+    * exact pixels, so the text-derived DuckDB oracle verifies the
+    * compressed-decode loop the same way it verifies BMP). */
+  def encodePng(pixels: Array[Int], width: Int, height: Int): Array[Byte] =
+    encodeViaImageIO(pixels, width, height, "png")
+
+  /** Encode a grayscale raster as a JPEG (LOSSY — decode is deterministic
+    * for fixed bytes but pixels are approximate; spec-barred, not
+    * oracle-hashed). */
+  def encodeJpeg(pixels: Array[Int], width: Int, height: Int): Array[Byte] =
+    encodeViaImageIO(pixels, width, height, "jpg")
+
+  private def encodeViaImageIO(
+      pixels: Array[Int], width: Int, height: Int, format: String): Array[Byte] = {
+    require(width > 0 && height > 0, "dims must be positive")
+    require(pixels.length == width * height,
+      s"pixel count ${pixels.length} != $width x $height")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    while (i < pixels.length) {
+      raster.setSample(i % width, i / width, 0, pixels(i) & 0xff)
+      i += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    if (!javax.imageio.ImageIO.write(img, format, out))
+      throw new IllegalStateException(s"no ImageIO writer for $format")
+    out.toByteArray
+  }
+
+  /** Full decode router: the pure-JVM BMP codec first (our fixtures'
+    * format, cheapest), then [[decodeImageIO]] for JPEG/PNG/GIF. None only
+    * for formats neither leg understands. */
+  def decodeRaster(data: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    decodeBmp(data).orElse(decodeImageIO(data))
+
+  /** Decode a payload: real decode when the bytes are BMP/JPEG/PNG/GIF,
+    * the deterministic stub otherwise (pixels = payload bytes). */
+  def decodeImage(data: Array[Byte]): Array[Int] =
+    decodeRaster(data).map(_._3).getOrElse(decodeImageStub(data))
+
+  /**
+   * STUB decoder — the fallback for payloads no real codec leg understands
+   * (unknown/truncated formats, codec-compressed video): expands payload
+   * bytes into a deterministic pseudo-pixel stream so tests and oracle
+   * runs stay stable.
    */
   def decodeImageStub(data: Array[Byte]): Array[Int] = {
     val px = new Array[Int](data.length)
@@ -259,7 +354,7 @@ object Multimodal {
     import items.sparkSession.implicits._
     items.mapPartitions { it =>
       it.map { item =>
-        val thumb = decodeBmp(item.data) match {
+        val thumb = decodeRaster(item.data) match {
           case Some((w, h, px)) => resizeNearest(px, w, h, side, side)
           case None => resizeNearest(decodeImageStub(item.data), side, side)
         }
@@ -278,7 +373,7 @@ object Multimodal {
    * deterministic across JVMs and partitionings.
    */
   def averageHash(data: Array[Byte]): Long = {
-    val px = decodeBmp(data) match {
+    val px = decodeRaster(data) match {
       case Some((w, h, p)) => resizeNearest(p, w, h, 8, 8)
       case None => resizeNearest(decodeImageStub(data), 8, 8)
     }
@@ -692,13 +787,33 @@ object Multimodal {
     graft.Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
-        val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        val n = math.max(1, bytes.length)
-        val w = math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
-        val h = (n + w - 1) / w
-        val px = Array.tabulate(w * h)(i =>
-          if (i < bytes.length) java.lang.Byte.toUnsignedInt(bytes(i)) else 0)
+        val (w, h, px) = docRaster(text)
         MediaItem(id, "image", encodeBmp(px, w, h), w, h)
       }
+  }
+
+  /** The PNG twin of [[documentsAsMedia]]: same raster, compressed payload
+    * — the corpus shape of a real web crawl, where images arrive JPEG/PNG,
+    * decoded by [[decodeImageIO]] instead of the pure-JVM BMP codec. */
+  def documentsAsPngMedia(spark: SparkSession, sfDir: String): Dataset[MediaItem] = {
+    import spark.implicits._
+    graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val (w, h, px) = docRaster(text)
+        MediaItem(id, "image", encodePng(px, w, h), w, h)
+      }
+  }
+
+  /** The shared fixture raster: a document's UTF-8 bytes in a near-square
+    * grid, zero padding in the last row. */
+  private def docRaster(text: String): (Int, Int, Array[Int]) = {
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.max(1, bytes.length)
+    val w = math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val h = (n + w - 1) / w
+    val px = Array.tabulate(w * h)(i =>
+      if (i < bytes.length) java.lang.Byte.toUnsignedInt(bytes(i)) else 0)
+    (w, h, px)
   }
 }

@@ -75,6 +75,26 @@ object MultimodalQueries {
         .orderBy("doc_id")
     }),
 
+    // the COMPRESSED leg of the same oracle: documents wrapped as PNGs
+    // (lossless), decoded through javax.imageio via the generic raster
+    // router — the identical stats hash against the identical text-derived
+    // oracle proves the compressed encode -> decode loop reproduces the
+    // bytes exactly, so the web-crawl corpus shape (images arrive
+    // JPEG/PNG, never BMP) runs on a REAL codec, not the stub
+    "mm_pixel_stats_png" -> ((s, d) => {
+      import s.implicits._
+      Multimodal.documentsAsPngMedia(s, d)
+        .map { item =>
+          val (w, h, px) = Multimodal.decodeRaster(item.data).getOrElse(
+            throw new IllegalStateException(s"doc ${item.doc_id}: payload is not decodable"))
+          var sum = 0L; var mx = 0; var zeros = 0L
+          px.foreach { v => sum += v; if (v > mx) mx = v; if (v == 0) zeros += 1 }
+          (item.doc_id, w, h, w.toLong * h, sum, zeros, mx)
+        }
+        .toDF("doc_id", "width", "height", "n_pixels", "sum_px", "n_zero", "max_px")
+        .orderBy("doc_id")
+    }),
+
     // AUDIO modality end to end: each document becomes a REAL RIFF/WAVE
     // payload (deterministic integer-sawtooth PCM16 — integer math only, so
     // the oracle recomputes the exact samples), decoded and featurized per
@@ -230,6 +250,24 @@ object MultimodalQueries {
     // pixels = byte values + zero padding (corpus is ASCII, so bytes are
     // unicode code points; GREATEST/COALESCE guard the empty-text edge the
     // engine handles with a 1x1 zero raster)
+    // the PNG leg recomputes the SAME stats from the SAME text bytes —
+    // lossless compression means the oracle is literally the BMP one
+    "mm_pixel_stats_png" ->
+      """WITH b AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n,
+        |    GREATEST(CAST(ceil(sqrt(GREATEST(octet_length(encode(text)), 1))) AS INTEGER), 1) AS w
+        |  FROM documents
+        |), d AS (
+        |  SELECT doc_id, n, w,
+        |    GREATEST(CAST(ceil(CAST(n AS DOUBLE) / w) AS INTEGER), 1) AS h
+        |  FROM b)
+        |SELECT d.doc_id, w AS width, h AS height,
+        |  CAST(w * h AS BIGINT) AS n_pixels,
+        |  CAST(COALESCE(list_sum([unicode(t.text[i]) FOR i IN generate_series(1, n)]), 0) AS BIGINT) AS sum_px,
+        |  CAST(w * h - n AS BIGINT) AS n_zero,
+        |  CAST(COALESCE(list_max([unicode(t.text[i]) FOR i IN generate_series(1, n)]), 0) AS INTEGER) AS max_px
+        |FROM d JOIN documents t USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
     "mm_pixel_stats" ->
       """WITH b AS (
         |  SELECT doc_id, octet_length(encode(text)) AS n,

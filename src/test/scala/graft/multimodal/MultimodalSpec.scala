@@ -57,6 +57,57 @@ class MultimodalSpec extends SparkSuite {
     assert(decodeBmp(crafted(4, 4, hdrSize = Int.MaxValue)).isEmpty) // paletteOff overflow
   }
 
+  test("PNG codec round-trips pixels exactly through javax.imageio (lossless)") {
+    for (w <- Seq(1, 3, 7, 32); h <- Seq(1, 2, 5)) {
+      val px = Array.tabulate(w * h)(i => (i * 37 + w) % 256)
+      val png = encodePng(px, w, h)
+      assert((png(1), png(2), png(3)) == (('P'.toByte, 'N'.toByte, 'G'.toByte)))
+      // bypassing the BMP leg: the generic router must hit decodeImageIO
+      assert(decodeBmp(png).isEmpty, "PNG must not decode as BMP")
+      val Some((dw, dh, dpx)) = decodeRaster(png)
+      assert((dw, dh) == ((w, h)), s"dims lost at ${w}x$h")
+      assert(dpx.toSeq == px.toSeq, s"pixels corrupted at ${w}x$h")
+    }
+  }
+
+  test("JPEG decode: dims exact, deterministic, pixels near the source raster") {
+    // a smooth gradient compresses well — keeps the lossy error tight and
+    // the assertion honest (JPEG of pure noise would need a huge tolerance)
+    val (w, h) = (48, 32)
+    val px = Array.tabulate(w * h)(i => ((i % w) * 4 + (i / w) * 2) % 256)
+    val jpg = encodeJpeg(px, w, h)
+    assert((jpg(0) & 0xff) == 0xff && (jpg(1) & 0xff) == 0xd8)
+    val Some((dw, dh, dpx)) = decodeRaster(jpg)
+    assert((dw, dh) == ((w, h)))
+    val Some((_, _, dpx2)) = decodeRaster(jpg)
+    assert(dpx.toSeq == dpx2.toSeq, "JPEG decode must be deterministic")
+    val mae = px.zip(dpx).map { case (a, b) => math.abs(a - b) }.sum.toDouble / px.length
+    assert(mae < 8.0, s"JPEG mean abs error too high: $mae")
+  }
+
+  test("undecodable payloads still fall to the stub; GIF magic is gated not decoded blindly") {
+    assert(decodeRaster("just some text bytes".getBytes).isEmpty)
+    assert(decodeRaster(Array[Byte](0x89.toByte, 'P', 'N')).isEmpty) // truncated magic
+    // a magic prefix with garbage body must return None, never throw
+    assert(decodeRaster(Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0, 1, 2)).isEmpty)
+    assert(decodeRaster("GIF89a-but-not-really".getBytes).isEmpty)
+    // decodeImage then yields the stub stream
+    val garbage = "payload".getBytes
+    assert(decodeImage(garbage).toSeq == decodeImageStub(garbage).toSeq)
+  }
+
+  test("aHash and thumbnails agree across BMP and PNG encodings of the same raster") {
+    val (w, h) = (23, 17)
+    val px = Array.tabulate(w * h)(i => (i * 131 + 7) % 256)
+    val bmp = encodeBmp(px, w, h)
+    val png = encodePng(px, w, h)
+    assert(averageHash(bmp) == averageHash(png),
+      "lossless formats must produce identical perceptual hashes")
+    val tb = resizeNearest(decodeRaster(bmp).get._3, w, h, 8, 8)
+    val tp = resizeNearest(decodeRaster(png).get._3, w, h, 8, 8)
+    assert(tb.toSeq == tp.toSeq)
+  }
+
   test("documentsAsMedia payloads are real BMPs that decode back to the text bytes") {
     val items = documentsAsMedia(spark, "/root/testdata/sf0.001").limit(10).collect()
     assert(items.nonEmpty)
