@@ -81,6 +81,24 @@ object SimilarityQueries {
     p
   }
 
+  /** The grown-index twin of [[ensureIndex]]: build on the ~70% of ids
+    * with `id % 10 < 7`, then [[graft.operators.AnnIndex.append]] the
+    * rest — so the served index exercised by `sim_knn_ivf_appended` is one
+    * that actually went through the incremental path. */
+  private[graft] def ensureAppendedIndex(s: SparkSession, d: String): String = {
+    val p = indexPath(d) + "_app"
+    if (!graft.operators.AnnIndex.exists(s, p)) {
+      val e = emb(s, d).select(col("vec_id").as("id"), col("v"))
+      graft.operators.AnnIndex.buildIvfPq(
+        e.filter(pmod(col("id"), lit(10)) < 7),
+        dim = Dim, path = p, cells = IdxCells, subs = PqSubs,
+        codes = IdxCodes, lloydIters = 1)
+      graft.operators.AnnIndex.append(s, p,
+        e.filter(pmod(col("id"), lit(10)) >= 7))
+    }
+    p
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact top-5 cosine neighbors for the first 10 vectors (baseline),
     // through the public operator [[graft.operators.Ann.knnBrute]]. The
@@ -188,6 +206,21 @@ object SimilarityQueries {
     "sim_knn_ivfpq" -> ((s, d) => {
       val e = emb(s, d).select(col("vec_id").as("id"), col("v"))
       graft.operators.AnnIndex.searchIvfPq(s, ensureIndex(s, d),
+          e.filter(col("id") < 10), k = 5, rerank = 100)
+        .orderBy("query_id", "rank")
+    }),
+
+    // The GROWN index: built on ~70% of the corpus, the rest APPENDED via
+    // [[graft.operators.AnnIndex.append]] (hard-assign to frozen cells,
+    // code against frozen means/codebooks, append cell partitions, meta
+    // last) — the incremental-maintenance path served from the catalog,
+    // not just specs: a continuously-ingesting pipeline must absorb new
+    // vectors WITHOUT the full rebuild. Not SQL-expressible -> rows-only;
+    // QueriesSpec holds the grown index to the SAME recall bar as the
+    // built-whole one and requires appended ids to surface.
+    "sim_knn_ivf_appended" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id").as("id"), col("v"))
+      graft.operators.AnnIndex.searchIvfPq(s, ensureAppendedIndex(s, d),
           e.filter(col("id") < 10), k = 5, rerank = 100)
         .orderBy("query_id", "rank")
     }),

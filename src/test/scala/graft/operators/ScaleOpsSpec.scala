@@ -365,6 +365,34 @@ class ScaleOpsSpec extends SparkSuite {
     assert(((brute & ivf).size.toDouble / brute.size) >= 0.8)
   }
 
+  test("a crashed append (vectors written, codes/meta not) is invisible to PQ search and meta") {
+    val dir = java.nio.file.Files.createTempDirectory("annidx-crash").toString
+    val e = graft.queries.SimilarityQueries.emb(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id").as("id"), col("v"))
+    val (seed, grown) = (e.filter(col("id") < 350), e.filter(col("id") >= 350))
+    AnnIndex.buildIvfPq(seed, dim = 64, path = dir, cells = 16, subs = 8,
+      codes = 16, lloydIters = 1)
+    val q = e.filter(col("id") < 10)
+    def pqResults() = AnnIndex.searchIvfPq(spark, dir, q, k = 5, rerank = 100)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Int]("rank"))).toSet
+    val before = pqResults()
+    val nBefore = AnnIndex.meta(spark, dir).head().getAs[Long]("n_vectors")
+
+    // simulate append dying after its FIRST write (the vectors table) —
+    // exactly what a mid-append crash leaves behind
+    val cents = spark.read.parquet(s"$dir/centroids")
+    Ann.ivfAssign(grown.select(col("id"), expr("graft_unit(v)").as("uv")), cents)
+      .select(col("cell").cast("int").as("cell"), col("id"), col("uv"))
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/vectors")
+
+    // ADC candidates come from `codes`, so a vector without codes cannot
+    // surface; meta (the committed count) still reads the pre-append value
+    assert(pqResults() === before,
+      "a half-appended batch leaked into PQ search results")
+    assert(AnnIndex.meta(spark, dir).head().getAs[Long]("n_vectors") == nBefore)
+  }
+
   test("a pre-cell-mean index fails searchIvfPq loudly with the rebuild remedy") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("annidx-v2").toString

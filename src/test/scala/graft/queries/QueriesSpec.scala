@@ -196,6 +196,19 @@ class QueriesSpec extends SparkSuite {
     }
   }
 
+  test("appended-index search: same recall bar as built-whole, appended ids surface") {
+    recallDirs.foreach { dir =>
+      val brute = knnPairs("sim_knn_brute", dir)
+      val app = knnPairs("sim_knn_ivf_appended", dir)
+      val recall = (brute & app).size.toDouble / brute.size
+      assert(recall >= 0.8, s"appended-index recall too low at $dir: $recall")
+      // the appended 30% (id % 10 >= 7) must be searchable — a grown index
+      // that only ever returns built-at-birth ids would pass recall on
+      // skewed data while silently dropping every new vector
+      assert(app.exists(_._2 % 10 >= 7), s"appended vectors never surface at $dir")
+    }
+  }
+
   test("indexed hard negatives: recall >= 0.8 vs the exact baseline, labels disjoint") {
     recallDirs.foreach { dir =>
       val brute = knnPairs("sim_hard_negatives", dir)
