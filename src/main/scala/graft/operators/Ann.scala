@@ -385,21 +385,35 @@ object Ann {
    * the spec MEASURES recall against the exact baseline rather than
    * assuming it.
    */
+  /** The cluster-assignment half of [[semanticDedupPairs]], exposed so the
+    * catalog can export it as a fixture table: (id, uv, cell) rows, each id
+    * multi-assigned to its top-`assign` cells. The k-means is the part an
+    * SQL oracle cannot recompute; everything DOWNSTREAM of this table (the
+    * within-cell exact-cosine verify) is plain relational algebra, which is
+    * exactly what `dedup_semantic_verified` hands to DuckDB. */
+  def semanticAssignments(
+      embeddings: DataFrame,
+      cells: Int = 16,
+      lloydIters: Int = 1,
+      assign: Int = 3): DataFrame = {
+    require(assign >= 1 && assign <= cells, s"assign=$assign of $cells cells")
+    graft.expressions.GraftExtensions.register(embeddings.sparkSession)
+    val u = embeddings.select(col("id"), expr("graft_unit(v)").as("uv"))
+    val cents = ivfCentroids(u, cells, lloydIters)
+    TopK.topKPerKey(
+        u.crossJoin(broadcast(cents))
+          .withColumn("cs", expr("graft_dot(uv, cv)")),
+        Seq("id"), struct(col("cs"), -col("cent_id")), Seq("cent_id", "uv"), assign)
+      .select(col("id"), col("uv"), col("cent_id").as("cell"))
+  }
+
   def semanticDedupPairs(
       embeddings: DataFrame,
       cells: Int = 16,
       lloydIters: Int = 1,
       threshold: Double = 0.4,
       assign: Int = 3): DataFrame = {
-    require(assign >= 1 && assign <= cells, s"assign=$assign of $cells cells")
-    graft.expressions.GraftExtensions.register(embeddings.sparkSession)
-    val u = embeddings.select(col("id"), expr("graft_unit(v)").as("uv"))
-    val cents = ivfCentroids(u, cells, lloydIters)
-    val assigned = TopK.topKPerKey(
-        u.crossJoin(broadcast(cents))
-          .withColumn("cs", expr("graft_dot(uv, cv)")),
-        Seq("id"), struct(col("cs"), -col("cent_id")), Seq("cent_id", "uv"), assign)
-      .select(col("id"), col("uv"), col("cent_id").as("cell"))
+    val assigned = semanticAssignments(embeddings, cells, lloydIters, assign)
     assigned.alias("a")
       .join(assigned.alias("b"),
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))

@@ -26,6 +26,11 @@ object DedupQueries {
   /** df cap for trigram pair emission (see dedup_ngram_jaccard). */
   private[queries] val MaxGramDf = 1000
 
+  /** Where `dedup_semantic_verified` exports its (id, cell) assignment for
+    * the DuckDB oracle to read — a fixed literal (not java.io.tmpdir)
+    * because the oracle SQL is static and runs OUTSIDE the JVM. */
+  private[graft] val SemDedupFixturePath = "/tmp/graft_fixtures/semdedup_assign"
+
   /** (doc_a < doc_b, jaccard) pairs with exact word-trigram jaccard >= 0.5,
     * via the inverted-index join (shared by dedup_ngram_jaccard and the
     * dedup_components clustering; unordered — callers sort). */
@@ -230,6 +235,32 @@ object DedupQueries {
         .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"), col("cos"))
         .orderBy("vec_a", "vec_b")),
 
+    // the ORACLE-CHECKED half of SemDeDup: the k-means assignment (the one
+    // genuinely non-SQL step) exports as a fixture parquet, and BOTH
+    // engines recompute the downstream within-cell exact-cosine verify
+    // from that same table — the pattern dedup_fuzzy_edit set (let DuckDB
+    // recompute the downstream exactly). Spark reads the fixture BACK so
+    // the two engines verify identical bits; the hash match proves the
+    // verify math (pairing, threshold, canonicalization, multi-assign
+    // dedup) engine-independently, leaving only the clustering itself to
+    // SemDedupSpec's recall/exactness bars.
+    "dedup_semantic_verified" -> ((s, d) => {
+      val e = SimilarityQueries.emb(s, d).select(col("vec_id").as("id"), col("v"))
+      graft.operators.Ann.semanticAssignments(e, cells = 16, lloydIters = 1, assign = 3)
+        .select(col("id"), col("cell"))
+        .write.mode("overwrite").parquet(SemDedupFixturePath)
+      val a = s.read.parquet(SemDedupFixturePath)
+      val u = e.select(col("id"), expr("graft_unit(v)").as("uv"))
+      val withV = a.join(u, "id")
+      withV.alias("a")
+        .join(withV.alias("b"),
+          col("a.cell") === col("b.cell") && col("a.id") < col("b.id") &&
+            expr("graft_dot(a.uv, b.uv)") >= 0.4)
+        .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"))
+        .distinct()
+        .orderBy("vec_a", "vec_b")
+    }),
+
     // fuzzy (edit-distance) near-dup on the 192-char text prefix: PassJoin
     // segment-pigeonhole candidates (linear fan-out, hash join on segment
     // bytes) + exact thresholded Levenshtein verify — the typo/OCR-noise
@@ -242,6 +273,20 @@ object DedupQueries {
         .orderBy("doc_id_a", "doc_id_b")))
 
   val oracles: Map[String, String] = Map(
+    // recompute the within-cell verify from the exported assignment: the
+    // fixture path is a fixed literal because this map is static — Verify
+    // writes the fixture for whatever sfDir it runs, immediately before
+    // the driver's DuckDB pass reads it (not safe under concurrent
+    // different-sf Verify runs, which the protocol never does)
+    "dedup_semantic_verified" ->
+      s"""WITH a AS (SELECT * FROM read_parquet('$SemDedupFixturePath/*.parquet'))
+        |SELECT DISTINCT x.id AS vec_a, y.id AS vec_b
+        |FROM a x JOIN a y ON x.cell = y.cell AND x.id < y.id
+        |JOIN embeddings ea ON ea.vec_id = x.id
+        |JOIN embeddings eb ON eb.vec_id = y.id
+        |WHERE list_cosine_similarity(ea.embedding, eb.embedding) >= 0.4
+        |ORDER BY vec_a, vec_b""".stripMargin,
+
     "dedup_fuzzy_edit" ->
       """WITH k AS (SELECT doc_id, substr(text, 1, 192) AS key FROM documents)
         |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
