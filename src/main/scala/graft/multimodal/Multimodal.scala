@@ -540,21 +540,24 @@ object Multimodal {
     hash
   }
 
+  /** Per-item audio fingerprint rows (doc_id, ahash) — the audio twin of
+    * [[imageHashes]], exported as the `mm_*_neardup_verified` fixture. */
+  def audioHashes(items: Dataset[AudioItem]): Dataset[ImageHash] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions(_.map(a => ImageHash(a.doc_id, audioFingerprint(a.data))))
+  }
+
   /** Audio near-duplicate pairs by fingerprint hamming distance — the
     * same 4×16-bit band pigeonhole plan as [[imageNearDupPairs]]. */
   def audioNearDupPairs(
       items: Dataset[AudioItem], maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3,
       s"4 bands guarantee recall only to hamming 3, got $maxHamming")
-    import items.sparkSession.implicits._
-    val hashes = items
-      .mapPartitions(_.map(a => ImageHash(a.doc_id, audioFingerprint(a.data))))
-      .toDF()
-    bandedHammingPairs(hashes, maxHamming)
+    bandedHammingPairs(audioHashes(items).toDF(), maxHamming)
   }
 
   /** Shared banded hamming self-join over (doc_id, ahash) rows. */
-  private[multimodal] def bandedHammingPairs(
+  private[graft] def bandedHammingPairs(
       hashes: DataFrame, maxHamming: Int): DataFrame = {
     val bands = hashes.select(col("doc_id"), col("ahash"),
         explode(sequence(lit(0), lit(3))).as("band"))

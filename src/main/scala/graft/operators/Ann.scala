@@ -96,22 +96,55 @@ object Ann {
       planes: Int = 128,
       bands: Int = 16,
       excludeSelf: Boolean = true): DataFrame = {
+    rerankCandidateIds(
+      knnLshCandidateIds(corpus, queries, dim, seed, planes, bands, excludeSelf),
+      corpus, queries, k)
+  }
+
+  /** The LSH probe stage of [[knnLsh]] as an id-pair table: multiprobe
+    * band codes hash-join the corpus codes, and the distinct carries ONLY
+    * the 16-byte (query_id, neighbor_id) pair — vectors re-attach in
+    * [[rerankCandidateIds]] after the dedup, so wide float arrays never
+    * ride the candidate shuffle (the same discipline as
+    * [[nearDupPairsCosine]]). Exported as the `sim_knn_lsh_verified`
+    * fixture: DuckDB reranks the same candidate set, proving the
+    * scoring/ordering math engine-independently. */
+  private[graft] def knnLshCandidateIds(
+      corpus: DataFrame, queries: DataFrame, dim: Int,
+      seed: Int, planes: Int, bands: Int,
+      excludeSelf: Boolean = true): DataFrame = {
     require(planes % bands == 0, "planes must divide evenly into bands")
     val r = planes / bands
     val corpusCodes = bandedCodes(corpus.select(col("id"), col("v")),
-      seed, planes, bands, dim)
+        seed, planes, bands, dim)
+      .select(col("id"), col("band_idx"), col("code"))
     val probeArr = array((col("code") +:
       (0 until r).map(j => col("code").bitwiseXOR(lit(1L << j)))): _*)
     val probes = bandedCodes(queries.select(col("id"), col("v")),
         seed, planes, bands, dim)
-      .select(col("id").as("query_id"), col("v").as("qv"),
-        col("band_idx"), explode(probeArr).as("code"))
-    val cand = broadcast(probes).join(corpusCodes, Seq("band_idx", "code"))
+      .select(col("id").as("query_id"), col("band_idx"),
+        explode(probeArr).as("code"))
+    broadcast(probes).join(corpusCodes, Seq("band_idx", "code"))
       .filter(if (excludeSelf) col("query_id") =!= col("id") else lit(true))
-      .select(col("query_id"), col("qv"), col("id").as("neighbor_id"),
-        col("v").as("nv"))
+      .select(col("query_id"), col("id").as("neighbor_id"))
       .distinct()
-    cosRerank(cand.withColumn("cos", cosine), k)
+  }
+
+  /** Exact-cosine rerank of candidate (query_id, neighbor_id) pairs:
+    * query vectors re-attach via a broadcast join (queries are a bounded
+    * probe set), neighbor vectors via the corpus join, then the shared
+    * bounded-heap top-k. */
+  private[graft] def rerankCandidateIds(
+      candIds: DataFrame, corpus: DataFrame, queries: DataFrame,
+      k: Int): DataFrame = {
+    graft.expressions.GraftExtensions.register(corpus.sparkSession)
+    val scored = candIds
+      .join(broadcast(queries.select(col("id").as("query_id"), col("v").as("qv"))),
+        "query_id")
+      .join(corpus.select(col("id").as("neighbor_id"), col("v").as("nv")),
+        "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), cosine.as("cos"))
+    cosRerank(scored, k)
   }
 
   // ---- product-quantization stages (shared by sim_pq_audit and knnIvfPq) ----

@@ -31,6 +31,15 @@ object DedupQueries {
     * because the oracle SQL is static and runs OUTSIDE the JVM. */
   private[graft] val SemDedupFixturePath = "/tmp/graft_fixtures/semdedup_assign"
 
+  /** Fixture exports for the other sketch-family verified twins (same
+    * protocol as [[SemDedupFixturePath]]: the non-SQL kernel output —
+    * signatures, band codes — lands in parquet, and BOTH engines recompute
+    * the candidate-join + exact-verify downstream from identical bits). */
+  private[graft] val MinhashBandsFixturePath = "/tmp/graft_fixtures/minhash_bands"
+  private[graft] val MinhashSetsFixturePath = "/tmp/graft_fixtures/minhash_sets"
+  private[graft] val SimhashFixturePath = "/tmp/graft_fixtures/simhash_sig"
+  private[graft] val EmbLshFixturePath = "/tmp/graft_fixtures/emb_lsh_codes"
+
   /** (doc_a < doc_b, jaccard) pairs with exact word-trigram jaccard >= 0.5,
     * via the inverted-index join (shared by dedup_ngram_jaccard and the
     * dedup_components clustering; unordered — callers sort). */
@@ -261,6 +270,93 @@ object DedupQueries {
         .orderBy("vec_a", "vec_b")
     }),
 
+    // the ORACLE-CHECKED half of MinHash+LSH: the JVM signature/shingle
+    // kernels (the non-SQL steps) export as fixtures, and BOTH engines
+    // recompute the band-collision candidate join + exact-jaccard verify
+    // from those bits. Output stays in exact integers (common, union) so
+    // no float rounding path can differ; the kernels themselves stay on
+    // DedupSpec's planted-dup/threshold bars.
+    "dedup_minhash_verified" -> ((s, d) => {
+      val dd = docs(s, d)
+      graft.operators.CorpusOps.minhashBands(dd)
+        .write.mode("overwrite").parquet(MinhashBandsFixturePath)
+      graft.operators.CorpusOps.shingleSets(dd)
+        .write.mode("overwrite").parquet(MinhashSetsFixturePath)
+      val bands = s.read.parquet(MinhashBandsFixturePath)
+      val sets = s.read.parquet(MinhashSetsFixturePath)
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_val") === col("b.band_val") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("sa")), "doc_a")
+        .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("sb")), "doc_b")
+        .withColumn("common", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+        .withColumn("union_sz",
+          (size(col("sa")) + size(col("sb"))).cast("long") - col("common"))
+        .filter(col("common") * 2 >= col("union_sz"))
+        .select(col("doc_a"), col("doc_b"), col("common"), col("union_sz"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // the ORACLE-CHECKED half of SimHash: the 64-bit sketch exports as a
+    // fixture; band extraction (shift+mask), candidate join, and the
+    // bit_count(xor) hamming verify recompute in both engines — integer
+    // bit arithmetic end to end, so the hash match proves the entire
+    // downstream (DuckDB's >> is arithmetic like the JVM's, and the &
+    // 65535 mask makes the sign-fill moot).
+    "dedup_simhash_verified" -> ((s, d) => {
+      import s.implicits._
+      docs(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, t) =>
+          (id, graft.similarity.MinHashKernel.simhash(t))
+        })
+        .toDF("doc_id", "simhash")
+        .write.mode("overwrite").parquet(SimhashFixturePath)
+      val sim = s.read.parquet(SimhashFixturePath)
+      val bands = sim.select(col("doc_id"), col("simhash"),
+          explode(sequence(lit(0), lit(3))).as("band_idx"))
+        .withColumn("band_val", expr("shiftright(simhash, 16 * band_idx) & 65535"))
+      bands.as("a").join(bands.as("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_val") === col("b.band_val") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 3)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // the ORACLE-CHECKED half of embedding LSH near-dup: the hyperplane
+    // band codes (the non-SQL step) export as a fixture; the band-collision
+    // candidate join + exact-cosine verify recompute in both engines —
+    // the same split dedup_semantic_verified uses for k-means.
+    "dedup_embedding_lsh_verified" -> ((s, d) => {
+      graft.expressions.GraftExtensions.register(s)
+      val e = SimilarityQueries.emb(s, d).select(col("vec_id").as("id"), col("v"))
+      val u = e.select(col("id"), expr("graft_unit(v)").as("v"))
+      graft.operators.Ann.bandedCodes(u, SimilarityQueries.Seed,
+          SimilarityQueries.NumPlanes, EmbBands, SimilarityQueries.Dim)
+        .select("id", "band_idx", "code")
+        .write.mode("overwrite").parquet(EmbLshFixturePath)
+      val coded = s.read.parquet(EmbLshFixturePath)
+      val cand = coded.as("a").join(coded.as("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.code") === col("b.code") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"))
+        .distinct()
+      val uu = e.select(col("id"), expr("graft_unit(v)").as("uv"))
+      cand.join(uu.select(col("id").as("vec_a"), col("uv").as("ua")), "vec_a")
+        .join(uu.select(col("id").as("vec_b"), col("uv").as("ub")), "vec_b")
+        .filter(expr("graft_dot(ua, ub)") >= 0.4)
+        .select(col("vec_a"), col("vec_b"))
+        .orderBy("vec_a", "vec_b")
+    }),
+
     // fuzzy (edit-distance) near-dup on the 192-char text prefix: PassJoin
     // segment-pigeonhole candidates (linear fan-out, hash join on segment
     // bytes) + exact thresholded Levenshtein verify — the typo/OCR-noise
@@ -284,6 +380,56 @@ object DedupQueries {
         |FROM a x JOIN a y ON x.cell = y.cell AND x.id < y.id
         |JOIN embeddings ea ON ea.vec_id = x.id
         |JOIN embeddings eb ON eb.vec_id = y.id
+        |WHERE list_cosine_similarity(ea.embedding, eb.embedding) >= 0.4
+        |ORDER BY vec_a, vec_b""".stripMargin,
+
+    // recompute the MinHash downstream from the exported signature/shingle
+    // fixtures: band-collision candidates + exact integer jaccard verify
+    "dedup_minhash_verified" ->
+      s"""WITH b AS (SELECT * FROM read_parquet('$MinhashBandsFixturePath/*.parquet')),
+        |sets AS (SELECT * FROM read_parquet('$MinhashSetsFixturePath/*.parquet')),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM b x JOIN b y ON x.band_idx = y.band_idx
+        |    AND x.band_val = y.band_val AND x.doc_id < y.doc_id)
+        |SELECT doc_a, doc_b, common, union_sz FROM (
+        |  SELECT doc_a, doc_b,
+        |    CAST(len(list_intersect(sa.shs, sb.shs)) AS BIGINT) AS common,
+        |    CAST(len(sa.shs) + len(sb.shs)
+        |         - len(list_intersect(sa.shs, sb.shs)) AS BIGINT) AS union_sz
+        |  FROM cand JOIN sets sa ON sa.doc_id = cand.doc_a
+        |            JOIN sets sb ON sb.doc_id = cand.doc_b)
+        |WHERE common * 2 >= union_sz
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // recompute the SimHash downstream from the exported 64-bit sketches:
+    // shift+mask bands, candidate join, bit_count(xor) hamming <= 3
+    "dedup_simhash_verified" ->
+      s"""WITH h AS (SELECT * FROM read_parquet('$SimhashFixturePath/*.parquet')),
+        |b AS (
+        |  SELECT doc_id, simhash, g.band_idx,
+        |         (simhash >> (16 * g.band_idx)) & 65535 AS band_val
+        |  FROM h, (SELECT unnest(generate_series(0, 3)) AS band_idx) g)
+        |SELECT doc_a, doc_b, hamming FROM (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |    CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
+        |  FROM b x JOIN b y ON x.band_idx = y.band_idx
+        |    AND x.band_val = y.band_val AND x.doc_id < y.doc_id)
+        |WHERE hamming <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // recompute the embedding-LSH downstream from the exported band codes:
+    // band-collision candidates + exact cosine >= 0.4 verify
+    "dedup_embedding_lsh_verified" ->
+      s"""WITH c AS (SELECT * FROM read_parquet('$EmbLshFixturePath/*.parquet')),
+        |cand AS (
+        |  SELECT DISTINCT x.id AS vec_a, y.id AS vec_b
+        |  FROM c x JOIN c y ON x.band_idx = y.band_idx
+        |    AND x.code = y.code AND x.id < y.id)
+        |SELECT vec_a, vec_b
+        |FROM cand
+        |JOIN embeddings ea ON ea.vec_id = vec_a
+        |JOIN embeddings eb ON eb.vec_id = vec_b
         |WHERE list_cosine_similarity(ea.embedding, eb.embedding) >= 0.4
         |ORDER BY vec_a, vec_b""".stripMargin,
 

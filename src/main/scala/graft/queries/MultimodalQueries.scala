@@ -15,6 +15,12 @@ import graft.multimodal.Multimodal
  */
 object MultimodalQueries {
 
+  /** Fixture exports for the `mm_*_neardup_verified` twins (SemDeDup
+    * protocol: the perceptual-hash kernels — the non-SQL step — land in
+    * parquet; both engines recompute the band join + hamming verify). */
+  private[graft] val ImageHashFixturePath = "/tmp/graft_fixtures/image_ahash"
+  private[graft] val AudioHashFixturePath = "/tmp/graft_fixtures/audio_fp"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // binary-column metadata over the opaque payload
     "mm_meta" -> ((s, d) => {
@@ -177,9 +183,66 @@ object MultimodalQueries {
       }
       Multimodal.audioNearDupPairs(base.union(probes), maxHamming = 3)
         .orderBy("doc_a", "doc_b")
+    }),
+
+    // the ORACLE-CHECKED half of image near-dup: the aHash kernel (the
+    // non-SQL step — decode + 8x8 block means) exports as a fixture, and
+    // BOTH engines recompute the 4x16-bit band candidate join + the
+    // bit_count(xor) hamming verify from the same 64-bit values — integer
+    // bit arithmetic end to end, same probe protocol as mm_image_neardup.
+    "mm_image_neardup_verified" -> ((s, d) => {
+      import s.implicits._
+      val base = Multimodal.documentsAsMedia(s, d)
+      val probes = base.filter(_.doc_id % 10 == 0).map { m =>
+        val px = Multimodal.decodeBmp(m.data).get._3
+        val px2 = px.clone(); px2(0) = math.min(255, px2(0) + 1)
+        m.copy(doc_id = m.doc_id + 10000000L,
+          data = Multimodal.encodeBmp(px2, m.width, m.height))
+      }
+      Multimodal.imageHashes(base.union(probes)).toDF()
+        .write.mode("overwrite").parquet(ImageHashFixturePath)
+      Multimodal.bandedHammingPairs(s.read.parquet(ImageHashFixturePath), maxHamming = 3)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // audio twin: the energy-profile fingerprint exports, the banded
+    // hamming downstream recomputes in both engines
+    "mm_audio_neardup_verified" -> ((s, d) => {
+      import s.implicits._
+      val base = Multimodal.documentsAsAudio(s, d)
+      val probes = base.filter(_.doc_id % 10 == 0).map { a =>
+        val (rate, samples) = Multimodal.decodeWavPcm16(a.data).get
+        val s2 = samples.clone(); s2(0) = (s2(0) + 1).toShort
+        a.copy(doc_id = a.doc_id + 10000000L,
+          data = Multimodal.encodeWavPcm16(s2, rate))
+      }
+      Multimodal.audioHashes(base.union(probes)).toDF()
+        .write.mode("overwrite").parquet(AudioHashFixturePath)
+      Multimodal.bandedHammingPairs(s.read.parquet(AudioHashFixturePath), maxHamming = 3)
+        .orderBy("doc_a", "doc_b")
     }))
 
+  /** Shared banded-hamming oracle over a (doc_id, ahash) fixture — the
+    * DuckDB mirror of [[Multimodal.bandedHammingPairs]] (arithmetic >>
+    * matches the JVM's; & 65535 masks the sign-fill either way). */
+  private def hammingOracle(fixture: String): String =
+    s"""WITH h AS (SELECT * FROM read_parquet('$fixture/*.parquet')),
+      |b AS (
+      |  SELECT doc_id, ahash, g.band_idx,
+      |         (ahash >> (16 * g.band_idx)) & 65535 AS band_val
+      |  FROM h, (SELECT unnest(generate_series(0, 3)) AS band_idx) g)
+      |SELECT doc_a, doc_b, hamming FROM (
+      |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+      |    CAST(bit_count(xor(x.ahash, y.ahash)) AS INTEGER) AS hamming
+      |  FROM b x JOIN b y ON x.band_idx = y.band_idx
+      |    AND x.band_val = y.band_val AND x.doc_id < y.doc_id)
+      |WHERE hamming <= 3
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "mm_image_neardup_verified" -> hammingOracle(ImageHashFixturePath),
+    "mm_audio_neardup_verified" -> hammingOracle(AudioHashFixturePath),
+
     "mm_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         |       octet_length(encode(text)) % 251 AS shard_bucket

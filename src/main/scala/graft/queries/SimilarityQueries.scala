@@ -49,6 +49,11 @@ object SimilarityQueries {
   private[graft] val NumPlanes = 128
   private val KnnBands = 16 // r = 8 bits/band
 
+  /** Fixture export for `sim_knn_lsh_verified` (the SemDeDup protocol:
+    * a fixed literal because the oracle SQL is static and runs outside
+    * the JVM). */
+  private[graft] val KnnLshFixturePath = "/tmp/graft_fixtures/knn_lsh_cand"
+
   private[graft] val PqSubs = 8
   private[graft] val PqCodes = 16
   // the persisted-index configuration (sim_knn_ivfpq / sim_knn_ivf_indexed)
@@ -147,6 +152,23 @@ object SimilarityQueries {
       val e = emb(s, d).select(col("vec_id").as("id"), col("v"))
       graft.operators.Ann.knnLsh(e, e.filter(col("id") < 10), k = 5,
           dim = Dim, seed = Seed, planes = NumPlanes, bands = KnnBands)
+        .orderBy("query_id", "rank")
+    }),
+
+    // the ORACLE-CHECKED half of LSH ANN: the hyperplane probe stage (the
+    // non-SQL step) exports its candidate (query_id, neighbor_id) pairs as
+    // a fixture, and BOTH engines rerank the same candidate set by exact
+    // cosine — the hash match proves the scoring, ordering (cos DESC, id
+    // ASC), and top-k math engine-independently, leaving only candidate
+    // RECALL to QueriesSpec's >= 0.8 bar vs the brute baseline.
+    "sim_knn_lsh_verified" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id").as("id"), col("v"))
+      val q = e.filter(col("id") < 10)
+      graft.operators.Ann.knnLshCandidateIds(e, q,
+          dim = Dim, seed = Seed, planes = NumPlanes, bands = KnnBands)
+        .write.mode("overwrite").parquet(KnnLshFixturePath)
+      val cand = s.read.parquet(KnnLshFixturePath)
+      graft.operators.Ann.rerankCandidateIds(cand, e, q, k = 5)
         .orderBy("query_id", "rank")
     }),
 
@@ -298,6 +320,18 @@ object SimilarityQueries {
         |  FROM embeddings a JOIN embeddings b
         |    ON b.vec_id <> a.vec_id AND b.label <> a.label
         |  WHERE a.vec_id < 10)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // rerank the exported LSH candidate set — same ordering contract as
+    // sim_knn_brute, restricted to the fixture's pairs
+    "sim_knn_lsh_verified" ->
+      s"""WITH c AS (SELECT * FROM read_parquet('$KnnLshFixturePath/*.parquet'))
+        |SELECT query_id, neighbor_id, rank FROM (
+        |  SELECT c.query_id, c.neighbor_id,
+        |         ROW_NUMBER() OVER (PARTITION BY c.query_id
+        |           ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, c.neighbor_id) AS rank
+        |  FROM c JOIN embeddings a ON a.vec_id = c.query_id
+        |         JOIN embeddings b ON b.vec_id = c.neighbor_id)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "sim_knn_brute" ->
