@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * DSIR-style data selection via importance resampling (Xie et al., "Data
+ * Selection for Language Models via Importance Resampling", NeurIPS 2023):
+ * given a RAW corpus and a (much smaller) TARGET corpus exemplifying the
+ * distribution you want, estimate hashed n-gram bucket distributions for
+ * both, weight every raw document by its log importance ratio
+ * Σ_grams ln(p_target(bucket)/p_raw(bucket)), and resample the raw corpus
+ * by Gumbel-top-k on those log weights — the standard trick that makes
+ * "sample ∝ importance weight, without replacement" a deterministic
+ * ORDER BY instead of sequential draws.
+ *
+ * Determinism / engine-independence: gram→bucket hashing is md5-prefix
+ * arithmetic (the same bridge the samplers use, reproducible in any
+ * engine); per-bucket log ratios are fixed-pointed to 1e4 LONGs (the
+ * [[LangModel]] recipe), so per-doc weights are exact integer sums immune
+ * to float summation order; the Gumbel perturbation derives from md5 bits
+ * (u = (28-bit prefix + 0.5)/2^28) and is itself fixed-pointed, so the
+ * final ranking key is a pure integer — `pipe_dsir_sample`'s DuckDB
+ * oracle recomputes the whole pipeline from the parquet text.
+ *
+ * Scale shape (100 TB): gram extraction is in-row; bucket counts are two
+ * hash aggregates bounded by `buckets` (a knob, default 4096 — the paper
+ * uses 10^4); the per-bucket log-ratio table is therefore ALWAYS tiny and
+ * rides a broadcast join onto the gram stream — scoring shuffles the
+ * corpus exactly once, on doc_id, for the weight sum. The Gumbel-top-k
+ * select is the bounded-heap `graft_topk` aggregate (O(k) state per
+ * partition, k rows per partition shuffled — never a global sort).
+ */
+object Dsir {
+
+  /** Gram rows (doc_id, gram) WITH multiplicity: word unigrams + space-
+    * joined bigrams, built in-row (slice + zip — no positional shuffle). */
+  private[graft] def gramRows(docs: DataFrame): DataFrame = {
+    val words = docs.select(col("doc_id"), split(trim(col("text")), " +").as("w"))
+    val uni = words.select(col("doc_id"), explode(col("w")).as("gram"))
+    val bi = words.filter(size(col("w")) >= 2)
+      .select(col("doc_id"),
+        explode(arrays_zip(
+          slice(col("w"), lit(1), size(col("w")) - 1),
+          slice(col("w"), lit(2), size(col("w")) - 1))).as("bg"))
+      .select(col("doc_id"), concat_ws(" ", col("bg.0"), col("bg.1")).as("gram"))
+    uni.unionAll(bi)
+  }
+
+  /** (doc_id, bucket) rows: md5-prefix hash of the gram into `buckets`
+    * buckets — the engine-independent feature hash. */
+  private[graft] def bucketRows(docs: DataFrame, buckets: Int): DataFrame =
+    gramRows(docs).select(col("doc_id"),
+      (conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long") % buckets)
+        .as("bucket"))
+
+  /**
+   * Per-document log importance weights of `raw` against `target`:
+   * (doc_id, n_feats, weight_fp) where weight_fp is the exact LONG
+   * Σ_grams round(ln(p_t(b)/p_r(b)) · 1e4) under add-one-smoothed bucket
+   * distributions p(b) = (c(b)+1)/(n+buckets). Positive = looks more like
+   * the target than like the raw corpus. Documents with zero grams (empty
+   * text still yields one empty-string unigram, so: none) are absent.
+   */
+  def importanceWeights(
+      raw: DataFrame, target: DataFrame, buckets: Int = 4096): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val rawB = bucketRows(raw, buckets)
+    val tgtB = bucketRows(target, buckets)
+    val rawCounts = rawB.groupBy("bucket").agg(count(lit(1)).as("cr"))
+    val tgtCounts = tgtB.groupBy("bucket").agg(count(lit(1)).as("ct"))
+    val totals = rawB.agg(count(lit(1)).as("nr"))
+      .crossJoin(tgtB.agg(count(lit(1)).as("nt")))
+    // only buckets PRESENT in raw can appear under a raw doc's grams, so
+    // a left join covers the support; the ratio table is <= `buckets`
+    // rows by construction -> broadcast, and scoring never shuffles the
+    // gram stream on its (Zipf-hot) bucket key
+    val lr = rawCounts.join(tgtCounts, Seq("bucket"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        round(log(
+          ((coalesce(col("ct"), lit(0L)) + lit(1)).cast("double") /
+            (col("nt") + lit(buckets).cast("double"))) /
+          ((col("cr") + lit(1)).cast("double") /
+            (col("nr") + lit(buckets).cast("double")))) * 1e4)
+          .cast("long").as("lr_fp"))
+    rawB.join(broadcast(lr), "bucket")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum(col("lr_fp")).as("weight_fp"))
+  }
+
+  /**
+   * Gumbel-top-k resampling of weighted docs: perturb each integer log
+   * weight with a deterministic fixed-point Gumbel draw (inverse-CDF of
+   * an md5-derived uniform) and keep the k largest keys — equivalent to
+   * sampling k docs without replacement with probability ∝ exp(weight),
+   * but expressible as a bounded-heap top-k. Input must carry (doc_id,
+   * n_feats, weight_fp); output adds `kept`.
+   */
+  def resample(weights: DataFrame, k: Int, salt: String = "graft-dsir"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    // u = (28-bit md5 prefix + 0.5) / 2^28 in (0,1); gumbel = -ln(-ln u)
+    val u = (conv(substring(
+        md5(concat(lit(s"$salt:"), col("doc_id").cast("string"))), 1, 7),
+      16, 10).cast("double") + 0.5) / lit(268435456.0)
+    val keyed = weights.withColumn("key_fp",
+      col("weight_fp") + round(-log(-log(u)) * 1e4).cast("long"))
+    val top = TopK.topKPerKey(
+        keyed.withColumn("__g", lit(0)), Seq("__g"),
+        struct(col("key_fp"), -col("doc_id")), Seq("doc_id"), k)
+      .select(col("doc_id"), lit(true).as("kept"))
+    keyed.join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_feats"), col("weight_fp"),
+        coalesce(col("kept"), lit(false)).as("kept"))
+  }
+
+  /** The composed select: weigh `raw` against `target`, Gumbel-top-k to
+    * `k` docs. Returns every raw doc with its weight and verdict. */
+  def select(
+      raw: DataFrame, target: DataFrame, k: Int,
+      buckets: Int = 4096, salt: String = "graft-dsir"): DataFrame =
+    resample(importanceWeights(raw, target, buckets), k, salt)
+}

@@ -35,6 +35,20 @@ object PipelineQueries {
   private val Ops = graft.operators.CorpusOps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // DSIR importance resampling (Xie et al. 2023): weight every doc by
+    // how much its hashed-ngram bucket distribution looks like the TARGET
+    // slice (here: the English docs) vs the raw corpus, then Gumbel-top-k
+    // select 100 docs ∝ exp(weight). Everything is md5-bridge hashing +
+    // fixed-point integer sums, so the DuckDB oracle recomputes the FULL
+    // pipeline — bucket counts, smoothed log ratios, per-doc weights,
+    // Gumbel keys, and the final top-k — from the raw text.
+    "pipe_dsir_sample" -> ((s, d) => {
+      val all = docs(s, d)
+      graft.operators.Dsir.select(
+          all, all.filter(col("lang") === "en"), k = 100, buckets = 4096)
+        .orderBy("doc_id")
+    }),
+
     // benchmark decontamination: training docs sharing any word 5-gram with
     // the held-out benchmark slice (doc_id % 20 == 0 stands in for the eval
     // set) are flagged with their distinct-hit count. Scale shape: the
@@ -392,6 +406,48 @@ object PipelineQueries {
   }
 
   val oracles: Map[String, String] = Map(
+
+    // full DSIR recompute: unigram+bigram grams, md5-prefix buckets,
+    // add-one-smoothed bucket log ratios fixed-pointed to 1e4 (identical
+    // double expression order as the Spark side, the LangModel recipe),
+    // exact integer per-doc weight sums, md5-derived Gumbel keys, top-100
+    "pipe_dsir_sample" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(text), ' +') AS ws FROM documents
+        |), grams AS (
+        |  SELECT doc_id, unnest(ws) AS gram FROM w
+        |  UNION ALL
+        |  SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1]
+        |                         FOR i IN generate_series(1, len(ws) - 1)]) AS gram
+        |  FROM w WHERE len(ws) >= 2
+        |), gb AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substring(md5(gram), 1, 8) AS BIGINT) % 4096 AS bucket
+        |  FROM grams
+        |), tgt AS (
+        |  SELECT gb.* FROM gb JOIN documents USING (doc_id) WHERE lang = 'en'
+        |), rc AS (SELECT bucket, COUNT(*) AS cr FROM gb GROUP BY 1),
+        |tc AS (SELECT bucket, COUNT(*) AS ct FROM tgt GROUP BY 1),
+        |tot AS (SELECT (SELECT COUNT(*) FROM gb) AS nr, (SELECT COUNT(*) FROM tgt) AS nt),
+        |lr AS (
+        |  SELECT rc.bucket,
+        |    CAST(round(ln(
+        |      (CAST(COALESCE(ct, 0) + 1 AS DOUBLE) / (nt + 4096.0)) /
+        |      (CAST(cr + 1 AS DOUBLE) / (nr + 4096.0))) * 1e4) AS BIGINT) AS lr_fp
+        |  FROM rc LEFT JOIN tc USING (bucket) CROSS JOIN tot
+        |), dw AS (
+        |  SELECT doc_id, COUNT(*) AS n_feats, SUM(lr_fp) AS weight_fp
+        |  FROM gb JOIN lr USING (bucket) GROUP BY 1
+        |), g AS (
+        |  SELECT doc_id, n_feats, weight_fp,
+        |    weight_fp + CAST(round(-ln(-ln(
+        |      (CAST('0x' || substring(md5('graft-dsir:' || CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT)
+        |        + 0.5) / 268435456.0)) * 1e4) AS BIGINT) AS key_fp
+        |  FROM dw
+        |), topk AS (SELECT doc_id FROM g ORDER BY key_fp DESC, doc_id LIMIT 100)
+        |SELECT g.doc_id, n_feats, weight_fp, (t.doc_id IS NOT NULL) AS kept
+        |FROM g LEFT JOIN topk t USING (doc_id)
+        |ORDER BY g.doc_id""".stripMargin,
 
     "pipe_column_stats" -> Seq("doc_id", "text", "lang", "source", "n_chars")
       .map { c =>

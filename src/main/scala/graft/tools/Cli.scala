@@ -273,6 +273,22 @@ object Cli {
         val (b, a) = graft.operators.Compaction.compactInPlace(
           spark, args(2), targetMB << 20)
         println(s"compacted ${args(2)}: $b -> $a files")
+      case "dsir-select" =>
+        // DSIR importance resampling: select <k> docs from a raw corpus
+        // parquet toward a target corpus parquet's hashed-ngram
+        // distribution; writes (doc_id, n_feats, weight_fp, kept) or
+        // streams the kept ids
+        val raw = spark.read.parquet(args(2))
+        val target = spark.read.parquet(args(3))
+        val k = if (args.length > 4) args(4).toInt else 1000
+        val sel = graft.operators.Dsir.select(raw, target, k).orderBy("doc_id")
+        if (args.length > 5) {
+          sel.write.mode("overwrite").parquet(args(5))
+          println(s"wrote ${spark.read.parquet(args(5)).count()} rows to ${args(5)}")
+        } else sel.filter(org.apache.spark.sql.functions.col("kept"))
+          .toLocalIterator().forEachRemaining { r =>
+            println(s"${r.getAs[Long]("doc_id")}\t${r.getAs[Long]("weight_fp")}")
+          }
       case "fuzzy-dedup" =>
         // edit-distance near-dup pairs over a documents parquet; same
         // bounded-output discipline as `dedup` (stream or write, no collect)
