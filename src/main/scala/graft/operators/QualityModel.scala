@@ -1,0 +1,200 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Trained document-quality classifier — the fastText-style quality filter
+ * every production pipeline distills its rule battery into (CCNet trains
+ * a linear model over a Wikipedia target; LLaMA-style preps train a
+ * classifier on rule-passing exemplars). Here: ridge regression of the
+ * Gopher rule verdict onto six integer document features, trained
+ * DISTRIBUTED via exact sufficient statistics, solved on the driver
+ * (a d×d system, d = 6), scored as a pure integer dot product.
+ *
+ * Why a trained model when the rules already exist: the rules are a hard
+ * conjunction; the regression gives a graded score (rankable, thresholdable
+ * per-domain) and transfers to corpora where only SOME rules fire — the
+ * standard weak-supervision distillation.
+ *
+ * Exactness / engine-independence: features are fixed-point LONGs (floor
+ * integer division at 1e4 scale); the normal-equation sums X^T X and X^T y
+ * accumulate as DECIMAL(38,0) (exact, order-independent, no overflow);
+ * learned weights export as 1e12-scaled LONGs, so scoring is an integer
+ * dot product any engine reproduces bit-for-bit — `text_quality_model`'s
+ * DuckDB oracle recomputes features from raw text and scores against the
+ * exported weight fixture.
+ *
+ * Scale shape (100 TB): feature extraction is the gopher battery's
+ * two-level (doc, word) -> doc hash aggregate (state bounded by one doc's
+ * vocabulary); the sufficient-statistics aggregate reduces the corpus to
+ * ONE 28-number row (mergeable — see [[mergeStats]] for incremental
+ * training); scoring is a stateless per-row expression against a 1-row
+ * broadcast. No windows, no joins on corpus-sized keys, no driver collect
+ * beyond the fixed-size statistics row.
+ */
+object QualityModel {
+
+  /** Feature count including the bias term. */
+  private[graft] val D = 6
+
+  private val Stop = Seq("the", "a", "of", "and", "to", "in")
+
+  /**
+   * Integer feature table: (doc_id, f0..f5, label) where
+   * f0 = 1e4 (bias), f1 = min(n_words, 1000)·10, f2 = floor word-length
+   * mean ·1e4, f3 = floor top-word share ·1e4, f4 = floor dup-word share
+   * ·1e4, f5 = floor stopword share ·1e4; `label` is the Gopher battery
+   * verdict (the same thresholds as text_gopher_quality, phrased on the
+   * integer features — floor-equivalent by construction).
+   */
+  private[graft] def features(docs: DataFrame): DataFrame = {
+    val wc = docs.select(col("doc_id"),
+        explode(split(trim(col("text")), " +")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    val agg = wc.groupBy("doc_id").agg(
+      sum("c").as("n_words"),
+      sum(length(col("tok")) * col("c")).as("sum_len"),
+      count(lit(1)).as("n_distinct"),
+      max("c").as("top_c"),
+      sum(when(col("tok").isin(Stop: _*), col("c")).otherwise(0L)).as("n_stop"))
+    agg.select(col("doc_id"),
+      lit(10000L).as("f0"),
+      (least(col("n_words"), lit(1000L)) * 10).as("f1"),
+      expr("sum_len * 10000 div n_words").as("f2"),
+      expr("top_c * 10000 div n_words").as("f3"),
+      expr("(n_words - n_distinct) * 10000 div n_words").as("f4"),
+      expr("n_stop * 10000 div n_words").as("f5"),
+      (col("n_words").between(20L, 100000L) &&
+        expr("sum_len * 10000 div n_words").between(30000L, 100000L) &&
+        expr("top_c * 10000 div n_words") <= 2000L &&
+        expr("(n_words - n_distinct) * 10000 div n_words") <= 5000L &&
+        col("n_stop") >= 2L).as("label"))
+  }
+
+  /** Exact sufficient statistics as ONE row: upper-triangle of X^T X
+    * (`g_i_j`), X^T y (`b_i`), and n — every entry a DECIMAL(38,0) sum of
+    * integer products, so statistics are order-independent and MERGEABLE
+    * (sum two rows entrywise = statistics of the union). */
+  private[graft] def stats(docs: DataFrame): DataFrame = {
+    val f = features(docs).withColumn("y", col("label").cast("long"))
+    val cols =
+      (for (i <- 0 until D; j <- i until D) yield
+        sum((col(s"f$i") * col(s"f$j")).cast("decimal(38,0)")).as(s"g_${i}_$j")) ++
+      (for (i <- 0 until D) yield
+        sum((col(s"f$i") * col("y")).cast("decimal(38,0)")).as(s"b_$i")) :+
+      count(lit(1)).as("n")
+    f.agg(cols.head, cols.tail: _*)
+  }
+
+  /** Entrywise sum of two statistics rows = the union corpus's statistics
+    * (exact — integer sums). The incremental-training primitive. */
+  def mergeStats(a: DataFrame, b: DataFrame): DataFrame = {
+    val names = a.columns
+    require(names.sameElements(b.columns), "statistics schemas must match")
+    a.unionAll(b).agg(
+      sum(col(names.head)).cast("decimal(38,0)").as(names.head),
+      names.tail.map(c =>
+        (if (c == "n") sum(col(c)).as(c)
+         else sum(col(c)).cast("decimal(38,0)").as(c))): _*)
+  }
+
+  /** Ridge solve on the driver: (G + λ·diag(G)/d·I) w = b via Gaussian
+    * elimination with partial pivoting — deterministic given the exact
+    * integer statistics. λ scales with trace(G)/d so regularization is
+    * corpus-size-invariant. */
+  private[graft] def solveRidge(
+      g: Array[Array[Double]], b: Array[Double], lambda: Double): Array[Double] = {
+    val d = b.length
+    val trace = (0 until d).map(i => g(i)(i)).sum
+    val ridge = lambda * trace / d * 1e-9
+    val m = Array.tabulate(d, d + 1) { (i, j) =>
+      if (j == d) b(i) else g(i)(j) + (if (i == j) ridge else 0.0)
+    }
+    for (k <- 0 until d) {
+      val p = (k until d).maxBy(r => math.abs(m(r)(k)))
+      val t = m(k); m(k) = m(p); m(p) = t
+      require(math.abs(m(k)(k)) > 0, "singular statistics matrix")
+      for (r <- k + 1 until d) {
+        val factor = m(r)(k) / m(k)(k)
+        for (c <- k to d) m(r)(c) -= factor * m(k)(c)
+      }
+    }
+    val w = new Array[Double](d)
+    for (i <- d - 1 to 0 by -1) {
+      var s = m(i)(d)
+      for (j <- i + 1 until d) s -= m(i)(j) * w(j)
+      w(i) = s / m(i)(i)
+    }
+    w
+  }
+
+  /** Train from a statistics row: returns the 1e12-scaled integer weights.
+    * The only driver-side step — 28 numbers in, 6 out. */
+  def trainFromStats(statsRow: DataFrame, lambda: Double = 1.0): Array[Long] = {
+    val r = statsRow.collect()(0)
+    def dec(name: String): Double =
+      r.getAs[java.math.BigDecimal](name).doubleValue()
+    val g = Array.tabulate(D, D) { (i, j) =>
+      if (i <= j) dec(s"g_${i}_$j") else dec(s"g_${j}_$i")
+    }
+    val b = Array.tabulate(D)(i => dec(s"b_$i"))
+    solveRidge(g, b, lambda).map(w => math.round(w * 1e12))
+  }
+
+  /** One-shot train over a corpus. */
+  def train(docs: DataFrame, lambda: Double = 1.0): Array[Long] =
+    trainFromStats(stats(docs), lambda)
+
+  /** Integer scoring expression: score_fp = Σ f_i · w_i. The weights were
+    * learned against the RAW integer features, so score_fp / 1e12 is the
+    * regression output ŷ (the weights carry the 1e12 scale; the features
+    * carry none). */
+  private def scoreCol(wFp: Seq[Long]): Column =
+    (0 until D).map(i => col(s"f$i") * lit(wFp(i))).reduce(_ + _)
+
+  /** ŷ >= 0.5 at the 1e12 weight scale. */
+  private[graft] val ThresholdFp = 500000000000L
+
+  /**
+   * Score a corpus with integer weights: (doc_id, score_fp, predicted,
+   * label). `predicted` thresholds the regression output at 0.5
+   * (score_fp >= 5e11); `label` rides along for audit.
+   */
+  def score(docs: DataFrame, wFp: Seq[Long]): DataFrame = {
+    require(wFp.length == D, s"expected $D weights, got ${wFp.length}")
+    features(docs).select(col("doc_id"),
+      scoreCol(wFp).as("score_fp"),
+      (scoreCol(wFp) >= ThresholdFp).as("predicted"),
+      col("label"))
+  }
+
+  /**
+   * Persist the model: `weights/` (one row, w_0..w_5 LONGs) then `meta/`
+   * LAST as the commit marker ([[LangModel.writeModel]] discipline).
+   * Returns the weights.
+   */
+  def writeModel(docs: DataFrame, path: String, lambda: Double = 1.0): Array[Long] = {
+    val s = docs.sparkSession
+    val wFp = train(docs, lambda)
+    import s.implicits._
+    Seq(wFp).map(w => (w(0), w(1), w(2), w(3), w(4), w(5)))
+      .toDF((0 until D).map(i => s"w_$i"): _*)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/weights")
+    Seq((D, lambda)).toDF("d", "lambda")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    wFp
+  }
+
+  /** Read the persisted weights (requires the meta commit marker). */
+  def readWeights(docs: DataFrame, path: String): Array[Long] = {
+    val s = docs.sparkSession
+    s.read.parquet(s"$path/meta").collect() // marker must exist
+    val r = s.read.parquet(s"$path/weights").collect()(0)
+    Array.tabulate(D)(i => r.getAs[Long](s"w_$i"))
+  }
+
+  /** Score against a persisted model. */
+  def scoreAgainst(docs: DataFrame, path: String): DataFrame =
+    score(docs, readWeights(docs, path))
+}

@@ -20,6 +20,10 @@ object TextQueries {
 
   private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
 
+  /** Weight-fixture export for `text_quality_model` (SemDeDup protocol:
+    * fixed literal — the oracle SQL is static and runs outside the JVM). */
+  private[graft] val QualityModelFixturePath = "/tmp/graft_fixtures/quality_model"
+
   private def ratio4(a: Column, b: Column): Column =
     floor(a.cast("double") * 10000 / b) / 10000
 
@@ -30,6 +34,21 @@ object TextQueries {
     "de" -> "\\b(der|die|das|und|ist|nicht|mit|ein)\\b")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // trained quality classifier (the fastText-filter distillation):
+    // ridge-regress the Gopher rule verdict onto six integer document
+    // features via exact DECIMAL sufficient statistics, solve the 6x6
+    // system on the driver, export the 1e12-scaled integer weights as a
+    // fixture, and score the corpus as a pure integer dot product. The
+    // DuckDB oracle recomputes the features from raw text and scores
+    // against the SAME weight fixture — training (the one float step)
+    // exports; everything downstream hash-matches engine-independently.
+    "text_quality_model" -> ((s, d) => {
+      val base = docs(s, d)
+      graft.operators.QualityModel.writeModel(base, QualityModelFixturePath)
+      graft.operators.QualityModel.scoreAgainst(base, QualityModelFixturePath)
+        .orderBy("doc_id")
+    }),
+
     // BPE merge training on the corpus (tokenizer learning, the capability
     // upstream of token counting): 12 merge rules from the word-frequency
     // formulation — ONE corpus-sized word-count shuffle, then per-round
@@ -417,6 +436,41 @@ object TextQueries {
         |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // recompute the integer features from raw text, score against the
+    // exported weight fixture: floor integer division everywhere, so the
+    // dot product is exact in both engines
+    "text_quality_model" ->
+      s"""WITH wc AS (
+        |  SELECT doc_id, tok, COUNT(*) AS c FROM (
+        |    SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS tok
+        |    FROM documents)
+        |  GROUP BY 1, 2
+        |), a AS (
+        |  SELECT doc_id, SUM(c) AS n_words, SUM(len(tok) * c) AS sum_len,
+        |    COUNT(*) AS n_distinct, MAX(c) AS top_c,
+        |    SUM(CASE WHEN tok IN ('the','a','of','and','to','in') THEN c ELSE 0 END) AS n_stop
+        |  FROM wc GROUP BY 1
+        |), f AS (
+        |  SELECT doc_id,
+        |    CAST(10000 AS BIGINT) AS f0,
+        |    CAST(LEAST(n_words, 1000) * 10 AS BIGINT) AS f1,
+        |    CAST((sum_len * 10000) // n_words AS BIGINT) AS f2,
+        |    CAST((top_c * 10000) // n_words AS BIGINT) AS f3,
+        |    CAST(((n_words - n_distinct) * 10000) // n_words AS BIGINT) AS f4,
+        |    CAST((n_stop * 10000) // n_words AS BIGINT) AS f5,
+        |    (n_words BETWEEN 20 AND 100000
+        |     AND (sum_len * 10000) // n_words BETWEEN 30000 AND 100000
+        |     AND (top_c * 10000) // n_words <= 2000
+        |     AND ((n_words - n_distinct) * 10000) // n_words <= 5000
+        |     AND n_stop >= 2) AS label
+        |  FROM a
+        |), w AS (SELECT * FROM read_parquet('$QualityModelFixturePath/weights/*.parquet'))
+        |SELECT doc_id,
+        |  CAST(f0*w_0 + f1*w_1 + f2*w_2 + f3*w_3 + f4*w_4 + f5*w_5 AS BIGINT) AS score_fp,
+        |  (f0*w_0 + f1*w_1 + f2*w_2 + f3*w_3 + f4*w_4 + f5*w_5 >= 500000000000) AS predicted,
+        |  label
+        |FROM f CROSS JOIN w
+        |ORDER BY doc_id""".stripMargin,
     "text_perplexity" -> perplexitySql,
     "text_perplexity_model" -> perplexitySql,
 

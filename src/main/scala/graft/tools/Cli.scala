@@ -273,6 +273,25 @@ object Cli {
         val (b, a) = graft.operators.Compaction.compactInPlace(
           spark, args(2), targetMB << 20)
         println(s"compacted ${args(2)}: $b -> $a files")
+      case "quality-train" =>
+        // train the quality classifier on a documents parquet, persist to
+        // a model dir (weights + meta commit marker)
+        val w = graft.operators.QualityModel.writeModel(
+          spark.read.parquet(args(2)), args(3))
+        println(s"trained quality model -> ${args(3)}: w_fp=${w.mkString(",")}")
+      case "quality-score" =>
+        // score a documents parquet against a persisted quality model;
+        // writes (doc_id, score_fp, predicted, label) or streams verdicts
+        val scored = graft.operators.QualityModel
+          .scoreAgainst(spark.read.parquet(args(2)), args(3))
+          .orderBy("doc_id")
+        if (args.length > 4) {
+          scored.write.mode("overwrite").parquet(args(4))
+          println(s"wrote ${spark.read.parquet(args(4)).count()} rows to ${args(4)}")
+        } else scored.toLocalIterator().forEachRemaining { r =>
+          println(s"${r.getAs[Long]("doc_id")}\t${r.getAs[Long]("score_fp")}\t" +
+            s"${r.getAs[Boolean]("predicted")}")
+        }
       case "dsir-select" =>
         // DSIR importance resampling: select <k> docs from a raw corpus
         // parquet toward a target corpus parquet's hashed-ngram

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSuite, Tables}
+
+/**
+ * Trained-quality-classifier invariants. The cross-engine scoring math is
+ * hash-checked by `text_quality_model`'s DuckDB oracle; this spec pins
+ * the LEARNING behavior — the regression actually distills the rule
+ * battery — plus exact statistics merging (incremental training),
+ * determinism, and the persistence round trip.
+ */
+class QualityModelSpec extends SparkSuite {
+
+  private def docs(sf: String): DataFrame =
+    Tables.load(spark, s"/root/testdata/$sf", "documents")
+
+  test("classifier distills the rule battery: accuracy >= 0.8, scores separate labels") {
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val d = docs(sf)
+      val scored = QualityModel.score(d, QualityModel.train(d).toSeq)
+      val n = scored.count().toDouble
+      val agree = scored.filter(col("predicted") === col("label")).count().toDouble
+      assert(agree / n >= 0.8, s"$sf: accuracy ${agree / n} below the 0.8 bar")
+      val means = scored.groupBy("label").agg(avg(col("score_fp")).as("m"))
+        .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+      // graded separation is the real product (the filter is used as a
+      // ranker); require a wide margin, not just ordering
+      assert(means(true) - means(false) > 0.2e12,
+        s"$sf: label means too close: $means")
+    }
+  }
+
+  test("training is deterministic under repartitioning") {
+    val d = docs("sf0.001")
+    val a = QualityModel.train(d)
+    val b = QualityModel.train(d.repartition(13))
+    assert(a.toSeq === b.toSeq,
+      "exact DECIMAL statistics must make training partition-invariant")
+  }
+
+  test("merged statistics train the identical model (incremental training)") {
+    val d = docs("sf0.001")
+    val partA = d.filter(col("doc_id") % 2 === 0)
+    val partB = d.filter(col("doc_id") % 2 =!= 0)
+    val merged = QualityModel.trainFromStats(
+      QualityModel.mergeStats(
+        QualityModel.stats(partA), QualityModel.stats(partB)))
+    val whole = QualityModel.train(d)
+    assert(merged.toSeq === whole.toSeq,
+      "merge(stats(A), stats(B)) must equal stats(A ∪ B) bit-for-bit")
+  }
+
+  test("persisted model scores identically to the in-memory path") {
+    val d = docs("sf0.001")
+    val path = tempDir("qm")
+    val w = QualityModel.writeModel(d, path)
+    val direct = QualityModel.score(d, w.toSeq).orderBy("doc_id").collect().toSeq
+    val persisted = QualityModel.scoreAgainst(d, path).orderBy("doc_id").collect().toSeq
+    assert(direct === persisted)
+  }
+
+  test("scoring plan has no shuffle beyond the feature aggregate, no collect") {
+    val d = docs("sf0.001")
+    val w = QualityModel.train(d)
+    val plan = QualityModel.score(d, w.toSeq).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    // feature extraction needs its two hash aggregates; scoring itself
+    // must add NO join (weights are literals in the projection)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"scoring must be a stateless projection over the feature aggregate:\n$plan")
+  }
+}
