@@ -34,7 +34,25 @@ object PipelineQueries {
 
   private val Ops = graft.operators.CorpusOps
 
+  /** Chunk-span fixture export for `pipe_cdc_dedup` (SemDeDup protocol:
+    * fixed literal — the oracle SQL is static, runs outside the JVM). */
+  private[graft] val CdcFixturePath = "/tmp/graft_fixtures/cdc_spans"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // content-defined chunking dedup (FastCDC gear hash): chunk every doc
+    // at content-chosen boundaries, dedup chunks across the corpus by
+    // md5 identity with a first-occurrence rule. The boundary scan (the
+    // one non-SQL step) exports as a fixture; chunk hashing, the
+    // first-occurrence verdict, and the per-doc stats recompute in BOTH
+    // engines from the same spans — the SemDeDup protocol.
+    "pipe_cdc_dedup" -> ((s, d) => {
+      val base = docs(s, d)
+      graft.operators.CdcChunker.chunkTable(base)
+        .write.mode("overwrite").parquet(CdcFixturePath)
+      graft.operators.CdcChunker.dedupStats(base, s.read.parquet(CdcFixturePath))
+        .orderBy("doc_id")
+    }),
+
     // DSIR importance resampling (Xie et al. 2023): weight every doc by
     // how much its hashed-ngram bucket distribution looks like the TARGET
     // slice (here: the English docs) vs the raw corpus, then Gumbel-top-k
@@ -406,6 +424,27 @@ object PipelineQueries {
   }
 
   val oracles: Map[String, String] = Map(
+
+    // recompute the CDC downstream from the exported spans: md5 chunk
+    // identity, first occurrence via the encoded (doc_id, start) key
+    // (start < 1e9 makes the encoding order-equivalent to the struct
+    // min), per-doc dedup stats
+    "pipe_cdc_dedup" ->
+      s"""WITH sp AS (SELECT * FROM read_parquet('$CdcFixturePath/*.parquet')),
+        |ch AS (
+        |  SELECT sp.doc_id, start, len,
+        |         md5(substring(text, start + 1, len)) AS h
+        |  FROM sp JOIN documents USING (doc_id)
+        |), f AS (
+        |  SELECT h, MIN(doc_id * 1000000000 + start) AS fkey FROM ch GROUP BY h
+        |)
+        |SELECT doc_id, COUNT(*) AS n_chunks,
+        |  CAST(SUM(CASE WHEN doc_id * 1000000000 + start <> fkey THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  CAST(SUM(CASE WHEN doc_id * 1000000000 + start <> fkey THEN len ELSE 0 END) AS BIGINT) AS dup_chars,
+        |  CAST(SUM(len) AS BIGINT) AS total_chars
+        |FROM ch JOIN f USING (h)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     // full DSIR recompute: unigram+bigram grams, md5-prefix buckets,
     // add-one-smoothed bucket log ratios fixed-pointed to 1e4 (identical

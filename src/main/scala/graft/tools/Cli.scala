@@ -273,6 +273,19 @@ object Cli {
         val (b, a) = graft.operators.Compaction.compactInPlace(
           spark, args(2), targetMB << 20)
         println(s"compacted ${args(2)}: $b -> $a files")
+      case "cdc-dedup" =>
+        // content-defined chunking dedup stats over a documents parquet;
+        // writes (doc_id, n_chunks, n_dup, dup_chars, total_chars) or
+        // streams the dedupable fraction per doc
+        val d = spark.read.parquet(args(2))
+        val stats = graft.operators.CdcChunker.cdcDedup(d).orderBy("doc_id")
+        if (args.length > 3) {
+          stats.write.mode("overwrite").parquet(args(3))
+          println(s"wrote ${spark.read.parquet(args(3)).count()} rows to ${args(3)}")
+        } else stats.toLocalIterator().forEachRemaining { r =>
+          println(s"${r.getAs[Long]("doc_id")}\t${r.getAs[Long]("dup_chars")}/" +
+            s"${r.getAs[Long]("total_chars")}")
+        }
       case "quality-train" =>
         // train the quality classifier on a documents parquet, persist to
         // a model dir (weights + meta commit marker)

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/**
+ * CDC chunker invariants. The downstream dedup math is hash-checked by
+ * `pipe_cdc_dedup`'s fixture oracle; this spec pins the KERNEL — span
+ * well-formedness, the re-synchronization property that justifies CDC
+ * over fixed-size chunking, full-copy dedup, and determinism.
+ */
+class CdcChunkerSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  /** Aperiodic word stream — chunk-length word sequences never repeat
+    * within or across seeds, so intra-doc dups can't confound the
+    * cross-doc assertions (the first-occurrence rule counts BOTH). */
+  private def lorem(seed: Int, n: Int): String =
+    (0 until n).map { i =>
+      val v = i.toLong * 2654435761L + seed.toLong * 1013904223L
+      "w" + java.lang.Long.toHexString((v ^ (v >>> 17)) & 0xffffffL)
+    }.mkString(" ")
+
+  test("spans are contiguous, cover the text, and respect min/max") {
+    val t = lorem(1, 400)
+    val spans = CdcChunker.chunkSpans(t, 32, 192, 31L)
+    assert(spans.head._1 === 0)
+    spans.sliding(2).foreach {
+      case Seq((s1, l1), (s2, _)) => assert(s1 + l1 === s2, "gap or overlap")
+      case _ =>
+    }
+    val (ls, ll) = spans.last
+    assert(ls + ll === t.length, "spans must cover the text")
+    spans.dropRight(1).foreach { case (_, l) =>
+      assert(l >= 32 && l <= 192, s"interior chunk length $l out of bounds")
+    }
+    assert(spans.map { case (s, l) => t.substring(s, s + l) }.mkString === t,
+      "reassembly must reproduce the text")
+  }
+
+  test("boundaries re-synchronize after a head insertion (the CDC property)") {
+    val a = lorem(2, 600)
+    val b = "zq inserted preamble " + a
+    def hashes(t: String) =
+      CdcChunker.chunkSpans(t, 32, 192, 31L)
+        .map { case (s, l) => t.substring(s, s + l) }.toSet
+    val ha = hashes(a)
+    val shared = ha.intersect(hashes(b)).size.toDouble / ha.size
+    // every byte of b is shifted relative to a — fixed-size chunking
+    // would share ZERO chunks; the gear hash realigns within ~1 chunk
+    assert(shared >= 0.6,
+      f"expected the shifted copy to share most chunks, got $shared%.2f")
+  }
+
+  test("an exact duplicate document dedups fully; unique docs do not") {
+    val docs = Seq(
+      (1L, lorem(3, 300)), (2L, lorem(4, 300)), (3L, lorem(3, 300))
+    ).toDF("doc_id", "text")
+    val stats = CdcChunker.cdcDedup(docs).orderBy("doc_id").collect()
+    val byId = stats.map(r => r.getLong(0) ->
+      (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // doc 3 duplicates doc 1: every chunk already occurred
+    assert(byId(3L)._2 === byId(3L)._3, s"full copy must be 100% dup: $byId")
+    assert(byId(1L)._2 === 0L, s"first occurrence carries no dups: $byId")
+    assert(byId(2L)._2 === 0L, s"unique doc carries no dups: $byId")
+  }
+
+  test("chunking is deterministic and partition-invariant") {
+    val docs = (0L until 50L).map(i => (i, lorem(i.toInt, 200))).toDF("doc_id", "text")
+    val a = CdcChunker.chunkTable(docs).orderBy("doc_id", "start").collect().toSeq
+    val b = CdcChunker.chunkTable(docs.repartition(7)).orderBy("doc_id", "start").collect().toSeq
+    assert(a === b)
+  }
+
+  test("dedup stats plan: hash-keyed aggregate + join, no cartesian") {
+    val docs = (0L until 20L).map(i => (i, lorem(i.toInt, 100))).toDF("doc_id", "text")
+    val plan = CdcChunker.cdcDedup(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan)
+  }
+}
