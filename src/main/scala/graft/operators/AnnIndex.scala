@@ -367,7 +367,7 @@ object AnnIndex {
   /** Route queries to their `probe` highest-cosine cells via the broadcast
     * centroid table: (query_id, probe_cell, cs[, qv]) — routing is by the
     * UNIT centroids; the residual ADC separately adds the cell-MEAN dot. */
-  private def probeCells(
+  private[graft] def probeCells(
       queries: DataFrame, cents: DataFrame, probe: Int,
       carryVec: Boolean, carryCols: Seq[String] = Nil): DataFrame = {
     val qu = queries.select(

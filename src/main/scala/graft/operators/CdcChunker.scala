@@ -123,4 +123,54 @@ object CdcChunker {
       min: Int = DefaultMin, max: Int = DefaultMax,
       mask: Long = DefaultMask): DataFrame =
     dedupStats(docs, chunkTable(docs, min, max, mask))
+
+  /** Chunk rows with content identity: (doc_id, start, len, h). */
+  private def hashedChunks(
+      docs: DataFrame, min: Int, max: Int, mask: Long): DataFrame =
+    chunkTable(docs, min, max, mask)
+      .join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .select(col("doc_id"), col("start"), col("len"),
+        md5(expr("substring(text, start + 1, len)")).as("h"))
+
+  /** The accumulated chunk-identity index behind [[incrementalStats]]:
+    * the DISTINCT content hashes of a processed doc set. A continuous
+    * pipeline persists this once and APPENDS each accepted micro-batch's
+    * hashes — the index grows with the stream instead of rechunking
+    * history. */
+  def cdcIndex(
+      docs: DataFrame,
+      min: Int = DefaultMin, max: Int = DefaultMax,
+      mask: Long = DefaultMask): DataFrame =
+    hashedChunks(docs, min, max, mask).select("h").distinct()
+
+  /**
+   * Incremental CDC dedup for continuous ingestion — the streaming twin
+   * of [[cdcDedup]]. New docs chunk ONCE; their hashes probe the
+   * accumulated index with a hash join (history is never rechunked), and
+   * the within-batch first-occurrence rule handles batch-internal dups.
+   * When micro-batches arrive in ascending doc_id order (the produce
+   * path's contract), replaying a corpus batch-by-batch yields EXACTLY
+   * the batch operator's stats — an index hit means the first occurrence
+   * was in an earlier (= lower-id) batch; CdcChunkerSpec pins the parity.
+   */
+  def incrementalStats(
+      newDocs: DataFrame, indexHashes: DataFrame,
+      min: Int = DefaultMin, max: Int = DefaultMax,
+      mask: Long = DefaultMask): DataFrame = {
+    val chunks = hashedChunks(newDocs, min, max, mask)
+    val first = chunks.groupBy("h")
+      .agg(org.apache.spark.sql.functions.min(
+        struct(col("doc_id"), col("start"))).as("f"))
+      .select(col("h"), col("f.doc_id").as("f_doc"), col("f.start").as("f_start"))
+    val hist = indexHashes.select(col("h"), lit(true).as("in_hist"))
+    chunks.join(first, "h")
+      .join(hist, Seq("h"), "left")
+      .withColumn("is_dup", coalesce(col("in_hist"), lit(false)) ||
+        !(col("doc_id") === col("f_doc") && col("start") === col("f_start")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"),
+        sum(when(col("is_dup"), col("len").cast("long")).otherwise(0L)).as("dup_chars"),
+        sum(col("len").cast("long")).as("total_chars"))
+  }
 }

@@ -280,16 +280,19 @@ object DedupQueries {
       val dd = docs(s, d)
       graft.operators.CorpusOps.minhashBands(dd)
         .write.mode("overwrite").parquet(MinhashBandsFixturePath)
-      graft.operators.CorpusOps.shingleSets(dd)
-        .write.mode("overwrite").parquet(MinhashSetsFixturePath)
       val bands = s.read.parquet(MinhashBandsFixturePath)
-      val sets = s.read.parquet(MinhashSetsFixturePath)
       val cand = bands.as("a").join(bands.as("b"),
           col("a.band_idx") === col("b.band_idx") &&
             col("a.band_val") === col("b.band_val") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
+      // sets export is CANDIDATE-pruned (the production minhashShingleSets
+      // semi join): both engines consume sets only for candidate docs, so
+      // the fixture needn't carry the rest of the corpus's shingles
+      graft.operators.CorpusOps.minhashShingleSets(dd, cand)
+        .write.mode("overwrite").parquet(MinhashSetsFixturePath)
+      val sets = s.read.parquet(MinhashSetsFixturePath)
       cand
         .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("sa")), "doc_a")
         .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("sb")), "doc_b")

@@ -49,10 +49,11 @@ object SimilarityQueries {
   private[graft] val NumPlanes = 128
   private val KnnBands = 16 // r = 8 bits/band
 
-  /** Fixture export for `sim_knn_lsh_verified` (the SemDeDup protocol:
-    * a fixed literal because the oracle SQL is static and runs outside
+  /** Fixture exports for the ANN verified twins (the SemDeDup protocol:
+    * fixed literals because the oracle SQL is static and runs outside
     * the JVM). */
   private[graft] val KnnLshFixturePath = "/tmp/graft_fixtures/knn_lsh_cand"
+  private[graft] val KnnIvfFixturePath = "/tmp/graft_fixtures/knn_ivf_cand"
 
   private[graft] val PqSubs = 8
   private[graft] val PqCodes = 16
@@ -152,6 +153,27 @@ object SimilarityQueries {
       val e = emb(s, d).select(col("vec_id").as("id"), col("v"))
       graft.operators.Ann.knnLsh(e, e.filter(col("id") < 10), k = 5,
           dim = Dim, seed = Seed, planes = NumPlanes, bands = KnnBands)
+        .orderBy("query_id", "rank")
+    }),
+
+    // the ORACLE-CHECKED half of persisted-index IVF ANN: the probed-cell
+    // candidate stage (k-means cells — the non-SQL step) exports its
+    // (query_id, neighbor_id) pairs from the PERSISTED index, and both
+    // engines rerank the same candidates by exact cosine — the same split
+    // as sim_knn_lsh_verified, over the index the catalog serves.
+    "sim_knn_ivf_verified" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id").as("id"), col("v"))
+      val q = e.filter(col("id") < 10)
+      val path = ensureIndex(s, d)
+      val cents = s.read.parquet(s"$path/centroids")
+      val vecs = s.read.parquet(s"$path/vectors")
+      graft.operators.AnnIndex.probeCells(q, cents, probe = 6, carryVec = false)
+        .join(vecs, col("probe_cell") === col("cell") &&
+          col("query_id") =!= col("id"))
+        .select(col("query_id"), col("id").as("neighbor_id"))
+        .write.mode("overwrite").parquet(KnnIvfFixturePath)
+      graft.operators.Ann.rerankCandidateIds(
+          s.read.parquet(KnnIvfFixturePath), e, q, k = 5)
         .orderBy("query_id", "rank")
     }),
 
@@ -320,6 +342,17 @@ object SimilarityQueries {
         |  FROM embeddings a JOIN embeddings b
         |    ON b.vec_id <> a.vec_id AND b.label <> a.label
         |  WHERE a.vec_id < 10)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // rerank the exported IVF candidate set — same contract as the LSH twin
+    "sim_knn_ivf_verified" ->
+      s"""WITH c AS (SELECT * FROM read_parquet('$KnnIvfFixturePath/*.parquet'))
+        |SELECT query_id, neighbor_id, rank FROM (
+        |  SELECT c.query_id, c.neighbor_id,
+        |         ROW_NUMBER() OVER (PARTITION BY c.query_id
+        |           ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, c.neighbor_id) AS rank
+        |  FROM c JOIN embeddings a ON a.vec_id = c.query_id
+        |         JOIN embeddings b ON b.vec_id = c.neighbor_id)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     // rerank the exported LSH candidate set — same ordering contract as

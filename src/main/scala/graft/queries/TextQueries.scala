@@ -24,6 +24,9 @@ object TextQueries {
     * fixed literal — the oracle SQL is static and runs outside the JVM). */
   private[graft] val QualityModelFixturePath = "/tmp/graft_fixtures/quality_model"
 
+  /** Learned-vocab fixture export for `text_bpe_doclen_verified`. */
+  private[graft] val BpeVocabFixturePath = "/tmp/graft_fixtures/bpe_vocab"
+
   private def ratio4(a: Column, b: Column): Column =
     floor(a.cast("double") * 10000 / b) / 10000
 
@@ -91,6 +94,30 @@ object TextQueries {
           (floor(sum("n_tokens") * lit(10000) / sum("n_words")) / 10000)
             .as("tokens_per_word"))
         .orderBy("source")
+    }),
+
+    // the ORACLE-CHECKED half of BPE doc budgeting: the learned
+    // word -> token-count table (the non-SQL step — the iterative merge
+    // chain) exports as a fixture, and BOTH engines recompute the per-doc
+    // token budgets from it (word explode + vocab join + integer sums) —
+    // the corpus-level aggregation the packer keys on hash-checks
+    // engine-independently; the encoder itself stays on PipelineSpec's
+    // hand-computed bars.
+    "text_bpe_doclen_verified" -> ((s, d) => {
+      val corpus = docs(s, d)
+      val merges = graft.operators.CorpusOps.bpeTrain(corpus, numMerges = 12)
+      graft.operators.CorpusOps.bpeEncode(corpus, merges)
+        .select(col("w"), size(col("tokens")).cast("long").as("word_tokens"))
+        .write.mode("overwrite").parquet(BpeVocabFixturePath)
+      val vocab = s.read.parquet(BpeVocabFixturePath)
+      corpus
+        .select(col("doc_id"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+        .filter(length(col("w")) > 0)
+        .join(broadcast(vocab), "w")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"), sum("word_tokens").as("n_tokens"))
+        .orderBy("doc_id")
     }),
 
     // quality scoring: length, token stats, stopword ratio
@@ -436,6 +463,20 @@ object TextQueries {
         |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // recompute doc token budgets from the exported learned vocab:
+    // word explode + fixture join + integer sums
+    "text_bpe_doclen_verified" ->
+      s"""WITH v AS (SELECT * FROM read_parquet('$BpeVocabFixturePath/*.parquet')),
+        |tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tw
+        |  FROM documents)
+        |SELECT doc_id, COUNT(*) AS n_words,
+        |       CAST(SUM(word_tokens) AS BIGINT) AS n_tokens
+        |FROM tok JOIN v ON v.w = tok.tw
+        |WHERE len(tw) > 0
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
     // recompute the integer features from raw text, score against the
     // exported weight fixture: floor integer division everywhere, so the
     // dot product is exact in both engines

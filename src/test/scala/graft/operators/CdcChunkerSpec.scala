@@ -74,6 +74,33 @@ class CdcChunkerSpec extends SparkSuite {
     assert(a === b)
   }
 
+  test("incremental replay in id order equals the batch operator exactly") {
+    // 30 docs with planted duplication: 10 unique, 10 copies of earlier
+    // docs, 10 unique — split into 3 ordered micro-batches
+    val all = ((0L until 10L).map(i => (i, lorem(i.toInt, 120))) ++
+      (10L until 20L).map(i => (i, lorem((i - 10).toInt, 120))) ++
+      (20L until 30L).map(i => (i, lorem(i.toInt + 100, 120)))).toDF("doc_id", "text")
+    val batch = CdcChunker.cdcDedup(all).orderBy("doc_id").collect().toSeq
+
+    var index = spark.emptyDataFrame.sparkSession
+      .createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("h",
+            org.apache.spark.sql.types.StringType))))
+    val replayed = (0 until 3).flatMap { b =>
+      val docs = all.filter(col("doc_id") >= b * 10 && col("doc_id") < (b + 1) * 10)
+      val out = CdcChunker.incrementalStats(docs, index).collect().toSeq
+      index = index.union(CdcChunker.cdcIndex(docs)).distinct()
+        .localCheckpoint(true)
+      out
+    }.sortBy(_.getLong(0))
+    assert(replayed === batch,
+      "ordered micro-batch replay must reproduce the batch verdicts")
+    // and the planted copies are fully dup under BOTH paths
+    assert(batch.filter(r => r.getLong(0) >= 10 && r.getLong(0) < 20)
+      .forall(r => r.getLong(3) === r.getLong(4)))
+  }
+
   test("dedup stats plan: hash-keyed aggregate + join, no cartesian") {
     val docs = (0L until 20L).map(i => (i, lorem(i.toInt, 100))).toDF("doc_id", "text")
     val plan = CdcChunker.cdcDedup(docs).queryExecution.executedPlan.toString
