@@ -257,6 +257,29 @@ object AnnIndex {
       probe: Int,
       rerank: Int,
       excludeSelf: Boolean): DataFrame = {
+    val pruned = prunedCandidateIds(spark, path, queries, probe, rerank, excludeSelf)
+    val vecs = spark.read.parquet(s"$path/vectors")
+    val qu = queries.select(col("id"), expr("graft_unit(v)").as("uv"))
+    // exact vectors are read for `rerank` rows per query, period
+    val withVecs = pruned
+      .join(vecs.select(col("id").as("neighbor_id"), col("uv").as("nv")), "neighbor_id")
+      .join(qu.select(col("id").as("query_id"), col("uv").as("qv")), "query_id")
+    withVecs.withColumn("cos", expr("graft_dot(qv, nv)"))
+      .select("query_id", "neighbor_id", "cos")
+  }
+
+  /** The ADC stage of [[searchIvfPq]] as an id-pair table: probed cells ->
+    * asymmetric-distance scores over persisted codes -> the top-`rerank`
+    * window per query. Exported as the `sim_knn_ivfpq_verified` /
+    * `dedup_embedding_indexed_verified` fixture so both engines can
+    * exact-verify the SAME candidate set. */
+  private[graft] def prunedCandidateIds(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame,
+      probe: Int,
+      rerank: Int,
+      excludeSelf: Boolean): DataFrame = {
     graft.expressions.GraftExtensions.register(spark)
     val m = meta(spark, path).head()
     val (dim, subs) = (m.getAs[Int]("dim"), m.getAs[Int]("subs"))
@@ -275,7 +298,6 @@ object AnnIndex {
     val means = spark.read.parquet(s"$path/means")
     val cb = spark.read.parquet(s"$path/codebooks")
     val pqCodes = spark.read.parquet(s"$path/codes")
-    val vecs = spark.read.parquet(s"$path/vectors")
     val qu = queries.select(col("id"), expr("graft_unit(v)").as("uv"))
 
     // route by unit centroid (cosine), reconstruct from the cell MEAN:
@@ -305,16 +327,9 @@ object AnnIndex {
       // a candidate lives in exactly one cell, so ms (the query x cell-mean
       // dot of that cell) is constant within the group
       .agg((max("ms") + sum("pdot")).as("adc"))
-    val pruned = TopK.topKPerKey(adc, Seq("query_id"),
+    TopK.topKPerKey(adc, Seq("query_id"),
         struct(col("adc"), -col("neighbor_id")), Seq("neighbor_id"), rerank)
       .select("query_id", "neighbor_id")
-
-    // exact vectors are read for `rerank` rows per query, period
-    val withVecs = pruned
-      .join(vecs.select(col("id").as("neighbor_id"), col("uv").as("nv")), "neighbor_id")
-      .join(qu.select(col("id").as("query_id"), col("uv").as("qv")), "query_id")
-    withVecs.withColumn("cos", expr("graft_dot(qv, nv)"))
-      .select("query_id", "neighbor_id", "cos")
   }
 
   /**

@@ -36,6 +36,7 @@ object DedupQueries {
     * signatures, band codes — lands in parquet, and BOTH engines recompute
     * the candidate-join + exact-verify downstream from identical bits). */
   private[graft] val MinhashBandsFixturePath = "/tmp/graft_fixtures/minhash_bands"
+  private[graft] val EmbIdxFixturePath = "/tmp/graft_fixtures/emb_idx_cand"
   private[graft] val MinhashSetsFixturePath = "/tmp/graft_fixtures/minhash_sets"
   private[graft] val SimhashFixturePath = "/tmp/graft_fixtures/simhash_sig"
   private[graft] val EmbLshFixturePath = "/tmp/graft_fixtures/emb_lsh_codes"
@@ -270,6 +271,30 @@ object DedupQueries {
         .orderBy("vec_a", "vec_b")
     }),
 
+    // the ORACLE-CHECKED half of indexed embedding near-dup: the persisted
+    // index's ADC candidate window exports, and both engines recompute
+    // the exact-cosine verify + canonicalization + distinct — the same
+    // factoring as dedup_embedding_lsh_verified, over the build-once
+    // index's serving path.
+    "dedup_embedding_indexed_verified" -> ((s, d) => {
+      graft.expressions.GraftExtensions.register(s)
+      val e = SimilarityQueries.emb(s, d).select(col("vec_id").as("id"), col("v"))
+      graft.operators.AnnIndex.prunedCandidateIds(
+          s, SimilarityQueries.ensureIndex(s, d), e,
+          probe = 6, rerank = 100, excludeSelf = true)
+        .write.mode("overwrite").parquet(EmbIdxFixturePath)
+      val cand = s.read.parquet(EmbIdxFixturePath)
+      val uu = e.select(col("id"), expr("graft_unit(v)").as("uv"))
+      cand
+        .join(uu.select(col("id").as("query_id"), col("uv").as("ua")), "query_id")
+        .join(uu.select(col("id").as("neighbor_id"), col("uv").as("ub")), "neighbor_id")
+        .filter(expr("graft_dot(ua, ub)") >= 0.4)
+        .select(least(col("query_id"), col("neighbor_id")).as("vec_a"),
+          greatest(col("query_id"), col("neighbor_id")).as("vec_b"))
+        .distinct()
+        .orderBy("vec_a", "vec_b")
+    }),
+
     // the ORACLE-CHECKED half of MinHash+LSH: the JVM signature/shingle
     // kernels (the non-SQL steps) export as fixtures, and BOTH engines
     // recompute the band-collision candidate join + exact-jaccard verify
@@ -383,6 +408,17 @@ object DedupQueries {
         |FROM a x JOIN a y ON x.cell = y.cell AND x.id < y.id
         |JOIN embeddings ea ON ea.vec_id = x.id
         |JOIN embeddings eb ON eb.vec_id = y.id
+        |WHERE list_cosine_similarity(ea.embedding, eb.embedding) >= 0.4
+        |ORDER BY vec_a, vec_b""".stripMargin,
+
+    // recompute the indexed near-dup verify from the exported ADC window
+    "dedup_embedding_indexed_verified" ->
+      s"""WITH c AS (SELECT * FROM read_parquet('$EmbIdxFixturePath/*.parquet'))
+        |SELECT DISTINCT LEAST(query_id, neighbor_id) AS vec_a,
+        |       GREATEST(query_id, neighbor_id) AS vec_b
+        |FROM c
+        |JOIN embeddings ea ON ea.vec_id = c.query_id
+        |JOIN embeddings eb ON eb.vec_id = c.neighbor_id
         |WHERE list_cosine_similarity(ea.embedding, eb.embedding) >= 0.4
         |ORDER BY vec_a, vec_b""".stripMargin,
 

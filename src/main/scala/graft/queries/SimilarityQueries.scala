@@ -54,6 +54,8 @@ object SimilarityQueries {
     * the JVM). */
   private[graft] val KnnLshFixturePath = "/tmp/graft_fixtures/knn_lsh_cand"
   private[graft] val KnnIvfFixturePath = "/tmp/graft_fixtures/knn_ivf_cand"
+  private[graft] val KnnIvfPqFixturePath = "/tmp/graft_fixtures/knn_ivfpq_cand"
+  private[graft] val HardNegFixturePath = "/tmp/graft_fixtures/hard_neg_cand"
 
   private[graft] val PqSubs = 8
   private[graft] val PqCodes = 16
@@ -153,6 +155,49 @@ object SimilarityQueries {
       val e = emb(s, d).select(col("vec_id").as("id"), col("v"))
       graft.operators.Ann.knnLsh(e, e.filter(col("id") < 10), k = 5,
           dim = Dim, seed = Seed, planes = NumPlanes, bands = KnnBands)
+        .orderBy("query_id", "rank")
+    }),
+
+    // the ORACLE-CHECKED half of IVF-PQ ANN: the ADC stage (probed cells
+    // -> asymmetric-distance scores over persisted codes -> rerank
+    // window) exports its candidate pairs, and both engines exact-rerank
+    // the same window — ADC's candidate ordering (the one non-SQL step,
+    // spec-barred on recall) is exactly what's factored out.
+    "sim_knn_ivfpq_verified" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id").as("id"), col("v"))
+      val q = e.filter(col("id") < 10)
+      graft.operators.AnnIndex.prunedCandidateIds(
+          s, ensureIndex(s, d), q, probe = 6, rerank = 100, excludeSelf = true)
+        .write.mode("overwrite").parquet(KnnIvfPqFixturePath)
+      graft.operators.Ann.rerankCandidateIds(
+          s.read.parquet(KnnIvfPqFixturePath), e, q, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // the ORACLE-CHECKED half of indexed hard-negative mining: the
+    // label-constrained probed-cell candidates export; both engines
+    // rerank by exact cosine (the label verdict is baked into the
+    // candidate set, and the oracle ALSO re-asserts it from the
+    // embeddings table — a label-violating candidate would surface as a
+    // row mismatch, not silently rank).
+    "sim_hard_negatives_indexed_verified" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id").as("id"), col("v"), col("label"))
+      val q = e.filter(col("id") < 10)
+      val path = ensureIndex(s, d)
+      val cents = s.read.parquet(s"$path/centroids")
+      val vecs = s.read.parquet(s"$path/vectors")
+      val probes = graft.operators.AnnIndex.probeCells(
+        q, cents, probe = 6, carryVec = false, carryCols = Seq("label"))
+      probes.join(
+          vecs.select(col("cell"), col("id"))
+            .join(e.select(col("id"), col("label").as("nl")), Seq("id")),
+          col("probe_cell") === col("cell") && col("query_id") =!= col("id") &&
+            col("label") =!= col("nl"))
+        .select(col("query_id"), col("id").as("neighbor_id"))
+        .write.mode("overwrite").parquet(HardNegFixturePath)
+      graft.operators.Ann.rerankCandidateIds(
+          s.read.parquet(HardNegFixturePath),
+          e.select(col("id"), col("v")), q.select(col("id"), col("v")), k = 5)
         .orderBy("query_id", "rank")
     }),
 
@@ -342,6 +387,30 @@ object SimilarityQueries {
         |  FROM embeddings a JOIN embeddings b
         |    ON b.vec_id <> a.vec_id AND b.label <> a.label
         |  WHERE a.vec_id < 10)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // rerank the exported ADC window — same contract as the other ANN twins
+    "sim_knn_ivfpq_verified" ->
+      s"""WITH c AS (SELECT * FROM read_parquet('$KnnIvfPqFixturePath/*.parquet'))
+        |SELECT query_id, neighbor_id, rank FROM (
+        |  SELECT c.query_id, c.neighbor_id,
+        |         ROW_NUMBER() OVER (PARTITION BY c.query_id
+        |           ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, c.neighbor_id) AS rank
+        |  FROM c JOIN embeddings a ON a.vec_id = c.query_id
+        |         JOIN embeddings b ON b.vec_id = c.neighbor_id)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // rerank the exported label-constrained candidates; the label
+    // inequality is re-asserted from the embeddings table itself
+    "sim_hard_negatives_indexed_verified" ->
+      s"""WITH c AS (SELECT * FROM read_parquet('$HardNegFixturePath/*.parquet'))
+        |SELECT query_id, neighbor_id, rank FROM (
+        |  SELECT c.query_id, c.neighbor_id,
+        |         ROW_NUMBER() OVER (PARTITION BY c.query_id
+        |           ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, c.neighbor_id) AS rank
+        |  FROM c JOIN embeddings a ON a.vec_id = c.query_id
+        |         JOIN embeddings b ON b.vec_id = c.neighbor_id
+        |  WHERE a.label <> b.label)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     // rerank the exported IVF candidate set — same contract as the LSH twin
