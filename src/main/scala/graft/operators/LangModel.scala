@@ -162,6 +162,90 @@ object LangModel {
       .write.mode("overwrite").parquet(s"$out/meta")
   }
 
+  /** Trigram rows (doc_id, w1, w2, w3) with multiplicity — the in-row
+    * slice/zip construction of [[bigrams]], one position wider. */
+  private[graft] def trigrams(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(trim(col("text")), " +").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        explode(arrays_zip(
+          slice(col("w"), lit(1), size(col("w")) - 2),
+          slice(col("w"), lit(2), size(col("w")) - 2),
+          slice(col("w"), lit(3), size(col("w")) - 2))).as("tg"))
+      .select(col("doc_id"), col("tg.0").as("w1"), col("tg.1").as("w2"),
+        col("tg.2").as("w3"))
+
+  /**
+   * Stupid Backoff trigram scoring (Brants et al., "Large Language Models
+   * in Machine Translation", EMNLP 2007) — the web-scale LM recipe:
+   * relative frequencies with a fixed backoff factor instead of a
+   * normalized smooth, because at corpus scale the counts ARE the model
+   * and normalization is the part that doesn't distribute.
+   *
+   *   S(w3 | w1 w2) = c123/c12                     when the trigram is in the model
+   *                 = α · c23/c2                   else, when the bigram is
+   *                 = α² · (c3+1)/(N+V)            else (add-one unigram floor,
+   *                                                  so unseen words score finitely)
+   *
+   * The model is the TRAINING corpus's count tables; scoring any corpus
+   * against them backs off precisely where the model has no evidence.
+   * Output: (doc_id, n_trigrams, tri_hits, bi_hits, uni_hits, nll) —
+   * the hit tiers are exact integers (strong oracle evidence on their
+   * own) and nll is the [[bigramNll]] fixed-point mean (per-position
+   * round(-ln(S)·1e4) LONGs, order-independent sums).
+   *
+   * Scale shape: counts are vocabulary-bounded hash aggregates; scoring
+   * is three left shuffle hash joins on the n-gram keys (the same
+   * Zipf-skew caveat as [[scoreWith]] — AQE splits the hot keys) plus a
+   * broadcast 1-row (N, V); the doc re-aggregation sums exact LONGs.
+   */
+  def stupidBackoffNll(
+      docs: DataFrame, model: DataFrame, alpha: Double = 0.4): DataFrame = {
+    val tg = trigrams(model)
+    val c123 = tg.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c123"))
+    val c12t = tg.groupBy("w1", "w2").agg(count(lit(1)).as("c12t"))
+    val bg = bigrams(model)
+    val c23 = bg.select(col("w1").as("w2"), col("w2").as("w3"))
+      .groupBy("w2", "w3").agg(count(lit(1)).as("c23"))
+    val uni = model.select(explode(split(trim(col("text")), " +")).as("w"))
+    val c2 = uni.groupBy(col("w").as("w2")).agg(count(lit(1)).as("c2"))
+    val c3 = uni.groupBy(col("w").as("w3")).agg(count(lit(1)).as("c3"))
+    val nv = uni.agg(count(lit(1)).as("n"))
+      .crossJoin(vocabWords(model).agg(count(lit(1)).as("v")))
+    val scored = trigrams(docs)
+      .join(c123, Seq("w1", "w2", "w3"), "left")
+      .join(c12t, Seq("w1", "w2"), "left")
+      .join(c23, Seq("w2", "w3"), "left")
+      .join(c2, Seq("w2"), "left")
+      .join(c3, Seq("w3"), "left")
+      .crossJoin(broadcast(nv))
+      // the double expression shape mirrors the DuckDB oracle exactly:
+      // each branch is one division (and a literal multiply), no
+      // re-association an engine could do differently
+      .withColumn("s",
+        when(col("c123").isNotNull,
+          col("c123").cast("double") / col("c12t"))
+        .when(col("c23").isNotNull,
+          lit(alpha) * (col("c23").cast("double") / col("c2")))
+        .otherwise(lit(alpha * alpha) *
+          ((coalesce(col("c3"), lit(0L)) + lit(1)).cast("double") /
+            (col("n") + col("v")))))
+      .withColumn("nll_fp", round(-log(col("s")) * 1e4).cast("long"))
+      .withColumn("tier",
+        when(col("c123").isNotNull, lit(0))
+          .when(col("c23").isNotNull, lit(1)).otherwise(lit(2)))
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(when(col("tier") === 0, 1L).otherwise(0L)).as("tri_hits"),
+        sum(when(col("tier") === 1, 1L).otherwise(0L)).as("bi_hits"),
+        sum(when(col("tier") === 2, 1L).otherwise(0L)).as("uni_hits"),
+        sum(col("nll_fp")).as("s"))
+      .select(col("doc_id"), col("n_trigrams"), col("tri_hits"),
+        col("bi_hits"), col("uni_hits"),
+        round(col("s") / col("n_trigrams") / 1e4, 6).as("nll"))
+  }
+
   def modelExists(spark: org.apache.spark.sql.SparkSession, path: String): Boolean =
     try { spark.read.parquet(s"$path/meta").head(); true }
     // NonFatal only: an OOM or interrupt must surface, not masquerade as

@@ -120,6 +120,19 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Stupid Backoff trigram scoring (Brants et al. 2007): the model is
+    // the EVEN-doc_id half of the corpus, every doc scores against it —
+    // so the odd half actually exercises the backoff ladder. The hit-tier
+    // columns are exact integers and the nll is the bigram recipe's
+    // fixed-point mean, so the full ladder (trigram hit -> alpha*bigram
+    // -> alpha^2*smoothed-unigram) is DuckDB-hash-checked end to end.
+    "text_trigram_backoff" -> ((s, d) => {
+      val all = docs(s, d)
+      graft.operators.LangModel.stupidBackoffNll(
+          all, all.filter(col("doc_id") % 2 === 0))
+        .orderBy("doc_id")
+    }),
+
     // quality scoring: length, token stats, stopword ratio
     "text_quality" -> ((s, d) => {
       val nTokens = size(split(trim(col("text")), " +"))
@@ -463,6 +476,60 @@ object TextQueries {
         |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // full Stupid Backoff recompute: trigram/bigram/unigram counts from
+    // the even-doc model half, the three-tier CASE with the same double
+    // expression shape, per-position fixed-point NLL
+    "text_trigram_backoff" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), ' +') AS w FROM documents
+        |), m AS (SELECT * FROM t WHERE doc_id % 2 = 0
+        |), tgm0 AS (
+        |  SELECT unnest([{'w1': w[i], 'w2': w[i+1], 'w3': w[i+2]}
+        |                 FOR i IN generate_series(1, len(w) - 2)]) AS tg
+        |  FROM m WHERE len(w) >= 3
+        |), tgm AS (SELECT tg.w1 AS w1, tg.w2 AS w2, tg.w3 AS w3 FROM tgm0
+        |), bgm0 AS (
+        |  SELECT unnest([{'w2': w[i], 'w3': w[i+1]}
+        |                 FOR i IN generate_series(1, len(w) - 1)]) AS bg
+        |  FROM m WHERE len(w) >= 2
+        |), bgm AS (SELECT bg.w2 AS w2, bg.w3 AS w3 FROM bgm0
+        |), c123 AS (SELECT w1, w2, w3, COUNT(*) AS c123 FROM tgm GROUP BY 1, 2, 3
+        |), c12t AS (SELECT w1, w2, COUNT(*) AS c12t FROM tgm GROUP BY 1, 2
+        |), c23 AS (SELECT w2, w3, COUNT(*) AS c23 FROM bgm GROUP BY 1, 2
+        |), uni AS (SELECT unnest(w) AS u FROM m
+        |), c2 AS (SELECT u AS w2, COUNT(*) AS c2 FROM uni GROUP BY 1
+        |), c3 AS (SELECT u AS w3, COUNT(*) AS c3 FROM uni GROUP BY 1
+        |), nv AS (
+        |  SELECT (SELECT COUNT(*) FROM uni) AS n,
+        |         (SELECT COUNT(DISTINCT u) FROM uni) AS v
+        |), tgd0 AS (
+        |  SELECT doc_id, unnest([{'w1': w[i], 'w2': w[i+1], 'w3': w[i+2]}
+        |                         FOR i IN generate_series(1, len(w) - 2)]) AS tg
+        |  FROM t WHERE len(w) >= 3
+        |), tgd AS (SELECT doc_id, tg.w1 AS w1, tg.w2 AS w2, tg.w3 AS w3 FROM tgd0
+        |), sc AS (
+        |  SELECT doc_id,
+        |    CASE WHEN c123.c123 IS NOT NULL THEN 0
+        |         WHEN c23.c23 IS NOT NULL THEN 1 ELSE 2 END AS tier,
+        |    CAST(ROUND(-ln(
+        |      CASE WHEN c123.c123 IS NOT NULL THEN CAST(c123.c123 AS DOUBLE) / c12t.c12t
+        |           WHEN c23.c23 IS NOT NULL THEN 0.4 * (CAST(c23.c23 AS DOUBLE) / c2.c2)
+        |           ELSE 0.4 * 0.4 * (CAST(COALESCE(c3.c3, 0) + 1 AS DOUBLE) / (nv.n + nv.v))
+        |      END) * 1e4) AS BIGINT) AS nll_fp
+        |  FROM tgd
+        |  LEFT JOIN c123 USING (w1, w2, w3)
+        |  LEFT JOIN c12t USING (w1, w2)
+        |  LEFT JOIN c23 USING (w2, w3)
+        |  LEFT JOIN c2 USING (w2)
+        |  LEFT JOIN c3 USING (w3)
+        |  CROSS JOIN nv
+        |)
+        |SELECT doc_id, COUNT(*) AS n_trigrams,
+        |  CAST(SUM(CASE WHEN tier = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tri_hits,
+        |  CAST(SUM(CASE WHEN tier = 1 THEN 1 ELSE 0 END) AS BIGINT) AS bi_hits,
+        |  CAST(SUM(CASE WHEN tier = 2 THEN 1 ELSE 0 END) AS BIGINT) AS uni_hits,
+        |  ROUND(SUM(nll_fp) / COUNT(*) / 1e4, 6) AS nll
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // recompute doc token budgets from the exported learned vocab:
     // word explode + fixture join + integer sums
     "text_bpe_doclen_verified" ->

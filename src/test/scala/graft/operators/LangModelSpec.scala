@@ -36,6 +36,53 @@ class LangModelSpec extends SparkSuite {
     assert(out(1).getDouble(2) === exp2)
   }
 
+  test("stupid backoff: hand-computed three-tier ladder") {
+    // model: "x y z x y z" -> trigrams (x,y,z)x2, (y,z,x)x1, (z,x,y)x1;
+    // context counts c12t: (x,y)=2, (y,z)=1, (z,x)=1; bigrams (of the
+    // model): (x,y)x2, (y,z)x2, (z,x)x1; unigrams: x=2,y=2,z=2 (N=6, V=3)
+    val model = Seq((0L, "x y z x y z")).toDF("doc_id", "text")
+    // probe doc "x y z q": trigrams (x,y,z) [tri hit], (y,z,q) [c23(z,q)
+    // absent, c3(q) absent -> unigram floor]
+    val probe = Seq((1L, "x y z q")).toDF("doc_id", "text")
+    val out = LangModel.stupidBackoffNll(probe, model).collect()(0)
+    assert(out.getLong(1) === 2L) // n_trigrams
+    assert(out.getLong(2) === 1L) // tri_hits
+    assert(out.getLong(3) === 0L) // bi_hits
+    assert(out.getLong(4) === 1L) // uni_hits
+    val fp1 = math.round(-math.log(2.0 / 2.0) * 1e4)            // c123=2 / c12t=2
+    val fp2 = math.round(-math.log(0.4 * 0.4 * (1.0 / 9.0)) * 1e4) // (0+1)/(6+3)
+    val exp = BigDecimal((fp1 + fp2).toDouble / 2 / 1e4)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.getDouble(5) === exp)
+
+    // probe "y z x q": (y,z,x) tri hit; (z,x,q) -> backoff, c23(x,q)
+    // absent -> unigram floor on q again; "z x y w": (z,x,y) tri hit,
+    // (x,y,w) -> c23(y,w) absent -> floor. Bigram tier: probe (q, x, y):
+    // trigram (q,x,y) absent, c23(x,y)=2, c2(x)=2 -> 0.4 * 2/2
+    val probe2 = Seq((2L, "q x y")).toDF("doc_id", "text")
+    val out2 = LangModel.stupidBackoffNll(probe2, model).collect()(0)
+    assert(out2.getLong(3) === 1L, "expected the bigram tier to fire")
+    val fpB = math.round(-math.log(0.4 * (2.0 / 2.0)) * 1e4)
+    assert(out2.getDouble(5) ===
+      BigDecimal(fpB.toDouble / 1e4).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("stupid backoff is partition-invariant and separates in-model from OOD docs") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val model = docs.filter(col("doc_id") % 2 === 0)
+    val a = LangModel.stupidBackoffNll(docs, model).orderBy("doc_id").collect().toSeq
+    val b = LangModel.stupidBackoffNll(docs.repartition(11), model.repartition(5))
+      .orderBy("doc_id").collect().toSeq
+    assert(a === b)
+    val (inM, ood) = a.partition(_.getLong(0) % 2 == 0)
+    def meanNll(rs: Seq[org.apache.spark.sql.Row]) =
+      rs.map(_.getDouble(5)).sum / rs.size
+    assert(inM.forall(_.getLong(3) == 0L) && inM.forall(_.getLong(4) == 0L),
+      "in-model docs must be pure trigram hits")
+    assert(meanNll(ood) > meanNll(inM) + 0.5,
+      "backoff must cost OOD docs visibly more than in-model docs")
+  }
+
   test("scores are invariant to input partitioning (exact-integer aggregation)") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val a = LangModel.bigramNll(docs).orderBy("doc_id").collect().toSeq
