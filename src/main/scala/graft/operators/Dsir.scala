@@ -62,7 +62,16 @@ object Dsir {
    * the target than like the raw corpus. Documents with zero grams (empty
    * text still yields one empty-string unigram, so: none) are absent.
    */
-  def importanceWeights(
+  /**
+   * The per-bucket fixed-point log-ratio table (bucket, lr_fp) — the
+   * MODEL of the DSIR method, <= `buckets` rows by construction. A
+   * continuous pipeline computes this once over the reference corpora
+   * and scores every incoming batch against the frozen table
+   * ([[scoreWithRatios]]) — the stream-static shape. Only buckets
+   * PRESENT in raw carry a row (a raw doc's grams can't miss the
+   * support); scoring coalesces absent buckets to the smoothed floor.
+   */
+  def ratioTable(
       raw: DataFrame, target: DataFrame, buckets: Int = 4096): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     val rawB = bucketRows(raw, buckets)
@@ -71,11 +80,7 @@ object Dsir {
     val tgtCounts = tgtB.groupBy("bucket").agg(count(lit(1)).as("ct"))
     val totals = rawB.agg(count(lit(1)).as("nr"))
       .crossJoin(tgtB.agg(count(lit(1)).as("nt")))
-    // only buckets PRESENT in raw can appear under a raw doc's grams, so
-    // a left join covers the support; the ratio table is <= `buckets`
-    // rows by construction -> broadcast, and scoring never shuffles the
-    // gram stream on its (Zipf-hot) bucket key
-    val lr = rawCounts.join(tgtCounts, Seq("bucket"), "left")
+    rawCounts.join(tgtCounts, Seq("bucket"), "left")
       .crossJoin(broadcast(totals))
       .select(col("bucket"),
         round(log(
@@ -84,10 +89,23 @@ object Dsir {
           ((col("cr") + lit(1)).cast("double") /
             (col("nr") + lit(buckets).cast("double")))) * 1e4)
           .cast("long").as("lr_fp"))
-    rawB.join(broadcast(lr), "bucket")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_feats"), sum(col("lr_fp")).as("weight_fp"))
   }
+
+  /** Score any doc set against a (possibly frozen) ratio table: the
+    * tiny table broadcasts, so the gram stream never shuffles on its
+    * (Zipf-hot) bucket key; docs whose buckets the table never saw
+    * contribute 0 (no evidence either way). */
+  def scoreWithRatios(
+      docs: DataFrame, ratios: DataFrame, buckets: Int = 4096): DataFrame =
+    bucketRows(docs, buckets)
+      .join(broadcast(ratios), Seq("bucket"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"),
+        sum(coalesce(col("lr_fp"), lit(0L))).as("weight_fp"))
+
+  def importanceWeights(
+      raw: DataFrame, target: DataFrame, buckets: Int = 4096): DataFrame =
+    scoreWithRatios(raw, ratioTable(raw, target, buckets), buckets)
 
   /**
    * Gumbel-top-k resampling of weighted docs: perturb each integer log

@@ -79,6 +79,37 @@ class DsirSpec extends SparkSuite {
     assert(sel.filter(col("kept")).count() === 20L)
   }
 
+  test("streaming: micro-batches against the frozen ratio table equal batch weights") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val raw = corpus(40, 40)
+    val target = corpus(6, 0)
+    val ratios = Dsir.ratioTable(raw, target, buckets = 256)
+      .localCheckpoint(true) // freeze: the model artifact a pipeline persists
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val q = in.toDF().toDF("doc_id", "text")
+      .writeStream.trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized {
+          got ++= Dsir.scoreWithRatios(batch, ratios, buckets = 256).collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        }
+        ()
+      }
+    val rows = raw.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    in.addData(rows.take(40).toSeq)
+    in.addData(rows.drop(40).toSeq)
+    val query = q.start()
+    query.awaitTermination(60000)
+    val expected = Dsir.importanceWeights(raw, target, buckets = 256).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.toSet === expected,
+      "stream-static scoring against frozen ratios must equal the batch weights")
+  }
+
   test("plan: ratio lookup is a broadcast join, no cartesian on the gram stream") {
     val raw = corpus(20, 20)
     val target = corpus(4, 0)

@@ -62,6 +62,37 @@ class QualityModelSpec extends SparkSuite {
     assert(direct === persisted)
   }
 
+  test("streaming scoring: micro-batches against the persisted model equal batch scores") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val path = tempDir("qm-stream") + "/model"
+    val train = docs("sf0.001").select("doc_id", "text")
+    QualityModel.writeModel(train, path)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Boolean)]
+    val q = in.toDF().toDF("doc_id", "text")
+      .writeStream.trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized {
+          got ++= QualityModel.scoreAgainst(batch, path).collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        }
+        ()
+      }
+    val rows = train.limit(30).collect().map(r => (r.getLong(0), r.getString(1)))
+    in.addData(rows.take(15).toSeq)
+    in.addData(rows.drop(15).toSeq)
+    val query = q.start()
+    query.awaitTermination(60000)
+    val expected = QualityModel.scoreAgainst(
+        spark.createDataFrame(rows.toSeq).toDF("doc_id", "text"), path)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got.toSet === expected,
+      "per-batch scoring against the frozen weights must equal the batch path")
+  }
+
   test("scoring plan has no shuffle beyond the feature aggregate, no collect") {
     val d = docs("sf0.001")
     val w = QualityModel.train(d)
