@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.nsGlobFunction)
     ext.injectFunction(GraftExtensions.lshBandsFunction)
     ext.injectFunction(GraftExtensions.unitFunction)
+    ext.injectFunction(GraftExtensions.nfcFunction)
     ext.injectFunction(GraftExtensions.subFunction)
     ext.injectFunction(GraftExtensions.int8StatsFunction)
     ext.injectFunction(GraftExtensions.topKFunction)
@@ -97,6 +98,14 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException(
           "graft_lsh_bands expects (vector, seed, numPlanes, bands, dim)")
       }
+    })
+
+  private val nfcFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_nfc"),
+    new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+    { (children: Seq[Expression]) =>
+      require(children.size == 1, "graft_nfc expects exactly 1 argument")
+      NfcNormalize(children.head)
     })
 
   private val unitFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
@@ -234,9 +243,9 @@ object GraftExtensions {
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     Seq(dotFunction, nsGlobFunction, lshBandsFunction, unitFunction,
-        subFunction, int8StatsFunction, topKFunction, heavyHittersFunction,
-        bloomContainsFunction, zorderFunction, zorder3Function,
-        hilbertFunction).foreach { fn =>
+        nfcFunction, subFunction, int8StatsFunction, topKFunction,
+        heavyHittersFunction, bloomContainsFunction, zorderFunction,
+        zorder3Function, hilbertFunction).foreach { fn =>
       if (!registry.functionExists(fn._1)) {
         registry.registerFunction(fn._1, fn._2, fn._3)
       }

@@ -133,6 +133,30 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Unicode cleaning pass (the canonical FIRST stage of a web-corpus
+    // pipeline — every hash-keyed operator downstream treats composed and
+    // decomposed graphemes as different bytes unless NFC runs first):
+    // strip ASCII control chars -> trim -> collapse whitespace runs ->
+    // NFC-normalize via the native codegen graft_nfc expression. NFC is
+    // a Unicode-standard algorithm, so DuckDB's nfc_normalize recomputes
+    // the identical clean text and the md5 fingerprint hash-checks the
+    // whole pass end to end.
+    "text_unicode_clean" -> ((s, d) => {
+      graft.expressions.GraftExtensions.register(s)
+      val stripped = regexp_replace(col("text"),
+        "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+      val collapsed = regexp_replace(trim(stripped), "[ \\t\\n\\r]+", " ")
+      docs(s, d)
+        .withColumn("clean", call_function("graft_nfc", collapsed))
+        .select(col("doc_id"),
+          length(col("text")).as("n_raw"),
+          length(col("clean")).as("n_clean"),
+          (col("clean") =!= col("text")).as("changed"),
+          (instr(col("text"), "\uFFFD") > 0).as("has_repl"),
+          substring(md5(col("clean")), 1, 16).as("clean_fp"))
+        .orderBy("doc_id")
+    }),
+
     // quality scoring: length, token stats, stopword ratio
     "text_quality" -> ((s, d) => {
       val nTokens = size(split(trim(col("text")), " +"))
@@ -476,6 +500,23 @@ object TextQueries {
         |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // identical op order: strip controls -> trim -> collapse -> NFC;
+    // RE2 \x hex classes match Java's, and nfc_normalize implements the
+    // same Unicode-standard algorithm as java.text.Normalizer
+    "text_unicode_clean" ->
+      """WITH c AS (
+        |  SELECT doc_id, text,
+        |    nfc_normalize(regexp_replace(trim(
+        |      regexp_replace(text, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')),
+        |      '[ \t\n\r]+', ' ', 'g')) AS clean
+        |  FROM documents)
+        |SELECT doc_id,
+        |  length(text) AS n_raw,
+        |  length(clean) AS n_clean,
+        |  (clean <> text) AS changed,
+        |  (strpos(text, chr(65533)) > 0) AS has_repl,
+        |  substring(md5(clean), 1, 16) AS clean_fp
+        |FROM c ORDER BY doc_id""".stripMargin,
     // full Stupid Backoff recompute: trigram/bigram/unigram counts from
     // the even-doc model half, the three-tier CASE with the same double
     // expression shape, per-position fixed-point NLL
