@@ -155,7 +155,11 @@ object Bench {
       "text_bm25", "text_bpe_encode", "text_langid", "text_gopher_quality",
       "pipe_clean_corpus", "pipe_seq_pack", "pipe_zorder3",
       "pipe_decontaminate", "mm_pixel_stats", "mm_audio_features",
-      "mm_video_frames").toSet
+      "mm_video_frames",
+      // round-7 session-2 families: one representative each
+      "pipe_dsir_sample", "pipe_cdc_dedup", "text_quality_model",
+      "text_trigram_backoff", "text_unicode_clean",
+      "dedup_minhash_verified").toSet
     // isolation runs are small — print everything; full runs print the
     // fixed headline subset that fits the driver's capture window
     println(jsonLine(

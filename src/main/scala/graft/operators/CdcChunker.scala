@@ -124,6 +124,36 @@ object CdcChunker {
       mask: Long = DefaultMask): DataFrame =
     dedupStats(docs, chunkTable(docs, min, max, mask))
 
+  /**
+   * The APPLY step: rewrite every document with its duplicate chunks
+   * REMOVED (first occurrence corpus-wide survives, later instances drop
+   * — the chunk-level C4 rule at content-defined boundaries). Returns
+   * (doc_id, n_chunks, n_kept, clean_text) where clean_text concatenates
+   * the surviving chunks in position order; a fully-duplicated document
+   * comes back empty. Same two-shuffle shape as [[dedupStats]] plus the
+   * doc_id reassembly aggregate (state bounded by one document).
+   */
+  def dedupRewrite(docs: DataFrame, spans: DataFrame): DataFrame = {
+    val chunks = spans.join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .select(col("doc_id"), col("start"), col("len"),
+        expr("substring(text, start + 1, len)").as("chunk"))
+      .withColumn("h", md5(col("chunk")))
+    val first = chunks.groupBy("h")
+      .agg(org.apache.spark.sql.functions.min(
+        struct(col("doc_id"), col("start"))).as("f"))
+      .select(col("h"), col("f.doc_id").as("f_doc"), col("f.start").as("f_start"))
+    chunks.join(first, "h")
+      .withColumn("keep",
+        col("doc_id") === col("f_doc") && col("start") === col("f_start"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        concat_ws("", expr(
+          "transform(array_sort(collect_list(" +
+            "CASE WHEN keep THEN struct(start, chunk) END)), s -> s.chunk)"))
+          .as("clean_text"))
+  }
+
   /** Chunk rows with content identity: (doc_id, start, len, h). */
   private def hashedChunks(
       docs: DataFrame, min: Int, max: Int, mask: Long): DataFrame =

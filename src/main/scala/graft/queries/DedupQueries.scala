@@ -318,14 +318,23 @@ object DedupQueries {
       graft.operators.CorpusOps.minhashShingleSets(dd, cand)
         .write.mode("overwrite").parquet(MinhashSetsFixturePath)
       val sets = s.read.parquet(MinhashSetsFixturePath)
+      // exact integer intersection via the two-pointer kernel (Catalyst
+      // array_intersect evaluates interpreted per pair and dominated the
+      // query at band-collision counts) — set-intersection size is
+      // engine-independent integer math, so the twin's transparency holds
+      import s.implicits._
       cand
         .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("sa")), "doc_a")
         .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("sb")), "doc_b")
-        .withColumn("common", size(array_intersect(col("sa"), col("sb"))).cast("long"))
-        .withColumn("union_sz",
-          (size(col("sa")) + size(col("sb"))).cast("long") - col("common"))
-        .filter(col("common") * 2 >= col("union_sz"))
-        .select(col("doc_a"), col("doc_b"), col("common"), col("union_sz"))
+        .select(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
+        .as[(Long, Long, IndexedSeq[Long], IndexedSeq[Long])]
+        .mapPartitions(_.flatMap { case (a, b, sa, sb) =>
+          val common = graft.similarity.MinHashKernel
+            .intersectionSortedLongs(sa, sb).toLong
+          val union = sa.size + sb.size - common
+          if (common * 2 >= union) Some((a, b, common, union)) else None
+        })
+        .toDF("doc_a", "doc_b", "common", "union_sz")
         .orderBy("doc_a", "doc_b")
     }),
 

@@ -53,6 +53,21 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // the CDC APPLY step: rewrite the corpus with duplicate chunks
+    // removed (first occurrence survives corpus-wide), reassembled in
+    // position order — chunk-level C4 at content-defined boundaries.
+    // Same fixture protocol; the oracle hashes the REWRITTEN text, so
+    // the reassembly math is what the hash match proves.
+    "pipe_cdc_rewrite" -> ((s, d) => {
+      val base = docs(s, d)
+      graft.operators.CdcChunker.chunkTable(base)
+        .write.mode("overwrite").parquet(CdcFixturePath)
+      graft.operators.CdcChunker.dedupRewrite(base, s.read.parquet(CdcFixturePath))
+        .select(col("doc_id"), col("n_chunks"), col("n_kept"),
+          md5(col("clean_text")).as("clean_fp"))
+        .orderBy("doc_id")
+    }),
+
     // DSIR importance resampling (Xie et al. 2023): weight every doc by
     // how much its hashed-ngram bucket distribution looks like the TARGET
     // slice (here: the English docs) vs the raw corpus, then Gumbel-top-k
@@ -424,6 +439,26 @@ object PipelineQueries {
   }
 
   val oracles: Map[String, String] = Map(
+
+    // recompute the CDC rewrite from the exported spans: first-occurrence
+    // keep verdict, position-ordered reassembly, hash of the clean text
+    "pipe_cdc_rewrite" ->
+      s"""WITH sp AS (SELECT * FROM read_parquet('$CdcFixturePath/*.parquet')),
+        |ch AS (
+        |  SELECT sp.doc_id, start, len,
+        |         substring(text, start + 1, len) AS chunk,
+        |         md5(substring(text, start + 1, len)) AS h
+        |  FROM sp JOIN documents USING (doc_id)
+        |), f AS (
+        |  SELECT h, MIN(doc_id * 1000000000 + start) AS fkey FROM ch GROUP BY h
+        |)
+        |SELECT doc_id, COUNT(*) AS n_chunks,
+        |  CAST(SUM(CASE WHEN doc_id * 1000000000 + start = fkey THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  md5(COALESCE(string_agg(chunk, '' ORDER BY start)
+        |        FILTER (WHERE doc_id * 1000000000 + start = fkey), '')) AS clean_fp
+        |FROM ch JOIN f USING (h)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     // recompute the CDC downstream from the exported spans: md5 chunk
     // identity, first occurrence via the encoded (doc_id, start) key

@@ -93,10 +93,10 @@ object MinHashKernel {
     if (union == 0) 0.0 else common.toDouble / union
   }
 
-  /** Same over sorted distinct 64-bit shingle hashes — ~4x less data per
-    * pair than the string sets; jaccard over hashed distinct shingles equals
-    * jaccard over the shingles themselves up to 64-bit collisions. */
-  def jaccardSortedLongs(a: IndexedSeq[Long], b: IndexedSeq[Long]): Double = {
+  /** |a ∩ b| for sorted distinct arrays (two-pointer) — integer set math,
+    * shared by the verified-twin queries so their exact-jaccard verify
+    * stays a kernel instead of an interpreted per-pair array_intersect. */
+  def intersectionSortedLongs(a: IndexedSeq[Long], b: IndexedSeq[Long]): Int = {
     var i = 0
     var j = 0
     var common = 0
@@ -107,6 +107,14 @@ object MinHashKernel {
       else if (x < y) i += 1
       else j += 1
     }
+    common
+  }
+
+  /** Same over sorted distinct 64-bit shingle hashes — ~4x less data per
+    * pair than the string sets; jaccard over hashed distinct shingles equals
+    * jaccard over the shingles themselves up to 64-bit collisions. */
+  def jaccardSortedLongs(a: IndexedSeq[Long], b: IndexedSeq[Long]): Double = {
+    val common = intersectionSortedLongs(a, b)
     val union = a.length + b.length - common
     if (union == 0) 0.0 else common.toDouble / union
   }

@@ -74,6 +74,19 @@ class CdcChunkerSpec extends SparkSuite {
     assert(a === b)
   }
 
+  test("rewrite drops duplicate chunks and reassembles survivors in order") {
+    val a = lorem(7, 300)
+    val docs = Seq((1L, a), (2L, lorem(8, 300)), (3L, a)).toDF("doc_id", "text")
+    val out = CdcChunker.dedupRewrite(docs, CdcChunker.chunkTable(docs))
+      .orderBy("doc_id").collect()
+    // unique docs reassemble bit-exact; the full copy rewrites to empty
+    assert(out(0).getAs[String]("clean_text") === a)
+    assert(out(1).getAs[String]("clean_text") === lorem(8, 300))
+    assert(out(2).getAs[String]("clean_text") === "")
+    assert(out(2).getLong(2) === 0L, "no chunk of the copy survives")
+    assert(out(0).getLong(1) === out(0).getLong(2), "first occurrence keeps all")
+  }
+
   test("incremental replay in id order equals the batch operator exactly") {
     // 30 docs with planted duplication: 10 unique, 10 copies of earlier
     // docs, 10 unique — split into 3 ordered micro-batches
