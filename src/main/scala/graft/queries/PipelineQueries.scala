@@ -38,6 +38,13 @@ object PipelineQueries {
     * fixed literal — the oracle SQL is static, runs outside the JVM). */
   private[graft] val CdcFixturePath = "/tmp/graft_fixtures/cdc_spans"
 
+  /** Fixture exports for the composed `pipe_full_prep` (separate paths —
+    * its classifier trains on the CLEANED corpus and its spans chunk the
+    * gated survivors, so sharing the single-stage fixtures would clobber
+    * them mid-Verify). */
+  private[graft] val FullPrepWeightsPath = "/tmp/graft_fixtures/full_prep_weights"
+  private[graft] val FullPrepSpansPath = "/tmp/graft_fixtures/full_prep_spans"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // content-defined chunking dedup (FastCDC gear hash): chunk every doc
     // at content-chosen boundaries, dedup chunks across the corpus by
@@ -51,6 +58,40 @@ object PipelineQueries {
         .write.mode("overwrite").parquet(CdcFixturePath)
       graft.operators.CdcChunker.dedupStats(base, s.read.parquet(CdcFixturePath))
         .orderBy("doc_id")
+    }),
+
+    // THE composed flagship of the round-7 operators — the end-to-end
+    // training-data prep a real pipeline runs, each stage an operator
+    // proven alone above, chained here so the COMPOSITION is what the
+    // oracle hash-checks: unicode clean (graft_nfc) -> trained-classifier
+    // quality gate (weights fixture, integer dot) -> CDC mostly-dup drop
+    // (span fixture, first-occurrence stats) -> DSIR top-20 selection
+    // toward the English slice -> per-language report with exact integer
+    // weight bounds.
+    "pipe_full_prep" -> ((s, d) => {
+      graft.expressions.GraftExtensions.register(s)
+      val base = docs(s, d)
+      val stripped = regexp_replace(col("text"),
+        "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+      val collapsed = regexp_replace(trim(stripped), "[ \\t\\n\\r]+", " ")
+      val cleaned = base.withColumn("text", call_function("graft_nfc", collapsed))
+      graft.operators.QualityModel.writeModel(cleaned, FullPrepWeightsPath)
+      val gated = cleaned.join(
+        graft.operators.QualityModel.scoreAgainst(cleaned, FullPrepWeightsPath)
+          .filter(col("predicted")).select("doc_id"), "doc_id")
+      graft.operators.CdcChunker.chunkTable(gated)
+        .write.mode("overwrite").parquet(FullPrepSpansPath)
+      val dedup = gated.join(
+        graft.operators.CdcChunker.dedupStats(gated, s.read.parquet(FullPrepSpansPath))
+          .filter(col("dup_chars") * 2 <= col("total_chars")).select("doc_id"),
+        "doc_id")
+      val sel = graft.operators.Dsir.select(
+        dedup, dedup.filter(col("lang") === "en"), k = 20, buckets = 1024)
+      dedup.join(sel.filter(col("kept")), "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"),
+          min("weight_fp").as("min_w"), max("weight_fp").as("max_w"))
+        .orderBy("lang")
     }),
 
     // the CDC APPLY step: rewrite the corpus with duplicate chunks
@@ -439,6 +480,80 @@ object PipelineQueries {
   }
 
   val oracles: Map[String, String] = Map(
+
+    // the COMPOSITION oracle: every stage's proven SQL chained over the
+    // cleaned text — gate via the exported classifier weights, CDC stats
+    // via the exported spans, DSIR fully recomputed, one final report
+    "pipe_full_prep" ->
+      s"""WITH clean AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    nfc_normalize(regexp_replace(trim(
+        |      regexp_replace(text, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g')),
+        |      '[ \\t\\n\\r]+', ' ', 'g')) AS text
+        |  FROM documents
+        |), wc AS (
+        |  SELECT doc_id, tok, COUNT(*) AS c FROM (
+        |    SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS tok FROM clean)
+        |  GROUP BY 1, 2
+        |), agg AS (
+        |  SELECT doc_id, SUM(c) AS n_words, SUM(len(tok) * c) AS sum_len,
+        |    COUNT(*) AS n_distinct, MAX(c) AS top_c,
+        |    SUM(CASE WHEN tok IN ('the','a','of','and','to','in') THEN c ELSE 0 END) AS n_stop
+        |  FROM wc GROUP BY 1
+        |), wts AS (SELECT * FROM read_parquet('$FullPrepWeightsPath/weights/*.parquet')),
+        |gate AS (
+        |  SELECT doc_id FROM agg CROSS JOIN wts
+        |  WHERE 10000 * w_0 + LEAST(n_words, 1000) * 10 * w_1
+        |      + ((sum_len * 10000) // n_words) * w_2
+        |      + ((top_c * 10000) // n_words) * w_3
+        |      + (((n_words - n_distinct) * 10000) // n_words) * w_4
+        |      + ((n_stop * 10000) // n_words) * w_5 >= 500000000000
+        |), q AS (SELECT clean.* FROM clean JOIN gate USING (doc_id)
+        |), sp AS (SELECT * FROM read_parquet('$FullPrepSpansPath/*.parquet')),
+        |ch AS (
+        |  SELECT sp.doc_id, start, len, md5(substring(q.text, start + 1, len)) AS h
+        |  FROM sp JOIN q USING (doc_id)
+        |), fo AS (SELECT h, MIN(doc_id * 1000000000 + start) AS fkey FROM ch GROUP BY h),
+        |st AS (
+        |  SELECT doc_id,
+        |    SUM(CASE WHEN doc_id * 1000000000 + start <> fkey THEN len ELSE 0 END) AS dup_chars,
+        |    SUM(len) AS total_chars
+        |  FROM ch JOIN fo USING (h) GROUP BY doc_id
+        |), dd AS (
+        |  SELECT q.* FROM q JOIN st USING (doc_id) WHERE dup_chars * 2 <= total_chars
+        |), w2 AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS ws FROM dd),
+        |grams AS (
+        |  SELECT doc_id, unnest(ws) AS gram FROM w2
+        |  UNION ALL
+        |  SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1]
+        |                         FOR i IN generate_series(1, len(ws) - 1)]) AS gram
+        |  FROM w2 WHERE len(ws) >= 2
+        |), gb AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substring(md5(gram), 1, 8) AS BIGINT) % 1024 AS bucket
+        |  FROM grams
+        |), tgt AS (SELECT gb.* FROM gb JOIN dd USING (doc_id) WHERE lang = 'en'),
+        |rc AS (SELECT bucket, COUNT(*) AS cr FROM gb GROUP BY 1),
+        |tc AS (SELECT bucket, COUNT(*) AS ct FROM tgt GROUP BY 1),
+        |tot AS (SELECT (SELECT COUNT(*) FROM gb) AS nr, (SELECT COUNT(*) FROM tgt) AS nt),
+        |lr AS (
+        |  SELECT rc.bucket, CAST(round(ln(
+        |    (CAST(COALESCE(ct, 0) + 1 AS DOUBLE) / (nt + 1024.0)) /
+        |    (CAST(cr + 1 AS DOUBLE) / (nr + 1024.0))) * 1e4) AS BIGINT) AS lr_fp
+        |  FROM rc LEFT JOIN tc USING (bucket) CROSS JOIN tot
+        |), dw AS (
+        |  SELECT doc_id, SUM(lr_fp) AS weight_fp FROM gb JOIN lr USING (bucket) GROUP BY 1
+        |), g AS (
+        |  SELECT doc_id, weight_fp,
+        |    weight_fp + CAST(round(-ln(-ln(
+        |      (CAST('0x' || substring(md5('graft-dsir:' || CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT)
+        |        + 0.5) / 268435456.0)) * 1e4) AS BIGINT) AS key_fp
+        |  FROM dw
+        |), topk AS (SELECT doc_id FROM g ORDER BY key_fp DESC, doc_id LIMIT 20)
+        |SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars,
+        |  MIN(weight_fp) AS min_w, MAX(weight_fp) AS max_w
+        |FROM dd JOIN g USING (doc_id) JOIN topk USING (doc_id)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     // recompute the CDC rewrite from the exported spans: first-occurrence
     // keep verdict, position-ordered reassembly, hash of the clean text

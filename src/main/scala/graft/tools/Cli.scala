@@ -273,6 +273,31 @@ object Cli {
         val (b, a) = graft.operators.Compaction.compactInPlace(
           spark, args(2), targetMB << 20)
         println(s"compacted ${args(2)}: $b -> $a files")
+      case "unicode-clean" =>
+        // unicode cleaning pass over a documents parquet: strip controls,
+        // trim, collapse whitespace, NFC-normalize; writes the cleaned
+        // corpus (doc_id, text) to the output path
+        graft.expressions.GraftExtensions.register(spark)
+        import org.apache.spark.sql.functions._
+        val src = spark.read.parquet(args(2))
+        val stripped = regexp_replace(col("text"),
+          "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+        val collapsed = regexp_replace(trim(stripped), "[ \\t\\n\\r]+", " ")
+        src.withColumn("text", call_function("graft_nfc", collapsed))
+          .write.mode("overwrite").parquet(args(3))
+        println(s"cleaned ${spark.read.parquet(args(3)).count()} docs to ${args(3)}")
+      case "backoff-score" =>
+        // Stupid Backoff trigram scoring: score <docs parquet> against a
+        // <model-corpus parquet>; writes or streams per-doc tiers + nll
+        val scored = graft.operators.LangModel.stupidBackoffNll(
+            spark.read.parquet(args(2)), spark.read.parquet(args(3)))
+          .orderBy("doc_id")
+        if (args.length > 4) {
+          scored.write.mode("overwrite").parquet(args(4))
+          println(s"wrote ${spark.read.parquet(args(4)).count()} rows to ${args(4)}")
+        } else scored.toLocalIterator().forEachRemaining { r =>
+          println(s"${r.getAs[Long]("doc_id")}\t${r.getAs[Double]("nll")}")
+        }
       case "cdc-dedup" =>
         // content-defined chunking dedup stats over a documents parquet;
         // writes (doc_id, n_chunks, n_dup, dup_chars, total_chars) or
