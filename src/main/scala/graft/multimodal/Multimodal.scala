@@ -372,6 +372,22 @@ object Multimodal {
    * images land within a few bits of each other. All-integer math —
    * deterministic across JVMs and partitionings.
    */
+  /** Resized side×side thumbnails as raw integer pixel rows (doc_id,
+    * thumb) — the fixture export for `mm_thumbnail_verified`: the resize
+    * kernel's output in the exact form [[averageHash]] consumes, so both
+    * engines can recompute the integer stats AND the aHash bit pattern
+    * from the same pixels. */
+  def thumbnails(items: Dataset[MediaItem], side: Int): org.apache.spark.sql.DataFrame = {
+    import items.sparkSession.implicits._
+    items.mapPartitions(_.map { item =>
+      val thumb = decodeRaster(item.data) match {
+        case Some((w, h, px)) => resizeNearest(px, w, h, side, side)
+        case None => resizeNearest(decodeImageStub(item.data), side, side)
+      }
+      (item.doc_id, thumb)
+    }).toDF("doc_id", "thumb")
+  }
+
   def averageHash(data: Array[Byte]): Long = {
     val px = decodeRaster(data) match {
       case Some((w, h, p)) => resizeNearest(p, w, h, 8, 8)

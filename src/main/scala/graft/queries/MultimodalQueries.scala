@@ -20,6 +20,7 @@ object MultimodalQueries {
     * parquet; both engines recompute the band join + hamming verify). */
   private[graft] val ImageHashFixturePath = "/tmp/graft_fixtures/image_ahash"
   private[graft] val AudioHashFixturePath = "/tmp/graft_fixtures/audio_fp"
+  private[graft] val ThumbFixturePath = "/tmp/graft_fixtures/thumbs"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // binary-column metadata over the opaque payload
@@ -185,6 +186,26 @@ object MultimodalQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // the ORACLE-CHECKED half of the thumbnail pipeline: the resize
+    // kernel's 8x8 integer rasters export, and BOTH engines recompute
+    // integer pixel stats AND the aHash bit pattern (px > floor-mean,
+    // emitted as a 64-char bit string — exact, no shift-overflow) from
+    // the same pixels. This links the thumbnail family to the near-dup
+    // family: the fixture is precisely averageHash's input.
+    "mm_thumbnail_verified" -> ((s, d) => {
+      Multimodal.thumbnails(Multimodal.documentsAsMedia(s, d), side = 8)
+        .write.mode("overwrite").parquet(ThumbFixturePath)
+      s.read.parquet(ThumbFixturePath)
+        .withColumn("px_sum", expr("aggregate(thumb, 0L, (a, x) -> a + x)"))
+        .withColumn("m", expr("px_sum div 64"))
+        .select(col("doc_id"), col("px_sum"),
+          expr("array_min(thumb)").as("px_min"),
+          expr("array_max(thumb)").as("px_max"),
+          expr("concat_ws('', transform(thumb, p -> IF(p > m, '1', '0')))")
+            .as("bits"))
+        .orderBy("doc_id")
+    }),
+
     // the ORACLE-CHECKED half of image near-dup: the aHash kernel (the
     // non-SQL step — decode + 8x8 block means) exports as a fixture, and
     // BOTH engines recompute the 4x16-bit band candidate join + the
@@ -240,6 +261,20 @@ object MultimodalQueries {
       |ORDER BY doc_a, doc_b""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // recompute integer pixel stats + the aHash bit pattern from the
+    // exported thumbnails
+    "mm_thumbnail_verified" ->
+      s"""WITH t AS (SELECT * FROM read_parquet('$ThumbFixturePath/*.parquet')),
+        |m AS (
+        |  SELECT doc_id, thumb, CAST(list_sum(thumb) AS BIGINT) AS px_sum,
+        |         CAST(list_sum(thumb) AS BIGINT) // 64 AS mean
+        |  FROM t)
+        |SELECT doc_id, px_sum,
+        |  CAST(list_min(thumb) AS INTEGER) AS px_min,
+        |  CAST(list_max(thumb) AS INTEGER) AS px_max,
+        |  array_to_string([CASE WHEN p > mean THEN '1' ELSE '0' END FOR p IN thumb], '') AS bits
+        |FROM m ORDER BY doc_id""".stripMargin,
+
     "mm_image_neardup_verified" -> hammingOracle(ImageHashFixturePath),
     "mm_audio_neardup_verified" -> hammingOracle(AudioHashFixturePath),
 
