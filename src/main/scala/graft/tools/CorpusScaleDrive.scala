@@ -1,0 +1,125 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus-operator scale drive: amplify the documents table ×N (mutated
+ * copies + a planted 10% exact-duplicate stratum) and measure the
+ * training-data operators at increasing corpus sizes. The point is the
+ * SCALING RATIO, not the absolute seconds: every measured operator has a
+ * bucketed/bounded plan whose cost should grow ~linearly with the corpus
+ * (candidate joins bounded by band/chunk collisions, ratio tables bounded
+ * by knobs, weights by doc count) — a super-linear ratio would expose a
+ * hidden all-pairs or an unbounded aggregate long before a 100 TB run
+ * does.
+ *
+ * Drive: `SPARK_GRAFT_SCALES=4,16 sbt "runMain graft.tools.CorpusScaleDrive"`
+ * (factors multiply the base sf corpus; results print one line per
+ * (operator, factor) plus the ratio table — recorded in BASELINE.md).
+ */
+object CorpusScaleDrive {
+
+  def amplify(docs: DataFrame, factor: Int): DataFrame = {
+    // copy k of doc d, id offset by k*1e6. The workload must keep OUTPUT
+    // linear in `factor` or the measurement conflates plan scaling with
+    // result-size scaling: k=1 of every 10th doc stays byte-identical
+    // (a bounded exact/near-dup stratum — one pair per planted doc, never
+    // a C(factor,2) clique), and every other copy appends a (doc, k)-keyed
+    // stream of junk tokens ~as long as the doc itself, pushing pairwise
+    // jaccard between copies to ~1/3 < the 0.5 threshold — amplified
+    // corpora grow the CORPUS, not the answer.
+    docs.crossJoin(
+        spark(docs).range(factor.toLong).select(col("id").as("k")))
+      .select(
+        (col("doc_id") + col("k") * 1000000L).as("doc_id"),
+        when(col("k") === 0, col("text"))
+          .when(col("k") === 1 && col("doc_id") % 10 === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" "),
+            array_join(
+              transform(
+                sequence(lit(1), greatest(size(split(col("text"), " +")), lit(1))),
+                i => concat(lit("z"), col("k"), lit("_"),
+                  pmod(col("doc_id") * 31 + i * 2654435761L, lit(9973)))),
+              " "))).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+  }
+
+  private def spark(df: DataFrame): SparkSession = df.sparkSession
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val scales = sys.env.getOrElse("SPARK_GRAFT_SCALES", "4,16")
+      .split(",").map(_.trim.toInt).toSeq
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    graft.expressions.GraftExtensions.register(s)
+
+    def time(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = f
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+
+    val base = graft.Tables.load(s, sfDir, "documents")
+    val results = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Double)]
+    for (factor <- scales) {
+      // materialize the amplified corpus to parquet so every operator
+      // reads a real file source (scan + pushdown behavior included)
+      val dir = java.nio.file.Files.createTempDirectory(s"corpus-x$factor").toString
+      amplify(base, factor).write.mode("overwrite").parquet(dir)
+      val docs = s.read.parquet(dir)
+      val nDocs = docs.count()
+      System.err.println(s"[scale] factor $factor: $nDocs docs at $dir")
+
+      def run(name: String)(f: => Long): Unit = {
+        val (sec, rows) = time(f)
+        results += ((name, factor, sec))
+        System.err.println(f"[scale] x$factor $name%-22s $sec%8.2f s  ($rows rows)")
+      }
+
+      run("exact_dedup") {
+        graft.operators.CorpusOps.exactDedup(docs).count()
+      }
+      run("minhash_neardup") {
+        graft.operators.CorpusOps.nearDupPairsMinhash(docs, threshold = 0.5).count()
+      }
+      run("cdc_dedup") {
+        graft.operators.CdcChunker.cdcDedup(docs).count()
+      }
+      run("dsir_select") {
+        graft.operators.Dsir.select(
+          docs, docs.filter(col("lang") === "en"), k = 100).count()
+      }
+      run("quality_train_score") {
+        val w = graft.operators.QualityModel.train(docs)
+        graft.operators.QualityModel.score(docs, w.toSeq).count()
+      }
+      run("trigram_backoff") {
+        graft.operators.LangModel.stupidBackoffNll(
+          docs, docs.filter(col("doc_id") % 2 === 0)).count()
+      }
+    }
+    // scaling table: seconds ratio between consecutive factors vs the
+    // data ratio — bounded plans should sit at or below the data ratio
+    val byOp = results.groupBy(_._1)
+    println("op,factor,sec")
+    results.foreach { case (op, f, sec) => println(f"$op,$f,$sec%.2f") }
+    if (scales.size >= 2) {
+      val dataRatio = scales.last.toDouble / scales.head
+      println(f"data_ratio,${dataRatio}%.1f")
+      byOp.toSeq.sortBy(_._1).foreach { case (op, rs) =>
+        val m = rs.map(r => r._2 -> r._3).toMap
+        val ratio = m(scales.last) / m(scales.head)
+        println(f"ratio,$op,$ratio%.2f")
+      }
+    }
+    s.stop()
+  }
+}
