@@ -994,4 +994,113 @@ object CorpusOps {
       .select(col("tok"), col("cnt"))
       .orderBy(col("cnt").desc, col("tok"))
   }
+
+  /**
+   * RefinedWeb-style exact span ("line") dedup with KEEP-FIRST semantics:
+   * a span seen anywhere earlier in the corpus (global (doc_id, position)
+   * order) is removed from every later position; only the first
+   * occurrence survives. This is the third rewrite semantics next to
+   * [[intraDocDedup]] (first-per-DOC) and [[boilerplateRemoval]] (drop
+   * ALL occurrences of over-shared chunks) — the one RefinedWeb/
+   * MassiveText apply to newline-split lines. Spans here are
+   * non-overlapping `spanWords`-word windows (the synthetic corpus
+   * carries no newline structure; the pipeline is span-source-agnostic —
+   * LineDedupSpec drives the same downstream over regex-split lines).
+   * Returns (doc_id, n_spans, n_kept, clean_text).
+   *
+   * Scale shape: first occurrences come from a map-side-combining
+   * min(struct(doc_id, i)) aggregate on the span — the hot spans that
+   * motivate the operator collapse in the partial aggregate instead of
+   * queueing on one window reducer — then one shuffle join on the span
+   * marks keepers and one doc_id shuffle reassembles. No window over a
+   * data-dependent-cardinality key anywhere.
+   */
+  def lineDedup(documents: DataFrame, spanWords: Int = 8): DataFrame =
+    lineDedupSpans(docChunksPos(documents, spanWords))
+
+  /** The span-source-agnostic downstream of [[lineDedup]]: `spans` is any
+    * (doc_id, i, chunk) table (word windows, regex-split lines, …). */
+  private[graft] def lineDedupSpans(spans: DataFrame): DataFrame = {
+    val firsts = spans.groupBy("chunk")
+      .agg(min(struct(col("doc_id"), col("i"))).as("f"))
+      .select(col("chunk"), col("f.doc_id").as("f_doc"), col("f.i").as("f_i"))
+    spans.join(firsts, Seq("chunk"))
+      .withColumn("kept",
+        col("doc_id") === col("f_doc") && col("i") === col("f_i"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(expr(
+          "transform(array_sort(collect_list(" +
+            "CASE WHEN kept THEN struct(i, chunk) END)), s -> s.chunk)"),
+          " ").as("clean_text"))
+  }
+
+  /** Shared tf·idf scoring stream: (doc_id, term, tf, df, score) with the
+    * EXACT-INTEGER idf surrogate score = tf · (n_docs·10⁴ div df).
+    * Integer division is bit-identical across engines where ln() is only
+    * correctly-rounded-ish per libm — the surrogate keeps the idf
+    * monotonicity (rarer term ⇒ larger factor) the ranking actually needs
+    * while making every downstream hash-checkable. One (doc_id, term)
+    * shuffle for tf, one vocab-bounded map-side-combining aggregate for
+    * df, n_docs rides a broadcast singleton (never a driver collect). */
+  private[graft] def tfidfScored(documents: DataFrame): DataFrame = {
+    val words = documents.select(col("doc_id"),
+      explode(split(lower(trim(col("text"))), " +")).as("term"))
+    val nDocs = documents.agg(count(lit(1)).as("n_docs"))
+    val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfTab = words.groupBy("term").agg(countDistinct("doc_id").as("df"))
+    tf.join(dfTab, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", col("tf") * expr("n_docs * 10000L div df"))
+      .select("doc_id", "term", "tf", "df", "score")
+  }
+
+  /**
+   * TF-IDF keyword extraction: the `k` most characteristic terms per
+   * document under [[tfidfScored]]'s exact-integer scoring, ties broken
+   * lexicographically. Returns (doc_id, term, tf, df, score, rnk).
+   *
+   * The per-doc top-k window partitions on doc_id — state bounded by one
+   * document's vocabulary, key cardinality = corpus size, no skew. The
+   * df side joins unhinted: vocab-sized tables broadcast at bench SF and
+   * degrade to a shuffle join at web scale (AQE decides).
+   */
+  def tfidfKeywords(documents: DataFrame, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term"))
+    tfidfScored(documents)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
+  /**
+   * Feature-hashed TF-IDF document vectors (the "hashing trick",
+   * Weinberger et al., ICML 2009): terms hash into `buckets` signed
+   * buckets — md5-prefix bucket index, md5-next-nibble sign — and the
+   * exact-integer tf·idf scores sum per (doc, bucket). Integer end to
+   * end, so the vectors AND every inner product computed from them are
+   * engine-independent. Returns sparse (doc_id, bucket, weight) rows
+   * with zero-sum buckets dropped; densify only at the consumer.
+   *
+   * Scale shape: adds one (doc_id, bucket) aggregate — key space
+   * corpus × buckets, perfectly spread — on top of [[tfidfScored]]'s
+   * shuffles. The fixed bucket count makes downstream joins on `bucket`
+   * candidates for broadcast-side replication, and the dimensionality
+   * (unlike a learned vocabulary) never grows with the corpus.
+   */
+  def hashedTfidf(documents: DataFrame, buckets: Int = 64): DataFrame = {
+    val h = md5(col("term"))
+    val sgn = when(
+      conv(substring(h, 9, 1), 16, 10).cast("long") % 2 === 0, 1L)
+      .otherwise(-1L)
+    tfidfScored(documents)
+      .withColumn("bucket",
+        conv(substring(h, 1, 8), 16, 10).cast("long") % buckets)
+      .withColumn("sgn", sgn)
+      .groupBy("doc_id", "bucket")
+      .agg(sum(col("sgn") * col("score")).as("weight"))
+      .filter(col("weight") =!= 0L)
+  }
 }

@@ -177,6 +177,38 @@ object PipelineQueries {
           md5(col("clean_text")).as("clean_hash"))
         .orderBy("doc_id")),
 
+    // KEEP-FIRST span dedup (the RefinedWeb/MassiveText exact-line rule at
+    // 8-word span granularity): a span seen earlier in global (doc_id,
+    // pos) order drops from every later position, first occurrence
+    // survives, docs reassembled. Distinct from pipe_intradoc_dedup
+    // (per-doc) and pipe_boilerplate (drop-everywhere). First occurrences
+    // via a map-side-combining min(struct) aggregate — hot spans collapse
+    // in partials, never queue on a window reducer.
+    "pipe_line_dedup" -> ((s, d) =>
+      Ops.lineDedup(docs(s, d), spanWords = 8)
+        .select(col("doc_id"), col("n_spans"), col("n_kept"),
+          md5(col("clean_text")).as("clean_hash"))
+        .orderBy("doc_id")),
+
+    // key-skew profiler (the diagnostic you run BEFORE picking a join/agg
+    // strategy at 100 TB): per-key counts for events.user_id, the top-10
+    // hot keys with their load share, plus the aggregate skew summary
+    // (distinct keys, max/avg count ratio). One map-side-combining
+    // aggregate on the key; the top-10 is a bounded TakeOrdered.
+    "pipe_skew_profile" -> ((s, d) => {
+      val counts = events(s, d).groupBy("user_id")
+        .agg(count(lit(1)).as("cnt"))
+      val tot = counts.agg(
+        sum("cnt").as("total"), count(lit(1)).as("n_keys"),
+        max("cnt").as("max_cnt"))
+      counts.crossJoin(broadcast(tot))
+        .withColumn("share", floor(col("cnt") * lit(10000) / col("total")) / 10000)
+        .withColumn("skew",
+          floor(col("max_cnt") * lit(10000) * col("n_keys") / col("total")) / 10000)
+        .orderBy(col("cnt").desc, col("user_id")).limit(10)
+        .select("user_id", "cnt", "n_keys", "share", "skew")
+    }),
+
     // mixture rebalancing to target source weights (ratio 1:2:3:4 cycling
     // over the 20 sources): the scarcest source caps the total, every
     // source keeps floor(w*T) docs by deterministic salted-hash rank.
@@ -480,6 +512,30 @@ object PipelineQueries {
   }
 
   val oracles: Map[String, String] = Map(
+
+    "pipe_line_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), ' +') AS w FROM documents
+        |), c AS (
+        |  SELECT doc_id, CAST(u.i AS INT) AS i,
+        |    array_to_string(w[1+8*u.i : 8+8*u.i], ' ') AS chunk
+        |  FROM t, UNNEST(generate_series(0, CAST(floor((len(w)-1)/8) AS INT))) AS u(i)
+        |), r AS (
+        |  SELECT doc_id, i, chunk,
+        |    ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, i) AS rn
+        |  FROM c)
+        |SELECT doc_id, COUNT(*) AS n_spans,
+        |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY i), '')) AS clean_hash
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "pipe_skew_profile" ->
+      """WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1),
+        |t AS (SELECT SUM(cnt) AS total, COUNT(*) AS n_keys, MAX(cnt) AS max_cnt FROM c)
+        |SELECT user_id, cnt, n_keys,
+        |  FLOOR(CAST(cnt AS DOUBLE) * 10000 / total) / 10000 AS share,
+        |  FLOOR(CAST(max_cnt AS DOUBLE) * 10000 * n_keys / total) / 10000 AS skew
+        |FROM c, t ORDER BY cnt DESC, user_id LIMIT 10""".stripMargin,
 
     // the COMPOSITION oracle: every stage's proven SQL chained over the
     // cleaned text — gate via the exported classifier weights, CDC stats

@@ -369,6 +369,34 @@ object SimilarityQueries {
     // per-label centroid similarity: group embeddings by label, average the
     // vectors (element-wise), report each label's centroid norm — exercises
     // vector aggregation without a UDAF
+    // text-knn over the feature-hashed TF-IDF vectors (the text → vector
+    // bridge, exact-INTEGER inner products end to end): probe docs
+    // (doc_id % 29 = 0) join the sparse (doc_id, bucket, weight) corpus on
+    // bucket, dot products sum per pair, top-5 by (dot DESC, id). Probe-
+    // bounded brute force — the correctness baseline shape of
+    // sim_knn_brute; epoch-scale mining feeds these vectors to AnnIndex.
+    // Pairs sharing no bucket have dot 0 and drop; identical semantics in
+    // the oracle, so the hash match proves vectors AND ranking.
+    "sim_text_knn" -> ((s, d) => {
+      val vecs = graft.operators.CorpusOps
+        .hashedTfidf(Tables.load(s, d, "documents"), buckets = 64)
+      val probes = vecs.filter(col("doc_id") % 29 === 0)
+        .select(col("doc_id").as("query_id"), col("bucket"),
+          col("weight").as("wq"))
+      val dots = probes
+        .join(vecs.select(col("doc_id").as("neighbor_id"), col("bucket"),
+          col("weight").as("wc")), Seq("bucket"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(sum(col("wq") * col("wc")).as("dot"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("dot").desc, col("neighbor_id"))
+      dots.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("query_id", "neighbor_id", "dot", "rank")
+        .orderBy("query_id", "rank")
+    }),
+
     "sim_label_centroids" -> ((s, d) => {
       val e = emb(s, d).select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
       e.groupBy("label", "pos").agg(sum("x").as("sx"), count(lit(1)).as("n"))
@@ -379,6 +407,36 @@ object SimilarityQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "sim_text_knn" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), ' +')) AS term
+        |  FROM documents
+        |), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY 1),
+        |sc AS (
+        |  SELECT doc_id, term, tf * (n_docs * 10000 // df) AS score,
+        |    CAST('0x' || substring(md5(term), 1, 8) AS BIGINT) % 64 AS bucket,
+        |    CASE WHEN CAST('0x' || substring(md5(term), 9, 1) AS BIGINT) % 2 = 0
+        |      THEN 1 ELSE -1 END AS sgn
+        |  FROM tf JOIN df USING (term), n),
+        |v AS (
+        |  SELECT doc_id, bucket, CAST(SUM(sgn * score) AS BIGINT) AS weight
+        |  FROM sc GROUP BY 1, 2 HAVING SUM(sgn * score) <> 0),
+        |dots AS (
+        |  SELECT a.doc_id AS query_id, b.doc_id AS neighbor_id,
+        |    CAST(SUM(a.weight * b.weight) AS BIGINT) AS dot
+        |  FROM v a JOIN v b USING (bucket)
+        |  WHERE a.doc_id % 29 = 0 AND b.doc_id <> a.doc_id
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT query_id, neighbor_id, dot,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY dot DESC, neighbor_id) AS rank
+        |  FROM dots)
+        |SELECT query_id, neighbor_id, dot, CAST(rank AS INT) AS rank
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
     "sim_hard_negatives" ->
       """SELECT query_id, neighbor_id, rank FROM (
         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,

@@ -197,6 +197,26 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // TF-IDF keyword extraction: top-3 most characteristic terms per doc
+    // under the exact-integer idf surrogate tf * (N*10^4 div df) — integer
+    // division instead of ln() so the ranking is engine-independent
+    // bit-for-bit (ln's last ulp varies across libms; div doesn't). One
+    // (doc_id, term) shuffle + one vocab-bounded df aggregate; the per-doc
+    // window state is one doc's vocabulary.
+    "text_tfidf_topk" -> ((s, d) =>
+      graft.operators.CorpusOps.tfidfKeywords(docs(s, d), k = 3)
+        .select("doc_id", "term", "tf", "df", "score", "rnk")
+        .orderBy("doc_id", "rnk")),
+
+    // feature-hashed TF-IDF document vectors (hashing trick, Weinberger et
+    // al. 2009): 64 signed md5 buckets, exact-integer weights — the
+    // text → vector bridge into the similarity operators, sparse
+    // (doc_id, bucket, weight) rows. Fixed dimensionality regardless of
+    // vocabulary growth; every downstream inner product stays integer.
+    "text_hash_vectors" -> ((s, d) =>
+      graft.operators.CorpusOps.hashedTfidf(docs(s, d), buckets = 64)
+        .orderBy("doc_id", "bucket")),
+
     // content fingerprint: digest of the normalized text (stable doc identity)
     "text_fingerprint" -> ((s, d) => {
       val norm = trim(regexp_replace(
@@ -660,6 +680,40 @@ object TextQueries {
         |  CAST(SUM(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS BIGINT) AS total_tokens,
         |  FLOOR(CAST(SUM(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS DOUBLE) * 10000 / COUNT(*)) / 10000 AS avg_tokens
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "text_tfidf_topk" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), ' +')) AS term
+        |  FROM documents
+        |), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY 1),
+        |sc AS (
+        |  SELECT doc_id, term, tf, df, tf * (n_docs * 10000 // df) AS score
+        |  FROM tf JOIN df USING (term), n),
+        |r AS (
+        |  SELECT doc_id, term, tf, df, score,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+        |  FROM sc)
+        |SELECT doc_id, term, tf, df, score, CAST(rnk AS INT) AS rnk
+        |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+
+    "text_hash_vectors" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), ' +')) AS term
+        |  FROM documents
+        |), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY 1),
+        |sc AS (
+        |  SELECT doc_id, term, tf * (n_docs * 10000 // df) AS score,
+        |    CAST('0x' || substring(md5(term), 1, 8) AS BIGINT) % 64 AS bucket,
+        |    CASE WHEN CAST('0x' || substring(md5(term), 9, 1) AS BIGINT) % 2 = 0
+        |      THEN 1 ELSE -1 END AS sgn
+        |  FROM tf JOIN df USING (term), n)
+        |SELECT doc_id, bucket, CAST(SUM(sgn * score) AS BIGINT) AS weight
+        |FROM sc GROUP BY 1, 2 HAVING SUM(sgn * score) <> 0
+        |ORDER BY doc_id, bucket""".stripMargin,
 
     "text_fingerprint" ->
       """SELECT doc_id,
