@@ -403,6 +403,92 @@ object Multimodal {
     hash
   }
 
+  /**
+   * 2D DCT-II low band of the 32×32 gray thumbnail: the 64 lowest-
+   * frequency coefficients (u, v ∈ 0..7, row-major), fixed-pointed to
+   * 1e4-scaled LONGs so the exported fixture is integer and the
+   * threshold compare is engine-independent. The basis uses
+   * `StrictMath.cos` — bit-identical on every JVM/arch, unlike
+   * `Math.cos`'s 1-ulp license — and the separable evaluation only
+   * computes the 8 basis rows the low band reads (8×32 work per axis,
+   * not 32×32). Decode/resize legs are [[averageHash]]'s.
+   */
+  def dctLowband(data: Array[Byte]): Array[Long] = {
+    val n = 32
+    val px = decodeRaster(data) match {
+      case Some((w, h, p)) => resizeNearest(p, w, h, n, n)
+      case None => resizeNearest(decodeImageStub(data), n, n)
+    }
+    val cos = Array.tabulate(8, n)((u, i) =>
+      StrictMath.cos((2 * i + 1) * u * StrictMath.PI / (2.0 * n)))
+    val rows = Array.ofDim[Double](n, 8)
+    var y = 0
+    while (y < n) {
+      var u = 0
+      while (u < 8) {
+        var s = 0.0
+        var x = 0
+        while (x < n) { s += px(y * n + x) * cos(u)(x); x += 1 }
+        rows(y)(u) = s
+        u += 1
+      }
+      y += 1
+    }
+    val out = new Array[Long](64)
+    var v = 0
+    while (v < 8) {
+      var u = 0
+      while (u < 8) {
+        var s = 0.0
+        var yy = 0
+        while (yy < n) { s += rows(yy)(u) * cos(v)(yy); yy += 1 }
+        out(v * 8 + u) = math.floor(s * 10000.0 / n).toLong
+        u += 1
+      }
+      v += 1
+    }
+    out
+  }
+
+  /**
+   * Perceptual DCT hash (pHash): each of the 63 AC coefficients of
+   * [[dctLowband]] compares against their lower median; bit 0 (the DC
+   * term) is always clear, so a uniform brightness shift — which lands
+   * entirely in DC — cannot flip a single bit, where [[averageHash]]
+   * only survives it because its mean shifts in lockstep. A positive
+   * contrast scale multiplies every AC coefficient AND their median, so
+   * the hash is contrast-invariant too (up to clipping). Same 64-bit
+   * shape as aHash → the 4×16-band pigeonhole join applies unchanged.
+   */
+  def perceptualHash(data: Array[Byte]): Long = {
+    val c = dctLowband(data)
+    val ac = java.util.Arrays.copyOfRange(c, 1, 64)
+    java.util.Arrays.sort(ac)
+    val med = ac(31) // lower median of the 63 AC terms
+    var h = 0L
+    var i = 1
+    while (i < 64) {
+      if (c(i) > med) h |= (1L << i)
+      i += 1
+    }
+    h
+  }
+
+  /** Per-item pHash — one mapPartitions pass, [[imageHashes]]'s shape. */
+  def perceptualHashes(items: Dataset[MediaItem]): Dataset[ImageHash] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions(_.map(i => ImageHash(i.doc_id, perceptualHash(i.data))))
+  }
+
+  /** Image near-duplicate pairs by pHash hamming distance — the
+    * frequency-domain twin of [[imageNearDupPairs]], same banded plan. */
+  def imageNearDupPairsPhash(
+      items: Dataset[MediaItem], maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      s"4 bands guarantee recall only to hamming 3, got $maxHamming")
+    bandedHammingPairs(perceptualHashes(items).toDF(), maxHamming)
+  }
+
   final case class ImageHash(doc_id: Long, ahash: Long)
 
   /** Per-item aHash — one mapPartitions pass, same batch shape as
@@ -556,6 +642,104 @@ object Multimodal {
     hash
   }
 
+  /**
+   * Per-frame dominant spectral peak (the landmark extractor of a
+   * Shazam-style fingerprint, Wang ISMIR 2003): the PCM stream frames at
+   * `frameSize`/`hop`, each frame takes a direct DFT over bins
+   * 1..frameSize/2-1 (StrictMath basis — deterministic; real deployments
+   * swap in an FFT, the downstream is oblivious), and the loudest bin
+   * wins, lower bin on ties. Amplitude-INVARIANT by construction: scaling
+   * every sample scales every magnitude, the argmax never moves — the
+   * robustness axis the energy-profile [[audioFingerprint]] lacks.
+   * Returns (t, peakBin) per frame.
+   */
+  def spectralPeaks(
+      data: Array[Byte], frameSize: Int = 256, hop: Int = 128): Array[(Int, Int)] = {
+    val samples = decodeWavPcm16(data).map(_._2).getOrElse(Array.empty[Short])
+    if (samples.length < frameSize) return Array.empty
+    val half = frameSize / 2
+    val cos = Array.tabulate(frameSize)(i =>
+      StrictMath.cos(2.0 * StrictMath.PI * i / frameSize))
+    val sin = Array.tabulate(frameSize)(i =>
+      StrictMath.sin(2.0 * StrictMath.PI * i / frameSize))
+    val nFrames = (samples.length - frameSize) / hop + 1
+    Array.tabulate(nFrames) { t =>
+      val off = t * hop
+      var best = 1
+      var bestMag = -1.0
+      var k = 1
+      while (k < half) {
+        var re = 0.0
+        var im = 0.0
+        var i = 0
+        while (i < frameSize) {
+          val idx = (k * i) % frameSize
+          re += samples(off + i) * cos(idx)
+          im -= samples(off + i) * sin(idx)
+          i += 1
+        }
+        val mag = re * re + im * im
+        if (mag > bestMag) { bestMag = mag; best = k }
+        k += 1
+      }
+      (t, best)
+    }
+  }
+
+  /** Distributed peak table (doc_id, t, p) — one mapPartitions pass, the
+    * fixture the `mm_audio_spectral_verified` oracle consumes. */
+  def audioPeakTable(
+      items: Dataset[AudioItem],
+      frameSize: Int = 256, hop: Int = 128): DataFrame = {
+    import items.sparkSession.implicits._
+    items.flatMap(a => spectralPeaks(a.data, frameSize, hop)
+        .map { case (t, p) => (a.doc_id, t, p) })
+      .toDF("doc_id", "t", "p")
+  }
+
+  /**
+   * Landmark-hash audio matching over a (doc_id, t, p) peak table: peak
+   * PAIRS (t, t+Δ), Δ ∈ 1..3, hash to (p₁·128 + p₂)·4 + Δ; two
+   * recordings match when enough landmark hits agree on ONE time offset
+   * (the Shazam alignment vote — a scattered-offset coincidence never
+   * accumulates). Returns (doc_a, doc_b, votes ≥ minVotes), canonical
+   * a < b.
+   *
+   * Scale shape: landmarks are integer rows keyed by a ~64k-value hash;
+   * hashes shared by more than `maxDf` docs drop before the candidate
+   * join (the df-capped posting-list discipline of the n-gram dedup
+   * path), so one ubiquitous landmark cannot quadratic the join; the
+   * vote aggregate carries id pairs + one small offset int only.
+   */
+  def audioLandmarkPairs(
+      peaks: DataFrame, minVotes: Int = 3, maxDf: Int = 64): DataFrame = {
+    val p1 = peaks.withColumn("delta",
+      explode(sequence(lit(1), lit(3))))
+    val lm = p1.as("a").join(peaks.as("b"),
+        col("a.doc_id") === col("b.doc_id") &&
+          col("b.t") === col("a.t") + col("a.delta"))
+      .select(col("a.doc_id").as("doc_id"),
+        ((col("a.p") * 128 + col("b.p")) * 4 + col("a.delta")).as("h"),
+        col("a.t").as("t"))
+    val rare = lm.groupBy("h")
+      .agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") <= maxDf)
+      .select("h")
+    val capped = lm.join(rare, Seq("h"))
+    capped.as("x").join(capped.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        (col("x.t") - col("y.t")).as("offset"))
+      .agg(count(lit(1)).as("votes"))
+      .groupBy("doc_a", "doc_b").agg(max("votes").as("votes"))
+      .filter(col("votes") >= minVotes)
+  }
+
+  /** End-to-end spectral matcher: peaks → landmarks → aligned votes. */
+  def audioSpectralMatches(
+      items: Dataset[AudioItem], minVotes: Int = 3): DataFrame =
+    audioLandmarkPairs(audioPeakTable(items), minVotes)
+
   /** Per-item audio fingerprint rows (doc_id, ahash) — the audio twin of
     * [[imageHashes]], exported as the `mm_*_neardup_verified` fixture. */
   def audioHashes(items: Dataset[AudioItem]): Dataset[ImageHash] = {
@@ -599,6 +783,36 @@ object Multimodal {
         val amp = (2 * (500 + nChars % 4500)).toInt
         val samples = Array.tabulate(n)(i => ((amp * (i % p)) / p - amp / 2).toShort)
         AudioItem(id, "audio", encodeWavPcm16(samples, AudioRate), AudioRate, n)
+      }
+  }
+
+  /** Melody-shaped WAV corpus for the spectral matcher: 6 non-overlapping
+    * 256-sample frames, each a pure integer-bin sine whose bin walks an
+    * id-keyed melody — per-frame peaks are distinct across docs (landmark
+    * hashes near-unique, unlike [[documentsAsAudio]]'s 50 shared sawtooth
+    * periods, which would alias whole classes of docs into one landmark
+    * set). */
+  def documentsAsToneAudio(spark: SparkSession, sfDir: String): Dataset[AudioItem] = {
+    import spark.implicits._
+    graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        val frames = 6
+        val fs = 256
+        val samples = new Array[Short](frames * fs)
+        var t = 0
+        while (t < frames) {
+          val bin = 5 + ((id * (t + 3) + t * 17) % 100).toInt
+          var i = 0
+          while (i < fs) {
+            samples(t * fs + i) =
+              (9000.0 * StrictMath.sin(2.0 * StrictMath.PI * bin * i / fs)).toShort
+            i += 1
+          }
+          t += 1
+        }
+        AudioItem(id, "audio", encodeWavPcm16(samples, AudioRate),
+          AudioRate, samples.length)
       }
   }
 

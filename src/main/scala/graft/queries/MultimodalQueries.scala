@@ -21,6 +21,8 @@ object MultimodalQueries {
   private[graft] val ImageHashFixturePath = "/tmp/graft_fixtures/image_ahash"
   private[graft] val AudioHashFixturePath = "/tmp/graft_fixtures/audio_fp"
   private[graft] val ThumbFixturePath = "/tmp/graft_fixtures/thumbs"
+  private[graft] val PhashFixturePath = "/tmp/graft_fixtures/image_phash"
+  private[graft] val AudioPeaksFixturePath = "/tmp/graft_fixtures/audio_peaks"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // binary-column metadata over the opaque payload
@@ -186,6 +188,112 @@ object MultimodalQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // frequency-domain image near-dup (pHash): 32x32 DCT low band, AC
+    // coefficients thresholded at their median, DC excluded — planted
+    // probes carry a UNIFORM +20 brightness shift, which lands entirely
+    // in the DC term and flips zero pHash bits (the invariance aHash
+    // only gets because its mean shifts in lockstep). Same 4x16-band
+    // pigeonhole join as mm_image_neardup; PNG corpus so the compressed
+    // decode leg feeds the DCT. no_oracle; MultimodalSpec covers
+    // invariance, recall, and the twin below hash-checks the downstream.
+    "mm_image_phash" -> ((s, d) => {
+      import s.implicits._
+      val base = Multimodal.documentsAsPngMedia(s, d)
+      val probes = base.filter(_.doc_id % 10 == 0).map { m =>
+        val (w, h, px) = Multimodal.decodeImageIO(m.data).get
+        val px2 = px.map(p => math.min(255, p + 20))
+        m.copy(doc_id = m.doc_id + 10000000L,
+          data = Multimodal.encodePng(px2, w, h))
+      }
+      Multimodal.imageNearDupPairsPhash(base.union(probes), maxHamming = 3)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // the ORACLE-CHECKED half of pHash: the DCT kernel (the non-SQL
+    // step) exports its 1e4-fixed-point low-band coefficients, and BOTH
+    // engines recompute the AC median, the 64-char bit pattern, the
+    // 4x16-char band candidate join, and the positional hamming verify —
+    // integer compares end to end, so the hash match proves median
+    // thresholding AND the banded downstream engine-independently.
+    "mm_image_phash_verified" -> ((s, d) => {
+      import s.implicits._
+      val base = Multimodal.documentsAsPngMedia(s, d)
+      val probes = base.filter(_.doc_id % 10 == 0).map { m =>
+        val (w, h, px) = Multimodal.decodeImageIO(m.data).get
+        val px2 = px.map(p => math.min(255, p + 20))
+        m.copy(doc_id = m.doc_id + 10000000L,
+          data = Multimodal.encodePng(px2, w, h))
+      }
+      base.union(probes)
+        .map(m => (m.doc_id, Multimodal.dctLowband(m.data)))
+        .toDF("doc_id", "c")
+        .write.mode("overwrite").parquet(PhashFixturePath)
+      val bits = s.read.parquet(PhashFixturePath)
+        .withColumn("m", expr("element_at(array_sort(slice(c, 2, 63)), 32)"))
+        .select(col("doc_id"),
+          concat(lit("0"), concat_ws("",
+            expr("transform(slice(c, 2, 63), x -> IF(x > m, '1', '0'))")))
+            .as("bits"))
+      val bands = bits.select(col("doc_id"), col("bits"),
+          explode(sequence(lit(0), lit(3))).as("band"))
+        .withColumn("bv", expr("substring(bits, 1 + 16 * band, 16)"))
+      bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.bits").as("ba"), col("b.bits").as("bb"))
+        .distinct()
+        .withColumn("hamming", expr(
+          "size(filter(sequence(1, 64), i -> substring(ba, i, 1) != substring(bb, i, 1)))"))
+        .filter(col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Shazam-style spectral matching (Wang, ISMIR 2003): per-frame DFT
+    // peak -> (p1, p2, dt) landmark hashes -> aligned-offset voting; a
+    // match needs >= 3 landmark hits agreeing on ONE time offset. Probes
+    // are amplitude-HALVED copies — the argmax peak never moves under
+    // scaling, the axis the energy-profile fingerprint is blind to.
+    // no_oracle (the DFT is the non-SQL step); the twin below
+    // hash-checks the entire landmark/vote downstream.
+    "mm_audio_spectral" -> ((s, d) => {
+      import s.implicits._
+      val base = Multimodal.documentsAsToneAudio(s, d)
+      val probes = base.filter(_.doc_id % 10 == 0).map { a =>
+        val (rate, samples) = Multimodal.decodeWavPcm16(a.data).get
+        val s2 = samples.map(v => (v / 2).toShort)
+        a.copy(doc_id = a.doc_id + 10000000L,
+          data = Multimodal.encodeWavPcm16(s2, rate))
+      }
+      Multimodal.audioLandmarkPairs(
+          Multimodal.audioPeakTable(base.union(probes),
+            frameSize = 256, hop = 256),
+          minVotes = 3, maxDf = 64)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // the ORACLE-CHECKED half of the spectral matcher: the DFT peak
+    // table (the non-SQL step) exports, and BOTH engines recompute
+    // landmark hashing (pure integer arithmetic on (p1, p2, dt)), the
+    // df cap, the hash join, and the aligned-offset vote — so the hash
+    // match proves the entire matching layer engine-independently.
+    "mm_audio_spectral_verified" -> ((s, d) => {
+      import s.implicits._
+      val base = Multimodal.documentsAsToneAudio(s, d)
+      val probes = base.filter(_.doc_id % 10 == 0).map { a =>
+        val (rate, samples) = Multimodal.decodeWavPcm16(a.data).get
+        val s2 = samples.map(v => (v / 2).toShort)
+        a.copy(doc_id = a.doc_id + 10000000L,
+          data = Multimodal.encodeWavPcm16(s2, rate))
+      }
+      Multimodal.audioPeakTable(base.union(probes), frameSize = 256, hop = 256)
+        .write.mode("overwrite").parquet(AudioPeaksFixturePath)
+      Multimodal.audioLandmarkPairs(
+          s.read.parquet(AudioPeaksFixturePath), minVotes = 3, maxDf = 64)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // the ORACLE-CHECKED half of the thumbnail pipeline: the resize
     // kernel's 8x8 integer rasters export, and BOTH engines recompute
     // integer pixel stats AND the aHash bit pattern (px > floor-mean,
@@ -277,6 +385,53 @@ object MultimodalQueries {
 
     "mm_image_neardup_verified" -> hammingOracle(ImageHashFixturePath),
     "mm_audio_neardup_verified" -> hammingOracle(AudioHashFixturePath),
+
+    // recompute landmark hashes, df cap, hash join, and aligned-offset
+    // vote from the exported DFT peak table — integer end to end
+    "mm_audio_spectral_verified" ->
+      s"""WITH p AS (SELECT * FROM read_parquet('$AudioPeaksFixturePath/*.parquet')),
+        |lm AS (
+        |  SELECT a.doc_id, (a.p * 128 + b.p) * 4 + d.delta AS h, a.t
+        |  FROM p a JOIN p b ON b.doc_id = a.doc_id
+        |  CROSS JOIN (SELECT unnest(generate_series(1, 3)) AS delta) d
+        |  WHERE b.t = a.t + d.delta),
+        |rare AS (SELECT h FROM lm GROUP BY h HAVING COUNT(DISTINCT doc_id) <= 64),
+        |c AS (SELECT lm.* FROM lm JOIN rare USING (h)),
+        |v AS (
+        |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.t - y.t AS toff,
+        |         COUNT(*) AS votes
+        |  FROM c x JOIN c y ON x.h = y.h AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2, 3)
+        |SELECT doc_a, doc_b, MAX(votes) AS votes FROM v
+        |GROUP BY 1, 2 HAVING MAX(votes) >= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // recompute AC median -> bit pattern -> band join -> positional
+    // hamming from the exported DCT coefficients
+    "mm_image_phash_verified" ->
+      s"""WITH f AS (SELECT * FROM read_parquet('$PhashFixturePath/*.parquet')),
+        |bs AS (
+        |  SELECT doc_id,
+        |    '0' || array_to_string(
+        |      [CASE WHEN x > list_sort(c[2:64])[32] THEN '1' ELSE '0' END
+        |       FOR x IN c[2:64]], '') AS bits
+        |  FROM f),
+        |bands AS (
+        |  SELECT doc_id, bits, g.band,
+        |         substring(bits, 1 + 16 * g.band, 16) AS bv
+        |  FROM bs, (SELECT unnest(generate_series(0, 3)) AS band) g),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         a.bits AS ba, b.bits AS bb
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
+        |    AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b,
+        |  CAST(len([i FOR i IN generate_series(1, 64)
+        |            IF substring(ba, i, 1) <> substring(bb, i, 1)]) AS INTEGER) AS hamming
+        |FROM cand
+        |WHERE len([i FOR i IN generate_series(1, 64)
+        |           IF substring(ba, i, 1) <> substring(bb, i, 1)]) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     "mm_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,

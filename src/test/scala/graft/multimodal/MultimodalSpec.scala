@@ -376,4 +376,116 @@ class MultimodalSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("pHash: DC exclusion makes a uniform brightness shift a zero-bit event") {
+    val px = Array.tabulate(400)(i => 60 + ((i * 13) % 120))
+    val bright = px.map(p => math.min(255, p + 20)) // no clipping: max 199
+    val a = perceptualHash(encodeBmp(px, 20, 20))
+    val b = perceptualHash(encodeBmp(bright, 20, 20))
+    assert(a == b, "uniform brightness shift must land entirely in DC")
+    assert((a & 1L) == 0L, "the DC bit is always clear")
+  }
+
+  test("pHash: contrast scaling flips (almost) no bits; unrelated rasters are far") {
+    val px = Array.tabulate(400)(i => 40 + ((i * 29) % 150))
+    val scaled = px.map(p => math.min(255, (p * 6) / 5)) // x1.2, max 227: no clip
+    val a = perceptualHash(encodeBmp(px, 20, 20))
+    val b = perceptualHash(encodeBmp(scaled, 20, 20))
+    // integer scaling is not EXACTLY linear (floor), so allow a few bits
+    assert(java.lang.Long.bitCount(a ^ b) <= 3,
+      s"contrast scale moved ${java.lang.Long.bitCount(a ^ b)} bits")
+    val other = Array.tabulate(400)(i => ((i * 97 + 31) % 256))
+    val c = perceptualHash(encodeBmp(other, 20, 20))
+    assert(java.lang.Long.bitCount(a ^ c) > 10, "unrelated rasters must differ")
+  }
+
+  test("pHash agrees across BMP and PNG encodings; dctLowband is deterministic") {
+    val px = Array.tabulate(256)(i => (i * 53 + 7) % 256)
+    val viaBmp = perceptualHash(encodeBmp(px, 16, 16))
+    val viaPng = perceptualHash(encodePng(px, 16, 16))
+    assert(viaBmp == viaPng, "lossless codecs must produce one hash")
+    val c1 = dctLowband(encodePng(px, 16, 16)).toSeq
+    val c2 = dctLowband(encodePng(px, 16, 16)).toSeq
+    assert(c1 == c2)
+    assert(c1.length == 64)
+  }
+
+  test("banded pHash near-dup recovers brightness-shifted probes, no all-pairs join") {
+    import spark.implicits._
+    val items = (1L to 40L).map { id =>
+      val px = Array.tabulate(144)(i => (20 + (id * 31 + i * 17) % 200).toInt)
+      Multimodal.MediaItem(id, "image", Multimodal.encodeBmp(px, 12, 12), 12, 12)
+    }
+    val probes = items.filter(_.doc_id % 5 == 0).map { m =>
+      val px = Multimodal.decodeBmp(m.data).get._3
+      m.copy(doc_id = m.doc_id + 1000L,
+        data = Multimodal.encodeBmp(px.map(p => math.min(255, p + 20)), 12, 12))
+    }
+    val ds = spark.createDataset(items ++ probes)
+    val pairs = Multimodal.imageNearDupPairsPhash(ds, maxHamming = 3)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    probes.foreach { p =>
+      assert(got.contains((p.doc_id - 1000L, p.doc_id)),
+        s"planted pHash pair for ${p.doc_id - 1000L} missed")
+    }
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("spectral peaks: exact bins for pure tones, amplitude-invariant") {
+    val fs = 256
+    def tone(bin: Int, amp: Double): Array[Short] =
+      Array.tabulate(fs)(i =>
+        (amp * StrictMath.sin(2.0 * StrictMath.PI * bin * i / fs)).toShort)
+    val samples = tone(12, 9000) ++ tone(40, 9000) ++ tone(7, 9000)
+    val wav = encodeWavPcm16(samples, 8000)
+    val peaks = spectralPeaks(wav, frameSize = fs, hop = fs).toSeq
+    assert(peaks == Seq((0, 12), (1, 40), (2, 7)))
+    val half = encodeWavPcm16(samples.map(v => (v / 2).toShort), 8000)
+    assert(spectralPeaks(half, frameSize = fs, hop = fs).toSeq == peaks,
+      "peak bins must not move under amplitude scaling")
+  }
+
+  test("landmark matching: aligned copies match, shifted copies still align, unrelated do not") {
+    import spark.implicits._
+    val fs = 256
+    def melody(bins: Seq[Int]): Array[Byte] =
+      encodeWavPcm16(bins.toArray.flatMap(b => Array.tabulate(fs)(i =>
+        (9000.0 * StrictMath.sin(2.0 * StrictMath.PI * b * i / fs)).toShort)), 8000)
+    val items = Seq(
+      Multimodal.AudioItem(1L, "audio", melody(Seq(10, 20, 30, 40, 50, 60)), 8000, 6 * fs),
+      // same melody at half volume
+      Multimodal.AudioItem(2L, "audio",
+        encodeWavPcm16(decodeWavPcm16(melody(Seq(10, 20, 30, 40, 50, 60))).get._2
+          .map(v => (v / 2).toShort), 8000), 8000, 6 * fs),
+      // the same melody delayed by one frame: offsets align at 1
+      Multimodal.AudioItem(3L, "audio", melody(Seq(99, 10, 20, 30, 40, 50)), 8000, 6 * fs),
+      // unrelated melody
+      Multimodal.AudioItem(4L, "audio", melody(Seq(71, 83, 95, 107, 119, 13)), 8000, 6 * fs))
+    val pairs = Multimodal.audioSpectralMatches(
+      spark.createDataset(items), minVotes = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "half-volume copy must match")
+    assert(pairs.contains((1L, 3L)), "one-frame delay must still align votes")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      "unrelated melody must not accumulate aligned votes")
+  }
+
+  test("landmark df cap drops ubiquitous landmarks instead of joining them") {
+    import spark.implicits._
+    // 12 docs all sharing one melody: with maxDf below 12 every landmark
+    // is over-shared and the candidate join is EMPTY — the quadratic
+    // blowup a df-capped posting list refuses to pay
+    val fs = 256
+    def melody(bins: Seq[Int]): Array[Byte] =
+      encodeWavPcm16(bins.toArray.flatMap(b => Array.tabulate(fs)(i =>
+        (9000.0 * StrictMath.sin(2.0 * StrictMath.PI * b * i / fs)).toShort)), 8000)
+    val items = (1L to 12L).map(id =>
+      Multimodal.AudioItem(id, "audio", melody(Seq(10, 20, 30, 40)), 8000, 4 * fs))
+    val peaks = Multimodal.audioPeakTable(
+      spark.createDataset(items), frameSize = fs, hop = fs)
+    assert(Multimodal.audioLandmarkPairs(peaks, minVotes = 3, maxDf = 4).count() == 0L)
+    assert(Multimodal.audioLandmarkPairs(peaks, minVotes = 3, maxDf = 64).count() == 66L)
+  }
 }
