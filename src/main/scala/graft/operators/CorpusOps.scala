@@ -1103,4 +1103,43 @@ object CorpusOps {
       .agg(sum(col("sgn") * col("score")).as("weight"))
       .filter(col("weight") =!= 0L)
   }
+
+  /** [[hashedTfidf]] densified to (id, v: array&lt;double&gt;) — the shape
+    * every ANN/clustering operator consumes. The per-doc map build is a
+    * HOF over a `buckets`-length array, once per document, off every hot
+    * path. Docs whose every bucket cancels to zero have no sparse rows
+    * and are absent here (they carry no signal to embed). */
+  def denseHashedVectors(documents: DataFrame, buckets: Int = 64): DataFrame =
+    hashedTfidf(documents, buckets)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("bucket"), col("weight"))).as("bw"))
+      .select(col("doc_id").as("id"), expr(
+        s"transform(sequence(0, ${buckets - 1}), b -> " +
+          "cast(coalesce(element_at(map_from_entries(bw), cast(b as bigint)), 0L) as double))")
+        .as("v"))
+
+  /**
+   * Unsupervised topic clustering of the corpus: spherical k-means over
+   * the unit-normalized [[denseHashedVectors]] (the shared
+   * [[Ann.ivfCentroids]] kernel — deterministic lowest-id init +
+   * distributed Lloyd rounds). Returns (doc_id, cell, cs) where `cs` is
+   * the assigned cosine. Label the clusters by joining [[tfidfScored]]
+   * on the assignment — `pipe_doc_clusters_verified` oracle-checks that
+   * labeling stage end to end.
+   *
+   * Scale shape: every centroid join broadcasts a `cells`-row side; the
+   * corpus is never self-joined. Same cost model as SemDeDup's
+   * clustering stage (one broadcast crossJoin + two aggregates per Lloyd
+   * round).
+   */
+  def docClusters(
+      documents: DataFrame, cells: Int = 8, lloydIters: Int = 2,
+      buckets: Int = 64): DataFrame = {
+    graft.expressions.GraftExtensions.register(documents.sparkSession)
+    val u = denseHashedVectors(documents, buckets)
+      .select(col("id"), expr("graft_unit(v)").as("uv"))
+    val cents = Ann.ivfCentroids(u, cells, lloydIters)
+    Ann.ivfAssign(u, cents)
+      .select(col("id").as("doc_id"), col("cell"), col("cs"))
+  }
 }

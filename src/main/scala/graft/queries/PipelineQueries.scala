@@ -37,6 +37,7 @@ object PipelineQueries {
   /** Chunk-span fixture export for `pipe_cdc_dedup` (SemDeDup protocol:
     * fixed literal — the oracle SQL is static, runs outside the JVM). */
   private[graft] val CdcFixturePath = "/tmp/graft_fixtures/cdc_spans"
+  private[graft] val DocClustersFixturePath = "/tmp/graft_fixtures/doc_clusters"
 
   /** Fixture exports for the composed `pipe_full_prep` (separate paths —
     * its classifier trains on the CLEANED corpus and its spans chunk the
@@ -207,6 +208,30 @@ object PipelineQueries {
           floor(col("max_cnt") * lit(10000) * col("n_keys") / col("total")) / 10000)
         .orderBy(col("cnt").desc, col("user_id")).limit(10)
         .select("user_id", "cnt", "n_keys", "share", "skew")
+    }),
+
+    // topic clustering + cluster labeling (corpus exploration): spherical
+    // k-means over the unit hashed-TF-IDF vectors (the SemDeDup protocol —
+    // the one non-SQL step, the k-means assignment, exports as a fixture),
+    // then BOTH engines recompute the labeling: per cluster, size + top-3
+    // terms by summed exact-integer tf-idf. The oracle hash proves the
+    // label stage (scoring, grouping, ranking) engine-independently;
+    // clustering quality itself sits on TfidfLineDedupSpec's bars.
+    "pipe_doc_clusters_verified" -> ((s, d) => {
+      val dd = docs(s, d)
+      Ops.docClusters(dd, cells = 8, lloydIters = 2)
+        .select("doc_id", "cell")
+        .write.mode("overwrite").parquet(DocClustersFixturePath)
+      val assign = s.read.parquet(DocClustersFixturePath)
+      val terms = assign.join(Ops.tfidfScored(dd), "doc_id")
+        .groupBy("cell", "term").agg(sum("score").as("total_score"))
+      val sizes = assign.groupBy("cell").agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy("cell")
+        .orderBy(col("total_score").desc, col("term"))
+      terms.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+        .join(sizes, "cell")
+        .select("cell", "n_docs", "rnk", "term", "total_score")
+        .orderBy("cell", "rnk")
     }),
 
     // mixture rebalancing to target source weights (ratio 1:2:3:4 cycling
@@ -528,6 +553,33 @@ object PipelineQueries {
         |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |  md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY i), '')) AS clean_hash
         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // recompute cluster sizes + the top-3 tf-idf label terms from the
+    // exported k-means assignment — the tfidf SQL is the proven
+    // text_tfidf_topk formulation
+    "pipe_doc_clusters_verified" ->
+      s"""WITH a AS (SELECT * FROM read_parquet('$DocClustersFixturePath/*.parquet')),
+        |w AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), ' +')) AS term
+        |  FROM documents
+        |), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY 1),
+        |sc AS (
+        |  SELECT doc_id, term, tf * ((SELECT n_docs FROM n) * 10000 // df) AS score
+        |  FROM tf JOIN df USING (term)),
+        |t AS (
+        |  SELECT cell, term, CAST(SUM(score) AS BIGINT) AS total_score
+        |  FROM a JOIN sc USING (doc_id) GROUP BY 1, 2),
+        |sz AS (SELECT cell, COUNT(*) AS n_docs FROM a GROUP BY 1),
+        |r AS (
+        |  SELECT cell, term, total_score,
+        |    ROW_NUMBER() OVER (PARTITION BY cell
+        |      ORDER BY total_score DESC, term) AS rnk
+        |  FROM t)
+        |SELECT cell, sz.n_docs, CAST(rnk AS INT) AS rnk, term, total_score
+        |FROM r JOIN sz USING (cell) WHERE rnk <= 3
+        |ORDER BY cell, rnk""".stripMargin,
 
     "pipe_skew_profile" ->
       """WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1),

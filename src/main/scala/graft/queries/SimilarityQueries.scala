@@ -397,6 +397,20 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // the SCALE path of text similarity: the same hashed-TF-IDF vectors,
+    // densified and unit-normalized, searched through the existing
+    // hyperplane-LSH ANN plan instead of the probe-bounded brute force —
+    // text and embeddings now share one similarity stack end to end.
+    // no_oracle (hyperplanes); QueriesSpec holds recall >= 0.8 against
+    // the exact cosine brute force over the same vectors at two SFs.
+    "sim_text_ann" -> ((s, d) => {
+      val vecs = graft.operators.CorpusOps
+        .denseHashedVectors(Tables.load(s, d, "documents"), buckets = 64)
+      val probes = vecs.filter(col("id") % 29 === 0)
+      graft.operators.Ann.knnLsh(vecs, probes, k = 5, dim = 64)
+        .orderBy("query_id", "rank")
+    }),
+
     "sim_label_centroids" -> ((s, d) => {
       val e = emb(s, d).select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
       e.groupBy("label", "pos").agg(sum("x").as("sx"), count(lit(1)).as("n"))

@@ -149,6 +149,46 @@ class TfidfLineDedupSpec extends SparkSuite {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("docClusters: disjoint-vocabulary registers separate into distinct cells") {
+    // even ids = science vocab, odd ids = chat vocab — the deterministic
+    // lowest-id centroid init then seeds one cell per register
+    val docs = (0L until 40L).map { i =>
+      if (i % 2 == 0) (i, s"quantum flux lattice spectra entropy tensor boson")
+      else (i, s"lol okay haha whatever brb gonna wanna yeah")
+    }.toDF("doc_id", "text")
+    val assign = CorpusOps.docClusters(docs, cells = 2, lloydIters = 3)
+      .select("doc_id", "cell").as[(Long, Long)].collect().toMap
+    val sciCells = assign.filter(_._1 % 2 == 0).values.toSeq
+    val chatCells = assign.filter(_._1 % 2 == 1).values.toSeq
+    assert(sciCells.distinct.size == 1, s"science split: $sciCells")
+    assert(chatCells.distinct.size == 1, s"chat split: $chatCells")
+    assert(sciCells.head != chatCells.head, "registers merged into one cell")
+  }
+
+  test("docClusters is deterministic and partition-invariant") {
+    val docs = (0L until 30L)
+      .map(i => (i, s"word${i % 5} word${i % 7} body text here ${i % 3}"))
+      .toDF("doc_id", "text")
+    val a = CorpusOps.docClusters(docs, cells = 3, lloydIters = 2)
+      .select("doc_id", "cell").orderBy("doc_id").collect()
+    val b = CorpusOps.docClusters(docs.repartition(7), cells = 3, lloydIters = 2)
+      .select("doc_id", "cell").orderBy("doc_id").collect()
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("denseHashedVectors round-trips the sparse rows; absent buckets read 0") {
+    val docs = Seq((5L, "alpha beta alpha gamma")).toDF("doc_id", "text")
+    val sparse = CorpusOps.hashedTfidf(docs, buckets = 64)
+      .select("bucket", "weight").as[(Long, Long)].collect().toMap
+    val dense = CorpusOps.denseHashedVectors(docs, buckets = 64)
+      .select("v").as[Seq[Double]].head()
+    assert(dense.length == 64)
+    (0 until 64).foreach { b =>
+      assert(dense(b) == sparse.getOrElse(b.toLong, 0L).toDouble,
+        s"bucket $b mismatch")
+    }
+  }
+
   test("text knn over hashed vectors: identical docs are each other's top hit") {
     val docs = Seq(
       (0L, "quantum flux lattice entropy"),

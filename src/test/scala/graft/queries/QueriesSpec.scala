@@ -77,6 +77,30 @@ class QueriesSpec extends SparkSuite {
   private val recallDirs =
     Seq(sf, "/root/testdata/sf0.01", "/root/testdata/sf0.1")
 
+  test("text ANN (hashed-TF-IDF + LSH) recall@5 >= 0.8 vs exact cosine brute") {
+    Seq(sf, "/root/testdata/sf0.01").foreach { dir =>
+      val vecs = graft.operators.CorpusOps.denseHashedVectors(
+        graft.Tables.load(spark, dir, "documents"), buckets = 64)
+      val probes = vecs.filter(org.apache.spark.sql.functions.col("id") % 29 === 0)
+      val brute = graft.operators.Ann.knnBrute(vecs, probes, k = 5).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+      val ann = knnPairs("sim_text_ann", dir)
+      val recall = (brute & ann).size.toDouble / brute.size
+      assert(recall >= 0.8, s"text-ANN recall@5 too low at $dir: $recall")
+    }
+  }
+
+  test("text knn and text ANN rankings overlap on their shared exact scoring") {
+    // sim_text_knn ranks by the exact INTEGER inner product; the ANN path
+    // reranks candidates by cosine — different normalizations, same
+    // vectors. The verbatim-duplicate structure of the corpus still makes
+    // the neighbor sets overlap heavily.
+    val knn = knnPairs("sim_text_knn", sf)
+    val ann = knnPairs("sim_text_ann", sf)
+    assert(knn.nonEmpty && ann.nonEmpty)
+    assert((knn & ann).nonEmpty, "disjoint neighbor sets")
+  }
+
   test("IVF ANN recall@5 >= 0.8 vs brute force (sf0.001, sf0.01, sf0.1)") {
     recallDirs.foreach { dir =>
       val brute = knnPairs("sim_knn_brute", dir)
