@@ -1037,6 +1037,44 @@ object CorpusOps {
           " ").as("clean_text"))
   }
 
+  /** Accumulated span index for [[incrementalLineDedup]]: the distinct
+    * spans seen so far (persist and union across batches). */
+  def lineDedupIndex(documents: DataFrame, spanWords: Int = 8): DataFrame =
+    docChunksPos(documents, spanWords).select("chunk").distinct()
+
+  /**
+   * Incremental keep-first span dedup for continuous ingestion — the
+   * streaming twin of [[lineDedup]], the [[CdcChunker.incrementalStats]]
+   * discipline: new docs span ONCE, their spans probe the accumulated
+   * index with a hash join (history is never re-spanned), and the
+   * within-batch min(struct) rule handles batch-internal dups. When
+   * micro-batches arrive in ascending doc_id order, replaying a corpus
+   * batch-by-batch reassembles EXACTLY the batch operator's clean text —
+   * an index hit means the first occurrence sat in an earlier (= lower-
+   * id) batch; StreamingCorpusSpec pins the parity.
+   */
+  def incrementalLineDedup(
+      newDocs: DataFrame, indexChunks: DataFrame,
+      spanWords: Int = 8): DataFrame = {
+    val spans = docChunksPos(newDocs, spanWords)
+    val firsts = spans.groupBy("chunk")
+      .agg(min(struct(col("doc_id"), col("i"))).as("f"))
+      .select(col("chunk"), col("f.doc_id").as("f_doc"), col("f.i").as("f_i"))
+    val hist = indexChunks.select(col("chunk"), lit(true).as("in_hist"))
+    spans.join(firsts, Seq("chunk"))
+      .join(hist, Seq("chunk"), "left")
+      .withColumn("kept", coalesce(col("in_hist"), lit(false)).unary_! &&
+        col("doc_id") === col("f_doc") && col("i") === col("f_i"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(expr(
+          "transform(array_sort(collect_list(" +
+            "CASE WHEN kept THEN struct(i, chunk) END)), s -> s.chunk)"),
+          " ").as("clean_text"))
+  }
+
   /** Shared tf·idf scoring stream: (doc_id, term, tf, df, score) with the
     * EXACT-INTEGER idf surrogate score = tf · (n_docs·10⁴ div df).
     * Integer division is bit-identical across engines where ln() is only

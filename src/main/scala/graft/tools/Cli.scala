@@ -45,6 +45,12 @@ import graft.model.VersionVector
  * sbt "runMain graft.tools.Cli <root> lm-train <docsParquet> <modelPath>"
  * sbt "runMain graft.tools.Cli <root> lm-merge <modelA> <modelB> <modelOut>"
  * sbt "runMain graft.tools.Cli <root> lm-score <docsParquet> <modelPath> [outParquet]"
+ * sbt "runMain graft.tools.Cli <root> line-dedup <docsParquet> <outParquet> [spanWords]"
+ * sbt "runMain graft.tools.Cli <root> tfidf-keywords <docsParquet> [k] [outParquet]"
+ * sbt "runMain graft.tools.Cli <root> text-knn <docsParquet> <k> [ids...]"
+ * sbt "runMain graft.tools.Cli <root> doc-clusters <docsParquet> [cells] [outParquet]"
+ * sbt "runMain graft.tools.Cli <root> phash-dedup <mediaParquet> [maxHamming] [outParquet]"
+ * sbt "runMain graft.tools.Cli <root> audio-match <audioParquet> [minVotes] [outParquet]"
  * }}}
  *
  * The corpus verbs (`dedup`, `bm25`) run the public
@@ -396,6 +402,117 @@ object Cli {
           println(s"wrote ${spark.read.parquet(args(4)).count()} scores to ${args(4)}")
         } else scored.toLocalIterator().forEachRemaining { r =>
           println(s"${r.getAs[Long]("doc_id")}\t${r.getAs[Double]("nll")}")
+        }
+      case "line-dedup" =>
+        // keep-first span dedup (the RefinedWeb exact-line rule) over a
+        // documents parquet; writes (doc_id, n_spans, n_kept, clean_text)
+        val span = if (args.length > 4) args(4).toInt else 8
+        graft.operators.CorpusOps
+          .lineDedup(spark.read.parquet(args(2)), spanWords = span)
+          .write.mode("overwrite").parquet(args(3))
+        val out = spark.read.parquet(args(3))
+        import org.apache.spark.sql.functions.sum
+        val (tot, kept) = out.agg(sum("n_spans"), sum("n_kept")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).head
+        println(s"line-dedup: kept $kept of $tot spans -> ${args(3)}")
+      case "tfidf-keywords" =>
+        // top-k characteristic terms per doc (exact-integer idf surrogate)
+        val k = if (args.length > 3) args(3).toInt else 3
+        val kw = graft.operators.CorpusOps
+          .tfidfKeywords(spark.read.parquet(args(2)), k)
+          .orderBy("doc_id", "rnk")
+        if (args.length > 4) {
+          kw.write.mode("overwrite").parquet(args(4))
+          println(s"wrote ${spark.read.parquet(args(4)).count()} keyword rows to ${args(4)}")
+        } else kw.limit(1000).toLocalIterator().forEachRemaining { r =>
+          println(s"${r.getAs[Long]("doc_id")}\t${r.getAs[Int]("rnk")}\t" +
+            s"${r.getAs[String]("term")}\t${r.getAs[Long]("score")}")
+        }
+      case "text-knn" =>
+        // top-k most similar docs by exact integer inner product over the
+        // hashed-TF-IDF vectors, for the given probe doc ids
+        import org.apache.spark.sql.functions._
+        val k = args(3).toInt
+        val ids = args.drop(4).map(_.toLong)
+        val vecs = graft.operators.CorpusOps
+          .hashedTfidf(spark.read.parquet(args(2)), buckets = 64)
+        val probes = vecs.filter(col("doc_id").isin(ids: _*))
+          .select(col("doc_id").as("query_id"), col("bucket"),
+            col("weight").as("wq"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(col("dot").desc, col("neighbor_id"))
+        probes.join(vecs.select(col("doc_id").as("neighbor_id"), col("bucket"),
+            col("weight").as("wc")), Seq("bucket"))
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .groupBy("query_id", "neighbor_id")
+          .agg(sum(col("wq") * col("wc")).as("dot"))
+          .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+          .orderBy("query_id", "rank")
+          .toLocalIterator().forEachRemaining { r =>
+            println(s"${r.getAs[Long]("query_id")}\t${r.getAs[Int]("rank")}\t" +
+              s"${r.getAs[Long]("neighbor_id")}\t${r.getAs[Long]("dot")}")
+          }
+      case "doc-clusters" =>
+        // topic clustering + tf-idf labels over a documents parquet
+        import org.apache.spark.sql.functions._
+        val cells = if (args.length > 3) args(3).toInt else 8
+        val d = spark.read.parquet(args(2))
+        val assign = graft.operators.CorpusOps.docClusters(d, cells = cells)
+        if (args.length > 4) {
+          assign.write.mode("overwrite").parquet(args(4))
+          println(s"wrote ${spark.read.parquet(args(4)).count()} assignments to ${args(4)}")
+        } else {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("cell").orderBy(col("total").desc, col("term"))
+          assign.join(graft.operators.CorpusOps.tfidfScored(d), "doc_id")
+            .groupBy("cell", "term").agg(sum("score").as("total"))
+            .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+            .orderBy("cell", "rnk")
+            .toLocalIterator().forEachRemaining { r =>
+              println(s"${r.getAs[Long]("cell")}\t${r.getAs[Int]("rnk")}\t" +
+                s"${r.getAs[String]("term")}")
+            }
+        }
+      case "phash-dedup" =>
+        // perceptual-hash image near-dup over a (doc_id, data) parquet of
+        // encoded images (BMP/PNG/JPEG/GIF)
+        import spark.implicits._
+        val maxH = if (args.length > 3) args(3).toInt else 3
+        val items = spark.read.parquet(args(2))
+          .select(org.apache.spark.sql.functions.col("doc_id").cast("long"),
+            org.apache.spark.sql.functions.col("data"))
+          .as[(Long, Array[Byte])]
+          .map { case (id, data) =>
+            graft.multimodal.Multimodal.MediaItem(id, "image", data, 0, 0) }
+        val pairs = graft.multimodal.Multimodal
+          .imageNearDupPairsPhash(items, maxHamming = maxH)
+          .orderBy("doc_a", "doc_b")
+        if (args.length > 4) {
+          pairs.write.mode("overwrite").parquet(args(4))
+          println(s"wrote ${spark.read.parquet(args(4)).count()} pairs to ${args(4)}")
+        } else pairs.toLocalIterator().forEachRemaining { r =>
+          println(s"${r.getAs[Long]("doc_a")}\t${r.getAs[Long]("doc_b")}\t" +
+            s"${r.getAs[Int]("hamming")}")
+        }
+      case "audio-match" =>
+        // spectral landmark matching over a (doc_id, data) parquet of WAVs
+        import spark.implicits._
+        val votes = if (args.length > 3) args(3).toInt else 3
+        val items = spark.read.parquet(args(2))
+          .select(org.apache.spark.sql.functions.col("doc_id").cast("long"),
+            org.apache.spark.sql.functions.col("data"))
+          .as[(Long, Array[Byte])]
+          .map { case (id, data) =>
+            graft.multimodal.Multimodal.AudioItem(id, "audio", data, 0, 0) }
+        val pairs = graft.multimodal.Multimodal
+          .audioSpectralMatches(items, minVotes = votes)
+          .orderBy("doc_a", "doc_b")
+        if (args.length > 4) {
+          pairs.write.mode("overwrite").parquet(args(4))
+          println(s"wrote ${spark.read.parquet(args(4)).count()} matches to ${args(4)}")
+        } else pairs.toLocalIterator().forEachRemaining { r =>
+          println(s"${r.getAs[Long]("doc_a")}\t${r.getAs[Long]("doc_b")}\t" +
+            s"${r.getAs[Long]("votes")}")
         }
       case other =>
         System.err.println(s"unknown verb: $other")

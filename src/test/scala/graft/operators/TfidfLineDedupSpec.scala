@@ -96,6 +96,40 @@ class TfidfLineDedupSpec extends SparkSuite {
     assert(!plan.toLowerCase.contains("window"))
   }
 
+  test("incremental line dedup replayed in id order equals the batch operator") {
+    // history batch + two streamed batches with planted cross-batch span
+    // copies: 21 copies a span from history, 32 copies one from batch 1 —
+    // the second only dedups if the index actually ACCUMULATES
+    val history = Seq((1L, "alpha beta gamma delta"), (2L, "epsilon zeta eta theta"))
+    val batch1 = Seq((11L, "iota kappa lambda mu"), (12L, "nu xi omicron pi"))
+    val batch2 = Seq(
+      (21L, "alpha beta gamma delta rho sigma tau upsilon"),
+      (32L, "nu xi omicron pi phi chi psi omega"))
+    def toDf(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+
+    val idxDir = tempDir("line-dedup-idx")
+    CorpusOps.lineDedupIndex(toDf(history), spanWords = 4)
+      .write.mode("overwrite").parquet(idxDir)
+    val streamed = Seq(batch1, batch2).flatMap { b =>
+      val out = CorpusOps.incrementalLineDedup(
+          toDf(b), spark.read.parquet(idxDir), spanWords = 4)
+        .select("doc_id", "n_spans", "n_kept", "clean_text")
+        .as[(Long, Long, Long, String)].collect().toSeq
+      CorpusOps.lineDedupIndex(toDf(b), spanWords = 4)
+        .write.mode("append").parquet(idxDir)
+      out
+    }
+    val batch = CorpusOps.lineDedup(toDf(history ++ batch1 ++ batch2), spanWords = 4)
+      .select("doc_id", "n_spans", "n_kept", "clean_text")
+      .as[(Long, Long, Long, String)].collect()
+      .filter(_._1 >= 11L).toSeq
+    assert(streamed.sortBy(_._1) === batch.sortBy(_._1))
+    // and the planted copies were actually suppressed
+    val m = streamed.map(r => r._1 -> r._4).toMap
+    assert(m(21L) === "rho sigma tau upsilon")
+    assert(m(32L) === "phi chi psi omega")
+  }
+
   // -------------------------------------------------------------------- tfidf
 
   test("tfidfKeywords: rarer terms outrank frequent ones; ties break by term") {
