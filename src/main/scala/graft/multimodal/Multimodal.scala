@@ -388,11 +388,19 @@ object Multimodal {
     }).toDF("doc_id", "thumb")
   }
 
-  def averageHash(data: Array[Byte]): Long = {
-    val px = decodeRaster(data) match {
-      case Some((w, h, p)) => resizeNearest(p, w, h, 8, 8)
-      case None => resizeNearest(decodeImageStub(data), 8, 8)
+  def averageHash(data: Array[Byte]): Long =
+    decodeRaster(data) match {
+      case Some((w, h, p)) => rasterAHash(p, w, h)
+      case None =>
+        val p = decodeImageStub(data)
+        val w = math.max(1, math.ceil(math.sqrt(p.length.toDouble)).toInt)
+        rasterAHash(p, w, (p.length + w - 1) / w)
     }
+
+  /** The aHash core over an already-decoded raster (shared by
+    * [[averageHash]] and the per-frame video hashing). */
+  def rasterAHash(pixels: Array[Int], w: Int, h: Int): Long = {
+    val px = resizeNearest(pixels, w, h, 8, 8)
     val mean = px.map(_.toLong).sum / 64
     var hash = 0L
     var i = 0
@@ -754,6 +762,55 @@ object Multimodal {
     require(maxHamming <= 3,
       s"4 bands guarantee recall only to hamming 3, got $maxHamming")
     bandedHammingPairs(audioHashes(items).toDF(), maxHamming)
+  }
+
+  /** Per-frame aHash rows (doc_id, frame_idx, ahash) for a video corpus —
+    * real AVI demux + the shared [[rasterAHash]] core, one mapPartitions
+    * pass; exported as the `mm_video_neardup_verified` fixture. */
+  def videoFrameHashes(items: Dataset[VideoItem]): DataFrame = {
+    import items.sparkSession.implicits._
+    items.flatMap { v =>
+      decodeAviFrames(v.data) match {
+        case Some((w, h, frames)) =>
+          frames.zipWithIndex.map { case (px, i) =>
+            (v.doc_id, i, rasterAHash(px, w, h)) }
+        case None => Seq.empty
+      }
+    }.toDF("doc_id", "frame_idx", "ahash")
+  }
+
+  /**
+   * Video near-duplicate pairs by shared frame content: two videos match
+   * when at least `minShared` DISTINCT frame hashes coincide — order-
+   * insensitive, so re-cut/reversed copies still match (the match is on
+   * content, not sequence). Completes the image/audio/video near-dup
+   * symmetry.
+   *
+   * Scale shape: the join keys on the 64-bit frame hash; hashes shared
+   * by more than `maxDf` videos drop first (the df-capped posting-list
+   * discipline — an all-black frame must not quadratic the join), and
+   * the pair aggregate carries ids only. Returns (doc_a, doc_b, shared).
+   */
+  def videoNearDupPairs(
+      items: Dataset[VideoItem], minShared: Int = 2, maxDf: Int = 64): DataFrame =
+    videoNearDupFromHashes(videoFrameHashes(items), minShared, maxDf)
+
+  /** The hash-table half of [[videoNearDupPairs]] — consumes any
+    * (doc_id, frame_idx, ahash) table (the verified twin's fixture). */
+  private[graft] def videoNearDupFromHashes(
+      frameHashes: DataFrame, minShared: Int, maxDf: Int): DataFrame = {
+    val fh = frameHashes.select("doc_id", "ahash").distinct()
+    val rare = fh.groupBy("ahash")
+      .agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") <= maxDf)
+      .select("ahash")
+    val capped = fh.join(rare, Seq("ahash"))
+    capped.as("x").join(capped.as("y"),
+        col("x.ahash") === col("y.ahash") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
   }
 
   /** Shared banded hamming self-join over (doc_id, ahash) rows. */

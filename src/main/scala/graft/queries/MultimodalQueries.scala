@@ -23,6 +23,7 @@ object MultimodalQueries {
   private[graft] val ThumbFixturePath = "/tmp/graft_fixtures/thumbs"
   private[graft] val PhashFixturePath = "/tmp/graft_fixtures/image_phash"
   private[graft] val AudioPeaksFixturePath = "/tmp/graft_fixtures/audio_peaks"
+  private[graft] val VideoHashFixturePath = "/tmp/graft_fixtures/video_hashes"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // binary-column metadata over the opaque payload
@@ -250,6 +251,43 @@ object MultimodalQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // video near-dup by shared frame content: per-frame aHash over the
+    // real AVI demux, videos match on >= 2 coinciding DISTINCT frame
+    // hashes — order-insensitive, so the planted probes are REVERSED
+    // re-cuts (a sequence-keyed matcher would miss them). df-capped
+    // hash join, id-only pair aggregate. no_oracle; the twin below
+    // hash-checks the matching layer.
+    "mm_video_neardup" -> ((s, d) => {
+      import s.implicits._
+      val base = Multimodal.documentsAsVideo(s, d)
+      val probes = base.filter(_.doc_id % 10 == 0).map { v =>
+        val (w, h, frames) = Multimodal.decodeAviFrames(v.data).get
+        v.copy(doc_id = v.doc_id + 10000000L,
+          data = Multimodal.encodeAviRawFrames(frames.reverse, w, h))
+      }
+      Multimodal.videoNearDupPairs(base.union(probes), minShared = 2)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // the ORACLE-CHECKED half of video near-dup: the per-frame aHash
+    // table (demux + hash, the non-SQL steps) exports, and BOTH engines
+    // recompute the distinct, the df cap, the hash join, and the
+    // shared-count threshold — 64-bit integer equality end to end.
+    "mm_video_neardup_verified" -> ((s, d) => {
+      import s.implicits._
+      val base = Multimodal.documentsAsVideo(s, d)
+      val probes = base.filter(_.doc_id % 10 == 0).map { v =>
+        val (w, h, frames) = Multimodal.decodeAviFrames(v.data).get
+        v.copy(doc_id = v.doc_id + 10000000L,
+          data = Multimodal.encodeAviRawFrames(frames.reverse, w, h))
+      }
+      Multimodal.videoFrameHashes(base.union(probes))
+        .write.mode("overwrite").parquet(VideoHashFixturePath)
+      Multimodal.videoNearDupFromHashes(
+          s.read.parquet(VideoHashFixturePath), minShared = 2, maxDf = 64)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // Shazam-style spectral matching (Wang, ISMIR 2003): per-frame DFT
     // peak -> (p1, p2, dt) landmark hashes -> aligned-offset voting; a
     // match needs >= 3 landmark hits agreeing on ONE time offset. Probes
@@ -385,6 +423,21 @@ object MultimodalQueries {
 
     "mm_image_neardup_verified" -> hammingOracle(ImageHashFixturePath),
     "mm_audio_neardup_verified" -> hammingOracle(AudioHashFixturePath),
+
+    // recompute distinct + df cap + hash join + shared-count threshold
+    // from the exported per-frame aHash table
+    "mm_video_neardup_verified" ->
+      s"""WITH f AS (
+        |  SELECT DISTINCT doc_id, ahash
+        |  FROM read_parquet('$VideoHashFixturePath/*.parquet')),
+        |rare AS (
+        |  SELECT ahash FROM f GROUP BY ahash
+        |  HAVING COUNT(DISTINCT doc_id) <= 64),
+        |c AS (SELECT f.* FROM f JOIN rare USING (ahash))
+        |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS shared
+        |FROM c x JOIN c y ON x.ahash = y.ahash AND x.doc_id < y.doc_id
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     // recompute landmark hashes, df cap, hash join, and aligned-offset
     // vote from the exported DFT peak table — integer end to end

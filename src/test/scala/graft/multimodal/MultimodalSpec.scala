@@ -433,6 +433,47 @@ class MultimodalSpec extends SparkSuite {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("video near-dup: reversed re-cuts match, disjoint content does not") {
+    import spark.implicits._
+    def vid(id: Long, seed: Int, frames: Int): Multimodal.VideoItem = {
+      val fs = (0 until frames).map(f =>
+        Array.tabulate(64)(i => (seed * 31 + f * 101 + i * 7) % 256))
+      Multimodal.VideoItem(id, "video",
+        encodeAviRawFrames(fs, 8, 8), 8, 8, frames)
+    }
+    val a = vid(1L, 5, 4)
+    val reversed = {
+      val (w, h, fs) = decodeAviFrames(a.data).get
+      a.copy(doc_id = 2L, data = encodeAviRawFrames(fs.reverse, w, h))
+    }
+    val other = vid(3L, 77, 4)
+    val pairs = Multimodal.videoNearDupPairs(
+        spark.createDataset(Seq(a, reversed, other)), minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
+
+  test("video frame df cap drops ubiquitous frames (the all-black-frame guard)") {
+    import spark.implicits._
+    // every video shares one constant frame; content frames are unique
+    val items = (1L to 10L).map { id =>
+      val shared = Array.fill(64)(128)
+      val unique = Array.tabulate(64)(i => ((id * 37 + i * 11) % 256).toInt)
+      Multimodal.VideoItem(id, "video",
+        encodeAviRawFrames(Seq(shared, unique), 8, 8), 8, 8, 2)
+    }
+    val hashes = Multimodal.videoFrameHashes(spark.createDataset(items))
+    // with the cap below 10, the shared frame drops and nothing pairs
+    assert(Multimodal.videoNearDupFromHashes(hashes, 1, maxDf = 4).count() == 0L)
+    // with a generous cap, every pair shares exactly the one frame
+    assert(Multimodal.videoNearDupFromHashes(hashes, 1, maxDf = 64).count() == 45L)
+  }
+
+  test("rasterAHash refactor preserves averageHash values") {
+    val px = Array.tabulate(144)(i => (i * 37) % 256)
+    assert(averageHash(encodeBmp(px, 12, 12)) == rasterAHash(px, 12, 12))
+  }
+
   test("spectral peaks: exact bins for pure tones, amplitude-invariant") {
     val fs = 256
     def tone(bin: Int, amp: Double): Array[Short] =
