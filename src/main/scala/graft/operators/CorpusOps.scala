@@ -972,6 +972,61 @@ object CorpusOps {
    * The result is bit-identical to the full-vocabulary GROUP BY plan at
    * a fraction of its shuffle. Returns (tok, cnt) sorted by cnt desc.
    */
+  /**
+   * Triangle counting over the co-chunk document graph (the cohesion
+   * metric complementing [[docGraphPageRank]]'s centrality): undirected
+   * edges orient low-id → high-id, and triangles close through the
+   * canonical e(a,b) ⋈ e(b,c) ⋈ e(a,c) join with a &lt; b &lt; c, so each
+   * triangle counts exactly once. Returns (doc_id, triangles) for every
+   * doc in at least one triangle.
+   *
+   * Scale shape: the same df-capped co-chunk edge derivation as pagerank
+   * (a chunk shared by more than `maxChunkDocs` docs never becomes
+   * edges), the edge table materializes ONCE and feeds all three join
+   * legs, and every join keys on node ids. The classic degree-ordering
+   * refinement (orient edges from low- to high-degree instead of by id)
+   * drops the worst-case wedge fan-out on power-law graphs; the df cap
+   * already bounds degree here, so id orientation suffices.
+   */
+  def docGraphTriangles(
+      documents: DataFrame, maxChunkDocs: Int = 50): DataFrame = {
+    val chunks = docChunks(documents).distinct()
+    val keep = chunks.groupBy("chunk")
+      .agg(countDistinct("doc_id").as("df"))
+      .filter(col("df").between(2, maxChunkDocs))
+      .select("chunk")
+    val kept = chunks.join(keep, "chunk")
+    val edges = kept.as("a").join(kept.as("b"), "chunk")
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("u"), col("b.doc_id").as("v"))
+      .distinct()
+      .localCheckpoint(true) // feeds three join legs — derive once
+    val tri = edges.as("e1")
+      .join(edges.as("e2"), col("e1.v") === col("e2.u"))
+      .join(edges.as("e3"),
+        col("e1.u") === col("e3.u") && col("e2.v") === col("e3.v"))
+      .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("triangles"))
+  }
+
+  /**
+   * Corpus snapshot diff (the data-versioning primitive): per doc_id,
+   * compare content hashes across two corpus versions and classify as
+   * added / removed / changed / unchanged. ONE full-outer hash join on
+   * doc_id carrying 16-byte digests, never text — the cheapest possible
+   * shape at any scale. Returns (doc_id, status).
+   */
+  def corpusDiff(before: DataFrame, after: DataFrame): DataFrame =
+    before.select(col("doc_id"), md5(col("text")).as("h_before"))
+      .join(after.select(col("doc_id"), md5(col("text")).as("h_after")),
+        Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("h_before").isNull, "added")
+          .when(col("h_after").isNull, "removed")
+          .when(col("h_before") =!= col("h_after"), "changed")
+          .otherwise("unchanged").as("status"))
+
   def heavyHitters(
       documents: DataFrame, k: Int = 1000, denom: Int = 500): DataFrame = {
     require(k + 1 > denom,

@@ -210,6 +210,30 @@ object PipelineQueries {
         .select("user_id", "cnt", "n_keys", "share", "skew")
     }),
 
+    // triangle counting on the co-chunk graph (cohesion next to
+    // pipe_pagerank's centrality): df-capped edges derived once, the
+    // canonical a<b<c three-way join counts each triangle exactly once,
+    // per-doc participation via an id-only explode aggregate.
+    "pipe_triangles" -> ((s, d) =>
+      Ops.docGraphTriangles(docs(s, d)).orderBy("doc_id")),
+
+    // corpus snapshot diff (data versioning): version B derives from the
+    // current corpus deterministically — docs with doc_id % 11 = 0 are
+    // dropped (removed), % 7 = 0 are uppercased (changed), and % 17 = 0
+    // reappear shifted +1000000 (added) — so BOTH engines can construct
+    // the same B and the oracle checks the full-outer hash-diff logic.
+    "pipe_corpus_diff" -> ((s, d) => {
+      val a = docs(s, d)
+      val b = a.filter(col("doc_id") % 11 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0, upper(col("text")))
+            .otherwise(col("text")))
+        .unionByName(a.filter(col("doc_id") % 17 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L),
+          allowMissingColumns = false)
+      Ops.corpusDiff(a, b).orderBy("doc_id")
+    }),
+
     // topic clustering + cluster labeling (corpus exploration): spherical
     // k-means over the unit hashed-TF-IDF vectors (the SemDeDup protocol —
     // the one non-SQL step, the k-means assignment, exports as a fixture),
@@ -553,6 +577,47 @@ object PipelineQueries {
         |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |  md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY i), '')) AS clean_hash
         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "pipe_triangles" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), ' +') AS w FROM documents
+        |), c0 AS (
+        |  SELECT doc_id, array_to_string(w[1+10*u.i : 10+10*u.i], ' ') AS chunk
+        |  FROM t, UNNEST(generate_series(0, CAST(floor((len(w)-1)/10) AS INT))) AS u(i)
+        |), c AS (SELECT DISTINCT doc_id, chunk FROM c0),
+        |keep AS (
+        |  SELECT chunk FROM c GROUP BY chunk
+        |  HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 50),
+        |k AS (SELECT c.* FROM c JOIN keep USING (chunk)),
+        |e AS (
+        |  SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+        |  FROM k a JOIN k b USING (chunk) WHERE a.doc_id < b.doc_id),
+        |tri AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1 JOIN e e2 ON e1.v = e2.u
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |x AS (
+        |  SELECT a AS doc_id FROM tri
+        |  UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri)
+        |SELECT doc_id, COUNT(*) AS triangles FROM x
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "pipe_corpus_diff" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN upper(text) ELSE text END AS text
+        |  FROM documents WHERE doc_id % 11 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text
+        |  FROM documents WHERE doc_id % 17 = 0)
+        |SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+        |  CASE WHEN a.doc_id IS NULL THEN 'added'
+        |       WHEN b.doc_id IS NULL THEN 'removed'
+        |       WHEN md5(a.text) <> md5(b.text) THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM documents a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     // recompute cluster sizes + the top-3 tf-idf label terms from the
     // exported k-means assignment — the tfidf SQL is the proven

@@ -183,6 +183,31 @@ class TfidfLineDedupSpec extends SparkSuite {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("docGraphTriangles: counts a clique triangle once; open wedges count zero") {
+    // chunks are 10-word windows; ten distinct shared words form one chunk
+    def chunk(tag: String) = (0 until 10).map(i => s"$tag$i").mkString(" ")
+    val (p, q, r, y) = (chunk("p"), chunk("q"), chunk("r"), chunk("y"))
+    val docs = Seq(
+      1L -> s"$p $r", // 1-2 via p, 1-3 via r
+      2L -> s"$p $q", // 2-3 via q  => triangle 1-2-3 through THREE chunks
+      3L -> s"$q $r",
+      4L -> s"$y ${chunk("u")}", // 4-5 via y: an edge, no triangle
+      5L -> s"$y ${chunk("w")}")
+      .map { case (i, t) => (i, t) }.toDF("doc_id", "text")
+    val out = CorpusOps.docGraphTriangles(docs)
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("corpusDiff classifies added, removed, changed, unchanged") {
+    val before = Seq((1L, "same"), (2L, "old"), (3L, "gone")).toDF("doc_id", "text")
+    val after = Seq((1L, "same"), (2L, "new"), (4L, "fresh")).toDF("doc_id", "text")
+    val out = CorpusOps.corpusDiff(before, after)
+      .as[(Long, String)].collect().toMap
+    assert(out === Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+  }
+
   test("docClusters: disjoint-vocabulary registers separate into distinct cells") {
     // even ids = science vocab, odd ids = chat vocab — the deterministic
     // lowest-id centroid init then seeds one cell per register
