@@ -3,6 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.expressions.Window
+
 import graft.Tables
 
 /**
@@ -230,6 +232,55 @@ object TextQueries {
     // across the corpus with document frequency — explode is the only
     // fan-out, the count is one shuffle (the classic first step of any
     // tokenizer/vocab pipeline)
+    // per-doc novelty: the share of a doc's DISTINCT word trigrams found
+    // in no other doc — the memorization-risk / contribution metric (a
+    // doc of df-1 grams adds new content; a doc of shared grams is
+    // redundant). One gram shuffle for df, one doc aggregate; ratios
+    // floor-scaled. Trigram construction is the in-row slice+zip of the
+    // LM path (shuffle-free).
+    "text_novelty" -> ((s, d) => {
+      val grams = docs(s, d)
+        .select(col("doc_id"), split(trim(col("text")), " +").as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(w) - 2), " +
+            "i -> concat_ws(' ', w[i-1], w[i], w[i+1]))")).as("gram"))
+        .distinct()
+      val dfTab = grams.groupBy("gram")
+        .agg(countDistinct("doc_id").as("df"))
+      grams.join(dfTab, Seq("gram"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"),
+          (floor(sum(when(col("df") === 1, 1L).otherwise(0L)) * lit(10000)
+            / count(lit(1))) / 10000).as("novelty"))
+        .orderBy("doc_id")
+    }),
+
+    // Zipf audit: top-40 rank/frequency table with the rank*freq product
+    // (Zipf's law predicts it ~constant) and each token's cumulative
+    // corpus share — the head-heaviness diagnostic behind every df-cap /
+    // broadcast-head decision in this library. One vocab-bounded
+    // aggregate; the window runs over 40 rows.
+    "text_zipf" -> ((s, d) => {
+      val counts = docs(s, d)
+        .select(explode(split(lower(col("text")), "[^a-z]+")).as("tok"))
+        .filter(length(col("tok")) >= 2)
+        .groupBy("tok").agg(count(lit(1)).as("freq"))
+      val total = counts.agg(sum("freq").as("total"))
+      val top = counts.orderBy(col("freq").desc, col("tok")).limit(40)
+        .crossJoin(broadcast(total))
+      val w = Window.orderBy(col("freq").desc, col("tok"))
+      top
+        .withColumn("rank", row_number().over(w))
+        .withColumn("rank_x_freq", col("rank") * col("freq"))
+        .withColumn("cum_share",
+          floor(sum("freq").over(w.rowsBetween(Window.unboundedPreceding, 0))
+            * lit(10000) / col("total")) / 10000)
+        .select("rank", "tok", "freq", "rank_x_freq", "cum_share")
+        .orderBy("rank")
+    }),
+
     "text_vocab_topk" -> ((s, d) => {
       val tokens = docs(s, d)
         .select(col("doc_id"),
@@ -680,6 +731,42 @@ object TextQueries {
         |  CAST(SUM(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS BIGINT) AS total_tokens,
         |  FLOOR(CAST(SUM(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS DOUBLE) * 10000 / COUNT(*)) / 10000 AS avg_tokens
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "text_novelty" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), ' +') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id,
+        |    w[u.i] || ' ' || w[u.i+1] || ' ' || w[u.i+2] AS gram
+        |  FROM t, UNNEST(generate_series(1, len(w) - 2)) AS u(i)
+        |  WHERE len(w) >= 3),
+        |d AS (SELECT gram, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY 1)
+        |SELECT doc_id, COUNT(*) AS n_grams,
+        |  CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+        |  FLOOR(CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) * 10000
+        |    / COUNT(*)) / 10000 AS novelty
+        |FROM g JOIN d USING (gram)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_zipf" ->
+      """WITH c AS (
+        |  SELECT tok, COUNT(*) AS freq FROM (
+        |    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS tok
+        |    FROM documents)
+        |  WHERE len(tok) >= 2 GROUP BY tok),
+        |tot AS (SELECT SUM(freq) AS total FROM c),
+        |top AS (SELECT tok, freq FROM c ORDER BY freq DESC, tok LIMIT 40),
+        |r AS (
+        |  SELECT tok, freq,
+        |    ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS rank,
+        |    SUM(freq) OVER (ORDER BY freq DESC, tok
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM top)
+        |SELECT CAST(rank AS INT) AS rank, tok, freq,
+        |  CAST(rank * freq AS BIGINT) AS rank_x_freq,
+        |  FLOOR(CAST(cum AS DOUBLE) * 10000 / total) / 10000 AS cum_share
+        |FROM r, tot ORDER BY rank""".stripMargin,
 
     "text_tfidf_topk" ->
       """WITH w AS (

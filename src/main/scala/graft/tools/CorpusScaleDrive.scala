@@ -105,6 +105,22 @@ object CorpusScaleDrive {
         graft.operators.LangModel.stupidBackoffNll(
           docs, docs.filter(col("doc_id") % 2 === 0)).count()
       }
+      run("line_dedup") {
+        graft.operators.CorpusOps.lineDedup(docs).count()
+      }
+      run("tfidf_vectors") {
+        graft.operators.CorpusOps.hashedTfidf(docs).count()
+      }
+      run("corpus_diff") {
+        graft.operators.CorpusOps.corpusDiff(
+          docs, docs.filter(col("doc_id") % 11 =!= 0)).count()
+      }
+      // co-chunk graph ops (pagerank, triangles) are deliberately absent:
+      // the amplifier's junk-SUFFIX design shares each doc's original text
+      // as a prefix across all k copies, so 10-word chunks align and every
+      // copy family becomes a k-clique — the ANSWER grows as C(k,3), which
+      // would conflate result-size growth with plan scaling. Their
+      // bounded-join shape is pinned by the df-cap specs instead.
     }
     // scaling table: seconds ratio between consecutive factors vs the
     // data ratio — bounded plans should sit at or below the data ratio

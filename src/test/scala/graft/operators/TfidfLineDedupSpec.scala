@@ -183,6 +183,31 @@ class TfidfLineDedupSpec extends SparkSuite {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("novelty query: unique-content doc scores 1.0, verbatim twin scores 0.0") {
+    val dir = tempDir("novelty")
+    Seq(
+      (1L, "one two three four five", "en", "src0", 23L),
+      (2L, "one two three four five", "en", "src0", 23L), // twin: df=2 grams
+      (3L, "alpha beta gamma delta epsilon", "en", "src0", 30L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.TextQueries.queries("text_novelty")(spark, dir)
+      .select("doc_id", "novelty").as[(Long, Double)].collect().toMap
+    assert(out === Map(1L -> 0.0, 2L -> 0.0, 3L -> 1.0))
+  }
+
+  test("zipf query: ranks are dense, cumulative share is monotone and <= 1") {
+    val out = graft.queries.TextQueries
+      .queries("text_zipf")(spark, "/root/testdata/sf0.001")
+      .select("rank", "freq", "cum_share")
+      .as[(Int, Long, Double)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq === (1 to out.length))
+    assert(out.map(_._2).toSeq === out.map(_._2).sortBy(-_).toSeq, "freq not descending")
+    val shares = out.map(_._3)
+    assert(shares.zip(shares.tail).forall { case (a, b) => a <= b })
+    assert(shares.last <= 1.0)
+  }
+
   test("docGraphTriangles: counts a clique triangle once; open wedges count zero") {
     // chunks are 10-word windows; ten distinct shared words form one chunk
     def chunk(tag: String) = (0 until 10).map(i => s"$tag$i").mkString(" ")
