@@ -210,6 +210,42 @@ object PipelineQueries {
         .select("user_id", "cnt", "n_keys", "share", "skew")
     }),
 
+    // one-glance corpus health report (the first query a data engineer
+    // runs on a new 100 TB drop): doc/token/vocab counts, exact-dup
+    // volume, source and token head-shares — every metric an integer
+    // (shares 1e4-floor-scaled) so the report is one (metric, value)
+    // table with a single hash-checkable type. Four independent cheap
+    // aggregates unioned; nothing corpus-quadratic.
+    "pipe_corpus_report" -> ((s, d) => {
+      val dd = docs(s, d)
+      val toks = dd.select(explode(split(lower(trim(col("text"))), " +")).as("tok"))
+      val docStats = dd.agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct("source").as("n_sources"),
+        countDistinct("lang").as("n_langs"))
+      val tokStats = toks.agg(
+        count(lit(1)).as("total_tokens"),
+        countDistinct("tok").as("distinct_tokens"))
+      val dupDocs = dd.groupBy(md5(col("text")).as("h"))
+        .agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") - 1).as("dup_docs"))
+      val topSource = dd.groupBy("source").agg(count(lit(1)).as("c"))
+        .agg(max("c").as("mx"), sum("c").as("tot"))
+        .select(expr("mx * 10000L div tot").as("top_source_share_x10k"))
+      val topToken = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+        .agg(max("c").as("mx"), sum("c").as("tot"))
+        .select(expr("mx * 10000L div tot").as("top_token_share_x10k"))
+      def rows(df: DataFrame): DataFrame = {
+        val cols = df.columns
+        df.select(explode(array(cols.map(c =>
+          struct(lit(c).as("metric"), col(c).cast("long").as("value"))): _*))
+          .as("r")).select("r.metric", "r.value")
+      }
+      rows(docStats).unionByName(rows(tokStats)).unionByName(rows(dupDocs))
+        .unionByName(rows(topSource)).unionByName(rows(topToken))
+        .orderBy("metric")
+    }),
+
     // triangle counting on the co-chunk graph (cohesion next to
     // pipe_pagerank's centrality): df-capped edges derived once, the
     // canonical a<b<c three-way join counts each triangle exactly once,
@@ -577,6 +613,26 @@ object PipelineQueries {
         |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |  md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY i), '')) AS clean_hash
         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "pipe_corpus_report" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), ' +')) AS tok
+        |  FROM documents),
+        |src AS (SELECT source, COUNT(*) AS c FROM documents GROUP BY 1),
+        |tk AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY 1),
+        |h AS (SELECT md5(text) AS h, COUNT(*) AS c FROM documents GROUP BY 1)
+        |SELECT metric, CAST(value AS BIGINT) AS value FROM (
+        |  SELECT 'n_docs' AS metric, COUNT(*) AS value FROM documents
+        |  UNION ALL SELECT 'n_sources', COUNT(DISTINCT source) FROM documents
+        |  UNION ALL SELECT 'n_langs', COUNT(DISTINCT lang) FROM documents
+        |  UNION ALL SELECT 'total_tokens', COUNT(*) FROM toks
+        |  UNION ALL SELECT 'distinct_tokens', COUNT(DISTINCT tok) FROM toks
+        |  UNION ALL SELECT 'dup_docs', CAST(SUM(c - 1) AS BIGINT) FROM h
+        |  UNION ALL SELECT 'top_source_share_x10k',
+        |    CAST(MAX(c) * 10000 // SUM(c) AS BIGINT) FROM src
+        |  UNION ALL SELECT 'top_token_share_x10k',
+        |    CAST(MAX(c) * 10000 // SUM(c) AS BIGINT) FROM tk)
+        |ORDER BY metric""".stripMargin,
 
     "pipe_triangles" ->
       """WITH t AS (
