@@ -212,10 +212,15 @@ object MultimodalQueries {
 
     // the ORACLE-CHECKED half of pHash: the DCT kernel (the non-SQL
     // step) exports its 1e4-fixed-point low-band coefficients, and BOTH
-    // engines recompute the AC median, the 64-char bit pattern, the
-    // 4x16-char band candidate join, and the positional hamming verify —
-    // integer compares end to end, so the hash match proves median
-    // thresholding AND the banded downstream engine-independently.
+    // engines recompute the AC median, pack the EXACT perceptualHash bit
+    // layout into one 64-bit value (bit i set iff c[i] > median, DC bit
+    // clear), and run the production bandedHammingPairs downstream —
+    // integer compares end to end. Packing to a LONG (instead of a
+    // 64-char bit string) matters: a string-positional hamming HOF is
+    // interpreted, and Catalyst pushes the <= 3 filter through the
+    // distinct INTO the join residual, paying the HOF per band-collision
+    // row (profiled 12.8 s at sf0.1); bit_count(xor) is codegen'd and
+    // residual-safe (1.0 s).
     "mm_image_phash_verified" -> ((s, d) => {
       import s.implicits._
       val base = Multimodal.documentsAsPngMedia(s, d)
@@ -229,25 +234,18 @@ object MultimodalQueries {
         .map(m => (m.doc_id, Multimodal.dctLowband(m.data)))
         .toDF("doc_id", "c")
         .write.mode("overwrite").parquet(PhashFixturePath)
-      val bits = s.read.parquet(PhashFixturePath)
+      // localCheckpoint BEFORE the band fan-out: the pack aggregate is an
+      // interpreted HOF, and CollapseProject would otherwise inline it
+      // into the band keys, the join residual, and the distinct — profiled
+      // 20.3 s of re-evaluation at sf0.1 vs 0.3 s materialized
+      val hashes = s.read.parquet(PhashFixturePath)
         .withColumn("m", expr("element_at(array_sort(slice(c, 2, 63)), 32)"))
-        .select(col("doc_id"),
-          concat(lit("0"), concat_ws("",
-            expr("transform(slice(c, 2, 63), x -> IF(x > m, '1', '0'))")))
-            .as("bits"))
-      val bands = bits.select(col("doc_id"), col("bits"),
-          explode(sequence(lit(0), lit(3))).as("band"))
-        .withColumn("bv", expr("substring(bits, 1 + 16 * band, 16)"))
-      bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          col("a.bits").as("ba"), col("b.bits").as("bb"))
-        .distinct()
-        .withColumn("hamming", expr(
-          "size(filter(sequence(1, 64), i -> substring(ba, i, 1) != substring(bb, i, 1)))"))
-        .filter(col("hamming") <= 3)
-        .select("doc_a", "doc_b", "hamming")
+        .select(col("doc_id"), expr(
+          "aggregate(sequence(1, 63), 0L, (acc, i) -> " +
+            "acc + IF(element_at(c, i + 1) > m, shiftleft(1L, i), 0L))")
+          .as("ahash"))
+        .localCheckpoint(true)
+      Multimodal.bandedHammingPairs(hashes, maxHamming = 3)
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -459,31 +457,31 @@ object MultimodalQueries {
         |GROUP BY 1, 2 HAVING MAX(votes) >= 3
         |ORDER BY doc_a, doc_b""".stripMargin,
 
-    // recompute AC median -> bit pattern -> band join -> positional
-    // hamming from the exported DCT coefficients
+    // recompute AC median -> packed 64-bit perceptualHash layout -> the
+    // shared banded bit_count(xor) downstream from the exported DCT
+    // coefficients (list_sum runs in HUGEINT, so the bit-63 negative
+    // term sums exactly; the final value fits BIGINT by construction)
     "mm_image_phash_verified" ->
       s"""WITH f AS (SELECT * FROM read_parquet('$PhashFixturePath/*.parquet')),
-        |bs AS (
+        |h AS (
         |  SELECT doc_id,
-        |    '0' || array_to_string(
-        |      [CASE WHEN x > list_sort(c[2:64])[32] THEN '1' ELSE '0' END
-        |       FOR x IN c[2:64]], '') AS bits
+        |    CAST(list_sum(
+        |      [CASE WHEN c[i + 1] > list_sort(c[2:64])[32]
+        |            THEN CASE WHEN i = 63 THEN (-9223372036854775807::BIGINT - 1)
+        |                 ELSE (1::BIGINT << i) END
+        |            ELSE 0::BIGINT END
+        |       FOR i IN generate_series(1, 63)]) AS BIGINT) AS ahash
         |  FROM f),
-        |bands AS (
-        |  SELECT doc_id, bits, g.band,
-        |         substring(bits, 1 + 16 * g.band, 16) AS bv
-        |  FROM bs, (SELECT unnest(generate_series(0, 3)) AS band) g),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |         a.bits AS ba, b.bits AS bb
-        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
-        |    AND a.doc_id < b.doc_id)
-        |SELECT doc_a, doc_b,
-        |  CAST(len([i FOR i IN generate_series(1, 64)
-        |            IF substring(ba, i, 1) <> substring(bb, i, 1)]) AS INTEGER) AS hamming
-        |FROM cand
-        |WHERE len([i FOR i IN generate_series(1, 64)
-        |           IF substring(ba, i, 1) <> substring(bb, i, 1)]) <= 3
+        |b AS (
+        |  SELECT doc_id, ahash, g.band_idx,
+        |         (ahash >> (16 * g.band_idx)) & 65535 AS band_val
+        |  FROM h, (SELECT unnest(generate_series(0, 3)) AS band_idx) g)
+        |SELECT doc_a, doc_b, hamming FROM (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |    CAST(bit_count(xor(x.ahash, y.ahash)) AS INTEGER) AS hamming
+        |  FROM b x JOIN b y ON x.band_idx = y.band_idx
+        |    AND x.band_val = y.band_val AND x.doc_id < y.doc_id)
+        |WHERE hamming <= 3
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "mm_meta" ->

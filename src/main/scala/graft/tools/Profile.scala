@@ -54,6 +54,35 @@ object Profile {
     time("emb: candidate ids")(candIds.count())
     time("emb: verify")(Ann.cosineVerifyPairs(candIds, u, 0.4).count())
 
+    // --- mm_image_phash_verified stages (12.8 s in the r7s3 bench)
+    import graft.multimodal.Multimodal
+    val base = Multimodal.documentsAsPngMedia(spark, sfDir)
+    time("phash: decode+DCT only")(
+      base.map(m => Multimodal.dctLowband(m.data).length.toLong)
+        .reduce(_ + _))
+    val probes = base.filter(_.doc_id % 10 == 0).map { m =>
+      val (w, h, px) = Multimodal.decodeImageIO(m.data).get
+      m.copy(doc_id = m.doc_id + 10000000L,
+        data = Multimodal.encodePng(px.map(p => math.min(255, p + 20)), w, h))
+    }
+    time("phash: probe encode leg")(probes.count())
+    val fdir = java.nio.file.Files.createTempDirectory("phash-prof").toString
+    time("phash: full fixture write")(
+      { base.union(probes).map(m => (m.doc_id, Multimodal.dctLowband(m.data)))
+          .toDF("doc_id", "c").write.mode("overwrite").parquet(fdir); 0L })
+    val hashesDf = spark.read.parquet(fdir)
+      .withColumn("m", expr("element_at(array_sort(slice(c, 2, 63)), 32)"))
+      .select(col("doc_id"), expr(
+        "aggregate(sequence(1, 63), 0L, (acc, i) -> " +
+          "acc + IF(element_at(c, i + 1) > m, shiftleft(1L, i), 0L))")
+        .as("ahash"))
+    time("phash: packed hashes")(hashesDf.count())
+    time("phash: banded pairs (lazy lineage)")(
+      Multimodal.bandedHammingPairs(hashesDf, maxHamming = 3).count())
+    val pinned = hashesDf.localCheckpoint(true)
+    time("phash: banded pairs (checkpointed)")(
+      Multimodal.bandedHammingPairs(pinned, maxHamming = 3).count())
+
     spark.stop()
   }
 }
