@@ -663,34 +663,103 @@ object Multimodal {
    */
   def spectralPeaks(
       data: Array[Byte], frameSize: Int = 256, hop: Int = 128): Array[(Int, Int)] = {
+    require((frameSize & (frameSize - 1)) == 0 && frameSize > 1,
+      s"frameSize must be a power of two for the FFT, got $frameSize")
     val samples = decodeWavPcm16(data).map(_._2).getOrElse(Array.empty[Short])
     if (samples.length < frameSize) return Array.empty
+    val half = frameSize / 2
+    val nFrames = (samples.length - frameSize) / hop + 1
+    val re = new Array[Double](frameSize)
+    val im = new Array[Double](frameSize)
+    Array.tabulate(nFrames) { t =>
+      val off = t * hop
+      var i = 0
+      while (i < frameSize) { re(i) = samples(off + i); im(i) = 0.0; i += 1 }
+      fftInPlace(re, im)
+      var best = 1
+      var bestMag = -1.0
+      var k = 1
+      while (k < half) {
+        val mag = re(k) * re(k) + im(k) * im(k)
+        if (mag > bestMag) { bestMag = mag; best = k }
+        k += 1
+      }
+      (t, best)
+    }
+  }
+
+  /** Direct O(n²) DFT argmax — the reference implementation
+    * [[spectralPeaks]]'s FFT is spec-checked against (and the fallback a
+    * caller with a non-power-of-two frame would reach for). */
+  private[graft] def directDftPeak(
+      samples: Array[Short], off: Int, frameSize: Int): Int = {
     val half = frameSize / 2
     val cos = Array.tabulate(frameSize)(i =>
       StrictMath.cos(2.0 * StrictMath.PI * i / frameSize))
     val sin = Array.tabulate(frameSize)(i =>
       StrictMath.sin(2.0 * StrictMath.PI * i / frameSize))
-    val nFrames = (samples.length - frameSize) / hop + 1
-    Array.tabulate(nFrames) { t =>
-      val off = t * hop
-      var best = 1
-      var bestMag = -1.0
-      var k = 1
-      while (k < half) {
-        var re = 0.0
-        var im = 0.0
-        var i = 0
-        while (i < frameSize) {
-          val idx = (k * i) % frameSize
-          re += samples(off + i) * cos(idx)
-          im -= samples(off + i) * sin(idx)
-          i += 1
-        }
-        val mag = re * re + im * im
-        if (mag > bestMag) { bestMag = mag; best = k }
-        k += 1
+    var best = 1
+    var bestMag = -1.0
+    var k = 1
+    while (k < half) {
+      var re = 0.0
+      var im = 0.0
+      var i = 0
+      while (i < frameSize) {
+        val idx = (k * i) % frameSize
+        re += samples(off + i) * cos(idx)
+        im -= samples(off + i) * sin(idx)
+        i += 1
       }
-      (t, best)
+      val mag = re * re + im * im
+      if (mag > bestMag) { bestMag = mag; best = k }
+      k += 1
+    }
+    best
+  }
+
+  /** In-place iterative radix-2 Cooley–Tukey FFT (the textbook
+    * bit-reversal formulation); `re.length` must be a power of two.
+    * StrictMath twiddles keep it bit-identical across JVMs. */
+  private[graft] def fftInPlace(re: Array[Double], im: Array[Double]): Unit = {
+    val n = re.length
+    var i = 1
+    var j = 0
+    while (i < n) {
+      var bit = n >> 1
+      while ((j & bit) != 0) { j ^= bit; bit >>= 1 }
+      j |= bit
+      if (i < j) {
+        val tr = re(i); re(i) = re(j); re(j) = tr
+        val ti = im(i); im(i) = im(j); im(j) = ti
+      }
+      i += 1
+    }
+    var len = 2
+    while (len <= n) {
+      val ang = -2.0 * StrictMath.PI / len
+      val wr = StrictMath.cos(ang)
+      val wi = StrictMath.sin(ang)
+      var k = 0
+      while (k < n) {
+        var cwr = 1.0
+        var cwi = 0.0
+        var m = 0
+        val h = len / 2
+        while (m < h) {
+          val ur = re(k + m); val ui = im(k + m)
+          val vr = re(k + m + h) * cwr - im(k + m + h) * cwi
+          val vi = re(k + m + h) * cwi + im(k + m + h) * cwr
+          re(k + m) = ur + vr; im(k + m) = ui + vi
+          re(k + m + h) = ur - vr; im(k + m + h) = ui - vi
+          val nwr = cwr * wr - cwi * wi
+          cwi = cwr * wi + cwi * wr
+          cwr = nwr
+          m += 1
+        }
+        k += len
+      }
+      len <<= 1
     }
   }
 
@@ -723,12 +792,17 @@ object Multimodal {
       peaks: DataFrame, minVotes: Int = 3, maxDf: Int = 64): DataFrame = {
     val p1 = peaks.withColumn("delta",
       explode(sequence(lit(1), lit(3))))
+    // landmark rows feed the df-cap aggregate AND both legs of the
+    // candidate self-join; materialize once or the peak source (a DFT
+    // kernel on the production path) re-runs per leg — the
+    // docGraphPageRank edge-reuse lesson
     val lm = p1.as("a").join(peaks.as("b"),
         col("a.doc_id") === col("b.doc_id") &&
           col("b.t") === col("a.t") + col("a.delta"))
       .select(col("a.doc_id").as("doc_id"),
         ((col("a.p") * 128 + col("b.p")) * 4 + col("a.delta")).as("h"),
         col("a.t").as("t"))
+      .localCheckpoint(true)
     val rare = lm.groupBy("h")
       .agg(countDistinct("doc_id").as("df"))
       .filter(col("df") <= maxDf)
@@ -799,7 +873,10 @@ object Multimodal {
     * (doc_id, frame_idx, ahash) table (the verified twin's fixture). */
   private[graft] def videoNearDupFromHashes(
       frameHashes: DataFrame, minShared: Int, maxDf: Int): DataFrame = {
+    // distinct hashes feed the df cap AND both self-join legs; pin them so
+    // the demux+hash source runs once (audioLandmarkPairs' discipline)
     val fh = frameHashes.select("doc_id", "ahash").distinct()
+      .localCheckpoint(true)
     val rare = fh.groupBy("ahash")
       .agg(countDistinct("doc_id").as("df"))
       .filter(col("df") <= maxDf)
@@ -859,7 +936,16 @@ object Multimodal {
         val samples = new Array[Short](frames * fs)
         var t = 0
         while (t < frames) {
-          val bin = 5 + ((id * (t + 3) + t * 17) % 100).toInt
+          // full avalanche mix (murmur-style finalizer) over (id, t): any
+          // formula AFFINE in t (id*k1 + t*k2) gives every doc the same
+          // melody SLOPE mod 100, so 1/3 of all doc pairs share shifted
+          // landmark runs (measured: 10k spurious vote-aligned pairs at
+          // 550 docs); avalanching makes cross-doc collisions
+          // birthday-rare so matches are the planted probes and nothing
+          // structural
+          var z = id * 6364136223846793005L + (t + 1) * 1442695040888963407L
+          z ^= z >>> 33; z *= 0xff51afd7ed558ccdL; z ^= z >>> 33
+          val bin = 5 + ((z & 0x7fffffffL) % 100).toInt
           var i = 0
           while (i < fs) {
             samples(t * fs + i) =

@@ -1229,8 +1229,12 @@ object CorpusOps {
       documents: DataFrame, cells: Int = 8, lloydIters: Int = 2,
       buckets: Int = 64): DataFrame = {
     graft.expressions.GraftExtensions.register(documents.sparkSession)
+    // the unit vectors feed every Lloyd round's crossJoin plus the final
+    // assignment; pin them or the whole tf/df/densify pipeline re-runs
+    // per round (lloydIters + 1 times)
     val u = denseHashedVectors(documents, buckets)
       .select(col("id"), expr("graft_unit(v)").as("uv"))
+      .localCheckpoint(true)
     val cents = Ann.ivfCentroids(u, cells, lloydIters)
     Ann.ivfAssign(u, cents)
       .select(col("id").as("doc_id"), col("cell"), col("cs"))

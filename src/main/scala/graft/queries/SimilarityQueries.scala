@@ -378,8 +378,11 @@ object SimilarityQueries {
     // Pairs sharing no bucket have dot 0 and drop; identical semantics in
     // the oracle, so the hash match proves vectors AND ranking.
     "sim_text_knn" -> ((s, d) => {
+      // pin the vectors: probes and the corpus side both read them, and
+      // the lazy lineage would re-run the tf/df pipeline per reference
       val vecs = graft.operators.CorpusOps
         .hashedTfidf(Tables.load(s, d, "documents"), buckets = 64)
+        .localCheckpoint(true)
       val probes = vecs.filter(col("doc_id") % 29 === 0)
         .select(col("doc_id").as("query_id"), col("bucket"),
           col("weight").as("wq"))
@@ -404,8 +407,11 @@ object SimilarityQueries {
     // no_oracle (hyperplanes); QueriesSpec holds recall >= 0.8 against
     // the exact cosine brute force over the same vectors at two SFs.
     "sim_text_ann" -> ((s, d) => {
+      // pin the dense vectors: corpus codes, probe codes, and the rerank
+      // reattach all read them (three lazy re-derivations otherwise)
       val vecs = graft.operators.CorpusOps
         .denseHashedVectors(Tables.load(s, d, "documents"), buckets = 64)
+        .localCheckpoint(true)
       val probes = vecs.filter(col("id") % 29 === 0)
       graft.operators.Ann.knnLsh(vecs, probes, k = 5, dim = 64)
         .orderBy("query_id", "rank")

@@ -83,6 +83,14 @@ object Profile {
     time("phash: banded pairs (checkpointed)")(
       Multimodal.bandedHammingPairs(pinned, maxHamming = 3).count())
 
+    // --- mm_audio_spectral stages
+    val abase = Multimodal.documentsAsToneAudio(spark, sfDir)
+    time("spectral: tone synth + WAV")(abase.count())
+    val peaks = Multimodal.audioPeakTable(abase, frameSize = 256, hop = 256)
+    time("spectral: peak table (DFT)")(peaks.count())
+    time("spectral: landmarks + votes")(
+      Multimodal.audioLandmarkPairs(peaks, minVotes = 3, maxDf = 64).count())
+
     spark.stop()
   }
 }

@@ -488,6 +488,17 @@ class MultimodalSpec extends SparkSuite {
       "peak bins must not move under amplitude scaling")
   }
 
+  test("FFT peaks agree with the direct-DFT reference on random PCM") {
+    val rnd = new scala.util.Random(42)
+    val fs = 256
+    val samples = Array.fill(4 * fs)((rnd.nextInt(16000) - 8000).toShort)
+    val wav = encodeWavPcm16(samples, 8000)
+    val viaFft = spectralPeaks(wav, frameSize = fs, hop = fs).toSeq
+    val direct = (0 until 4).map(t => (t, directDftPeak(samples, t * fs, fs)))
+    assert(viaFft == direct,
+      "the radix-2 FFT must select the same argmax bins as the O(n^2) DFT")
+  }
+
   test("landmark matching: aligned copies match, shifted copies still align, unrelated do not") {
     import spark.implicits._
     val fs = 256
