@@ -973,6 +973,28 @@ object CorpusOps {
    * a fraction of its shuffle. Returns (tok, cnt) sorted by cnt desc.
    */
   /**
+   * Overlapping passage windows for retrieval indexing (the RAG prep
+   * step): stride-spaced `window`-word slices per document, trailing
+   * windows clamping at the doc end. Returns (doc_id, pas_idx, text) —
+   * one in-scan explode, no shuffle; the passage table then feeds any
+   * documents-shaped operator ([[bm25]] for passage retrieval,
+   * [[hashedTfidf]] for passage vectors).
+   */
+  def passages(
+      documents: DataFrame, window: Int = 32, stride: Int = 16): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    documents.select(col("doc_id"), split(trim(col("text")), " +").as("w"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0),
+          floor((size(col("w")) - 1) / stride).cast("int"))).as("pas_idx"),
+        col("w"))
+      .select(col("doc_id"), col("pas_idx"),
+        expr(s"array_join(slice(w, 1 + $stride * pas_idx, $window), ' ')")
+          .as("text"))
+  }
+
+  /**
    * Triangle counting over the co-chunk document graph (the cohesion
    * metric complementing [[docGraphPageRank]]'s centrality): undirected
    * edges orient low-id → high-id, and triangles close through the

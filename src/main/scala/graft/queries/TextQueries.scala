@@ -232,6 +232,23 @@ object TextQueries {
     // across the corpus with document frequency — explode is the only
     // fan-out, the count is one shuffle (the classic first step of any
     // tokenizer/vocab pipeline)
+    // passage-level BM25 retrieval (the RAG indexing shape): the corpus
+    // explodes into stride-8 / window-16 word passages IN-SCAN (no
+    // shuffle), each passage becomes a retrieval unit with a composite
+    // id, and the proven BM25 recipe ranks the top-25 passages for the
+    // query — retrieval granularity decouples from document granularity,
+    // which is what makes BM25 usable over book-length docs at 100 TB.
+    "text_passage_bm25" -> ((s, d) => {
+      val pas = graft.operators.CorpusOps
+        .passages(docs(s, d), window = 16, stride = 8)
+        .select((col("doc_id") * 10000 + col("pas_idx")).as("doc_id"),
+          col("text"))
+      graft.operators.CorpusOps.bm25(pas, Seq("spark", "merge"), k = 25)
+        .select(expr("doc_id div 10000").as("doc_id"),
+          pmod(col("doc_id"), lit(10000)).as("pas_idx"),
+          col("tf_spark"), col("tf_merge"), col("dl"), col("score"))
+    }),
+
     // per-doc novelty: the share of a doc's DISTINCT word trigrams found
     // in no other doc — the memorization-risk / contribution metric (a
     // doc of df-1 grams adds new content; a doc of shared grams is
@@ -731,6 +748,39 @@ object TextQueries {
         |  CAST(SUM(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS BIGINT) AS total_tokens,
         |  FLOOR(CAST(SUM(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS DOUBLE) * 10000 / COUNT(*)) / 10000 AS avg_tokens
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "text_passage_bm25" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), ' +') AS w FROM documents
+        |), p AS (
+        |  SELECT doc_id * 10000 + u.i AS doc_id,
+        |    array_to_string(w[1+8*u.i : 8*u.i+16], ' ') AS text
+        |  FROM t, UNNEST(generate_series(0, CAST(floor((len(w)-1)/8) AS INT))) AS u(i)
+        |), scored AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\bspark\b')) AS BIGINT) AS tf_spark,
+        |    CAST(len(regexp_extract_all(text, '\bmerge\b')) AS BIGINT) AS tf_merge,
+        |    CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS dl
+        |  FROM p),
+        |stats AS (
+        |  SELECT COUNT(*) AS n_docs,
+        |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+        |    SUM(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS df_spark,
+        |    SUM(CASE WHEN tf_merge > 0 THEN 1 ELSE 0 END) AS df_merge
+        |  FROM scored),
+        |ranked AS (
+        |  SELECT doc_id, tf_spark, tf_merge, dl,
+        |    (CAST(n_docs AS DOUBLE) - CAST(df_spark AS DOUBLE) + 0.5) / (CAST(df_spark AS DOUBLE) + 0.5)
+        |      * (CAST(tf_spark AS DOUBLE) * 2.2)
+        |      / (CAST(tf_spark AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+        |    + (CAST(n_docs AS DOUBLE) - CAST(df_merge AS DOUBLE) + 0.5) / (CAST(df_merge AS DOUBLE) + 0.5)
+        |      * (CAST(tf_merge AS DOUBLE) * 2.2)
+        |      / (CAST(tf_merge AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)) AS score
+        |  FROM scored, stats)
+        |SELECT doc_id // 10000 AS doc_id, doc_id % 10000 AS pas_idx,
+        |  tf_spark, tf_merge, dl, score
+        |FROM (SELECT * FROM ranked WHERE score > 0
+        |      ORDER BY score DESC, doc_id LIMIT 25)""".stripMargin,
 
     "text_novelty" ->
       """WITH t AS (

@@ -183,6 +183,20 @@ class TfidfLineDedupSpec extends SparkSuite {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("passages: stride windows cover the doc, overlap correctly, clamp at the tail") {
+    val docs = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = CorpusOps.passages(docs, window = 4, stride = 2)
+      .orderBy("pas_idx").select("pas_idx", "text")
+      .as[(Int, String)].collect().toSeq
+    assert(out === Seq(
+      (0, "w1 w2 w3 w4"), (1, "w3 w4 w5 w6"), (2, "w5 w6 w7 w8"),
+      (3, "w7 w8 w9 w10"), (4, "w9 w10")))
+    // every word appears in at least one passage (coverage)
+    val covered = out.flatMap(_._2.split(" ")).toSet
+    assert(covered == (1 to 10).map(i => s"w$i").toSet)
+  }
+
   test("novelty query: unique-content doc scores 1.0, verbatim twin scores 0.0") {
     val dir = tempDir("novelty")
     Seq(
