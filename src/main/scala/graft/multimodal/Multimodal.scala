@@ -790,31 +790,76 @@ object Multimodal {
    */
   def audioLandmarkPairs(
       peaks: DataFrame, minVotes: Int = 3, maxDf: Int = 64): DataFrame = {
+    val lm = audioLandmarks(peaks)
+    val capped = lm.join(rareLandmarks(lm, maxDf), Seq("h"))
+    landmarkVotes(capped, capped, minVotes)
+  }
+
+  /** The landmark table of a peak table: (doc_id, h, t) rows, hash =
+    * (p₁·128 + p₂)·4 + Δ over Δ ∈ 1..3 frame gaps. Persist this as the
+    * accumulated index for [[incrementalAudioMatches]]. The result is
+    * localCheckpointed: it feeds the df-cap aggregate AND both legs of
+    * the candidate join, and the peak source is a DFT kernel on the
+    * production path — the docGraphPageRank edge-reuse lesson. */
+  def audioLandmarks(peaks: DataFrame): DataFrame = {
     val p1 = peaks.withColumn("delta",
       explode(sequence(lit(1), lit(3))))
-    // landmark rows feed the df-cap aggregate AND both legs of the
-    // candidate self-join; materialize once or the peak source (a DFT
-    // kernel on the production path) re-runs per leg — the
-    // docGraphPageRank edge-reuse lesson
-    val lm = p1.as("a").join(peaks.as("b"),
+    p1.as("a").join(peaks.as("b"),
         col("a.doc_id") === col("b.doc_id") &&
           col("b.t") === col("a.t") + col("a.delta"))
       .select(col("a.doc_id").as("doc_id"),
         ((col("a.p") * 128 + col("b.p")) * 4 + col("a.delta")).as("h"),
         col("a.t").as("t"))
       .localCheckpoint(true)
-    val rare = lm.groupBy("h")
+  }
+
+  private def rareLandmarks(lm: DataFrame, maxDf: Int): DataFrame =
+    lm.groupBy("h")
       .agg(countDistinct("doc_id").as("df"))
       .filter(col("df") <= maxDf)
       .select("h")
-    val capped = lm.join(rare, Seq("h"))
-    capped.as("x").join(capped.as("y"),
+
+  private def landmarkVotes(
+      x: DataFrame, y: DataFrame, minVotes: Int): DataFrame =
+    x.as("x").join(y.as("y"),
         col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         (col("x.t") - col("y.t")).as("offset"))
       .agg(count(lit(1)).as("votes"))
       .groupBy("doc_a", "doc_b").agg(max("votes").as("votes"))
       .filter(col("votes") >= minVotes)
+
+  /**
+   * Incremental spectral matching for continuous ingestion — the
+   * streaming twin of [[audioSpectralMatches]], completing the
+   * incremental symmetry with minhash near-dup, CDC, and line dedup:
+   * a new batch runs the DFT ONCE, its landmarks probe the accumulated
+   * index (history audio is never re-analyzed), and only pairs whose
+   * LATER doc is in the batch emit (history-history pairs were emitted
+   * by earlier batches). With id-ordered batches, replay equals the
+   * batch operator on pairs whose later doc was streamed — as long as
+   * no landmark crosses the df cap between batches (the same
+   * accumulate-semantics caveat as the banded near-dup index).
+   */
+  def incrementalAudioMatches(
+      newPeaks: DataFrame, indexLandmarks: DataFrame,
+      minVotes: Int = 3, maxDf: Int = 64): DataFrame = {
+    val batchLm = audioLandmarks(newPeaks)
+    // rebuild the union from its RDD: a self-join over a Union containing
+    // a checkpointed leg trips Catalyst's Union constraint rewrite
+    // (missing-attribute NoSuchElementException), and localCheckpoint
+    // preserves the offending attribute ids — createDataFrame mints fresh
+    // ones AND keeps the combined table single-derivation
+    val unionDf = batchLm.select("doc_id", "h", "t")
+      .unionByName(indexLandmarks.select("doc_id", "h", "t"))
+    val combined = unionDf.sparkSession
+      .createDataFrame(unionDf.rdd, unionDf.schema)
+      .localCheckpoint(true)
+    val capped = combined.join(rareLandmarks(combined, maxDf), Seq("h"))
+    val batchIds = batchLm.select("doc_id").distinct()
+    landmarkVotes(capped, capped, minVotes)
+      .join(batchIds.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
+      .select("doc_a", "doc_b", "votes")
   }
 
   /** End-to-end spectral matcher: peaks → landmarks → aligned votes. */

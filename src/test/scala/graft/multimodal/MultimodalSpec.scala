@@ -524,6 +524,44 @@ class MultimodalSpec extends SparkSuite {
       "unrelated melody must not accumulate aligned votes")
   }
 
+  test("incremental spectral matching replayed in id order equals the batch operator") {
+    import spark.implicits._
+    val fs = 256
+    def melody(bins: Seq[Int]): Array[Byte] =
+      encodeWavPcm16(bins.toArray.flatMap(b => Array.tabulate(fs)(i =>
+        (9000.0 * StrictMath.sin(2.0 * StrictMath.PI * b * i / fs)).toShort)), 8000)
+    def item(id: Long, bins: Seq[Int]) =
+      Multimodal.AudioItem(id, "audio", melody(bins), 8000, bins.size * fs)
+    val m1 = Seq(10, 20, 30, 40, 50, 60)
+    val m2 = Seq(15, 25, 35, 45, 55, 65)
+    // history: docs 1, 2; batch A: 11 (copy of 1), 12; batch B: 21 (copy
+    // of 12 — only found if the index ACCUMULATES), 22
+    val history = Seq(item(1L, m1), item(2L, m2))
+    val batchA = Seq(item(11L, m1), item(12L, Seq(70, 80, 90, 100, 110, 120)))
+    val batchB = Seq(item(21L, Seq(70, 80, 90, 100, 110, 120)), item(22L, Seq(9, 19, 29, 39, 49, 59)))
+    def peaks(items: Seq[Multimodal.AudioItem]) =
+      Multimodal.audioPeakTable(spark.createDataset(items), frameSize = fs, hop = fs)
+
+    val idxDir = tempDir("audio-lm-idx")
+    Multimodal.audioLandmarks(peaks(history))
+      .write.mode("overwrite").parquet(idxDir)
+    val streamed = Seq(batchA, batchB).flatMap { b =>
+      val out = Multimodal.incrementalAudioMatches(
+          peaks(b), spark.read.parquet(idxDir))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      Multimodal.audioLandmarks(peaks(b))
+        .write.mode("append").parquet(idxDir)
+      out
+    }
+    val batchPairs = Multimodal.audioSpectralMatches(
+        spark.createDataset(history ++ batchA ++ batchB))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter(_._2 >= 11L).toSet
+    assert(batchPairs == Set((1L, 11L), (12L, 21L)), s"batch found $batchPairs")
+    assert(streamed.toSet == batchPairs,
+      s"stream flagged ${streamed.toSet}, batch found $batchPairs")
+  }
+
   test("landmark df cap drops ubiquitous landmarks instead of joining them") {
     import spark.implicits._
     // 12 docs all sharing one melody: with maxDf below 12 every landmark
