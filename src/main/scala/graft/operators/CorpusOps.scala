@@ -1261,4 +1261,147 @@ object CorpusOps {
     Ann.ivfAssign(u, cents)
       .select(col("id").as("doc_id"), col("cell"), col("cs"))
   }
+
+  /** Position budget for the winnowing key packing: positions at or above
+    * the cap are dropped (documented truncation — a 2^20-word document is
+    * ~5 MB of text; raise the pack width before hitting it in practice). */
+  private[graft] val WinnowPosCap = 1L << 20
+
+  /**
+   * Winnowing fingerprint selection — Schleimer, Wilkerson & Aiken,
+   * "Winnowing: Local Algorithms for Document Fingerprinting" (SIGMOD
+   * 2003; the MOSS algorithm). Every window of `w` consecutive word
+   * `k`-gram hashes selects its minimum (ties break to the RIGHTMOST
+   * position, the paper's robust-winnowing rule); the distinct selected
+   * (position, hash) pairs are the document's fingerprints. The guarantee:
+   * any shared run of w + k - 1 words between two documents selects at
+   * least one common fingerprint, at an expected density of 2/(w+1) of
+   * the gram stream — a tunable sketch with a DETECTION FLOOR, unlike
+   * MinHash's whole-document resemblance.
+   *
+   * Engine-portable by construction: gram hashes are the md5-prefix
+   * bridge, and the (hash, rightmost-tie) window minimum packs into ONE
+   * integer key — key = h * 2^20 + (2^20 - 1 - pos) — so `min(key)` over
+   * a ROWS frame IS the winnowing rule in any engine with window
+   * functions; no argmin/struct-ordering semantics to align.
+   *
+   * Scale shape: one shuffle on doc_id; the two window functions share
+   * the same partitioning + ordering (one sort); per-doc state is the doc
+   * itself. Returns distinct (doc_id, pos, fp).
+   */
+  def winnowFingerprints(
+      documents: DataFrame, k: Int = 4, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"need k >= 1 and w >= 1, got k=$k w=$w")
+    val keyed = posGrams(documents, k)
+      .filter(col("pos") < WinnowPosCap)
+      .select(col("doc_id"), col("pos"),
+        (conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long")
+          * WinnowPosCap + (lit(WinnowPosCap - 1) - col("pos"))).as("key"))
+    val frame = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, w - 1)
+    val whole = Window.partitionBy("doc_id")
+    keyed
+      .withColumn("wkey", min(col("key")).over(frame))
+      .withColumn("maxpos", max(col("pos")).over(whole))
+      // only FULL windows select (clamped trailing frames would over-
+      // select near the doc end); a doc with fewer than w grams is one
+      // short window — its global minimum still fingerprints it
+      .filter(col("pos") <= greatest(col("maxpos") - (w - 1), lit(0)))
+      .select(col("doc_id"),
+        (lit(WinnowPosCap - 1) - col("wkey") % WinnowPosCap).as("pos"),
+        expr(s"wkey div ${WinnowPosCap}L").as("fp"))
+      .distinct()
+  }
+
+  /**
+   * Fingerprint-overlap near-dup pairs over [[winnowFingerprints]] — the
+   * MOSS report stage: per-fingerprint posting lists (df-capped like
+   * every posting join here) emit id pairs, shared-fingerprint counts
+   * join the per-doc fingerprint totals, and pairs at or above `pct`%
+   * Jaccard on the fingerprint SETS survive. Integer threshold math
+   * (100 * common >= pct * union) and integer-first scoring keep the
+   * DuckDB oracle an exact hash match. Returns (doc_a < doc_b, common,
+   * score) ordered by the caller.
+   */
+  def winnowPairs(
+      documents: DataFrame, k: Int = 4, w: Int = 4,
+      pct: Int = 50, maxDf: Int = 1000): DataFrame = {
+    val s = documents.sparkSession
+    import s.implicits._
+    val fps = winnowFingerprints(documents, k, w)
+      .select(col("doc_id"), col("fp")).distinct()
+    val sizes = fps.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val pairRows = fps
+      .groupBy("fp").agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")).between(2, maxDf))
+      .select(col("ds")).as[Seq[Long]]
+      .mapPartitions(_.flatMap { ds =>
+        for (i <- ds.indices.iterator; j <- (i + 1) until ds.size)
+          yield (ds(i), ds(j))
+      })
+      .toDF("doc_a", "doc_b")
+    pairRows.groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sa"))), "doc_a")
+      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sb"))), "doc_b")
+      .withColumn("union_sz", col("sa") + col("sb") - col("common"))
+      .filter(col("common") * 100 >= col("union_sz") * pct)
+      .select(col("doc_a"), col("doc_b"), col("common"),
+        (floor(col("common") * lit(1000) / col("union_sz")) / 1000).as("score"))
+  }
+
+  /**
+   * Asymmetric containment pairs — the quote/inclusion detector the
+   * symmetric resemblance family (Jaccard, MinHash) is blind to: a short
+   * document quoted verbatim inside a long one has tiny Jaccard but
+   * containment |A ∩ B| / |A| ≈ 1 (Broder 1997's second coefficient).
+   * Word-trigram DISTINCT sets, the same df-capped posting-list pair
+   * emission as [[graft.queries.DedupQueries.ngramJaccardPairs]], then
+   * BOTH directions of the containment test on each candidate pair.
+   *
+   * Returns (inner_id, outer_id, common, containment) where inner's gram
+   * set is >= `pct`% inside outer's and inner has >= `minGrams` distinct
+   * grams (below that, "containment" is noise — a 3-gram doc is inside
+   * everything). Integer threshold + integer-first score, so the oracle
+   * hash-matches. Near-identical docs legitimately emit both directions.
+   *
+   * Scale: candidate volume bounded by the df cap exactly as in the
+   * Jaccard path; the cap's conservative-miss semantics (an over-cap gram
+   * vouches for no pair) are shared with the oracle.
+   */
+  def containmentPairs(
+      documents: DataFrame, pct: Int = 90, minGrams: Int = 5,
+      maxDf: Int = 1000): DataFrame = {
+    val s = documents.sparkSession
+    import s.implicits._
+    val gramRows = documents
+      .select(col("doc_id"), split(trim(col("text")), " +").as("wd"))
+      .filter(size(col("wd")) >= 3)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), size(col("wd")) - 3)).as("i"), col("wd"))
+      .select(col("doc_id"),
+        expr("concat(wd[i], ' ', wd[i+1], ' ', wd[i+2])").as("gram"))
+      .dropDuplicates("doc_id", "gram")
+    val sizes = gramRows.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val pairRows = gramRows
+      .groupBy("gram").agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")).between(2, maxDf))
+      .select(col("ds")).as[Seq[Long]]
+      .mapPartitions(_.flatMap { ds =>
+        for (i <- ds.indices.iterator; j <- (i + 1) until ds.size)
+          yield (ds(i), ds(j))
+      })
+      .toDF("doc_a", "doc_b")
+    val common = pairRows.groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sa"))), "doc_a")
+      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sb"))), "doc_b")
+    val aInB = common
+      .filter(col("sa") >= minGrams && col("common") * 100 >= col("sa") * pct)
+      .select(col("doc_a").as("inner_id"), col("doc_b").as("outer_id"),
+        col("common"), (floor(col("common") * lit(1000) / col("sa")) / 1000).as("containment"))
+    val bInA = common
+      .filter(col("sb") >= minGrams && col("common") * 100 >= col("sb") * pct)
+      .select(col("doc_b").as("inner_id"), col("doc_a").as("outer_id"),
+        col("common"), (floor(col("common") * lit(1000) / col("sb")) / 1000).as("containment"))
+    aInB.unionByName(bInA)
+  }
 }

@@ -403,7 +403,25 @@ object DedupQueries {
     "dedup_fuzzy_edit" -> ((s, d) =>
       graft.operators.EditDistance.fuzzyPrefixPairs(
           docs(s, d), prefixLen = 192, maxDist = 4)
-        .orderBy("doc_id_a", "doc_id_b")))
+        .orderBy("doc_id_a", "doc_id_b")),
+
+    // winnowing (MOSS) fingerprint near-dup: per-window minimum k-gram
+    // hashes give a sketch with a DETECTION FLOOR (any shared run of
+    // w+k-1 words selects a common fingerprint — MinHash offers no such
+    // guarantee), then the standard df-capped posting join + fingerprint-
+    // set Jaccard. The md5-prefix hash and the packed-integer window-min
+    // rule are engine-portable, so DuckDB recomputes the WHOLE pipeline
+    // from raw text — selection included
+    "dedup_winnow" -> ((s, d) =>
+      graft.operators.CorpusOps.winnowPairs(docs(s, d), k = 4, w = 4, pct = 50)
+        .orderBy("doc_a", "doc_b")),
+
+    // asymmetric containment (Broder 1997): |A n B| / |A| >= 90% flags a
+    // short doc quoted inside a long one — invisible to every symmetric
+    // resemblance detector above. Full DuckDB recompute from raw text
+    "dedup_containment" -> ((s, d) =>
+      graft.operators.CorpusOps.containmentPairs(docs(s, d), pct = 90)
+        .orderBy("inner_id", "outer_id")))
 
   val oracles: Map[String, String] = Map(
     // recompute the within-cell verify from the exported assignment: the
@@ -496,6 +514,85 @@ object DedupQueries {
       """SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_hash,
         |       MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // full winnowing recompute: same md5-prefix hash, same packed key
+    // (h * 2^20 + (2^20-1-pos)) whose window MIN is the rightmost-tie
+    // winnowing rule, same full-window filter, same df cap and integer
+    // thresholds — selection, pairing, and scoring all engine-checked
+    "dedup_winnow" ->
+      """WITH wds AS (
+        |  SELECT doc_id, string_split_regex(trim(text), ' +') AS w FROM documents
+        |), keyed AS (
+        |  SELECT doc_id, u.pos AS pos,
+        |    CAST('0x' || substring(md5(u.gram), 1, 8) AS BIGINT) * 1048576
+        |      + (1048575 - u.pos) AS key
+        |  FROM (
+        |    SELECT doc_id,
+        |      unnest([{'pos': i - 1, 'gram': array_to_string(w[i:i+3], ' ')}
+        |              FOR i IN generate_series(1, len(w) - 3)]) AS u
+        |    FROM wds WHERE len(w) >= 4)
+        |  WHERE u.pos < 1048576
+        |), win AS (
+        |  SELECT doc_id, pos,
+        |    MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+        |                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wkey,
+        |    MAX(pos) OVER (PARTITION BY doc_id) AS maxpos
+        |  FROM keyed
+        |), fps AS (
+        |  SELECT DISTINCT doc_id, wkey // 1048576 AS fp
+        |  FROM win WHERE pos <= greatest(maxpos - 3, 0)
+        |), sizes AS (
+        |  SELECT doc_id, COUNT(*) AS sz FROM fps GROUP BY 1
+        |), kept AS (
+        |  SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND 1000
+        |), cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+        |  FROM fps a JOIN kept USING (fp) JOIN fps b USING (fp)
+        |  WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_a, doc_b, common,
+        |  FLOOR(common * 1000 / (sa.sz + sb.sz - common)) / 1000 AS score
+        |FROM cand
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE common * 100 >= (sa.sz + sb.sz - common) * 50
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // full containment recompute: distinct trigram sets, df-capped shared
+    // counts, BOTH directions of the integer containment test
+    "dedup_containment" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), ' +') AS w FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                          FOR i IN generate_series(1, len(w) - 2)])) AS gram
+        |  FROM t WHERE len(w) >= 3
+        |), sizes AS (
+        |  SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY 1
+        |), kept AS (
+        |  SELECT gram FROM g GROUP BY gram HAVING COUNT(*) BETWEEN 2 AND 1000
+        |), cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+        |  FROM g a JOIN kept USING (gram) JOIN g b USING (gram)
+        |  WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), sized AS (
+        |  SELECT doc_a, doc_b, common, sa.sz AS sa, sb.sz AS sb
+        |  FROM cand JOIN sizes sa ON sa.doc_id = doc_a
+        |            JOIN sizes sb ON sb.doc_id = doc_b
+        |)
+        |SELECT inner_id, outer_id, common, containment FROM (
+        |  SELECT doc_a AS inner_id, doc_b AS outer_id, common,
+        |    FLOOR(common * 1000 / sa) / 1000 AS containment
+        |  FROM sized WHERE sa >= 5 AND common * 100 >= sa * 90
+        |  UNION ALL
+        |  SELECT doc_b AS inner_id, doc_a AS outer_id, common,
+        |    FLOOR(common * 1000 / sb) / 1000 AS containment
+        |  FROM sized WHERE sb >= 5 AND common * 100 >= sb * 90
+        |)
+        |ORDER BY inner_id, outer_id""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       """WITH t AS (

@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/**
+ * Winnowing fingerprints ([[CorpusOps.winnowFingerprints]] /
+ * [[CorpusOps.winnowPairs]]) and asymmetric containment
+ * ([[CorpusOps.containmentPairs]]). The cross-engine selection/pairing
+ * arithmetic is hash-checked end to end by the `dedup_winnow` /
+ * `dedup_containment` DuckDB oracles (full recompute from raw text);
+ * this spec pins the ALGORITHMIC guarantees the oracle can't state —
+ * winnowing's density and detection-floor properties (Schleimer et al.,
+ * SIGMOD 2003, §4), containment's asymmetry — plus partition invariance
+ * and the no-cartesian plan shape.
+ */
+class WinnowSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private def mkDocs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  // ------------------------------------------------------- winnowFingerprints
+
+  test("winnow: selected positions are a subset of gram positions with gaps <= w") {
+    val text = (1 to 120).map(i => s"w${i % 37}x$i").mkString(" ")
+    val fps = CorpusOps.winnowFingerprints(mkDocs((1L, text)), k = 4, w = 4)
+      .orderBy("pos").select("pos").as[Long].collect()
+    assert(fps.nonEmpty)
+    // positions are valid gram starts: 0 .. 120-4
+    assert(fps.forall(p => p >= 0 && p <= 116))
+    // the winnowing guarantee: consecutive selected positions are at most
+    // w apart (every window selects something, and a window spans w grams)
+    fps.sliding(2).foreach {
+      case Array(a, b) => assert(b - a <= 4, s"gap $a -> $b exceeds w")
+      case _           =>
+    }
+  }
+
+  test("winnow: expected density ~ 2/(w+1) on random-ish text") {
+    val text = (1 to 2000).map(i => s"t${(i * 2654435761L) % 9973}").mkString(" ")
+    val n = CorpusOps.winnowFingerprints(mkDocs((1L, text)), k = 4, w = 8)
+      .count().toDouble
+    val grams = 2000 - 4 + 1
+    val expected = 2.0 / (8 + 1) * grams
+    // generous band — the theorem is about expectation over random hashes
+    assert(n > expected * 0.6 && n < expected * 1.6,
+      s"density $n vs expected ~$expected")
+  }
+
+  test("winnow: detection floor — a shared run of w+k-1 words yields a common fingerprint") {
+    // two otherwise-disjoint docs sharing exactly w+k-1 = 7 words
+    val shared = "alpha bravo charlie delta echo foxtrot golf"
+    val a = (1 to 40).map(i => s"left$i").mkString(" ") + " " + shared
+    val b = shared + " " + (1 to 40).map(i => s"right$i").mkString(" ")
+    val fps = CorpusOps.winnowFingerprints(mkDocs((1L, a), (2L, b)), k = 4, w = 4)
+    val common = fps.filter(col("doc_id") === 1)
+      .select("fp").intersect(fps.filter(col("doc_id") === 2).select("fp"))
+    assert(common.count() >= 1)
+  }
+
+  test("winnow: identical docs select identical fingerprint sets; repartition invariant") {
+    val text = (1 to 200).map(i => s"u${i % 23}v$i").mkString(" ")
+    val docs = mkDocs((1L, text), (2L, text))
+    val fps = CorpusOps.winnowFingerprints(docs, k = 4, w = 4)
+    val s1 = fps.filter(col("doc_id") === 1).select("pos", "fp")
+    val s2 = fps.filter(col("doc_id") === 2).select("pos", "fp")
+    assert(s1.exceptAll(s2).count() === 0 && s2.exceptAll(s1).count() === 0)
+    val re = CorpusOps.winnowFingerprints(docs.repartition(7), k = 4, w = 4)
+    assert(fps.exceptAll(re).count() === 0 && re.exceptAll(fps).count() === 0)
+  }
+
+  test("winnow: short doc (< w grams) still fingerprints via its global min") {
+    // 5 words -> 2 grams at k=4, fewer than w=4: exactly one selection
+    val fps = CorpusOps.winnowFingerprints(
+      mkDocs((1L, "one two three four five")), k = 4, w = 4)
+    assert(fps.count() === 1)
+  }
+
+  test("winnowPairs: near-dup detected, disjoint docs rejected, plan has no cartesian") {
+    val base = (1 to 100).map(i => s"p${i % 31}q$i").mkString(" ")
+    val edited = base.split(" ").updated(50, "EDITED").mkString(" ")
+    val other = (1 to 100).map(i => s"z${i % 17}y$i").mkString(" ")
+    val docs = mkDocs((1L, base), (2L, edited), (3L, other))
+    val pairs = CorpusOps.winnowPairs(docs, k = 4, w = 4, pct = 50)
+    val got = pairs.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L)))
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("winnowPairs: df cap refuses the quadratic join on a ubiquitous fingerprint") {
+    // 12 IDENTICAL docs: every selected fingerprint is shared by all 12,
+    // so df 12 > maxDf 10 and no pairs emit (conservative-miss semantics)
+    val docs = (1L to 12L).map(i =>
+      (i, "same old phrase repeated here always forever")).toDF("doc_id", "text")
+    val n = CorpusOps.winnowPairs(docs, k = 4, w = 4, pct = 10, maxDf = 10).count()
+    assert(n === 0)
+  }
+
+  // --------------------------------------------------------- containmentPairs
+
+  test("containment: a quoted doc is found inside its container, direction correct") {
+    val quote = (1 to 20).map(i => s"q${i}word").mkString(" ")
+    val container = (1 to 60).map(i => s"c${i}pad").mkString(" ") + " " + quote
+    val docs = mkDocs((10L, quote), (20L, container))
+    val out = CorpusOps.containmentPairs(docs, pct = 90)
+      .select("inner_id", "outer_id").as[(Long, Long)].collect().toSet
+    assert(out === Set((10L, 20L)))
+  }
+
+  test("containment: symmetric jaccard at 0.5 misses the same quote pair") {
+    val quote = (1 to 20).map(i => s"q${i}word").mkString(" ")
+    val container = (1 to 60).map(i => s"c${i}pad").mkString(" ") + " " + quote
+    val docs = mkDocs((10L, quote), (20L, container))
+    // |A| = 18 grams, |B| = 78 -> jaccard = 18/78 < 0.5: the resemblance
+    // detector is blind to exactly what containment flags
+    val jac = graft.queries.DedupQueries.ngramJaccardPairs(docs).count()
+    assert(jac === 0)
+  }
+
+  test("containment: near-identical docs emit BOTH directions; min-grams floor holds") {
+    val text = (1 to 30).map(i => s"m${i}n").mkString(" ")
+    val both = CorpusOps.containmentPairs(mkDocs((1L, text), (2L, text)), pct = 90)
+      .select("inner_id", "outer_id").as[(Long, Long)].collect().toSet
+    assert(both === Set((1L, 2L), (2L, 1L)))
+    // a 4-word doc (2 grams < minGrams 5) never reports as contained
+    val tiny = CorpusOps.containmentPairs(
+      mkDocs((1L, "a b c d"), (2L, "a b c d plus much more text here")),
+      pct = 90, minGrams = 5)
+    assert(tiny.filter(col("inner_id") === 1).count() === 0)
+  }
+
+  test("containment: repartition invariant and no cartesian in the plan") {
+    val quote = (1 to 20).map(i => s"r${i}s").mkString(" ")
+    val container = (1 to 50).map(i => s"t${i}u").mkString(" ") + " " + quote
+    val docs = mkDocs((1L, quote), (2L, container), (3L, "unrelated words entirely here"))
+    val a = CorpusOps.containmentPairs(docs, pct = 90)
+    val b = CorpusOps.containmentPairs(docs.repartition(5), pct = 90)
+    assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
+    val plan = a.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+}
