@@ -1262,6 +1262,57 @@ object CorpusOps {
       .select(col("id").as("doc_id"), col("cell"), col("cs"))
   }
 
+  /**
+   * Synchronous label-propagation communities over the co-chunk document
+   * graph (Raghavan, Albert & Kumara 2007) — the clustering complement to
+   * [[docGraphPageRank]]'s centrality and [[docGraphTriangles]]'s
+   * cohesion. Labels start as doc ids; each round every node adopts the
+   * most frequent label among its NEIGHBORS, ties to the smallest label —
+   * synchronous updates plus the deterministic tie rule make the result a
+   * pure function of the graph (the paper's random tie-break is the one
+   * thing replaced, exactly so the DuckDB oracle can unroll the rounds).
+   * Isolated nodes keep their own id. Unlike [[connectedComponents]]'
+   * min-id closure, LPA respects DENSITY: a narrow bridge between two
+   * dense groups does not merge them.
+   *
+   * Scale shape: the df-capped edge table materializes once and feeds
+   * every round; a round is one hash join on node id, one (node, label)
+   * count aggregate, and one per-node argmax window (state = one node's
+   * neighbor-label histogram, degree-bounded by the df cap). Returns
+   * (doc_id, community) for every document.
+   */
+  def docGraphCommunities(
+      documents: DataFrame, iterations: Int = 3,
+      maxChunkDocs: Int = 50): DataFrame = {
+    val chunks = docChunks(documents).distinct()
+    val keep = chunks.groupBy("chunk")
+      .agg(countDistinct("doc_id").as("df"))
+      .filter(col("df").between(2, maxChunkDocs))
+      .select("chunk")
+    val kept = chunks.join(keep, "chunk")
+    val edges = kept.as("a").join(kept.as("b"), "chunk")
+      .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      // feeds every round — same lineage-truncation reasoning as pagerank
+      .localCheckpoint(true)
+    val nodes = documents.select("doc_id")
+    val byVote = Window.partitionBy("dst").orderBy(desc("cnt"), asc("lbl"))
+    var labels = nodes.withColumn("lbl", col("doc_id"))
+    for (_ <- 1 to iterations) {
+      val votes = edges
+        .join(labels, edges("src") === labels("doc_id"))
+        .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(byVote))
+        .filter(col("rn") === 1)
+        .select(col("dst").as("doc_id"), col("lbl").as("vote"))
+      labels = nodes.join(votes, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("vote"), col("doc_id")).as("lbl"))
+    }
+    labels.select(col("doc_id"), col("lbl").as("community"))
+  }
+
   /** Position budget for the winnowing key packing: positions at or above
     * the cap are dropped (documented truncation — a 2^20-word document is
     * ~5 MB of text; raise the pack width before hitting it in practice). */

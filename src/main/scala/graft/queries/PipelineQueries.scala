@@ -514,6 +514,13 @@ object PipelineQueries {
     "pipe_pagerank" -> ((s, d) =>
       Ops.docGraphPageRank(docs(s, d), iterations = 5, maxChunkDocs = 50)),
 
+    // label-propagation communities on the same co-chunk graph: sync
+    // rounds + smallest-label tie rule = deterministic, so the oracle
+    // unrolls the rounds as CTEs and matches every label
+    "pipe_communities" -> ((s, d) =>
+      Ops.docGraphCommunities(docs(s, d), iterations = 3, maxChunkDocs = 50)
+        .orderBy("doc_id")),
+
     "pipe_zorder" -> ((s, d) => {
       graft.expressions.GraftExtensions.register(s)
       val base = events(s, d).select(
@@ -596,7 +603,44 @@ object PipelineQueries {
        |SELECT doc_id, pr FROM r$iterations ORDER BY doc_id""".stripMargin
   }
 
+  /** Unrolled synchronous LPA rounds — the same co-chunk edge derivation
+    * as [[pagerankSql]], then per-round neighbor-label votes with the
+    * (count DESC, label ASC) argmax as a window rank. */
+  private def communitiesSql(iterations: Int): String = {
+    val iters = (1 to iterations).map { i =>
+      s"""v$i AS (
+         |  SELECT e.dst AS doc_id, l.lbl, COUNT(*) AS cnt
+         |  FROM e JOIN l${i - 1} l ON e.src = l.doc_id GROUP BY 1, 2
+         |), w$i AS (
+         |  SELECT doc_id, lbl,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, lbl ASC) AS rn
+         |  FROM v$i
+         |), l$i AS (
+         |  SELECT n.doc_id, COALESCE(w.lbl, n.doc_id) AS lbl
+         |  FROM n LEFT JOIN (SELECT doc_id, lbl FROM w$i WHERE rn = 1) w USING (doc_id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(trim(text), ' +') AS w FROM documents
+       |), c AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest([array_to_string(w[1+10*i : 10+10*i], ' ')
+       |            FOR i IN generate_series(0, CAST(floor((len(w)-1)/10) AS INT))]) AS chunk
+       |  FROM t
+       |), keep AS (
+       |  SELECT chunk FROM c GROUP BY chunk HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 50
+       |), e AS (
+       |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+       |  FROM c a JOIN c b USING (chunk) JOIN keep USING (chunk)
+       |  WHERE a.doc_id <> b.doc_id
+       |), n AS (SELECT doc_id FROM documents),
+       |l0 AS (SELECT doc_id, doc_id AS lbl FROM n),
+       |$iters
+       |SELECT doc_id, lbl AS community FROM l$iterations ORDER BY doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+
+    "pipe_communities" -> communitiesSql(3),
 
     "pipe_line_dedup" ->
       """WITH t AS (

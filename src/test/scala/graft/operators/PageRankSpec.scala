@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions._
+
 import graft.SparkSuite
 
 /** Fixed-point PageRank against a driver-side reference of the same
@@ -65,6 +67,50 @@ class PageRankSpec extends SparkSuite {
       .collect().toSeq
     val b = CorpusOps.docGraphPageRank(docs.toDF("doc_id", "text").repartition(7))
       .collect().toSeq
+    assert(a == b)
+  }
+
+  // ------------------------------------------------- docGraphCommunities
+
+  test("LPA: a narrow bridge does NOT merge two dense groups (unlike components)") {
+    import spark.implicits._
+    def chunk(tag: String): String = (1 to 10).map(i => s"$tag$i").mkString(" ")
+    // clique A = docs 1-4 (identical chunk X), clique B = docs 11-14
+    // (chunk Y), doc 21 bridges both (text = X ++ Y), doc 99 isolated
+    val docs = (Seq(1L, 2L, 3L, 4L).map(id => (id, chunk("x"))) ++
+      Seq(11L, 12L, 13L, 14L).map(id => (id, chunk("y"))) ++
+      Seq((21L, chunk("x") + " " + chunk("y")), (99L, chunk("z"))))
+      .toDF("doc_id", "text")
+    val com = CorpusOps.docGraphCommunities(docs, iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // each clique coheres internally...
+    assert(Seq(1L, 2L, 3L, 4L).map(com).distinct.size === 1)
+    assert(Seq(11L, 12L, 13L, 14L).map(com).distinct.size === 1)
+    // ...but the bridge does not merge them — DENSITY matters to LPA
+    assert(com(1L) !== com(11L))
+    // the isolated doc keeps its own id
+    assert(com(99L) === 99L)
+    // contrast: min-id closure sees ONE component across the same bridge
+    val c = CorpusOps.docChunks(docs).distinct()
+    val edgePairs = c.as("a").join(c.as("b"), "chunk")
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .filter(col("doc_a") < col("doc_b")).distinct()
+    val labels = CorpusOps.connectedComponents(edgePairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels(1L) === labels(11L), "components DO merge across the bridge")
+  }
+
+  test("LPA: deterministic across partitionings") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val vocab = (1 to 30).map("v" + _)
+    val docs = (1L to 40L).map { id =>
+      (id, Seq.fill(20)(vocab(rnd.nextInt(30))).mkString(" "))
+    }
+    val a = CorpusOps.docGraphCommunities(docs.toDF("doc_id", "text").repartition(1))
+      .collect().sortBy(_.getLong(0)).toSeq
+    val b = CorpusOps.docGraphCommunities(docs.toDF("doc_id", "text").repartition(7))
+      .collect().sortBy(_.getLong(0)).toSeq
     assert(a == b)
   }
 }
