@@ -1,0 +1,210 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Distributed PCA over an embedding column — the standard dimensionality
+ * reduction run before ANN indexing / clustering at corpus scale (cut
+ * 64-dim vectors to the 8 directions that carry the variance, then build
+ * the index on those). Same train/score split as [[QualityModel]]:
+ * sufficient statistics reduce the corpus to a d×d Gram table in ONE
+ * distributed pass, the d×d eigensolve happens on the driver (Jacobi —
+ * d is 64, not a distributed problem), and projection is a stateless
+ * per-row expression.
+ *
+ * Exactness / engine-independence: vectors quantize to fixed-point LONGs
+ * (trunc at 1e6 — the [[graft.expressions.Int8Stats]] bridge discipline:
+ * float widens to double exactly, one IEEE multiply, truncate toward
+ * zero — identical in any engine); the Gram/mean statistics are exact
+ * integer sums; eigenvectors export as 1e9-scaled LONGs, so the
+ * projection is an integer dot product both engines reproduce
+ * bit-for-bit (`sim_pca_project`'s DuckDB oracle recomputes it from the
+ * embeddings table and the exported fixture).
+ *
+ * Scale shape (100 TB): the statistics pass is mapPartitions with
+ * O(d^2) state per task emitting d(d+1)/2 + d + 1 rows per PARTITION
+ * (never per row), merged by a d^2-bounded DECIMAL(38,0) aggregate —
+ * partition-local partials stay in LONG, safe below ~9e6 unit-norm
+ * vectors per partition at the 1e6 scale (9e18 / (1e12 per product);
+ * split partitions before that). Projection is a literal-coefficient
+ * codegen expression: no join, no shuffle, one scan.
+ */
+object Pca {
+
+  /** Fixed-point scale for quantized vector entries. */
+  private[graft] val Q = 1000000L
+
+  /** Eigenvector export scale (1e9). */
+  private[graft] val WScale = 1000000000L
+
+  /** (id, qv) with qv_i = trunc(double(v_i) * 1e6) — the portable
+    * quantization both engines compute identically. */
+  private[graft] def quantized(emb: DataFrame): DataFrame =
+    emb.select(col("id"),
+      expr(s"transform(v, x -> CAST(CAST(x AS DOUBLE) * ${Q}D AS BIGINT))")
+        .as("qv"))
+
+  /**
+   * Exact sufficient statistics of the quantized vectors as rows
+   * (i, j, s): j >= 0 → s = Σ qv_i·qv_j (upper triangle), j = -1 →
+   * s = Σ qv_i (the mean numerators), i = j = -1 → s = n. DECIMAL(38,0)
+   * sums of per-partition LONG partials: order-independent, mergeable.
+   */
+  private[graft] def stats(emb: DataFrame): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val partials = quantized(emb).select(col("qv")).as[Seq[Long]]
+      .mapPartitions { it =>
+        var d = -1
+        var n = 0L
+        var sums: Array[Long] = null
+        var prods: Array[Long] = null
+        it.foreach { v =>
+          if (d < 0) {
+            d = v.length
+            sums = new Array[Long](d)
+            prods = new Array[Long](d * (d + 1) / 2)
+          }
+          require(v.length == d, s"ragged embedding: ${v.length} vs $d")
+          n += 1
+          val a = v.toArray
+          var i = 0
+          var t = 0
+          while (i < d) {
+            sums(i) += a(i)
+            var j = i
+            while (j < d) { prods(t) += a(i) * a(j); t += 1; j += 1 }
+            i += 1
+          }
+        }
+        if (d < 0) Iterator.empty
+        else {
+          val rows = Iterator.single((-1, -1, n)) ++
+            Iterator.tabulate(d)(i => (i, -1, sums(i))) ++ {
+              var t = -1
+              for (i <- Iterator.range(0, d); j <- Iterator.range(i, d))
+                yield { t += 1; (i, j, prods(t)) }
+            }
+          rows
+        }
+      }
+      .toDF("i", "j", "s")
+    partials.groupBy("i", "j")
+      .agg(sum(col("s").cast("decimal(38,0)")).as("s"))
+  }
+
+  /** Cyclic Jacobi eigensolve of a symmetric matrix: returns
+    * (eigenvalues, eigenvectors as COLUMNS), unsorted. Deterministic —
+    * fixed sweep order, fixed convergence rule. */
+  private[graft] def jacobiEigen(
+      a0: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    def off2: Double = {
+      var s = 0.0
+      for (p <- 0 until d; q <- p + 1 until d) s += 2 * a(p)(q) * a(p)(q)
+      s
+    }
+    val norm2 = {
+      var s = off2
+      for (p <- 0 until d) s += a(p)(p) * a(p)(p)
+      math.max(s, java.lang.Double.MIN_NORMAL)
+    }
+    var sweep = 0
+    while (sweep < 64 && off2 > 1e-24 * norm2) {
+      for (p <- 0 until d - 1; q <- p + 1 until d) {
+        val apq = a(p)(q)
+        if (math.abs(apq) > 0) {
+          val phi = 0.5 * math.atan2(2 * apq, a(q)(q) - a(p)(p))
+          val c = math.cos(phi)
+          val sn = math.sin(phi)
+          val (app, aqq) = (a(p)(p), a(q)(q))
+          a(p)(p) = c * c * app - 2 * sn * c * apq + sn * sn * aqq
+          a(q)(q) = sn * sn * app + 2 * sn * c * apq + c * c * aqq
+          a(p)(q) = 0.0
+          a(q)(p) = 0.0
+          for (k <- 0 until d if k != p && k != q) {
+            val (akp, akq) = (a(k)(p), a(k)(q))
+            a(k)(p) = c * akp - sn * akq
+            a(p)(k) = a(k)(p)
+            a(k)(q) = sn * akp + c * akq
+            a(q)(k) = a(k)(q)
+          }
+          for (k <- 0 until d) {
+            val (vkp, vkq) = (v(k)(p), v(k)(q))
+            v(k)(p) = c * vkp - sn * vkq
+            v(k)(q) = sn * vkp + c * vkq
+          }
+        }
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
+  /** Fitted model: 1e9-scaled eigenvector rows (component-major) and the
+    * per-component variance share in ppm (descending). */
+  final case class Model(wFp: Array[Array[Long]], varSharePpm: Array[Long])
+
+  /**
+   * Fit the top-`r` principal components of the MEAN-CENTERED quantized
+   * vectors. Covariance (up to the positive scalar 1/n^2, which moves no
+   * eigenvector) is n·P − S·Sᵀ computed exactly in BigDecimal from the
+   * statistics rows. Sign rule: each eigenvector's largest-|entry|
+   * coordinate (first index on ties) is made positive — a deterministic
+   * orientation, since eigenvectors are only defined up to sign.
+   */
+  def fit(emb: DataFrame, r: Int = 8): Model = {
+    val rows = stats(emb).collect()
+    val byKey = rows.map(row =>
+      (row.getInt(0), row.getInt(1)) -> row.getDecimal(2)).toMap
+    val n = byKey((-1, -1)).longValueExact()
+    require(n >= 2, s"need >= 2 vectors to fit, got $n")
+    val d = rows.iterator.map(_.getInt(0)).max + 1
+    require(r >= 1 && r <= d, s"need 1 <= r <= $d, got $r")
+    val sVec = Array.tabulate(d)(i => BigDecimal(byKey((i, -1))))
+    val nBd = BigDecimal(n)
+    val cov = Array.tabulate(d, d) { (i, j) =>
+      val p = BigDecimal(byKey(if (i <= j) (i, j) else (j, i)))
+      // scale down for conditioning only — eigenvectors are invariant
+      ((nBd * p - sVec(i) * sVec(j)) / (nBd * nBd * Q * Q)).toDouble
+    }
+    val (vals, vecs) = jacobiEigen(cov)
+    val order = (0 until d).sortBy(i => (-vals(i), i)).take(r)
+    val wFp = order.map { c =>
+      val col0 = Array.tabulate(d)(k => vecs(k)(c))
+      val pivot = (0 until d).maxBy(k => (math.abs(col0(k)), -k))
+      val sgn = if (col0(pivot) < 0) -1.0 else 1.0
+      col0.map(x => math.round(x * sgn * WScale))
+    }.toArray
+    val tot = vals.map(x => math.max(x, 0.0)).sum
+    val share = order.map(c =>
+      if (tot <= 0) 0L else math.round(math.max(vals(c), 0.0) / tot * 1e6))
+    Model(wFp, share.toArray)
+  }
+
+  /** The fixture shape: one row per (comp, i) eigenvector entry. */
+  def modelTable(emb: DataFrame, model: Model): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    model.wFp.zipWithIndex.flatMap { case (row, c) =>
+      row.zipWithIndex.map { case (w, i) => (c, i, w) }
+    }.toSeq.toDF("comp", "i", "w")
+  }
+
+  /**
+   * Project onto the fitted components: (vec_id, p0..p{r-1}) where
+   * p_c = Σ_i qv_i · wFp_c_i — exact LONG (|p| <= d·1e6·1e9 ≈ 6e16).
+   * The coefficients are LITERALS in the expression: one codegen'd scan,
+   * no join, no shuffle — the plan a 100 TB projection pass wants.
+   */
+  def project(emb: DataFrame, wFp: Array[Array[Long]]): DataFrame = {
+    val cols: Seq[Column] = wFp.zipWithIndex.map { case (row, c) =>
+      row.zipWithIndex.map { case (w, i) => col("qv")(i) * lit(w) }
+        .reduce(_ + _).as(s"p$c")
+    }.toSeq
+    quantized(emb).select(col("id").as("vec_id") +: cols: _*)
+  }
+}

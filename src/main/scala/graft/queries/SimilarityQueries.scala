@@ -56,6 +56,7 @@ object SimilarityQueries {
   private[graft] val KnnIvfFixturePath = "/tmp/graft_fixtures/knn_ivf_cand"
   private[graft] val KnnIvfPqFixturePath = "/tmp/graft_fixtures/knn_ivfpq_cand"
   private[graft] val HardNegFixturePath = "/tmp/graft_fixtures/hard_neg_cand"
+  private[graft] val PcaFixturePath = "/tmp/graft_fixtures/pca_model"
 
   private[graft] val PqSubs = 8
   private[graft] val PqCodes = 16
@@ -424,9 +425,47 @@ object SimilarityQueries {
         .agg(expr("floor(sqrt(sum((sx / n) * (sx / n))) * 1000) / 1000").as("centroid_norm"),
           max("n").as("n_vectors"))
         .orderBy("label")
+    }),
+
+    // PCA projection, oracle-verified: the d×d eigensolve is driver-side
+    // (not SQL-expressible) so the 1e9-scaled eigenvectors export as a
+    // fixture — then BOTH engines recompute the fixed-point quantization
+    // and the integer projection dot products exactly. The Spark plan
+    // inlines the coefficients as literals: one codegen'd scan, no join,
+    // no shuffle (the 100 TB projection-pass shape); the oracle does the
+    // equivalent fixture-join group-by.
+    "sim_pca_project" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id").as("id"), col("v"))
+      val model = graft.operators.Pca.fit(e, r = 8)
+      graft.operators.Pca.modelTable(e, model)
+        .coalesce(1).write.mode("overwrite").parquet(PcaFixturePath)
+      graft.operators.Pca.project(e, model.wFp).orderBy("vec_id")
     }))
 
   val oracles: Map[String, String] = Map(
+    // recompute quantization + the 8 integer projection dot products from
+    // the embeddings table and the exported eigenvector fixture
+    "sim_pca_project" ->
+      s"""WITH w AS (SELECT * FROM read_parquet('$PcaFixturePath/*.parquet')),
+        |q AS (
+        |  SELECT vec_id,
+        |    [CAST(trunc(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+        |     FOR x IN embedding] AS qv
+        |  FROM embeddings
+        |)
+        |SELECT vec_id,
+        |  CAST(SUM(CASE WHEN comp = 0 THEN qv[i + 1] * w.w ELSE 0 END) AS BIGINT) AS p0,
+        |  CAST(SUM(CASE WHEN comp = 1 THEN qv[i + 1] * w.w ELSE 0 END) AS BIGINT) AS p1,
+        |  CAST(SUM(CASE WHEN comp = 2 THEN qv[i + 1] * w.w ELSE 0 END) AS BIGINT) AS p2,
+        |  CAST(SUM(CASE WHEN comp = 3 THEN qv[i + 1] * w.w ELSE 0 END) AS BIGINT) AS p3,
+        |  CAST(SUM(CASE WHEN comp = 4 THEN qv[i + 1] * w.w ELSE 0 END) AS BIGINT) AS p4,
+        |  CAST(SUM(CASE WHEN comp = 5 THEN qv[i + 1] * w.w ELSE 0 END) AS BIGINT) AS p5,
+        |  CAST(SUM(CASE WHEN comp = 6 THEN qv[i + 1] * w.w ELSE 0 END) AS BIGINT) AS p6,
+        |  CAST(SUM(CASE WHEN comp = 7 THEN qv[i + 1] * w.w ELSE 0 END) AS BIGINT) AS p7
+        |FROM q, w
+        |GROUP BY vec_id
+        |ORDER BY vec_id""".stripMargin,
+
     "sim_text_knn" ->
       """WITH w AS (
         |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), ' +')) AS term

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/**
+ * PCA ([[Pca]]): the integer projection arithmetic is hash-checked
+ * cross-engine by the `sim_pca_project` DuckDB oracle; this spec pins
+ * the LINEAR-ALGEBRA semantics — the Jacobi solver against a
+ * hand-diagonalizable matrix, orthonormality, recovery of a planted
+ * dominant direction, variance-share ordering — plus the statistics
+ * pass's partition invariance and run-to-run determinism.
+ */
+class PcaSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private def embDf(vs: Seq[Array[Double]]) =
+    vs.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+      .toDF("id", "v")
+
+  test("jacobiEigen: diagonalizes a hand-checkable symmetric matrix") {
+    // [[2, 1], [1, 2]] has eigenpairs (3, [1,1]/√2) and (1, [1,-1]/√2)
+    val (vals, vecs) = Pca.jacobiEigen(
+      Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    val order = (0 until 2).sortBy(i => -vals(i))
+    assert(math.abs(vals(order(0)) - 3.0) < 1e-12)
+    assert(math.abs(vals(order(1)) - 1.0) < 1e-12)
+    val v0 = Array(vecs(0)(order(0)), vecs(1)(order(0)))
+    assert(math.abs(math.abs(v0(0)) - 1 / math.sqrt(2)) < 1e-12)
+    assert(math.abs(v0(0) - v0(1)) < 1e-12) // same sign, equal magnitude
+  }
+
+  test("fit: planted dominant direction is recovered by the first component") {
+    // vectors = t * u + small noise on v ⊥ u, d = 6
+    val u = Array(1.0, 2.0, -1.0, 0.5, 0.0, 1.5)
+    val un = math.sqrt(u.map(x => x * x).sum)
+    val w = Array(2.0, -1.0, 0.0, 0.0, 1.0, 0.0) // ⊥ u
+    val rnd = new scala.util.Random(7)
+    val vs = (1 to 300).map { _ =>
+      val t = rnd.nextGaussian() * 2
+      val e = rnd.nextGaussian() * 0.05
+      u.indices.map(i => t * u(i) / un + e * w(i)).toArray
+    }
+    val m = Pca.fit(embDf(vs), r = 3)
+    val pc0 = m.wFp(0).map(_.toDouble / Pca.WScale)
+    val cosine = math.abs(pc0.zip(u).map { case (a, b) => a * b }.sum) /
+      (math.sqrt(pc0.map(x => x * x).sum) * un)
+    assert(cosine > 0.999, s"first PC misses the planted direction: $cosine")
+    // variance shares are descending and the first dominates
+    assert(m.varSharePpm.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+    assert(m.varSharePpm(0) > 900000L, m.varSharePpm.mkString(","))
+  }
+
+  test("fit: eigenvector rows are orthonormal at the export scale") {
+    val rnd = new scala.util.Random(11)
+    val vs = (1 to 200).map(_ => Array.fill(8)(rnd.nextGaussian()))
+    val m = Pca.fit(embDf(vs), r = 4)
+    val w = m.wFp.map(_.map(_.toDouble / Pca.WScale))
+    for (a <- w.indices; b <- a until w.length) {
+      val dot = w(a).zip(w(b)).map { case (x, y) => x * y }.sum
+      val want = if (a == b) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-6, s"w$a . w$b = $dot")
+    }
+  }
+
+  test("stats: partition-invariant and mergeable (exact integer sums)") {
+    val rnd = new scala.util.Random(23)
+    val vs = (1 to 100).map(_ => Array.fill(5)(rnd.nextGaussian()))
+    val a = Pca.stats(embDf(vs)).orderBy("i", "j").collect().toSeq
+    val b = Pca.stats(embDf(vs).repartition(7)).orderBy("i", "j").collect().toSeq
+    assert(a == b)
+  }
+
+  test("fit + project: deterministic across runs; projection matches a driver recompute") {
+    val rnd = new scala.util.Random(31)
+    val vs = (1 to 150).map(_ => Array.fill(6)(rnd.nextGaussian()))
+    val df = embDf(vs)
+    val m1 = Pca.fit(df, r = 2)
+    val m2 = Pca.fit(df.repartition(5), r = 2)
+    assert(m1.wFp.map(_.toSeq).toSeq == m2.wFp.map(_.toSeq).toSeq)
+    val proj = Pca.project(df, m1.wFp).orderBy("vec_id")
+      .as[(Long, Long, Long)].collect()
+    // driver-side recompute of the same integer arithmetic
+    vs.zipWithIndex.foreach { case (v, i) =>
+      val qv = v.map(x => (x * 1e6).toLong)
+      val want0 = qv.zip(m1.wFp(0)).map { case (q, w) => q * w }.sum
+      val want1 = qv.zip(m1.wFp(1)).map { case (q, w) => q * w }.sum
+      assert(proj(i) === ((i.toLong, want0, want1)))
+    }
+  }
+
+  test("project: plan is one scan — no join, no exchange") {
+    val rnd = new scala.util.Random(43)
+    val vs = (1 to 50).map(_ => Array.fill(4)(rnd.nextGaussian()))
+    val plan = Pca.project(embDf(vs), Pca.fit(embDf(vs), r = 2).wFp)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Exchange"), plan)
+  }
+}
