@@ -207,4 +207,41 @@ object Pca {
     }.toSeq
     quantized(emb).select(col("id").as("vec_id") +: cols: _*)
   }
+
+  /** Offset/scale for projected-space L2: shift projections nonnegative
+    * (|p| <= 6.4e16 < the 7e16 offset), then drop 9 low digits so an
+    * 8-dim squared distance stays inside LONG. Floor division on
+    * NONNEGATIVE values is plain truncation — the offset exists exactly
+    * because floor (DuckDB `//`) and truncate-toward-zero (JVM `div`)
+    * disagree on negatives. A common offset shifts every coordinate
+    * equally, so distances are unchanged. */
+  private[graft] val L2Off = 70000000000000000L
+  private[graft] val L2Scl = 1000000000L
+
+  /**
+   * Exact top-k nearest neighbors in the PROJECTED space by integer
+   * squared L2 — the "reduce with PCA, then search the 8-dim space"
+   * composition, with ties broken by neighbor id. Inputs are
+   * [[project]]-shaped (vec_id, p0..); returns (query_id, neighbor_id,
+   * dist2, rank). All-integer scoring + the bounded-heap rerank (at most
+   * k rows per query per partition cross the shuffle), so the DuckDB
+   * oracle recomputes the whole ranking exactly.
+   */
+  def knnProjected(
+      proj: DataFrame, probes: DataFrame, k: Int, dims: Int = 8): DataFrame = {
+    def scaled(df: DataFrame, prefix: String, idName: String) =
+      df.select(col("vec_id").as(idName) +: (0 until dims).map(i =>
+        expr(s"(p$i + ${L2Off}L) div ${L2Scl}L").as(s"$prefix$i")): _*)
+    val dist2 = (0 until dims).map(i =>
+      (col(s"q$i") - col(s"n$i")) * (col(s"q$i") - col(s"n$i")))
+      .reduce(_ + _)
+    val scored = scaled(probes, "q", "query_id")
+      .join(scaled(proj, "n", "neighbor_id"),
+        col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), dist2.as("dist2"))
+    TopK.topKPerKey(scored, Seq("query_id"),
+        struct(-col("dist2"), -col("neighbor_id")), Seq("neighbor_id", "dist2"), k)
+      .select(col("query_id"), col("neighbor_id"), col("dist2"),
+        col("rn").as("rank"))
+  }
 }

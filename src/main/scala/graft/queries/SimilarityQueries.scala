@@ -440,6 +440,23 @@ object SimilarityQueries {
       graft.operators.Pca.modelTable(e, model)
         .coalesce(1).write.mode("overwrite").parquet(PcaFixturePath)
       graft.operators.Pca.project(e, model.wFp).orderBy("vec_id")
+    }),
+
+    // kNN in the PCA-reduced space — the "cut 64 dims to 8, then search"
+    // composition. Integer squared-L2 ranking with id tie-break, so the
+    // oracle recomputes projection, offset-scaling, and the full top-5
+    // from the same fixture (written here too: fit is deterministic, so
+    // either writer produces identical bits). QueriesSpec measures recall
+    // vs the full-space exact ranking.
+    "sim_knn_pca" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id").as("id"), col("v"))
+      val model = graft.operators.Pca.fit(e, r = 8)
+      graft.operators.Pca.modelTable(e, model)
+        .coalesce(1).write.mode("overwrite").parquet(PcaFixturePath)
+      val proj = graft.operators.Pca.project(e, model.wFp)
+      graft.operators.Pca.knnProjected(
+          proj, proj.filter(col("vec_id") < 10), k = 5)
+        .orderBy("query_id", "rank")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -465,6 +482,37 @@ object SimilarityQueries {
         |FROM q, w
         |GROUP BY vec_id
         |ORDER BY vec_id""".stripMargin,
+
+    // recompute projection -> offset-scale -> exact integer L2 top-5 with
+    // the (dist2, id) tie order from the embeddings table + fixture
+    "sim_knn_pca" ->
+      s"""WITH w AS (SELECT * FROM read_parquet('$PcaFixturePath/*.parquet')),
+        |q AS (
+        |  SELECT vec_id,
+        |    [CAST(trunc(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+        |     FOR x IN embedding] AS qv
+        |  FROM embeddings
+        |), proj AS (
+        |  SELECT vec_id, comp,
+        |    (CAST(SUM(qv[i + 1] * w.w) AS BIGINT) + 70000000000000000)
+        |      // 1000000000 AS ps
+        |  FROM q, w GROUP BY vec_id, comp
+        |), pairs AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    CAST(SUM((a.ps - b.ps) * (a.ps - b.ps)) AS BIGINT) AS dist2
+        |  FROM proj a JOIN proj b
+        |    ON a.comp = b.comp AND a.vec_id <> b.vec_id
+        |  WHERE a.vec_id < 10
+        |  GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id, dist2,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY dist2 ASC, neighbor_id ASC) AS INT) AS rank
+        |  FROM pairs
+        |)
+        |SELECT query_id, neighbor_id, dist2, rank FROM ranked
+        |WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
 
     "sim_text_knn" ->
       """WITH w AS (

@@ -91,6 +91,38 @@ class PcaSpec extends SparkSuite {
     }
   }
 
+  test("knnProjected: high recall vs full-space L2 when the data IS low-rank") {
+    // 64-dim vectors from an 8-dim latent (fixed mixing) + small noise:
+    // the regime PCA reduction is FOR. Recall of reduced-space top-5
+    // against full-space top-5 must be high here; on isotropic data it
+    // legitimately would not be.
+    val rnd = new scala.util.Random(101)
+    val mix = Array.fill(64, 8)(rnd.nextGaussian())
+    val vs = (1 to 200).map { _ =>
+      val z = Array.fill(8)(rnd.nextGaussian())
+      Array.tabulate(64) { i =>
+        mix(i).zip(z).map { case (a, b) => a * b }.sum + rnd.nextGaussian() * 0.01
+      }
+    }
+    val df = embDf(vs)
+    val m = Pca.fit(df, r = 8)
+    val proj = Pca.project(df, m.wFp)
+    val got = Pca.knnProjected(proj, proj.filter(col("vec_id") < 10), k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // full-space exact top-5 by L2, computed on the driver
+    val want = (0 until 10).map { qi =>
+      val q = vs(qi)
+      val top = vs.indices.filter(_ != qi).sortBy { ni =>
+        (vs(ni).zip(q).map { case (a, b) => (a - b) * (a - b) }.sum, ni)
+      }.take(5).map(_.toLong).toSet
+      qi.toLong -> top
+    }.toMap
+    val recall = want.keys.toSeq.map(q =>
+      (got(q) intersect want(q)).size.toDouble / 5).sum / want.size
+    assert(recall >= 0.9, s"reduced-space recall $recall")
+  }
+
   test("project: plan is one scan — no join, no exchange") {
     val rnd = new scala.util.Random(43)
     val vs = (1 to 50).map(_ => Array.fill(4)(rnd.nextGaussian()))
