@@ -51,6 +51,10 @@ import graft.model.VersionVector
  * sbt "runMain graft.tools.Cli <root> doc-clusters <docsParquet> [cells] [outParquet]"
  * sbt "runMain graft.tools.Cli <root> phash-dedup <mediaParquet> [maxHamming] [outParquet]"
  * sbt "runMain graft.tools.Cli <root> audio-match <audioParquet> [minVotes] [outParquet]"
+ * sbt "runMain graft.tools.Cli <root> winnow-dedup <docsParquet> [pct] [outParquet]"
+ * sbt "runMain graft.tools.Cli <root> containment <docsParquet> [pct]"
+ * sbt "runMain graft.tools.Cli <root> communities <docsParquet> [iterations]"
+ * sbt "runMain graft.tools.Cli <root> pca-project <embParquet> <outParquet> [r]"
  * }}}
  *
  * The corpus verbs (`dedup`, `bm25`) run the public
@@ -514,11 +518,67 @@ object Cli {
           println(s"${r.getAs[Long]("doc_a")}\t${r.getAs[Long]("doc_b")}\t" +
             s"${r.getAs[Long]("votes")}")
         }
+      case "winnow-dedup" =>
+        // winnowing (MOSS) fingerprint near-dup over a documents parquet
+        import org.apache.spark.sql.functions.col
+        val pct = if (args.length > 3) args(3).toInt else 50
+        val pairs = graft.operators.CorpusOps
+          .winnowPairs(docsTable(spark, args(2)), pct = pct)
+          .orderBy("doc_a", "doc_b")
+        if (args.length > 4) {
+          pairs.write.mode("overwrite").parquet(args(4))
+          println(s"wrote ${spark.read.parquet(args(4)).count()} pairs to ${args(4)}")
+        } else pairs.toLocalIterator().forEachRemaining { r =>
+          println(s"${r.getAs[Long]("doc_a")}\t${r.getAs[Long]("doc_b")}\t" +
+            s"${r.getAs[java.math.BigDecimal]("score")}")
+        }
+      case "containment" =>
+        // asymmetric quote/inclusion detection: inner >= pct% inside outer
+        val pct = if (args.length > 3) args(3).toInt else 90
+        val pairs = graft.operators.CorpusOps
+          .containmentPairs(docsTable(spark, args(2)), pct = pct)
+          .orderBy("inner_id", "outer_id")
+        pairs.toLocalIterator().forEachRemaining { r =>
+          println(s"${r.getAs[Long]("inner_id")}\t${r.getAs[Long]("outer_id")}\t" +
+            s"${r.getAs[java.math.BigDecimal]("containment")}")
+        }
+      case "communities" =>
+        // label-propagation communities over the co-chunk graph; prints
+        // the non-singleton communities with their members
+        import org.apache.spark.sql.functions._
+        val iters = if (args.length > 3) args(3).toInt else 3
+        graft.operators.CorpusOps
+          .docGraphCommunities(docsTable(spark, args(2)), iterations = iters)
+          .groupBy("community").agg(
+            count(lit(1)).as("sz"),
+            sort_array(collect_list(col("doc_id"))).as("members"))
+          .filter(col("sz") > 1)
+          .orderBy(desc("sz"), asc("community"))
+          .toLocalIterator().forEachRemaining { r =>
+            println(s"${r.getAs[Long]("community")}\t${r.getAs[Long]("sz")}\t" +
+              r.getAs[Seq[Long]]("members").mkString(","))
+          }
+      case "pca-project" =>
+        // fit top-r components on an embeddings parquet, project, write
+        val r = if (args.length > 4) args(4).toInt else 8
+        val e = embTable(spark, args(2))
+        val model = graft.operators.Pca.fit(e, r)
+        val proj = graft.operators.Pca.project(e, model.wFp)
+        proj.write.mode("overwrite").parquet(args(3))
+        println(s"wrote ${spark.read.parquet(args(3)).count()} rows to ${args(3)}; " +
+          s"variance shares (ppm): ${model.varSharePpm.mkString(",")}")
       case other =>
         System.err.println(s"unknown verb: $other")
         sys.exit(2)
     }
     spark.stop()
+  }
+
+  /** Documents-shaped read for corpus verbs: (doc_id: long, text). */
+  private def docsTable(spark: SparkSession, path: String) = {
+    import org.apache.spark.sql.functions.col
+    spark.read.parquet(path)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
   }
 
   /** Adapt any embeddings parquet to the (id: long, v: array<double>)
