@@ -1401,6 +1401,39 @@ object CorpusOps {
   }
 
   /**
+   * Fuzzy (edit-tolerant) decontamination via winnowing fingerprints —
+   * the gap between [[decontaminate]] (exact 5-gram hits: one edited
+   * word per 5 breaks every gram) and [[decontaminateSpans]] (exact
+   * contiguous runs): a train doc sharing `minShared`+ distinct selected
+   * fingerprints with an eval doc is flagged even when the leaked text
+   * was lightly edited, because ANY surviving w+k-1-word run still
+   * selects a common fingerprint (the winnowing guarantee), and the
+   * fingerprint set is only ~2/(w+1) the size of the gram set — the
+   * broadcast-side footprint shrinks by the same factor.
+   *
+   * Returns (doc_id, eval_id, shared) for flagged train/eval pairs.
+   * Eval-side fingerprints above `maxEvalOcc` occurrences are dropped
+   * (the posting-cap discipline; boilerplate shared across the whole
+   * eval set identifies nothing). The eval side of the join is small by
+   * nature — AQE broadcasts it at bench scale; at web scale it shuffles
+   * on the high-cardinality fingerprint, never on a hot key.
+   */
+  def decontaminateFuzzy(
+      train: DataFrame, eval: DataFrame, minShared: Int = 2,
+      k: Int = 4, w: Int = 4, maxEvalOcc: Int = 1000): DataFrame = {
+    val evalFps = winnowFingerprints(eval, k, w)
+      .select(col("doc_id").as("eval_id"), col("fp")).distinct()
+    val keptE = evalFps.join(
+      evalFps.groupBy("fp").agg(count(lit(1)).as("occ_e"))
+        .filter(col("occ_e") <= maxEvalOcc).select("fp"), "fp")
+    winnowFingerprints(train, k, w)
+      .select(col("doc_id"), col("fp")).distinct()
+      .join(keptE, "fp")
+      .groupBy("doc_id", "eval_id").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
+  /**
    * Asymmetric containment pairs — the quote/inclusion detector the
    * symmetric resemblance family (Jaccard, MinHash) is blind to: a short
    * document quoted verbatim inside a long one has tiny Jaccard but

@@ -132,6 +132,21 @@ object PipelineQueries {
     // stream never shuffles.
     "pipe_decontaminate" -> ((s, d) => decontaminate(docs(s, d))),
 
+    // fuzzy decontamination: winnowing fingerprints instead of exact
+    // grams — survives light edits of leaked eval text (any intact
+    // w+k-1-word run still selects a shared fingerprint) at ~2/(w+1) of
+    // the gram-set footprint. Same eval split as pipe_decontaminate;
+    // full DuckDB recompute from raw text (selection is the proven
+    // dedup_winnow machinery)
+    "pipe_decontaminate_fuzzy" -> ((s, d) => {
+      val all = docs(s, d)
+      Ops.decontaminateFuzzy(
+          train = all.filter(pmod(col("doc_id"), lit(20)) =!= 0),
+          eval = all.filter(pmod(col("doc_id"), lit(20)) === 0),
+          minShared = 2)
+        .orderBy("doc_id", "eval_id")
+    }),
+
     // span-level decontamination (the strong form): train docs sharing a
     // CONTIGUOUS >= 8-token run with the eval slice, longest run measured
     // exactly — "how much verbatim eval text leaked", not just gram hits.
@@ -641,6 +656,43 @@ object PipelineQueries {
   val oracles: Map[String, String] = Map(
 
     "pipe_communities" -> communitiesSql(3),
+
+    // the dedup_winnow selection pipeline, split train/eval on doc_id%20,
+    // eval-occurrence cap, >= 2 shared fingerprints flag a pair
+    "pipe_decontaminate_fuzzy" ->
+      """WITH wds AS (
+        |  SELECT doc_id, string_split_regex(trim(text), ' +') AS w FROM documents
+        |), keyed AS (
+        |  SELECT doc_id, u.pos AS pos,
+        |    CAST('0x' || substring(md5(u.gram), 1, 8) AS BIGINT) * 1048576
+        |      + (1048575 - u.pos) AS key
+        |  FROM (
+        |    SELECT doc_id,
+        |      unnest([{'pos': i - 1, 'gram': array_to_string(w[i:i+3], ' ')}
+        |              FOR i IN generate_series(1, len(w) - 3)]) AS u
+        |    FROM wds WHERE len(w) >= 4)
+        |  WHERE u.pos < 1048576
+        |), win AS (
+        |  SELECT doc_id, pos,
+        |    MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+        |                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wkey,
+        |    MAX(pos) OVER (PARTITION BY doc_id) AS maxpos
+        |  FROM keyed
+        |), fps AS (
+        |  SELECT DISTINCT doc_id, wkey // 1048576 AS fp
+        |  FROM win WHERE pos <= greatest(maxpos - 3, 0)
+        |), te AS (
+        |  SELECT doc_id AS eval_id, fp FROM fps WHERE doc_id % 20 = 0
+        |), kept_e AS (
+        |  SELECT eval_id, fp FROM te
+        |  JOIN (SELECT fp FROM te GROUP BY fp HAVING COUNT(*) <= 1000) USING (fp)
+        |), tr AS (
+        |  SELECT doc_id, fp FROM fps WHERE doc_id % 20 <> 0
+        |)
+        |SELECT tr.doc_id, eval_id, CAST(COUNT(*) AS BIGINT) AS shared
+        |FROM tr JOIN kept_e USING (fp)
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |ORDER BY doc_id, eval_id""".stripMargin,
 
     "pipe_line_dedup" ->
       """WITH t AS (

@@ -100,6 +100,39 @@ class WinnowSpec extends SparkSuite {
     assert(n === 0)
   }
 
+  // ----------------------------------------------------- decontaminateFuzzy
+
+  test("fuzzy decontamination catches an edited eval leak that exact 5-grams miss") {
+    // eval doc: 30 distinct words; train doc: the same text with every
+    // 5th word edited — no intact 5-gram anywhere, so exact gram
+    // decontamination scores zero, but the intact 4-word runs between
+    // edits still select shared winnow fingerprints (k=4, w=1 windows
+    // inside each intact run)
+    val evalText = (1 to 30).map(i => s"ev${i}tok").mkString(" ")
+    val trainWords = (1 to 30).map(i =>
+      if (i % 5 == 0) s"EDIT$i" else s"ev${i}tok")
+    val train = mkDocs((3L, trainWords.mkString(" ")),
+      (7L, (1 to 30).map(i => s"clean$i").mkString(" ")))
+    val eval = mkDocs((100L, evalText))
+    val exact = CorpusOps.decontaminate(train, eval)
+    assert(exact.count() === 0, "exact 5-grams should see nothing")
+    val fuzzy = CorpusOps.decontaminateFuzzy(
+      train, eval, minShared = 2, k = 4, w = 2)
+    val got = fuzzy.select("doc_id", "eval_id").as[(Long, Long)].collect().toSet
+    assert(got === Set((3L, 100L)))
+  }
+
+  test("fuzzy decontamination: eval-occurrence cap drops ubiquitous fingerprints") {
+    // every one of 30 eval docs is the same text: its fingerprints have
+    // eval-occurrence 30 > cap 10, so a train copy is NOT flagged
+    val t = (1 to 40).map(i => s"cap${i}w").mkString(" ")
+    val eval = (100L to 129L).map(i => (i, t)).toDF("doc_id", "text")
+    val train = mkDocs((1L, t))
+    val n = CorpusOps.decontaminateFuzzy(
+      train, eval, minShared = 1, maxEvalOcc = 10).count()
+    assert(n === 0)
+  }
+
   // --------------------------------------------------------- containmentPairs
 
   test("containment: a quoted doc is found inside its container, direction correct") {
