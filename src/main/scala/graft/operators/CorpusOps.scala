@@ -1400,6 +1400,53 @@ object CorpusOps {
         (floor(col("common") * lit(1000) / col("union_sz")) / 1000).as("score"))
   }
 
+  /** Accumulated fingerprint index for [[incrementalWinnowPairs]]: the
+    * distinct (doc_id, fp) postings of history — append each processed
+    * batch's index (typically from `foreachBatch`), like
+    * [[minhashIndexTables]] / [[lineDedupIndex]]. */
+  def winnowIndex(documents: DataFrame, k: Int = 4, w: Int = 4): DataFrame =
+    winnowFingerprints(documents, k, w).select("doc_id", "fp").distinct()
+
+  /**
+   * Incremental winnowing near-dup for continuous ingestion — the
+   * streaming twin of [[winnowPairs]], the [[incrementalNearDup]]
+   * discipline: a new batch fingerprints ONCE, probes the accumulated
+   * index with a hash join on the fingerprint (history is never
+   * re-fingerprinted), and in-batch pairs come from the batch operator
+   * itself. The df cap applies to the postings VISIBLE at probe time
+   * (history + this batch) — a fingerprint that only later exceeds the
+   * cap can thus emit a pair the one-shot batch operator would suppress;
+   * on corpora where the cap never binds (its design point), ordered
+   * replay flags EXACTLY the batch operator's pairs, which
+   * StreamingCorpusSpec pins. Returns (doc_a < doc_b, common, score).
+   */
+  def incrementalWinnowPairs(
+      newDocs: DataFrame, indexFps: DataFrame,
+      k: Int = 4, w: Int = 4, pct: Int = 50, maxDf: Int = 1000): DataFrame = {
+    val nf = winnowIndex(newDocs, k, w)
+    val visDf = indexFps.select("fp").unionAll(nf.select("fp"))
+      .groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("fp")
+    val common = indexFps.join(visDf, "fp").as("h")
+      .join(nf.as("n"),
+        col("h.fp") === col("n.fp") &&
+          // a re-delivered doc must not near-dup itself
+          col("h.doc_id") =!= col("n.doc_id"))
+      .groupBy(col("h.doc_id").as("doc_h"), col("n.doc_id").as("doc_n"))
+      .agg(count(lit(1)).as("common"))
+    val histSizes = indexFps.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val newSizes = nf.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val histPairs = common
+      .join(histSizes.select(col("doc_id").as("doc_h"), col("sz").as("sa")), "doc_h")
+      .join(broadcast(newSizes.select(col("doc_id").as("doc_n"), col("sz").as("sb"))), "doc_n")
+      .withColumn("union_sz", col("sa") + col("sb") - col("common"))
+      .filter(col("common") * 100 >= col("union_sz") * pct)
+      .select(least(col("doc_h"), col("doc_n")).as("doc_a"),
+        greatest(col("doc_h"), col("doc_n")).as("doc_b"), col("common"),
+        (floor(col("common") * lit(1000) / col("union_sz")) / 1000).as("score"))
+    histPairs.unionAll(winnowPairs(newDocs, k, w, pct, maxDf))
+  }
+
   /**
    * Fuzzy (edit-tolerant) decontamination via winnowing fingerprints —
    * the gap between [[decontaminate]] (exact 5-gram hits: one edited

@@ -100,6 +100,34 @@ class WinnowSpec extends SparkSuite {
     assert(n === 0)
   }
 
+  // ------------------------------------------------ incrementalWinnowPairs
+
+  test("incremental winnow: ordered replay over the accumulated index matches the batch operator") {
+    // disjoint 20-word docs; planted: 12 ~ 3 (batch vs history),
+    // 14 ~ 11 (same batch), 22 ~ 13 (batch 2 vs batch 1 — visible only
+    // if the index accumulates)
+    def doc(i: Int) = (0 until 20).map(k => s"w${i}_$k").mkString(" ")
+    def dupOf(i: Int) = doc(i).split(" ").dropRight(1).mkString(" ") + " tail"
+    val history = (1 to 10).map(i => (i.toLong, doc(i)))
+    val batch1 = Seq((11L, doc(11)), (12L, dupOf(3)), (13L, doc(13)), (14L, dupOf(11)))
+    val batch2 = Seq((21L, doc(21)), (22L, dupOf(13)), (23L, doc(23)))
+    val idxDir = tempDir("winnow-idx")
+    CorpusOps.winnowIndex(history.toDF("doc_id", "text"))
+      .write.mode("overwrite").parquet(idxDir)
+    val flagged = scala.collection.mutable.Set.empty[(Long, Long)]
+    Seq(batch1, batch2).foreach { b =>
+      val df = b.toDF("doc_id", "text").localCheckpoint(true)
+      flagged ++= CorpusOps.incrementalWinnowPairs(df, spark.read.parquet(idxDir))
+        .select("doc_a", "doc_b").as[(Long, Long)].collect()
+      CorpusOps.winnowIndex(df).write.mode("append").parquet(idxDir)
+    }
+    val whole = (history ++ batch1 ++ batch2).toDF("doc_id", "text")
+    val batchPairs = CorpusOps.winnowPairs(whole)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(flagged.toSet === batchPairs)
+    assert(Set((3L, 12L), (11L, 14L), (13L, 22L)).subsetOf(flagged.toSet))
+  }
+
   // ----------------------------------------------------- decontaminateFuzzy
 
   test("fuzzy decontamination catches an edited eval leak that exact 5-grams miss") {
