@@ -1263,6 +1263,34 @@ object CorpusOps {
   }
 
   /**
+   * Detector audit — precision/recall of one pair detector against
+   * another treated as ground truth, the evaluation harness a pipeline
+   * runs before trusting a cheaper sketch at scale ("how much does
+   * winnowing miss vs exact Jaccard on MY corpus?"). Both inputs are
+   * (doc_a < doc_b) pair tables; output is ONE row (tp, fp, fn,
+   * precision_milli, recall_milli) — integer-first milli ratios, so two
+   * engines agree exactly. One full-outer hash join on the pair key;
+   * pair tables are the SMALL derived artifacts (not the corpus), so
+   * this costs nothing at any scale.
+   */
+  def detectorAudit(detected: DataFrame, truth: DataFrame): DataFrame = {
+    val d = detected.select(col("doc_a"), col("doc_b")).distinct()
+      .withColumn("in_d", lit(1L))
+    val t = truth.select(col("doc_a"), col("doc_b")).distinct()
+      .withColumn("in_t", lit(1L))
+    d.join(t, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        sum(when(col("in_d") === 1 && col("in_t") === 1, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("in_d") === 1 && col("in_t").isNull, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("in_d").isNull && col("in_t") === 1, 1L).otherwise(0L)).as("fn"))
+      .select(col("tp"), col("fp"), col("fn"),
+        when(col("tp") + col("fp") === 0, lit(-1L))
+          .otherwise(expr("tp * 1000 div (tp + fp)")).as("precision_milli"),
+        when(col("tp") + col("fn") === 0, lit(-1L))
+          .otherwise(expr("tp * 1000 div (tp + fn)")).as("recall_milli"))
+  }
+
+  /**
    * Synchronous label-propagation communities over the co-chunk document
    * graph (Raghavan, Albert & Kumara 2007) — the clustering complement to
    * [[docGraphPageRank]]'s centrality and [[docGraphTriangles]]'s

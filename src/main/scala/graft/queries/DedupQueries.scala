@@ -421,7 +421,18 @@ object DedupQueries {
     // resemblance detector above. Full DuckDB recompute from raw text
     "dedup_containment" -> ((s, d) =>
       graft.operators.CorpusOps.containmentPairs(docs(s, d), pct = 90)
-        .orderBy("inner_id", "outer_id")))
+        .orderBy("inner_id", "outer_id")),
+
+    // detector audit: winnowing's pair set measured against exact
+    // trigram-jaccard ground truth — the precision/recall readout a
+    // pipeline checks before trusting the sketch at scale. Both sides
+    // are SQL-expressible, so the audit itself oracle-checks end to end
+    "dedup_winnow_audit" -> ((s, d) => {
+      val dd = docs(s, d)
+      graft.operators.CorpusOps.detectorAudit(
+        graft.operators.CorpusOps.winnowPairs(dd, k = 4, w = 4, pct = 50),
+        ngramJaccardPairs(dd))
+    }))
 
   val oracles: Map[String, String] = Map(
     // recompute the within-cell verify from the exported assignment: the
@@ -558,6 +569,69 @@ object DedupQueries {
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE common * 100 >= (sa.sz + sb.sz - common) * 50
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // both detector pipelines recomputed (winnow selection + pairing,
+    // exact trigram jaccard), then the full-outer audit with integer
+    // milli ratios
+    "dedup_winnow_audit" ->
+      """WITH wds AS (
+        |  SELECT doc_id, string_split_regex(trim(text), ' +') AS w FROM documents
+        |), keyed AS (
+        |  SELECT doc_id, u.pos AS pos,
+        |    CAST('0x' || substring(md5(u.gram), 1, 8) AS BIGINT) * 1048576
+        |      + (1048575 - u.pos) AS key
+        |  FROM (
+        |    SELECT doc_id,
+        |      unnest([{'pos': i - 1, 'gram': array_to_string(w[i:i+3], ' ')}
+        |              FOR i IN generate_series(1, len(w) - 3)]) AS u
+        |    FROM wds WHERE len(w) >= 4)
+        |  WHERE u.pos < 1048576
+        |), win AS (
+        |  SELECT doc_id, pos,
+        |    MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+        |                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wkey,
+        |    MAX(pos) OVER (PARTITION BY doc_id) AS maxpos
+        |  FROM keyed
+        |), fps AS (
+        |  SELECT DISTINCT doc_id, wkey // 1048576 AS fp
+        |  FROM win WHERE pos <= greatest(maxpos - 3, 0)
+        |), sizes AS (
+        |  SELECT doc_id, COUNT(*) AS sz FROM fps GROUP BY 1
+        |), keptf AS (
+        |  SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND 1000
+        |), wp AS (
+        |  SELECT doc_a, doc_b FROM (
+        |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+        |    FROM fps a JOIN keptf USING (fp) JOIN fps b USING (fp)
+        |    WHERE a.doc_id < b.doc_id GROUP BY 1, 2) c
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE common * 100 >= (sa.sz + sb.sz - common) * 50
+        |), g AS (
+        |  SELECT doc_id,
+        |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                   FOR i IN generate_series(1, len(w) - 2)]) AS grams
+        |  FROM wds WHERE len(w) >= 3
+        |), jp AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.grams, b.grams)) * 2
+        |        >= len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))
+        |), f AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN wp.doc_a IS NOT NULL AND jp.doc_a IS NOT NULL
+        |          THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(SUM(CASE WHEN wp.doc_a IS NOT NULL AND jp.doc_a IS NULL
+        |          THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(SUM(CASE WHEN wp.doc_a IS NULL AND jp.doc_a IS NOT NULL
+        |          THEN 1 ELSE 0 END) AS BIGINT) AS fn
+        |  FROM wp FULL OUTER JOIN jp
+        |    ON wp.doc_a = jp.doc_a AND wp.doc_b = jp.doc_b
+        |)
+        |SELECT tp, fp, fn,
+        |  CASE WHEN tp + fp = 0 THEN -1 ELSE tp * 1000 // (tp + fp) END AS precision_milli,
+        |  CASE WHEN tp + fn = 0 THEN -1 ELSE tp * 1000 // (tp + fn) END AS recall_milli
+        |FROM f""".stripMargin,
 
     // full containment recompute: distinct trigram sets, df-capped shared
     // counts, BOTH directions of the integer containment test

@@ -100,6 +100,20 @@ class WinnowSpec extends SparkSuite {
     assert(n === 0)
   }
 
+  // ------------------------------------------------------- detectorAudit
+
+  test("detectorAudit: counts and milli ratios on hand pairs; empty sides sentinel") {
+    val det = Seq((1L, 2L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val tru = Seq((1L, 2L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val r = CorpusOps.detectorAudit(det, tru)
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(r === ((1L, 1L, 1L, 500L, 500L)))
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val e = CorpusOps.detectorAudit(empty, tru)
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(e === ((0L, 0L, 2L, -1L, 0L)))
+  }
+
   // ------------------------------------------------ incrementalWinnowPairs
 
   test("incremental winnow: ordered replay over the accumulated index matches the batch operator") {
