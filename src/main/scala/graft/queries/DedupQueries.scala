@@ -432,6 +432,23 @@ object DedupQueries {
       graft.operators.CorpusOps.detectorAudit(
         graft.operators.CorpusOps.winnowPairs(dd, k = 4, w = 4, pct = 50),
         ngramJaccardPairs(dd))
+    }),
+
+    // cross-source duplication matrix: near-dup pairs bucketed by the
+    // (source_a <= source_b) label pair — "is crawl duplicating wiki?",
+    // the provenance readout that decides which source to dedup AGAINST.
+    // Pair derivation is the proven jaccard machinery; labels join by id
+    // (two broadcast-sized joins on the SMALL pair table)
+    "dedup_source_matrix" -> ((s, d) => {
+      val dd = Tables.load(s, d, "documents")
+      val lab = dd.select(col("doc_id"), col("source"))
+      ngramJaccardPairs(dd.select("doc_id", "text"))
+        .join(lab.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+        .join(lab.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+        .select(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"))
+        .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("source_a", "source_b")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -569,6 +586,30 @@ object DedupQueries {
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE common * 100 >= (sa.sz + sb.sz - common) * 50
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // jaccard pair derivation + source labels + canonical label-pair agg
+    "dedup_source_matrix" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), ' +') AS w FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                   FOR i IN generate_series(1, len(w) - 2)]) AS grams
+        |  FROM t WHERE len(w) >= 3
+        |), p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.grams, b.grams)) * 2
+        |        >= len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))
+        |)
+        |SELECT least(da.source, db.source) AS source_a,
+        |  greatest(da.source, db.source) AS source_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |FROM p
+        |JOIN documents da ON da.doc_id = p.doc_a
+        |JOIN documents db ON db.doc_id = p.doc_b
+        |GROUP BY 1, 2
+        |ORDER BY source_a, source_b""".stripMargin,
 
     // both detector pipelines recomputed (winnow selection + pairing,
     // exact trigram jaccard), then the full-outer audit with integer
