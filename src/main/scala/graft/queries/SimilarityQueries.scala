@@ -457,9 +457,22 @@ object SimilarityQueries {
       graft.operators.Pca.knnProjected(
           proj, proj.filter(col("vec_id") < 10), k = 5)
         .orderBy("query_id", "rank")
-    }))
+    }),
+
+    // MMR diversity re-rank (Carbonell & Goldstein 1998): top-20 by
+    // milli-cosine to the probe, then 10 greedy rel − max-sim steps. The
+    // greedy loop is sequential BY DEFINITION and runs on the driver over
+    // the bounded candidate set; the oracle unrolls every step as a CTE
+    // and matches the full selection, rank by rank.
+    "sim_mmr_rerank" -> ((s, d) =>
+      graft.operators.Mmr.rerank(
+          emb(s, d).select(col("vec_id").as("id"), col("v")),
+          probeId = 0L, n = 20, k = 10)
+        .orderBy("rank")))
 
   val oracles: Map[String, String] = Map(
+    "sim_mmr_rerank" -> graft.operators.Mmr.oracleSql(0, 20, 10),
+
     // recompute quantization + the 8 integer projection dot products from
     // the embeddings table and the exported eigenvector fixture
     "sim_pca_project" ->
