@@ -115,12 +115,50 @@ object CorpusScaleDrive {
         graft.operators.CorpusOps.corpusDiff(
           docs, docs.filter(col("doc_id") % 11 =!= 0)).count()
       }
-      // co-chunk graph ops (pagerank, triangles) are deliberately absent:
-      // the amplifier's junk-SUFFIX design shares each doc's original text
-      // as a prefix across all k copies, so 10-word chunks align and every
-      // copy family becomes a k-clique — the ANSWER grows as C(k,3), which
-      // would conflate result-size growth with plan scaling. Their
-      // bounded-join shape is pinned by the df-cap specs instead.
+      run("winnow_pairs") {
+        // copies share the original prefix, so prefix fingerprints align —
+        // but the junk suffix halves the fingerprint jaccard below the 0.5
+        // threshold (the same bounded-answer argument as minhash_neardup)
+        graft.operators.CorpusOps.winnowPairs(docs).count()
+      }
+      run("containment") {
+        // each original IS contained in its own mutated copies (they carry
+        // it as a prefix): the answer grows ~linearly with factor, which
+        // the ratio table tolerates; the JOIN stays posting-bounded
+        graft.operators.CorpusOps.containmentPairs(docs).count()
+      }
+      run("decontaminate_fuzzy") {
+        // eval pinned to BASE docs only (k = 0): the amplifier preserves
+        // doc_id % 20 across copies (1e6 % 20 = 0), so a %20 eval split
+        // would amplify BOTH sides and grow the answer quadratically —
+        // a fixed eval set is also the realistic shape
+        graft.operators.CorpusOps.decontaminateFuzzy(
+          train = docs.filter(col("doc_id") >= 1000000L),
+          eval = docs.filter(col("doc_id") < 1000000L &&
+            pmod(col("doc_id"), lit(20)) === 0)).count()
+      }
+      // co-chunk graph ops (pagerank, triangles, LPA communities) are
+      // deliberately absent: the amplifier's junk-SUFFIX design shares
+      // each doc's original text as a prefix across all k copies, so
+      // 10-word chunks align and every copy family becomes a k-clique —
+      // the ANSWER (and the per-chunk df) grows with k², which would
+      // conflate result-size growth with plan scaling. Their bounded-join
+      // shape is pinned by the df-cap specs instead.
+
+      // embedding-side: amplify vectors with a per-copy deterministic
+      // perturbation, then PCA statistics + projection (pure scans)
+      run("pca_fit_project") {
+        val emb = graft.Tables.load(s, sfDir, "embeddings")
+          .select(col("vec_id").as("id"),
+            col("embedding").cast("array<double>").as("v"))
+        val amped = emb.crossJoin(
+            s.range(factor.toLong).select(col("id").as("k")))
+          .select((col("id") + col("k") * 1000000L).as("id"),
+            expr("transform(v, (x, i) -> x + k * 0.001 * (i % 7))").as("v"))
+          .localCheckpoint(true)
+        val m = graft.operators.Pca.fit(amped, r = 8)
+        graft.operators.Pca.project(amped, m.wFp).count()
+      }
     }
     // scaling table: seconds ratio between consecutive factors vs the
     // data ratio — bounded plans should sit at or below the data ratio
