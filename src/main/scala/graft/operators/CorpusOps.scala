@@ -1263,6 +1263,52 @@ object CorpusOps {
   }
 
   /**
+   * Neyman-allocation stratified sampling (the optimal-allocation
+   * result from classic survey sampling): stratum h receives sample
+   * slots ∝ N_h·σ_h, not ∝ N_h — high-variance strata are
+   * over-sampled because that is where a fixed budget buys the most
+   * estimator precision. Variance here is of the document word count
+   * (the cost driver a token-budgeted pipeline estimates).
+   *
+   * Engine-portability: N_h·σ_h = sqrt(N_h·Σx² − (Σx)²) exactly, so the
+   * stratum weight is floor(sqrt(exact integer)) — ONE correctly-rounded
+   * IEEE sqrt — and the allocation k·w_h div Σw is pure integer
+   * arithmetic after that (no float summation order anywhere). Stratum
+   * membership is the salted-md5 rank, like every sampler here.
+   *
+   * Scale shape: one corpus aggregate to |strata| rows, one broadcast
+   * of the tiny allocation table, one per-stratum rank window (the
+   * salted two-level rewrite applies if a stratum is hot). Returns the
+   * selected (doc_id, lang, rk) rows.
+   */
+  def neymanSample(
+      documents: DataFrame, k: Int, strataCol: String = "lang"): DataFrame = {
+    val stats = documents
+      .select(col(strataCol).as("h"),
+        col("doc_id"),
+        size(split(trim(col("text")), " +")).cast("long").as("x"))
+      .groupBy("h")
+      .agg(count(lit(1)).as("n_h"),
+        sum(col("x")).cast("decimal(38,0)").as("sx"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"))
+      .select(col("h"), col("n_h"),
+        // N·σ = sqrt(N·Σx² − (Σx)²): exact integer under the sqrt
+        floor(sqrt((col("n_h").cast("decimal(38,0)") * col("sxx") -
+          col("sx") * col("sx")).cast("double"))).cast("long").as("w"))
+    val totW = stats.agg(coalesce(sum("w"), lit(0L)).cast("long").as("tot"))
+    val alloc = stats.crossJoin(broadcast(totW))
+      .select(col("h"), expr(s"${k}L * w div tot").as("alloc"))
+    val rk = Window.partitionBy(strataCol)
+      .orderBy(md5(concat(lit("graft-neyman:"), col("doc_id").cast("string"))),
+        col("doc_id"))
+    documents.select(col("doc_id"), col(strataCol))
+      .withColumn("rk", row_number().over(rk).cast("long"))
+      .join(broadcast(alloc.withColumnRenamed("h", strataCol)), strataCol)
+      .filter(col("rk") <= col("alloc"))
+      .select(col("doc_id"), col(strataCol), col("rk"))
+  }
+
+  /**
    * Detector audit — precision/recall of one pair detector against
    * another treated as ground truth, the evaluation harness a pipeline
    * runs before trusting a cheaper sketch at scale ("how much does

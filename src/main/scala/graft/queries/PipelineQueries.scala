@@ -330,6 +330,14 @@ object PipelineQueries {
     "pipe_sample_stratified" -> ((s, d) =>
       Ops.stratifiedSample(docs(s, d), k = 20).orderBy("doc_id")),
 
+    // Neyman (optimal) allocation: slots ∝ N_h·σ_h of the word count —
+    // high-variance strata over-sample because that is where budget buys
+    // estimator precision. N·σ = sqrt(exact integer), allocation is pure
+    // integer arithmetic after the one IEEE sqrt — no float summation
+    // order anywhere, so the oracle recomputes allocation AND membership
+    "pipe_sample_neyman" -> ((s, d) =>
+      Ops.neymanSample(docs(s, d), k = 100).orderBy("doc_id")),
+
     // the same exactly-k-per-language sample through the bounded-heap
     // aggregate (graft_topk): no window, no skew pre-filter — a dominant
     // language costs the same O(k) heap per task as a rare one
@@ -1129,6 +1137,33 @@ object PipelineQueries {
         |      ORDER BY md5('graft-strat:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |  FROM documents)
         |SELECT doc_id, lang, rn FROM r WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
+
+    // stratum stats -> integer N·σ weights -> integer allocation ->
+    // salted-rank membership, all recomputed
+    "pipe_sample_neyman" ->
+      """WITH st AS (
+        |  SELECT lang AS h, COUNT(*) AS n_h,
+        |    SUM(x) AS sx, SUM(x * x) AS sxx
+        |  FROM (SELECT doc_id, lang,
+        |          CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS x
+        |        FROM documents)
+        |  GROUP BY 1
+        |), w AS (
+        |  SELECT h,
+        |    CAST(FLOOR(sqrt(CAST(n_h * sxx - sx * sx AS DOUBLE))) AS BIGINT) AS w
+        |  FROM st
+        |), a AS (
+        |  SELECT h, 100 * w // (SELECT SUM(w) FROM w) AS alloc FROM w
+        |), r AS (
+        |  SELECT doc_id, lang,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5('graft-neyman:' || CAST(doc_id AS VARCHAR)), doc_id)
+        |      AS BIGINT) AS rk
+        |  FROM documents)
+        |SELECT doc_id, lang, rk
+        |FROM r JOIN a ON a.h = r.lang
+        |WHERE rk <= alloc
+        |ORDER BY doc_id""".stripMargin,
 
     "pipe_sample_stratified_agg" ->
       """WITH r AS (

@@ -89,6 +89,30 @@ class PipelineSpec extends SparkSuite {
     }
   }
 
+  test("neyman allocation over-samples the high-variance stratum") {
+    import spark.implicits._
+    // stratum a: 200 docs of CONSTANT length (sigma = 0 -> weight 0);
+    // stratum b: 200 docs alternating 5 / 100 words (huge sigma).
+    // Optimal allocation sends (almost) the whole budget to b.
+    val docs = ((1 to 200).map { i =>
+      (i.toLong, (1 to 20).map(j => s"a$j").mkString(" "), "aa")
+    } ++ (1 to 200).map { i =>
+      val n = if (i % 2 == 0) 5 else 100
+      (1000L + i, (1 to n).map(j => s"b$j").mkString(" "), "bb")
+    }).toDF("doc_id", "text", "lang")
+    val got = graft.operators.CorpusOps.neymanSample(docs, k = 50)
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.getOrElse("aa", 0L) === 0L, s"zero-variance stratum got $got")
+    assert(got("bb") >= 49L && got("bb") <= 50L, got.toString)
+    // determinism across partitionings
+    val a = graft.operators.CorpusOps.neymanSample(docs, 50)
+      .orderBy("doc_id").collect().toSeq
+    val b = graft.operators.CorpusOps.neymanSample(docs.repartition(7), 50)
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+
   test("stratified pre-filter bounds the final window's input on a 90/10 skewed corpus") {
     import spark.implicits._
     // 900 docs of one dominant language, 100 of another — the shape that
