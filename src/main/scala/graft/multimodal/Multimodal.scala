@@ -914,6 +914,31 @@ object Multimodal {
       items: Dataset[VideoItem], minShared: Int = 2, maxDf: Int = 64): DataFrame =
     videoNearDupFromHashes(videoFrameHashes(items), minShared, maxDf)
 
+  /**
+   * Shot-boundary detection: a hard cut is a consecutive-frame aHash
+   * hamming distance of at least `minHamming` bits (out of 64) — the
+   * classic hash-difference detector, running entirely on the per-frame
+   * hash table (any (doc_id, frame_idx, ahash) source, including the
+   * verified twin's fixture). Returns (doc_id, boundary_idx = the frame
+   * AFTER the cut, hamming). One per-video window over frame order —
+   * state is one previous hash; integer xor/bit_count end to end, so
+   * the `mm_video_shots_verified` oracle recomputes every boundary.
+   */
+  def shotBoundaries(
+      frameHashes: DataFrame, minHamming: Int = 16): DataFrame = {
+    require(minHamming >= 1 && minHamming <= 64,
+      s"minHamming in [1, 64], got $minHamming")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("frame_idx")
+    frameHashes
+      .withColumn("prev", lag(col("ahash"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .withColumn("hamming", expr("bit_count(ahash ^ prev)").cast("long"))
+      .filter(col("hamming") >= minHamming)
+      .select(col("doc_id"), col("frame_idx").cast("long").as("boundary_idx"),
+        col("hamming"))
+  }
+
   /** The hash-table half of [[videoNearDupPairs]] — consumes any
     * (doc_id, frame_idx, ahash) table (the verified twin's fixture). */
   private[graft] def videoNearDupFromHashes(

@@ -24,6 +24,7 @@ object MultimodalQueries {
   private[graft] val PhashFixturePath = "/tmp/graft_fixtures/image_phash"
   private[graft] val AudioPeaksFixturePath = "/tmp/graft_fixtures/audio_peaks"
   private[graft] val VideoHashFixturePath = "/tmp/graft_fixtures/video_hashes"
+  private[graft] val VideoShotsFixturePath = "/tmp/graft_fixtures/video_shots"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // binary-column metadata over the opaque payload
@@ -286,6 +287,19 @@ object MultimodalQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // shot-boundary detection on the same per-frame hash fixture: a cut
+    // is >= 16 changed aHash bits between consecutive frames — integer
+    // xor/bit_count end to end, so BOTH engines recompute every boundary
+    // from the exported hashes (demux + hash is the only non-SQL step)
+    "mm_video_shots_verified" -> ((s, d) => {
+      val base = Multimodal.documentsAsVideo(s, d)
+      Multimodal.videoFrameHashes(base)
+        .write.mode("overwrite").parquet(VideoShotsFixturePath)
+      Multimodal.shotBoundaries(
+          s.read.parquet(VideoShotsFixturePath), minHamming = 16)
+        .orderBy("doc_id", "boundary_idx")
+    }),
+
     // Shazam-style spectral matching (Wang, ISMIR 2003): per-frame DFT
     // peak -> (p1, p2, dt) landmark hashes -> aligned-offset voting; a
     // match needs >= 3 landmark hits agreeing on ONE time offset. Probes
@@ -436,6 +450,22 @@ object MultimodalQueries {
         |FROM c x JOIN c y ON x.ahash = y.ahash AND x.doc_id < y.doc_id
         |GROUP BY 1, 2 HAVING COUNT(*) >= 2
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // recompute every shot boundary from the exported frame hashes:
+    // LAG over frame order, xor, bit_count, threshold
+    "mm_video_shots_verified" ->
+      s"""WITH f AS (
+        |  SELECT doc_id, frame_idx, ahash
+        |  FROM read_parquet('$VideoShotsFixturePath/*.parquet')),
+        |lagged AS (
+        |  SELECT doc_id, frame_idx, ahash,
+        |    LAG(ahash) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev
+        |  FROM f)
+        |SELECT doc_id, CAST(frame_idx AS BIGINT) AS boundary_idx,
+        |  CAST(bit_count(xor(ahash, prev)) AS BIGINT) AS hamming
+        |FROM lagged
+        |WHERE prev IS NOT NULL AND bit_count(xor(ahash, prev)) >= 16
+        |ORDER BY doc_id, boundary_idx""".stripMargin,
 
     // recompute landmark hashes, df cap, hash join, and aligned-offset
     // vote from the exported DFT peak table — integer end to end

@@ -453,6 +453,24 @@ class MultimodalSpec extends SparkSuite {
     assert(pairs == Set((1L, 2L)), s"got $pairs")
   }
 
+  test("shot boundaries: a hard cut is detected, a held shot is not") {
+    import spark.implicits._
+    // 3 frames of a left-bright pattern, then 3 of its inverse: the only
+    // >= 16-bit hash jump is at the splice (frame 3). Constant shots
+    // contribute zero boundaries.
+    val left = Array.tabulate(64)(i => if (i % 8 < 4) 255 else 0)
+    val right = left.map(255 - _)
+    val fs = Seq.fill(3)(left) ++ Seq.fill(3)(right)
+    val item = Multimodal.VideoItem(9L, "video",
+      encodeAviRawFrames(fs, 8, 8), 8, 8, 6)
+    val hashes = Multimodal.videoFrameHashes(spark.createDataset(Seq(item)))
+    val cuts = Multimodal.shotBoundaries(hashes, minHamming = 16)
+      .select("boundary_idx", "hamming")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(cuts.map(_._1) === Seq(3L), cuts.toString)
+    assert(cuts.head._2 === 64L) // full inversion flips every aHash bit
+  }
+
   test("video frame df cap drops ubiquitous frames (the all-black-frame guard)") {
     import spark.implicits._
     // every video shares one constant frame; content frames are unique
