@@ -25,6 +25,7 @@ object MultimodalQueries {
   private[graft] val AudioPeaksFixturePath = "/tmp/graft_fixtures/audio_peaks"
   private[graft] val VideoHashFixturePath = "/tmp/graft_fixtures/video_hashes"
   private[graft] val VideoShotsFixturePath = "/tmp/graft_fixtures/video_shots"
+  private[graft] val SsimThumbFixturePath = "/tmp/graft_fixtures/ssim_thumbs"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // binary-column metadata over the opaque payload
@@ -287,6 +288,71 @@ object MultimodalQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // SSIM verify for image near-dup candidates (Wang et al., IEEE TIP
+    // 2004, single-window form over the 8x8 thumbnail): candidates come
+    // from 16-bit band collisions on the thumbnail's aHash bits, the
+    // verify is the luminance x structure product. Everything after the
+    // decode+resize kernel is arithmetic on the exported rasters: the
+    // four SSIM factors are EXACT integers (the x100 scaling makes
+    // C1 n^2 = 2663424 and C2 n^2 = 23970816 exact), each under 2^53 so
+    // the int->double conversions are exact and the two divisions + one
+    // multiply + floor are IEEE-identical in both engines. Probes are
+    // +10-brightness twins: aHash bits don't move (every pixel and the
+    // mean shift together) so candidates collide, and SSIM dips just
+    // below 1000 through the luminance term — the graded-verdict readout
+    // a binary hamming verify can't give.
+    "mm_image_ssim_verified" -> ((s, d) => {
+      import s.implicits._
+      val base = Multimodal.documentsAsMedia(s, d)
+      val probes = base.filter(_.doc_id % 10 == 0).map { m =>
+        val px = Multimodal.decodeBmp(m.data).get._3
+        val px2 = px.map(p => math.min(255, p + 10))
+        m.copy(doc_id = m.doc_id + 10000000L,
+          data = Multimodal.encodeBmp(px2, m.width, m.height))
+      }
+      Multimodal.thumbnails(base.union(probes), side = 8)
+        .write.mode("overwrite").parquet(SsimThumbFixturePath)
+      val t = s.read.parquet(SsimThumbFixturePath)
+        .withColumn("sa", expr("aggregate(thumb, 0L, (a, x) -> a + x)"))
+        .withColumn("m", expr("sa div 64"))
+        .withColumn("saa", expr("aggregate(thumb, 0L, (a, x) -> a + x * x)"))
+        .localCheckpoint(true)
+      val bands = t.select(col("doc_id"), explode(expr(
+          "transform(sequence(0, 3), k -> struct(k AS band_idx, " +
+            "aggregate(transform(slice(thumb, 16 * k + 1, 16), " +
+            "(p, i) -> IF(p > m, shiftleft(1L, i), 0L)), 0L, (a, x) -> a + x) " +
+            "AS band_val))")).as("b"))
+        .select(col("doc_id"), col("b.band_idx"), col("b.band_val"))
+      val rare = bands.groupBy("band_idx", "band_val")
+        .agg(countDistinct("doc_id").as("df")).filter(col("df") <= 1000)
+        .select("band_idx", "band_val")
+      val capped = bands.join(rare, Seq("band_idx", "band_val"))
+      val cand = capped.as("x").join(capped.as("y"),
+          col("x.band_idx") === col("y.band_idx") &&
+            col("x.band_val") === col("y.band_val") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(t.select(col("doc_id").as("doc_a"), col("thumb").as("tha"),
+          col("sa").as("s_a"), col("saa").as("s_aa")), "doc_a")
+        .join(t.select(col("doc_id").as("doc_b"), col("thumb").as("thb"),
+          col("sa").as("s_b"), col("saa").as("s_bb")), "doc_b")
+        .withColumn("sab",
+          expr("aggregate(zip_with(tha, thb, (p, q) -> p * q), 0L, (a, x) -> a + x)"))
+        .withColumn("num1", expr("200L * s_a * s_b + 2663424L"))
+        .withColumn("den1", expr("100L * (s_a * s_a + s_b * s_b) + 2663424L"))
+        .withColumn("num2", expr("100L * (128L * sab - 2L * s_a * s_b) + 23970816L"))
+        .withColumn("den2",
+          expr("100L * (64L * (s_aa + s_bb) - s_a * s_a - s_b * s_b) + 23970816L"))
+        .withColumn("ssim_milli", floor(lit(1000.0) *
+          ((col("num1").cast("double") / col("den1").cast("double")) *
+            (col("num2").cast("double") / col("den2").cast("double")))).cast("long"))
+        .filter(col("ssim_milli") >= 900)
+        .select("doc_a", "doc_b", "ssim_milli")
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // shot-boundary detection on the same per-frame hash fixture: a cut
     // is >= 16 changed aHash bits between consecutive frames — integer
     // xor/bit_count end to end, so BOTH engines recompute every boundary
@@ -449,6 +515,51 @@ object MultimodalQueries {
         |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS shared
         |FROM c x JOIN c y ON x.ahash = y.ahash AND x.doc_id < y.doc_id
         |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // recompute bands, candidate collisions, and the four exact SSIM
+    // factors from the exported rasters; the final two divisions + one
+    // multiply + floor are IEEE-identical (every integer input < 2^53)
+    "mm_image_ssim_verified" ->
+      s"""WITH t AS MATERIALIZED (
+        |  SELECT doc_id, thumb,
+        |    CAST(list_sum(thumb) AS BIGINT) AS sa,
+        |    CAST(list_sum(thumb) AS BIGINT) // 64 AS m,
+        |    CAST(list_sum([p * p FOR p IN thumb]) AS BIGINT) AS saa
+        |  FROM read_parquet('$SsimThumbFixturePath/*.parquet')
+        |), bands AS MATERIALIZED (
+        |  SELECT doc_id, k AS band_idx,
+        |    CAST(list_sum([CASE WHEN thumb[16 * k + i + 1] > m
+        |      THEN 1 << i ELSE 0 END
+        |      FOR i IN generate_series(0, 15)]) AS BIGINT) AS band_val
+        |  FROM t, generate_series(0, 3) AS g(k)
+        |), rare AS (
+        |  SELECT band_idx, band_val FROM bands
+        |  GROUP BY 1, 2 HAVING COUNT(DISTINCT doc_id) <= 1000
+        |), capped AS (
+        |  SELECT b.* FROM bands b JOIN rare USING (band_idx, band_val)
+        |), cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM capped x JOIN capped y
+        |    ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+        |   AND x.doc_id < y.doc_id
+        |), scored AS (
+        |  SELECT doc_a, doc_b,
+        |    200 * a.sa * b.sa + 2663424 AS num1,
+        |    100 * (a.sa * a.sa + b.sa * b.sa) + 2663424 AS den1,
+        |    100 * (128 * CAST(list_sum([a.thumb[i] * b.thumb[i]
+        |        FOR i IN generate_series(1, 64)]) AS BIGINT)
+        |      - 2 * a.sa * b.sa) + 23970816 AS num2,
+        |    100 * (64 * (a.saa + b.saa) - a.sa * a.sa - b.sa * b.sa)
+        |      + 23970816 AS den2
+        |  FROM cand JOIN t a ON a.doc_id = doc_a JOIN t b ON b.doc_id = doc_b
+        |)
+        |SELECT doc_a, doc_b,
+        |  CAST(FLOOR(1000 * ((CAST(num1 AS DOUBLE) / CAST(den1 AS DOUBLE))
+        |    * (CAST(num2 AS DOUBLE) / CAST(den2 AS DOUBLE)))) AS BIGINT) AS ssim_milli
+        |FROM scored
+        |WHERE FLOOR(1000 * ((CAST(num1 AS DOUBLE) / CAST(den1 AS DOUBLE))
+        |    * (CAST(num2 AS DOUBLE) / CAST(den2 AS DOUBLE)))) >= 900
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // recompute every shot boundary from the exported frame hashes:

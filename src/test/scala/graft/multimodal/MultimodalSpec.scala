@@ -453,6 +453,29 @@ class MultimodalSpec extends SparkSuite {
     assert(pairs == Set((1L, 2L)), s"got $pairs")
   }
 
+  test("SSIM factors: identity scores 1000, brightness dips luminance only, inversion flunks") {
+    // driver-side recompute of the query's exact-integer factor formula
+    def ssim(a: Array[Int], b: Array[Int]): Long = {
+      val (sa, sb) = (a.map(_.toLong).sum, b.map(_.toLong).sum)
+      val saa = a.map(x => x.toLong * x).sum
+      val sbb = b.map(x => x.toLong * x).sum
+      val sab = a.zip(b).map { case (x, y) => x.toLong * y }.sum
+      val num1 = 200L * sa * sb + 2663424L
+      val den1 = 100L * (sa * sa + sb * sb) + 2663424L
+      val num2 = 100L * (128L * sab - 2L * sa * sb) + 23970816L
+      val den2 = 100L * (64L * (saa + sbb) - sa * sa - sb * sb) + 23970816L
+      math.floor(1000.0 * ((num1.toDouble / den1.toDouble) *
+        (num2.toDouble / den2.toDouble))).toLong
+    }
+    val base = Array.tabulate(64)(i => 40 + (i * 37) % 160)
+    assert(ssim(base, base) === 1000L)
+    val bright = base.map(p => math.min(255, p + 10))
+    val sBright = ssim(base, bright)
+    assert(sBright >= 950L && sBright < 1000L, s"brightness twin: $sBright")
+    val inverted = base.map(255 - _)
+    assert(ssim(base, inverted) < 900L, s"inversion: ${ssim(base, inverted)}")
+  }
+
   test("shot boundaries: a hard cut is detected, a held shot is not") {
     import spark.implicits._
     // 3 frames of a left-bright pattern, then 3 of its inverse: the only
