@@ -626,10 +626,12 @@ object Multimodal {
    * energy-profile reduction of landmark fingerprints): stable under
    * small edits, all-integer, deterministic.
    */
-  def audioFingerprint(data: Array[Byte]): Long = {
+  /** The 64 per-frame mean-|amplitude| energies of a WAV — the shared
+    * kernel of [[audioFingerprint]] and the activity-segment table. */
+  def audioFrameEnergies(data: Array[Byte]): Array[Long] = {
     val samples = decodeWavPcm16(data).map(_._2).getOrElse(Array.empty[Short])
-    if (samples.isEmpty) return 0L
-    val energies = Array.tabulate(64) { f =>
+    if (samples.isEmpty) return Array.empty[Long]
+    Array.tabulate(64) { f =>
       val lo = (f.toLong * samples.length / 64).toInt
       val hi = ((f + 1).toLong * samples.length / 64).toInt
       if (hi <= lo) 0L
@@ -640,6 +642,11 @@ object Multimodal {
         s / (hi - lo)
       }
     }
+  }
+
+  def audioFingerprint(data: Array[Byte]): Long = {
+    val energies = audioFrameEnergies(data)
+    if (energies.isEmpty) return 0L
     val mean = energies.sum / 64
     var hash = 0L
     var i = 0
@@ -913,6 +920,43 @@ object Multimodal {
   def videoNearDupPairs(
       items: Dataset[VideoItem], minShared: Int = 2, maxDf: Int = 64): DataFrame =
     videoNearDupFromHashes(videoFrameHashes(items), minShared, maxDf)
+
+  /** Per-frame energy rows (doc_id, frame_idx, energy) for an audio
+    * corpus — the [[audioFrameEnergies]] kernel in one mapPartitions
+    * pass; exported as the `mm_audio_segments_verified` fixture. */
+  def audioEnergyRows(items: Dataset[AudioItem]): DataFrame = {
+    import items.sparkSession.implicits._
+    items.flatMap { a =>
+      audioFrameEnergies(a.data).zipWithIndex.map { case (e, i) =>
+        (a.doc_id, i, e) }
+    }.toDF("doc_id", "frame_idx", "energy")
+  }
+
+  /**
+   * Activity segmentation (the audio twin of [[shotBoundaries]]): a
+   * frame is ACTIVE when twice its energy exceeds the clip's integer
+   * mean energy, and maximal runs of active frames are the segments —
+   * the silence-trim/VAD-lite step a speech pipeline runs before
+   * chunking. Consumes any (doc_id, frame_idx, energy) table. Integer
+   * threshold + gaps-and-islands (frame_idx − row_number per doc), so
+   * the oracle recomputes every segment from the exported energies.
+   * Returns (doc_id, seg_start, seg_end, n_frames).
+   */
+  def audioSegments(energyRows: DataFrame): DataFrame = {
+    val whole = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val byIdx = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("frame_idx")
+    energyRows
+      .withColumn("msum", sum(col("energy")).over(whole))
+      .withColumn("nf", count(lit(1)).over(whole))
+      .filter(col("energy") * 2 > expr("msum div nf"))
+      .withColumn("island", col("frame_idx") - row_number().over(byIdx))
+      .groupBy("doc_id", "island")
+      .agg(min("frame_idx").cast("long").as("seg_start"),
+        max("frame_idx").cast("long").as("seg_end"),
+        count(lit(1)).as("n_frames"))
+      .select("doc_id", "seg_start", "seg_end", "n_frames")
+  }
 
   /**
    * Shot-boundary detection: a hard cut is a consecutive-frame aHash

@@ -26,6 +26,7 @@ object MultimodalQueries {
   private[graft] val VideoHashFixturePath = "/tmp/graft_fixtures/video_hashes"
   private[graft] val VideoShotsFixturePath = "/tmp/graft_fixtures/video_shots"
   private[graft] val SsimThumbFixturePath = "/tmp/graft_fixtures/ssim_thumbs"
+  private[graft] val AudioEnergyFixturePath = "/tmp/graft_fixtures/audio_energy"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // binary-column metadata over the opaque payload
@@ -288,6 +289,31 @@ object MultimodalQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // activity segmentation on the per-frame energy table (the audio
+    // twin of shot detection — the silence-trim/VAD-lite step): a frame
+    // is active when 2*energy > the clip's integer mean, segments are
+    // the maximal active runs via gaps-and-islands. Probes zero out the
+    // middle third of every 10th clip, splitting its one natural segment
+    // into two. Integer end to end after the decode kernel, so the
+    // oracle recomputes every segment from the exported energies.
+    "mm_audio_segments_verified" -> ((s, d) => {
+      import s.implicits._
+      val base = Multimodal.documentsAsToneAudio(s, d)
+      val probes = base.filter(_.doc_id % 10 == 0).map { a =>
+        val (rate, samples) = Multimodal.decodeWavPcm16(a.data).get
+        val gapped = samples.zipWithIndex.map { case (v, i) =>
+          if (i >= samples.length / 3 && i < 2 * samples.length / 3) 0.toShort
+          else v
+        }
+        a.copy(doc_id = a.doc_id + 10000000L,
+          data = Multimodal.encodeWavPcm16(gapped, rate))
+      }
+      Multimodal.audioEnergyRows(base.union(probes))
+        .write.mode("overwrite").parquet(AudioEnergyFixturePath)
+      Multimodal.audioSegments(s.read.parquet(AudioEnergyFixturePath))
+        .orderBy("doc_id", "seg_start")
+    }),
+
     // SSIM verify for image near-dup candidates (Wang et al., IEEE TIP
     // 2004, single-window form over the 8x8 thumbnail): candidates come
     // from 16-bit band collisions on the thumbnail's aHash bits, the
@@ -516,6 +542,26 @@ object MultimodalQueries {
         |FROM c x JOIN c y ON x.ahash = y.ahash AND x.doc_id < y.doc_id
         |GROUP BY 1, 2 HAVING COUNT(*) >= 2
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // recompute mean, activity threshold, and gaps-and-islands segments
+    // from the exported per-frame energies — integer end to end
+    "mm_audio_segments_verified" ->
+      s"""WITH e AS (
+        |  SELECT doc_id, frame_idx, energy
+        |  FROM read_parquet('$AudioEnergyFixturePath/*.parquet')),
+        |m AS (
+        |  SELECT doc_id, SUM(energy) // COUNT(*) AS mean FROM e GROUP BY 1),
+        |act AS (
+        |  SELECT e.doc_id, frame_idx,
+        |    frame_idx - ROW_NUMBER() OVER (
+        |      PARTITION BY e.doc_id ORDER BY frame_idx) AS island
+        |  FROM e JOIN m ON m.doc_id = e.doc_id
+        |  WHERE energy * 2 > mean)
+        |SELECT doc_id, CAST(MIN(frame_idx) AS BIGINT) AS seg_start,
+        |  CAST(MAX(frame_idx) AS BIGINT) AS seg_end,
+        |  CAST(COUNT(*) AS BIGINT) AS n_frames
+        |FROM act GROUP BY doc_id, island
+        |ORDER BY doc_id, seg_start""".stripMargin,
 
     // recompute bands, candidate collisions, and the four exact SSIM
     // factors from the exported rasters; the final two divisions + one

@@ -476,6 +476,24 @@ class MultimodalSpec extends SparkSuite {
     assert(ssim(base, inverted) < 900L, s"inversion: ${ssim(base, inverted)}")
   }
 
+  test("audio segments: a silence gap splits the clip; pure silence yields none") {
+    import spark.implicits._
+    // 6400 samples -> 64 frames of 100; frames 16..47 silenced
+    val samples = Array.tabulate(6400) { i =>
+      if (i >= 1600 && i < 4800) 0.toShort else ((i % 50) * 100 - 2500).toShort
+    }
+    val item = Multimodal.AudioItem(5L, "audio",
+      Multimodal.encodeWavPcm16(samples, 8000), 8000, 6400)
+    val silent = Multimodal.AudioItem(6L, "audio",
+      Multimodal.encodeWavPcm16(Array.fill(6400)(0.toShort), 8000), 8000, 6400)
+    val segs = Multimodal.audioSegments(
+        Multimodal.audioEnergyRows(spark.createDataset(Seq(item, silent))))
+      .orderBy("doc_id", "seg_start")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(segs === Seq((5L, 0L, 15L, 16L), (5L, 48L, 63L, 16L)),
+      segs.toString)
+  }
+
   test("shot boundaries: a hard cut is detected, a held shot is not") {
     import spark.implicits._
     // 3 frames of a left-bright pattern, then 3 of its inverse: the only
