@@ -55,6 +55,10 @@ import graft.model.VersionVector
  * sbt "runMain graft.tools.Cli <root> containment <docsParquet> [pct]"
  * sbt "runMain graft.tools.Cli <root> communities <docsParquet> [iterations]"
  * sbt "runMain graft.tools.Cli <root> pca-project <embParquet> <outParquet> [r]"
+ * sbt "runMain graft.tools.Cli <root> mmr-rerank <embParquet> <probeId> [k]"
+ * sbt "runMain graft.tools.Cli <root> neyman-sample <docsParquet> [k] [outParquet]"
+ * sbt "runMain graft.tools.Cli <root> shot-detect <videoParquet> [minHamming]"
+ * sbt "runMain graft.tools.Cli <root> audio-segments <audioParquet>"
  * }}}
  *
  * The corpus verbs (`dedup`, `bm25`) run the public
@@ -567,6 +571,61 @@ object Cli {
         proj.write.mode("overwrite").parquet(args(3))
         println(s"wrote ${spark.read.parquet(args(3)).count()} rows to ${args(3)}; " +
           s"variance shares (ppm): ${model.varSharePpm.mkString(",")}")
+      case "mmr-rerank" =>
+        // diversity re-rank around a probe vector id
+        val probe = args(3).toLong
+        val k = if (args.length > 4) args(4).toInt else 10
+        graft.operators.Mmr.rerank(embTable(spark, args(2)), probe, n = 4 * k, k = k)
+          .orderBy("rank")
+          .toLocalIterator().forEachRemaining { r =>
+            println(s"${r.getAs[Int]("rank")}\t${r.getAs[Long]("vec_id")}\t" +
+              s"${r.getAs[Long]("rel_milli")}")
+          }
+      case "neyman-sample" =>
+        // variance-optimal stratified sample of a documents parquet
+        val k = if (args.length > 3) args(3).toInt else 100
+        val out = graft.operators.CorpusOps.neymanSample(
+          spark.read.parquet(args(2)), k)
+        if (args.length > 4) {
+          out.write.mode("overwrite").parquet(args(4))
+          println(s"wrote ${spark.read.parquet(args(4)).count()} rows to ${args(4)}")
+        } else out.groupBy("lang").count().orderBy("lang")
+          .toLocalIterator().forEachRemaining { r =>
+            println(s"${r.getAs[String]("lang")}\t${r.getAs[Long]("count")}")
+          }
+      case "shot-detect" =>
+        // shot boundaries over a (doc_id, data) parquet of AVI videos
+        import spark.implicits._
+        val minH = if (args.length > 3) args(3).toInt else 16
+        val items = spark.read.parquet(args(2))
+          .select(org.apache.spark.sql.functions.col("doc_id").cast("long"),
+            org.apache.spark.sql.functions.col("data"))
+          .as[(Long, Array[Byte])]
+          .map { case (id, data) =>
+            graft.multimodal.Multimodal.VideoItem(id, "video", data, 0, 0, 0) }
+        graft.multimodal.Multimodal.shotBoundaries(
+            graft.multimodal.Multimodal.videoFrameHashes(items), minHamming = minH)
+          .orderBy("doc_id", "boundary_idx")
+          .toLocalIterator().forEachRemaining { r =>
+            println(s"${r.getAs[Long]("doc_id")}\t${r.getAs[Long]("boundary_idx")}\t" +
+              s"${r.getAs[Long]("hamming")}")
+          }
+      case "audio-segments" =>
+        // activity segments over a (doc_id, data) parquet of WAVs
+        import spark.implicits._
+        val items = spark.read.parquet(args(2))
+          .select(org.apache.spark.sql.functions.col("doc_id").cast("long"),
+            org.apache.spark.sql.functions.col("data"))
+          .as[(Long, Array[Byte])]
+          .map { case (id, data) =>
+            graft.multimodal.Multimodal.AudioItem(id, "audio", data, 0, 0) }
+        graft.multimodal.Multimodal.audioSegments(
+            graft.multimodal.Multimodal.audioEnergyRows(items))
+          .orderBy("doc_id", "seg_start")
+          .toLocalIterator().forEachRemaining { r =>
+            println(s"${r.getAs[Long]("doc_id")}\t${r.getAs[Long]("seg_start")}\t" +
+              s"${r.getAs[Long]("seg_end")}\t${r.getAs[Long]("n_frames")}")
+          }
       case other =>
         System.err.println(s"unknown verb: $other")
         sys.exit(2)
