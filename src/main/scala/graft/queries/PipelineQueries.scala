@@ -273,6 +273,34 @@ object PipelineQueries {
     // dropped (removed), % 7 = 0 are uppercased (changed), and % 17 = 0
     // reappear shifted +1000000 (added) — so BOTH engines can construct
     // the same B and the oracle checks the full-outer hash-diff logic.
+    // token-distribution drift between two snapshots (the monitoring
+    // readout after an ingest or filter change: WHICH tokens moved):
+    // per-snapshot ppm shares as exact integers (c*1e6 div N), drift =
+    // share difference, top-20 by |drift| with token tie-break. Snapshot
+    // B deterministically drops every 5th doc so both engines derive it
+    "pipe_token_drift" -> ((s, d) => {
+      val a = docs(s, d)
+      val b = a.filter(col("doc_id") % 5 =!= 0)
+      def counts(df: org.apache.spark.sql.DataFrame) = df
+        .select(explode(split(lower(trim(col("text"))), " +")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+      val ca = counts(a)
+      val cb = counts(b)
+      val tot = ca.agg(sum("c").cast("long").as("na"))
+        .crossJoin(cb.agg(sum("c").cast("long").as("nb")))
+      ca.select(col("tok"), col("c").as("c_a"))
+        .join(cb.select(col("tok"), col("c").as("c_b")), Seq("tok"), "full_outer")
+        .na.fill(0L, Seq("c_a", "c_b"))
+        .crossJoin(broadcast(tot))
+        .filter(col("c_a") + col("c_b") >= 10)
+        .withColumn("share_a_ppm", expr("c_a * 1000000L div na"))
+        .withColumn("share_b_ppm", expr("c_b * 1000000L div nb"))
+        .withColumn("drift_ppm", col("share_a_ppm") - col("share_b_ppm"))
+        .select("tok", "c_a", "c_b", "share_a_ppm", "share_b_ppm", "drift_ppm")
+        .orderBy(abs(col("drift_ppm")).desc, col("tok"))
+        .limit(20)
+    }),
+
     "pipe_corpus_diff" -> ((s, d) => {
       val a = docs(s, d)
       val b = a.filter(col("doc_id") % 11 =!= 0)
@@ -664,6 +692,32 @@ object PipelineQueries {
   val oracles: Map[String, String] = Map(
 
     "pipe_communities" -> communitiesSql(3),
+
+    // same derived snapshot, same integer ppm shares, same ordering
+    "pipe_token_drift" ->
+      """WITH ta AS (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), ' +')) AS tok
+        |  FROM documents
+        |), tb AS (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), ' +')) AS tok
+        |  FROM documents WHERE doc_id % 5 <> 0
+        |), ca AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c_a FROM ta GROUP BY 1),
+        |cb AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c_b FROM tb GROUP BY 1),
+        |tot AS (
+        |  SELECT (SELECT SUM(c_a) FROM ca) AS na, (SELECT SUM(c_b) FROM cb) AS nb
+        |), j AS (
+        |  SELECT COALESCE(ca.tok, cb.tok) AS tok,
+        |    COALESCE(c_a, 0) AS c_a, COALESCE(c_b, 0) AS c_b
+        |  FROM ca FULL OUTER JOIN cb ON ca.tok = cb.tok
+        |)
+        |SELECT tok, c_a, c_b,
+        |  c_a * 1000000 // na AS share_a_ppm,
+        |  c_b * 1000000 // nb AS share_b_ppm,
+        |  c_a * 1000000 // na - c_b * 1000000 // nb AS drift_ppm
+        |FROM j, tot
+        |WHERE c_a + c_b >= 10
+        |ORDER BY abs(c_a * 1000000 // na - c_b * 1000000 // nb) DESC, tok
+        |LIMIT 20""".stripMargin,
 
     // the dedup_winnow selection pipeline, split train/eval on doc_id%20,
     // eval-occurrence cap, >= 2 shared fingerprints flag a pair

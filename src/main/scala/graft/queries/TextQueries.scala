@@ -173,6 +173,28 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Flesch–Kincaid readability (the classic quality feature): sentence
+    // count = punctuation-run count, syllables = vowel-group count (the
+    // standard heuristic). Counts are exact integers; the grade is
+    // floor-milli over IEEE ops written identically in both engines, with
+    // greatest(·, 1) floors making the no-punctuation degenerate case
+    // deterministic rather than a division by zero
+    "text_readability" -> ((s, d) => {
+      val nSent = size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))
+      val nWords = size(split(trim(col("text")), " +"))
+      val nSyll = size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0)))
+      docs(s, d).select(
+          col("doc_id"),
+          nSent.cast("long").as("n_sent"),
+          nWords.cast("long").as("n_words"),
+          nSyll.cast("long").as("n_syll"))
+        .withColumn("fk_milli", expr(
+          "CAST(floor(1000 * ((0.39 * (CAST(n_words AS DOUBLE) / CAST(greatest(n_sent, 1L) AS DOUBLE)))" +
+            " + (11.8 * (CAST(n_syll AS DOUBLE) / CAST(greatest(n_words, 1L) AS DOUBLE)))" +
+            " - 15.59)) AS BIGINT)"))
+        .orderBy("doc_id")
+    }),
+
     // n-gram-heuristic language ID: argmax of per-language stopword hits
     "text_langid" -> ((s, d) => {
       val scores = langPatterns.map { case (lang, pat) =>
@@ -588,6 +610,20 @@ object TextQueries {
         |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same regex counts, same greatest() floors, same IEEE op order
+    "text_readability" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS n_sent,
+        |    CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_words,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syll
+        |  FROM documents)
+        |SELECT doc_id, n_sent, n_words, n_syll,
+        |  CAST(FLOOR(1000 * ((0.39 * (CAST(n_words AS DOUBLE) / CAST(greatest(n_sent, 1) AS DOUBLE)))
+        |    + (11.8 * (CAST(n_syll AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE)))
+        |    - 15.59)) AS BIGINT) AS fk_milli
+        |FROM c ORDER BY doc_id""".stripMargin,
+
     // identical op order: strip controls -> trim -> collapse -> NFC;
     // RE2 \x hex classes match Java's, and nfc_normalize implements the
     // same Unicode-standard algorithm as java.text.Normalizer

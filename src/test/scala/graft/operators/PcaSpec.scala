@@ -73,6 +73,21 @@ class PcaSpec extends SparkSuite {
     assert(a == b)
   }
 
+  test("stats are mergeable: summing two halves' rows equals the whole corpus") {
+    // the incremental-training claim, made concrete: stats rows are
+    // (i, j, exact integer sum) — union + re-aggregate over two disjoint
+    // halves must be BIT-identical to one pass over the union
+    val rnd = new scala.util.Random(73)
+    val vs = (1 to 120).map(_ => Array.fill(5)(rnd.nextGaussian()))
+    val (l, r) = vs.splitAt(70)
+    val whole = Pca.stats(embDf(vs)).orderBy("i", "j").collect().toSeq
+    val merged = Pca.stats(embDf(l)).unionByName(Pca.stats(embDf(r)))
+      .groupBy("i", "j")
+      .agg(org.apache.spark.sql.functions.sum("s").cast("decimal(38,0)").as("s"))
+      .orderBy("i", "j").collect().toSeq
+    assert(whole == merged)
+  }
+
   test("fit + project: deterministic across runs; projection matches a driver recompute") {
     val rnd = new scala.util.Random(31)
     val vs = (1 to 150).map(_ => Array.fill(6)(rnd.nextGaussian()))
