@@ -208,6 +208,82 @@ object Pca {
     quantized(emb).select(col("id").as("vec_id") +: cols: _*)
   }
 
+  /**
+   * Residual-based outlier scoring: resid = 1 − Σ_c p_c² / (|q|²·|w_c|²),
+   * the fraction of a vector's energy OUTSIDE the fitted subspace — the
+   * classic PCA anomaly detector (a vector the principal components
+   * cannot explain is structurally unlike the corpus). Returns the top-k
+   * (vec_id, resid_milli), worst first, id tie-break.
+   *
+   * Determinism: na = Σqv² and nw_c = Σw_c² are exact LONGs (a unit
+   * eigenvector at the 1e9 scale has Σw² ≈ 1e18 < 2^63); the residual is
+   * a FIXED-ORDER chain of IEEE ops (left-associated term sum, each term
+   * (p·p)/(na·nw)) written identically in the DuckDB oracle. int→double
+   * conversions are correctly rounded in both engines even where p
+   * exceeds 2^53.
+   */
+  def outliers(emb: DataFrame, model: Model, k: Int = 20): DataFrame = {
+    val dims = model.wFp.length
+    val nw = model.wFp.map(_.foldLeft(0L)((a, w) => a + w * w))
+    val pCols = model.wFp.zipWithIndex.map { case (row, c) =>
+      row.zipWithIndex.map { case (w, i) => col("qv")(i) * lit(w) }
+        .reduce(_ + _).as(s"p$c")
+    }
+    val base = quantized(emb).select(
+      col("id").as("vec_id") +:
+        expr("aggregate(qv, 0L, (a, x) -> a + x * x)").as("na") +:
+        pCols.toSeq: _*)
+    val frac = (0 until dims).map { c =>
+      (col(s"p$c").cast("double") * col(s"p$c").cast("double")) /
+        (col("na").cast("double") * lit(nw(c).toDouble))
+    }.reduce(_ + _)
+    base
+      .withColumn("resid_milli",
+        floor(lit(1000.0) * (lit(1.0) - frac)).cast("long"))
+      .select("vec_id", "resid_milli")
+      .orderBy(col("resid_milli").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** DuckDB oracle for [[outliers]]: recomputes quantization, na, the 8
+    * projections, the exact nw_c sums, and the identically-ordered
+    * residual chain from the embeddings table + fixture. */
+  def outliersOracleSql(fixturePath: String, k: Int): String = {
+    val r = 8
+    val pivs = (0 until r).map(c =>
+      s"MAX(CASE WHEN comp = $c THEN p END) AS p$c").mkString(",\n    ")
+    val nws = (0 until r).map(c =>
+      s"(SELECT nw FROM nw WHERE comp = $c) AS nw$c").mkString(",\n    ")
+    val terms = (0 until r).map(c =>
+      s"((CAST(p$c AS DOUBLE) * CAST(p$c AS DOUBLE)) / (CAST(na AS DOUBLE) * CAST(nw$c AS DOUBLE)))")
+      .mkString("\n    + ")
+    s"""WITH w AS MATERIALIZED (SELECT * FROM read_parquet('$fixturePath/*.parquet')),
+       |q AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    [CAST(trunc(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+       |     FOR x IN embedding] AS qv
+       |  FROM embeddings
+       |), nw AS (SELECT comp, CAST(SUM(w.w * w.w) AS BIGINT) AS nw FROM w GROUP BY 1),
+       |na AS (
+       |  SELECT vec_id, CAST(list_sum([qv[i] * qv[i]
+       |    FOR i IN generate_series(1, len(qv))]) AS BIGINT) AS na
+       |  FROM q
+       |), proj AS (
+       |  SELECT q.vec_id, w.comp,
+       |    CAST(SUM(qv[i + 1] * w.w) AS BIGINT) AS p
+       |  FROM q, w GROUP BY 1, 2
+       |), piv AS (
+       |  SELECT vec_id, $pivs
+       |  FROM proj GROUP BY vec_id
+       |)
+       |SELECT piv.vec_id,
+       |  CAST(FLOOR(1000 * (1 - ($terms))) AS BIGINT) AS resid_milli
+       |FROM piv JOIN na ON na.vec_id = piv.vec_id,
+       |  (SELECT $nws) x
+       |ORDER BY resid_milli DESC, piv.vec_id
+       |LIMIT $k""".stripMargin
+  }
+
   /** Offset/scale for projected-space L2: shift projections nonnegative
     * (|p| <= 6.4e16 < the 7e16 offset), then drop 9 low digits so an
     * 8-dim squared distance stays inside LONG. Floor division on

@@ -196,6 +196,29 @@ object AnalyticsQueries {
         .orderBy("hour", "event_type")
     }),
 
+    // burst detection over the hourly series: an hour is a burst when its
+    // count clears mean + 2σ — squared into the exact-integer test
+    // (n·c − S)² > 4·(n·Q − S²) with n·c > S, so no float enters the
+    // verdict and the oracle matches every flagged hour. The stats row is
+    // a broadcast singleton; the series is scanned once per side
+    "q_burst_hours" -> ((s, d) => {
+      val hourly = t(s, d, "events")
+        .groupBy(date_format(date_trunc("hour", col("ts")),
+          "yyyy-MM-dd HH:mm:ss").as("hour"))
+        .agg(count(lit(1)).as("c"))
+      val stats = hourly.agg(
+        count(lit(1)).as("n"),
+        sum("c").cast("long").as("s"),
+        sum(col("c") * col("c")).cast("long").as("q"))
+      hourly.crossJoin(broadcast(stats))
+        .filter(col("n") * col("c") > col("s") &&
+          (col("n") * col("c") - col("s")) * (col("n") * col("c") - col("s"))
+            > lit(4L) * (col("n") * col("q") - col("s") * col("s")))
+        .select(col("hour"), col("c"),
+          (col("n") * col("c") - col("s")).as("excess_n"))
+        .orderBy("hour")
+    }),
+
     // gaps-and-islands sessionization (30-minute inactivity gap), ms precision
     "q_sessionize" -> ((s, d) => {
       val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -640,6 +663,21 @@ object AnalyticsQueries {
         |  COUNT(DISTINCT user_id) AS users
         |FROM events
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_burst_hours" ->
+      """WITH h AS (
+        |  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1
+        |), st AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s,
+        |    CAST(SUM(c * c) AS BIGINT) AS q
+        |  FROM h
+        |)
+        |SELECT hour, c, n * c - s AS excess_n
+        |FROM h, st
+        |WHERE n * c > s AND (n * c - s) * (n * c - s) > 4 * (n * q - s * s)
+        |ORDER BY hour""".stripMargin,
 
     "q_sessionize" ->
       """WITH marked AS (

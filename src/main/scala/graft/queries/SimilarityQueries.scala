@@ -459,6 +459,19 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // PCA-residual outliers: vectors whose energy the fitted subspace
+    // explains least — the classic structural-anomaly detector. Shares
+    // the sim_pca_project fixture (deterministic fit, identical bits);
+    // the oracle recomputes projections, exact norm sums, and the
+    // identically-ordered residual chain.
+    "sim_pca_outliers" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id").as("id"), col("v"))
+      val model = graft.operators.Pca.fit(e, r = 8)
+      graft.operators.Pca.modelTable(e, model)
+        .coalesce(1).write.mode("overwrite").parquet(PcaFixturePath)
+      graft.operators.Pca.outliers(e, model, k = 20)
+    }),
+
     // MMR diversity re-rank (Carbonell & Goldstein 1998): top-20 by
     // milli-cosine to the probe, then 10 greedy rel − max-sim steps. The
     // greedy loop is sequential BY DEFINITION and runs on the driver over
@@ -472,6 +485,8 @@ object SimilarityQueries {
 
   val oracles: Map[String, String] = Map(
     "sim_mmr_rerank" -> graft.operators.Mmr.oracleSql(0, 20, 10),
+    "sim_pca_outliers" ->
+      graft.operators.Pca.outliersOracleSql(PcaFixturePath, 20),
 
     // recompute quantization + the 8 integer projection dot products from
     // the embeddings table and the exported eigenvector fixture

@@ -173,6 +173,35 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // collocation mining: adjacent word pairs ranked by integer LIFT
+    // (1000·N·c_ab div (c_a·c_b) — the log-free monotone PMI surrogate,
+    // the same trick as BM25's rational idf): which bigrams occur far
+    // more than their unigram frequencies predict. Support floor >= 5
+    // kills noise pairs; top-20 by (lift, pair) is fully deterministic
+    // and every quantity is an exact integer, so the oracle recomputes
+    // counts, lift, and the cut
+    "text_collocations" -> ((s, d) => {
+      val words = docs(s, d)
+        .select(col("doc_id"), split(lower(trim(col("text"))), " +").as("w"))
+      val uni = words
+        .select(explode(col("w")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+      val bi = words
+        .filter(size(col("w")) >= 2)
+        .select(explode(sequence(lit(0), size(col("w")) - 2)).as("i"), col("w"))
+        .select(expr("w[i]").as("t1"), expr("w[i+1]").as("t2"))
+        .groupBy("t1", "t2").agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= 5)
+      val tot = uni.agg(sum("c").cast("long").as("n"))
+      bi.join(uni.select(col("tok").as("t1"), col("c").as("c_a")), "t1")
+        .join(uni.select(col("tok").as("t2"), col("c").as("c_b")), "t2")
+        .crossJoin(broadcast(tot))
+        .withColumn("lift_milli", expr("1000L * n * c_ab div (c_a * c_b)"))
+        .select("t1", "t2", "c_ab", "c_a", "c_b", "lift_milli")
+        .orderBy(col("lift_milli").desc, col("t1"), col("t2"))
+        .limit(20)
+    }),
+
     // Flesch–Kincaid readability (the classic quality feature): sentence
     // count = punctuation-run count, syllables = vowel-group count (the
     // standard heuristic). Counts are exact integers; the grade is
@@ -610,6 +639,28 @@ object TextQueries {
         |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same counts, same integer lift, same (lift, pair) cut
+    "text_collocations" ->
+      """WITH wd AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS w
+        |  FROM documents
+        |), uni AS (
+        |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        |    SELECT unnest(w) AS tok FROM wd) GROUP BY 1
+        |), bi AS (
+        |  SELECT t1, t2, CAST(COUNT(*) AS BIGINT) AS c_ab FROM (
+        |    SELECT u.t1, u.t2 FROM (
+        |      SELECT unnest([{'t1': w[i], 't2': w[i+1]}
+        |                     FOR i IN generate_series(1, len(w) - 1)]) AS u
+        |      FROM wd WHERE len(w) >= 2))
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 5
+        |), tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni)
+        |SELECT t1, t2, c_ab, a.c AS c_a, b.c AS c_b,
+        |  1000 * n * c_ab // (a.c * b.c) AS lift_milli
+        |FROM bi JOIN uni a ON a.tok = t1 JOIN uni b ON b.tok = t2, tot
+        |ORDER BY lift_milli DESC, t1, t2
+        |LIMIT 20""".stripMargin,
+
     // same regex counts, same greatest() floors, same IEEE op order
     "text_readability" ->
       """WITH c AS (

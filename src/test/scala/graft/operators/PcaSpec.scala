@@ -138,6 +138,37 @@ class PcaSpec extends SparkSuite {
     assert(recall >= 0.9, s"reduced-space recall $recall")
   }
 
+  test("outliers: a planted off-subspace vector ranks first with high residual") {
+    // corpus lives in an 8-dim subspace of R^24; one vector is built in
+    // the orthogonal complement (Gram-Schmidt against the mixing columns)
+    val rnd = new scala.util.Random(131)
+    val d = 24
+    val mix = Array.fill(d, 8)(rnd.nextGaussian())
+    val inSpan = (0 until 150).map { _ =>
+      val z = Array.fill(8)(rnd.nextGaussian())
+      Array.tabulate(d)(i => mix(i).zip(z).map { case (a, b) => a * b }.sum)
+    }
+    var alien = Array.fill(d)(rnd.nextGaussian())
+    for (c <- 0 until 8) {
+      val colv = Array.tabulate(d)(i => mix(i)(c))
+      val nn = colv.map(x => x * x).sum
+      val dt = alien.zip(colv).map { case (a, b) => a * b }.sum
+      alien = alien.zip(colv).map { case (a, b) => a - dt / nn * b }
+    }
+    val norm = math.sqrt(alien.map(x => x * x).sum)
+    val scaled = alien.map(_ / norm * 3)
+    val df = embDf(inSpan :+ scaled) // alien id = 150
+    val model = Pca.fit(df, r = 8)
+    val top = Pca.outliers(df, model, k = 3)
+      .as[(Long, Long)].collect()
+    // the residual is against the UNCENTERED projection while the fit is
+    // mean-centered, so the alien reads ~0.88 rather than ~1.0 — still an
+    // order of magnitude above every in-span vector
+    assert(top.head._1 === 150L, top.toSeq.toString)
+    assert(top.head._2 >= 800L, s"alien residual ${top.head._2}")
+    assert(top(1)._2 <= 200L, s"in-span runner-up ${top(1)._2}")
+  }
+
   test("project: plan is one scan — no join, no exchange") {
     val rnd = new scala.util.Random(43)
     val vs = (1 to 50).map(_ => Array.fill(4)(rnd.nextGaussian()))
