@@ -173,6 +173,48 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Heaps'-law vocabulary-growth curve: V(k) = distinct tokens whose
+    // FIRST occurrence lies in the first k% of docs (by doc_id order) —
+    // the sublinearity audit that predicts vocab-bounded state sizes
+    // (BPE tables, LM counts) at 100 TB. One token scan to min-first-doc,
+    // then a 10-row threshold aggregate; exact integers throughout
+    "text_heaps_curve" -> ((s, d) => {
+      val firsts = docs(s, d)
+        .select(col("doc_id"), explode(split(lower(trim(col("text"))), " +")).as("tok"))
+        .groupBy("tok").agg(min("doc_id").as("first_doc"))
+      val maxId = docs(s, d).agg(max("doc_id").cast("long").as("mx"))
+      firsts.crossJoin(broadcast(maxId))
+        .select(explode(sequence(lit(1), lit(10))).as("decile"),
+          col("first_doc"), col("mx"))
+        .filter(col("first_doc") * 10 <= col("decile") * col("mx"))
+        .groupBy("decile").agg(count(lit(1)).as("vocab"))
+        .orderBy("decile")
+    }),
+
+    // token-concentration Gini: ranks over (count, token) are unique, so
+    // the classic Σ(2i − n − 1)·c_(i) numerator is an exact integer and
+    // gini_milli = num·1000 div (n·Σc) is engine-exact — the one-number
+    // "how head-heavy is this corpus" readout behind the skew-join and
+    // df-cap knobs
+    "text_token_gini" -> ((s, d) => {
+      val counts = docs(s, d)
+        .select(explode(split(lower(trim(col("text"))), " +")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+      // the global rank runs over the VOCAB table (corpus-derived, df-
+      // bounded), not the corpus; at web scale (1e8+ types) swap the
+      // single-reducer window for a range-partitioned sort + per-range
+      // offset (zipWithIndex's plan) — the formula is rank-identical
+      val ranked = counts.withColumn("i",
+        row_number().over(Window.orderBy(col("c"), col("tok"))).cast("long"))
+      ranked
+        .agg(count(lit(1)).as("n_tokens"),
+          sum("c").cast("long").as("total"),
+          sum((lit(2L) * col("i") - lit(1L)) * col("c")).cast("long").as("wsum"))
+        .select(col("n_tokens"), col("total"),
+          expr("(wsum - n_tokens * total) * 1000 div (n_tokens * total)")
+            .as("gini_milli"))
+    }),
+
     // collocation mining: adjacent word pairs ranked by integer LIFT
     // (1000·N·c_ab div (c_a·c_b) — the log-free monotone PMI surrogate,
     // the same trick as BM25's rational idf): which bigrams occur far
@@ -639,6 +681,37 @@ object TextQueries {
         |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // first-occurrence doc per token, decile thresholds on max doc_id
+    "text_heaps_curve" ->
+      """WITH f AS (
+        |  SELECT tok, MIN(doc_id) AS first_doc FROM (
+        |    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), ' +')) AS tok
+        |    FROM documents)
+        |  GROUP BY 1
+        |), mx AS (SELECT MAX(doc_id) AS mx FROM documents)
+        |SELECT decile, CAST(COUNT(*) AS BIGINT) AS vocab
+        |FROM f, mx, generate_series(1, 10) AS g(decile)
+        |WHERE first_doc * 10 <= decile * mx
+        |GROUP BY decile
+        |ORDER BY decile""".stripMargin,
+
+    // same unique (count, token) ranks, same integer Gini arithmetic
+    "text_token_gini" ->
+      """WITH c AS (
+        |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        |    SELECT unnest(string_split_regex(lower(trim(text)), ' +')) AS tok
+        |    FROM documents)
+        |  GROUP BY 1
+        |), r AS (
+        |  SELECT c, CAST(ROW_NUMBER() OVER (ORDER BY c, tok) AS BIGINT) AS i
+        |  FROM c
+        |)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(c) AS BIGINT) AS total,
+        |  (CAST(SUM((2 * i - 1) * c) AS BIGINT) - COUNT(*) * SUM(c)) * 1000
+        |    // (COUNT(*) * SUM(c)) AS gini_milli
+        |FROM r""".stripMargin,
+
     // same counts, same integer lift, same (lift, pair) cut
     "text_collocations" ->
       """WITH wd AS (
