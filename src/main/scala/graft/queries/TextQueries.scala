@@ -173,6 +173,22 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // keyword-in-context concordance (corpus exploration: every "spark"
+    // occurrence with ±2 words): one in-scan explode + a clamped slice,
+    // no shuffle beyond the final sort — the grep-with-context of the
+    // catalog, fully recomputable in SQL
+    "text_concordance" -> ((s, d) => {
+      docs(s, d)
+        .select(col("doc_id"), split(lower(trim(col("text"))), " +").as("w"))
+        .select(col("doc_id"),
+          explode(expr("filter(sequence(0, size(w) - 1), i -> w[i] = 'spark')")).as("pos"),
+          col("w"))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          expr("array_join(slice(w, greatest(pos - 2, 0) + 1, " +
+            "pos + 3 - greatest(pos - 2, 0)), ' ')").as("kwic"))
+        .orderBy("doc_id", "pos")
+    }),
+
     // Heaps'-law vocabulary-growth curve: V(k) = distinct tokens whose
     // FIRST occurrence lies in the first k% of docs (by doc_id order) —
     // the sublinearity audit that predicts vocab-bounded state sizes
@@ -681,6 +697,20 @@ object TextQueries {
         |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same 0-based positions, same clamped ±2 slice
+    "text_concordance" ->
+      """WITH wd AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS w
+        |  FROM documents
+        |), occ AS (
+        |  SELECT doc_id, w, unnest([i - 1
+        |    FOR i IN generate_series(1, len(w)) IF w[i] = 'spark']) AS pos
+        |  FROM wd)
+        |SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+        |  array_to_string(w[greatest(pos - 2, 0) + 1 : pos + 3], ' ') AS kwic
+        |FROM occ
+        |ORDER BY doc_id, pos""".stripMargin,
+
     // first-occurrence doc per token, decile thresholds on max doc_id
     "text_heaps_curve" ->
       """WITH f AS (
