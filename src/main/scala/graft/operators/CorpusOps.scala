@@ -1451,13 +1451,33 @@ object CorpusOps {
   def winnowPairs(
       documents: DataFrame, k: Int = 4, w: Int = 4,
       pct: Int = 50, maxDf: Int = 1000): DataFrame = {
-    val s = documents.sparkSession
-    import s.implicits._
     val fps = winnowFingerprints(documents, k, w)
       .select(col("doc_id"), col("fp")).distinct()
     val sizes = fps.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val pairRows = fps
-      .groupBy("fp").agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+    postingPairCounts(fps, "fp", maxDf)
+      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sa"))), "doc_a")
+      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sb"))), "doc_b")
+      .withColumn("union_sz", col("sa") + col("sb") - col("common"))
+      .filter(col("common") * 100 >= col("union_sz") * pct)
+      .select(col("doc_a"), col("doc_b"), col("common"),
+        (floor(col("common") * lit(1000) / col("union_sz")) / 1000).as("score"))
+  }
+
+  /**
+   * The shared df-capped posting-list pair stage: `rows` is a DISTINCT
+   * (doc_id, `keyCol`) table; keys held by fewer than 2 or more than
+   * `maxDf` docs emit nothing (the quadratic-explosion guard every
+   * posting join here shares — over-cap keys are conservative misses,
+   * mirrored by each caller's oracle), and each surviving key's sorted
+   * posting list emits its C(df, 2) id pairs in one pass. Returns
+   * (doc_a < doc_b, common = shared key count).
+   */
+  private[graft] def postingPairCounts(
+      rows: DataFrame, keyCol: String, maxDf: Int): DataFrame = {
+    val s = rows.sparkSession
+    import s.implicits._
+    rows.groupBy(keyCol)
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")).between(2, maxDf))
       .select(col("ds")).as[Seq[Long]]
       .mapPartitions(_.flatMap { ds =>
@@ -1465,13 +1485,7 @@ object CorpusOps {
           yield (ds(i), ds(j))
       })
       .toDF("doc_a", "doc_b")
-    pairRows.groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
-      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sa"))), "doc_a")
-      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sb"))), "doc_b")
-      .withColumn("union_sz", col("sa") + col("sb") - col("common"))
-      .filter(col("common") * 100 >= col("union_sz") * pct)
-      .select(col("doc_a"), col("doc_b"), col("common"),
-        (floor(col("common") * lit(1000) / col("union_sz")) / 1000).as("score"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
   }
 
   /** Accumulated fingerprint index for [[incrementalWinnowPairs]]: the
@@ -1576,8 +1590,6 @@ object CorpusOps {
   def containmentPairs(
       documents: DataFrame, pct: Int = 90, minGrams: Int = 5,
       maxDf: Int = 1000): DataFrame = {
-    val s = documents.sparkSession
-    import s.implicits._
     val gramRows = documents
       .select(col("doc_id"), split(trim(col("text")), " +").as("wd"))
       .filter(size(col("wd")) >= 3)
@@ -1587,16 +1599,7 @@ object CorpusOps {
         expr("concat(wd[i], ' ', wd[i+1], ' ', wd[i+2])").as("gram"))
       .dropDuplicates("doc_id", "gram")
     val sizes = gramRows.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val pairRows = gramRows
-      .groupBy("gram").agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")).between(2, maxDf))
-      .select(col("ds")).as[Seq[Long]]
-      .mapPartitions(_.flatMap { ds =>
-        for (i <- ds.indices.iterator; j <- (i + 1) until ds.size)
-          yield (ds(i), ds(j))
-      })
-      .toDF("doc_a", "doc_b")
-    val common = pairRows.groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+    val common = postingPairCounts(gramRows, "gram", maxDf)
       .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sa"))), "doc_a")
       .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sb"))), "doc_b")
     val aInB = common

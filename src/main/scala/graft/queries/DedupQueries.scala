@@ -57,30 +57,20 @@ object DedupQueries {
       .select(col("doc_id"), expr("concat(w[i], ' ', w[i+1], ' ', w[i+2])").as("gram"))
       .dropDuplicates("doc_id", "gram")
     // per-gram posting lists -> pair emission in one pass (a gram⋈gram
-    // self-join evaluated the whole gram pipeline once per side); per-doc
-    // set sizes are a tiny broadcast
-    import s.implicits._
+    // self-join evaluated the whole gram pipeline once per side) via the
+    // shared [[graft.operators.CorpusOps.postingPairCounts]] stage.
+    // Document-frequency cap: a gram shared by > MaxDf docs emits no
+    // pairs. On a web corpus stop-phrases ("one of the") have df ~ 10^6
+    // and C(df,2) pair emission explodes quadratically; such grams are
+    // also uninformative for jaccard >= 0.5 (two docs half-alike share
+    // many RARE grams too, so recall at the threshold is unaffected
+    // unless docs are near-dups ONLY in boilerplate). Cap far above any
+    // df in the oracle-checked sf (max df at sf0.01 is < 500 docs), so
+    // the DuckDB hash-match still holds; DedupSpec exercises a synthetic
+    // corpus where the cap does fire. Per-doc set sizes are a tiny
+    // broadcast.
     val sizes = gramRows.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val pairRows = gramRows
-      .groupBy("gram").agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")) > 1)
-      // document-frequency cap: a gram shared by > MaxDf docs emits no
-      // pairs. On a web corpus stop-phrases ("one of the") have df ~ 10^6
-      // and C(df,2) pair emission explodes quadratically; such grams are
-      // also uninformative for jaccard >= 0.5 (two docs half-alike share
-      // many RARE grams too, so recall at the threshold is unaffected
-      // unless docs are near-dups ONLY in boilerplate). Cap far above any
-      // df in the oracle-checked sf (max df at sf0.01 is < 500 docs), so
-      // the DuckDB hash-match still holds; DedupSpec exercises a synthetic
-      // corpus where the cap does fire.
-      .filter(size(col("ds")) <= MaxGramDf)
-      .select(col("ds")).as[Seq[Long]]
-      .mapPartitions(_.flatMap { ds =>
-        for (i <- ds.indices.iterator; j <- (i + 1) until ds.size)
-          yield (ds(i), ds(j))
-      })
-      .toDF("doc_a", "doc_b")
-    pairRows.groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+    graft.operators.CorpusOps.postingPairCounts(gramRows, "gram", MaxGramDf)
       .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sa"))), "doc_a")
       .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sb"))), "doc_b")
       // integer threshold (2*common >= union) and integer-first scaling
