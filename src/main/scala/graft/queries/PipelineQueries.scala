@@ -95,6 +95,32 @@ object PipelineQueries {
         .orderBy("lang")
     }),
 
+    // composed prep over the session-5 operator family: fuzzy
+    // decontamination (winnow fingerprints vs the eval slice) → winnow
+    // near-dup drop (lower id of each flagged pair survives — the
+    // greedy pairwise rule, deterministic without a closure) → Neyman
+    // sample → per-lang report. Every stage is proven SQL, so the
+    // oracle chains the whole pipeline and the hash match proves the
+    // COMPOSITION, not just the parts.
+    "pipe_full_prep2" -> ((s, d) => {
+      val all = docs(s, d)
+      val eval = all.filter(pmod(col("doc_id"), lit(20)) === 0)
+      val train = all.filter(pmod(col("doc_id"), lit(20)) =!= 0)
+      val flagged = Ops.decontaminateFuzzy(train, eval, minShared = 2)
+        .select("doc_id").distinct()
+      val c1 = train.join(flagged, Seq("doc_id"), "left_anti")
+      val dropB = Ops.winnowPairs(c1, k = 4, w = 4, pct = 50)
+        .select(col("doc_b").as("doc_id")).distinct()
+      val c2 = c1.join(dropB, Seq("doc_id"), "left_anti")
+      val sel = Ops.neymanSample(c2, k = 50)
+      c2.join(sel.select("doc_id"), "doc_id")
+        .select(col("lang"),
+          size(split(trim(col("text")), " +")).cast("long").as("x"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum("x").cast("long").as("tokens"))
+        .orderBy("lang")
+    }),
+
     // the CDC APPLY step: rewrite the corpus with duplicate chunks
     // removed (first occurrence survives corpus-wide), reassembled in
     // position order — chunk-level C4 at content-defined boundaries.
@@ -692,6 +718,86 @@ object PipelineQueries {
   val oracles: Map[String, String] = Map(
 
     "pipe_communities" -> communitiesSql(3),
+
+    // the whole session-5 composition chained: winnow selection once,
+    // decon flag → survivor set → winnow pairs within survivors →
+    // greedy pair drop → Neyman allocation → report
+    "pipe_full_prep2" ->
+      """WITH wds AS (
+        |  SELECT doc_id, string_split_regex(trim(text), ' +') AS w FROM documents
+        |), keyed AS (
+        |  SELECT doc_id, u.pos AS pos,
+        |    CAST('0x' || substring(md5(u.gram), 1, 8) AS BIGINT) * 1048576
+        |      + (1048575 - u.pos) AS key
+        |  FROM (
+        |    SELECT doc_id,
+        |      unnest([{'pos': i - 1, 'gram': array_to_string(w[i:i+3], ' ')}
+        |              FOR i IN generate_series(1, len(w) - 3)]) AS u
+        |    FROM wds WHERE len(w) >= 4)
+        |  WHERE u.pos < 1048576
+        |), win AS (
+        |  SELECT doc_id, pos,
+        |    MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+        |                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wkey,
+        |    MAX(pos) OVER (PARTITION BY doc_id) AS maxpos
+        |  FROM keyed
+        |), fps AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id, wkey // 1048576 AS fp
+        |  FROM win WHERE pos <= greatest(maxpos - 3, 0)
+        |), te AS (
+        |  SELECT doc_id AS eval_id, fp FROM fps WHERE doc_id % 20 = 0
+        |), kept_e AS (
+        |  SELECT eval_id, fp FROM te
+        |  JOIN (SELECT fp FROM te GROUP BY fp HAVING COUNT(*) <= 1000) USING (fp)
+        |), flagged AS (
+        |  SELECT DISTINCT tr.doc_id
+        |  FROM (SELECT doc_id, fp FROM fps WHERE doc_id % 20 <> 0) tr
+        |  JOIN kept_e USING (fp)
+        |  GROUP BY tr.doc_id, eval_id HAVING COUNT(*) >= 2
+        |), c1 AS MATERIALIZED (
+        |  SELECT doc_id FROM documents
+        |  WHERE doc_id % 20 <> 0 AND doc_id NOT IN (SELECT doc_id FROM flagged)
+        |), fps1 AS MATERIALIZED (
+        |  SELECT fps.* FROM fps JOIN c1 USING (doc_id)
+        |), sizes AS (
+        |  SELECT doc_id, COUNT(*) AS sz FROM fps1 GROUP BY 1
+        |), keptf AS (
+        |  SELECT fp FROM fps1 GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND 1000
+        |), wp AS (
+        |  SELECT doc_a, doc_b FROM (
+        |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+        |    FROM fps1 a JOIN keptf USING (fp) JOIN fps1 b USING (fp)
+        |    WHERE a.doc_id < b.doc_id GROUP BY 1, 2) c
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE common * 100 >= (sa.sz + sb.sz - common) * 50
+        |), c2 AS MATERIALIZED (
+        |  SELECT d.doc_id, d.lang, d.text FROM documents d JOIN c1 USING (doc_id)
+        |  WHERE doc_id NOT IN (SELECT doc_b FROM wp)
+        |), st AS (
+        |  SELECT lang AS h, COUNT(*) AS n_h, SUM(x) AS sx, SUM(x * x) AS sxx
+        |  FROM (SELECT lang,
+        |          CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS x
+        |        FROM c2)
+        |  GROUP BY 1
+        |), wt AS (
+        |  SELECT h,
+        |    CAST(FLOOR(sqrt(CAST(n_h * sxx - sx * sx AS DOUBLE))) AS BIGINT) AS w
+        |  FROM st
+        |), a AS (
+        |  SELECT h, 50 * w // (SELECT SUM(w) FROM wt) AS alloc FROM wt
+        |), r AS (
+        |  SELECT doc_id, lang, text,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5('graft-neyman:' || CAST(doc_id AS VARCHAR)), doc_id)
+        |      AS BIGINT) AS rk
+        |  FROM c2)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(len(string_split_regex(trim(text), ' +'))) AS BIGINT) AS tokens
+        |FROM r JOIN a ON a.h = r.lang
+        |WHERE rk <= alloc
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
 
     // same derived snapshot, same integer ppm shares, same ordering
     "pipe_token_drift" ->
