@@ -1295,7 +1295,11 @@ object CorpusOps {
         // N·σ = sqrt(N·Σx² − (Σx)²): exact integer under the sqrt
         floor(sqrt((col("n_h").cast("decimal(38,0)") * col("sxx") -
           col("sx") * col("sx")).cast("double"))).cast("long").as("w"))
-    val totW = stats.agg(coalesce(sum("w"), lit(0L)).cast("long").as("tot"))
+    // greatest(tot, 1): a fully-degenerate corpus (every stratum constant
+    // length -> every weight 0) allocates zero everywhere instead of
+    // dividing by zero — and the floor changes nothing when tot > 0
+    val totW = stats.agg(
+      greatest(coalesce(sum("w"), lit(0L)).cast("long"), lit(1L)).as("tot"))
     val alloc = stats.crossJoin(broadcast(totW))
       .select(col("h"), expr(s"${k}L * w div tot").as("alloc"))
     val rk = Window.partitionBy(strataCol)
@@ -1413,6 +1417,13 @@ object CorpusOps {
    * Scale shape: one shuffle on doc_id; the two window functions share
    * the same partitioning + ordering (one sort); per-doc state is the doc
    * itself. Returns distinct (doc_id, pos, fp).
+   *
+   * Floor semantics, stated honestly: a document with fewer than `k`
+   * words has NO k-grams and therefore no fingerprints — it sits below
+   * every detection floor and is invisible to [[winnowPairs]] and
+   * [[decontaminateFuzzy]] alike (run [[exactDedup]]/[[normalizedDedup]]
+   * for sub-k-word content). Every oracle applies the identical floor,
+   * so this is a contract, not a latent mismatch.
    */
   def winnowFingerprints(
       documents: DataFrame, k: Int = 4, w: Int = 4): DataFrame = {

@@ -206,16 +206,21 @@ object AnalyticsQueries {
         .groupBy(date_format(date_trunc("hour", col("ts")),
           "yyyy-MM-dd HH:mm:ss").as("hour"))
         .agg(count(lit(1)).as("c"))
+      // DECIMAL(38,0) keeps the squared test exact far past LONG range
+      // ((n·c)² overflows int64 once hourly counts reach ~1e5 at 1e4
+      // hours); DuckDB's BIGINT sums widen to HUGEINT natively, so both
+      // engines stay exact and agree on every verdict
       val stats = hourly.agg(
-        count(lit(1)).as("n"),
-        sum("c").cast("long").as("s"),
-        sum(col("c") * col("c")).cast("long").as("q"))
+        count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("c").cast("decimal(38,0)")).as("s"),
+        sum((col("c") * col("c")).cast("decimal(38,0)")).as("q"))
       hourly.crossJoin(broadcast(stats))
-        .filter(col("n") * col("c") > col("s") &&
-          (col("n") * col("c") - col("s")) * (col("n") * col("c") - col("s"))
-            > lit(4L) * (col("n") * col("q") - col("s") * col("s")))
+        .withColumn("cd", col("c").cast("decimal(38,0)"))
+        .filter(col("n") * col("cd") > col("s") &&
+          (col("n") * col("cd") - col("s")) * (col("n") * col("cd") - col("s"))
+            > lit(4) * (col("n") * col("q") - col("s") * col("s")))
         .select(col("hour"), col("c"),
-          (col("n") * col("c") - col("s")).as("excess_n"))
+          (col("n") * col("cd") - col("s")).cast("long").as("excess_n"))
         .orderBy("hour")
     }),
 

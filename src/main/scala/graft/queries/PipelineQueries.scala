@@ -785,7 +785,7 @@ object PipelineQueries {
         |    CAST(FLOOR(sqrt(CAST(n_h * sxx - sx * sx AS DOUBLE))) AS BIGINT) AS w
         |  FROM st
         |), a AS (
-        |  SELECT h, 50 * w // (SELECT SUM(w) FROM wt) AS alloc FROM wt
+        |  SELECT h, 50 * w // greatest((SELECT SUM(w) FROM wt), 1) AS alloc FROM wt
         |), r AS (
         |  SELECT doc_id, lang, text,
         |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
@@ -1313,7 +1313,7 @@ object PipelineQueries {
         |    CAST(FLOOR(sqrt(CAST(n_h * sxx - sx * sx AS DOUBLE))) AS BIGINT) AS w
         |  FROM st
         |), a AS (
-        |  SELECT h, 100 * w // (SELECT SUM(w) FROM w) AS alloc FROM w
+        |  SELECT h, 100 * w // greatest((SELECT SUM(w) FROM w), 1) AS alloc FROM w
         |), r AS (
         |  SELECT doc_id, lang,
         |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
