@@ -71,6 +71,43 @@ class WinnowSpec extends SparkSuite {
     assert(fps.exceptAll(re).count() === 0 && re.exceptAll(fps).count() === 0)
   }
 
+  test("winnow: matches an independent driver reference on random tiny-vocab corpora") {
+    // tiny vocabulary -> the same gram recurs INSIDE one window, so the
+    // rightmost-tie rule actually decides selections (equal hashes only
+    // arise from equal grams)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def refFps(text: String, k: Int, w: Int): Set[(Long, Long)] = {
+      val words = text.trim.split(" +")
+      if (words.length < k) return Set.empty
+      val hashes = words.sliding(k).map(g =>
+        java.lang.Long.parseLong(md5hex(g.mkString(" ")).substring(0, 8), 16)).toArray
+      val n = hashes.length
+      val starts = if (n <= w) Seq(0) else 0 to (n - w)
+      starts.map { s0 =>
+        val end = math.min(s0 + w - 1, n - 1)
+        var best = s0
+        for (i <- s0 + 1 to end)
+          if (hashes(i) <= hashes(best)) best = i // <= : rightmost tie
+        (best.toLong, hashes(best))
+      }.toSet
+    }
+    val rnd = new scala.util.Random(167)
+    val vocab = Array("aa", "bb", "cc")
+    val corpora = (1L to 30L).map { id =>
+      val len = 2 + rnd.nextInt(30)
+      (id, Seq.fill(len)(vocab(rnd.nextInt(3))).mkString(" "))
+    }
+    val got = CorpusOps.winnowFingerprints(corpora.toDF("doc_id", "text"), k = 2, w = 4)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    corpora.foreach { case (id, text) =>
+      val want = refFps(text, 2, 4)
+      assert(got.getOrElse(id, Set.empty) === want, s"doc $id: '$text'")
+    }
+  }
+
   test("winnow: short doc (< w grams) still fingerprints via its global min") {
     // 5 words -> 2 grams at k=4, fewer than w=4: exactly one selection
     val fps = CorpusOps.winnowFingerprints(
