@@ -1499,6 +1499,52 @@ object CorpusOps {
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
   }
 
+  /**
+   * Exact WEIGHTED (multiset) Jaccard near-dup: Σ min(tf_a, tf_b) /
+   * Σ max(tf_a, tf_b) over word-trigram term frequencies — the
+   * repetition-sensitive resemblance the distinct-set detectors ignore
+   * (a doc that repeats one paragraph 50 times has the same distinct
+   * gram SET as one copy; the multisets differ 50-fold). Using
+   * Σmax = T_a + T_b − Σmin, everything is exact integers: the posting
+   * join accumulates shared minima, totals ride a broadcast, and the
+   * threshold test is 2·Σmin ≥ T_a + T_b − Σmin. Same df-capped posting
+   * discipline as every pair stage here (cap counts DOCS holding the
+   * gram, conservative-miss on over-cap grams, mirrored by the oracle).
+   * Returns (doc_a < doc_b, smin, wjac).
+   */
+  def weightedJaccardPairs(
+      documents: DataFrame, pct: Int = 50, maxDf: Int = 1000): DataFrame = {
+    val s = documents.sparkSession
+    import s.implicits._
+    val tf = documents
+      .select(col("doc_id"), split(trim(col("text")), " +").as("wd"))
+      .filter(size(col("wd")) >= 3)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), size(col("wd")) - 3)).as("i"), col("wd"))
+      .select(col("doc_id"),
+        expr("concat(wd[i], ' ', wd[i+1], ' ', wd[i+2])").as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("tf"))
+    val totals = tf.groupBy("doc_id").agg(sum("tf").cast("long").as("t"))
+    val pairMins = tf
+      .groupBy("gram")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("tf")))).as("ds"))
+      .filter(size(col("ds")).between(2, maxDf))
+      .select(col("ds")).as[Seq[(Long, Long)]]
+      .mapPartitions(_.flatMap { ds =>
+        for (i <- ds.indices.iterator; j <- (i + 1) until ds.size)
+          yield (ds(i)._1, ds(j)._1, math.min(ds(i)._2, ds(j)._2))
+      })
+      .toDF("doc_a", "doc_b", "m")
+      .groupBy("doc_a", "doc_b").agg(sum("m").cast("long").as("smin"))
+    pairMins
+      .join(broadcast(totals.select(col("doc_id").as("doc_a"), col("t").as("ta"))), "doc_a")
+      .join(broadcast(totals.select(col("doc_id").as("doc_b"), col("t").as("tb"))), "doc_b")
+      .withColumn("smax", col("ta") + col("tb") - col("smin"))
+      .filter(col("smin") * 100 >= col("smax") * pct)
+      .select(col("doc_a"), col("doc_b"), col("smin"),
+        (floor(col("smin") * lit(1000) / col("smax")) / 1000).as("wjac"))
+  }
+
   /** Accumulated fingerprint index for [[incrementalWinnowPairs]]: the
     * distinct (doc_id, fp) postings of history — append each processed
     * batch's index (typically from `foreachBatch`), like

@@ -424,6 +424,14 @@ object DedupQueries {
         ngramJaccardPairs(dd))
     }),
 
+    // exact WEIGHTED jaccard: multiset trigram resemblance — repetition-
+    // sensitive where every distinct-set detector above is blind. Full
+    // DuckDB recompute (tf tables, shared-min posting join, integer
+    // threshold) from raw text
+    "dedup_weighted_jaccard" -> ((s, d) =>
+      graft.operators.CorpusOps.weightedJaccardPairs(docs(s, d), pct = 50)
+        .orderBy("doc_a", "doc_b")),
+
     // cross-source duplication matrix: near-dup pairs bucketed by the
     // (source_a <= source_b) label pair — "is crawl duplicating wiki?",
     // the provenance readout that decides which source to dedup AGAINST.
@@ -575,6 +583,34 @@ object DedupQueries {
         |JOIN sizes sa ON sa.doc_id = doc_a
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE common * 100 >= (sa.sz + sb.sz - common) * 50
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // tf tables, df-capped shared-min join, integer threshold and score
+    "dedup_weighted_jaccard" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), ' +') AS w FROM documents
+        |), g AS (
+        |  SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+        |    SELECT doc_id,
+        |      unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |              FOR i IN generate_series(1, len(w) - 2)]) AS gram
+        |    FROM t WHERE len(w) >= 3)
+        |  GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS t FROM g GROUP BY 1
+        |), kept AS (
+        |  SELECT gram FROM g GROUP BY gram HAVING COUNT(*) BETWEEN 2 AND 1000
+        |), m AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(SUM(least(a.tf, b.tf)) AS BIGINT) AS smin
+        |  FROM g a JOIN kept USING (gram) JOIN g b USING (gram)
+        |  WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_a, doc_b, smin,
+        |  FLOOR(smin * 1000 / (ta.t + tb.t - smin)) / 1000 AS wjac
+        |FROM m JOIN tot ta ON ta.doc_id = doc_a JOIN tot tb ON tb.doc_id = doc_b
+        |WHERE smin * 100 >= (ta.t + tb.t - smin) * 50
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // jaccard pair derivation + source labels + canonical label-pair agg

@@ -137,6 +137,37 @@ class WinnowSpec extends SparkSuite {
     assert(n === 0)
   }
 
+  // ------------------------------------------------- weightedJaccardPairs
+
+  test("weighted jaccard separates repetition the distinct-set detector cannot see") {
+    val p = (1 to 20).map(i => s"par${i}w").mkString(" ")
+    val docs = mkDocs(
+      (1L, p),                                  // one copy
+      (2L, Seq.fill(10)(p).mkString(" ")),      // ten copies
+      (3L, Seq.fill(10)(p).mkString(" ")))      // ten copies again
+    // distinct-set jaccard calls (1, 2) near-identical — the SETS agree
+    val setPairs = graft.queries.DedupQueries.ngramJaccardPairs(docs)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(setPairs.contains((1L, 2L)))
+    // the multiset view sees the 10x repetition: (1, 2) drops below 0.5,
+    // while the equal-multiset pair (2, 3) scores 1.0
+    val w = CorpusOps.weightedJaccardPairs(docs, pct = 50)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(!w.contains((1L, 2L)), w.toString)
+    assert(w.contains((2L, 3L)), w.toString)
+  }
+
+  test("weighted jaccard: repartition invariant, no cartesian") {
+    val p = (1 to 15).map(i => s"wj${i}").mkString(" ")
+    val docs = mkDocs((1L, p + " " + p), (2L, p + " " + p), (3L, "other words here now"))
+    val a = CorpusOps.weightedJaccardPairs(docs)
+    val b = CorpusOps.weightedJaccardPairs(docs.repartition(5))
+    assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
+    val plan = a.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   // ------------------------------------------------------- detectorAudit
 
   test("detectorAudit: counts and milli ratios on hand pairs; empty sides sentinel") {
