@@ -1500,6 +1500,65 @@ object CorpusOps {
   }
 
   /**
+   * Hybrid retrieval with reciprocal-rank fusion (Cormack, Clarke &
+   * Buettcher, SIGIR 2009): the same query runs through BM25 (lexical)
+   * AND an integer dot product against the query's hashed-TF-IDF vector
+   * (the sparse-"semantic" leg on [[hashedTfidf]]'s shared space), and
+   * rrf = Σ_r floor(1e6 / (60 + rank_r)) fuses the two rank lists — the
+   * standard hybrid-search shape, robust to either retriever's score
+   * scale because only RANKS enter the fusion. Every fusion quantity is
+   * an exact integer (ranks, integer division), so the oracle recomputes
+   * both retrievers and the fusion.
+   *
+   * Scale shape: BM25 is the proven one-scan + broadcast-stats plan with
+   * a TakeOrdered top-N; the vector leg joins the corpus's sparse rows
+   * against a ≤|terms|-row broadcast query vector and reranks through
+   * the bounded heap; the fusion full-outer join touches 2·topN rows.
+   * Returns the top `k` (doc_id, rank_bm25, rank_vec, rrf), missing
+   * ranks as −1.
+   */
+  def hybridRrf(
+      documents: DataFrame, terms: Seq[String], topN: Int = 20,
+      k: Int = 10, rrfK: Int = 60, buckets: Int = 64): DataFrame = {
+    require(terms.nonEmpty && topN >= k, s"need terms and topN >= k")
+    val bmRank = Window.orderBy(col("score").desc, col("doc_id"))
+    // the window runs over bm25's ALREADY top-N-limited output (<= topN
+    // rows) — not a corpus-sized sort
+    val bm = bm25(documents, terms, topN)
+      .select(col("doc_id"), row_number().over(bmRank).cast("long").as("rank_bm25"))
+    val words = documents.select(col("doc_id"),
+      explode(split(lower(trim(col("text"))), " +")).as("term"))
+    val nDocs = documents.agg(count(lit(1)).as("n_docs"))
+    val h = md5(col("term"))
+    val qvec = words.filter(col("term").isin(terms: _*))
+      .groupBy("term").agg(countDistinct("doc_id").as("df"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", expr("n_docs * 10000L div df"))
+      .withColumn("bucket", conv(substring(h, 1, 8), 16, 10).cast("long") % buckets)
+      .withColumn("sgn", when(
+        conv(substring(h, 9, 1), 16, 10).cast("long") % 2 === 0, 1L).otherwise(-1L))
+      .groupBy("bucket").agg(sum(col("sgn") * col("score")).as("qw"))
+      .filter(col("qw") =!= 0L)
+    val vecScores = hashedTfidf(documents, buckets)
+      .join(broadcast(qvec), "bucket")
+      .groupBy("doc_id").agg(sum(col("weight") * col("qw")).as("dot"))
+      .filter(col("dot") > 0)
+    val vec = TopK.topKPerKey(vecScores.withColumn("g", lit(1)),
+        Seq("g"), struct(col("dot"), -col("doc_id")), Seq("doc_id"), topN)
+      .select(col("doc_id"), col("rn").cast("long").as("rank_vec"))
+    bm.join(vec, Seq("doc_id"), "full_outer")
+      .na.fill(-1L, Seq("rank_bm25", "rank_vec"))
+      .withColumn("rrf",
+        when(col("rank_bm25") > 0,
+          expr(s"1000000L div (${rrfK}L + rank_bm25)")).otherwise(0L) +
+        when(col("rank_vec") > 0,
+          expr(s"1000000L div (${rrfK}L + rank_vec)")).otherwise(0L))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(k)
+      .select("doc_id", "rank_bm25", "rank_vec", "rrf")
+  }
+
+  /**
    * Exact WEIGHTED (multiset) Jaccard near-dup: Σ min(tf_a, tf_b) /
    * Σ max(tf_a, tf_b) over word-trigram term frequencies — the
    * repetition-sensitive resemblance the distinct-set detectors ignore

@@ -571,6 +571,16 @@ object TextQueries {
       graft.operators.CorpusOps.bm25(
         docs(s, d), terms = Seq("spark", "window", "merge"), k = 50)),
 
+    // hybrid search: BM25 (lexical) + integer-dot retrieval against the
+    // query's hashed-TF-IDF vector, fused by reciprocal-rank fusion
+    // (Cormack et al. 2009) — rank-only fusion, immune to score-scale
+    // mismatch between the legs. Exact integers end to end, so the
+    // oracle recomputes BOTH retrievers and the fusion
+    "text_hybrid_rrf" -> ((s, d) =>
+      graft.operators.CorpusOps.hybridRrf(
+          docs(s, d), Seq("spark", "window", "merge"), topN = 20, k = 10)
+        .orderBy(col("rrf").desc, col("doc_id"))),
+
     // deterministic train/valid/test split (12/2/2 sixteenths) from the
     // first hex nibble of a salted hash: membership is a pure function of
     // doc_id, so the split is stable under repartitioning and incremental
@@ -1173,6 +1183,86 @@ object TextQueries {
         |WHERE ('0x' || substring(md5('graft-wt:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT * 1000
         |      < n_chars * 268435456
         |ORDER BY doc_id""".stripMargin,
+
+    // both retrievers + the integer fusion recomputed: the BM25 leg is
+    // the proven text_bm25 arithmetic, the vector leg the proven
+    // sim_text_knn hashed space with the query folded through the same
+    // df weighting, fusion is integer division on ranks
+    "text_hybrid_rrf" ->
+      """WITH scored AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\bspark\b')) AS BIGINT) AS tf_spark,
+        |    CAST(len(regexp_extract_all(text, '\bwindow\b')) AS BIGINT) AS tf_window,
+        |    CAST(len(regexp_extract_all(text, '\bmerge\b')) AS BIGINT) AS tf_merge,
+        |    CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS dl
+        |  FROM documents),
+        |stats AS (
+        |  SELECT COUNT(*) AS n_docs,
+        |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+        |    SUM(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS df_spark,
+        |    SUM(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS df_window,
+        |    SUM(CASE WHEN tf_merge > 0 THEN 1 ELSE 0 END) AS df_merge
+        |  FROM scored),
+        |bscore AS (
+        |  SELECT doc_id,
+        |    (CAST(n_docs AS DOUBLE) - CAST(df_spark AS DOUBLE) + 0.5) / (CAST(df_spark AS DOUBLE) + 0.5)
+        |      * (CAST(tf_spark AS DOUBLE) * 2.2)
+        |      / (CAST(tf_spark AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+        |    + (CAST(n_docs AS DOUBLE) - CAST(df_window AS DOUBLE) + 0.5) / (CAST(df_window AS DOUBLE) + 0.5)
+        |      * (CAST(tf_window AS DOUBLE) * 2.2)
+        |      / (CAST(tf_window AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+        |    + (CAST(n_docs AS DOUBLE) - CAST(df_merge AS DOUBLE) + 0.5) / (CAST(df_merge AS DOUBLE) + 0.5)
+        |      * (CAST(tf_merge AS DOUBLE) * 2.2)
+        |      / (CAST(tf_merge AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)) AS score
+        |  FROM scored, stats),
+        |br AS (
+        |  SELECT doc_id,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank_bm25
+        |  FROM (SELECT * FROM bscore WHERE score > 0
+        |        ORDER BY score DESC, doc_id LIMIT 20)),
+        |w AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), ' +')) AS term
+        |  FROM documents
+        |), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+        |dft AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY 1),
+        |sc AS (
+        |  SELECT doc_id, tf * (n_docs * 10000 // df) AS score,
+        |    CAST('0x' || substring(md5(term), 1, 8) AS BIGINT) % 64 AS bucket,
+        |    CASE WHEN CAST('0x' || substring(md5(term), 9, 1) AS BIGINT) % 2 = 0
+        |      THEN 1 ELSE -1 END AS sgn
+        |  FROM tf JOIN dft USING (term), n),
+        |v AS (
+        |  SELECT doc_id, bucket, CAST(SUM(sgn * score) AS BIGINT) AS weight
+        |  FROM sc GROUP BY 1, 2 HAVING SUM(sgn * score) <> 0),
+        |qv AS (
+        |  SELECT bucket, CAST(SUM(sgn * sc0) AS BIGINT) AS qw FROM (
+        |    SELECT (n_docs * 10000 // df) AS sc0,
+        |      CAST('0x' || substring(md5(term), 1, 8) AS BIGINT) % 64 AS bucket,
+        |      CASE WHEN CAST('0x' || substring(md5(term), 9, 1) AS BIGINT) % 2 = 0
+        |        THEN 1 ELSE -1 END AS sgn
+        |    FROM dft, n WHERE term IN ('spark', 'window', 'merge'))
+        |  GROUP BY 1 HAVING SUM(sgn * sc0) <> 0),
+        |vs AS (
+        |  SELECT doc_id, CAST(SUM(weight * qw) AS BIGINT) AS dot
+        |  FROM v JOIN qv USING (bucket)
+        |  GROUP BY 1 HAVING SUM(weight * qw) > 0),
+        |vr AS (
+        |  SELECT doc_id,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY dot DESC, doc_id) AS BIGINT) AS rank_vec
+        |  FROM vs),
+        |vr20 AS (SELECT * FROM vr WHERE rank_vec <= 20),
+        |f AS (
+        |  SELECT COALESCE(br.doc_id, vr20.doc_id) AS doc_id,
+        |    COALESCE(rank_bm25, -1) AS rank_bm25,
+        |    COALESCE(rank_vec, -1) AS rank_vec
+        |  FROM br FULL OUTER JOIN vr20 ON br.doc_id = vr20.doc_id)
+        |SELECT doc_id, rank_bm25, rank_vec,
+        |  (CASE WHEN rank_bm25 > 0 THEN 1000000 // (60 + rank_bm25) ELSE 0 END
+        |   + CASE WHEN rank_vec > 0 THEN 1000000 // (60 + rank_vec) ELSE 0 END) AS rrf
+        |FROM f
+        |ORDER BY rrf DESC, doc_id
+        |LIMIT 10""".stripMargin,
 
     "text_bm25" ->
       """WITH scored AS (
