@@ -59,6 +59,8 @@ import graft.model.VersionVector
  * sbt "runMain graft.tools.Cli <root> neyman-sample <docsParquet> [k] [outParquet]"
  * sbt "runMain graft.tools.Cli <root> shot-detect <videoParquet> [minHamming]"
  * sbt "runMain graft.tools.Cli <root> audio-segments <audioParquet>"
+ * sbt "runMain graft.tools.Cli <root> weighted-dedup <docsParquet> [pct]"
+ * sbt "runMain graft.tools.Cli <root> hybrid-search <docsParquet> <term> [term...]"
  * }}}
  *
  * The corpus verbs (`dedup`, `bm25`) run the public
@@ -571,6 +573,27 @@ object Cli {
         proj.write.mode("overwrite").parquet(args(3))
         println(s"wrote ${spark.read.parquet(args(3)).count()} rows to ${args(3)}; " +
           s"variance shares (ppm): ${model.varSharePpm.mkString(",")}")
+      case "weighted-dedup" =>
+        // exact multiset-jaccard near-dup over a documents parquet
+        val pct = if (args.length > 3) args(3).toInt else 50
+        graft.operators.CorpusOps
+          .weightedJaccardPairs(docsTable(spark, args(2)), pct = pct)
+          .orderBy("doc_a", "doc_b")
+          .toLocalIterator().forEachRemaining { r =>
+            println(s"${r.getAs[Long]("doc_a")}\t${r.getAs[Long]("doc_b")}\t" +
+              s"${r.getAs[java.math.BigDecimal]("wjac")}")
+          }
+      case "hybrid-search" =>
+        // BM25 + hashed-vector retrieval fused by RRF
+        val terms = args.drop(3).toSeq
+        graft.operators.CorpusOps
+          .hybridRrf(docsTable(spark, args(2)), terms, topN = 20, k = 10)
+          .orderBy(org.apache.spark.sql.functions.col("rrf").desc,
+            org.apache.spark.sql.functions.col("doc_id"))
+          .toLocalIterator().forEachRemaining { r =>
+            println(s"${r.getAs[Long]("doc_id")}\trrf=${r.getAs[Long]("rrf")}\t" +
+              s"bm25=${r.getAs[Long]("rank_bm25")}\tvec=${r.getAs[Long]("rank_vec")}")
+          }
       case "mmr-rerank" =>
         // diversity re-rank around a probe vector id
         val probe = args(3).toLong
