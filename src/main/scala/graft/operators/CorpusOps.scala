@@ -1391,6 +1391,46 @@ object CorpusOps {
     labels.select(col("doc_id"), col("lbl").as("community"))
   }
 
+  /**
+   * k-core peeling over the co-chunk graph (fixed rounds of the classic
+   * degree-< k removal) — the dense-core extractor: after [[docGraphPageRank]]
+   * ranks and [[docGraphCommunities]] partitions, the k-core isolates the
+   * subgraph where EVERY member keeps >= k in-core connections (template
+   * farms, mirror clusters — structures a pair threshold can't see).
+   * Fixed `rounds` keeps it a pure function of the graph (the full core
+   * is the fixpoint; each extra round only removes — the spec pins
+   * convergence on its fixture, and survivors report their end-state
+   * in-core degree honestly either way). Returns (doc_id, deg).
+   *
+   * Scale shape: the df-capped edge table materializes once; each round
+   * is two semi-join-shaped hash joins on node ids + one degree count.
+   */
+  def docGraphKCore(
+      documents: DataFrame, kCore: Int = 3, rounds: Int = 3,
+      maxChunkDocs: Int = 50): DataFrame = {
+    val chunks = docChunks(documents).distinct()
+    val keep = chunks.groupBy("chunk")
+      .agg(countDistinct("doc_id").as("df"))
+      .filter(col("df").between(2, maxChunkDocs))
+      .select("chunk")
+    val kept = chunks.join(keep, "chunk")
+    val edges = kept.as("a").join(kept.as("b"), "chunk")
+      .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    def coreDegrees(alive: DataFrame): DataFrame =
+      edges
+        .join(alive.select(col("doc_id").as("src")), "src")
+        .join(alive.select(col("doc_id").as("dst")), "dst")
+        .groupBy("src").agg(count(lit(1)).as("deg"))
+    var alive = edges.select(col("src").as("doc_id")).distinct()
+    for (_ <- 1 to rounds)
+      alive = coreDegrees(alive).filter(col("deg") >= kCore)
+        .select(col("src").as("doc_id"))
+    coreDegrees(alive).select(col("src").as("doc_id"), col("deg"))
+  }
+
   /** Position budget for the winnowing key packing: positions at or above
     * the cap are dropped (documented truncation — a 2^20-word document is
     * ~5 MB of text; raise the pack width before hitting it in practice). */

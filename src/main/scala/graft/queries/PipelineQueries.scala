@@ -598,6 +598,12 @@ object PipelineQueries {
       Ops.docGraphCommunities(docs(s, d), iterations = 3, maxChunkDocs = 50)
         .orderBy("doc_id")),
 
+    // k-core peel on the same graph: three rounds of degree-<3 removal
+    // isolate the dense core; fixed rounds -> the oracle unrolls them
+    "pipe_kcore" -> ((s, d) =>
+      Ops.docGraphKCore(docs(s, d), kCore = 3, rounds = 3, maxChunkDocs = 50)
+        .orderBy("doc_id")),
+
     "pipe_zorder" -> ((s, d) => {
       graft.expressions.GraftExtensions.register(s)
       val base = events(s, d).select(
@@ -715,9 +721,42 @@ object PipelineQueries {
        |SELECT doc_id, lbl AS community FROM l$iterations ORDER BY doc_id""".stripMargin
   }
 
+  /** Unrolled k-core peel rounds over the shared co-chunk edge CTEs. */
+  private def kcoreSql(kCore: Int, rounds: Int): String = {
+    val iters = (1 to rounds).map { i =>
+      s"""d$i AS (
+         |  SELECT e.src, COUNT(*) AS deg
+         |  FROM e JOIN a${i - 1} x ON e.src = x.doc_id
+         |         JOIN a${i - 1} y ON e.dst = y.doc_id
+         |  GROUP BY 1),
+         |a$i AS (SELECT src AS doc_id FROM d$i WHERE deg >= $kCore)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(trim(text), ' +') AS w FROM documents
+       |), c AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest([array_to_string(w[1+10*i : 10+10*i], ' ')
+       |            FOR i IN generate_series(0, CAST(floor((len(w)-1)/10) AS INT))]) AS chunk
+       |  FROM t
+       |), keep AS (
+       |  SELECT chunk FROM c GROUP BY chunk HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 50
+       |), e AS MATERIALIZED (
+       |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+       |  FROM c a JOIN c b USING (chunk) JOIN keep USING (chunk)
+       |  WHERE a.doc_id <> b.doc_id
+       |), a0 AS (SELECT DISTINCT src AS doc_id FROM e),
+       |$iters
+       |SELECT e.src AS doc_id, CAST(COUNT(*) AS BIGINT) AS deg
+       |FROM e JOIN a$rounds x ON e.src = x.doc_id
+       |       JOIN a$rounds y ON e.dst = y.doc_id
+       |GROUP BY 1 ORDER BY doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
 
     "pipe_communities" -> communitiesSql(3),
+
+    "pipe_kcore" -> kcoreSql(3, 3),
 
     // the whole session-5 composition chained: winnow selection once,
     // decon flag → survivor set → winnow pairs within survivors →

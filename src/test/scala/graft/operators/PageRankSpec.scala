@@ -100,6 +100,26 @@ class PageRankSpec extends SparkSuite {
     assert(labels(1L) === labels(11L), "components DO merge across the bridge")
   }
 
+  test("k-core: a 5-clique survives the k=3 peel, a star is fully peeled; fixpoint reached") {
+    import spark.implicits._
+    def chunk(tag: String): String = (1 to 10).map(i => s"$tag$i").mkString(" ")
+    // clique: docs 1-5 share one chunk (complete K5, degree 4 each);
+    // star: hub 20 shares a DISTINCT chunk with each of 21-24 (hub degree
+    // 4, leaves degree 1 -> leaves peel, then the hub)
+    val docs = (Seq(1L, 2L, 3L, 4L, 5L).map(id => (id, chunk("k"))) ++
+      Seq((20L, (1 to 4).map(i => chunk(s"s$i")).mkString(" "))) ++
+      (1 to 4).map(i => (20L + i, chunk(s"s$i"))))
+      .toDF("doc_id", "text")
+    val core = CorpusOps.docGraphKCore(docs, kCore = 3, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core.keySet === Set(1L, 2L, 3L, 4L, 5L), core.toString)
+    assert(core.values.forall(_ === 4L), core.toString)
+    // fixpoint: one more round changes nothing
+    val more = CorpusOps.docGraphKCore(docs, kCore = 3, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(more === core)
+  }
+
   test("LPA: deterministic across partitionings") {
     import spark.implicits._
     val rnd = new scala.util.Random(41)
