@@ -215,6 +215,27 @@ object ScalarQueries {
     // rows (~2*slack*n/accuracy ranks per target regardless of n). Same
     // values as percentile()/quantile_cont, no unbounded buffer AND no
     // per-group full sort (q_stats_suite's remaining parallelism floor).
+    // median absolute deviation (the robust spread statistic): two exact
+    // quantile passes — per-group median, then the median of absolute
+    // deviations. Run on the integer-valued quantity column so every
+    // interpolated midpoint is an exact binary half and both engines'
+    // doubles agree bit-for-bit (a fractional-cents column would leave
+    // the deviations one ulp apart across engines)
+    "q_mad" -> ((s, d) => {
+      val li = Tables.load(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity").cast("double").as("x"))
+      val med = graft.operators.Quantiles
+        .exactQuantiles(li, Seq("l_returnflag"), "x", Seq(0.5))
+        .select(col("l_returnflag"), col("q_0").as("med"))
+      val dev = li.join(broadcast(med), "l_returnflag")
+        .withColumn("d", abs(col("x") - col("med")))
+      graft.operators.Quantiles
+        .exactQuantiles(dev, Seq("l_returnflag"), "d", Seq(0.5))
+        .join(broadcast(med), "l_returnflag")
+        .select(col("l_returnflag"), col("med"), col("q_0").as("mad"))
+        .orderBy("l_returnflag")
+    }),
+
     "q_exact_quantiles" -> ((s, d) => {
       def f4(c: org.apache.spark.sql.Column) = floor(c * 10000) / 10000
       graft.operators.Quantiles.exactQuantiles(
@@ -318,6 +339,16 @@ object ScalarQueries {
         |  last_day(o_orderdate) AS eom,
         |  CAST(dayofweek(o_orderdate) AS BIGINT) AS dow
         |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin,
+
+    "q_mad" ->
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |    quantile_cont(CAST(l_quantity AS DOUBLE), 0.5) AS med
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag, MIN(med) AS med,
+        |  quantile_cont(abs(CAST(l.l_quantity AS DOUBLE) - med), 0.5) AS mad
+        |FROM lineitem l JOIN m ON m.l_returnflag = l.l_returnflag
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_exact_quantiles" ->
       """SELECT l_returnflag,
