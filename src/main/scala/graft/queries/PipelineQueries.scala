@@ -39,6 +39,10 @@ object PipelineQueries {
   private[graft] val CdcFixturePath = "/tmp/graft_fixtures/cdc_spans"
   private[graft] val DocClustersFixturePath = "/tmp/graft_fixtures/doc_clusters"
 
+  /** Gzipped-JSONL export dir for `pipe_jsonl_roundtrip` (the ingest-format
+    * leg: corpora arrive as .jsonl.gz shards, not parquet). */
+  private[graft] val JsonlFixturePath = "/tmp/graft_fixtures/jsonl_docs"
+
   /** Fixture exports for the composed `pipe_full_prep` (separate paths —
     * its classifier trains on the CLEANED corpus and its spans chunk the
     * gated survivors, so sharing the single-stage fixtures would clobber
@@ -325,6 +329,66 @@ object PipelineQueries {
         .select("tok", "c_a", "c_b", "share_a_ppm", "share_b_ppm", "drift_ppm")
         .orderBy(abs(col("drift_ppm")).desc, col("tok"))
         .limit(20)
+    }),
+
+    // exact two-sample Kolmogorov-Smirnov on the per-doc token-count
+    // distribution between two corpus halves (the distribution-shift gate
+    // pipe_token_drift's per-token view doesn't give: ONE number that says
+    // "the length distribution moved"). Scale shape: the corpus collapses
+    // to (value, count_a, count_b) in one mergeable hash aggregate; the
+    // ECDF prefix scan runs over the DISTINCT-value grid only (token
+    // counts — thousands of values, not rows), so the window never sees
+    // the corpus. D is carried as the exact integer numerator
+    // max|cum_a·n_b − cum_b·n_a| (no float ECDFs to drift); the ppm value
+    // and the α=0.05 Smirnov threshold use deterministic double math on
+    // those exact integers.
+    "pipe_ks_drift" -> ((s, d) => {
+      val t = docs(s, d).select(
+        size(split(trim(col("text")), " +")).cast("long").as("v"),
+        (col("doc_id") % 2 === 0).as("in_a"))
+      val byv = t.groupBy("v").agg(
+        sum(when(col("in_a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(col("in_a"), 0L).otherwise(1L)).as("cb"))
+      val w = Window.orderBy("v")
+      val tot = byv.agg(sum("ca").as("na"), sum("cb").as("nb"))
+      byv
+        .select(col("v"), sum("ca").over(w).as("cuma"), sum("cb").over(w).as("cumb"))
+        .crossJoin(broadcast(tot))
+        .agg(max(abs(col("cuma") * col("nb") - col("cumb") * col("na"))).as("d_num"),
+          max("na").as("n_a"), max("nb").as("n_b"))
+        .select(col("n_a"), col("n_b"), col("d_num"),
+          floor(col("d_num").cast("double") * 1000000.0 /
+            (col("n_a").cast("double") * col("n_b"))).as("ks_ppm"),
+          (col("d_num").cast("double") / (col("n_a").cast("double") * col("n_b")) >
+            lit(1.358) * sqrt((col("n_a") + col("n_b")).cast("double") /
+              (col("n_a").cast("double") * col("n_b")))).as("reject_05"))
+    }),
+
+    // gzipped-JSONL round-trip (the ingest surface: web corpora arrive as
+    // .jsonl.gz shards): export the corpus as compressed JSON lines, read
+    // it back through the JSON source with an EXPLICIT schema and
+    // PERMISSIVE corrupt-record capture (schema inference would be a
+    // second full pass at 100 TB; corrupt rows must be counted, not
+    // crash the job), and prove losslessness with per-source exact
+    // aggregates against the parquet original. Splittability note: gzip
+    // shards are each single-split — parallelism = shard count, which is
+    // why the export writes multiple files rather than coalesce(1).
+    "pipe_jsonl_roundtrip" -> ((s, d) => {
+      docs(s, d)
+        .select(to_json(struct(col("doc_id"), col("source"), col("text"))).as("value"))
+        .coalesce(4)
+        .write.mode("overwrite").option("compression", "gzip").text(JsonlFixturePath)
+      s.read
+        .schema("doc_id LONG, source STRING, text STRING, _corrupt STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(JsonlFixturePath)
+        .groupBy("source").agg(
+          count(lit(1)).as("docs"),
+          sum("doc_id").as("id_sum"),
+          sum(length(col("text"))).as("chars"),
+          sum(when(col("_corrupt").isNotNull, 1L).otherwise(0L)).as("n_corrupt"))
+        .orderBy("source")
     }),
 
     "pipe_corpus_diff" -> ((s, d) => {
@@ -863,6 +927,44 @@ object PipelineQueries {
         |WHERE c_a + c_b >= 10
         |ORDER BY abs(c_a * 1000000 // na - c_b * 1000000 // nb) DESC, tok
         |LIMIT 20""".stripMargin,
+
+    // same parity split, same integer D numerator, same double chain for
+    // the ppm value and the Smirnov threshold
+    "pipe_ks_drift" ->
+      """WITH t AS (
+        |  SELECT CAST(LEN(string_split_regex(TRIM(text), ' +')) AS BIGINT) AS v,
+        |    doc_id % 2 = 0 AS in_a
+        |  FROM documents
+        |), byv AS (
+        |  SELECT v, CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+        |  FROM t GROUP BY 1
+        |), cum AS (
+        |  SELECT CAST(SUM(ca) OVER (ORDER BY v) AS BIGINT) AS cuma,
+        |    CAST(SUM(cb) OVER (ORDER BY v) AS BIGINT) AS cumb
+        |  FROM byv
+        |), tot AS (
+        |  SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb FROM byv
+        |), agg AS (
+        |  SELECT CAST(MAX(ABS(cuma * nb - cumb * na)) AS BIGINT) AS d_num,
+        |    MAX(na) AS n_a, MAX(nb) AS n_b
+        |  FROM cum CROSS JOIN tot)
+        |SELECT n_a, n_b, d_num,
+        |  CAST(FLOOR(CAST(d_num AS DOUBLE) * 1000000.0 /
+        |    (CAST(n_a AS DOUBLE) * n_b)) AS BIGINT) AS ks_ppm,
+        |  CAST(d_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b) >
+        |    1.358 * SQRT(CAST(n_a + n_b AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b))
+        |    AS reject_05
+        |FROM agg""".stripMargin,
+
+    // round-trip identity: the same per-source aggregates straight off the
+    // parquet original (losslessness = equality), zero corrupt rows
+    "pipe_jsonl_roundtrip" ->
+      """SELECT source, COUNT(*) AS docs,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(SUM(LENGTH(text)) AS BIGINT) AS chars,
+        |  CAST(0 AS BIGINT) AS n_corrupt
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     // the dedup_winnow selection pipeline, split train/eval on doc_id%20,
     // eval-occurrence cap, >= 2 shared fingerprints flag a pair

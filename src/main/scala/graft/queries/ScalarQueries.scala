@@ -236,6 +236,39 @@ object ScalarQueries {
         .orderBy("l_returnflag")
     }),
 
+    // per-group simple OLS (price-vs-quantity trend per return flag):
+    // the 100 TB regression shape — ONE hash aggregate collapses each
+    // group to six exact-BIGINT sufficient statistics (n, Σx, Σy, Σxy,
+    // Σx², Σy²; x = quantity units, y = whole-dollar price, both exact
+    // integer casts, so the sums are order-independent and mergeable),
+    // then slope/intercept/r² are scalar double arithmetic on those
+    // exact-integer-valued operands (deterministic IEEE — no Σ-order
+    // dependence survives to the float stage) floored at fixed precision.
+    // No window, no join, no second pass.
+    "q_linreg" -> ((s, d) => {
+      val t = Tables.load(s, d, "lineitem").select(
+        col("l_returnflag"),
+        col("l_quantity").cast("long").as("x"),
+        floor(col("l_extendedprice")).cast("long").as("y"))
+      val a = t.groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      val nd = col("n").cast("double")
+      val sxd = col("sx").cast("double")
+      val syd = col("sy").cast("double")
+      val num = nd * col("sxy").cast("double") - sxd * syd
+      val den = nd * col("sxx").cast("double") - sxd * sxd
+      val deny = nd * col("syy").cast("double") - syd * syd
+      a.select(col("l_returnflag"), col("n"),
+          floor(lit(1000000.0) * num / den).as("slope_ppm"),
+          floor(lit(10000.0) * (syd - num / den * sxd) / nd).as("icept_4"),
+          floor(lit(1000000.0) * num * num / (den * deny)).as("r2_ppm"))
+        .orderBy("l_returnflag")
+    }),
+
     "q_exact_quantiles" -> ((s, d) => {
       def f4(c: org.apache.spark.sql.Column) = floor(c * 10000) / 10000
       graft.operators.Quantiles.exactQuantiles(
@@ -349,6 +382,34 @@ object ScalarQueries {
         |  quantile_cont(abs(CAST(l.l_quantity AS DOUBLE) - med), 0.5) AS mad
         |FROM lineitem l JOIN m ON m.l_returnflag = l.l_returnflag
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same exact-BIGINT sufficient statistics, same double chain — every
+    // CAST sits exactly where Spark's does so the IEEE operations line up
+    "q_linreg" ->
+      """WITH t AS (
+        |  SELECT l_returnflag,
+        |    CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(FLOOR(l_extendedprice) AS BIGINT) AS y
+        |  FROM lineitem
+        |), a AS (
+        |  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x*y) AS BIGINT) AS sxy, CAST(SUM(x*x) AS BIGINT) AS sxx,
+        |    CAST(SUM(y*y) AS BIGINT) AS syy
+        |  FROM t GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  CAST(FLOOR(1000000.0 * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) AS BIGINT) AS slope_ppm,
+        |  CAST(FLOOR(10000.0 * (CAST(sy AS DOUBLE)
+        |      - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |        * CAST(sx AS DOUBLE))
+        |    / CAST(n AS DOUBLE)) AS BIGINT) AS icept_4,
+        |  CAST(FLOOR(1000000.0 * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) AS BIGINT) AS r2_ppm
+        |FROM a ORDER BY l_returnflag""".stripMargin,
 
     "q_exact_quantiles" ->
       """SELECT l_returnflag,

@@ -427,6 +427,45 @@ object SimilarityQueries {
         .orderBy("label")
     }),
 
+    // per-label mean silhouette against the label centroids (the simplified
+    // / centroid silhouette: a = distance to own centroid, b = nearest
+    // other centroid, s = (b-a)/max(a,b)) — the cluster-quality audit run
+    // before trusting labels for SemDeDup cells or hard-negative strata.
+    // Scale shape: centroids are ONE hash aggregate collapsing to
+    // |labels|·dim rows, broadcast; the corpus pays one (vec, dim) explode
+    // joined against that broadcast (rows = n·dim·|labels| — linear in n,
+    // the |labels| factor is inherent to centroid silhouette); everything
+    // downstream is per-vector then a |labels|-row aggregate. No pairwise
+    // term anywhere (full silhouette is O(n²) — exactly what this variant
+    // exists to avoid at corpus scale). Exactness: coordinates quantize to
+    // 1e6 fixed-point; centroids floor-divide on doubles (exact-integer
+    // sums, deterministic IEEE); squared distances are exact BIGINT sums;
+    // sqrt of an exact integer is correctly-rounded IEEE so the final
+    // ratio matches DuckDB bit-for-bit before its 1e6 floor.
+    "sim_silhouette" -> ((s, d) => {
+      val e = emb(s, d)
+        .select(col("vec_id"), col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+        .select(col("vec_id"), col("label"), col("pos"),
+          floor(col("x") * 1000000).cast("long").as("xfp"))
+      val cent = e.groupBy(col("label").as("clabel"), col("pos"))
+        .agg(floor(sum("xfp").cast("double") / count(lit(1))).as("cfp"))
+      val d2 = e.join(broadcast(cent), Seq("pos"))
+        .groupBy("vec_id", "label", "clabel")
+        .agg(sum((col("xfp") - col("cfp")) * (col("xfp") - col("cfp"))).as("d2"))
+      val ab = d2.groupBy("vec_id", "label").agg(
+        min(when(col("clabel") === col("label"), col("d2"))).as("a2"),
+        min(when(col("clabel") =!= col("label"), col("d2"))).as("b2"))
+      ab.select(col("vec_id"), col("label"),
+          when(col("a2") === 0 && col("b2") === 0, lit(0L))
+            .otherwise(floor(lit(1000000.0) *
+              (sqrt(col("b2").cast("double")) - sqrt(col("a2").cast("double"))) /
+              greatest(sqrt(col("a2").cast("double")), sqrt(col("b2").cast("double")))))
+            .as("s_fp"))
+        .groupBy("label").agg(count(lit(1)).as("n"),
+          floor(sum("s_fp").cast("double") / count(lit(1))).as("mean_sil_ppm"))
+        .orderBy("label")
+    }),
+
     // PCA projection, oracle-verified: the d×d eigensolve is driver-side
     // (not SQL-expressible) so the 1e9-scaled eigenvectors export as a
     // fixture — then BOTH engines recompute the fixed-point quantization
@@ -646,5 +685,39 @@ object SimilarityQueries {
         |  SELECT label, pos, SUM(x) AS sx, COUNT(*) AS n FROM flat GROUP BY 1, 2)
         |SELECT label, FLOOR(SQRT(SUM((sx / n) * (sx / n))) * 1000) / 1000 AS centroid_norm,
         |       MAX(n) AS n_vectors
-        |FROM agg GROUP BY label ORDER BY label""".stripMargin)
+        |FROM agg GROUP BY label ORDER BY label""".stripMargin,
+
+    // same 1e6 fixed-point quantization, same floor-on-double centroid,
+    // same exact-integer squared distances and IEEE sqrt ratio (positions
+    // are 1-based here vs Spark's 0-based posexplode — the join is
+    // within-engine, so only consistency matters)
+    "sim_silhouette" ->
+      """WITH f AS (
+        |  SELECT vec_id, label, t.pos,
+        |    CAST(FLOOR(CAST(embedding[t.pos] AS DOUBLE) * 1000000) AS BIGINT) AS xfp
+        |  FROM embeddings, generate_series(1, 64) AS t(pos)
+        |), cent AS (
+        |  SELECT label AS clabel, pos,
+        |    CAST(FLOOR(CAST(SUM(xfp) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cfp
+        |  FROM f GROUP BY 1, 2
+        |), d2 AS (
+        |  SELECT f.vec_id, f.label, c.clabel,
+        |    CAST(SUM((f.xfp - c.cfp) * (f.xfp - c.cfp)) AS BIGINT) AS d2
+        |  FROM f JOIN cent c USING (pos) GROUP BY 1, 2, 3
+        |), ab AS (
+        |  SELECT vec_id, label,
+        |    MIN(CASE WHEN clabel = label THEN d2 END) AS a2,
+        |    MIN(CASE WHEN clabel <> label THEN d2 END) AS b2
+        |  FROM d2 GROUP BY 1, 2
+        |), sil AS (
+        |  SELECT vec_id, label,
+        |    CASE WHEN a2 = 0 AND b2 = 0 THEN 0
+        |         ELSE CAST(FLOOR(1000000.0 *
+        |           (SQRT(CAST(b2 AS DOUBLE)) - SQRT(CAST(a2 AS DOUBLE))) /
+        |           GREATEST(SQRT(CAST(a2 AS DOUBLE)), SQRT(CAST(b2 AS DOUBLE))))
+        |           AS BIGINT) END AS s_fp
+        |  FROM ab)
+        |SELECT label, COUNT(*) AS n,
+        |  CAST(FLOOR(CAST(SUM(s_fp) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mean_sil_ppm
+        |FROM sil GROUP BY label ORDER BY label""".stripMargin)
 }

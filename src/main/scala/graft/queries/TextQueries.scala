@@ -54,6 +54,63 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // exact ROC-AUC of the trained quality score against the Gopher
+    // verdict — the audit every filter model ships with before it gates a
+    // corpus. Scale shape: the corpus collapses to (score, n_pos, n_neg)
+    // in ONE mergeable hash aggregate; the Mann-Whitney rank-sum then runs
+    // on the distinct-score grid only (a window over aggregated rows —
+    // the raw corpus never passes through a global sort). Ties get the
+    // average-rank trapezoid term n1*n0/2, carried doubled so the scan is
+    // all-integer; the single final division runs on exact-integer-valued
+    // doubles (deterministic IEEE, no Σ-order dependence), so the ppm
+    // floor is engine-identical at any corpus size.
+    "text_quality_auc" -> ((s, d) => {
+      val base = docs(s, d)
+      graft.operators.QualityModel.writeModel(base, QualityModelFixturePath)
+      val scored = graft.operators.QualityModel
+        .scoreAgainst(base, QualityModelFixturePath)
+      val byScore = scored.groupBy("score_fp").agg(
+        sum(when(col("label"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("label"), 0L).otherwise(1L)).as("n0"))
+      val w = Window.orderBy("score_fp")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      byScore
+        .withColumn("cum0", coalesce(sum("n0").over(w), lit(0L)))
+        .agg(sum(col("n1") * col("cum0") * 2 + col("n1") * col("n0")).as("u2"),
+          sum("n1").as("n_pos"), sum("n0").as("n_neg"))
+        .select(col("n_pos"), col("n_neg"),
+          floor(col("u2").cast("double") * 1000000.0 /
+            (col("n_pos").cast("double") * col("n_neg") * 2.0)).as("auc_ppm"))
+        .withColumn("gini_ppm", col("auc_ppm") * 2 - 1000000L)
+    }),
+
+    // reliability table for the same model (is a high score actually more
+    // likely to pass?): 10 equal-width bins over the observed score range
+    // — the range is a 2-long broadcast from one tiny aggregate, binning
+    // is integer arithmetic in the scan, and the result is |bins| rows.
+    // Per bin: count, label positives, predicted positives, floored mean
+    // score and positive-rate ppm. Signed means go through the
+    // floor-on-double chain (Spark `div` truncates toward zero, DuckDB
+    // `//` floors — they disagree on negatives, doubles don't).
+    "text_quality_calibration" -> ((s, d) => {
+      val base = docs(s, d)
+      graft.operators.QualityModel.writeModel(base, QualityModelFixturePath)
+      val scored = graft.operators.QualityModel
+        .scoreAgainst(base, QualityModelFixturePath)
+      val rng = scored.agg(min("score_fp").as("lo"), max("score_fp").as("hi"))
+      scored.crossJoin(broadcast(rng))
+        .withColumn("bin",
+          least(expr("(score_fp - lo) * 10 div (hi - lo + 1)"), lit(9L)))
+        .groupBy("bin").agg(
+          count(lit(1)).as("n"),
+          sum(when(col("label"), 1L).otherwise(0L)).as("n_pos"),
+          sum(when(col("predicted"), 1L).otherwise(0L)).as("n_pred"),
+          floor(sum("score_fp").cast("double") / count(lit(1)))
+            .as("mean_score_fp"))
+        .withColumn("pos_rate_ppm", expr("n_pos * 1000000 div n"))
+        .orderBy("bin")
+    }),
+
     // BPE merge training on the corpus (tokenizer learning, the capability
     // upstream of token counting): 12 merge rules from the word-frequency
     // formulation — ONE corpus-sized word-count shuffle, then per-round
@@ -706,6 +763,43 @@ object TextQueries {
         |FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
         |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin
 
+  /** Shared scored-corpus CTE chain `WITH ... scored` — (doc_id, score_fp,
+    * predicted, label) recomputed from raw text against the exported weight
+    * fixture. text_quality_model selects it directly; the AUC and
+    * calibration audits extend the chain. */
+  private lazy val qualityScoredSql: String =
+    s"""WITH wc AS (
+      |  SELECT doc_id, tok, COUNT(*) AS c FROM (
+      |    SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS tok
+      |    FROM documents)
+      |  GROUP BY 1, 2
+      |), a AS (
+      |  SELECT doc_id, SUM(c) AS n_words, SUM(len(tok) * c) AS sum_len,
+      |    COUNT(*) AS n_distinct, MAX(c) AS top_c,
+      |    SUM(CASE WHEN tok IN ('the','a','of','and','to','in') THEN c ELSE 0 END) AS n_stop
+      |  FROM wc GROUP BY 1
+      |), f AS (
+      |  SELECT doc_id,
+      |    CAST(10000 AS BIGINT) AS f0,
+      |    CAST(LEAST(n_words, 1000) * 10 AS BIGINT) AS f1,
+      |    CAST((sum_len * 10000) // n_words AS BIGINT) AS f2,
+      |    CAST((top_c * 10000) // n_words AS BIGINT) AS f3,
+      |    CAST(((n_words - n_distinct) * 10000) // n_words AS BIGINT) AS f4,
+      |    CAST((n_stop * 10000) // n_words AS BIGINT) AS f5,
+      |    (n_words BETWEEN 20 AND 100000
+      |     AND (sum_len * 10000) // n_words BETWEEN 30000 AND 100000
+      |     AND (top_c * 10000) // n_words <= 2000
+      |     AND ((n_words - n_distinct) * 10000) // n_words <= 5000
+      |     AND n_stop >= 2) AS label
+      |  FROM a
+      |), w AS (SELECT * FROM read_parquet('$QualityModelFixturePath/weights/*.parquet'))
+      |, scored AS (
+      |  SELECT doc_id,
+      |    CAST(f0*w_0 + f1*w_1 + f2*w_2 + f3*w_3 + f4*w_4 + f5*w_5 AS BIGINT) AS score_fp,
+      |    (f0*w_0 + f1*w_1 + f2*w_2 + f3*w_3 + f4*w_4 + f5*w_5 >= 500000000000) AS predicted,
+      |    label
+      |  FROM f CROSS JOIN w)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // same 0-based positions, same clamped ±2 slice
     "text_concordance" ->
@@ -877,37 +971,52 @@ object TextQueries {
     // exported weight fixture: floor integer division everywhere, so the
     // dot product is exact in both engines
     "text_quality_model" ->
-      s"""WITH wc AS (
-        |  SELECT doc_id, tok, COUNT(*) AS c FROM (
-        |    SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS tok
-        |    FROM documents)
-        |  GROUP BY 1, 2
-        |), a AS (
-        |  SELECT doc_id, SUM(c) AS n_words, SUM(len(tok) * c) AS sum_len,
-        |    COUNT(*) AS n_distinct, MAX(c) AS top_c,
-        |    SUM(CASE WHEN tok IN ('the','a','of','and','to','in') THEN c ELSE 0 END) AS n_stop
-        |  FROM wc GROUP BY 1
-        |), f AS (
-        |  SELECT doc_id,
-        |    CAST(10000 AS BIGINT) AS f0,
-        |    CAST(LEAST(n_words, 1000) * 10 AS BIGINT) AS f1,
-        |    CAST((sum_len * 10000) // n_words AS BIGINT) AS f2,
-        |    CAST((top_c * 10000) // n_words AS BIGINT) AS f3,
-        |    CAST(((n_words - n_distinct) * 10000) // n_words AS BIGINT) AS f4,
-        |    CAST((n_stop * 10000) // n_words AS BIGINT) AS f5,
-        |    (n_words BETWEEN 20 AND 100000
-        |     AND (sum_len * 10000) // n_words BETWEEN 30000 AND 100000
-        |     AND (top_c * 10000) // n_words <= 2000
-        |     AND ((n_words - n_distinct) * 10000) // n_words <= 5000
-        |     AND n_stop >= 2) AS label
-        |  FROM a
-        |), w AS (SELECT * FROM read_parquet('$QualityModelFixturePath/weights/*.parquet'))
-        |SELECT doc_id,
-        |  CAST(f0*w_0 + f1*w_1 + f2*w_2 + f3*w_3 + f4*w_4 + f5*w_5 AS BIGINT) AS score_fp,
-        |  (f0*w_0 + f1*w_1 + f2*w_2 + f3*w_3 + f4*w_4 + f5*w_5 >= 500000000000) AS predicted,
-        |  label
-        |FROM f CROSS JOIN w
+      s"""$qualityScoredSql
+        |SELECT doc_id, score_fp, predicted, label FROM scored
         |ORDER BY doc_id""".stripMargin,
+
+    // same scored corpus -> (score, n1, n0) grid -> doubled rank-sum;
+    // the one division runs on exact-integer doubles, same shape as Spark
+    "text_quality_auc" ->
+      s"""$qualityScoredSql,
+        |bys AS (
+        |  SELECT score_fp,
+        |    CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN label THEN 0 ELSE 1 END) AS BIGINT) AS n0
+        |  FROM scored GROUP BY 1
+        |), cum AS (
+        |  SELECT n1, n0, COALESCE(SUM(n0) OVER (ORDER BY score_fp
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum0
+        |  FROM bys
+        |), u AS (
+        |  SELECT CAST(SUM(n1 * cum0 * 2 + n1 * n0) AS BIGINT) AS u2,
+        |    CAST(SUM(n1) AS BIGINT) AS n_pos, CAST(SUM(n0) AS BIGINT) AS n_neg
+        |  FROM cum)
+        |SELECT n_pos, n_neg,
+        |  CAST(FLOOR(CAST(u2 AS DOUBLE) * 1000000.0 /
+        |    (CAST(n_pos AS DOUBLE) * n_neg * 2.0)) AS BIGINT) AS auc_ppm,
+        |  CAST(FLOOR(CAST(u2 AS DOUBLE) * 1000000.0 /
+        |    (CAST(n_pos AS DOUBLE) * n_neg * 2.0)) AS BIGINT) * 2 - 1000000
+        |    AS gini_ppm
+        |FROM u""".stripMargin,
+
+    // same scored corpus -> equal-width bins over the observed range;
+    // signed mean via the floor-on-double chain (`//` floors, Spark `div`
+    // truncates — doubles agree)
+    "text_quality_calibration" ->
+      s"""$qualityScoredSql,
+        |rng AS (SELECT MIN(score_fp) AS lo, MAX(score_fp) AS hi FROM scored)
+        |SELECT LEAST((score_fp - lo) * 10 // (hi - lo + 1), 9) AS bin,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  CAST(SUM(CASE WHEN predicted THEN 1 ELSE 0 END) AS BIGINT) AS n_pred,
+        |  CAST(FLOOR(CAST(SUM(score_fp) AS DOUBLE) / COUNT(*)) AS BIGINT)
+        |    AS mean_score_fp,
+        |  CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+        |    AS BIGINT) AS pos_rate_ppm
+        |FROM scored CROSS JOIN rng
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "text_perplexity" -> perplexitySql,
     "text_perplexity_model" -> perplexitySql,
 

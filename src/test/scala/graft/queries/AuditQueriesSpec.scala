@@ -1,0 +1,171 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Exactness + invariant bars for the round-7 evaluation/audit queries
+  * (ROC-AUC, calibration, centroid silhouette, KS drift, OLS, JSONL
+  * round-trip). The DuckDB oracles prove cross-engine equality; these
+  * prove the MATH — each statistic is recomputed brute-force on the
+  * collected sf0.001 corpus and compared exactly. */
+class AuditQueriesSpec extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("text_quality_auc equals the brute-force pairwise AUC exactly") {
+    val row = TextQueries.queries("text_quality_auc")(spark, sf).collect()(0)
+    val aucPpm = row.getAs[Long]("auc_ppm")
+    assert(aucPpm >= 0L && aucPpm <= 1000000L)
+    // better than chance on its own training corpus
+    assert(aucPpm > 500000L, s"trained model AUC at chance: $aucPpm")
+
+    // brute force: P(score_pos > score_neg) + 0.5 P(tie) over ALL pairs
+    val scored = graft.operators.QualityModel
+      .scoreAgainst(graft.Tables.load(spark, sf, "documents"),
+        TextQueries.QualityModelFixturePath)
+      .select("score_fp", "label").collect()
+      .map(r => (r.getAs[Long]("score_fp"), r.getAs[Boolean]("label")))
+    val pos = scored.filter(_._2).map(_._1)
+    val neg = scored.filterNot(_._2).map(_._1)
+    assert(row.getAs[Long]("n_pos") == pos.length.toLong)
+    assert(row.getAs[Long]("n_neg") == neg.length.toLong)
+    var u2 = 0L // doubled U so ties stay integer
+    for (p <- pos; n <- neg)
+      u2 += (if (p > n) 2L else if (p == n) 1L else 0L)
+    val expected = math.floor(
+      u2.toDouble * 1000000.0 / (pos.length.toDouble * neg.length * 2.0)).toLong
+    assert(aucPpm == expected, s"query $aucPpm vs brute $expected")
+    assert(row.getAs[Long]("gini_ppm") == aucPpm * 2 - 1000000L)
+  }
+
+  test("text_quality_calibration partitions the corpus and bounds rates") {
+    val rows = TextQueries.queries("text_quality_calibration")(spark, sf).collect()
+    val n = graft.Tables.load(spark, sf, "documents").count()
+    assert(rows.map(_.getAs[Long]("n")).sum == n)
+    rows.foreach { r =>
+      val bin = r.getAs[Long]("bin")
+      assert(bin >= 0L && bin <= 9L)
+      assert(r.getAs[Long]("n_pos") <= r.getAs[Long]("n"))
+      assert(r.getAs[Long]("n_pred") <= r.getAs[Long]("n"))
+      val ppm = r.getAs[Long]("pos_rate_ppm")
+      assert(ppm >= 0L && ppm <= 1000000L)
+    }
+  }
+
+  test("sim_silhouette matches a brute-force recomputation exactly") {
+    val got = SimilarityQueries.queries("sim_silhouette")(spark, sf).collect()
+      .map(r => r.getAs[Int]("label") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("mean_sil_ppm"))).toMap
+    got.values.foreach { case (_, s) =>
+      assert(s >= -1000000L && s <= 1000000L)
+    }
+
+    // brute force on the collected corpus, same fixed-point chain
+    val vecs = graft.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v")).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+        r.getSeq[Double](2).map(x => math.floor(x * 1000000).toLong).toArray))
+    val dim = vecs.head._3.length
+    val byLabel = vecs.groupBy(_._2)
+    val cents = byLabel.map { case (l, vs) =>
+      l -> Array.tabulate(dim) { i =>
+        math.floor(vs.map(_._3(i)).sum.toDouble / vs.length).toLong
+      }
+    }
+    def d2(a: Array[Long], c: Array[Long]): Long =
+      a.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum
+    val silByLabel = vecs.groupBy(_._2).map { case (l, vs) =>
+      val sfps = vs.map { case (_, lab, v) =>
+        val a2 = d2(v, cents(lab))
+        val b2 = cents.filter(_._1 != lab).values.map(c => d2(v, c)).min
+        if (a2 == 0L && b2 == 0L) 0L
+        else math.floor(1000000.0 * (math.sqrt(b2.toDouble) - math.sqrt(a2.toDouble)) /
+          math.max(math.sqrt(a2.toDouble), math.sqrt(b2.toDouble))).toLong
+      }
+      l -> (vs.length.toLong, math.floor(sfps.sum.toDouble / sfps.length).toLong)
+    }
+    assert(got == silByLabel, s"query $got vs brute $silByLabel")
+  }
+
+  test("pipe_ks_drift matches a brute-force ECDF recomputation exactly") {
+    val row = PipelineQueries.queries("pipe_ks_drift")(spark, sf).collect()(0)
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        size(split(trim(col("text")), " +")).cast("long").as("v")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("v")))
+    val a = docs.filter(_._1 % 2 == 0).map(_._2)
+    val b = docs.filter(_._1 % 2 != 0).map(_._2)
+    assert(row.getAs[Long]("n_a") == a.length.toLong)
+    assert(row.getAs[Long]("n_b") == b.length.toLong)
+    val values = (a ++ b).distinct.sorted
+    val dNum = values.map { v =>
+      math.abs(a.count(_ <= v).toLong * b.length - b.count(_ <= v).toLong * a.length)
+    }.max
+    assert(row.getAs[Long]("d_num") == dNum, s"${row.getAs[Long]("d_num")} vs $dNum")
+    val ksPpm = row.getAs[Long]("ks_ppm")
+    assert(ksPpm >= 0L && ksPpm <= 1000000L)
+    assert(ksPpm ==
+      math.floor(dNum.toDouble * 1000000.0 / (a.length.toDouble * b.length)).toLong)
+  }
+
+  test("q_linreg matches brute-force least squares on the raw rows") {
+    val rows = ScalarQueries.queries("q_linreg")(spark, sf).collect()
+    val data = graft.Tables.load(spark, sf, "lineitem")
+      .select(col("l_returnflag"),
+        col("l_quantity").cast("long").as("x"),
+        floor(col("l_extendedprice")).cast("long").as("y")).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("x"), r.getAs[Long]("y")))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val g = data(r.getString(0))
+      val n = g.length.toDouble
+      val sx = g.map(_._2).sum.toDouble
+      val sy = g.map(_._3).sum.toDouble
+      val sxy = g.map(t => t._2 * t._3).sum.toDouble
+      val sxx = g.map(t => t._2 * t._2).sum.toDouble
+      val syy = g.map(t => t._3 * t._3).sum.toDouble
+      val num = n * sxy - sx * sy
+      val den = n * sxx - sx * sx
+      assert(r.getAs[Long]("slope_ppm") == math.floor(1000000.0 * num / den).toLong)
+      assert(r.getAs[Long]("icept_4") ==
+        math.floor(10000.0 * (sy - num / den * sx) / n).toLong)
+      val r2 = r.getAs[Long]("r2_ppm")
+      assert(r2 >= 0L && r2 <= 1000000L)
+      assert(r2 == math.floor(1000000.0 * num * num / (den * (n * syy - sy * sy))).toLong)
+    }
+  }
+
+  test("jsonl read path counts corrupt rows instead of failing") {
+    val dir = tempDir("jsonl-corrupt")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/part-0.json"),
+      """{"doc_id": 1, "source": "s", "text": "good row"}
+        |this line is not json at all
+        |{"doc_id": 2, "source": "s", "text": "another good row"}
+        |{"doc_id": "not-a-number", "source": "s", "text": "type mismatch"}
+        |""".stripMargin)
+    // Spark refuses a query whose only referenced file column is the
+    // corrupt-record column (it would always be empty after pruning);
+    // cache() materializes the parse so the audit filters are legal —
+    // the catalog query avoids this by aggregating real columns alongside
+    val back = spark.read
+      .schema("doc_id LONG, source STRING, text STRING, _corrupt STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(dir)
+      .cache()
+    try {
+      assert(back.count() == 4)
+      assert(back.filter(col("_corrupt").isNotNull).count() == 2)
+      assert(back.filter(col("_corrupt").isNull && col("doc_id").isNotNull).count() == 2)
+    } finally back.unpersist()
+  }
+
+  test("pipe_jsonl_roundtrip reports zero corrupt rows on the real corpus") {
+    val rows = PipelineQueries.queries("pipe_jsonl_roundtrip")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("n_corrupt")).sum == 0L)
+  }
+}
