@@ -391,6 +391,135 @@ object PipelineQueries {
         .orderBy("source")
     }),
 
+    // curriculum schedule (easy→hard training phases): phase thresholds are
+    // the quartiles of the trained quality score, computed by the
+    // sketch-guided EXACT quantile operator (mergeable GK brackets — no
+    // unbounded buffer, no global sort), broadcast as 3 numbers; phase
+    // assignment is a stateless comparison in the scan; the readout is a
+    // (phase, source) aggregate. The corpus-sized join attaches n_chars by
+    // doc_id — co-partitioned with the score derivation, one shuffle.
+    "pipe_curriculum" -> ((s, d) => {
+      val base = docs(s, d)
+      graft.operators.QualityModel
+        .writeModel(base, TextQueries.QualityModelFixturePath)
+      val scored = graft.operators.QualityModel
+        .scoreAgainst(base, TextQueries.QualityModelFixturePath)
+        .select(col("doc_id"), col("score_fp"))
+      val qs = graft.operators.Quantiles
+        .exactQuantiles(
+          scored.withColumn("g", lit(1))
+            .withColumn("x", col("score_fp").cast("double")),
+          Seq("g"), "x", Seq(0.25, 0.5, 0.75))
+        .select(col("q_0").as("t25"), col("q_1").as("t50"), col("q_2").as("t75"))
+      scored.crossJoin(broadcast(qs))
+        .withColumn("phase",
+          when(col("score_fp") >= col("t75"), 0L)
+            .when(col("score_fp") >= col("t50"), 1L)
+            .when(col("score_fp") >= col("t25"), 2L)
+            .otherwise(3L))
+        .join(base.select("doc_id", "source", "n_chars"), "doc_id")
+        .groupBy("phase", "source")
+        .agg(count(lit(1)).as("docs"), sum("n_chars").as("chars"))
+        .orderBy("phase", "source")
+    }),
+
+    // contrastive training pairs (SimCSE/CLIP-style): anchor = words 1-8,
+    // positive = words 9-16 of the same doc; the NEGATIVE comes from a
+    // salted-hash ring — docs hash into 16 buckets, sort by hash within
+    // the bucket, each doc takes the next doc's positive chunk (wrapping).
+    // Scale shape: the ring window is PARTITIONED by bucket (no global
+    // sort; widen the bucket prefix at larger corpora), the self-join is
+    // an equi-join on (bucket, ring position). Deterministic: the hash is
+    // salted md5, no RNG state; singleton buckets are dropped (a doc can't
+    // be its own negative).
+    "pipe_contrastive_pairs" -> ((s, d) => {
+      val ch = docs(s, d)
+        .select(col("doc_id"), split(trim(col("text")), " +").as("w"))
+        .filter(size(col("w")) >= 16)
+        .select(col("doc_id"),
+          concat_ws(" ", slice(col("w"), 1, 8)).as("anchor"),
+          concat_ws(" ", slice(col("w"), 9, 8)).as("positive"),
+          md5(concat(lit("graft-neg:"), col("doc_id"))).as("h"))
+        .withColumn("bucket", substring(col("h"), 1, 1))
+      val ring = ch
+        .withColumn("rn",
+          row_number().over(Window.partitionBy("bucket").orderBy("h")))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy("bucket")))
+      val neg = ring.select(col("bucket").as("nbucket"), col("rn").as("nrn"),
+        col("doc_id").as("neg_doc_id"), col("positive").as("negative"))
+      ring.filter(col("cnt") > 1)
+        .withColumn("want_rn", col("rn") % col("cnt") + 1)
+        .join(neg, col("bucket") === col("nbucket") && col("want_rn") === col("nrn"))
+        .select(col("doc_id"), col("neg_doc_id"),
+          col("anchor"), col("positive"), col("negative"))
+        .orderBy("doc_id")
+    }),
+
+    // mixture allocation plan with caps (the DoReMi/temperature-mixture
+    // planning primitive): given per-source token supplies, temperature-0.5
+    // weights (w = floor-sqrt supply — one IEEE sqrt on an exact integer),
+    // and a budget of half the corpus, waterfill EXACTLY: sources sorted by
+    // supply/weight saturate as a prefix (classic waterfilling argument —
+    // removing a source whose ratio exceeds the running quotient only
+    // lowers the quotient, so the integer test avail·W_rem ≤ B_rem·w is
+    // monotone down the order); unsaturated sources split the remaining
+    // budget ∝ weight by floor division. Everything after the sort key is
+    // integer arithmetic; the windows run over |sources| rows.
+    "pipe_mixture_plan" -> ((s, d) => {
+      val avail = docs(s, d)
+        .select(col("source"),
+          size(split(trim(col("text")), " +")).cast("long").as("n"))
+        .groupBy("source").agg(sum("n").as("avail"))
+        .withColumn("weight", floor(sqrt(col("avail").cast("double"))))
+      val tot = avail.agg(sum("avail").as("tot_avail"), sum("weight").as("tot_w"))
+      val before = Window
+        .orderBy(col("avail").cast("double") / col("weight"), col("source"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val rows = avail.crossJoin(broadcast(tot))
+        .withColumn("b", expr("tot_avail div 2"))
+        .withColumn("prefix_avail",
+          coalesce(sum("avail").over(before), lit(0L)))
+        .withColumn("w_from",
+          col("tot_w") - coalesce(sum("weight").over(before), lit(0L)))
+        .withColumn("saturated",
+          col("avail") * col("w_from") <=
+            (col("b") - col("prefix_avail")) * col("weight"))
+      val fin = rows.agg(
+        sum(when(col("saturated"), col("avail")).otherwise(0L)).as("sat_avail"),
+        sum(when(col("saturated"), 0L).otherwise(col("weight"))).as("unsat_w"))
+      rows.crossJoin(broadcast(fin))
+        .withColumn("alloc",
+          when(col("saturated"), col("avail"))
+            .otherwise(expr("(b - sat_avail) * weight div greatest(unsat_w, 1)")))
+        .select("source", "avail", "weight", "saturated", "alloc")
+        .orderBy("source")
+    }),
+
+    // padding-waste audit (the batch-shape readout sequence packing exists
+    // to fix): per-doc token counts fall into power-of-two length buckets;
+    // compare pad-to-bucket-bound against pad-to-global-max. One scan, one
+    // tiny broadcast (global max), |buckets| output rows, all integer.
+    // Docs past the largest bucket truncate (pad 0) — stated, not hidden.
+    "pipe_padding_waste" -> ((s, d) => {
+      val t = docs(s, d)
+        .select(size(split(trim(col("text")), " +")).cast("long").as("n"))
+      val b = t.withColumn("bucket_ub",
+        when(col("n") <= 16, 16L).when(col("n") <= 32, 32L)
+          .when(col("n") <= 64, 64L).when(col("n") <= 128, 128L)
+          .when(col("n") <= 256, 256L).when(col("n") <= 512, 512L)
+          .when(col("n") <= 1024, 1024L).otherwise(2048L))
+      val gmax = t.agg(max("n").as("gmax"))
+      b.crossJoin(broadcast(gmax))
+        .groupBy("bucket_ub").agg(
+          count(lit(1)).as("docs"),
+          sum("n").as("tokens"),
+          sum(greatest(col("bucket_ub") - col("n"), lit(0L))).as("bucket_pad"),
+          sum(col("gmax") - col("n")).as("global_pad"))
+        .withColumn("bucket_waste_ppm",
+          expr("bucket_pad * 1000000 div (docs * bucket_ub)"))
+        .orderBy("bucket_ub")
+    }),
+
     "pipe_corpus_diff" -> ((s, d) => {
       val a = docs(s, d)
       val b = a.filter(col("doc_id") % 11 =!= 0)
@@ -956,6 +1085,108 @@ object PipelineQueries {
         |    1.358 * SQRT(CAST(n_a + n_b AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b))
         |    AS reject_05
         |FROM agg""".stripMargin,
+
+    // scored CTE shared with text_quality_model; quantile_cont matches the
+    // sketch-guided exact quantile operator (same continuous definition)
+    "pipe_curriculum" ->
+      s"""${TextQueries.qualityScoredSql},
+        |qs AS (
+        |  SELECT quantile_cont(CAST(score_fp AS DOUBLE), 0.25) AS t25,
+        |    quantile_cont(CAST(score_fp AS DOUBLE), 0.5) AS t50,
+        |    quantile_cont(CAST(score_fp AS DOUBLE), 0.75) AS t75
+        |  FROM scored)
+        |SELECT CASE WHEN score_fp >= t75 THEN 0
+        |            WHEN score_fp >= t50 THEN 1
+        |            WHEN score_fp >= t25 THEN 2 ELSE 3 END AS phase,
+        |  d.source, COUNT(*) AS docs, CAST(SUM(d.n_chars) AS BIGINT) AS chars
+        |FROM scored s CROSS JOIN qs JOIN documents d USING (doc_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // same salted ring: md5 bucket, ROW_NUMBER within bucket, wrap via
+    // rn % cnt + 1, singleton buckets dropped
+    "pipe_contrastive_pairs" ->
+      """WITH ch AS (
+        |  SELECT doc_id,
+        |    array_to_string(w[1:8], ' ') AS anchor,
+        |    array_to_string(w[9:16], ' ') AS positive,
+        |    md5('graft-neg:' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS w
+        |        FROM documents)
+        |  WHERE len(w) >= 16
+        |), ring AS (
+        |  SELECT *, substring(h, 1, 1) AS bucket FROM ch
+        |), rr AS (
+        |  SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY h) AS rn,
+        |    COUNT(*) OVER (PARTITION BY bucket) AS cnt
+        |  FROM ring)
+        |SELECT a.doc_id, b.doc_id AS neg_doc_id,
+        |  a.anchor, a.positive, b.positive AS negative
+        |FROM rr a JOIN rr b
+        |  ON a.bucket = b.bucket AND a.rn % a.cnt + 1 = b.rn
+        |WHERE a.cnt > 1
+        |ORDER BY a.doc_id""".stripMargin,
+
+    // same ascending supply/weight order, same integer saturation test and
+    // floor split — the window layer runs over |sources| rows in both
+    "pipe_mixture_plan" ->
+      """WITH avail AS (
+        |  SELECT source,
+        |    CAST(SUM(len(string_split_regex(trim(text), ' +'))) AS BIGINT) AS avail
+        |  FROM documents GROUP BY 1
+        |), wts AS (
+        |  SELECT source, avail,
+        |    CAST(FLOOR(SQRT(CAST(avail AS DOUBLE))) AS BIGINT) AS weight
+        |  FROM avail
+        |), tot AS (
+        |  SELECT CAST(SUM(avail) AS BIGINT) AS tot_avail,
+        |    CAST(SUM(weight) AS BIGINT) AS tot_w FROM wts
+        |), rows_ AS (
+        |  SELECT source, avail, weight, tot_avail // 2 AS b,
+        |    CAST(COALESCE(SUM(avail) OVER (
+        |      ORDER BY CAST(avail AS DOUBLE) / weight, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS prefix_avail,
+        |    tot_w - CAST(COALESCE(SUM(weight) OVER (
+        |      ORDER BY CAST(avail AS DOUBLE) / weight, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS w_from
+        |  FROM wts CROSS JOIN tot
+        |), sat AS (
+        |  SELECT *, avail * w_from <= (b - prefix_avail) * weight AS saturated
+        |  FROM rows_
+        |), fin AS (
+        |  SELECT CAST(SUM(CASE WHEN saturated THEN avail ELSE 0 END) AS BIGINT)
+        |      AS sat_avail,
+        |    CAST(SUM(CASE WHEN saturated THEN 0 ELSE weight END) AS BIGINT)
+        |      AS unsat_w
+        |  FROM sat)
+        |SELECT source, avail, weight, saturated,
+        |  CASE WHEN saturated THEN avail
+        |       ELSE (b - sat_avail) * weight // GREATEST(unsat_w, 1) END AS alloc
+        |FROM sat CROSS JOIN fin
+        |ORDER BY source""".stripMargin,
+
+    // same power-of-two buckets, same broadcastable global max, truncation
+    // past the top bucket
+    "pipe_padding_waste" ->
+      """WITH t AS (
+        |  SELECT CAST(LEN(string_split_regex(TRIM(text), ' +')) AS BIGINT) AS n
+        |  FROM documents
+        |), b AS (
+        |  SELECT n, CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32
+        |    WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128 WHEN n <= 256 THEN 256
+        |    WHEN n <= 512 THEN 512 WHEN n <= 1024 THEN 1024 ELSE 2048 END
+        |    AS bucket_ub
+        |  FROM t
+        |), g AS (SELECT MAX(n) AS gmax FROM t)
+        |SELECT bucket_ub, COUNT(*) AS docs, CAST(SUM(n) AS BIGINT) AS tokens,
+        |  CAST(SUM(GREATEST(bucket_ub - n, 0)) AS BIGINT) AS bucket_pad,
+        |  CAST(SUM(gmax - n) AS BIGINT) AS global_pad,
+        |  CAST(SUM(GREATEST(bucket_ub - n, 0)) * 1000000
+        |    // (COUNT(*) * bucket_ub) AS BIGINT) AS bucket_waste_ppm
+        |FROM b CROSS JOIN g
+        |GROUP BY bucket_ub ORDER BY bucket_ub""".stripMargin,
 
     // round-trip identity: the same per-source aggregates straight off the
     // parquet original (losslessness = equality), zero corrupt rows

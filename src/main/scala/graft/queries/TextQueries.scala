@@ -767,7 +767,7 @@ object TextQueries {
     * predicted, label) recomputed from raw text against the exported weight
     * fixture. text_quality_model selects it directly; the AUC and
     * calibration audits extend the chain. */
-  private lazy val qualityScoredSql: String =
+  private[queries] lazy val qualityScoredSql: String =
     s"""WITH wc AS (
       |  SELECT doc_id, tok, COUNT(*) AS c FROM (
       |    SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS tok

@@ -163,6 +163,80 @@ class AuditQueriesSpec extends SparkSuite {
     } finally back.unpersist()
   }
 
+  test("pipe_curriculum phases partition the corpus into quartile-bounded slices") {
+    val rows = PipelineQueries.queries("pipe_curriculum")(spark, sf).collect()
+    val n = graft.Tables.load(spark, sf, "documents").count()
+    assert(rows.map(_.getAs[Long]("docs")).sum == n)
+    val byPhase = rows.groupBy(_.getAs[Long]("phase"))
+      .view.mapValues(_.map(_.getAs[Long]("docs")).sum).toMap
+    assert(byPhase.keySet == Set(0L, 1L, 2L, 3L))
+    // quartile thresholds: each phase holds ~n/4 (ties can shift docs
+    // across a threshold, so allow a generous band)
+    byPhase.values.foreach(c => assert(c >= n / 8 && c <= n * 3 / 8, byPhase))
+  }
+
+  test("pipe_contrastive_pairs is a within-bucket permutation with no self-pairs") {
+    val rows = PipelineQueries.queries("pipe_contrastive_pairs")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_id") != r.getAs[Long]("neg_doc_id"))
+      assert(r.getAs[String]("anchor").split(" ").length == 8)
+      assert(r.getAs[String]("positive").split(" ").length == 8)
+    }
+    // the ring is a bijection: every consumer appears exactly once on both
+    // sides, so negatives are a permutation of the consumers
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == rows.length)
+    assert(rows.map(_.getAs[Long]("neg_doc_id")).distinct.length == rows.length)
+    // each negative really is the neighbor's positive chunk
+    val posById = rows.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("positive")).toMap
+    rows.foreach { r =>
+      posById.get(r.getAs[Long]("neg_doc_id")).foreach { p =>
+        assert(r.getAs[String]("negative") == p)
+      }
+    }
+  }
+
+  test("pipe_mixture_plan waterfills exactly: caps respected, budget met by floor") {
+    val rows = PipelineQueries.queries("pipe_mixture_plan")(spark, sf).collect()
+    val availTot = rows.map(_.getAs[Long]("avail")).sum
+    val b = availTot / 2
+    rows.foreach { r =>
+      val alloc = r.getAs[Long]("alloc")
+      assert(alloc >= 0L && alloc <= r.getAs[Long]("avail"))
+      if (r.getAs[Boolean]("saturated"))
+        assert(alloc == r.getAs[Long]("avail"))
+    }
+    val allocTot = rows.map(_.getAs[Long]("alloc")).sum
+    val unsatW = rows.filterNot(_.getAs[Boolean]("saturated"))
+      .map(_.getAs[Long]("weight")).sum
+    assert(allocTot <= b)
+    // floor division leaves < 1 token per unit of unsaturated weight
+    assert(b - allocTot <= math.max(unsatW, 1L), s"alloc $allocTot of $b")
+    // unsaturated sources split the residual exactly proportionally (floor)
+    val satAvail = rows.filter(_.getAs[Boolean]("saturated"))
+      .map(_.getAs[Long]("avail")).sum
+    rows.filterNot(_.getAs[Boolean]("saturated")).foreach { r =>
+      assert(r.getAs[Long]("alloc") ==
+        (b - satAvail) * r.getAs[Long]("weight") / math.max(unsatW, 1L))
+    }
+  }
+
+  test("pipe_padding_waste buckets partition the corpus with bounded waste") {
+    val rows = PipelineQueries.queries("pipe_padding_waste")(spark, sf).collect()
+    val n = graft.Tables.load(spark, sf, "documents").count()
+    assert(rows.map(_.getAs[Long]("docs")).sum == n)
+    rows.foreach { r =>
+      val ppm = r.getAs[Long]("bucket_waste_ppm")
+      assert(ppm >= 0L && ppm <= 1000000L)
+      val ub = r.getAs[Long]("bucket_ub")
+      // no truncation in this corpus: pad + tokens == docs * bound exactly
+      if (ub < 2048L)
+        assert(r.getAs[Long]("bucket_pad") + r.getAs[Long]("tokens") ==
+          r.getAs[Long]("docs") * ub)
+    }
+  }
+
   test("pipe_jsonl_roundtrip reports zero corrupt rows on the real corpus") {
     val rows = PipelineQueries.queries("pipe_jsonl_roundtrip")(spark, sf).collect()
     assert(rows.nonEmpty)
