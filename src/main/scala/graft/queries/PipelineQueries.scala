@@ -343,25 +343,11 @@ object PipelineQueries {
     // and the α=0.05 Smirnov threshold use deterministic double math on
     // those exact integers.
     "pipe_ks_drift" -> ((s, d) => {
-      val t = docs(s, d).select(
-        size(split(trim(col("text")), " +")).cast("long").as("v"),
-        (col("doc_id") % 2 === 0).as("in_a"))
-      val byv = t.groupBy("v").agg(
-        sum(when(col("in_a"), 1L).otherwise(0L)).as("ca"),
-        sum(when(col("in_a"), 0L).otherwise(1L)).as("cb"))
-      val w = Window.orderBy("v")
-      val tot = byv.agg(sum("ca").as("na"), sum("cb").as("nb"))
-      byv
-        .select(col("v"), sum("ca").over(w).as("cuma"), sum("cb").over(w).as("cumb"))
-        .crossJoin(broadcast(tot))
-        .agg(max(abs(col("cuma") * col("nb") - col("cumb") * col("na"))).as("d_num"),
-          max("na").as("n_a"), max("nb").as("n_b"))
-        .select(col("n_a"), col("n_b"), col("d_num"),
-          floor(col("d_num").cast("double") * 1000000.0 /
-            (col("n_a").cast("double") * col("n_b"))).as("ks_ppm"),
-          (col("d_num").cast("double") / (col("n_a").cast("double") * col("n_b")) >
-            lit(1.358) * sqrt((col("n_a") + col("n_b")).cast("double") /
-              (col("n_a").cast("double") * col("n_b")))).as("reject_05"))
+      val t = docs(s, d).select(col("doc_id"),
+        size(split(trim(col("text")), " +")).cast("long").as("v"))
+      graft.operators.EvalOps.ksDrift(
+        t.filter(col("doc_id") % 2 === 0).select("v"),
+        t.filter(col("doc_id") % 2 =!= 0).select("v"), "v")
     }),
 
     // gzipped-JSONL round-trip (the ingest surface: web corpora arrive as
@@ -432,28 +418,8 @@ object PipelineQueries {
     // an equi-join on (bucket, ring position). Deterministic: the hash is
     // salted md5, no RNG state; singleton buckets are dropped (a doc can't
     // be its own negative).
-    "pipe_contrastive_pairs" -> ((s, d) => {
-      val ch = docs(s, d)
-        .select(col("doc_id"), split(trim(col("text")), " +").as("w"))
-        .filter(size(col("w")) >= 16)
-        .select(col("doc_id"),
-          concat_ws(" ", slice(col("w"), 1, 8)).as("anchor"),
-          concat_ws(" ", slice(col("w"), 9, 8)).as("positive"),
-          md5(concat(lit("graft-neg:"), col("doc_id"))).as("h"))
-        .withColumn("bucket", substring(col("h"), 1, 1))
-      val ring = ch
-        .withColumn("rn",
-          row_number().over(Window.partitionBy("bucket").orderBy("h")))
-        .withColumn("cnt", count(lit(1)).over(Window.partitionBy("bucket")))
-      val neg = ring.select(col("bucket").as("nbucket"), col("rn").as("nrn"),
-        col("doc_id").as("neg_doc_id"), col("positive").as("negative"))
-      ring.filter(col("cnt") > 1)
-        .withColumn("want_rn", col("rn") % col("cnt") + 1)
-        .join(neg, col("bucket") === col("nbucket") && col("want_rn") === col("nrn"))
-        .select(col("doc_id"), col("neg_doc_id"),
-          col("anchor"), col("positive"), col("negative"))
-        .orderBy("doc_id")
-    }),
+    "pipe_contrastive_pairs" -> ((s, d) =>
+      graft.operators.EvalOps.contrastivePairs(docs(s, d)).orderBy("doc_id")),
 
     // mixture allocation plan with caps (the DoReMi/temperature-mixture
     // planning primitive): given per-source token supplies, temperature-0.5
@@ -470,29 +436,7 @@ object PipelineQueries {
         .select(col("source"),
           size(split(trim(col("text")), " +")).cast("long").as("n"))
         .groupBy("source").agg(sum("n").as("avail"))
-        .withColumn("weight", floor(sqrt(col("avail").cast("double"))))
-      val tot = avail.agg(sum("avail").as("tot_avail"), sum("weight").as("tot_w"))
-      val before = Window
-        .orderBy(col("avail").cast("double") / col("weight"), col("source"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val rows = avail.crossJoin(broadcast(tot))
-        .withColumn("b", expr("tot_avail div 2"))
-        .withColumn("prefix_avail",
-          coalesce(sum("avail").over(before), lit(0L)))
-        .withColumn("w_from",
-          col("tot_w") - coalesce(sum("weight").over(before), lit(0L)))
-        .withColumn("saturated",
-          col("avail") * col("w_from") <=
-            (col("b") - col("prefix_avail")) * col("weight"))
-      val fin = rows.agg(
-        sum(when(col("saturated"), col("avail")).otherwise(0L)).as("sat_avail"),
-        sum(when(col("saturated"), 0L).otherwise(col("weight"))).as("unsat_w"))
-      rows.crossJoin(broadcast(fin))
-        .withColumn("alloc",
-          when(col("saturated"), col("avail"))
-            .otherwise(expr("(b - sat_avail) * weight div greatest(unsat_w, 1)")))
-        .select("source", "avail", "weight", "saturated", "alloc")
-        .orderBy("source")
+      graft.operators.EvalOps.waterfill(avail).orderBy("source")
     }),
 
     // padding-waste audit (the batch-shape readout sequence packing exists
@@ -500,25 +444,8 @@ object PipelineQueries {
     // compare pad-to-bucket-bound against pad-to-global-max. One scan, one
     // tiny broadcast (global max), |buckets| output rows, all integer.
     // Docs past the largest bucket truncate (pad 0) — stated, not hidden.
-    "pipe_padding_waste" -> ((s, d) => {
-      val t = docs(s, d)
-        .select(size(split(trim(col("text")), " +")).cast("long").as("n"))
-      val b = t.withColumn("bucket_ub",
-        when(col("n") <= 16, 16L).when(col("n") <= 32, 32L)
-          .when(col("n") <= 64, 64L).when(col("n") <= 128, 128L)
-          .when(col("n") <= 256, 256L).when(col("n") <= 512, 512L)
-          .when(col("n") <= 1024, 1024L).otherwise(2048L))
-      val gmax = t.agg(max("n").as("gmax"))
-      b.crossJoin(broadcast(gmax))
-        .groupBy("bucket_ub").agg(
-          count(lit(1)).as("docs"),
-          sum("n").as("tokens"),
-          sum(greatest(col("bucket_ub") - col("n"), lit(0L))).as("bucket_pad"),
-          sum(col("gmax") - col("n")).as("global_pad"))
-        .withColumn("bucket_waste_ppm",
-          expr("bucket_pad * 1000000 div (docs * bucket_ub)"))
-        .orderBy("bucket_ub")
-    }),
+    "pipe_padding_waste" -> ((s, d) =>
+      graft.operators.EvalOps.paddingWaste(docs(s, d))),
 
     "pipe_corpus_diff" -> ((s, d) => {
       val a = docs(s, d)

@@ -442,29 +442,9 @@ object SimilarityQueries {
     // sums, deterministic IEEE); squared distances are exact BIGINT sums;
     // sqrt of an exact integer is correctly-rounded IEEE so the final
     // ratio matches DuckDB bit-for-bit before its 1e6 floor.
-    "sim_silhouette" -> ((s, d) => {
-      val e = emb(s, d)
-        .select(col("vec_id"), col("label"), posexplode(col("v")).as(Seq("pos", "x")))
-        .select(col("vec_id"), col("label"), col("pos"),
-          floor(col("x") * 1000000).cast("long").as("xfp"))
-      val cent = e.groupBy(col("label").as("clabel"), col("pos"))
-        .agg(floor(sum("xfp").cast("double") / count(lit(1))).as("cfp"))
-      val d2 = e.join(broadcast(cent), Seq("pos"))
-        .groupBy("vec_id", "label", "clabel")
-        .agg(sum((col("xfp") - col("cfp")) * (col("xfp") - col("cfp"))).as("d2"))
-      val ab = d2.groupBy("vec_id", "label").agg(
-        min(when(col("clabel") === col("label"), col("d2"))).as("a2"),
-        min(when(col("clabel") =!= col("label"), col("d2"))).as("b2"))
-      ab.select(col("vec_id"), col("label"),
-          when(col("a2") === 0 && col("b2") === 0, lit(0L))
-            .otherwise(floor(lit(1000000.0) *
-              (sqrt(col("b2").cast("double")) - sqrt(col("a2").cast("double"))) /
-              greatest(sqrt(col("a2").cast("double")), sqrt(col("b2").cast("double")))))
-            .as("s_fp"))
-        .groupBy("label").agg(count(lit(1)).as("n"),
-          floor(sum("s_fp").cast("double") / count(lit(1))).as("mean_sil_ppm"))
-        .orderBy("label")
-    }),
+    "sim_silhouette" -> ((s, d) =>
+      graft.operators.EvalOps.silhouette(
+        emb(s, d).select(col("vec_id"), col("label"), col("v")))),
 
     // PCA projection, oracle-verified: the d×d eigensolve is driver-side
     // (not SQL-expressible) so the 1e9-scaled eigenvectors export as a

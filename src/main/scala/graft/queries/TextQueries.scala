@@ -69,19 +69,7 @@ object TextQueries {
       graft.operators.QualityModel.writeModel(base, QualityModelFixturePath)
       val scored = graft.operators.QualityModel
         .scoreAgainst(base, QualityModelFixturePath)
-      val byScore = scored.groupBy("score_fp").agg(
-        sum(when(col("label"), 1L).otherwise(0L)).as("n1"),
-        sum(when(col("label"), 0L).otherwise(1L)).as("n0"))
-      val w = Window.orderBy("score_fp")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      byScore
-        .withColumn("cum0", coalesce(sum("n0").over(w), lit(0L)))
-        .agg(sum(col("n1") * col("cum0") * 2 + col("n1") * col("n0")).as("u2"),
-          sum("n1").as("n_pos"), sum("n0").as("n_neg"))
-        .select(col("n_pos"), col("n_neg"),
-          floor(col("u2").cast("double") * 1000000.0 /
-            (col("n_pos").cast("double") * col("n_neg") * 2.0)).as("auc_ppm"))
-        .withColumn("gini_ppm", col("auc_ppm") * 2 - 1000000L)
+      graft.operators.EvalOps.rocAuc(scored, "score_fp", "label")
     }),
 
     // reliability table for the same model (is a high score actually more
@@ -97,18 +85,8 @@ object TextQueries {
       graft.operators.QualityModel.writeModel(base, QualityModelFixturePath)
       val scored = graft.operators.QualityModel
         .scoreAgainst(base, QualityModelFixturePath)
-      val rng = scored.agg(min("score_fp").as("lo"), max("score_fp").as("hi"))
-      scored.crossJoin(broadcast(rng))
-        .withColumn("bin",
-          least(expr("(score_fp - lo) * 10 div (hi - lo + 1)"), lit(9L)))
-        .groupBy("bin").agg(
-          count(lit(1)).as("n"),
-          sum(when(col("label"), 1L).otherwise(0L)).as("n_pos"),
-          sum(when(col("predicted"), 1L).otherwise(0L)).as("n_pred"),
-          floor(sum("score_fp").cast("double") / count(lit(1)))
-            .as("mean_score_fp"))
-        .withColumn("pos_rate_ppm", expr("n_pos * 1000000 div n"))
-        .orderBy("bin")
+      graft.operators.EvalOps
+        .calibration(scored, "score_fp", "label", "predicted")
     }),
 
     // BPE merge training on the corpus (tokenizer learning, the capability

@@ -61,6 +61,12 @@ import graft.model.VersionVector
  * sbt "runMain graft.tools.Cli <root> audio-segments <audioParquet>"
  * sbt "runMain graft.tools.Cli <root> weighted-dedup <docsParquet> [pct]"
  * sbt "runMain graft.tools.Cli <root> hybrid-search <docsParquet> <term> [term...]"
+ * sbt "runMain graft.tools.Cli <root> quality-audit <docsParquet> <modelDir>"
+ * sbt "runMain graft.tools.Cli <root> silhouette <embParquet>"
+ * sbt "runMain graft.tools.Cli <root> ks-drift <docsParquetA> <docsParquetB>"
+ * sbt "runMain graft.tools.Cli <root> mixture-plan <docsParquet> [num] [den]"
+ * sbt "runMain graft.tools.Cli <root> contrastive-pairs <docsParquet> [outParquet]"
+ * sbt "runMain graft.tools.Cli <root> padding-audit <docsParquet>"
  * }}}
  *
  * The corpus verbs (`dedup`, `bm25`) run the public
@@ -648,6 +654,78 @@ object Cli {
           .toLocalIterator().forEachRemaining { r =>
             println(s"${r.getAs[Long]("doc_id")}\t${r.getAs[Long]("seg_start")}\t" +
               s"${r.getAs[Long]("seg_end")}\t${r.getAs[Long]("n_frames")}")
+          }
+      case "quality-audit" =>
+        // ROC-AUC + reliability table of a persisted quality model over a
+        // documents parquet (train first with quality-train)
+        val scored = graft.operators.QualityModel
+          .scoreAgainst(docsTable(spark, args(2)), args(3))
+        val auc = graft.operators.EvalOps
+          .rocAuc(scored, "score_fp", "label").collect()(0)
+        println(s"auc_ppm=${auc.getAs[Long]("auc_ppm")}\t" +
+          s"gini_ppm=${auc.getAs[Long]("gini_ppm")}\t" +
+          s"n_pos=${auc.getAs[Long]("n_pos")}\tn_neg=${auc.getAs[Long]("n_neg")}")
+        graft.operators.EvalOps
+          .calibration(scored, "score_fp", "label", "predicted")
+          .toLocalIterator().forEachRemaining { r =>
+            println(s"bin=${r.getAs[Long]("bin")}\tn=${r.getAs[Long]("n")}\t" +
+              s"pos_rate_ppm=${r.getAs[Long]("pos_rate_ppm")}\t" +
+              s"mean_score_fp=${r.getAs[Long]("mean_score_fp")}")
+          }
+      case "silhouette" =>
+        // per-label centroid silhouette over a labeled embeddings parquet
+        import org.apache.spark.sql.functions.col
+        val e = spark.read.parquet(args(2))
+          .select(col("vec_id").cast("long").as("vec_id"), col("label"),
+            col("embedding").cast("array<double>").as("v"))
+        graft.operators.EvalOps.silhouette(e)
+          .toLocalIterator().forEachRemaining { r =>
+            println(s"${r.get(0)}\tn=${r.getAs[Long]("n")}\t" +
+              s"mean_sil_ppm=${r.getAs[Long]("mean_sil_ppm")}")
+          }
+      case "ks-drift" =>
+        // exact two-sample KS on per-doc token counts between two corpora
+        import org.apache.spark.sql.functions.{col, size, split, trim}
+        def lens(p: String) = docsTable(spark, p)
+          .select(size(split(trim(col("text")), " +")).cast("long").as("v"))
+        val r = graft.operators.EvalOps
+          .ksDrift(lens(args(2)), lens(args(3)), "v").collect()(0)
+        println(s"n_a=${r.getAs[Long]("n_a")}\tn_b=${r.getAs[Long]("n_b")}\t" +
+          s"ks_ppm=${r.getAs[Long]("ks_ppm")}\t" +
+          s"reject_05=${r.getAs[Boolean]("reject_05")}")
+      case "mixture-plan" =>
+        // exact waterfilling of a token budget across sources with caps
+        import org.apache.spark.sql.functions.{col, size, split, sum, trim}
+        val num = if (args.length > 3) args(3).toLong else 1L
+        val den = if (args.length > 4) args(4).toLong else 2L
+        val avail = spark.read.parquet(args(2))
+          .select(col("source"),
+            size(split(trim(col("text")), " +")).cast("long").as("n"))
+          .groupBy("source").agg(sum("n").as("avail"))
+        graft.operators.EvalOps.waterfill(avail, num, den)
+          .orderBy("source")
+          .toLocalIterator().forEachRemaining { r =>
+            println(s"${r.getAs[String]("source")}\tavail=${r.getAs[Long]("avail")}\t" +
+              s"alloc=${r.getAs[Long]("alloc")}\tsaturated=${r.getAs[Boolean]("saturated")}")
+          }
+      case "contrastive-pairs" =>
+        // (anchor, positive, negative) triples over a documents parquet
+        val pairs = graft.operators.EvalOps
+          .contrastivePairs(docsTable(spark, args(2))).orderBy("doc_id")
+        if (args.length > 3) {
+          pairs.write.mode("overwrite").parquet(args(3))
+          println(s"wrote ${spark.read.parquet(args(3)).count()} pairs to ${args(3)}")
+        } else pairs.limit(20).toLocalIterator().forEachRemaining { r =>
+          println(s"${r.getAs[Long]("doc_id")}\tneg=${r.getAs[Long]("neg_doc_id")}\t" +
+            s"${r.getAs[String]("anchor").take(40)}")
+        }
+      case "padding-audit" =>
+        // padding-waste table over a documents parquet
+        graft.operators.EvalOps.paddingWaste(docsTable(spark, args(2)))
+          .toLocalIterator().forEachRemaining { r =>
+            println(s"bucket=${r.getAs[Long]("bucket_ub")}\tdocs=${r.getAs[Long]("docs")}\t" +
+              s"tokens=${r.getAs[Long]("tokens")}\t" +
+              s"bucket_waste_ppm=${r.getAs[Long]("bucket_waste_ppm")}")
           }
       case other =>
         System.err.println(s"unknown verb: $other")
