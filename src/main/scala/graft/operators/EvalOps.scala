@@ -75,12 +75,21 @@ object EvalOps {
    * asymptotic threshold (c(0.05) = 1.358).
    */
   def ksDrift(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
-    val t = a.select(col(valueCol).cast("long").as("v"), lit(true).as("in_a"))
-      .unionByName(
-        b.select(col(valueCol).cast("long").as("v"), lit(false).as("in_a")))
-    val byv = t.groupBy("v").agg(
-      sum(when(col("in_a"), 1L).otherwise(0L)).as("ca"),
-      sum(when(col("in_a"), 0L).otherwise(1L)).as("cb"))
+    def counts(df: DataFrame) = df
+      .select(col(valueCol).cast("long").as("v"))
+      .groupBy("v").agg(count(lit(1)).as("c"))
+    ksDriftCounts(counts(a), counts(b))
+  }
+
+  /**
+   * Histogram-input variant of [[ksDrift]]: `a`/`b` are (v: long, c: long)
+   * count tables (mergeable — exactly what an incremental monitor
+   * accumulates). Same exact integer statistic.
+   */
+  def ksDriftCounts(a: DataFrame, b: DataFrame): DataFrame = {
+    val byv = a.select(col("v"), col("c").as("ca"), lit(0L).as("cb"))
+      .unionByName(b.select(col("v"), lit(0L).as("ca"), col("c").as("cb")))
+      .groupBy("v").agg(sum("ca").as("ca"), sum("cb").as("cb"))
     val w = Window.orderBy("v")
     val tot = byv.agg(sum("ca").as("na"), sum("cb").as("nb"))
     byv

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+import graft.operators.EvalOps
+
+/**
+ * Live distribution-drift monitoring: per micro-batch, the exact
+ * two-sample Kolmogorov-Smirnov statistic of the STREAM-SO-FAR's value
+ * distribution against a frozen reference histogram — the streaming twin
+ * of `pipe_ks_drift` (the gate a pipeline alarms on when an ingest change
+ * shifts document lengths, score distributions, token mixes).
+ *
+ * State shape (100 TB): the monitor never re-reads the stream — it folds
+ * each micro-batch into an accumulated (value, count) histogram, which is
+ * VALUE-GRID-sized (distinct token counts / score buckets — thousands of
+ * entries), not corpus-sized; `localCheckpoint` truncates the plan lineage
+ * so batch N's histogram doesn't recompute batches 1..N-1. The KS readout
+ * per batch is [[EvalOps.ksDriftCounts]] on two tiny tables. The exact
+ * integer statistic means the monitor's reading after batch N equals the
+ * batch recomputation over all data seen so far, bit-for-bit — pinned by
+ * StreamingCorpusSpec.
+ *
+ * Reference histograms are mergeable (sum on value), so a monitor can be
+ * re-anchored to a new reference without touching stream state.
+ */
+class DriftMonitor(reference: DataFrame, valueCol: String) {
+
+  /** Frozen reference histogram (v, c) — computed once at attach time. */
+  private val refHist = reference
+    .select(col(valueCol).cast("long").as("v"))
+    .groupBy("v").agg(count(lit(1)).as("c"))
+    .localCheckpoint(true)
+
+  /** Accumulated stream histogram; value-grid-sized. */
+  @volatile private var hist: Option[DataFrame] = None
+
+  /** One reading per processed micro-batch, in order:
+    * (batchId, n_stream, n_ref, ks_ppm, reject_05). foreachBatch invocations
+    * are serialized per query, so plain appends are safe. */
+  val readings =
+    new scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long, Boolean)]
+
+  /** Current KS reading against the reference (None before any batch). */
+  def current(): Option[Row] = hist.map { h =>
+    EvalOps.ksDriftCounts(h, refHist).collect()(0)
+  }
+
+  /**
+   * Wrap a streaming DataFrame (any schema containing `valueCol`) into a
+   * foreachBatch writer that maintains the histogram and appends one
+   * KS reading per batch. Caller starts/stops the returned writer.
+   */
+  def attach(stream: DataFrame): DataStreamWriter[Row] = {
+    stream.select(col(valueCol).cast("long").as("v"))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
+        val h = batch.groupBy("v").agg(count(lit(1)).as("c"))
+        val merged = hist match {
+          case None => h
+          case Some(prev) => prev.unionByName(h)
+            .groupBy("v").agg(sum("c").as("c"))
+        }
+        // localCheckpoint pins batch N's histogram so N+1 doesn't replay
+        // the whole lineage; the superseded checkpoint's blocks are
+        // reclaimed by the ContextCleaner once dereferenced here
+        val pinned = merged.localCheckpoint(true)
+        hist = Some(pinned)
+        val r = EvalOps.ksDriftCounts(pinned, refHist).collect()(0)
+        readings += ((id, r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Long]("ks_ppm"), r.getAs[Boolean]("reject_05")))
+        ()
+      }
+  }
+}

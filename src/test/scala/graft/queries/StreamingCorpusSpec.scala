@@ -71,6 +71,55 @@ class StreamingCorpusSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("drift monitor readings equal the batch KS recomputation after every micro-batch") {
+    val root = tempDir("flo-drift-stream")
+    val e = new FloEngine(spark, root)
+    e.createStream(EventStreamOptions(name = "docs", numPartitions = 1))
+
+    def doc(words: Int, i: Int) =
+      (Seq.fill(words - 1)("w") :+ s"tail$i").mkString(" ")
+    // reference corpus: lengths 5..14
+    val refTexts = (0 until 50).map(i => doc(5 + i % 10, i))
+    val ref = spark.createDataFrame(
+      refTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    ).toDF("doc_id", "text")
+      .select(size(split(trim(col("text")), " +")).cast("long").as("v"))
+
+    val mon = new graft.streaming.DriftMonitor(ref, "v")
+    val lens = prepLens(e.consumeStream("docs"))
+    val q = mon.attach(lens).start()
+    try {
+      // batch 1: same length profile as the reference -> small KS
+      e.produceStrings("docs", 1,
+        (0 until 50).map(i => s"/docs/a/$i" -> doc(5 + i % 10, i)))
+      q.processAllAvailable()
+      assert(mon.readings.nonEmpty)
+      // batch 2: shifted profile (lengths 25..34) -> KS must jump and the
+      // reading must STILL equal the batch recomputation over all data
+      e.produceStrings("docs", 1,
+        (0 until 50).map(i => s"/docs/b/$i" -> doc(25 + i % 10, i)))
+      q.processAllAvailable()
+
+      val expectAll = graft.operators.EvalOps
+        .ksDrift(prepLens(e.read("docs")), ref, "v").collect()(0)
+      val last = mon.readings.last
+      assert(last._2 == expectAll.getAs[Long]("n_a"))
+      assert(last._4 == expectAll.getAs[Long]("ks_ppm"),
+        s"monitor ${last._4} vs batch ${expectAll.getAs[Long]("ks_ppm")}")
+      assert(last._5 == expectAll.getAs[Boolean]("reject_05"))
+      // the shift batch must raise the statistic
+      assert(mon.readings.last._4 > mon.readings.head._4,
+        s"readings: ${mon.readings}")
+      // current() agrees with the recorded last reading
+      assert(mon.current().get.getAs[Long]("ks_ppm") == last._4)
+    } finally q.stop()
+  }
+
+  /** token-length view of a flo doc stream (batch or streaming). */
+  private def prepLens(df: DataFrame): DataFrame =
+    df.select(payload_utf8(col("data")).as("text"))
+      .select(size(split(trim(col("text")), " +")).cast("long").as("v"))
+
   test("incremental near-dup over the accumulated band index matches the batch operator on a planted-dup replay") {
     import graft.operators.CorpusOps
     val root = tempDir("flo-neardup-stream")
