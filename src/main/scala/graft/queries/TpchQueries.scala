@@ -250,6 +250,74 @@ object TpchQueries {
           count(lit(1)).as("n_items"))
     }),
 
+    // Q4: order-priority histogram of orders with at least one LATE line
+    // (classic: l_commitdate < l_receiptdate; this schema carries only
+    // l_shipdate, so "late" = shipped more than 30 days after the order
+    // date — same correlated-EXISTS shape). LEFT SEMI join: the lineitem
+    // side is filtered by the date window via the join, existence tested
+    // without multiplying rows; both keys non-null → shuffle-capable.
+    "q4_order_priority" -> ((s, d) => {
+      val o = t(s, d, "orders")
+        .filter(col("o_orderdate") >= expr("TIMESTAMP'1996-01-01 00:00:00'") &&
+          col("o_orderdate") < expr("TIMESTAMP'1996-07-01 00:00:00'"))
+      val li = t(s, d, "lineitem").select("l_orderkey", "l_shipdate")
+      o.join(li,
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Q12: two-way conditional counts over a fact join window (classic
+    // groups by l_shipmode; this schema has none, so the return flag
+    // plays the category and "late" keeps the Q4 adaptation at 60 days).
+    // The priority split is the Q12 signature: urgent/high vs the rest,
+    // counted in ONE pass with when() — no second join, no union.
+    "q12_shipmode" -> ((s, d) => {
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      t(s, d, "orders").join(t(s, d, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") >= expr("TIMESTAMP'1996-01-01 00:00:00'") &&
+          col("l_shipdate") < expr("TIMESTAMP'1997-01-01 00:00:00'") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Q21: suppliers who were the ONLY late supplier on a finished
+    // multi-supplier order — the double-correlated EXISTS / NOT EXISTS
+    // classic, as one semi + one anti join on (orderkey, ≠suppkey). The
+    // anti side pre-filters to LATE lines only, so at scale it carries
+    // the small offending subset; nation is a constant-size broadcast.
+    "q21_waiting_supplier" -> ((s, d) => {
+      val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")
+      val li = t(s, d, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+      val l1 = li.join(
+          t(s, d, "orders").filter(col("o_orderstatus") === "F")
+            .select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(late)
+      val l2 = li.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
+      val l3 = l1.select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"))
+      l1
+        .join(l2, col("l_orderkey") === col("k2") && col("l_suppkey") =!= col("s2"),
+          "left_semi")
+        .join(l3, col("l_orderkey") === col("k3") && col("l_suppkey") =!= col("s3"),
+          "left_anti")
+        .join(broadcast(t(s, d, "supplier")
+            .join(broadcast(t(s, d, "nation")
+              .filter(col("n_name") === "NATION_3")),
+              col("s_nationkey") === col("n_nationkey"))
+            .select("s_suppkey", "s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name")).limit(100)
+    }),
+
     // Q22: positive-balance customers above the global average balance
     // with no recent urgent order — a 1-row scalar aggregate broadcast
     // against the customer scan, then a shuffle-capable LEFT ANTI against
@@ -342,6 +410,48 @@ object TpchQueries {
         |    ON c_custkey = o_custkey
         |  GROUP BY c_custkey) t
         |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q12_shipmode" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q21_waiting_supplier" ->
+      """WITH l1 AS (
+        |  SELECT l_orderkey, l_suppkey, o_orderdate
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |SELECT s_name, COUNT(*) AS numwait
+        |FROM l1
+        |JOIN supplier ON s_suppkey = l1.l_suppkey
+        |JOIN nation ON n_nationkey = s_nationkey AND n_name = 'NATION_3'
+        |WHERE EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM l1 l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
 
     "q14_promo_revenue" ->
       """WITH s AS (

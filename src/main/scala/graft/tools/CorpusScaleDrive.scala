@@ -137,6 +137,27 @@ object CorpusScaleDrive {
           eval = docs.filter(col("doc_id") < 1000000L &&
             pmod(col("doc_id"), lit(20)) === 0)).count()
       }
+      run("quality_auc") {
+        // rank-sum over the distinct-score grid: the window input is
+        // score-aggregated, so the scan dominates and scaling stays linear
+        val w = graft.operators.QualityModel.train(docs)
+        val scored = graft.operators.QualityModel.score(docs, w.toSeq)
+        graft.operators.EvalOps.rocAuc(scored, "score_fp", "label").count()
+      }
+      run("ks_drift") {
+        val t = docs.select(col("doc_id"),
+          size(split(trim(col("text")), " +")).cast("long").as("v"))
+        graft.operators.EvalOps.ksDrift(
+          t.filter(col("doc_id") % 2 === 0).select("v"),
+          t.filter(col("doc_id") % 2 =!= 0).select("v"), "v").count()
+      }
+      run("contrastive_pairs") {
+        // ring output is one triple per eligible doc — linear by design
+        graft.operators.EvalOps.contrastivePairs(docs).count()
+      }
+      run("padding_waste") {
+        graft.operators.EvalOps.paddingWaste(docs).count()
+      }
       // co-chunk graph ops (pagerank, triangles, LPA communities) are
       // deliberately absent: the amplifier's junk-SUFFIX design shares
       // each doc's original text as a prefix across all k copies, so
@@ -158,6 +179,20 @@ object CorpusScaleDrive {
           .localCheckpoint(true)
         val m = graft.operators.Pca.fit(amped, r = 8)
         graft.operators.Pca.project(amped, m.wFp).count()
+      }
+      run("silhouette") {
+        // same perturbation amplifier, labels carried through: centroid
+        // silhouette is one aggregate + one broadcast-join scan
+        val emb = graft.Tables.load(s, sfDir, "embeddings")
+          .select(col("vec_id"), col("label"),
+            col("embedding").cast("array<double>").as("v"))
+        val amped = emb.crossJoin(
+            s.range(factor.toLong).select(col("id").as("k")))
+          .select((col("vec_id") + col("k") * 1000000L).as("vec_id"),
+            col("label"),
+            expr("transform(v, (x, i) -> x + k * 0.001 * (i % 7))").as("v"))
+          .localCheckpoint(true)
+        graft.operators.EvalOps.silhouette(amped).count()
       }
     }
     // scaling table: seconds ratio between consecutive factors vs the
