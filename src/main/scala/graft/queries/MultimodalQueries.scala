@@ -88,6 +88,41 @@ object MultimodalQueries {
         .orderBy("doc_id")
     }),
 
+    // color/tonal-distribution audit over the REAL decoded pixels: 16
+    // intensity buckets per doc -> dominant bucket + share, distinct
+    // buckets used, and the collision-diversity index 1 - Σ(c/n)² (the
+    // log-free Simpson/Gini form of entropy — flat images score 0, the
+    // image-quality gate's screen for blank/synthetic frames). ALL
+    // integer: counts are exact, shares are floor-ppm, diversity is
+    // 1e6 - Σc²·1e6 div n² — no transcendental whose last ulp could
+    // differ between JVM and DuckDB. The oracle recomputes from the
+    // source text (ASCII corpus: byte == code point), so the hash match
+    // again proves the encode->BMP->decode loop bit-exact.
+    "mm_image_colorhist" -> ((s, d) => {
+      import s.implicits._
+      Multimodal.documentsAsMedia(s, d)
+        .map { item =>
+          val (_, _, px) = Multimodal.decodeBmp(item.data).getOrElse(
+            throw new IllegalStateException(s"doc ${item.doc_id}: payload is not a BMP"))
+          val c = new Array[Long](16)
+          px.foreach { v => c(v / 16) += 1 }
+          val n = px.length.toLong
+          val used = c.count(_ > 0).toLong
+          val domIdx = c.indexOf(c.max).toLong // first max = lowest bucket
+          val sumSq = c.map(x => x * x).sum
+          // padded pixels (w*h - n bytes) are zeros in decodeBmp's raster;
+          // count only real bytes: px here IS the padded raster, so the
+          // zero bucket includes padding — stated, deterministic, and the
+          // oracle models the same padded raster
+          (item.doc_id, n, used, domIdx,
+            c(domIdx.toInt) * 1000000L / n,
+            1000000L - sumSq * 1000000L / (n * n))
+        }
+        .toDF("doc_id", "n_px", "buckets_used", "dom_bucket",
+          "dom_share_ppm", "diversity_ppm")
+        .orderBy("doc_id")
+    }),
+
     // the COMPRESSED leg of the same oracle: documents wrapped as PNGs
     // (lossless), decoded through javax.imageio via the generic raster
     // router — the identical stats hash against the identical text-derived
@@ -758,6 +793,41 @@ object MultimodalQueries {
         |  CAST(w * h - n AS BIGINT) AS n_zero,
         |  CAST(COALESCE(list_max([unicode(t.text[i]) FOR i IN generate_series(1, n)]), 0) AS INTEGER) AS max_px
         |FROM d JOIN documents t USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    // same padded raster model as mm_pixel_stats (padding zeros land in
+    // bucket 0), histogram recomputed from the source text bytes
+    "mm_image_colorhist" ->
+      """WITH b AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n0,
+        |    GREATEST(CAST(ceil(sqrt(GREATEST(octet_length(encode(text)), 1))) AS INTEGER), 1) AS w
+        |  FROM documents
+        |), d AS (
+        |  SELECT doc_id, n0, w,
+        |    GREATEST(CAST(ceil(CAST(n0 AS DOUBLE) / w) AS INTEGER), 1) AS h
+        |  FROM b
+        |), lst AS (
+        |  SELECT d.doc_id,
+        |    [unicode(t.text[i]) // 16 FOR i IN generate_series(1, n0)] ||
+        |    [0 FOR i IN generate_series(1, w * h - n0)] AS bkts
+        |  FROM d JOIN documents t USING (doc_id)
+        |), px AS (
+        |  SELECT doc_id, unnest(bkts) AS bkt FROM lst
+        |), cnt AS (
+        |  SELECT doc_id, bkt, CAST(COUNT(*) AS BIGINT) AS c FROM px GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, bkt) AS rk
+        |  FROM cnt
+        |), agg AS (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+        |    CAST(COUNT(*) AS BIGINT) AS buckets_used,
+        |    CAST(SUM(c * c) AS BIGINT) AS sumsq
+        |  FROM cnt GROUP BY 1)
+        |SELECT a.doc_id, a.n AS n_px, a.buckets_used,
+        |  CAST(r.bkt AS BIGINT) AS dom_bucket,
+        |  CAST(r.c * 1000000 // a.n AS BIGINT) AS dom_share_ppm,
+        |  CAST(1000000 - a.sumsq * 1000000 // (a.n * a.n) AS BIGINT) AS diversity_ppm
+        |FROM agg a JOIN ranked r ON r.doc_id = a.doc_id AND r.rk = 1
+        |ORDER BY a.doc_id""".stripMargin,
 
     "mm_pixel_stats" ->
       """WITH b AS (

@@ -134,6 +134,26 @@ class MultimodalSpec extends SparkSuite {
     assert(a(0) == px(0))
   }
 
+  test("colorhist diversity: flat raster scores 0, even two-tone scores 500000") {
+    // recompute the mm_image_colorhist kernel math on planted rasters
+    def stats(px: Array[Int]): (Long, Long, Long) = {
+      val c = new Array[Long](16)
+      px.foreach(v => c(v / 16) += 1)
+      val n = px.length.toLong
+      val sumSq = c.map(x => x * x).sum
+      (c.count(_ > 0).toLong, c.indexOf(c.max).toLong,
+        1000000L - sumSq * 1000000L / (n * n))
+    }
+    val flat = Array.fill(64)(200)
+    assert(stats(flat) == ((1L, 12L, 0L)))
+    val twoTone = Array.tabulate(64)(i => if (i < 32) 10 else 250)
+    val (used2, dom2, div2) = stats(twoTone)
+    assert(used2 == 2L && dom2 == 0L && div2 == 500000L)
+    // uniform over all 16 buckets maximizes diversity at 1 - 1/16
+    val uniform = Array.tabulate(64)(i => (i % 16) * 16)
+    assert(stats(uniform)._3 == 937500L)
+  }
+
   test("stub decode is deterministic and length-preserving") {
     val bytes = "hello multimodal".getBytes("UTF-8")
     val px1 = decodeImageStub(bytes)
