@@ -120,6 +120,97 @@ class StreamingCorpusSpec extends SparkSuite {
     df.select(payload_utf8(col("data")).as("text"))
       .select(size(split(trim(col("text")), " +")).cast("long").as("v"))
 
+  test("quota guard admits the greedy per-source prefix and stays exhausted across batches") {
+    import graft.streaming.QuotaGuard
+    val root = tempDir("flo-quota-stream")
+    val e = new FloEngine(spark, root)
+    e.createStream(EventStreamOptions(name = "docs", numPartitions = 1))
+
+    def doc(words: Int) = Seq.fill(words)("w").mkString(" ")
+    // two sources with known token supplies; quotas below supply so the
+    // guard must actually cut off
+    val quotas = Map("big" -> 40L, "small" -> 25L)
+    def docsView(df: DataFrame): DataFrame = df.select(
+      col("event_counter").as("doc_id"),
+      regexp_extract(col("namespace"), "/docs/([a-z]+)/", 1).as("source"),
+      payload_utf8(col("data")).as("text"))
+
+    val q = QuotaGuard.admit(QuotaGuard.tokenized(
+        docsView(e.consumeStream("docs"))), quotas)
+      .toDF().writeStream.format("memory").queryName("quota_admit").start()
+    try {
+      // batch 1: big gets 3x10 tokens (admits 3, cap 40), small 2x10
+      // (admits 2, cap 25 -> second blocked at 20+10? no: 20 <= 25 admits,
+      // third would be 30 > 25)
+      e.produceStrings("docs", 1,
+        (1 to 3).map(i => s"/docs/big/$i" -> doc(10)) ++
+          (1 to 2).map(i => s"/docs/small/$i" -> doc(10)))
+      q.processAllAvailable()
+      // batch 2: big sends 2 more 10s (only ONE fits: 30+10=40 exactly),
+      // small sends a 10 (blocked: 20+10=30>25) then a 5 (fits: 25 exactly)
+      e.produceStrings("docs", 1,
+        (4 to 5).map(i => s"/docs/big/$i" -> doc(10)) ++
+          Seq("/docs/small/3" -> doc(10), "/docs/small/4" -> doc(5)))
+      q.processAllAvailable()
+
+      val rows = spark.table("quota_admit").collect()
+        .map(r => (r.getAs[String]("source"), r.getAs[Long]("tokens"),
+          r.getAs[Long]("used_after")))
+      val bySource = rows.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      assert(bySource("big") == 40L, s"big spent ${bySource("big")}")
+      assert(bySource("small") == 25L, s"small spent ${bySource("small")}")
+      // used_after trajectories never exceed the quota
+      rows.foreach { case (src, _, after) => assert(after <= quotas(src)) }
+      // replay the same admission greedily in test code over the batch
+      // boundaries: big admits 4 of 5 docs, small admits 3 of 4
+      assert(rows.count(_._1 == "big") == 4)
+      assert(rows.count(_._1 == "small") == 3)
+    } finally q.stop()
+  }
+
+  test("quota guard matches the waterfill plan end to end (plan offline, enforce live)") {
+    import graft.streaming.QuotaGuard
+    val root = tempDir("flo-quota-plan")
+    val e = new FloEngine(spark, root)
+    e.createStream(EventStreamOptions(name = "docs", numPartitions = 1))
+    def doc(words: Int, i: Int) =
+      (Seq.fill(words - 1)("w") :+ s"t$i").mkString(" ")
+    val corpus = (0 until 40).map { i =>
+      (s"src${i % 4}", s"/docs/src${i % 4}/$i", doc(5 + i % 7, i))
+    }
+    e.produceStrings("docs", 1, corpus.map { case (_, ns, t) => ns -> t })
+
+    // plan the mixture on the full (already-ingested) corpus
+    def docsView(df: DataFrame): DataFrame = df.select(
+      col("event_counter").as("doc_id"),
+      regexp_extract(col("namespace"), "/docs/([a-z0-9]+)/", 1).as("source"),
+      payload_utf8(col("data")).as("text"))
+    val avail = docsView(e.read("docs"))
+      .select(col("source"), size(split(trim(col("text")), " +")).cast("long").as("n"))
+      .groupBy("source").agg(sum("n").as("avail"))
+    val plan = graft.operators.EvalOps.waterfill(avail).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("alloc")).toMap
+
+    // enforce it on a replay of the same corpus
+    val q = QuotaGuard.admit(QuotaGuard.tokenized(
+        docsView(e.consumeStream("docs"))), plan)
+      .toDF().writeStream.format("memory").queryName("quota_plan").start()
+    try {
+      q.processAllAvailable()
+      val spent = spark.table("quota_plan").collect()
+        .groupBy(_.getAs[String]("source"))
+        .view.mapValues(_.map(_.getAs[Long]("tokens")).sum).toMap
+      plan.foreach { case (src, alloc) =>
+        assert(spent.getOrElse(src, 0L) <= alloc,
+          s"$src spent ${spent.getOrElse(src, 0L)} over $alloc")
+        // greedy admission fills to within one max-doc of the allocation
+        val maxDoc = 11L
+        assert(spent.getOrElse(src, 0L) >= alloc - maxDoc || alloc == 0L,
+          s"$src underfilled: ${spent.getOrElse(src, 0L)} of $alloc")
+      }
+    } finally q.stop()
+  }
+
   test("incremental near-dup over the accumulated band index matches the batch operator on a planted-dup replay") {
     import graft.operators.CorpusOps
     val root = tempDir("flo-neardup-stream")
