@@ -78,6 +78,60 @@ object FloQueries {
         .limit(500)
     }),
 
+    // causal-depth histogram over the event forest: parent(e) is a
+    // deterministic back-pointer (e − (e mod 997 + 1), root when that
+    // falls off the log), the flo rendering of "event e was caused by an
+    // earlier event". Depth is computed by POINTER DOUBLING — each round
+    // joins every unresolved event to its current ancestor's ancestor and
+    // adds the distances, so chains of depth D resolve in ⌈log₂D⌉
+    // equi-join rounds (a depth-at-a-time BFS would take D rounds; a
+    // recursive CTE doesn't exist in Spark). State per round is one
+    // (id, ancestor, distance) row per unresolved event, localCheckpoint
+    // truncates lineage, and the loop is the same eager-rounds discipline
+    // as connectedComponents. The DuckDB oracle walks the same forest
+    // top-down with a recursive CTE — O(n) total recursion rows.
+    "flo_causal_depth" -> ((s, d) => {
+      val par = Tables.floEvents(s, d).select(col("event_counter").as("id"))
+        .withColumn("p",
+          when(col("id") - (pmod(col("id"), lit(997)) + 1) >= 1,
+            col("id") - (pmod(col("id"), lit(997)) + 1)))
+      // invariant: every event is in exactly one of `res` (id -> final
+      // depth) or `active` (id, anc, d) with d = dist(id -> anc). An
+      // active row finishes by joining `res` (anc already resolved:
+      // depth = d + depth(anc)) or advances by joining `active` (anc
+      // unresolved: hop to the ancestor's ancestor, distances add) —
+      // treating a missing active match as "root" would be wrong the
+      // round after any mid-chain event resolves.
+      var res = par.filter(col("p").isNull)
+        .select(col("id"), lit(0L).as("depth")).localCheckpoint(true)
+      var active = par.filter(col("p").isNotNull)
+        .select(col("id"), col("p").as("anc"), lit(1L).as("d"))
+        .localCheckpoint(true)
+      var rounds = 0
+      while (rounds < 24 && !active.isEmpty) {
+        val a2 = active.select(col("id").as("jid"), col("anc").as("janc"),
+          col("d").as("jd"))
+        val r2 = res.select(col("id").as("rid"), col("depth").as("rdepth"))
+        val joined = active
+          .join(a2, col("anc") === col("jid"), "left")
+          .join(r2, col("anc") === col("rid"), "left")
+          .localCheckpoint(true)
+        res = res.unionByName(
+            joined.filter(col("rid").isNotNull)
+              .select(col("id"), (col("d") + col("rdepth")).as("depth")))
+          .localCheckpoint(true)
+        active = joined.filter(col("rid").isNull)
+          .select(col("id"), col("janc").as("anc"),
+            (col("d") + col("jd")).as("d"))
+          .localCheckpoint(true)
+        rounds += 1
+      }
+      require(active.isEmpty,
+        s"causal depth did not converge in $rounds doubling rounds")
+      res.groupBy("depth").agg(count(lit(1)).as("n_events"))
+        .orderBy("depth")
+    }),
+
     // C4: payload JSON decode (SerdeJsonCodec equivalent) + aggregation
     "flo_payload_k" -> ((s, d) => {
       Tables.floEvents(s, d)
@@ -208,6 +262,21 @@ object FloQueries {
          |FROM flo c JOIN flo p
          |  ON c.event_counter = p.event_counter + 1 AND c."partition" = p."partition"
          |ORDER BY child_counter LIMIT 500""".stripMargin,
+
+    // same deterministic parent forest, walked top-down: O(n) recursion
+    "flo_causal_depth" ->
+      """WITH RECURSIVE par AS (
+        |  SELECT event_id AS id,
+        |    CASE WHEN event_id - (event_id % 997 + 1) >= 1
+        |         THEN event_id - (event_id % 997 + 1) END AS p
+        |  FROM events
+        |), walk AS (
+        |  SELECT id, 0 AS depth FROM par WHERE p IS NULL
+        |  UNION ALL
+        |  SELECT par.id, walk.depth + 1 FROM par JOIN walk ON par.p = walk.id
+        |)
+        |SELECT CAST(depth AS BIGINT) AS depth, COUNT(*) AS n_events
+        |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "flo_payload_k" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,

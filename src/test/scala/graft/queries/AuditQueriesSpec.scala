@@ -137,6 +137,24 @@ class AuditQueriesSpec extends SparkSuite {
     }
   }
 
+  test("flo_causal_depth pointer doubling matches a sequential parent walk exactly") {
+    val hist = FloQueries.queries("flo_causal_depth")(spark, sf).collect()
+      .map(r => r.getAs[Long]("depth") -> r.getAs[Long]("n_events")).toMap
+    val ids = graft.Tables.floEvents(spark, sf)
+      .select("event_counter").collect().map(_.getLong(0))
+    def parent(e: Long): Option[Long] = {
+      val p = e - (e % 997 + 1)
+      if (p >= 1) Some(p) else None
+    }
+    val depth = scala.collection.mutable.Map.empty[Long, Long]
+    def walk(e: Long): Long = depth.getOrElseUpdate(e,
+      parent(e).map(p => walk(p) + 1).getOrElse(0L))
+    val expected = ids.map(walk).groupBy(identity)
+      .map { case (d, xs) => d -> xs.length.toLong }
+    assert(hist == expected, s"query $hist vs walk $expected")
+    assert(hist.values.sum == ids.length.toLong)
+  }
+
   test("jsonl read path counts corrupt rows instead of failing") {
     val dir = tempDir("jsonl-corrupt")
     java.nio.file.Files.writeString(
