@@ -478,6 +478,38 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // ORACLE-CHECKED recall audit: how much top-5 ranking fidelity does
+    // the 64->8 PCA compression cost? Both rankings are deterministic
+    // (exact integer L2 in the reduced space, exact cosine + id tiebreak
+    // in the full space), so the per-query overlap and its histogram are
+    // exact — unlike the LSH/IVF recall bars (hyperplane/k-means guts
+    // aren't SQL-expressible, spec-only), this one hash-checks
+    // engine-independently end to end. Scale: both top-5 legs are the
+    // already-audited bounded-heap plans; the audit itself is a semi join
+    // on (query, neighbor) + a |0..5|-row histogram.
+    "sim_recall_pca" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id").as("id"), col("v"))
+      val model = graft.operators.Pca.fit(e, r = 8)
+      graft.operators.Pca.modelTable(e, model)
+        .coalesce(1).write.mode("overwrite").parquet(PcaFixturePath)
+      val proj = graft.operators.Pca.project(e, model.wFp)
+      val pcaTop = graft.operators.Pca
+        .knnProjected(proj, proj.filter(col("vec_id") < 10), k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val bruteTop = graft.operators.Ann
+        .knnBrute(e, e.filter(col("id") < 10), k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = bruteTop
+        .join(pcaTop, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+      bruteTop.select("query_id").distinct()
+        .join(hits, Seq("query_id"), "left")
+        .select(coalesce(col("hits"), lit(0L)).as("hits"))
+        .groupBy("hits").agg(count(lit(1)).as("n_queries"))
+        .withColumn("recall_ppm", expr("hits * 1000000 div 5"))
+        .orderBy("hits")
+    }),
+
     // PCA-residual outliers: vectors whose energy the fitted subspace
     // explains least — the classic structural-anomaly detector. Shares
     // the sim_pca_project fixture (deterministic fit, identical bits);
@@ -666,6 +698,51 @@ object SimilarityQueries {
         |SELECT label, FLOOR(SQRT(SUM((sx / n) * (sx / n))) * 1000) / 1000 AS centroid_norm,
         |       MAX(n) AS n_vectors
         |FROM agg GROUP BY label ORDER BY label""".stripMargin,
+
+    // both rankings recomputed from scratch (brute cosine + fixture-join
+    // PCA projection), then the same semi-join overlap histogram
+    "sim_recall_pca" ->
+      s"""WITH brute AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+        |        ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id) AS rank
+        |    FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+        |    WHERE a.vec_id < 10)
+        |  WHERE rank <= 5
+        |), w AS (SELECT * FROM read_parquet('$PcaFixturePath/*.parquet')),
+        |q AS (
+        |  SELECT vec_id,
+        |    [CAST(trunc(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+        |     FOR x IN embedding] AS qv
+        |  FROM embeddings
+        |), proj AS (
+        |  SELECT vec_id, comp,
+        |    (CAST(SUM(qv[i + 1] * w.w) AS BIGINT) + 70000000000000000)
+        |      // 1000000000 AS ps
+        |  FROM q, w GROUP BY vec_id, comp
+        |), pairs AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    CAST(SUM((a.ps - b.ps) * (a.ps - b.ps)) AS BIGINT) AS dist2
+        |  FROM proj a JOIN proj b
+        |    ON a.comp = b.comp AND a.vec_id <> b.vec_id
+        |  WHERE a.vec_id < 10
+        |  GROUP BY 1, 2
+        |), pca AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY dist2 ASC, neighbor_id ASC) AS rank
+        |    FROM pairs)
+        |  WHERE rank <= 5
+        |), hits AS (
+        |  SELECT b.query_id, CAST(COUNT(p.neighbor_id) AS BIGINT) AS hits
+        |  FROM brute b LEFT JOIN pca p
+        |    ON b.query_id = p.query_id AND b.neighbor_id = p.neighbor_id
+        |  GROUP BY 1)
+        |SELECT hits, COUNT(*) AS n_queries,
+        |  CAST(hits * 1000000 // 5 AS BIGINT) AS recall_ppm
+        |FROM hits GROUP BY hits ORDER BY hits""".stripMargin,
 
     // same 1e6 fixed-point quantization, same floor-on-double centroid,
     // same exact-integer squared distances and IEEE sqrt ratio (positions
