@@ -447,6 +447,50 @@ object PipelineQueries {
     "pipe_padding_waste" -> ((s, d) =>
       graft.operators.EvalOps.paddingWaste(docs(s, d))),
 
+    // MERGE / upsert (the table-maintenance half of pipe_corpus_diff's
+    // detection): apply a changes table (updates, deletes, inserts — all
+    // deterministically derived so both engines construct the same one) to
+    // the corpus snapshot in ONE full-outer join on doc_id + coalesce —
+    // the lake MERGE shape: no window, no second pass, deletes drop by
+    // filter, updates prefer the change side, inserts survive the outer.
+    // Readout: per-source row counts + char sums of the merged snapshot,
+    // plus applied-operation tallies.
+    "pipe_merge_upsert" -> ((s, d) => {
+      val base = docs(s, d)
+      val changes = base.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), upper(col("text")).as("new_text"),
+          lit("update").as("op"), col("source"))
+        .unionByName(base.filter(col("doc_id") % 11 === 0)
+          .select(col("doc_id"), lit(null).cast("string").as("new_text"),
+            lit("delete").as("op"), col("source")))
+        .unionByName(base.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            lower(col("text")).as("new_text"),
+            lit("insert").as("op"), col("source")))
+      // delete wins over update for ids matching both %7 and %11
+      val ranked = changes.withColumn("pri",
+          when(col("op") === "delete", 0).when(col("op") === "update", 1)
+            .otherwise(2))
+      val w = Window.partitionBy("doc_id").orderBy("pri")
+      val effective = ranked
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("doc_id"), col("new_text"), col("op"),
+          col("source").as("c_source"))
+      val merged = base.join(effective, Seq("doc_id"), "full_outer")
+        .filter(coalesce(col("op"), lit("keep")) =!= "delete")
+        .select(col("doc_id"),
+          coalesce(col("new_text"), col("text")).as("text"),
+          coalesce(col("source"), col("c_source")).as("source"),
+          coalesce(col("op"), lit("keep")).as("op"))
+      merged.groupBy("source").agg(
+          count(lit(1)).as("n_rows"),
+          sum(length(col("text"))).as("chars"),
+          sum(when(col("op") === "update", 1L).otherwise(0L)).as("n_updated"),
+          sum(when(col("op") === "insert", 1L).otherwise(0L)).as("n_inserted"),
+          sum(when(col("op") === "keep", 1L).otherwise(0L)).as("n_kept"))
+        .orderBy("source")
+    }),
+
     "pipe_corpus_diff" -> ((s, d) => {
       val a = docs(s, d)
       val b = a.filter(col("doc_id") % 11 =!= 0)
@@ -1114,6 +1158,39 @@ object PipelineQueries {
         |    // (COUNT(*) * bucket_ub) AS BIGINT) AS bucket_waste_ppm
         |FROM b CROSS JOIN g
         |GROUP BY bucket_ub ORDER BY bucket_ub""".stripMargin,
+
+    // same deterministic changes table, same delete-beats-update priority,
+    // same full-outer merge
+    "pipe_merge_upsert" ->
+      """WITH changes AS (
+        |  SELECT doc_id, UPPER(text) AS new_text, 'update' AS op, source
+        |  FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id, CAST(NULL AS VARCHAR), 'delete', source
+        |  FROM documents WHERE doc_id % 11 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, LOWER(text), 'insert', source
+        |  FROM documents WHERE doc_id % 13 = 0
+        |), effective AS (
+        |  SELECT doc_id, new_text, op, source AS c_source FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY CASE op WHEN 'delete' THEN 0 WHEN 'update' THEN 1
+        |               ELSE 2 END) AS rn
+        |    FROM changes)
+        |  WHERE rn = 1
+        |), merged AS (
+        |  SELECT COALESCE(b.doc_id, e.doc_id) AS doc_id,
+        |    COALESCE(e.new_text, b.text) AS text,
+        |    COALESCE(b.source, e.c_source) AS source,
+        |    COALESCE(e.op, 'keep') AS op
+        |  FROM documents b FULL OUTER JOIN effective e ON b.doc_id = e.doc_id
+        |  WHERE COALESCE(e.op, 'keep') <> 'delete')
+        |SELECT source, COUNT(*) AS n_rows,
+        |  CAST(SUM(LENGTH(text)) AS BIGINT) AS chars,
+        |  CAST(SUM(CASE WHEN op = 'update' THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+        |  CAST(SUM(CASE WHEN op = 'insert' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted,
+        |  CAST(SUM(CASE WHEN op = 'keep' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM merged GROUP BY source ORDER BY source""".stripMargin,
 
     // round-trip identity: the same per-source aggregates straight off the
     // parquet original (losslessness = equality), zero corrupt rows
