@@ -79,7 +79,15 @@ object PipelineQueries {
       val stripped = regexp_replace(col("text"),
         "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
       val collapsed = regexp_replace(trim(stripped), "[ \\t\\n\\r]+", " ")
+      // the cleaning pass (two regex rewrites + NFC over every byte) feeds
+      // FIVE downstream consumers (model stats, scoring, chunking, dedup
+      // stats, DSIR); localCheckpoint materializes it ONCE instead of
+      // re-running the rewrite per subtree — at 100 TB this is the
+      // difference between one and five full-corpus regex passes (the
+      // checkpoint is the corpus's cleaned projection, partition-local,
+      // no shuffle)
       val cleaned = base.withColumn("text", call_function("graft_nfc", collapsed))
+        .localCheckpoint(true)
       graft.operators.QualityModel.writeModel(cleaned, FullPrepWeightsPath)
       val gated = cleaned.join(
         graft.operators.QualityModel.scoreAgainst(cleaned, FullPrepWeightsPath)

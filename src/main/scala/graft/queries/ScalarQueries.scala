@@ -55,6 +55,19 @@ object ScalarQueries {
           |ORDER BY st, prio""".stripMargin)
     }),
 
+    // ordered string aggregation (LISTAGG / string_agg — the report-
+    // building scalar every BI surface needs): deterministic because the
+    // list sorts before joining; bounded because the input is an
+    // already-aggregated distinct set per group, never raw rows
+    "q_string_agg" -> ((s, d) => {
+      Tables.load(s, d, "orders")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          array_join(array_sort(collect_set(col("o_orderpriority"))), ",")
+            .as("priorities"))
+        .orderBy("o_orderstatus")
+    }),
+
     // HLL approx distinct next to the exact count (sketches are
     // engine-specific: QueriesSpec asserts the <5% error bound instead)
     "q_approx_distinct" -> ((s, d) => {
@@ -269,6 +282,38 @@ object ScalarQueries {
         .orderBy("l_returnflag")
     }),
 
+    // third/fourth central moments per group (skewness / excess kurtosis)
+    // from EXACT power sums — Spark's skewness()/kurtosis() and DuckDB's
+    // differ on bias correction, so neither builtin can oracle the other;
+    // raw Σy, Σy², Σy³, Σy⁴ as DECIMAL(38,0) are exact and order-free in
+    // both engines (y⁴ ≈ 1e16 × 6e5 rows fits 38 digits), and the
+    // population-moment float chain runs on exact-integer operands.
+    // Same one-aggregate no-window shape as q_linreg.
+    "q_moments" -> ((s, d) => {
+      val t = Tables.load(s, d, "lineitem").select(
+        col("l_returnflag"), col("l_quantity").cast("long").as("y"))
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val a = t.groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("y"))).as("s1"),
+        sum(dec(col("y") * col("y"))).as("s2"),
+        sum(dec(col("y") * col("y") * col("y"))).as("s3"),
+        sum(dec(col("y") * col("y") * col("y") * col("y"))).as("s4"))
+      val nd = col("n").cast("double")
+      val m = col("s1").cast("double") / nd
+      val m2 = col("s2").cast("double") / nd - m * m
+      val m3 = col("s3").cast("double") / nd - lit(3.0) * m * (col("s2").cast("double") / nd) +
+        lit(2.0) * m * m * m
+      val m4 = col("s4").cast("double") / nd - lit(4.0) * m * (col("s3").cast("double") / nd) +
+        lit(6.0) * m * m * (col("s2").cast("double") / nd) - lit(3.0) * m * m * m * m
+      a.select(col("l_returnflag"), col("n"),
+          floor(m * 10000).as("mean_4"),
+          floor(m2 * 10000).as("var_4"),
+          floor(m3 / (sqrt(m2) * m2) * 1000000).as("skew_ppm"),
+          floor((m4 / (m2 * m2) - lit(3.0)) * 1000000).as("kurt_ppm"))
+        .orderBy("l_returnflag")
+    }),
+
     "q_exact_quantiles" -> ((s, d) => {
       def f4(c: org.apache.spark.sql.Column) = floor(c * 10000) / 10000
       graft.operators.Quantiles.exactQuantiles(
@@ -410,6 +455,46 @@ object ScalarQueries {
         |    / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
         |      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) AS BIGINT) AS r2_ppm
         |FROM a ORDER BY l_returnflag""".stripMargin,
+
+    "q_string_agg" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)
+        |    AS priorities
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // same exact power sums, same population-moment float chain (each
+    // arithmetic step mirrors the Spark column expression's associativity)
+    "q_moments" ->
+      """WITH t AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS y FROM lineitem
+        |), a AS (
+        |  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(y) AS BIGINT) AS s1,
+        |    CAST(SUM(y*y) AS BIGINT) AS s2,
+        |    CAST(SUM(y*y*y) AS BIGINT) AS s3,
+        |    CAST(SUM(y*y*y*y) AS BIGINT) AS s4
+        |  FROM t GROUP BY 1
+        |), mm AS (
+        |  SELECT l_returnflag, n, s2, s3, s4,
+        |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m
+        |  FROM a
+        |), cm AS (
+        |  SELECT l_returnflag, n, m,
+        |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) - m * m AS m2,
+        |    CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - 3.0 * m * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+        |      + 2.0 * m * m * m AS m3,
+        |    CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - 4.0 * m * (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))
+        |      + 6.0 * m * m * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+        |      - 3.0 * m * m * m * m AS m4
+        |  FROM mm)
+        |SELECT l_returnflag, n,
+        |  CAST(FLOOR(m * 10000) AS BIGINT) AS mean_4,
+        |  CAST(FLOOR(m2 * 10000) AS BIGINT) AS var_4,
+        |  CAST(FLOOR(m3 / (SQRT(m2) * m2) * 1000000) AS BIGINT) AS skew_ppm,
+        |  CAST(FLOOR((m4 / (m2 * m2) - 3.0) * 1000000) AS BIGINT) AS kurt_ppm
+        |FROM cm ORDER BY l_returnflag""".stripMargin,
 
     "q_exact_quantiles" ->
       """SELECT l_returnflag,

@@ -255,6 +255,29 @@ class AuditQueriesSpec extends SparkSuite {
     }
   }
 
+  test("observe() yields per-gate telemetry from ONE pass of the cleaning pipeline") {
+    // single-pass pipeline observability: counts of what each gate dropped,
+    // collected by the Observation API during the SAME action that produces
+    // the output — no second scan per metric (at 100 TB, re-counting each
+    // stage separately would multiply the corpus reads by the stage count)
+    import org.apache.spark.sql.Observation
+    val nTokens = size(split(trim(col("text")), " +"))
+    val obs = Observation("clean_telemetry")
+    val base = graft.Tables.load(spark, sf, "documents")
+    val out = base
+      .observe(obs,
+        count(lit(1)).as("n_in"),
+        sum(when(nTokens < 5, 1L).otherwise(0L)).as("n_too_short"),
+        sum(length(col("text"))).as("chars_in"))
+      .filter(nTokens >= 5)
+    val survivors = out.count()
+    val m = obs.get
+    assert(m("n_in") == base.count())
+    assert(m("n_in").asInstanceOf[Long] - m("n_too_short").asInstanceOf[Long]
+      == survivors)
+    assert(m("chars_in").asInstanceOf[Long] > 0L)
+  }
+
   test("pipe_jsonl_roundtrip reports zero corrupt rows on the real corpus") {
     val rows = PipelineQueries.queries("pipe_jsonl_roundtrip")(spark, sf).collect()
     assert(rows.nonEmpty)
