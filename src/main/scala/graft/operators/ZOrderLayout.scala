@@ -57,6 +57,35 @@ object ZOrderLayout {
       .drop("zval")
       .write.mode("overwrite").parquet(path)
 
+  /** The input extended with an order-16 Hilbert distance of (keyA, keyB)
+    * — same contract as [[coded]], tighter average envelopes: the Hilbert
+    * curve never takes Morton's power-of-two diagonal jumps, so
+    * consecutive codes are always grid-adjacent and range-partitioned
+    * files cover more compact rectangles (ZOrderSpec measures the
+    * envelope-area win on the same data). */
+  def codedHilbert(df: DataFrame, keyA: String, keyB: String): DataFrame = {
+    checkCols(df, Seq(keyA, keyB))
+    GraftExtensions.register(df.sparkSession)
+    val b = df.agg(
+      min(keyA).as("mina"), max(keyA).as("maxa"),
+      min(keyB).as("minb"), max(keyB).as("maxb"))
+    df.crossJoin(broadcast(b))
+      .withColumn("zval", call_function("graft_hilbert",
+        expr(s"($keyA - mina) * 65535 div greatest(maxa - mina, 1)"),
+        expr(s"($keyB - minb) * 65535 div greatest(maxb - minb, 1)")))
+      .drop("mina", "maxa", "minb", "maxb")
+  }
+
+  /** Write `df` into `numFiles` Hilbert-clustered parquet files. */
+  def writeClusteredHilbert(
+      df: DataFrame, keyA: String, keyB: String,
+      numFiles: Int, path: String): Unit =
+    codedHilbert(df, keyA, keyB)
+      .repartitionByRange(numFiles, col("zval"))
+      .sortWithinPartitions("zval")
+      .drop("zval")
+      .write.mode("overwrite").parquet(path)
+
   /** Three-key variant ([[graft.expressions.ZOrderCode3]]): tight file
     * envelopes on ALL THREE columns. */
   def coded3(df: DataFrame, keyA: String, keyB: String, keyC: String): DataFrame = {

@@ -797,6 +797,35 @@ object PipelineQueries {
           min("xs").as("min_x"), max("xs").as("max_x"),
           min("ys").as("min_y"), max("ys").as("max_y"))
         .orderBy("bucket")
+    }),
+
+    // the same file-envelope audit on the HILBERT curve (the layout
+    // behind "liquid"-style clustering): consecutive Hilbert codes are
+    // always grid-adjacent — no Morton diagonal jumps — so the 32 range
+    // buckets cover tighter rectangles (ZOrderSpec measures the envelope-
+    // area win on this same data). The oracle replays the xy2d bit loop
+    // as 16 generated CTE steps of pure integer CASE/XOR arithmetic.
+    "pipe_hilbert" -> ((s, d) => {
+      graft.expressions.GraftExtensions.register(s)
+      val base = events(s, d).select(
+        col("event_id"), col("user_id").as("u"),
+        expr("unix_micros(ts) div 1000000").as("sec"))
+      val b = base.agg(
+        min("u").as("minu"), max("u").as("maxu"),
+        min("sec").as("mins"), max("sec").as("maxs"))
+      val scaled = base.crossJoin(broadcast(b)).select(
+        col("event_id"),
+        expr("(u - minu) * 65535 div greatest(maxu - minu, 1)").as("xs"),
+        expr("(sec - mins) * 65535 div greatest(maxs - mins, 1)").as("ys"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("zval", "event_id")
+      scaled
+        .withColumn("zval", call_function("graft_hilbert", col("xs"), col("ys")))
+        .withColumn("bucket", ntile(32).over(w))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          min("xs").as("min_x"), max("xs").as("max_x"),
+          min("ys").as("min_y"), max("ys").as("max_y"))
+        .orderBy("bucket")
     }))
 
   /** Catalog rendering of [[graft.operators.CorpusOps.decontaminate]]: the
@@ -826,6 +855,33 @@ object PipelineQueries {
         (8, 1157144660301377551L), (4, 1207822528635744451L),
         (2, 1317624576693539401L))
       .foldLeft(s"($c & 2097151)") { case (s, (sh, m)) => s"(($s | ($s << $sh)) & $m)" }
+
+  /** The order-16 Hilbert xy2d loop ([[graft.expressions.ZOrderCodes
+    * .hilbert]]) unrolled as 16 generated CTE steps over (event_id, x, y,
+    * d): per step, quadrant bits rx/ry via mask tests, d += s²·((3rx)⊕ry),
+    * then the reflect-and-swap rotation — pure integer CASE/XOR, engine-
+    * exact. */
+  private def hilbertStepsSql(initFrom: String): String = {
+    val steps = (15 to 0 by -1).map(i => 1L << i)
+    val ctes = steps.zipWithIndex.map { case (s, i) =>
+      val prev = if (i == 0) initFrom else s"h${i - 1}"
+      // inner projection renames to px/py/pd: DuckDB's lateral column
+      // aliases would otherwise bind same-list references of x/y to the
+      // NEW aliases instead of the previous step's values
+      s"""h$i AS (
+         |  SELECT event_id,
+         |    CASE WHEN (py & $s) = 0
+         |         THEN (CASE WHEN (px & $s) > 0 THEN $s - 1 - py ELSE py END)
+         |         ELSE px END AS x,
+         |    CASE WHEN (py & $s) = 0
+         |         THEN (CASE WHEN (px & $s) > 0 THEN $s - 1 - px ELSE px END)
+         |         ELSE py END AS y,
+         |    pd + CAST($s AS BIGINT) * $s * xor(3 * (CASE WHEN (px & $s) > 0 THEN 1 ELSE 0 END),
+         |                       (CASE WHEN (py & $s) > 0 THEN 1 ELSE 0 END)) AS d
+         |  FROM (SELECT event_id, x AS px, y AS py, d AS pd FROM $prev))""".stripMargin
+    }
+    ctes.mkString(",\n")
+  }
 
   /** Unrolled fixed-point PageRank iterations as CTEs (pipe_pagerank). */
   private def pagerankSql(iterations: Int): String = {
@@ -1561,6 +1617,25 @@ object PipelineQueries {
          |SELECT bucket, COUNT(*) AS n,
          |  MIN(xs) AS min_x, MAX(xs) AS max_x, MIN(ys) AS min_y, MAX(ys) AS max_y
          |FROM t GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // same scaling, then the generated 16-step xy2d loop instead of the
+    // Morton bit spread
+    "pipe_hilbert" ->
+      s"""WITH base AS (
+         |  SELECT event_id, user_id AS u, epoch_ms(ts) // 1000 AS sec FROM events),
+         |b AS (SELECT MIN(u) AS minu, MAX(u) AS maxu, MIN(sec) AS mins, MAX(sec) AS maxs FROM base),
+         |scaled AS (SELECT event_id,
+         |    (u - minu) * 65535 // GREATEST(maxu - minu, 1) AS xs,
+         |    (sec - mins) * 65535 // GREATEST(maxs - mins, 1) AS ys
+         |  FROM base, b),
+         |h_init AS (SELECT event_id, xs AS x, ys AS y, CAST(0 AS BIGINT) AS d FROM scaled),
+         |${hilbertStepsSql("h_init")},
+         |z AS (SELECT s.event_id, s.xs, s.ys, h15.d AS zval
+         |      FROM scaled s JOIN h15 ON s.event_id = h15.event_id),
+         |t AS (SELECT xs, ys, NTILE(32) OVER (ORDER BY zval, event_id) AS bucket FROM z)
+         |SELECT bucket, COUNT(*) AS n,
+         |  MIN(xs) AS min_x, MAX(xs) AS max_x, MIN(ys) AS min_y, MAX(ys) AS max_y
+         |FROM t GROUP BY bucket ORDER BY bucket""".stripMargin,
+
     "pipe_decontaminate" ->
       """WITH t AS (
         |  SELECT doc_id, string_split_regex(trim(text), ' +') AS w FROM documents

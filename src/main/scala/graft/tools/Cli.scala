@@ -61,6 +61,7 @@ import graft.model.VersionVector
  * sbt "runMain graft.tools.Cli <root> audio-segments <audioParquet>"
  * sbt "runMain graft.tools.Cli <root> weighted-dedup <docsParquet> [pct]"
  * sbt "runMain graft.tools.Cli <root> hybrid-search <docsParquet> <term> [term...]"
+ * sbt "runMain graft.tools.Cli <root> hilbert-write <inParquet> <outDir> <colA> <colB> [files]"
  * sbt "runMain graft.tools.Cli <root> quality-audit <docsParquet> <modelDir>"
  * sbt "runMain graft.tools.Cli <root> silhouette <embParquet>"
  * sbt "runMain graft.tools.Cli <root> ks-drift <docsParquetA> <docsParquetB>"
@@ -232,6 +233,12 @@ object Cli {
               .writeClustered(in, args(4), args(5), files, args(3))
         }
         println(s"wrote $files z-clustered files to ${args(3)}")
+      case "hilbert-write" =>
+        // rewrite a parquet table hilbert-clustered on two integral columns
+        val files = if (args.length > 6) args(6).toInt else 16
+        graft.operators.ZOrderLayout.writeClusteredHilbert(
+          spark.read.parquet(args(2)), args(4), args(5), files, args(3))
+        println(s"wrote $files hilbert-clustered files to ${args(3)}")
       case "bloom-index" =>
         graft.operators.BloomFileIndex.build(spark, args(2), args(4), args(3))
         println(s"indexed ${args(2)} on ${args(4)} -> ${args(3)}")

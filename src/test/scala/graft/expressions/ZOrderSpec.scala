@@ -122,4 +122,78 @@ class ZOrderSpec extends SparkSuite {
     assert(zx <= 8.0, s"zorder x reads $zx")
     assert(zy <= 8.0, s"zorder y reads $zy")
   }
+
+  /** Independent d2xy reference (the INVERSE walk, standard Hilbert
+    * construction) — the expression is checked against the curve's
+    * defining property, not a re-transcription of its own loop. */
+  private def d2xy(d: Long): (Long, Long) = {
+    var x = 0L; var y = 0L; var t = d; var s = 1L
+    while (s < 65536L) {
+      val rx = 1L & (t / 2)
+      val ry = 1L & (t ^ rx)
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val tmp = x; x = y; y = tmp
+      }
+      x += s * rx
+      y += s * ry
+      t /= 4
+      s *= 2
+    }
+    (x, y)
+  }
+
+  test("graft_hilbert inverts the standard d2xy walk; consecutive codes are grid-adjacent") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    // xy2d(d2xy(d)) == d over a contiguous code range + random codes
+    val rnd = new scala.util.Random(7)
+    val codes = (0L until 4096L) ++ Seq.fill(500)(
+      math.abs(rnd.nextLong()) % (65536L * 65536L))
+    codes.foreach { dd =>
+      val (x, y) = d2xy(dd)
+      assert(ZOrderCodes.hilbert(x, y) == dd, s"d=$dd -> ($x,$y)")
+    }
+    // the Hilbert property Morton lacks: consecutive codes differ by ONE
+    // grid step (|dx| + |dy| == 1), never a diagonal jump
+    var prev = d2xy(0L)
+    (1L until 4096L).foreach { dd =>
+      val cur = d2xy(dd)
+      assert(math.abs(cur._1 - prev._1) + math.abs(cur._2 - prev._2) == 1,
+        s"jump at d=$dd: $prev -> $cur")
+      prev = cur
+    }
+    // codegen path agrees with the JVM helper
+    val cases = Seq.fill(200)((rnd.nextLong() & 0xffffL, rnd.nextLong() & 0xffffL))
+    val got = cases.toDF("x", "y").repartition(3)
+      .selectExpr("x", "y", "graft_hilbert(x, y) AS h")
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, h) => assert(h == ZOrderCodes.hilbert(x, y)) }
+  }
+
+  test("hilbert range buckets cover tighter envelopes than morton on the same data") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    // uniform grid sample; 32 equal-count buckets per curve; compare the
+    // summed envelope areas — the quantitative form of "no diagonal jumps"
+    val rnd = new scala.util.Random(11)
+    val pts = Seq.fill(4096)(
+      (rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+      .toDF("x", "y")
+      .selectExpr("x", "y", "graft_zorder(x, y) AS zm", "graft_hilbert(x, y) AS zh")
+      .cache()
+    def envelopeArea(code: String): Long = {
+      import org.apache.spark.sql.expressions.Window
+      pts.withColumn("b", ntile(32).over(Window.orderBy(col(code))))
+        .groupBy("b")
+        .agg(((max("x") - min("x") + 1) * (max("y") - min("y") + 1)).as("area"))
+        .agg(sum("area")).collect()(0).getLong(0)
+    }
+    try {
+      val morton = envelopeArea("zm")
+      val hilbert = envelopeArea("zh")
+      assert(hilbert < morton,
+        s"hilbert envelope area $hilbert must beat morton $morton")
+    } finally pts.unpersist()
+  }
 }
