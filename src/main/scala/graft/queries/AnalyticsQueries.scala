@@ -196,6 +196,25 @@ object AnalyticsQueries {
         .orderBy("hour", "event_type")
     }),
 
+    // event-flow mining (product-analytics path analysis): per-user
+    // transition bigrams over the time-ordered event stream, top-20 edges
+    // of the Markov transition graph. The window partitions by user (no
+    // global sort — per-user state only), ties in ts break on event_id so
+    // the lead() is deterministic; the readout is an |event_type|²-bounded
+    // aggregate + TakeOrdered.
+    "q_event_transitions" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      t(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("next_type", lead("event_type", 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("from_type"), col("to_type"))
+        .limit(20)
+    }),
+
     // burst detection over the hourly series: an hour is a burst when its
     // count clears mean + 2σ — squared into the exact-integer test
     // (n·c − S)² > 4·(n·Q − S²) with n·c > S, so no float enters the
@@ -668,6 +687,18 @@ object AnalyticsQueries {
         |  COUNT(DISTINCT user_id) AS users
         |FROM events
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_event_transitions" ->
+      """SELECT event_type AS from_type, next_type AS to_type,
+        |  COUNT(*) AS n
+        |FROM (
+        |  SELECT event_type,
+        |    LEAD(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next_type
+        |  FROM events)
+        |WHERE next_type IS NOT NULL
+        |GROUP BY 1, 2
+        |ORDER BY n DESC, from_type, to_type LIMIT 20""".stripMargin,
 
     "q_burst_hours" ->
       """WITH h AS (

@@ -82,6 +82,30 @@ object DedupQueries {
         (floor(col("common") * lit(1000) / col("union_sz")) / 1000).as("jaccard"))
   }
 
+  /** The same posting-join pair emission at an arbitrary milli-jaccard
+    * floor, with the similarity as an exact integer (`jac_milli`) —
+    * the input to threshold sweeps. The df cap keeps emission bounded
+    * exactly as in [[ngramJaccardPairs]]. */
+  private[graft] def ngramJaccardPairsAt(
+      documents: DataFrame, minMilli: Long): DataFrame = {
+    val words = documents
+      .select(col("doc_id"), split(trim(col("text")), " +").as("w"))
+      .filter(size(col("w")) >= 3)
+    val gramRows = words
+      .select(col("doc_id"),
+        explode(sequence(lit(0), size(col("w")) - 3)).as("i"), col("w"))
+      .select(col("doc_id"), expr("concat(w[i], ' ', w[i+1], ' ', w[i+2])").as("gram"))
+      .dropDuplicates("doc_id", "gram")
+    val sizes = gramRows.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    graft.operators.CorpusOps.postingPairCounts(gramRows, "gram", MaxGramDf)
+      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sa"))), "doc_a")
+      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sb"))), "doc_b")
+      .withColumn("union_sz", col("sa") + col("sb") - col("common"))
+      .filter(col("common") * 1000 >= col("union_sz") * minMilli)
+      .select(col("doc_a"), col("doc_b"),
+        expr("common * 1000 div union_sz").as("jac_milli"))
+  }
+
   /** Banding for embedding near-dup LSH: 128 planes / 32 bands of 4 bits —
     * tuned on the real testdata for recall >= 0.95 of cosine>=0.4 pairs
     * (these synthetic vectors are near-uniform, the hardest case; DedupSpec
@@ -141,6 +165,29 @@ object DedupQueries {
     // Exact: every pair with jaccard >= 0.5 shares >= 1 trigram by definition.
     "dedup_ngram_jaccard" -> ((s, d) =>
       ngramJaccardPairs(docs(s, d)).orderBy("doc_a", "doc_b")),
+
+    // threshold sweep (the "choose your cut" audit run before committing a
+    // near-dup threshold): the SAME df-capped posting join emits pairs once
+    // at a 0.3 floor with integer milli-jaccard, localCheckpoint pins the
+    // small pair table, and each candidate threshold row (a broadcast
+    // 7-row side) counts its surviving pairs and distinct flagged docs —
+    // the marginal cost per threshold is a scan of the PAIR table, never
+    // the corpus.
+    "dedup_threshold_sweep" -> ((s, d) => {
+      val pairs = ngramJaccardPairsAt(docs(s, d), 300).localCheckpoint(true)
+      val thr = s.range(3, 10).select((col("id") * 100).as("thr_milli"))
+      val tagged = broadcast(thr)
+        .join(pairs, col("jac_milli") >= col("thr_milli"))
+      val pairsAgg = tagged.groupBy("thr_milli").agg(count(lit(1)).as("n_pairs"))
+      val docsAgg = tagged
+        .select(col("thr_milli"),
+          explode(array(col("doc_a"), col("doc_b"))).as("doc"))
+        .groupBy("thr_milli").agg(countDistinct("doc").as("n_docs"))
+      thr.join(pairsAgg, Seq("thr_milli"), "left")
+        .join(docsAgg, Seq("thr_milli"), "left")
+        .na.fill(0L, Seq("n_pairs", "n_docs"))
+        .orderBy("thr_milli")
+    }),
 
     // connected-components clustering of the near-dup pairs: turns pairwise
     // "A ~ B" verdicts into dedup GROUPS so a pipeline keeps exactly one
@@ -751,6 +798,42 @@ object DedupQueries {
         |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
         |WHERE common * 2 >= union_sz
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // same pair emission at the 0.3 floor, same integer milli-jaccard,
+    // same per-threshold pair/doc counts
+    "dedup_threshold_sweep" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), ' +') AS w FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                   FOR i IN generate_series(1, len(w) - 2)]) AS grams
+        |  FROM t WHERE len(w) >= 3
+        |), pairs AS (
+        |  SELECT doc_a, doc_b, common * 1000 // union_sz AS jac_milli
+        |  FROM (
+        |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |      len(list_intersect(a.grams, b.grams)) AS common,
+        |      len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) AS union_sz
+        |    FROM g a JOIN g b ON a.doc_id < b.doc_id)
+        |  WHERE common * 1000 >= union_sz * 300
+        |), thr AS (
+        |  SELECT i * 100 AS thr_milli FROM generate_series(3, 9) AS s(i)
+        |), tagged AS (
+        |  SELECT thr_milli, doc_a, doc_b
+        |  FROM thr JOIN pairs ON jac_milli >= thr_milli
+        |), pa AS (
+        |  SELECT thr_milli, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |  FROM tagged GROUP BY 1
+        |), da AS (
+        |  SELECT thr_milli, CAST(COUNT(DISTINCT doc) AS BIGINT) AS n_docs
+        |  FROM (SELECT thr_milli, unnest([doc_a, doc_b]) AS doc FROM tagged)
+        |  GROUP BY 1)
+        |SELECT t.thr_milli, COALESCE(pa.n_pairs, 0) AS n_pairs,
+        |  COALESCE(da.n_docs, 0) AS n_docs
+        |FROM thr t LEFT JOIN pa ON t.thr_milli = pa.thr_milli
+        |LEFT JOIN da ON t.thr_milli = da.thr_milli
+        |ORDER BY t.thr_milli""".stripMargin,
 
     // same seed-and-extend definition: positional 5-grams, occurrence cap,
     // longest consecutive-gram run per (pair, diagonal), + g - 1 tokens
