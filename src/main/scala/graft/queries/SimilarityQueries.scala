@@ -478,6 +478,33 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // per-label embedding drift between two corpus halves (the embedding-
+    // space analog of pipe_ks_drift: did a re-embed / ingest change move
+    // the classes?): fixed-point centroids per (half, label) from ONE
+    // aggregate each, then the exact-integer squared-distance between
+    // halves per label, surfaced as the 1e6-scaled L2. |labels|·dim
+    // intermediate rows — the corpus is scanned once per half.
+    "sim_embedding_drift" -> ((s, d) => {
+      val e = emb(s, d)
+        .select(col("vec_id"), col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+        .select(col("label"), col("pos"),
+          floor(col("x") * 1000000).cast("long").as("xfp"),
+          (col("vec_id") % 2 === 0).as("in_a"))
+      def cent(flag: Boolean, cName: String, nName: String) =
+        e.filter(col("in_a") === flag)
+          .groupBy("label", "pos")
+          .agg(floor(sum("xfp").cast("double") / count(lit(1))).as(cName),
+            count(lit(1)).as(nName))
+      cent(flag = true, "ca", "na")
+        .join(cent(flag = false, "cb", "nb"), Seq("label", "pos"))
+        .groupBy("label")
+        .agg(max("na").as("n_a"), max("nb").as("n_b"),
+          sum((col("ca") - col("cb")) * (col("ca") - col("cb"))).as("d2"))
+        .select(col("label"), col("n_a"), col("n_b"),
+          floor(sqrt(col("d2").cast("double"))).as("drift_fp"))
+        .orderBy("label")
+    }),
+
     // ORACLE-CHECKED recall audit: how much top-5 ranking fidelity does
     // the 64->8 PCA compression cost? Both rankings are deterministic
     // (exact integer L2 in the reduced space, exact cosine + id tiebreak
@@ -698,6 +725,30 @@ object SimilarityQueries {
         |SELECT label, FLOOR(SQRT(SUM((sx / n) * (sx / n))) * 1000) / 1000 AS centroid_norm,
         |       MAX(n) AS n_vectors
         |FROM agg GROUP BY label ORDER BY label""".stripMargin,
+
+    // same parity halves, same floor-on-double centroids, same exact
+    // integer squared distance and IEEE sqrt
+    "sim_embedding_drift" ->
+      """WITH f AS (
+        |  SELECT vec_id, label, t.pos,
+        |    CAST(FLOOR(CAST(embedding[t.pos] AS DOUBLE) * 1000000) AS BIGINT) AS xfp,
+        |    vec_id % 2 = 0 AS in_a
+        |  FROM embeddings, generate_series(1, 64) AS t(pos)
+        |), ca AS (
+        |  SELECT label, pos,
+        |    CAST(FLOOR(CAST(SUM(xfp) AS DOUBLE) / COUNT(*)) AS BIGINT) AS ca,
+        |    CAST(COUNT(*) AS BIGINT) AS na
+        |  FROM f WHERE in_a GROUP BY 1, 2
+        |), cb AS (
+        |  SELECT label, pos,
+        |    CAST(FLOOR(CAST(SUM(xfp) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cb,
+        |    CAST(COUNT(*) AS BIGINT) AS nb
+        |  FROM f WHERE NOT in_a GROUP BY 1, 2)
+        |SELECT label, MAX(na) AS n_a, MAX(nb) AS n_b,
+        |  CAST(FLOOR(SQRT(CAST(SUM((ca - cb) * (ca - cb)) AS DOUBLE))) AS BIGINT)
+        |    AS drift_fp
+        |FROM ca JOIN cb USING (label, pos)
+        |GROUP BY label ORDER BY label""".stripMargin,
 
     // both rankings recomputed from scratch (brute cosine + fixture-join
     // PCA projection), then the same semi-join overlap histogram

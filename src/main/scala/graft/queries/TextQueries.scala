@@ -89,6 +89,57 @@ object TextQueries {
         .calibration(scored, "score_fp", "label", "predicted")
     }),
 
+    // language-ID confusion matrix (the detector eval next to text_langid's
+    // per-doc verdicts): labeled vs guessed counts with per-cell corpus
+    // share ppm — one scan, |langs|² output rows
+    "text_langid_confusion" -> ((s, d) => {
+      val Seq(en, es, de) = langPatterns.map { case (_, pat) =>
+        regexp_count(lower(col("text")), lit(pat))
+      }
+      val guess = when(en >= es && en >= de && en > 0, "en")
+        .when(es >= de && es > 0, "es")
+        .when(de > 0, "de").otherwise("und")
+      val cells = docs(s, d)
+        .select(col("lang").as("labeled"), guess.as("guessed"))
+        .groupBy("labeled", "guessed").agg(count(lit(1)).as("n"))
+      val tot = cells.agg(sum("n").as("total"))
+      cells.crossJoin(broadcast(tot))
+        .withColumn("share_ppm", expr("n * 1000000 div total"))
+        .drop("total")
+        .orderBy("labeled", "guessed")
+    }),
+
+    // precision/recall curve for the trained quality model (the
+    // threshold-choosing companion to text_quality_auc): at each decile
+    // threshold of the 1e12-scaled regression output, precision and
+    // recall of "score >= t" against the Gopher verdict. One (score,
+    // n1, n0) aggregate feeds every threshold — the per-threshold
+    // tallies are conditional sums over the aggregated grid, so the
+    // corpus is scanned once regardless of how many cuts are evaluated.
+    "text_quality_pr" -> ((s, d) => {
+      val base = docs(s, d)
+      graft.operators.QualityModel.writeModel(base, QualityModelFixturePath)
+      val byScore = graft.operators.QualityModel
+        .scoreAgainst(base, QualityModelFixturePath)
+        .groupBy("score_fp").agg(
+          sum(when(col("label"), 1L).otherwise(0L)).as("n1"),
+          sum(when(col("label"), 0L).otherwise(1L)).as("n0"))
+        .localCheckpoint(true)
+      val thr = s.range(0, 10)
+        .select((col("id") * 100000000000L).as("thr_fp"))
+      byScore.crossJoin(broadcast(thr))
+        .groupBy("thr_fp").agg(
+          sum(when(col("score_fp") >= col("thr_fp"), col("n1")).otherwise(0L)).as("tp"),
+          sum(when(col("score_fp") >= col("thr_fp"), col("n0")).otherwise(0L)).as("fp"),
+          sum("n1").as("pos"))
+        .select(col("thr_fp"), col("tp"), col("fp"),
+          expr("CASE WHEN tp + fp > 0 THEN tp * 1000000 div (tp + fp) ELSE 0 END")
+            .as("precision_ppm"),
+          expr("CASE WHEN pos > 0 THEN tp * 1000000 div pos ELSE 0 END")
+            .as("recall_ppm"))
+        .orderBy("thr_fp")
+    }),
+
     // BPE merge training on the corpus (tokenizer learning, the capability
     // upstream of token counting): 12 merge rules from the word-frequency
     // formulation — ONE corpus-sized word-count shuffle, then per-round
@@ -994,6 +1045,51 @@ object TextQueries {
         |    AS BIGINT) AS pos_rate_ppm
         |FROM scored CROSS JOIN rng
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same guess CASE as text_langid, aggregated into the matrix
+    "text_langid_confusion" ->
+      s"""WITH g AS (
+         |  SELECT lang AS labeled,
+         |    CASE
+         |      WHEN len(regexp_extract_all(lower(text), '${langPatterns(0)._2}')) >= len(regexp_extract_all(lower(text), '${langPatterns(1)._2}'))
+         |       AND len(regexp_extract_all(lower(text), '${langPatterns(0)._2}')) >= len(regexp_extract_all(lower(text), '${langPatterns(2)._2}'))
+         |       AND len(regexp_extract_all(lower(text), '${langPatterns(0)._2}')) > 0 THEN 'en'
+         |      WHEN len(regexp_extract_all(lower(text), '${langPatterns(1)._2}')) >= len(regexp_extract_all(lower(text), '${langPatterns(2)._2}'))
+         |       AND len(regexp_extract_all(lower(text), '${langPatterns(1)._2}')) > 0 THEN 'es'
+         |      WHEN len(regexp_extract_all(lower(text), '${langPatterns(2)._2}')) > 0 THEN 'de'
+         |      ELSE 'und' END AS guessed
+         |  FROM documents
+         |), cells AS (
+         |  SELECT labeled, guessed, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM g GROUP BY 1, 2
+         |), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM cells)
+         |SELECT labeled, guessed, n,
+         |  CAST(n * 1000000 // total AS BIGINT) AS share_ppm
+         |FROM cells CROSS JOIN tot
+         |ORDER BY labeled, guessed""".stripMargin,
+
+    // same scored grid, same decile thresholds, same conditional tallies
+    "text_quality_pr" ->
+      s"""$qualityScoredSql,
+        |bys AS (
+        |  SELECT score_fp,
+        |    CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN label THEN 0 ELSE 1 END) AS BIGINT) AS n0
+        |  FROM scored GROUP BY 1
+        |), thr AS (
+        |  SELECT i * 100000000000 AS thr_fp FROM generate_series(0, 9) AS s(i)
+        |), tallies AS (
+        |  SELECT thr_fp,
+        |    CAST(SUM(CASE WHEN score_fp >= thr_fp THEN n1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(SUM(CASE WHEN score_fp >= thr_fp THEN n0 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(SUM(n1) AS BIGINT) AS pos
+        |  FROM bys CROSS JOIN thr GROUP BY 1)
+        |SELECT thr_fp, tp, fp,
+        |  CASE WHEN tp + fp > 0 THEN CAST(tp * 1000000 // (tp + fp) AS BIGINT)
+        |       ELSE 0 END AS precision_ppm,
+        |  CASE WHEN pos > 0 THEN CAST(tp * 1000000 // pos AS BIGINT)
+        |       ELSE 0 END AS recall_ppm
+        |FROM tallies ORDER BY thr_fp""".stripMargin,
 
     "text_perplexity" -> perplexitySql,
     "text_perplexity_model" -> perplexitySql,
