@@ -43,6 +43,9 @@ object PipelineQueries {
     * leg: corpora arrive as .jsonl.gz shards, not parquet). */
   private[graft] val JsonlFixturePath = "/tmp/graft_fixtures/jsonl_docs"
 
+  /** WARC-shaped export dir for `pipe_warc_roundtrip`. */
+  private[graft] val WarcFixturePath = "/tmp/graft_fixtures/warc_docs"
+
   /** Fixture exports for the composed `pipe_full_prep` (separate paths —
     * its classifier trains on the CLEANED corpus and its spans chunk the
     * gated survivors, so sharing the single-stage fixtures would clobber
@@ -356,6 +359,45 @@ object PipelineQueries {
       graft.operators.EvalOps.ksDrift(
         t.filter(col("doc_id") % 2 === 0).select("v"),
         t.filter(col("doc_id") % 2 =!= 0).select("v"), "v")
+    }),
+
+    // WARC-shaped round-trip (the OTHER web-ingest surface: crawls arrive
+    // as WARC record streams, not line-JSON): export header+payload
+    // records, read them back by splitting on the record delimiter via
+    // the text source's lineSep option (a per-read setting — no global
+    // Hadoop record-delimiter mutation), parse headers with codegen'd
+    // string ops, and AUDIT the framing: each record declares its payload
+    // length and the reader counts mismatches (real WARC is Content-Length
+    // framed; a delimiter collision inside a payload would surface here
+    // as a mismatch, not silent corruption). Lossless-ness proved by
+    // per-source exact aggregates against the parquet original.
+    "pipe_warc_roundtrip" -> ((s, d) => {
+      val rec = concat(
+        lit("WARC-Record-ID: "), col("doc_id"), lit("\n"),
+        lit("WARC-Source: "), col("source"), lit("\n"),
+        lit("Content-Chars: "), length(col("text")), lit("\n\n"),
+        col("text"))
+      docs(s, d).select(rec.as("value"))
+        .coalesce(4)
+        .write.mode("overwrite").option("lineSep", "\nWARC/1.0\n")
+        .text(WarcFixturePath)
+      val raw = s.read.option("lineSep", "\nWARC/1.0\n").text(WarcFixturePath)
+        .filter(length(col("value")) > 0)
+      val headers = substring_index(col("value"), "\n\n", 1)
+      val parsed = raw.select(
+        regexp_extract(headers, "WARC-Record-ID: ([0-9]+)", 1)
+          .cast("long").as("doc_id"),
+        regexp_extract(headers, "WARC-Source: ([^\n]+)", 1).as("source"),
+        regexp_extract(headers, "Content-Chars: ([0-9]+)", 1)
+          .cast("long").as("declared"),
+        (length(col("value")) - length(headers) - 2).as("payload_chars"))
+      parsed.groupBy("source").agg(
+          count(lit(1)).as("docs"),
+          sum("doc_id").as("id_sum"),
+          sum("payload_chars").as("chars"),
+          sum(when(col("declared") =!= col("payload_chars"), 1L).otherwise(0L))
+            .as("n_misframed"))
+        .orderBy("source")
     }),
 
     // gzipped-JSONL round-trip (the ingest surface: web corpora arrive as
@@ -1300,6 +1342,15 @@ object PipelineQueries {
         |  CAST(SUM(CASE WHEN op = 'insert' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted,
         |  CAST(SUM(CASE WHEN op = 'keep' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         |FROM merged GROUP BY source ORDER BY source""".stripMargin,
+
+    // round-trip identity off the parquet original, zero framing
+    // mismatches
+    "pipe_warc_roundtrip" ->
+      """SELECT source, COUNT(*) AS docs,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(SUM(LENGTH(text)) AS BIGINT) AS chars,
+        |  CAST(0 AS BIGINT) AS n_misframed
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     // round-trip identity: the same per-source aggregates straight off the
     // parquet original (losslessness = equality), zero corrupt rows
