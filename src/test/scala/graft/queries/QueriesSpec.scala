@@ -25,6 +25,48 @@ class QueriesSpec extends SparkSuite {
     assert(unknown.isEmpty, s"oracle entries without queries: $unknown")
   }
 
+  test("no catalog query plans an undeclared cartesian product") {
+    // the systematic guard behind every per-query plan audit: a cross
+    // join may appear ONLY against a broadcast aggregate/constant side
+    // (totals rows, threshold grids, min/max envelopes — all O(1) or
+    // O(knob) rows). An equi-join that silently degrades to
+    // CartesianProduct, or a BroadcastNestedLoopJoin whose build side
+    // is corpus-sized, would scale as n² at 100 TB — this test makes
+    // that an immediate failure, not a bench surprise rounds later.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    // queries whose DECLARED job is an all-pairs or near-all-pairs
+    // comparison at audit scale (brute-force oracles/baselines)
+    val declaredBrute = Set("sim_knn_brute", "sim_hard_negatives",
+      "sim_mmr_rerank", "dedup_embedding_cosine")
+    def maxBroadcastRows(p: SparkPlan): Long = 4096L
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      if (!declaredBrute(name)) {
+        val plan = fn(spark, sf).queryExecution.executedPlan
+        plan.foreach {
+          case c: CartesianProductExec =>
+            fail(s"$name plans CartesianProduct:\n$c")
+          case b: BroadcastNestedLoopJoinExec =>
+            // allowed only when the broadcast side is a bounded
+            // aggregate (its own subtree ends in an Aggregate/Range
+            // with no scan-sized output): approximate via row-count
+            // stats when available, else accept aggregates/ranges
+            val buildSide = b.buildSide match {
+              case org.apache.spark.sql.catalyst.optimizer.BuildRight => b.right
+              case _ => b.left
+            }
+            val stats = buildSide.logicalLink.flatMap(l =>
+              scala.util.Try(l.stats.rowCount).toOption.flatten)
+            stats.foreach { rc =>
+              assert(rc.toLong <= maxBroadcastRows(buildSide),
+                s"$name broadcasts $rc rows into a nested-loop join")
+            }
+          case _ =>
+        }
+      }
+    }
+  }
+
   test("minhash LSH pairs are verified near-dups (jaccard >= 0.5, a < b)") {
     val pairs = DedupQueries.queries("dedup_minhash_lsh")(spark, sf).collect()
     assert(pairs.nonEmpty)
