@@ -33,6 +33,38 @@ object TpchQueries {
 
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
 
+  /** DERIVED partsupp — the one TPC-H table the driver schema lacks,
+    * constructed deterministically from part × 4 suppliers so BOTH
+    * engines build identical rows (the corpus-derivation pattern of
+    * pipe_corpus_diff/pipe_merge_upsert, applied to a dimension):
+    * supplier assignment mirrors the TPC-H generator's stride rule with
+    * a constant per-k step (floor(S/4)) so the four suppliers per part
+    * are structurally distinct for every S; availqty and supplycost are
+    * integer hashes (cost carried in CENTS so aggregates stay exact).
+    * Unlocks the four remaining classic shapes: Q2, Q11, Q16, Q20. */
+  private[queries] def partsupp(s: SparkSession, d: String): DataFrame = {
+    val ns = t(s, d, "supplier").agg(count(lit(1)).as("ns"))
+    t(s, d, "part").select(col("p_partkey"))
+      .crossJoin(broadcast(s.range(4).select(col("id").as("k"))))
+      .crossJoin(broadcast(ns))
+      .select(
+        col("p_partkey").as("ps_partkey"),
+        expr("(p_partkey + p_partkey div ns + k * (ns div 4)) % ns")
+          .as("ps_suppkey"),
+        expr("(p_partkey * 4 + k) % 991 + 1").as("ps_availqty"),
+        expr("(p_partkey * 7 + k * 13) % 90000 + 1000").as("ps_supplycost_cents"))
+  }
+
+  /** The same derivation as portable SQL (prefix it with a WITH). */
+  private val psCte =
+    """ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS ns FROM supplier),
+      |partsupp AS (
+      |  SELECT p_partkey AS ps_partkey,
+      |    (p_partkey + p_partkey // ns + k * (ns // 4)) % ns AS ps_suppkey,
+      |    (p_partkey * 4 + k) % 991 + 1 AS ps_availqty,
+      |    (p_partkey * 7 + k * 13) % 90000 + 1000 AS ps_supplycost_cents
+      |  FROM part CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) CROSS JOIN ns)""".stripMargin
+
   private def dsum(c: String): Column =
     sum(col(c).cast("decimal(18,2)")).cast("double")
 
@@ -250,6 +282,95 @@ object TpchQueries {
           count(lit(1)).as("n_items"))
     }),
 
+    // Q2: minimum-cost supplier per part within a region — the correlated
+    // scalar-min subquery classic, as a per-(part)-min aggregate over the
+    // region-restricted partsupp joined back on equality (no correlated
+    // re-execution; one aggregate + one equi-join). Dimensions broadcast.
+    "q2_min_cost_supplier" -> ((s, d) => {
+      val regionSupp = t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region").filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+      val ps = partsupp(s, d)
+        .join(regionSupp, col("ps_suppkey") === col("s_suppkey"))
+      val minCost = ps.groupBy(col("ps_partkey").as("mk"))
+        .agg(min("ps_supplycost_cents").as("min_cents"))
+      ps.join(broadcast(t(s, d, "part").filter(col("p_type") === "ECONOMY")
+            .select("p_partkey", "p_size")),
+          col("ps_partkey") === col("p_partkey"))
+        .join(minCost, col("ps_partkey") === col("mk") &&
+          col("ps_supplycost_cents") === col("min_cents"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_size"), col("ps_supplycost_cents"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
+    }),
+
+    // Q11: important stock — per-part inventory value for one nation's
+    // suppliers, kept when above a fixed fraction of the nation total
+    // (the scalar-subquery threshold as a broadcast singleton). Exact:
+    // value = cents × qty summed as DECIMAL.
+    "q11_important_stock" -> ((s, d) => {
+      val natSupp = t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation").filter(col("n_name") === "NATION_3")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey")
+      val ps = partsupp(s, d)
+        .join(natSupp, col("ps_suppkey") === col("s_suppkey"))
+        .withColumn("value_c",
+          (col("ps_supplycost_cents") * col("ps_availqty")).cast("decimal(38,0)"))
+      val tot = ps.agg(sum("value_c").as("tot_c"))
+      ps.groupBy("ps_partkey").agg(sum("value_c").as("part_value_c"))
+        .crossJoin(broadcast(tot))
+        // keep parts above 1/1000 of the nation total (scaled integer test)
+        .filter(col("part_value_c") * 1000 > col("tot_c"))
+        .select(col("ps_partkey"),
+          col("part_value_c").cast("long").as("value_c"))
+        .orderBy(col("value_c").desc, col("ps_partkey"))
+    }),
+
+    // Q16: supplier count per (brand, type, size) for non-excluded parts,
+    // excluding flagged suppliers via a shuffle-capable LEFT ANTI (the
+    // NOT IN classic with both keys non-null)
+    "q16_supplier_cnt" -> ((s, d) => {
+      val flagged = t(s, d, "supplier")
+        .filter(col("s_suppkey") % 10 === 0).select(col("s_suppkey").as("bad"))
+      partsupp(s, d)
+        .join(broadcast(t(s, d, "part")
+            .filter(col("p_brand") =!= "Brand#1" && col("p_size") <= 30)),
+          col("ps_partkey") === col("p_partkey"))
+        .join(flagged, col("ps_suppkey") === col("bad"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct("ps_suppkey").as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+        .limit(100)
+    }),
+
+    // Q20: suppliers holding excess stock of shipped parts — availqty >
+    // half the quantity actually shipped for that (part, supplier) in a
+    // year: the nested-EXISTS classic as one aggregate + one semi join.
+    "q20_excess_stock" -> ((s, d) => {
+      val shipped = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= expr("TIMESTAMP'1997-01-01 00:00:00'") &&
+          col("l_shipdate") < expr("TIMESTAMP'1998-01-01 00:00:00'"))
+        .groupBy(col("l_partkey").as("sp"), col("l_suppkey").as("ss"))
+        .agg(sum(col("l_quantity").cast("long")).as("qty"))
+      val excess = partsupp(s, d)
+        .join(shipped, col("ps_partkey") === col("sp") &&
+          col("ps_suppkey") === col("ss"))
+        .filter(col("ps_availqty") * 2 > col("qty"))
+        .select(col("ps_suppkey")).distinct()
+      t(s, d, "supplier")
+        .join(excess, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+        .join(broadcast(t(s, d, "nation").filter(col("n_name") === "NATION_3")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    }),
+
     // Q4: order-priority histogram of orders with at least one LATE line
     // (classic: l_commitdate < l_receiptdate; this schema carries only
     // l_shipdate, so "late" = shipped more than 30 days after the order
@@ -410,6 +531,76 @@ object TpchQueries {
         |    ON c_custkey = o_custkey
         |  GROUP BY c_custkey) t
         |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q2_min_cost_supplier" ->
+      s"""WITH $psCte,
+        |rs AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+        |), ps AS (
+        |  SELECT partsupp.*, rs.s_name, rs.s_acctbal, rs.n_name
+        |  FROM partsupp JOIN rs ON ps_suppkey = rs.s_suppkey
+        |), mc AS (
+        |  SELECT ps_partkey AS mk, MIN(ps_supplycost_cents) AS min_cents
+        |  FROM ps GROUP BY 1)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_size,
+        |  CAST(ps_supplycost_cents AS BIGINT) AS ps_supplycost_cents
+        |FROM ps
+        |JOIN part ON ps_partkey = p_partkey AND p_type = 'ECONOMY'
+        |JOIN mc ON ps_partkey = mk AND ps_supplycost_cents = min_cents
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+
+    "q11_important_stock" ->
+      s"""WITH $psCte,
+        |ns2 AS (
+        |  SELECT s_suppkey FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_3'
+        |), ps AS (
+        |  SELECT ps_partkey,
+        |    CAST(ps_supplycost_cents AS BIGINT) * ps_availqty AS value_c
+        |  FROM partsupp JOIN ns2 ON ps_suppkey = s_suppkey
+        |), tot AS (SELECT SUM(value_c) AS tot_c FROM ps)
+        |SELECT ps_partkey, CAST(SUM(value_c) AS BIGINT) AS value_c
+        |FROM ps CROSS JOIN tot
+        |GROUP BY ps_partkey, tot_c
+        |HAVING SUM(value_c) * 1000 > tot_c
+        |ORDER BY value_c DESC, ps_partkey""".stripMargin,
+
+    "q16_supplier_cnt" ->
+      s"""WITH $psCte
+        |SELECT p_brand, p_type, p_size,
+        |  CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM partsupp
+        |JOIN part ON ps_partkey = p_partkey
+        |  AND p_brand <> 'Brand#1' AND p_size <= 30
+        |WHERE ps_suppkey NOT IN (
+        |  SELECT s_suppkey FROM supplier WHERE s_suppkey % 10 = 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        |LIMIT 100""".stripMargin,
+
+    "q20_excess_stock" ->
+      s"""WITH $psCte,
+        |shipped AS (
+        |  SELECT l_partkey AS sp, l_suppkey AS ss,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY 1, 2
+        |), excess AS (
+        |  SELECT DISTINCT ps_suppkey
+        |  FROM partsupp JOIN shipped
+        |    ON ps_partkey = sp AND ps_suppkey = ss
+        |  WHERE ps_availqty * 2 > qty)
+        |SELECT s_suppkey, s_name
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_3'
+        |WHERE s_suppkey IN (SELECT ps_suppkey FROM excess)
+        |ORDER BY s_suppkey""".stripMargin,
 
     "q4_order_priority" ->
       """SELECT o_orderpriority, COUNT(*) AS order_count
