@@ -704,6 +704,42 @@ object PipelineQueries {
         (count(lit(1)) - countDistinct(md5(col("text")))).as("n_exact_dups"))
     }),
 
+    // the MODEL-CARD extension of pipe_dataset_card: one row composing the
+    // session's audit statistics — trained-filter AUC, length-distribution
+    // KS between corpus halves, near-dup pair rate, and detected-English
+    // share. Each leg is its own proven single-row plan (the oracles are
+    // the same CTE fragments the standalone queries use); the composition
+    // is three broadcast-singleton crosses.
+    "pipe_dataset_card2" -> ((s, d) => {
+      val base = docs(s, d)
+      graft.operators.QualityModel
+        .writeModel(base, TextQueries.QualityModelFixturePath)
+      val auc = graft.operators.EvalOps
+        .rocAuc(graft.operators.QualityModel
+          .scoreAgainst(base, TextQueries.QualityModelFixturePath),
+          "score_fp", "label")
+        .select(col("auc_ppm"))
+      val lens = base.select(col("doc_id"),
+        size(split(trim(col("text")), " +")).cast("long").as("v"))
+      val ks = graft.operators.EvalOps.ksDrift(
+          lens.filter(col("doc_id") % 2 === 0).select("v"),
+          lens.filter(col("doc_id") % 2 =!= 0).select("v"), "v")
+        .select(col("ks_ppm").as("len_parity_ks_ppm"))
+      val dups = DedupQueries.ngramJaccardPairs(base)
+        .agg(count(lit(1)).as("neardup_pairs"))
+      val en = base.select(
+          (regexp_count(lower(col("text")),
+            lit("\\b(the|and|of|to|in|is|for|with)\\b")) > 0).as("has_en"))
+        .agg(sum(when(col("has_en"), 1L).otherwise(0L)).as("n_en"),
+          count(lit(1)).as("n_docs"))
+        .select(col("n_docs"), expr("n_en * 1000000 div n_docs").as("en_share_ppm"))
+      en.crossJoin(broadcast(auc))
+        .crossJoin(broadcast(ks))
+        .crossJoin(broadcast(dups))
+        .withColumn("neardup_pair_rate_ppm",
+          expr("neardup_pairs * 1000000 div n_docs"))
+    }),
+
     // int8 scalar quantization audit: per-vector max-abs scale, quantized
     // checksums, and worst-case reconstruction error — the report a pipeline
     // runs before shipping embeddings to an int8 ANN index. One pass, one
@@ -1944,6 +1980,65 @@ object PipelineQueries {
         |  MIN(length(text)) AS min_len, MAX(length(text)) AS max_len,
         |  CAST(SUM(length(text)) AS BIGINT) AS sum_len
         |FROM documents GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // same four proven fragments, composed
+    "pipe_dataset_card2" ->
+      s"""${TextQueries.qualityScoredSql},
+        |bys AS (
+        |  SELECT score_fp,
+        |    CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN label THEN 0 ELSE 1 END) AS BIGINT) AS n0
+        |  FROM scored GROUP BY 1
+        |), cum AS (
+        |  SELECT n1, n0, COALESCE(SUM(n0) OVER (ORDER BY score_fp
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum0
+        |  FROM bys
+        |), auc AS (
+        |  SELECT CAST(FLOOR(CAST(SUM(n1 * cum0 * 2 + n1 * n0) AS DOUBLE) * 1000000.0 /
+        |    (CAST(SUM(n1) AS DOUBLE) * SUM(n0) * 2.0)) AS BIGINT) AS auc_ppm
+        |  FROM cum
+        |), lens AS (
+        |  SELECT doc_id, CAST(LEN(string_split_regex(TRIM(text), ' +')) AS BIGINT) AS v
+        |  FROM documents
+        |), byv AS (
+        |  SELECT v, CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS cb
+        |  FROM lens GROUP BY 1
+        |), kcum AS (
+        |  SELECT CAST(SUM(ca) OVER (ORDER BY v) AS BIGINT) AS cuma,
+        |    CAST(SUM(cb) OVER (ORDER BY v) AS BIGINT) AS cumb
+        |  FROM byv
+        |), ktot AS (
+        |  SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb FROM byv
+        |), ks AS (
+        |  SELECT CAST(FLOOR(CAST(MAX(ABS(cuma * nb - cumb * na)) AS DOUBLE) * 1000000.0 /
+        |    (CAST(MAX(na) AS DOUBLE) * MAX(nb))) AS BIGINT) AS len_parity_ks_ppm
+        |  FROM kcum CROSS JOIN ktot
+        |), t2 AS (
+        |  SELECT doc_id, string_split_regex(trim(text), ' +') AS w FROM documents
+        |), g2 AS (
+        |  SELECT doc_id,
+        |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                   FOR i IN generate_series(1, len(w) - 2)]) AS grams
+        |  FROM t2 WHERE len(w) >= 3
+        |), dups AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS neardup_pairs FROM (
+        |    SELECT 1 FROM (
+        |      SELECT len(list_intersect(a.grams, b.grams)) AS common,
+        |        len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) AS union_sz
+        |      FROM g2 a JOIN g2 b ON a.doc_id < b.doc_id)
+        |    WHERE common * 2 >= union_sz)
+        |), en AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(CASE WHEN len(regexp_extract_all(lower(text),
+        |      '\\b(the|and|of|to|in|is|for|with)\\b')) > 0 THEN 1 ELSE 0 END)
+        |      * 1000000 // COUNT(*) AS BIGINT) AS en_share_ppm
+        |  FROM documents)
+        |SELECT en.n_docs, en.en_share_ppm, auc.auc_ppm, ks.len_parity_ks_ppm,
+        |  dups.neardup_pairs,
+        |  CAST(dups.neardup_pairs * 1000000 // en.n_docs AS BIGINT)
+        |    AS neardup_pair_rate_ppm
+        |FROM en CROSS JOIN auc CROSS JOIN ks CROSS JOIN dups""".stripMargin,
 
     "pipe_dataset_card" ->
       """SELECT COUNT(*) AS n_docs,
