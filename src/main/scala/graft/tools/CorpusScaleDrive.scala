@@ -158,6 +158,27 @@ object CorpusScaleDrive {
       run("padding_waste") {
         graft.operators.EvalOps.paddingWaste(docs).count()
       }
+      run("merge_upsert") {
+        // one full-outer join + coalesce; changes table derived in-scan
+        val changes = docs.filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id"), upper(col("text")).as("new_text"))
+        docs.join(changes, Seq("doc_id"), "full_outer")
+          .select(coalesce(col("new_text"), col("text")).as("text")).count()
+      }
+      run("threshold_sweep_pairs") {
+        // the sweep's corpus-side cost: pair emission at the 0.3 floor,
+        // bounded by the df cap (the 7 threshold scans read the PAIR
+        // table, never the corpus)
+        graft.queries.DedupQueries.ngramJaccardPairsAt(docs, 300).count()
+      }
+      run("mixture_plan") {
+        // per-source token aggregate + the |sources|-row waterfill
+        val avail = docs
+          .select(col("source"),
+            size(split(trim(col("text")), " +")).cast("long").as("n"))
+          .groupBy("source").agg(sum("n").as("avail"))
+        graft.operators.EvalOps.waterfill(avail).count()
+      }
       // co-chunk graph ops (pagerank, triangles, LPA communities) are
       // deliberately absent: the amplifier's junk-SUFFIX design shares
       // each doc's original text as a prefix across all k copies, so
