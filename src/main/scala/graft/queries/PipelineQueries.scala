@@ -489,6 +489,32 @@ object PipelineQueries {
       graft.operators.EvalOps.waterfill(avail).orderBy("source")
     }),
 
+    // robust per-source length-outlier counts (truncation/garbage
+    // detection without distribution assumptions): per-source median and
+    // MAD via the sketch-guided EXACT quantile operator (mergeable GK
+    // brackets, no unbounded buffer), flag docs beyond 5·MAD. Run on the
+    // integer-valued token count so every interpolated midpoint is a
+    // binary-exact half (the q_mad bit-identity argument); degenerate
+    // MAD=0 sources fall back to a 1-token band.
+    "pipe_length_outliers" -> ((s, d) => {
+      val t = docs(s, d).select(col("source"),
+        size(split(trim(col("text")), " +")).cast("double").as("x"))
+      val med = graft.operators.Quantiles
+        .exactQuantiles(t, Seq("source"), "x", Seq(0.5))
+        .select(col("source"), col("q_0").as("med"))
+      val dev = t.join(broadcast(med), "source")
+        .withColumn("dv", abs(col("x") - col("med")))
+      val mad = graft.operators.Quantiles
+        .exactQuantiles(dev, Seq("source"), "dv", Seq(0.5))
+        .select(col("source"), col("q_0").as("mad"))
+      t.join(broadcast(med), "source").join(broadcast(mad), "source")
+        .groupBy("source").agg(count(lit(1)).as("docs"),
+          sum(when(abs(col("x") - col("med")) >
+              greatest(col("mad") * 5, lit(1.0)), 1L)
+            .otherwise(0L)).as("n_outliers"))
+        .orderBy("source")
+    }),
+
     // epochs-per-source data recipe (the UP-sampling complement of
     // pipe_mixture_plan's capped waterfill: when the mix calls for more
     // tokens than a source has, it repeats for ceil(target/avail) epochs
@@ -1302,6 +1328,25 @@ object PipelineQueries {
         |       ELSE (b - sat_avail) * weight // GREATEST(unsat_w, 1) END AS alloc
         |FROM sat CROSS JOIN fin
         |ORDER BY source""".stripMargin,
+
+    // quantile_cont matches the exact-quantile operator on integer-valued
+    // inputs; same 5-MAD band with the 1-token degenerate floor
+    "pipe_length_outliers" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    CAST(LEN(string_split_regex(TRIM(text), ' +')) AS DOUBLE) AS x
+        |  FROM documents
+        |), m AS (
+        |  SELECT source, quantile_cont(x, 0.5) AS med FROM t GROUP BY 1
+        |), d2 AS (
+        |  SELECT t.source, ABS(x - med) AS dv FROM t JOIN m USING (source)
+        |), md AS (
+        |  SELECT source, quantile_cont(dv, 0.5) AS mad FROM d2 GROUP BY 1)
+        |SELECT t.source, COUNT(*) AS docs,
+        |  CAST(SUM(CASE WHEN ABS(x - med) > GREATEST(mad * 5, 1.0)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM t JOIN m USING (source) JOIN md USING (source)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // same integer recipe arithmetic
     "pipe_epoch_plan" ->

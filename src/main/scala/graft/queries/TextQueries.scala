@@ -89,6 +89,26 @@ object TextQueries {
         .calibration(scored, "score_fp", "label", "predicted")
     }),
 
+    // unigram^0.75 negative-sampling table (the word2vec/NCE preparation
+    // step: smoothed unigram draw weights): x^0.75 computed as
+    // sqrt(x·sqrt(x)) — two CORRECTLY-ROUNDED operations instead of
+    // libm pow (whose last ulp differs across runtimes), so the smoothed
+    // weights and their ppm shares hash-match engine-independently.
+    // One vocab aggregate; shares against a broadcast total; top 50.
+    "text_negative_table" -> ((s, d) => {
+      val counts = docs(s, d)
+        .select(explode(split(lower(trim(col("text"))), " +")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+        .withColumn("w_fp",
+          floor(sqrt(col("c").cast("double") * sqrt(col("c").cast("double")))
+            * 1000000).cast("long"))
+      val tot = counts.agg(sum("w_fp").as("tot_w"))
+      counts.crossJoin(broadcast(tot))
+        .withColumn("share_ppm", expr("w_fp * 1000000 div tot_w"))
+        .select("tok", "c", "w_fp", "share_ppm")
+        .orderBy(col("c").desc, col("tok")).limit(50)
+    }),
+
     // language-ID confusion matrix (the detector eval next to text_langid's
     // per-doc verdicts): labeled vs guessed counts with per-cell corpus
     // share ppm — one scan, |langs|² output rows
@@ -1045,6 +1065,24 @@ object TextQueries {
         |    AS BIGINT) AS pos_rate_ppm
         |FROM scored CROSS JOIN rng
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same two-sqrt smoothing, same floor-fp weights and ppm shares
+    "text_negative_table" ->
+      """WITH c AS (
+        |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        |    SELECT unnest(string_split_regex(lower(trim(text)), ' +')) AS tok
+        |    FROM documents)
+        |  GROUP BY 1
+        |), w AS (
+        |  SELECT tok, c,
+        |    CAST(FLOOR(SQRT(CAST(c AS DOUBLE) * SQRT(CAST(c AS DOUBLE)))
+        |      * 1000000) AS BIGINT) AS w_fp
+        |  FROM c
+        |), tot AS (SELECT CAST(SUM(w_fp) AS BIGINT) AS tot_w FROM w)
+        |SELECT tok, c, w_fp,
+        |  CAST(w_fp * 1000000 // tot_w AS BIGINT) AS share_ppm
+        |FROM w CROSS JOIN tot
+        |ORDER BY c DESC, tok LIMIT 50""".stripMargin,
 
     // same guess CASE as text_langid, aggregated into the matrix
     "text_langid_confusion" ->
