@@ -196,6 +196,31 @@ object AnalyticsQueries {
         .orderBy("hour", "event_type")
     }),
 
+    // referential-integrity audit (the lake health check run after any
+    // ingest or MERGE): orphan counts in both directions for the two fact
+    // relationships, as four LEFT ANTI legs collapsed to one row — each
+    // leg is a shuffle-capable anti join on non-null keys, the readout a
+    // broadcast-singleton cross.
+    "q_integrity_audit" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_orderkey"))
+      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val c = t(s, d, "customer").select(col("c_custkey"))
+      val orphanLines = li.join(o.select("o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("lineitems_without_order"))
+      val childlessOrders = o.select("o_orderkey")
+        .join(li, col("o_orderkey") === col("l_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("orders_without_lineitem"))
+      val orphanOrders = o.join(c, col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("orders_without_customer"))
+      val idleCust = c.join(o.select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("customers_without_order"))
+      orphanLines.crossJoin(broadcast(childlessOrders))
+        .crossJoin(broadcast(orphanOrders))
+        .crossJoin(broadcast(idleCust))
+    }),
+
     // event-flow mining (product-analytics path analysis): per-user
     // transition bigrams over the time-ordered event stream, top-20 edges
     // of the Markov transition graph. The window partitions by user (no
@@ -687,6 +712,17 @@ object AnalyticsQueries {
         |  COUNT(DISTINCT user_id) AS users
         |FROM events
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_integrity_audit" ->
+      """SELECT
+        |  (SELECT COUNT(*) FROM lineitem WHERE l_orderkey NOT IN
+        |    (SELECT o_orderkey FROM orders)) AS lineitems_without_order,
+        |  (SELECT COUNT(*) FROM orders WHERE o_orderkey NOT IN
+        |    (SELECT l_orderkey FROM lineitem)) AS orders_without_lineitem,
+        |  (SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN
+        |    (SELECT c_custkey FROM customer)) AS orders_without_customer,
+        |  (SELECT COUNT(*) FROM customer WHERE c_custkey NOT IN
+        |    (SELECT o_custkey FROM orders)) AS customers_without_order""".stripMargin,
 
     "q_event_transitions" ->
       """SELECT event_type AS from_type, next_type AS to_type,

@@ -132,6 +132,22 @@ object FloQueries {
         .orderBy("depth")
     }),
 
+    // counter-density audit (the log health check behind flo's gap-free
+    // produce contract): per partition, count vs counter span. On the
+    // bridged events view counters are globally dense but interleaved
+    // across partitions, so per-partition holes are EXPECTED and the
+    // audit quantifies them; on a real FloEngine log (per-partition
+    // counter ranges) holes == 0 is the invariant FloEngineSpec pins.
+    "flo_density_audit" -> ((s, d) =>
+      Tables.floEvents(s, d)
+        .groupBy("partition")
+        .agg(count(lit(1)).as("n"),
+          min("event_counter").as("min_c"),
+          max("event_counter").as("max_c"),
+          (max("event_counter") - min("event_counter") + 1 - count(lit(1)))
+            .as("holes"))
+        .orderBy("partition")),
+
     // C4: payload JSON decode (SerdeJsonCodec equivalent) + aggregation
     "flo_payload_k" -> ((s, d) => {
       Tables.floEvents(s, d)
@@ -277,6 +293,15 @@ object FloQueries {
         |)
         |SELECT CAST(depth AS BIGINT) AS depth, COUNT(*) AS n_events
         |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "flo_density_audit" ->
+      s"""$floCte
+         |SELECT "partition", COUNT(*) AS n,
+         |  CAST(MIN(event_counter) AS BIGINT) AS min_c,
+         |  CAST(MAX(event_counter) AS BIGINT) AS max_c,
+         |  CAST(MAX(event_counter) - MIN(event_counter) + 1 - COUNT(*) AS BIGINT)
+         |    AS holes
+         |FROM flo GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "flo_payload_k" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,

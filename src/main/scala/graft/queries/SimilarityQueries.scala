@@ -478,6 +478,27 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // embedding-norm profile (the sanity gate before ANY similarity work:
+    // un-normalized or zero vectors silently corrupt cosine math): exact
+    // fixed-point squared norms per vector, IEEE-sqrt to the 1e6-scaled
+    // norm, corpus-level min/max/floored-mean and zero-vector count in
+    // one row. One explode + two aggregates, no joins.
+    "sim_norm_profile" -> ((s, d) => {
+      val norms = emb(s, d)
+        .select(col("vec_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        .select(col("vec_id"),
+          floor(col("x") * 1000000).cast("long").as("xfp"))
+        .groupBy("vec_id")
+        .agg(sum(col("xfp") * col("xfp")).as("norm2"))
+        .select(col("norm2"),
+          floor(sqrt(col("norm2").cast("double"))).as("norm_fp"))
+      norms.agg(count(lit(1)).as("n_vectors"),
+        min("norm_fp").as("min_norm_fp"),
+        max("norm_fp").as("max_norm_fp"),
+        floor(sum("norm_fp").cast("double") / count(lit(1))).as("mean_norm_fp"),
+        sum(when(col("norm2") === 0, 1L).otherwise(0L)).as("n_zero_vectors"))
+    }),
+
     // per-label embedding drift between two corpus halves (the embedding-
     // space analog of pipe_ks_drift: did a re-embed / ingest change move
     // the classes?): fixed-point centroids per (half, label) from ONE
@@ -725,6 +746,26 @@ object SimilarityQueries {
         |SELECT label, FLOOR(SQRT(SUM((sx / n) * (sx / n))) * 1000) / 1000 AS centroid_norm,
         |       MAX(n) AS n_vectors
         |FROM agg GROUP BY label ORDER BY label""".stripMargin,
+
+    // same fixed-point squared norms, same IEEE sqrt and floored mean
+    "sim_norm_profile" ->
+      """WITH f AS (
+        |  SELECT vec_id,
+        |    CAST(FLOOR(CAST(embedding[t.pos] AS DOUBLE) * 1000000) AS BIGINT) AS xfp
+        |  FROM embeddings, generate_series(1, 64) AS t(pos)
+        |), n2 AS (
+        |  SELECT vec_id, CAST(SUM(xfp * xfp) AS BIGINT) AS norm2 FROM f GROUP BY 1
+        |), nf AS (
+        |  SELECT norm2,
+        |    CAST(FLOOR(SQRT(CAST(norm2 AS DOUBLE))) AS BIGINT) AS norm_fp
+        |  FROM n2)
+        |SELECT COUNT(*) AS n_vectors,
+        |  MIN(norm_fp) AS min_norm_fp, MAX(norm_fp) AS max_norm_fp,
+        |  CAST(FLOOR(CAST(SUM(norm_fp) AS DOUBLE) / COUNT(*)) AS BIGINT)
+        |    AS mean_norm_fp,
+        |  CAST(SUM(CASE WHEN norm2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_zero_vectors
+        |FROM nf""".stripMargin,
 
     // same parity halves, same floor-on-double centroids, same exact
     // integer squared distance and IEEE sqrt
