@@ -400,6 +400,33 @@ object PipelineQueries {
         .orderBy("source")
     }),
 
+    // categorical drift between corpus halves — the chi-square companion
+    // to pipe_ks_drift (KS sees ordinal shifts; chi-square sees CATEGORY
+    // composition changes, here the source mix). Per-category contribution
+    // carried as the exact integer numerator (c_a·n_b − c_b·n_a)² over the
+    // exact denominator n_a·n_b·(c_a+c_b) — the one float stage is scalar
+    // IEEE on exact integers, summed AFTER flooring to fixed point so
+    // accumulation order can't move a bit. One category-grid aggregate.
+    "pipe_source_drift" -> ((s, d) => {
+      val t = docs(s, d).select(col("source"),
+        (col("doc_id") % 2 === 0).as("in_a"))
+      val byc = t.groupBy("source").agg(
+        sum(when(col("in_a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(col("in_a"), 0L).otherwise(1L)).as("cb"))
+      val tot = byc.agg(sum("ca").as("na"), sum("cb").as("nb"))
+      byc.crossJoin(broadcast(tot))
+        // diff stays exact in LONG to ~3e9 docs per side; the square runs
+        // in double (deterministic IEEE) so no silent long overflow at scale
+        .withColumn("diff", col("ca") * col("nb") - col("cb") * col("na"))
+        .withColumn("contrib_micro",
+          floor(col("diff").cast("double") * col("diff") * 1000000.0 /
+            (col("na").cast("double") * col("nb") *
+              (col("ca") + col("cb")).cast("double"))).cast("long"))
+        .agg(count(lit(1)).as("n_categories"),
+          max("na").as("n_a"), max("nb").as("n_b"),
+          sum("contrib_micro").as("chi2_micro"))
+    }),
+
     // gzipped-JSONL round-trip (the ingest surface: web corpora arrive as
     // .jsonl.gz shards): export the corpus as compressed JSON lines, read
     // it back through the JSON source with an EXPLICIT schema and
@@ -1423,6 +1450,28 @@ object PipelineQueries {
         |  CAST(SUM(CASE WHEN op = 'insert' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted,
         |  CAST(SUM(CASE WHEN op = 'keep' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         |FROM merged GROUP BY source ORDER BY source""".stripMargin,
+
+    // same exact diff, same double square, same per-category floor before
+    // the integer sum
+    "pipe_source_drift" ->
+      """WITH t AS (
+        |  SELECT source, doc_id % 2 = 0 AS in_a FROM documents
+        |), byc AS (
+        |  SELECT source,
+        |    CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+        |  FROM t GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb
+        |  FROM byc
+        |), c AS (
+        |  SELECT ca, cb, na, nb, CAST(ca * nb - cb * na AS BIGINT) AS diff
+        |  FROM byc CROSS JOIN tot)
+        |SELECT COUNT(*) AS n_categories, MAX(na) AS n_a, MAX(nb) AS n_b,
+        |  CAST(SUM(CAST(FLOOR(CAST(diff AS DOUBLE) * diff * 1000000.0 /
+        |    (CAST(na AS DOUBLE) * nb * CAST(ca + cb AS DOUBLE))) AS BIGINT))
+        |    AS BIGINT) AS chi2_micro
+        |FROM c""".stripMargin,
 
     // round-trip identity off the parquet original, zero framing
     // mismatches

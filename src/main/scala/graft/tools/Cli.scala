@@ -68,6 +68,9 @@ import graft.model.VersionVector
  * sbt "runMain graft.tools.Cli <root> mixture-plan <docsParquet> [num] [den]"
  * sbt "runMain graft.tools.Cli <root> contrastive-pairs <docsParquet> [outParquet]"
  * sbt "runMain graft.tools.Cli <root> padding-audit <docsParquet>"
+ * sbt "runMain graft.tools.Cli <root> epoch-plan <docsParquet>"
+ * sbt "runMain graft.tools.Cli <root> length-outliers <docsParquet>"
+ * sbt "runMain graft.tools.Cli <root> source-drift <docsParquetA> <docsParquetB>"
  * }}}
  *
  * The corpus verbs (`dedup`, `bm25`) run the public
@@ -726,6 +729,63 @@ object Cli {
           println(s"${r.getAs[Long]("doc_id")}\tneg=${r.getAs[Long]("neg_doc_id")}\t" +
             s"${r.getAs[String]("anchor").take(40)}")
         }
+      case "epoch-plan" =>
+        // epochs-per-source data recipe over a documents parquet
+        import org.apache.spark.sql.functions.{col, expr, floor, size, split, sqrt, sum, trim}
+        val avail = spark.read.parquet(args(2))
+          .select(col("source"),
+            size(split(trim(col("text")), " +")).cast("long").as("n"))
+          .groupBy("source").agg(sum("n").as("avail"))
+          .withColumn("weight", floor(sqrt(col("avail").cast("double"))))
+        val tot = avail.agg(sum("avail").as("b"), sum("weight").as("tot_w"))
+        avail.crossJoin(org.apache.spark.sql.functions.broadcast(tot))
+          .withColumn("target", expr("b * weight div tot_w"))
+          .withColumn("epochs", expr("(target + avail - 1) div avail"))
+          .orderBy("source")
+          .toLocalIterator().forEachRemaining { r =>
+            println(s"${r.getAs[String]("source")}\tavail=${r.getAs[Long]("avail")}\t" +
+              s"target=${r.getAs[Long]("target")}\tepochs=${r.getAs[Long]("epochs")}")
+          }
+      case "length-outliers" =>
+        // robust per-source length outliers (5-MAD band)
+        import org.apache.spark.sql.functions._
+        val t0 = spark.read.parquet(args(2)).select(col("source"),
+          size(split(trim(col("text")), " +")).cast("double").as("x"))
+        val med = graft.operators.Quantiles
+          .exactQuantiles(t0, Seq("source"), "x", Seq(0.5))
+          .select(col("source"), col("q_0").as("med"))
+        val dev = t0.join(broadcast(med), "source")
+          .withColumn("dv", abs(col("x") - col("med")))
+        val mad = graft.operators.Quantiles
+          .exactQuantiles(dev, Seq("source"), "dv", Seq(0.5))
+          .select(col("source"), col("q_0").as("mad"))
+        t0.join(broadcast(med), "source").join(broadcast(mad), "source")
+          .groupBy("source").agg(count(lit(1)).as("docs"),
+            sum(when(abs(col("x") - col("med")) >
+                greatest(col("mad") * 5, lit(1.0)), 1L).otherwise(0L)).as("n_outliers"))
+          .orderBy("source")
+          .toLocalIterator().forEachRemaining { r =>
+            println(s"${r.getAs[String]("source")}\tdocs=${r.getAs[Long]("docs")}\t" +
+              s"outliers=${r.getAs[Long]("n_outliers")}")
+          }
+      case "source-drift" =>
+        // chi-square source-composition drift between two corpora
+        import org.apache.spark.sql.functions._
+        def cnt(p: String, n: String) = spark.read.parquet(p)
+          .groupBy("source").agg(count(lit(1)).as(n))
+        val byc = cnt(args(2), "ca").join(cnt(args(3), "cb"), Seq("source"), "full_outer")
+          .na.fill(0L, Seq("ca", "cb"))
+        val tot = byc.agg(sum("ca").as("na"), sum("cb").as("nb"))
+        val r = byc.crossJoin(broadcast(tot))
+          .withColumn("diff", col("ca") * col("nb") - col("cb") * col("na"))
+          .withColumn("contrib_micro",
+            floor(col("diff").cast("double") * col("diff") * 1000000.0 /
+              (col("na").cast("double") * col("nb") *
+                (col("ca") + col("cb")).cast("double"))).cast("long"))
+          .agg(count(lit(1)).as("n_categories"), sum("contrib_micro").as("chi2_micro"))
+          .collect()(0)
+        println(s"categories=${r.getAs[Long]("n_categories")}\t" +
+          s"chi2_micro=${r.getAs[Long]("chi2_micro")}")
       case "padding-audit" =>
         // padding-waste table over a documents parquet
         graft.operators.EvalOps.paddingWaste(docsTable(spark, args(2)))
