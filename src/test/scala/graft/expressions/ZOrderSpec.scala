@@ -123,6 +123,38 @@ class ZOrderSpec extends SparkSuite {
     assert(zy <= 8.0, s"zorder y reads $zy")
   }
 
+  test("hilbert clustered write prunes BOTH axes at least as well as morton") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val pts = (for { x <- 0 until 64; y <- 0 until 64 } yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    def fileEnvelopes(dir: String): Seq[(Long, Long, Long, Long)] =
+      spark.read.parquet(dir)
+        .groupBy(input_file_name())
+        .agg(min("x"), max("x"), min("y"), max("y"))
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    def avgFilesRead(env: Seq[(Long, Long, Long, Long)]): (Double, Double) = {
+      val strips = (0 until 8).map(s => (s * 8L, s * 8L + 7L))
+      val xReads = strips.map { case (lo, hi) =>
+        env.count { case (mnx, mxx, _, _) => mnx <= hi && mxx >= lo } }
+      val yReads = strips.map { case (lo, hi) =>
+        env.count { case (_, _, mny, mxy) => mny <= hi && mxy >= lo } }
+      (xReads.sum.toDouble / 8, yReads.sum.toDouble / 8)
+    }
+    val hDir = tempDir("hilbert")
+    graft.operators.ZOrderLayout.writeClusteredHilbert(pts, "x", "y", 16, hDir)
+    val (hx, hy) = avgFilesRead(fileEnvelopes(hDir))
+    assert(hx <= 8.0, s"hilbert x reads $hx")
+    assert(hy <= 8.0, s"hilbert y reads $hy")
+    // and the summed envelope area beats morton's on the same write
+    val zDir = tempDir("morton-cmp")
+    graft.operators.ZOrderLayout.writeClustered(pts, "x", "y", 16, zDir)
+    def area(env: Seq[(Long, Long, Long, Long)]): Long =
+      env.map { case (a, b, c, d) => (b - a + 1) * (d - c + 1) }.sum
+    assert(area(fileEnvelopes(hDir)) <= area(fileEnvelopes(zDir)),
+      "hilbert files must cover no more envelope area than morton")
+  }
+
   /** Independent d2xy reference (the INVERSE walk, standard Hilbert
     * construction) — the expression is checked against the curve's
     * defining property, not a re-transcription of its own loop. */

@@ -91,6 +91,22 @@ class EvalOpsSpec extends SparkSuite {
     }
   }
 
+  test("waterfill respects an arbitrary budget fraction") {
+    import spark.implicits._
+    val avails = Seq("a" -> 4000L, "b" -> 100L, "c" -> 9000L)
+    for ((num, den) <- Seq((1L, 4L), (3L, 4L), (1L, 1L))) {
+      val out = EvalOps.waterfill(avails.toDF("source", "avail"), num, den)
+        .collect()
+      val b = avails.map(_._2).sum * num / den
+      val alloc = out.map(_.getAs[Long]("alloc")).sum
+      assert(alloc <= b, s"$num/$den overspent: $alloc of $b")
+      out.foreach(r => assert(r.getAs[Long]("alloc") <= r.getAs[Long]("avail")))
+      // full budget = every source saturated at its cap
+      if (num == den)
+        out.foreach(r => assert(r.getAs[Boolean]("saturated"), r.toString))
+    }
+  }
+
   test("paddingWaste totals reconcile with a direct recomputation") {
     import spark.implicits._
     val docs = Seq.fill(200)(
