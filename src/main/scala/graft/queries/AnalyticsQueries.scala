@@ -331,6 +331,34 @@ object AnalyticsQueries {
         .orderBy("event_id")
     }),
 
+    // as-of with a MATCH TOLERANCE (the realistic attribution form: a view
+    // is credited to a purchase only within the attribution window) — the
+    // same linear-merge as-of carries the matched time as a value column,
+    // and matches older than 1 hour null out. No extra pass: the
+    // tolerance is a stateless projection over the as-of output.
+    "q_asof_tolerance" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("event_id"), col("user_id"),
+          date_trunc("second", col("ts")).as("t"), col("event_type"), col("value"))
+      val views = ev.filter(col("event_type") === "view")
+        .select("event_id", "user_id", "t")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("t"), col("event_id"),
+          col("event_id").as("p_id"), col("value").as("p_value"),
+          col("t").as("p_t"))
+      val joined = graft.operators.AsofJoin.asof(views, purchases,
+        leftTime = "t", rightTime = "t", by = Seq("user_id"),
+        valueCols = Seq("p_id", "p_value", "p_t"), rightOrder = Seq("event_id"))
+      val gap = expr("unix_micros(t) div 1000000") -
+        expr("unix_micros(asof_p_t) div 1000000")
+      val ok = col("asof_p_t").isNotNull && gap <= 3600L
+      joined.select(col("event_id"), col("user_id"),
+          when(ok, col("asof_p_id")).as("asof_purchase_id"),
+          when(ok, col("asof_p_value")).as("asof_purchase_value"),
+          when(ok, gap).as("gap_sec"))
+        .orderBy("event_id")
+    }),
+
     // The SAME as-of join through the native Catalyst operator
     // ([[graft.plans.AsofMergeJoinExec]] — custom LogicalPlan + Strategy +
     // one-pass merge SparkPlan): both sides shuffle once on user_id and
@@ -798,6 +826,28 @@ object AnalyticsQueries {
         |    AND date_trunc('second', b.ts) <= date_trunc('second', a.ts)
         |  ORDER BY date_trunc('second', b.ts) DESC, event_id DESC LIMIT 1
         |) p ON TRUE
+        |ORDER BY a.event_id""".stripMargin,
+
+    // same lateral as-of, tolerance applied as a CASE over the matched gap
+    "q_asof_tolerance" ->
+      """SELECT a.event_id, a.user_id,
+        |  CASE WHEN gap_sec <= 3600 THEN p_event_id END AS asof_purchase_id,
+        |  CASE WHEN gap_sec <= 3600 THEN p_value END AS asof_purchase_value,
+        |  CASE WHEN gap_sec <= 3600 THEN gap_sec END AS gap_sec
+        |FROM (
+        |  SELECT a.event_id, a.user_id, p.event_id AS p_event_id,
+        |    p.value AS p_value,
+        |    epoch_ms(date_trunc('second', a.ts)) // 1000
+        |      - epoch_ms(p.p_t) // 1000 AS gap_sec
+        |  FROM (SELECT * FROM events WHERE event_type = 'view') a
+        |  LEFT JOIN LATERAL (
+        |    SELECT event_id, value, date_trunc('second', b.ts) AS p_t
+        |    FROM events b
+        |    WHERE b.event_type = 'purchase' AND b.user_id = a.user_id
+        |      AND date_trunc('second', b.ts) <= date_trunc('second', a.ts)
+        |    ORDER BY date_trunc('second', b.ts) DESC, event_id DESC LIMIT 1
+        |  ) p ON TRUE
+        |) a
         |ORDER BY a.event_id""".stripMargin,
 
     "q_asof_native" ->

@@ -132,6 +132,24 @@ object FloQueries {
         .orderBy("depth")
     }),
 
+    // per-key churn (the table-view companion readout: how HOT is each
+    // key, and what did it change from): per namespace, update count,
+    // head counter, and the previous counter — two hash aggregates (the
+    // heads table is key-cardinality-sized and broadcasts back), no
+    // window over the log.
+    "flo_key_churn" -> ((s, d) => {
+      val flo = Tables.floEvents(s, d).select("namespace", "event_counter")
+      val heads = flo.groupBy("namespace").agg(
+        count(lit(1)).as("n_events"), max("event_counter").as("head_counter"))
+      flo.join(broadcast(heads), "namespace")
+        .groupBy("namespace")
+        .agg(max("n_events").as("n_events"),
+          max("head_counter").as("head_counter"),
+          max(when(col("event_counter") < col("head_counter"),
+            col("event_counter"))).as("prev_counter"))
+        .orderBy("namespace")
+    }),
+
     // counter-density audit (the log health check behind flo's gap-free
     // produce contract): per partition, count vs counter span. On the
     // bridged events view counters are globally dense but interleaved
@@ -293,6 +311,19 @@ object FloQueries {
         |)
         |SELECT CAST(depth AS BIGINT) AS depth, COUNT(*) AS n_events
         |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "flo_key_churn" ->
+      s"""$floCte
+         |, heads AS (
+         |  SELECT namespace, CAST(COUNT(*) AS BIGINT) AS n_events,
+         |    CAST(MAX(event_counter) AS BIGINT) AS head_counter
+         |  FROM flo GROUP BY 1)
+         |SELECT f.namespace, MAX(h.n_events) AS n_events,
+         |  MAX(h.head_counter) AS head_counter,
+         |  CAST(MAX(CASE WHEN f.event_counter < h.head_counter
+         |    THEN f.event_counter END) AS BIGINT) AS prev_counter
+         |FROM flo f JOIN heads h USING (namespace)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "flo_density_audit" ->
       s"""$floCte
