@@ -223,6 +223,46 @@ class AuditQueriesSpec extends SparkSuite {
     real.foreach(r => assert(r.getAs[Long]("drift_fp") >= 0L))
   }
 
+  test("merge upsert: deletes win over updates, inserts appear, kept rows unchanged") {
+    val rows = PipelineQueries.queries("pipe_merge_upsert")(spark, sf).collect()
+    val base = graft.Tables.load(spark, sf, "documents")
+    val n = base.count()
+    val deleted = base.filter(col("doc_id") % 11 === 0).count()
+    val inserted = base.filter(col("doc_id") % 13 === 0).count()
+    // updates exclude ids that are ALSO deleted (delete priority)
+    val updated = base.filter(col("doc_id") % 7 === 0 &&
+      col("doc_id") % 11 =!= 0).count()
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == n - deleted + inserted)
+    assert(rows.map(_.getAs[Long]("n_updated")).sum == updated)
+    assert(rows.map(_.getAs[Long]("n_inserted")).sum == inserted)
+    assert(rows.map(_.getAs[Long]("n_kept")).sum == n - deleted - updated)
+  }
+
+  test("as-of tolerance matches are exactly the untolerated matches within the window") {
+    val tol = AnalyticsQueries.queries("q_asof_tolerance")(spark, sf).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (Option(r.get(r.fieldIndex("asof_purchase_id"))),
+          Option(r.get(r.fieldIndex("gap_sec"))))).toMap
+    val base = AnalyticsQueries.queries("q_asof_join")(spark, sf).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        Option(r.get(r.fieldIndex("asof_purchase_id")))).toMap
+    assert(tol.keySet == base.keySet)
+    tol.foreach { case (id, (pid, gap)) =>
+      (pid, gap) match {
+        case (Some(p), Some(g)) =>
+          // a tolerated match must be THE as-of match, within the window
+          assert(base(id).contains(p), s"event $id: $p vs ${base(id)}")
+          assert(g.asInstanceOf[Long] >= 0L && g.asInstanceOf[Long] <= 3600L)
+        case (None, None) => // no match or out of window — consistent nulls
+        case other => fail(s"event $id: inconsistent null pattern $other")
+      }
+    }
+    // the tolerance genuinely cuts something on this data
+    val baseMatches = base.values.count(_.isDefined)
+    val tolMatches = tol.values.count(_._1.isDefined)
+    assert(tolMatches < baseMatches, s"$tolMatches !< $baseMatches")
+  }
+
   test("jsonl read path counts corrupt rows instead of failing") {
     val dir = tempDir("jsonl-corrupt")
     java.nio.file.Files.writeString(
