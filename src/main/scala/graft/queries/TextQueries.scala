@@ -89,6 +89,26 @@ object TextQueries {
         .calibration(scored, "score_fp", "label", "predicted")
     }),
 
+    // vocabulary coverage curve (the tokenizer-design readout: how much of
+    // the token stream does a top-k vocab cover?): one vocab aggregate,
+    // rank over the VOCAB grid (never corpus rows), conditional sums give
+    // every k in one pass. All integer.
+    "text_vocab_coverage" -> ((s, d) => {
+      val vocab = docs(s, d)
+        .select(explode(split(lower(trim(col("text"))), " +")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("c").desc, col("tok"))))
+      val ks = s.createDataFrame(Seq(Tuple1(10L), Tuple1(100L), Tuple1(1000L)))
+        .toDF("k")
+      vocab.crossJoin(broadcast(ks))
+        .groupBy("k").agg(
+          sum(when(col("rk") <= col("k"), col("c")).otherwise(0L)).as("covered"),
+          sum("c").as("total"))
+        .withColumn("coverage_ppm", expr("covered * 1000000 div total"))
+        .orderBy("k")
+    }),
+
     // unigram^0.75 negative-sampling table (the word2vec/NCE preparation
     // step: smoothed unigram draw weights): x^0.75 computed as
     // sqrt(x·sqrt(x)) — two CORRECTLY-ROUNDED operations instead of
@@ -1065,6 +1085,24 @@ object TextQueries {
         |    AS BIGINT) AS pos_rate_ppm
         |FROM scored CROSS JOIN rng
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same rank grid, same conditional sums per k
+    "text_vocab_coverage" ->
+      """WITH v AS (
+        |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        |    SELECT unnest(string_split_regex(lower(trim(text)), ' +')) AS tok
+        |    FROM documents)
+        |  GROUP BY 1
+        |), r AS (
+        |  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS rk FROM v
+        |), ks AS (SELECT unnest([10, 100, 1000]) AS k)
+        |SELECT CAST(k AS BIGINT) AS k,
+        |  CAST(SUM(CASE WHEN rk <= k THEN c ELSE 0 END) AS BIGINT) AS covered,
+        |  CAST(SUM(c) AS BIGINT) AS total,
+        |  CAST(SUM(CASE WHEN rk <= k THEN c ELSE 0 END) * 1000000 // SUM(c)
+        |    AS BIGINT) AS coverage_ppm
+        |FROM r CROSS JOIN ks
+        |GROUP BY k ORDER BY k""".stripMargin,
 
     // same two-sqrt smoothing, same floor-fp weights and ppm shares
     "text_negative_table" ->
