@@ -57,6 +57,28 @@ object Bench {
       if (sinceGc >= 16) { sinceGc = 0; System.gc() }
     }
 
+    // Pre-build the persisted ANN indexes OUTSIDE the per-query timing.
+    // They are explicitly build-once/search-many artifacts (immutable
+    // corpus dir + params key them), so benching the serve path against a
+    // budget that amortizes the build is the honest measurement — r7's
+    // only two budget breaches were the IVF-PQ k-means build landing
+    // inside the first measured serve query on a cold /tmp. The build
+    // itself is measured and reported on its own line (`ann_index_build_
+    // sec`, budget key `__ann_index_build`), checked only when the build
+    // actually ran (a warm /tmp measures ~0 and would poison the budget).
+    val servesIndex = catalog.exists { case (n, _) =>
+      n.contains("_indexed") || n.contains("_ivf") || n.contains("sim_pq") ||
+        n == "sim_text_ann" || n == "sim_text_knn" }
+    val (annBuildSec, annBuilt) = if (!servesIndex) (-1.0, false) else {
+      val cold = !graft.operators.AnnIndex.exists(
+        spark, graft.queries.SimilarityQueries.indexPath(sfDir))
+      val t = time {
+        graft.queries.SimilarityQueries.ensureIndex(spark, sfDir)
+        graft.queries.SimilarityQueries.ensureAppendedIndex(spark, sfDir)
+      }
+      (t, cold)
+    }
+
     // two passes, min per query: the first pass absorbs JIT/IO warm-up and
     // GC noise that otherwise dominates sub-second queries
     def pass(): Seq[(String, Double)] =
@@ -105,12 +127,6 @@ object Bench {
     // the 1.5x gate on pure machine noise (q_unpivot 2.6x in r4 = +0.25 s);
     // a real regression on a meaningful budget still clears +0.3 s easily
     val floorSec = 0.3
-    if (sys.env.contains("SPARK_GRAFT_UPDATE_BUDGETS") && only.isEmpty) {
-      val json = results.map { case (k, v) => "\"" + k + f"""": $v%.3f""" }
-        .mkString("{\n  ", ",\n  ", "\n}\n")
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(budgetPath), json)
-      System.err.println(s"[bench] budgets recorded to $budgetPath")
-    }
     val budgets = {
       val p = java.nio.file.Paths.get(budgetPath)
       if (!java.nio.file.Files.exists(p)) Map.empty[String, Double]
@@ -118,10 +134,28 @@ object Bench {
         .findAllMatchIn(java.nio.file.Files.readString(p))
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     }
+    if (sys.env.contains("SPARK_GRAFT_UPDATE_BUDGETS") && only.isEmpty) {
+      // the index-build budget only re-records when this run actually
+      // built (a warm /tmp measures ~0 and would poison it); otherwise
+      // the previously recorded cold-build figure carries forward
+      val buildRow =
+        if (annBuilt) Seq("__ann_index_build" -> annBuildSec)
+        else budgets.get("__ann_index_build").map("__ann_index_build" -> _).toSeq
+      val json = (buildRow ++ results)
+        .map { case (k, v) => "\"" + k + f"""": $v%.3f""" }
+        .mkString("{\n  ", ",\n  ", "\n}\n")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(budgetPath), json)
+      System.err.println(s"[bench] budgets recorded to $budgetPath")
+    }
+    val buildViolation =
+      if (annBuilt) budgets.get("__ann_index_build")
+        .filter(b => annBuildSec > b * tolerance + floorSec)
+        .map(b => ("__ann_index_build", annBuildSec, b)).toSeq
+      else Seq.empty
     val violations = results.flatMap { case (name, sec) =>
       budgets.get(name).filter(b => sec >= 0 && sec > b * tolerance + floorSec)
         .map(b => (name, sec, b))
-    }
+    } ++ buildViolation
     violations.foreach { case (n, s, b) =>
       System.err.println(
         f"[bench] BUDGET VIOLATION $n: $s%.3f s > ${tolerance}x recorded $b%.3f s + $floorSec%.1f s floor")
@@ -132,7 +166,7 @@ object Bench {
     def jsonLine(rs: Seq[(String, Double)]): String = {
       val qs = rs.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
         .mkString("{", ",", "}")
-      f"""{"metric":"total_query_sec","value":$total%.3f,"unit":"sec","queries":$qs,"queries_n":${results.size}%d,"errors":$errs%d,"sf":"$sfDir","produce_events_per_sec":$produceEps%.0f,"consume_events_per_sec":$consumeEps%.0f,"budget_violations":${violations.size}%d,"full":"BENCH_FULL.json"}"""
+      f"""{"metric":"total_query_sec","value":$total%.3f,"unit":"sec","queries":$qs,"queries_n":${results.size}%d,"errors":$errs%d,"sf":"$sfDir","produce_events_per_sec":$produceEps%.0f,"consume_events_per_sec":$consumeEps%.0f,"ann_index_build_sec":$annBuildSec%.3f,"ann_index_cold":$annBuilt%b,"budget_violations":${violations.size}%d,"full":"BENCH_FULL.json"}"""
     }
     // The driver captures only the last ~2 KB of stdout and json-parses it;
     // the full 126-query map is ~3.5 KB and got truncated every round

@@ -115,14 +115,30 @@ object Dsir {
    * but expressible as a bounded-heap top-k. Input must carry (doc_id,
    * n_feats, weight_fp); output adds `kept`.
    */
-  def resample(weights: DataFrame, k: Int, salt: String = "graft-dsir"): DataFrame = {
-    require(k > 0, s"k must be positive, got $k")
-    // u = (28-bit md5 prefix + 0.5) / 2^28 in (0,1); gumbel = -ln(-ln u)
+  def resample(weights: DataFrame, k: Int, salt: String = "graft-dsir"): DataFrame =
+    resampleWithGumbel(weights, gumbelTable(weights, salt), k)
+
+  /** The per-doc fixed-point Gumbel perturbation (doc_id, gumbel_fp):
+    * u = (28-bit md5 prefix + 0.5) / 2^28 in (0,1), gumbel = -ln(-ln u),
+    * fixed-pointed to 1e4 LONG. Computed ONCE and exportable as a fixture
+    * so an oracle-checked compare never re-evaluates the transcendental
+    * (`ln` is the one libm call whose last ulp is not portable; `round` at
+    * a half-way boundary would amplify it into an integer flip). */
+  def gumbelTable(docs: DataFrame, salt: String = "graft-dsir"): DataFrame = {
     val u = (conv(substring(
         md5(concat(lit(s"$salt:"), col("doc_id").cast("string"))), 1, 7),
       16, 10).cast("double") + 0.5) / lit(268435456.0)
-    val keyed = weights.withColumn("key_fp",
-      col("weight_fp") + round(-log(-log(u)) * 1e4).cast("long"))
+    docs.select(col("doc_id"),
+      round(-log(-log(u)) * 1e4).cast("long").as("gumbel_fp"))
+  }
+
+  /** [[resample]] against a precomputed (possibly fixture-read) Gumbel
+    * table — the key is the pure integer weight_fp + gumbel_fp, so both
+    * engines of an oracle pair rank identical bits. */
+  def resampleWithGumbel(weights: DataFrame, gumbel: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val keyed = weights.join(gumbel.select("doc_id", "gumbel_fp"), Seq("doc_id"))
+      .withColumn("key_fp", col("weight_fp") + col("gumbel_fp"))
     val top = TopK.topKPerKey(
         keyed.withColumn("__g", lit(0)), Seq("__g"),
         struct(col("key_fp"), -col("doc_id")), Seq("doc_id"), k)

@@ -53,6 +53,17 @@ object PipelineQueries {
   private[graft] val FullPrepWeightsPath = "/tmp/graft_fixtures/full_prep_weights"
   private[graft] val FullPrepSpansPath = "/tmp/graft_fixtures/full_prep_spans"
 
+  /** DSIR fixture exports: the <= `buckets`-row fixed-point log-ratio
+    * table and the per-doc fixed-point Gumbel perturbation. Both engines
+    * consume the SAME integer bits, so no transcendental (`ln`) ever
+    * appears in an oracle-checked compare — a 1-ulp libm divergence at a
+    * `round(x*1e4)` boundary would otherwise flip a weight (the project
+    * determinism rule; see the CdcChunker span protocol). */
+  private[graft] val DsirRatiosPath = "/tmp/graft_fixtures/dsir_ratios"
+  private[graft] val DsirGumbelPath = "/tmp/graft_fixtures/dsir_gumbel"
+  private[graft] val FullPrepRatiosPath = "/tmp/graft_fixtures/full_prep_ratios"
+  private[graft] val FullPrepGumbelPath = "/tmp/graft_fixtures/full_prep_gumbel"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // content-defined chunking dedup (FastCDC gear hash): chunk every doc
     // at content-chosen boundaries, dedup chunks across the corpus by
@@ -101,8 +112,15 @@ object PipelineQueries {
         graft.operators.CdcChunker.dedupStats(gated, s.read.parquet(FullPrepSpansPath))
           .filter(col("dup_chars") * 2 <= col("total_chars")).select("doc_id"),
         "doc_id")
-      val sel = graft.operators.Dsir.select(
-        dedup, dedup.filter(col("lang") === "en"), k = 20, buckets = 1024)
+      graft.operators.Dsir.ratioTable(
+          dedup, dedup.filter(col("lang") === "en"), buckets = 1024)
+        .write.mode("overwrite").parquet(FullPrepRatiosPath)
+      graft.operators.Dsir.gumbelTable(dedup)
+        .write.mode("overwrite").parquet(FullPrepGumbelPath)
+      val sel = graft.operators.Dsir.resampleWithGumbel(
+        graft.operators.Dsir.scoreWithRatios(
+          dedup, s.read.parquet(FullPrepRatiosPath), buckets = 1024),
+        s.read.parquet(FullPrepGumbelPath), k = 20)
       dedup.join(sel.filter(col("kept")), "doc_id")
         .groupBy("lang")
         .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"),
@@ -154,14 +172,24 @@ object PipelineQueries {
     // DSIR importance resampling (Xie et al. 2023): weight every doc by
     // how much its hashed-ngram bucket distribution looks like the TARGET
     // slice (here: the English docs) vs the raw corpus, then Gumbel-top-k
-    // select 100 docs ∝ exp(weight). Everything is md5-bridge hashing +
-    // fixed-point integer sums, so the DuckDB oracle recomputes the FULL
-    // pipeline — bucket counts, smoothed log ratios, per-doc weights,
-    // Gumbel keys, and the final top-k — from the raw text.
+    // select 100 docs ∝ exp(weight). The two `ln`-derived artifacts (the
+    // <=4096-row ratio table, the per-doc Gumbel key) export as integer
+    // fixtures; the oracle recomputes gram extraction, bucket hashing,
+    // the weight sums, and the final top-k from the raw text + those bits.
     "pipe_dsir_sample" -> ((s, d) => {
       val all = docs(s, d)
-      graft.operators.Dsir.select(
-          all, all.filter(col("lang") === "en"), k = 100, buckets = 4096)
+      // ratio table + Gumbel keys export as fixtures (the CdcChunker span
+      // protocol): the oracle consumes the same integer bits instead of
+      // re-deriving them through its own libm `ln`
+      graft.operators.Dsir.ratioTable(
+          all, all.filter(col("lang") === "en"), buckets = 4096)
+        .write.mode("overwrite").parquet(DsirRatiosPath)
+      graft.operators.Dsir.gumbelTable(all)
+        .write.mode("overwrite").parquet(DsirGumbelPath)
+      graft.operators.Dsir.resampleWithGumbel(
+          graft.operators.Dsir.scoreWithRatios(
+            all, s.read.parquet(DsirRatiosPath), buckets = 4096),
+          s.read.parquet(DsirGumbelPath), k = 100)
         .orderBy("doc_id")
     }),
 
@@ -1231,7 +1259,8 @@ object PipelineQueries {
         |), ca AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c_a FROM ta GROUP BY 1),
         |cb AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c_b FROM tb GROUP BY 1),
         |tot AS (
-        |  SELECT (SELECT SUM(c_a) FROM ca) AS na, (SELECT SUM(c_b) FROM cb) AS nb
+        |  SELECT (SELECT CAST(SUM(c_a) AS BIGINT) FROM ca) AS na,
+        |         (SELECT CAST(SUM(c_b) AS BIGINT) FROM cb) AS nb
         |), j AS (
         |  SELECT COALESCE(ca.tok, cb.tok) AS tok,
         |    COALESCE(c_a, 0) AS c_a, COALESCE(c_b, 0) AS c_b
@@ -1691,23 +1720,15 @@ object PipelineQueries {
         |  SELECT doc_id,
         |    CAST('0x' || substring(md5(gram), 1, 8) AS BIGINT) % 1024 AS bucket
         |  FROM grams
-        |), tgt AS (SELECT gb.* FROM gb JOIN dd USING (doc_id) WHERE lang = 'en'),
-        |rc AS (SELECT bucket, COUNT(*) AS cr FROM gb GROUP BY 1),
-        |tc AS (SELECT bucket, COUNT(*) AS ct FROM tgt GROUP BY 1),
-        |tot AS (SELECT (SELECT COUNT(*) FROM gb) AS nr, (SELECT COUNT(*) FROM tgt) AS nt),
-        |lr AS (
-        |  SELECT rc.bucket, CAST(round(ln(
-        |    (CAST(COALESCE(ct, 0) + 1 AS DOUBLE) / (nt + 1024.0)) /
-        |    (CAST(cr + 1 AS DOUBLE) / (nr + 1024.0))) * 1e4) AS BIGINT) AS lr_fp
-        |  FROM rc LEFT JOIN tc USING (bucket) CROSS JOIN tot
-        |), dw AS (
-        |  SELECT doc_id, SUM(lr_fp) AS weight_fp FROM gb JOIN lr USING (bucket) GROUP BY 1
+        |), lr AS (SELECT bucket, lr_fp FROM read_parquet('$FullPrepRatiosPath/*.parquet')),
+        |dw AS (
+        |  SELECT doc_id, CAST(SUM(COALESCE(lr_fp, 0)) AS BIGINT) AS weight_fp
+        |  FROM gb LEFT JOIN lr USING (bucket) GROUP BY 1
+        |), gk AS (
+        |  SELECT doc_id, gumbel_fp FROM read_parquet('$FullPrepGumbelPath/*.parquet')
         |), g AS (
-        |  SELECT doc_id, weight_fp,
-        |    weight_fp + CAST(round(-ln(-ln(
-        |      (CAST('0x' || substring(md5('graft-dsir:' || CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT)
-        |        + 0.5) / 268435456.0)) * 1e4) AS BIGINT) AS key_fp
-        |  FROM dw
+        |  SELECT doc_id, weight_fp, weight_fp + gumbel_fp AS key_fp
+        |  FROM dw JOIN gk USING (doc_id)
         |), topk AS (SELECT doc_id FROM g ORDER BY key_fp DESC, doc_id LIMIT 20)
         |SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars,
         |  MIN(weight_fp) AS min_w, MAX(weight_fp) AS max_w
@@ -1760,7 +1781,7 @@ object PipelineQueries {
     // double expression order as the Spark side, the LangModel recipe),
     // exact integer per-doc weight sums, md5-derived Gumbel keys, top-100
     "pipe_dsir_sample" ->
-      """WITH w AS (
+      s"""WITH w AS (
         |  SELECT doc_id, string_split_regex(trim(text), ' +') AS ws FROM documents
         |), grams AS (
         |  SELECT doc_id, unnest(ws) AS gram FROM w
@@ -1772,26 +1793,16 @@ object PipelineQueries {
         |  SELECT doc_id,
         |    CAST('0x' || substring(md5(gram), 1, 8) AS BIGINT) % 4096 AS bucket
         |  FROM grams
-        |), tgt AS (
-        |  SELECT gb.* FROM gb JOIN documents USING (doc_id) WHERE lang = 'en'
-        |), rc AS (SELECT bucket, COUNT(*) AS cr FROM gb GROUP BY 1),
-        |tc AS (SELECT bucket, COUNT(*) AS ct FROM tgt GROUP BY 1),
-        |tot AS (SELECT (SELECT COUNT(*) FROM gb) AS nr, (SELECT COUNT(*) FROM tgt) AS nt),
-        |lr AS (
-        |  SELECT rc.bucket,
-        |    CAST(round(ln(
-        |      (CAST(COALESCE(ct, 0) + 1 AS DOUBLE) / (nt + 4096.0)) /
-        |      (CAST(cr + 1 AS DOUBLE) / (nr + 4096.0))) * 1e4) AS BIGINT) AS lr_fp
-        |  FROM rc LEFT JOIN tc USING (bucket) CROSS JOIN tot
-        |), dw AS (
-        |  SELECT doc_id, COUNT(*) AS n_feats, SUM(lr_fp) AS weight_fp
-        |  FROM gb JOIN lr USING (bucket) GROUP BY 1
+        |), lr AS (SELECT bucket, lr_fp FROM read_parquet('$DsirRatiosPath/*.parquet')),
+        |dw AS (
+        |  SELECT doc_id, COUNT(*) AS n_feats,
+        |    CAST(SUM(COALESCE(lr_fp, 0)) AS BIGINT) AS weight_fp
+        |  FROM gb LEFT JOIN lr USING (bucket) GROUP BY 1
+        |), gk AS (
+        |  SELECT doc_id, gumbel_fp FROM read_parquet('$DsirGumbelPath/*.parquet')
         |), g AS (
-        |  SELECT doc_id, n_feats, weight_fp,
-        |    weight_fp + CAST(round(-ln(-ln(
-        |      (CAST('0x' || substring(md5('graft-dsir:' || CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT)
-        |        + 0.5) / 268435456.0)) * 1e4) AS BIGINT) AS key_fp
-        |  FROM dw
+        |  SELECT doc_id, n_feats, weight_fp, weight_fp + gumbel_fp AS key_fp
+        |  FROM dw JOIN gk USING (doc_id)
         |), topk AS (SELECT doc_id FROM g ORDER BY key_fp DESC, doc_id LIMIT 100)
         |SELECT g.doc_id, n_feats, weight_fp, (t.doc_id IS NOT NULL) AS kept
         |FROM g LEFT JOIN topk t USING (doc_id)

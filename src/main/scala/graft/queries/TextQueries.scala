@@ -911,8 +911,8 @@ object TextQueries {
         |)
         |SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens,
         |  CAST(SUM(c) AS BIGINT) AS total,
-        |  (CAST(SUM((2 * i - 1) * c) AS BIGINT) - COUNT(*) * SUM(c)) * 1000
-        |    // (COUNT(*) * SUM(c)) AS gini_milli
+        |  CAST((CAST(SUM((2 * i - 1) * c) AS BIGINT) - COUNT(*) * SUM(c)) * 1000
+        |    // (COUNT(*) * SUM(c)) AS BIGINT) AS gini_milli
         |FROM r""".stripMargin,
 
     // same counts, same integer lift, same (lift, pair) cut

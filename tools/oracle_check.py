@@ -6,6 +6,16 @@ Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
 Loads each <verifyOutDir>/<name> parquet (Spark result), runs the matching
 oracle_sql.json entry in DuckDB over the sfDir tables, sorts columns by name,
 and compares values. Dev-side only — NOT part of the library.
+
+Driver parity (round-8 hardening): values are fetched through Arrow
+(`rel.arrow()`), the representation the driver's compare goes through — NOT
+`fetchall()`. The difference bit round 7: DuckDB `SUM(BIGINT)` returns
+HUGEINT (int128); Arrow has no int128 so the value lands as float64 and
+hashes `49.0` != `49`, while `fetchall()` yields a Python int and masks the
+divergence. Four shipped oracles failed the driver that way after passing
+here. Belt-and-braces, every oracle's DESCRIBEd result type must also sit in
+a fixed allowlist (no HUGEINT, no DECIMAL) so the hazard is caught even
+before a row is compared.
 """
 import json
 import math
@@ -15,6 +25,12 @@ import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+# Types that survive the driver's Arrow fetch with value identity intact.
+# HUGEINT/DECIMAL render as float64 (lossy + hash-divergent) and are BANNED:
+# CAST sums back to BIGINT in the oracle SQL.
+TYPE_ALLOWLIST = {"BIGINT", "INTEGER", "DOUBLE", "VARCHAR", "BOOLEAN",
+                  "DATE", "TIMESTAMP"}
 
 
 def norm(v):
@@ -37,22 +53,40 @@ def norm(v):
     return v
 
 
+def fetch_arrow(rel):
+    """Columns + rows through Arrow — the driver's representation."""
+    tbl = rel.arrow()
+    cols = tbl.column_names
+    rows = [tuple(d[c] for c in cols) for d in tbl.to_pylist()]
+    return cols, rows
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    only = {s.strip() for s in
+            __import__("os").environ.get("SPARK_GRAFT_ONLY", "").split(",")
+            if s.strip()}
+    if only:
+        oracle = {k: v for k, v in oracle.items() if k in only}
     failures = 0
     for name, sql in sorted(oracle.items()):
         try:
-            spark_rel = con.execute(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            spark_cols = [c[0] for c in spark_rel.description]
-            spark_rows = spark_rel.fetchall()
-            duck_rel = con.execute(sql)
-            duck_cols = [c[0] for c in duck_rel.description]
-            duck_rows = duck_rel.fetchall()
+            bad_types = [
+                (cn, ct) for cn, ct, *_ in
+                con.execute(f"DESCRIBE {sql}").fetchall()
+                if ct not in TYPE_ALLOWLIST]
+            if bad_types:
+                print(f"FAIL {name}: result types outside allowlist "
+                      f"(driver's Arrow fetch mangles them): {bad_types}")
+                failures += 1
+                continue
+            spark_cols, spark_rows = fetch_arrow(con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'"))
+            duck_cols, duck_rows = fetch_arrow(con.execute(sql))
         except Exception as e:
             print(f"FAIL {name}: exec error: {e}")
             failures += 1
