@@ -174,6 +174,119 @@ object AnnIndex {
   }
 
   /**
+   * Retention coupling (S6 → the index): drop expired vectors' rows from
+   * the cell-partitioned `vectors` and `codes` tables, so an id whose
+   * source events [[graft.engine.FloEngine.expireOldEvents]] dropped can
+   * never surface from a search again. Mirrors the reference's seek-index
+   * trim-on-expiry (flo-server/src/engine/event_stream/partition/
+   * index.rs:86-129, eviction driving it at controller/mod.rs:151-178).
+   *
+   * Scale shape: only the CELLS that actually contain dead ids are
+   * rewritten (a semi-join finds them; the cell list is bounded by the
+   * `cells` build knob, so the collect is O(knob)); untouched cell
+   * partitions keep their files byte-identical via dynamic partition
+   * overwrite. Codes rewrite FIRST, vectors second: a candidate whose
+   * code rows are gone never reaches the ADC stage, and a code row whose
+   * vector is gone is dropped by the rerank's inner vector join — so a
+   * crash between the two writes degrades to "dead id already invisible
+   * to PQ search, still visible to plain IVF until re-run"; the op is
+   * idempotent, re-running with the same ids completes the trim. Returns
+   * the number of vectors removed.
+   */
+  def expire(spark: SparkSession, path: String, deadIds: DataFrame): Long = {
+    val dead = deadIds.select(col("id")).distinct()
+    val vecs = spark.read.parquet(s"$path/vectors")
+    // affected cells: bounded by the cells knob, never corpus-sized
+    val affected = vecs.join(dead, "id").select("cell").distinct()
+      .collect().map(_.getAs[Number]("cell").intValue()).toSeq
+    if (affected.isEmpty) return 0L
+    val m = meta(spark, path).head()
+    val nBefore = m.getAs[Long]("n_vectors")
+
+    val codes = spark.read.parquet(s"$path/codes")
+    // materialize survivors before overwriting the path they were read
+    // from (at real scale this staging would be a parquet temp dir; the
+    // working set is only the affected cells, not the corpus)
+    val survC = codes.filter(col("cell").isin(affected: _*))
+      .join(dead, Seq("id"), "left_anti").localCheckpoint(true)
+    val survV = vecs.filter(col("cell").isin(affected: _*))
+      .join(dead, Seq("id"), "left_anti").localCheckpoint(true)
+    val emptied = affected.toSet --
+      survV.select("cell").distinct().collect().map(_.getAs[Number]("cell").intValue())
+
+    val dyn = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(dyn)
+    spark.conf.set(dyn, "dynamic")
+    try {
+      survC.write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+      survV.write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
+    } finally prev match {
+      case Some(v) => spark.conf.set(dyn, v)
+      case None => spark.conf.unset(dyn)
+    }
+    // dynamic overwrite only rewrites partitions PRESENT in the new data:
+    // a cell whose every vector died keeps its old files unless dropped
+    val p = new Path(path)
+    val f = FileSystem.get(p.toUri, spark.sparkContext.hadoopConfiguration)
+    emptied.foreach { c =>
+      f.delete(new Path(s"$path/vectors/cell=$c"), true)
+      f.delete(new Path(s"$path/codes/cell=$c"), true)
+    }
+
+    import spark.implicits._
+    val n = spark.read.parquet(s"$path/vectors").count()
+    Seq((m.getAs[Int]("dim"), m.getAs[Int]("cells"), m.getAs[Int]("subs"),
+        m.getAs[Int]("codes"), m.getAs[Int]("lloyd_iters"), n, "cell_mean"))
+      .toDF("dim", "cells", "subs", "codes", "lloyd_iters", "n_vectors",
+        "residual_coding")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    nBefore - n
+  }
+
+  /** Per-cell populations (cell, n) — the skew audit behind
+    * [[needsRebalance]], and cheap enough to run after every append (a
+    * column-pruned count over the cell-partitioned vectors table: the
+    * scan reads partition values, no vector arrays). */
+  def cellSizes(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/vectors")
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+
+  /** True when the largest cell exceeds `maxSkew` x the mean population —
+    * the signal that appends have drifted the distribution away from the
+    * frozen centroids (probe-cell candidate sets grow with the largest
+    * cell, so skew inflates search cost and starves recall elsewhere). */
+  def needsRebalance(spark: SparkSession, path: String, maxSkew: Double = 4.0): Boolean = {
+    val r = cellSizes(spark, path).agg(
+      max("n").as("mx"), avg("n").as("av")).head()
+    r.getAs[Long]("mx") > maxSkew * r.getAs[Double]("av")
+  }
+
+  /**
+   * Retrain the index IN PLACE from its own persisted vectors — the
+   * answer when [[needsRebalance]] fires after a run of skewed appends:
+   * fresh spherical k-means centroids, fresh means/codebooks/codes, same
+   * build parameters (from meta). Stages the rebuild in a sibling temp
+   * dir and swaps it in whole, so a crash mid-rebuild leaves the OLD
+   * index fully intact (the meta `_SUCCESS` of the staged copy is
+   * written last, and the swap only happens after it exists).
+   */
+  def rebalance(spark: SparkSession, path: String): Unit = {
+    val m = meta(spark, path).head()
+    val corpus = spark.read.parquet(s"$path/vectors")
+      .select(col("id"), col("uv").as("v")) // unit-normalizing a unit vector is a no-op
+      .localCheckpoint(true)
+    val tmp = s"${path}_rebuild_tmp"
+    val p = new Path(path)
+    val f = FileSystem.get(p.toUri, spark.sparkContext.hadoopConfiguration)
+    f.delete(new Path(tmp), true)
+    buildIvfPq(corpus, m.getAs[Int]("dim"), tmp, m.getAs[Int]("cells"),
+      m.getAs[Int]("subs"), m.getAs[Int]("codes"), m.getAs[Int]("lloyd_iters"))
+    require(exists(spark, tmp), s"staged rebuild at $tmp did not complete")
+    f.delete(p, true)
+    require(f.rename(new Path(tmp), p), s"swap $tmp -> $path failed")
+  }
+
+  /**
    * Search-only IVF top-k cosine over a prebuilt index: route each query
    * to its `probe` best cells (broadcast centroids), read ONLY those cells'
    * vector partitions, exact rerank. No training, no corpus-wide pass.

@@ -26,6 +26,8 @@ import graft.model.VersionVector
  * sbt "runMain graft.tools.Cli <root> index-build  <embParquet> <indexPath> [cells] [codes]"
  * sbt "runMain graft.tools.Cli <root> index-append <embParquet> <indexPath>"
  * sbt "runMain graft.tools.Cli <root> index-status <indexPath>"
+ * sbt "runMain graft.tools.Cli <root> index-expire <indexPath> <deadIdsParquet>"
+ * sbt "runMain graft.tools.Cli <root> index-rebalance <indexPath> [--force]"
  * sbt "runMain graft.tools.Cli <root> index-search <indexPath> <embParquet> <k> [ids...]"
  * sbt "runMain graft.tools.Cli <root> pagerank <docsParquet> [iterations] [topK]"
  * sbt "runMain graft.tools.Cli <root> heavy-hitters <docsParquet> [k] [denom]"
@@ -185,6 +187,23 @@ object Cli {
         graft.operators.AnnIndex.meta(spark, args(2)).collect().foreach { m =>
           println(m.schema.fieldNames.map(n => s"$n=${m.getAs[Any](n)}").mkString(" "))
         }
+      case "index-expire" =>
+        // retention coupling: trim vectors whose ids appear in the given
+        // parquet id table (e.g. exported from an S6 expiry) out of the
+        // index, then report the skew audit so an operator sees whether
+        // the trim (or prior appends) left the cells unbalanced
+        val dead = spark.read.parquet(args(3)).select("id")
+        val removed = graft.operators.AnnIndex.expire(spark, args(2), dead)
+        val skewed = graft.operators.AnnIndex.needsRebalance(spark, args(2))
+        println(s"removed $removed vectors from ${args(2)}; needs_rebalance=$skewed")
+      case "index-rebalance" =>
+        // retrain in place from the persisted vectors when the skew audit
+        // fires (or --force), restoring routing quality after drifted appends
+        val force = args.length > 3 && args(3) == "--force"
+        if (force || graft.operators.AnnIndex.needsRebalance(spark, args(2))) {
+          graft.operators.AnnIndex.rebalance(spark, args(2))
+          println(s"rebalanced ${args(2)}")
+        } else println(s"${args(2)} is balanced; use --force to retrain anyway")
       case "index-search" =>
         // top-k neighbors for the given query ids (default: first 5 ids)
         val emb = embTable(spark, args(3))
@@ -552,7 +571,7 @@ object Cli {
           println(s"wrote ${spark.read.parquet(args(4)).count()} pairs to ${args(4)}")
         } else pairs.toLocalIterator().forEachRemaining { r =>
           println(s"${r.getAs[Long]("doc_a")}\t${r.getAs[Long]("doc_b")}\t" +
-            s"${r.getAs[java.math.BigDecimal]("score")}")
+            s"${r.getAs[Double]("score")}")
         }
       case "containment" =>
         // asymmetric quote/inclusion detection: inner >= pct% inside outer
@@ -562,7 +581,7 @@ object Cli {
           .orderBy("inner_id", "outer_id")
         pairs.toLocalIterator().forEachRemaining { r =>
           println(s"${r.getAs[Long]("inner_id")}\t${r.getAs[Long]("outer_id")}\t" +
-            s"${r.getAs[java.math.BigDecimal]("containment")}")
+            s"${r.getAs[Double]("containment")}")
         }
       case "communities" =>
         // label-propagation communities over the co-chunk graph; prints
@@ -597,7 +616,7 @@ object Cli {
           .orderBy("doc_a", "doc_b")
           .toLocalIterator().forEachRemaining { r =>
             println(s"${r.getAs[Long]("doc_a")}\t${r.getAs[Long]("doc_b")}\t" +
-              s"${r.getAs[java.math.BigDecimal]("wjac")}")
+              s"${r.getAs[Double]("wjac")}")
           }
       case "hybrid-search" =>
         // BM25 + hashed-vector retrieval fused by RRF

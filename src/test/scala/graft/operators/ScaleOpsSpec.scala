@@ -393,6 +393,80 @@ class ScaleOpsSpec extends SparkSuite {
     assert(AnnIndex.meta(spark, dir).head().getAs[Long]("n_vectors") == nBefore)
   }
 
+  test("index expire: dead ids vanish from both search paths, survivors' recall holds, idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("annidx-exp").toString
+    val e = graft.queries.SimilarityQueries.emb(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id").as("id"), col("v"))
+    AnnIndex.buildIvfPq(e, dim = 64, path = dir, cells = 16, subs = 8,
+      codes = 16, lloydIters = 1)
+    // retention drops every 7th vector (stand-in for S6 expiring their
+    // source events); the index trim must make them unfindable
+    val dead = e.filter(pmod(col("id"), lit(7)) === 0).select("id")
+    val nDead = dead.count()
+    val removed = AnnIndex.expire(spark, dir, dead)
+    assert(removed == nDead, s"removed $removed of $nDead dead ids")
+    val survivors = e.filter(pmod(col("id"), lit(7)) =!= 0)
+    assert(AnnIndex.meta(spark, dir).head().getAs[Long]("n_vectors") ==
+      survivors.count())
+
+    val q = survivors.filter(col("id") < 20)
+    val pq = AnnIndex.searchIvfPq(spark, dir, q, k = 5, rerank = 100).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ivf = AnnIndex.searchIvf(spark, dir, q, k = 5, probe = 6).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(!(pq ++ ivf).exists(_._2 % 7 == 0),
+      s"expired ids surfaced: ${(pq ++ ivf).filter(_._2 % 7 == 0).take(5)}")
+    // recall vs brute force over the SURVIVING corpus — trimming must not
+    // degrade the serving quality for what remains
+    val brute = Ann.knnBrute(survivors, q, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (brute & pq).size.toDouble / brute.size
+    assert(recall >= 0.8, s"post-expiry recall too low: $recall")
+    // idempotent: re-running the same trim is a no-op
+    assert(AnnIndex.expire(spark, dir, dead) == 0L)
+  }
+
+  test("cell-skew audit fires after drifted appends; rebalance retrains in place and restores balance") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("annidx-reb").toString
+    // seed: 160 well-spread deterministic vectors (4 one-hot-ish families)
+    def mk(hot: Int, i: Int): Array[Double] = {
+      val v = Array.fill(64)(0.01 * ((i * 7 + hot) % 5))
+      v(hot) = 1.0; v((hot + i) % 64) += 0.3; v
+    }
+    val seed = (0 until 160).map(i => (i.toLong, mk(i % 16 * 4, i))).toDF("id", "v")
+    AnnIndex.buildIvfPq(seed, dim = 64, path = dir, cells = 16, subs = 8,
+      codes = 16, lloydIters = 1)
+    assert(!AnnIndex.needsRebalance(spark, dir, maxSkew = 4.0),
+      "seed index must start balanced (test premise)")
+    // drift: 300 appended vectors in one narrow cone (a new content family
+    // the frozen centroids never saw) — they all route to the same cell(s)
+    val cone = (1000 until 1300).map { i =>
+      val v = Array.fill(64)(0.0); v(63) = 1.0; v(i % 32) = 0.05 + 0.001 * (i % 7)
+      (i.toLong, v)
+    }.toDF("id", "v")
+    AnnIndex.append(spark, dir, cone)
+    val sizesBefore = AnnIndex.cellSizes(spark, dir).collect()
+      .map(_.getAs[Long]("n"))
+    assert(AnnIndex.needsRebalance(spark, dir, maxSkew = 4.0),
+      s"skew audit failed to fire: max=${sizesBefore.max} avg=${sizesBefore.sum / sizesBefore.length}")
+
+    AnnIndex.rebalance(spark, dir)
+    assert(AnnIndex.exists(spark, dir))
+    assert(AnnIndex.meta(spark, dir).head().getAs[Long]("n_vectors") == 460L)
+    val sizesAfter = AnnIndex.cellSizes(spark, dir).collect()
+      .map(_.getAs[Long]("n"))
+    // retraining gives the cone its own cells: the largest cell shrinks
+    assert(sizesAfter.max < sizesBefore.max,
+      s"rebalance did not split the hot cell: ${sizesBefore.max} -> ${sizesAfter.max}")
+    // the rebalanced index still serves: cone queries find cone neighbors
+    val q = cone.filter(col("id") < 1005)
+    val got = AnnIndex.searchIvfPq(spark, dir, q, k = 5, rerank = 100).collect()
+    assert(got.groupBy(_.getAs[Long]("query_id")).size == 5)
+    assert(got.forall(_.getAs[Long]("neighbor_id") >= 1000),
+      "a cone query's top-5 must be cone members")
+  }
+
   test("a pre-cell-mean index fails searchIvfPq loudly with the rebuild remedy") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("annidx-v2").toString
