@@ -27,6 +27,15 @@ object MultimodalQueries {
   private[graft] val VideoShotsFixturePath = "/tmp/graft_fixtures/video_shots"
   private[graft] val SsimThumbFixturePath = "/tmp/graft_fixtures/ssim_thumbs"
   private[graft] val AudioEnergyFixturePath = "/tmp/graft_fixtures/audio_energy"
+  private[graft] val FrameFeatFixturePath = "/tmp/graft_fixtures/frame_feats"
+
+  /** The 16-term energy sum written out as a LEFT-ASSOCIATIVE chain —
+    * SQL `+` associates left, so DuckDB adds in exactly graft_dot's loop
+    * order; with each operand an exact float32 cast to double, the double
+    * accumulation is bit-identical across engines (the playbook's
+    * mirrored-associativity rule, applied to the featurize histogram). */
+  private def energyChain(fv: String): String =
+    (1 to 16).map(i => s"$fv[$i]*$fv[$i]").mkString(" + ")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // binary-column metadata over the opaque payload
@@ -40,7 +49,12 @@ object MultimodalQueries {
 
     // real BMP decode -> featurize pipeline; emits per-doc feature norms
     // (feature energy = graft_dot(f, f) — same fp sequence as the lambda
-    // aggregate it replaces, one codegen node instead of a HOF chain)
+    // aggregate it replaces, one codegen node instead of a HOF chain).
+    // FULLY oracle-checked since round 8: the oracle recomputes the 16-bin
+    // histogram from the source text (byte == pixel, the mm_pixel_stats
+    // bridge), the float32 normalization (correctly-rounded REAL division
+    // in both engines), and the energy dot in graft_dot's exact
+    // accumulation order (the left-associative 16-term chain).
     "mm_decode_features" -> ((s, d) => {
       graft.expressions.GraftExtensions.register(s)
       val feats = Multimodal.featurize(Multimodal.documentsAsMedia(s, d))
@@ -66,6 +80,28 @@ object MultimodalQueries {
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_frames"),
           (floor(avg(col("frame_energy")) * 10000) / 10000).as("avg_frame_energy"))
+        .orderBy("doc_id")
+    }),
+
+    // the ORACLE-CHECKED half of the frame pipeline: the sampled frames'
+    // featurize outputs (the kernel) export as a fixture; energy scoring
+    // (fixed-point, the 16-term ordered chain) and the per-doc aggregate
+    // recompute in BOTH engines — integer outputs end to end, so the
+    // aggregation layer is engine-independently proven while frame
+    // sampling/decode stay on MultimodalSpec's bars.
+    "mm_frame_features_verified" -> ((s, d) => {
+      graft.expressions.GraftExtensions.register(s)
+      Multimodal.frameFeaturize(
+          Multimodal.documentsAsMedia(s, d), frameSize = 256, everyK = 4)
+        .toDF().select("doc_id", "frame_idx", "features")
+        .write.mode("overwrite").parquet(FrameFeatFixturePath)
+      s.read.parquet(FrameFeatFixturePath)
+        .withColumn("f", col("features").cast("array<double>"))
+        .select(col("doc_id"),
+          floor(expr("graft_dot(f, f)") * 10000).cast("long").as("energy_fp"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_frames"),
+          sum("energy_fp").cast("long").as("energy_fp_sum"))
         .orderBy("doc_id")
     }),
 
@@ -843,5 +879,50 @@ object MultimodalQueries {
         |  CAST(COALESCE(list_sum([unicode(t.text[i]) FOR i IN generate_series(1, n)]), 0) AS BIGINT) AS sum_px,
         |  CAST(w * h - n AS BIGINT) AS n_zero,
         |  CAST(COALESCE(list_max([unicode(t.text[i]) FOR i IN generate_series(1, n)]), 0) AS INTEGER) AS max_px
-        |FROM d JOIN documents t USING (doc_id) ORDER BY d.doc_id""".stripMargin)
+        |FROM d JOIN documents t USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    // full recompute of decode -> featurize -> energy from the source
+    // text: pixel histogram (bytes + zero padding), float32-normalized
+    // bins, the ordered 16-term double chain, 1e-4 floor
+    "mm_decode_features" ->
+      s"""WITH b AS (
+        |  SELECT doc_id, text, octet_length(encode(text)) AS nb,
+        |    GREATEST(CAST(ceil(sqrt(GREATEST(octet_length(encode(text)), 1))) AS INTEGER), 1) AS w
+        |  FROM documents
+        |), d AS (
+        |  SELECT doc_id, text, nb, w,
+        |    GREATEST(CAST(ceil(CAST(nb AS DOUBLE) / w) AS INTEGER), 1) AS h
+        |  FROM b
+        |), hc AS (
+        |  SELECT doc_id, w * h AS np,
+        |    [len(list_filter([unicode(text[i]) FOR i IN generate_series(1, nb)],
+        |                     p -> p // 16 = bin))
+        |       + CASE WHEN bin = 0 THEN w * h - nb ELSE 0 END
+        |     FOR bin IN generate_series(0, 15)] AS c
+        |  FROM d
+        |), f AS (
+        |  SELECT doc_id,
+        |    [CAST(CAST(c[i] AS REAL) / CAST(np AS REAL) AS DOUBLE)
+        |     FOR i IN generate_series(1, 16)] AS fv
+        |  FROM hc
+        |)
+        |SELECT doc_id, CAST(16 AS INTEGER) AS feature_dim,
+        |  FLOOR((${energyChain("fv")}) * 10000) / 10000 AS feature_energy
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    // recompute energy + per-doc aggregate from the exported frame
+    // features: same ordered chain, fixed-point BIGINT outputs
+    "mm_frame_features_verified" ->
+      s"""WITH ff AS (SELECT * FROM read_parquet('$FrameFeatFixturePath/*.parquet')),
+        |e AS (
+        |  SELECT doc_id,
+        |    CAST(FLOOR((${energyChain("fv")}) * 10000) AS BIGINT) AS energy_fp
+        |  FROM (
+        |    SELECT doc_id,
+        |      [CAST(features[i] AS DOUBLE) FOR i IN generate_series(1, 16)] AS fv
+        |    FROM ff)
+        |)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+        |  CAST(SUM(energy_fp) AS BIGINT) AS energy_fp_sum
+        |FROM e GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 }

@@ -56,6 +56,9 @@ object SimilarityQueries {
   private[graft] val KnnIvfFixturePath = "/tmp/graft_fixtures/knn_ivf_cand"
   private[graft] val KnnIvfPqFixturePath = "/tmp/graft_fixtures/knn_ivfpq_cand"
   private[graft] val HardNegFixturePath = "/tmp/graft_fixtures/hard_neg_cand"
+  private[graft] val KnnIvfAppFixturePath = "/tmp/graft_fixtures/knn_ivf_app_cand"
+  private[graft] val TextAnnVecsFixturePath = "/tmp/graft_fixtures/text_ann_vecs"
+  private[graft] val TextAnnCandFixturePath = "/tmp/graft_fixtures/text_ann_cand"
   private[graft] val PcaFixturePath = "/tmp/graft_fixtures/pca_model"
 
   private[graft] val PqSubs = 8
@@ -142,6 +145,42 @@ object SimilarityQueries {
       graft.operators.AnnIndex.searchHardNegatives(
           s, ensureIndex(s, d), e.filter(col("id") < 10),
           e.select(col("id"), col("label")), k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // the ORACLE-CHECKED half of the APPENDED index's serving path: the
+    // ADC candidate window of the index that actually went through
+    // AnnIndex.append exports as a fixture, and both engines rerank it by
+    // exact cosine — proving the grown index's scoring/top-k math
+    // engine-independently, not just against the recall bar.
+    "sim_knn_ivf_appended_verified" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id").as("id"), col("v"))
+      val q = e.filter(col("id") < 10)
+      graft.operators.AnnIndex.prunedCandidateIds(
+          s, ensureAppendedIndex(s, d), q,
+          probe = 6, rerank = 100, excludeSelf = true)
+        .write.mode("overwrite").parquet(KnnIvfAppFixturePath)
+      graft.operators.Ann.rerankCandidateIds(
+          s.read.parquet(KnnIvfAppFixturePath), e, q, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // the ORACLE-CHECKED half of text ANN: the hashed-TF-IDF vectors AND
+    // the hyperplane candidate pairs (the two non-SQL kernels) export as
+    // fixtures; both engines rerank the same candidates by exact cosine
+    // over the same vector bits — text similarity's serving math joins
+    // the embedding family's engine-independent proof.
+    "sim_text_ann_verified" -> ((s, d) => {
+      val vecs = graft.operators.CorpusOps
+        .denseHashedVectors(Tables.load(s, d, "documents"), buckets = 64)
+      vecs.write.mode("overwrite").parquet(TextAnnVecsFixturePath)
+      val fv = s.read.parquet(TextAnnVecsFixturePath)
+      val probes = fv.filter(col("id") % 29 === 0)
+      graft.operators.Ann.knnLshCandidateIds(fv, probes,
+          dim = 64, seed = Seed, planes = NumPlanes, bands = KnnBands)
+        .write.mode("overwrite").parquet(TextAnnCandFixturePath)
+      graft.operators.Ann.rerankCandidateIds(
+          s.read.parquet(TextAnnCandFixturePath), fv, probes, k = 5)
         .orderBy("query_id", "rank")
     }),
 
@@ -714,6 +753,32 @@ object SimilarityQueries {
         |           ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, c.neighbor_id) AS rank
         |  FROM c JOIN embeddings a ON a.vec_id = c.query_id
         |         JOIN embeddings b ON b.vec_id = c.neighbor_id)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // rerank the APPENDED index's exported ADC window — same contract as
+    // sim_knn_ivf_verified, over the index that grew through append
+    "sim_knn_ivf_appended_verified" ->
+      s"""WITH c AS (SELECT * FROM read_parquet('$KnnIvfAppFixturePath/*.parquet'))
+        |SELECT query_id, neighbor_id, rank FROM (
+        |  SELECT c.query_id, c.neighbor_id,
+        |         ROW_NUMBER() OVER (PARTITION BY c.query_id
+        |           ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, c.neighbor_id) AS rank
+        |  FROM c JOIN embeddings a ON a.vec_id = c.query_id
+        |         JOIN embeddings b ON b.vec_id = c.neighbor_id)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // rerank the exported text-ANN candidates over the exported vectors —
+    // both sides of the cosine come from fixtures, so the hash match
+    // proves the scoring/ordering math on identical bits
+    "sim_text_ann_verified" ->
+      s"""WITH v AS (SELECT * FROM read_parquet('$TextAnnVecsFixturePath/*.parquet')),
+        |c AS (SELECT * FROM read_parquet('$TextAnnCandFixturePath/*.parquet'))
+        |SELECT query_id, neighbor_id, rank FROM (
+        |  SELECT c.query_id, c.neighbor_id,
+        |         ROW_NUMBER() OVER (PARTITION BY c.query_id
+        |           ORDER BY list_cosine_similarity(a.v, b.v) DESC, c.neighbor_id) AS rank
+        |  FROM c JOIN v a ON a.id = c.query_id
+        |         JOIN v b ON b.id = c.neighbor_id)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     // rerank the exported LSH candidate set — same ordering contract as
