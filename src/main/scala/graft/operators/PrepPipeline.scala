@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * The composed end-to-end training-data prep (the `pipe_full_prep`
+ * flagship): unicode clean (graft_nfc) -> trained-classifier quality gate
+ * -> CDC mostly-dup drop -> DSIR top-k selection toward a target slice ->
+ * per-language report with exact integer weight bounds. Each stage is an
+ * operator proven alone ([[QualityModel]], [[CdcChunker]], [[Dsir]]);
+ * this object owns the COMPOSITION so its wiring is testable and its one
+ * scale knob is explicit:
+ *
+ * `materialize` pins the cleaned projection, which feeds FIVE downstream
+ * consumers (model stats, scoring, chunking, dedup stats, DSIR) — without
+ * it the two regex rewrites + NFC re-run per subtree, five full-corpus
+ * passes at 100 TB. The default (`localCheckpoint(true)`) is right for a
+ * single-machine/driver-session run, but it pins executor storage and
+ * breaks lineage recovery on a real cluster; at scale pass a
+ * parquet-stage materializer instead:
+ * {{{
+ *   PrepPipeline.fullPrep(s, base, ..., materialize = df => {
+ *     df.write.mode("overwrite").parquet(stageDir)
+ *     s.read.parquet(stageDir)   // lineage now starts at a durable scan
+ *   })
+ * }}}
+ * PipelineSpec pins both paths bit-identical, so the knob is purely an
+ * execution choice — never a results choice.
+ */
+object PrepPipeline {
+
+  /** Run the full prep over `base` (doc_id, text, lang, n_chars, ...).
+    * The four fixture paths receive the stage artifacts (classifier
+    * weights, CDC spans, DSIR ratio table, Gumbel keys) — the exports
+    * that make the composition's oracle engine-independent. */
+  def fullPrep(
+      base: DataFrame,
+      weightsPath: String,
+      spansPath: String,
+      ratiosPath: String,
+      gumbelPath: String,
+      dsirK: Int = 20,
+      dsirBuckets: Int = 1024,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame = {
+    val s = base.sparkSession
+    graft.expressions.GraftExtensions.register(s)
+    val stripped = regexp_replace(col("text"),
+      "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    val collapsed = regexp_replace(trim(stripped), "[ \\t\\n\\r]+", " ")
+    val cleaned = materialize(
+      base.withColumn("text", call_function("graft_nfc", collapsed)))
+    QualityModel.writeModel(cleaned, weightsPath)
+    val gated = cleaned.join(
+      QualityModel.scoreAgainst(cleaned, weightsPath)
+        .filter(col("predicted")).select("doc_id"), "doc_id")
+    CdcChunker.chunkTable(gated)
+      .write.mode("overwrite").parquet(spansPath)
+    val dedup = gated.join(
+      CdcChunker.dedupStats(gated, s.read.parquet(spansPath))
+        .filter(col("dup_chars") * 2 <= col("total_chars")).select("doc_id"),
+      "doc_id")
+    Dsir.ratioTable(dedup, dedup.filter(col("lang") === "en"), dsirBuckets)
+      .write.mode("overwrite").parquet(ratiosPath)
+    Dsir.gumbelTable(dedup)
+      .write.mode("overwrite").parquet(gumbelPath)
+    val sel = Dsir.resampleWithGumbel(
+      Dsir.scoreWithRatios(dedup, s.read.parquet(ratiosPath), dsirBuckets),
+      s.read.parquet(gumbelPath), dsirK)
+    dedup.join(sel.filter(col("kept")), "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"),
+        min("weight_fp").as("min_w"), max("weight_fp").as("max_w"))
+      .orderBy("lang")
+  }
+}

@@ -87,46 +87,13 @@ object PipelineQueries {
     // (span fixture, first-occurrence stats) -> DSIR top-20 selection
     // toward the English slice -> per-language report with exact integer
     // weight bounds.
-    "pipe_full_prep" -> ((s, d) => {
-      graft.expressions.GraftExtensions.register(s)
-      val base = docs(s, d)
-      val stripped = regexp_replace(col("text"),
-        "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
-      val collapsed = regexp_replace(trim(stripped), "[ \\t\\n\\r]+", " ")
-      // the cleaning pass (two regex rewrites + NFC over every byte) feeds
-      // FIVE downstream consumers (model stats, scoring, chunking, dedup
-      // stats, DSIR); localCheckpoint materializes it ONCE instead of
-      // re-running the rewrite per subtree — at 100 TB this is the
-      // difference between one and five full-corpus regex passes (the
-      // checkpoint is the corpus's cleaned projection, partition-local,
-      // no shuffle)
-      val cleaned = base.withColumn("text", call_function("graft_nfc", collapsed))
-        .localCheckpoint(true)
-      graft.operators.QualityModel.writeModel(cleaned, FullPrepWeightsPath)
-      val gated = cleaned.join(
-        graft.operators.QualityModel.scoreAgainst(cleaned, FullPrepWeightsPath)
-          .filter(col("predicted")).select("doc_id"), "doc_id")
-      graft.operators.CdcChunker.chunkTable(gated)
-        .write.mode("overwrite").parquet(FullPrepSpansPath)
-      val dedup = gated.join(
-        graft.operators.CdcChunker.dedupStats(gated, s.read.parquet(FullPrepSpansPath))
-          .filter(col("dup_chars") * 2 <= col("total_chars")).select("doc_id"),
-        "doc_id")
-      graft.operators.Dsir.ratioTable(
-          dedup, dedup.filter(col("lang") === "en"), buckets = 1024)
-        .write.mode("overwrite").parquet(FullPrepRatiosPath)
-      graft.operators.Dsir.gumbelTable(dedup)
-        .write.mode("overwrite").parquet(FullPrepGumbelPath)
-      val sel = graft.operators.Dsir.resampleWithGumbel(
-        graft.operators.Dsir.scoreWithRatios(
-          dedup, s.read.parquet(FullPrepRatiosPath), buckets = 1024),
-        s.read.parquet(FullPrepGumbelPath), k = 20)
-      dedup.join(sel.filter(col("kept")), "doc_id")
-        .groupBy("lang")
-        .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"),
-          min("weight_fp").as("min_w"), max("weight_fp").as("max_w"))
-        .orderBy("lang")
-    }),
+    // composition lives in [[graft.operators.PrepPipeline]]; the cleaned
+    // projection's materialization is that operator's explicit scale knob
+    // (default localCheckpoint here at local scale; parquet-stage on a
+    // cluster — PipelineSpec pins both paths bit-identical)
+    "pipe_full_prep" -> ((s, d) =>
+      graft.operators.PrepPipeline.fullPrep(docs(s, d), FullPrepWeightsPath,
+        FullPrepSpansPath, FullPrepRatiosPath, FullPrepGumbelPath)),
 
     // composed prep over the session-5 operator family: fuzzy
     // decontamination (winnow fingerprints vs the eval slice) → winnow

@@ -402,6 +402,27 @@ class PipelineSpec extends SparkSuite {
       (3L, 1L, 1L, "")), got.toSeq.toString)
   }
 
+  test("fullPrep materialization knob: localCheckpoint and parquet-stage are bit-identical") {
+    // the scale knob must be purely an execution choice: the default
+    // localCheckpoint path (single-machine) and the parquet-stage path (a
+    // cluster's durable restart point) must produce the same bits
+    val base = graft.Tables.load(spark, sf, "documents")
+    def tmp(p: String) = tempDir(p)
+    val a = graft.operators.PrepPipeline.fullPrep(base,
+        tmp("fp-w1"), tmp("fp-s1"), tmp("fp-r1"), tmp("fp-g1"))
+      .collect().map(_.toSeq).toSeq
+    val stage = tempDir("fp-stage")
+    val b = graft.operators.PrepPipeline.fullPrep(base,
+        tmp("fp-w2"), tmp("fp-s2"), tmp("fp-r2"), tmp("fp-g2"),
+        materialize = df => {
+          df.write.mode("overwrite").parquet(stage)
+          spark.read.parquet(stage)
+        })
+      .collect().map(_.toSeq).toSeq
+    assert(a == b, s"materialization changed results:\n$a\nvs\n$b")
+    assert(a.nonEmpty)
+  }
+
   test("int8 quantization stats respect the truncation error bound") {
     val rows = PipelineQueries.queries("sim_quantize_int8")(spark, sf).collect()
     assert(rows.nonEmpty)
