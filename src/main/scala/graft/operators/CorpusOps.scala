@@ -1280,6 +1280,15 @@ object CorpusOps {
    * of the tiny allocation table, one per-stratum rank window (the
    * salted two-level rewrite applies if a stratum is hot). Returns the
    * selected (doc_id, lang, rk) rows.
+   *
+   * Allocation rounding: each stratum gets floor(k·w_h / Σw) slots with
+   * NO remainder redistribution, so the total selected is typically a
+   * few rows short of `k` (at most |strata|−1 short). This is
+   * deliberate: a largest-remainder pass would re-rank strata on
+   * remainder ties and every engine (and every oracle) would have to
+   * mirror that tie-break exactly for at most |strata|−1 extra rows —
+   * the floor keeps the allocation a single integer expression. Callers
+   * that need an exact-k budget should request k + |strata|.
    */
   def neymanSample(
       documents: DataFrame, k: Int, strataCol: String = "lang"): DataFrame = {
@@ -1527,9 +1536,18 @@ object CorpusOps {
       rows: DataFrame, keyCol: String, maxDf: Int): DataFrame = {
     val s = rows.sparkSession
     import s.implicits._
-    rows.groupBy(keyCol)
+    // over-cap keys are dropped BEFORE the list aggregate: a stop-gram
+    // with df ~1e6 would otherwise materialize a corpus-sized array in
+    // one aggregation buffer before the size filter could discard it —
+    // the cap must bound single-key MEMORY, not just pair emission. The
+    // df pre-count is a map-side-combined long per key and shuffles on
+    // the same key as the list build, so the semi-join is co-partitioned.
+    val inCap = rows.groupBy(keyCol).agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, maxDf))
+      .select(col(keyCol))
+    rows.join(inCap, keyCol)
+      .groupBy(keyCol)
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")).between(2, maxDf))
       .select(col("ds")).as[Seq[Long]]
       .mapPartitions(_.flatMap { ds =>
         for (i <- ds.indices.iterator; j <- (i + 1) until ds.size)
@@ -1624,10 +1642,14 @@ object CorpusOps {
         expr("concat(wd[i], ' ', wd[i+1], ' ', wd[i+2])").as("gram"))
       .groupBy("doc_id", "gram").agg(count(lit(1)).as("tf"))
     val totals = tf.groupBy("doc_id").agg(sum("tf").cast("long").as("t"))
-    val pairMins = tf
+    // same pre-list df cap as postingPairCounts: over-cap grams never
+    // reach the struct-list aggregate's buffer
+    val inCap = tf.groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, maxDf))
+      .select(col("gram"))
+    val pairMins = tf.join(inCap, "gram")
       .groupBy("gram")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("tf")))).as("ds"))
-      .filter(size(col("ds")).between(2, maxDf))
       .select(col("ds")).as[Seq[(Long, Long)]]
       .mapPartitions(_.flatMap { ds =>
         for (i <- ds.indices.iterator; j <- (i + 1) until ds.size)

@@ -34,7 +34,13 @@ object EvalOps {
       .rowsBetween(Window.unboundedPreceding, -1)
     byScore
       .withColumn("cum0", coalesce(sum("n0").over(w), lit(0L)))
-      .agg(sum(col("n1") * col("cum0") * 2 + col("n1") * col("n0")).as("u2"),
+      // the doubled rank-sum is ~2·n_pos·n_neg and overflows int64 past
+      // ~4.3e9 labeled docs; widen to DECIMAL(38,0) so the accumulation
+      // stays exact at any corpus size (DuckDB's SUM(BIGINT) widens to
+      // int128 natively, so the oracle already agrees; both sides then
+      // cast the exact integer to double for the one ppm division)
+      .agg(sum(col("n1").cast("decimal(38,0)") * col("cum0") * 2 +
+          col("n1").cast("decimal(38,0)") * col("n0")).as("u2"),
         sum("n1").as("n_pos"), sum("n0").as("n_neg"))
       .select(col("n_pos"), col("n_neg"),
         floor(col("u2").cast("double") * 1000000.0 /

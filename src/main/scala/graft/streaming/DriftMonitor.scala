@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
@@ -23,10 +24,25 @@ import graft.operators.EvalOps
  * batch recomputation over all data seen so far, bit-for-bit — pinned by
  * StreamingCorpusSpec.
  *
+ * Durability: WITHOUT `persistDir` the accumulated histogram lives only in
+ * this monitor instance's driver memory — if the streaming query restarts
+ * from its sink checkpoint, processed batches are NOT replayed but the
+ * histogram resets, silently breaking the stream-so-far invariant; the
+ * in-memory mode is SINGLE-RUN only. With `persistDir`, each batch's
+ * merged histogram commits to `persistDir/batch=<id>` (it is value-grid-
+ * sized, so the write is trivial), a fresh monitor restores the latest
+ * committed histogram at attach time, and a REPLAYED batch (foreachBatch
+ * is at-least-once across restarts) detects its already-committed dir and
+ * restores instead of double-merging — the standard idempotent-by-batchId
+ * foreachBatch discipline.
+ *
  * Reference histograms are mergeable (sum on value), so a monitor can be
  * re-anchored to a new reference without touching stream state.
  */
-class DriftMonitor(reference: DataFrame, valueCol: String) {
+class DriftMonitor(reference: DataFrame, valueCol: String,
+    persistDir: Option[String] = None) {
+
+  private val spark = reference.sparkSession
 
   /** Frozen reference histogram (v, c) — computed once at attach time. */
   private val refHist = reference
@@ -34,8 +50,29 @@ class DriftMonitor(reference: DataFrame, valueCol: String) {
     .groupBy("v").agg(count(lit(1)).as("c"))
     .localCheckpoint(true)
 
-  /** Accumulated stream histogram; value-grid-sized. */
-  @volatile private var hist: Option[DataFrame] = None
+  private def fs(p: String) = new Path(p)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def batchDir(id: Long) = s"${persistDir.get}/batch=$id"
+
+  private def committed(dir: String): Boolean =
+    fs(dir).exists(new Path(s"$dir/_SUCCESS"))
+
+  /** Latest committed batch id under `persistDir`, if any. */
+  private def latestCommitted(): Option[Long] = persistDir.flatMap { p =>
+    val f = fs(p)
+    if (!f.exists(new Path(p))) None
+    else f.listStatus(new Path(p)).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .map(_.getPath.getName.stripPrefix("batch=").toLong)
+      .filter(id => committed(batchDir(id)))
+      .sorted.lastOption
+  }
+
+  /** Accumulated stream histogram; value-grid-sized. Restored from the
+    * latest committed batch when `persistDir` carries one. */
+  @volatile private var hist: Option[DataFrame] =
+    latestCommitted().map(id => spark.read.parquet(batchDir(id)))
 
   /** One reading per processed micro-batch, in order:
     * (batchId, n_stream, n_ref, ks_ppm, reject_05). foreachBatch invocations
@@ -57,16 +94,32 @@ class DriftMonitor(reference: DataFrame, valueCol: String) {
     stream.select(col(valueCol).cast("long").as("v"))
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
-        val h = batch.groupBy("v").agg(count(lit(1)).as("c"))
-        val merged = hist match {
-          case None => h
-          case Some(prev) => prev.unionByName(h)
-            .groupBy("v").agg(sum("c").as("c"))
+        val pinned = persistDir match {
+          case Some(_) if committed(batchDir(id)) =>
+            // replayed batch after a restart: its merge already committed —
+            // restore it rather than folding the same rows twice
+            spark.read.parquet(batchDir(id))
+          case _ =>
+            val h = batch.groupBy("v").agg(count(lit(1)).as("c"))
+            val merged = hist match {
+              case None => h
+              case Some(prev) => prev.unionByName(h)
+                .groupBy("v").agg(sum("c").as("c"))
+            }
+            persistDir match {
+              case Some(_) =>
+                // durable lineage: the read-back scan replaces checkpoint
+                // pinning, and _SUCCESS is the idempotency marker
+                merged.write.mode("overwrite").parquet(batchDir(id))
+                spark.read.parquet(batchDir(id))
+              case None =>
+                // localCheckpoint pins batch N's histogram so N+1 doesn't
+                // replay the whole lineage; the superseded checkpoint's
+                // blocks are reclaimed by the ContextCleaner once
+                // dereferenced here
+                merged.localCheckpoint(true)
+            }
         }
-        // localCheckpoint pins batch N's histogram so N+1 doesn't replay
-        // the whole lineage; the superseded checkpoint's blocks are
-        // reclaimed by the ContextCleaner once dereferenced here
-        val pinned = merged.localCheckpoint(true)
         hist = Some(pinned)
         val r = EvalOps.ksDriftCounts(pinned, refHist).collect()(0)
         readings += ((id, r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),

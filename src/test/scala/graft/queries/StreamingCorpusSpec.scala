@@ -115,6 +115,66 @@ class StreamingCorpusSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("persisted drift monitor survives a restart: restored histogram equals stream-so-far") {
+    val root = tempDir("flo-drift-persist")
+    val persist = tempDir("flo-drift-hist")
+    val e = new FloEngine(spark, root)
+    e.createStream(EventStreamOptions(name = "docs", numPartitions = 1))
+
+    def doc(words: Int, i: Int) =
+      (Seq.fill(words - 1)("w") :+ s"tail$i").mkString(" ")
+    val ref = spark.createDataFrame(
+      (0 until 50).map(i => (i.toLong, doc(5 + i % 10, i)))
+    ).toDF("doc_id", "text")
+      .select(size(split(trim(col("text")), " +")).cast("long").as("v"))
+
+    // run 1: two batches fold into the persisted histogram; the query
+    // checkpoints so the restart below is a REAL restart (offsets and
+    // batch ids continue; uncommitted batches replay)
+    val cp = tempDir("flo-drift-cp")
+    val mon1 = new graft.streaming.DriftMonitor(ref, "v", Some(persist))
+    val q1 = mon1.attach(prepLens(e.consumeStream("docs")))
+      .option("checkpointLocation", cp).start()
+    try {
+      e.produceStrings("docs", 1,
+        (0 until 40).map(i => s"/docs/a/$i" -> doc(5 + i % 10, i)))
+      q1.processAllAvailable()
+      e.produceStrings("docs", 1,
+        (0 until 40).map(i => s"/docs/b/$i" -> doc(25 + i % 10, i)))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val lastRun1 = mon1.readings.last
+
+    // "restart": a FRESH monitor instance on the same persistDir — the
+    // in-memory histogram is gone, the committed one must restore; its
+    // current() must equal both run 1's last reading AND the batch
+    // recomputation over all data seen so far (the invariant a driver-
+    // memory-only monitor silently violates after restart)
+    val mon2 = new graft.streaming.DriftMonitor(ref, "v", Some(persist))
+    val restored = mon2.current().get
+    assert(restored.getAs[Long]("ks_ppm") == lastRun1._4)
+    val expectAll = graft.operators.EvalOps
+      .ksDrift(prepLens(e.read("docs")), ref, "v").collect()(0)
+    assert(restored.getAs[Long]("n_a") == expectAll.getAs[Long]("n_a"))
+    assert(restored.getAs[Long]("ks_ppm") == expectAll.getAs[Long]("ks_ppm"))
+
+    // the restarted query (same checkpoint) keeps folding on top of the
+    // restored state — only NEW offsets arrive, batch ids continue
+    val q2 = mon2.attach(prepLens(e.consumeStream("docs")))
+      .option("checkpointLocation", cp).start()
+    try {
+      e.produceStrings("docs", 1,
+        (0 until 20).map(i => s"/docs/c/$i" -> doc(45 + i % 5, i)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val expectAll2 = graft.operators.EvalOps
+      .ksDrift(prepLens(e.read("docs")), ref, "v").collect()(0)
+    assert(mon2.readings.nonEmpty)
+    assert(mon2.readings.last._2 == expectAll2.getAs[Long]("n_a"))
+    assert(mon2.readings.last._4 == expectAll2.getAs[Long]("ks_ppm"),
+      s"resumed monitor ${mon2.readings.last._4} vs batch ${expectAll2.getAs[Long]("ks_ppm")}")
+  }
+
   /** token-length view of a flo doc stream (batch or streaming). */
   private def prepLens(df: DataFrame): DataFrame =
     df.select(payload_utf8(col("data")).as("text"))
