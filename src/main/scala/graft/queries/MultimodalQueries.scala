@@ -211,7 +211,12 @@ object MultimodalQueries {
     }),
 
     // real BMP decode (true raster dims) -> nearest-neighbor resize to an
-    // 8x8 thumbnail -> featurize; deterministic end to end
+    // 8x8 thumbnail -> featurize; deterministic end to end. FULLY
+    // oracle-checked since round 8: the resize is pure integer index
+    // arithmetic (sy = y*h div 8, sx = x*w div 8, clamped), so the oracle
+    // recomputes the 64 thumbnail pixels straight from the source text,
+    // then the histogram/float32/ordered-chain recipe of
+    // mm_decode_features (the /64 normalization is an exact float32).
     "mm_thumbnail_features" -> ((s, d) => {
       graft.expressions.GraftExtensions.register(s)
       val feats = Multimodal.thumbnailFeaturize(
@@ -908,6 +913,39 @@ object MultimodalQueries {
         |)
         |SELECT doc_id, CAST(16 AS INTEGER) AS feature_dim,
         |  FLOOR((${energyChain("fv")}) * 10000) / 10000 AS feature_energy
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    // full recompute of decode -> 8x8 nearest-neighbor resize ->
+    // featurize -> energy from the source text: the 64 thumb pixels are
+    // integer index reads over the byte raster, then the
+    // mm_decode_features recipe at a fixed n=64
+    "mm_thumbnail_features" ->
+      s"""WITH b AS (
+        |  SELECT doc_id, text, octet_length(encode(text)) AS nb,
+        |    GREATEST(CAST(ceil(sqrt(GREATEST(octet_length(encode(text)), 1))) AS INTEGER), 1) AS w
+        |  FROM documents
+        |), d AS (
+        |  SELECT doc_id, text, nb, w,
+        |    GREATEST(CAST(ceil(CAST(nb AS DOUBLE) / w) AS INTEGER), 1) AS h
+        |  FROM b
+        |), th AS (
+        |  SELECT doc_id,
+        |    [CASE WHEN ix < nb THEN unicode(text[ix + 1]) ELSE 0 END
+        |     FOR ix IN [LEAST(w * h - 1, ((t // 8) * h // 8) * w + ((t % 8) * w // 8))
+        |                FOR t IN generate_series(0, 63)]] AS tp
+        |  FROM d
+        |), hc AS (
+        |  SELECT doc_id,
+        |    [len(list_filter(tp, p -> p // 16 = bin)) FOR bin IN generate_series(0, 15)] AS c
+        |  FROM th
+        |), f AS (
+        |  SELECT doc_id,
+        |    [CAST(CAST(c[i] AS REAL) / CAST(64 AS REAL) AS DOUBLE)
+        |     FOR i IN generate_series(1, 16)] AS fv
+        |  FROM hc
+        |)
+        |SELECT doc_id, CAST(16 AS INTEGER) AS feature_dim,
+        |  FLOOR((${energyChain("fv")}) * 10000) / 10000 AS thumb_energy
         |FROM f ORDER BY doc_id""".stripMargin,
 
     // recompute energy + per-doc aggregate from the exported frame

@@ -30,6 +30,24 @@ import graft.Tables
 object PipelineQueries {
 
   private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
+
+  /** Shared build-once range-clustered layout + Bloom index for the
+    * `pipe_bloom_skip` pair; returns (dataDir, idxDir, lookup rows). */
+  private def bloomLookup(s: SparkSession, d: String, key: Long) = {
+    val tag = d.replaceAll("[^A-Za-z0-9._-]", "_")
+    val base = s"${sys.props("java.io.tmpdir")}/graft_bloomidx/v1_$tag"
+    val (dataDir, idxDir) = (s"$base/data", s"$base/idx")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"$idxDir/_SUCCESS")
+    if (!fs.exists(marker)) {
+      docs(s, d).repartitionByRange(16, col("doc_id"))
+        .write.mode("overwrite").parquet(dataDir)
+      graft.operators.BloomFileIndex.build(s, dataDir, "doc_id", idxDir)
+    }
+    (dataDir, idxDir,
+      graft.operators.BloomFileIndex.lookup(s, dataDir, "doc_id", idxDir, key))
+  }
   private def events(s: SparkSession, d: String) = Tables.load(s, d, "events")
 
   private val Ops = graft.operators.CorpusOps
@@ -852,22 +870,24 @@ object PipelineQueries {
     // BloomFileIndexSpec proves exactness vs the full scan and the
     // lossless partial-merge.
     "pipe_bloom_skip" -> ((s, d) => {
-      val tag = d.replaceAll("[^A-Za-z0-9._-]", "_")
-      val base = s"${sys.props("java.io.tmpdir")}/graft_bloomidx/v1_$tag"
-      val (dataDir, idxDir) = (s"$base/data", s"$base/idx")
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        s.sparkContext.hadoopConfiguration)
-      val marker = new org.apache.hadoop.fs.Path(s"$idxDir/_SUCCESS")
-      if (!fs.exists(marker)) {
-        docs(s, d).repartitionByRange(16, col("doc_id"))
-          .write.mode("overwrite").parquet(dataDir)
-        graft.operators.BloomFileIndex.build(s, dataDir, "doc_id", idxDir)
-      }
-      val hit = graft.operators.BloomFileIndex
-        .lookup(s, dataDir, "doc_id", idxDir, 42L)
+      val (dataDir, _, hit) = bloomLookup(s, d, 42L)
       hit.select(col("doc_id"), col("lang"), col("source"))
         .withColumn("files_total", lit(16))
         .withColumn("files_read", lit(hit.inputFiles.length))
+    }),
+
+    // the ORACLE-CHECKED half of Bloom data skipping: the rows the
+    // skipped scan returns for a probe set (hits in different range
+    // files + one absent key) must equal the plain full-table lookup —
+    // the no-false-negative serving guarantee, proven engine-
+    // independently. files_read stays on BloomFileIndexSpec (false-
+    // positive counts are filter-private).
+    "pipe_bloom_skip_verified" -> ((s, d) => {
+      val probes = Seq(1L, 42L, 123L, 321L, 999999999L)
+      probes.map { k =>
+        bloomLookup(s, d, k)._3
+          .select(lit(k).as("probe"), col("doc_id"), col("lang"), col("source"))
+      }.reduce(_ unionAll _).orderBy("probe")
     }),
 
     // 3-key z-order ([[graft.expressions.ZOrderCode3]]): events clustered
@@ -1701,6 +1721,14 @@ object PipelineQueries {
         |  MIN(weight_fp) AS min_w, MAX(weight_fp) AS max_w
         |FROM dd JOIN g USING (doc_id) JOIN topk USING (doc_id)
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // the Bloom-skipped scan's rows must equal the plain lookup — the
+    // no-false-negative serving guarantee of file-level data skipping
+    "pipe_bloom_skip_verified" ->
+      """SELECT CAST(probe AS BIGINT) AS probe, doc_id, lang, source
+        |FROM (VALUES (1), (42), (123), (321), (999999999)) AS p(probe)
+        |JOIN documents ON doc_id = probe
+        |ORDER BY probe""".stripMargin,
 
     // recompute the CDC rewrite from the exported spans: first-occurrence
     // keep verdict, position-ordered reassembly, hash of the clean text
