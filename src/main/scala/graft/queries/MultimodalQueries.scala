@@ -229,12 +229,15 @@ object MultimodalQueries {
     }),
 
     // image near-dup by perceptual hash: every 10th doc's image gets a
-    // lightly-perturbed probe twin (one character case-flipped -> a few
-    // raster pixels shift), and the banded aHash join must recover each
-    // (original, probe) pair within hamming 3 — the visual dedup a crawl
-    // pipeline runs on figures/screenshots. no_oracle (the decode stack
-    // is JVM-side); MultimodalSpec pins hash stability, planted recall,
-    // and the no-all-pairs plan shape.
+    // lightly-perturbed probe twin (pixel 0 nudged +1), and the banded
+    // aHash join must recover each (original, probe) pair within hamming
+    // 3 — the visual dedup a crawl pipeline runs on figures/screenshots.
+    // FULLY oracle-checked since round 8: aHash is integer end to end
+    // (index-arithmetic resize, integer mean, threshold bits), so the
+    // oracle recomputes hashes, 16-bit bands, the collision join, and
+    // the bit_count hamming verify straight from the source text —
+    // probes included. MultimodalSpec still pins hash stability and the
+    // no-all-pairs plan shape.
     "mm_image_neardup" -> ((s, d) => {
       import s.implicits._
       val base = Multimodal.documentsAsMedia(s, d)
@@ -914,6 +917,54 @@ object MultimodalQueries {
         |SELECT doc_id, CAST(16 AS INTEGER) AS feature_dim,
         |  FLOOR((${energyChain("fv")}) * 10000) / 10000 AS feature_energy
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // full recompute of the banded aHash near-dup from the source text:
+    // thumbnail pixels (probe rows nudge pixel 0 by +1, clamped), integer
+    // mean threshold bits as four 16-bit band values, band-collision
+    // join, bit_count hamming over the band xors
+    "mm_image_neardup" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text, FALSE AS is_probe FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, text, TRUE FROM documents WHERE doc_id % 10 = 0
+        |), b AS (
+        |  SELECT doc_id, text, is_probe, octet_length(encode(text)) AS nb,
+        |    GREATEST(CAST(ceil(sqrt(GREATEST(octet_length(encode(text)), 1))) AS INTEGER), 1) AS w
+        |  FROM all_docs
+        |), d AS (
+        |  SELECT doc_id, text, is_probe, nb, w,
+        |    GREATEST(CAST(ceil(CAST(nb AS DOUBLE) / w) AS INTEGER), 1) AS h
+        |  FROM b
+        |), th AS (
+        |  SELECT doc_id,
+        |    [CASE WHEN ix = 0 AND is_probe THEN
+        |        LEAST(255, (CASE WHEN ix < nb THEN unicode(text[ix + 1]) ELSE 0 END) + 1)
+        |      WHEN ix < nb THEN unicode(text[ix + 1]) ELSE 0 END
+        |     FOR ix IN [LEAST(w * h - 1, ((t // 8) * h // 8) * w + ((t % 8) * w // 8))
+        |                FOR t IN generate_series(0, 63)]] AS tp
+        |  FROM d
+        |), hs AS (
+        |  SELECT doc_id,
+        |    [CAST(list_sum([CASE WHEN tp[16 * bi + j + 1] > CAST(list_sum(tp) AS BIGINT) // 64
+        |                         THEN CAST(1 << j AS BIGINT) ELSE 0 END
+        |                    FOR j IN generate_series(0, 15)]) AS BIGINT)
+        |     FOR bi IN generate_series(0, 3)] AS bv
+        |  FROM th
+        |), bands AS (
+        |  SELECT doc_id, bv, bi AS band_idx, bv[bi + 1] AS band_val
+        |  FROM hs, generate_series(0, 3) AS g(bi)
+        |), cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, x.bv AS bva, y.bv AS bvb
+        |  FROM bands x JOIN bands y
+        |    ON x.band_idx = y.band_idx AND x.band_val = y.band_val AND x.doc_id < y.doc_id
+        |)
+        |SELECT doc_a, doc_b, hamming FROM (
+        |  SELECT doc_a, doc_b,
+        |    CAST(bit_count(xor(bva[1], bvb[1])) + bit_count(xor(bva[2], bvb[2]))
+        |       + bit_count(xor(bva[3], bvb[3])) + bit_count(xor(bva[4], bvb[4])) AS BIGINT) AS hamming
+        |  FROM cand)
+        |WHERE hamming <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     // full recompute of decode -> 8x8 nearest-neighbor resize ->
     // featurize -> energy from the source text: the 64 thumb pixels are
