@@ -256,8 +256,13 @@ object MultimodalQueries {
     // audio near-dup by energy-profile fingerprint — same planted-probe
     // protocol and banded plan as mm_image_neardup, over the WAV corpus
     // (a one-sample amplitude nudge must stay within hamming 3; unrelated
-    // waveforms must not band-collide their way in). no_oracle; spec
-    // covers stability, recall, and the plan shape via the shared kernel.
+    // waveforms must not band-collide their way in). FULLY oracle-checked
+    // since round 8: the sawtooth samples, 64 frame energies, mean
+    // threshold, bands, collision join, and hamming verify are integer
+    // end to end, so the oracle recomputes the whole path from
+    // (doc_id, n_chars) — the encode->WAV->decode loop is separately
+    // hash-proven by mm_audio_features. Spec still covers stability,
+    // recall, and the plan shape via the shared kernel.
     "mm_audio_neardup" -> ((s, d) => {
       import s.implicits._
       val base = Multimodal.documentsAsAudio(s, d)
@@ -917,6 +922,59 @@ object MultimodalQueries {
         |SELECT doc_id, CAST(16 AS INTEGER) AS feature_dim,
         |  FLOOR((${energyChain("fv")}) * 10000) / 10000 AS feature_energy
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // full recompute of the audio energy-fingerprint near-dup from
+    // (doc_id, n_chars): sawtooth samples (probe rows nudge sample 0),
+    // 64 integer frame energies, mean-threshold band values, collision
+    // join, bit_count hamming
+    "mm_audio_neardup" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, doc_id AS orig_id, n_chars, FALSE AS is_probe FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, doc_id, n_chars, TRUE FROM documents WHERE doc_id % 10 = 0
+        |), pr AS (
+        |  SELECT doc_id,
+        |    CAST(400 + orig_id % 400 AS BIGINT) AS n,
+        |    CAST(50 + orig_id % 50 AS BIGINT) AS p,
+        |    CAST(2 * (500 + n_chars % 4500) AS BIGINT) AS amp,
+        |    is_probe
+        |  FROM all_docs
+        |), sm AS (
+        |  SELECT doc_id, n,
+        |    [(amp * (i % p)) // p - amp // 2
+        |       + CASE WHEN i = 0 AND is_probe THEN 1 ELSE 0 END
+        |     FOR i IN generate_series(0, CAST(n - 1 AS INTEGER))] AS sl
+        |  FROM pr
+        |), en AS (
+        |  SELECT doc_id,
+        |    [CASE WHEN (f + 1) * n // 64 <= f * n // 64 THEN CAST(0 AS BIGINT)
+        |          ELSE CAST(list_sum([abs(x) FOR x IN
+        |                 sl[CAST(f * n // 64 + 1 AS INTEGER):CAST((f + 1) * n // 64 AS INTEGER)]]) AS BIGINT)
+        |               // ((f + 1) * n // 64 - f * n // 64) END
+        |     FOR f IN generate_series(0, 63)] AS eg
+        |  FROM sm
+        |), hs AS (
+        |  SELECT doc_id,
+        |    [CAST(list_sum([CASE WHEN eg[16 * bi + j + 1] > CAST(list_sum(eg) AS BIGINT) // 64
+        |                         THEN CAST(1 << j AS BIGINT) ELSE 0 END
+        |                    FOR j IN generate_series(0, 15)]) AS BIGINT)
+        |     FOR bi IN generate_series(0, 3)] AS bv
+        |  FROM en
+        |), bands AS (
+        |  SELECT doc_id, bv, bi AS band_idx, bv[bi + 1] AS band_val
+        |  FROM hs, generate_series(0, 3) AS g(bi)
+        |), cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, x.bv AS bva, y.bv AS bvb
+        |  FROM bands x JOIN bands y
+        |    ON x.band_idx = y.band_idx AND x.band_val = y.band_val AND x.doc_id < y.doc_id
+        |)
+        |SELECT doc_a, doc_b, hamming FROM (
+        |  SELECT doc_a, doc_b,
+        |    CAST(bit_count(xor(bva[1], bvb[1])) + bit_count(xor(bva[2], bvb[2]))
+        |       + bit_count(xor(bva[3], bvb[3])) + bit_count(xor(bva[4], bvb[4])) AS BIGINT) AS hamming
+        |  FROM cand)
+        |WHERE hamming <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     // full recompute of the banded aHash near-dup from the source text:
     // thumbnail pixels (probe rows nudge pixel 0 by +1, clamped), integer
