@@ -662,7 +662,22 @@ object CorpusOps {
    * the vocab side, same discipline as the media codec kernels (never the
    * corpus hot path).
    */
-  def bpeTrain(docs: DataFrame, numMerges: Int): DataFrame = {
+  def bpeTrain(docs: DataFrame, numMerges: Int): DataFrame =
+    bpeTrainStates(docs, numMerges)._1
+
+  /**
+   * [[bpeTrain]] plus the per-round VOCAB STATES it derived each merge
+   * from: the second DataFrame is (merge_round, syms, n) — the weighted
+   * distinct-word symbol table as it stood BEFORE round r's argmax. The
+   * states are the `text_bpe_merges_verified` fixture: pair counting and
+   * argmax selection over an exported state are plain relational algebra
+   * (adjacent-pair explode -> weighted count -> top-1 by (count, pair)),
+   * so both engines can recompute every round's selection from identical
+   * bits while the iterative state REWRITE stays on PipelineSpec's
+   * hand-computed bars. States are vocab-sized x rounds — never
+   * corpus-sized.
+   */
+  def bpeTrainStates(docs: DataFrame, numMerges: Int): (DataFrame, DataFrame) = {
     require(numMerges > 0, s"numMerges must be positive, got $numMerges")
     val s = docs.sparkSession
     import s.implicits._
@@ -676,6 +691,7 @@ object CorpusOps {
         .localCheckpoint(true)
 
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    val states = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var rank = 0
     var done = false
     while (rank < numMerges && !done) {
@@ -689,15 +705,22 @@ object CorpusOps {
       if (top.isEmpty || top.head.getAs[Long]("cnt") < 2) done = true
       else {
         val (a, b) = (top.head.getAs[String]("a"), top.head.getAs[String]("b"))
+        states += vocab.toDF("syms", "n")
+          .select(lit(rank).as("merge_round"), col("syms"), col("n"))
         merges += ((rank, a, b, top.head.getAs[Long]("cnt")))
         vocab = vocab.map { case (syms, n) => (applyMerge(syms, a, b), n) }
           .localCheckpoint(true) // truncate the per-round lineage
         rank += 1
       }
     }
-    merges.toSeq.toDF("rank", "left", "right", "pair_count")
+    val mergesDf = merges.toSeq.toDF("rank", "left", "right", "pair_count")
       .select(col("rank"), col("left"), col("right"),
         concat(col("left"), col("right")).as("merged"), col("pair_count"))
+    val statesDf =
+      if (states.isEmpty)
+        Seq.empty[(Int, Seq[String], Long)].toDF("merge_round", "syms", "n")
+      else states.reduce(_.unionAll(_))
+    (mergesDf, statesDf)
   }
 
   /** Greedy left-to-right single-pass rewrite of one merge rule — the

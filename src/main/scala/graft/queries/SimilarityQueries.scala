@@ -60,6 +60,10 @@ object SimilarityQueries {
   private[graft] val TextAnnVecsFixturePath = "/tmp/graft_fixtures/text_ann_vecs"
   private[graft] val TextAnnCandFixturePath = "/tmp/graft_fixtures/text_ann_cand"
   private[graft] val PcaFixturePath = "/tmp/graft_fixtures/pca_model"
+  private[graft] val PqAuditSubsFixturePath = "/tmp/graft_fixtures/pq_audit_subs"
+  private[graft] val PqAuditCbFixturePath = "/tmp/graft_fixtures/pq_audit_cb"
+  private[graft] val PqDistSubsFixturePath = "/tmp/graft_fixtures/pq_dist_subs"
+  private[graft] val PqDistCbFixturePath = "/tmp/graft_fixtures/pq_dist_cb"
 
   private[graft] val PqSubs = 8
   private[graft] val PqCodes = 16
@@ -403,6 +407,90 @@ object SimilarityQueries {
           (count(lit(1)) / PqSubs).cast("long").as("n_vectors"))
         .select(lit(tag).as("variant"), col("mse_per_vector"), col("n_vectors"))
       mse(residD2, "residual_ivfadc").unionAll(mse(rawD2, "raw_pq"))
+        .orderBy("variant")
+    }),
+
+    // the ORACLE-CHECKED half of the PQ audit: the trained subvectors AND
+    // codebooks (k-means — the non-SQL step) export as FIXED-POINT integer
+    // fixtures, and both engines recompute the nearest-code assignment
+    // (integer squared-L2 argmin, ties to the lowest code) plus the
+    // per-subspace usage/distortion audit from identical bits — the
+    // quantizer's serving math (assign + audit), engine-independently
+    // proven; codebook TRAINING stays on QueriesSpec's distortion bars.
+    "sim_pq_audit_verified" -> ((s, d) => {
+      val sub = graft.operators.Ann.pqSubvectors(
+        emb(s, d).select(col("vec_id").as("id"), col("v")),
+        dim = Dim, subs = PqSubs)
+      val cb = graft.operators.Ann.pqCodebooks(sub, PqCodes)
+      sub.select(col("id"), col("sub_idx"),
+          expr("transform(sv, x -> CAST(round(x * 1000) AS BIGINT))").as("sv_fp"))
+        .write.mode("overwrite").parquet(PqAuditSubsFixturePath)
+      cb.select(col("sub_idx"), col("code"),
+          expr("transform(cv, x -> CAST(round(x * 1000) AS BIGINT))").as("cv_fp"))
+        .write.mode("overwrite").parquet(PqAuditCbFixturePath)
+      val sf = s.read.parquet(PqAuditSubsFixturePath)
+      val cf = s.read.parquet(PqAuditCbFixturePath)
+      sf.join(broadcast(cf), "sub_idx")
+        .withColumn("d2_fp", expr(
+          "aggregate(zip_with(sv_fp, cv_fp, (a, b) -> (a - b) * (a - b))," +
+            " 0L, (acc, x) -> acc + x)"))
+        .groupBy("id", "sub_idx")
+        .agg(min(struct(col("d2_fp"), col("code"))).as("best"))
+        .select(col("sub_idx"), col("best.code").as("code"),
+          col("best.d2_fp").as("d2_fp"))
+        .groupBy("sub_idx")
+        .agg(countDistinct("code").as("codes_used"),
+          sum("d2_fp").as("total_d2_fp"),
+          count(lit(1)).as("n_subvectors"))
+        .select(col("sub_idx").cast("long").as("sub_idx"), col("codes_used"),
+          col("total_d2_fp"), col("n_subvectors"))
+        .orderBy("sub_idx")
+    }),
+
+    // the ORACLE-CHECKED half of the residual-coding measurement: BOTH
+    // legs' subvectors (residual `uv - mean(cell)` from the PERSISTED
+    // index; raw unit vectors) and their codebooks export as fixed-point
+    // fixtures under a `variant` tag, and both engines recompute each
+    // leg's integer argmin assignment and total distortion — the
+    // residual-beats-raw verdict rests on engine-independent integer
+    // arithmetic over the stored index bits, not on two float k-means
+    // runs happening to agree.
+    "sim_pq_distortion_verified" -> ((s, d) => {
+      import graft.operators.Ann
+      graft.expressions.GraftExtensions.register(s)
+      val p = ensureIndex(s, d)
+      val fp = (c: String) =>
+        expr(s"transform($c, x -> CAST(round(x * 1000) AS BIGINT))")
+      val resid = s.read.parquet(s"$p/vectors")
+        .join(broadcast(s.read.parquet(s"$p/means")), "cell")
+        .select(col("id"), expr("graft_sub(uv, mv)").as("rv"))
+      val residSub = Ann.pqSubvectors(resid, Dim, PqSubs, vecCol = "rv")
+      val rawSub = Ann.pqSubvectors(
+        emb(s, d).select(col("vec_id").as("id"),
+          expr("graft_unit(v)").as("uv")), Dim, PqSubs, vecCol = "uv")
+      val rawCb = Ann.pqCodebooks(rawSub, IdxCodes)
+      residSub.select(lit("residual_ivfadc").as("variant"), col("id"),
+          col("sub_idx"), fp("sv").as("sv_fp"))
+        .unionAll(rawSub.select(lit("raw_pq").as("variant"), col("id"),
+          col("sub_idx"), fp("sv").as("sv_fp")))
+        .write.mode("overwrite").parquet(PqDistSubsFixturePath)
+      s.read.parquet(s"$p/codebooks")
+        .select(lit("residual_ivfadc").as("variant"), col("sub_idx"),
+          col("code"), fp("cv").as("cv_fp"))
+        .unionAll(rawCb.select(lit("raw_pq").as("variant"), col("sub_idx"),
+          col("code"), fp("cv").as("cv_fp")))
+        .write.mode("overwrite").parquet(PqDistCbFixturePath)
+      val sf = s.read.parquet(PqDistSubsFixturePath)
+      val cf = s.read.parquet(PqDistCbFixturePath)
+      sf.join(broadcast(cf), Seq("variant", "sub_idx"))
+        .withColumn("d2_fp", expr(
+          "aggregate(zip_with(sv_fp, cv_fp, (a, b) -> (a - b) * (a - b))," +
+            " 0L, (acc, x) -> acc + x)"))
+        .groupBy("variant", "id", "sub_idx")
+        .agg(min(struct(col("d2_fp"), col("code"))).as("best"))
+        .groupBy("variant")
+        .agg(sum(col("best.d2_fp")).as("total_d2_fp"),
+          count(lit(1)).as("n_subvectors"))
         .orderBy("variant")
     }),
 
@@ -766,6 +854,44 @@ object SimilarityQueries {
         |  FROM c JOIN embeddings a ON a.vec_id = c.query_id
         |         JOIN embeddings b ON b.vec_id = c.neighbor_id)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // recompute the integer argmin assignment + per-subspace audit from
+    // the exported fixed-point subvector/codebook fixtures
+    "sim_pq_audit_verified" ->
+      s"""WITH s AS (SELECT * FROM read_parquet('$PqAuditSubsFixturePath/*.parquet')),
+        |c AS (SELECT * FROM read_parquet('$PqAuditCbFixturePath/*.parquet')),
+        |d AS (
+        |  SELECT s.id, s.sub_idx, c.code,
+        |    CAST(list_sum(list_transform(range(1, len(sv_fp) + 1),
+        |      i -> (sv_fp[i] - cv_fp[i]) * (sv_fp[i] - cv_fp[i]))) AS BIGINT) AS d2
+        |  FROM s JOIN c USING (sub_idx)),
+        |best AS (
+        |  SELECT id, sub_idx, code, d2 FROM d
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY id, sub_idx
+        |    ORDER BY d2, code) = 1)
+        |SELECT CAST(sub_idx AS BIGINT) AS sub_idx,
+        |       CAST(COUNT(DISTINCT code) AS BIGINT) AS codes_used,
+        |       CAST(SUM(d2) AS BIGINT) AS total_d2_fp,
+        |       CAST(COUNT(*) AS BIGINT) AS n_subvectors
+        |FROM best GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // recompute both legs' integer assignments + total distortion from
+    // the variant-tagged fixed-point fixtures
+    "sim_pq_distortion_verified" ->
+      s"""WITH s AS (SELECT * FROM read_parquet('$PqDistSubsFixturePath/*.parquet')),
+        |c AS (SELECT * FROM read_parquet('$PqDistCbFixturePath/*.parquet')),
+        |d AS (
+        |  SELECT s.variant, s.id, s.sub_idx, c.code,
+        |    CAST(list_sum(list_transform(range(1, len(sv_fp) + 1),
+        |      i -> (sv_fp[i] - cv_fp[i]) * (sv_fp[i] - cv_fp[i]))) AS BIGINT) AS d2
+        |  FROM s JOIN c ON c.variant = s.variant AND c.sub_idx = s.sub_idx),
+        |best AS (
+        |  SELECT variant, id, sub_idx, d2 FROM d
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY variant, id, sub_idx
+        |    ORDER BY d2, code) = 1)
+        |SELECT variant, CAST(SUM(d2) AS BIGINT) AS total_d2_fp,
+        |       CAST(COUNT(*) AS BIGINT) AS n_subvectors
+        |FROM best GROUP BY variant ORDER BY variant""".stripMargin,
 
     // rerank the exported text-ANN candidates over the exported vectors —
     // both sides of the cosine come from fixtures, so the hash match

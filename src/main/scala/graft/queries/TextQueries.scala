@@ -28,6 +28,8 @@ object TextQueries {
 
   /** Learned-vocab fixture export for `text_bpe_doclen_verified`. */
   private[graft] val BpeVocabFixturePath = "/tmp/graft_fixtures/bpe_vocab"
+  private[graft] val BpeStatesFixturePath = "/tmp/graft_fixtures/bpe_states"
+  private[graft] val BpeEncFixturePath = "/tmp/graft_fixtures/bpe_encoded"
 
   private def ratio4(a: Column, b: Column): Column =
     floor(a.cast("double") * 10000 / b) / 10000
@@ -246,6 +248,66 @@ object TextQueries {
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_words"), sum("word_tokens").as("n_tokens"))
         .orderBy("doc_id")
+    }),
+
+    // the ORACLE-CHECKED half of BPE TRAINING: the per-round vocab states
+    // (the iterative part — symbol tables as they stood before each merge)
+    // export as a fixture, and BOTH engines recompute every round's
+    // weighted adjacent-pair counts and argmax selection from identical
+    // bits — the trainer's selection logic (count -> (cnt desc, pair)
+    // tie-break -> top-1 per round) hash-checks engine-independently; the
+    // state REWRITE between rounds stays on PipelineSpec's hand-computed
+    // merge-sequence bars.
+    "text_bpe_merges_verified" -> ((s, d) => {
+      val corpus = docs(s, d)
+      graft.operators.CorpusOps.bpeTrainStates(corpus, numMerges = 12)._2
+        .write.mode("overwrite").parquet(BpeStatesFixturePath)
+      val st = s.read.parquet(BpeStatesFixturePath)
+      val pairs = st
+        .filter(size(col("syms")) >= 2)
+        .select(col("merge_round"),
+          explode(expr("zip_with(slice(syms, 1, size(syms) - 1)," +
+            " slice(syms, 2, size(syms) - 1)," +
+            " (a, b) -> named_struct('lhs', a, 'rhs', b))")).as("p"),
+          col("n"))
+        .select(col("merge_round"), col("p.lhs").as("lhs"),
+          col("p.rhs").as("rhs"), col("n"))
+      val cnts = pairs.groupBy("merge_round", "lhs", "rhs")
+        .agg(sum("n").as("pair_count"))
+      cnts.withColumn("rk",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy("merge_round")
+            .orderBy(col("pair_count").desc, col("lhs"), col("rhs"))))
+        .filter(col("rk") === 1)
+        .select(col("merge_round").cast("long").as("merge_round"),
+          col("lhs"), col("rhs"), col("pair_count"))
+        .orderBy("merge_round")
+    }),
+
+    // the ORACLE-CHECKED half of BPE ENCODING: the learned word -> token
+    // SEQUENCE table (the merge-chain rewrite, non-SQL) exports as a
+    // fixture; both engines recount word frequencies from the raw corpus,
+    // join the fixture, and emit per-word token counts PLUS the
+    // reassembled string — concat(tokens) must equal word + '</w>', so a
+    // lossy or reordered encode surfaces as a hash mismatch, proving the
+    // round-trip property engine-independently (PipelineSpec's in-JVM
+    // round-trip bar gains a DuckDB-recomputed twin).
+    "text_bpe_encode_verified" -> ((s, d) => {
+      val corpus = docs(s, d)
+      val merges = graft.operators.CorpusOps.bpeTrain(corpus, numMerges = 12)
+      graft.operators.CorpusOps.bpeEncode(corpus, merges)
+        .select(col("w"), col("tokens"))
+        .write.mode("overwrite").parquet(BpeEncFixturePath)
+      val voc = s.read.parquet(BpeEncFixturePath)
+      corpus
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("n"))
+        .join(broadcast(voc), "w")
+        .select(col("w"), col("n"),
+          size(col("tokens")).cast("long").as("n_tokens"),
+          concat_ws("", col("tokens")).as("reassembled"))
+        .orderBy("w")
     }),
 
     // Stupid Backoff trigram scoring (Brants et al. 2007): the model is
@@ -1035,6 +1097,41 @@ object TextQueries {
         |WHERE len(tw) > 0
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    // recompute every round's weighted pair counts + argmax from the
+    // exported vocab states: adjacent pairs via 1-based list indexing,
+    // top-1 per round by (count desc, pair) — the trainer's selection
+    // logic on identical bits
+    "text_bpe_merges_verified" ->
+      s"""WITH st AS (SELECT * FROM read_parquet('$BpeStatesFixturePath/*.parquet')),
+        |pairs AS (
+        |  SELECT merge_round, syms[i] AS lhs, syms[i + 1] AS rhs, n
+        |  FROM st, UNNEST(range(1, len(syms))) AS t(i)
+        |  WHERE len(syms) >= 2),
+        |cnts AS (
+        |  SELECT merge_round, lhs, rhs, CAST(SUM(n) AS BIGINT) AS pair_count
+        |  FROM pairs GROUP BY 1, 2, 3)
+        |SELECT CAST(merge_round AS BIGINT) AS merge_round, lhs, rhs, pair_count
+        |FROM cnts
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY merge_round
+        |  ORDER BY pair_count DESC, lhs, rhs) = 1
+        |ORDER BY merge_round""".stripMargin,
+
+    // recount words from the raw corpus, join the exported token table,
+    // re-concatenate the token sequence — reassembled must equal
+    // word || '</w>' bit-for-bit in both engines
+    "text_bpe_encode_verified" ->
+      s"""WITH v AS (SELECT * FROM read_parquet('$BpeEncFixturePath/*.parquet')),
+        |tok AS (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+        |  FROM documents),
+        |wc AS (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM tok
+        |  WHERE len(w) > 0 GROUP BY w)
+        |SELECT wc.w, wc.n, CAST(len(v.tokens) AS BIGINT) AS n_tokens,
+        |       list_aggr(v.tokens, 'string_agg', '') AS reassembled
+        |FROM wc JOIN v ON v.w = wc.w
+        |ORDER BY wc.w""".stripMargin,
 
     // recompute the integer features from raw text, score against the
     // exported weight fixture: floor integer division everywhere, so the
