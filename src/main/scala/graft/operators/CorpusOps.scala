@@ -394,6 +394,31 @@ object CorpusOps {
         (col("component").isNull || col("component") === col("doc_id")).as("kept"))
   }
 
+  /** The QUALITY-RANKED dedup apply step: keep the best-scoring doc per
+    * near-dup cluster instead of [[dedupKeepSet]]'s min-id canonical —
+    * the policy production pipelines actually run (keep the longest /
+    * highest-quality near-duplicate, drop the rest). `scoreCol` must be a
+    * column of `docs`; ties break to the LOWEST doc_id so the verdict is
+    * deterministic. Returns (doc_id, component, <scoreCol>, kept);
+    * `component` stays NULL for singletons (trivially kept).
+    *
+    * Plan shape: the same O(diameter)-round component labeling, then ONE
+    * window over cluster-partitioned rows — clusters are near-dup groups
+    * (small by construction), so the rank never sees corpus-sized
+    * partitions; singletons rank alone under their own id. */
+  def dedupKeepBest(
+      docs: DataFrame, pairs: DataFrame, scoreCol: String): DataFrame = {
+    val comp = connectedComponents(pairs).select(col("doc_id"), col("component"))
+    docs.select(col("doc_id"), col(scoreCol))
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(coalesce(col("component"), col("doc_id")))
+          .orderBy(col(scoreCol).desc, col("doc_id"))))
+      .select(col("doc_id"), col("component"), col(scoreCol),
+        (col("rk") === 1).as("kept"))
+  }
+
   /** Per-doc duplicated-chunk stats (cross-document "line" dedup signal):
     * (doc_id, n_chunks, n_dup, dup_frac). One shuffle on the chunk hash —
     * the RefinedWeb/Gopher line-dedup plan. */

@@ -210,6 +210,18 @@ object DedupQueries {
           ngramJaccardPairs(docs(s, d)).select(col("doc_a"), col("doc_b")))
         .orderBy("doc_id")),
 
+    // the QUALITY-RANKED apply step: keep the LONGEST doc per near-dup
+    // cluster (ties to lowest id) instead of dedup_keep's min-id — the
+    // keep-best policy production dedup actually ships (the canonical
+    // near-duplicate should be the most complete one, not the one with
+    // the smallest key). Same component labeling; one window over
+    // cluster-partitioned rows, never corpus-partitioned.
+    "dedup_keep_best" -> ((s, d) =>
+      graft.operators.CorpusOps.dedupKeepBest(docs(s, d),
+          ngramJaccardPairs(docs(s, d)).select(col("doc_a"), col("doc_b")),
+          scoreCol = "n_chars")
+        .orderBy("doc_id")),
+
     // embedding-space near-dup, exact baseline: all-pairs cosine >= 0.4 as
     // a declarative broadcast-nested-loop join with the codegen'd graft_dot
     // in the join condition — NO driver-side collect (Spark manages the
@@ -928,6 +940,38 @@ object DedupQueries {
         |)
         |SELECT d.doc_id, c.component,
         |  (c.component IS NULL OR c.component = d.doc_id) AS kept
+        |FROM documents d LEFT JOIN comp c USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // same recursive closure, but the survivor is the argmax by
+    // (n_chars desc, doc_id) within each cluster — keep-best semantics
+    "dedup_keep_best" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), ' +') AS w FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                   FOR i IN generate_series(1, len(w) - 2)]) AS grams
+        |  FROM t WHERE len(w) >= 3
+        |), pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.grams, b.grams)) * 2
+        |        >= len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))
+        |), und AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION
+        |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+        |), reach(src, dst) AS (
+        |  SELECT src, src FROM und
+        |  UNION
+        |  SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src
+        |), comp AS (
+        |  SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY src
+        |)
+        |SELECT d.doc_id, c.component, d.n_chars,
+        |  (ROW_NUMBER() OVER (PARTITION BY COALESCE(c.component, d.doc_id)
+        |     ORDER BY d.n_chars DESC, d.doc_id) = 1) AS kept
         |FROM documents d LEFT JOIN comp c USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin)
 }

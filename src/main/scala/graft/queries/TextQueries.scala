@@ -783,6 +783,29 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // the pretraining GLOBAL SHUFFLE, planned: assign every doc to one of
+    // 16 output shards by a salted-hash nibble and order WITHIN each shard
+    // by the hash — the standard "shuffle 100 TB once, write N shards,
+    // stream them in hash order" prep step. Hash-mod sharding needs NO
+    // global sort or window (a codegen'd projection feeds one 16-group
+    // aggregate); membership is a pure function of doc_id, so shards are
+    // stable under repartitioning and incremental growth. Output is the
+    // shard manifest a writer would execute: per-shard doc/char volumes
+    // (the balance evidence), source spread, and the first hash in shard
+    // order (the deterministic intra-shard cursor).
+    "pipe_shard_plan" -> ((s, d) =>
+      docs(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          md5(concat(lit("graft-shard:"), col("doc_id").cast("string"))).as("h"))
+        .withColumn("shard",
+          expr("CAST(conv(substring(h, 2, 1), 16, 10) AS BIGINT)"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("docs"),
+          sum("n_chars").as("total_chars"),
+          countDistinct("source").as("n_sources"),
+          min("h").as("min_h"))
+        .orderBy("shard")),
+
     // EXACT heavy hitters (tokens holding >= 1/500 of the corpus) through
     // the two-pass Misra-Gries plan: sketch candidates with the native
     // bounded-memory aggregate, recount only those exactly. The oracle is
@@ -1655,5 +1678,20 @@ object TextQueries {
         |  CASE WHEN substring(md5('graft-split:' || CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
         |       WHEN substring(md5('graft-split:' || CAST(doc_id AS VARCHAR)), 1, 1) <= 'd' THEN 'valid'
         |       ELSE 'test' END AS split
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the shard nibble re-derives via hex-digit position lookup (value of
+    // the 2nd md5 hex char == the hash mod 16)
+    "pipe_shard_plan" ->
+      """WITH h AS (
+        |  SELECT doc_id, source, n_chars,
+        |    md5('graft-shard:' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents)
+        |SELECT
+        |  CAST(strpos('0123456789abcdef', substring(h, 2, 1)) - 1 AS BIGINT) AS shard,
+        |  CAST(COUNT(*) AS BIGINT) AS docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+        |  MIN(h) AS min_h
+        |FROM h GROUP BY 1 ORDER BY 1""".stripMargin)
 }

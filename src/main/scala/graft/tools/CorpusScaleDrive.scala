@@ -111,6 +111,30 @@ object CorpusScaleDrive {
       run("tfidf_vectors") {
         graft.operators.CorpusOps.hashedTfidf(docs).count()
       }
+      run("keep_best") {
+        // star-shaped pairs (group min <-> member) from the planted exact
+        // dups: linear in corpus size even if a group were huge; component
+        // labeling + the cluster-partitioned keep-best window follow
+        val hashed = docs.select(col("doc_id"), md5(col("text")).as("text_hash"))
+        val groups = graft.operators.CorpusOps.exactDedup(docs)
+          .filter(col("n_copies") > 1).select("text_hash", "keep_id")
+        val pairs = hashed.join(groups, "text_hash")
+          .filter(col("doc_id") =!= col("keep_id"))
+          .select(col("keep_id").as("doc_a"), col("doc_id").as("doc_b"))
+        graft.operators.CorpusOps.dedupKeepBest(docs, pairs, "n_chars").count()
+      }
+      run("shard_plan") {
+        // hash-mod sharding: codegen projection + one 16-group aggregate —
+        // the "global shuffle" plan with NO global sort
+        docs.select(col("doc_id"), col("source"), col("n_chars"),
+            md5(concat(lit("graft-shard:"), col("doc_id").cast("string"))).as("h"))
+          .withColumn("shard",
+            expr("CAST(conv(substring(h, 2, 1), 16, 10) AS BIGINT)"))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("docs"), sum("n_chars").as("total_chars"),
+            countDistinct("source").as("n_sources"), min("h").as("min_h"))
+          .count()
+      }
       run("corpus_diff") {
         graft.operators.CorpusOps.corpusDiff(
           docs, docs.filter(col("doc_id") % 11 =!= 0)).count()

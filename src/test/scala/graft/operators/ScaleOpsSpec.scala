@@ -117,6 +117,23 @@ class ScaleOpsSpec extends SparkSuite {
     assert(got == Map(1L -> true, 2L -> false, 3L -> false, 4L -> true, 5L -> true))
   }
 
+  test("dedupKeepBest keeps the highest score per cluster, ties to lowest id") {
+    import spark.implicits._
+    // cluster {1,2,3}: 2 has max n_chars -> kept; cluster {10,11}: tie on
+    // n_chars -> lowest id 10 kept; 5 is a singleton -> kept, null component
+    val docs = Seq((1L, 10L), (2L, 30L), (3L, 20L), (10L, 7L), (11L, 7L),
+      (5L, 1L)).toDF("doc_id", "n_chars")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val got = CorpusOps.dedupKeepBest(docs, pairs, "n_chars").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (Option(r.getAs[java.lang.Long]("component")), r.getAs[Boolean]("kept")))
+      .toMap
+    assert(got == Map(
+      1L -> (Some(1L), false), 2L -> (Some(1L), true), 3L -> (Some(1L), false),
+      10L -> (Some(10L), true), 11L -> (Some(10L), false),
+      5L -> (None, true)))
+  }
+
   test("decontaminate flags overlap against a SEPARATE eval table") {
     import spark.implicits._
     val train = Seq(
