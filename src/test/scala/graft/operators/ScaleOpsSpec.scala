@@ -134,6 +134,55 @@ class ScaleOpsSpec extends SparkSuite {
       5L -> (None, true)))
   }
 
+  test("dedupKeepBest matches an independent union-find on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 40
+      val docs = (1L to n).map(i => (i, rnd.nextInt(50).toLong))
+      val edges = Seq.fill(25)((rnd.nextInt(n) + 1L, rnd.nextInt(n) + 1L))
+        .filter(p => p._1 != p._2)
+      // independent model: plain union-find
+      val parent = Array.tabulate(n.toInt + 1)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val score = docs.toMap
+      val expectKept = (1L to n).groupBy(i => find(i.toInt))
+        .values.map(_.maxBy(i => (score(i), -i))).toSet
+      val got = CorpusOps.dedupKeepBest(
+          docs.toDF("doc_id", "n_chars"),
+          edges.toDF("doc_a", "doc_b"), "n_chars")
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("kept"))
+      assert(got.length == n, s"trial $trial: row count")
+      assert(got.filter(_._2).map(_._1).toSet == expectKept,
+        s"trial $trial: kept set diverged from union-find model")
+    }
+  }
+
+  test("shard-plan nibble assignment partitions the corpus completely") {
+    import spark.implicits._
+    val docs = (1L to 400L).map(i => (i, s"s${i % 7}", i % 91)).toDF(
+      "doc_id", "source", "n_chars")
+    val assigned = docs
+      .select(col("doc_id"),
+        expr("CAST(conv(substring(md5(concat('graft-shard:', " +
+          "CAST(doc_id AS STRING))), 2, 1), 16, 10) AS BIGINT)").as("shard"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(assigned.length == 400)
+    assert(assigned.forall { case (_, s) => s >= 0 && s <= 15 },
+      "shard outside 0..15")
+    // pure function of doc_id: recomputation agrees
+    val again = docs.select(col("doc_id"),
+        expr("CAST(conv(substring(md5(concat('graft-shard:', " +
+          "CAST(doc_id AS STRING))), 2, 1), 16, 10) AS BIGINT)").as("shard"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(assigned.sortBy(_._1).sameElements(again.sortBy(_._1)))
+  }
+
   test("decontaminate flags overlap against a SEPARATE eval table") {
     import spark.implicits._
     val train = Seq(
