@@ -89,7 +89,19 @@ object LangModel {
    */
   def scoreWith(
       docs: DataFrame, c12: DataFrame, c1: DataFrame, vocab: DataFrame,
-      headK: Int = 4096): DataFrame = {
+      headK: Int = 4096): DataFrame =
+    // exact-integer fixed point: double division and ln are deterministic
+    // given identical long inputs; the long sum is order-independent
+    aggregateNll(scoredBigramCounts(docs, c12, c1, vocab, headK)
+      .withColumn("nll_fp", bigramNllFp))
+
+  /** The counts-level scoring rows (doc_id, c12n, c1n, v) — everything
+    * BEFORE the log: the hybrid head-broadcast/tail-shuffle count lookup
+    * with unseen keys coalesced to 0. Shared by the inline scorer and the
+    * exported-log-table path so the two can never drift. */
+  private def scoredBigramCounts(
+      docs: DataFrame, c12: DataFrame, c1: DataFrame, vocab: DataFrame,
+      headK: Int): DataFrame = {
     val bg = bigrams(docs)
     def hybrid(rows: DataFrame, counts: DataFrame, keys: Seq[String],
         ord: Column): DataFrame =
@@ -106,15 +118,62 @@ object LangModel {
     val with1 = hybrid(with12, c1, Seq("w1"), col("c1").desc)
     with1
       .crossJoin(broadcast(vocab))
-      // exact-integer fixed point: double division and ln are deterministic
-      // given identical long inputs; the long sum is order-independent
-      .withColumn("nll_fp",
-        round(-log((coalesce(col("c12"), lit(0L)) + lit(1).cast("double")) /
-          (coalesce(col("c1"), lit(0L)) + col("v").cast("double"))) * 1e4).cast("long"))
-      .groupBy("doc_id")
+      .select(col("doc_id"),
+        coalesce(col("c12"), lit(0L)).as("c12n"),
+        coalesce(col("c1"), lit(0L)).as("c1n"), col("v"))
+  }
+
+  /** `round(-ln((c12n+1)/(c1n+V))·1e4)` — ONE canonical expression shape
+    * shared by the inline scorer and the exported log table, so the two
+    * paths are bit-identical by construction. */
+  private def bigramNllFp: Column =
+    round(-log((col("c12n") + lit(1).cast("double")) /
+      (col("c1n") + col("v").cast("double"))) * 1e4).cast("long")
+
+  private def aggregateNll(scored: DataFrame): DataFrame =
+    scored.groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum(col("nll_fp")).as("s"))
       .select(col("doc_id"), col("n_bigrams"),
         round(col("s") / col("n_bigrams") / 1e4, 6).as("nll"))
+
+  /**
+   * [[scoreWith]] through an EXPORTED fixed-point log table — the
+   * determinism-rule path for oracle-checked queries: `ln` runs ONCE, in
+   * this engine, over the distinct integer (c12n, c1n, v) triples; the
+   * resulting `nll_fp` LONGs export to `fixturePath`, and scoring (here
+   * AND in the DuckDB oracle) is a pure integer join + sum over identical
+   * bits. A count disagreement between engines surfaces as a missed join
+   * (row mismatch), and V rides in the key so even the vocabulary size is
+   * cross-checked. The log table is bounded by the number of DISTINCT
+   * observed (c12, c1) count pairs — far below the bigram-type count
+   * (counts are Zipf-clustered), broadcastable at any corpus scale.
+   * Output is bit-identical to [[scoreWith]] (same expression shape on
+   * the same inputs, values round-tripped through parquet LONGs).
+   */
+  def scoreWithLogTable(
+      docs: DataFrame, c12: DataFrame, c1: DataFrame, vocab: DataFrame,
+      fixturePath: String, headK: Int = 4096): DataFrame = {
+    // the count tables feed BOTH the key job and the scoring job —
+    // materialize them once (they are vocab-bounded) so the corpus pays
+    // each counting aggregation exactly once across the two jobs
+    val (c12m, c1m, vocabM) = (c12.localCheckpoint(true),
+      c1.localCheckpoint(true), vocab.localCheckpoint(true))
+    // key enumeration from the MODEL tables, not the scoring rows — the
+    // corpus is scored exactly once. COMPLETE for any document set: a
+    // scoring row is (c12>0, c1 of the same head) [the c12⋈c1 pairs],
+    // (0, c1) [unseen bigram, seen head], or (0, 0) [unseen head].
+    val keys = c12m.join(c1m, "w1").select(col("c12"), col("c1"))
+      .unionByName(c1m.select(lit(0L).as("c12"), col("c1")))
+      .unionByName(c1m.sparkSession.range(1)
+        .select(lit(0L).as("c12"), lit(0L).as("c1")))
+      .distinct()
+      .crossJoin(broadcast(vocabM))
+      .select(col("c12").as("c12n"), col("c1").as("c1n"), col("v"))
+    keys.withColumn("nll_fp", bigramNllFp)
+      .write.mode("overwrite").parquet(fixturePath)
+    val logTable = docs.sparkSession.read.parquet(fixturePath)
+    aggregateNll(scoredBigramCounts(docs, c12m, c1m, vocabM, headK)
+      .join(broadcast(logTable), Seq("c12n", "c1n", "v")))
   }
 
   /**
@@ -201,18 +260,52 @@ object LangModel {
    * broadcast 1-row (N, V); the doc re-aggregation sums exact LONGs.
    */
   def stupidBackoffNll(
-      docs: DataFrame, model: DataFrame, alpha: Double = 0.4): DataFrame = {
+      docs: DataFrame, model: DataFrame, alpha: Double = 0.4): DataFrame =
+    aggregateBackoff(backoffScored(docs, model)
+      .withColumn("nll_fp", backoffNllFp(alpha)))
+
+  /** The ladder rows at COUNTS level: (doc_id, tier, num, den) — tier 0 =
+    * trigram hit (c123/c12), 1 = bigram backoff (c23/c2), 2 = add-one
+    * unigram floor ((c3+1)/(N+V)). Everything before the log; shared by
+    * the inline scorer and the exported-log-table path. */
+  private def backoffScored(docs: DataFrame, model: DataFrame): DataFrame =
+    backoffParts(docs, model)._1
+
+  /** (scored ladder rows, complete (tier, num, den) key table). The key
+    * table enumerates from the MODEL count tables — tier 0 from the
+    * co-occurring c123⋈c12 pairs, tier 1 from c23⋈c2, tier 2 from the
+    * distinct unigram counts (+0 for unseen) against the constant N+V —
+    * so deriving it never re-scores the corpus. */
+  private def backoffParts(
+      docs: DataFrame, model: DataFrame,
+      materializeModel: Boolean = false): (DataFrame, DataFrame) = {
+    // the log-table path reads every count table TWICE (key job + scoring
+    // job): materialize the vocab-bounded tables once there; the inline
+    // path keeps its single-job lineage
+    def m(df: DataFrame): DataFrame =
+      if (materializeModel) df.localCheckpoint(true) else df
     val tg = trigrams(model)
-    val c123 = tg.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c123"))
-    val c12t = tg.groupBy("w1", "w2").agg(count(lit(1)).as("c12t"))
+    val c123 = m(tg.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c123")))
+    val c12t = m(tg.groupBy("w1", "w2").agg(count(lit(1)).as("c12t")))
     val bg = bigrams(model)
-    val c23 = bg.select(col("w1").as("w2"), col("w2").as("w3"))
-      .groupBy("w2", "w3").agg(count(lit(1)).as("c23"))
+    val c23 = m(bg.select(col("w1").as("w2"), col("w2").as("w3"))
+      .groupBy("w2", "w3").agg(count(lit(1)).as("c23")))
     val uni = model.select(explode(split(trim(col("text")), " +")).as("w"))
-    val c2 = uni.groupBy(col("w").as("w2")).agg(count(lit(1)).as("c2"))
-    val c3 = uni.groupBy(col("w").as("w3")).agg(count(lit(1)).as("c3"))
-    val nv = uni.agg(count(lit(1)).as("n"))
-      .crossJoin(vocabWords(model).agg(count(lit(1)).as("v")))
+    val c2 = m(uni.groupBy(col("w").as("w2")).agg(count(lit(1)).as("c2")))
+    val c3 = m(uni.groupBy(col("w").as("w3")).agg(count(lit(1)).as("c3")))
+    val nv = m(uni.agg(count(lit(1)).as("n"))
+      .crossJoin(vocabWords(model).agg(count(lit(1)).as("v"))))
+    val keys = c123.join(c12t, Seq("w1", "w2"))
+        .select(lit(0).as("tier"), col("c123").as("num"), col("c12t").as("den"))
+      .unionByName(c23.join(c2, Seq("w2"))
+        .select(lit(1).as("tier"), col("c23").as("num"), col("c2").as("den")))
+      .unionByName(c3.select(col("c3"))
+        .unionByName(model.sparkSession.range(1).select(lit(0L).as("c3")))
+        .distinct()
+        .crossJoin(broadcast(nv))
+        .select(lit(2).as("tier"), (col("c3") + lit(1)).as("num"),
+          (col("n") + col("v")).as("den")))
+      .distinct()
     val scored = trigrams(docs)
       .join(c123, Seq("w1", "w2", "w3"), "left")
       .join(c12t, Seq("w1", "w2"), "left")
@@ -220,21 +313,33 @@ object LangModel {
       .join(c2, Seq("w2"), "left")
       .join(c3, Seq("w3"), "left")
       .crossJoin(broadcast(nv))
-      // the double expression shape mirrors the DuckDB oracle exactly:
-      // each branch is one division (and a literal multiply), no
-      // re-association an engine could do differently
-      .withColumn("s",
-        when(col("c123").isNotNull,
-          col("c123").cast("double") / col("c12t"))
-        .when(col("c23").isNotNull,
-          lit(alpha) * (col("c23").cast("double") / col("c2")))
-        .otherwise(lit(alpha * alpha) *
-          ((coalesce(col("c3"), lit(0L)) + lit(1)).cast("double") /
-            (col("n") + col("v")))))
-      .withColumn("nll_fp", round(-log(col("s")) * 1e4).cast("long"))
       .withColumn("tier",
         when(col("c123").isNotNull, lit(0))
           .when(col("c23").isNotNull, lit(1)).otherwise(lit(2)))
+      .select(col("doc_id"), col("tier"),
+        when(col("tier") === 0, col("c123"))
+          .when(col("tier") === 1, col("c23"))
+          .otherwise(coalesce(col("c3"), lit(0L)) + lit(1)).as("num"),
+        when(col("tier") === 0, col("c12t"))
+          .when(col("tier") === 1, col("c2"))
+          .otherwise(col("n") + col("v")).as("den"))
+    (scored, keys)
+  }
+
+  /** `round(-ln(S)·1e4)` from (tier, num, den) — the double expression
+    * shape mirrors the DuckDB oracle exactly: each branch is one division
+    * (and a literal multiply), no re-association an engine could do
+    * differently. ONE canonical shape for the inline scorer and the
+    * exported log table. */
+  private def backoffNllFp(alpha: Double): Column =
+    round(-log(
+      when(col("tier") === 0, col("num").cast("double") / col("den"))
+        .when(col("tier") === 1,
+          lit(alpha) * (col("num").cast("double") / col("den")))
+        .otherwise(lit(alpha * alpha) *
+          (col("num").cast("double") / col("den")))) * 1e4).cast("long")
+
+  private def aggregateBackoff(scored: DataFrame): DataFrame =
     scored.groupBy("doc_id")
       .agg(count(lit(1)).as("n_trigrams"),
         sum(when(col("tier") === 0, 1L).otherwise(0L)).as("tri_hits"),
@@ -244,6 +349,25 @@ object LangModel {
       .select(col("doc_id"), col("n_trigrams"), col("tri_hits"),
         col("bi_hits"), col("uni_hits"),
         round(col("s") / col("n_trigrams") / 1e4, 6).as("nll"))
+
+  /**
+   * [[stupidBackoffNll]] through an EXPORTED fixed-point log table (the
+   * same determinism-rule path as [[scoreWithLogTable]]): `ln` runs once
+   * here over the distinct integer (tier, num, den) triples, the LONG
+   * `nll_fp` table exports to `fixturePath`, and scoring in BOTH engines
+   * is an integer join + sum over identical bits. The full backoff ladder
+   * (tier choice, counts, N+V) is still recomputed independently by the
+   * oracle — a ladder disagreement misses the join and surfaces as a row
+   * mismatch. Output bit-identical to [[stupidBackoffNll]].
+   */
+  def stupidBackoffNllLogTable(
+      docs: DataFrame, model: DataFrame, fixturePath: String,
+      alpha: Double = 0.4): DataFrame = {
+    val (sc, keys) = backoffParts(docs, model, materializeModel = true)
+    keys.withColumn("nll_fp", backoffNllFp(alpha))
+      .write.mode("overwrite").parquet(fixturePath)
+    val logTable = docs.sparkSession.read.parquet(fixturePath)
+    aggregateBackoff(sc.join(broadcast(logTable), Seq("tier", "num", "den")))
   }
 
   def modelExists(spark: org.apache.spark.sql.SparkSession, path: String): Boolean =
@@ -259,5 +383,22 @@ object LangModel {
     scoreWith(docs,
       s.read.parquet(s"$path/c12"), s.read.parquet(s"$path/c1"),
       s.read.parquet(s"$path/meta"))
+  }
+
+  /** [[scoreAgainst]] through [[scoreWithLogTable]] — the persisted-model
+    * scoring path of the determinism-rule protocol. */
+  def scoreAgainstLogTable(
+      docs: DataFrame, path: String, fixturePath: String): DataFrame = {
+    val s = docs.sparkSession
+    scoreWithLogTable(docs,
+      s.read.parquet(s"$path/c12"), s.read.parquet(s"$path/c1"),
+      s.read.parquet(s"$path/meta"), fixturePath)
+  }
+
+  /** [[bigramNll]] through [[scoreWithLogTable]] — train-and-score with
+    * the log table exported for the oracle. */
+  def bigramNllLogTable(docs: DataFrame, fixturePath: String): DataFrame = {
+    val (c12, c1, vocab) = trainCounts(docs)
+    scoreWithLogTable(docs, c12, c1, vocab, fixturePath)
   }
 }

@@ -30,6 +30,13 @@ object TextQueries {
   private[graft] val BpeVocabFixturePath = "/tmp/graft_fixtures/bpe_vocab"
   private[graft] val BpeStatesFixturePath = "/tmp/graft_fixtures/bpe_states"
   private[graft] val BpeEncFixturePath = "/tmp/graft_fixtures/bpe_encoded"
+  // fixed-point log tables (one per query so verify order never couples):
+  // the determinism-rule protocol — ln runs once, in Spark, over distinct
+  // integer count keys; both engines score by integer join + sum
+  private[graft] val PplLogFixturePath = "/tmp/graft_fixtures/ppl_logtable"
+  private[graft] val PplModelLogFixturePath = "/tmp/graft_fixtures/ppl_model_logtable"
+  private[graft] val PplSampleLogFixturePath = "/tmp/graft_fixtures/ppl_sample_logtable"
+  private[graft] val TriLogFixturePath = "/tmp/graft_fixtures/trigram_logtable"
 
   private def ratio4(a: Column, b: Column): Column =
     floor(a.cast("double") * 10000 / b) / 10000
@@ -318,8 +325,8 @@ object TextQueries {
     // -> alpha^2*smoothed-unigram) is DuckDB-hash-checked end to end.
     "text_trigram_backoff" -> ((s, d) => {
       val all = docs(s, d)
-      graft.operators.LangModel.stupidBackoffNll(
-          all, all.filter(col("doc_id") % 2 === 0))
+      graft.operators.LangModel.stupidBackoffNllLogTable(
+          all, all.filter(col("doc_id") % 2 === 0), TriLogFixturePath)
         .orderBy("doc_id")
     }),
 
@@ -615,7 +622,8 @@ object TextQueries {
     // the result is immune to float summation order (see [[graft
     // .operators.LangModel]]).
     "text_perplexity" -> ((s, d) =>
-      graft.operators.LangModel.bigramNll(docs(s, d)).orderBy("doc_id")),
+      graft.operators.LangModel
+        .bigramNllLogTable(docs(s, d), PplLogFixturePath).orderBy("doc_id")),
 
     // same scores through the PERSISTED model (build once / score many —
     // the amortization split: a reference LM is trained on one corpus
@@ -639,7 +647,9 @@ object TextQueries {
       val path = s"${sys.props("java.io.tmpdir")}/graft_lm/v2_${tag}_$fp"
       if (!graft.operators.LangModel.modelExists(s, path))
         graft.operators.LangModel.writeModel(docs(s, d), path)
-      graft.operators.LangModel.scoreAgainst(docs(s, d), path).orderBy("doc_id")
+      graft.operators.LangModel
+        .scoreAgainstLogTable(docs(s, d), path, PplModelLogFixturePath)
+        .orderBy("doc_id")
     }),
 
     // composed cleaning pipeline (the realistic end-to-end use): quality
@@ -854,8 +864,9 @@ object TextQueries {
     "pipe_perplexity_sample" -> ((s, d) => {
       val base = docs(s, d)
       base
-        .join(graft.operators.LangModel.bigramNll(base).select("doc_id", "nll"),
-          "doc_id")
+        .join(graft.operators.LangModel
+          .bigramNllLogTable(base, PplSampleLogFixturePath)
+          .select("doc_id", "nll"), "doc_id")
         .filter(col("nll") <= 3.4)
         .withColumn("h", md5(concat(lit("graft-ppl:"), col("doc_id").cast("string"))))
         .filter(substring(col("h"), 1, 1) < "8")
@@ -896,10 +907,15 @@ object TextQueries {
           col("n_stop") >= 2)
   }
 
-  /** Shared by text_perplexity and text_perplexity_model: the persisted-
-    * model self-scoring path is defined to be bit-identical. */
-  private val perplexitySql =
-      """WITH t AS (
+  /** Shared by text_perplexity and text_perplexity_model (the persisted-
+    * model self-scoring path is defined to be bit-identical), each with
+    * its own exported log-table fixture. The oracle still recomputes the
+    * ENTIRE count pipeline (bigrams, c12, c1, V) from raw text — only the
+    * transcendental `ln` comes from the fixture, keyed on the full integer
+    * triple (c12, c1, v), so a count or vocabulary disagreement between
+    * engines misses the join and fails as a row mismatch. */
+  private def perplexitySql(fixturePath: String) =
+      s"""WITH t AS (
         |  SELECT doc_id, string_split_regex(trim(text), ' +') AS w FROM documents
         |), bg0 AS (
         |  SELECT doc_id, unnest([{'w1': w[i], 'w2': w[i+1]} FOR i IN generate_series(1, len(w) - 1)]) AS bg
@@ -910,11 +926,11 @@ object TextQueries {
         |), v AS (
         |  SELECT COUNT(DISTINCT x.uw) AS v
         |  FROM (SELECT unnest(w) AS uw FROM t) x
-        |)
+        |), lt AS (SELECT * FROM read_parquet('$fixturePath/*.parquet'))
         |SELECT bg.doc_id, COUNT(*) AS n_bigrams,
-        |  ROUND(SUM(CAST(ROUND(-ln((c12.c12 + CAST(1 AS DOUBLE)) / (c1.c1 + CAST(v.v AS DOUBLE))) * 1e4) AS BIGINT))
-        |        / COUNT(*) / 1e4, 6) AS nll
+        |  ROUND(SUM(lt.nll_fp) / COUNT(*) / 1e4, 6) AS nll
         |FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+        |     JOIN lt ON lt.c12n = c12.c12 AND lt.c1n = c1.c1 AND lt.v = v.v
         |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin
 
   /** Shared scored-corpus CTE chain `WITH ... scored` — (doc_id, score_fp,
@@ -1056,8 +1072,12 @@ object TextQueries {
     // full Stupid Backoff recompute: trigram/bigram/unigram counts from
     // the even-doc model half, the three-tier CASE with the same double
     // expression shape, per-position fixed-point NLL
+    // the full backoff ladder (tier choice, counts, N+V) recomputes from
+    // raw text; only ln comes from the exported log table, keyed on the
+    // integer (tier, num, den) triple — a ladder disagreement misses the
+    // join and fails as a row mismatch
     "text_trigram_backoff" ->
-      """WITH t AS (
+      s"""WITH t AS (
         |  SELECT doc_id, string_split_regex(trim(text), ' +') AS w FROM documents
         |), m AS (SELECT * FROM t WHERE doc_id % 2 = 0
         |), tgm0 AS (
@@ -1084,15 +1104,17 @@ object TextQueries {
         |                         FOR i IN generate_series(1, len(w) - 2)]) AS tg
         |  FROM t WHERE len(w) >= 3
         |), tgd AS (SELECT doc_id, tg.w1 AS w1, tg.w2 AS w2, tg.w3 AS w3 FROM tgd0
-        |), sc AS (
+        |), lt AS (SELECT * FROM read_parquet('$TriLogFixturePath/*.parquet')
+        |), keyed AS (
         |  SELECT doc_id,
         |    CASE WHEN c123.c123 IS NOT NULL THEN 0
         |         WHEN c23.c23 IS NOT NULL THEN 1 ELSE 2 END AS tier,
-        |    CAST(ROUND(-ln(
-        |      CASE WHEN c123.c123 IS NOT NULL THEN CAST(c123.c123 AS DOUBLE) / c12t.c12t
-        |           WHEN c23.c23 IS NOT NULL THEN 0.4 * (CAST(c23.c23 AS DOUBLE) / c2.c2)
-        |           ELSE 0.4 * 0.4 * (CAST(COALESCE(c3.c3, 0) + 1 AS DOUBLE) / (nv.n + nv.v))
-        |      END) * 1e4) AS BIGINT) AS nll_fp
+        |    CASE WHEN c123.c123 IS NOT NULL THEN c123.c123
+        |         WHEN c23.c23 IS NOT NULL THEN c23.c23
+        |         ELSE COALESCE(c3.c3, 0) + 1 END AS num,
+        |    CASE WHEN c123.c123 IS NOT NULL THEN c12t.c12t
+        |         WHEN c23.c23 IS NOT NULL THEN c2.c2
+        |         ELSE nv.n + nv.v END AS den
         |  FROM tgd
         |  LEFT JOIN c123 USING (w1, w2, w3)
         |  LEFT JOIN c12t USING (w1, w2)
@@ -1100,6 +1122,10 @@ object TextQueries {
         |  LEFT JOIN c2 USING (w2)
         |  LEFT JOIN c3 USING (w3)
         |  CROSS JOIN nv
+        |), sc AS (
+        |  SELECT keyed.doc_id, keyed.tier, lt.nll_fp
+        |  FROM keyed JOIN lt ON lt.tier = keyed.tier
+        |    AND lt.num = keyed.num AND lt.den = keyed.den
         |)
         |SELECT doc_id, COUNT(*) AS n_trigrams,
         |  CAST(SUM(CASE WHEN tier = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tri_hits,
@@ -1287,11 +1313,11 @@ object TextQueries {
         |       ELSE 0 END AS recall_ppm
         |FROM tallies ORDER BY thr_fp""".stripMargin,
 
-    "text_perplexity" -> perplexitySql,
-    "text_perplexity_model" -> perplexitySql,
+    "text_perplexity" -> perplexitySql(PplLogFixturePath),
+    "text_perplexity_model" -> perplexitySql(PplModelLogFixturePath),
 
     "pipe_perplexity_sample" ->
-      s"""WITH ppl AS ($perplexitySql)
+      s"""WITH ppl AS (${perplexitySql(PplSampleLogFixturePath)})
          |SELECT d.lang, COUNT(*) AS n, CAST(SUM(d.n_chars) AS BIGINT) AS chars,
          |       MIN(p.nll) AS min_nll, MAX(p.nll) AS max_nll
          |FROM documents d JOIN ppl p USING (doc_id)
