@@ -1584,18 +1584,18 @@ object CorpusOps {
       rows: DataFrame, keyCol: String, maxDf: Int): DataFrame = {
     val s = rows.sparkSession
     import s.implicits._
-    // over-cap keys are dropped BEFORE the list aggregate: a stop-gram
-    // with df ~1e6 would otherwise materialize a corpus-sized array in
-    // one aggregation buffer before the size filter could discard it —
-    // the cap must bound single-key MEMORY, not just pair emission. The
-    // df pre-count is a map-side-combined long per key and shuffles on
-    // the same key as the list build, so the semi-join is co-partitioned.
-    val inCap = rows.groupBy(keyCol).agg(count(lit(1)).as("df"))
-      .filter(col("df").between(2, maxDf))
-      .select(col(keyCol))
-    rows.join(inCap, keyCol)
-      .groupBy(keyCol)
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+    graft.expressions.GraftExtensions.register(s)
+    // single-shuffle bounded collect: graft_topk keeps the maxDf+1
+    // SMALLEST doc_ids per key in an O(maxDf) heap with map-side
+    // partials, so a stop-gram with df ~1e6 never materializes a
+    // corpus-sized array in any aggregation buffer (the r7 advisor's
+    // hazard) — and unlike a df-count semi-join, the corpus shuffles on
+    // the key exactly ONCE. A full maxDf+1 result means df > maxDf ->
+    // drop (the same conservative miss); otherwise the result IS the
+    // complete posting list, already ascending (largest -doc_id first).
+    rows.groupBy(keyCol)
+      .agg(expr(s"graft_topk(-doc_id, doc_id, ${maxDf + 1})").as("ds"))
+      .filter(size(col("ds")).between(2, maxDf))
       .select(col("ds")).as[Seq[Long]]
       .mapPartitions(_.flatMap { ds =>
         for (i <- ds.indices.iterator; j <- (i + 1) until ds.size)
@@ -1681,6 +1681,7 @@ object CorpusOps {
       documents: DataFrame, pct: Int = 50, maxDf: Int = 1000): DataFrame = {
     val s = documents.sparkSession
     import s.implicits._
+    graft.expressions.GraftExtensions.register(s)
     val tf = documents
       .select(col("doc_id"), split(trim(col("text")), " +").as("wd"))
       .filter(size(col("wd")) >= 3)
@@ -1690,14 +1691,15 @@ object CorpusOps {
         expr("concat(wd[i], ' ', wd[i+1], ' ', wd[i+2])").as("gram"))
       .groupBy("doc_id", "gram").agg(count(lit(1)).as("tf"))
     val totals = tf.groupBy("doc_id").agg(sum("tf").cast("long").as("t"))
-    // same pre-list df cap as postingPairCounts: over-cap grams never
-    // reach the struct-list aggregate's buffer
-    val inCap = tf.groupBy("gram").agg(count(lit(1)).as("df"))
-      .filter(col("df").between(2, maxDf))
-      .select(col("gram"))
-    val pairMins = tf.join(inCap, "gram")
+    // same single-shuffle bounded collect as postingPairCounts: the
+    // O(maxDf) graft_topk heap keeps over-cap grams out of every
+    // aggregation buffer, and the struct sorts by -doc_id so the result
+    // is the complete ascending posting list when df <= maxDf
+    val pairMins = tf
       .groupBy("gram")
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("tf")))).as("ds"))
+      .agg(expr(s"graft_topk(-doc_id, struct(doc_id, tf), ${maxDf + 1})")
+        .as("ds"))
+      .filter(size(col("ds")).between(2, maxDf))
       .select(col("ds")).as[Seq[(Long, Long)]]
       .mapPartitions(_.flatMap { ds =>
         for (i <- ds.indices.iterator; j <- (i + 1) until ds.size)
