@@ -84,35 +84,57 @@ object AnnIndex {
     graft.expressions.GraftExtensions.register(s)
     val u = corpus.select(col("id"), expr("graft_unit(v)").as("uv"))
 
-    Ann.ivfCentroids(u, cells, lloydIters)
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    // stage timing to stderr when GRAFT_ANN_BUILD_TIMINGS=1 — build is
+    // the expensive leg of the index lifecycle; per-stage seconds are the
+    // observability a scale drive needs to localize a regression
+    val verbose = sys.env.get("GRAFT_ANN_BUILD_TIMINGS").contains("1")
+    def stage[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      if (verbose) System.err.println(
+        f"[ann-build] $name%-10s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
+    stage("centroids") {
+      Ann.ivfCentroids(u, cells, lloydIters)
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    }
     val cents = s.read.parquet(s"$path/centroids")
 
-    Ann.ivfAssign(u, cents)
-      .select(col("cell").cast("int").as("cell"), col("id"), col("uv"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
+    stage("vectors") {
+      Ann.ivfAssign(u, cents)
+        .select(col("cell").cast("int").as("cell"), col("id"), col("uv"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
+    }
     val vecs = s.read.parquet(s"$path/vectors")
 
-    Ann.detMean(vecs.select(col("cell"), posexplode(col("uv")).as(Seq("pos", "x"))),
-        Seq("cell", "pos"), "x")
-      .groupBy("cell")
-      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-      .select(col("cell"), expr("transform(pm, e -> e.m)").as("mv")) // cells rows
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/means")
+    stage("means") {
+      Ann.detMean(vecs.select(col("cell"), posexplode(col("uv")).as(Seq("pos", "x"))),
+          Seq("cell", "pos"), "x")
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell"), expr("transform(pm, e -> e.m)").as("mv")) // cells rows
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/means")
+    }
     val means = s.read.parquet(s"$path/means")
 
     val resid = vecs
       .join(broadcast(means), "cell")
       .select(col("id"), expr("graft_sub(uv, mv)").as("rv"))
     val sub = Ann.pqSubvectors(resid, dim, subs, vecCol = "rv")
-    Ann.pqCodebooks(sub, codes)
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    stage("codebooks") {
+      Ann.pqCodebooks(sub, codes)
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    }
     val cb = s.read.parquet(s"$path/codebooks")
 
-    Ann.pqAssign(sub, cb, carrySubvectors = false)
-      .join(vecs.select("id", "cell"), "id")
-      .select(col("cell"), col("id"), col("sub_idx"), col("code"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+    stage("codes") {
+      Ann.pqAssign(sub, cb, carrySubvectors = false)
+        .join(vecs.select("id", "cell"), "id")
+        .select(col("cell"), col("id"), col("sub_idx"), col("code"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+    }
 
     val n = vecs.count()
     import s.implicits._
