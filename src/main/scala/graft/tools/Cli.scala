@@ -813,6 +813,16 @@ object Cli {
               s"tokens=${r.getAs[Long]("tokens")}\t" +
               s"bucket_waste_ppm=${r.getAs[Long]("bucket_waste_ppm")}")
           }
+      case "catalog" =>
+        // inventory of the query catalog: every SparkEntry query with its
+        // oracle status — `all` also prints the no_oracle / orphan sets
+        val q = graft.SparkEntry.queries.keySet
+        val o = graft.SparkEntry.oracleSql.keySet
+        println(s"queries=${q.size} oracles=${o.size} no_oracle=${(q -- o).size}")
+        if (args.length > 2 && args(2) == "all") {
+          (q -- o).toSeq.sorted.foreach(n => println(s"no_oracle\t$n"))
+          (o -- q).toSeq.sorted.foreach(n => println(s"orphan_oracle\t$n"))
+        }
       case other =>
         System.err.println(s"unknown verb: $other")
         sys.exit(2)
