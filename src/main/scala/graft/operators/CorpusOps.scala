@@ -512,7 +512,10 @@ object CorpusOps {
   private[graft] def minhashShingleSets(documents: DataFrame, cand: DataFrame): DataFrame = {
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-    shingleSets(documents.join(broadcast(candDocs), "doc_id"))
+    // candDocs is band-collision-bounded but NOT small-bounded (millions
+    // of candidates at 100 TB) — let the optimizer pick broadcast vs
+    // shuffle from its stats rather than forcing a broadcast
+    shingleSets(documents.join(candDocs, "doc_id"))
   }
 
   /** Exact-jaccard verify (two-pointer JVM kernel — Catalyst
@@ -1562,9 +1565,12 @@ object CorpusOps {
     val fps = winnowFingerprints(documents, k, w)
       .select(col("doc_id"), col("fp")).distinct()
     val sizes = fps.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    // sizes is PER-DOC (corpus-sized at 100 TB) — no broadcast hint; the
+    // pair table is posting-bounded, so the optimizer broadcasts sizes
+    // only while its stats say it fits, and shuffle-joins beyond that
     postingPairCounts(fps, "fp", maxDf)
-      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sa"))), "doc_a")
-      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sb"))), "doc_b")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sa")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sb")), "doc_b")
       .withColumn("union_sz", col("sa") + col("sb") - col("common"))
       .filter(col("common") * 100 >= col("union_sz") * pct)
       .select(col("doc_a"), col("doc_b"), col("common"),
@@ -1708,8 +1714,10 @@ object CorpusOps {
       .toDF("doc_a", "doc_b", "m")
       .groupBy("doc_a", "doc_b").agg(sum("m").cast("long").as("smin"))
     pairMins
-      .join(broadcast(totals.select(col("doc_id").as("doc_a"), col("t").as("ta"))), "doc_a")
-      .join(broadcast(totals.select(col("doc_id").as("doc_b"), col("t").as("tb"))), "doc_b")
+      // totals is PER-DOC (corpus-sized at 100 TB) — no broadcast hint,
+      // same discipline as winnowPairs/containmentPairs
+      .join(totals.select(col("doc_id").as("doc_a"), col("t").as("ta")), "doc_a")
+      .join(totals.select(col("doc_id").as("doc_b"), col("t").as("tb")), "doc_b")
       .withColumn("smax", col("ta") + col("tb") - col("smin"))
       .filter(col("smin") * 100 >= col("smax") * pct)
       .select(col("doc_a"), col("doc_b"), col("smin"),
@@ -1754,6 +1762,7 @@ object CorpusOps {
     val newSizes = nf.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val histPairs = common
       .join(histSizes.select(col("doc_id").as("doc_h"), col("sz").as("sa")), "doc_h")
+      // newSizes is MICRO-BATCH-bounded (never corpus-sized) — broadcast is safe
       .join(broadcast(newSizes.select(col("doc_id").as("doc_n"), col("sz").as("sb"))), "doc_n")
       .withColumn("union_sz", col("sa") + col("sb") - col("common"))
       .filter(col("common") * 100 >= col("union_sz") * pct)
@@ -1827,9 +1836,10 @@ object CorpusOps {
         expr("concat(wd[i], ' ', wd[i+1], ' ', wd[i+2])").as("gram"))
       .dropDuplicates("doc_id", "gram")
     val sizes = gramRows.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    // sizes is PER-DOC (corpus-sized at 100 TB) — no broadcast hint
     val common = postingPairCounts(gramRows, "gram", maxDf)
-      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sa"))), "doc_a")
-      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sb"))), "doc_b")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sa")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sb")), "doc_b")
     val aInB = common
       .filter(col("sa") >= minGrams && col("common") * 100 >= col("sa") * pct)
       .select(col("doc_a").as("inner_id"), col("doc_b").as("outer_id"),

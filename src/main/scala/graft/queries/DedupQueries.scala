@@ -67,12 +67,13 @@ object DedupQueries {
     // unless docs are near-dups ONLY in boilerplate). Cap far above any
     // df in the oracle-checked sf (max df at sf0.01 is < 500 docs), so
     // the DuckDB hash-match still holds; DedupSpec exercises a synthetic
-    // corpus where the cap does fire. Per-doc set sizes are a tiny
-    // broadcast.
+    // corpus where the cap does fire. Per-doc set sizes are corpus-sized
+    // at 100 TB — no broadcast hint; the optimizer broadcasts while its
+    // stats say the table fits and shuffle-joins beyond that.
     val sizes = gramRows.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     graft.operators.CorpusOps.postingPairCounts(gramRows, "gram", MaxGramDf)
-      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sa"))), "doc_a")
-      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sb"))), "doc_b")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sa")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sb")), "doc_b")
       // integer threshold (2*common >= union) and integer-first scaling
       // (1000*common/union) — both exact, immune to fp rounding-path
       // differences between engines
@@ -97,9 +98,10 @@ object DedupQueries {
       .select(col("doc_id"), expr("concat(w[i], ' ', w[i+1], ' ', w[i+2])").as("gram"))
       .dropDuplicates("doc_id", "gram")
     val sizes = gramRows.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    // per-doc sizes: no broadcast hint (same reasoning as ngramJaccardPairs)
     graft.operators.CorpusOps.postingPairCounts(gramRows, "gram", MaxGramDf)
-      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sa"))), "doc_a")
-      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sb"))), "doc_b")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sa")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sb")), "doc_b")
       .withColumn("union_sz", col("sa") + col("sb") - col("common"))
       .filter(col("common") * 1000 >= col("union_sz") * minMilli)
       .select(col("doc_a"), col("doc_b"),

@@ -78,10 +78,16 @@ object CorpusScaleDrive {
       val nDocs = docs.count()
       System.err.println(s"[scale] factor $factor: $nDocs docs at $dir")
 
+      // SPARK_GRAFT_LEGS=a,b,c re-drives a subset (e.g. just the legs an
+      // operator change touched) without paying the full 23-leg sweep
+      val legFilter = sys.env.get("SPARK_GRAFT_LEGS")
+        .map(_.split(",").map(_.trim).toSet)
       def run(name: String)(f: => Long): Unit = {
-        val (sec, rows) = time(f)
-        results += ((name, factor, sec))
-        System.err.println(f"[scale] x$factor $name%-22s $sec%8.2f s  ($rows rows)")
+        if (legFilter.forall(_.contains(name))) {
+          val (sec, rows) = time(f)
+          results += ((name, factor, sec))
+          System.err.println(f"[scale] x$factor $name%-22s $sec%8.2f s  ($rows rows)")
+        }
       }
 
       run("exact_dedup") {
