@@ -27,19 +27,20 @@ object DedupQueries {
   private[queries] val MaxGramDf = 1000
 
   /** Where `dedup_semantic_verified` exports its (id, cell) assignment for
-    * the DuckDB oracle to read — a fixed literal (not java.io.tmpdir)
-    * because the oracle SQL is static and runs OUTSIDE the JVM. */
-  private[graft] val SemDedupFixturePath = "/tmp/graft_fixtures/semdedup_assign"
+    * the DuckDB oracle to read — resolved once per JVM via
+    * [[graft.Fixtures]] (the oracle SQL interpolates the same value, so
+    * the pair moves together under GRAFT_FIXTURE_DIR). */
+  private[graft] val SemDedupFixturePath = graft.Fixtures.path("semdedup_assign")
 
   /** Fixture exports for the other sketch-family verified twins (same
     * protocol as [[SemDedupFixturePath]]: the non-SQL kernel output —
     * signatures, band codes — lands in parquet, and BOTH engines recompute
     * the candidate-join + exact-verify downstream from identical bits). */
-  private[graft] val MinhashBandsFixturePath = "/tmp/graft_fixtures/minhash_bands"
-  private[graft] val EmbIdxFixturePath = "/tmp/graft_fixtures/emb_idx_cand"
-  private[graft] val MinhashSetsFixturePath = "/tmp/graft_fixtures/minhash_sets"
-  private[graft] val SimhashFixturePath = "/tmp/graft_fixtures/simhash_sig"
-  private[graft] val EmbLshFixturePath = "/tmp/graft_fixtures/emb_lsh_codes"
+  private[graft] val MinhashBandsFixturePath = graft.Fixtures.path("minhash_bands")
+  private[graft] val EmbIdxFixturePath = graft.Fixtures.path("emb_idx_cand")
+  private[graft] val MinhashSetsFixturePath = graft.Fixtures.path("minhash_sets")
+  private[graft] val SimhashFixturePath = graft.Fixtures.path("simhash_sig")
+  private[graft] val EmbLshFixturePath = graft.Fixtures.path("emb_lsh_codes")
 
   /** (doc_a < doc_b, jaccard) pairs with exact word-trigram jaccard >= 0.5,
     * via the inverted-index join (shared by dedup_ngram_jaccard and the
@@ -512,10 +513,10 @@ object DedupQueries {
 
   val oracles: Map[String, String] = Map(
     // recompute the within-cell verify from the exported assignment: the
-    // fixture path is a fixed literal because this map is static — Verify
+    // fixture path resolves once per JVM ([[graft.Fixtures]]) — Verify
     // writes the fixture for whatever sfDir it runs, immediately before
-    // the driver's DuckDB pass reads it (not safe under concurrent
-    // different-sf Verify runs, which the protocol never does)
+    // the driver's DuckDB pass reads it; concurrent runs isolate via
+    // GRAFT_FIXTURE_DIR (the interpolated oracle SQL follows the env)
     "dedup_semantic_verified" ->
       s"""WITH a AS (SELECT * FROM read_parquet('$SemDedupFixturePath/*.parquet'))
         |SELECT DISTINCT x.id AS vec_a, y.id AS vec_b

@@ -18,16 +18,16 @@ object MultimodalQueries {
   /** Fixture exports for the `mm_*_neardup_verified` twins (SemDeDup
     * protocol: the perceptual-hash kernels — the non-SQL step — land in
     * parquet; both engines recompute the band join + hamming verify). */
-  private[graft] val ImageHashFixturePath = "/tmp/graft_fixtures/image_ahash"
-  private[graft] val AudioHashFixturePath = "/tmp/graft_fixtures/audio_fp"
-  private[graft] val ThumbFixturePath = "/tmp/graft_fixtures/thumbs"
-  private[graft] val PhashFixturePath = "/tmp/graft_fixtures/image_phash"
-  private[graft] val AudioPeaksFixturePath = "/tmp/graft_fixtures/audio_peaks"
-  private[graft] val VideoHashFixturePath = "/tmp/graft_fixtures/video_hashes"
-  private[graft] val VideoShotsFixturePath = "/tmp/graft_fixtures/video_shots"
-  private[graft] val SsimThumbFixturePath = "/tmp/graft_fixtures/ssim_thumbs"
-  private[graft] val AudioEnergyFixturePath = "/tmp/graft_fixtures/audio_energy"
-  private[graft] val FrameFeatFixturePath = "/tmp/graft_fixtures/frame_feats"
+  private[graft] val ImageHashFixturePath = graft.Fixtures.path("image_ahash")
+  private[graft] val AudioHashFixturePath = graft.Fixtures.path("audio_fp")
+  private[graft] val ThumbFixturePath = graft.Fixtures.path("thumbs")
+  private[graft] val PhashFixturePath = graft.Fixtures.path("image_phash")
+  private[graft] val AudioPeaksFixturePath = graft.Fixtures.path("audio_peaks")
+  private[graft] val VideoHashFixturePath = graft.Fixtures.path("video_hashes")
+  private[graft] val VideoShotsFixturePath = graft.Fixtures.path("video_shots")
+  private[graft] val SsimThumbFixturePath = graft.Fixtures.path("ssim_thumbs")
+  private[graft] val AudioEnergyFixturePath = graft.Fixtures.path("audio_energy")
+  private[graft] val FrameFeatFixturePath = graft.Fixtures.path("frame_feats")
 
   /** The 16-term energy sum written out as a LEFT-ASSOCIATIVE chain —
     * SQL `+` associates left, so DuckDB adds in exactly graft_dot's loop

@@ -54,22 +54,22 @@ object PipelineQueries {
 
   /** Chunk-span fixture export for `pipe_cdc_dedup` (SemDeDup protocol:
     * fixed literal — the oracle SQL is static, runs outside the JVM). */
-  private[graft] val CdcFixturePath = "/tmp/graft_fixtures/cdc_spans"
-  private[graft] val DocClustersFixturePath = "/tmp/graft_fixtures/doc_clusters"
+  private[graft] val CdcFixturePath = graft.Fixtures.path("cdc_spans")
+  private[graft] val DocClustersFixturePath = graft.Fixtures.path("doc_clusters")
 
   /** Gzipped-JSONL export dir for `pipe_jsonl_roundtrip` (the ingest-format
     * leg: corpora arrive as .jsonl.gz shards, not parquet). */
-  private[graft] val JsonlFixturePath = "/tmp/graft_fixtures/jsonl_docs"
+  private[graft] val JsonlFixturePath = graft.Fixtures.path("jsonl_docs")
 
   /** WARC-shaped export dir for `pipe_warc_roundtrip`. */
-  private[graft] val WarcFixturePath = "/tmp/graft_fixtures/warc_docs"
+  private[graft] val WarcFixturePath = graft.Fixtures.path("warc_docs")
 
   /** Fixture exports for the composed `pipe_full_prep` (separate paths —
     * its classifier trains on the CLEANED corpus and its spans chunk the
     * gated survivors, so sharing the single-stage fixtures would clobber
     * them mid-Verify). */
-  private[graft] val FullPrepWeightsPath = "/tmp/graft_fixtures/full_prep_weights"
-  private[graft] val FullPrepSpansPath = "/tmp/graft_fixtures/full_prep_spans"
+  private[graft] val FullPrepWeightsPath = graft.Fixtures.path("full_prep_weights")
+  private[graft] val FullPrepSpansPath = graft.Fixtures.path("full_prep_spans")
 
   /** DSIR fixture exports: the <= `buckets`-row fixed-point log-ratio
     * table and the per-doc fixed-point Gumbel perturbation. Both engines
@@ -77,10 +77,10 @@ object PipelineQueries {
     * appears in an oracle-checked compare — a 1-ulp libm divergence at a
     * `round(x*1e4)` boundary would otherwise flip a weight (the project
     * determinism rule; see the CdcChunker span protocol). */
-  private[graft] val DsirRatiosPath = "/tmp/graft_fixtures/dsir_ratios"
-  private[graft] val DsirGumbelPath = "/tmp/graft_fixtures/dsir_gumbel"
-  private[graft] val FullPrepRatiosPath = "/tmp/graft_fixtures/full_prep_ratios"
-  private[graft] val FullPrepGumbelPath = "/tmp/graft_fixtures/full_prep_gumbel"
+  private[graft] val DsirRatiosPath = graft.Fixtures.path("dsir_ratios")
+  private[graft] val DsirGumbelPath = graft.Fixtures.path("dsir_gumbel")
+  private[graft] val FullPrepRatiosPath = graft.Fixtures.path("full_prep_ratios")
+  private[graft] val FullPrepGumbelPath = graft.Fixtures.path("full_prep_gumbel")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // content-defined chunking dedup (FastCDC gear hash): chunk every doc

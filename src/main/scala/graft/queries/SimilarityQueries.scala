@@ -52,18 +52,18 @@ object SimilarityQueries {
   /** Fixture exports for the ANN verified twins (the SemDeDup protocol:
     * fixed literals because the oracle SQL is static and runs outside
     * the JVM). */
-  private[graft] val KnnLshFixturePath = "/tmp/graft_fixtures/knn_lsh_cand"
-  private[graft] val KnnIvfFixturePath = "/tmp/graft_fixtures/knn_ivf_cand"
-  private[graft] val KnnIvfPqFixturePath = "/tmp/graft_fixtures/knn_ivfpq_cand"
-  private[graft] val HardNegFixturePath = "/tmp/graft_fixtures/hard_neg_cand"
-  private[graft] val KnnIvfAppFixturePath = "/tmp/graft_fixtures/knn_ivf_app_cand"
-  private[graft] val TextAnnVecsFixturePath = "/tmp/graft_fixtures/text_ann_vecs"
-  private[graft] val TextAnnCandFixturePath = "/tmp/graft_fixtures/text_ann_cand"
-  private[graft] val PcaFixturePath = "/tmp/graft_fixtures/pca_model"
-  private[graft] val PqAuditSubsFixturePath = "/tmp/graft_fixtures/pq_audit_subs"
-  private[graft] val PqAuditCbFixturePath = "/tmp/graft_fixtures/pq_audit_cb"
-  private[graft] val PqDistSubsFixturePath = "/tmp/graft_fixtures/pq_dist_subs"
-  private[graft] val PqDistCbFixturePath = "/tmp/graft_fixtures/pq_dist_cb"
+  private[graft] val KnnLshFixturePath = graft.Fixtures.path("knn_lsh_cand")
+  private[graft] val KnnIvfFixturePath = graft.Fixtures.path("knn_ivf_cand")
+  private[graft] val KnnIvfPqFixturePath = graft.Fixtures.path("knn_ivfpq_cand")
+  private[graft] val HardNegFixturePath = graft.Fixtures.path("hard_neg_cand")
+  private[graft] val KnnIvfAppFixturePath = graft.Fixtures.path("knn_ivf_app_cand")
+  private[graft] val TextAnnVecsFixturePath = graft.Fixtures.path("text_ann_vecs")
+  private[graft] val TextAnnCandFixturePath = graft.Fixtures.path("text_ann_cand")
+  private[graft] val PcaFixturePath = graft.Fixtures.path("pca_model")
+  private[graft] val PqAuditSubsFixturePath = graft.Fixtures.path("pq_audit_subs")
+  private[graft] val PqAuditCbFixturePath = graft.Fixtures.path("pq_audit_cb")
+  private[graft] val PqDistSubsFixturePath = graft.Fixtures.path("pq_dist_subs")
+  private[graft] val PqDistCbFixturePath = graft.Fixtures.path("pq_dist_cb")
 
   private[graft] val PqSubs = 8
   private[graft] val PqCodes = 16

@@ -24,19 +24,19 @@ object TextQueries {
 
   /** Weight-fixture export for `text_quality_model` (SemDeDup protocol:
     * fixed literal — the oracle SQL is static and runs outside the JVM). */
-  private[graft] val QualityModelFixturePath = "/tmp/graft_fixtures/quality_model"
+  private[graft] val QualityModelFixturePath = graft.Fixtures.path("quality_model")
 
   /** Learned-vocab fixture export for `text_bpe_doclen_verified`. */
-  private[graft] val BpeVocabFixturePath = "/tmp/graft_fixtures/bpe_vocab"
-  private[graft] val BpeStatesFixturePath = "/tmp/graft_fixtures/bpe_states"
-  private[graft] val BpeEncFixturePath = "/tmp/graft_fixtures/bpe_encoded"
+  private[graft] val BpeVocabFixturePath = graft.Fixtures.path("bpe_vocab")
+  private[graft] val BpeStatesFixturePath = graft.Fixtures.path("bpe_states")
+  private[graft] val BpeEncFixturePath = graft.Fixtures.path("bpe_encoded")
   // fixed-point log tables (one per query so verify order never couples):
   // the determinism-rule protocol — ln runs once, in Spark, over distinct
   // integer count keys; both engines score by integer join + sum
-  private[graft] val PplLogFixturePath = "/tmp/graft_fixtures/ppl_logtable"
-  private[graft] val PplModelLogFixturePath = "/tmp/graft_fixtures/ppl_model_logtable"
-  private[graft] val PplSampleLogFixturePath = "/tmp/graft_fixtures/ppl_sample_logtable"
-  private[graft] val TriLogFixturePath = "/tmp/graft_fixtures/trigram_logtable"
+  private[graft] val PplLogFixturePath = graft.Fixtures.path("ppl_logtable")
+  private[graft] val PplModelLogFixturePath = graft.Fixtures.path("ppl_model_logtable")
+  private[graft] val PplSampleLogFixturePath = graft.Fixtures.path("ppl_sample_logtable")
+  private[graft] val TriLogFixturePath = graft.Fixtures.path("trigram_logtable")
 
   private def ratio4(a: Column, b: Column): Column =
     floor(a.cast("double") * 10000 / b) / 10000

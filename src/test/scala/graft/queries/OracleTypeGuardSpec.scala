@@ -40,12 +40,12 @@ class OracleTypeGuardSpec extends SparkSuite {
       Seq("python3", "-c", "import duckdb").! == 0).getOrElse(false)
     assume(duckOk, "python3+duckdb unavailable (driver-side tooling)")
 
-    // fixture-reading oracles (read_parquet over /tmp exports) need their
-    // fixture files on disk before DESCRIBE can bind the scan: run the
-    // exporting Spark queries first — the driver's own order (all queries,
-    // then all oracles)
+    // fixture-reading oracles (read_parquet over Fixtures.root exports)
+    // need their fixture files on disk before DESCRIBE can bind the scan:
+    // run the exporting Spark queries first — the driver's own order (all
+    // queries, then all oracles)
     val fixtureReaders = SparkEntry.oracleSql
-      .filter(_._2.contains("/tmp/")).keys.toSeq.sorted
+      .filter(_._2.contains(graft.Fixtures.root)).keys.toSeq.sorted
     fixtureReaders.foreach { n =>
       SparkEntry.queries(n)(spark, sf)
         .write.format("noop").mode("overwrite").save()
@@ -86,5 +86,17 @@ class OracleTypeGuardSpec extends SparkSuite {
     val swept = out.linesIterator.find(_.startsWith("SWEPT"))
       .map(_.stripPrefix("SWEPT ").trim.toInt).getOrElse(0)
     assert(swept == SparkEntry.oracleSql.size, s"sweep covered $swept oracles")
+  }
+
+  test("fixture-reading oracles all resolve their path through Fixtures.root") {
+    // a fixture path hardcoded in oracle SQL (instead of interpolating the
+    // shared Fixtures val) would silently split from the Spark-side export
+    // the moment GRAFT_FIXTURE_DIR moves the root — both sides must point
+    // at the same bits or the _verified protocol proves nothing
+    val rogue = SparkEntry.oracleSql.filter { case (_, sql) =>
+      sql.contains("graft_fixtures") && !sql.contains(graft.Fixtures.root)
+    }.keys.toSeq.sorted
+    assert(rogue.isEmpty,
+      s"oracles with a fixture path outside Fixtures.root: ${rogue.mkString(", ")}")
   }
 }
