@@ -70,8 +70,15 @@ object Bench {
       n.contains("_indexed") || n.contains("_ivf") || n.contains("sim_pq") ||
         n == "sim_text_ann" || n == "sim_text_knn" }
     val (annBuildSec, annBuilt) = if (!servesIndex) (-1.0, false) else {
+      // cold = EITHER index missing: the timed block builds both, so a
+      // half-warm /tmp (one index left by a prior partial run) must still
+      // count as a build — keying on the main path alone would mislabel a
+      // real appended-index build as warm (skipping its budget check) or
+      // record a half-cold build as the full-build budget
       val cold = !graft.operators.AnnIndex.exists(
-        spark, graft.queries.SimilarityQueries.indexPath(sfDir))
+          spark, graft.queries.SimilarityQueries.indexPath(sfDir)) ||
+        !graft.operators.AnnIndex.exists(
+          spark, graft.queries.SimilarityQueries.indexPath(sfDir) + "_app")
       val t = time {
         graft.queries.SimilarityQueries.ensureIndex(spark, sfDir)
         graft.queries.SimilarityQueries.ensureAppendedIndex(spark, sfDir)

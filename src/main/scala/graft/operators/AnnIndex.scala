@@ -212,18 +212,31 @@ object AnnIndex {
    * vector is gone is dropped by the rerank's inner vector join — so a
    * crash between the two writes degrades to "dead id already invisible
    * to PQ search, still visible to plain IVF until re-run"; the op is
-   * idempotent, re-running with the same ids completes the trim. Returns
-   * the number of vectors removed.
+   * idempotent, re-running with the same ids completes the trim — and a
+   * crash BETWEEN the data writes and the meta rewrite is also repaired
+   * by the re-run, which reconciles the stale `n_vectors` even when no
+   * rows remain to trim. Returns the number of vectors removed (counting
+   * any crash-torn removals reconciled by this call).
    */
   def expire(spark: SparkSession, path: String, deadIds: DataFrame): Long = {
+    val m = meta(spark, path).head()
+    val nBefore = m.getAs[Long]("n_vectors")
+    // an index already trimmed to zero has an EMPTY vectors dir (no
+    // parquet schema to read) — nothing to trim, don't touch it
+    if (nBefore == 0L) return 0L
     val dead = deadIds.select(col("id")).distinct()
     val vecs = spark.read.parquet(s"$path/vectors")
     // affected cells: bounded by the cells knob, never corpus-sized
     val affected = vecs.join(dead, "id").select("cell").distinct()
       .collect().map(_.getAs[Number]("cell").intValue()).toSeq
-    if (affected.isEmpty) return 0L
-    val m = meta(spark, path).head()
-    val nBefore = m.getAs[Long]("n_vectors")
+    if (affected.isEmpty) {
+      // nothing to trim — but a crash between a PRIOR expire's data writes
+      // and its meta rewrite leaves n_vectors stale-high; reconcile here so
+      // re-running expire (the documented repair) also repairs the count
+      val n = vecs.count()
+      if (n != nBefore) writeMeta(spark, path, m, n)
+      return nBefore - n
+    }
 
     val codes = spark.read.parquet(s"$path/codes")
     // materialize survivors before overwriting the path they were read
@@ -235,6 +248,11 @@ object AnnIndex {
       .join(dead, Seq("id"), "left_anti").localCheckpoint(true)
     val emptied = affected.toSet --
       survV.select("cell").distinct().collect().map(_.getAs[Number]("cell").intValue())
+    // count the untouched cells BEFORE the overwrite: the post-trim total
+    // is then survivors + untouched, with no re-read of the vectors dir —
+    // which an expire that kills EVERY vector leaves empty (a naked
+    // read-back would fail schema inference there)
+    val nUnaffected = vecs.filter(!col("cell").isin(affected: _*)).count()
 
     val dyn = "spark.sql.sources.partitionOverwriteMode"
     val prev = spark.conf.getOption(dyn)
@@ -255,14 +273,22 @@ object AnnIndex {
       f.delete(new Path(s"$path/codes/cell=$c"), true)
     }
 
+    val n = nUnaffected + survV.count()
+    writeMeta(spark, path, m, n)
+    nBefore - n
+  }
+
+  /** Rewrite `meta` with a new vector count, carrying the build
+    * parameters from an existing meta row. */
+  private def writeMeta(
+      spark: SparkSession, path: String,
+      m: org.apache.spark.sql.Row, n: Long): Unit = {
     import spark.implicits._
-    val n = spark.read.parquet(s"$path/vectors").count()
     Seq((m.getAs[Int]("dim"), m.getAs[Int]("cells"), m.getAs[Int]("subs"),
         m.getAs[Int]("codes"), m.getAs[Int]("lloyd_iters"), n, "cell_mean"))
       .toDF("dim", "cells", "subs", "codes", "lloyd_iters", "n_vectors",
         "residual_coding")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
-    nBefore - n
   }
 
   /** Per-cell populations (cell, n) — the skew audit behind
@@ -288,15 +314,22 @@ object AnnIndex {
    * answer when [[needsRebalance]] fires after a run of skewed appends:
    * fresh spherical k-means centroids, fresh means/codebooks/codes, same
    * build parameters (from meta). Stages the rebuild in a sibling temp
-   * dir and swaps it in whole, so a crash mid-rebuild leaves the OLD
-   * index fully intact (the meta `_SUCCESS` of the staged copy is
-   * written last, and the swap only happens after it exists).
+   * dir and swaps it in by TWO RENAMES (old aside, staged in) — at no
+   * instant is the path empty with its data deleted, so a crash
+   * mid-rebuild leaves the OLD index serving, and a crash inside the
+   * swap leaves both complete copies on disk (`_replaced_tmp` +
+   * `_rebuild_tmp`) for a one-rename manual recovery. The leftover
+   * `_replaced_tmp` is deleted only after the staged copy is live.
    */
   def rebalance(spark: SparkSession, path: String): Unit = {
     val m = meta(spark, path).head()
+    // read the corpus lazily: buildIvfPq finishes every write into the
+    // staging dir before the live path is touched, so each build stage
+    // can re-scan the live parquet — pinning the whole corpus in executor
+    // storage (localCheckpoint) would double the peak footprint for
+    // nothing
     val corpus = spark.read.parquet(s"$path/vectors")
       .select(col("id"), col("uv").as("v")) // unit-normalizing a unit vector is a no-op
-      .localCheckpoint(true)
     val tmp = s"${path}_rebuild_tmp"
     val p = new Path(path)
     val f = FileSystem.get(p.toUri, spark.sparkContext.hadoopConfiguration)
@@ -304,8 +337,16 @@ object AnnIndex {
     buildIvfPq(corpus, m.getAs[Int]("dim"), tmp, m.getAs[Int]("cells"),
       m.getAs[Int]("subs"), m.getAs[Int]("codes"), m.getAs[Int]("lloyd_iters"))
     require(exists(spark, tmp), s"staged rebuild at $tmp did not complete")
-    f.delete(p, true)
-    require(f.rename(new Path(tmp), p), s"swap $tmp -> $path failed")
+    val old = new Path(s"${path}_replaced_tmp")
+    f.delete(old, true)
+    require(f.rename(p, old), s"move live $path aside failed")
+    if (!f.rename(new Path(tmp), p)) {
+      // staged swap-in failed: put the old index back before raising, so
+      // the path keeps serving
+      f.rename(old, p)
+      throw new IllegalStateException(s"swap $tmp -> $path failed")
+    }
+    f.delete(old, true)
   }
 
   /**

@@ -278,6 +278,21 @@ object CorpusOps {
       .select(col("doc_id"), col("source"), col("rn"))
   }
 
+  /** Salted-hash shard key for the pretraining shard plan: the md5 hex of
+    * `graft-shard:<doc_id>` — a pure function of doc_id (stable under
+    * repartitioning and incremental growth) that doubles as the
+    * deterministic intra-shard order cursor. The ONE definition of the
+    * sharding `pipe_shard_plan` ships — the scale drive and specs reuse it
+    * so they can never measure a different sharding than the query. */
+  def shardHash(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    md5(concat(lit("graft-shard:"), docId.cast("string")))
+
+  /** 16-way shard membership from a [[shardHash]] value: hex nibble at
+    * 1-based position 2, as BIGINT 0..15. (The DuckDB oracle re-derives
+    * the same nibble via a hex-digit position lookup.) */
+  def shardNibble(h: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(h, 2, 1), 16, 10).cast("long")
+
   /** Exact-duplicate groups: one hash shuffle on the content hash.
     * Returns (text_hash, keep_id = min doc_id, n_copies). */
   def exactDedup(docs: DataFrame): DataFrame =

@@ -20,10 +20,11 @@ import org.apache.spark.sql.functions._
  * breaks lineage recovery on a real cluster; at scale pass a
  * parquet-stage materializer instead:
  * {{{
- *   PrepPipeline.fullPrep(s, base, ..., materialize = df => {
- *     df.write.mode("overwrite").parquet(stageDir)
- *     s.read.parquet(stageDir)   // lineage now starts at a durable scan
- *   })
+ *   PrepPipeline.fullPrep(base, weightsPath, spansPath, ratiosPath,
+ *     gumbelPath, materialize = df => {
+ *       df.write.mode("overwrite").parquet(stageDir)
+ *       spark.read.parquet(stageDir) // lineage now starts at a durable scan
+ *     })
  * }}}
  * PipelineSpec pins both paths bit-identical, so the knob is purely an
  * execution choice — never a results choice.

@@ -806,9 +806,8 @@ object TextQueries {
     "pipe_shard_plan" -> ((s, d) =>
       docs(s, d)
         .select(col("doc_id"), col("source"), col("n_chars"),
-          md5(concat(lit("graft-shard:"), col("doc_id").cast("string"))).as("h"))
-        .withColumn("shard",
-          expr("CAST(conv(substring(h, 2, 1), 16, 10) AS BIGINT)"))
+          graft.operators.CorpusOps.shardHash(col("doc_id")).as("h"))
+        .withColumn("shard", graft.operators.CorpusOps.shardNibble(col("h")))
         .groupBy("shard")
         .agg(count(lit(1)).as("docs"),
           sum("n_chars").as("total_chars"),

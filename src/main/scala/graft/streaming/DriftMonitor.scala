@@ -97,7 +97,20 @@ class DriftMonitor(reference: DataFrame, valueCol: String,
         val pinned = persistDir match {
           case Some(_) if committed(batchDir(id)) =>
             // replayed batch after a restart: its merge already committed —
-            // restore it rather than folding the same rows twice
+            // restore it rather than folding the same rows twice. A LEGIT
+            // replay can only be the latest committed id (the histogram
+            // commit precedes the checkpoint commit, so at-least-once
+            // re-delivers at most that one batch); a committed id BELOW
+            // the latest means the query restarted with a fresh/reset
+            // checkpoint while persistDir kept the old run's state — fail
+            // fast instead of silently dropping the new run's data and
+            // regressing the histogram
+            val latest = latestCommitted().get
+            require(id == latest,
+              s"batch $id is already committed under persistDir but the " +
+                s"latest committed is $latest: the streaming checkpoint " +
+                "was reset while persistDir carries older state — pair " +
+                "each persistDir with exactly one checkpointLocation")
             spark.read.parquet(batchDir(id))
           case _ =>
             val h = batch.groupBy("v").agg(count(lit(1)).as("c"))

@@ -131,11 +131,12 @@ object CorpusScaleDrive {
       }
       run("shard_plan") {
         // hash-mod sharding: codegen projection + one 16-group aggregate —
-        // the "global shuffle" plan with NO global sort
+        // the "global shuffle" plan with NO global sort (the SAME shared
+        // expression pipe_shard_plan ships, so the drive can never measure
+        // a different sharding)
         docs.select(col("doc_id"), col("source"), col("n_chars"),
-            md5(concat(lit("graft-shard:"), col("doc_id").cast("string"))).as("h"))
-          .withColumn("shard",
-            expr("CAST(conv(substring(h, 2, 1), 16, 10) AS BIGINT)"))
+            graft.operators.CorpusOps.shardHash(col("doc_id")).as("h"))
+          .withColumn("shard", graft.operators.CorpusOps.shardNibble(col("h")))
           .groupBy("shard")
           .agg(count(lit(1)).as("docs"), sum("n_chars").as("total_chars"),
             countDistinct("source").as("n_sources"), min("h").as("min_h"))

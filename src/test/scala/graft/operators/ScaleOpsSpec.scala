@@ -168,17 +168,16 @@ class ScaleOpsSpec extends SparkSuite {
     val docs = (1L to 400L).map(i => (i, s"s${i % 7}", i % 91)).toDF(
       "doc_id", "source", "n_chars")
     val assigned = docs
-      .select(col("doc_id"),
-        expr("CAST(conv(substring(md5(concat('graft-shard:', " +
-          "CAST(doc_id AS STRING))), 2, 1), 16, 10) AS BIGINT)").as("shard"))
+      .select(col("doc_id"), graft.operators.CorpusOps.shardNibble(
+          graft.operators.CorpusOps.shardHash(col("doc_id"))).as("shard"))
       .collect().map(r => r.getLong(0) -> r.getLong(1))
     assert(assigned.length == 400)
     assert(assigned.forall { case (_, s) => s >= 0 && s <= 15 },
       "shard outside 0..15")
     // pure function of doc_id: recomputation agrees
     val again = docs.select(col("doc_id"),
-        expr("CAST(conv(substring(md5(concat('graft-shard:', " +
-          "CAST(doc_id AS STRING))), 2, 1), 16, 10) AS BIGINT)").as("shard"))
+        graft.operators.CorpusOps.shardNibble(
+          graft.operators.CorpusOps.shardHash(col("doc_id"))).as("shard"))
       .collect().map(r => r.getLong(0) -> r.getLong(1))
     assert(assigned.sortBy(_._1).sameElements(again.sortBy(_._1)))
   }
@@ -490,6 +489,63 @@ class ScaleOpsSpec extends SparkSuite {
     assert(recall >= 0.8, s"post-expiry recall too low: $recall")
     // idempotent: re-running the same trim is a no-op
     assert(AnnIndex.expire(spark, dir, dead) == 0L)
+  }
+
+  test("expire that kills EVERY vector leaves meta at 0 and stays idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("annidx-exp0").toString
+    val e = graft.queries.SimilarityQueries.emb(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id").as("id"), col("v")).filter(col("id") < 40)
+    AnnIndex.buildIvfPq(e, dim = 64, path = dir, cells = 4, subs = 8,
+      codes = 16, lloydIters = 1)
+    // a full retention sweep: every cell empties — the survivors+untouched
+    // accounting must not re-read the now-fileless vectors dir
+    val removed = AnnIndex.expire(spark, dir, e.select("id"))
+    assert(removed == 40L, s"removed $removed of 40")
+    assert(AnnIndex.meta(spark, dir).head().getAs[Long]("n_vectors") == 0L)
+    // idempotent on the empty index: meta short-circuits before any read
+    assert(AnnIndex.expire(spark, dir, e.select("id")) == 0L)
+  }
+
+  test("expire reconciles a stale meta count left by a crash before the meta rewrite") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("annidx-repair").toString
+    val e = graft.queries.SimilarityQueries.emb(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id").as("id"), col("v")).filter(col("id") < 40)
+    AnnIndex.buildIvfPq(e, dim = 64, path = dir, cells = 4, subs = 8,
+      codes = 16, lloydIters = 1)
+    // simulate the crash window: data trimmed (here: nothing), meta
+    // inflated — as if a prior expire wrote vectors/codes then died
+    val m = AnnIndex.meta(spark, dir).head()
+    Seq((m.getAs[Int]("dim"), m.getAs[Int]("cells"), m.getAs[Int]("subs"),
+        m.getAs[Int]("codes"), m.getAs[Int]("lloyd_iters"), 55L, "cell_mean"))
+      .toDF("dim", "cells", "subs", "codes", "lloyd_iters", "n_vectors",
+        "residual_coding")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    // re-running with ids that are all already gone (affected empty)
+    // repairs the count instead of returning the stale arithmetic
+    val reconciled = AnnIndex.expire(spark, dir,
+      Seq(900L, 901L).toDF("id"))
+    assert(reconciled == 15L, s"reconciled $reconciled, want 55 - 40 = 15")
+    assert(AnnIndex.meta(spark, dir).head().getAs[Long]("n_vectors") == 40L)
+  }
+
+  test("rebalance clears a stale _replaced_tmp from a prior interrupted swap") {
+    val dir = java.nio.file.Files.createTempDirectory("annidx-swap").toString
+    val e = graft.queries.SimilarityQueries.emb(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id").as("id"), col("v")).filter(col("id") < 60)
+    AnnIndex.buildIvfPq(e, dim = 64, path = dir, cells = 4, subs = 8,
+      codes = 16, lloydIters = 1)
+    // leftover from a hypothetical crash between the two swap renames
+    val stale = new java.io.File(s"${dir}_replaced_tmp")
+    assert(stale.mkdir())
+    java.nio.file.Files.writeString(stale.toPath.resolve("junk"), "stale")
+    AnnIndex.rebalance(spark, dir)
+    assert(AnnIndex.exists(spark, dir))
+    assert(AnnIndex.meta(spark, dir).head().getAs[Long]("n_vectors") == 60L)
+    assert(!stale.exists(), "_replaced_tmp must be cleaned up after the swap")
+    // the rebalanced index serves
+    val q = e.filter(col("id") < 3)
+    assert(AnnIndex.searchIvfPq(spark, dir, q, k = 3, rerank = 50).count() > 0)
   }
 
   test("cell-skew audit fires after drifted appends; rebalance retrains in place and restores balance") {

@@ -46,9 +46,12 @@ class OracleTypeGuardSpec extends SparkSuite {
     // queries, then all oracles)
     val fixtureReaders = SparkEntry.oracleSql
       .filter(_._2.contains(graft.Fixtures.root)).keys.toSeq.sorted
+    // .get instead of apply: an orphan oracle (SQL left behind after its
+    // query was removed — the set `Cli catalog` tracks) should fail the
+    // DESCRIBE sweep descriptively, not die here on NoSuchElementException
     fixtureReaders.foreach { n =>
-      SparkEntry.queries(n)(spark, sf)
-        .write.format("noop").mode("overwrite").save()
+      SparkEntry.queries.get(n).foreach(
+        _(spark, sf).write.format("noop").mode("overwrite").save())
     }
 
     val dir = java.nio.file.Files.createTempDirectory("oracle_types")
