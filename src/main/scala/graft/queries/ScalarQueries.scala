@@ -10,6 +10,17 @@ import graft.Tables
   * (sketch-based — engine-specific, so spec-checked not oracle-checked). */
 object ScalarQueries {
 
+  /** Fixture exports for the sketch verified twins: the sketch's ANSWER
+    * (engine-specific bits — HLL estimate, GK median) lands in parquet,
+    * and BOTH engines recompute the exact side and the error-bound
+    * verdict from identical bits — the same `_verified` protocol as the
+    * MinHash/PQ/BPE families, closing the last non-twinned no_oracle
+    * pair. */
+  private[graft] val ApproxDistinctFixturePath =
+    graft.Fixtures.path("approx_distinct")
+  private[graft] val ApproxP50FixturePath =
+    graft.Fixtures.path("approx_p50")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // string/date/math scalar suite over orders
     "q_scalar_suite" -> ((s, d) => {
@@ -76,6 +87,26 @@ object ScalarQueries {
         countDistinct("l_partkey").as("exact_parts"))
     }),
 
+    // the ORACLE-CHECKED half of the HLL sketch: the per-group estimate
+    // (the one engine-specific number) exports as a fixture; both engines
+    // recompute the EXACT distinct count and the 3-sigma error verdict
+    // (default rsd 5% -> |approx-exact| <= 15% of exact) from the same
+    // bits — so a wrong estimate, a wrong exact count, or a broken bound
+    // all surface as a hash mismatch
+    "q_approx_distinct_verified" -> ((s, d) => {
+      val li = Tables.load(s, d, "lineitem")
+      li.groupBy("l_returnflag")
+        .agg(approx_count_distinct("l_partkey").as("approx_parts"))
+        .write.mode("overwrite").parquet(ApproxDistinctFixturePath)
+      li.groupBy("l_returnflag")
+        .agg(countDistinct("l_partkey").as("exact_parts"))
+        .join(s.read.parquet(ApproxDistinctFixturePath), "l_returnflag")
+        .select(col("l_returnflag"), col("exact_parts"), col("approx_parts"),
+          (abs(col("approx_parts") - col("exact_parts")) * 100 <=
+            col("exact_parts") * 15).as("within_3rsd"))
+        .orderBy("l_returnflag")
+    }),
+
     // quantile sketch next to the exact percentiles (q_stats_suite): a
     // GK-style approx_percentile with accuracy 10000 (rank error <= n/1e4)
     // per group. Mergeable sketch = one map-side-combinable pass at any
@@ -92,6 +123,33 @@ object ScalarQueries {
           col("pcts")(0).as("p25"), col("pcts")(1).as("p50"),
           col("pcts")(2).as("p75"), col("pcts")(3).as("p95"), col("n"))
         .orderBy("l_returnflag")),
+
+    // the ORACLE-CHECKED half of the GK quantile sketch: the per-group
+    // approximate median (the engine-specific value) exports as a
+    // fixture; both engines recompute its EXACT rank brackets from the
+    // corpus (below = #{v < p50}, at_or_below = #{v <= p50} — the sketch
+    // returns a real element, so its true rank lies between the two) and
+    // assert the GK accuracy-10000 guarantee as pure integer
+    // inequalities: the target rank n/2 sits within n/10000 of the
+    // brackets
+    "q_approx_percentile_verified" -> ((s, d) => {
+      val li = Tables.load(s, d, "lineitem")
+      li.groupBy("l_returnflag")
+        .agg(expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p50"))
+        .write.mode("overwrite").parquet(ApproxP50FixturePath)
+      li.join(s.read.parquet(ApproxP50FixturePath), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_extendedprice") < col("p50"), 1L).otherwise(0L))
+            .as("below"),
+          sum(when(col("l_extendedprice") <= col("p50"), 1L).otherwise(0L))
+            .as("at_or_below"))
+        .select(col("l_returnflag"), col("n"), col("below"), col("at_or_below"),
+          ((col("below") * 10000 <= col("n") * 5000 + col("n")) &&
+            (col("at_or_below") * 10000 >= col("n") * 5000 - col("n")))
+            .as("rank_ok"))
+        .orderBy("l_returnflag")
+    }),
 
     // array scalar suite (§2.8): split / size / element access (first,
     // last) / sort / slice / contains, each with an exact DuckDB
@@ -341,6 +399,37 @@ object ScalarQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    // both sketch twins read the Spark-exported sketch answer (the one
+    // engine-specific number) and recompute the exact side + verdict —
+    // SUM(CASE) CAST back to BIGINT inside the CTE (HUGEINT hazard), the
+    // verdict in an OUTER select (DuckDB lateral-alias hazard)
+    "q_approx_distinct_verified" ->
+      s"""SELECT e.l_returnflag, e.exact_parts, f.approx_parts,
+         |  (ABS(f.approx_parts - e.exact_parts) * 100 <= e.exact_parts * 15)
+         |    AS within_3rsd
+         |FROM (SELECT l_returnflag,
+         |        CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts
+         |      FROM lineitem GROUP BY 1) e
+         |JOIN read_parquet('$ApproxDistinctFixturePath/*.parquet') f
+         |  USING (l_returnflag)
+         |ORDER BY l_returnflag""".stripMargin,
+
+    "q_approx_percentile_verified" ->
+      s"""WITH j AS (
+         |  SELECT l.l_returnflag, COUNT(*) AS n,
+         |    CAST(SUM(CASE WHEN l.l_extendedprice < f.p50 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS below,
+         |    CAST(SUM(CASE WHEN l.l_extendedprice <= f.p50 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS at_or_below
+         |  FROM lineitem l
+         |  JOIN read_parquet('$ApproxP50FixturePath/*.parquet') f
+         |    USING (l_returnflag)
+         |  GROUP BY 1)
+         |SELECT l_returnflag, n, below, at_or_below,
+         |  (below * 10000 <= n * 5000 + n AND
+         |   at_or_below * 10000 >= n * 5000 - n) AS rank_ok
+         |FROM j ORDER BY l_returnflag""".stripMargin,
+
     "q_scalar_suite" ->
       """SELECT o_orderkey,
         |  CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
