@@ -104,10 +104,7 @@ object CdcChunker {
     val chunks = spans.join(docs.select(col("doc_id"), col("text")), "doc_id")
       .select(col("doc_id"), col("start"), col("len"),
         md5(expr("substring(text, start + 1, len)")).as("h"))
-    val first = chunks.groupBy("h")
-      .agg(min(struct(col("doc_id"), col("start"))).as("f"))
-      .select(col("h"), col("f.doc_id").as("f_doc"), col("f.start").as("f_start"))
-    chunks.join(first, "h")
+    chunks.join(firstOccurrence(chunks), "h")
       .withColumn("is_dup",
         !(col("doc_id") === col("f_doc") && col("start") === col("f_start")))
       .groupBy("doc_id")
@@ -138,11 +135,7 @@ object CdcChunker {
       .select(col("doc_id"), col("start"), col("len"),
         expr("substring(text, start + 1, len)").as("chunk"))
       .withColumn("h", md5(col("chunk")))
-    val first = chunks.groupBy("h")
-      .agg(org.apache.spark.sql.functions.min(
-        struct(col("doc_id"), col("start"))).as("f"))
-      .select(col("h"), col("f.doc_id").as("f_doc"), col("f.start").as("f_start"))
-    chunks.join(first, "h")
+    chunks.join(firstOccurrence(chunks), "h")
       .withColumn("keep",
         col("doc_id") === col("f_doc") && col("start") === col("f_start"))
       .groupBy("doc_id")
@@ -155,6 +148,15 @@ object CdcChunker {
   }
 
   /** Chunk rows with content identity: (doc_id, start, len, h). */
+  /** Corpus-wide first occurrence of each chunk hash: min (doc_id, start)
+    * per `h` — THE precedence rule every CDC variant shares (stats,
+    * rewrite, incremental). One definition so a future change to chunk
+    * identity or tie order cannot silently break their pinned parity. */
+  private def firstOccurrence(chunks: DataFrame): DataFrame =
+    chunks.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("start"))).as("f"))
+      .select(col("h"), col("f.doc_id").as("f_doc"), col("f.start").as("f_start"))
+
   private def hashedChunks(
       docs: DataFrame, min: Int, max: Int, mask: Long): DataFrame =
     chunkTable(docs, min, max, mask)
@@ -188,12 +190,8 @@ object CdcChunker {
       min: Int = DefaultMin, max: Int = DefaultMax,
       mask: Long = DefaultMask): DataFrame = {
     val chunks = hashedChunks(newDocs, min, max, mask)
-    val first = chunks.groupBy("h")
-      .agg(org.apache.spark.sql.functions.min(
-        struct(col("doc_id"), col("start"))).as("f"))
-      .select(col("h"), col("f.doc_id").as("f_doc"), col("f.start").as("f_start"))
     val hist = indexHashes.select(col("h"), lit(true).as("in_hist"))
-    chunks.join(first, "h")
+    chunks.join(firstOccurrence(chunks), "h")
       .join(hist, Seq("h"), "left")
       .withColumn("is_dup", coalesce(col("in_hist"), lit(false)) ||
         !(col("doc_id") === col("f_doc") && col("start") === col("f_start")))

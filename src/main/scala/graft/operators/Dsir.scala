@@ -88,7 +88,12 @@ object Dsir {
             (col("nt") + lit(buckets).cast("double"))) /
           ((col("cr") + lit(1)).cast("double") /
             (col("nr") + lit(buckets).cast("double")))) * 1e4)
-          .cast("long").as("lr_fp"))
+          .cast("long").as("lr_fp"),
+        // the bucket count is a PROPERTY OF THE TABLE (it fixes the gram
+        // hash modulus AND the smoothing denominator) — it rides along so
+        // a frozen-table consumer can never silently score under a
+        // different modulus
+        lit(buckets).as("n_buckets"))
   }
 
   /** Score any doc set against a (possibly frozen) ratio table: the
@@ -96,12 +101,24 @@ object Dsir {
     * (Zipf-hot) bucket key; docs whose buckets the table never saw
     * contribute 0 (no evidence either way). */
   def scoreWithRatios(
-      docs: DataFrame, ratios: DataFrame, buckets: Int = 4096): DataFrame =
+      docs: DataFrame, ratios: DataFrame, buckets: Int = 4096): DataFrame = {
+    // a frozen table scored under a different modulus hashes ~ (1 - 1/k)
+    // of grams into buckets the table has no rows for and silently skews
+    // every weight toward 0 — the table's own n_buckets stamp (present
+    // since it was added to ratioTable) makes the mismatch loud instead
+    if (ratios.columns.contains("n_buckets"))
+      ratios.select("n_buckets").limit(1).collect().headOption.foreach { r =>
+        val tb = r.getAs[Number]("n_buckets").intValue()
+        require(tb == buckets,
+          s"ratio table was built with $tb buckets but scoring was asked " +
+            s"for $buckets — the bucket count is a property of the table")
+      }
     bucketRows(docs, buckets)
-      .join(broadcast(ratios), Seq("bucket"), "left")
+      .join(broadcast(ratios.select("bucket", "lr_fp")), Seq("bucket"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_feats"),
         sum(coalesce(col("lr_fp"), lit(0L))).as("weight_fp"))
+  }
 
   def importanceWeights(
       raw: DataFrame, target: DataFrame, buckets: Int = 4096): DataFrame =
@@ -137,7 +154,15 @@ object Dsir {
     * engines of an oracle pair rank identical bits. */
   def resampleWithGumbel(weights: DataFrame, gumbel: DataFrame, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val keyed = weights.join(gumbel.select("doc_id", "gumbel_fp"), Seq("doc_id"))
+    // left join + per-row raise_error instead of a silent inner join: a
+    // weighted doc missing from the gumbel table (a STALE fixture scored
+    // against a newer batch) must fail loudly, not vanish from the
+    // selection without even a kept = false row
+    val keyed = weights
+      .join(gumbel.select("doc_id", "gumbel_fp"), Seq("doc_id"), "left")
+      .withColumn("gumbel_fp", coalesce(col("gumbel_fp"),
+        raise_error(concat(lit("resampleWithGumbel: doc_id "), col("doc_id"),
+          lit(" has no gumbel-table row (stale fixture?)")))))
       .withColumn("key_fp", col("weight_fp") + col("gumbel_fp"))
     val top = TopK.topKPerKey(
         keyed.withColumn("__g", lit(0)), Seq("__g"),

@@ -43,8 +43,14 @@ object EvalOps {
           col("n1").cast("decimal(38,0)") * col("n0")).as("u2"),
         sum("n1").as("n_pos"), sum("n0").as("n_neg"))
       .select(col("n_pos"), col("n_neg"),
-        floor(col("u2").cast("double") * 1000000.0 /
-          (col("n_pos").cast("double") * col("n_neg") * 2.0)).as("auc_ppm"))
+        // single-class input has no ranking to score: 0/0 would float to
+        // NaN and floor to 0 — indistinguishable from a perfectly
+        // anti-correlated classifier — so the degenerate case surfaces as
+        // NULL instead (gini below null-propagates with it)
+        when(col("n_pos") === 0L || col("n_neg") === 0L, lit(null).cast("long"))
+          .otherwise(floor(col("u2").cast("double") * 1000000.0 /
+            (col("n_pos").cast("double") * col("n_neg") * 2.0)))
+          .as("auc_ppm"))
       .withColumn("gini_ppm", col("auc_ppm") * 2 - 1000000L)
   }
 
@@ -58,16 +64,22 @@ object EvalOps {
   def calibration(scored: DataFrame, scoreCol: String, labelCol: String,
       predictedCol: String, bins: Int = 10): DataFrame = {
     val rng = scored.agg(min(scoreCol).as("lo"), max(scoreCol).as("hi"))
+    // (score - lo) * bins and the per-bin score sum both run in
+    // DECIMAL(38,0): a wide integer score range (nanosecond-like
+    // magnitudes) or a giant bin would otherwise wrap int64 silently;
+    // `div` (IntegralDivide) returns BIGINT so the bin id and the floored
+    // mean keep their schema
     scored.crossJoin(broadcast(rng))
       .withColumn("bin",
-        least(expr(s"($scoreCol - lo) * $bins div (hi - lo + 1)"),
+        least(expr(s"CAST(($scoreCol - lo) AS DECIMAL(38,0)) * $bins " +
+            "div (hi - lo + 1)"),
           lit(bins - 1L)))
       .groupBy("bin").agg(
         count(lit(1)).as("n"),
         sum(when(col(labelCol), 1L).otherwise(0L)).as("n_pos"),
         sum(when(col(predictedCol), 1L).otherwise(0L)).as("n_pred"),
-        floor(sum(scoreCol).cast("double") / count(lit(1)))
-          .as("mean_score_fp"))
+        floor(sum(col(scoreCol).cast("decimal(38,0)")).cast("double") /
+          count(lit(1))).as("mean_score_fp"))
       .withColumn("pos_rate_ppm", expr("n_pos * 1000000 div n"))
       .orderBy("bin")
   }
@@ -101,12 +113,19 @@ object EvalOps {
     byv
       .select(col("v"), sum("ca").over(w).as("cuma"), sum("cb").over(w).as("cumb"))
       .crossJoin(broadcast(tot))
-      .agg(max(abs(col("cuma") * col("nb") - col("cumb") * col("na"))).as("d_num"),
+      // the cross products reach n_a*n_b ~ (histogram row counts)² — at
+      // the monitor's unbounded stream-so-far accumulation that passes
+      // int64 around 4.3e9 rows/side, so the comparison runs in
+      // DECIMAL(38,0) (the same widening rocAuc got); the OUTPUT d_num
+      // casts back to BIGINT for the Arrow-faithful schema — by then the
+      // max is already exact
+      .agg(max(abs(col("cuma").cast("decimal(38,0)") * col("nb") -
+          col("cumb").cast("decimal(38,0)") * col("na"))).as("d_dec"),
         max("na").as("n_a"), max("nb").as("n_b"))
-      .select(col("n_a"), col("n_b"), col("d_num"),
-        floor(col("d_num").cast("double") * 1000000.0 /
+      .select(col("n_a"), col("n_b"), col("d_dec").cast("long").as("d_num"),
+        floor(col("d_dec").cast("double") * 1000000.0 /
           (col("n_a").cast("double") * col("n_b"))).as("ks_ppm"),
-        (col("d_num").cast("double") / (col("n_a").cast("double") * col("n_b")) >
+        (col("d_dec").cast("double") / (col("n_a").cast("double") * col("n_b")) >
           lit(1.358) * sqrt((col("n_a") + col("n_b")).cast("double") /
             (col("n_a").cast("double") * col("n_b")))).as("reject_05"))
   }
@@ -164,22 +183,29 @@ object EvalOps {
     val before = Window
       .orderBy(col("avail").cast("double") / col("weight"), col("source"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // token-scale products (avail·w_from ~ 1e13 · 5e6 at a 100 TB corpus)
+    // pass int64 — the comparisons and the alloc multiply run in
+    // DECIMAL(38,0), exactly like rocAuc's rank-sum; `div` (IntegralDivide)
+    // accepts decimal operands and returns BIGINT, so the output schema is
+    // unchanged
     val rows = wts.crossJoin(broadcast(tot))
-      .withColumn("b", expr(s"tot_avail * $budgetNum div $budgetDen"))
+      .withColumn("b", expr(
+        s"CAST(tot_avail AS DECIMAL(38,0)) * $budgetNum div $budgetDen"))
       .withColumn("prefix_avail",
         coalesce(sum("avail").over(before), lit(0L)))
       .withColumn("w_from",
         col("tot_w") - coalesce(sum("weight").over(before), lit(0L)))
       .withColumn("saturated",
-        col("avail") * col("w_from") <=
-          (col("b") - col("prefix_avail")) * col("weight"))
+        col("avail").cast("decimal(38,0)") * col("w_from") <=
+          (col("b") - col("prefix_avail")).cast("decimal(38,0)") * col("weight"))
     val fin = rows.agg(
       sum(when(col("saturated"), col("avail")).otherwise(0L)).as("sat_avail"),
       sum(when(col("saturated"), 0L).otherwise(col("weight"))).as("unsat_w"))
     rows.crossJoin(broadcast(fin))
       .withColumn("alloc",
         when(col("saturated"), col("avail"))
-          .otherwise(expr("(b - sat_avail) * weight div greatest(unsat_w, 1)")))
+          .otherwise(expr(
+            "CAST(b - sat_avail AS DECIMAL(38,0)) * weight div greatest(unsat_w, 1)")))
       .select("source", "avail", "weight", "saturated", "alloc")
   }
 

@@ -103,19 +103,26 @@ object LangModel {
       docs: DataFrame, c12: DataFrame, c1: DataFrame, vocab: DataFrame,
       headK: Int): DataFrame = {
     val bg = bigrams(docs)
+    // the head ordering MUST be total (count desc, then the key columns):
+    // the head is evaluated twice (inner-join broadcast + anti-join
+    // broadcast), and with a count-only ordering a tie at the headK
+    // boundary could resolve differently between the two evaluations —
+    // a row matching evaluation-1's head but not evaluation-2's would be
+    // scored twice (and its mirror dropped), silently corrupting the NLL
     def hybrid(rows: DataFrame, counts: DataFrame, keys: Seq[String],
-        ord: Column): DataFrame =
+        ord: Seq[Column]): DataFrame =
       if (headK <= 0) rows.join(counts, keys, "left")
       else {
-        val head = counts.orderBy(ord).limit(headK)
+        val head = counts.orderBy(ord: _*).limit(headK)
         rows.join(broadcast(head), keys, "inner").unionByName(
           rows.join(broadcast(head.select(keys.map(col): _*)), keys, "left_anti")
             .join(counts, keys, "left"),
           allowMissingColumns = true)
       }
     val with12 = hybrid(bg, c12, Seq("w1", "w2"),
-      col("c12").desc)
-    val with1 = hybrid(with12, c1, Seq("w1"), col("c1").desc)
+      Seq(col("c12").desc, col("w1"), col("w2")))
+    val with1 = hybrid(with12, c1, Seq("w1"),
+      Seq(col("c1").desc, col("w1")))
     with1
       .crossJoin(broadcast(vocab))
       .select(col("doc_id"),
@@ -183,14 +190,20 @@ object LangModel {
    * [[scoreAgainst]].
    */
   def writeModel(docs: DataFrame, path: String): Unit = {
-    val (c12, c1, vocab) = trainCounts(docs)
-    c12.write.mode("overwrite").parquet(s"$path/c12")
-    c1.write.mode("overwrite").parquet(s"$path/c1")
+    val bg = bigrams(docs)
+    bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .write.mode("overwrite").parquet(s"$path/c12")
+    bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+      .write.mode("overwrite").parquet(s"$path/c1")
     // the vocabulary SET rides along (vocab-bounded): counts alone can't
     // merge models exactly — V(A ∪ B) is the distinct union's size, not
-    // V(A) + V(B)
+    // V(A) + V(B). meta (= V) derives from the WRITTEN vocab parquet
+    // (the mergeModels pattern) so the corpus-wide distinct runs ONCE,
+    // not once for the table and again for the count
     vocabWords(docs).write.mode("overwrite").parquet(s"$path/vocab")
-    vocab.write.mode("overwrite").parquet(s"$path/meta")
+    docs.sparkSession.read.parquet(s"$path/vocab")
+      .agg(count(lit(1)).as("v"))
+      .write.mode("overwrite").parquet(s"$path/meta")
   }
 
   /**

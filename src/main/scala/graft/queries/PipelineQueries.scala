@@ -2094,8 +2094,9 @@ object PipelineQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum0
         |  FROM bys
         |), auc AS (
-        |  SELECT CAST(FLOOR(CAST(SUM(n1 * cum0 * 2 + n1 * n0) AS DOUBLE) * 1000000.0 /
-        |    (CAST(SUM(n1) AS DOUBLE) * SUM(n0) * 2.0)) AS BIGINT) AS auc_ppm
+        |  SELECT CASE WHEN SUM(n1) = 0 OR SUM(n0) = 0 THEN NULL ELSE
+        |    CAST(FLOOR(CAST(SUM(n1 * cum0 * 2 + n1 * n0) AS DOUBLE) * 1000000.0 /
+        |    (CAST(SUM(n1) AS DOUBLE) * SUM(n0) * 2.0)) AS BIGINT) END AS auc_ppm
         |  FROM cum
         |), lens AS (
         |  SELECT doc_id, CAST(LEN(string_split_regex(TRIM(text), ' +')) AS BIGINT) AS v

@@ -1207,11 +1207,13 @@ object TextQueries {
         |    CAST(SUM(n1) AS BIGINT) AS n_pos, CAST(SUM(n0) AS BIGINT) AS n_neg
         |  FROM cum)
         |SELECT n_pos, n_neg,
-        |  CAST(FLOOR(CAST(u2 AS DOUBLE) * 1000000.0 /
-        |    (CAST(n_pos AS DOUBLE) * n_neg * 2.0)) AS BIGINT) AS auc_ppm,
-        |  CAST(FLOOR(CAST(u2 AS DOUBLE) * 1000000.0 /
-        |    (CAST(n_pos AS DOUBLE) * n_neg * 2.0)) AS BIGINT) * 2 - 1000000
-        |    AS gini_ppm
+        |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL ELSE
+        |    CAST(FLOOR(CAST(u2 AS DOUBLE) * 1000000.0 /
+        |      (CAST(n_pos AS DOUBLE) * n_neg * 2.0)) AS BIGINT) END AS auc_ppm,
+        |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL ELSE
+        |    CAST(FLOOR(CAST(u2 AS DOUBLE) * 1000000.0 /
+        |      (CAST(n_pos AS DOUBLE) * n_neg * 2.0)) AS BIGINT) * 2 - 1000000
+        |    END AS gini_ppm
         |FROM u""".stripMargin,
 
     // same scored corpus -> equal-width bins over the observed range;
