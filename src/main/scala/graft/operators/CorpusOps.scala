@@ -1865,4 +1865,197 @@ object CorpusOps {
         col("common"), (floor(col("common") * lit(1000) / col("sb")) / 1000).as("containment"))
     aInB.unionByName(bInA)
   }
+
+  /**
+   * Contiguous global rank (0-based) by `key`, without a single-partition
+   * window: `repartitionByRange` + `sortWithinPartitions` establish the
+   * global order ACROSS partitions (range boundaries come from sampling,
+   * but they only choose the split points — the concatenated partition
+   * order is the total key order regardless), and `zipWithIndex` stamps
+   * contiguous indexes with one extra per-partition count job — the
+   * canonical distributed ranking, and the one place this library touches
+   * the RDD API (Window.orderBy with no partition key funnels the corpus
+   * through ONE task). `key` must be a total order (include a unique
+   * tie-break column) or ranks are nondeterministic between runs.
+   */
+  private[graft] def globalRank(
+      df: DataFrame, key: org.apache.spark.sql.Column,
+      rankCol: String): DataFrame = {
+    val s = df.sparkSession
+    val sorted = df.withColumn("__gr_key", key)
+      .repartitionByRange(col("__gr_key"))
+      .sortWithinPartitions("__gr_key")
+    val schema = sorted.schema
+      .add(org.apache.spark.sql.types.StructField(
+        rankCol, org.apache.spark.sql.types.LongType, nullable = false))
+    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    }
+    s.createDataFrame(rdd, schema).drop("__gr_key")
+  }
+
+  /**
+   * Sorted-neighborhood (SNM) near-dup screening (Hernandez & Stolfo,
+   * SIGMOD 1995's merge/purge, on gram sets): every doc keyed by its
+   * RAREST word trigram under the global (df, gram) order — near-dups
+   * overwhelmingly share their rarest gram, so they land adjacent in the
+   * sort — then each doc is compared against exactly the next `window`
+   * docs in rank order and survivors are verified with the exact
+   * distinct-trigram Jaccard at `pct`/100. Complements the posting-join
+   * and prefix-filter detectors with a third plan shape: ONE global
+   * range-sort + a rank equi-join whose fan-out is `window` rows per doc
+   * — candidate volume is window·n by construction, immune to df skew
+   * (no posting list, no band bucket, nothing quadratic anywhere), at
+   * the price of RECALL bounded by the window (a near-dup pair more than
+   * `window` ranks apart is missed — the documented screening trade-off,
+   * mirrored exactly by the oracle's rank-distance rule).
+   *
+   * Returns (doc_a < doc_b, jaccard) like the Jaccard family.
+   */
+  def snmPairs(
+      documents: DataFrame, window: Int = 10, pct: Int = 50): DataFrame = {
+    require(window >= 1 && pct >= 1 && pct <= 99,
+      s"window >= 1 and pct in [1, 99], got $window/$pct")
+    val gramRows = documents
+      .select(col("doc_id"), split(trim(col("text")), " +").as("wd"))
+      .filter(size(col("wd")) >= 3)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), size(col("wd")) - 3)).as("i"), col("wd"))
+      .select(col("doc_id"),
+        expr("concat(wd[i], ' ', wd[i+1], ' ', wd[i+2])").as("gram"))
+      .dropDuplicates("doc_id", "gram")
+    val dfT = gramRows.groupBy("gram").agg(count(lit(1)).as("df"))
+    // rarest gram per doc + the doc's full distinct gram set (for the
+    // exact verify) in one aggregation; arrays are per-doc sized
+    val perDoc = gramRows.join(dfT, "gram")
+      .groupBy("doc_id")
+      .agg(min(struct(col("df"), col("gram"))).as("k0"),
+        sort_array(collect_list(col("gram"))).as("grams"))
+      .select(col("doc_id"), col("k0.df").as("kdf"), col("k0.gram").as("kgram"),
+        col("grams"), size(col("grams")).cast("long").as("sz"))
+    val ranked = globalRank(perDoc,
+      struct(col("kdf"), col("kgram"), col("doc_id")), "rnk")
+      .select(col("doc_id"), col("grams"), col("sz"), col("rnk"))
+    // each doc meets its next `window` ranks: explode the distance, then
+    // a plain equi-join on the dense LONG rank — IDS ONLY through the
+    // candidate shuffle (the gram arrays would otherwise ride it
+    // window-fold); arrays join back onto the window·n candidate rows
+    val leftIds = ranked
+      .select(col("doc_id").as("id_a"),
+        explode(sequence(lit(1), lit(window))).as("d"), col("rnk"))
+      .select(col("id_a"), (col("rnk") + col("d")).as("rnk"))
+    val cand = leftIds
+      .join(ranked.select(col("doc_id").as("id_b"), col("rnk")), "rnk")
+      .select(col("id_a"), col("id_b"))
+    val s = documents.sparkSession
+    import s.implicits._
+    // exact verify through a two-pointer merge count (Catalyst
+    // array_intersect evaluates interpreted per pair and dominates at
+    // window·n candidates); the arrays arrive sort_array-ordered (UTF-8
+    // binary — identical to compareTo on this ASCII gram space)
+    cand
+      .join(perDoc.select(col("doc_id").as("id_a"), col("grams").as("ga")), "id_a")
+      .join(perDoc.select(col("doc_id").as("id_b"), col("grams").as("gb")), "id_b")
+      .select(col("id_a"), col("id_b"), col("ga"), col("gb"))
+      .as[(Long, Long, IndexedSeq[String], IndexedSeq[String])]
+      .mapPartitions(_.flatMap { case (a, b, ga, gb) =>
+        var i = 0; var j = 0; var common = 0L
+        while (i < ga.size && j < gb.size) {
+          val c = ga(i).compareTo(gb(j))
+          if (c == 0) { common += 1; i += 1; j += 1 }
+          else if (c < 0) i += 1
+          else j += 1
+        }
+        val union = ga.size + gb.size - common
+        if (common * 100 >= union * pct)
+          Some((math.min(a, b), math.max(a, b),
+            (common * 1000L / union).toDouble / 1000))
+        else None
+      })
+      .toDF("doc_a", "doc_b", "jaccard")
+  }
+
+  /**
+   * PPJoin set-similarity self-join (Xiao, Wang, Lin & Yu, "Efficient
+   * Similarity Joins for Near Duplicate Detection", WWW 2008): every pair
+   * with exact word-trigram Jaccard >= `pct`/100, found via LOSSLESS
+   * prefix filtering instead of the df cap the posting-join family uses.
+   * Grams are globally ordered by ascending document frequency (rarest
+   * first, ties by gram text — identical in both engines on the ASCII
+   * corpus); a doc of set size s need only index its first
+   * s − ⌈t·s⌉ + 1 grams in that order (the PREFIX), because two sets
+   * with Jaccard >= t must share a gram inside both prefixes — so the
+   * candidate join touches the rarest slice of each posting list and an
+   * over-frequent gram lands in a prefix only when a doc has nothing
+   * rarer. Two further exact filters prune candidates before
+   * verification: the LENGTH filter (t·s_b <= s_a when s_a <= s_b) and
+   * PPJoin's POSITIONAL filter — a shared prefix gram at 1-based
+   * positions (i, j) bounds the overlap by min(s_a−i, s_b−j)+1, which
+   * must reach α = ⌈t/(1+t)·(s_a+s_b)⌉, the overlap a qualifying pair
+   * needs. The first shared gram of a qualifying pair sits in both
+   * prefixes and passes the bound, so admitting a pair when ANY of its
+   * shared prefix grams passes loses nothing. Survivors are verified
+   * EXACTLY (distinct-set intersection on the two gram arrays), so the
+   * result equals the brute all-pairs join at the threshold — no
+   * conservative misses, and the oracle states the brute definition.
+   *
+   * All thresholds are integer-exact: ⌈pct·s/100⌉ = (pct·s+99) div 100,
+   * α = (pct·(s_a+s_b)+100+pct−1) div (100+pct), and the verify test is
+   * 100·common >= pct·union.
+   *
+   * Scale shape: one shuffle join tags grams with df, one groupBy builds
+   * each doc's sorted gram array (per-DOC sized buffers, never
+   * corpus-sized), the candidate join shuffles only prefix postings
+   * (id + position + size — no text beyond the gram key), and the exact
+   * verify joins gram arrays against id-only candidate pairs. Returns
+   * (doc_a < doc_b, jaccard) like the Jaccard family.
+   */
+  def ppjoinPairs(documents: DataFrame, pct: Int = 50): DataFrame = {
+    require(pct >= 1 && pct <= 99, s"pct must be in [1, 99], got $pct")
+    val gramRows = documents
+      .select(col("doc_id"), split(trim(col("text")), " +").as("wd"))
+      .filter(size(col("wd")) >= 3)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), size(col("wd")) - 3)).as("i"), col("wd"))
+      .select(col("doc_id"),
+        expr("concat(wd[i], ' ', wd[i+1], ' ', wd[i+2])").as("gram"))
+      .dropDuplicates("doc_id", "gram")
+    val dfT = gramRows.groupBy("gram").agg(count(lit(1)).as("df"))
+    // each doc's grams sorted by global (df, gram) order; arrays are
+    // per-doc sized, and the (df, gram) struct sort is total so the
+    // prefix is deterministic
+    val perDoc = gramRows.join(dfT, "gram")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("gram")))).as("gs"))
+      .select(col("doc_id"),
+        expr("transform(gs, x -> x.gram)").as("grams"),
+        size(col("gs")).cast("long").as("sz"))
+    val prefixes = perDoc
+      .withColumn("plen",
+        (col("sz") - expr(s"($pct * sz + 99) div 100") + 1).cast("int"))
+      .select(col("doc_id"), col("sz"),
+        posexplode(slice(col("grams"), lit(1), col("plen"))).as(Seq("i0", "gram")))
+      .select(col("gram"), col("doc_id"), (col("i0") + 1).as("i"), col("sz"))
+    val a = prefixes.select(col("gram"), col("doc_id").as("doc_a"),
+      col("i").as("ia"), col("sz").as("sa"))
+    val b = prefixes.select(col("gram"), col("doc_id").as("doc_b"),
+      col("i").as("ib"), col("sz").as("sb"))
+    val cand = a.join(b, Seq("gram"))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(col("sa") * 100 >= col("sb") * pct &&
+        col("sb") * 100 >= col("sa") * pct)
+      .filter(least(col("sa") - col("ia"), col("sb") - col("ib")) + 1 >=
+        expr(s"($pct * (sa + sb) + ${100 + pct} - 1) div ${100 + pct}"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    cand
+      .join(perDoc.select(col("doc_id").as("doc_a"), col("grams").as("ga"),
+        col("sz").as("sa")), "doc_a")
+      .join(perDoc.select(col("doc_id").as("doc_b"), col("grams").as("gb"),
+        col("sz").as("sb")), "doc_b")
+      .withColumn("common", size(array_intersect(col("ga"), col("gb"))).cast("long"))
+      .withColumn("union_sz", col("sa") + col("sb") - col("common"))
+      .filter(col("common") * 100 >= col("union_sz") * pct)
+      .select(col("doc_a"), col("doc_b"),
+        (floor(col("common") * lit(1000) / col("union_sz")) / 1000).as("jaccard"))
+  }
 }

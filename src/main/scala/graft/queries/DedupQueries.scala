@@ -37,6 +37,8 @@ object DedupQueries {
     * signatures, band codes — lands in parquet, and BOTH engines recompute
     * the candidate-join + exact-verify downstream from identical bits). */
   private[graft] val MinhashBandsFixturePath = graft.Fixtures.path("minhash_bands")
+  private[graft] val LshRecallBandsPath = graft.Fixtures.path("lsh_recall_bands")
+  private[graft] val LshRecallSetsPath = graft.Fixtures.path("lsh_recall_sets")
   private[graft] val EmbIdxFixturePath = graft.Fixtures.path("emb_idx_cand")
   private[graft] val MinhashSetsFixturePath = graft.Fixtures.path("minhash_sets")
   private[graft] val SimhashFixturePath = graft.Fixtures.path("simhash_sig")
@@ -168,6 +170,25 @@ object DedupQueries {
     // Exact: every pair with jaccard >= 0.5 shares >= 1 trigram by definition.
     "dedup_ngram_jaccard" -> ((s, d) =>
       ngramJaccardPairs(docs(s, d)).orderBy("doc_a", "doc_b")),
+
+    // the SAME pair semantics through PPJoin's lossless prefix filter
+    // (WWW'08): global rarest-first gram order, per-doc prefix postings,
+    // length + positional pruning, exact verify on survivors — no df cap,
+    // no conservative misses, so the output IS the brute-force all-pairs
+    // answer and the oracle states the brute definition. Head-to-head
+    // with dedup_ngram_jaccard: same rows, different (uncapped) plan.
+    "dedup_ppjoin" -> ((s, d) =>
+      graft.operators.CorpusOps.ppjoinPairs(docs(s, d), pct = 50)
+        .orderBy("doc_a", "doc_b")),
+
+    // third detector plan shape: sorted-neighborhood screening (one global
+    // range-sort by rarest gram, rank-window candidates — window·n by
+    // construction, immune to df skew), exact verify. Window-bounded
+    // recall is the documented trade-off, mirrored by the oracle's
+    // rank-distance rule.
+    "dedup_snm" -> ((s, d) =>
+      graft.operators.CorpusOps.snmPairs(docs(s, d), window = 10, pct = 50)
+        .orderBy("doc_a", "doc_b")),
 
     // threshold sweep (the "choose your cut" audit run before committing a
     // near-dup threshold): the SAME df-capped posting join emits pairs once
@@ -390,6 +411,75 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // the LSH TUNING audit: empirical capture rate of the 8x4 band join
+    // per exact-jaccard decile, against the fixed-point theoretical
+    // S-curve 1-(1-s^4)^8 at each decile midpoint — the readout that says
+    // whether the (b, r) choice matches the corpus (theory assumes
+    // independent minhashes; this measures the real kernel). Kernel
+    // outputs (bands, full shingle sets) export as fixtures; BOTH engines
+    // recompute the df-capped exact-pair join, the candidate-capture
+    // flags, and the integer S-curve from those bits — every column an
+    // exact integer, fully oracle-checked even though the kernels are JVM.
+    "dedup_lsh_recall" -> ((s, d) => {
+      val dd = docs(s, d)
+      graft.operators.CorpusOps.minhashBands(dd)
+        .write.mode("overwrite").parquet(LshRecallBandsPath)
+      graft.operators.CorpusOps.shingleSets(dd)
+        .write.mode("overwrite").parquet(LshRecallSetsPath)
+      val bands = s.read.parquet(LshRecallBandsPath)
+      val sets = s.read.parquet(LshRecallSetsPath)
+      // exact-pair side: candidates = pairs sharing >= 1 DISCRIMINATIVE
+      // shingle (2 <= df <= 64 — a ubiquitous 5-char shingle like " the "
+      // carries no similarity signal but df^2 pair emission; mid-df
+      // shingles at sf0.1 made an uncapped posting join emit tens of
+      // millions of rows), then jaccard verified EXACTLY on the full
+      // shingle sets via the two-pointer kernel. The df window is a
+      // documented conservative miss (a pair near-dup ONLY in ubiquitous
+      // text emits nothing), mirrored in the oracle's HAVING range.
+      import s.implicits._
+      val shRows = sets.select(col("doc_id"), explode(col("shs")).as("sh"))
+      val candPairs = graft.operators.CorpusOps
+        .postingPairCounts(shRows, "sh", 64)
+        .select(col("doc_a"), col("doc_b"))
+      val pairs = candPairs
+        .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("sa")), "doc_a")
+        .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("sb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
+        .as[(Long, Long, IndexedSeq[Long], IndexedSeq[Long])]
+        .mapPartitions(_.flatMap { case (a, b, sa, sb) =>
+          val common = graft.similarity.MinHashKernel
+            .intersectionSortedLongs(sa, sb).toLong
+          val union = sa.size + sb.size - common
+          val jacMilli = common * 1000L / union
+          if (jacMilli >= 100L) Some((a, b, jacMilli)) else None
+        })
+        .toDF("doc_a", "doc_b", "jac_milli")
+      val cand = graft.operators.CorpusOps.minhashCandidates(bands)
+        .withColumn("hit", lit(1L))
+      pairs
+        .join(cand, Seq("doc_a", "doc_b"), "left")
+        .withColumn("decile", expr("jac_milli div 100"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_captured"))
+        .withColumn("capture_pct", expr("n_captured * 100 div n_pairs"))
+        // fixed-point S-curve at the decile midpoint m (milli), capped at
+        // 1000: s^4 by three floor-multiplies, (1-s^4)^8 by three floor-
+        // squarings — the identical chain runs in the oracle
+        .withColumn("m", least(col("decile") * 100 + 50, lit(1000L)))
+        .withColumn("a1", expr("m * m div 1000"))
+        .withColumn("a2", expr("a1 * m div 1000"))
+        .withColumn("s4", expr("a2 * m div 1000"))
+        .withColumn("q", lit(1000L) - col("s4"))
+        .withColumn("q2", expr("q * q div 1000"))
+        .withColumn("q4", expr("q2 * q2 div 1000"))
+        .withColumn("q8", expr("q4 * q4 div 1000"))
+        .withColumn("expected_milli", lit(1000L) - col("q8"))
+        .select(col("decile"), col("n_pairs"), col("n_captured"),
+          col("capture_pct"), col("expected_milli"))
+        .orderBy("decile")
+    }),
+
     // the ORACLE-CHECKED half of SimHash: the 64-bit sketch exports as a
     // fixture; band extraction (shift+mask), candidate join, and the
     // bit_count(xor) hamming verify recompute in both engines — integer
@@ -555,6 +645,58 @@ object DedupQueries {
         |            JOIN sets sb ON sb.doc_id = cand.doc_b)
         |WHERE common * 2 >= union_sz
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // recompute the LSH recall audit from the exported band/shingle
+    // fixtures: df-capped exact-pair join (the cap DOES fire on ubiquitous
+    // shingles — mirrored as the HAVING range), candidate capture flags,
+    // and the identical fixed-point S-curve chain
+    "dedup_lsh_recall" ->
+      s"""WITH b AS (SELECT * FROM read_parquet('$LshRecallBandsPath/*.parquet')),
+        |sets AS (SELECT * FROM read_parquet('$LshRecallSetsPath/*.parquet')),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, unnest(shs) AS sh FROM sets),
+        |kept AS (
+        |  SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) BETWEEN 2 AND 64),
+        |cp AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        |  JOIN kept k ON k.sh = x.sh),
+        |pairs AS (
+        |  SELECT doc_a, doc_b, common * 1000 // (la + lb - common) AS jac_milli
+        |  FROM (
+        |    SELECT cp.doc_a, cp.doc_b,
+        |      CAST(len(list_intersect(sa.shs, sb.shs)) AS BIGINT) AS common,
+        |      CAST(len(sa.shs) AS BIGINT) AS la, CAST(len(sb.shs) AS BIGINT) AS lb
+        |    FROM cp JOIN sets sa ON sa.doc_id = cp.doc_a
+        |            JOIN sets sb ON sb.doc_id = cp.doc_b)
+        |  WHERE common * 1000 >= (la + lb - common) * 100),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM b x JOIN b y ON x.band_idx = y.band_idx
+        |    AND x.band_val = y.band_val AND x.doc_id < y.doc_id),
+        |agg AS (
+        |  SELECT jac_milli // 100 AS decile,
+        |    CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(CASE WHEN cand.doc_a IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS n_captured
+        |  FROM pairs LEFT JOIN cand USING (doc_a, doc_b)
+        |  GROUP BY 1),
+        |curve AS (
+        |  SELECT *, q4 * q4 // 1000 AS q8 FROM (
+        |    SELECT *, q2 * q2 // 1000 AS q4 FROM (
+        |      SELECT *, q * q // 1000 AS q2 FROM (
+        |        SELECT *, 1000 - s4 AS q FROM (
+        |          SELECT *, a2 * m // 1000 AS s4 FROM (
+        |            SELECT *, a1 * m // 1000 AS a2 FROM (
+        |              SELECT *, m * m // 1000 AS a1 FROM (
+        |                SELECT *, LEAST(decile * 100 + 50, 1000) AS m
+        |                FROM agg)))))))
+        |)
+        |SELECT decile, n_pairs, n_captured,
+        |  n_captured * 100 // n_pairs AS capture_pct,
+        |  1000 - q8 AS expected_milli
+        |FROM curve
+        |ORDER BY decile""".stripMargin,
 
     // recompute the SimHash downstream from the exported 64-bit sketches:
     // shift+mask bands, candidate join, bit_count(xor) hamming <= 3
@@ -812,6 +954,61 @@ object DedupQueries {
         |    len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) AS union_sz
         |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
         |WHERE common * 2 >= union_sz
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // PPJoin is lossless, so its oracle is the brute all-pairs definition
+    // (identical to dedup_ngram_jaccard's — that equality is the point)
+    "dedup_ppjoin" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), ' +') AS w FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                   FOR i IN generate_series(1, len(w) - 2)]) AS grams
+        |  FROM t WHERE len(w) >= 3)
+        |SELECT doc_a, doc_b, FLOOR(common * 1000 / union_sz) / 1000 AS jaccard
+        |FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    len(list_intersect(a.grams, b.grams)) AS common,
+        |    len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) AS union_sz
+        |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
+        |WHERE common * 100 >= union_sz * 50
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // mirror the SNM rule: rarest-gram sort key, global rank, pairs at
+    // rank distance 1..10, exact jaccard verify (ROW_NUMBER is 1-based vs
+    // the engine's 0-based zipWithIndex — only distances enter the rule)
+    "dedup_snm" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), ' +') AS w FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                   FOR i IN generate_series(1, len(w) - 2)]) AS grams
+        |  FROM t WHERE len(w) >= 3),
+        |e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+        |dfq AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS df FROM e GROUP BY 1),
+        |k AS (
+        |  SELECT doc_id, kdf, kgram FROM (
+        |    SELECT e.doc_id, d.df AS kdf, e.gram AS kgram,
+        |      ROW_NUMBER() OVER (PARTITION BY e.doc_id ORDER BY d.df, e.gram) AS rn
+        |    FROM e JOIN dfq d USING (gram))
+        |  WHERE rn = 1),
+        |r AS (
+        |  SELECT k.doc_id, g.grams,
+        |    ROW_NUMBER() OVER (ORDER BY k.kdf, k.kgram, k.doc_id) AS rnk
+        |  FROM k JOIN g USING (doc_id)),
+        |cand AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.grams AS ga, b.grams AS gb
+        |  FROM r a JOIN r b ON b.rnk - a.rnk BETWEEN 1 AND 10)
+        |SELECT LEAST(id_a, id_b) AS doc_a, GREATEST(id_a, id_b) AS doc_b,
+        |  FLOOR(common * 1000 / union_sz) / 1000 AS jaccard
+        |FROM (
+        |  SELECT id_a, id_b,
+        |    CAST(len(list_intersect(ga, gb)) AS BIGINT) AS common,
+        |    CAST(len(ga) + len(gb) - len(list_intersect(ga, gb)) AS BIGINT) AS union_sz
+        |  FROM cand)
+        |WHERE common * 100 >= union_sz * 50
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // same pair emission at the 0.3 floor, same integer milli-jaccard,

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Sorted-neighborhood near-dup screening: the distributed global rank,
+  * model equality with a brute in-memory SNM, and the screening
+  * soundness/recall contract. */
+class SnmSpec extends SparkSuite {
+
+  test("globalRank stamps contiguous 0-based ranks in total key order") {
+    import spark.implicits._
+    // shuffled input with a total-order key (val, id)
+    val rows = new scala.util.Random(42).shuffle(
+      (0L until 500L).map(i => (i, (i * 37) % 101))).toDF("id", "v")
+      .repartition(7)
+    val ranked = CorpusOps.globalRank(rows, struct(col("v"), col("id")), "rnk")
+      .select("id", "v", "rnk").as[(Long, Long, Long)].collect()
+    assert(ranked.map(_._3).sorted.toSeq == (0L until 500L))
+    val byRank = ranked.sortBy(_._3).map(r => (r._2, r._1)).toSeq
+    assert(byRank == byRank.sorted, "rank order must equal (v, id) sort order")
+  }
+
+  /** Brute in-memory SNM: the model the operator must match. */
+  private def model(
+      docs: Seq[(Long, String)], w: Int, pct: Int): Set[(Long, Long)] = {
+    def grams(t: String): Set[String] = {
+      val ws = t.trim.split(" +").toSeq
+      if (ws.size < 3) Set.empty else ws.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val g = docs.map { case (id, t) => id -> grams(t) }.filter(_._2.nonEmpty)
+    val df = g.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ranked = g.map { case (id, gs) =>
+      val (kdf, kgram) = gs.map(x => (df(x), x)).min
+      (kdf, kgram, id, gs)
+    }.sortBy(x => (x._1, x._2, x._3)).map { case (_, _, id, gs) => (id, gs) }
+    (for {
+      i <- ranked.indices; j <- (i + 1) to math.min(i + w, ranked.size - 1)
+      (ia, ga) = ranked(i); (ib, gb) = ranked(j)
+      common = (ga & gb).size; union = ga.size + gb.size - common
+      if common * 100 >= union * pct
+    } yield (math.min(ia, ib), math.max(ia, ib))).toSet
+  }
+
+  private def corpus: Seq[(Long, String)] = (0L until 60L).map { i =>
+    val body = i % 3 match {
+      case 0 => s"alpha beta gamma delta epsilon zeta eta ${i / 3} tail marker"
+      case 1 => s"alpha beta gamma delta epsilon zeta eta ${i / 3} tail changed"
+      case _ => s"unrelated content ${i} with words ${i * 7} ${i * 13} here now"
+    }
+    (i, body)
+  }
+
+  test("snmPairs equals the brute SNM model on a planted corpus") {
+    import spark.implicits._
+    for ((w, pct) <- Seq((5, 50), (10, 30), (2, 80))) {
+      val got = CorpusOps.snmPairs(corpus.toDF("doc_id", "text"), w, pct)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      assert(got == model(corpus, w, pct), s"mismatch at window=$w pct=$pct")
+    }
+  }
+
+  test("screening contract: sound (pairs are true near-dups) and catches planted dups") {
+    import spark.implicits._
+    val got = CorpusOps.snmPairs(corpus.toDF("doc_id", "text"), 10, 50)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // soundness: every emitted pair really has jaccard >= 0.5 (brute model
+    // over ALL pairs, no window)
+    val all = model(corpus, corpus.size, 50)
+    assert(got.subsetOf(all), s"unsound pairs: ${(got -- all).take(3)}")
+    // the planted i%3==0 / i%3==1 twins share their rarest grams and an
+    // 8-of-10 gram overlap — the screen must find them
+    val planted = (0L until 60L by 3L).map(i => (i, i + 1)).toSet
+    assert(planted.subsetOf(got),
+      s"missed planted twins: ${(planted -- got).take(3)}")
+  }
+}
