@@ -1866,6 +1866,82 @@ object CorpusOps {
     aInB.unionByName(bInA)
   }
 
+  /** Distinct word-trigram rows (doc_id, gram) — the shared unit of the
+    * set-similarity family (jaccard/containment/ppjoin/snm). */
+  private[graft] def triGramRows(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), split(trim(col("text")), " +").as("wd"))
+      .filter(size(col("wd")) >= 3)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), size(col("wd")) - 3)).as("i"), col("wd"))
+      .select(col("doc_id"),
+        expr("concat(wd[i], ' ', wd[i+1], ' ', wd[i+2])").as("gram"))
+      .dropDuplicates("doc_id", "gram")
+
+  /**
+   * The R-S (cross-table) form of [[ppjoinPairs]]: every (left, right)
+   * pair with exact word-trigram Jaccard >= `pct`/100 between two
+   * corpora — the shape of near-duplicate DECONTAMINATION (eval set vs
+   * training corpus) and of incremental dedup (new batch vs accepted
+   * corpus). One global gram order over the UNION document frequency
+   * (consistency is all the prefix theorem needs), per-side prefixes,
+   * the same lossless length + positional pruning, exact verify — so the
+   * output equals the brute cross-join answer while the plan touches
+   * only prefix postings. Returns (left_id, right_id, jaccard).
+   *
+   * Scale: at a 100 TB train side and a MB-scale eval side the prefix
+   * join's left leg is tiny and the right leg is the train corpus's
+   * rarest-gram slice; candidates are id pairs only, verify arrays join
+   * per side. `materialize` as in [[ppjoinPairs]] (identity default —
+   * measured faster at local SF; stage out at cluster scale).
+   */
+  def ppjoinAcross(
+      left: DataFrame, right: DataFrame, pct: Int = 50,
+      materialize: DataFrame => DataFrame = identity): DataFrame = {
+    require(pct >= 1 && pct <= 99, s"pct must be in [1, 99], got $pct")
+    val lg = triGramRows(left)
+    val rg = triGramRows(right)
+    // union df: gram ordering consistent across BOTH corpora (doc ids may
+    // collide between tables — rows are distinct per side, so df is the
+    // sum of the two sides' dfs, order-stable either way)
+    val dfT = lg.unionByName(rg).groupBy("gram").agg(count(lit(1)).as("df"))
+    def perDocOf(g: DataFrame) = materialize(g.join(dfT, "gram")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("gram")))).as("gs"))
+      .select(col("doc_id"),
+        expr("transform(gs, x -> x.gram)").as("grams"),
+        size(col("gs")).cast("long").as("sz")))
+    def prefixesOf(pd: DataFrame) = pd
+      .withColumn("plen",
+        (col("sz") - expr(s"($pct * sz + 99) div 100") + 1).cast("int"))
+      .select(col("doc_id"), col("sz"),
+        posexplode(slice(col("grams"), lit(1), col("plen"))).as(Seq("i0", "gram")))
+      .select(col("gram"), col("doc_id"), (col("i0") + 1).as("i"), col("sz"))
+    val lp = perDocOf(lg)
+    val rp = perDocOf(rg)
+    val cand = prefixesOf(lp)
+      .select(col("gram"), col("doc_id").as("left_id"),
+        col("i").as("ia"), col("sz").as("sa"))
+      .join(prefixesOf(rp)
+        .select(col("gram"), col("doc_id").as("right_id"),
+          col("i").as("ib"), col("sz").as("sb")), Seq("gram"))
+      .filter(col("sa") * 100 >= col("sb") * pct &&
+        col("sb") * 100 >= col("sa") * pct)
+      .filter(least(col("sa") - col("ia"), col("sb") - col("ib")) + 1 >=
+        expr(s"($pct * (sa + sb) + ${100 + pct} - 1) div ${100 + pct}"))
+      .select(col("left_id"), col("right_id")).distinct()
+    cand
+      .join(lp.select(col("doc_id").as("left_id"), col("grams").as("ga"),
+        col("sz").as("sa")), "left_id")
+      .join(rp.select(col("doc_id").as("right_id"), col("grams").as("gb"),
+        col("sz").as("sb")), "right_id")
+      .withColumn("common", size(array_intersect(col("ga"), col("gb"))).cast("long"))
+      .withColumn("union_sz", col("sa") + col("sb") - col("common"))
+      .filter(col("common") * 100 >= col("union_sz") * pct)
+      .select(col("left_id"), col("right_id"),
+        (floor(col("common") * lit(1000) / col("union_sz")) / 1000).as("jaccard"))
+  }
+
   /**
    * Contiguous global rank (0-based) by `key`, without a single-partition
    * window: `repartitionByRange` + `sortWithinPartitions` establish the
@@ -1913,7 +1989,8 @@ object CorpusOps {
    * Returns (doc_a < doc_b, jaccard) like the Jaccard family.
    */
   def snmPairs(
-      documents: DataFrame, window: Int = 10, pct: Int = 50): DataFrame = {
+      documents: DataFrame, window: Int = 10, pct: Int = 50,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame = {
     require(window >= 1 && pct >= 1 && pct <= 99,
       s"window >= 1 and pct in [1, 99], got $window/$pct")
     val gramRows = documents
@@ -1927,15 +2004,21 @@ object CorpusOps {
     val dfT = gramRows.groupBy("gram").agg(count(lit(1)).as("df"))
     // rarest gram per doc + the doc's full distinct gram set (for the
     // exact verify) in one aggregation; arrays are per-doc sized
-    val perDoc = gramRows.join(dfT, "gram")
+    // the per-doc table feeds the rank sort AND both verify sides —
+    // materialize it once; the rank table is re-used on both sides of
+    // the window join (and zipWithIndex re-executes its whole lineage
+    // per use), so pin the THIN (doc_id, rnk) projection too and keep
+    // the gram arrays out of the RDD roundtrip entirely
+    val perDoc = materialize(gramRows.join(dfT, "gram")
       .groupBy("doc_id")
       .agg(min(struct(col("df"), col("gram"))).as("k0"),
         sort_array(collect_list(col("gram"))).as("grams"))
       .select(col("doc_id"), col("k0.df").as("kdf"), col("k0.gram").as("kgram"),
-        col("grams"), size(col("grams")).cast("long").as("sz"))
-    val ranked = globalRank(perDoc,
-      struct(col("kdf"), col("kgram"), col("doc_id")), "rnk")
-      .select(col("doc_id"), col("grams"), col("sz"), col("rnk"))
+        col("grams")))
+    val ranked = materialize(globalRank(
+        perDoc.select(col("doc_id"), col("kdf"), col("kgram")),
+        struct(col("kdf"), col("kgram"), col("doc_id")), "rnk")
+      .select(col("doc_id"), col("rnk")))
     // each doc meets its next `window` ranks: explode the distance, then
     // a plain equi-join on the dense LONG rank — IDS ONLY through the
     // candidate shuffle (the gram arrays would otherwise ride it
@@ -2007,10 +2090,21 @@ object CorpusOps {
    * each doc's sorted gram array (per-DOC sized buffers, never
    * corpus-sized), the candidate join shuffles only prefix postings
    * (id + position + size — no text beyond the gram key), and the exact
-   * verify joins gram arrays against id-only candidate pairs. Returns
-   * (doc_a < doc_b, jaccard) like the Jaccard family.
+   * verify joins gram arrays against id-only candidate pairs. The sorted
+   * per-doc table feeds FOUR plan subtrees (both prefix-join sides, both
+   * verify sides — though the verify pair reads a cheaper order-free
+   * variant with no df join), so `materialize` can pin it instead of
+   * re-running the gram pipeline per subtree: at local SF the measured
+   * default is identity (each subtree is one cheap codegen scan and an
+   * eager checkpoint of the wide arrays costs more than it saves — 8.7 s
+   * vs 5.1 s at sf0.1), while at cluster scale four corpus scans dwarf
+   * one stage-out, so pass `_.localCheckpoint(true)` or a parquet-stage
+   * materializer (the [[PrepPipeline]] knob, opposite default).
+   * Returns (doc_a < doc_b, jaccard) like the Jaccard family.
    */
-  def ppjoinPairs(documents: DataFrame, pct: Int = 50): DataFrame = {
+  def ppjoinPairs(
+      documents: DataFrame, pct: Int = 50,
+      materialize: DataFrame => DataFrame = identity): DataFrame = {
     require(pct >= 1 && pct <= 99, s"pct must be in [1, 99], got $pct")
     val gramRows = documents
       .select(col("doc_id"), split(trim(col("text")), " +").as("wd"))
@@ -2024,12 +2118,12 @@ object CorpusOps {
     // each doc's grams sorted by global (df, gram) order; arrays are
     // per-doc sized, and the (df, gram) struct sort is total so the
     // prefix is deterministic
-    val perDoc = gramRows.join(dfT, "gram")
+    val perDoc = materialize(gramRows.join(dfT, "gram")
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("df"), col("gram")))).as("gs"))
       .select(col("doc_id"),
         expr("transform(gs, x -> x.gram)").as("grams"),
-        size(col("gs")).cast("long").as("sz"))
+        size(col("gs")).cast("long").as("sz")))
     val prefixes = perDoc
       .withColumn("plen",
         (col("sz") - expr(s"($pct * sz + 99) div 100") + 1).cast("int"))
@@ -2047,10 +2141,16 @@ object CorpusOps {
       .filter(least(col("sa") - col("ia"), col("sb") - col("ib")) + 1 >=
         expr(s"($pct * (sa + sb) + ${100 + pct} - 1) div ${100 + pct}"))
       .select(col("doc_a"), col("doc_b")).distinct()
+    // order-free distinct gram sets for the exact verify — array_intersect
+    // doesn't need the rarest-first order, so this subtree skips the df
+    // join the prefix side pays
+    val plainSets = gramRows.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("gram"))).as("grams"),
+        count(lit(1)).as("sz"))
     cand
-      .join(perDoc.select(col("doc_id").as("doc_a"), col("grams").as("ga"),
+      .join(plainSets.select(col("doc_id").as("doc_a"), col("grams").as("ga"),
         col("sz").as("sa")), "doc_a")
-      .join(perDoc.select(col("doc_id").as("doc_b"), col("grams").as("gb"),
+      .join(plainSets.select(col("doc_id").as("doc_b"), col("grams").as("gb"),
         col("sz").as("sb")), "doc_b")
       .withColumn("common", size(array_intersect(col("ga"), col("gb"))).cast("long"))
       .withColumn("union_sz", col("sa") + col("sb") - col("common"))

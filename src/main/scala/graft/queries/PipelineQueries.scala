@@ -201,6 +201,25 @@ object PipelineQueries {
         .orderBy("doc_id", "eval_id")
     }),
 
+    // WHOLE-DOCUMENT near-dup decontamination: train docs that are a
+    // near-duplicate (trigram jaccard >= 0.3) of an eval doc, found by the
+    // lossless cross-table prefix-filter join ([[graft.operators.CorpusOps
+    // .ppjoinAcross]], PPJoin's R-S form) — catches a paraphrased-or-
+    // lightly-edited eval doc leaking wholesale where the gram guard sees
+    // only scattered hits. Output = brute cross-join answer (no cap, no
+    // misses), so the oracle states the brute definition. Same eval split
+    // as pipe_decontaminate.
+    "pipe_decontaminate_neardup" -> ((s, d) => {
+      val all = docs(s, d)
+      Ops.ppjoinAcross(
+          left = all.filter(pmod(col("doc_id"), lit(20)) === 0),
+          right = all.filter(pmod(col("doc_id"), lit(20)) =!= 0),
+          pct = 30)
+        .select(col("left_id").as("eval_id"), col("right_id").as("train_id"),
+          col("jaccard"))
+        .orderBy("eval_id", "train_id")
+    }),
+
     // span-level decontamination (the strong form): train docs sharing a
     // CONTIGUOUS >= 8-token run with the eval slice, longest run measured
     // exactly — "how much verbatim eval text leaked", not just gram hits.
@@ -1506,6 +1525,29 @@ object PipelineQueries {
         |  CAST(SUM(LENGTH(text)) AS BIGINT) AS chars,
         |  CAST(0 AS BIGINT) AS n_corrupt
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // ppjoinAcross is lossless, so the oracle is the brute eval x train
+    // cross jaccard at the 0.3 threshold
+    "pipe_decontaminate_neardup" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), ' +') AS w FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                   FOR i IN generate_series(1, len(w) - 2)]) AS grams
+        |  FROM t WHERE len(w) >= 3),
+        |ev AS (SELECT * FROM g WHERE doc_id % 20 = 0),
+        |tr AS (SELECT * FROM g WHERE doc_id % 20 <> 0)
+        |SELECT eval_id, train_id,
+        |  FLOOR(common * 1000 / union_sz) / 1000 AS jaccard
+        |FROM (
+        |  SELECT ev.doc_id AS eval_id, tr.doc_id AS train_id,
+        |    CAST(len(list_intersect(ev.grams, tr.grams)) AS BIGINT) AS common,
+        |    CAST(len(ev.grams) + len(tr.grams)
+        |         - len(list_intersect(ev.grams, tr.grams)) AS BIGINT) AS union_sz
+        |  FROM ev, tr)
+        |WHERE common * 100 >= union_sz * 30
+        |ORDER BY eval_id, train_id""".stripMargin,
 
     // the dedup_winnow selection pipeline, split train/eval on doc_id%20,
     // eval-occurrence cap, >= 2 shared fingerprints flag a pair

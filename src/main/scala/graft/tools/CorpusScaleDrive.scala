@@ -158,6 +158,19 @@ object CorpusScaleDrive {
         // the ratio table tolerates; the JOIN stays posting-bounded
         graft.operators.CorpusOps.containmentPairs(docs).count()
       }
+      run("ppjoin") {
+        // lossless prefix filter under amplification: a mutated copy's
+        // rarest grams are its (doc, k)-keyed junk (df = 1), so prefixes
+        // land on near-unique grams and candidates stay sparse while the
+        // planted exact stratum (1 pair per planted doc) keeps the answer
+        // linear — the drive measures the prefix join, not answer growth
+        graft.operators.CorpusOps.ppjoinPairs(docs, pct = 50).count()
+      }
+      run("snm") {
+        // candidate volume is window*n BY CONSTRUCTION — the ratio should
+        // track the sort (n log n / shuffle-bound), the skew-immunity claim
+        graft.operators.CorpusOps.snmPairs(docs, window = 10, pct = 50).count()
+      }
       run("decontaminate_fuzzy") {
         // eval pinned to BASE docs only (k = 0): the amplifier preserves
         // doc_id % 20 across copies (1e6 % 20 = 0), so a %20 eval split

@@ -81,6 +81,39 @@ class PpjoinSpec extends SparkSuite {
     }
   }
 
+  test("ppjoinAcross equals the brute cross-join on a split planted corpus") {
+    import spark.implicits._
+    val base: Seq[(Long, String)] = (0L until 40L).map { i =>
+      val body = i % 4 match {
+        case 0 => s"alpha beta gamma delta epsilon zeta ${i / 4} end marker"
+        case 1 => s"alpha beta gamma delta epsilon zeta ${i / 4} end changed"
+        case 2 => s"totally unrelated content number ${i} with its own words"
+        case _ => s"shared prefix words then unique tail ${i} ${i * 7}"
+      }
+      (i, body)
+    }
+    val leftDocs = base.filter(_._1 % 5 == 0)
+    val rightDocs = base.filter(_._1 % 5 != 0)
+    def grams(t: String): Set[String] = {
+      val w = t.trim.split(" +").toSeq
+      if (w.size < 3) Set.empty else w.sliding(3).map(_.mkString(" ")).toSet
+    }
+    for (pct <- Seq(30, 60)) {
+      val want = (for {
+        (la, ga0) <- leftDocs.map { case (i, t) => (i, grams(t)) }
+        (rb, gb0) <- rightDocs.map { case (i, t) => (i, grams(t)) }
+        if ga0.nonEmpty && gb0.nonEmpty
+        common = (ga0 & gb0).size; union = ga0.size + gb0.size - common
+        if common * 100 >= union * pct
+      } yield (la, rb)).toSet
+      val got = CorpusOps.ppjoinAcross(
+          leftDocs.toDF("doc_id", "text"), rightDocs.toDF("doc_id", "text"), pct)
+        .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+      assert(got == want, s"cross mismatch at pct=$pct: " +
+        s"only-got=${(got -- want).take(3)} only-want=${(want -- got).take(3)}")
+    }
+  }
+
   test("single-gram docs pair only with themselves-alike at pct 50") {
     // sz == 1 -> plen == 1: the whole set IS the prefix; two one-gram docs
     // with the same gram have jaccard 1.0, with different grams 0.0
