@@ -1973,7 +1973,8 @@ object CorpusOps {
   /**
    * Sorted-neighborhood (SNM) near-dup screening (Hernandez & Stolfo,
    * SIGMOD 1995's merge/purge, on gram sets): every doc keyed by its
-   * RAREST word trigram under the global (df, gram) order — near-dups
+   * RAREST word trigram under the global (df, gram) order (`keyRank`
+   * selects the k-th rarest — [[snmMultipass]]'s handle) — near-dups
    * overwhelmingly share their rarest gram, so they land adjacent in the
    * sort — then each doc is compared against exactly the next `window`
    * docs in rank order and survivors are verified with the exact
@@ -1990,29 +1991,28 @@ object CorpusOps {
    */
   def snmPairs(
       documents: DataFrame, window: Int = 10, pct: Int = 50,
+      keyRank: Int = 1,
       materialize: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame = {
-    require(window >= 1 && pct >= 1 && pct <= 99,
-      s"window >= 1 and pct in [1, 99], got $window/$pct")
-    val gramRows = documents
-      .select(col("doc_id"), split(trim(col("text")), " +").as("wd"))
-      .filter(size(col("wd")) >= 3)
-      .select(col("doc_id"),
-        explode(sequence(lit(0), size(col("wd")) - 3)).as("i"), col("wd"))
-      .select(col("doc_id"),
-        expr("concat(wd[i], ' ', wd[i+1], ' ', wd[i+2])").as("gram"))
-      .dropDuplicates("doc_id", "gram")
+    require(window >= 1 && pct >= 1 && pct <= 99 && keyRank >= 1,
+      s"window/pct/keyRank out of range: $window/$pct/$keyRank")
+    val gramRows = triGramRows(documents)
     val dfT = gramRows.groupBy("gram").agg(count(lit(1)).as("df"))
-    // rarest gram per doc + the doc's full distinct gram set (for the
-    // exact verify) in one aggregation; arrays are per-doc sized
-    // the per-doc table feeds the rank sort AND both verify sides —
+    // keyRank-th rarest gram per doc (capped at the doc's gram count —
+    // SNM's multi-pass recall fix sorts by a DIFFERENT key each pass) +
+    // the doc's full distinct gram set (for the exact verify) in one
+    // aggregation; arrays are per-doc sized.
+    // The per-doc table feeds the rank sort AND both verify sides —
     // materialize it once; the rank table is re-used on both sides of
     // the window join (and zipWithIndex re-executes its whole lineage
     // per use), so pin the THIN (doc_id, rnk) projection too and keep
     // the gram arrays out of the RDD roundtrip entirely
     val perDoc = materialize(gramRows.join(dfT, "gram")
       .groupBy("doc_id")
-      .agg(min(struct(col("df"), col("gram"))).as("k0"),
-        sort_array(collect_list(col("gram"))).as("grams"))
+      .agg(sort_array(collect_list(struct(col("df"), col("gram")))).as("ks"))
+      .select(col("doc_id"),
+        element_at(col("ks"),
+          least(lit(keyRank), size(col("ks"))).cast("int")).as("k0"),
+        sort_array(expr("transform(ks, x -> x.gram)")).as("grams"))
       .select(col("doc_id"), col("k0.df").as("kdf"), col("k0.gram").as("kgram"),
         col("grams")))
     val ranked = materialize(globalRank(
@@ -2056,6 +2056,26 @@ object CorpusOps {
         else None
       })
       .toDF("doc_a", "doc_b", "jaccard")
+  }
+
+  /**
+   * Multi-pass SNM — the recall fix the original merge/purge paper
+   * prescribes: a single sort key misses near-dups whose key disagrees
+   * (twins whose rarest grams are their OWN unique edits sort to opposite
+   * ends), so run `passes` passes keyed by the 1st, 2nd, … `passes`-th
+   * rarest gram and union the verified pairs (a pair found twice carries
+   * the same exact jaccard — DISTINCT dedups it). Cost is `passes` ×
+   * one sort + one window join, still window·n candidates per pass.
+   */
+  def snmMultipass(
+      documents: DataFrame, passes: Int = 2, window: Int = 10,
+      pct: Int = 50,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame = {
+    require(passes >= 1, s"passes >= 1, got $passes")
+    (1 to passes)
+      .map(k => snmPairs(documents, window, pct, keyRank = k, materialize))
+      .reduce(_.unionByName(_))
+      .distinct()
   }
 
   /**

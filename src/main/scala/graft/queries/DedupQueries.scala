@@ -190,6 +190,15 @@ object DedupQueries {
       graft.operators.CorpusOps.snmPairs(docs(s, d), window = 10, pct = 50)
         .orderBy("doc_a", "doc_b")),
 
+    // the merge/purge recall fix: a second pass keyed by the SECOND-rarest
+    // gram catches twins whose rarest grams are their own unique edits
+    // (they sort apart in pass 1), union + distinct — the multi-key SNM
+    // the paper prescribes
+    "dedup_snm_multipass" -> ((s, d) =>
+      graft.operators.CorpusOps.snmMultipass(
+          docs(s, d), passes = 2, window = 10, pct = 50)
+        .orderBy("doc_a", "doc_b")),
+
     // threshold sweep (the "choose your cut" audit run before committing a
     // near-dup threshold): the SAME df-capped posting join emits pairs once
     // at a 0.3 floor with integer milli-jaccard, localCheckpoint pins the
@@ -1002,6 +1011,47 @@ object DedupQueries {
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.grams AS ga, b.grams AS gb
         |  FROM r a JOIN r b ON b.rnk - a.rnk BETWEEN 1 AND 10)
         |SELECT LEAST(id_a, id_b) AS doc_a, GREATEST(id_a, id_b) AS doc_b,
+        |  FLOOR(common * 1000 / union_sz) / 1000 AS jaccard
+        |FROM (
+        |  SELECT id_a, id_b,
+        |    CAST(len(list_intersect(ga, gb)) AS BIGINT) AS common,
+        |    CAST(len(ga) + len(gb) - len(list_intersect(ga, gb)) AS BIGINT) AS union_sz
+        |  FROM cand)
+        |WHERE common * 100 >= union_sz * 50
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // two SNM passes sharing the gram/df CTEs: keys at rn = 1 and
+    // rn = LEAST(2, cnt), union of the two window joins, DISTINCT
+    "dedup_snm_multipass" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), ' +') AS w FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                   FOR i IN generate_series(1, len(w) - 2)]) AS grams
+        |  FROM t WHERE len(w) >= 3),
+        |e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+        |dfq AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS df FROM e GROUP BY 1),
+        |keyed AS (
+        |  SELECT e.doc_id, d.df AS kdf, e.gram AS kgram,
+        |    ROW_NUMBER() OVER (PARTITION BY e.doc_id ORDER BY d.df, e.gram) AS rn,
+        |    COUNT(*) OVER (PARTITION BY e.doc_id) AS cnt
+        |  FROM e JOIN dfq d USING (gram)),
+        |r1 AS (
+        |  SELECT k.doc_id, g.grams,
+        |    ROW_NUMBER() OVER (ORDER BY k.kdf, k.kgram, k.doc_id) AS rnk
+        |  FROM keyed k JOIN g USING (doc_id) WHERE k.rn = 1),
+        |r2 AS (
+        |  SELECT k.doc_id, g.grams,
+        |    ROW_NUMBER() OVER (ORDER BY k.kdf, k.kgram, k.doc_id) AS rnk
+        |  FROM keyed k JOIN g USING (doc_id) WHERE k.rn = LEAST(2, k.cnt)),
+        |cand AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.grams AS ga, b.grams AS gb
+        |  FROM r1 a JOIN r1 b ON b.rnk - a.rnk BETWEEN 1 AND 10
+        |  UNION ALL
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.grams AS ga, b.grams AS gb
+        |  FROM r2 a JOIN r2 b ON b.rnk - a.rnk BETWEEN 1 AND 10)
+        |SELECT DISTINCT LEAST(id_a, id_b) AS doc_a, GREATEST(id_a, id_b) AS doc_b,
         |  FLOOR(common * 1000 / union_sz) / 1000 AS jaccard
         |FROM (
         |  SELECT id_a, id_b,

@@ -61,6 +61,31 @@ class SnmSpec extends SparkSuite {
     }
   }
 
+  test("multipass recall: pass 2 catches twins whose rarest grams sort apart") {
+    import spark.implicits._
+    // twins 200/201 differ in their FIRST word only: each doc's rarest
+    // gram is its own unique (df=1) leading trigram — "apple …" vs
+    // "zebra …" — and 15 filler docs with unique 'mid*' grams sort
+    // BETWEEN them, so pass 1's window of 10 never compares the twins.
+    // Their SECOND-rarest gram is the shared df=2 "qq yyy shared", so
+    // pass 2 sorts them adjacent.
+    val twins = Seq(
+      (200L, "apple qq yyy shared body words here again"),
+      (201L, "zebra qq yyy shared body words here again"))
+    val fillers = (0 until 15).map { j =>
+      (300L + j, f"mid$j%02d fill$j%02d gap$j%02d lone$j%02d solo$j%02d")
+    }
+    val all = (twins ++ fillers).toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val one = pairs(CorpusOps.snmPairs(all, window = 10, pct = 50))
+    val multi = pairs(CorpusOps.snmMultipass(all, passes = 2, window = 10, pct = 50))
+    assert(!one.contains((200L, 201L)),
+      s"pass 1 unexpectedly compared the twins: $one")
+    assert(multi.contains((200L, 201L)), s"pass 2 missed the twins: $multi")
+    assert(one.subsetOf(multi), "multipass must contain every pass-1 pair")
+  }
+
   test("screening contract: sound (pairs are true near-dups) and catches planted dups") {
     import spark.implicits._
     val got = CorpusOps.snmPairs(corpus.toDF("doc_id", "text"), 10, 50)
