@@ -54,6 +54,8 @@ import graft.model.VersionVector
  * sbt "runMain graft.tools.Cli <root> phash-dedup <mediaParquet> [maxHamming] [outParquet]"
  * sbt "runMain graft.tools.Cli <root> audio-match <audioParquet> [minVotes] [outParquet]"
  * sbt "runMain graft.tools.Cli <root> winnow-dedup <docsParquet> [pct] [outParquet]"
+ * sbt "runMain graft.tools.Cli <root> ppjoin-dedup <docsParquet> [pct] [outParquet]"
+ * sbt "runMain graft.tools.Cli <root> snm-dedup <docsParquet> [pct] [passes]"
  * sbt "runMain graft.tools.Cli <root> containment <docsParquet> [pct]"
  * sbt "runMain graft.tools.Cli <root> communities <docsParquet> [iterations]"
  * sbt "runMain graft.tools.Cli <root> pca-project <embParquet> <outParquet> [r]"
@@ -572,6 +574,30 @@ object Cli {
         } else pairs.toLocalIterator().forEachRemaining { r =>
           println(s"${r.getAs[Long]("doc_a")}\t${r.getAs[Long]("doc_b")}\t" +
             s"${r.getAs[Double]("score")}")
+        }
+      case "ppjoin-dedup" =>
+        // lossless prefix-filtered near-dup (PPJoin): exact jaccard >= pct/100
+        val pct = if (args.length > 3) args(3).toInt else 50
+        val pairs = graft.operators.CorpusOps
+          .ppjoinPairs(docsTable(spark, args(2)), pct = pct)
+          .orderBy("doc_a", "doc_b")
+        if (args.length > 4) {
+          pairs.write.mode("overwrite").parquet(args(4))
+          println(s"wrote ${spark.read.parquet(args(4)).count()} pairs to ${args(4)}")
+        } else pairs.toLocalIterator().forEachRemaining { r =>
+          println(s"${r.getAs[Long]("doc_a")}\t${r.getAs[Long]("doc_b")}\t" +
+            s"${r.getAs[Double]("jaccard")}")
+        }
+      case "snm-dedup" =>
+        // sorted-neighborhood screening: <passes> multi-pass, window 10
+        val pct = if (args.length > 3) args(3).toInt else 50
+        val passes = if (args.length > 4) args(4).toInt else 2
+        val pairs = graft.operators.CorpusOps
+          .snmMultipass(docsTable(spark, args(2)), passes = passes, pct = pct)
+          .orderBy("doc_a", "doc_b")
+        pairs.toLocalIterator().forEachRemaining { r =>
+          println(s"${r.getAs[Long]("doc_a")}\t${r.getAs[Long]("doc_b")}\t" +
+            s"${r.getAs[Double]("jaccard")}")
         }
       case "containment" =>
         // asymmetric quote/inclusion detection: inner >= pct% inside outer
