@@ -533,6 +533,28 @@ object CorpusOps {
     shingleSets(documents.join(candDocs, "doc_id"))
   }
 
+  /** Exact per-pair set stats over sorted-distinct LONG sets (doc_id,
+    * shs): joins the sets onto id-only pairs and counts the two-pointer
+    * intersection — the shared verify core of the minhash verified twin
+    * and the LSH recall audit. Returns (doc_a, doc_b, common, union_sz),
+    * unfiltered — callers apply their own threshold. */
+  private[graft] def pairSetStatsLongs(
+      cand: DataFrame, sets: DataFrame): DataFrame = {
+    val s = cand.sparkSession
+    import s.implicits._
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("sa")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
+      .as[(Long, Long, IndexedSeq[Long], IndexedSeq[Long])]
+      .mapPartitions(_.map { case (a, b, sa, sb) =>
+        val common = graft.similarity.MinHashKernel
+          .intersectionSortedLongs(sa, sb).toLong
+        (a, b, common, sa.size + sb.size - common)
+      })
+      .toDF("doc_a", "doc_b", "common", "union_sz")
+  }
+
   /** Exact-jaccard verify (two-pointer JVM kernel — Catalyst
     * array_intersect is interpreted per pair and dominates when band
     * collisions number in the tens of thousands); keeps
@@ -1905,42 +1927,69 @@ object CorpusOps {
     // collide between tables — rows are distinct per side, so df is the
     // sum of the two sides' dfs, order-stable either way)
     val dfT = lg.unionByName(rg).groupBy("gram").agg(count(lit(1)).as("df"))
-    def perDocOf(g: DataFrame) = materialize(g.join(dfT, "gram")
+    val lp = ppjoinPerDoc(lg, dfT, materialize)
+    val rp = ppjoinPerDoc(rg, dfT, materialize)
+    val cand = ppjoinCandidates(
+      ppjoinPrefixes(lp, pct), ppjoinPrefixes(rp, pct),
+      pct, "left_id", "right_id", selfJoin = false)
+    ppjoinVerify(cand, lp, rp, "left_id", "right_id", pct)
+  }
+
+  /** (doc_id, grams rarest-first under dfT's global (df, gram) order, sz)
+    * — the per-doc table both PPJoin forms index and verify from. */
+  private def ppjoinPerDoc(
+      gramRows: DataFrame, dfT: DataFrame,
+      materialize: DataFrame => DataFrame): DataFrame =
+    materialize(gramRows.join(dfT, "gram")
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("df"), col("gram")))).as("gs"))
       .select(col("doc_id"),
         expr("transform(gs, x -> x.gram)").as("grams"),
         size(col("gs")).cast("long").as("sz")))
-    def prefixesOf(pd: DataFrame) = pd
-      .withColumn("plen",
-        (col("sz") - expr(s"($pct * sz + 99) div 100") + 1).cast("int"))
-      .select(col("doc_id"), col("sz"),
-        posexplode(slice(col("grams"), lit(1), col("plen"))).as(Seq("i0", "gram")))
-      .select(col("gram"), col("doc_id"), (col("i0") + 1).as("i"), col("sz"))
-    val lp = perDocOf(lg)
-    val rp = perDocOf(rg)
-    val cand = prefixesOf(lp)
-      .select(col("gram"), col("doc_id").as("left_id"),
+
+  /** Prefix postings (gram, doc_id, 1-based position, set size): the first
+    * s − ⌈t·s⌉ + 1 grams of each doc's rarest-first array. */
+  private def ppjoinPrefixes(perDoc: DataFrame, pct: Int): DataFrame = perDoc
+    .withColumn("plen",
+      (col("sz") - expr(s"($pct * sz + 99) div 100") + 1).cast("int"))
+    .select(col("doc_id"), col("sz"),
+      posexplode(slice(col("grams"), lit(1), col("plen"))).as(Seq("i0", "gram")))
+    .select(col("gram"), col("doc_id"), (col("i0") + 1).as("i"), col("sz"))
+
+  /** The shared candidate stage: prefix-posting equi-join on gram, length
+    * filter, PPJoin's positional α bound, distinct id pairs. `selfJoin`
+    * adds the doc_a < doc_b canonicalization a self-join needs. */
+  private def ppjoinCandidates(
+      lpre: DataFrame, rpre: DataFrame, pct: Int,
+      aId: String, bId: String, selfJoin: Boolean): DataFrame = {
+    val joined = lpre
+      .select(col("gram"), col("doc_id").as(aId),
         col("i").as("ia"), col("sz").as("sa"))
-      .join(prefixesOf(rp)
-        .select(col("gram"), col("doc_id").as("right_id"),
-          col("i").as("ib"), col("sz").as("sb")), Seq("gram"))
+      .join(rpre.select(col("gram"), col("doc_id").as(bId),
+        col("i").as("ib"), col("sz").as("sb")), Seq("gram"))
+    (if (selfJoin) joined.filter(col(aId) < col(bId)) else joined)
       .filter(col("sa") * 100 >= col("sb") * pct &&
         col("sb") * 100 >= col("sa") * pct)
       .filter(least(col("sa") - col("ia"), col("sb") - col("ib")) + 1 >=
         expr(s"($pct * (sa + sb) + ${100 + pct} - 1) div ${100 + pct}"))
-      .select(col("left_id"), col("right_id")).distinct()
-    cand
-      .join(lp.select(col("doc_id").as("left_id"), col("grams").as("ga"),
-        col("sz").as("sa")), "left_id")
-      .join(rp.select(col("doc_id").as("right_id"), col("grams").as("gb"),
-        col("sz").as("sb")), "right_id")
-      .withColumn("common", size(array_intersect(col("ga"), col("gb"))).cast("long"))
-      .withColumn("union_sz", col("sa") + col("sb") - col("common"))
-      .filter(col("common") * 100 >= col("union_sz") * pct)
-      .select(col("left_id"), col("right_id"),
-        (floor(col("common") * lit(1000) / col("union_sz")) / 1000).as("jaccard"))
+      .select(col(aId), col(bId)).distinct()
   }
+
+  /** The shared exact verify: join each side's (doc_id, grams, sz) set
+    * table onto the id-only candidates, integer threshold, floor-milli
+    * jaccard. Set order is irrelevant here (array_intersect). */
+  private def ppjoinVerify(
+      cand: DataFrame, setsA: DataFrame, setsB: DataFrame,
+      aId: String, bId: String, pct: Int): DataFrame = cand
+    .join(setsA.select(col("doc_id").as(aId), col("grams").as("ga"),
+      col("sz").as("sa")), aId)
+    .join(setsB.select(col("doc_id").as(bId), col("grams").as("gb"),
+      col("sz").as("sb")), bId)
+    .withColumn("common", size(array_intersect(col("ga"), col("gb"))).cast("long"))
+    .withColumn("union_sz", col("sa") + col("sb") - col("common"))
+    .filter(col("common") * 100 >= col("union_sz") * pct)
+    .select(col(aId), col(bId),
+      (floor(col("common") * lit(1000) / col("union_sz")) / 1000).as("jaccard"))
 
   /**
    * Contiguous global rank (0-based) by `key`, without a single-partition
@@ -1993,30 +2042,45 @@ object CorpusOps {
       documents: DataFrame, window: Int = 10, pct: Int = 50,
       keyRank: Int = 1,
       materialize: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame = {
-    require(window >= 1 && pct >= 1 && pct <= 99 && keyRank >= 1,
-      s"window/pct/keyRank out of range: $window/$pct/$keyRank")
+    require(keyRank >= 1, s"keyRank >= 1, got $keyRank")
+    snmPass(snmPerDoc(documents, materialize), window, pct, keyRank, materialize)
+  }
+
+  /** The shared SNM per-doc table: `ks` = the doc's distinct grams sorted
+    * by the global (df, gram) order (pass keys are `element_at(ks, k)`),
+    * `grams` = the same set code-point-sorted for the verify merge. Built
+    * ONCE (one gram shuffle for df, one per-doc aggregation) and fed to
+    * every pass — [[snmMultipass]]'s cost fix; `materialize` pins it
+    * because the rank sort and both verify sides all read it. */
+  private def snmPerDoc(
+      documents: DataFrame,
+      materialize: DataFrame => DataFrame): DataFrame = {
     val gramRows = triGramRows(documents)
     val dfT = gramRows.groupBy("gram").agg(count(lit(1)).as("df"))
-    // keyRank-th rarest gram per doc (capped at the doc's gram count —
-    // SNM's multi-pass recall fix sorts by a DIFFERENT key each pass) +
-    // the doc's full distinct gram set (for the exact verify) in one
-    // aggregation; arrays are per-doc sized.
-    // The per-doc table feeds the rank sort AND both verify sides —
-    // materialize it once; the rank table is re-used on both sides of
-    // the window join (and zipWithIndex re-executes its whole lineage
-    // per use), so pin the THIN (doc_id, rnk) projection too and keep
-    // the gram arrays out of the RDD roundtrip entirely
-    val perDoc = materialize(gramRows.join(dfT, "gram")
+    materialize(gramRows.join(dfT, "gram")
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("df"), col("gram")))).as("ks"))
+      .select(col("doc_id"), col("ks"),
+        sort_array(expr("transform(ks, x -> x.gram)")).as("grams")))
+  }
+
+  /** One SNM pass over a [[snmPerDoc]] table: keyRank-th-rarest sort key
+    * (capped at the doc's gram count), distributed contiguous rank over
+    * the THIN key projection (zipWithIndex re-executes its lineage per
+    * use, so the rank table pins too and the gram arrays stay out of the
+    * RDD roundtrip), ids-only window equi-join, exact two-pointer verify
+    * in sort_array's code-point order. */
+  private def snmPass(
+      perDoc: DataFrame, window: Int, pct: Int, keyRank: Int,
+      materialize: DataFrame => DataFrame): DataFrame = {
+    require(window >= 1 && pct >= 1 && pct <= 99,
+      s"window >= 1 and pct in [1, 99], got $window/$pct")
+    val keyed = perDoc
       .select(col("doc_id"),
         element_at(col("ks"),
-          least(lit(keyRank), size(col("ks"))).cast("int")).as("k0"),
-        sort_array(expr("transform(ks, x -> x.gram)")).as("grams"))
-      .select(col("doc_id"), col("k0.df").as("kdf"), col("k0.gram").as("kgram"),
-        col("grams")))
-    val ranked = materialize(globalRank(
-        perDoc.select(col("doc_id"), col("kdf"), col("kgram")),
+          least(lit(keyRank), size(col("ks"))).cast("int")).as("k0"))
+      .select(col("doc_id"), col("k0.df").as("kdf"), col("k0.gram").as("kgram"))
+    val ranked = materialize(globalRank(keyed,
         struct(col("kdf"), col("kgram"), col("doc_id")), "rnk")
       .select(col("doc_id"), col("rnk")))
     // each doc meets its next `window` ranks: explode the distance, then
@@ -2030,25 +2094,21 @@ object CorpusOps {
     val cand = leftIds
       .join(ranked.select(col("doc_id").as("id_b"), col("rnk")), "rnk")
       .select(col("id_a"), col("id_b"))
-    val s = documents.sparkSession
+    val s = perDoc.sparkSession
     import s.implicits._
     // exact verify through a two-pointer merge count (Catalyst
     // array_intersect evaluates interpreted per pair and dominates at
-    // window·n candidates); the arrays arrive sort_array-ordered (UTF-8
-    // binary — identical to compareTo on this ASCII gram space)
+    // window·n candidates); the merge MUST compare in sort_array's
+    // code-point order — String.compareTo diverges on supplementary-plane
+    // text (see MinHashKernel.codePointCompare)
     cand
       .join(perDoc.select(col("doc_id").as("id_a"), col("grams").as("ga")), "id_a")
       .join(perDoc.select(col("doc_id").as("id_b"), col("grams").as("gb")), "id_b")
       .select(col("id_a"), col("id_b"), col("ga"), col("gb"))
       .as[(Long, Long, IndexedSeq[String], IndexedSeq[String])]
       .mapPartitions(_.flatMap { case (a, b, ga, gb) =>
-        var i = 0; var j = 0; var common = 0L
-        while (i < ga.size && j < gb.size) {
-          val c = ga(i).compareTo(gb(j))
-          if (c == 0) { common += 1; i += 1; j += 1 }
-          else if (c < 0) i += 1
-          else j += 1
-        }
+        val common = graft.similarity.MinHashKernel
+          .intersectionSortedStrings(ga, gb).toLong
         val union = ga.size + gb.size - common
         if (common * 100 >= union * pct)
           Some((math.min(a, b), math.max(a, b),
@@ -2064,16 +2124,18 @@ object CorpusOps {
    * (twins whose rarest grams are their OWN unique edits sort to opposite
    * ends), so run `passes` passes keyed by the 1st, 2nd, … `passes`-th
    * rarest gram and union the verified pairs (a pair found twice carries
-   * the same exact jaccard — DISTINCT dedups it). Cost is `passes` ×
-   * one sort + one window join, still window·n candidates per pass.
+   * the same exact jaccard — DISTINCT dedups it). The gram pipeline and
+   * per-doc aggregation run ONCE ([[snmPerDoc]] is shared across passes);
+   * each pass adds one thin-key sort + one window join + one verify.
    */
   def snmMultipass(
       documents: DataFrame, passes: Int = 2, window: Int = 10,
       pct: Int = 50,
       materialize: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame = {
     require(passes >= 1, s"passes >= 1, got $passes")
+    val perDoc = snmPerDoc(documents, materialize)
     (1 to passes)
-      .map(k => snmPairs(documents, window, pct, keyRank = k, materialize))
+      .map(k => snmPass(perDoc, window, pct, k, materialize))
       .reduce(_.unionByName(_))
       .distinct()
   }
@@ -2126,56 +2188,17 @@ object CorpusOps {
       documents: DataFrame, pct: Int = 50,
       materialize: DataFrame => DataFrame = identity): DataFrame = {
     require(pct >= 1 && pct <= 99, s"pct must be in [1, 99], got $pct")
-    val gramRows = documents
-      .select(col("doc_id"), split(trim(col("text")), " +").as("wd"))
-      .filter(size(col("wd")) >= 3)
-      .select(col("doc_id"),
-        explode(sequence(lit(0), size(col("wd")) - 3)).as("i"), col("wd"))
-      .select(col("doc_id"),
-        expr("concat(wd[i], ' ', wd[i+1], ' ', wd[i+2])").as("gram"))
-      .dropDuplicates("doc_id", "gram")
+    val gramRows = triGramRows(documents)
     val dfT = gramRows.groupBy("gram").agg(count(lit(1)).as("df"))
-    // each doc's grams sorted by global (df, gram) order; arrays are
-    // per-doc sized, and the (df, gram) struct sort is total so the
-    // prefix is deterministic
-    val perDoc = materialize(gramRows.join(dfT, "gram")
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("df"), col("gram")))).as("gs"))
-      .select(col("doc_id"),
-        expr("transform(gs, x -> x.gram)").as("grams"),
-        size(col("gs")).cast("long").as("sz")))
-    val prefixes = perDoc
-      .withColumn("plen",
-        (col("sz") - expr(s"($pct * sz + 99) div 100") + 1).cast("int"))
-      .select(col("doc_id"), col("sz"),
-        posexplode(slice(col("grams"), lit(1), col("plen"))).as(Seq("i0", "gram")))
-      .select(col("gram"), col("doc_id"), (col("i0") + 1).as("i"), col("sz"))
-    val a = prefixes.select(col("gram"), col("doc_id").as("doc_a"),
-      col("i").as("ia"), col("sz").as("sa"))
-    val b = prefixes.select(col("gram"), col("doc_id").as("doc_b"),
-      col("i").as("ib"), col("sz").as("sb"))
-    val cand = a.join(b, Seq("gram"))
-      .filter(col("doc_a") < col("doc_b"))
-      .filter(col("sa") * 100 >= col("sb") * pct &&
-        col("sb") * 100 >= col("sa") * pct)
-      .filter(least(col("sa") - col("ia"), col("sb") - col("ib")) + 1 >=
-        expr(s"($pct * (sa + sb) + ${100 + pct} - 1) div ${100 + pct}"))
-      .select(col("doc_a"), col("doc_b")).distinct()
+    val perDoc = ppjoinPerDoc(gramRows, dfT, materialize)
+    val pre = ppjoinPrefixes(perDoc, pct)
+    val cand = ppjoinCandidates(pre, pre, pct, "doc_a", "doc_b", selfJoin = true)
     // order-free distinct gram sets for the exact verify — array_intersect
     // doesn't need the rarest-first order, so this subtree skips the df
     // join the prefix side pays
     val plainSets = gramRows.groupBy("doc_id")
       .agg(sort_array(collect_list(col("gram"))).as("grams"),
         count(lit(1)).as("sz"))
-    cand
-      .join(plainSets.select(col("doc_id").as("doc_a"), col("grams").as("ga"),
-        col("sz").as("sa")), "doc_a")
-      .join(plainSets.select(col("doc_id").as("doc_b"), col("grams").as("gb"),
-        col("sz").as("sb")), "doc_b")
-      .withColumn("common", size(array_intersect(col("ga"), col("gb"))).cast("long"))
-      .withColumn("union_sz", col("sa") + col("sb") - col("common"))
-      .filter(col("common") * 100 >= col("union_sz") * pct)
-      .select(col("doc_a"), col("doc_b"),
-        (floor(col("common") * lit(1000) / col("union_sz")) / 1000).as("jaccard"))
+    ppjoinVerify(cand, plainSets, plainSets, "doc_a", "doc_b", pct)
   }
 }

@@ -400,23 +400,13 @@ object DedupQueries {
       graft.operators.CorpusOps.minhashShingleSets(dd, cand)
         .write.mode("overwrite").parquet(MinhashSetsFixturePath)
       val sets = s.read.parquet(MinhashSetsFixturePath)
-      // exact integer intersection via the two-pointer kernel (Catalyst
-      // array_intersect evaluates interpreted per pair and dominated the
-      // query at band-collision counts) — set-intersection size is
-      // engine-independent integer math, so the twin's transparency holds
-      import s.implicits._
-      cand
-        .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("sa")), "doc_a")
-        .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("sb")), "doc_b")
-        .select(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
-        .as[(Long, Long, IndexedSeq[Long], IndexedSeq[Long])]
-        .mapPartitions(_.flatMap { case (a, b, sa, sb) =>
-          val common = graft.similarity.MinHashKernel
-            .intersectionSortedLongs(sa, sb).toLong
-          val union = sa.size + sb.size - common
-          if (common * 2 >= union) Some((a, b, common, union)) else None
-        })
-        .toDF("doc_a", "doc_b", "common", "union_sz")
+      // exact integer intersection via the shared two-pointer pair-stats
+      // kernel (Catalyst array_intersect evaluates interpreted per pair
+      // and dominated the query at band-collision counts) —
+      // set-intersection size is engine-independent integer math, so the
+      // twin's transparency holds
+      graft.operators.CorpusOps.pairSetStatsLongs(cand, sets)
+        .filter(col("common") * 2 >= col("union_sz"))
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -445,24 +435,14 @@ object DedupQueries {
       // shingle sets via the two-pointer kernel. The df window is a
       // documented conservative miss (a pair near-dup ONLY in ubiquitous
       // text emits nothing), mirrored in the oracle's HAVING range.
-      import s.implicits._
       val shRows = sets.select(col("doc_id"), explode(col("shs")).as("sh"))
       val candPairs = graft.operators.CorpusOps
         .postingPairCounts(shRows, "sh", 64)
         .select(col("doc_a"), col("doc_b"))
-      val pairs = candPairs
-        .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("sa")), "doc_a")
-        .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("sb")), "doc_b")
-        .select(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
-        .as[(Long, Long, IndexedSeq[Long], IndexedSeq[Long])]
-        .mapPartitions(_.flatMap { case (a, b, sa, sb) =>
-          val common = graft.similarity.MinHashKernel
-            .intersectionSortedLongs(sa, sb).toLong
-          val union = sa.size + sb.size - common
-          val jacMilli = common * 1000L / union
-          if (jacMilli >= 100L) Some((a, b, jacMilli)) else None
-        })
-        .toDF("doc_a", "doc_b", "jac_milli")
+      val pairs = graft.operators.CorpusOps.pairSetStatsLongs(candPairs, sets)
+        .withColumn("jac_milli", expr("common * 1000 div union_sz"))
+        .filter(col("jac_milli") >= 100)
+        .select(col("doc_a"), col("doc_b"), col("jac_milli"))
       val cand = graft.operators.CorpusOps.minhashCandidates(bands)
         .withColumn("hit", lit(1L))
       pairs

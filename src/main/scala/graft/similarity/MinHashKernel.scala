@@ -110,6 +110,43 @@ object MinHashKernel {
     common
   }
 
+  /** Compare two strings by CODE POINT — the order Spark's `sort_array`
+    * sorts string arrays in (UTF8String compares UTF-8 bytes, and UTF-8
+    * byte order IS code-point order). Java's `String.compareTo` differs
+    * for supplementary-plane characters (UTF-16 code units put surrogates
+    * at 0xD800–0xDFFF, BELOW BMP chars ≥ U+E000 that code-point order
+    * puts first), so a two-pointer merge over sort_array-sorted arrays
+    * must use THIS comparator or it silently undercounts intersections on
+    * non-ASCII text. */
+  def codePointCompare(a: String, b: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return java.lang.Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    java.lang.Integer.compare(a.length - i, b.length - j)
+  }
+
+  /** |a ∩ b| for string arrays sorted in `sort_array` (code-point) order —
+    * the string twin of [[intersectionSortedLongs]]. */
+  def intersectionSortedStrings(
+      a: IndexedSeq[String], b: IndexedSeq[String]): Int = {
+    var i = 0
+    var j = 0
+    var common = 0
+    while (i < a.length && j < b.length) {
+      val c = codePointCompare(a(i), b(j))
+      if (c == 0) { common += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    common
+  }
+
   /** Same over sorted distinct 64-bit shingle hashes — ~4x less data per
     * pair than the string sets; jaccard over hashed distinct shingles equals
     * jaccard over the shingles themselves up to 64-bit collisions. */

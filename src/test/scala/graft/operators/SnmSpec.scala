@@ -86,6 +86,31 @@ class SnmSpec extends SparkSuite {
     assert(one.subsetOf(multi), "multipass must contain every pass-1 pair")
   }
 
+  test("verify merge counts supplementary-plane grams (code-point vs UTF-16 order)") {
+    import spark.implicits._
+    import graft.similarity.MinHashKernel.{codePointCompare, intersectionSortedStrings}
+    // U+FFFD (BMP, sorts HIGH in code-point order) vs U+1F600 (supplementary,
+    // whose UTF-16 lead surrogate 0xD83D sorts LOW under String.compareTo):
+    // the two orders disagree exactly here, which is what broke the merge
+    assert("�".compareTo("😀") > 0, "UTF-16 puts the emoji first")
+    assert(codePointCompare("�", "😀") < 0,
+      "code-point order (= sort_array order) puts U+FFFD first")
+    // arrays in sort_array (code-point) order; a compareTo merge would stop
+    // at the U+FFFD/emoji boundary and undercount common 3 -> 2
+    val ga = IndexedSeq("dd � cc", "ee dd �", "� cc bb", "😀 ee dd")
+    val gb = IndexedSeq("dd � cc", "ee dd �", "� cc zz", "😀 ee dd")
+    assert(intersectionSortedStrings(ga, gb) == 3)
+    // end to end: the twins' jaccard is 3/5 = 0.6 >= 0.5 — the pair must
+    // survive the verify on non-ASCII text
+    val docsDf = Seq(
+      (1L, "😀 ee dd � cc bb"),
+      (2L, "😀 ee dd � cc zz")).toDF("doc_id", "text")
+    val got = CorpusOps.snmPairs(docsDf, window = 10, pct = 50)
+      .select("doc_a", "doc_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == Set((1L, 2L, 0.6)), s"non-ASCII verify broke: $got")
+  }
+
   test("screening contract: sound (pairs are true near-dups) and catches planted dups") {
     import spark.implicits._
     val got = CorpusOps.snmPairs(corpus.toDF("doc_id", "text"), 10, 50)
