@@ -320,6 +320,66 @@ class StreamingCorpusSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("ppjoin decontamination guard on the live stream matches the batch R-S join") {
+    import graft.operators.CorpusOps
+    val root = tempDir("flo-ppjoin-stream")
+    val e = new FloEngine(spark, root)
+    e.createStream(EventStreamOptions(name = "docs", numPartitions = 1))
+
+    val s = spark
+    import s.implicits._
+    // static eval set (the contamination reference); streamed docs include
+    // one near-dup of each eval doc, one per micro-batch
+    val eval = Seq(
+      (900L, "held out question alpha beta gamma delta epsilon zeta"),
+      (901L, "another benchmark prompt one two three four five six"))
+    val evalDf = eval.toDF("doc_id", "text").localCheckpoint(true)
+    val batch1 = Seq(
+      11L -> "held out question alpha beta gamma delta epsilon edited",
+      12L -> "completely unrelated training document with its own words")
+    val batch2 = Seq(
+      21L -> "another benchmark prompt one two three four five altered",
+      22L -> "more clean training text nothing shared with the eval set")
+
+    val flagged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = e.consumeStream("docs")
+      .select(col("namespace"), payload_utf8(col("data")).as("text"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // localCheckpoint: ppjoinAcross reads the batch side in several
+        // subtrees (grams -> union df -> perDoc -> prefixes -> verify) and
+        // a foreachBatch DF's plan cannot be safely self-referenced
+        val docsB = batch.select(
+            substring_index(col("namespace"), "/", -1).cast("long").as("doc_id"),
+            col("text"))
+          .localCheckpoint(true)
+        val pairs = CorpusOps.ppjoinAcross(evalDf, docsB, pct = 50)
+          .collect().map(r => (r.getAs[Long]("left_id"), r.getAs[Long]("right_id")))
+        flagged.synchronized { flagged ++= pairs }
+        ()
+      }
+      .start()
+    try {
+      e.produceStrings("docs", 1, batch1.map { case (i, t) => s"/docs/$i" -> t })
+      q.processAllAvailable()
+      e.produceStrings("docs", 1, batch2.map { case (i, t) => s"/docs/$i" -> t })
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // batch-parity: the one-shot R-S join over everything streamed must
+    // flag exactly the same (eval, train) pairs — per-batch df differs
+    // from the full-corpus df, but PPJoin is LOSSLESS under any
+    // consistent gram order, so the verified answer cannot depend on it
+    val expected = CorpusOps.ppjoinAcross(
+        evalDf, (batch1 ++ batch2).toDF("doc_id", "text"), pct = 50)
+      .collect().map(r => (r.getAs[Long]("left_id"), r.getAs[Long]("right_id")))
+      .toSet
+    assert(expected == Set((900L, 11L), (901L, 21L)),
+      s"planted contamination must be what the batch join finds: $expected")
+    assert(flagged.toSet == expected,
+      s"stream flagged ${flagged.toSet}, batch found $expected")
+  }
+
   test("incremental near-dup over the accumulated band index matches the batch operator on a planted-dup replay") {
     import graft.operators.CorpusOps
     val root = tempDir("flo-neardup-stream")
