@@ -114,6 +114,21 @@ class PpjoinSpec extends SparkSuite {
     }
   }
 
+  test("materialize knob: identity and localCheckpoint paths are bit-identical") {
+    import spark.implicits._
+    val docsDf = (0L until 30L).map { i =>
+      (i, if (i % 2 == 0) s"alpha beta gamma delta ${i / 2} end"
+          else s"alpha beta gamma delta ${i / 2} fin")
+    }.toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_a", "doc_b").collect().map(_.toSeq).toSeq
+    assert(rows(CorpusOps.ppjoinPairs(docsDf, 50)) ==
+      rows(CorpusOps.ppjoinPairs(docsDf, 50,
+        materialize = _.localCheckpoint(true))))
+    assert(rows(CorpusOps.snmMultipass(docsDf, 2, 10, 50)) ==
+      rows(CorpusOps.snmMultipass(docsDf, 2, 10, 50, materialize = identity)))
+  }
+
   test("single-gram docs pair only with themselves-alike at pct 50") {
     // sz == 1 -> plen == 1: the whole set IS the prefix; two one-gram docs
     // with the same gram have jaccard 1.0, with different grams 0.0
