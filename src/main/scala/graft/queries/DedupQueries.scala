@@ -181,6 +181,24 @@ object DedupQueries {
       graft.operators.CorpusOps.ppjoinPairs(docs(s, d), pct = 50)
         .orderBy("doc_a", "doc_b")),
 
+    // similarity SEARCH on the lossless join: each doc's top-3 textual
+    // neighbors at jaccard >= 0.3, ranked through the bounded-heap
+    // aggregate (map-side partials, k rows per key per input partition —
+    // no per-doc window sort). The pair table is checkpointed once and
+    // read in both directions.
+    "dedup_ppjoin_topk" -> ((s, d) => {
+      val pairs = graft.operators.CorpusOps.ppjoinPairs(docs(s, d), pct = 30)
+        .localCheckpoint(true)
+      val sym = pairs
+        .select(col("doc_a").as("doc_id"), col("doc_b").as("nbr"), col("jaccard"))
+        .unionByName(pairs
+          .select(col("doc_b").as("doc_id"), col("doc_a").as("nbr"), col("jaccard")))
+      graft.operators.TopK.topKPerKey(sym, Seq("doc_id"),
+          struct(col("jaccard"), -col("nbr")), Seq("nbr", "jaccard"), 3)
+        .select(col("doc_id"), col("nbr"), col("jaccard"), col("rn"))
+        .orderBy("doc_id", "rn")
+    }),
+
     // third detector plan shape: sorted-neighborhood screening (one global
     // range-sort by rarest gram, rank-window candidates — window·n by
     // construction, immune to df skew), exact verify. Window-bounded
@@ -963,6 +981,37 @@ object DedupQueries {
         |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
         |WHERE common * 100 >= union_sz * 50
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // the brute pair table at 0.3, symmetrized, ranked per doc — rank
+    // ties broken by neighbor id in both engines
+    "dedup_ppjoin_topk" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), ' +') AS w FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                   FOR i IN generate_series(1, len(w) - 2)]) AS grams
+        |  FROM t WHERE len(w) >= 3),
+        |p AS (
+        |  SELECT doc_a, doc_b, FLOOR(common * 1000 / union_sz) / 1000 AS jaccard
+        |  FROM (
+        |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |      CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS common,
+        |      CAST(len(a.grams) + len(b.grams)
+        |           - len(list_intersect(a.grams, b.grams)) AS BIGINT) AS union_sz
+        |    FROM g a JOIN g b ON a.doc_id < b.doc_id)
+        |  WHERE common * 100 >= union_sz * 30),
+        |sym AS (
+        |  SELECT doc_a AS doc_id, doc_b AS nbr, jaccard FROM p
+        |  UNION ALL
+        |  SELECT doc_b AS doc_id, doc_a AS nbr, jaccard FROM p)
+        |SELECT doc_id, nbr, jaccard, rn FROM (
+        |  SELECT doc_id, nbr, jaccard,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                       ORDER BY jaccard DESC, nbr) AS rn
+        |  FROM sym)
+        |WHERE rn <= 3
+        |ORDER BY doc_id, rn""".stripMargin,
 
     // mirror the SNM rule: rarest-gram sort key, global rank, pairs at
     // rank distance 1..10, exact jaccard verify (ROW_NUMBER is 1-based vs
