@@ -1932,7 +1932,11 @@ object CorpusOps {
     val cand = ppjoinCandidates(
       ppjoinPrefixes(lp, pct), ppjoinPrefixes(rp, pct),
       pct, "left_id", "right_id", selfJoin = false)
-    ppjoinVerify(cand, lp, rp, "left_id", "right_id", pct)
+    // verify reads per-side code-point-sorted sets, NOT lp/rp — those are
+    // in rarest-first (df, gram) order, which the two-pointer merge can't
+    // compare; the plain sets also skip the df join the prefix side pays
+    ppjoinVerify(cand, ppjoinPlainSets(lg), ppjoinPlainSets(rg),
+      "left_id", "right_id", pct)
   }
 
   /** (doc_id, grams rarest-first under dfT's global (df, gram) order, sz)
@@ -1975,21 +1979,41 @@ object CorpusOps {
       .select(col(aId), col(bId)).distinct()
   }
 
-  /** The shared exact verify: join each side's (doc_id, grams, sz) set
-    * table onto the id-only candidates, integer threshold, floor-milli
-    * jaccard. Set order is irrelevant here (array_intersect). */
+  /** The shared exact verify: join each side's (doc_id, grams) set table
+    * onto the id-only candidates, two-pointer merge count, integer
+    * threshold, floor-milli jaccard. The gram arrays MUST be in
+    * `sort_array`'s code-point order (see [[ppjoinPlainSets]]) — the merge
+    * compares code points, the same kernel the SNM verify uses; Catalyst
+    * `array_intersect` evaluates interpreted per pair and dominates on
+    * boilerplate-heavy corpora where survivors grow (the containment
+    * blow-up shape), so the codegen'd deserialize + JVM merge wins. */
   private def ppjoinVerify(
       cand: DataFrame, setsA: DataFrame, setsB: DataFrame,
-      aId: String, bId: String, pct: Int): DataFrame = cand
-    .join(setsA.select(col("doc_id").as(aId), col("grams").as("ga"),
-      col("sz").as("sa")), aId)
-    .join(setsB.select(col("doc_id").as(bId), col("grams").as("gb"),
-      col("sz").as("sb")), bId)
-    .withColumn("common", size(array_intersect(col("ga"), col("gb"))).cast("long"))
-    .withColumn("union_sz", col("sa") + col("sb") - col("common"))
-    .filter(col("common") * 100 >= col("union_sz") * pct)
-    .select(col(aId), col(bId),
-      (floor(col("common") * lit(1000) / col("union_sz")) / 1000).as("jaccard"))
+      aId: String, bId: String, pct: Int): DataFrame = {
+    val s = cand.sparkSession
+    import s.implicits._
+    cand
+      .join(setsA.select(col("doc_id").as(aId), col("grams").as("ga")), aId)
+      .join(setsB.select(col("doc_id").as(bId), col("grams").as("gb")), bId)
+      .select(col(aId), col(bId), col("ga"), col("gb"))
+      .as[(Long, Long, IndexedSeq[String], IndexedSeq[String])]
+      .mapPartitions(_.flatMap { case (a, b, ga, gb) =>
+        val common = graft.similarity.MinHashKernel
+          .intersectionSortedStrings(ga, gb).toLong
+        val union = ga.size + gb.size - common
+        if (common * 100 >= union * pct)
+          Some((a, b, (common * 1000L / union).toDouble / 1000))
+        else None
+      })
+      .toDF(aId, bId, "jaccard")
+  }
+
+  /** Order-free distinct gram sets in `sort_array` code-point order — the
+    * verify-side table ([[ppjoinVerify]] needs the code-point order for
+    * its two-pointer merge); skips the df join the prefix side pays. */
+  private def ppjoinPlainSets(gramRows: DataFrame): DataFrame = gramRows
+    .groupBy("doc_id")
+    .agg(sort_array(collect_list(col("gram"))).as("grams"))
 
   /**
    * Contiguous global rank (0-based) by `key`, without a single-partition
@@ -2174,8 +2198,8 @@ object CorpusOps {
    * (id + position + size — no text beyond the gram key), and the exact
    * verify joins gram arrays against id-only candidate pairs. The sorted
    * per-doc table feeds FOUR plan subtrees (both prefix-join sides, both
-   * verify sides — though the verify pair reads a cheaper order-free
-   * variant with no df join), so `materialize` can pin it instead of
+   * verify sides — though the verify pair reads a cheaper code-point-
+   * sorted variant with no df join), so `materialize` can pin it instead of
    * re-running the gram pipeline per subtree: at local SF the measured
    * default is identity (each subtree is one cheap codegen scan and an
    * eager checkpoint of the wide arrays costs more than it saves — 8.7 s
@@ -2193,12 +2217,7 @@ object CorpusOps {
     val perDoc = ppjoinPerDoc(gramRows, dfT, materialize)
     val pre = ppjoinPrefixes(perDoc, pct)
     val cand = ppjoinCandidates(pre, pre, pct, "doc_a", "doc_b", selfJoin = true)
-    // order-free distinct gram sets for the exact verify — array_intersect
-    // doesn't need the rarest-first order, so this subtree skips the df
-    // join the prefix side pays
-    val plainSets = gramRows.groupBy("doc_id")
-      .agg(sort_array(collect_list(col("gram"))).as("grams"),
-        count(lit(1)).as("sz"))
+    val plainSets = ppjoinPlainSets(gramRows)
     ppjoinVerify(cand, plainSets, plainSets, "doc_a", "doc_b", pct)
   }
 }
