@@ -788,6 +788,156 @@ object CorpusOps {
     (mergesDf, statesDf)
   }
 
+  /**
+   * Real-vocab BPE training: the SAME merge sequence as [[bpeTrain]] /
+   * [[bpeTrainStates]] — spec-proven equal, including tie-breaks and the
+   * count-&lt;-2 early stop — computed with ONE Spark job total instead of
+   * one job plus one driver round-trip per merge. The corpus-sized work is
+   * unchanged (a single weighted distinct-word aggregation), but that
+   * table is vocab-bounded, so it is collected ONCE and the merge loop
+   * runs in-process with incremental pair statistics (the classic
+   * learn_bpe formulation, Sennrich et al. 2016): a pair → unit-index map
+   * keeps each round's rewrite O(affected words), and a lazy-deletion
+   * heap keeps the argmax O(log heap) instead of a scan of every pair.
+   * At the catalog's 12 merges the distributed loop is fine; at a real
+   * 32–50k-merge vocab it schedules 50k Spark jobs — hours of pure
+   * scheduler overhead — while this loop finishes in seconds
+   * ([[graft.tools.BpeScaleDrive]] records the 32k-merge figure).
+   *
+   * Tie-break parity: the distributed argmax orders by Spark StringType
+   * comparison (UTF8 binary = code-point order), so the heap comparator
+   * uses [[graft.similarity.MinHashKernel.codePointCompare]], never
+   * `String.compareTo` (they diverge on supplementary-plane symbols).
+   */
+  def bpeTrainFast(docs: DataFrame, numMerges: Int): DataFrame = {
+    require(numMerges > 0, s"numMerges must be positive, got $numMerges")
+    val s = docs.sparkSession
+    import s.implicits._
+    val units = docs
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .as[(String, Long)]
+      .collect()
+      .map { case (w, n) => ((w.map(_.toString) :+ "</w>").toArray, n) }
+    val merges = bpeMergeLoop(units, numMerges)
+    merges.toDF("rank", "left", "right", "pair_count")
+      .select(col("rank"), col("left"), col("right"),
+        concat(col("left"), col("right")).as("merged"), col("pair_count"))
+  }
+
+  /** Heap row for [[bpeMergeLoop]]'s lazy-deletion argmax. */
+  private final case class BpePairEntry(cnt: Long, a: String, b: String)
+
+  /**
+   * The in-process incremental BPE merge loop shared by [[bpeTrainFast]]
+   * and [[graft.tools.BpeScaleDrive]]: `units` are (symbol array, weight)
+   * rows — read once at entry; the caller's arrays are never mutated.
+   * Returns (rank, left, right, pair_count) in merge order, stopping
+   * early when the best pair's weighted count drops below 2 (the same
+   * rule as the distributed loop).
+   *
+   * Bookkeeping invariants: `stats` holds the exact current weighted
+   * count of every adjacent pair (zero entries removed); `where(p)` is
+   * exactly the set of unit indexes where `p` currently occurs; the heap
+   * holds one entry per (pair, value) a count has ever taken, and a
+   * popped entry is acted on only if its value matches `stats` — a pair
+   * whose count changed since the push has a fresher entry deeper in the
+   * heap, and a merged-away pair has no `stats` row at all, so stale
+   * tops skip harmlessly. Per-round cost is O(Σ affected unit lengths +
+   * changed-pairs · log heap); total pushes are bounded by total rewrite
+   * work, so the heap never dominates.
+   */
+  private[graft] def bpeMergeLoop(
+      units: Array[(Array[String], Long)],
+      numMerges: Int): Seq[(Int, String, String, Long)] = {
+    import scala.collection.mutable
+    import graft.similarity.MinHashKernel.codePointCompare
+    val syms = units.map(_._1)
+    val weight = units.map(_._2)
+    val stats = mutable.HashMap.empty[(String, String), Long]
+    val where = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
+    val cmp = new java.util.Comparator[BpePairEntry] {
+      def compare(x: BpePairEntry, y: BpePairEntry): Int = {
+        val c = java.lang.Long.compare(y.cnt, x.cnt)
+        if (c != 0) c
+        else {
+          val ca = codePointCompare(x.a, y.a)
+          if (ca != 0) ca else codePointCompare(x.b, y.b)
+        }
+      }
+    }
+    val heap = new java.util.PriorityQueue[BpePairEntry](1024, cmp)
+    var i = 0
+    while (i < syms.length) {
+      val arr = syms(i)
+      var j = 0
+      while (j < arr.length - 1) {
+        val p = (arr(j), arr(j + 1))
+        stats(p) = stats.getOrElse(p, 0L) + weight(i)
+        where.getOrElseUpdate(p, mutable.HashSet.empty) += i
+        j += 1
+      }
+      i += 1
+    }
+    stats.foreach { case ((a, b), c) => heap.add(BpePairEntry(c, a, b)) }
+
+    val merges = mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 0
+    var done = false
+    while (rank < numMerges && !done) {
+      var top: BpePairEntry = null
+      while (top == null && !heap.isEmpty) {
+        val e = heap.poll()
+        if (e.cnt >= 2 && stats.getOrElse((e.a, e.b), 0L) == e.cnt) top = e
+        else if (e.cnt < 2) { heap.clear() } // max < 2: nothing left to learn
+      }
+      if (top == null) done = true
+      else {
+        val (a, b) = (top.a, top.b)
+        merges += ((rank, a, b, top.cnt))
+        // rewrite ONLY the units that contain (a, b); exact subtract/re-add
+        // of each touched unit's pair multiset keeps stats/where precise
+        // through every greedy-overlap corner ("a a a", merge-created
+        // adjacencies, pairs vanishing entirely)
+        val before = mutable.HashMap.empty[(String, String), Long]
+        def bump(p: (String, String), d: Long): Unit = {
+          if (!before.contains(p)) before(p) = stats.getOrElse(p, 0L)
+          val nv = stats.getOrElse(p, 0L) + d
+          if (nv == 0L) stats.remove(p) else stats(p) = nv
+        }
+        val affected = where.getOrElse((a, b), mutable.HashSet.empty).toArray
+        java.util.Arrays.sort(affected)
+        affected.foreach { u =>
+          val old = syms(u)
+          val w = weight(u)
+          val oldPairs = mutable.HashSet.empty[(String, String)]
+          var j = 0
+          while (j < old.length - 1) {
+            val p = (old(j), old(j + 1)); bump(p, -w); oldPairs += p; j += 1
+          }
+          oldPairs.foreach(p => where.get(p).foreach(_ -= u))
+          val next = applyMerge(
+            scala.collection.immutable.ArraySeq.unsafeWrapArray(old), a, b).toArray
+          syms(u) = next
+          val newPairs = mutable.HashSet.empty[(String, String)]
+          j = 0
+          while (j < next.length - 1) {
+            val p = (next(j), next(j + 1)); bump(p, w); newPairs += p; j += 1
+          }
+          newPairs.foreach(p =>
+            where.getOrElseUpdate(p, mutable.HashSet.empty) += u)
+        }
+        before.foreach { case (p, old) =>
+          val now = stats.getOrElse(p, 0L)
+          if (now != old && now > 0L) heap.add(BpePairEntry(now, p._1, p._2))
+        }
+        rank += 1
+      }
+    }
+    merges.toSeq
+  }
+
   /** Greedy left-to-right single-pass rewrite of one merge rule — the
     * standard BPE step, shared verbatim between training ([[bpeTrain]]'s
     * per-round vocab rewrite) and encoding ([[bpeEncode]]) so the two can

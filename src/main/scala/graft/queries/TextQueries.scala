@@ -191,13 +191,17 @@ object TextQueries {
 
     // BPE merge training on the corpus (tokenizer learning, the capability
     // upstream of token counting): 12 merge rules from the word-frequency
-    // formulation — ONE corpus-sized word-count shuffle, then per-round
-    // pair-count jobs bounded by |vocab| not |corpus|, one driver row per
-    // round. Deterministic (lexicographic tie-break). Not SQL-expressible
-    // (iterative argmax chain) -> rows-only check; PipelineSpec pins a
-    // hand-computed merge sequence and the non-increasing-count invariant.
+    // formulation — ONE corpus-sized word-count shuffle, then the
+    // in-process incremental merge loop over the collected vocab-bounded
+    // table (real-vocab capable: 32k merges need ZERO extra Spark jobs —
+    // BpeScaleDrive records the figure; BpeFastSpec proves equality with
+    // the distributed per-round formulation, which text_bpe_merges_verified
+    // still oracle-checks round by round). Deterministic (lexicographic
+    // tie-break). Not SQL-expressible (iterative argmax chain) ->
+    // rows-only check; PipelineSpec pins a hand-computed merge sequence
+    // and the non-increasing-count invariant.
     "text_bpe_merges" -> ((s, d) =>
-      graft.operators.CorpusOps.bpeTrain(docs(s, d), numMerges = 12)
+      graft.operators.CorpusOps.bpeTrainFast(docs(s, d), numMerges = 12)
         .orderBy("rank")),
 
     // The tokenizer's APPLY step: encode the corpus with the merges just
@@ -208,7 +212,7 @@ object TextQueries {
     // the round-trip property, and the no-residual-pair invariant.
     "text_bpe_encode" -> ((s, d) => {
       val corpus = docs(s, d)
-      val merges = graft.operators.CorpusOps.bpeTrain(corpus, numMerges = 12)
+      val merges = graft.operators.CorpusOps.bpeTrainFast(corpus, numMerges = 12)
       graft.operators.CorpusOps.bpeEncode(corpus, merges)
         .select(explode(col("tokens")).as("token"), col("n"))
         .groupBy("token").agg(sum("n").as("freq"))
@@ -221,7 +225,7 @@ object TextQueries {
     // rows-only check rationale as text_bpe_encode.
     "text_bpe_doclen" -> ((s, d) => {
       val corpus = docs(s, d)
-      val merges = graft.operators.CorpusOps.bpeTrain(corpus, numMerges = 12)
+      val merges = graft.operators.CorpusOps.bpeTrainFast(corpus, numMerges = 12)
       graft.operators.CorpusOps.bpeDocLengths(corpus, merges)
         .join(corpus.select("doc_id", "source"), "doc_id")
         .groupBy("source")
@@ -242,7 +246,7 @@ object TextQueries {
     // hand-computed bars.
     "text_bpe_doclen_verified" -> ((s, d) => {
       val corpus = docs(s, d)
-      val merges = graft.operators.CorpusOps.bpeTrain(corpus, numMerges = 12)
+      val merges = graft.operators.CorpusOps.bpeTrainFast(corpus, numMerges = 12)
       graft.operators.CorpusOps.bpeEncode(corpus, merges)
         .select(col("w"), size(col("tokens")).cast("long").as("word_tokens"))
         .write.mode("overwrite").parquet(BpeVocabFixturePath)
@@ -301,7 +305,7 @@ object TextQueries {
     // round-trip bar gains a DuckDB-recomputed twin).
     "text_bpe_encode_verified" -> ((s, d) => {
       val corpus = docs(s, d)
-      val merges = graft.operators.CorpusOps.bpeTrain(corpus, numMerges = 12)
+      val merges = graft.operators.CorpusOps.bpeTrainFast(corpus, numMerges = 12)
       graft.operators.CorpusOps.bpeEncode(corpus, merges)
         .select(col("w"), col("tokens"))
         .write.mode("overwrite").parquet(BpeEncFixturePath)
