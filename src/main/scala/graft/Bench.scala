@@ -14,6 +14,59 @@ import graft.engine.FloEngine
  * FloEngine on a temp dir, for BASELINE.md.
  */
 object Bench {
+  /** Throughput floor band: a measured ev/s below this fraction of the
+    * trailing-median is a violation. 0.6 clears the observed driver
+    * weather (r8's 845k vs median 1017k = 0.83) while a real halving of
+    * the produce or consume path trips. */
+  private[graft] val ThroughputFloorRatio = 0.6
+  private[graft] val ThroughputTrailingRuns = 3
+
+  /** Median of the last [[ThroughputTrailingRuns]] MEASURED (> 0) values
+    * of `key` across the driver's BENCH_r*.json files under `dir`, in
+    * round order — the floor base. None when no round has measured yet
+    * (fresh repo, isolation-only history): no basis, no gate. */
+  private[graft] def trailingMedian(
+      dir: java.nio.file.Path, key: String): Option[Double] = {
+    // the driver wraps the bench stdout line inside a JSON string field,
+    // so in the raw file every quote is escaped (\"key\":) — match both
+    // the escaped and plain shapes
+    val rx = ("\\\\?\"" + key + "\\\\?\":(-?[0-9.]+)").r
+    val round = "BENCH_r(\\d+)\\.json".r
+    val vals = Option(dir.toFile.list()).getOrElse(Array.empty[String])
+      .flatMap {
+        case name @ round(n) =>
+          // the driver file wraps the JSON line in a captured-stdout
+          // blob; every occurrence of the key carries the same value,
+          // so the first match is the round's measurement
+          rx.findFirstMatchIn(
+              java.nio.file.Files.readString(dir.resolve(name)))
+            .map(m => (n.toInt, m.group(1).toDouble))
+        case _ => None
+      }
+      .toSeq.sortBy(_._1).map(_._2).filter(_ > 0)
+      .takeRight(ThroughputTrailingRuns)
+    if (vals.isEmpty) None
+    else Some(vals.sorted.apply(vals.size / 2))
+  }
+
+  /** The gate's floor value for one metric: ratio x trailing median. */
+  private[graft] def throughputFloor(
+      dir: java.nio.file.Path, key: String): Option[Double] =
+    trailingMedian(dir, key).map(_ * ThroughputFloorRatio)
+
+  /** Floor-gate evaluation: (metric, measured, floor) rows for every
+    * engine-throughput metric this run MEASURED (isolation runs report -1
+    * = unmeasured, never gated) that fell below its floor. */
+  private[graft] def throughputFloorViolations(
+      produceEps: Double, consumeEps: Double,
+      dir: java.nio.file.Path): Seq[(String, Double, Double)] =
+    Seq("produce_events_per_sec" -> produceEps,
+        "consume_events_per_sec" -> consumeEps)
+      .flatMap { case (k, v) =>
+        throughputFloor(dir, k).filter(f => v >= 0 && v < f)
+          .map(f => (k, v, f))
+      }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -66,9 +119,13 @@ object Bench {
     // itself is measured and reported on its own line (`ann_index_build_
     // sec`, budget key `__ann_index_build`), checked only when the build
     // actually ran (a warm /tmp measures ~0 and would poison the budget).
+    // keyed on the explicit registry maintained next to ensureIndex (a
+    // future index-serving query that misses a name pattern would silently
+    // move the k-means build back inside its first timed serve query;
+    // IndexRegistrySpec pins the registry against the ensureIndex call
+    // sites in the query source)
     val servesIndex = catalog.exists { case (n, _) =>
-      n.contains("_indexed") || n.contains("_ivf") || n.contains("sim_pq") ||
-        n == "sim_text_ann" || n == "sim_text_knn" }
+      graft.queries.SimilarityQueries.indexServingQueries(n) }
     val (annBuildSec, annBuilt) = if (!servesIndex) (-1.0, false) else {
       // cold = EITHER index missing: the timed block builds both, so a
       // half-warm /tmp (one index left by a prior partial run) must still
@@ -159,6 +216,16 @@ object Bench {
         .filter(b => annBuildSec > b * tolerance + floorSec)
         .map(b => ("__ann_index_build", annBuildSec, b)).toSeq
       else Seq.empty
+    // Engine-throughput FLOOR gates: produce/consume ev/s previously had
+    // no gate at all, so a real consume-path regression would ship
+    // silently (r8's driver run read 845k ev/s against a documented
+    // 1.0–1.7M band and nothing flagged it). Floor = 0.6x the median of
+    // the trailing 3 MEASURED driver rounds (BENCH_r*.json) — the
+    // trailing-median base absorbs driver-machine weather (r8's 845k
+    // passes against median(1102k,1017k,845k)) while a genuine halving
+    // trips; BenchGateSpec drives a deliberate slowdown through the gate.
+    val throughputViolations = Bench.throughputFloorViolations(
+      produceEps, consumeEps, java.nio.file.Paths.get("."))
     val violations = results.flatMap { case (name, sec) =>
       budgets.get(name).filter(b => sec >= 0 && sec > b * tolerance + floorSec)
         .map(b => (name, sec, b))
@@ -167,13 +234,22 @@ object Bench {
       System.err.println(
         f"[bench] BUDGET VIOLATION $n: $s%.3f s > ${tolerance}x recorded $b%.3f s + $floorSec%.1f s floor")
     }
+    throughputViolations.foreach { case (n, v, f) =>
+      System.err.println(
+        f"[bench] THROUGHPUT FLOOR VIOLATION $n: $v%.0f ev/s < $f%.0f ev/s (${Bench.ThroughputFloorRatio}x trailing-median)")
+    }
 
     val total = results.map(_._2).filter(_ >= 0).sum
     val errs = results.count(_._2 < 0)
+    val floors = (
+      Bench.throughputFloor(java.nio.file.Paths.get("."),
+        "produce_events_per_sec").getOrElse(-1.0),
+      Bench.throughputFloor(java.nio.file.Paths.get("."),
+        "consume_events_per_sec").getOrElse(-1.0))
     def jsonLine(rs: Seq[(String, Double)]): String = {
       val qs = rs.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
         .mkString("{", ",", "}")
-      f"""{"metric":"total_query_sec","value":$total%.3f,"unit":"sec","queries":$qs,"queries_n":${results.size}%d,"errors":$errs%d,"sf":"$sfDir","produce_events_per_sec":$produceEps%.0f,"consume_events_per_sec":$consumeEps%.0f,"ann_index_build_sec":$annBuildSec%.3f,"ann_index_cold":$annBuilt%b,"budget_violations":${violations.size}%d,"full":"BENCH_FULL.json"}"""
+      f"""{"metric":"total_query_sec","value":$total%.3f,"unit":"sec","queries":$qs,"queries_n":${results.size}%d,"errors":$errs%d,"sf":"$sfDir","produce_events_per_sec":$produceEps%.0f,"consume_events_per_sec":$consumeEps%.0f,"produce_eps_floor":${floors._1}%.0f,"consume_eps_floor":${floors._2}%.0f,"ann_index_build_sec":$annBuildSec%.3f,"ann_index_cold":$annBuilt%b,"budget_violations":${violations.size + throughputViolations.size}%d,"full":"BENCH_FULL.json"}"""
     }
     // The driver captures only the last ~2 KB of stdout and json-parses it;
     // the full 126-query map is ~3.5 KB and got truncated every round
