@@ -42,6 +42,8 @@ object DedupQueries {
   private[graft] val EmbIdxFixturePath = graft.Fixtures.path("emb_idx_cand")
   private[graft] val MinhashSetsFixturePath = graft.Fixtures.path("minhash_sets")
   private[graft] val SimhashFixturePath = graft.Fixtures.path("simhash_sig")
+  private[graft] val MinhashLshBandsPath = graft.Fixtures.path("minhash_lsh_bands")
+  private[graft] val MinhashLshSetsPath = graft.Fixtures.path("minhash_lsh_sets")
   private[graft] val EmbLshFixturePath = graft.Fixtures.path("emb_lsh_codes")
 
   /** (doc_a < doc_b, jaccard) pairs with exact word-trigram jaccard >= 0.5,
@@ -428,6 +430,31 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // the EXACT-NAME oracle twin of dedup_minhash_lsh (closing the 1:1
+    // naming convention): the production pipeline's band/shingle kernel
+    // outputs export as this query's own fixtures, both engines recompute
+    // the band-collision candidates + exact verify, and the jaccard column
+    // mirrors the production round-half-up milli value in pure integer
+    // form — round(1000*c/u) = (2000*c + u) div (2*u) for positive ints,
+    // then one exact-operand double division by 1000 (IEEE-identical in
+    // both engines).
+    "dedup_minhash_lsh_verified" -> ((s, d) => {
+      val dd = docs(s, d)
+      graft.operators.CorpusOps.minhashBands(dd)
+        .write.mode("overwrite").parquet(MinhashLshBandsPath)
+      val bands = s.read.parquet(MinhashLshBandsPath)
+      val cand = graft.operators.CorpusOps.minhashCandidates(bands)
+      graft.operators.CorpusOps.minhashShingleSets(dd, cand)
+        .write.mode("overwrite").parquet(MinhashLshSetsPath)
+      val sets = s.read.parquet(MinhashLshSetsPath)
+      graft.operators.CorpusOps.pairSetStatsLongs(cand, sets)
+        .filter(col("common") * 2 >= col("union_sz"))
+        .select(col("doc_a"), col("doc_b"),
+          (expr("(common * 2000 + union_sz) div (union_sz * 2)") / lit(1000.0))
+            .as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // the LSH TUNING audit: empirical capture rate of the 8x4 band join
     // per exact-jaccard decile, against the fixed-point theoretical
     // S-curve 1-(1-s^4)^8 at each decile midpoint — the readout that says
@@ -644,6 +671,29 @@ object DedupQueries {
         |  FROM b x JOIN b y ON x.band_idx = y.band_idx
         |    AND x.band_val = y.band_val AND x.doc_id < y.doc_id)
         |SELECT doc_a, doc_b, common, union_sz FROM (
+        |  SELECT doc_a, doc_b,
+        |    CAST(len(list_intersect(sa.shs, sb.shs)) AS BIGINT) AS common,
+        |    CAST(len(sa.shs) + len(sb.shs)
+        |         - len(list_intersect(sa.shs, sb.shs)) AS BIGINT) AS union_sz
+        |  FROM cand JOIN sets sa ON sa.doc_id = cand.doc_a
+        |            JOIN sets sb ON sb.doc_id = cand.doc_b)
+        |WHERE common * 2 >= union_sz
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // the exact-name twin: recompute candidates + exact verify from
+    // dedup_minhash_lsh's own exported kernel fixtures, with the
+    // round-half-up milli jaccard in integer form (DuckDB // floors, but
+    // all operands are positive so it matches Spark's div)
+    "dedup_minhash_lsh_verified" ->
+      s"""WITH b AS (SELECT * FROM read_parquet('$MinhashLshBandsPath/*.parquet')),
+        |sets AS (SELECT * FROM read_parquet('$MinhashLshSetsPath/*.parquet')),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM b x JOIN b y ON x.band_idx = y.band_idx
+        |    AND x.band_val = y.band_val AND x.doc_id < y.doc_id)
+        |SELECT doc_a, doc_b,
+        |       CAST((common * 2000 + union_sz) // (union_sz * 2) AS BIGINT) / 1000.0 AS jaccard
+        |FROM (
         |  SELECT doc_a, doc_b,
         |    CAST(len(list_intersect(sa.shs, sb.shs)) AS BIGINT) AS common,
         |    CAST(len(sa.shs) + len(sb.shs)

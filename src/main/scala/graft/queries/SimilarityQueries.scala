@@ -54,6 +54,7 @@ object SimilarityQueries {
     * the JVM). */
   private[graft] val KnnLshFixturePath = graft.Fixtures.path("knn_lsh_cand")
   private[graft] val KnnIvfFixturePath = graft.Fixtures.path("knn_ivf_cand")
+  private[graft] val KnnIvfIdxFixturePath = graft.Fixtures.path("knn_ivf_idx_cand")
   private[graft] val KnnIvfPqFixturePath = graft.Fixtures.path("knn_ivfpq_cand")
   private[graft] val HardNegFixturePath = graft.Fixtures.path("hard_neg_cand")
   private[graft] val KnnIvfAppFixturePath = graft.Fixtures.path("knn_ivf_app_cand")
@@ -85,7 +86,8 @@ object SimilarityQueries {
     "sim_hard_negatives_indexed", "sim_hard_negatives_indexed_verified",
     "sim_knn_ivf_appended", "sim_knn_ivf_appended_verified",
     "sim_knn_ivfpq", "sim_knn_ivfpq_verified",
-    "sim_knn_ivf_indexed", "sim_knn_ivf_verified",
+    "sim_knn_ivf_indexed", "sim_knn_ivf_indexed_verified",
+    "sim_knn_ivf_verified",
     "sim_pq_distortion", "sim_pq_distortion_verified",
     "dedup_embedding_indexed", "dedup_embedding_indexed_verified")
 
@@ -385,6 +387,29 @@ object SimilarityQueries {
       val e = emb(s, d).select(col("vec_id").as("id"), col("v"))
       graft.operators.AnnIndex.searchIvf(s, ensureIndex(s, d),
           e.filter(col("id") < 10), k = 5, probe = 6)
+        .orderBy("query_id", "rank")
+    }),
+
+    // the EXACT-NAME oracle twin of sim_knn_ivf_indexed (closing the 1:1
+    // naming convention the rest of the no_oracle tail follows): the
+    // probe window sim_knn_ivf_indexed serves — probe-6 cells of the SAME
+    // persisted index, self excluded — exports its (query_id, neighbor_id)
+    // candidates, and both engines rerank by exact cosine. Same kernel as
+    // sim_knn_ivf_verified, keyed to the serving query's name and its own
+    // fixture so the twin protocol stays auditable at a glance.
+    "sim_knn_ivf_indexed_verified" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id").as("id"), col("v"))
+      val q = e.filter(col("id") < 10)
+      val path = ensureIndex(s, d)
+      val cents = s.read.parquet(s"$path/centroids")
+      val vecs = s.read.parquet(s"$path/vectors")
+      graft.operators.AnnIndex.probeCells(q, cents, probe = 6, carryVec = false)
+        .join(vecs, col("probe_cell") === col("cell") &&
+          col("query_id") =!= col("id"))
+        .select(col("query_id"), col("id").as("neighbor_id"))
+        .write.mode("overwrite").parquet(KnnIvfIdxFixturePath)
+      graft.operators.Ann.rerankCandidateIds(
+          s.read.parquet(KnnIvfIdxFixturePath), e, q, k = 5)
         .orderBy("query_id", "rank")
     }),
 
@@ -853,6 +878,18 @@ object SimilarityQueries {
     // rerank the exported IVF candidate set — same contract as the LSH twin
     "sim_knn_ivf_verified" ->
       s"""WITH c AS (SELECT * FROM read_parquet('$KnnIvfFixturePath/*.parquet'))
+        |SELECT query_id, neighbor_id, rank FROM (
+        |  SELECT c.query_id, c.neighbor_id,
+        |         ROW_NUMBER() OVER (PARTITION BY c.query_id
+        |           ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, c.neighbor_id) AS rank
+        |  FROM c JOIN embeddings a ON a.vec_id = c.query_id
+        |         JOIN embeddings b ON b.vec_id = c.neighbor_id)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // rerank sim_knn_ivf_indexed's exported probe window — the exact-name
+    // twin, same rerank contract over the serving query's own fixture
+    "sim_knn_ivf_indexed_verified" ->
+      s"""WITH c AS (SELECT * FROM read_parquet('$KnnIvfIdxFixturePath/*.parquet'))
         |SELECT query_id, neighbor_id, rank FROM (
         |  SELECT c.query_id, c.neighbor_id,
         |         ROW_NUMBER() OVER (PARTITION BY c.query_id
