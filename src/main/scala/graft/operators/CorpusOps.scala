@@ -555,6 +555,25 @@ object CorpusOps {
       .toDF("doc_a", "doc_b", "common", "union_sz")
   }
 
+  /** [[pairSetStatsLongs]] over code-point-sorted STRING sets (doc_id,
+    * grams) — the word-trigram-space verify core (SNM recall audit). */
+  private[graft] def pairSetStatsStrings(
+      cand: DataFrame, sets: DataFrame): DataFrame = {
+    val s = cand.sparkSession
+    import s.implicits._
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("grams").as("ga")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("grams").as("gb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("ga"), col("gb"))
+      .as[(Long, Long, IndexedSeq[String], IndexedSeq[String])]
+      .mapPartitions(_.map { case (a, b, ga, gb) =>
+        val common = graft.similarity.MinHashKernel
+          .intersectionSortedStrings(ga, gb).toLong
+        (a, b, common, ga.size + gb.size - common)
+      })
+      .toDF("doc_a", "doc_b", "common", "union_sz")
+  }
+
   /** Exact-jaccard verify (two-pointer JVM kernel — Catalyst
     * array_intersect is interpreted per pair and dominates when band
     * collisions number in the tens of thousands); keeps

@@ -44,6 +44,7 @@ object DedupQueries {
   private[graft] val SimhashFixturePath = graft.Fixtures.path("simhash_sig")
   private[graft] val MinhashLshBandsPath = graft.Fixtures.path("minhash_lsh_bands")
   private[graft] val MinhashLshSetsPath = graft.Fixtures.path("minhash_lsh_sets")
+  private[graft] val SnmRecallPath = graft.Fixtures.path("snm_recall_keys")
   private[graft] val EmbLshFixturePath = graft.Fixtures.path("emb_lsh_codes")
 
   /** (doc_a < doc_b, jaccard) pairs with exact word-trigram jaccard >= 0.5,
@@ -514,6 +515,61 @@ object DedupQueries {
         .orderBy("decile")
     }),
 
+    // the SNM WINDOW recall audit — the window-sizing readout for the
+    // screening detector, the twin of dedup_lsh_recall's (b,r) readout:
+    // TRUE near-dup pairs (exact trigram jaccard >= the detector's 0.5
+    // bar, candidates from discriminative 2<=df<=64 grams — the same
+    // documented conservative-miss window as the LSH audit) bucketed by
+    // their pass-1 rank distance in multiples of the window (band b =
+    // distances (b·w, (b+1)·w], capped at 8+). Band 0 is exactly the set
+    // dedup_snm's window-10 join captures; cum_pairs at band k-1 reads off
+    // the capture a window of k·w would buy — the evidence a deployment
+    // sizes the window from. The spark side ranks through the REAL
+    // distributed machinery (globalRank); the oracle recomputes ranks
+    // relationally (ROW_NUMBER over the exported keys), so the hash match
+    // also proves globalRank == relational ranking on the served key.
+    "dedup_snm_recall" -> ((s, d) => {
+      val dd = docs(s, d)
+      val gramRows = graft.operators.CorpusOps.triGramRows(dd)
+      val dfT = gramRows.groupBy("gram").agg(count(lit(1)).as("df"))
+      gramRows.join(dfT, "gram").groupBy("doc_id")
+        .agg(min(struct(col("df"), col("gram"))).as("k0"),
+          sort_array(collect_list(col("gram"))).as("grams"))
+        .select(col("doc_id"), col("k0.df").as("kdf"),
+          col("k0.gram").as("kgram"), col("grams"))
+        .write.mode("overwrite").parquet(SnmRecallPath)
+      val fx = s.read.parquet(SnmRecallPath)
+      val window = 10
+      val ranked = graft.operators.CorpusOps.globalRank(
+          fx.select(col("doc_id"), col("kdf"), col("kgram")),
+          struct(col("kdf"), col("kgram"), col("doc_id")), "rnk")
+        .select(col("doc_id"), col("rnk"))
+      val sets = fx.select(col("doc_id"), col("grams"))
+      val shRows = sets.select(col("doc_id"), explode(col("grams")).as("sh"))
+      val candPairs = graft.operators.CorpusOps
+        .postingPairCounts(shRows, "sh", 64)
+        .select(col("doc_a"), col("doc_b"))
+      val truePairs = graft.operators.CorpusOps
+        .pairSetStatsStrings(candPairs, sets)
+        .filter(col("common") * 2 >= col("union_sz"))
+        .select(col("doc_a"), col("doc_b"))
+      val banded = truePairs
+        .join(ranked.select(col("doc_id").as("doc_a"), col("rnk").as("ra")), "doc_a")
+        .join(ranked.select(col("doc_id").as("doc_b"), col("rnk").as("rb")), "doc_b")
+        .select(abs(col("ra") - col("rb")).as("dist"))
+        .select(least(expr(s"(dist - 1) div $window"), lit(8L)).as("dist_band"))
+        .groupBy("dist_band").agg(count(lit(1)).as("n_pairs"))
+      val total = banded.agg(sum("n_pairs").as("n_true"))
+      // scalar attach (broadcast 1-row agg) + a <=9-row cumulative window
+      banded.crossJoin(broadcast(total))
+        .withColumn("cum_pairs",
+          sum(col("n_pairs")).over(org.apache.spark.sql.expressions.Window
+            .orderBy("dist_band")))
+        .select(col("dist_band"), col("n_pairs"), col("cum_pairs"),
+          col("n_true"), expr("n_pairs * 1000 div n_true").as("pct_milli"))
+        .orderBy("dist_band")
+    }),
+
     // the ORACLE-CHECKED half of SimHash: the 64-bit sketch exports as a
     // fixture; band extraction (shift+mask), candidate join, and the
     // bit_count(xor) hamming verify recompute in both engines — integer
@@ -702,6 +758,44 @@ object DedupQueries {
         |            JOIN sets sb ON sb.doc_id = cand.doc_b)
         |WHERE common * 2 >= union_sz
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // recompute the SNM window audit from the exported key/gram fixture:
+    // relational ranks (ROW_NUMBER over the pass-1 key — proving
+    // globalRank's order), df-capped true pairs, the identical integer
+    // band/cumulative/pct chain
+    "dedup_snm_recall" ->
+      s"""WITH fx AS (SELECT * FROM read_parquet('$SnmRecallPath/*.parquet')),
+        |ranked AS (
+        |  SELECT doc_id,
+        |         ROW_NUMBER() OVER (ORDER BY kdf, kgram, doc_id) - 1 AS rnk
+        |  FROM fx),
+        |sh AS (SELECT DISTINCT doc_id, unnest(grams) AS sh FROM fx),
+        |kept AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) BETWEEN 2 AND 64),
+        |cp AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        |  JOIN kept k ON k.sh = x.sh),
+        |tp AS (
+        |  SELECT doc_a, doc_b FROM (
+        |    SELECT cp.doc_a, cp.doc_b,
+        |      CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS common,
+        |      CAST(len(a.grams) + len(b.grams)
+        |           - len(list_intersect(a.grams, b.grams)) AS BIGINT) AS union_sz
+        |    FROM cp JOIN fx a ON a.doc_id = cp.doc_a
+        |            JOIN fx b ON b.doc_id = cp.doc_b)
+        |  WHERE common * 2 >= union_sz),
+        |d AS (
+        |  SELECT LEAST((abs(ra.rnk - rb.rnk) - 1) // 10, 8) AS dist_band
+        |  FROM tp JOIN ranked ra ON ra.doc_id = tp.doc_a
+        |          JOIN ranked rb ON rb.doc_id = tp.doc_b),
+        |banded AS (
+        |  SELECT dist_band, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |  FROM d GROUP BY dist_band)
+        |SELECT CAST(dist_band AS BIGINT) AS dist_band, n_pairs,
+        |  CAST(SUM(n_pairs) OVER (ORDER BY dist_band) AS BIGINT) AS cum_pairs,
+        |  CAST((SELECT SUM(n_pairs) FROM banded) AS BIGINT) AS n_true,
+        |  n_pairs * 1000 // CAST((SELECT SUM(n_pairs) FROM banded) AS BIGINT) AS pct_milli
+        |FROM banded ORDER BY dist_band""".stripMargin,
 
     // recompute the LSH recall audit from the exported band/shingle
     // fixtures: df-capped exact-pair join (the cap DOES fire on ubiquitous

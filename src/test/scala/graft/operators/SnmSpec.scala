@@ -125,4 +125,44 @@ class SnmSpec extends SparkSuite {
     assert(planted.subsetOf(got),
       s"missed planted twins: ${(planted -- got).take(3)}")
   }
+
+  test("window recall audit: band 0 is exactly the single-pass capture on the true-pair set") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val rows = graft.queries.DedupQueries.queries("dedup_snm_recall")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("dist_band"), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("cum_pairs"), r.getAs[Long]("n_true"),
+        r.getAs[Long]("pct_milli"))).toSeq.sortBy(_._1)
+    // accounting invariants: bands partition the true pairs, cum is a
+    // running sum ending at n_true, pct is the integer milli share
+    assert(rows.nonEmpty)
+    val nTrue = rows.head._4
+    assert(rows.forall(_._4 == nTrue))
+    assert(rows.map(_._2).sum == nTrue)
+    assert(rows.last._3 == nTrue)
+    rows.foldLeft(0L) { case (acc, (_, n, cum, _, pct)) =>
+      assert(cum == acc + n, s"cum broke at $rows")
+      assert(pct == n * 1000 / nTrue)
+      acc + n
+    }
+    // the identity the audit reads off: band 0 (rank distance <= window)
+    // = the pairs single-pass SNM at the same window/pct captures,
+    // restricted to the audit's df-capped true-pair set
+    val snm = CorpusOps.snmPairs(docs, window = 10, pct = 50)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val fx = spark.read.parquet(graft.queries.DedupQueries.SnmRecallPath)
+    val sets = fx.select(col("doc_id"), col("grams"))
+    val truePairs = CorpusOps.pairSetStatsStrings(
+        CorpusOps.postingPairCounts(
+          sets.select(col("doc_id"), explode(col("grams")).as("sh")), "sh", 64)
+          .select(col("doc_a"), col("doc_b")),
+        sets)
+      .filter(col("common") * 2 >= col("union_sz"))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val band0 = rows.find(_._1 == 0L).map(_._2).getOrElse(0L)
+    assert(band0 == (snm & truePairs).size.toLong,
+      s"band0 $band0 != |snm ∩ true| ${(snm & truePairs).size}")
+  }
 }
