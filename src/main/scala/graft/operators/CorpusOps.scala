@@ -2389,4 +2389,47 @@ object CorpusOps {
     val plainSets = ppjoinPlainSets(gramRows)
     ppjoinVerify(cand, plainSets, plainSets, "doc_a", "doc_b", pct)
   }
+
+  /**
+   * One ingestion step of INCREMENTAL accepted-corpus dedup — the
+   * growing-corpus shape a training pipeline actually runs: micro-batches
+   * arrive, the accepted set only ever GROWS (immutable once written),
+   * and each batch is admitted in two lossless stages:
+   *
+   *  1. cross guard — any batch doc with trigram jaccard >= `pct`/100
+   *     against ANY accepted doc is dropped ([[ppjoinAcross]]: the R-S
+   *     prefix join touches only the accepted corpus's rarest-gram slice,
+   *     so the step costs the batch, not the history);
+   *  2. intra-batch keep-best — [[ppjoinPairs]] over the survivors,
+   *     connected components, keep the best-scoring doc per cluster
+   *     (`scoreCol` desc, id asc — [[dedupKeepBest]]'s rule).
+   *
+   * Returns the batch rows to ACCEPT (full rows, so the caller can append
+   * them to the accepted corpus and its indexes). Semantics contract,
+   * spec-pinned by StreamingCorpusSpec: replaying a corpus in id-ordered
+   * micro-batches accepts exactly the one-shot single-batch run's keeps
+   * whenever (a) each cross-batch duplicate's canonical arrived in an
+   * earlier batch with the higher score (the normal ingestion case —
+   * canonical first) and (b) no near-dup chain crosses batches through a
+   * DROPPED doc. Both divergence modes are real and documented: a
+   * later-arriving better duplicate is dropped (the accepted set is
+   * immutable — re-run [[dedupKeepBest]] offline to re-canonicalize), and
+   * a near-dup chain A~B~C whose middle doc B was dropped leaves a
+   * later-batch C accepted when C resembles only B (drops never join the
+   * guard set, while the one-shot run's connected components span the
+   * whole chain); the spec asserts both modes explicitly rather than
+   * hiding them.
+   */
+  def incrementalPpjoinKeep(
+      batch: DataFrame, accepted: DataFrame, pct: Int = 50,
+      scoreCol: String = "n_chars"): DataFrame = {
+    val crossDrop = ppjoinAcross(batch, accepted, pct)
+      .select(col("left_id").as("doc_id")).distinct()
+    val survivors = batch.join(crossDrop, Seq("doc_id"), "left_anti")
+    val intra = ppjoinPairs(survivors, pct).select(col("doc_a"), col("doc_b"))
+    val kept = dedupKeepBest(survivors.select(col("doc_id"), col(scoreCol)),
+        intra, scoreCol)
+      .filter(col("kept")).select("doc_id")
+    survivors.join(kept, "doc_id")
+  }
 }

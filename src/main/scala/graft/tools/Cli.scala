@@ -56,6 +56,7 @@ import graft.model.VersionVector
  * sbt "runMain graft.tools.Cli <root> winnow-dedup <docsParquet> [pct] [outParquet]"
  * sbt "runMain graft.tools.Cli <root> ppjoin-dedup <docsParquet> [pct] [outParquet]"
  * sbt "runMain graft.tools.Cli <root> snm-dedup <docsParquet> [pct] [passes]"
+ * sbt "runMain graft.tools.Cli <root> incremental-dedup <docsParquet> [nBatches] [pct]"
  * sbt "runMain graft.tools.Cli <root> containment <docsParquet> [pct]"
  * sbt "runMain graft.tools.Cli <root> communities <docsParquet> [iterations]"
  * sbt "runMain graft.tools.Cli <root> pca-project <embParquet> <outParquet> [r]"
@@ -588,6 +589,34 @@ object Cli {
           println(s"${r.getAs[Long]("doc_a")}\t${r.getAs[Long]("doc_b")}\t" +
             s"${r.getAs[Double]("jaccard")}")
         }
+      case "incremental-dedup" =>
+        // growing-corpus ingestion: replay the docs table in <nBatches>
+        // id-ordered micro-batches through the accepted-corpus guard
+        // (cross ppjoinAcross drop + intra keep-best), then compare with
+        // the one-shot run of the same operator
+        import org.apache.spark.sql.functions.{col, length, lit}
+        val n = if (args.length > 3) args(3).toInt else 4
+        val pct = if (args.length > 4) args(4).toInt else 50
+        val all = docsTable(spark, args(2))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+          .localCheckpoint(true)
+        // exact (relativeError 0) id quantiles make contiguous id-ordered
+        // batches without a corpus-sized window
+        val cuts = all.stat.approxQuantile("doc_id",
+          (1 until n).map(_.toDouble / n).toArray, 0.0)
+        var accepted = all.limit(0).localCheckpoint(true)
+        (0 until n).foreach { b =>
+          val lo = if (b == 0) lit(true) else col("doc_id") > cuts(b - 1)
+          val hi = if (b == n - 1) lit(true) else col("doc_id") <= cuts(b)
+          val batch = all.filter(lo && hi).localCheckpoint(true)
+          val kept = graft.operators.CorpusOps
+            .incrementalPpjoinKeep(batch, accepted, pct)
+          accepted = accepted.unionByName(kept).localCheckpoint(true)
+          println(s"batch $b: ${batch.count()} docs in, accepted total ${accepted.count()}")
+        }
+        val oneShot = graft.operators.CorpusOps
+          .incrementalPpjoinKeep(all, all.limit(0), pct).count()
+        println(s"incremental accepted ${accepted.count()}; one-shot keep-best kept $oneShot")
       case "snm-dedup" =>
         // sorted-neighborhood screening: <passes> multi-pass, window 10
         val pct = if (args.length > 3) args(3).toInt else 50

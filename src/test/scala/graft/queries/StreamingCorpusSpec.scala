@@ -457,4 +457,108 @@ class StreamingCorpusSpec extends SparkSuite {
     assert(flagged.toSet == expected,
       s"stream flagged ${flagged.toSet}, batch found $expected")
   }
+
+  test("incremental accepted-corpus dedup over the stream equals the one-shot keep run") {
+    import graft.operators.CorpusOps
+    val root = tempDir("flo-incdedup-stream")
+    val e = new FloEngine(spark, root)
+    e.createStream(EventStreamOptions(name = "ingest", numPartitions = 1))
+
+    val s = spark
+    import s.implicits._
+    // planted shapes: 10 is the canonical of a cross-batch dup (30, later
+    // + shorter — the normal canonical-first ingestion case); 11~12 is an
+    // intra-batch cluster whose keep-best is 12 (longer); 13/31 are clean
+    val batch1 = Seq(
+      10L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu",
+      11L -> "one two three four five six seven eight nine ten",
+      12L -> "one two three four five six seven eight nine ten extra more",
+      13L -> "completely unrelated words nothing shared here at all today friend")
+    val batch2 = Seq(
+      30L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda",
+      31L -> "fresh independent content entirely new tokens appearing only once nowhere")
+    def toDocs(df: DataFrame): DataFrame = df.select(
+      substring_index(col("namespace"), "/", -1).cast("long").as("doc_id"),
+      col("text"), length(col("text")).cast("long").as("n_chars"))
+
+    // the accepted corpus accumulates across micro-batches (pinned via
+    // localCheckpoint: it is read by several ppjoin subtrees every batch)
+    var accepted = Seq.empty[(Long, String, Long)]
+      .toDF("doc_id", "text", "n_chars").localCheckpoint(true)
+    val q = e.consumeStream("ingest")
+      .select(col("namespace"), payload_utf8(col("data")).as("text"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val docsB = toDocs(batch).localCheckpoint(true)
+        if (docsB.count() > 0) {
+          val kept = CorpusOps.incrementalPpjoinKeep(docsB, accepted, pct = 50)
+          accepted = accepted.unionByName(kept).localCheckpoint(true)
+        }
+        ()
+      }
+      .start()
+    try {
+      e.produceStrings("ingest", 1, batch1.map { case (i, t) => s"/docs/$i" -> t })
+      q.processAllAvailable()
+      e.produceStrings("ingest", 1, batch2.map { case (i, t) => s"/docs/$i" -> t })
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = accepted.select("doc_id").as[Long].collect().toSet
+    // one-shot reference: the SAME operator over everything as one batch
+    // against an empty accepted set
+    val all = (batch1 ++ batch2).map { case (i, t) => (i, t, t.length.toLong) }
+      .toDF("doc_id", "text", "n_chars")
+    val oneShot = CorpusOps.incrementalPpjoinKeep(
+        all, all.limit(0), pct = 50)
+      .select("doc_id").as[Long].collect().toSet
+    assert(oneShot == Set(10L, 12L, 13L, 31L), s"one-shot keeps: $oneShot")
+    assert(streamed == oneShot,
+      s"stream accepted $streamed, one-shot kept $oneShot")
+  }
+
+  test("incremental dedup divergence modes are exactly the documented ones") {
+    import graft.operators.CorpusOps
+    val s = spark
+    import s.implicits._
+    def docs(rows: Seq[(Long, String)]): DataFrame =
+      rows.map { case (i, t) => (i, t, t.length.toLong) }
+        .toDF("doc_id", "text", "n_chars").localCheckpoint(true)
+    def keepIds(batch: DataFrame, acc: DataFrame): Set[Long] =
+      CorpusOps.incrementalPpjoinKeep(batch, acc, pct = 50)
+        .select("doc_id").as[Long].collect().toSet
+
+    // mode 1: a LATER-arriving better duplicate is dropped (the accepted
+    // set is immutable) while the one-shot keep-best prefers it
+    val early = docs(Seq(1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+    val later = docs(Seq(
+      2L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa richer longer"))
+    val acceptedAfterEarly = early
+    assert(keepIds(later, acceptedAfterEarly).isEmpty,
+      "immutable accepted set must drop the later better duplicate")
+    val oneShot1 = keepIds(docs(Seq(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      2L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa richer longer")),
+      early.limit(0))
+    assert(oneShot1 == Set(2L), s"one-shot keep-best prefers the longer: $oneShot1")
+
+    // mode 2: a chain A~B~C with B dropped intra-batch leaves a later C
+    // accepted (drops never join the guard set) where the one-shot run's
+    // component spans the chain. B = base (10 trigrams); A edits the last
+    // TWO words (kills 2 trigrams: A~B = 8/12 = 0.67, and A is longer so
+    // keep-best keeps it); C edits the first two (C~B = 0.67); A and C
+    // share only the 6 middle trigrams: 6/14 = 0.43 < 0.5.
+    val base = "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10 p11 p12"
+    val a = "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10 e11 edited-much-longer"
+    val c = "q1 q2 p3 p4 p5 p6 p7 p8 p9 p10 p11 p12"
+    val b1 = docs(Seq(1L -> a, 2L -> base))
+    val kept1 = keepIds(b1, b1.limit(0))
+    assert(kept1 == Set(1L), s"batch 1 keep-best: $kept1")
+    val acc = b1.filter(col("doc_id") === 1L)
+    assert(keepIds(docs(Seq(3L -> c)), acc) == Set(3L),
+      "C resembles only the dropped B — the incremental guard admits it")
+    val oneShot2 = keepIds(docs(Seq(1L -> a, 2L -> base, 3L -> c)), b1.limit(0))
+    assert(oneShot2 == Set(1L),
+      s"the one-shot component spans the chain and keeps only A: $oneShot2")
+  }
 }
