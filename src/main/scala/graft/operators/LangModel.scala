@@ -203,7 +203,31 @@ object LangModel {
     vocabWords(docs).write.mode("overwrite").parquet(s"$path/vocab")
     docs.sparkSession.read.parquet(s"$path/vocab")
       .agg(count(lit(1)).as("v"))
+      .withColumn("format_version", lit(FormatVersion))
       .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Persisted-model format version, stamped into `meta/` and REQUIRED to
+    * match on every read — the [[AnnIndex]] versioned-path contract
+    * applied to the model dirs: a layout change bumps this, so a reader
+    * fails descriptively instead of scoring silently against stale bits.
+    * v2 = version-stamped meta (v1 dirs predate the stamp and are
+    * rejected with a retrain instruction). */
+  private[graft] val FormatVersion = 2L
+
+  /** Read + validate `meta/`: format stamp present and current. Returns
+    * the 1-row (v) table the scorers consume. */
+  private def validatedMeta(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val meta = spark.read.parquet(s"$path/meta")
+    require(meta.columns.contains("format_version"),
+      s"LM model at $path has no format_version stamp (pre-v$FormatVersion " +
+        "layout) — retrain with writeModel (or rebuild via mergeModels)")
+    val ver = meta.select("format_version").head().getLong(0)
+    require(ver == FormatVersion,
+      s"LM model at $path is format v$ver but this build reads " +
+        s"v$FormatVersion — retrain before scoring")
+    meta.select("v")
   }
 
   /**
@@ -231,6 +255,7 @@ object LangModel {
     c1.write.mode("overwrite").parquet(s"$out/c1")
     vocab.write.mode("overwrite").parquet(s"$out/vocab")
     spark.read.parquet(s"$out/vocab").agg(count(lit(1)).as("v"))
+      .withColumn("format_version", lit(FormatVersion))
       .write.mode("overwrite").parquet(s"$out/meta")
   }
 
@@ -395,7 +420,7 @@ object LangModel {
     val s = docs.sparkSession
     scoreWith(docs,
       s.read.parquet(s"$path/c12"), s.read.parquet(s"$path/c1"),
-      s.read.parquet(s"$path/meta"))
+      validatedMeta(s, path))
   }
 
   /** [[scoreAgainst]] through [[scoreWithLogTable]] — the persisted-model
@@ -405,7 +430,7 @@ object LangModel {
     val s = docs.sparkSession
     scoreWithLogTable(docs,
       s.read.parquet(s"$path/c12"), s.read.parquet(s"$path/c1"),
-      s.read.parquet(s"$path/meta"), fixturePath)
+      validatedMeta(s, path), fixturePath)
   }
 
   /** [[bigramNll]] through [[scoreWithLogTable]] — train-and-score with

@@ -185,6 +185,67 @@ object Pca {
     Model(wFp, share.toArray)
   }
 
+  /** Persisted-model format version — the [[LangModel.FormatVersion]]
+    * contract: stamped into `meta/`, REQUIRED on read, so a stale layout
+    * or a rank/dim/scale drift fails descriptively instead of projecting
+    * silently against incompatible coefficients. v2 = version-stamped
+    * meta. */
+  private[graft] val FormatVersion = 2L
+
+  /**
+   * Persist a fitted model (fit once, project many — the [[AnnIndex]] /
+   * [[LangModel]] amortization split): `weights/` one row per (comp, i)
+   * eigenvector entry plus `varshare/`, then a 1-row `meta/` LAST as the
+   * commit marker carrying (format_version, r, d, wscale) — the
+   * parameters a reader must agree on.
+   */
+  def writeModel(emb: DataFrame, path: String, r: Int = 8): Model = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val model = fit(emb, r)
+    modelTable(emb, model).write.mode("overwrite").parquet(s"$path/weights")
+    model.varSharePpm.zipWithIndex.map { case (v, c) => (c, v) }.toSeq
+      .toDF("comp", "share_ppm")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/varshare")
+    Seq((FormatVersion, model.wFp.length, model.wFp.head.length, WScale))
+      .toDF("format_version", "r", "d", "wscale")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    model
+  }
+
+  /** Read + validate a persisted model: meta commit marker present,
+    * format stamp current, coefficient scale unchanged. */
+  def readModel(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
+    val meta = spark.read.parquet(s"$path/meta")
+    require(meta.columns.contains("format_version"),
+      s"PCA model at $path has no format_version stamp " +
+        s"(pre-v$FormatVersion layout) — refit with writeModel")
+    val m = meta.head()
+    val ver = m.getAs[Long]("format_version")
+    require(ver == FormatVersion,
+      s"PCA model at $path is format v$ver but this build reads " +
+        s"v$FormatVersion — refit before projecting")
+    val ws = m.getAs[Long]("wscale")
+    require(ws == WScale,
+      s"PCA model at $path used coefficient scale $ws; this build uses " +
+        s"$WScale — refit before projecting")
+    val r = m.getAs[Int]("r")
+    val d = m.getAs[Int]("d")
+    val rows = spark.read.parquet(s"$path/weights").collect()
+      .map(x => (x.getAs[Int]("comp"), x.getAs[Int]("i"), x.getAs[Long]("w")))
+    require(rows.length == r * d,
+      s"PCA model at $path has ${rows.length} weight rows, meta says ${r * d}")
+    val wFp = Array.ofDim[Long](r, d)
+    rows.foreach { case (c, i, w) => wFp(c)(i) = w }
+    val share = spark.read.parquet(s"$path/varshare").collect()
+      .sortBy(_.getAs[Int]("comp")).map(_.getAs[Long]("share_ppm"))
+    Model(wFp, share)
+  }
+
+  /** Project against a persisted model at `path`. */
+  def projectAgainst(emb: DataFrame, path: String): DataFrame =
+    project(emb, readModel(emb.sparkSession, path).wFp)
+
   /** The fixture shape: one row per (comp, i) eigenvector entry. */
   def modelTable(emb: DataFrame, model: Model): DataFrame = {
     val s = emb.sparkSession

@@ -181,15 +181,34 @@ object QualityModel {
     Seq(wFp).map(w => (w(0), w(1), w(2), w(3), w(4), w(5)))
       .toDF((0 until D).map(i => s"w_$i"): _*)
       .coalesce(1).write.mode("overwrite").parquet(s"$path/weights")
-    Seq((D, lambda)).toDF("d", "lambda")
+    Seq((D, lambda, FormatVersion)).toDF("d", "lambda", "format_version")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     wFp
   }
 
-  /** Read the persisted weights (requires the meta commit marker). */
+  /** Persisted-model format version — the [[LangModel.FormatVersion]]
+    * contract: stamped into `meta/`, REQUIRED on read, so a stale layout
+    * or a feature-dimension drift fails descriptively instead of scoring
+    * silently. v2 = version-stamped meta. */
+  private[graft] val FormatVersion = 2L
+
+  /** Read the persisted weights (meta is the commit marker AND the
+    * compatibility gate: format stamp + feature dimension must match). */
   def readWeights(docs: DataFrame, path: String): Array[Long] = {
     val s = docs.sparkSession
-    s.read.parquet(s"$path/meta").collect() // marker must exist
+    val meta = s.read.parquet(s"$path/meta")
+    require(meta.columns.contains("format_version"),
+      s"quality model at $path has no format_version stamp " +
+        s"(pre-v$FormatVersion layout) — retrain with writeModel")
+    val m = meta.head()
+    val ver = m.getAs[Long]("format_version")
+    require(ver == FormatVersion,
+      s"quality model at $path is format v$ver but this build reads " +
+        s"v$FormatVersion — retrain before scoring")
+    val d = m.getAs[Int]("d")
+    require(d == D,
+      s"quality model at $path was trained on $d features; this build " +
+        s"scores $D — retrain before scoring")
     val r = s.read.parquet(s"$path/weights").collect()(0)
     Array.tabulate(D)(i => r.getAs[Long](s"w_$i"))
   }
