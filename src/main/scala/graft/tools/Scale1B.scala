@@ -116,6 +116,17 @@ object Scale1B {
           val (recent, _) = time(s"consume near-head @$events")(
             engine.consume("big", "/**/*", nearHead).count())
           println(s"SCALE1B   near-head rows: $recent")
+          // sustained full-scan consume (glob + order, the Bench band's
+          // plan) through the noop SINK — count() short-circuits to the
+          // parquet metadata path and reads nothing, so ev/s must come
+          // from a real executed scan. The claim this leg pins: scan
+          // RATE is flat across the decade (cost scales with data read
+          // plus ~1 ms/file planning over the MAINTAINED file count,
+          // never with append history).
+          val (_, scanSec) = time(s"consume full scan @$events (noop)")(
+            engine.consumeAll("big", "/events/p*")
+              .write.format("noop").mode("overwrite").save())
+          println(f"SCALE1B   full-scan consume: ${events / scanSec}%.0f ev/s")
         }
       }
 
