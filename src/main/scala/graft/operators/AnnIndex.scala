@@ -45,6 +45,41 @@ object AnnIndex {
     FileSystem.get(p.toUri, spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /**
+   * Heal a [[rebalance]] interrupted inside its two-rename swap: the swap
+   * assumes a SINGLE writer and no concurrent search (the live path is
+   * absent for a window between the renames), and a crash there leaves
+   * no index at `path` while one or two COMPLETE copies sit in
+   * `*_rebuild_tmp` / `*_replaced_tmp`. Detection is unambiguous — a
+   * completed rebalance always ends with a live `path` — so recovery is
+   * one rename: prefer the staged rebuild (it finished building or it
+   * would not pass [[exists]]), fall back to the replaced original.
+   * Returns what was restored ("rebuild", "replaced") or None when the
+   * index was live (no-op). Call before serving a path that might have
+   * been mid-rebalance; [[rebalance]] itself runs it on entry so a
+   * re-run heals a prior crash instead of failing on the absent path.
+   */
+  def recoverInterruptedSwap(spark: SparkSession, path: String): Option[String] = {
+    val p = new Path(path)
+    val f = FileSystem.get(p.toUri, spark.sparkContext.hadoopConfiguration)
+    if (exists(spark, path)) {
+      // live index won: any leftover parked copies are stale — sweep them
+      // so the next rebalance starts clean
+      f.delete(new Path(s"${path}_rebuild_tmp"), true)
+      f.delete(new Path(s"${path}_replaced_tmp"), true)
+      None
+    } else if (exists(spark, s"${path}_rebuild_tmp")) {
+      require(f.rename(new Path(s"${path}_rebuild_tmp"), p),
+        s"recovery rename ${path}_rebuild_tmp -> $path failed")
+      f.delete(new Path(s"${path}_replaced_tmp"), true)
+      Some("rebuild")
+    } else if (exists(spark, s"${path}_replaced_tmp")) {
+      require(f.rename(new Path(s"${path}_replaced_tmp"), p),
+        s"recovery rename ${path}_replaced_tmp -> $path failed")
+      Some("replaced")
+    } else None
+  }
+
   /** One-row build-parameter table; also the build's commit marker. */
   def meta(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/meta")
@@ -235,7 +270,10 @@ object AnnIndex {
       // re-running expire (the documented repair) also repairs the count
       val n = vecs.count()
       if (n != nBefore) writeMeta(spark, path, m, n)
-      return nBefore - n
+      // a stale-LOW meta (append crashed between its data writes and its
+      // meta rewrite) makes nBefore - n negative: that is a reconcile,
+      // not a removal — report 0 removed rather than a negative count
+      return math.max(0L, nBefore - n)
     }
 
     val codes = spark.read.parquet(s"$path/codes")
@@ -275,7 +313,9 @@ object AnnIndex {
 
     val n = nUnaffected + survV.count()
     writeMeta(spark, path, m, n)
-    nBefore - n
+    // clamped for the same stale-low-meta reconcile case as the
+    // nothing-to-trim branch: the meta is now correct either way
+    math.max(0L, nBefore - n)
   }
 
   /** Rewrite `meta` with a new vector count, carrying the build
@@ -284,8 +324,12 @@ object AnnIndex {
       spark: SparkSession, path: String,
       m: org.apache.spark.sql.Row, n: Long): Unit = {
     import spark.implicits._
+    // residual_coding carries THROUGH from the existing row — hardcoding
+    // the current default here would silently relabel an index built
+    // under a different coding the first time expire touched it
     Seq((m.getAs[Int]("dim"), m.getAs[Int]("cells"), m.getAs[Int]("subs"),
-        m.getAs[Int]("codes"), m.getAs[Int]("lloyd_iters"), n, "cell_mean"))
+        m.getAs[Int]("codes"), m.getAs[Int]("lloyd_iters"), n,
+        m.getAs[String]("residual_coding")))
       .toDF("dim", "cells", "subs", "codes", "lloyd_iters", "n_vectors",
         "residual_coding")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
@@ -314,14 +358,21 @@ object AnnIndex {
    * answer when [[needsRebalance]] fires after a run of skewed appends:
    * fresh spherical k-means centroids, fresh means/codebooks/codes, same
    * build parameters (from meta). Stages the rebuild in a sibling temp
-   * dir and swaps it in by TWO RENAMES (old aside, staged in) — at no
-   * instant is the path empty with its data deleted, so a crash
-   * mid-rebuild leaves the OLD index serving, and a crash inside the
-   * swap leaves both complete copies on disk (`_replaced_tmp` +
-   * `_rebuild_tmp`) for a one-rename manual recovery. The leftover
-   * `_replaced_tmp` is deleted only after the staged copy is live.
+   * dir and swaps it in by TWO RENAMES (old aside, staged in) — no data
+   * is ever deleted before its replacement is live, so a crash
+   * mid-rebuild leaves the OLD index serving. SINGLE-WRITER,
+   * NO-CONCURRENT-SEARCH contract: between the two renames the live path
+   * is briefly ABSENT (a concurrent search would error), and a crash
+   * inside that window parks both complete copies under `_replaced_tmp`
+   * / `_rebuild_tmp` — [[recoverInterruptedSwap]] (run automatically on
+   * rebalance entry, callable before serving) restores one by a single
+   * rename. The leftover `_replaced_tmp` is deleted only after the
+   * staged copy is live.
    */
   def rebalance(spark: SparkSession, path: String): Unit = {
+    recoverInterruptedSwap(spark, path).foreach(which =>
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"rebalance($path): recovered interrupted swap from ${which} copy"))
     val m = meta(spark, path).head()
     // read the corpus lazily: buildIvfPq finishes every write into the
     // staging dir before the live path is touched, so each build stage

@@ -201,7 +201,11 @@ object Cli {
         println(s"removed $removed vectors from ${args(2)}; needs_rebalance=$skewed")
       case "index-rebalance" =>
         // retrain in place from the persisted vectors when the skew audit
-        // fires (or --force), restoring routing quality after drifted appends
+        // fires (or --force), restoring routing quality after drifted
+        // appends. SINGLE WRITER, NO CONCURRENT SEARCH while this runs:
+        // the swap leaves the live path briefly absent; a crash inside
+        // the swap is healed automatically on the next run (or by
+        // AnnIndex.recoverInterruptedSwap before serving).
         val force = args.length > 3 && args(3) == "--force"
         if (force || graft.operators.AnnIndex.needsRebalance(spark, args(2))) {
           graft.operators.AnnIndex.rebalance(spark, args(2))

@@ -529,6 +529,79 @@ class ScaleOpsSpec extends SparkSuite {
     assert(AnnIndex.meta(spark, dir).head().getAs[Long]("n_vectors") == 40L)
   }
 
+  test("expire clamps a stale-LOW meta to a zero removal and repairs the count") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("annidx-lowmeta").toString
+    val e = graft.queries.SimilarityQueries.emb(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id").as("id"), col("v")).filter(col("id") < 40)
+    AnnIndex.buildIvfPq(e, dim = 64, path = dir, cells = 4, subs = 8,
+      codes = 16, lloydIters = 1)
+    // the OTHER crash window: an append wrote its vectors/codes but died
+    // before the meta rewrite — meta reads LOWER than the data. A naive
+    // nBefore - n would go negative; the contract is a 0-removal
+    // reconcile with the count repaired.
+    val m = AnnIndex.meta(spark, dir).head()
+    Seq((m.getAs[Int]("dim"), m.getAs[Int]("cells"), m.getAs[Int]("subs"),
+        m.getAs[Int]("codes"), m.getAs[Int]("lloyd_iters"), 25L, "cell_mean"))
+      .toDF("dim", "cells", "subs", "codes", "lloyd_iters", "n_vectors",
+        "residual_coding")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    val removed = AnnIndex.expire(spark, dir, Seq(900L).toDF("id"))
+    assert(removed == 0L, s"stale-low reconcile must report 0, got $removed")
+    assert(AnnIndex.meta(spark, dir).head().getAs[Long]("n_vectors") == 40L)
+  }
+
+  test("expire carries residual_coding through its meta rewrite") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("annidx-coding").toString
+    val e = graft.queries.SimilarityQueries.emb(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id").as("id"), col("v")).filter(col("id") < 40)
+    AnnIndex.buildIvfPq(e, dim = 64, path = dir, cells = 4, subs = 8,
+      codes = 16, lloydIters = 1)
+    // an index built under a DIFFERENT residual coding must not be
+    // relabeled to the current default the first time expire touches it
+    val m = AnnIndex.meta(spark, dir).head()
+    Seq((m.getAs[Int]("dim"), m.getAs[Int]("cells"), m.getAs[Int]("subs"),
+        m.getAs[Int]("codes"), m.getAs[Int]("lloyd_iters"), 40L, "unit_centroid"))
+      .toDF("dim", "cells", "subs", "codes", "lloyd_iters", "n_vectors",
+        "residual_coding")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    val removed = AnnIndex.expire(spark, dir, Seq(0L, 1L).toDF("id"))
+    assert(removed == 2L)
+    val after = AnnIndex.meta(spark, dir).head()
+    assert(after.getAs[String]("residual_coding") == "unit_centroid",
+      s"expire relabeled the coding to ${after.getAs[String]("residual_coding")}")
+    assert(after.getAs[Long]("n_vectors") == 38L)
+  }
+
+  test("recoverInterruptedSwap restores a live index from either parked copy") {
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("annidx-recover").toString
+    val e = graft.queries.SimilarityQueries.emb(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id").as("id"), col("v")).filter(col("id") < 60)
+    AnnIndex.buildIvfPq(e, dim = 64, path = dir, cells = 4, subs = 8,
+      codes = 16, lloydIters = 1)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // live index: recovery is a no-op
+    assert(AnnIndex.recoverInterruptedSwap(spark, dir).isEmpty)
+    // crash AFTER "old aside" and BEFORE "staged in": only _rebuild_tmp
+    // holds a complete index — recovery promotes it
+    assert(fs.rename(new Path(dir), new Path(s"${dir}_rebuild_tmp")))
+    assert(AnnIndex.recoverInterruptedSwap(spark, dir).contains("rebuild"))
+    assert(AnnIndex.exists(spark, dir))
+    assert(AnnIndex.searchIvfPq(spark, dir,
+      e.filter(col("id") < 3), k = 3, rerank = 50).count() > 0)
+    // crash where only the replaced ORIGINAL survived — recovery restores it
+    assert(fs.rename(new Path(dir), new Path(s"${dir}_replaced_tmp")))
+    assert(AnnIndex.recoverInterruptedSwap(spark, dir).contains("replaced"))
+    assert(AnnIndex.exists(spark, dir))
+    // and a live index sweeps stale parked copies
+    val stale = new Path(s"${dir}_replaced_tmp")
+    fs.mkdirs(stale)
+    assert(AnnIndex.recoverInterruptedSwap(spark, dir).isEmpty)
+    assert(!fs.exists(stale), "stale parked copy must be swept")
+  }
+
   test("rebalance clears a stale _replaced_tmp from a prior interrupted swap") {
     val dir = java.nio.file.Files.createTempDirectory("annidx-swap").toString
     val e = graft.queries.SimilarityQueries.emb(spark, "/root/testdata/sf0.001")
