@@ -130,11 +130,20 @@ object ScalarQueries {
     // corpus (below = #{v < p50}, at_or_below = #{v <= p50} — the sketch
     // returns a real element, so its true rank lies between the two) and
     // assert the GK accuracy-10000 guarantee as pure integer
-    // inequalities: the target rank n/2 sits within n/10000 of the
-    // brackets
+    // inequalities: the target rank n/2 sits within ⌈n/10000⌉ (rank
+    // error bounds are whole ranks) of the brackets
     "q_approx_percentile_verified" -> ((s, d) => {
       val li = Tables.load(s, d, "lineitem")
-      li.groupBy("l_returnflag")
+      // coalesce(1) for the FIXTURE sketch only: approx_percentile's
+      // partial-summary merge is partition-order sensitive, so a
+      // multi-partition sketch can pick a different (still
+      // guarantee-satisfying) element between runs — fine for the
+      // within-run oracle compare, but it made recorded result hashes /
+      // bench baselines run-unstable. One partition = one partial = a
+      // deterministic element for the same files; the guarantee check
+      // below is unchanged and the scoring join still reads the full
+      // distributed table.
+      li.coalesce(1).groupBy("l_returnflag")
         .agg(expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p50"))
         .write.mode("overwrite").parquet(ApproxP50FixturePath)
       li.join(s.read.parquet(ApproxP50FixturePath), "l_returnflag")
@@ -144,9 +153,12 @@ object ScalarQueries {
             .as("below"),
           sum(when(col("l_extendedprice") <= col("p50"), 1L).otherwise(0L))
             .as("at_or_below"))
+        // the rank-error bound is the integer ⌈n/accuracy⌉ (GK tolerances
+        // are whole ranks): B = (n + 9999) div 10000, |rank − n/2| <= B
+        // written 2x-scaled to stay integer-exact
         .select(col("l_returnflag"), col("n"), col("below"), col("at_or_below"),
-          ((col("below") * 10000 <= col("n") * 5000 + col("n")) &&
-            (col("at_or_below") * 10000 >= col("n") * 5000 - col("n")))
+          ((col("below") * 2 <= col("n") + expr("2 * ((n + 9999) div 10000)")) &&
+            (col("at_or_below") * 2 >= col("n") - expr("2 * ((n + 9999) div 10000)")))
             .as("rank_ok"))
         .orderBy("l_returnflag")
     }),
@@ -425,9 +437,9 @@ object ScalarQueries {
          |  JOIN read_parquet('$ApproxP50FixturePath/*.parquet') f
          |    USING (l_returnflag)
          |  GROUP BY 1)
-         |SELECT l_returnflag, n, below, at_or_below,
-         |  (below * 10000 <= n * 5000 + n AND
-         |   at_or_below * 10000 >= n * 5000 - n) AS rank_ok
+         |SELECT l_returnflag, CAST(n AS BIGINT) AS n, below, at_or_below,
+         |  (below * 2 <= n + 2 * ((n + 9999) // 10000) AND
+         |   at_or_below * 2 >= n - 2 * ((n + 9999) // 10000)) AS rank_ok
          |FROM j ORDER BY l_returnflag""".stripMargin,
 
     "q_scalar_suite" ->

@@ -38,9 +38,20 @@ import graft.operators.EvalOps
  *
  * Reference histograms are mergeable (sum on value), so a monitor can be
  * re-anchored to a new reference without touching stream state.
+ *
+ * Identity pairing: pass `checkpointLocation` (the SAME path the caller
+ * gives the writer) and the monitor stamps persistDir with the streaming
+ * query's id (the UUID Spark writes to `<checkpoint>/metadata` — stable
+ * across restarts of one checkpoint, fresh on a reset) on first commit,
+ * then requires it to match on every later commit/restore. This closes
+ * the one reset case the batch-id fail-fast below cannot see: a previous
+ * run that committed ONLY batch 0, replayed by a fresh checkpoint whose
+ * first batch is also 0 — indistinguishable from a legit at-least-once
+ * replay by ids alone, but a different query id.
  */
 class DriftMonitor(reference: DataFrame, valueCol: String,
-    persistDir: Option[String] = None) {
+    persistDir: Option[String] = None,
+    checkpointLocation: Option[String] = None) {
 
   private val spark = reference.sparkSession
 
@@ -57,6 +68,44 @@ class DriftMonitor(reference: DataFrame, valueCol: String,
 
   private def committed(dir: String): Boolean =
     fs(dir).exists(new Path(s"$dir/_SUCCESS"))
+
+  /** The paired checkpoint's query id, read from its metadata file —
+    * present once the query has started (so by the first foreachBatch). */
+  private def queryId(): Option[String] = checkpointLocation.flatMap { cp =>
+    val p = new Path(s"$cp/metadata")
+    val f = fs(cp)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val text = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+      """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(text).map(_.group(1))
+    }
+  }
+
+  private def stampPath = new Path(s"${persistDir.get}/_run_identity")
+
+  /** Enforce the persistDir <-> checkpoint pairing: stamp on first
+    * commit, fail loudly on any later mismatch (a reset checkpoint over
+    * an old persistDir would otherwise silently restore stale state). */
+  private def checkIdentity(): Unit = (persistDir, queryId()) match {
+    case (Some(_), Some(qid)) =>
+      val f = fs(persistDir.get)
+      if (f.exists(stampPath)) {
+        val in = f.open(stampPath)
+        val stamped = try scala.io.Source.fromInputStream(in).mkString.trim
+          finally in.close()
+        require(stamped == qid,
+          s"persistDir ${persistDir.get} is stamped with query id $stamped " +
+            s"but this stream's checkpoint carries $qid: the checkpoint was " +
+            "reset (or a different query reuses the dir) while persistDir " +
+            "holds the old run's histograms — give each (checkpoint, " +
+            "persistDir) pairing a fresh dir")
+      } else {
+        val out = f.create(stampPath, true)
+        try out.write(qid.getBytes("UTF-8")) finally out.close()
+      }
+    case _ => () // no pairing requested: the batch-id fail-fast still applies
+  }
 
   /** Latest committed batch id under `persistDir`, if any. */
   private def latestCommitted(): Option[Long] = persistDir.flatMap { p =>
@@ -94,6 +143,7 @@ class DriftMonitor(reference: DataFrame, valueCol: String,
     stream.select(col(valueCol).cast("long").as("v"))
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
+        checkIdentity()
         val pinned = persistDir match {
           case Some(_) if committed(batchDir(id)) =>
             // replayed batch after a restart: its merge already committed —

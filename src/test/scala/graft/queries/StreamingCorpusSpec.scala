@@ -180,6 +180,64 @@ class StreamingCorpusSpec extends SparkSuite {
     df.select(payload_utf8(col("data")).as("text"))
       .select(size(split(trim(col("text")), " +")).cast("long").as("v"))
 
+  test("drift monitor identity stamp: a reset checkpoint over an old persistDir fails loudly") {
+    val root = tempDir("flo-drift-ident")
+    val persist = tempDir("flo-drift-ident-hist")
+    val e = new FloEngine(spark, root)
+    e.createStream(EventStreamOptions(name = "docs", numPartitions = 1))
+    def doc(words: Int, i: Int) =
+      (Seq.fill(words - 1)("w") :+ s"t$i").mkString(" ")
+    val ref = spark.createDataFrame(
+      (0 until 20).map(i => (i.toLong, doc(5 + i % 5, i)))
+    ).toDF("doc_id", "text")
+      .select(size(split(trim(col("text")), " +")).cast("long").as("v"))
+
+    // run 1 commits ONLY batch 0 — the exact shape the batch-id fail-fast
+    // cannot see (a fresh checkpoint's first batch is also id 0)
+    val cp1 = tempDir("flo-drift-ident-cp1")
+    val mon1 = new graft.streaming.DriftMonitor(ref, "v", Some(persist), Some(cp1))
+    val q1 = mon1.attach(prepLens(e.consumeStream("docs")))
+      .option("checkpointLocation", cp1).start()
+    try {
+      e.produceStrings("docs", 1,
+        (0 until 10).map(i => s"/docs/a/$i" -> doc(5 + i % 5, i)))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(mon1.readings.nonEmpty)
+
+    // legit continuation: SAME checkpoint, same persistDir — restores and
+    // keeps folding
+    val mon2 = new graft.streaming.DriftMonitor(ref, "v", Some(persist), Some(cp1))
+    val q2 = mon2.attach(prepLens(e.consumeStream("docs")))
+      .option("checkpointLocation", cp1).start()
+    try {
+      e.produceStrings("docs", 1,
+        (0 until 10).map(i => s"/docs/b/$i" -> doc(7 + i % 5, i)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(mon2.readings.nonEmpty)
+
+    // misuse: FRESH checkpoint (new query id), old persistDir — before
+    // the stamp, its batch 0 masqueraded as a legit replay of the old
+    // run's batch 0 and silently restored the stale histogram; now the
+    // identity mismatch fails the query descriptively
+    val cp2 = tempDir("flo-drift-ident-cp2")
+    val mon3 = new graft.streaming.DriftMonitor(ref, "v", Some(persist), Some(cp2))
+    val q3 = mon3.attach(prepLens(e.consumeStream("docs")))
+      .option("checkpointLocation", cp2).start()
+    val err = intercept[Exception] {
+      e.produceStrings("docs", 1, Seq(s"/docs/c/0" -> doc(6, 0)))
+      q3.processAllAvailable()
+    }
+    q3.stop()
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(err).exists(_.contains("stamped with query id")),
+      s"want the identity-mismatch message, got: ${messages(err)}")
+    assert(mon3.readings.isEmpty, "the mismatched run must not record readings")
+  }
+
   test("quota guard admits the greedy per-source prefix and stays exhausted across batches") {
     import graft.streaming.QuotaGuard
     val root = tempDir("flo-quota-stream")
