@@ -975,11 +975,51 @@ object CorpusOps {
   }
 
   /** One word through the full rank-ordered merge list (chars + `</w>`,
-    * then each rule once in training order — [[applyMerge]] discipline). */
+    * then each rule once in training order — [[applyMerge]] discipline).
+    * O(rules · len): the equality ORACLE for [[encodeWordFast]], fine at
+    * catalog rule counts, quadratic waste at a real 32k-rule vocab. */
   private[graft] def encodeWord(
       w: String, rules: Seq[(String, String)]): Seq[String] = {
     var syms: Seq[String] = w.map(_.toString) :+ "</w>"
     rules.foreach { case (a, b) => syms = applyMerge(syms, a, b) }
+    syms
+  }
+
+  /**
+   * Rank-priority encoding — the production encoder for REAL rule
+   * tables: repeatedly apply the lowest-rank merge PRESENT in the word
+   * (one ranks lookup per adjacent pair per round) instead of walking
+   * all R rules. O(len² · lookup) per word, independent of R — at 32k
+   * rules the sequential walk does 32k passes per word for the ~len
+   * that can apply.
+   *
+   * Provably equal to [[encodeWord]] (BpeFastSpec pins it on random
+   * words × real trained tables): when the sequential walk reaches rank
+   * r, every pair of rank &lt; r is exhausted and — the no-recreation
+   * invariant, asserted by PipelineSpec — no later merge can re-create
+   * an earlier rule's adjacency (merging two symbols into a NEW symbol
+   * never makes two pre-existing symbols adjacent). So the min-rank
+   * present pair IS the next rule the sequential walk would apply, and
+   * both apply it with the same greedy [[applyMerge]] pass.
+   */
+  private[graft] def encodeWordFast(
+      w: String, rankOf: collection.Map[(String, String), Int]): Seq[String] = {
+    var syms: Seq[String] = w.map(_.toString) :+ "</w>"
+    var done = false
+    while (!done && syms.length >= 2) {
+      var best = Int.MaxValue
+      var bestA: String = null
+      var bestB: String = null
+      var i = 0
+      while (i < syms.length - 1) {
+        rankOf.get((syms(i), syms(i + 1))).foreach { r =>
+          if (r < best) { best = r; bestA = syms(i); bestB = syms(i + 1) }
+        }
+        i += 1
+      }
+      if (bestA == null) done = true
+      else syms = applyMerge(syms, bestA, bestB)
+    }
     syms
   }
 
@@ -1009,15 +1049,19 @@ object CorpusOps {
   def bpeEncode(docs: DataFrame, merges: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val rules: Seq[(String, String)] = merges.select("rank", "left", "right")
-      .collect().sortBy(_.getAs[Int]("rank"))
-      .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
+    // rank map in the task closure: rules-table-sized (the same rows the
+    // sequential walk would carry), but each word now touches only the
+    // rules PRESENT in it — [[encodeWordFast]]'s contract
+    val rankOf: Map[(String, String), Int] = merges
+      .select("rank", "left", "right").collect()
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right")) ->
+        r.getAs[Int]("rank")).toMap
     docs
       .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("n"))
       .as[(String, Long)]
-      .map { case (w, n) => (w, n, encodeWord(w, rules)) }
+      .map { case (w, n) => (w, n, encodeWordFast(w, rankOf)) }
       .toDF("w", "n", "tokens")
   }
 

@@ -648,7 +648,11 @@ object TextQueries {
         val sig = files.map(x => s"${x.getName}:${x.length}:${x.lastModified}").mkString("|")
         f"${sig.hashCode & 0xffffffffL}%08x"
       }
-      val path = s"${sys.props("java.io.tmpdir")}/graft_lm/v2_${tag}_$fp"
+      // v3 = format_version-stamped meta (LangModel.FormatVersion): the
+      // path version bump makes pre-stamp cached dirs simply not found
+      // (rebuilt fresh) instead of tripping the loud stale-layout gate —
+      // the right behavior for a build-once ensure path
+      val path = s"${sys.props("java.io.tmpdir")}/graft_lm/v3_${tag}_$fp"
       if (!graft.operators.LangModel.modelExists(s, path))
         graft.operators.LangModel.writeModel(docs(s, d), path)
       graft.operators.LangModel

@@ -66,12 +66,28 @@ object BpeScaleDrive {
     val totalSyms = units.map(_._1.length.toLong).sum
     println(f"[bpe-drive] doc-char units: ${units.length}%d units, " +
       f"$totalSyms%d symbols, corpus pass + collect $tAgg%.2f s")
-    val (docMerges, tLoop) = time {
-      graft.operators.CorpusOps.bpeMergeLoop(units, numMerges).length
+    val (docMergeRules, tLoop) = time {
+      graft.operators.CorpusOps.bpeMergeLoop(units, numMerges)
     }
     println(f"[bpe-drive] doc-char loop: requested $numMerges%d, learned " +
-      f"$docMerges%d merges in $tLoop%.2f s " +
-      f"(${docMerges / math.max(tLoop, 1e-9)}%.0f merges/s, zero Spark jobs)")
+      f"${docMergeRules.length}%d merges in $tLoop%.2f s " +
+      f"(${docMergeRules.length / math.max(tLoop, 1e-9)}%.0f merges/s, zero Spark jobs)")
+
+    // encode leg: every distinct doc unit through the FULL learned rule
+    // table via the rank-priority encoder — the path a 32k-rule
+    // deployment tokenizes with (the sequential walk would do
+    // |rules| passes per unit)
+    val rankOf: Map[(String, String), Int] = docMergeRules
+      .map { case (r, a, b, _) => (a, b) -> r }.toMap
+    val (totalTokens, tEnc) = time {
+      units.iterator.map { case (arr, n) =>
+        graft.operators.CorpusOps
+          .encodeWordFast(arr.dropRight(1).mkString, rankOf).length * n
+      }.sum
+    }
+    println(f"[bpe-drive] encode: ${units.length}%d units -> $totalTokens%d " +
+      f"weighted tokens in $tEnc%.2f s under ${rankOf.size}%d rules " +
+      f"(${totalSyms / math.max(tEnc, 1e-9)}%.0f symbols/s)")
     s.stop()
   }
 }

@@ -79,6 +79,37 @@ class BpeFastSpec extends SparkSuite {
     assert(fast == slow, s"fast $fast != slow $slow")
   }
 
+  test("rank-priority encoder equals the sequential rule walk on trained tables") {
+    import spark.implicits._
+    // train real tables on two corpora (the tiny-alphabet one exercises
+    // overlap/tie shapes; sf0.001 exercises the real vocabulary), then
+    // encode a word set that includes unseen words, substrings, and
+    // overlap runs — the encoders must agree symbol-for-symbol
+    val corpora = Seq(
+      Seq((1L, "aa aa aa aa"), (2L, "aa aa aa aa ab"), (3L, "ab ab"),
+        (4L, "aaa aab abab baba")).toDF("doc_id", "text"),
+      graft.Tables.load(spark, sf, "documents"))
+    val rnd = new scala.util.Random(7)
+    corpora.foreach { docs =>
+      val merges = CorpusOps.bpeTrainFast(docs, numMerges = 30)
+      val rows = merges.select("rank", "left", "right").collect()
+      val rules = rows.sortBy(_.getAs[Int]("rank"))
+        .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
+      val rankOf = rows.map(r =>
+        (r.getAs[String]("left"), r.getAs[String]("right")) ->
+          r.getAs[Int]("rank")).toMap
+      val words = Seq("aa", "ab", "aaa", "abab", "ababab", "ba", "zq",
+        "spark", "batch", "sort", "sorting") ++
+        (1 to 40).map(_ => (1 to (1 + rnd.nextInt(8)))
+          .map(_ => "abcs" (rnd.nextInt(4))).mkString)
+      words.foreach { w =>
+        val slow = CorpusOps.encodeWord(w, rules)
+        val fast = CorpusOps.encodeWordFast(w, rankOf)
+        assert(fast == slow, s"'$w': fast $fast != slow $slow")
+      }
+    }
+  }
+
   test("merge loop leaves no learnable pair behind at early stop") {
     // after the loop stops on its own, every remaining adjacent pair in
     // the rewritten units must have weighted count < 2
