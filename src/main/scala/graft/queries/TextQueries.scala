@@ -30,6 +30,9 @@ object TextQueries {
   private[graft] val BpeVocabFixturePath = graft.Fixtures.path("bpe_vocab")
   private[graft] val BpeStatesFixturePath = graft.Fixtures.path("bpe_states")
   private[graft] val BpeEncFixturePath = graft.Fixtures.path("bpe_encoded")
+  private[graft] val BpeMergesStatesPath = graft.Fixtures.path("bpe_merges_states")
+  private[graft] val BpeTopFixturePath = graft.Fixtures.path("bpe_top_vocab")
+  private[graft] val BpeDoclenFixturePath = graft.Fixtures.path("bpe_doclen_vocab")
   // fixed-point log tables (one per query so verify order never couples):
   // the determinism-rule protocol — ln runs once, in Spark, over distinct
   // integer count keys; both engines score by integer join + sum
@@ -194,26 +197,42 @@ object TextQueries {
     // formulation — ONE corpus-sized word-count shuffle, then the
     // in-process incremental merge loop over the collected vocab-bounded
     // table (real-vocab capable: 32k merges need ZERO extra Spark jobs —
-    // BpeScaleDrive records the figure; BpeFastSpec proves equality with
-    // the distributed per-round formulation, which text_bpe_merges_verified
-    // still oracle-checks round by round). Deterministic (lexicographic
-    // tie-break). Not SQL-expressible (iterative argmax chain) ->
-    // rows-only check; PipelineSpec pins a hand-computed merge sequence
-    // and the non-increasing-count invariant.
-    "text_bpe_merges" -> ((s, d) =>
-      graft.operators.CorpusOps.bpeTrainFast(docs(s, d), numMerges = 12)
-        .orderBy("rank")),
+    // BpeScaleDrive records the figure). FULLY ORACLE-CHECKED (promoted
+    // round 9): the DISTRIBUTED formulation's per-round vocab states
+    // export as this query's own fixture, the oracle recomputes every
+    // round's weighted-pair argmax from them, and the returned table is
+    // the PRODUCTION fast trainer's — so the driver itself re-proves
+    // fast ≡ distributed merge-for-merge on every run (BpeFastSpec's
+    // equality bar, executed as a hash check).
+    "text_bpe_merges" -> ((s, d) => {
+      val corpus = docs(s, d)
+      graft.operators.CorpusOps.bpeTrainStates(corpus, numMerges = 12)._2
+        .write.mode("overwrite").parquet(BpeMergesStatesPath)
+      graft.operators.CorpusOps.bpeTrainFast(corpus, numMerges = 12)
+        .orderBy("rank")
+    }),
 
     // The tokenizer's APPLY step: encode the corpus with the merges just
     // learned, surface the 25 most frequent BPE tokens. The iterative
     // rewrite runs once per DISTINCT word (vocab-sized side); the corpus
-    // pays one word-count shuffle. Not SQL-expressible (rank-ordered merge
-    // chain) -> rows-only check; PipelineSpec pins a hand-computed encode,
-    // the round-trip property, and the no-residual-pair invariant.
+    // pays one word-count shuffle. FULLY ORACLE-CHECKED (promoted round
+    // 9, the text_bpe_encode_verified protocol applied to the production
+    // output): the learned word -> token-sequence table exports as this
+    // query's own fixture, and the oracle RECOUNTS word frequencies from
+    // the raw corpus, joins the fixture, and rebuilds the same top-25 —
+    // the count pipeline cross-checks engine-independently; only the
+    // merge-chain rewrite itself rides the fixture.
     "text_bpe_encode" -> ((s, d) => {
       val corpus = docs(s, d)
       val merges = graft.operators.CorpusOps.bpeTrainFast(corpus, numMerges = 12)
       graft.operators.CorpusOps.bpeEncode(corpus, merges)
+        .select(col("w"), col("tokens"))
+        .write.mode("overwrite").parquet(BpeTopFixturePath)
+      corpus
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("n"))
+        .join(s.read.parquet(BpeTopFixturePath), "w")
         .select(explode(col("tokens")).as("token"), col("n"))
         .groupBy("token").agg(sum("n").as("freq"))
         .orderBy(col("freq").desc, col("token")).limit(25)
@@ -221,18 +240,26 @@ object TextQueries {
 
     // Per-doc token budget under the LEARNED tokenizer (what sequence
     // packing at 100 TB actually keys on): doc word streams join the
-    // broadcast vocab->token-length table, aggregated per source. Same
-    // rows-only check rationale as text_bpe_encode.
+    // broadcast vocab->token-length table, aggregated per source. FULLY
+    // ORACLE-CHECKED (promoted round 9): the (word, token_count) table
+    // exports as this query's own fixture; the oracle re-walks the raw
+    // corpus's word streams, joins it, and recomputes the per-source
+    // integer aggregate — tokens_per_word as an exact integer div.
     "text_bpe_doclen" -> ((s, d) => {
       val corpus = docs(s, d)
       val merges = graft.operators.CorpusOps.bpeTrainFast(corpus, numMerges = 12)
+      graft.operators.CorpusOps.bpeEncode(corpus, merges)
+        .select(col("w"), size(col("tokens")).cast("long").as("word_tokens"))
+        .write.mode("overwrite").parquet(BpeDoclenFixturePath)
       graft.operators.CorpusOps.bpeDocLengths(corpus, merges)
         .join(corpus.select("doc_id", "source"), "doc_id")
         .groupBy("source")
         .agg(count(lit(1)).as("docs"),
           sum("n_words").as("total_words"),
-          sum("n_tokens").as("total_tokens"),
-          (floor(sum("n_tokens") * lit(10000) / sum("n_words")) / 10000)
+          sum("n_tokens").as("total_tokens"))
+        .select(col("source"), col("docs"), col("total_words"),
+          col("total_tokens"),
+          (expr("(total_tokens * 10000) div total_words") / 10000.0)
             .as("tokens_per_word"))
         .orderBy("source")
     }),
@@ -1158,6 +1185,66 @@ object TextQueries {
     // exported vocab states: adjacent pairs via 1-based list indexing,
     // top-1 per round by (count desc, pair) — the trainer's selection
     // logic on identical bits
+    // the PRODUCTION trainer's output, recomputed round by round from the
+    // distributed formulation's exported states — the driver re-proves
+    // fast ≡ distributed on every run
+    "text_bpe_merges" ->
+      s"""WITH st AS (SELECT * FROM read_parquet('$BpeMergesStatesPath/*.parquet')),
+        |pairs AS (
+        |  SELECT merge_round, syms[i] AS lhs, syms[i + 1] AS rhs, n
+        |  FROM st, UNNEST(range(1, len(syms))) AS t(i)
+        |  WHERE len(syms) >= 2),
+        |cnts AS (
+        |  SELECT merge_round, lhs, rhs, CAST(SUM(n) AS BIGINT) AS pair_count
+        |  FROM pairs GROUP BY 1, 2, 3)
+        |SELECT CAST(merge_round AS INTEGER) AS rank, lhs AS left,
+        |       rhs AS right, lhs || rhs AS merged, pair_count
+        |FROM cnts
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY merge_round
+        |  ORDER BY pair_count DESC, lhs, rhs) = 1
+        |ORDER BY rank""".stripMargin,
+
+    // recount word frequencies from the raw corpus, join the exported
+    // word -> token-sequence table, rebuild the production top-25
+    "text_bpe_encode" ->
+      s"""WITH v AS (SELECT * FROM read_parquet('$BpeTopFixturePath/*.parquet')),
+        |tok AS (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+        |  FROM documents),
+        |wc AS (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM tok
+        |  WHERE len(w) > 0 GROUP BY w),
+        |x AS (
+        |  SELECT unnest(v.tokens) AS token, wc.n
+        |  FROM wc JOIN v USING (w))
+        |SELECT token, CAST(SUM(n) AS BIGINT) AS freq
+        |FROM x GROUP BY token
+        |ORDER BY freq DESC, token LIMIT 25""".stripMargin,
+
+    // re-walk the corpus's word streams against the exported
+    // word -> token-count table, recompute the per-source budget with the
+    // exact integer tokens_per_word div
+    "text_bpe_doclen" ->
+      s"""WITH v AS (SELECT * FROM read_parquet('$BpeDoclenFixturePath/*.parquet')),
+        |w AS (
+        |  SELECT doc_id, source,
+        |         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+        |  FROM documents),
+        |j AS (
+        |  SELECT w.doc_id, w.source, v.word_tokens
+        |  FROM w JOIN v USING (w) WHERE len(w.w) > 0),
+        |per_doc AS (
+        |  SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS n_words,
+        |         CAST(SUM(word_tokens) AS BIGINT) AS n_tokens
+        |  FROM j GROUP BY 1, 2)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS docs,
+        |  CAST(SUM(n_words) AS BIGINT) AS total_words,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST((CAST(SUM(n_tokens) AS BIGINT) * 10000)
+        |       // CAST(SUM(n_words) AS BIGINT) AS BIGINT) / 10000.0
+        |    AS tokens_per_word
+        |FROM per_doc GROUP BY source ORDER BY source""".stripMargin,
+
     "text_bpe_merges_verified" ->
       s"""WITH st AS (SELECT * FROM read_parquet('$BpeStatesFixturePath/*.parquet')),
         |pairs AS (
