@@ -171,6 +171,21 @@ object CorpusScaleDrive {
         // track the sort (n log n / shuffle-bound), the skew-immunity claim
         graft.operators.CorpusOps.snmPairs(docs, window = 10, pct = 50).count()
       }
+      run("incremental_keep") {
+        // one ingestion step at a REALISTIC history ratio: the amplified
+        // corpus split ~10% batch (the k=0 originals) vs ~90% accepted
+        // history — the claim is that the cross guard costs the batch
+        // plus the accepted corpus's rarest-gram SLICE, so the ratio
+        // should track corpus growth (the per-doc gram pipeline), never
+        // an all-pairs or full-history term; intra keep-best rides the
+        // planted-dup components
+        val batch = docs.filter(col("doc_id") < 1000000L)
+          .localCheckpoint(true)
+        val accepted = docs.filter(col("doc_id") >= 1000000L)
+          .localCheckpoint(true)
+        graft.operators.CorpusOps
+          .incrementalPpjoinKeep(batch, accepted, pct = 50).count()
+      }
       run("decontaminate_fuzzy") {
         // eval pinned to BASE docs only (k = 0): the amplifier preserves
         // doc_id % 20 across copies (1e6 % 20 = 0), so a %20 eval split
