@@ -2176,7 +2176,7 @@ object CorpusOps {
   /** The shared candidate stage: prefix-posting equi-join on gram, length
     * filter, PPJoin's positional α bound, distinct id pairs. `selfJoin`
     * adds the doc_a < doc_b canonicalization a self-join needs. */
-  private def ppjoinCandidates(
+  private[graft] def ppjoinCandidates(
       lpre: DataFrame, rpre: DataFrame, pct: Int,
       aId: String, bId: String, selfJoin: Boolean): DataFrame = {
     val joined = lpre
@@ -2200,7 +2200,7 @@ object CorpusOps {
     * `array_intersect` evaluates interpreted per pair and dominates on
     * boilerplate-heavy corpora where survivors grow (the containment
     * blow-up shape), so the codegen'd deserialize + JVM merge wins. */
-  private def ppjoinVerify(
+  private[graft] def ppjoinVerify(
       cand: DataFrame, setsA: DataFrame, setsB: DataFrame,
       aId: String, bId: String, pct: Int): DataFrame = {
     val s = cand.sparkSession
@@ -2475,5 +2475,91 @@ object CorpusOps {
         intra, scoreCol)
       .filter(col("kept")).select("doc_id")
     survivors.join(kept, "doc_id")
+  }
+
+  /**
+   * FROZEN gram order for the indexed incremental form: a (gram, df)
+   * snapshot from a seed corpus. PPJoin's prefix theorem needs one
+   * CONSISTENT total gram order, not the live-df one — rarest-first
+   * merely minimizes prefix-join cost — so freezing the order is what
+   * makes the accepted-side index APPEND-ONLY: under the live union df
+   * ([[ppjoinAcross]]), every batch shifts dfs and silently re-orders
+   * historical docs' prefixes, forcing a full history re-aggregation per
+   * batch. Grams unseen by the snapshot order as (df = 0, gram) — new
+   * grams ARE rare, and the rule is stable forever because the snapshot
+   * is never updated in place (rebuild to a NEW snapshot + index when
+   * drift makes prefixes too long; the rebuild is offline and the old
+   * index serves meanwhile, the [[AnnIndex.rebalance]] discipline).
+   */
+  def ppjoinFrozenOrder(seed: DataFrame): DataFrame =
+    triGramRows(seed).groupBy("gram").agg(count(lit(1)).as("df"))
+
+  /** A doc set's PPJoin index tables under a frozen order: (prefixes =
+    * (gram, doc_id, i, sz) posting rows, sets = (doc_id, grams)
+    * code-point-sorted). Both are per-doc-derived ONLY — no corpus-wide
+    * aggregate — so per-batch tables concatenate into the accepted
+    * index (parquet append, partitioned by gram hash at scale). */
+  def ppjoinIndexTables(
+      docs: DataFrame, orderT: DataFrame, pct: Int = 50): (DataFrame, DataFrame) = {
+    require(pct >= 1 && pct <= 99, s"pct must be in [1, 99], got $pct")
+    val gramRows = triGramRows(docs)
+    val keyed = gramRows.join(orderT, Seq("gram"), "left")
+      .select(col("doc_id"), col("gram"),
+        coalesce(col("df"), lit(0L)).as("df"))
+    val perDoc = keyed
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("gram")))).as("gs"))
+      .select(col("doc_id"),
+        expr("transform(gs, x -> x.gram)").as("grams"),
+        size(col("gs")).cast("long").as("sz"))
+    (ppjoinPrefixes(perDoc, pct), ppjoinPlainSets(gramRows))
+  }
+
+  /**
+   * The INDEXED ingestion step — the 100 TB form of
+   * [[incrementalPpjoinKeep]]: the accepted corpus lives as persisted
+   * prefix-posting + gram-set tables under a [[ppjoinFrozenOrder]]
+   * snapshot, and each batch (a) probes its own prefixes against the
+   * accepted postings (an equi-join on gram where the batch side is
+   * micro-batch-sized — no history re-aggregation, no shuffle of
+   * history; partition the persisted postings by gram hash and the probe
+   * prunes), (b) runs the intra-batch pair join under the SAME frozen
+   * order, (c) keeps best per intra cluster. Lossless at every step: the
+   * prefix theorem holds under any consistent order, and verification is
+   * exact on candidates. Returns (kept rows, kept prefix rows, kept set
+   * rows) — the caller appends the latter two to the accepted index
+   * (APPEND-ONLY: old docs' prefixes never change under the frozen
+   * order; IncrementalPpjoinSpec pins replayed-index ≡ one-shot-index
+   * equality and verdict parity with the recompute form).
+   */
+  def incrementalPpjoinKeepIndexed(
+      batch: DataFrame,
+      acceptedPrefixes: DataFrame,
+      acceptedSets: DataFrame,
+      orderT: DataFrame,
+      pct: Int = 50,
+      scoreCol: String = "n_chars"): (DataFrame, DataFrame, DataFrame) = {
+    val (bPre, bSets) = ppjoinIndexTables(batch, orderT, pct)
+    val crossCand = ppjoinCandidates(
+      bPre, acceptedPrefixes, pct, "left_id", "right_id", selfJoin = false)
+    val crossDrop = ppjoinVerify(
+        crossCand, bSets, acceptedSets, "left_id", "right_id", pct)
+      .select(col("left_id").as("doc_id")).distinct()
+    val survivors = batch.join(crossDrop, Seq("doc_id"), "left_anti")
+    // intra-batch under the same frozen order: prefixes/sets prune to the
+    // surviving ids (semi joins), then the standard self candidate join
+    val sIds = survivors.select("doc_id")
+    val sPre = bPre.join(sIds, "doc_id")
+    val sSets = bSets.join(sIds, "doc_id")
+    val intraCand = ppjoinCandidates(sPre, sPre, pct, "doc_a", "doc_b",
+      selfJoin = true)
+    val intra = ppjoinVerify(intraCand, sSets, sSets, "doc_a", "doc_b", pct)
+      .select(col("doc_a"), col("doc_b"))
+    val keptIds = dedupKeepBest(
+        survivors.select(col("doc_id"), col(scoreCol)), intra, scoreCol)
+      .filter(col("kept")).select("doc_id")
+    (batch.join(keptIds, "doc_id"),
+      bPre.join(keptIds, "doc_id"),
+      bSets.join(keptIds, "doc_id"))
   }
 }

@@ -172,19 +172,42 @@ object CorpusScaleDrive {
         graft.operators.CorpusOps.snmPairs(docs, window = 10, pct = 50).count()
       }
       run("incremental_keep") {
-        // one ingestion step at a REALISTIC history ratio: the amplified
-        // corpus split ~10% batch (the k=0 originals) vs ~90% accepted
-        // history — the claim is that the cross guard costs the batch
-        // plus the accepted corpus's rarest-gram SLICE, so the ratio
-        // should track corpus growth (the per-doc gram pipeline), never
-        // an all-pairs or full-history term; intra keep-best rides the
-        // planted-dup components
+        // the RECOMPUTE form: one ingestion step with a fixed batch (the
+        // k=0 originals) vs a history growing with the factor. Honest
+        // shape note: this form re-aggregates the union gram df over the
+        // whole history per batch, so its cost has a history-linear term
+        // (masked at local scale by fixed overhead) — the indexed leg
+        // below is the form whose history cost is a posting probe
         val batch = docs.filter(col("doc_id") < 1000000L)
           .localCheckpoint(true)
         val accepted = docs.filter(col("doc_id") >= 1000000L)
           .localCheckpoint(true)
         graft.operators.CorpusOps
           .incrementalPpjoinKeep(batch, accepted, pct = 50).count()
+      }
+      // the INDEXED form's persisted state builds OUTSIDE the timed
+      // region (it is the accepted index a deployment appends to, built
+      // once, not per batch)
+      val idxState = if (legFilter.forall(_.contains("incremental_keep_indexed"))) {
+        val accepted = docs.filter(col("doc_id") >= 1000000L)
+          .localCheckpoint(true)
+        val orderT = graft.operators.CorpusOps.ppjoinFrozenOrder(accepted)
+          .localCheckpoint(true)
+        val (aPre, aSets) = graft.operators.CorpusOps
+          .ppjoinIndexTables(accepted, orderT)
+        Some((orderT, aPre.localCheckpoint(true), aSets.localCheckpoint(true)))
+      } else None
+      run("incremental_keep_indexed") {
+        // timed: the batch pipeline + the posting probe + exact verify —
+        // the claim is NO history re-aggregation, so the ratio should
+        // stay near-flat in history size up to the probe join's scan of
+        // matching postings
+        val batch = docs.filter(col("doc_id") < 1000000L)
+          .localCheckpoint(true)
+        val (orderT, pre, sets) = idxState.get
+        val (kept, _, _) = graft.operators.CorpusOps
+          .incrementalPpjoinKeepIndexed(batch, pre, sets, orderT, pct = 50)
+        kept.count()
       }
       run("decontaminate_fuzzy") {
         // eval pinned to BASE docs only (k = 0): the amplifier preserves

@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/**
+ * Indexed incremental accepted-corpus dedup
+ * ([[CorpusOps.incrementalPpjoinKeepIndexed]]): the frozen gram order
+ * must lose nothing (PPJoin's prefix theorem needs consistency, not
+ * rarest-first optimality), the persisted index must be APPEND-ONLY
+ * (replayed per-batch deltas concatenate to exactly the one-shot index),
+ * and verdicts must equal the recompute-everything form
+ * ([[CorpusOps.incrementalPpjoinKeep]]) batch for batch.
+ */
+class IncrementalPpjoinSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def docs(rows: Seq[(Long, String)]): DataFrame =
+    rows.map { case (i, t) => (i, t, t.length.toLong) }
+      .toDF("doc_id", "text", "n_chars").localCheckpoint(true)
+
+  // seed corpus (defines the frozen order), then two ingestion batches:
+  // 30 = cross-batch dup of 10 (lower score — dropped by the guard);
+  // 40/41 = an intra-batch cluster of UNSEEN-gram docs (df-0 order leg);
+  // 50 = dup of 31 across batches (guards must work for docs ACCEPTED
+  // after the freeze, not just seed docs)
+  private val seed = Seq(
+    10L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu",
+    11L -> "one two three four five six seven eight nine ten",
+    13L -> "completely unrelated words nothing shared here at all today friend")
+  private val b1 = Seq(
+    30L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda",
+    31L -> "fresh independent content entirely new tokens appearing only once nowhere")
+  private val b2 = Seq(
+    40L -> "qq ww ee rr tt yy uu ii oo pp aa ss",
+    41L -> "qq ww ee rr tt yy uu ii oo pp aa ss dd ff",
+    50L -> "fresh independent content entirely new tokens appearing only once")
+
+  test("indexed replay == one-shot indexed == recompute form, and the index is append-only") {
+    val orderT = CorpusOps.ppjoinFrozenOrder(docs(seed)).localCheckpoint(true)
+    val empty = docs(Seq.empty)
+    val (e1, e2) = CorpusOps.ppjoinIndexTables(empty, orderT)
+
+    // replay: seed, then b1, then b2 — accumulating accepted + index
+    var accepted = empty
+    var pre = e1.localCheckpoint(true)
+    var sets = e2.localCheckpoint(true)
+    Seq(seed, b1, b2).foreach { batch =>
+      val (kept, kp, ks) = CorpusOps.incrementalPpjoinKeepIndexed(
+        docs(batch), pre, sets, orderT, pct = 50)
+      accepted = accepted.unionByName(kept).localCheckpoint(true)
+      pre = pre.unionByName(kp).localCheckpoint(true)
+      sets = sets.unionByName(ks).localCheckpoint(true)
+    }
+    val replayKeeps = accepted.select("doc_id").as[Long].collect().toSet
+
+    // one-shot: everything as ONE batch against the empty index
+    val all = docs(seed ++ b1 ++ b2)
+    val (oneShot, _, _) = CorpusOps.incrementalPpjoinKeepIndexed(
+      all, e1, e2, orderT, pct = 50)
+    val oneShotKeeps = oneShot.select("doc_id").as[Long].collect().toSet
+
+    // the recompute-everything form, replayed with the same batches
+    var acc2 = empty
+    Seq(seed, b1, b2).foreach { batch =>
+      val kept = CorpusOps.incrementalPpjoinKeep(docs(batch), acc2, pct = 50)
+      acc2 = acc2.unionByName(kept).localCheckpoint(true)
+    }
+    val recomputeKeeps = acc2.select("doc_id").as[Long].collect().toSet
+
+    // planted expectations: 30 dropped (dup of accepted 10), 50 dropped
+    // (dup of accepted-after-freeze 31), 40 dropped intra (41 longer),
+    // 11 kept (no dup)
+    val expected = Set(10L, 11L, 13L, 31L, 41L)
+    assert(replayKeeps == expected, s"replay keeps $replayKeeps")
+    assert(recomputeKeeps == expected, s"recompute keeps $recomputeKeeps")
+    // NOTE: the one-shot single-batch run sees 10~30 / 31~50 / 40~41 as
+    // INTRA clusters (keep-best, not first-wins) — on this fixture the
+    // keep-best winners coincide with the first-arrivals by construction
+    assert(oneShotKeeps == expected, s"one-shot keeps $oneShotKeeps")
+
+    // append-only invariant: accumulated per-batch deltas == the index
+    // built one-shot from the FINAL accepted set under the same order
+    val (fullPre, fullSets) = CorpusOps.ppjoinIndexTables(accepted, orderT)
+    def rows(df: DataFrame, cols: String*) =
+      df.select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    assert(rows(pre, "gram", "doc_id", "i", "sz") ==
+      rows(fullPre, "gram", "doc_id", "i", "sz"),
+      "accumulated prefix index must equal the one-shot index")
+    assert(rows(sets, "doc_id", "grams") == rows(fullSets, "doc_id", "grams"),
+      "accumulated set index must equal the one-shot index")
+  }
+
+  test("frozen order is lossless: indexed cross verdicts equal the brute cross join") {
+    val orderT = CorpusOps.ppjoinFrozenOrder(docs(seed)).localCheckpoint(true)
+    // accepted = seed + b1 (as indexed), probe = b2 (all-unseen grams in
+    // 40/41 exercise the df-0 leg)
+    val acceptedDocs = docs(seed ++ b1)
+    val (aPre, aSets) = CorpusOps.ppjoinIndexTables(acceptedDocs, orderT)
+    val probe = docs(b2)
+    val (bPre, bSets) = CorpusOps.ppjoinIndexTables(probe, orderT)
+    val cand = CorpusOps.ppjoinCandidates(
+      bPre, aPre, 50, "left_id", "right_id", selfJoin = false)
+    val got = CorpusOps.ppjoinVerify(cand, bSets, aSets, "left_id", "right_id", 50)
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    // brute: exact trigram jaccard over the cross product
+    val t = (d: DataFrame) => d.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("text").trim
+        .split(" +").sliding(3).map(_.mkString(" ")).toSet).toMap
+    val pm = t(probe); val am = t(acceptedDocs)
+    val brute = (for {
+      (pid, ps) <- pm.toSeq; (aid, as0) <- am.toSeq
+      common = (ps & as0).size; union = ps.size + as0.size - common
+      if union > 0 && common * 100 >= union * 50
+    } yield (pid, aid)).toSet
+    assert(got == brute, s"indexed $got != brute $brute")
+    assert(brute.nonEmpty, "fixture must plant at least one cross dup")
+  }
+}
