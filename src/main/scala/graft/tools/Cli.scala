@@ -57,6 +57,7 @@ import graft.model.VersionVector
  * sbt "runMain graft.tools.Cli <root> ppjoin-dedup <docsParquet> [pct] [outParquet]"
  * sbt "runMain graft.tools.Cli <root> snm-dedup <docsParquet> [pct] [passes]"
  * sbt "runMain graft.tools.Cli <root> incremental-dedup <docsParquet> [nBatches] [pct]"
+ * sbt "runMain graft.tools.Cli <root> incremental-dedup-indexed <docsParquet> [nBatches] [pct]"
  * sbt "runMain graft.tools.Cli <root> containment <docsParquet> [pct]"
  * sbt "runMain graft.tools.Cli <root> communities <docsParquet> [iterations]"
  * sbt "runMain graft.tools.Cli <root> pca-project <embParquet> <outParquet> [r]"
@@ -621,6 +622,45 @@ object Cli {
         val oneShot = graft.operators.CorpusOps
           .incrementalPpjoinKeep(all, all.limit(0), pct).count()
         println(s"incremental accepted ${accepted.count()}; one-shot keep-best kept $oneShot")
+      case "incremental-dedup-indexed" =>
+        // the 100 TB ingestion shape: the accepted corpus lives as
+        // APPEND-ONLY parquet index tables (prefix postings + gram sets)
+        // under a frozen gram order — each batch probes the postings and
+        // appends only its kept docs' rows; no history re-aggregation
+        import org.apache.spark.sql.functions.{col, length, lit}
+        val n = if (args.length > 3) args(3).toInt else 4
+        val pct = if (args.length > 4) args(4).toInt else 50
+        val idx = java.nio.file.Files.createTempDirectory("graft-incidx").toString
+        val all = docsTable(spark, args(2))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+          .localCheckpoint(true)
+        val cuts = all.stat.approxQuantile("doc_id",
+          (1 until n).map(_.toDouble / n).toArray, 0.0)
+        // freeze the order on the FIRST batch (the seed corpus)
+        val first = all.filter(
+          if (n == 1) lit(true) else col("doc_id") <= cuts(0))
+        val orderT = graft.operators.CorpusOps.ppjoinFrozenOrder(first)
+          .localCheckpoint(true)
+        val (e1, e2) = graft.operators.CorpusOps
+          .ppjoinIndexTables(all.limit(0), orderT, pct)
+        e1.write.mode("overwrite").parquet(s"$idx/prefixes")
+        e2.write.mode("overwrite").parquet(s"$idx/sets")
+        var acceptedN = 0L
+        (0 until n).foreach { b =>
+          val lo = if (b == 0) lit(true) else col("doc_id") > cuts(b - 1)
+          val hi = if (b == n - 1) lit(true) else col("doc_id") <= cuts(b)
+          val batch = all.filter(lo && hi).localCheckpoint(true)
+          val (kept, kp, ks) = graft.operators.CorpusOps
+            .incrementalPpjoinKeepIndexed(batch,
+              spark.read.parquet(s"$idx/prefixes"),
+              spark.read.parquet(s"$idx/sets"), orderT, pct)
+          val keptN = kept.count()
+          kp.write.mode("append").parquet(s"$idx/prefixes")
+          ks.write.mode("append").parquet(s"$idx/sets")
+          acceptedN += keptN
+          println(s"batch $b: ${batch.count()} docs in, kept $keptN, accepted total $acceptedN")
+        }
+        println(s"indexed-incremental accepted $acceptedN docs; index at $idx")
       case "snm-dedup" =>
         // sorted-neighborhood screening: <passes> multi-pass, window 10
         val pct = if (args.length > 3) args(3).toInt else 50
