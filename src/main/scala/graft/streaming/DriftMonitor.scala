@@ -84,10 +84,15 @@ class DriftMonitor(reference: DataFrame, valueCol: String,
 
   private def stampPath = new Path(s"${persistDir.get}/_run_identity")
 
+  /** Set once the pairing has validated for this monitor instance — the
+    * query id is immutable for a running query, so later batches skip
+    * the metadata re-read. */
+  @volatile private var identityOk = false
+
   /** Enforce the persistDir <-> checkpoint pairing: stamp on first
     * commit, fail loudly on any later mismatch (a reset checkpoint over
     * an old persistDir would otherwise silently restore stale state). */
-  private def checkIdentity(): Unit = (persistDir, queryId()) match {
+  private def checkIdentity(): Unit = if (!identityOk) (persistDir, queryId()) match {
     case (Some(_), Some(qid)) =>
       val f = fs(persistDir.get)
       if (f.exists(stampPath)) {
@@ -104,6 +109,7 @@ class DriftMonitor(reference: DataFrame, valueCol: String,
         val out = f.create(stampPath, true)
         try out.write(qid.getBytes("UTF-8")) finally out.close()
       }
+      identityOk = true
     case _ => () // no pairing requested: the batch-id fail-fast still applies
   }
 
