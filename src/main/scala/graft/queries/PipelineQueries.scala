@@ -493,10 +493,14 @@ object PipelineQueries {
     // assignment is a stateless comparison in the scan; the readout is a
     // (phase, source) aggregate. The corpus-sized join attaches n_chars by
     // doc_id — co-partitioned with the score derivation, one shuffle.
+    // Scores against the PERSISTED version-stamped model (ensureModel:
+    // trains only when the cached model is missing/stale; Bench pre-builds
+    // it under its own budget key) — training inside this timed query was
+    // the r9 budget violation.
     "pipe_curriculum" -> ((s, d) => {
       val base = docs(s, d)
       graft.operators.QualityModel
-        .writeModel(base, TextQueries.QualityModelFixturePath)
+        .ensureModel(base, TextQueries.QualityModelFixturePath, identity = d)
       val scored = graft.operators.QualityModel
         .scoreAgainst(base, TextQueries.QualityModelFixturePath)
         .select(col("doc_id"), col("score_fp"))
@@ -798,7 +802,7 @@ object PipelineQueries {
     "pipe_dataset_card2" -> ((s, d) => {
       val base = docs(s, d)
       graft.operators.QualityModel
-        .writeModel(base, TextQueries.QualityModelFixturePath)
+        .ensureModel(base, TextQueries.QualityModelFixturePath, identity = d)
       val auc = graft.operators.EvalOps
         .rocAuc(graft.operators.QualityModel
           .scoreAgainst(base, TextQueries.QualityModelFixturePath),

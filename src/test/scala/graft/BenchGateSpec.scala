@@ -62,6 +62,46 @@ class BenchGateSpec extends AnyFunSuite {
     assert(Bench.throughputFloorViolations(1, 1, unmeasured).isEmpty)
   }
 
+  test("even-sized measurement windows use the true median (middle average)") {
+    // only 2 measured rounds (fresh history): floor base must be the
+    // average of the two, not the upper element — upper-median made the
+    // gate stricter than documented right after a history reset
+    val dir = historyDir(
+      consumeVals = Seq(1000000, 800000),
+      produceVals = Seq(100000, 140000))
+    assert(Bench.trailingMedian(dir, "consume_events_per_sec").contains(900000.0))
+    assert(Bench.trailingMedian(dir, "produce_events_per_sec").contains(120000.0))
+  }
+
+  test("a transient spike clears the budget gate on re-run; a real slowdown still flags") {
+    val tolerance = 1.5
+    val floorSec = 0.3
+    // two candidates over budget on the suite passes: `spiky` (budget 3.73,
+    // measured 6.06 — the r9 pipe_curriculum shape) re-runs fast; `broken`
+    // (budget 2.0, measured 5.0) re-runs slow
+    val candidates = Seq(
+      ("spiky", 6.06, 3.73),
+      ("broken", 5.0, 2.0))
+    var reruns = List.empty[String]
+    val (confirmed, best) = Bench.confirmBudgetViolations(
+      candidates,
+      name => { reruns ::= name; if (name == "spiky") 3.5 else 4.9 },
+      tolerance, floorSec)
+    assert(reruns.toSet == Set("spiky", "broken"), "each candidate re-runs once")
+    assert(confirmed.map(_._1) == Seq("broken"),
+      s"only the reproducible slowdown flags, got $confirmed")
+    assert(best("spiky") == 3.5 && best("broken") == 4.9,
+      "the report carries the best observed time")
+    // a failed re-run (-1) keeps the original measurement and still flags
+    val (c2, b2) = Bench.confirmBudgetViolations(
+      Seq(("errs", 6.0, 3.0)), _ => -1.0, tolerance, floorSec)
+    assert(c2.map(_._1) == Seq("errs") && b2("errs") == 6.0)
+    // nothing over budget: no re-runs at all
+    val (c3, _) = Bench.confirmBudgetViolations(
+      Seq.empty, _ => fail("must not re-run"), tolerance, floorSec)
+    assert(c3.isEmpty)
+  }
+
   test("the real repo history yields active floors for round 9") {
     val repo = java.nio.file.Paths.get(".")
     val c = Bench.throughputFloor(repo, "consume_events_per_sec")

@@ -62,6 +62,40 @@ class QualityModelSpec extends SparkSuite {
     assert(direct === persisted)
   }
 
+  test("ensureModel trains once per corpus identity and self-heals stale layouts") {
+    import spark.implicits._
+    val d = docs("sf0.001")
+    val path = tempDir("qm-ensure")
+    // cold: trains and commits
+    assert(!QualityModel.modelCurrent(spark, path, "corpusA"))
+    QualityModel.ensureModel(d, path, identity = "corpusA")
+    assert(QualityModel.modelCurrent(spark, path, "corpusA"))
+    val w1 = QualityModel.readWeights(d, path)
+    // warm, same identity: must NOT retrain — prove it by planting a
+    // sentinel weights row that training would overwrite
+    val sentinel = Array.fill(QualityModel.D)(7L)
+    Seq(Tuple6(7L, 7L, 7L, 7L, 7L, 7L))
+      .toDF((0 until QualityModel.D).map(i => s"w_$i"): _*)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/weights")
+    QualityModel.ensureModel(d, path, identity = "corpusA")
+    assert(QualityModel.readWeights(d, path).toSeq === sentinel.toSeq,
+      "warm ensure with a matching identity must skip training")
+    // different identity: retrains (the sentinel is replaced by real weights)
+    QualityModel.ensureModel(d, path, identity = "corpusB")
+    assert(QualityModel.readWeights(d, path).toSeq === w1.toSeq,
+      "identity drift must retrain on the new corpus")
+    assert(!QualityModel.modelCurrent(spark, path, "corpusA"))
+    // pre-identity meta layout (no identity column): reads as not-current,
+    // ensure retrains instead of erroring
+    spark.read.parquet(s"$path/meta").select("d", "lambda", "format_version")
+      .write.mode("overwrite").parquet(s"$path/meta2")
+    spark.read.parquet(s"$path/meta2")
+      .write.mode("overwrite").parquet(s"$path/meta")
+    assert(!QualityModel.modelCurrent(spark, path, "corpusB"))
+    QualityModel.ensureModel(d, path, identity = "corpusB")
+    assert(QualityModel.modelCurrent(spark, path, "corpusB"))
+  }
+
   test("streaming scoring: micro-batches against the persisted model equal batch scores") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -56,4 +56,38 @@ class IndexRegistrySpec extends AnyFunSuite {
     val ghosts = SimilarityQueries.indexServingQueries -- catalog
     assert(ghosts.isEmpty, s"registry names unknown queries: $ghosts")
   }
+
+  // the quality-model registry: same protocol, same failure mode (a new
+  // consumer calling ensureModel without a registry entry would pay model
+  // training inside its first timed pass on a cold suite — the r9
+  // pipe_curriculum budget breach)
+  test("quality registry equals the ensureModel call sites in the catalog source") {
+    val entry = """"([a-z0-9_]+)" -> \(\(""".r
+    val fromSource = queryFiles
+      .map(java.nio.file.Paths.get(_))
+      .filter(java.nio.file.Files.exists(_))
+      .flatMap { p =>
+        val lines = java.nio.file.Files.readAllLines(p)
+        var current: Option[String] = None
+        val hits = Seq.newBuilder[String]
+        lines.forEach { l =>
+          entry.findFirstMatchIn(l).foreach(m => current = Some(m.group(1)))
+          val call = l.contains("ensureModel(") &&
+            !l.trim.startsWith("//") && !l.contains("def ensure")
+          if (call) current.foreach(hits += _)
+        }
+        hits.result()
+      }
+      .toSet
+    assert(fromSource.nonEmpty, "scrape found no call sites — pattern drift")
+    assert(fromSource == TextQueries.qualityModelServingQueries,
+      s"registry drift: source-only=${fromSource -- TextQueries.qualityModelServingQueries}, " +
+        s"registry-only=${TextQueries.qualityModelServingQueries -- fromSource}")
+  }
+
+  test("every quality registry entry is a real catalog query") {
+    val catalog = graft.SparkEntry.queries.keySet
+    val ghosts = TextQueries.qualityModelServingQueries -- catalog
+    assert(ghosts.isEmpty, s"registry names unknown queries: $ghosts")
+  }
 }
