@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -2561,5 +2561,97 @@ object CorpusOps {
     (batch.join(keptIds, "doc_id"),
       bPre.join(keptIds, "doc_id"),
       bSets.join(keptIds, "doc_id"))
+  }
+
+  /** Persisted accepted-corpus index format version — stamped into the
+    * index meta by [[ppjoinIndexInit]], REQUIRED by [[ppjoinIndexIngest]]
+    * (the [[QualityModel.FormatVersion]] / AnnIndex discipline: a stale
+    * layout fails descriptively instead of probing silently). */
+  private[graft] val PpjoinIndexFormatVersion = 1L
+
+  /** True iff a committed persisted index exists at `path` (`meta/` is
+    * written last = the commit marker). */
+  def ppjoinIndexExists(spark: SparkSession, path: String): Boolean =
+    try { spark.read.parquet(s"$path/meta").head(); true }
+    catch { case _: Exception => false }
+
+  /**
+   * Initialize a PERSISTED accepted-corpus PPJoin index at `path`:
+   * `order/` = the [[ppjoinFrozenOrder]] snapshot taken from `seed`,
+   * empty `prefixes/` + `sets/` tables, and `meta/` (pct + format
+   * version) written LAST as the commit marker. The seed corpus only
+   * donates its gram-df snapshot here — ingest it as the first
+   * [[ppjoinIndexIngest]] batch, exactly like any later batch.
+   *
+   * pct lives IN the index, not at the call sites: the persisted
+   * prefixes embed the pct used to cut them, so a later ingest under a
+   * lower pct would silently probe too-short accepted prefixes and miss
+   * candidates (false negatives against the documented lossless
+   * contract). Stamping it once and reading it back on every ingestion
+   * step makes the mismatch unrepresentable.
+   */
+  def ppjoinIndexInit(
+      spark: SparkSession, path: String, seed: DataFrame,
+      pct: Int = 50): Unit = {
+    require(pct >= 1 && pct <= 99, s"pct must be in [1, 99], got $pct")
+    val orderT = ppjoinFrozenOrder(seed)
+    orderT.write.mode("overwrite").parquet(s"$path/order")
+    val (e1, e2) = ppjoinIndexTables(seed.limit(0), orderT, pct)
+    e1.write.mode("overwrite").parquet(s"$path/prefixes")
+    e2.write.mode("overwrite").parquet(s"$path/sets")
+    import spark.implicits._
+    Seq((pct, PpjoinIndexFormatVersion)).toDF("pct", "format_version")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** The committed index's (pct, format version); fails descriptively on
+    * a missing or pre-stamp layout. */
+  def ppjoinIndexMeta(spark: SparkSession, path: String): (Int, Long) = {
+    val meta =
+      try spark.read.parquet(s"$path/meta")
+      catch {
+        case e: Exception => throw new IllegalStateException(
+          s"no committed ppjoin index at $path (meta/ unreadable) — " +
+            s"initialize with ppjoinIndexInit", e)
+      }
+    require(meta.columns.contains("format_version") &&
+        meta.columns.contains("pct"),
+      s"ppjoin index at $path has no pct/format_version stamp " +
+        s"(pre-v$PpjoinIndexFormatVersion layout) — rebuild with ppjoinIndexInit")
+    val m = meta.head()
+    val ver = m.getAs[Long]("format_version")
+    require(ver == PpjoinIndexFormatVersion,
+      s"ppjoin index at $path is format v$ver but this build reads " +
+        s"v$PpjoinIndexFormatVersion — rebuild before ingesting")
+    (m.getAs[Int]("pct"), ver)
+  }
+
+  /**
+   * One ingestion step against the persisted index: require-match the
+   * meta stamp, run [[incrementalPpjoinKeepIndexed]] under the index's
+   * OWN pct and frozen order, then append the kept docs' prefix/set rows.
+   * Returns the kept batch rows.
+   *
+   * The three result frames are pinned (eager localCheckpoint) BEFORE
+   * the appends: their lazy lineages all read `prefixes/` and `sets/`,
+   * so writing one and then executing another's plan would let a file
+   * relist make the batch probe its own just-appended rows — dropping
+   * rows and desynchronizing the three outputs — besides re-running the
+   * whole dedup pipeline once per output.
+   */
+  def ppjoinIndexIngest(
+      spark: SparkSession, path: String, batch: DataFrame,
+      scoreCol: String = "n_chars"): DataFrame = {
+    val (pct, _) = ppjoinIndexMeta(spark, path)
+    val orderT = spark.read.parquet(s"$path/order")
+    val (kept0, kp0, ks0) = incrementalPpjoinKeepIndexed(batch,
+      spark.read.parquet(s"$path/prefixes"),
+      spark.read.parquet(s"$path/sets"), orderT, pct, scoreCol)
+    val kept = kept0.localCheckpoint(true)
+    val kp = kp0.localCheckpoint(true)
+    val ks = ks0.localCheckpoint(true)
+    kp.write.mode("append").parquet(s"$path/prefixes")
+    ks.write.mode("append").parquet(s"$path/sets")
+    kept
   }
 }

@@ -95,19 +95,35 @@ class DriftMonitor(reference: DataFrame, valueCol: String,
   private def checkIdentity(): Unit = if (!identityOk) (persistDir, queryId()) match {
     case (Some(_), Some(qid)) =>
       val f = fs(persistDir.get)
-      if (f.exists(stampPath)) {
-        val in = f.open(stampPath)
-        val stamped = try scala.io.Source.fromInputStream(in).mkString.trim
-          finally in.close()
-        require(stamped == qid,
-          s"persistDir ${persistDir.get} is stamped with query id $stamped " +
-            s"but this stream's checkpoint carries $qid: the checkpoint was " +
-            "reset (or a different query reuses the dir) while persistDir " +
-            "holds the old run's histograms — give each (checkpoint, " +
-            "persistDir) pairing a fresh dir")
-      } else {
-        val out = f.create(stampPath, true)
-        try out.write(qid.getBytes("UTF-8")) finally out.close()
+      // an EMPTY stamp is a crash artifact (create() succeeded, write
+      // didn't), not a recorded identity — treat as absent and re-stamp,
+      // instead of failing every later run with a misleading
+      // "stamped with query id ''" message
+      val stamped =
+        if (!f.exists(stampPath)) None
+        else {
+          val in = f.open(stampPath)
+          val s = try scala.io.Source.fromInputStream(in).mkString.trim
+            finally in.close()
+          if (s.isEmpty) None else Some(s)
+        }
+      stamped match {
+        case Some(s) =>
+          require(s == qid,
+            s"persistDir ${persistDir.get} is stamped with query id $s " +
+              s"but this stream's checkpoint carries $qid: the checkpoint was " +
+              "reset (or a different query reuses the dir) while persistDir " +
+              "holds the old run's histograms — give each (checkpoint, " +
+              "persistDir) pairing a fresh dir")
+        case None =>
+          // write-then-rename so the committed stamp is never observable
+          // half-written (create-then-write left an empty stamp on crash)
+          val tmp = new Path(s"${persistDir.get}/_run_identity.tmp")
+          val out = f.create(tmp, true)
+          try out.write(qid.getBytes("UTF-8")) finally out.close()
+          if (f.exists(stampPath)) f.delete(stampPath, false)
+          require(f.rename(tmp, stampPath),
+            s"could not commit identity stamp $stampPath")
       }
       identityOk = true
     case _ => () // no pairing requested: the batch-id fail-fast still applies

@@ -636,27 +636,20 @@ object Cli {
           .localCheckpoint(true)
         val cuts = all.stat.approxQuantile("doc_id",
           (1 until n).map(_.toDouble / n).toArray, 0.0)
-        // freeze the order on the FIRST batch (the seed corpus)
+        // freeze the order on the FIRST batch (the seed corpus); the
+        // persisted-index API owns the pct/format stamp and pins each
+        // step's outputs before appending (ppjoinIndexIngest)
         val first = all.filter(
           if (n == 1) lit(true) else col("doc_id") <= cuts(0))
-        val orderT = graft.operators.CorpusOps.ppjoinFrozenOrder(first)
-          .localCheckpoint(true)
-        val (e1, e2) = graft.operators.CorpusOps
-          .ppjoinIndexTables(all.limit(0), orderT, pct)
-        e1.write.mode("overwrite").parquet(s"$idx/prefixes")
-        e2.write.mode("overwrite").parquet(s"$idx/sets")
+        graft.operators.CorpusOps.ppjoinIndexInit(spark, idx, first, pct)
         var acceptedN = 0L
         (0 until n).foreach { b =>
           val lo = if (b == 0) lit(true) else col("doc_id") > cuts(b - 1)
           val hi = if (b == n - 1) lit(true) else col("doc_id") <= cuts(b)
           val batch = all.filter(lo && hi).localCheckpoint(true)
-          val (kept, kp, ks) = graft.operators.CorpusOps
-            .incrementalPpjoinKeepIndexed(batch,
-              spark.read.parquet(s"$idx/prefixes"),
-              spark.read.parquet(s"$idx/sets"), orderT, pct)
+          val kept = graft.operators.CorpusOps
+            .ppjoinIndexIngest(spark, idx, batch)
           val keptN = kept.count()
-          kp.write.mode("append").parquet(s"$idx/prefixes")
-          ks.write.mode("append").parquet(s"$idx/sets")
           acceptedN += keptN
           println(s"batch $b: ${batch.count()} docs in, kept $keptN, accepted total $acceptedN")
         }

@@ -93,6 +93,62 @@ class IncrementalPpjoinSpec extends SparkSuite {
       "accumulated set index must equal the one-shot index")
   }
 
+  test("persisted index: init+ingest replay equals the in-memory replay; pct rides the meta") {
+    // pct = 60, deliberately NOT the default: the persisted form must run
+    // under the pct stamped at init (a caller passing a different pct was
+    // the silent-false-negative hazard — the path API takes none)
+    val idx = tempDir("ppjoin-idx")
+    CorpusOps.ppjoinIndexInit(spark, idx, docs(seed), pct = 60)
+    assert(CorpusOps.ppjoinIndexExists(spark, idx))
+    assert(CorpusOps.ppjoinIndexMeta(spark, idx) ==
+      ((60, CorpusOps.PpjoinIndexFormatVersion)))
+    var persisted = Set.empty[Long]
+    Seq(seed, b1, b2).foreach { batch =>
+      persisted ++= CorpusOps.ppjoinIndexIngest(spark, idx, docs(batch))
+        .select("doc_id").as[Long].collect()
+    }
+    // reference: the in-memory kernel replay under the same order and pct
+    val orderT = CorpusOps.ppjoinFrozenOrder(docs(seed)).localCheckpoint(true)
+    val empty = docs(Seq.empty)
+    var (pre, sets) = CorpusOps.ppjoinIndexTables(empty, orderT, pct = 60)
+    var kernel = Set.empty[Long]
+    Seq(seed, b1, b2).foreach { batch =>
+      val (kept, kp, ks) = CorpusOps.incrementalPpjoinKeepIndexed(
+        docs(batch), pre, sets, orderT, pct = 60)
+      kernel ++= kept.select("doc_id").as[Long].collect()
+      pre = pre.unionByName(kp).localCheckpoint(true)
+      sets = sets.unionByName(ks).localCheckpoint(true)
+    }
+    assert(persisted == kernel,
+      s"persisted-path keeps $persisted != kernel keeps $kernel")
+    // the on-disk index equals the accumulated in-memory one
+    def rows(df: DataFrame, cols: String*) =
+      df.select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    assert(rows(spark.read.parquet(s"$idx/prefixes"),
+        "gram", "doc_id", "i", "sz") == rows(pre, "gram", "doc_id", "i", "sz"))
+    assert(rows(spark.read.parquet(s"$idx/sets"), "doc_id", "grams") ==
+      rows(sets, "doc_id", "grams"))
+  }
+
+  test("persisted index meta gates: missing and version-drifted layouts fail descriptively") {
+    val missing = intercept[IllegalStateException] {
+      CorpusOps.ppjoinIndexIngest(spark, tempDir("ppjoin-noidx"), docs(b1))
+    }
+    assert(missing.getMessage.contains("ppjoinIndexInit"), missing.getMessage)
+
+    val idx = tempDir("ppjoin-idx-drift")
+    CorpusOps.ppjoinIndexInit(spark, idx, docs(seed), pct = 50)
+    // simulate a format bump: rewrite meta with a stale version
+    spark.read.parquet(s"$idx/meta").withColumn("format_version", lit(0L))
+      .write.mode("overwrite").parquet(s"$idx/meta2")
+    spark.read.parquet(s"$idx/meta2")
+      .write.mode("overwrite").parquet(s"$idx/meta")
+    val drift = intercept[IllegalArgumentException] {
+      CorpusOps.ppjoinIndexIngest(spark, idx, docs(b1))
+    }
+    assert(drift.getMessage.contains("format v0"), drift.getMessage)
+  }
+
   test("frozen order is lossless: indexed cross verdicts equal the brute cross join") {
     val orderT = CorpusOps.ppjoinFrozenOrder(docs(seed)).localCheckpoint(true)
     // accepted = seed + b1 (as indexed), probe = b2 (all-unseen grams in

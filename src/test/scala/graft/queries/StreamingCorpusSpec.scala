@@ -238,6 +238,53 @@ class StreamingCorpusSpec extends SparkSuite {
     assert(mon3.readings.isEmpty, "the mismatched run must not record readings")
   }
 
+  test("drift monitor identity stamp: an empty (crash-artifact) stamp self-heals") {
+    val root = tempDir("flo-drift-heal")
+    val persist = tempDir("flo-drift-heal-hist")
+    val e = new FloEngine(spark, root)
+    e.createStream(EventStreamOptions(name = "docs", numPartitions = 1))
+    def doc(words: Int, i: Int) =
+      (Seq.fill(words - 1)("w") :+ s"t$i").mkString(" ")
+    val ref = spark.createDataFrame(
+      (0 until 20).map(i => (i.toLong, doc(5 + i % 5, i)))
+    ).toDF("doc_id", "text")
+      .select(size(split(trim(col("text")), " +")).cast("long").as("v"))
+
+    // a crash between create() and write() leaves a zero-byte stamp; it
+    // must read as ABSENT (re-stamped with this run's id), not fail every
+    // later run with "stamped with query id ''"
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(persist, "_run_identity"), Array.empty[Byte])
+    val cp = tempDir("flo-drift-heal-cp")
+    val mon = new graft.streaming.DriftMonitor(ref, "v", Some(persist), Some(cp))
+    val q = mon.attach(prepLens(e.consumeStream("docs")))
+      .option("checkpointLocation", cp).start()
+    try {
+      e.produceStrings("docs", 1,
+        (0 until 10).map(i => s"/docs/a/$i" -> doc(5 + i % 5, i)))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(mon.readings.nonEmpty, "the healed run must process batches")
+    val stamped = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(persist, "_run_identity")), "UTF-8").trim
+    assert(stamped.nonEmpty, "the stamp must be re-written with the real id")
+    // and the re-written stamp still guards: a fresh checkpoint now fails
+    val cp2 = tempDir("flo-drift-heal-cp2")
+    val mon2 = new graft.streaming.DriftMonitor(ref, "v", Some(persist), Some(cp2))
+    val q2 = mon2.attach(prepLens(e.consumeStream("docs")))
+      .option("checkpointLocation", cp2).start()
+    val err = intercept[Exception] {
+      e.produceStrings("docs", 1, Seq(s"/docs/c/0" -> doc(6, 0)))
+      q2.processAllAvailable()
+    }
+    q2.stop()
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(err).exists(_.contains("stamped with query id")),
+      s"want the identity-mismatch message, got: ${messages(err)}")
+  }
+
   test("quota guard admits the greedy per-source prefix and stays exhausted across batches") {
     import graft.streaming.QuotaGuard
     val root = tempDir("flo-quota-stream")
@@ -573,6 +620,82 @@ class StreamingCorpusSpec extends SparkSuite {
     assert(oneShot == Set(10L, 12L, 13L, 31L), s"one-shot keeps: $oneShot")
     assert(streamed == oneShot,
       s"stream accepted $streamed, one-shot kept $oneShot")
+  }
+
+  test("indexed accepted-corpus guard on the stream: persisted-index path equals the recompute form and the one-shot run") {
+    import graft.operators.CorpusOps
+    val root = tempDir("flo-incdedup-idx-stream")
+    val e = new FloEngine(spark, root)
+    e.createStream(EventStreamOptions(name = "ingest", numPartitions = 1))
+
+    val s = spark
+    import s.implicits._
+    // same planted shapes as the recompute-form test above
+    val batch1 = Seq(
+      10L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu",
+      11L -> "one two three four five six seven eight nine ten",
+      12L -> "one two three four five six seven eight nine ten extra more",
+      13L -> "completely unrelated words nothing shared here at all today friend")
+    val batch2 = Seq(
+      30L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda",
+      31L -> "fresh independent content entirely new tokens appearing only once nowhere")
+    def toDocs(df: DataFrame): DataFrame = df.select(
+      substring_index(col("namespace"), "/", -1).cast("long").as("doc_id"),
+      col("text"), length(col("text")).cast("long").as("n_chars"))
+
+    // the DEFAULT streaming-guard shape: the accepted corpus lives as the
+    // persisted APPEND-ONLY index; each micro-batch is one
+    // ppjoinIndexIngest step (probe postings + intra keep-best + append) —
+    // no in-memory accepted DataFrame, no per-batch history re-aggregation.
+    // An empty seed freezes the all-df-0 (lexicographic) gram order, which
+    // is as consistent as any — losslessness needs consistency only.
+    val idx = tempDir("flo-incdedup-idx")
+    val emptyDocs = Seq.empty[(Long, String, Long)]
+      .toDF("doc_id", "text", "n_chars")
+    CorpusOps.ppjoinIndexInit(spark, idx, emptyDocs, pct = 50)
+    val streamedIds = scala.collection.mutable.Set.empty[Long]
+    val q = e.consumeStream("ingest")
+      .select(col("namespace"), payload_utf8(col("data")).as("text"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val docsB = toDocs(batch).localCheckpoint(true)
+        if (docsB.count() > 0) {
+          val kept = CorpusOps.ppjoinIndexIngest(spark, idx, docsB)
+          streamedIds.synchronized {
+            streamedIds ++= kept.select("doc_id").as[Long].collect() }
+        }
+        ()
+      }
+      .start()
+    try {
+      e.produceStrings("ingest", 1, batch1.map { case (i, t) => s"/docs/$i" -> t })
+      q.processAllAvailable()
+      e.produceStrings("ingest", 1, batch2.map { case (i, t) => s"/docs/$i" -> t })
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // parity 1: the recompute form replayed over the same batches
+    def toDf(rows: Seq[(Long, String)]): DataFrame =
+      rows.map { case (i, t) => (i, t, t.length.toLong) }
+        .toDF("doc_id", "text", "n_chars").localCheckpoint(true)
+    var acc = toDf(Seq.empty)
+    Seq(batch1, batch2).foreach { b =>
+      val kept = CorpusOps.incrementalPpjoinKeep(toDf(b), acc, pct = 50)
+      acc = acc.unionByName(kept).localCheckpoint(true)
+    }
+    val recompute = acc.select("doc_id").as[Long].collect().toSet
+    // parity 2: the one-shot run (canonical-first fixture: all three agree)
+    val all = toDf(batch1 ++ batch2)
+    val oneShot = CorpusOps.incrementalPpjoinKeep(all, all.limit(0), pct = 50)
+      .select("doc_id").as[Long].collect().toSet
+    assert(oneShot == Set(10L, 12L, 13L, 31L), s"one-shot keeps: $oneShot")
+    assert(recompute == oneShot, s"recompute $recompute != one-shot $oneShot")
+    assert(streamedIds.toSet == oneShot,
+      s"indexed stream accepted ${streamedIds.toSet}, expected $oneShot")
+    // and the persisted index holds exactly the accepted docs' sets
+    val idxIds = spark.read.parquet(s"$idx/sets")
+      .select("doc_id").as[Long].collect().toSet
+    assert(idxIds == oneShot, s"index holds $idxIds")
   }
 
   test("incremental dedup divergence modes are exactly the documented ones") {
