@@ -35,9 +35,18 @@ import graft.model.{FloSchema, VersionVector}
  *    engine/event_stream/highest_counter.rs:7-67) is an engine-local
  *    AtomicLong recovered from file stats on open; producing to one stream
  *    from multiple engines concurrently is out of contract, same as flo's
- *    single-server model.
+ *    single-server model — and ENFORCED, not just trusted: a per-stream
+ *    writer lease file (acquired on first produce, heartbeated, released
+ *    by [[close]], taken over when stale) makes a second live writer fail
+ *    loudly instead of minting colliding counter ranges. The reference
+ *    gets this for free from process ownership of the data dir
+ *    (flo-server/src/main.rs:38-95, process-wide CAS highest_counter.rs);
+ *    a multi-engine deployment here would otherwise hit it the first time
+ *    two jobs point at one stream.
  */
-final class FloEngine(val spark: SparkSession, val root: String) {
+final class FloEngine(
+    val spark: SparkSession, val root: String,
+    val writerLeaseTtlMillis: Long = FloEngine.DefaultWriterLeaseTtlMillis) {
   import FloEngine._
 
   // write INT64-micros timestamps (not legacy INT96): INT96 carries no
@@ -54,6 +63,175 @@ final class FloEngine(val spark: SparkSession, val root: String) {
   private val commitLocks = new ConcurrentHashMap[String, Object]()
   private def commitLock(stream: String): Object =
     commitLocks.computeIfAbsent(stream, _ => new Object)
+
+  // ------------------------------------------------------------ writer lease
+  // Cross-engine single-writer enforcement: counter reservation is
+  // engine-local (the AtomicLong above), so two engines — separate JVMs or
+  // two instances in one JVM — producing to one stream would mint
+  // colliding ranges. Each stream carries a `_writer.lease` file (owner id
+  // + heartbeat); produce acquires it, a background daemon heartbeats it,
+  // close() releases it, and a heartbeat older than `writerLeaseTtlMillis`
+  // is taken over with a warning (crashed writer). Concurrent STALE
+  // takeovers resolve last-writer-wins with a post-write ownership
+  // re-read; the loud-failure guarantee targets the live-writer case,
+  // which is the one that corrupts counters.
+
+  /** This engine instance's identity in lease files. */
+  private[engine] val engineId = java.util.UUID.randomUUID().toString
+
+  private val heldLeases = ConcurrentHashMap.newKeySet[String]()
+  @volatile private var leaseHeartbeat:
+    Option[java.util.concurrent.ScheduledExecutorService] = None
+
+  // engine-side lease ops serialize per stream: concurrent produce calls
+  // must not interleave a refresh with a read
+  private val leaseLocks = new ConcurrentHashMap[String, Object]()
+  private def leaseLock(stream: String): Object =
+    leaseLocks.computeIfAbsent(stream, _ => new Object)
+
+  private def leasePath(stream: String) =
+    new Path(s"${streamDir(stream)}/${FloEngine.WriterLeaseFile}")
+
+  /** (owner, heartbeat millis). The owner is written ONCE at acquisition
+    * (write-then-rename, atomic); the heartbeat is the file's
+    * MODIFICATION TIME, refreshed via setTimes — the content is never
+    * rewritten in place, so a concurrent reader can never observe a torn
+    * lease. */
+  private def readLease(stream: String): Option[(String, Long)] = {
+    val f = fs(root)
+    val p = leasePath(stream)
+    if (!f.exists(p)) None
+    else {
+      val st = f.getFileStatus(p)
+      val in = f.open(p)
+      val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      """"owner":"([^"]+)"""".r.findFirstMatchIn(json)
+        .map(m => (m.group(1), st.getModificationTime))
+    }
+  }
+
+  /** Acquisition write: owner json via write-then-rename. Hadoop rename
+    * fails on an existing destination, so of two racing acquirers exactly
+    * one wins. */
+  private def writeLeaseFile(stream: String): Boolean = {
+    val f = fs(root)
+    val tmp = new Path(s"${streamDir(stream)}/.${FloEngine.WriterLeaseFile}.$engineId")
+    val out = f.create(tmp, true)
+    try out.write(s"""{"owner":"$engineId"}""".getBytes("UTF-8"))
+    finally out.close()
+    val won = f.rename(tmp, leasePath(stream))
+    if (!won) f.delete(tmp, false)
+    won
+  }
+
+  private def touchLease(stream: String): Unit =
+    fs(root).setTimes(leasePath(stream), System.currentTimeMillis(), -1)
+
+  /**
+   * Acquire/verify the writer lease for `stream`, called by every
+   * [[produce]]: refresh (mtime touch) when we own it, acquire when
+   * absent, take over when stale, FAIL DESCRIPTIVELY when another
+   * writer's heartbeat is fresh — the enforcement of flo's single-writer
+   * model (embedded_tests.rs:293-317's contiguity guarantee depends on
+   * it). The ownership re-read on every produce also catches lease LOSS
+   * (this JVM paused past the TTL while another engine took over):
+   * producing would then collide, so it fails instead.
+   */
+  private[engine] def ensureWriterLease(stream: String): Unit = leaseLock(stream).synchronized {
+    val now = System.currentTimeMillis()
+    readLease(stream) match {
+      case Some((owner, _)) if owner == engineId =>
+        touchLease(stream) // refresh heartbeat
+      case Some((owner, hb)) if now - hb < writerLeaseTtlMillis =>
+        val held = heldLeases.contains(stream)
+        heldLeases.remove(stream)
+        throw new IllegalStateException(
+          (if (held)
+            s"writer lease for stream `$stream` under $root was TAKEN OVER " +
+              s"by engine $owner (heartbeat ${now - hb} ms ago) — this " +
+              "engine was stalled past the lease TTL and must not produce " +
+              "(its counter range may collide)"
+          else
+            s"stream `$stream` under $root already has a live writer " +
+              s"(engine $owner, heartbeat ${now - hb} ms ago, TTL " +
+              s"$writerLeaseTtlMillis ms): one engine owns a stream's " +
+              "counters at a time — close() the other writer, or wait for " +
+              "its lease to go stale (crashed writers are taken over " +
+              "automatically)"))
+      case other =>
+        other.foreach { case (owner, hb) =>
+          FloEngine.log.warn(s"taking over stale writer lease for " +
+            s"`$stream` (owner $owner, heartbeat ${now - hb} ms old)")
+          fs(root).delete(leasePath(stream), false)
+        }
+        if (!writeLeaseFile(stream)) {
+          // lost the acquire race — report who won
+          val winner = readLease(stream).map(_._1).getOrElse("<unknown>")
+          throw new IllegalStateException(
+            s"stream `$stream` under $root: another engine ($winner) " +
+              "acquired the writer lease concurrently")
+        }
+        val check = readLease(stream)
+        if (!check.exists(_._1 == engineId)) throw new IllegalStateException(
+          s"stream `$stream` under $root: lost the writer lease to " +
+            s"${check.map(_._1).getOrElse("<unknown>")} right after acquiring")
+    }
+    heldLeases.add(stream)
+    startLeaseHeartbeat()
+  }
+
+  /** Daemon that touches held leases at TTL/3 so a live-but-idle
+    * producer keeps ownership; a lease found under another owner is
+    * dropped (the next produce fails loudly). */
+  private def startLeaseHeartbeat(): Unit = synchronized {
+    if (leaseHeartbeat.isEmpty) {
+      val exec = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+        (r: Runnable) => {
+          val t = new Thread(r, "graft-writer-lease-heartbeat")
+          t.setDaemon(true); t
+        })
+      val period = math.max(1L, writerLeaseTtlMillis / 3)
+      exec.scheduleWithFixedDelay(
+        () => heldLeases.forEach { s =>
+          leaseLock(s).synchronized {
+            try readLease(s) match {
+              case Some((owner, _)) if owner == engineId => touchLease(s)
+              case other =>
+                FloEngine.log.warn(s"writer lease for `$s` now held by " +
+                  s"${other.map(_._1).getOrElse("<absent>")} — dropping local claim")
+                heldLeases.remove(s)
+            } catch {
+              case scala.util.control.NonFatal(e) =>
+                FloEngine.log.warn(s"writer-lease heartbeat for `$s` failed: $e")
+            }
+          }
+        },
+        period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
+      leaseHeartbeat = Some(exec)
+    }
+  }
+
+  /** Release writer leases and background threads. An engine that
+    * produced MUST close (or crash — stale leases are taken over after
+    * the TTL) before another engine may write the same streams. */
+  def close(): Unit = synchronized {
+    stopJanitor()
+    leaseHeartbeat.foreach(_.shutdownNow())
+    leaseHeartbeat = None
+    heldLeases.forEach { s =>
+      leaseLock(s).synchronized {
+        try {
+          if (readLease(s).exists(_._1 == engineId))
+            fs(root).delete(leasePath(s), false)
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            FloEngine.log.warn(s"could not release writer lease for `$s`: $e")
+        }
+      }
+    }
+    heldLeases.clear()
+  }
 
   // a flo server always hosts a "system" stream (engine/mod.rs:34-38,
   // controller/mod.rs:41-53) — create it at engine construction, idempotent.
@@ -261,6 +439,10 @@ final class FloEngine(val spark: SparkSession, val root: String) {
    * `AckEvent{op_id, event_id}` carries the assigned id.
    */
   def produce(stream: String, requests: DataFrame): DataFrame = {
+    if (!streamExists(stream)) throw new NoSuchStream(stream)
+    // single-writer enforcement BEFORE counter reservation: a second live
+    // engine must fail here, not reserve a colliding range
+    ensureWriterLease(stream)
     val counter = highestCounter(stream)
     // server-assigned timestamp, ms precision (flo-event/src/lib.rs:51-53)
     val now = new java.sql.Timestamp(System.currentTimeMillis())
@@ -988,6 +1170,15 @@ object FloEngine {
 
   /** Above this many files, footer-stats reads fan out as a Spark job. */
   private[engine] val DriverFooterThreshold = 64
+
+  /** Writer-lease file name under `<root>/<stream>/`. */
+  private[engine] val WriterLeaseFile = "_writer.lease"
+
+  /** Default staleness horizon for writer leases: a heartbeat older than
+    * this is a crashed writer and may be taken over. The heartbeat
+    * refreshes at TTL/3, so transient stalls shorter than ~2/3 TTL never
+    * lose the lease. */
+  val DefaultWriterLeaseTtlMillis: Long = 60000L
 
   private[engine] val log = org.slf4j.LoggerFactory.getLogger(classOf[FloEngine])
 

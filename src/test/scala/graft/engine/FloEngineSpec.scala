@@ -46,10 +46,77 @@ class FloEngineSpec extends SparkSuite {
   test("engine recovers the highest counter from an existing log (S5 recovery)") {
     val (e, root) = newEngine()
     e.produceStrings("default", 1, Seq("/a" -> "1", "/b" -> "2"))
-    // a fresh engine over the same root must continue, not restart, the sequence
+    // clean handover: the first writer releases its lease, then a fresh
+    // engine over the same root must continue, not restart, the sequence
+    e.close()
     val e2 = new FloEngine(spark, root)
     val acked = e2.produceStrings("default", 1, Seq("/c" -> "3"))
     assert(acked.collect().map(_.getAs[Long]("event_counter")).toSeq == Seq(3L))
+  }
+
+  test("writer lease: a second live engine fails loudly; close() hands over; stale leases are taken over") {
+    val (e, root) = newEngine()
+    e.produceStrings("default", 1, Seq("/a" -> "1"))
+
+    // a second engine on the SAME root while the first is live: produce
+    // must raise descriptively instead of minting a colliding range
+    // (flo-server/src/main.rs:38-95 gets this from process ownership)
+    val e2 = new FloEngine(spark, root)
+    val err = intercept[IllegalStateException] {
+      e2.produceStrings("default", 1, Seq("/b" -> "2"))
+    }
+    assert(err.getMessage.contains("live writer") &&
+      err.getMessage.contains("default"), err.getMessage)
+    // the refused engine wrote nothing and reserved nothing
+    assert(e.status("default") == Map(1 -> 1L))
+
+    // released on close: the second engine now continues the sequence
+    e.close()
+    val acked = e2.produceStrings("default", 1, Seq("/c" -> "3"))
+    assert(acked.collect().map(_.getAs[Long]("event_counter")).toSeq == Seq(2L))
+    e2.close()
+
+    // lease file gone after close
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$root/default/_writer.lease")),
+      "close() must delete the lease file")
+  }
+
+  test("writer lease: a stale (crashed-writer) lease is taken over; a paused writer loses") {
+    val (e, root) = newEngine()
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lease = new org.apache.hadoop.fs.Path(s"$root/default/_writer.lease")
+    def plantLease(owner: String, heartbeatMs: Long): Unit = {
+      val out = f.create(lease, true)
+      try out.write(s"""{"owner":"$owner"}""".getBytes("UTF-8"))
+      finally out.close()
+      f.setTimes(lease, heartbeatMs, -1)
+    }
+    def leaseOwner(): String = {
+      val in = f.open(lease)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+
+    // simulate a crashed writer: a foreign lease whose heartbeat (mtime)
+    // is long past the TTL — produce takes it over with a warning
+    plantLease("dead-engine",
+      System.currentTimeMillis() - 10 * FloEngine.DefaultWriterLeaseTtlMillis)
+    e.produceStrings("default", 1, Seq("/a" -> "1"))
+    assert(leaseOwner().contains(e.engineId), leaseOwner())
+
+    // lease LOSS detection: another engine takes over (simulated by a
+    // fresh foreign lease — the paused-JVM scenario); the original writer
+    // must refuse to produce rather than mint a colliding range
+    plantLease("other-engine", System.currentTimeMillis())
+    val err = intercept[IllegalStateException] {
+      e.produceStrings("default", 1, Seq("/b" -> "2"))
+    }
+    assert(err.getMessage.contains("TAKEN OVER"), err.getMessage)
+    e.close()
+    // close() must NOT delete a lease this engine no longer owns
+    assert(f.exists(lease) && leaseOwner().contains("other-engine"))
   }
 
   test("glob routing fixture (sync_client_tests.rs:179-206)") {
@@ -503,6 +570,7 @@ class FloEngineSpec extends SparkSuite {
     assert(nFiles > FloEngine.DriverFooterThreshold, s"only $nFiles files — raise the row count")
     // status + recovery + retention all ride the bulk footer path
     assert(e.status("default") == Map(1 -> 300L))
+    e.close()
     val e2 = new FloEngine(spark, root)
     assert(e2.produceStrings("default", 1, Seq("/mf/next" -> ""))
       .collect().head.getAs[Long]("event_counter") == 301L)
