@@ -36,53 +36,103 @@ import org.apache.spark.sql.functions._
  */
 object AnnIndex {
 
-  /** True iff a COMPLETED build exists at `path`. Checks meta's _SUCCESS
-    * marker, not the directory: Spark's committer creates the directory at
-    * job setup, so a build crashed mid-meta-write would otherwise read as
-    * complete and wedge every later search on an unreadable index. */
-  def exists(spark: SparkSession, path: String): Boolean = {
+  /** True iff a COMPLETED build exists at `path` (resolving the serving
+    * pointer, see [[servingPath]]). Checks meta's _SUCCESS marker, not the
+    * directory: Spark's committer creates the directory at job setup, so a
+    * build crashed mid-meta-write would otherwise read as complete and
+    * wedge every later search on an unreadable index. */
+  def exists(spark: SparkSession, path: String): Boolean =
+    rawExists(spark, servingPath(spark, path))
+
+  /** [[exists]] without pointer resolution — the physical-directory test
+    * used on staged/parked copies. */
+  private def rawExists(spark: SparkSession, path: String): Boolean = {
     val p = new Path(s"$path/meta/_SUCCESS")
     FileSystem.get(p.toUri, spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  // ------------------------------------------------------- serving pointer
+  // [[rebalance]] swaps in a retrained copy. The original two-rename swap
+  // (old aside, staged in) had a window where the live path was ABSENT — a
+  // concurrent search errored, and a crash inside it needed
+  // [[recoverInterruptedSwap]]. Generation dirs + a `_current` pointer
+  // remove the window: the rebuild lands in `<path>_gen<N>`, the pointer
+  // file `<path>_current` flips to it ATOMICALLY (write-new-then-rename
+  // with overwrite), and readers resolving through [[servingPath]] always
+  // see a complete snapshot — an in-flight search keeps reading the OLD
+  // generation, which survives until the NEXT rebalance completes
+  // (bounded staleness: a resolved path is valid for one full rebalance
+  // cycle). A legacy index with no pointer serves from `path` itself.
+
+  /** The physical dir currently serving `path`: the `_current` pointer's
+    * target when present, else `path` itself (legacy / never-rebalanced
+    * layout). Idempotent — resolving an already-physical generation dir
+    * returns it unchanged. */
+  private[graft] def servingPath(spark: SparkSession, path: String): String = {
+    val ptr = new Path(s"${path}_current")
+    val f = FileSystem.get(ptr.toUri, spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(ptr)) path
+    else {
+      val in = f.open(ptr)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    }
+  }
+
+  /** Atomically flip the serving pointer to `target` (tmp write +
+    * FileContext rename with OVERWRITE — readers observe either the old
+    * or the new pointer, never a torn or absent one). */
+  private def writeCurrentPointer(
+      spark: SparkSession, path: String, target: String): Unit = {
+    val ptr = new Path(s"${path}_current")
+    val tmp = new Path(s"${path}_current.tmp")
+    val f = FileSystem.get(ptr.toUri, spark.sparkContext.hadoopConfiguration)
+    val out = f.create(tmp, true)
+    try out.write(target.getBytes("UTF-8")) finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(
+        ptr.toUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
   /**
-   * Heal a [[rebalance]] interrupted inside its two-rename swap: the swap
-   * assumes a SINGLE writer and no concurrent search (the live path is
-   * absent for a window between the renames), and a crash there leaves
-   * no index at `path` while one or two COMPLETE copies sit in
-   * `*_rebuild_tmp` / `*_replaced_tmp`. Detection is unambiguous — a
-   * completed rebalance always ends with a live `path` — so recovery is
-   * one rename: prefer the staged rebuild (it finished building or it
-   * would not pass [[exists]]), fall back to the replaced original.
-   * Returns what was restored ("rebuild", "replaced") or None when the
-   * index was live (no-op). Call before serving a path that might have
-   * been mid-rebalance; [[rebalance]] itself runs it on entry so a
-   * re-run heals a prior crash instead of failing on the absent path.
+   * Heal a LEGACY (pre-pointer) rebalance interrupted inside its
+   * two-rename swap: that swap had a window where the live path was
+   * absent, and a crash there leaves no index at `path` while one or two
+   * COMPLETE copies sit in `*_rebuild_tmp` / `*_replaced_tmp`. Detection
+   * is unambiguous — a completed swap always ends with a live `path` —
+   * so recovery is one rename: prefer the staged rebuild (it finished
+   * building or it would not pass [[exists]]), fall back to the replaced
+   * original. Returns what was restored ("rebuild", "replaced") or None
+   * when the index was live (no-op). The CURRENT [[rebalance]] never
+   * creates this state (the pointer flip is atomic and the old
+   * generation stays live throughout) but still heals it on entry, so a
+   * root that crashed under an old build keeps working.
    */
   def recoverInterruptedSwap(spark: SparkSession, path: String): Option[String] = {
     val p = new Path(path)
     val f = FileSystem.get(p.toUri, spark.sparkContext.hadoopConfiguration)
-    if (exists(spark, path)) {
+    if (rawExists(spark, path)) {
       // live index won: any leftover parked copies are stale — sweep them
       // so the next rebalance starts clean
       f.delete(new Path(s"${path}_rebuild_tmp"), true)
       f.delete(new Path(s"${path}_replaced_tmp"), true)
       None
-    } else if (exists(spark, s"${path}_rebuild_tmp")) {
+    } else if (rawExists(spark, s"${path}_rebuild_tmp")) {
       require(f.rename(new Path(s"${path}_rebuild_tmp"), p),
         s"recovery rename ${path}_rebuild_tmp -> $path failed")
       f.delete(new Path(s"${path}_replaced_tmp"), true)
       Some("rebuild")
-    } else if (exists(spark, s"${path}_replaced_tmp")) {
+    } else if (rawExists(spark, s"${path}_replaced_tmp")) {
       require(f.rename(new Path(s"${path}_replaced_tmp"), p),
         s"recovery rename ${path}_replaced_tmp -> $path failed")
       Some("replaced")
     } else None
   }
 
-  /** One-row build-parameter table; also the build's commit marker. */
+  /** One-row build-parameter table; also the build's commit marker.
+    * Pointer-resolving, like every read/mutate entry point. */
   def meta(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/meta")
+    spark.read.parquet(s"${servingPath(spark, path)}/meta")
 
   /**
    * Build and persist the full IVF-PQ index for an `(id, v)` corpus:
@@ -197,8 +247,9 @@ object AnnIndex {
    * meta (n_vectors) rewritten LAST. Ids must be new — the index does not
    * dedup appends. Not safe under CONCURRENT appends to one index path.
    */
-  def append(spark: SparkSession, path: String, vectors: DataFrame): Unit = {
+  def append(spark: SparkSession, path0: String, vectors: DataFrame): Unit = {
     graft.expressions.GraftExtensions.register(spark)
+    val path = servingPath(spark, path0)
     val m = meta(spark, path).head()
     require(String.valueOf(m.getAs[Any]("residual_coding")) == "cell_mean",
       s"index at $path predates the cell_mean layout — rebuild before appending")
@@ -253,7 +304,8 @@ object AnnIndex {
    * rows remain to trim. Returns the number of vectors removed (counting
    * any crash-torn removals reconciled by this call).
    */
-  def expire(spark: SparkSession, path: String, deadIds: DataFrame): Long = {
+  def expire(spark: SparkSession, path0: String, deadIds: DataFrame): Long = {
+    val path = servingPath(spark, path0)
     val m = meta(spark, path).head()
     val nBefore = m.getAs[Long]("n_vectors")
     // an index already trimmed to zero has an EMPTY vectors dir (no
@@ -340,7 +392,7 @@ object AnnIndex {
     * column-pruned count over the cell-partitioned vectors table: the
     * scan reads partition values, no vector arrays). */
   def cellSizes(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/vectors")
+    spark.read.parquet(s"${servingPath(spark, path)}/vectors")
       .groupBy("cell").agg(count(lit(1)).as("n"))
 
   /** True when the largest cell exceeds `maxSkew` x the mean population —
@@ -354,50 +406,66 @@ object AnnIndex {
   }
 
   /**
-   * Retrain the index IN PLACE from its own persisted vectors — the
-   * answer when [[needsRebalance]] fires after a run of skewed appends:
-   * fresh spherical k-means centroids, fresh means/codebooks/codes, same
-   * build parameters (from meta). Stages the rebuild in a sibling temp
-   * dir and swaps it in by TWO RENAMES (old aside, staged in) — no data
-   * is ever deleted before its replacement is live, so a crash
-   * mid-rebuild leaves the OLD index serving. SINGLE-WRITER,
-   * NO-CONCURRENT-SEARCH contract: between the two renames the live path
-   * is briefly ABSENT (a concurrent search would error), and a crash
-   * inside that window parks both complete copies under `_replaced_tmp`
-   * / `_rebuild_tmp` — [[recoverInterruptedSwap]] (run automatically on
-   * rebalance entry, callable before serving) restores one by a single
-   * rename. The leftover `_replaced_tmp` is deleted only after the
-   * staged copy is live.
+   * Retrain the index from its own persisted vectors — the answer when
+   * [[needsRebalance]] fires after a run of skewed appends: fresh
+   * spherical k-means centroids, fresh means/codebooks/codes, same build
+   * parameters (from meta). The rebuild lands in a NEW generation dir
+   * `<path>_gen<N>` and goes live by flipping the `_current` serving
+   * pointer atomically ([[servingPath]]): readers always resolve to a
+   * complete snapshot — a search in flight keeps reading the OLD
+   * generation (which is retained until the NEXT rebalance completes),
+   * and a crash anywhere before the flip leaves the old snapshot
+   * serving with only a dead staged dir to sweep. Single WRITER still
+   * assumed (concurrent rebalance/append is out of contract); concurrent
+   * SEARCH is now safe throughout.
    */
-  def rebalance(spark: SparkSession, path: String): Unit = {
-    recoverInterruptedSwap(spark, path).foreach(which =>
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"rebalance($path): recovered interrupted swap from ${which} copy"))
+  def rebalance(spark: SparkSession, path: String): Unit =
+    rebalance(spark, path, () => ())
+
+  /** [[rebalance]] with a test seam executed between the staged build
+    * completing and the pointer flip — the in-flight-search window. */
+  private[graft] def rebalance(
+      spark: SparkSession, path: String, beforeSwap: () => Unit): Unit = {
+    val f = FileSystem.get(
+      new Path(path).toUri, spark.sparkContext.hadoopConfiguration)
+    // heal LEGACY two-rename crashes (pre-pointer layout only: with a
+    // pointer the serving path is never absent)
+    if (!f.exists(new Path(s"${path}_current")))
+      recoverInterruptedSwap(spark, path).foreach(which =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"rebalance($path): recovered interrupted swap from ${which} copy"))
+    val live = servingPath(spark, path)
     val m = meta(spark, path).head()
     // read the corpus lazily: buildIvfPq finishes every write into the
-    // staging dir before the live path is touched, so each build stage
+    // generation dir before the pointer is touched, so each build stage
     // can re-scan the live parquet — pinning the whole corpus in executor
     // storage (localCheckpoint) would double the peak footprint for
     // nothing
-    val corpus = spark.read.parquet(s"$path/vectors")
+    val corpus = spark.read.parquet(s"$live/vectors")
       .select(col("id"), col("uv").as("v")) // unit-normalizing a unit vector is a no-op
-    val tmp = s"${path}_rebuild_tmp"
-    val p = new Path(path)
-    val f = FileSystem.get(p.toUri, spark.sparkContext.hadoopConfiguration)
-    f.delete(new Path(tmp), true)
-    buildIvfPq(corpus, m.getAs[Int]("dim"), tmp, m.getAs[Int]("cells"),
+    val gen = """_gen(\d+)$""".r.findFirstMatchIn(live)
+      .map(_.group(1).toLong + 1).getOrElse(1L)
+    val next = s"${path}_gen$gen"
+    f.delete(new Path(next), true)
+    buildIvfPq(corpus, m.getAs[Int]("dim"), next, m.getAs[Int]("cells"),
       m.getAs[Int]("subs"), m.getAs[Int]("codes"), m.getAs[Int]("lloyd_iters"))
-    require(exists(spark, tmp), s"staged rebuild at $tmp did not complete")
-    val old = new Path(s"${path}_replaced_tmp")
-    f.delete(old, true)
-    require(f.rename(p, old), s"move live $path aside failed")
-    if (!f.rename(new Path(tmp), p)) {
-      // staged swap-in failed: put the old index back before raising, so
-      // the path keeps serving
-      f.rename(old, p)
-      throw new IllegalStateException(s"swap $tmp -> $path failed")
-    }
-    f.delete(old, true)
+    require(rawExists(spark, next), s"staged rebuild at $next did not complete")
+    beforeSwap()
+    writeCurrentPointer(spark, path, next)
+    // retention: keep the new generation and the one just replaced (an
+    // in-flight search may still hold it); sweep everything older — the
+    // original un-suffixed dir once it is two generations back, and any
+    // generation dirs before `live`
+    val name = new Path(path).getName
+    val parent = new Path(path).getParent
+    val genRx = (java.util.regex.Pattern.quote(name) + "_gen\\d+").r
+    // compare by dir NAME: listStatus returns fully-qualified paths while
+    // next/live are caller-form strings
+    val keep = Set(new Path(next).getName, new Path(live).getName)
+    f.listStatus(parent).map(_.getPath)
+      .filter(p => p.getName == name || genRx.matches(p.getName))
+      .filterNot(p => keep.contains(p.getName))
+      .foreach(p => f.delete(p, true))
   }
 
   /**
@@ -413,8 +481,9 @@ object AnnIndex {
       probe: Int = 6,
       excludeSelf: Boolean = true): DataFrame = {
     graft.expressions.GraftExtensions.register(spark)
-    val cents = spark.read.parquet(s"$path/centroids")
-    val vecs = spark.read.parquet(s"$path/vectors")
+    val live = servingPath(spark, path)
+    val cents = spark.read.parquet(s"$live/centroids")
+    val vecs = spark.read.parquet(s"$live/vectors")
     val probes = probeCells(queries, cents, probe, carryVec = true)
     // hard assignment: a neighbor appears in exactly one cell, so the
     // (query, neighbor) pairs are already distinct — no dedup stage
@@ -484,8 +553,11 @@ object AnnIndex {
       probe: Int,
       rerank: Int,
       excludeSelf: Boolean): DataFrame = {
-    val pruned = prunedCandidateIds(spark, path, queries, probe, rerank, excludeSelf)
-    val vecs = spark.read.parquet(s"$path/vectors")
+    // resolve ONCE so the prune and the rerank read the same snapshot
+    // even if a rebalance flips the pointer mid-query
+    val live = servingPath(spark, path)
+    val pruned = prunedCandidateIds(spark, live, queries, probe, rerank, excludeSelf)
+    val vecs = spark.read.parquet(s"$live/vectors")
     val qu = queries.select(col("id"), expr("graft_unit(v)").as("uv"))
     // exact vectors are read for `rerank` rows per query, period
     val withVecs = pruned
@@ -502,12 +574,13 @@ object AnnIndex {
     * exact-verify the SAME candidate set. */
   private[graft] def prunedCandidateIds(
       spark: SparkSession,
-      path: String,
+      path0: String,
       queries: DataFrame,
       probe: Int,
       rerank: Int,
       excludeSelf: Boolean): DataFrame = {
     graft.expressions.GraftExtensions.register(spark)
+    val path = servingPath(spark, path0)
     val m = meta(spark, path).head()
     val (dim, subs) = (m.getAs[Int]("dim"), m.getAs[Int]("subs"))
     // layout guard: a pre-mean-residual index (meta carries a boolean or a
@@ -586,8 +659,9 @@ object AnnIndex {
       k: Int,
       probe: Int = 6): DataFrame = {
     graft.expressions.GraftExtensions.register(spark)
-    val cents = spark.read.parquet(s"$path/centroids")
-    val vecs = spark.read.parquet(s"$path/vectors")
+    val live = servingPath(spark, path)
+    val cents = spark.read.parquet(s"$live/centroids")
+    val vecs = spark.read.parquet(s"$live/vectors")
     val probes = probeCells(
       queries.select(col("id"), col("v"), col("label").as("ql")), cents, probe,
       carryVec = false, carryCols = Seq("ql"))

@@ -621,6 +621,60 @@ class ScaleOpsSpec extends SparkSuite {
     assert(AnnIndex.searchIvfPq(spark, dir, q, k = 3, rerank = 50).count() > 0)
   }
 
+  test("rebalance pointer swap: search serves the old snapshot in-flight, the flip is atomic, generations sweep") {
+    val dir = java.nio.file.Files.createTempDirectory("annidx-ptr").toString
+    val e = graft.queries.SimilarityQueries.emb(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id").as("id"), col("v")).filter(col("id") < 60)
+    AnnIndex.buildIvfPq(e, dim = 64, path = dir, cells = 4, subs = 8,
+      codes = 16, lloydIters = 1)
+    val q = e.filter(col("id") < 3)
+    def serve(): Long = AnnIndex.searchIvfPq(spark, dir, q, k = 3, rerank = 50).count()
+    val nBefore = serve()
+    assert(nBefore > 0)
+
+    // in-flight window (staged rebuild complete, pointer not yet flipped):
+    // a concurrent search must return from the OLD snapshot — under the
+    // legacy two-rename swap the live path was absent here and the search
+    // errored
+    var duringOk = false
+    AnnIndex.rebalance(spark, dir, { () =>
+      assert(AnnIndex.servingPath(spark, dir) == dir,
+        "before the flip the original snapshot must still serve")
+      assert(serve() == nBefore, "in-flight search must see the old snapshot")
+      duringOk = true
+    })
+    assert(duringOk)
+    assert(AnnIndex.servingPath(spark, dir).endsWith("_gen1"))
+    assert(AnnIndex.exists(spark, dir) && serve() == nBefore)
+    // the replaced original survives one cycle (an in-flight reader may
+    // still hold it)
+    assert(new java.io.File(dir).exists(), "previous generation must be retained")
+
+    // crash BEFORE the flip: the old generation keeps serving, recovery is
+    // simply re-running rebalance
+    val boom = intercept[RuntimeException] {
+      AnnIndex.rebalance(spark, dir,
+        () => throw new RuntimeException("crash before pointer flip"))
+    }
+    assert(boom.getMessage.contains("crash before"), boom.getMessage)
+    assert(AnnIndex.servingPath(spark, dir).endsWith("_gen1") && serve() == nBefore)
+    AnnIndex.rebalance(spark, dir)
+    assert(AnnIndex.servingPath(spark, dir).endsWith("_gen2") && serve() == nBefore)
+    // generation retention: current + previous only — the original
+    // un-suffixed dir is now two generations back and swept
+    assert(!new java.io.File(dir).exists(), "gen-2-back original must be swept")
+    assert(new java.io.File(s"${dir}_gen1").exists())
+    AnnIndex.rebalance(spark, dir)
+    assert(AnnIndex.servingPath(spark, dir).endsWith("_gen3") && serve() == nBefore)
+    assert(!new java.io.File(s"${dir}_gen1").exists(), "old generations must sweep")
+    assert(new java.io.File(s"${dir}_gen2").exists())
+    // mutation entry points resolve the pointer too
+    import spark.implicits._
+    AnnIndex.append(spark, dir,
+      e.filter(col("id") >= 60 || col("id") < 0).limit(0))
+    assert(AnnIndex.meta(spark, dir).head().getAs[Long]("n_vectors") == 60L)
+  }
+
   test("cell-skew audit fires after drifted appends; rebalance retrains in place and restores balance") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("annidx-reb").toString
