@@ -468,6 +468,19 @@ object Ann {
    * wide arrays rejoin after the distinct), exact `graft_dot` verify at
    * `threshold`. The catalog's `dedup_embedding_lsh` (subset-of-exact +
    * recall >= 0.9 bars) runs through this.
+   *
+   * `maxBucket` is the quadratic-explosion guard (the `maxGramOcc` of the
+   * embedding path): a band bucket holding > `maxBucket` vectors emits NO
+   * candidate pairs, so adversarial data — a mass of near-identical
+   * directions that land every band in one bucket — costs
+   * O(bands x maxBucket^2) instead of degrading toward all-pairs. Cap
+   * semantics, stated honestly ([[CorpusOps.substringDedup]] discipline):
+   * pairs whose EVERY shared bucket is over-cap are missed (conservative
+   * under-detection — a duplicate cluster larger than `maxBucket` per
+   * bucket should be handled by exact dedup first); the dropped-bucket
+   * mass is reported by [[nearDupPairsCosineAudited]]. The default clears
+   * every test corpus untouched (no bucket can exceed it at n <= 4096)
+   * while still bounding the 100 TB case.
    */
   def nearDupPairsCosine(
       embeddings: DataFrame,
@@ -475,12 +488,34 @@ object Ann {
       threshold: Double = 0.4,
       seed: Int = 7,
       planes: Int = 128,
-      bands: Int = 32): DataFrame = {
+      bands: Int = 32,
+      maxBucket: Int = DefaultMaxBucket): DataFrame =
+    nearDupPairsCosineAudited(
+      embeddings, dim, threshold, seed, planes, bands, maxBucket)._1
+
+  /** Per-bucket collision cap default: no-op on corpora up to 4096
+    * vectors, bounds each band bucket's C(n,2) emission at scale. */
+  val DefaultMaxBucket: Int = 4096
+
+  /** [[nearDupPairsCosine]] with the dropped-band mass surfaced: returns
+    * (verified pairs, audit) where the audit holds one row per OVER-CAP
+    * bucket (band_idx, code, n) — count/sum it for the honest "what did
+    * the cap silence" readout a production run should log next to its
+    * pair count. */
+  def nearDupPairsCosineAudited(
+      embeddings: DataFrame,
+      dim: Int,
+      threshold: Double = 0.4,
+      seed: Int = 7,
+      planes: Int = 128,
+      bands: Int = 32,
+      maxBucket: Int = DefaultMaxBucket): (DataFrame, DataFrame) = {
     graft.expressions.GraftExtensions.register(embeddings.sparkSession)
     val u = embeddings.select(col("id"), expr("graft_unit(v)").as("v"))
-    val candIds = cosineCandidatePairs(
-      bandedCodes(u, seed, planes, bands, dim).select("id", "band_idx", "code"))
-    cosineVerifyPairs(candIds, u, threshold)
+    val coded = bandedCodes(u, seed, planes, bands, dim)
+      .select("id", "band_idx", "code")
+    val (candIds, audit) = cosineCandidatePairsCapped(coded, maxBucket)
+    (cosineVerifyPairs(candIds, u, threshold), audit)
   }
 
   /** Stage builder (shared with tools.Profile so the profiler drives the
@@ -492,6 +527,20 @@ object Ann {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+
+  /** [[cosineCandidatePairs]] under the per-bucket cap: buckets over
+    * `maxBucket` contribute nothing and surface in the audit frame
+    * (band_idx, code, n). One extra aggregate over the (already shuffled)
+    * coded rows — the bucket-size side is bands x codes-bounded, tiny. */
+  private[graft] def cosineCandidatePairsCapped(
+      coded: DataFrame, maxBucket: Int): (DataFrame, DataFrame) = {
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
+    val sizes = coded.groupBy("band_idx", "code").agg(count(lit(1)).as("n"))
+    val over = sizes.filter(col("n") > maxBucket)
+    val kept = coded.join(over.select("band_idx", "code"),
+      Seq("band_idx", "code"), "left_anti")
+    (cosineCandidatePairs(kept), over)
+  }
 
   /** Stage builder: exact-cosine verify of candidate id pairs against the
     * unit vectors (the arrays rejoin only here, after the distinct). */

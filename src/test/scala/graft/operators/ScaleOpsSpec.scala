@@ -574,6 +574,62 @@ class ScaleOpsSpec extends SparkSuite {
     assert(after.getAs[Long]("n_vectors") == 38L)
   }
 
+  test("embedding-LSH bucket cap bounds adversarial collisions and reports the dropped mass") {
+    import spark.implicits._
+    // adversarial mass: 500 positive multiples of ONE direction — every
+    // sign-bit band code identical, so uncapped candidate generation
+    // degrades to C(500,2) pairs per band (the BASELINE r2 ~all-pairs
+    // observation, concentrated); plus 10 planted near-dup pairs on
+    // DISTINCT one-hot directions (normal data the cap must not touch)
+    val dim = 64
+    def hot(d: Int, scale: Double): Array[Double] = {
+      val v = Array.fill(dim)(0.0); v(d) = scale; v(63) = 0.01 * scale; v
+    }
+    val cluster = (0 until 500).map(i => (i.toLong, hot(0, 1.0 + i * 0.01)))
+    val spread = (0 until 10).flatMap { p =>
+      Seq((1000L + 2 * p, hot(p + 1, 1.0)), (1001L + 2 * p, hot(p + 1, 2.0)))
+    }
+    val e = (cluster ++ spread).toDF("id", "v")
+    graft.expressions.GraftExtensions.register(spark)
+    val coded = Ann.bandedCodes(
+      e.select(col("id"), expr("graft_unit(v)").as("v")),
+      seed = 7, planes = 128, bands = 32, dim = dim)
+      .select("id", "band_idx", "code").localCheckpoint(true)
+
+    // uncapped: the cluster alone yields C(500,2) = 124750 candidates
+    val uncapped = Ann.cosineCandidatePairs(coded).count()
+    assert(uncapped >= 124750L, s"premise: adversarial mass collides, got $uncapped")
+
+    // capped at 50: cluster buckets (500 rows in every band) drop, the
+    // candidate set is bounded by the small buckets only
+    val (cand, audit) = Ann.cosineCandidatePairsCapped(coded, maxBucket = 50)
+    val nCand = cand.count()
+    assert(nCand < 2000L,
+      s"cap must bound candidates (was $uncapped uncapped), got $nCand")
+    // loud accounting: one over-cap bucket per band, each holding the mass
+    val auditRows = audit.collect()
+    assert(auditRows.length == 32,
+      s"expected the cluster bucket flagged in all 32 bands, got ${auditRows.length}")
+    assert(auditRows.forall(_.getAs[Long]("n") >= 500L))
+
+    // honest recall readout through the full operator: the planted spread
+    // pairs all survive (their buckets are tiny); the over-cap cluster's
+    // pairs are silenced — exactly the documented conservative semantics
+    val (pairs, _) = Ann.nearDupPairsCosineAudited(
+      e, dim = dim, threshold = 0.4, maxBucket = 50)
+    val got = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val planted = (0 until 10).map(p => (1000L + 2 * p, 1001L + 2 * p)).toSet
+    assert(got == planted,
+      s"capped run must keep exactly the non-adversarial planted pairs: $got")
+    // and the DEFAULT cap is a no-op at test scale: identical pairs to the
+    // uncapped verify (the catalog query's oracle-stability guarantee)
+    val (defPairs, defAudit) = Ann.nearDupPairsCosineAudited(
+      e, dim = dim, threshold = 0.4)
+    assert(defAudit.count() == 0L, "default cap must not bind at n=520")
+    assert(defPairs.count() >= 124750L + 10L,
+      "default-cap output must include the full adversarial cluster")
+  }
+
   test("recoverInterruptedSwap restores a live index from either parked copy") {
     import org.apache.hadoop.fs.Path
     val dir = java.nio.file.Files.createTempDirectory("annidx-recover").toString
