@@ -888,8 +888,9 @@ final class FloEngine(
       stream: String,
       namespaceGlob: String = "/**/*",
       windowDuration: String = "10 minutes",
-      watermarkDelay: String = "1 minute"): DataFrame =
-    consumeStream(stream, namespaceGlob)
+      watermarkDelay: String = "1 minute",
+      vv: VersionVector = VersionVector.empty): DataFrame =
+    consumeStream(stream, namespaceGlob, vv)
       .withWatermark("timestamp", watermarkDelay)
       .groupBy(window(col("timestamp"), windowDuration), col("namespace"))
       .count()

@@ -127,6 +127,28 @@ object Scale1B {
             engine.consumeAll("big", "/events/p*")
               .write.format("noop").mode("overwrite").save())
           println(f"SCALE1B   full-scan consume: ${events / scanSec}%.0f ev/s")
+          // T5 at scale: watermark + tumbling-window aggregation over the
+          // STREAMING path from a near-head vv (the tail consumer's
+          // windowed agg, embedded_tests.rs:253-291's semantics) with
+          // Trigger.AvailableNow. The claim pinned across the decade:
+          // wall time tracks the MAINTAINED file count (source listing)
+          // plus the fixed ~1M-row tail — never append history.
+          val groups = new java.util.concurrent.atomic.AtomicLong
+          val (_, winSec) = time(s"windowed agg near-head @$events") {
+            val q = engine.consumeWindowed("big", "/events/p*",
+                windowDuration = "1 hour", watermarkDelay = "1 minute",
+                vv = nearHead)
+              .writeStream
+              .outputMode("update")
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .foreachBatch {
+                (b: org.apache.spark.sql.DataFrame, _: Long) =>
+                  groups.addAndGet(b.count()); ()
+              }
+              .start()
+            q.awaitTermination()
+          }
+          println(f"SCALE1B   windowed-agg groups: ${groups.get()}%d in $winSec%.2f s")
         }
       }
 
