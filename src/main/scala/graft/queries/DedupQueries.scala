@@ -46,6 +46,13 @@ object DedupQueries {
   private[graft] val MinhashLshSetsPath = graft.Fixtures.path("minhash_lsh_sets")
   private[graft] val SnmRecallPath = graft.Fixtures.path("snm_recall_keys")
   private[graft] val EmbLshFixturePath = graft.Fixtures.path("emb_lsh_codes")
+  private[graft] val LshBucketFixturePath = graft.Fixtures.path("lsh_bucket_codes")
+
+  /** [[queries]]`("dedup_lsh_bucket_audit")`'s collision cap — small
+    * enough that the per-band accounting is meaningful, large enough that
+    * the production default ([[graft.operators.Ann.DefaultMaxBucket]])
+    * strictly dominates it. */
+  private[graft] val AuditBucketCap = 64L
 
   /** (doc_a < doc_b, jaccard) pairs with exact word-trigram jaccard >= 0.5,
     * via the inverted-index join (shared by dedup_ngram_jaccard and the
@@ -626,6 +633,37 @@ object DedupQueries {
         .orderBy("vec_a", "vec_b")
     }),
 
+    // per-band LSH bucket audit — the accounting readout next to the
+    // bucket cap on the embedding near-dup path: bucket count, largest
+    // bucket, total collision pairs Σ C(n,2), the pairs surviving a cap
+    // of 64, and the over-cap bucket count per band. This is the "what
+    // would a cap silence" report a production run logs before choosing
+    // maxBucket (Ann.nearDupPairsCosineAudited carries the same
+    // accounting at the operator level). The hyperplane codes (non-SQL)
+    // export as a fixture; everything downstream is integer aggregation
+    // both engines reproduce exactly. One shuffle (the bucket group-by);
+    // the per-band result is bands-bounded.
+    "dedup_lsh_bucket_audit" -> ((s, d) => {
+      graft.expressions.GraftExtensions.register(s)
+      val u = SimilarityQueries.emb(s, d)
+        .select(col("vec_id").as("id"), expr("graft_unit(v)").as("v"))
+      graft.operators.Ann.bandedCodes(u, SimilarityQueries.Seed,
+          SimilarityQueries.NumPlanes, EmbBands, SimilarityQueries.Dim)
+        .select("id", "band_idx", "code")
+        .write.mode("overwrite").parquet(LshBucketFixturePath)
+      s.read.parquet(LshBucketFixturePath)
+        .groupBy("band_idx", "code").agg(count(lit(1)).as("n"))
+        .groupBy("band_idx").agg(
+          count(lit(1)).as("n_buckets"),
+          max("n").as("max_bucket"),
+          sum(expr("n * (n - 1) div 2")).as("collision_pairs"),
+          sum(when(col("n") <= AuditBucketCap, expr("n * (n - 1) div 2"))
+            .otherwise(0L)).as("capped_pairs"),
+          sum(when(col("n") > AuditBucketCap, 1L).otherwise(0L))
+            .as("overcap_buckets"))
+        .orderBy("band_idx")
+    }),
+
     // fuzzy (edit-distance) near-dup on the 192-char text prefix: PassJoin
     // segment-pigeonhole candidates (linear fan-out, hash join on segment
     // bytes) + exact thresholded Levenshtein verify — the typo/OCR-noise
@@ -879,6 +917,21 @@ object DedupQueries {
         |JOIN embeddings eb ON eb.vec_id = vec_b
         |WHERE list_cosine_similarity(ea.embedding, eb.embedding) >= 0.4
         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    // bucket-size accounting recomputed from the exported band codes:
+    // pure integer aggregation (SUM casts back from HUGEINT)
+    "dedup_lsh_bucket_audit" ->
+      s"""WITH c AS (SELECT * FROM read_parquet('$LshBucketFixturePath/*.parquet')),
+        |b AS (SELECT band_idx, code, count(*) AS n FROM c GROUP BY 1, 2)
+        |SELECT band_idx,
+        |  count(*) AS n_buckets,
+        |  CAST(max(n) AS BIGINT) AS max_bucket,
+        |  CAST(sum(n * (n - 1) // 2) AS BIGINT) AS collision_pairs,
+        |  CAST(sum(CASE WHEN n <= $AuditBucketCap THEN n * (n - 1) // 2
+        |                ELSE 0 END) AS BIGINT) AS capped_pairs,
+        |  CAST(sum(CASE WHEN n > $AuditBucketCap THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS overcap_buckets
+        |FROM b GROUP BY band_idx ORDER BY band_idx""".stripMargin,
 
     "dedup_fuzzy_edit" ->
       """WITH k AS (SELECT doc_id, substr(text, 1, 192) AS key FROM documents)
