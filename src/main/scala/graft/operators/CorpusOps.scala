@@ -502,6 +502,30 @@ object CorpusOps {
       .toDF("doc_id", "band_idx", "band_val")
   }
 
+  /** Per-bucket collision cap default for the sketch band joins: a band
+    * bucket is same-band-value docs, so over-cap buckets are exact- or
+    * near-identical clusters LARGER than any test corpus (documents max
+    * 5000 at sf0.1 — the default provably never binds there) that exact
+    * dedup should collapse first; at 100 TB the cap bounds each bucket's
+    * C(n,2) emission. Same honest semantics as `maxGramOcc` and the
+    * embedding path's [[Ann.DefaultMaxBucket]]: over-cap buckets emit
+    * nothing and surface in the audit frame. */
+  val DefaultBandMaxBucket: Int = 8192
+
+  /** Band-bucket collision cap shared by the minhash and simhash paths:
+    * (bands rows with over-cap buckets removed, audit = one row per
+    * over-cap (band_idx, band_val, n)). One extra hash aggregate over
+    * the band rows; the audit side is collision-bounded, tiny. */
+  private[graft] def capBandBuckets(
+      bands: DataFrame, maxBucket: Int): (DataFrame, DataFrame) = {
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
+    val sizes = bands.groupBy("band_idx", "band_val")
+      .agg(count(lit(1)).as("n"))
+    val over = sizes.filter(col("n") > maxBucket)
+    (bands.join(over.select("band_idx", "band_val"),
+      Seq("band_idx", "band_val"), "left_anti"), over)
+  }
+
   /** Distinct (doc_a < doc_b) pairs sharing at least one band value. */
   private[graft] def minhashCandidates(bands: DataFrame): DataFrame =
     bands.as("a").join(bands.as("b"),
@@ -609,7 +633,16 @@ object CorpusOps {
    * (doc_a < doc_b, hamming). Candidates carry only (id, sketch) — 16
    * bytes — through the band self-join.
    */
-  def nearDupPairsSimhash(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def nearDupPairsSimhash(
+      docs: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = DefaultBandMaxBucket): DataFrame =
+    nearDupPairsSimhashAudited(docs, maxHamming, maxBucket)._1
+
+  /** [[nearDupPairsSimhash]] with the dropped-band mass surfaced
+    * ([[capBandBuckets]] semantics). */
+  def nearDupPairsSimhashAudited(
+      docs: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = DefaultBandMaxBucket): (DataFrame, DataFrame) = {
     // pigeonhole over 4 bands covers hamming <= 3 ONLY: 4+ differing bits
     // can spread across all four bands and never collide — reject rather
     // than silently under-recall
@@ -626,10 +659,11 @@ object CorpusOps {
     val bandCols = (0 until 4).map(b =>
       struct(lit(b).as("band_idx"),
         expr(s"shiftright(simhash, ${16 * b}) & 65535").as("band_val")))
-    val bands = sim.select(col("doc_id"), col("simhash"),
+    val bandRows = sim.select(col("doc_id"), col("simhash"),
         explode(array(bandCols: _*)).as("band"))
       .select(col("doc_id"), col("simhash"), col("band.band_idx"), col("band.band_val"))
-    bands.as("a").join(bands.as("b"),
+    val (bands, audit) = capBandBuckets(bandRows, maxBucket)
+    val pairs = bands.as("a").join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_val") === col("b.band_val") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -637,6 +671,7 @@ object CorpusOps {
         expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+    (pairs, audit)
   }
 
   /**
@@ -647,12 +682,23 @@ object CorpusOps {
    * (doc_a < doc_b, jaccard >= threshold). The candidate stage recalls
    * any pair agreeing on a full band; the verify makes precision exact.
    */
-  def nearDupPairsMinhash(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+  def nearDupPairsMinhash(
+      docs: DataFrame, threshold: Double = 0.5,
+      maxBucket: Int = DefaultBandMaxBucket): DataFrame =
+    nearDupPairsMinhashAudited(docs, threshold, maxBucket)._1
+
+  /** [[nearDupPairsMinhash]] with the dropped-band mass surfaced:
+    * (verified pairs, audit of over-cap (band_idx, band_val, n) buckets)
+    * — the [[Ann.nearDupPairsCosineAudited]] accounting on the shingle
+    * path. */
+  def nearDupPairsMinhashAudited(
+      docs: DataFrame, threshold: Double = 0.5,
+      maxBucket: Int = DefaultBandMaxBucket): (DataFrame, DataFrame) = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
-    val bands = minhashBands(docs)
+    val (bands, audit) = capBandBuckets(minhashBands(docs), maxBucket)
     val cand = minhashCandidates(bands)
     val sets = minhashShingleSets(docs, cand)
-    minhashVerify(cand, sets, sets, threshold)
+    (minhashVerify(cand, sets, sets, threshold), audit)
   }
 
   /** The two index tables behind [[incrementalNearDup]] for one doc set:

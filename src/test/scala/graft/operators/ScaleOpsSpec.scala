@@ -574,6 +574,57 @@ class ScaleOpsSpec extends SparkSuite {
     assert(after.getAs[Long]("n_vectors") == 38L)
   }
 
+  test("minhash/simhash band-bucket caps silence an identical-doc mass, keep clean pairs, report the drop") {
+    import spark.implicits._
+    // adversarial mass: 300 byte-identical docs — one bucket of 300 in
+    // EVERY band of both sketches (C(300,2) = 44850 verified pairs
+    // uncapped); plus 10 clean duplicate PAIRS on disjoint vocabularies
+    val clusterText = "shared mass document body repeated verbatim all over the corpus today"
+    val cluster = (0 until 300).map(i => (i.toLong, clusterText))
+    val clean = (0 until 10).flatMap { p =>
+      val t = (0 until 10).map(w => s"pair${p}tok$w").mkString(" ")
+      Seq((1000L + 2 * p, t), (1001L + 2 * p, t))
+    }
+    val docs = (cluster ++ clean).map { case (i, t) => (i, t, t.length.toLong) }
+      .toDF("doc_id", "text", "n_chars").localCheckpoint(true)
+    val planted = (0 until 10).map(p => (1000L + 2 * p, 1001L + 2 * p)).toSet
+
+    // default cap: provably a no-op (max bucket ~300 << 8192); the
+    // cluster contributes its full C(300,2) clique (char-shingle overlap
+    // between clean docs may add a few more genuine near-dups — the cap
+    // contract below is therefore phrased against the uncapped output,
+    // not a hand-counted fixture)
+    val full = CorpusOps.nearDupPairsMinhash(docs)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(full.size >= 44850 && planted.subsetOf(full), s"premise: ${full.size}")
+    // cap contract: exactly the pairs not touching the over-cap cluster
+    val expectM = full.filter(p => p._1 >= 1000L && p._2 >= 1000L)
+
+    // capped at 50: the cluster is silenced, every clean pair survives,
+    // and the audit carries the cluster bucket in all 8 minhash bands
+    val (mPairs, mAudit) = CorpusOps.nearDupPairsMinhashAudited(
+      docs, threshold = 0.5, maxBucket = 50)
+    val mGot = mPairs.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(mGot == expectM, s"capped minhash diff: extra=${mGot -- expectM} missing=${expectM -- mGot}")
+    assert(planted.subsetOf(mGot))
+    val mRows = mAudit.collect()
+    assert(mRows.length == 8 && mRows.forall(_.getAs[Long]("n") >= 300L),
+      s"minhash audit: ${mRows.mkString(",")}")
+
+    // same contract on the simhash path (4 x 16-bit bands)
+    val fullS = CorpusOps.nearDupPairsSimhash(docs)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val expectS = fullS.filter(p => p._1 >= 1000L && p._2 >= 1000L)
+    val (sPairs, sAudit) = CorpusOps.nearDupPairsSimhashAudited(
+      docs, maxHamming = 3, maxBucket = 50)
+    val sGot = sPairs.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(sGot == expectS, s"capped simhash diff: extra=${sGot -- expectS} missing=${expectS -- sGot}")
+    assert(planted.subsetOf(sGot))
+    val sRows = sAudit.collect()
+    assert(sRows.length == 4 && sRows.forall(_.getAs[Long]("n") >= 300L),
+      s"simhash audit: ${sRows.mkString(",")}")
+  }
+
   test("embedding-LSH bucket cap bounds adversarial collisions and reports the dropped mass") {
     import spark.implicits._
     // adversarial mass: 500 positive multiples of ONE direction — every
