@@ -94,6 +94,77 @@ object AnnIndex {
       .rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
+  // ------------------------------------------------------- mutation guard
+  // append/expire/rebalance assume ONE mutator at a time (two concurrent
+  // appends interleave partial vectors/codes/meta writes; an append racing
+  // a rebalance loses its rows when the pointer flips to a rebuild that
+  // never saw them). Previously trusted, now enforced — the same
+  // trusted→contract upgrade as the FloEngine writer lease: a
+  // `<path>_mutating` marker acquired by EXCLUSIVE create (atomic),
+  // heartbeated via mtime for the duration of the operation, deleted on
+  // completion. A concurrent mutator fails descriptively; a marker whose
+  // heartbeat is older than the TTL is a crashed mutator and is taken
+  // over with a warning (every mutation is individually crash-safe —
+  // meta-last commit, atomic pointer flip — so takeover is safe).
+  // Readers are untouched: searches never look at the marker.
+
+  /** Staleness horizon for the mutation marker; the in-op heartbeat
+    * refreshes at TTL/3, so only a crashed (or fully stalled) mutator
+    * ever goes stale. */
+  val MutationGuardTtlMillis: Long = 60000L
+
+  private def guardPath(path: String) = new Path(s"${path}_mutating")
+
+  /** Run `op` under the exclusive mutation marker for `path`. */
+  private def withMutationGuard[T](
+      spark: SparkSession, path: String, what: String)(op: => T): T = {
+    val g = guardPath(path)
+    val f = FileSystem.get(g.toUri, spark.sparkContext.hadoopConfiguration)
+    def tryAcquire(): Boolean =
+      try {
+        // create(overwrite = false) is the atomic exclusive-create
+        val out = f.create(g, false)
+        try out.write(what.getBytes("UTF-8")) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    if (!tryAcquire()) {
+      val st = try Some(f.getFileStatus(g)) catch { case _: Exception => None }
+      val now = System.currentTimeMillis()
+      st match {
+        case Some(s) if now - s.getModificationTime < MutationGuardTtlMillis =>
+          throw new IllegalStateException(
+            s"index at $path is being mutated by another operation " +
+              s"(marker heartbeat ${now - s.getModificationTime} ms ago, " +
+              s"TTL $MutationGuardTtlMillis ms): one mutator at a time — " +
+              "wait for it to finish, or for a crashed one's marker to go " +
+              "stale (taken over automatically)")
+        case _ =>
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"taking over stale mutation marker for $path " +
+              s"(crashed mutator; every mutation commits crash-safe)")
+          f.delete(g, false)
+          if (!tryAcquire()) throw new IllegalStateException(
+            s"index at $path: another mutator acquired the marker concurrently")
+      }
+    }
+    val hb = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-ann-mutation-heartbeat")
+        t.setDaemon(true); t
+      })
+    val period = math.max(1L, MutationGuardTtlMillis / 3)
+    hb.scheduleWithFixedDelay(
+      () => try f.setTimes(g, System.currentTimeMillis(), -1)
+            catch { case scala.util.control.NonFatal(_) => () },
+      period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
+    try op
+    finally {
+      hb.shutdownNow()
+      try f.delete(g, false)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+
   /**
    * Heal a LEGACY (pre-pointer) rebalance interrupted inside its
    * two-rename swap: that swap had a window where the live path was
@@ -247,7 +318,8 @@ object AnnIndex {
    * meta (n_vectors) rewritten LAST. Ids must be new — the index does not
    * dedup appends. Not safe under CONCURRENT appends to one index path.
    */
-  def append(spark: SparkSession, path0: String, vectors: DataFrame): Unit = {
+  def append(spark: SparkSession, path0: String, vectors: DataFrame): Unit =
+    withMutationGuard(spark, path0, "append") {
     graft.expressions.GraftExtensions.register(spark)
     val path = servingPath(spark, path0)
     val m = meta(spark, path).head()
@@ -279,7 +351,7 @@ object AnnIndex {
       .toDF("dim", "cells", "subs", "codes", "lloyd_iters", "n_vectors",
         "residual_coding")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
-  }
+    }
 
   /**
    * Retention coupling (S6 → the index): drop expired vectors' rows from
@@ -304,7 +376,8 @@ object AnnIndex {
    * rows remain to trim. Returns the number of vectors removed (counting
    * any crash-torn removals reconciled by this call).
    */
-  def expire(spark: SparkSession, path0: String, deadIds: DataFrame): Long = {
+  def expire(spark: SparkSession, path0: String, deadIds: DataFrame): Long =
+    withMutationGuard(spark, path0, "expire") {
     val path = servingPath(spark, path0)
     val m = meta(spark, path).head()
     val nBefore = m.getAs[Long]("n_vectors")
@@ -368,7 +441,7 @@ object AnnIndex {
     // clamped for the same stale-low-meta reconcile case as the
     // nothing-to-trim branch: the meta is now correct either way
     math.max(0L, nBefore - n)
-  }
+    }
 
   /** Rewrite `meta` with a new vector count, carrying the build
     * parameters from an existing meta row. */
@@ -415,9 +488,10 @@ object AnnIndex {
    * complete snapshot — a search in flight keeps reading the OLD
    * generation (which is retained until the NEXT rebalance completes),
    * and a crash anywhere before the flip leaves the old snapshot
-   * serving with only a dead staged dir to sweep. Single WRITER still
-   * assumed (concurrent rebalance/append is out of contract); concurrent
-   * SEARCH is now safe throughout.
+   * serving with only a dead staged dir to sweep. One MUTATOR at a time
+   * is ENFORCED (the `_mutating` marker, shared with append/expire — a
+   * concurrent mutation fails descriptively, a crashed one's stale
+   * marker is taken over); concurrent SEARCH is safe throughout.
    */
   def rebalance(spark: SparkSession, path: String): Unit =
     rebalance(spark, path, () => ())
@@ -425,7 +499,8 @@ object AnnIndex {
   /** [[rebalance]] with a test seam executed between the staged build
     * completing and the pointer flip — the in-flight-search window. */
   private[graft] def rebalance(
-      spark: SparkSession, path: String, beforeSwap: () => Unit): Unit = {
+      spark: SparkSession, path: String, beforeSwap: () => Unit): Unit =
+    withMutationGuard(spark, path, "rebalance") {
     val f = FileSystem.get(
       new Path(path).toUri, spark.sparkContext.hadoopConfiguration)
     // heal LEGACY two-rename crashes (pre-pointer layout only: with a

@@ -782,6 +782,45 @@ class ScaleOpsSpec extends SparkSuite {
     assert(AnnIndex.meta(spark, dir).head().getAs[Long]("n_vectors") == 60L)
   }
 
+  test("index mutation guard: concurrent mutators fail loudly, stale markers are taken over, clean ops leave no marker") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("annidx-guard").toString
+    val e = graft.queries.SimilarityQueries.emb(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id").as("id"), col("v")).filter(col("id") < 60)
+    AnnIndex.buildIvfPq(e, dim = 64, path = dir, cells = 4, subs = 8,
+      codes = 16, lloydIters = 1)
+    val marker = java.nio.file.Paths.get(s"${dir}_mutating")
+
+    // a live in-flight mutation (fresh marker): a second mutator must
+    // fail descriptively instead of interleaving partial table writes
+    java.nio.file.Files.write(marker, "rebalance".getBytes("UTF-8"))
+    val err = intercept[IllegalStateException] {
+      AnnIndex.expire(spark, dir, Seq(0L).toDF("id"))
+    }
+    assert(err.getMessage.contains("being mutated"), err.getMessage)
+    assert(AnnIndex.meta(spark, dir).head().getAs[Long]("n_vectors") == 60L,
+      "the refused mutation must not have touched the index")
+
+    // a STALE marker (crashed mutator): taken over with a warning, the
+    // operation completes, and the marker is gone afterwards
+    java.nio.file.Files.setLastModifiedTime(marker,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 10 * AnnIndex.MutationGuardTtlMillis))
+    val removed = AnnIndex.expire(spark, dir, Seq(0L).toDF("id"))
+    assert(removed == 1L)
+    assert(!java.nio.file.Files.exists(marker),
+      "a completed mutation must release the marker")
+
+    // normal append under the guard: completes, no marker left behind
+    AnnIndex.append(spark, dir,
+      graft.queries.SimilarityQueries.emb(spark, "/root/testdata/sf0.001")
+        .select(col("vec_id").as("id"), col("v"))
+        .filter(col("id") === 60L))
+    assert(!java.nio.file.Files.exists(marker))
+    assert(AnnIndex.meta(spark, dir).head().getAs[Long]("n_vectors") == 60L,
+      "59 after expire + 1 appended")
+  }
+
   test("cell-skew audit fires after drifted appends; rebalance retrains in place and restores balance") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("annidx-reb").toString
