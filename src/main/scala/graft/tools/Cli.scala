@@ -919,6 +919,10 @@ object Cli {
         System.err.println(s"unknown verb: $other")
         sys.exit(2)
     }
+    // release the writer lease: verbs that produced hold it, and a CLI
+    // re-run on the same root inside the lease TTL would otherwise be
+    // refused as a second live writer
+    engine.close()
     spark.stop()
   }
 

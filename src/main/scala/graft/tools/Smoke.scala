@@ -120,6 +120,8 @@ object Smoke {
     val dropped = engine.expireOldEvents("default", cutoffNow)
     println("JANITOR_RACE=" + dropped.size + " dropped, reader sees " +
       planned.count() + " rows (no FileNotFound)")
+    engine.close()
+    migrated.close()
     spark.stop()
   }
 }
