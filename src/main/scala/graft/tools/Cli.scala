@@ -58,6 +58,8 @@ import graft.model.VersionVector
  * sbt "runMain graft.tools.Cli <root> snm-dedup <docsParquet> [pct] [passes]"
  * sbt "runMain graft.tools.Cli <root> incremental-dedup <docsParquet> [nBatches] [pct]"
  * sbt "runMain graft.tools.Cli <root> incremental-dedup-indexed <docsParquet> [nBatches] [pct]"
+ * sbt "runMain graft.tools.Cli <root> init-dedup-index <indexDir> <seedDocsParquet> [pct]"
+ * sbt "runMain graft.tools.Cli <root> ingest-dedup-batch <indexDir> <batchDocsParquet> [outParquet]"
  * sbt "runMain graft.tools.Cli <root> containment <docsParquet> [pct]"
  * sbt "runMain graft.tools.Cli <root> communities <docsParquet> [iterations]"
  * sbt "runMain graft.tools.Cli <root> pca-project <embParquet> <outParquet> [r]"
@@ -622,6 +624,41 @@ object Cli {
         val oneShot = graft.operators.CorpusOps
           .incrementalPpjoinKeep(all, all.limit(0), pct).count()
         println(s"incremental accepted ${accepted.count()}; one-shot keep-best kept $oneShot")
+      case "init-dedup-index" =>
+        // stand up a PERSISTED accepted-corpus dedup index a deployment
+        // ingests into across CLI invocations (the incremental-dedup-indexed
+        // verb above is the self-contained replay DEMO of the same API):
+        // freeze the gram order on the seed docs, commit empty tables +
+        // the pct/format meta stamp. Ingest the seed itself as the first
+        // ingest-dedup-batch call.
+        import org.apache.spark.sql.functions.{col, length}
+        val idxDir = args(2)
+        val seed = docsTable(spark, args(3))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+        val pct = if (args.length > 4) args(4).toInt else 50
+        graft.operators.CorpusOps.ppjoinIndexInit(spark, idxDir, seed, pct)
+        val (mPct, mVer) = graft.operators.CorpusOps.ppjoinIndexMeta(spark, idxDir)
+        println(s"initialized dedup index at $idxDir (pct=$mPct, format v$mVer)")
+      case "ingest-dedup-batch" =>
+        // one ingestion step against a persisted index: probe + intra
+        // keep-best under the index's OWN stamped pct, append the kept
+        // docs' rows; prints the admitted ids (or writes them to parquet)
+        import org.apache.spark.sql.functions.{col, length}
+        val idxDir = args(2)
+        val batch = docsTable(spark, args(3))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+          .localCheckpoint(true)
+        val kept = graft.operators.CorpusOps.ppjoinIndexIngest(spark, idxDir, batch)
+        if (args.length > 4) {
+          kept.write.mode("overwrite").parquet(args(4))
+          println(s"batch ${batch.count()} docs in, kept " +
+            s"${spark.read.parquet(args(4)).count()} -> ${args(4)}")
+        } else {
+          val ids = kept.select("doc_id").orderBy("doc_id")
+            .collect().map(_.getLong(0))
+          println(s"batch ${batch.count()} docs in, kept ${ids.length}: " +
+            ids.take(50).mkString(",") + (if (ids.length > 50) ",..." else ""))
+        }
       case "incremental-dedup-indexed" =>
         // the 100 TB ingestion shape: the accepted corpus lives as
         // APPEND-ONLY parquet index tables (prefix postings + gram sets)
