@@ -927,17 +927,21 @@ object PipelineQueries {
       val b = base.agg(
         min("u").as("minu"), max("u").as("maxu"),
         min("sec").as("mins"), max("sec").as("maxs"),
-        min("v100").as("minv"), max("v100").as("maxv"))
+        min("v100").as("minv"), max("v100").as("maxv"),
+        count(lit(1)).as("n_total"))
       val scaled = base.crossJoin(broadcast(b)).select(
-        col("event_id"),
+        col("event_id"), col("n_total"),
         expr("(u - minu) * 65535 div greatest(maxu - minu, 1)").as("xs"),
         expr("(sec - mins) * 65535 div greatest(maxs - mins, 1)").as("ys"),
         expr("(v100 - minv) * 65535 div greatest(maxv - minv, 1)").as("zs"))
-      val w = org.apache.spark.sql.expressions.Window.orderBy("zval", "event_id")
-      scaled
-        .withColumn("zval",
-          call_function("graft_zorder3", col("xs"), col("ys"), col("zs")))
-        .withColumn("bucket", ntile(32).over(w))
+      // NTILE(32) over the whole table is a single-task sort; the
+      // distributed [[graft.operators.CorpusOps.globalRank]] plus
+      // [[ntileBucketSql]]'s front-loaded-split arithmetic reproduces
+      // ntile's cuts exactly, so the oracle's NTILE stays valid
+      val coded = scaled.withColumn("zval",
+        call_function("graft_zorder3", col("xs"), col("ys"), col("zs")))
+      Ops.globalRank(coded, struct(col("zval"), col("event_id")), "rk")
+        .withColumn("bucket", expr(ntileBucketSql(32)))
         .groupBy("bucket")
         .agg(count(lit(1)).as("n"),
           min("xs").as("min_x"), max("xs").as("max_x"),
@@ -975,15 +979,17 @@ object PipelineQueries {
         expr("unix_micros(ts) div 1000000").as("sec"))
       val b = base.agg(
         min("u").as("minu"), max("u").as("maxu"),
-        min("sec").as("mins"), max("sec").as("maxs"))
+        min("sec").as("mins"), max("sec").as("maxs"),
+        count(lit(1)).as("n_total"))
       val scaled = base.crossJoin(broadcast(b)).select(
-        col("event_id"),
+        col("event_id"), col("n_total"),
         expr("(u - minu) * 65535 div greatest(maxu - minu, 1)").as("xs"),
         expr("(sec - mins) * 65535 div greatest(maxs - mins, 1)").as("ys"))
-      val w = org.apache.spark.sql.expressions.Window.orderBy("zval", "event_id")
-      scaled
+      // distributed ntile replacement — see pipe_zorder3's comment
+      val coded = scaled
         .withColumn("zval", call_function("graft_zorder", col("xs"), col("ys")))
-        .withColumn("bucket", ntile(32).over(w))
+      Ops.globalRank(coded, struct(col("zval"), col("event_id")), "rk")
+        .withColumn("bucket", expr(ntileBucketSql(32)))
         .groupBy("bucket")
         .agg(count(lit(1)).as("n"),
           min("xs").as("min_x"), max("xs").as("max_x"),
@@ -1004,15 +1010,17 @@ object PipelineQueries {
         expr("unix_micros(ts) div 1000000").as("sec"))
       val b = base.agg(
         min("u").as("minu"), max("u").as("maxu"),
-        min("sec").as("mins"), max("sec").as("maxs"))
+        min("sec").as("mins"), max("sec").as("maxs"),
+        count(lit(1)).as("n_total"))
       val scaled = base.crossJoin(broadcast(b)).select(
-        col("event_id"),
+        col("event_id"), col("n_total"),
         expr("(u - minu) * 65535 div greatest(maxu - minu, 1)").as("xs"),
         expr("(sec - mins) * 65535 div greatest(maxs - mins, 1)").as("ys"))
-      val w = org.apache.spark.sql.expressions.Window.orderBy("zval", "event_id")
-      scaled
+      // distributed ntile replacement — see pipe_zorder3's comment
+      val coded = scaled
         .withColumn("zval", call_function("graft_hilbert", col("xs"), col("ys")))
-        .withColumn("bucket", ntile(32).over(w))
+      Ops.globalRank(coded, struct(col("zval"), col("event_id")), "rk")
+        .withColumn("bucket", expr(ntileBucketSql(32)))
         .groupBy("bucket")
         .agg(count(lit(1)).as("n"),
           min("xs").as("min_x"), max("xs").as("max_x"),
@@ -1032,6 +1040,21 @@ object PipelineQueries {
         eval = documents.filter(pmod(col("doc_id"), lit(20)) === 0),
         maxBroadcastGrams = maxBroadcastGrams)
       .orderBy("doc_id")
+
+  /** NTILE(`k`)'s bucket for the 0-based global rank column `rk` over
+    * `n_total` rows, as plain integer arithmetic on globalRank's output:
+    * NTILE front-loads the `n mod k` larger buckets (size ⌈n/k⌉) before
+    * the ⌊n/k⌋ ones — identical in Spark and DuckDB — so this exactly
+    * reproduces the oracle's `NTILE(k) OVER (ORDER BY …)` without the
+    * single-task no-partition-key window. The ELSE branch's `div (n div
+    * k)` is only reached when n ≥ k (rk ≥ rem·(bs+1) is impossible for
+    * bs = 0), so the n < k degenerate case stays division-free. */
+  private def ntileBucketSql(k: Int): String =
+    s"CAST(CASE WHEN rk < (n_total % $k) * (n_total div $k + 1) " +
+      s"THEN rk div (n_total div $k + 1) " +
+      s"ELSE (n_total % $k) + " +
+      s"(rk - (n_total % $k) * (n_total div $k + 1)) div (n_total div $k) " +
+      s"END + 1 AS INT)"
 
   /** 16-bit Morton bit-spread as portable SQL: the same mask-shift chain
     * [[graft.expressions.ZOrderCodes.spread]] runs, specialized to 16-bit

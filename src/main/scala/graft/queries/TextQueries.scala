@@ -127,11 +127,17 @@ object TextQueries {
     // rank over the VOCAB grid (never corpus rows), conditional sums give
     // every k in one pass. All integer.
     "text_vocab_coverage" -> ((s, d) => {
-      val vocab = docs(s, d)
+      // the rank runs over the VOCAB table — corpus-derived and unbounded
+      // (1e8+ types at web scale), so a no-partition-key window would
+      // funnel it through one task; globalRank's range-partitioned sort +
+      // zipWithIndex is rank-identical ((−c, tok) ascending ≡
+      // (c desc, tok) — counts are positive, so negation is order-exact)
+      val counts = docs(s, d)
         .select(explode(split(lower(trim(col("text"))), " +")).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("c"))
-        .withColumn("rk", row_number().over(
-          Window.orderBy(col("c").desc, col("tok"))))
+      val vocab = graft.operators.CorpusOps
+        .globalRank(counts, struct((-col("c")).as("nc"), col("tok")), "rk0")
+        .withColumn("rk", col("rk0") + lit(1L))
       val ks = s.createDataFrame(Seq(Tuple1(10L), Tuple1(100L), Tuple1(1000L)))
         .toDF("k")
       vocab.crossJoin(broadcast(ks))
@@ -464,12 +470,15 @@ object TextQueries {
       val counts = docs(s, d)
         .select(explode(split(lower(trim(col("text"))), " +")).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("c"))
-      // the global rank runs over the VOCAB table (corpus-derived, df-
-      // bounded), not the corpus; at web scale (1e8+ types) swap the
-      // single-reducer window for a range-partitioned sort + per-range
-      // offset (zipWithIndex's plan) — the formula is rank-identical
-      val ranked = counts.withColumn("i",
-        row_number().over(Window.orderBy(col("c"), col("tok"))).cast("long"))
+      // the global rank runs over the VOCAB table (corpus-derived and
+      // unbounded — 1e8+ types at web scale), so it goes through the
+      // distributed globalRank (range-partitioned sort + zipWithIndex),
+      // not a single-reducer window; 1 + 0-based rank over (c, tok)
+      // ascending is rank-identical to ROW_NUMBER, so the Σ(2i−n−1)·c
+      // formula and the oracle are unchanged
+      val ranked = graft.operators.CorpusOps
+        .globalRank(counts, struct(col("c"), col("tok")), "rk0")
+        .withColumn("i", col("rk0") + lit(1L))
       ranked
         .agg(count(lit(1)).as("n_tokens"),
           sum("c").cast("long").as("total"),
