@@ -71,10 +71,14 @@ final class FloEngine(
   // colliding ranges. Each stream carries a `_writer.lease` file (owner id
   // + heartbeat); produce acquires it, a background daemon heartbeats it,
   // close() releases it, and a heartbeat older than `writerLeaseTtlMillis`
-  // is taken over with a warning (crashed writer). Concurrent STALE
-  // takeovers resolve last-writer-wins with a post-write ownership
-  // re-read; the loud-failure guarantee targets the live-writer case,
-  // which is the one that corrupts counters.
+  // is taken over with a warning (crashed writer). Takeover picks exactly
+  // one winner: the stale lease is renamed ASIDE (atomic — the loser's
+  // rename fails on the missing source) rather than deleted, acquisition
+  // is an exclusive create confirmed by a post-write ownership re-read,
+  // and produce re-verifies ownership under the commit lock immediately
+  // before the parquet commit — so even on filesystems whose exclusive
+  // create is exists-then-create (RawLocalFileSystem), a racer that loses
+  // late fails BEFORE its files land.
 
   /** This engine instance's identity in lease files. */
   private[engine] val engineId = java.util.UUID.randomUUID().toString
@@ -100,29 +104,43 @@ final class FloEngine(
   private def readLease(stream: String): Option[(String, Long)] = {
     val f = fs(root)
     val p = leasePath(stream)
-    if (!f.exists(p)) None
-    else {
-      val st = f.getFileStatus(p)
-      val in = f.open(p)
-      val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      """"owner":"([^"]+)"""".r.findFirstMatchIn(json)
-        .map(m => (m.group(1), st.getModificationTime))
+    try {
+      if (!f.exists(p)) None
+      else {
+        val st = f.getFileStatus(p)
+        val in = f.open(p)
+        val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        """"owner":"([^"]+)"""".r.findFirstMatchIn(json)
+          .map(m => (m.group(1), st.getModificationTime))
+      }
+    } catch {
+      // another engine's close()/takeover removed the lease between the
+      // exists() and the read: that IS an absent lease, not a failure —
+      // the caller retries the acquire path
+      case _: java.io.FileNotFoundException => None
     }
   }
 
-  /** Acquisition write: owner json via write-then-rename. Hadoop rename
-    * fails on an existing destination, so of two racing acquirers exactly
-    * one wins. */
+  /** Acquisition write: owner json via EXCLUSIVE create (overwrite =
+    * false) — atomic on HDFS; POSIX rename-onto-destination OVERWRITES,
+    * so the previous write-then-rename scheme let two local-FS racers
+    * both believe they won. RawLocalFileSystem implements exclusive
+    * create as exists-then-create (not atomic either), so acquisition is
+    * additionally confirmed by [[ensureWriterLease]]'s post-write
+    * ownership re-read, and [[produce]] re-verifies ownership under the
+    * commit lock immediately before committing files — a racer that
+    * loses late fails with nothing written. A torn concurrent read (file
+    * created, owner json not yet visible) parses as an absent lease and
+    * sends that reader back through this create, where it loses. */
   private def writeLeaseFile(stream: String): Boolean = {
     val f = fs(root)
-    val tmp = new Path(s"${streamDir(stream)}/.${FloEngine.WriterLeaseFile}.$engineId")
-    val out = f.create(tmp, true)
-    try out.write(s"""{"owner":"$engineId"}""".getBytes("UTF-8"))
-    finally out.close()
-    val won = f.rename(tmp, leasePath(stream))
-    if (!won) f.delete(tmp, false)
-    won
+    try {
+      val out = f.create(leasePath(stream), false)
+      try out.write(s"""{"owner":"$engineId"}""".getBytes("UTF-8"))
+      finally out.close()
+      true
+    } catch { case _: java.io.IOException => false }
   }
 
   private def touchLease(stream: String): Unit =
@@ -143,6 +161,18 @@ final class FloEngine(
     readLease(stream) match {
       case Some((owner, _)) if owner == engineId =>
         touchLease(stream) // refresh heartbeat
+      case Some((owner, hb)) if hb - now > writerLeaseTtlMillis =>
+        // a heartbeat more than a TTL in the FUTURE can never go stale by
+        // this engine's clock: the writers' clocks disagree by more than
+        // the protocol tolerates (see [[FloEngine.DefaultWriterLeaseTtlMillis]]'s
+        // clock-sync assumption) — refuse rather than misjudge liveness
+        throw new IllegalStateException(
+          s"writer lease for stream `$stream` under $root (engine $owner) " +
+            s"has a heartbeat ${hb - now} ms in the FUTURE — clock skew " +
+            s"between writers exceeds the lease TTL ($writerLeaseTtlMillis " +
+            "ms), so staleness cannot be judged: synchronize clocks (the " +
+            "lease protocol assumes NTP-level agreement) or raise " +
+            "writerLeaseTtlMillis above the skew")
       case Some((owner, hb)) if now - hb < writerLeaseTtlMillis =>
         val held = heldLeases.contains(stream)
         heldLeases.remove(stream)
@@ -163,7 +193,19 @@ final class FloEngine(
         other.foreach { case (owner, hb) =>
           FloEngine.log.warn(s"taking over stale writer lease for " +
             s"`$stream` (owner $owner, heartbeat ${now - hb} ms old)")
-          fs(root).delete(leasePath(stream), false)
+          // the stale lease is renamed ASIDE, not deleted: rename of a
+          // single source is atomic with exactly one winner (the loser's
+          // rename fails on the vanished source), whereas delete-then-
+          // create would let a second takeover delete the first winner's
+          // FRESH lease. Losing the aside rename is not fatal — the
+          // exclusive create below adjudicates (the concurrent winner's
+          // new lease makes it fail loudly; a release in between lets it
+          // succeed).
+          val f = fs(root)
+          val aside = new Path(
+            s"${streamDir(stream)}/.${FloEngine.WriterLeaseFile}.stale.$engineId")
+          f.delete(aside, false) // leftover from this engine's past takeover
+          if (f.rename(leasePath(stream), aside)) f.delete(aside, false)
         }
         if (!writeLeaseFile(stream)) {
           // lost the acquire race — report who won
@@ -180,6 +222,27 @@ final class FloEngine(
     heldLeases.add(stream)
     startLeaseHeartbeat()
   }
+
+  /** Ownership re-verify at the COMMIT edge (called by [[produce]] under
+    * the commit lock, immediately before the parquet commit): the
+    * backstop that turns every residual acquire race — RawLocalFileSystem's
+    * non-atomic exclusive create, a mutual stale takeover, a JVM pause
+    * past the TTL mid-produce — into a loud failure with NOTHING written,
+    * instead of committed files under a counter range another writer may
+    * re-mint. */
+  private[engine] def verifyLeaseOwnership(stream: String): Unit =
+    leaseLock(stream).synchronized {
+      val cur = readLease(stream)
+      if (!cur.exists(_._1 == engineId)) {
+        heldLeases.remove(stream)
+        throw new IllegalStateException(
+          s"stream `$stream` under $root: writer lease is now held by " +
+            s"${cur.map(_._1).getOrElse("<absent>")} — aborting produce " +
+            "BEFORE the commit (no files written); this engine lost the " +
+            "lease between reservation and commit (takeover race or a " +
+            "stall past the TTL)")
+      }
+    }
 
   /** Daemon that touches held leases at TTL/3 so a live-but-idle
     * producer keeps ownership; a lease found under another owner is
@@ -507,7 +570,10 @@ final class FloEngine(
       val writer = events.repartition(col("partition"))
         .write.mode(SaveMode.Append).partitionBy("partition")
       maxRecordsPerFile.foreach(m => writer.option("maxRecordsPerFile", m))
-      commitLock(stream).synchronized { writer.parquet(streamDir(stream)) }
+      commitLock(stream).synchronized {
+        verifyLeaseOwnership(stream) // last look before files land
+        writer.parquet(streamDir(stream))
+      }
       consumeRange(stream, base + 1, base + n)
     } finally in.unpersist(false)
   }
@@ -1178,7 +1244,16 @@ object FloEngine {
   /** Default staleness horizon for writer leases: a heartbeat older than
     * this is a crashed writer and may be taken over. The heartbeat
     * refreshes at TTL/3, so transient stalls shorter than ~2/3 TTL never
-    * lose the lease. */
+    * lose the lease.
+    *
+    * CLOCK-SYNC ASSUMPTION: staleness compares the lease file's mtime
+    * against the reading engine's clock, so writers' clocks must agree
+    * to well within the TTL (NTP-level sync is ample for the 60 s
+    * default). An engine whose clock runs FAST could otherwise judge a
+    * live writer stale; the reverse direction — a lease mtime more than
+    * a TTL in the future — is detected and refused loudly rather than
+    * misjudged. Deployments on object stores or across machines with
+    * unreliable clocks should raise the TTL above the worst-case skew. */
   val DefaultWriterLeaseTtlMillis: Long = 60000L
 
   private[engine] val log = org.slf4j.LoggerFactory.getLogger(classOf[FloEngine])

@@ -119,6 +119,87 @@ class FloEngineSpec extends SparkSuite {
     assert(f.exists(lease) && leaseOwner().contains("other-engine"))
   }
 
+  test("writer lease: two engines racing one stale lease — exactly one wins, the loser writes nothing") {
+    val (e0, root) = newEngine()
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lease = new org.apache.hadoop.fs.Path(s"$root/default/_writer.lease")
+    val out = f.create(lease, true)
+    try out.write("""{"owner":"crashed-engine"}""".getBytes("UTF-8"))
+    finally out.close()
+    f.setTimes(lease,
+      System.currentTimeMillis() - 10 * FloEngine.DefaultWriterLeaseTtlMillis, -1)
+
+    // both observe the stale lease and start takeover simultaneously:
+    // the aside-rename + exclusive create + commit-edge re-verify chain
+    // must let exactly ONE commit
+    val a = new FloEngine(spark, root)
+    val b = new FloEngine(spark, root)
+    val errors = new java.util.concurrent.ConcurrentHashMap[Int, Throwable]()
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val threads = Seq(a, b).zipWithIndex.map { case (eng, i) =>
+      val t = new Thread(() => {
+        gate.await()
+        try eng.produceStrings("default", 1, Seq((s"/race/$i", "")))
+        catch { case t: Throwable => errors.put(i, t) }
+      })
+      t.start(); t
+    }
+    gate.countDown()
+    threads.foreach(_.join())
+
+    assert(errors.size == 1,
+      s"exactly one racer must lose, got ${errors.size}: $errors")
+    assert(errors.values.iterator.next().isInstanceOf[IllegalStateException])
+    // only the winner's event landed, counters contiguous from 1
+    val rows = e0.consumeAll("default").collect()
+    assert(rows.length == 1 &&
+      rows.head.getAs[Long]("event_counter") == 1L, rows.mkString(","))
+    a.close(); b.close(); e0.close()
+  }
+
+  test("writer lease: a future-dated heartbeat (clock skew past the TTL) is refused loudly") {
+    val (e, root) = newEngine()
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lease = new org.apache.hadoop.fs.Path(s"$root/default/_writer.lease")
+    val out = f.create(lease, true)
+    try out.write("""{"owner":"fast-clock-engine"}""".getBytes("UTF-8"))
+    finally out.close()
+    f.setTimes(lease,
+      System.currentTimeMillis() + 3 * FloEngine.DefaultWriterLeaseTtlMillis, -1)
+
+    val err = intercept[IllegalStateException] {
+      e.produceStrings("default", 1, Seq("/a" -> "1"))
+    }
+    assert(err.getMessage.contains("clock skew") &&
+      err.getMessage.contains("FUTURE"), err.getMessage)
+    // the skewed lease is left untouched for a human to look at
+    assert(f.exists(lease))
+    e.close()
+  }
+
+  test("commit-edge ownership re-verify aborts a produce whose lease was usurped") {
+    val (e, root) = newEngine()
+    e.produceStrings("default", 1, Seq("/a" -> "1"))
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lease = new org.apache.hadoop.fs.Path(s"$root/default/_writer.lease")
+    val out = f.create(lease, true)
+    try out.write("""{"owner":"usurper"}""".getBytes("UTF-8"))
+    finally out.close()
+
+    // the commit-lock re-verify (produce's last look before files land)
+    val err = intercept[IllegalStateException] { e.verifyLeaseOwnership("default") }
+    assert(err.getMessage.contains("BEFORE the commit"), err.getMessage)
+    // the local claim is dropped: the next produce reports the live writer
+    val err2 = intercept[IllegalStateException] {
+      e.produceStrings("default", 1, Seq("/b" -> "2"))
+    }
+    assert(err2.getMessage.contains("live writer"), err2.getMessage)
+    e.close()
+  }
+
   test("glob routing fixture (sync_client_tests.rs:179-206)") {
     val (e, _) = newEngine()
     e.produceStrings("default", 1, Seq(
