@@ -115,55 +115,14 @@ object AnnIndex {
 
   private def guardPath(path: String) = new Path(s"${path}_mutating")
 
-  /** Run `op` under the exclusive mutation marker for `path`. */
+  /** Run `op` under the exclusive mutation marker for `path` — the shared
+    * [[MutationGuard]] (exclusive create + owner-token re-read, mtime
+    * heartbeat, stale-crashed-mutator takeover). */
   private def withMutationGuard[T](
-      spark: SparkSession, path: String, what: String)(op: => T): T = {
-    val g = guardPath(path)
-    val f = FileSystem.get(g.toUri, spark.sparkContext.hadoopConfiguration)
-    def tryAcquire(): Boolean =
-      try {
-        // create(overwrite = false) is the atomic exclusive-create
-        val out = f.create(g, false)
-        try out.write(what.getBytes("UTF-8")) finally out.close()
-        true
-      } catch { case _: java.io.IOException => false }
-    if (!tryAcquire()) {
-      val st = try Some(f.getFileStatus(g)) catch { case _: Exception => None }
-      val now = System.currentTimeMillis()
-      st match {
-        case Some(s) if now - s.getModificationTime < MutationGuardTtlMillis =>
-          throw new IllegalStateException(
-            s"index at $path is being mutated by another operation " +
-              s"(marker heartbeat ${now - s.getModificationTime} ms ago, " +
-              s"TTL $MutationGuardTtlMillis ms): one mutator at a time — " +
-              "wait for it to finish, or for a crashed one's marker to go " +
-              "stale (taken over automatically)")
-        case _ =>
-          org.slf4j.LoggerFactory.getLogger(getClass).warn(
-            s"taking over stale mutation marker for $path " +
-              s"(crashed mutator; every mutation commits crash-safe)")
-          f.delete(g, false)
-          if (!tryAcquire()) throw new IllegalStateException(
-            s"index at $path: another mutator acquired the marker concurrently")
-      }
-    }
-    val hb = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
-      (r: Runnable) => {
-        val t = new Thread(r, "graft-ann-mutation-heartbeat")
-        t.setDaemon(true); t
-      })
-    val period = math.max(1L, MutationGuardTtlMillis / 3)
-    hb.scheduleWithFixedDelay(
-      () => try f.setTimes(g, System.currentTimeMillis(), -1)
-            catch { case scala.util.control.NonFatal(_) => () },
-      period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
-    try op
-    finally {
-      hb.shutdownNow()
-      try f.delete(g, false)
-      catch { case scala.util.control.NonFatal(_) => () }
-    }
-  }
+      spark: SparkSession, path: String, what: String)(op: => T): T =
+    MutationGuard.withExclusive(
+      spark, guardPath(path), s"index at $path", what,
+      MutationGuardTtlMillis)(op)
 
   /**
    * Heal a LEGACY (pre-pointer) rebalance interrupted inside its

@@ -2612,8 +2612,49 @@ object CorpusOps {
   /** Persisted accepted-corpus index format version — stamped into the
     * index meta by [[ppjoinIndexInit]], REQUIRED by [[ppjoinIndexIngest]]
     * (the [[QualityModel.FormatVersion]] / AnnIndex discipline: a stale
-    * layout fails descriptively instead of probing silently). */
-  private[graft] val PpjoinIndexFormatVersion = 1L
+    * layout fails descriptively instead of probing silently).
+    *
+    * v2: per-batch table dirs + a commit-marker log replaced v1's flat
+    * append-mode `prefixes/`+`sets/` dirs — v1 had no per-batch commit,
+    * so a crash between the two appends left prefix rows without their
+    * set rows and later probes silently dropped those candidates at the
+    * verify join (undetected false-negative dedup). */
+  private[graft] val PpjoinIndexFormatVersion = 2L
+
+  /** Staleness horizon for the ingest mutation marker (`<path>/_mutating`,
+    * heartbeated at TTL/3 by [[MutationGuard]]). */
+  private[graft] val PpjoinIndexGuardTtlMillis = 60000L
+
+  private def ppjoinIndexFs(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def ppjoinBatchDir(path: String, id: Long): String =
+    f"$path/batches/b$id%08d"
+
+  /** Committed batch ids, ascending: a batch EXISTS iff its marker under
+    * `commits/` does — torn batch dirs (a crash before the marker) are
+    * invisible to every reader. */
+  private def ppjoinCommittedIds(spark: SparkSession, path: String): Seq[Long] = {
+    val f = ppjoinIndexFs(spark, path)
+    val dir = new org.apache.hadoop.fs.Path(s"$path/commits")
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("b"))
+      .map(_.drop(1).toLong).sorted
+  }
+
+  /** The accepted corpus's prefix-posting table: union of COMMITTED
+    * batches only. [[ppjoinIndexInit]] always commits batch 0 (empty
+    * tables), so the union is never path-less. */
+  def ppjoinIndexPrefixes(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(ppjoinCommittedIds(spark, path)
+      .map(id => s"${ppjoinBatchDir(path, id)}/prefixes"): _*)
+
+  /** The accepted corpus's gram-set table (committed batches only). */
+  def ppjoinIndexSets(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(ppjoinCommittedIds(spark, path)
+      .map(id => s"${ppjoinBatchDir(path, id)}/sets"): _*)
 
   /** True iff a committed persisted index exists at `path` (`meta/` is
     * written last = the commit marker). */
@@ -2624,10 +2665,11 @@ object CorpusOps {
   /**
    * Initialize a PERSISTED accepted-corpus PPJoin index at `path`:
    * `order/` = the [[ppjoinFrozenOrder]] snapshot taken from `seed`,
-   * empty `prefixes/` + `sets/` tables, and `meta/` (pct + format
-   * version) written LAST as the commit marker. The seed corpus only
-   * donates its gram-df snapshot here — ingest it as the first
-   * [[ppjoinIndexIngest]] batch, exactly like any later batch.
+   * committed batch 0 (empty `prefixes`/`sets` tables under
+   * `batches/b00000000/` with its `commits/` marker), and `meta/` (pct +
+   * format version) written LAST as the index-level commit marker. The
+   * seed corpus only donates its gram-df snapshot here — ingest it as
+   * the first [[ppjoinIndexIngest]] batch, exactly like any later batch.
    *
    * pct lives IN the index, not at the call sites: the persisted
    * prefixes embed the pct used to cut them, so a later ingest under a
@@ -2635,19 +2677,41 @@ object CorpusOps {
    * candidates (false negatives against the documented lossless
    * contract). Stamping it once and reading it back on every ingestion
    * step makes the mismatch unrepresentable.
+   *
+   * Re-initializing over an existing index deletes `meta/` FIRST (the
+   * index reads as absent for the whole rebuild, so a crash mid-init
+   * fails later ingests descriptively instead of mixing layouts), then
+   * the old batch/commit state.
    */
   def ppjoinIndexInit(
       spark: SparkSession, path: String, seed: DataFrame,
       pct: Int = 50): Unit = {
     require(pct >= 1 && pct <= 99, s"pct must be in [1, 99], got $pct")
+    val f = ppjoinIndexFs(spark, path)
+    f.delete(new org.apache.hadoop.fs.Path(s"$path/meta"), true)
+    f.delete(new org.apache.hadoop.fs.Path(s"$path/commits"), true)
+    f.delete(new org.apache.hadoop.fs.Path(s"$path/batches"), true)
+    f.delete(new org.apache.hadoop.fs.Path(s"$path/prefixes"), true) // v1 leftovers
+    f.delete(new org.apache.hadoop.fs.Path(s"$path/sets"), true)
     val orderT = ppjoinFrozenOrder(seed)
     orderT.write.mode("overwrite").parquet(s"$path/order")
     val (e1, e2) = ppjoinIndexTables(seed.limit(0), orderT, pct)
-    e1.write.mode("overwrite").parquet(s"$path/prefixes")
-    e2.write.mode("overwrite").parquet(s"$path/sets")
+    e1.write.mode("overwrite").parquet(s"${ppjoinBatchDir(path, 0L)}/prefixes")
+    e2.write.mode("overwrite").parquet(s"${ppjoinBatchDir(path, 0L)}/sets")
+    ppjoinMarkCommitted(spark, path, 0L)
     import spark.implicits._
     Seq((pct, PpjoinIndexFormatVersion)).toDF("pct", "format_version")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Per-batch commit: the zero-byte marker under `commits/` created
+    * AFTER both of the batch's tables are fully written. */
+  private def ppjoinMarkCommitted(
+      spark: SparkSession, path: String, id: Long): Unit = {
+    val f = ppjoinIndexFs(spark, path)
+    f.mkdirs(new org.apache.hadoop.fs.Path(s"$path/commits"))
+    f.create(new org.apache.hadoop.fs.Path(f"$path/commits/b$id%08d"), false)
+      .close()
   }
 
   /** The committed index's (pct, format version); fails descriptively on
@@ -2675,29 +2739,60 @@ object CorpusOps {
   /**
    * One ingestion step against the persisted index: require-match the
    * meta stamp, run [[incrementalPpjoinKeepIndexed]] under the index's
-   * OWN pct and frozen order, then append the kept docs' prefix/set rows.
-   * Returns the kept batch rows.
+   * OWN pct and frozen order, then commit the kept docs' prefix/set rows
+   * as one batch. Returns the kept batch rows.
    *
-   * The three result frames are pinned (eager localCheckpoint) BEFORE
-   * the appends: their lazy lineages all read `prefixes/` and `sets/`,
-   * so writing one and then executing another's plan would let a file
-   * relist make the batch probe its own just-appended rows — dropping
-   * rows and desynchronizing the three outputs — besides re-running the
-   * whole dedup pipeline once per output.
+   * Crash- and concurrency-safe, the [[AnnIndex]] discipline:
+   *
+   *  - the whole step runs under the [[MutationGuard]] exclusive marker
+   *    (`<path>/_mutating`, heartbeated, stale-takeover) — two
+   *    `ingest-dedup-batch` invocations racing the read-then-append
+   *    cycle would otherwise each probe an index missing the other's
+   *    docs and admit mutual duplicates;
+   *  - both tables land in a fresh `batches/b<id>/` dir and become
+   *    visible only when the `commits/` marker is created AFTER both
+   *    writes — a crash between the writes leaves a torn dir no reader
+   *    ever unions (v1's append-mode torn batch silently dropped verify
+   *    candidates: undetected false-negative dedup), and the next
+   *    ingest sweeps it;
+   *  - the three result frames are pinned (eager localCheckpoint)
+   *    before any write, so the probe lineage never relists a
+   *    directory it is concurrently growing, and the expensive dedup
+   *    plan runs once, not once per output.
    */
   def ppjoinIndexIngest(
       spark: SparkSession, path: String, batch: DataFrame,
-      scoreCol: String = "n_chars"): DataFrame = {
-    val (pct, _) = ppjoinIndexMeta(spark, path)
-    val orderT = spark.read.parquet(s"$path/order")
-    val (kept0, kp0, ks0) = incrementalPpjoinKeepIndexed(batch,
-      spark.read.parquet(s"$path/prefixes"),
-      spark.read.parquet(s"$path/sets"), orderT, pct, scoreCol)
-    val kept = kept0.localCheckpoint(true)
-    val kp = kp0.localCheckpoint(true)
-    val ks = ks0.localCheckpoint(true)
-    kp.write.mode("append").parquet(s"$path/prefixes")
-    ks.write.mode("append").parquet(s"$path/sets")
-    kept
-  }
+      scoreCol: String = "n_chars"): DataFrame =
+    MutationGuard.withExclusive(
+        spark, new org.apache.hadoop.fs.Path(s"$path/_mutating"),
+        s"ppjoin index at $path", "ingest", PpjoinIndexGuardTtlMillis) {
+      val (pct, _) = ppjoinIndexMeta(spark, path)
+      val f = ppjoinIndexFs(spark, path)
+      // sweep torn batches (crash before the commit marker): invisible
+      // to readers, but their ids must not be resurrected or re-listed
+      val committed = ppjoinCommittedIds(spark, path).toSet
+      val batchesDir = new org.apache.hadoop.fs.Path(s"$path/batches")
+      val allDirs =
+        if (f.exists(batchesDir)) f.listStatus(batchesDir).toSeq
+          .map(_.getPath).filter(_.getName.startsWith("b"))
+        else Seq.empty
+      allDirs.filterNot(p => committed(p.getName.drop(1).toLong)).foreach { p =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"sweeping torn (uncommitted) ppjoin index batch $p")
+        f.delete(p, true)
+      }
+      val orderT = spark.read.parquet(s"$path/order")
+      val (kept0, kp0, ks0) = incrementalPpjoinKeepIndexed(batch,
+        ppjoinIndexPrefixes(spark, path),
+        ppjoinIndexSets(spark, path), orderT, pct, scoreCol)
+      val kept = kept0.localCheckpoint(true)
+      val kp = kp0.localCheckpoint(true)
+      val ks = ks0.localCheckpoint(true)
+      val id = committed.max + 1
+      val bdir = ppjoinBatchDir(path, id)
+      kp.write.mode("overwrite").parquet(s"$bdir/prefixes")
+      ks.write.mode("overwrite").parquet(s"$bdir/sets")
+      ppjoinMarkCommitted(spark, path, id)
+      kept
+    }
 }

@@ -124,9 +124,9 @@ class IncrementalPpjoinSpec extends SparkSuite {
     // the on-disk index equals the accumulated in-memory one
     def rows(df: DataFrame, cols: String*) =
       df.select(cols.map(col): _*).collect().map(_.toSeq).toSet
-    assert(rows(spark.read.parquet(s"$idx/prefixes"),
+    assert(rows(CorpusOps.ppjoinIndexPrefixes(spark, idx),
         "gram", "doc_id", "i", "sz") == rows(pre, "gram", "doc_id", "i", "sz"))
-    assert(rows(spark.read.parquet(s"$idx/sets"), "doc_id", "grams") ==
+    assert(rows(CorpusOps.ppjoinIndexSets(spark, idx), "doc_id", "grams") ==
       rows(sets, "doc_id", "grams"))
   }
 
@@ -147,6 +147,57 @@ class IncrementalPpjoinSpec extends SparkSuite {
       CorpusOps.ppjoinIndexIngest(spark, idx, docs(b1))
     }
     assert(drift.getMessage.contains("format v0"), drift.getMessage)
+  }
+
+  test("persisted index: a torn batch (tables without a commit marker) is invisible, swept, and costs no recall") {
+    val idx = tempDir("ppjoin-torn")
+    CorpusOps.ppjoinIndexInit(spark, idx, docs(seed), pct = 50)
+    CorpusOps.ppjoinIndexIngest(spark, idx, docs(seed)) // batch 1: all kept
+    // simulate v1's fatal crash state: one table of a batch written, no
+    // commit marker — under v1 later probes silently lost candidates here
+    val orderT = spark.read.parquet(s"$idx/order")
+    val (tornPre, _) = CorpusOps.ppjoinIndexTables(docs(b1), orderT, pct = 50)
+    tornPre.write.mode("overwrite").parquet(s"$idx/batches/b00000002/prefixes")
+    // readers never union the uncommitted dir
+    assert(CorpusOps.ppjoinIndexPrefixes(spark, idx)
+      .select("doc_id").as[Long].collect().toSet == Set(10L, 11L, 13L))
+    // the next ingest sweeps the torn dir and STILL detects the
+    // cross-batch dup (30 duplicates accepted 10)
+    val kept = CorpusOps.ppjoinIndexIngest(spark, idx, docs(b1))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(31L), s"30 must drop as a dup of accepted 10: $kept")
+    assert(CorpusOps.ppjoinIndexSets(spark, idx)
+      .select("doc_id").as[Long].collect().toSet == Set(10L, 11L, 13L, 31L))
+  }
+
+  test("persisted index: ingest holds the exclusive mutation marker; stale markers are taken over") {
+    val idx = tempDir("ppjoin-guard")
+    CorpusOps.ppjoinIndexInit(spark, idx, docs(seed), pct = 50)
+    val marker = java.nio.file.Paths.get(s"$idx/_mutating")
+    // a live concurrent ingest: fail descriptively instead of racing the
+    // read-then-append cycle (mutual duplicate admission)
+    java.nio.file.Files.write(marker, "ingest".getBytes("UTF-8"))
+    val err = intercept[IllegalStateException] {
+      CorpusOps.ppjoinIndexIngest(spark, idx, docs(b1))
+    }
+    assert(err.getMessage.contains("being mutated"), err.getMessage)
+    assert(CorpusOps.ppjoinIndexSets(spark, idx).count() == 0,
+      "the refused ingest must not have touched the index")
+    // a stale marker is a crashed ingest: taken over, step completes,
+    // marker released
+    java.nio.file.Files.setLastModifiedTime(marker,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()
+        - 10 * CorpusOps.PpjoinIndexGuardTtlMillis))
+    val kept1 = CorpusOps.ppjoinIndexIngest(spark, idx, docs(b1))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept1 == Set(30L, 31L), s"empty index accepts the whole batch: $kept1")
+    assert(!java.nio.file.Files.exists(marker),
+      "a completed ingest must release the marker")
+    // and the next step probes the now-committed batch (50 dups 31,
+    // 40/41 intra-cluster keeps the higher-score 41)
+    val kept2 = CorpusOps.ppjoinIndexIngest(spark, idx, docs(b2))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept2 == Set(41L), s"expected only 41 kept: $kept2")
   }
 
   test("frozen order is lossless: indexed cross verdicts equal the brute cross join") {

@@ -693,7 +693,7 @@ class StreamingCorpusSpec extends SparkSuite {
     assert(streamedIds.toSet == oneShot,
       s"indexed stream accepted ${streamedIds.toSet}, expected $oneShot")
     // and the persisted index holds exactly the accepted docs' sets
-    val idxIds = spark.read.parquet(s"$idx/sets")
+    val idxIds = CorpusOps.ppjoinIndexSets(spark, idx)
       .select("doc_id").as[Long].collect().toSet
     assert(idxIds == oneShot, s"index holds $idxIds")
   }
