@@ -2219,6 +2219,39 @@ object CorpusOps {
       posexplode(slice(col("grams"), lit(1), col("plen"))).as(Seq("i0", "gram")))
     .select(col("gram"), col("doc_id"), (col("i0") + 1).as("i"), col("sz"))
 
+  /**
+   * Prefix-posting skew accounting — the [[ppjoinPairs]] analog of the
+   * minhash band-bucket audit: PPJoin's lossless guarantee forbids a cap,
+   * so the posting join's cost is governed by prefix-gram document
+   * frequency, and boilerplate-heavy corpora push prefix df toward the
+   * dup-cluster size (the containment drive's super-linear blow-up
+   * class). This is the readout a deployment logs BEFORE the join to SEE
+   * that hazard: per decimal-magnitude decade of prefix-posting length —
+   * gram count, posting rows, the largest posting, the implied candidate
+   * mass Σ pdf·(pdf−1)/2 (the self-join's upper bound before length/
+   * positional pruning), and the heaviest gram itself (max over the
+   * zero-padded `(pdf, gram)` string — deterministic). A heavy top
+   * decade says: run exact/normalized dedup first, exactly the
+   * discipline the minhash cap docs prescribe. Two shuffles (gram df,
+   * decade roll-up); output is ≤ ~12 rows.
+   */
+  def ppjoinPrefixAudit(documents: DataFrame, pct: Int = 50): DataFrame = {
+    require(pct >= 1 && pct <= 99, s"pct must be in [1, 99], got $pct")
+    val gramRows = triGramRows(documents)
+    val dfT = gramRows.groupBy("gram").agg(count(lit(1)).as("df"))
+    val pre = ppjoinPrefixes(ppjoinPerDoc(gramRows, dfT, identity), pct)
+    pre.groupBy("gram").agg(count(lit(1)).as("pdf"))
+      .withColumn("df_decade", length(col("pdf").cast("string")))
+      .groupBy("df_decade").agg(
+        count(lit(1)).as("n_grams"),
+        sum("pdf").cast("long").as("posting_rows"),
+        max("pdf").as("max_posting"),
+        sum(expr("pdf * (pdf - 1) div 2")).cast("long").as("implied_pairs"),
+        expr("substring(max(concat(lpad(cast(pdf as string), 12, '0'), " +
+          "':', gram)), 14)").as("top_gram"))
+      .orderBy("df_decade")
+  }
+
   /** The shared candidate stage: prefix-posting equi-join on gram, length
     * filter, PPJoin's positional α bound, distinct id pairs. `selfJoin`
     * adds the doc_a < doc_b canonicalization a self-join needs. */

@@ -664,6 +664,18 @@ object DedupQueries {
         .orderBy("band_idx")
     }),
 
+    // prefix-posting skew accounting ([[graft.operators.CorpusOps
+    // .ppjoinPrefixAudit]]) — the PPJoin analog of dedup_lsh_bucket_audit:
+    // PPJoin is lossless so it carries NO cap, which means boilerplate-
+    // heavy corpora (prefix-gram df ~ dup-cluster size) blow the posting
+    // join up super-linearly; this readout shows the hazard BEFORE the
+    // join (per df decade: gram count, posting rows, max posting, implied
+    // candidate mass, heaviest gram) so a deployment runs exact dedup
+    // first. DuckDB recomputes the whole thing — df order, prefix cut,
+    // decade roll-up — from raw text
+    "dedup_ppjoin_prefix_audit" -> ((s, d) =>
+      graft.operators.CorpusOps.ppjoinPrefixAudit(docs(s, d), pct = 50)),
+
     // fuzzy (edit-distance) near-dup on the 192-char text prefix: PassJoin
     // segment-pigeonhole candidates (linear fan-out, hash join on segment
     // bytes) + exact thresholded Levenshtein verify — the typo/OCR-noise
@@ -932,6 +944,37 @@ object DedupQueries {
         |  CAST(sum(CASE WHEN n > $AuditBucketCap THEN 1 ELSE 0 END)
         |       AS BIGINT) AS overcap_buckets
         |FROM b GROUP BY band_idx ORDER BY band_idx""".stripMargin,
+
+    // full prefix recompute: same (df, gram) rarest-first order, same
+    // plen = sz - ceil(pct*sz/100) + 1 cut, same decade roll-up; the
+    // heaviest gram rides a zero-padded sortable string in both engines
+    "dedup_ppjoin_prefix_audit" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), ' +') AS w FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                   FOR i IN generate_series(1, len(w) - 2)]) AS grams
+        |  FROM t WHERE len(w) >= 3),
+        |e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+        |dfq AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS df FROM e GROUP BY 1),
+        |ranked AS (
+        |  SELECT e.doc_id, e.gram,
+        |    ROW_NUMBER() OVER (PARTITION BY e.doc_id ORDER BY d.df, e.gram) AS i,
+        |    COUNT(*) OVER (PARTITION BY e.doc_id) AS sz
+        |  FROM e JOIN dfq d USING (gram)),
+        |pre AS (
+        |  SELECT gram, doc_id FROM ranked
+        |  WHERE i <= sz - (50 * sz + 99) // 100 + 1),
+        |post AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS pdf FROM pre GROUP BY 1)
+        |SELECT length(CAST(pdf AS VARCHAR)) AS df_decade,
+        |  COUNT(*) AS n_grams,
+        |  CAST(SUM(pdf) AS BIGINT) AS posting_rows,
+        |  CAST(MAX(pdf) AS BIGINT) AS max_posting,
+        |  CAST(SUM(pdf * (pdf - 1) // 2) AS BIGINT) AS implied_pairs,
+        |  substr(MAX(lpad(CAST(pdf AS VARCHAR), 12, '0') || ':' || gram), 14)
+        |    AS top_gram
+        |FROM post GROUP BY df_decade ORDER BY df_decade""".stripMargin,
 
     "dedup_fuzzy_edit" ->
       """WITH k AS (SELECT doc_id, substr(text, 1, 192) AS key FROM documents)

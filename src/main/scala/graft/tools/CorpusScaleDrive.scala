@@ -166,6 +166,30 @@ object CorpusScaleDrive {
         // linear — the drive measures the prefix join, not answer growth
         graft.operators.CorpusOps.ppjoinPairs(docs, pct = 50).count()
       }
+      run("prefix_audit") {
+        // the accounting readout on the corpus class that DOES blow the
+        // lossless posting join up: `factor` IDENTICAL copies of every
+        // base doc (boilerplate/exact-dup clusters) push each doc's
+        // rarest grams to posting length = cluster size. The audit's top
+        // decade must flag it (max_posting >= factor) BEFORE anyone pays
+        // the C(pdf,2) join — the run-exact-dedup-first discipline
+        val exactDups = base.select(
+            explode(sequence(lit(0), lit(factor - 1))).as("k"),
+            col("doc_id"), col("text"))
+          .select((col("doc_id") * 1000 + col("k")).as("doc_id"), col("text"))
+        val audit = graft.operators.CorpusOps.ppjoinPrefixAudit(exactDups)
+          .collect()
+        val top = audit.maxBy(_.getAs[Int]("df_decade"))
+        val maxPosting = top.getAs[Long]("max_posting")
+        require(maxPosting >= factor,
+          s"audit must flag the x$factor exact-dup corpus, " +
+            s"saw max_posting=$maxPosting")
+        System.err.println(s"[scale] x$factor prefix-audit top decade: " +
+          s"decade=${top.getAs[Int]("df_decade")} max_posting=$maxPosting " +
+          s"implied_pairs=${top.getAs[Long]("implied_pairs")} " +
+          s"top_gram='${top.getAs[String]("top_gram")}'")
+        audit.length.toLong
+      }
       run("snm") {
         // candidate volume is window*n BY CONSTRUCTION — the ratio should
         // track the sort (n log n / shuffle-bound), the skew-immunity claim

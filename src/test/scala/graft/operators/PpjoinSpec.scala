@@ -129,6 +129,29 @@ class PpjoinSpec extends SparkSuite {
       rows(CorpusOps.snmMultipass(docsDf, 2, 10, 50, materialize = identity)))
   }
 
+  test("prefix audit flags exact-dup clusters with their implied candidate mass") {
+    import spark.implicits._
+    // 20 byte-identical docs (the boilerplate hazard class: every copy's
+    // rarest grams have posting length = cluster size) + 10 gram-disjoint
+    // singletons. The dup doc has 10 tokens -> 8 trigrams, all df 20;
+    // plen = 8 - ceil(50*8/100) + 1 = 5, so 5 prefix grams at pdf 20.
+    val dup = "aa bb cc dd ee ff gg hh ii jj"
+    val docs = (0L until 20L).map(i => (i, dup)) ++
+      (100L until 110L).map(i => (i, s"u${i}a u${i}b u${i}c u${i}d"))
+    val audit = CorpusOps
+      .ppjoinPrefixAudit(docs.toDF("doc_id", "text"), pct = 50)
+      .collect().map(r => r.getAs[Int]("df_decade") -> r).toMap
+    // decade 2 = the flagged cluster: 5 grams, each posting 20 docs,
+    // implied candidate mass 5 * C(20,2) = 950 — visible BEFORE the join
+    val top = audit(2)
+    assert(top.getAs[Long]("max_posting") == 20L, top)
+    assert(top.getAs[Long]("n_grams") == 5L, top)
+    assert(top.getAs[Long]("implied_pairs") == 5L * 190L, top)
+    // decade 1 = the healthy stratum: singleton postings, zero mass
+    assert(audit(1).getAs[Long]("implied_pairs") == 0L, audit(1))
+    assert(audit(1).getAs[Long]("max_posting") == 1L, audit(1))
+  }
+
   test("single-gram docs pair only with themselves-alike at pct 50") {
     // sz == 1 -> plen == 1: the whole set IS the prefix; two one-gram docs
     // with the same gram have jaccard 1.0, with different grams 0.0
