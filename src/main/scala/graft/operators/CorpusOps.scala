@@ -2318,12 +2318,22 @@ object CorpusOps {
    * the RDD API (Window.orderBy with no partition key funnels the corpus
    * through ONE task). `key` must be a total order (include a unique
    * tie-break column) or ranks are nondeterministic between runs.
+   *
+   * The input is PINNED (eager localCheckpoint) before the sort: the
+   * machinery runs the caller's upstream plan three times otherwise —
+   * `repartitionByRange` samples it for the range bounds, `zipWithIndex`
+   * runs its per-partition count job, and the final job reads it again —
+   * which doubled the z-order catalog family when its scan + broadcast-
+   * stats plan sat upstream (r11 bench gate). Rank inputs are thin by
+   * construction (ids + key columns, never gram/text arrays), so the pin
+   * is cheap and the three passes read cached blocks.
    */
   private[graft] def globalRank(
       df: DataFrame, key: org.apache.spark.sql.Column,
       rankCol: String): DataFrame = {
     val s = df.sparkSession
     val sorted = df.withColumn("__gr_key", key)
+      .localCheckpoint(true)
       .repartitionByRange(col("__gr_key"))
       .sortWithinPartitions("__gr_key")
     val schema = sorted.schema
@@ -2333,6 +2343,61 @@ object CorpusOps {
       org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
     }
     s.createDataFrame(rdd, schema).drop("__gr_key")
+  }
+
+  /**
+   * Contiguous global rank (0-based) by the NON-NEGATIVE integer key
+   * `(zvalCol, tieCol)` — the specialized fast path [[globalRank]]'s
+   * general machinery doesn't need when the key's high bits form a
+   * near-uniform coarse histogram (z-order / Hilbert codes of uniformly
+   * scaled coordinates): `cell = zval >> (zvalBits - cellBits)` is
+   * order-aligned with the key, so
+   *
+   *  1. one map-side-combined aggregation yields the ≤ 2^cellBits cell
+   *     counts, collected to the driver (BOUNDED: O(cells), never
+   *     O(rows) — the same documented exception as the Bloom cell-id
+   *     lists) and prefix-summed into per-cell global offsets;
+   *  2. `row_number()` windowed BY CELL (hash-partitioned — distributed,
+   *     no single-task funnel) plus the broadcast offset is the exact
+   *     0-based global rank, in the same job as the caller's downstream
+   *     aggregation.
+   *
+   * Two jobs total vs globalRank's pin + range-sample + zipWithIndex
+   * count + final (the r11 bench-gate cost on the z-order family). The
+   * trade is the skew exposure: a key distribution concentrated in one
+   * cell degrades that cell's window to a single task — callers scale
+   * `cellBits` to their key width (coordinates scaled to 16 bits per
+   * axis keep cells near-uniform by construction). Ranks are
+   * deterministic: the (zval, tie) key must be unique per row, as with
+   * [[globalRank]].
+   */
+  private[graft] def rankByIntCells(
+      df: DataFrame, zvalCol: String, tieCol: String, zvalBits: Int,
+      rankCol: String, cellBits: Int = 12): DataFrame = {
+    require(zvalBits > 0 && cellBits > 0, s"positive bit widths")
+    val s = df.sparkSession
+    val shift = math.max(zvalBits - cellBits, 0)
+    // deliberately NOT cached/checkpointed: the histogram pass is a
+    // narrow map-side-combined aggregation over the upstream plan and the
+    // final pass re-reads it with column pruning — two cheap passes beat
+    // pinning the full frame in the block manager (measured equal at
+    // sf0.1, and at scale the cache write is pure storage pressure)
+    val withCell = df.withColumn("__cell",
+      expr(s"shiftright($zvalCol, $shift)"))
+    val hist = withCell.groupBy("__cell")
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val offsets = hist.scanLeft(0L)(_ + _._2).zip(hist)
+      .map { case (before, (cell, _)) => (cell, before) }
+    import s.implicits._
+    val offT = offsets.toSeq.toDF("__cell", "__off")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__cell").orderBy(col(zvalCol), col(tieCol))
+    withCell.join(broadcast(offT), "__cell")
+      .withColumn(rankCol,
+        col("__off") + org.apache.spark.sql.functions.row_number().over(w)
+          .cast("long") - lit(1L))
+      .drop("__cell", "__off")
   }
 
   /**

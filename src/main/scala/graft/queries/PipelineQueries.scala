@@ -935,12 +935,14 @@ object PipelineQueries {
         expr("(sec - mins) * 65535 div greatest(maxs - mins, 1)").as("ys"),
         expr("(v100 - minv) * 65535 div greatest(maxv - minv, 1)").as("zs"))
       // NTILE(32) over the whole table is a single-task sort; the
-      // distributed [[graft.operators.CorpusOps.globalRank]] plus
-      // [[ntileBucketSql]]'s front-loaded-split arithmetic reproduces
-      // ntile's cuts exactly, so the oracle's NTILE stays valid
+      // cell-histogram rank ([[graft.operators.CorpusOps.rankByIntCells]]
+      // — the 48-bit interleaved code's high bits are near-uniform by
+      // construction) plus [[ntileBucketSql]]'s front-loaded-split
+      // arithmetic reproduces ntile's cuts exactly, so the oracle's
+      // NTILE stays valid
       val coded = scaled.withColumn("zval",
         call_function("graft_zorder3", col("xs"), col("ys"), col("zs")))
-      Ops.globalRank(coded, struct(col("zval"), col("event_id")), "rk")
+      Ops.rankByIntCells(coded, "zval", "event_id", zvalBits = 48, rankCol = "rk")
         .withColumn("bucket", expr(ntileBucketSql(32)))
         .groupBy("bucket")
         .agg(count(lit(1)).as("n"),
@@ -988,7 +990,7 @@ object PipelineQueries {
       // distributed ntile replacement — see pipe_zorder3's comment
       val coded = scaled
         .withColumn("zval", call_function("graft_zorder", col("xs"), col("ys")))
-      Ops.globalRank(coded, struct(col("zval"), col("event_id")), "rk")
+      Ops.rankByIntCells(coded, "zval", "event_id", zvalBits = 32, rankCol = "rk")
         .withColumn("bucket", expr(ntileBucketSql(32)))
         .groupBy("bucket")
         .agg(count(lit(1)).as("n"),
@@ -1019,7 +1021,7 @@ object PipelineQueries {
       // distributed ntile replacement — see pipe_zorder3's comment
       val coded = scaled
         .withColumn("zval", call_function("graft_hilbert", col("xs"), col("ys")))
-      Ops.globalRank(coded, struct(col("zval"), col("event_id")), "rk")
+      Ops.rankByIntCells(coded, "zval", "event_id", zvalBits = 32, rankCol = "rk")
         .withColumn("bucket", expr(ntileBucketSql(32)))
         .groupBy("bucket")
         .agg(count(lit(1)).as("n"),

@@ -22,6 +22,24 @@ class SnmSpec extends SparkSuite {
     assert(byRank == byRank.sorted, "rank order must equal (v, id) sort order")
   }
 
+  test("rankByIntCells == brute (zval, tie) rank, uniform and skewed") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // uniform over the 20-bit key space, duplicate zvals broken by id,
+    // plus a pathological all-one-cell cluster (every high bit equal) —
+    // the skew case must stay EXACT even when one cell hosts everything
+    val uniform = (0L until 400L).map(i => (i, rnd.nextInt(1 << 20).toLong))
+    val skewed = (400L until 600L).map(i => (i, 5L + (i % 3))) // cell 0
+    val rows = rnd.shuffle(uniform ++ skewed).toDF("id", "zval")
+      .repartition(7)
+    val got = CorpusOps
+      .rankByIntCells(rows, "zval", "id", zvalBits = 20, rankCol = "rnk")
+      .select("id", "zval", "rnk").as[(Long, Long, Long)].collect()
+    val expected = (uniform ++ skewed).sortBy { case (id, z) => (z, id) }
+      .zipWithIndex.map { case ((id, z), i) => (id, z, i.toLong) }
+    assert(got.sortBy(_._3).toSeq == expected.toSeq)
+  }
+
   /** Brute in-memory SNM: the model the operator must match. */
   private def model(
       docs: Seq[(Long, String)], w: Int, pct: Int): Set[(Long, Long)] = {

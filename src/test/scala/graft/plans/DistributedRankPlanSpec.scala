@@ -43,7 +43,11 @@ class DistributedRankPlanSpec extends SparkSuite {
     val df = graft.SparkEntry.queries(name)(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
 
-    assert(!plan.contains("Window "), s"window survived in $name:\n$plan")
+    // a Window node is only a scale-killer when it has NO partition key
+    // (plans as Window over Exchange SinglePartition — caught by the
+    // parent check below); the z-order family's rankByIntCells windows BY
+    // CELL over a hash exchange, which is the distributed shape this spec
+    // exists to enforce
     val parents = singlePartitionParents(plan)
     val nonAggregate = parents.filterNot(_.contains("Aggregate"))
     assert(nonAggregate.isEmpty,
