@@ -140,7 +140,19 @@ final class FloEngine(
       try out.write(s"""{"owner":"$engineId"}""".getBytes("UTF-8"))
       finally out.close()
       true
-    } catch { case _: java.io.IOException => false }
+    } catch {
+      // ONLY the lost-the-race shapes map to false (the caller reports
+      // "another engine acquired"): the file already existing, or a
+      // FNFE-adjacent race (the stream dir or the parent vanishing under
+      // a concurrent takeover's rename). A generic IOException is a REAL
+      // I/O failure — disk full, permissions — and must propagate, not
+      // masquerade as a winner named <unknown>.
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case _: java.nio.file.FileAlreadyExistsException => false
+      case _: java.io.FileNotFoundException => false
+      case e: java.io.IOException
+          if e.getMessage != null && e.getMessage.contains("exists") => false
+    }
   }
 
   private def touchLease(stream: String): Unit =
@@ -190,6 +202,9 @@ final class FloEngine(
               "its lease to go stale (crashed writers are taken over " +
               "automatically)"))
       case other =>
+        val f = fs(root)
+        val aside = new Path(
+          s"${streamDir(stream)}/.${FloEngine.WriterLeaseFile}.stale.$engineId")
         other.foreach { case (owner, hb) =>
           FloEngine.log.warn(s"taking over stale writer lease for " +
             s"`$stream` (owner $owner, heartbeat ${now - hb} ms old)")
@@ -201,11 +216,30 @@ final class FloEngine(
           // exclusive create below adjudicates (the concurrent winner's
           // new lease makes it fail loudly; a release in between lets it
           // succeed).
-          val f = fs(root)
-          val aside = new Path(
-            s"${streamDir(stream)}/.${FloEngine.WriterLeaseFile}.stale.$engineId")
           f.delete(aside, false) // leftover from this engine's past takeover
           if (f.rename(leasePath(stream), aside)) f.delete(aside, false)
+        }
+        if (other.isEmpty) {
+          // readLease == None covers TWO on-disk states: no lease file,
+          // or a lease file with no parsable owner. The latter is either
+          // a torn CONCURRENT create (fresh mtime — fall through and lose
+          // the exclusive create below, once) or a writer that CRASHED
+          // between create and close (stale mtime) — without this branch
+          // that zero-byte lease wedges the stream forever: the stale-
+          // takeover arm never fires (no owner to read) while the
+          // exclusive create keeps failing on the existing file. Treat
+          // owner-less + stale-mtime exactly like a stale lease: rename
+          // it aside and acquire.
+          try {
+            val st = f.getFileStatus(leasePath(stream))
+            if (now - st.getModificationTime >= writerLeaseTtlMillis) {
+              FloEngine.log.warn(s"taking over torn (owner-less) writer " +
+                s"lease for `$stream` (mtime ${now - st.getModificationTime} " +
+                "ms old — a writer crashed inside lease creation)")
+              f.delete(aside, false)
+              if (f.rename(leasePath(stream), aside)) f.delete(aside, false)
+            }
+          } catch { case _: java.io.FileNotFoundException => () }
         }
         if (!writeLeaseFile(stream)) {
           // lost the acquire race — report who won

@@ -117,10 +117,16 @@ object AnnIndex {
 
   /** Run `op` under the exclusive mutation marker for `path` — the shared
     * [[MutationGuard]] (exclusive create + owner-token re-read, mtime
-    * heartbeat, stale-crashed-mutator takeover). */
+    * heartbeat, stale-crashed-mutator takeover by atomic rename-aside).
+    * `op` receives the guard handle and MUST `verifyOwnership()`
+    * immediately before its first destructive write and before its
+    * commit-making write (meta rewrite / pointer flip) — a mutator that
+    * stalled past the TTL and was usurped aborts with the usurper's
+    * state intact. */
   private def withMutationGuard[T](
-      spark: SparkSession, path: String, what: String)(op: => T): T =
-    MutationGuard.withExclusive(
+      spark: SparkSession, path: String, what: String)(
+      op: MutationGuard.Handle => T): T =
+    MutationGuard.withExclusiveHandle(
       spark, guardPath(path), s"index at $path", what,
       MutationGuardTtlMillis)(op)
 
@@ -278,7 +284,7 @@ object AnnIndex {
    * dedup appends. Not safe under CONCURRENT appends to one index path.
    */
   def append(spark: SparkSession, path0: String, vectors: DataFrame): Unit =
-    withMutationGuard(spark, path0, "append") {
+    withMutationGuard(spark, path0, "append") { guard =>
     graft.expressions.GraftExtensions.register(spark)
     val path = servingPath(spark, path0)
     val m = meta(spark, path).head()
@@ -293,6 +299,9 @@ object AnnIndex {
     val assigned = Ann.ivfAssign(u, cents)
       .select(col("cell").cast("int").as("cell"), col("id"), col("uv"))
       .localCheckpoint(true) // assignment feeds three writes; plan it once
+    // ownership re-verify before the FIRST visible write: append-mode
+    // rows land immediately, so a usurped mutator must abort here
+    guard.verifyOwnership()
     assigned.write.mode("append").partitionBy("cell").parquet(s"$path/vectors")
 
     val resid = assigned.join(broadcast(means), "cell")
@@ -305,6 +314,7 @@ object AnnIndex {
 
     import spark.implicits._
     val n = spark.read.parquet(s"$path/vectors").count()
+    guard.verifyOwnership() // commit edge: the meta rewrite makes it real
     Seq((dim, m.getAs[Int]("cells"), subs, m.getAs[Int]("codes"),
         m.getAs[Int]("lloyd_iters"), n, "cell_mean"))
       .toDF("dim", "cells", "subs", "codes", "lloyd_iters", "n_vectors",
@@ -336,7 +346,7 @@ object AnnIndex {
    * any crash-torn removals reconciled by this call).
    */
   def expire(spark: SparkSession, path0: String, deadIds: DataFrame): Long =
-    withMutationGuard(spark, path0, "expire") {
+    withMutationGuard(spark, path0, "expire") { guard =>
     val path = servingPath(spark, path0)
     val m = meta(spark, path).head()
     val nBefore = m.getAs[Long]("n_vectors")
@@ -376,6 +386,9 @@ object AnnIndex {
     // read-back would fail schema inference there)
     val nUnaffected = vecs.filter(!col("cell").isin(affected: _*)).count()
 
+    // ownership re-verify before the FIRST destructive write (the
+    // dynamic partition overwrites below rewrite live cells in place)
+    guard.verifyOwnership()
     val dyn = "spark.sql.sources.partitionOverwriteMode"
     val prev = spark.conf.getOption(dyn)
     spark.conf.set(dyn, "dynamic")
@@ -396,6 +409,7 @@ object AnnIndex {
     }
 
     val n = nUnaffected + survV.count()
+    guard.verifyOwnership() // commit edge: the meta rewrite makes it real
     writeMeta(spark, path, m, n)
     // clamped for the same stale-low-meta reconcile case as the
     // nothing-to-trim branch: the meta is now correct either way
@@ -459,7 +473,7 @@ object AnnIndex {
     * completing and the pointer flip — the in-flight-search window. */
   private[graft] def rebalance(
       spark: SparkSession, path: String, beforeSwap: () => Unit): Unit =
-    withMutationGuard(spark, path, "rebalance") {
+    withMutationGuard(spark, path, "rebalance") { guard =>
     val f = FileSystem.get(
       new Path(path).toUri, spark.sparkContext.hadoopConfiguration)
     // heal LEGACY two-rename crashes (pre-pointer layout only: with a
@@ -485,6 +499,10 @@ object AnnIndex {
       m.getAs[Int]("subs"), m.getAs[Int]("codes"), m.getAs[Int]("lloyd_iters"))
     require(rawExists(spark, next), s"staged rebuild at $next did not complete")
     beforeSwap()
+    // commit edge: the pointer flip publishes the new generation, and the
+    // retention sweep below deletes old ones — a usurped rebalance must
+    // abort here with only its dead staged dir left behind
+    guard.verifyOwnership()
     writeCurrentPointer(spark, path, next)
     // retention: keep the new generation and the one just replaced (an
     // in-flight search may still hold it); sweep everything older — the

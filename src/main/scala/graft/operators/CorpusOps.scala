@@ -2716,8 +2716,19 @@ object CorpusOps {
     * append-mode `prefixes/`+`sets/` dirs — v1 had no per-batch commit,
     * so a crash between the two appends left prefix rows without their
     * set rows and later probes silently dropped those candidates at the
-    * verify join (undetected false-negative dedup). */
-  private[graft] val PpjoinIndexFormatVersion = 2L
+    * verify join (undetected false-negative dedup).
+    *
+    * v3: commit markers carry CONTENT (`dir=<batch dir name>` and, for a
+    * compaction, `folds=<superseded ids>`), which buys two things v2
+    * could not express: (a) batch dirs are unique PER ATTEMPT
+    * (`b<id>_<owner token>`), so a mutator that stalled past the guard
+    * TTL and resumed after a takeover can NEVER overwrite the takeover's
+    * committed dir — its writes land in its own torn dir and its commit
+    * aborts at the ownership re-verify; (b) [[ppjoinIndexCompact]] flips
+    * N committed batches to one folded batch with a SINGLE atomic marker
+    * create (readers exclude fold-superseded ids), so a crash anywhere
+    * in compaction leaves a readable, duplicate-free index. */
+  private[graft] val PpjoinIndexFormatVersion = 3L
 
   /** Staleness horizon for the ingest mutation marker (`<path>/_mutating`,
     * heartbeated at TTL/3 by [[MutationGuard]]). */
@@ -2727,32 +2738,87 @@ object CorpusOps {
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def ppjoinBatchDir(path: String, id: Long): String =
-    f"$path/batches/b$id%08d"
+  private def ppjoinBatchDirName(id: Long, attempt: String): String =
+    f"b$id%08d_$attempt"
 
-  /** Committed batch ids, ascending: a batch EXISTS iff its marker under
-    * `commits/` does — torn batch dirs (a crash before the marker) are
-    * invisible to every reader. */
-  private def ppjoinCommittedIds(spark: SparkSession, path: String): Seq[Long] = {
+  /** One committed batch: its id, the batch dir NAME its marker recorded
+    * (unique per mutation attempt — see [[PpjoinIndexFormatVersion]] v3),
+    * and, for a compaction marker, the batch ids it superseded. */
+  private case class PpjoinCommit(id: Long, dir: String, folds: Seq[Long])
+
+  /** Every marker file id under `commits/`, with its parsed commit when
+    * the content is complete. A marker exists-but-unparsable in exactly
+    * two states: mid-create (the exclusive create lands the file a moment
+    * before its content) or crashed-mid-create — in BOTH the batch is NOT
+    * yet committed, so readers skip it ([[ppjoinIndexIngest]]'s guarded
+    * sweep deletes crashed ones so their ids can be re-minted). A v2
+    * index's zero-byte markers all parse as torn, so its batches read as
+    * "no committed batches — initialize" (and the meta version gate fails
+    * every mutation path descriptively first). */
+  private def ppjoinMarkerFiles(
+      spark: SparkSession, path: String): Seq[(Long, Option[PpjoinCommit])] = {
     val f = ppjoinIndexFs(spark, path)
     val dir = new org.apache.hadoop.fs.Path(s"$path/commits")
     if (!f.exists(dir)) Seq.empty
     else f.listStatus(dir).toSeq
-      .map(_.getPath.getName).filter(_.startsWith("b"))
-      .map(_.drop(1).toLong).sorted
+      .filter(s => s.isFile && s.getPath.getName.startsWith("b"))
+      .map { s =>
+        val id = s.getPath.getName.drop(1).toLong
+        val content =
+          try {
+            val in = f.open(s.getPath)
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          } catch { case _: java.io.IOException => "" }
+        val fields = content.split("\n").map(_.trim).filter(_.nonEmpty)
+          .map(l => l.span(_ != '=')).map { case (k, v) => (k, v.drop(1)) }
+          .toMap
+        (id, fields.get("dir").map(d => PpjoinCommit(id, d,
+          fields.get("folds").toSeq.flatMap(_.split(",")
+            .filter(_.nonEmpty).map(_.toLong)))))
+      }
+      .sortBy(_._1)
   }
 
-  /** The accepted corpus's prefix-posting table: union of COMMITTED
-    * batches only. [[ppjoinIndexInit]] always commits batch 0 (empty
-    * tables), so the union is never path-less. */
+  /** Every COMMITTED batch, ascending by id — including fold-superseded
+    * ones (callers that mint new ids must never reuse a superseded id
+    * whose marker still exists). */
+  private def ppjoinCommits(
+      spark: SparkSession, path: String): Seq[PpjoinCommit] =
+    ppjoinMarkerFiles(spark, path).flatMap(_._2)
+
+  /** The batches a reader unions: committed AND not superseded by any
+    * compaction marker — a batch EXISTS iff its marker under `commits/`
+    * does (torn batch dirs, crashed before their marker, are invisible),
+    * and a FOLDED batch stops existing the instant the fold's single
+    * marker create lands (atomic visibility flip, no window where a
+    * reader sees the rows twice). */
+  private def ppjoinVisibleCommits(
+      spark: SparkSession, path: String): Seq[PpjoinCommit] = {
+    val all = ppjoinCommits(spark, path)
+    val superseded = all.flatMap(_.folds).toSet
+    all.filterNot(c => superseded(c.id))
+  }
+
+  private def ppjoinVisibleDirs(
+      spark: SparkSession, path: String, table: String): Seq[String] = {
+    val visible = ppjoinVisibleCommits(spark, path)
+    if (visible.isEmpty) throw new IllegalStateException(
+      s"no committed ppjoin index at $path (no committed batches) — " +
+        "initialize with ppjoinIndexInit")
+    visible.map(c => s"$path/batches/${c.dir}/$table")
+  }
+
+  /** The accepted corpus's prefix-posting table: union of COMMITTED,
+    * non-superseded batches only. [[ppjoinIndexInit]] always commits
+    * batch 0 (empty tables), so on a committed index the union is never
+    * path-less; an uninitialized/stale path fails descriptively. */
   def ppjoinIndexPrefixes(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(ppjoinCommittedIds(spark, path)
-      .map(id => s"${ppjoinBatchDir(path, id)}/prefixes"): _*)
+    spark.read.parquet(ppjoinVisibleDirs(spark, path, "prefixes"): _*)
 
   /** The accepted corpus's gram-set table (committed batches only). */
   def ppjoinIndexSets(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(ppjoinCommittedIds(spark, path)
-      .map(id => s"${ppjoinBatchDir(path, id)}/sets"): _*)
+    spark.read.parquet(ppjoinVisibleDirs(spark, path, "sets"): _*)
 
   /** True iff a committed persisted index exists at `path` (`meta/` is
     * written last = the commit marker). */
@@ -2794,22 +2860,30 @@ object CorpusOps {
     val orderT = ppjoinFrozenOrder(seed)
     orderT.write.mode("overwrite").parquet(s"$path/order")
     val (e1, e2) = ppjoinIndexTables(seed.limit(0), orderT, pct)
-    e1.write.mode("overwrite").parquet(s"${ppjoinBatchDir(path, 0L)}/prefixes")
-    e2.write.mode("overwrite").parquet(s"${ppjoinBatchDir(path, 0L)}/sets")
-    ppjoinMarkCommitted(spark, path, 0L)
+    val d0 = ppjoinBatchDirName(0L, "init")
+    e1.write.mode("overwrite").parquet(s"$path/batches/$d0/prefixes")
+    e2.write.mode("overwrite").parquet(s"$path/batches/$d0/sets")
+    ppjoinMarkCommitted(spark, path, 0L, d0, Seq.empty)
     import spark.implicits._
     Seq((pct, PpjoinIndexFormatVersion)).toDF("pct", "format_version")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
-  /** Per-batch commit: the zero-byte marker under `commits/` created
-    * AFTER both of the batch's tables are fully written. */
+  /** Per-batch commit: the marker under `commits/` created AFTER both of
+    * the batch's tables are fully written, recording the batch's
+    * per-attempt dir name and (for a compaction) the superseded ids. The
+    * create is EXCLUSIVE — two mutators that somehow both minted id
+    * (impossible under the guard, narrow races aside) resolve to one
+    * winner here. */
   private def ppjoinMarkCommitted(
-      spark: SparkSession, path: String, id: Long): Unit = {
+      spark: SparkSession, path: String, id: Long, dir: String,
+      folds: Seq[Long]): Unit = {
     val f = ppjoinIndexFs(spark, path)
     f.mkdirs(new org.apache.hadoop.fs.Path(s"$path/commits"))
-    f.create(new org.apache.hadoop.fs.Path(f"$path/commits/b$id%08d"), false)
-      .close()
+    val content = s"dir=$dir" +
+      (if (folds.isEmpty) "" else s"\nfolds=${folds.sorted.mkString(",")}")
+    val out = f.create(new org.apache.hadoop.fs.Path(f"$path/commits/b$id%08d"), false)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
   }
 
   /** The committed index's (pct, format version); fails descriptively on
@@ -2847,12 +2921,17 @@ object CorpusOps {
    *    `ingest-dedup-batch` invocations racing the read-then-append
    *    cycle would otherwise each probe an index missing the other's
    *    docs and admit mutual duplicates;
-   *  - both tables land in a fresh `batches/b<id>/` dir and become
-   *    visible only when the `commits/` marker is created AFTER both
-   *    writes — a crash between the writes leaves a torn dir no reader
-   *    ever unions (v1's append-mode torn batch silently dropped verify
-   *    candidates: undetected false-negative dedup), and the next
-   *    ingest sweeps it;
+   *  - both tables land in a fresh PER-ATTEMPT `batches/b<id>_<token>/`
+   *    dir and become visible only when the `commits/` marker (whose
+   *    content records the dir) is created AFTER both writes — a crash
+   *    between the writes leaves a torn dir no reader ever unions (v1's
+   *    append-mode torn batch silently dropped verify candidates:
+   *    undetected false-negative dedup), and the next ingest sweeps it;
+   *  - ownership is RE-VERIFIED at the commit edge (immediately before
+   *    the marker create): a mutator that stalled past the guard TTL and
+   *    was taken over aborts with only a torn dir of its own — it can
+   *    never clobber the takeover's committed batch (unique dirs) nor
+   *    commit a batch that probed a stale index view;
    *  - the three result frames are pinned (eager localCheckpoint)
    *    before any write, so the probe lineage never relists a
    *    directory it is concurrently growing, and the expensive dedup
@@ -2861,24 +2940,11 @@ object CorpusOps {
   def ppjoinIndexIngest(
       spark: SparkSession, path: String, batch: DataFrame,
       scoreCol: String = "n_chars"): DataFrame =
-    MutationGuard.withExclusive(
+    MutationGuard.withExclusiveHandle(
         spark, new org.apache.hadoop.fs.Path(s"$path/_mutating"),
-        s"ppjoin index at $path", "ingest", PpjoinIndexGuardTtlMillis) {
+        s"ppjoin index at $path", "ingest", PpjoinIndexGuardTtlMillis) { guard =>
       val (pct, _) = ppjoinIndexMeta(spark, path)
-      val f = ppjoinIndexFs(spark, path)
-      // sweep torn batches (crash before the commit marker): invisible
-      // to readers, but their ids must not be resurrected or re-listed
-      val committed = ppjoinCommittedIds(spark, path).toSet
-      val batchesDir = new org.apache.hadoop.fs.Path(s"$path/batches")
-      val allDirs =
-        if (f.exists(batchesDir)) f.listStatus(batchesDir).toSeq
-          .map(_.getPath).filter(_.getName.startsWith("b"))
-        else Seq.empty
-      allDirs.filterNot(p => committed(p.getName.drop(1).toLong)).foreach { p =>
-        org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"sweeping torn (uncommitted) ppjoin index batch $p")
-        f.delete(p, true)
-      }
+      ppjoinSweepTorn(spark, path)
       val orderT = spark.read.parquet(s"$path/order")
       val (kept0, kp0, ks0) = incrementalPpjoinKeepIndexed(batch,
         ppjoinIndexPrefixes(spark, path),
@@ -2886,11 +2952,114 @@ object CorpusOps {
       val kept = kept0.localCheckpoint(true)
       val kp = kp0.localCheckpoint(true)
       val ks = ks0.localCheckpoint(true)
-      val id = committed.max + 1
-      val bdir = ppjoinBatchDir(path, id)
+      val id = ppjoinCommits(spark, path).map(_.id).max + 1
+      // the dir is unique to THIS attempt (guard-token-free but
+      // UUID-suffixed): a mutator stalled past the TTL and resumed after
+      // a takeover writes into its own dir, never the takeover's — then
+      // dies at the commit-edge verify below, leaving only a torn dir
+      val dname = ppjoinBatchDirName(id,
+        java.util.UUID.randomUUID().toString.take(8))
+      val bdir = s"$path/batches/$dname"
       kp.write.mode("overwrite").parquet(s"$bdir/prefixes")
       ks.write.mode("overwrite").parquet(s"$bdir/sets")
-      ppjoinMarkCommitted(spark, path, id)
+      // commit-edge re-verify (the FloEngine.verifyLeaseOwnership
+      // discipline): a usurped mutator aborts HERE, with its batch
+      // invisible — the usurper's committed batches are untouched
+      guard.verifyOwnership()
+      ppjoinMarkCommitted(spark, path, id, dname, Seq.empty)
       kept
+    }
+
+  /** Guarded-context sweep of torn state: batch dirs no commit marker
+    * references (a crash before the marker, or a usurped mutator's
+    * aborted attempt) and content-less marker files (a crash inside the
+    * marker create itself — the batch they would have committed is torn
+    * by definition). Only ever called while HOLDING the mutation guard:
+    * an unparsable marker can then never be a concurrent commit in
+    * flight. */
+  private def ppjoinSweepTorn(spark: SparkSession, path: String): Unit = {
+    val log = org.slf4j.LoggerFactory.getLogger(getClass)
+    val f = ppjoinIndexFs(spark, path)
+    val markers = ppjoinMarkerFiles(spark, path)
+    markers.collect { case (id, None) => id }.foreach { id =>
+      log.warn(s"sweeping torn (content-less) ppjoin commit marker b$id")
+      f.delete(new org.apache.hadoop.fs.Path(f"$path/commits/b$id%08d"), false)
+    }
+    val referenced = markers.flatMap(_._2).map(_.dir).toSet
+    val batchesDir = new org.apache.hadoop.fs.Path(s"$path/batches")
+    val allDirs =
+      if (f.exists(batchesDir)) f.listStatus(batchesDir).toSeq
+        .map(_.getPath).filter(_.getName.startsWith("b"))
+      else Seq.empty
+    allDirs.filterNot(p => referenced(p.getName)).foreach { p =>
+      log.warn(s"sweeping torn (uncommitted) ppjoin index batch $p")
+      f.delete(p, true)
+    }
+  }
+
+  /**
+   * Fold every visible committed batch into ONE (the
+   * [[graft.engine.FloEngine.compactSmall]] discipline for this index):
+   * [[ppjoinIndexPrefixes]]/[[ppjoinIndexSets]] union one parquet dir per
+   * committed batch, so a deployment ingesting thousands of small daily
+   * batches accumulates thousands of dirs — O(batches) listing and
+   * planning on every probe, the small-file creep that kills at 10^4
+   * batches. Compaction rewrites the union into a single fresh batch dir
+   * and flips visibility with ONE atomic commit-marker create whose
+   * `folds=` record supersedes the old ids; crash-safety:
+   *
+   *  - before the fold marker lands, readers see the old batches (the
+   *    folded dir is torn, invisible, swept later);
+   *  - the marker create IS the flip — no window where a reader unions
+   *    both the old batches and their folded copy (duplicate set rows
+   *    would multiply the verify join);
+   *  - a crash after the marker leaves superseded markers/dirs as
+   *    garbage that [[ppjoinSweepTorn]] + the cleanup below remove on
+   *    the next guarded mutation — readers already exclude them.
+   *
+   * Probe results are unchanged (union of the same rows; PPJoin's
+   * candidate and verify joins are row-set functions of the two tables).
+   * Returns the number of batches folded (0 = nothing to do).
+   */
+  def ppjoinIndexCompact(spark: SparkSession, path: String): Int =
+    MutationGuard.withExclusiveHandle(
+        spark, new org.apache.hadoop.fs.Path(s"$path/_mutating"),
+        s"ppjoin index at $path", "compact", PpjoinIndexGuardTtlMillis) { guard =>
+      ppjoinIndexMeta(spark, path)
+      ppjoinSweepTorn(spark, path)
+      val all = ppjoinCommits(spark, path)
+      val superseded = all.flatMap(_.folds).toSet
+      // fold-superseded markers that survived a crashed earlier cleanup:
+      // readers exclude them already; drop them so `folds=` lists and
+      // the commits listing stay O(visible)
+      val f = ppjoinIndexFs(spark, path)
+      all.filter(c => superseded(c.id)).foreach { c =>
+        f.delete(new org.apache.hadoop.fs.Path(f"$path/commits/b${c.id}%08d"), false)
+        f.delete(new org.apache.hadoop.fs.Path(s"$path/batches/${c.dir}"), true)
+      }
+      val visible = all.filterNot(c => superseded(c.id))
+      if (visible.size <= 1) 0
+      else {
+        // read the union THROUGH the normal reader paths, write to a
+        // fresh dir: the read never lists a dir this op is writing, so
+        // no pin needed — each table is one identity re-read of
+        // committed parquet
+        val id = all.map(_.id).max + 1
+        val dname = ppjoinBatchDirName(id,
+          java.util.UUID.randomUUID().toString.take(8))
+        val bdir = s"$path/batches/$dname"
+        ppjoinIndexPrefixes(spark, path)
+          .write.mode("overwrite").parquet(s"$bdir/prefixes")
+        ppjoinIndexSets(spark, path)
+          .write.mode("overwrite").parquet(s"$bdir/sets")
+        guard.verifyOwnership()
+        ppjoinMarkCommitted(spark, path, id, dname, visible.map(_.id))
+        // post-flip cleanup (crash-tolerant: re-run removes leftovers)
+        visible.foreach { c =>
+          f.delete(new org.apache.hadoop.fs.Path(f"$path/commits/b${c.id}%08d"), false)
+          f.delete(new org.apache.hadoop.fs.Path(s"$path/batches/${c.dir}"), true)
+        }
+        visible.size
+      }
     }
 }

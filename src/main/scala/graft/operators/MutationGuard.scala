@@ -18,20 +18,60 @@ import org.apache.spark.sql.SparkSession
  *    adjudicates (at most one token survives in the file);
  *  - the marker heartbeats via mtime at TTL/3 for the operation's
  *    duration, so only a crashed (or fully stalled) mutator goes stale;
- *  - a stale marker is a crashed mutator: taken over with a warning
- *    (callers' mutations are individually crash-safe — staged writes +
- *    commit-marker-last — so takeover is safe);
- *  - a live marker fails the second mutator descriptively.
+ *  - a stale marker is a crashed mutator: taken over with a warning by
+ *    renaming it ASIDE — atomic with exactly one winner (the loser's
+ *    rename fails on the vanished source), never delete-then-create,
+ *    which would let a second takeover delete the first winner's FRESH
+ *    marker and run two mutators concurrently (the
+ *    [[graft.engine.FloEngine]] lease takeover discipline);
+ *  - a live marker fails the second mutator descriptively;
+ *  - the op receives a [[MutationGuard.Handle]] whose `verifyOwnership()`
+ *    re-reads the marker — callers invoke it immediately before their
+ *    commit-edge write (the `FloEngine.verifyLeaseOwnership` backstop),
+ *    so a mutator stalled past the TTL and usurped fails loudly BEFORE
+ *    its commit lands instead of clobbering the usurper's work.
  */
 private[operators] object MutationGuard {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
+  /** The guarded op's view of its own marker: the commit-edge re-verify. */
+  final class Handle private[MutationGuard] (
+      f: FileSystem, g: Path, ownerToken: String, subject: String) {
+
+    /** Re-read the marker and confirm this mutator still owns it. Call
+      * immediately before the mutation's commit-making write (commit
+      * marker, meta rewrite, pointer flip): a JVM that stalled past the
+      * TTL and was taken over must abort with its commit NOT visible —
+      * the usurper's state stays intact. */
+    def verifyOwnership(): Unit = {
+      val owned =
+        try {
+          val in = f.open(g)
+          val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          content.startsWith(ownerToken)
+        } catch { case _: java.io.IOException => false }
+      if (!owned) throw new IllegalStateException(
+        s"$subject: mutation marker is no longer owned by this operation " +
+          "(stalled past the TTL and taken over, or the marker vanished) — " +
+          "aborting BEFORE the commit; the takeover's state is untouched " +
+          "and this mutation left only invisible staged writes")
+    }
+  }
+
   /** Run `op` while exclusively holding the marker at `g`. `subject` names
     * the guarded thing in error messages ("index at /x"). */
   def withExclusive[T](
       spark: SparkSession, g: Path, subject: String, what: String,
-      ttlMillis: Long)(op: => T): T = {
+      ttlMillis: Long)(op: => T): T =
+    withExclusiveHandle(spark, g, subject, what, ttlMillis)(_ => op)
+
+  /** [[withExclusive]] with the [[Handle]] exposed for commit-edge
+    * ownership re-verification. */
+  def withExclusiveHandle[T](
+      spark: SparkSession, g: Path, subject: String, what: String,
+      ttlMillis: Long)(op: Handle => T): T = {
     val f = FileSystem.get(g.toUri, spark.sparkContext.hadoopConfiguration)
     val ownerToken = java.util.UUID.randomUUID().toString
     def tryAcquire(): Boolean =
@@ -57,7 +97,14 @@ private[operators] object MutationGuard {
         case _ =>
           log.warn(s"taking over stale mutation marker for $subject " +
             "(crashed mutator; every mutation commits crash-safe)")
-          f.delete(g, false)
+          // rename ASIDE, not delete: exactly one of N concurrent
+          // takeovers wins the rename (the losers' renames fail on the
+          // vanished source and their exclusive creates below lose to
+          // the winner's fresh marker); delete-then-create would let a
+          // second takeover delete the first winner's FRESH marker
+          val aside = new Path(g.getParent,
+            s".${g.getName}.stale.$ownerToken")
+          if (f.rename(g, aside)) f.delete(aside, false)
           if (!tryAcquire()) throw new IllegalStateException(
             s"$subject: another mutator acquired the marker concurrently")
       }
@@ -72,11 +119,17 @@ private[operators] object MutationGuard {
       () => try f.setTimes(g, System.currentTimeMillis(), -1)
             catch { case scala.util.control.NonFatal(_) => () },
       period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
-    try op
+    try op(new Handle(f, g, ownerToken, subject))
     finally {
       hb.shutdownNow()
-      try f.delete(g, false)
-      catch { case scala.util.control.NonFatal(_) => () }
+      // delete only if still ours: a usurper's marker must survive this
+      // loser's cleanup (the same one-winner discipline as the takeover)
+      try {
+        val in = f.open(g)
+        val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        if (content.startsWith(ownerToken)) f.delete(g, false)
+      } catch { case scala.util.control.NonFatal(_) => () }
     }
   }
 }

@@ -60,6 +60,7 @@ import graft.model.VersionVector
  * sbt "runMain graft.tools.Cli <root> incremental-dedup-indexed <docsParquet> [nBatches] [pct]"
  * sbt "runMain graft.tools.Cli <root> init-dedup-index <indexDir> <seedDocsParquet> [pct]"
  * sbt "runMain graft.tools.Cli <root> ingest-dedup-batch <indexDir> <batchDocsParquet> [outParquet]"
+ * sbt "runMain graft.tools.Cli <root> compact-dedup-index <indexDir>"
  * sbt "runMain graft.tools.Cli <root> containment <docsParquet> [pct]"
  * sbt "runMain graft.tools.Cli <root> communities <docsParquet> [iterations]"
  * sbt "runMain graft.tools.Cli <root> pca-project <embParquet> <outParquet> [r]"
@@ -648,6 +649,22 @@ object Cli {
         val batch = docsTable(spark, args(3))
           .withColumn("n_chars", length(col("text")).cast("long"))
           .localCheckpoint(true)
+        // pre-join accounting readout (ppjoinPrefixAudit): the per-decade
+        // posting mass the batch is about to put through the prefix join —
+        // a heavy top decade (max_posting ~ batch size, implied_pairs
+        // quadratic) says run exact/normalized dedup FIRST. Two shuffles
+        // on rows the ingest reads anyway; printed per batch so the
+        // discipline reaches the operator actually driving ingestion.
+        val (auditPct, _) = graft.operators.CorpusOps.ppjoinIndexMeta(spark, idxDir)
+        graft.operators.CorpusOps.ppjoinPrefixAudit(batch, auditPct)
+          .collect().foreach { r =>
+            println(s"prefix-audit decade=${r.getAs[Int]("df_decade")} " +
+              s"n_grams=${r.getAs[Long]("n_grams")} " +
+              s"posting_rows=${r.getAs[Long]("posting_rows")} " +
+              s"max_posting=${r.getAs[Long]("max_posting")} " +
+              s"implied_pairs=${r.getAs[Long]("implied_pairs")} " +
+              s"top_gram=${r.getAs[String]("top_gram")}")
+          }
         val kept = graft.operators.CorpusOps.ppjoinIndexIngest(spark, idxDir, batch)
         if (args.length > 4) {
           kept.write.mode("overwrite").parquet(args(4))
@@ -659,6 +676,13 @@ object Cli {
           println(s"batch ${batch.count()} docs in, kept ${ids.length}: " +
             ids.take(50).mkString(",") + (if (ids.length > 50) ",..." else ""))
         }
+      case "compact-dedup-index" =>
+        // fold the index's committed batch dirs into one (the small-file
+        // maintenance a long-running ingest deployment schedules, same
+        // discipline as the event log's compact-small): O(1) dirs per
+        // probe afterward, probe results unchanged
+        val folded = graft.operators.CorpusOps.ppjoinIndexCompact(spark, args(2))
+        println(s"compacted dedup index at ${args(2)}: folded $folded batches")
       case "incremental-dedup-indexed" =>
         // the 100 TB ingestion shape: the accepted corpus lives as
         // APPEND-ONLY parquet index tables (prefix postings + gram sets)

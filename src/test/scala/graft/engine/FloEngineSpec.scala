@@ -119,6 +119,30 @@ class FloEngineSpec extends SparkSuite {
     assert(f.exists(lease) && leaseOwner().contains("other-engine"))
   }
 
+  test("writer lease: a torn (owner-less) lease file wedges only until its mtime goes stale") {
+    val (e, root) = newEngine()
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lease = new org.apache.hadoop.fs.Path(s"$root/default/_writer.lease")
+    // a writer that crashed between the exclusive create and the close
+    // leaves a ZERO-BYTE lease: no parsable owner, so the stale-takeover
+    // arm that keys on the owner never fires, and pre-fix the exclusive
+    // create failed on the existing file forever ('another engine
+    // (<unknown>) acquired')
+    f.create(lease, true).close()
+    // fresh mtime: a torn CONCURRENT create in progress — refuse (once)
+    val err = intercept[IllegalStateException] {
+      e.produceStrings("default", 1, Seq("/a" -> "1"))
+    }
+    assert(err.getMessage.contains("acquired the writer lease"), err.getMessage)
+    // mtime past the TTL: a crashed creation — taken over, produce works
+    f.setTimes(lease,
+      System.currentTimeMillis() - 10 * FloEngine.DefaultWriterLeaseTtlMillis, -1)
+    val acked = e.produceStrings("default", 1, Seq("/a" -> "1"))
+    assert(acked.collect().map(_.getAs[Long]("event_counter")).toSeq == Seq(1L))
+    e.close()
+  }
+
   test("writer lease: two engines racing one stale lease — exactly one wins, the loser writes nothing") {
     val (e0, root) = newEngine()
     val f = new org.apache.hadoop.fs.Path(root)

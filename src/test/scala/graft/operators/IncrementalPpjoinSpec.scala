@@ -200,6 +200,69 @@ class IncrementalPpjoinSpec extends SparkSuite {
     assert(kept2 == Set(41L), s"expected only 41 kept: $kept2")
   }
 
+  test("persisted index: compaction folds committed batches into one with identical tables and probe results") {
+    val idx = tempDir("ppjoin-compact")
+    CorpusOps.ppjoinIndexInit(spark, idx, docs(seed), pct = 50)
+    CorpusOps.ppjoinIndexIngest(spark, idx, docs(seed))
+    CorpusOps.ppjoinIndexIngest(spark, idx, docs(b1))
+    def rows(df: DataFrame, cols: String*) =
+      df.select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    val preBefore = rows(CorpusOps.ppjoinIndexPrefixes(spark, idx),
+      "gram", "doc_id", "i", "sz")
+    val setsBefore = rows(CorpusOps.ppjoinIndexSets(spark, idx),
+      "doc_id", "grams")
+    def batchDirs() = new java.io.File(s"$idx/batches").listFiles()
+      .filter(_.getName.startsWith("b")).map(_.getName).toSet
+    assert(batchDirs().size == 3, s"init + 2 ingests: ${batchDirs()}")
+
+    assert(CorpusOps.ppjoinIndexCompact(spark, idx) == 3)
+    assert(rows(CorpusOps.ppjoinIndexPrefixes(spark, idx),
+      "gram", "doc_id", "i", "sz") == preBefore)
+    assert(rows(CorpusOps.ppjoinIndexSets(spark, idx),
+      "doc_id", "grams") == setsBefore)
+    assert(batchDirs().size == 1,
+      s"superseded batch dirs must be swept: ${batchDirs()}")
+    assert(CorpusOps.ppjoinIndexCompact(spark, idx) == 0,
+      "a single-batch index has nothing to fold")
+    // the folded index still probes identically: 50 dups accepted 31,
+    // 40/41 keep-best keeps 41 — the same verdicts as the uncompacted
+    // replay leg above
+    val kept = CorpusOps.ppjoinIndexIngest(spark, idx, docs(b2))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(41L), s"expected only 41 kept after compaction: $kept")
+  }
+
+  test("persisted index: a mutator usurped mid-ingest aborts before its commit marker lands") {
+    val idx = tempDir("ppjoin-usurp")
+    CorpusOps.ppjoinIndexInit(spark, idx, docs(seed), pct = 50)
+    CorpusOps.ppjoinIndexIngest(spark, idx, docs(seed))
+    val before = CorpusOps.ppjoinIndexSets(spark, idx)
+      .select("doc_id").as[Long].collect().toSet
+    val markerPath = s"$idx/_mutating"
+    // the batch plan usurps the guard marker when first evaluated —
+    // simulating a takeover landing while this ingest computes its step
+    val usurp = udf { (id: Long) =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(markerPath),
+        "usurper ingest".getBytes("UTF-8"))
+      id >= 0
+    }
+    val err = intercept[IllegalStateException] {
+      CorpusOps.ppjoinIndexIngest(spark, idx, docs(b1).filter(usurp(col("doc_id"))))
+    }
+    assert(err.getMessage.contains("no longer owned"), err.getMessage)
+    // usurper's marker intact; no batch committed; only a torn dir that
+    // the next mutation sweeps
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(markerPath)), "UTF-8").startsWith("usurper"))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(markerPath))
+    assert(CorpusOps.ppjoinIndexSets(spark, idx)
+      .select("doc_id").as[Long].collect().toSet == before,
+      "the aborted ingest must not have committed anything")
+    val kept = CorpusOps.ppjoinIndexIngest(spark, idx, docs(b1))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(31L), s"recovery ingest verdicts unchanged: $kept")
+  }
+
   test("frozen order is lossless: indexed cross verdicts equal the brute cross join") {
     val orderT = CorpusOps.ppjoinFrozenOrder(docs(seed)).localCheckpoint(true)
     // accepted = seed + b1 (as indexed), probe = b2 (all-unseen grams in
