@@ -172,7 +172,18 @@ final class FloEngine(
     val now = System.currentTimeMillis()
     readLease(stream) match {
       case Some((owner, _)) if owner == engineId =>
-        touchLease(stream) // refresh heartbeat
+        // refresh heartbeat; the lease can vanish between the read and the
+        // touch (a concurrent takeover's rename-aside after this JVM
+        // stalled past the TTL) — setTimes then throws a raw FNFE, which
+        // is lease LOSS, reported loudly like any other takeover
+        try touchLease(stream)
+        catch { case _: java.io.FileNotFoundException =>
+          heldLeases.remove(stream)
+          throw new IllegalStateException(
+            s"writer lease for stream `$stream` under $root vanished " +
+              "mid-refresh (a concurrent takeover renamed it aside) — " +
+              "this engine was stalled past the lease TTL and must not produce")
+        }
       case Some((owner, hb)) if hb - now > writerLeaseTtlMillis =>
         // a heartbeat more than a TTL in the FUTURE can never go stale by
         // this engine's clock: the writers' clocks disagree by more than
@@ -205,6 +216,15 @@ final class FloEngine(
         val f = fs(root)
         val aside = new Path(
           s"${streamDir(stream)}/.${FloEngine.WriterLeaseFile}.stale.$engineId")
+        // RawLocalFileSystem.rename falls back to FileUtil.copy when the
+        // native renameTo fails, and copy's getFileStatus(src) throws a RAW
+        // FileNotFoundException when a concurrent takeover renamed the
+        // source away first — that is the LOST-THE-RENAME-RACE shape, not
+        // an I/O failure, so it maps to false (the exclusive create below
+        // adjudicates) instead of escaping as a bare FNFE.
+        def renameAside(): Boolean =
+          try f.rename(leasePath(stream), aside)
+          catch { case _: java.io.FileNotFoundException => false }
         other.foreach { case (owner, hb) =>
           FloEngine.log.warn(s"taking over stale writer lease for " +
             s"`$stream` (owner $owner, heartbeat ${now - hb} ms old)")
@@ -217,7 +237,7 @@ final class FloEngine(
           // new lease makes it fail loudly; a release in between lets it
           // succeed).
           f.delete(aside, false) // leftover from this engine's past takeover
-          if (f.rename(leasePath(stream), aside)) f.delete(aside, false)
+          if (renameAside()) f.delete(aside, false)
         }
         if (other.isEmpty) {
           // readLease == None covers TWO on-disk states: no lease file,
@@ -237,7 +257,7 @@ final class FloEngine(
                 s"lease for `$stream` (mtime ${now - st.getModificationTime} " +
                 "ms old — a writer crashed inside lease creation)")
               f.delete(aside, false)
-              if (f.rename(leasePath(stream), aside)) f.delete(aside, false)
+              if (renameAside()) f.delete(aside, false)
             }
           } catch { case _: java.io.FileNotFoundException => () }
         }

@@ -35,6 +35,20 @@ private[operators] object MutationGuard {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
+  /** Same-JVM acquisition serialization, one lock per marker path — the
+    * [[graft.engine.FloEngine]] `leaseLock` discipline. The filesystem
+    * protocol alone cannot give one-winner takeover on RawLocalFileSystem
+    * (a loser whose rename lands AFTER the winner's fresh re-create
+    * renames the WINNER's marker aside), and same-process threads are the
+    * common racers (CLI verbs, test harnesses, a driver running parallel
+    * jobs). Cross-process, the residual window is narrowed by the
+    * re-stat immediately before the rename and closed at the commit edge
+    * by [[Handle.verifyOwnership]]. */
+  private val acquireLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def acquireLock(g: Path): Object =
+    acquireLocks.computeIfAbsent(g.toString, _ => new Object)
+
   /** The guarded op's view of its own marker: the commit-edge re-verify. */
   final class Handle private[MutationGuard] (
       f: FileSystem, g: Path, ownerToken: String, subject: String) {
@@ -83,30 +97,49 @@ private[operators] object MutationGuard {
           finally in.close()
         content.startsWith(ownerToken)
       } catch { case _: java.io.IOException => false }
-    if (!tryAcquire()) {
-      val st = try Some(f.getFileStatus(g)) catch { case _: Exception => None }
-      val now = System.currentTimeMillis()
-      st match {
-        case Some(s) if now - s.getModificationTime < ttlMillis =>
-          throw new IllegalStateException(
-            s"$subject is being mutated by another operation " +
-              s"(marker heartbeat ${now - s.getModificationTime} ms ago, " +
-              s"TTL $ttlMillis ms): one mutator at a time — " +
-              "wait for it to finish, or for a crashed one's marker to go " +
-              "stale (taken over automatically)")
-        case _ =>
-          log.warn(s"taking over stale mutation marker for $subject " +
-            "(crashed mutator; every mutation commits crash-safe)")
-          // rename ASIDE, not delete: exactly one of N concurrent
-          // takeovers wins the rename (the losers' renames fail on the
-          // vanished source and their exclusive creates below lose to
-          // the winner's fresh marker); delete-then-create would let a
-          // second takeover delete the first winner's FRESH marker
-          val aside = new Path(g.getParent,
-            s".${g.getName}.stale.$ownerToken")
-          if (f.rename(g, aside)) f.delete(aside, false)
-          if (!tryAcquire()) throw new IllegalStateException(
-            s"$subject: another mutator acquired the marker concurrently")
+    acquireLock(g).synchronized {
+      if (!tryAcquire()) {
+        val st = try Some(f.getFileStatus(g)) catch { case _: Exception => None }
+        val now = System.currentTimeMillis()
+        st match {
+          case Some(s) if now - s.getModificationTime < ttlMillis =>
+            throw new IllegalStateException(
+              s"$subject is being mutated by another operation " +
+                s"(marker heartbeat ${now - s.getModificationTime} ms ago, " +
+                s"TTL $ttlMillis ms): one mutator at a time — " +
+                "wait for it to finish, or for a crashed one's marker to go " +
+                "stale (taken over automatically)")
+          case _ =>
+            log.warn(s"taking over stale mutation marker for $subject " +
+              "(crashed mutator; every mutation commits crash-safe)")
+            // rename ASIDE, not delete: exactly one of N concurrent
+            // takeovers wins the rename (the losers' renames fail on the
+            // vanished source and their exclusive creates below lose to
+            // the winner's fresh marker); delete-then-create would let a
+            // second takeover delete the first winner's FRESH marker.
+            // Re-stat at the rename edge: a cross-process winner that
+            // already renamed + re-created leaves a FRESH marker here,
+            // and renaming that would usurp it — abort instead (the
+            // same-JVM case is fully serialized by acquireLock).
+            val fresh = try {
+              System.currentTimeMillis() -
+                f.getFileStatus(g).getModificationTime < ttlMillis
+            } catch { case _: java.io.FileNotFoundException => false }
+            if (fresh) throw new IllegalStateException(
+              s"$subject: another mutator took the stale marker over " +
+                "concurrently (its heartbeat is fresh) — one mutator at a time")
+            val aside = new Path(g.getParent,
+              s".${g.getName}.stale.$ownerToken")
+            // RawLocalFileSystem.rename's copy fallback throws a raw FNFE
+            // when a cross-process racer renamed the source away first —
+            // that's the lost-the-race shape; tryAcquire below adjudicates
+            val renamed =
+              try f.rename(g, aside)
+              catch { case _: java.io.FileNotFoundException => false }
+            if (renamed) f.delete(aside, false)
+            if (!tryAcquire()) throw new IllegalStateException(
+              s"$subject: another mutator acquired the marker concurrently")
+        }
       }
     }
     val hb = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(

@@ -96,12 +96,19 @@ object Cli {
       sys.exit(2)
     }
     val root = args(0)
-    val spark = SparkSession.builder()
+    // embedded-vs-standalone: when a session already exists in this JVM
+    // (a test harness or host app driving verbs in-process), use it and
+    // do NOT stop it on exit — stopping the host's shared context kills
+    // every later consumer. A fresh JVM (the normal CLI run) builds its
+    // own session and stops it at the end as before.
+    val preexisting = SparkSession.getDefaultSession
+      .filter(s => !s.sparkContext.isStopped)
+    val spark = preexisting.getOrElse(SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+      .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
     val engine = new FloEngine(spark, root)
 
@@ -984,7 +991,7 @@ object Cli {
     // re-run on the same root inside the lease TTL would otherwise be
     // refused as a second live writer
     engine.close()
-    spark.stop()
+    if (preexisting.isEmpty) spark.stop()
   }
 
   /** Documents-shaped read for corpus verbs: (doc_id: long, text). */
