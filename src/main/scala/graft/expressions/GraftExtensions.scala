@@ -18,6 +18,7 @@ import org.apache.spark.unsafe.types.UTF8String
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotFunction)
+    ext.injectFunction(GraftExtensions.dotlFunction)
     ext.injectFunction(GraftExtensions.nsGlobFunction)
     ext.injectFunction(GraftExtensions.lshBandsFunction)
     ext.injectFunction(GraftExtensions.unitFunction)
@@ -46,6 +47,14 @@ object GraftExtensions {
     { (children: Seq[Expression]) =>
       require(children.size == 2, "graft_dot expects exactly 2 arguments")
       DotProduct(children.head, children(1))
+    })
+
+  private val dotlFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_dotl"),
+    new ExpressionInfo(classOf[DotProductLong].getName, "graft_dotl"),
+    { (children: Seq[Expression]) =>
+      require(children.size == 2, "graft_dotl expects exactly 2 arguments")
+      DotProductLong(children.head, children(1))
     })
 
   /** `ns_glob(namespace, 'pattern')` in SQL: the pattern must be a string
@@ -242,7 +251,7 @@ object GraftExtensions {
   /** Runtime registration into an existing session (idempotent). */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    Seq(dotFunction, nsGlobFunction, lshBandsFunction, unitFunction,
+    Seq(dotFunction, dotlFunction, nsGlobFunction, lshBandsFunction, unitFunction,
         nfcFunction, subFunction, int8StatsFunction, topKFunction,
         heavyHittersFunction, bloomContainsFunction, zorderFunction,
         zorder3Function, hilbertFunction).foreach { fn =>

@@ -1512,7 +1512,14 @@ object CorpusOps {
       explode(split(lower(trim(col("text"))), " +")).as("term"))
     val nDocs = documents.agg(count(lit(1)).as("n_docs"))
     val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfTab = words.groupBy("term").agg(countDistinct("doc_id").as("df"))
+    // df from the tf rows, not a second pass over `words`: tf holds exactly
+    // one row per (doc, term), so count-per-term ≡ countDistinct(doc_id)
+    // bit-for-bit — and the tf exchange is IDENTICAL in both branches, so
+    // Spark's ReuseExchange evaluates the corpus explode once where the
+    // countDistinct formulation re-scanned and re-exploded the whole corpus
+    // (guide §2.3/§2.4: one corpus pass, one (doc,term) shuffle, then a
+    // term-keyed agg over the already-collapsed pairs)
+    val dfTab = tf.groupBy("term").agg(count(lit(1)).as("df"))
     tf.join(dfTab, Seq("term"))
       .crossJoin(broadcast(nDocs))
       .withColumn("score", col("tf") * expr("n_docs * 10000L div df"))
@@ -2375,22 +2382,44 @@ object CorpusOps {
       df: DataFrame, zvalCol: String, tieCol: String, zvalBits: Int,
       rankCol: String, cellBits: Int = 12): DataFrame = {
     require(zvalBits > 0 && cellBits > 0, s"positive bit widths")
-    val s = df.sparkSession
     val shift = math.max(zvalBits - cellBits, 0)
-    // deliberately NOT cached/checkpointed: the histogram pass is a
-    // narrow map-side-combined aggregation over the upstream plan and the
-    // final pass re-reads it with column pruning — two cheap passes beat
-    // pinning the full frame in the block manager (measured equal at
-    // sf0.1, and at scale the cache write is pure storage pressure)
     val withCell = df.withColumn("__cell",
       expr(s"shiftright($zvalCol, $shift)"))
-    val hist = withCell.groupBy("__cell")
-      .agg(count(lit(1)).as("cnt"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-    val offsets = hist.scanLeft(0L)(_ + _._2).zip(hist)
-      .map { case (before, (cell, _)) => (cell, before) }
-    import s.implicits._
-    val offT = offsets.toSeq.toDF("__cell", "__off")
+    // per-cell counts: one map-side-combined aggregation, ≤ 2^cellBits rows
+    val cellCounts = withCell.groupBy("__cell").agg(count(lit(1)).as("__cnt"))
+    // Per-cell global offset = Σ counts of strictly-smaller cells, computed
+    // LAZILY — no driver collect, no single-partition window. The r11/r12
+    // bench showed per-ACTION overhead, not arithmetic, dominating this
+    // family: a collect()ed histogram makes the rank 2 actions and
+    // re-executes the caller's scan + broadcast-stats upstream once per
+    // action (pinning traded that for a checkpoint job, measured no
+    // better); lazy offsets fold everything into the caller's ONE action.
+    // The prefix sum itself is two-level so it stays bounded AND spread:
+    // coarse cells (the high cellBits/2 bits) prefix via a ≤ 2^cellBits-
+    // pair broadcast nested-loop (64×64 at the default), and the
+    // within-coarse prefix via a window PARTITIONED by coarse cell
+    // (≤ 2^cellBits rows total, never a single-partition funnel). A flat
+    // one-level self-join was measured at ~1 s: 2^(2·cellBits) = 16.7 M
+    // pair rows through the aggregate. Cells with no smaller coarse
+    // neighbor keep offset 0 via the left join.
+    val coarseShiftBits = cellBits - cellBits / 2
+    val withCoarse = cellCounts.withColumn("__coarse",
+      expr(s"shiftright(__cell, $coarseShiftBits)"))
+    val coarseCounts = withCoarse.groupBy("__coarse")
+      .agg(sum("__cnt").as("__ccnt"))
+    val coarseOff = coarseCounts.select(col("__coarse"))
+      .join(broadcast(coarseCounts
+          .select(col("__coarse").as("__bc"), col("__ccnt").as("__bn"))),
+        col("__bc") < col("__coarse"), "left")
+      .groupBy("__coarse")
+      .agg(coalesce(sum("__bn"), lit(0L)).as("__coff"))
+    val wi = org.apache.spark.sql.expressions.Window
+      .partitionBy("__coarse").orderBy("__cell")
+    val offT = withCoarse
+      .withColumn("__within",
+        sum(col("__cnt")).over(wi) - col("__cnt"))
+      .join(broadcast(coarseOff), "__coarse")
+      .select(col("__cell"), (col("__coff") + col("__within")).as("__off"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("__cell").orderBy(col(zvalCol), col(tieCol))
     withCell.join(broadcast(offT), "__cell")

@@ -240,7 +240,10 @@ object MultimodalQueries {
     // no-all-pairs plan shape.
     "mm_image_neardup" -> ((s, d) => {
       import s.implicits._
-      val base = Multimodal.documentsAsMedia(s, d)
+      // pin the synthesized corpus: `base.union(probes)` otherwise runs
+      // the raster+encode map once for the base leg and AGAIN under the
+      // probe derivation (no exchange to reuse across the union branches)
+      val base = Multimodal.documentsAsMedia(s, d).localCheckpoint(true)
       val probes = base.filter(_.doc_id % 10 == 0).map { m =>
         val px = Multimodal.decodeBmp(m.data).get._3
         // nudge one pixel: below-mean stays below (ascii letters ~97-122,
@@ -265,7 +268,8 @@ object MultimodalQueries {
     // recall, and the plan shape via the shared kernel.
     "mm_audio_neardup" -> ((s, d) => {
       import s.implicits._
-      val base = Multimodal.documentsAsAudio(s, d)
+      // pin: union(base, probes) double-executes the synthesis otherwise
+      val base = Multimodal.documentsAsAudio(s, d).localCheckpoint(true)
       val probes = base.filter(_.doc_id % 10 == 0).map { a =>
         val (rate, samples) = Multimodal.decodeWavPcm16(a.data).get
         val s2 = samples.clone(); s2(0) = (s2(0) + 1).toShort
@@ -286,7 +290,8 @@ object MultimodalQueries {
     // invariance, recall, and the twin below hash-checks the downstream.
     "mm_image_phash" -> ((s, d) => {
       import s.implicits._
-      val base = Multimodal.documentsAsPngMedia(s, d)
+      // pin: union(base, probes) double-executes the PNG encode otherwise
+      val base = Multimodal.documentsAsPngMedia(s, d).localCheckpoint(true)
       val probes = base.filter(_.doc_id % 10 == 0).map { m =>
         val (w, h, px) = Multimodal.decodeImageIO(m.data).get
         val px2 = px.map(p => math.min(255, p + 20))
@@ -310,7 +315,8 @@ object MultimodalQueries {
     // residual-safe (1.0 s).
     "mm_image_phash_verified" -> ((s, d) => {
       import s.implicits._
-      val base = Multimodal.documentsAsPngMedia(s, d)
+      // pin: union(base, probes) double-executes the PNG encode otherwise
+      val base = Multimodal.documentsAsPngMedia(s, d).localCheckpoint(true)
       val probes = base.filter(_.doc_id % 10 == 0).map { m =>
         val (w, h, px) = Multimodal.decodeImageIO(m.data).get
         val px2 = px.map(p => math.min(255, p + 20))
@@ -344,7 +350,8 @@ object MultimodalQueries {
     // hash-checks the matching layer.
     "mm_video_neardup" -> ((s, d) => {
       import s.implicits._
-      val base = Multimodal.documentsAsVideo(s, d)
+      // pin: union(base, probes) double-executes the AVI synthesis otherwise
+      val base = Multimodal.documentsAsVideo(s, d).localCheckpoint(true)
       val probes = base.filter(_.doc_id % 10 == 0).map { v =>
         val (w, h, frames) = Multimodal.decodeAviFrames(v.data).get
         v.copy(doc_id = v.doc_id + 10000000L,
@@ -360,7 +367,8 @@ object MultimodalQueries {
     // shared-count threshold — 64-bit integer equality end to end.
     "mm_video_neardup_verified" -> ((s, d) => {
       import s.implicits._
-      val base = Multimodal.documentsAsVideo(s, d)
+      // pin: union(base, probes) double-executes the AVI synthesis otherwise
+      val base = Multimodal.documentsAsVideo(s, d).localCheckpoint(true)
       val probes = base.filter(_.doc_id % 10 == 0).map { v =>
         val (w, h, frames) = Multimodal.decodeAviFrames(v.data).get
         v.copy(doc_id = v.doc_id + 10000000L,
@@ -382,7 +390,8 @@ object MultimodalQueries {
     // oracle recomputes every segment from the exported energies.
     "mm_audio_segments_verified" -> ((s, d) => {
       import s.implicits._
-      val base = Multimodal.documentsAsToneAudio(s, d)
+      // pin: union(base, probes) double-executes the synthesis otherwise
+      val base = Multimodal.documentsAsToneAudio(s, d).localCheckpoint(true)
       val probes = base.filter(_.doc_id % 10 == 0).map { a =>
         val (rate, samples) = Multimodal.decodeWavPcm16(a.data).get
         val gapped = samples.zipWithIndex.map { case (v, i) =>
@@ -413,7 +422,10 @@ object MultimodalQueries {
     // a binary hamming verify can't give.
     "mm_image_ssim_verified" -> ((s, d) => {
       import s.implicits._
-      val base = Multimodal.documentsAsMedia(s, d)
+      // pin the synthesized corpus: `base.union(probes)` otherwise runs
+      // the raster+encode map once for the base leg and AGAIN under the
+      // probe derivation (no exchange to reuse across the union branches)
+      val base = Multimodal.documentsAsMedia(s, d).localCheckpoint(true)
       val probes = base.filter(_.doc_id % 10 == 0).map { m =>
         val px = Multimodal.decodeBmp(m.data).get._3
         val px2 = px.map(p => math.min(255, p + 10))
@@ -485,7 +497,8 @@ object MultimodalQueries {
     // hash-checks the entire landmark/vote downstream.
     "mm_audio_spectral" -> ((s, d) => {
       import s.implicits._
-      val base = Multimodal.documentsAsToneAudio(s, d)
+      // pin: union(base, probes) double-executes the synthesis otherwise
+      val base = Multimodal.documentsAsToneAudio(s, d).localCheckpoint(true)
       val probes = base.filter(_.doc_id % 10 == 0).map { a =>
         val (rate, samples) = Multimodal.decodeWavPcm16(a.data).get
         val s2 = samples.map(v => (v / 2).toShort)
@@ -506,7 +519,8 @@ object MultimodalQueries {
     // match proves the entire matching layer engine-independently.
     "mm_audio_spectral_verified" -> ((s, d) => {
       import s.implicits._
-      val base = Multimodal.documentsAsToneAudio(s, d)
+      // pin: union(base, probes) double-executes the synthesis otherwise
+      val base = Multimodal.documentsAsToneAudio(s, d).localCheckpoint(true)
       val probes = base.filter(_.doc_id % 10 == 0).map { a =>
         val (rate, samples) = Multimodal.decodeWavPcm16(a.data).get
         val s2 = samples.map(v => (v / 2).toShort)
@@ -547,7 +561,10 @@ object MultimodalQueries {
     // bit arithmetic end to end, same probe protocol as mm_image_neardup.
     "mm_image_neardup_verified" -> ((s, d) => {
       import s.implicits._
-      val base = Multimodal.documentsAsMedia(s, d)
+      // pin the synthesized corpus: `base.union(probes)` otherwise runs
+      // the raster+encode map once for the base leg and AGAIN under the
+      // probe derivation (no exchange to reuse across the union branches)
+      val base = Multimodal.documentsAsMedia(s, d).localCheckpoint(true)
       val probes = base.filter(_.doc_id % 10 == 0).map { m =>
         val px = Multimodal.decodeBmp(m.data).get._3
         val px2 = px.clone(); px2(0) = math.min(255, px2(0) + 1)
@@ -564,7 +581,8 @@ object MultimodalQueries {
     // hamming downstream recomputes in both engines
     "mm_audio_neardup_verified" -> ((s, d) => {
       import s.implicits._
-      val base = Multimodal.documentsAsAudio(s, d)
+      // pin: union(base, probes) double-executes the synthesis otherwise
+      val base = Multimodal.documentsAsAudio(s, d).localCheckpoint(true)
       val probes = base.filter(_.doc_id % 10 == 0).map { a =>
         val (rate, samples) = Multimodal.decodeWavPcm16(a.data).get
         val s2 = samples.clone(); s2(0) = (s2(0) + 1).toShort

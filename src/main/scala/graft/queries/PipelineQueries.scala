@@ -124,11 +124,18 @@ object PipelineQueries {
       val all = docs(s, d)
       val eval = all.filter(pmod(col("doc_id"), lit(20)) === 0)
       val train = all.filter(pmod(col("doc_id"), lit(20)) =!= 0)
+      // pin the two verdict id-tables (tiny: flagged/dropped doc ids):
+      // c1 feeds both the winnow stage and c2, and c2 feeds both the
+      // Neyman sample and the final report — unpinned, each downstream
+      // consumer re-runs the whole upstream fingerprint pipeline; pinned,
+      // re-deriving c1/c2 costs one corpus scan + an anti join against a
+      // cached id list (the heavy frames themselves stay unpinned — at
+      // scale only the ids are worth block storage)
       val flagged = Ops.decontaminateFuzzy(train, eval, minShared = 2)
-        .select("doc_id").distinct()
+        .select("doc_id").distinct().localCheckpoint(true)
       val c1 = train.join(flagged, Seq("doc_id"), "left_anti")
       val dropB = Ops.winnowPairs(c1, k = 4, w = 4, pct = 50)
-        .select(col("doc_b").as("doc_id")).distinct()
+        .select(col("doc_b").as("doc_id")).distinct().localCheckpoint(true)
       val c2 = c1.join(dropB, Seq("doc_id"), "left_anti")
       val sel = Ops.neymanSample(c2, k = 50)
       c2.join(sel.select("doc_id"), "doc_id")
@@ -501,9 +508,13 @@ object PipelineQueries {
       val base = docs(s, d)
       graft.operators.QualityModel
         .ensureModel(base, TextQueries.QualityModelFixturePath, identity = d)
+      // pin the (doc_id, score_fp) frame: exactQuantiles scans it 3x and
+      // the phase verdict once more — unpinned, each pass re-runs the
+      // model scoring (weights join + dot) over the whole corpus
       val scored = graft.operators.QualityModel
         .scoreAgainst(base, TextQueries.QualityModelFixturePath)
         .select(col("doc_id"), col("score_fp"))
+        .localCheckpoint(true)
       val qs = graft.operators.Quantiles
         .exactQuantiles(
           scored.withColumn("g", lit(1))
@@ -560,8 +571,13 @@ object PipelineQueries {
     // binary-exact half (the q_mad bit-identity argument); degenerate
     // MAD=0 sources fall back to a 1-token band.
     "pipe_length_outliers" -> ((s, d) => {
+      // pin the (source, token-count) projection: two exactQuantiles
+      // passes (3 scans each) + the deviation rejoin + the final verdict
+      // scan re-run the full-text regexp split ~8x unpinned; pinned, the
+      // regex runs once and every pass reads 16-byte cached rows
       val t = docs(s, d).select(col("source"),
         size(split(trim(col("text")), " +")).cast("double").as("x"))
+        .localCheckpoint(true)
       val med = graft.operators.Quantiles
         .exactQuantiles(t, Seq("source"), "x", Seq(0.5))
         .select(col("source"), col("q_0").as("med"))

@@ -305,8 +305,13 @@ object ScalarQueries {
     // doubles agree bit-for-bit (a fractional-cents column would leave
     // the deviations one ulp apart across engines)
     "q_mad" -> ((s, d) => {
+      // pin the 2-column projection: the two exactQuantiles passes scan
+      // their input 3x each (brackets / anchors / rank-select) plus the
+      // deviation rejoin — unpinned, that is ~7 executions of the base
+      // scan; pinned, one parquet read and 7 cache reads of 9-byte rows
       val li = Tables.load(s, d, "lineitem")
         .select(col("l_returnflag"), col("l_quantity").cast("double").as("x"))
+        .localCheckpoint(true)
       val med = graft.operators.Quantiles
         .exactQuantiles(li, Seq("l_returnflag"), "x", Seq(0.5))
         .select(col("l_returnflag"), col("q_0").as("med"))

@@ -549,20 +549,39 @@ object SimilarityQueries {
     // Pairs sharing no bucket have dot 0 and drop; identical semantics in
     // the oracle, so the hash match proves vectors AND ranking.
     "sim_text_knn" -> ((s, d) => {
-      // pin the vectors: probes and the corpus side both read them, and
-      // the lazy lineage would re-run the tf/df pipeline per reference
+      graft.expressions.GraftExtensions.register(s)
+      // Dense 64-bucket long vectors + codegen'd exact integer dots
+      // (graft_dotl) instead of the sparse (doc, bucket, weight) bucket
+      // equi-join: these vectors are DENSE in all 64 buckets, so the
+      // sparse join materialized |probes|·|corpus|·64 rows (55 M at
+      // sf0.1) through a hash aggregate just to sum 64 products per pair
+      // — the dense broadcast-NLJ evaluates the same exact integer sum
+      // in one fused loop per pair, no pair-explosion shuffle. Pair
+      // inclusion is preserved bit-for-bit: the sparse join emitted
+      // (q, n) iff they share ≥ 1 mutually-nonzero bucket ⟺
+      // Σ|wq|·|wc| > 0, and absent sparse rows are exactly the zero
+      // weights, so the dense dot equals the sparse sum. Pinned AFTER
+      // the per-doc densify so the HOF map-build never rides the
+      // pair loop (the HOF-poisoning discipline, PLANS.md).
       val vecs = graft.operators.CorpusOps
         .hashedTfidf(Tables.load(s, d, "documents"), buckets = 64)
+      val dense = vecs.groupBy("doc_id")
+        .agg(collect_list(struct(col("bucket"), col("weight"))).as("bw"))
+        .select(col("doc_id"), expr(
+          "transform(sequence(0, 63), b -> coalesce(" +
+            "element_at(map_from_entries(bw), cast(b as bigint)), 0L))").as("v"))
+        .withColumn("a", expr("transform(v, x -> abs(x))"))
         .localCheckpoint(true)
-      val probes = vecs.filter(col("doc_id") % 29 === 0)
-        .select(col("doc_id").as("query_id"), col("bucket"),
-          col("weight").as("wq"))
-      val dots = probes
-        .join(vecs.select(col("doc_id").as("neighbor_id"), col("bucket"),
-          col("weight").as("wc")), Seq("bucket"))
-        .filter(col("query_id") =!= col("neighbor_id"))
-        .groupBy("query_id", "neighbor_id")
-        .agg(sum(col("wq") * col("wc")).as("dot"))
+      val probes = dense.filter(col("doc_id") % 29 === 0)
+        .select(col("doc_id").as("query_id"),
+          col("v").as("qv"), col("a").as("qa"))
+      val dots = broadcast(probes)
+        .join(dense.select(col("doc_id").as("neighbor_id"),
+            col("v").as("nv"), col("a").as("na")),
+          col("query_id") =!= col("neighbor_id") &&
+            expr("graft_dotl(qa, na)") > 0)
+        .select(col("query_id"), col("neighbor_id"),
+          expr("graft_dotl(qv, nv)").as("dot"))
       val w = Window.partitionBy("query_id")
         .orderBy(col("dot").desc, col("neighbor_id"))
       dots.withColumn("rank", row_number().over(w))
