@@ -1515,11 +1515,16 @@ object CorpusOps {
     // df from the tf rows, not a second pass over `words`: tf holds exactly
     // one row per (doc, term), so count-per-term ≡ countDistinct(doc_id)
     // bit-for-bit — and the tf exchange is IDENTICAL in both branches, so
-    // Spark's ReuseExchange evaluates the corpus explode once where the
+    // AQE's stage cache evaluates the corpus explode once where the
     // countDistinct formulation re-scanned and re-exploded the whole corpus
     // (guide §2.3/§2.4: one corpus pass, one (doc,term) shuffle, then a
-    // term-keyed agg over the already-collapsed pairs)
-    val dfTab = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // term-keyed agg over the already-collapsed pairs).
+    // count(tf) not count(1): counting a literal lets the optimizer prune
+    // the tf value from this branch's partial aggregate, and the pruned
+    // subtree no longer canonicalizes equal to the join branch — stage
+    // reuse silently stops firing and the corpus explodes twice (verified
+    // against the executed plan; count(tf) ≡ count(1), tf is never null)
+    val dfTab = tf.groupBy("term").agg(count(col("tf")).as("df"))
     tf.join(dfTab, Seq("term"))
       .crossJoin(broadcast(nDocs))
       .withColumn("score", col("tf") * expr("n_docs * 10000L div df"))

@@ -52,15 +52,28 @@ object PrepPipeline {
     val cleaned = materialize(
       base.withColumn("text", call_function("graft_nfc", collapsed)))
     QualityModel.writeModel(cleaned, weightsPath)
-    val gated = cleaned.join(
-      QualityModel.scoreAgainst(cleaned, weightsPath)
-        .filter(col("predicted")).select("doc_id"), "doc_id")
+    // pin the two verdict ID-SETS (doc_id only — tiny), not the gated/
+    // deduped corpora: `gated` feeds three consumers (chunk export, dedup
+    // stats, the dedup join) and `dedup` five (ratio table, gumbel table,
+    // DSIR scoring, resample, final report), so unpinned each consumer
+    // re-ran the classifier scoring / span aggregation from scratch;
+    // pinned, re-deriving gated/dedup is a join of the already-pinned
+    // cleaned frame against a cached id list, and the heavy text frames
+    // never enter block storage (the at-scale concern `materialize`
+    // documents)
+    // broadcast hints are load-bearing on the pinned id lists: a
+    // localCheckpoint frame reports worst-case size statistics, so
+    // without the hint the planner downgrades these joins to sort-merge
+    // (measured +2.8 s on this query at sf0.1)
+    val passIds = QualityModel.scoreAgainst(cleaned, weightsPath)
+      .filter(col("predicted")).select("doc_id").localCheckpoint(true)
+    val gated = cleaned.join(broadcast(passIds), "doc_id")
     CdcChunker.chunkTable(gated)
       .write.mode("overwrite").parquet(spansPath)
-    val dedup = gated.join(
-      CdcChunker.dedupStats(gated, s.read.parquet(spansPath))
-        .filter(col("dup_chars") * 2 <= col("total_chars")).select("doc_id"),
-      "doc_id")
+    val keepIds = CdcChunker.dedupStats(gated, s.read.parquet(spansPath))
+      .filter(col("dup_chars") * 2 <= col("total_chars")).select("doc_id")
+      .localCheckpoint(true)
+    val dedup = gated.join(broadcast(keepIds), "doc_id")
     Dsir.ratioTable(dedup, dedup.filter(col("lang") === "en"), dsirBuckets)
       .write.mode("overwrite").parquet(ratiosPath)
     Dsir.gumbelTable(dedup)

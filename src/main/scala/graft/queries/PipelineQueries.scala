@@ -131,12 +131,15 @@ object PipelineQueries {
       // re-deriving c1/c2 costs one corpus scan + an anti join against a
       // cached id list (the heavy frames themselves stay unpinned — at
       // scale only the ids are worth block storage)
+      // broadcast hints: pinned (localCheckpoint) frames report
+      // worst-case size stats, which would downgrade the anti joins
+      // to sort-merge
       val flagged = Ops.decontaminateFuzzy(train, eval, minShared = 2)
         .select("doc_id").distinct().localCheckpoint(true)
-      val c1 = train.join(flagged, Seq("doc_id"), "left_anti")
+      val c1 = train.join(broadcast(flagged), Seq("doc_id"), "left_anti")
       val dropB = Ops.winnowPairs(c1, k = 4, w = 4, pct = 50)
         .select(col("doc_b").as("doc_id")).distinct().localCheckpoint(true)
-      val c2 = c1.join(dropB, Seq("doc_id"), "left_anti")
+      val c2 = c1.join(broadcast(dropB), Seq("doc_id"), "left_anti")
       val sel = Ops.neymanSample(c2, k = 50)
       c2.join(sel.select("doc_id"), "doc_id")
         .select(col("lang"),

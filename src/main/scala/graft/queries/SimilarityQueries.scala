@@ -440,9 +440,13 @@ object SimilarityQueries {
       val residD2 = Ann.pqAssign(
         Ann.pqSubvectors(resid, Dim, PqSubs, vecCol = "rv"), cb,
         carrySubvectors = false)
+      // pin the raw subvectors: the codebook train consumes them three
+      // times (init-id distinct, init join, Lloyd assign) plus the final
+      // assign — each re-ran the emb scan + unit + explode otherwise
       val subRaw = Ann.pqSubvectors(
         emb(s, d).select(col("vec_id").as("id"),
           expr("graft_unit(v)").as("uv")), Dim, PqSubs, vecCol = "uv")
+        .localCheckpoint(true)
       val rawD2 = Ann.pqAssign(subRaw, Ann.pqCodebooks(subRaw, IdxCodes),
         carrySubvectors = false)
       def mse(df: DataFrame, tag: String) = df
@@ -508,9 +512,12 @@ object SimilarityQueries {
         .join(broadcast(s.read.parquet(s"$p/means")), "cell")
         .select(col("id"), expr("graft_sub(uv, mv)").as("rv"))
       val residSub = Ann.pqSubvectors(resid, Dim, PqSubs, vecCol = "rv")
+      // pin: the fixture export AND the codebook train (3 internal
+      // consumers) read the raw subvectors
       val rawSub = Ann.pqSubvectors(
         emb(s, d).select(col("vec_id").as("id"),
           expr("graft_unit(v)").as("uv")), Dim, PqSubs, vecCol = "uv")
+        .localCheckpoint(true)
       val rawCb = Ann.pqCodebooks(rawSub, IdxCodes)
       residSub.select(lit("residual_ivfadc").as("variant"), col("id"),
           col("sub_idx"), fp("sv").as("sv_fp"))

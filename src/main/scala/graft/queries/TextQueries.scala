@@ -629,8 +629,11 @@ object TextQueries {
           "transform(sequence(1, size(w) - 2), " +
             "i -> concat_ws(' ', w[i-1], w[i], w[i+1]))")).as("gram"))
         .distinct()
+      // grams is already distinct on (doc_id, gram), so count-per-gram ≡
+      // countDistinct(doc_id) bit-for-bit — count(1) skips the Expand +
+      // per-key distinct machinery the countDistinct formulation pays
       val dfTab = grams.groupBy("gram")
-        .agg(countDistinct("doc_id").as("df"))
+        .agg(count(lit(1)).as("df"))
       grams.join(dfTab, Seq("gram"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_grams"),
