@@ -512,8 +512,17 @@ object Ann {
       maxBucket: Int = DefaultMaxBucket): (DataFrame, DataFrame) = {
     graft.expressions.GraftExtensions.register(embeddings.sparkSession)
     val u = embeddings.select(col("id"), expr("graft_unit(v)").as("v"))
+    // pin the NARROW code table (id, band, code — never the vectors):
+    // the capped candidate stage reads it three times (both self-join
+    // sides + the bucket-size aggregate), and the branches prune
+    // different columns so their subtrees don't canonicalize equal —
+    // without the pin each consumer re-runs the scan + unit + banding
+    // kernel. The wide `u` stays unpinned: the verify rejoin reads it
+    // column-pruned from source, which is the right trade at corpus
+    // scale.
     val coded = bandedCodes(u, seed, planes, bands, dim)
       .select("id", "band_idx", "code")
+      .localCheckpoint(true)
     val (candIds, audit) = cosineCandidatePairsCapped(coded, maxBucket)
     (cosineVerifyPairs(candIds, u, threshold), audit)
   }

@@ -650,12 +650,16 @@ object CorpusOps {
       s"4x16-bit bands guarantee recall only for maxHamming <= 3, got $maxHamming")
     val s = docs.sparkSession
     import s.implicits._
+    // pin the (doc_id, simhash) sketch — 16 bytes/doc: the band fan-out
+    // below feeds the cap aggregate, its anti join, and both self-join
+    // sides, each of which re-runs the per-doc kernel unpinned
     val sim = docs.select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         (id, graft.similarity.MinHashKernel.simhash(text))
       })
       .toDF("doc_id", "simhash")
+      .localCheckpoint(true)
     val bandCols = (0 until 4).map(b =>
       struct(lit(b).as("band_idx"),
         expr(s"shiftright(simhash, ${16 * b}) & 65535").as("band_val")))
@@ -695,9 +699,16 @@ object CorpusOps {
       docs: DataFrame, threshold: Double = 0.5,
       maxBucket: Int = DefaultBandMaxBucket): (DataFrame, DataFrame) = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
-    val (bands, audit) = capBandBuckets(minhashBands(docs), maxBucket)
-    val cand = minhashCandidates(bands)
-    val sets = minhashShingleSets(docs, cand)
+    // pins: the JVM signature kernel feeds the cap's size aggregate, the
+    // cap's anti join, and both self-join sides (4 executions unpinned);
+    // the candidate pairs feed the verify join AND both sides of the
+    // shingle-set semi join; the candidate-bounded shingle sets feed the
+    // verify twice. All three frames are narrow or candidate-bounded —
+    // the corpus text itself is never pinned.
+    val bandRows = minhashBands(docs).localCheckpoint(true)
+    val (bands, audit) = capBandBuckets(bandRows, maxBucket)
+    val cand = minhashCandidates(bands).localCheckpoint(true)
+    val sets = minhashShingleSets(docs, cand).localCheckpoint(true)
     (minhashVerify(cand, sets, sets, threshold), audit)
   }
 

@@ -64,11 +64,17 @@ object DedupQueries {
       .filter(size(col("w")) >= 3)
     // trigram rows fully codegen'd (explode positions + concat — a
     // transform(...) lambda evaluates interpreted and dominated the query)
+    // pinned: the gram table feeds the posting join AND the per-doc size
+    // aggregate, whose different column pruning stops the dedup exchange
+    // from canonicalizing equal across branches (verified on the tf-idf
+    // sibling) — unpinned, the scan + split + explode + dedup shuffle
+    // runs once per consumer
     val gramRows = words
       .select(col("doc_id"),
         explode(sequence(lit(0), size(col("w")) - 3)).as("i"), col("w"))
       .select(col("doc_id"), expr("concat(w[i], ' ', w[i+1], ' ', w[i+2])").as("gram"))
       .dropDuplicates("doc_id", "gram")
+      .localCheckpoint(true)
     // per-gram posting lists -> pair emission in one pass (a gram⋈gram
     // self-join evaluated the whole gram pipeline once per side) via the
     // shared [[graft.operators.CorpusOps.postingPairCounts]] stage.
@@ -110,6 +116,7 @@ object DedupQueries {
         explode(sequence(lit(0), size(col("w")) - 3)).as("i"), col("w"))
       .select(col("doc_id"), expr("concat(w[i], ' ', w[i+1], ' ', w[i+2])").as("gram"))
       .dropDuplicates("doc_id", "gram")
+      .localCheckpoint(true) // same two-consumer pin as ngramJaccardPairs
     val sizes = gramRows.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     // per-doc sizes: no broadcast hint (same reasoning as ngramJaccardPairs)
     graft.operators.CorpusOps.postingPairCounts(gramRows, "gram", MaxGramDf)

@@ -384,10 +384,20 @@ class QueriesSpec extends SparkSuite {
     assert(cosine.contains("graft_dot"), "verify must use the codegen expression")
 
     // LSH dedup: band join is an equi-join (hash/sort-merge), NEVER a
-    // nested loop; bucketing happens in the single graft_lsh_bands node
+    // nested loop. The banding kernel runs ONCE into the r12 code-table
+    // pin (localCheckpoint), so the final plan reads the codes as an
+    // ExistingRDD scan instead of re-running the kernel per consumer —
+    // the kernel's own plan is asserted separately below.
     val lsh = plan("dedup_embedding_lsh")
     assert(!lsh.contains("BroadcastNestedLoopJoin"), lsh.take(800))
-    assert(lsh.contains("graft_lsh_bands"))
+    assert(lsh.contains("ExistingRDD"), lsh.take(800))
+    val coded = graft.operators.Ann.bandedCodes(
+      SimilarityQueries.emb(spark, sf)
+        .select(org.apache.spark.sql.functions.col("vec_id").as("id"),
+          org.apache.spark.sql.functions.col("v")),
+      seed = 7, planes = 128, bands = 32, dim = 64)
+    assert(coded.queryExecution.executedPlan.toString.contains("graft_lsh_bands"),
+      "banding must stay the single codegen graft_lsh_bands node")
 
     // kNN LSH: the probe side broadcasts, the corpus is hash-joined
     val knn = plan("sim_knn_lsh", SimilarityQueries.queries)
