@@ -28,3 +28,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// The driver invokes `sbt "runMain graft.Bench"` and json-parses the tail
+// of stdout. With the default output strategy sbt's logger decorates every
+// forked-process line with an "[info] " prefix and appends a
+// "[success] Total time: ..." line after the run — both of which have made
+// the driver's JSON parse fail in every round (BENCH_r*.json "parsed":
+// null). Pass the forked process's stdout through raw and drop the success
+// banner so the bench's one JSON line is the literal last line of stdout.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys ++= Set(run / outputStrategy, showSuccess)

@@ -88,10 +88,18 @@ final class FloEngine(
     Option[java.util.concurrent.ScheduledExecutorService] = None
 
   // engine-side lease ops serialize per stream: concurrent produce calls
-  // must not interleave a refresh with a read
-  private val leaseLocks = new ConcurrentHashMap[String, Object]()
+  // must not interleave a refresh with a read. The lock registry is
+  // JVM-GLOBAL, keyed by the lease path (root + stream) — two engine
+  // INSTANCES in one process racing a takeover would otherwise interleave
+  // inside RawLocalFileSystem's non-atomic exclusive create (racer B
+  // passes the exists check, stalls under load while racer A acquires,
+  // verifies and commits, then B's late create truncates A's lease and
+  // B's re-read sees itself: BOTH win). Same-process acquisition must
+  // serialize (the MutationGuard.acquireLocks discipline); cross-process
+  // residual windows stay closed at the commit edge by
+  // [[verifyLeaseOwnership]].
   private def leaseLock(stream: String): Object =
-    leaseLocks.computeIfAbsent(stream, _ => new Object)
+    FloEngine.leaseLocks.computeIfAbsent(leasePath(stream).toString, _ => new Object)
 
   private def leasePath(stream: String) =
     new Path(s"${streamDir(stream)}/${FloEngine.WriterLeaseFile}")
@@ -119,6 +127,12 @@ final class FloEngine(
       // exists() and the read: that IS an absent lease, not a failure —
       // the caller retries the acquire path
       case _: java.io.FileNotFoundException => None
+      // a CONCURRENT writer's create+write left the checksummed local FS's
+      // .crc sidecar momentarily inconsistent with the content — a torn
+      // concurrent create, same shape as the unparsable-owner case: treat
+      // as absent; the caller's exclusive create / ownership re-read then
+      // adjudicates (the reader loses loudly, never wins on torn state)
+      case _: org.apache.hadoop.fs.ChecksumException => None
     }
   }
 
@@ -1294,6 +1308,14 @@ object FloEngine {
 
   /** Writer-lease file name under `<root>/<stream>/`. */
   private[engine] val WriterLeaseFile = "_writer.lease"
+
+  /** JVM-global per-lease-path lock registry: serializes lease
+    * acquisition/refresh across engine INSTANCES in one process, closing
+    * the same-JVM takeover race that RawLocalFileSystem's non-atomic
+    * exclusive create cannot adjudicate (see the instance-side comment at
+    * `leaseLock`). Unbounded growth is not a concern: one entry per
+    * distinct (root, stream) ever touched by this process. */
+  private val leaseLocks = new ConcurrentHashMap[String, Object]()
 
   /** Default staleness horizon for writer leases: a heartbeat older than
     * this is a crashed writer and may be taken over. The heartbeat
