@@ -519,7 +519,9 @@ object Ann {
     // without the pin each consumer re-runs the scan + unit + banding
     // kernel. The wide `u` stays unpinned: the verify rejoin reads it
     // column-pruned from source, which is the right trade at corpus
-    // scale.
+    // scale. (Eager-pin failure semantics — unrecoverable on executor
+    // loss, jobs at query construction — documented once in
+    // graft.operators.Pins.)
     val coded = bandedCodes(u, seed, planes, bands, dim)
       .select("id", "band_idx", "code")
       .localCheckpoint(true)

@@ -1595,12 +1595,22 @@ object CorpusOps {
     * path. Docs whose every bucket cancels to zero have no sparse rows
     * and are absent here (they carry no signal to embed). */
   def denseHashedVectors(documents: DataFrame, buckets: Int = 64): DataFrame =
+    denseHashedVectorsLong(documents, buckets)
+      .select(col("id"), expr("transform(v, x -> cast(x as double))").as("v"))
+
+  /** The exact-integer twin of [[denseHashedVectors]]: dense
+    * `array<bigint>` of the hashed-TF-IDF weights, one row per doc. The
+    * sequence bound derives from the SAME `buckets` argument as the
+    * hashing, so the two can never silently diverge (indices past the
+    * hash range would otherwise stay 0 and alter dots). Feeds the
+    * exact-integer dot paths (`graft_dotl`). */
+  def denseHashedVectorsLong(documents: DataFrame, buckets: Int = 64): DataFrame =
     hashedTfidf(documents, buckets)
       .groupBy("doc_id")
       .agg(collect_list(struct(col("bucket"), col("weight"))).as("bw"))
       .select(col("doc_id").as("id"), expr(
         s"transform(sequence(0, ${buckets - 1}), b -> " +
-          "cast(coalesce(element_at(map_from_entries(bw), cast(b as bigint)), 0L) as double))")
+          "coalesce(element_at(map_from_entries(bw), cast(b as bigint)), 0L))")
         .as("v"))
 
   /**

@@ -61,19 +61,23 @@ object PrepPipeline {
     // cleaned frame against a cached id list, and the heavy text frames
     // never enter block storage (the at-scale concern `materialize`
     // documents)
-    // broadcast hints are load-bearing on the pinned id lists: a
+    // broadcast hints are load-bearing on the pinned id lists (a
     // localCheckpoint frame reports worst-case size statistics, so
-    // without the hint the planner downgrades these joins to sort-merge
-    // (measured +2.8 s on this query at sf0.1)
+    // without the hint the planner downgrades these joins to sort-merge —
+    // measured +2.8 s on this query at sf0.1), but these id-sets grow
+    // with the corpus (most docs pass), so the hint is GATED on the
+    // pinned frame's actual count: identical plan at bench scale, safe
+    // sort-merge degradation past Pins.BroadcastMaxRows (see Pins for
+    // the pin pattern's failure-semantics tradeoff)
     val passIds = QualityModel.scoreAgainst(cleaned, weightsPath)
       .filter(col("predicted")).select("doc_id").localCheckpoint(true)
-    val gated = cleaned.join(broadcast(passIds), "doc_id")
+    val gated = cleaned.join(Pins.broadcastIfBounded(passIds), "doc_id")
     CdcChunker.chunkTable(gated)
       .write.mode("overwrite").parquet(spansPath)
     val keepIds = CdcChunker.dedupStats(gated, s.read.parquet(spansPath))
       .filter(col("dup_chars") * 2 <= col("total_chars")).select("doc_id")
       .localCheckpoint(true)
-    val dedup = gated.join(broadcast(keepIds), "doc_id")
+    val dedup = gated.join(Pins.broadcastIfBounded(keepIds), "doc_id")
     Dsir.ratioTable(dedup, dedup.filter(col("lang") === "en"), dsirBuckets)
       .write.mode("overwrite").parquet(ratiosPath)
     Dsir.gumbelTable(dedup)

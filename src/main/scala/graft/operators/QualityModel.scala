@@ -49,15 +49,36 @@ object QualityModel {
    * integer features — floor-equivalent by construction).
    */
   private[graft] def features(docs: DataFrame): DataFrame = {
-    val wc = docs.select(col("doc_id"),
-        explode(split(trim(col("text")), " +")).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
-    val agg = wc.groupBy("doc_id").agg(
-      sum("c").as("n_words"),
-      sum(length(col("tok")) * col("c")).as("sum_len"),
-      count(lit(1)).as("n_distinct"),
-      max("c").as("top_c"),
-      sum(when(col("tok").isin(Stop: _*), col("c")).otherwise(0L)).as("n_stop"))
+    // Single-pass, SHUFFLE-FREE feature extraction: every per-doc
+    // statistic derives from the token array with higher-order functions
+    // instead of the former explode → groupBy(doc_id, tok) →
+    // groupBy(doc_id), which shuffled the exploded corpus TWICE for
+    // per-doc-local facts (guide §2.4: remove shuffles outright). The
+    // integers are bit-identical to the exploded formulation:
+    //   n_words    = size(toks)                 = Σ c over (doc, tok)
+    //   sum_len    = Σ length(tok) over toks    = Σ len(tok)·c
+    //   n_distinct = size(array_distinct(toks)) = count of (doc, tok) rows
+    //   top_c      = longest run in sorted toks = max c
+    //   n_stop     = count of stopword slots    = Σ c over stop toks
+    // The isNotNull filter preserves explode's behavior on null text
+    // (explode of a null array dropped the doc).
+    val stopList = Stop.map(w => s"'$w'").mkString(", ")
+    val agg = docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), split(trim(col("text")), " +").as("toks"))
+      .select(col("doc_id"),
+        expr("cast(size(toks) as bigint)").as("n_words"),
+        expr("aggregate(toks, 0L, (acc, x) -> acc + length(x))").as("sum_len"),
+        expr("cast(size(array_distinct(toks)) as bigint)").as("n_distinct"),
+        expr("""aggregate(array_sort(toks),
+                named_struct('prev', cast(null as string), 'run', 0L, 'best', 0L),
+                (s, x) -> named_struct(
+                  'prev', x,
+                  'run',  if(s.prev <=> x, s.run + 1L, 1L),
+                  'best', greatest(s.best, if(s.prev <=> x, s.run + 1L, 1L))),
+                s -> s.best)""").as("top_c"),
+        expr(s"cast(size(filter(toks, x -> x in ($stopList))) as bigint)")
+          .as("n_stop"))
     agg.select(col("doc_id"),
       lit(10000L).as("f0"),
       (least(col("n_words"), lit(1000L)) * 10).as("f1"),

@@ -133,13 +133,17 @@ object PipelineQueries {
       // scale only the ids are worth block storage)
       // broadcast hints: pinned (localCheckpoint) frames report
       // worst-case size stats, which would downgrade the anti joins
-      // to sort-merge
+      // to sort-merge; gated on the pinned count (corpus-proportional
+      // id-sets must degrade to sort-merge, not OOM, at 100 TB — see
+      // graft.operators.Pins)
       val flagged = Ops.decontaminateFuzzy(train, eval, minShared = 2)
         .select("doc_id").distinct().localCheckpoint(true)
-      val c1 = train.join(broadcast(flagged), Seq("doc_id"), "left_anti")
+      val c1 = train.join(
+        graft.operators.Pins.broadcastIfBounded(flagged), Seq("doc_id"), "left_anti")
       val dropB = Ops.winnowPairs(c1, k = 4, w = 4, pct = 50)
         .select(col("doc_b").as("doc_id")).distinct().localCheckpoint(true)
-      val c2 = c1.join(broadcast(dropB), Seq("doc_id"), "left_anti")
+      val c2 = c1.join(
+        graft.operators.Pins.broadcastIfBounded(dropB), Seq("doc_id"), "left_anti")
       val sel = Ops.neymanSample(c2, k = 50)
       c2.join(sel.select("doc_id"), "doc_id")
         .select(col("lang"),

@@ -570,15 +570,16 @@ object SimilarityQueries {
       // weights, so the dense dot equals the sparse sum. Pinned AFTER
       // the per-doc densify so the HOF map-build never rides the
       // pair loop (the HOF-poisoning discipline, PLANS.md).
-      val vecs = graft.operators.CorpusOps
-        .hashedTfidf(Tables.load(s, d, "documents"), buckets = 64)
-      val dense = vecs.groupBy("doc_id")
-        .agg(collect_list(struct(col("bucket"), col("weight"))).as("bw"))
-        .select(col("doc_id"), expr(
-          "transform(sequence(0, 63), b -> coalesce(" +
-            "element_at(map_from_entries(bw), cast(b as bigint)), 0L))").as("v"))
+      val dense = graft.operators.CorpusOps
+        .denseHashedVectorsLong(Tables.load(s, d, "documents"), buckets = 64)
+        .withColumnRenamed("id", "doc_id")
         .withColumn("a", expr("transform(v, x -> abs(x))"))
         .localCheckpoint(true)
+      // the probe broadcast is this query's DESIGN (probe-bounded brute
+      // force — the correctness baseline; sim_text_ann is the scale
+      // path): probes are 1/29 of the corpus, so the documented ceiling
+      // is ~300 M docs (≈ 10 M probe rows × ~600 B/row under the 8 GB
+      // broadcast cap); past that, use sim_text_ann
       val probes = dense.filter(col("doc_id") % 29 === 0)
         .select(col("doc_id").as("query_id"),
           col("v").as("qv"), col("a").as("qa"))

@@ -283,9 +283,14 @@ object TpchQueries {
     }),
 
     // Q2: minimum-cost supplier per part within a region — the correlated
-    // scalar-min subquery classic, as a per-(part)-min aggregate over the
-    // region-restricted partsupp joined back on equality (no correlated
-    // re-execution; one aggregate + one equi-join). Dimensions broadcast.
+    // scalar-min subquery classic. Formulated as a per-part window MIN +
+    // equality filter: identical rows to the aggregate-and-join-back form
+    // (both keep every tied min-cost supplier), but ONE partsupp scan and
+    // ONE exchange instead of two scans, two broadcast builds of the
+    // region-supplier side, and a join-back (guide §2.4 — the join-back's
+    // second pass re-ran the whole supplier⋈nation⋈region subtree because
+    // different column pruning per branch defeats exchange reuse).
+    // Dimensions broadcast.
     "q2_min_cost_supplier" -> ((s, d) => {
       val regionSupp = t(s, d, "supplier")
         .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
@@ -294,13 +299,12 @@ object TpchQueries {
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
       val ps = partsupp(s, d)
         .join(regionSupp, col("ps_suppkey") === col("s_suppkey"))
-      val minCost = ps.groupBy(col("ps_partkey").as("mk"))
-        .agg(min("ps_supplycost_cents").as("min_cents"))
-      ps.join(broadcast(t(s, d, "part").filter(col("p_type") === "ECONOMY")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("ps_partkey")
+      ps.withColumn("min_cents", min("ps_supplycost_cents").over(w))
+        .filter(col("ps_supplycost_cents") === col("min_cents"))
+        .join(broadcast(t(s, d, "part").filter(col("p_type") === "ECONOMY")
             .select("p_partkey", "p_size")),
           col("ps_partkey") === col("p_partkey"))
-        .join(minCost, col("ps_partkey") === col("mk") &&
-          col("ps_supplycost_cents") === col("min_cents"))
         .select(col("s_acctbal"), col("s_name"), col("n_name"),
           col("p_partkey"), col("p_size"), col("ps_supplycost_cents"))
         .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),

@@ -127,14 +127,51 @@ class QualityModelSpec extends SparkSuite {
       "per-batch scoring against the frozen weights must equal the batch path")
   }
 
-  test("scoring plan has no shuffle beyond the feature aggregate, no collect") {
+  test("scoring plan has no shuffle at all, no join, no collect") {
     val d = docs("sf0.001")
     val w = QualityModel.train(d)
     val plan = QualityModel.score(d, w.toSeq).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan)
-    // feature extraction needs its two hash aggregates; scoring itself
-    // must add NO join (weights are literals in the projection)
     assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
-      s"scoring must be a stateless projection over the feature aggregate:\n$plan")
+      s"scoring must be a stateless projection over per-doc features:\n$plan")
+    // the HOF feature extraction is a narrow map: scoring an entire
+    // corpus must plan ZERO exchanges (the former explode + double
+    // groupBy paid two corpus-sized shuffles for per-doc-local facts)
+    assert(!plan.contains("Exchange"),
+      s"per-doc feature scoring must be shuffle-free:\n$plan")
+  }
+
+  test("HOF features are bit-identical to the exploded groupBy formulation") {
+    // the r13 rewrite derives every per-doc statistic from the token
+    // array (no shuffle); this pins it against the original explode →
+    // groupBy(doc_id, tok) → groupBy(doc_id) reference, column by column
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val d = docs(sf)
+      val stop = Seq("the", "a", "of", "and", "to", "in")
+      val wc = d.select(col("doc_id"),
+          explode(split(trim(col("text")), " +")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      val ref = wc.groupBy("doc_id").agg(
+          sum("c").as("n_words"),
+          sum(length(col("tok")) * col("c")).as("sum_len"),
+          count(lit(1)).as("n_distinct"),
+          max("c").as("top_c"),
+          sum(when(col("tok").isin(stop: _*), col("c")).otherwise(0L)).as("n_stop"))
+        .select(col("doc_id"),
+          lit(10000L).as("f0"),
+          (least(col("n_words"), lit(1000L)) * 10).as("f1"),
+          expr("sum_len * 10000 div n_words").as("f2"),
+          expr("top_c * 10000 div n_words").as("f3"),
+          expr("(n_words - n_distinct) * 10000 div n_words").as("f4"),
+          expr("n_stop * 10000 div n_words").as("f5"),
+          (col("n_words").between(20L, 100000L) &&
+            expr("sum_len * 10000 div n_words").between(30000L, 100000L) &&
+            expr("top_c * 10000 div n_words") <= 2000L &&
+            expr("(n_words - n_distinct) * 10000 div n_words") <= 5000L &&
+            col("n_stop") >= 2L).as("label"))
+        .orderBy("doc_id").collect().toSeq
+      val got = QualityModel.features(d).orderBy("doc_id").collect().toSeq
+      assert(got === ref, s"$sf: HOF features diverge from the exploded reference")
+    }
   }
 }
